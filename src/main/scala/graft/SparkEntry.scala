@@ -1,13 +1,104 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator appears in `queries`; deterministic,
+  * SQL-expressible ones also appear in `oracleSql` for the DuckDB
+  * hash-compare. Column names are aliased identically on both sides
+  * (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the reference's demo word-count algorithm through the MR engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.q2DemoParity(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 / §2.1. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_wordcount"     -> CoreQueries.q1WordCount _,
+    "q2_demo_parity"   -> CoreQueries.q2DemoParity _,
+    "q3_events_per_user" -> CoreQueries.q3EventsPerUser _,
+    "q4_partition_group" -> CoreQueries.q4PartitionGroup _,
+    "q5_topk"          -> CoreQueries.q5TopK _,
+    "q6_inverted_index" -> CoreQueries.q6InvertedIndex _,
+    "q7_dedup_exact"   -> CoreQueries.q7DedupExact _,
+    "q8_ann_brute"     -> CoreQueries.q8AnnBruteForce _,
+    "q9_text_stats"    -> CoreQueries.q9TextStats _,
+    "q10_mktsegment"   -> CoreQueries.q10Mktsegment _,
+  )
+
+  /** DuckDB-runnable SQL equivalent for each query (same tables, same
+    * column names, same ORDER BY, same rounding). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_wordcount" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY token, cnt""".stripMargin,
+
+    "q2_demo_parity" ->
+      """SELECT length(token) % 2 AS pi, token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1, 2 ORDER BY pi, token, cnt""".stripMargin,
+
+    "q3_events_per_user" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id, cnt",
+
+    "q4_partition_group" ->
+      """SELECT user_id % 4 AS pi, event_type, count(*) AS cnt,
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY pi, event_type, cnt, sum_value""".stripMargin,
+
+    "q5_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q6_inverted_index" ->
+      """SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM (SELECT DISTINCT doc_id, token
+        |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |      WHERE token <> '')
+        |GROUP BY token ORDER BY token, doc_ids""".stripMargin,
+
+    "q7_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs
+        |FROM (SELECT source, doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(text)) AS kept
+        |      FROM documents)
+        |WHERE doc_id = kept GROUP BY source ORDER BY source, n_docs""".stripMargin,
+
+    "q8_ann_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM v a, v b
+        |WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) <= 5
+        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    "q9_text_stats" ->
+      """SELECT s.lang, s.n_docs, s.avg_chars, t.n_tokens
+        |FROM (SELECT lang, count(*) AS n_docs,
+        |        round(sum(n_chars) / count(*), 4) AS avg_chars
+        |      FROM documents GROUP BY lang) s
+        |JOIN (SELECT lang, count(DISTINCT token) AS n_tokens
+        |      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |      WHERE token <> '' GROUP BY lang) t USING (lang)
+        |ORDER BY lang, n_docs, avg_chars, n_tokens""".stripMargin,
+
+    "q10_mktsegment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment, n_orders, total_price""".stripMargin,
+  )
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from Spark's
+  * codegen'd higher-order functions (`transform` / `zip_with` / `aggregate`)
+  * — no UDFs, so the whole computation stays inside whole-stage codegen and
+  * Catalyst can push surrounding filters/projections into the scan.
+  *
+  * All math is done in DOUBLE (floats are widened first) so results are
+  * reproducible against the DuckDB oracle and stable across plans.
+  */
+object VectorFunctions {
+
+  /** Widen array<float> → array<double> for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential (array-order) dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity with precomputed norms (precompute once per vector
+    * instead of once per pair — at scale the norm column is tiny relative
+    * to recomputing O(d) work inside an O(N·Q) join). */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Cosine similarity from raw vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,44 @@
+package graft.mr
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.concurrent.{ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multi-algorithm concurrency — parity with the reference's server, which
+  * runs N masters at once and routes each new worker to a random one
+  * (reference `server/views.go:29-36`, `:119-157`, `:163-183`).
+  *
+  * Spark-first equivalent: N concurrent actions on ONE SparkSession. The
+  * driver's FAIR scheduler interleaves their stages across the executor
+  * pool (set `spark.scheduler.mode=FAIR` on the session for true
+  * interleaving; FIFO still runs them concurrently, just stage-ordered).
+  * Completed algorithms are removed from the registry, mirroring the
+  * reference's master cleanup (`server/views.go:135-157`).
+  */
+final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
+  private val running = new ConcurrentHashMap[String, Future[Seq[KV]]]()
+
+  /** Submit a named algorithm; returns a future of its final results
+    * (the reference's `master.Results()`, `master/master.go:223`). */
+  def submit(name: String, input: Dataset[KV], spec: MRSpec): Future[Seq[KV]] = {
+    val fut = Future {
+      spark.sparkContext.setJobGroup(name, s"graft MR algorithm $name")
+      try MapReduce.results(input, spec).collect().toSeq
+      finally spark.sparkContext.clearJobGroup()
+    }
+    running.put(name, fut)
+    fut.onComplete(_ => running.remove(name))
+    fut
+  }
+
+  /** Cancel a running algorithm — the reference closes a master's workers
+    * and drops it (`master/master.go:198-209`). */
+  def cancel(name: String): Unit = {
+    spark.sparkContext.cancelJobGroup(name)
+    running.remove(name)
+  }
+
+  def runningAlgorithms: Set[String] = running.keySet().asScala.toSet
+}

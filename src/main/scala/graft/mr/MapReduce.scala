@@ -1,0 +1,169 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** A key/value record — the reference's single data abstraction
+  * (reference `protocol/input.go:10-14`): map input, reduce output, and
+  * final-result rows are all `(key: String, value: String)`.
+  */
+final case class KV(key: String, value: String)
+
+/** The grouped (post-shuffle) record shape consumed by reduce
+  * (reference `protocol/input.go:13`, produced by the shuffle loop in
+  * `algorithm/algorithm.go:172-191`).
+  */
+final case class KVS(key: String, values: Seq[String])
+
+/** A map-output / reduce-input record tagged with its partition index.
+  * In the reference the map UDF itself chooses the target reduce partition
+  * (`server/static/js/main.js:12-19`) — there is no hash partitioner — so
+  * the partition index is first-class data, not physical placement.
+  */
+final case class PKV(pi: Long, key: String, value: String)
+
+/** A complete MapReduce algorithm, mirroring the reference's
+  * `POST /algorithm` request surface (reference `server/api.go:8-13`):
+  * JS `map_code`/`reduce_code` strings become Scala closures; the
+  * user-chosen partition count replaces the server's derivation rule
+  * (see [[MapReduce.defaultReducePartitions]] for that rule).
+  *
+  * Contracts enforced (mirroring reference panics,
+  * `protocol/input.go:19-21`, `protocol/message.go:87-96`):
+  *   - map emits EXACTLY ONE `(partitionIndex, KV)` per input record
+  *     (the client loop `server/static/js/main.js:7-23` — not 0..n);
+  *   - reduce emits exactly one KV per `(partition, key)` group;
+  *   - values are strings only.
+  */
+final case class MRSpec(
+    mapFn: KV => (Long, KV),
+    reduceFn: (String, Seq[String]) => KV,
+    numPartitions: Int) {
+  require(numPartitions > 0, "numPartitions must be positive") // algorithm.go:64-84 panics on bad args
+}
+
+/** Spark-first MapReduce runtime with the reference's semantics.
+  *
+  * The reference's whole lifecycle — job split (`algorithm/algorithm.go:86-103`),
+  * scheduling (`master/master.go:93-122`), phase barrier
+  * (`algorithm/algorithm.go:156-199`), shuffle (`:172-191`), TTL/retry
+  * (`worker/base.go:77-90`, `master/master.go:198-209`) — collapses into one
+  * lazy Spark plan: map stage / shuffle boundary / reduce stage. Stage
+  * scheduling, stragglers, retries and duplicate-completion handling are
+  * Spark's task machinery; nothing is hand-scheduled here.
+  *
+  * Scale notes:
+  *   - `run` is the semantics-exact path: `groupByKey.mapGroups` gives the
+  *     reduce UDF the complete value list (the reference's reduce is holistic
+  *     over `collect_list` — `server/static/js/main.js:24-30`). At 100 TB a
+  *     skewed key can blow a task's memory, exactly like the reference's
+  *     master-RAM accumulation (`algorithm/algorithm.go:37`) only smaller.
+  *   - `runAlgebraic` is the scale path: when the reduce function is
+  *     expressible as an [[Aggregator]] (count/sum/min/max/topK...), Spark
+  *     performs map-side partial aggregation, so shuffle volume is
+  *     O(distinct keys) instead of O(records).
+  */
+object MapReduce {
+
+  /** Reference job-count derivation (reference `server/views.go:107-108`):
+    * `mapJobs = ceil(N / inputLen)`, `reducePartitions = max(1, mapJobs / 10)`.
+    */
+  def mapJobs(inputLen: Long, splitSize: Long): Long = {
+    require(splitSize > 0, "map_input_length must be positive")
+    (inputLen + splitSize - 1) / splitSize
+  }
+  def defaultReducePartitions(inputLen: Long, splitSize: Long): Int =
+    math.max(1L, mapJobs(inputLen, splitSize) / 10L).toInt
+
+  /** Map phase: one `(pi, key, value)` per input record; pi is taken
+    * modulo numPartitions (the reference indexes a pre-sized partition
+    * slice, `algorithm/algorithm.go:106-115` + `:292-315`; out-of-range
+    * indexes are the UDF's bug there — we normalize instead of panicking
+    * in a distributed task). */
+  def mapPhase(input: Dataset[KV], spec: MRSpec): Dataset[PKV] = {
+    implicit val enc: Encoder[PKV] = Encoders.product[PKV]
+    input.map { r =>
+      val (pi, kv) = spec.mapFn(r)
+      PKV(java.lang.Math.floorMod(pi, spec.numPartitions.toLong), kv.key, kv.value)
+    }
+  }
+
+  /** Shuffle with the reference's per-partition grouping: the group key is
+    * `(pi, key)`, NOT `key` alone — the same key in two partitions reduces
+    * independently (`algorithm/algorithm.go:166-196`; SURVEY §2 row SH2).
+    */
+  def shuffle(mapped: Dataset[PKV]): Dataset[(Long, KVS)] = {
+    implicit val enc: Encoder[(Long, KVS)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.product[KVS])
+    mapped
+      .groupByKey(r => (r.pi, r.key))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapGroups((k: (Long, String), rows: Iterator[PKV]) =>
+        (k._1, KVS(k._2, rows.map(_.value).toSeq)))
+  }
+
+  /** Full pipeline, holistic reduce. Returns `(pi, key, value)` rows; use
+    * [[results]] for the reference's final flat KV shape
+    * (`algorithm/algorithm.go:337-343` — partition index is dropped when
+    * reduce outputs are appended to `results`). */
+  def run(input: Dataset[KV], spec: MRSpec): Dataset[PKV] = {
+    implicit val enc: Encoder[PKV] = Encoders.product[PKV]
+    mapPhase(input, spec)
+      .groupByKey(r => (r.pi, r.key))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapGroups { (k: (Long, String), rows: Iterator[PKV]) =>
+        val out = spec.reduceFn(k._2, rows.map(_.value).toSeq)
+        PKV(k._1, out.key, out.value)
+      }
+  }
+
+  /** Reference final-result shape: flat KV records, partition dropped. */
+  def results(input: Dataset[KV], spec: MRSpec): Dataset[KV] = {
+    implicit val enc: Encoder[KV] = Encoders.product[KV]
+    run(input, spec).map(r => KV(r.key, r.value))
+  }
+
+  /** Scale path: algebraic reduce via a typed [[Aggregator]] — map-side
+    * partial aggregation, no per-group value materialization. Semantically
+    * equal to [[run]] whenever `agg` computes the same function as the
+    * holistic `reduceFn`. */
+  def runAlgebraic[B: Encoder](
+      input: Dataset[KV],
+      mapFn: KV => (Long, KV),
+      agg: Aggregator[String, B, String],
+      numPartitions: Int): Dataset[PKV] = {
+    implicit val enc: Encoder[PKV] = Encoders.product[PKV]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    mapPhase(input, MRSpec(mapFn, (k, _) => KV(k, ""), numPartitions))
+      .groupByKey(r => (r.pi, r.key))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapValues((r: PKV) => r.value)(Encoders.STRING)
+      .agg(agg.toColumn.name("value"))
+      .map { (r: ((Long, String), String)) => PKV(r._1._1, r._1._2, r._2) }
+  }
+
+  /** Count-of-group aggregator — the reference demo's reduce
+    * (`server/views.go:57-59`: `JSON.stringify(o.values.length)`). */
+  val countAggregator: Aggregator[String, Long, String] =
+    new Aggregator[String, Long, String] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: String): Long = b + 1L
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): String = r.toString
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+
+  /** The bundled demo algorithm (reference `server/views.go:53-61`):
+    * map: word → partition `len(word) % 2`, pair `(word, "")`;
+    * reduce: group → `(word, count-of-values-as-string)`. */
+  def demoSpec(numPartitions: Int = 2): MRSpec = MRSpec(
+    mapFn = kv => (kv.value.length.toLong % 2, KV(kv.value, "")),
+    reduceFn = (k, vs) => KV(k, vs.length.toString),
+    numPartitions = numPartitions)
+
+  /** The bundled demo input (reference `server/views.go:43-48`): each word
+    * as a `("", word)` record. */
+  def demoInput(spark: SparkSession, words: Seq[String]): Dataset[KV] = {
+    implicit val enc: Encoder[KV] = Encoders.product[KV]
+    spark.createDataset(words.map(w => KV("", w)))
+  }
+}

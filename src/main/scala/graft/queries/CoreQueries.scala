@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.mr.{KV, MapReduce}
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** The declared query set Q1–Q10 (SURVEY.md §2.1) — every data-transforming
+  * operator of the reference (map, split, partition routing, per-partition
+  * shuffle, reduce, result sink) exercised over the testdata corpus, plus
+  * the join/sort/top-k/dedup/similarity capabilities the Spark engine adds.
+  *
+  * Determinism contract shared with the DuckDB oracle (SparkEntry.oracleSql):
+  * every query ends with ORDER BY over all output columns; doubles are
+  * rounded to 4 decimals; monetary sums go through exact integer cents so
+  * the result is independent of floating-point summation order.
+  */
+object CoreQueries {
+
+  /** Whitespace tokenization of documents.text (texts are single-space
+    * separated words; split on the literal space to match the oracle's
+    * string_split). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Exact, order-independent money sum: double → integer cents → sum →
+    * back to a 4-decimal double. Identical in Spark and DuckDB regardless
+    * of aggregation order, unlike a raw sum(double). */
+  private def moneySum(c: Column): Column =
+    round(sum(round(c * 100, 0).cast("long")) / 100.0, 4)
+
+  /** Q1 — canonical MR word count (map → shuffle → reduce) as the idiomatic
+    * Spark plan: explode + hash aggregate with map-side partial counts.
+    * This is what the reference's demo computes, minus the per-partition
+    * split (see q2 for exact demo semantics). */
+  def q1WordCount(spark: SparkSession, dir: String): DataFrame =
+    tokens(Tables.documents(spark, dir))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token", "cnt")
+
+  /** Q2 — the reference demo algorithm BIT-EXACTLY, routed through the MR
+    * engine (graft.mr.MapReduce): map picks partition `len(word) % 2`
+    * (reference `server/views.go:53-61`), the group key includes the
+    * partition index (SURVEY §2 row SH2), reduce counts the group. */
+  def q2DemoParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = tokens(Tables.documents(spark, dir))
+      .select(col("token"))
+      .as[String]
+      .map(w => KV("", w))
+    MapReduce.run(words, MapReduce.demoSpec(numPartitions = 2))
+      .select(col("pi"), col("key").as("token"), col("value").cast("long").as("cnt"))
+      .orderBy("pi", "token", "cnt")
+  }
+
+  /** Q3 — MR aggregate over a KV stream: events per user. */
+  def q3EventsPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id", "cnt")
+
+  /** Q4 — per-partition grouping semantics (SH1+SH2): the same event_type
+    * under different user-chosen partitions (`user_id % 4`) reduces
+    * independently. */
+  def q4PartitionGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 4).as("pi"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy("pi", "event_type", "cnt", "sum_value")
+
+  /** Q5 — distributed sort + limit (the MR "popular problem"). Spark plans
+    * this as TakeOrderedAndProject: per-partition top-100 heaps, then a
+    * driver-side merge — no global sort shuffle, which is the correct
+    * shape at 100 TB. */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"))
+
+  /** Q6 — inverted index: token → sorted distinct doc id list (the grouped
+    * KVS shape of the reference's shuffle output). Emitted as a comma-joined
+    * string so the oracle compare is array-representation independent. */
+  def q6InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokens(Tables.documents(spark, dir))
+      .select(col("token"), col("doc_id"))
+      .distinct()
+      .groupBy("token")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_set(col("doc_id"))), _.cast("string"))).as("doc_ids"))
+      .orderBy("token", "doc_ids")
+
+  /** Q7 — exact dedup: canonical survivor (min doc_id) per md5(text),
+    * survivor count per source. At scale this is one hash shuffle on the
+    * digest — the standard exact-dedup shape for a 100 TB corpus. */
+  def q7DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    Tables.documents(spark, dir)
+      .withColumn("kept", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "n_docs")
+  }
+
+  /** Q8 — brute-force cosine top-5 neighbors for each query vector
+    * (vec_id < 10). The 10-row query side is broadcast so the candidate
+    * scan never shuffles — O(N) per query with no data movement, the right
+    * baseline shape before the IVF/LSH variants (operators.Similarity). */
+  def q8AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("query_id") < 10)
+    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("v"), col("qv")), col("nrm"), col("qn")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Q9 — text analysis: per language, doc count, average length, distinct
+    * vocabulary. avg is computed as exact-int sum / count so it matches the
+    * oracle bit-for-bit. */
+  def q9TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+    val vocab = tokens(docs).groupBy("lang")
+      .agg(countDistinct(col("token")).as("n_tokens"))
+    stats.join(vocab, "lang")
+      .select(col("lang"), col("n_docs"), col("avg_chars"), col("n_tokens"))
+      .orderBy("lang", "n_docs", "avg_chars", "n_tokens")
+  }
+
+  /** Q10 — customer ⋈ orders rollup by market segment. customer is the
+    * small dimension → broadcast hash join, no shuffle of the fact side. */
+  def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment", "n_orders", "total_price")
+}

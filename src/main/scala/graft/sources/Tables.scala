@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver-provided testdata corpus
+  * (TESTDATA.md / FIXTURES.md).
+  *
+  * The reference ingests data only via an HTTP JSON body or a hard-coded
+  * demo list (reference `server/views.go:43-48`, `server/views.go:83-160`);
+  * in a Spark-native engine the equivalent "source" operators are the
+  * declarative readers below. Filters/projections composed on top of these
+  * are pushed into the parquet scan by Catalyst (PushedFilters/ReadSchema),
+  * which is what makes the same code viable at 100 TB: only the referenced
+  * columns and row groups are read.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as a
+    * long when `spark.sql.legacy.parquet.nanosAsLong=true` (set in every
+    * graft session builder). Convert to a microsecond timestamp here so
+    * downstream queries see a normal timestamp column. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * corpus — the engine's SQL entry point. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,112 @@
+package graft.mr
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Semantics tests for the MR engine, mirroring the reference's test intent
+  * (exact expected outputs like `master/master_test.go:179-338`, demo
+  * algorithm of `server/views.go:53-61`, per-partition grouping of
+  * `algorithm/algorithm.go:166-196`). */
+class MapReduceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // Own fixed word list (NOT the reference's bacon-ipsum data) with both
+  // even- and odd-length words and repeats, so the demo algorithm produces
+  // a verifiable exact output.
+  val words = Seq(
+    "spark", "scan", "merge", "scan", "join", "join", "join",
+    "sort", "agg", "agg", "window", "hash", "hash", "spark")
+
+  test("demo algorithm: exact word counts with len%2 partitioning") {
+    val input = MapReduce.demoInput(spark, words)
+    val got = MapReduce.run(input, MapReduce.demoSpec(2))
+      .collect().map(r => (r.pi, r.key, r.value.toLong)).toSet
+    val expected = words.groupBy(identity).map { case (w, ws) =>
+      (w.length.toLong % 2, w, ws.size.toLong)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("final results drop the partition index (reference results shape)") {
+    val input = MapReduce.demoInput(spark, words)
+    val got = MapReduce.results(input, MapReduce.demoSpec(2))
+      .collect().map(kv => (kv.key, kv.value.toLong)).toSet
+    val expected = words.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSet
+    assert(got == expected)
+  }
+
+  test("same key in different partitions reduces independently (SH2)") {
+    import spark.implicits._
+    // route identical key "k" to partitions 0 and 1 based on the value
+    val input = spark.createDataset(Seq(
+      KV("k", "0"), KV("k", "0"), KV("k", "1")))
+    val spec = MRSpec(
+      mapFn = kv => (kv.value.toLong, KV("k", kv.value)),
+      reduceFn = (k, vs) => KV(k, vs.length.toString),
+      numPartitions = 2)
+    val got = MapReduce.run(input, spec)
+      .collect().map(r => (r.pi, r.key, r.value)).toSet
+    assert(got == Set((0L, "k", "2"), (1L, "k", "1")))
+  }
+
+  test("map emits exactly one pair per record; pi normalized by floorMod") {
+    import spark.implicits._
+    val input = spark.createDataset((0 until 10).map(i => KV(i.toString, "x")))
+    val spec = MRSpec(
+      mapFn = kv => (-1L, KV(kv.key, kv.value)), // negative pi → floorMod → 2
+      reduceFn = (k, vs) => KV(k, vs.length.toString),
+      numPartitions = 3)
+    val mapped = MapReduce.mapPhase(input, spec).collect()
+    assert(mapped.length == 10)                  // exactly one output each
+    assert(mapped.forall(_.pi == 2L))
+  }
+
+  test("shuffle groups values per (pi, key) into the KVS shape") {
+    import spark.implicits._
+    val input = spark.createDataset(Seq(
+      KV("a", "1"), KV("b", "2"), KV("a", "3")))
+    val spec = MRSpec(
+      mapFn = kv => (0L, kv),
+      reduceFn = (k, vs) => KV(k, ""),
+      numPartitions = 1)
+    val grouped = MapReduce.shuffle(MapReduce.mapPhase(input, spec))
+      .collect().map { case (pi, kvs) => (pi, kvs.key, kvs.values.sorted) }.toSet
+    assert(grouped == Set((0L, "a", Seq("1", "3")), (0L, "b", Seq("2"))))
+  }
+
+  test("runAlgebraic(count) equals holistic run for the demo algorithm") {
+    val input = MapReduce.demoInput(spark, words)
+    val holistic = MapReduce.run(input, MapReduce.demoSpec(2))
+      .collect().map(r => (r.pi, r.key, r.value)).toSet
+    import spark.implicits._
+    val algebraic = MapReduce.runAlgebraic(
+      input, MapReduce.demoSpec(2).mapFn, MapReduce.countAggregator, 2)
+      .collect().map(r => (r.pi, r.key, r.value)).toSet
+    assert(algebraic == holistic)
+  }
+
+  test("job-count derivation parity: ceil(N/len), max(1, mapJobs/10)") {
+    assert(MapReduce.mapJobs(40, 10) == 4)     // reference demo: 4 map jobs
+    assert(MapReduce.mapJobs(41, 10) == 5)
+    assert(MapReduce.defaultReducePartitions(40, 10) == 1)
+    assert(MapReduce.defaultReducePartitions(1000, 10) == 10)
+    assert(MapReduce.defaultReducePartitions(5, 10) == 1)
+    intercept[IllegalArgumentException](MRSpec(kv => (0L, kv), (k, v) => KV(k, ""), 0))
+  }
+
+  test("engine runs concurrent named algorithms (MT parity)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.{Await, Future}
+    val engine = new Engine(spark)
+    val futs = (1 to 3).map { i =>
+      engine.submit(s"algo$i", MapReduce.demoInput(spark, words),
+        MapReduce.demoSpec(i))
+    }
+    val all = Await.result(Future.sequence(futs), 120.seconds)
+    val expected = words.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toString) }.toSet
+    all.foreach(res => assert(res.map(kv => (kv.key, kv.value)).toSet == expected))
+  }
+}

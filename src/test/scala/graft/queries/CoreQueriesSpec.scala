@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Smoke + invariants for the declared query set on sf0.001. Full value
+  * correctness is checked against the DuckDB oracle by the driver harness
+  * (and locally via tools/check.py); these tests pin the cheap invariants
+  * so regressions surface in `sbt test`. */
+class CoreQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has matching oracle column names") {
+    // oracle compare sorts columns by name — so names must match exactly.
+    // Cheap proxy: every aliased output column in Spark appears in the SQL.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        val cols = fn(spark, sf).columns
+        cols.foreach(c =>
+          assert(sql.toLowerCase.contains(c.toLowerCase),
+            s"$name: column $c not found in oracle SQL"))
+      }
+    }
+  }
+
+  test("q1 word counts sum to total token count") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = CoreQueries.tokens(docs).count()
+    val q1sum = CoreQueries.q1WordCount(spark, sf)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(q1sum == total)
+  }
+
+  test("q2 equals q1 when partition collapses (counts per token match)") {
+    import org.apache.spark.sql.functions._
+    val q1 = CoreQueries.q1WordCount(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // demo partition = len%2 is a function of the token, so each token
+    // lands in exactly one partition: per-token counts must match q1.
+    val q2 = CoreQueries.q2DemoParity(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(q1 == q2)
+  }
+
+  test("q5 is sorted desc by price and limited to 100") {
+    val rows = CoreQueries.q5TopK(spark, sf).collect()
+    assert(rows.length == 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q8 returns exactly 5 neighbors per query, none self") {
+    val rows = CoreQueries.q8AnnBruteForce(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, ns) =>
+      assert(ns.length == 5)
+      assert(!ns.exists(_.getLong(1) == q))
+    }
+  }
+}

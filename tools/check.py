@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle on the same parquet tables.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+(Dev tooling only — uses driver-side libs; not part of the Scala library.)
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].astype("float64").round(4)
+        # normalize ints
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    pdir = f"{OUT}/{name}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        print(f"[MISS] {name}: no spark output");  fail += 1; continue
+    got = canon(pd.read_parquet(pdir))
+    try:
+        exp = canon(con.sql(sql).df())
+    except Exception as e:
+        print(f"[ORACLE-ERR] {name}: {e}"); fail += 1; continue
+    if list(got.columns) != list(exp.columns):
+        print(f"[SCHEMA] {name}: spark={list(got.columns)} duck={list(exp.columns)}"); fail += 1; continue
+    if len(got) != len(exp):
+        print(f"[ROWS] {name}: spark={len(got)} duck={len(exp)}"); fail += 1; continue
+    # tolerant float compare after rounding; exact otherwise
+    eq = True
+    for c in got.columns:
+        if got[c].dtype == "float64":
+            if not ((got[c] - exp[c]).abs() <= 1e-9).all():
+                eq = False; bad = c; break
+        else:
+            if not (got[c].astype(str) == exp[c].astype(str)).all():
+                eq = False; bad = c; break
+    if eq:
+        print(f"[OK]   {name}: {len(got)} rows"); ok += 1
+    else:
+        mism = got[got[bad].astype(str) != exp[bad].astype(str)] if got[bad].dtype != 'float64' else None
+        print(f"[DIFF] {name}: column {bad}")
+        print("  spark:", got.head(3).to_dict('records'))
+        print("  duck :", exp.head(3).to_dict('records'))
+        fail += 1
+
+# queries without oracle = rows-only
+import pathlib
+allq = {p.name for p in pathlib.Path(OUT).iterdir() if p.is_dir()}
+for name in sorted(allq - set(oracle)):
+    n = len(pd.read_parquet(f"{OUT}/{name}"))
+    print(f"[ROWS-ONLY] {name}: {n} rows")
+
+print(f"\n{ok} ok, {fail} fail, {len(allq - set(oracle))} rows-only")
+sys.exit(1 if fail else 0)
