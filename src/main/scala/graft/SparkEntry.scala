@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,7 @@ object SparkEntry {
     "q8_ann_brute"     -> CoreQueries.q8AnnBruteForce _,
     "q9_text_stats"    -> CoreQueries.q9TextStats _,
     "q10_mktsegment"   -> CoreQueries.q10Mktsegment _,
-  )
+  ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
     * column names, same ORDER BY, same rounding). */
@@ -87,9 +87,10 @@ object SparkEntry {
 
     "q9_text_stats" ->
       """SELECT s.lang, s.n_docs, s.avg_chars, t.n_tokens
-        |FROM (SELECT lang, count(*) AS n_docs,
-        |        round(sum(n_chars) / count(*), 4) AS avg_chars
-        |      FROM documents GROUP BY lang) s
+        |FROM (SELECT lang, n_docs,
+        |        ((sum_chars * 20000 + n_docs) // (n_docs * 2)) / 10000.0 AS avg_chars
+        |      FROM (SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |            FROM documents GROUP BY lang)) s
         |JOIN (SELECT lang, count(DISTINCT token) AS n_tokens
         |      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         |      WHERE token <> '' GROUP BY lang) t USING (lang)
@@ -100,5 +101,5 @@ object SparkEntry {
         |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment, n_orders, total_price""".stripMargin,
-  )
+  ) ++ ExtQueries.oracleSql
 }

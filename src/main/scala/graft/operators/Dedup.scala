@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for a training-data pipeline, each with a
+  * different cost/recall point:
+  *
+  *   - [[exactSurvivors]]    — hash-groupBy on a content digest; O(N), one shuffle.
+  *   - [[minHashLsh*]]       — shingle → MinHash → banded LSH → bucket join;
+  *                             near-dup candidates WITHOUT all-pairs compare.
+  *   - [[simHash*]]          — 16-bit token-frequency sign hash; hamming-
+  *                             bucketable fingerprint per document.
+  *   - [[ngramJaccardPairs]] — exact Jaccard over shingle sets via a
+  *                             shared-shingle join (the verify step after LSH).
+  *   - [[embeddingNearDupPairs]] — cosine threshold over embeddings.
+  *
+  * All hashing is md5-based (hex strings) so results are engine-portable:
+  * the DuckDB oracle computes the identical signatures. No UDFs — the
+  * whole pipeline is codegen'd functions, and every join is either a
+  * broadcast or a key-partitioned shuffle that AQE can re-plan for skew.
+  *
+  * Scale notes (100 TB): the LSH bucket join is the only quadratic risk —
+  * a degenerate bucket (e.g. boilerplate docs) explodes; AQE skew-join
+  * splitting plus an optional bucket-size cap (drop buckets with more than
+  * `maxBucketSize` docs — they are near-identical boilerplate anyway, route
+  * them to exact dedup) keeps it bounded.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor per md5(text) (min doc_id wins). */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    docs.withColumn("kept", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("kept"))
+      .drop("kept")
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** Portable MinHash signature: the j-th hash is `min(md5(j || ':' ||
+    * shingle))` over the document's distinct word-3-gram shingles — string
+    * min over lowercase hex, identical in any engine with md5. */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), shingleK)).as("shingle"))
+      .distinct()
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"s$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bucketing: split the signature into `bands` bands of
+    * `numHashes/bands` rows; bucket key = md5 of the concatenated band
+    * slice. Two docs land in the same (band, bucket) iff that whole band
+    * of their signatures matches. */
+  def minHashLshBuckets(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, numHashes, shingleK)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"s${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat(slice: _*)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+    * `maxBucketSize` drops degenerate boilerplate buckets to bound the
+    * self-join at scale (disabled by default for oracle parity). */
+  def minHashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+    val buckets = minHashLshBuckets(docs, numHashes, bands, shingleK)
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("bucket"))
+        buckets.withColumn("bsz", count(lit(1)).over(w)).filter(col("bsz") <= cap).drop("bsz")
+      case None => buckets
+    }
+    val a = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 16-bit SimHash over distinct tokens: bit k of the fingerprint is the
+    * sign of `sum over tokens of (2·bit_k(md5(token)) - 1)`, where
+    * bit_k(h) comes from the first 4 hex digits of the token's md5.
+    * Expressed in portable integer arithmetic (no engine-specific hash). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokenized(docs).select("doc_id", "token").distinct()
+      .withColumn("h", md5(col("token")))
+      // v = integer value of the first 16 bits of md5(token)
+      .withColumn("v", expr(
+        """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+          | + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin))
+    val bitSums = (0 until 16).map { k =>
+      val shift = 1 << (15 - k)
+      sum(expr(s"(v div $shift) % 2") * 2 - 1).as(s"b$k")
+    }
+    val bitChars = (0 until 16).map(k => when(col(s"b$k") > 0, "1").otherwise("0"))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat(bitChars: _*).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`, found by
+    * banding the 16 bits into 4 nibbles (any equal nibble → candidate)
+    * and filtering candidates by true hamming distance. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val fp = simHash(docs)
+    val nibbles = (0 until 4).map(n =>
+      struct(lit(n).as("band"), substring(col("simhash"), n * 4 + 1, 4).as("bucket")))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array(nibbles: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val hamming = (0 until 16).map(k =>
+      when(substring(col("sh_a"), k + 1, 1) =!= substring(col("sh_b"), k + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------------
+
+  /** Exact Jaccard similarity over distinct word-3-gram shingle sets, for
+    * pairs sharing at least one shingle. `docLimit` bounds each side (the
+    * production shape runs this only on LSH candidates, never all docs). */
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, docLimit: Long = 300L): DataFrame = {
+    val sh = docs.filter(col("doc_id") < docLimit)
+      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), shingleK)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // integer half-up rounding to 4 decimals: small-int ratios (e.g. 15/160
+    // = 0.09375) hit exact half boundaries where engine round(double)
+    // implementations disagree — see TextAnalysis.qualityScore.
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("(inter * 20000 + uni) div (uni * 2)") / 10000.0).as("jaccard"))
+  }
+
+  // ---- embedding cosine -------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`. One side is
+    * bounded (`aLimit`) and broadcast; production replaces this with the
+    * IVF/LSH bucketing in [[Similarity]]. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.3,
+      aLimit: Long = 1000L): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = v.filter(col("vec_id") < aLimit)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    b.join(broadcast(a), col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+  }
+
+  // ---- query-shaped entry points -----------------------------------------
+
+  def qMinHashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minHashLshBuckets(Tables.documents(spark, dir))
+      .orderBy("doc_id", "band", "bucket")
+
+  def qMinHashPairs(spark: SparkSession, dir: String): DataFrame =
+    minHashLshPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  def qSimHash(spark: SparkSession, dir: String): DataFrame =
+    simHash(Tables.documents(spark, dir))
+      .orderBy("doc_id", "simhash")
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b", "jaccard")
+
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.embeddings(spark, dir))
+      .orderBy("vec_a", "vec_b", "cos_sim")
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The payload here is derived from documents.text (no real media in the
+  * corpus) and the DECODE STEP IS A STUB — this container has no
+  * image/audio codecs, so [[StubCodec]] produces a deterministic fake
+  * feature vector from the bytes. Everything around it is real Spark:
+  * binary columns, metadata struct schema, per-partition batched decode
+  * (the Scala analog of `mapInPandas` — one codec instance per partition,
+  * records streamed through it), and generated frame rows.
+  *
+  * At 100 TB the decode pass is the expensive stage: it is a narrow
+  * mapPartitions (no shuffle), so it scales with executors; partition
+  * sizing is controlled upstream by `spark.sql.files.maxPartitionBytes`.
+  */
+object Multimodal {
+
+  final case class Media(
+      doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Float])
+
+  /** ===== STUB ===== deterministic fake codec standing in for real
+    * image/audio decoding (libs unavailable here). Swap `decode` for a
+    * real implementation; the operator plumbing does not change. */
+  object StubCodec {
+    /** Fake "features": per-bucket sums of byte values. Integer sums are
+      * exact in Float below 2^24, which keeps the checksum query
+      * bit-reproducible against the oracle. */
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** The multimodal table: binary payload + typed metadata, all derived
+    * deterministically from documents. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      (lit(64) + (col("n_chars") % 64) * 8).cast("int").as("width"),
+      (lit(64) + (col("n_chars") % 48) * 8).cast("int").as("height"),
+      (lit(8000) + (col("doc_id") % 5) * 8000).cast("int").as("sample_rate"))
+
+  /** Batched per-partition decode — the mapInPandas-shaped operator: one
+    * codec per partition, records streamed through it, fixed feature dim. */
+  def decodeFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    media.select("doc_id", "media_type", "payload").as(
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition codec init would go here (model load, etc.)
+        it.map { case (id, mt, bytes) => MediaFeatures(id, mt, StubCodec.decode(bytes, dim)) }
+      }
+  }
+
+  /** Metadata-only resize: scale width/height by `factor` (the cheap
+    * operator pattern — touch metadata, never the payload). */
+  def resize(media: DataFrame, factor: Double): DataFrame =
+    media.withColumn("width", (col("width") * factor).cast("int"))
+      .withColumn("height", (col("height") * factor).cast("int"))
+
+  /** Frame sampling for video rows: one row per frame index, 2 fps,
+    * n_frames = payload_chars/100 + 1. Generated with sequence/explode —
+    * no UDF, rows expand executor-side. */
+  def frameSample(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("n_chars div 100"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("frame_idx") / 2.0, 4).as("ts_sec"))
+
+  // ---- query-shaped entry points -----------------------------------------
+
+  /** Payload + metadata summary (oracle-checkable: byte lengths). */
+  def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("width"), col("height"))
+      .orderBy("doc_id", "media_type", "n_bytes", "width", "height")
+
+  /** Frame-sampling rows (oracle-checkable: pure generation). */
+  def qFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(Tables.documents(spark, dir))
+      .orderBy("doc_id", "frame_idx", "ts_sec")
+
+  /** Decoded feature summary — exercises the stub-codec mapPartitions path
+    * end-to-end but reduces to an oracle-checkable scalar: the feature sum
+    * equals the exact integer sum of payload byte values. */
+  def qDecodeChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(mediaTable(Tables.documents(spark, dir)), dim = 8)
+      .map(m => (m.doc_id, m.media_type, m.features.map(_.toDouble).sum.toLong))
+      .toDF("doc_id", "media_type", "byte_sum")
+      .orderBy("doc_id", "media_type", "byte_sum")
+  }
+}

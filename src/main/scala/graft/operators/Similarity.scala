@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - [[bruteForceTopK]] — exact baseline: broadcast the query set, scan
+  *     all candidates once, per-query top-k via window. O(N·Q), zero
+  *     shuffle of the candidate side; correct at any scale where Q is small.
+  *   - [[ivfTopK]] — the scale path: partition vectors into coarse cells
+  *     (IVF) by nearest centroid, search only the probed cell. Candidate
+  *     work drops from O(N·Q) to O((N/cells)·Q·probes). Centroids here are
+  *     a deterministic subset of the vectors (vec_id < numCentroids) so the
+  *     result is oracle-reproducible; swapping in k-means centroids changes
+  *     only the centroid DataFrame.
+  *
+  * All vector math is double-widened HOFs (VectorFunctions) — codegen'd,
+  * no UDFs, norms computed once per vector not once per pair.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` and
+    * `candidates` are (id, embedding) DataFrames; query side is broadcast. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = candidates.select(col("id").as("neighbor_id"), toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** Assign every vector to its nearest centroid (cos desc, centroid id
+    * asc as tie-break). Centroids are broadcast — the N-row side never
+    * shuffles. Returns (vec_id, v, nrm, centroid_id). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val c = centroids.select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val best = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
+    v.crossJoin(broadcast(c))
+      .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select("vec_id", "v", "nrm", "centroid_id")
+  }
+
+  /** IVF top-k: probe the query's own cell only (nprobe=1). Exact within
+    * the cell; approximate overall — the standard IVF recall trade. */
+  def ivfTopK(vectors: DataFrame, numCentroids: Int, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, vectors.filter(col("vec_id") < numCentroids))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("centroid_id"))
+    val cands = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
+        col("centroid_id"))
+    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    cands.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+  }
+
+  // ---- query-shaped entry points -----------------------------------------
+
+  /** IVF ANN: 8 centroids (vec_id < 8), queries vec_id in [10, 20), top-3
+    * within the probed cell. */
+  def qIvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir), numCentroids = 8,
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language identification, quality scoring, token counting, and document
+  * fingerprinting. Everything is built from codegen'd `functions._`
+  * (split/explode/regexp/md5/window) — no UDFs — so plans stay inside
+  * whole-stage codegen and scale linearly with the corpus: each operator
+  * is scan → narrow transforms → one hash-aggregate shuffle.
+  */
+object TextAnalysis {
+
+  /** (doc_id, token) rows, whitespace tokenization, empties dropped. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Character trigrams of text (positions 1..len-2, spaces included).
+    * Guarded: Spark's sequence(1, 0) is DESCENDING [1,0], not empty, so
+    * short texts need an explicit empty-array branch (DuckDB's
+    * generate_series(1,0) is empty — the oracle relies on that). */
+  private def charTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          """CASE WHEN length(text) >= 3
+            | THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
+            | ELSE array() END""".stripMargin)).as("tri"))
+
+  /** Self-supervised trigram-profile language ID.
+    *
+    * Pass 1 learns, per language, the top-20 character trigrams by
+    * frequency (ties broken by trigram text). Pass 2 scores each document
+    * by how many of its distinct trigrams hit each language profile and
+    * predicts the argmax (score desc, lang asc). Returns the confusion
+    * matrix (lang, predicted, n_docs).
+    *
+    * Scale shape: profiles are O(langs × 20) — broadcast; the per-doc
+    * scoring is a broadcast join + one aggregate, no all-pairs anything.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val tri = charTrigrams(docs)
+    val byLangFreq = Window.partitionBy(col("plang"))
+      .orderBy(desc("cnt"), asc("tri"))
+    val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byLangFreq))
+      .filter(col("rk") <= 20)
+      .select("plang", "tri")
+
+    val docTri = tri.select(col("doc_id"), col("lang"), col("tri")).distinct()
+    val scores = docTri.join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("plang"))
+    scores.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("plang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted", "n_docs")
+  }
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.4·length (saturates at 500 chars) + 0.3·stopword ratio +
+    * 0.3·lexical diversity (distinct/total tokens). All divisions are
+    * double ops on exact integer counts, so the score is reproducible.
+    */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = tokenized(docs)
+    val stats = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"),
+      countDistinct(col("token")).as("n_distinct"),
+      sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    // 0.4·min(n_chars/500,1) + 0.3·n_stop/n_tok + 0.3·n_distinct/n_tok,
+    // restructured so the ROUNDING happens in integer arithmetic:
+    // Spark's round() rounds the double's shortest decimal repr
+    // (BigDecimal.valueOf) while DuckDB rounds the binary value, so any
+    // engine-side round(double) diverges at half boundaries (e.g. raw
+    // 0.31574999… with shortest repr "0.31575"). Integer half-up rounding
+    // floor((20000·num + den)/(2·den)) is bit-identical everywhere.
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(stats, "doc_id")
+      .withColumn("num",
+        least(col("n_chars"), lit(500)) * 10 * col("n_tok")
+          + (col("n_stop") + col("n_distinct")) * 3750)
+      .withColumn("den", col("n_tok") * 12500)
+      .select(col("doc_id"),
+        (expr("(num * 20000 + den) div (den * 2)") / 10000.0).as("quality"))
+      .orderBy("doc_id", "quality")
+  }
+
+  /** Token counting three ways: whitespace tokens, alphabetic regex
+    * tokens (a BPE-ish pre-tokenization), and a chars/3.5 BPE estimate. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_ws"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha"),
+      ceil(col("n_chars") / 3.5).cast("long").as("n_bpe_est"))
+      .orderBy("doc_id", "n_ws", "n_alpha", "n_bpe_est")
+
+  /** Document fingerprint: the minimum md5 over the document's word
+    * 3-gram shingles (a winnowing-style representative hash — robust to
+    * reordering of surrounding content, unlike md5(text)). Documents too
+    * short for a shingle fall back to md5(text). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        Shingles.wordShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        coalesce(
+          array_min(transform(col("sh"), s => md5(s))),
+          md5(col("text"))).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
+  // query-shaped entry points (SparkEntry contract) --------------------
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    langIdConfusion(Tables.documents(spark, dir))
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir))
+  def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir))
+  def qFingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir))
+}
+
+/** Shared shingling helpers (used by TextAnalysis and Dedup). */
+object Shingles {
+  import org.apache.spark.sql.Column
+
+  /** Array of word k-gram shingles (space-joined); empty array when the
+    * text has fewer than k tokens. Built from sequence/transform HOFs so
+    * it stays codegen'd. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    // sequence(1, n) must only run for n >= 1: Spark's sequence(1, 0)
+    // yields a DESCENDING [1, 0], not an empty array.
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+}

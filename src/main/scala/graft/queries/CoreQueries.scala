@@ -136,15 +136,31 @@ object CoreQueries {
     * oracle bit-for-bit. */
   def q9TextStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // avg via integer half-up rounding (engine round(double) diverges on
+    // exact half boundaries of int/int ratios — see TextAnalysis).
     val stats = docs.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
-      round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+      sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"),
+        (expr("(sum_chars * 20000 + n_docs) div (n_docs * 2)") / 10000.0).as("avg_chars"))
     val vocab = tokens(docs).groupBy("lang")
       .agg(countDistinct(col("token")).as("n_tokens"))
     stats.join(vocab, "lang")
       .select(col("lang"), col("n_docs"), col("avg_chars"), col("n_tokens"))
       .orderBy("lang", "n_docs", "avg_chars", "n_tokens")
   }
+
+  /** Q11 — tumbling-window (hourly) event rollup: the batch twin of
+    * streaming.EventStream.hourlyCounts, so window-agg semantics are
+    * oracle-checked here and reused by the streaming path. Hour emitted
+    * as a formatted string for engine-independent comparison. */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type", "cnt", "sum_value")
 
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension operators (dedup / similarity / text / multimodal)
+  * exposed in the driver's queries/oracle contract, with the DuckDB oracle
+  * SQL generated here (signature/bit expansions are mechanical). */
+object ExtQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_events_hourly"     -> CoreQueries.qEventsHourly _,
+    "q12_events_sessions"   -> graft.streaming.EventStream.qSessions _,
+    "dedup_minhash_buckets" -> Dedup.qMinHashBuckets _,
+    "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
+    "dedup_simhash"         -> Dedup.qSimHash _,
+    "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
+    "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
+    "ann_ivf"               -> Similarity.qIvfAnn _,
+    "text_lang_id"          -> TextAnalysis.qLangId _,
+    "text_quality"          -> TextAnalysis.qQuality _,
+    "text_token_counts"     -> TextAnalysis.qTokenCounts _,
+    "text_fingerprint"      -> TextAnalysis.qFingerprints _,
+    "mm_media_meta"         -> Multimodal.qMediaMeta _,
+    "mm_frames"             -> Multimodal.qFrames _,
+    "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
+  )
+
+  /** Shared CTE: distinct word-3-gram shingles per doc (matches
+    * Shingles.wordShingles(k=3): docs with <3 tokens produce none). */
+  private def shingleCte(filter: String = ""): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |             FROM documents$filter),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |             FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  /** MinHash signatures + LSH buckets CTE (16 hashes, 4 bands of 4). */
+  private val minhashCte: String = {
+    val mins = (0 until 16).map(j => s"min(md5('$j:' || shingle)) AS s$j").mkString(", ")
+    s"""${shingleCte()},
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, band, CASE band
+       |    WHEN 0 THEN md5(s0 || s1 || s2 || s3)
+       |    WHEN 1 THEN md5(s4 || s5 || s6 || s7)
+       |    WHEN 2 THEN md5(s8 || s9 || s10 || s11)
+       |    ELSE md5(s12 || s13 || s14 || s15) END AS bucket
+       |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val hexVal = (1 to 4).map { p =>
+      val mult = math.pow(16, 4 - p).toInt
+      s"(instr('0123456789abcdef', substr(md5(token), $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val bitSums = (0 until 16)
+      .map(k => s"sum(((v // ${1 << (15 - k)}) % 2) * 2 - 1) AS b$k").mkString(", ")
+    val bitChars = (0 until 16)
+      .map(k => s"CASE WHEN b$k > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |tv AS (SELECT doc_id, $hexVal AS v FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM tv GROUP BY doc_id)
+       |SELECT doc_id, $bitChars AS simhash FROM bits ORDER BY doc_id, simhash""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q11_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |  count(*) AS cnt,
+        |  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type, cnt, sum_value""".stripMargin,
+
+    "q12_events_sessions" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |  FROM g)
+        |SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id, n_sessions, n_events""".stripMargin,
+
+    "dedup_minhash_buckets" ->
+      s"$minhashCte\nSELECT doc_id, band, bucket FROM buckets ORDER BY doc_id, band, bucket",
+
+    "dedup_minhash_pairs" ->
+      s"""$minhashCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM buckets a JOIN buckets b USING (band, bucket)
+         |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_ngram_jaccard" ->
+      s"""${shingleCte(" WHERE doc_id < 300")},
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+         |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ((n * 20000 + uni) // (uni * 2)) / 10000.0 AS jaccard
+         |FROM (SELECT doc_a, doc_b, n, sa.sz + sb.sz - n AS uni
+         |      FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+         |ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 1000 AND list_cosine_similarity(a.vec, b.vec) >= 0.3
+        |ORDER BY vec_a, vec_b, cos_sim""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |assign AS (SELECT x.vec_id, x.vec, c.vec_id AS centroid_id
+        |  FROM v x, v c WHERE c.vec_id < 8
+        |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
+        |    ORDER BY list_cosine_similarity(x.vec, c.vec) DESC, c.vec_id) = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM assign
+        |      WHERE vec_id >= 10 AND vec_id < 20)
+        |SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(a.vec, q.qv), 4) AS cos_sim
+        |FROM assign a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+        |QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |  ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 3
+        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH tri AS (SELECT doc_id, lang, substr(text, i, 3) AS tri
+        |  FROM (SELECT doc_id, lang, text, unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents WHERE length(text) >= 3)),
+        |prof AS (SELECT lang AS plang, tri FROM (
+        |    SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2) f
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) <= 20),
+        |dt AS (SELECT DISTINCT doc_id, lang, tri FROM tri),
+        |scores AS (SELECT doc_id, lang, plang, count(*) AS score
+        |  FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, plang FROM scores
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1)
+        |SELECT lang, plang AS predicted, count(*) AS n_docs FROM best
+        |GROUP BY 1, 2 ORDER BY lang, predicted, n_docs""".stripMargin,
+
+    "text_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+        |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok WHERE token <> '' GROUP BY doc_id)
+        |SELECT doc_id, ((num * 20000 + den) // (den * 2)) / 10000.0 AS quality
+        |FROM (SELECT d.doc_id,
+        |    least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750 AS num,
+        |    n_tok * 12500 AS den
+        |  FROM documents d JOIN st USING (doc_id))
+        |ORDER BY doc_id, quality""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+        |  CAST(ceil(n_chars / 3.5) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id, n_ws, n_alpha, n_bpe_est""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""${shingleCte()},
+         |fp AS (SELECT doc_id, min(md5(shingle)) AS f FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(fp.f, md5(d.text)) AS fingerprint
+         |FROM documents d LEFT JOIN fp USING (doc_id)
+         |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (n_chars % 64) * 8 AS INTEGER) AS width,
+        |  CAST(64 + (n_chars % 48) * 8 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id, media_type, n_bytes, width, height""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id, frame_idx, round(frame_idx / 2.0, 4) AS ts_sec
+        |FROM (SELECT doc_id, unnest(generate_series(0, n_chars // 100)) AS frame_idx
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx, ts_sec""".stripMargin,
+
+    "mm_decode_checksum" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
+        |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+  )
+}

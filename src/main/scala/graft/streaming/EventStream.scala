@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.Tables
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (every algorithm is a finite
+  * batch — `algorithm/algorithm.go:200-212` closes `completed` when done),
+  * so this module is pure extension: the unbounded twin of the batch
+  * event queries, built the Spark-native way — `readStream` → watermark →
+  * windowed agg / keyed state → `writeStream`. State is bounded by the
+  * watermark in both operators, which is what keeps them viable on an
+  * unbounded 100 TB/day stream.
+  */
+/** Keyed session state: codegen-visible top-level case class (a private
+  * nested class breaks generated-code accessor resolution). */
+final case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Hourly tumbling-window counts + sums with a 1-hour watermark —
+    * the streaming twin of CoreQueries.qEventsHourly (same aggregate
+    * semantics, verified there against the DuckDB oracle). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("cnt"),
+        (col("sum_cents") / 100.0).as("sum_value"))
+
+  /** Streaming sessionization: 30-min inactivity gap, keyed state per
+    * user, EventTimeTimeout closes sessions when the watermark passes
+    * the gap. Emits closed sessions (Append mode). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
+    implicit val outEnc: Encoder[UserSession] = Encoders.product[UserSession]
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+
+    def fn(userId: Long, evs: Iterator[Event], state: GroupState[SessionState]): Iterator[UserSession] = {
+      def toSession(s: SessionState) =
+        UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val times = evs.map(_.ts.getTime).toArray.sorted
+        var closed = List.empty[UserSession]
+        var cur = state.getOption
+        times.foreach { t =>
+          cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+            case Some(s) =>
+              closed ::= toSession(s)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn _)
+  }
+
+  /** Open a file-based event stream (one-file-at-a-time trigger testing). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Batch sessionization — identical session semantics expressed as
+    * window functions (lag → gap flag → running session id), the shape
+    * that scales: one shuffle on user_id, no state. Oracle-checkable. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+      .groupBy("user_id")
+      .agg(countDistinct(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Query-shaped entry: per-user session counts over the events table. */
+  def qSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir))
+      .orderBy("user_id", "n_sessions", "n_events")
+}

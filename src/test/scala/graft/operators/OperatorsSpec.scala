@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // synthetic docs: 0/1 near-identical (one word differs), 2 unrelated,
+  // 3 exact copy of 0
+  def docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 46L),
+    (1L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s1", 45L),
+    (2L, "one two three four five six seven eight nine ten", "en", "s2", 49L),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s3", 46L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val survivors = Dedup.exactSurvivors(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 1L, 2L)) // 3 deduped against 0
+  }
+
+  test("minhash LSH pairs: near-identical docs collide, unrelated don't") {
+    val pairs = Dedup.minHashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))     // identical → all bands match
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
+      "near-identical docs should share at least one LSH bucket")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("minhash signature is identical for identical text") {
+    val sigs = Dedup.minHashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getString).mkString).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("simhash: identical docs equal; near-identical close in hamming") {
+    val fp = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(3L))
+    val hamming01 = fp(0L).zip(fp(1L)).count { case (a, b) => a != b }
+    val hamming02 = fp(0L).zip(fp(2L)).count { case (a, b) => a != b }
+    assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
+  }
+
+  test("ngram jaccard: exact for planted pair") {
+    val j = Dedup.ngramJaccardPairs(docs, docLimit = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 0/3 identical → jaccard 1.0
+    assert(j((0L, 3L)) == 1.0)
+    // docs 0/1: 8 tokens each → 6 shingles each, 5 shared → 5/7 ≈ 0.7143
+    assert(j((0L, 1L)) == 0.7143)
+  }
+
+  def embs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f)),
+    (10L, Array(0.8f, 0.05f, 0.0f)),
+    (11L, Array(0.05f, 0.9f, 0.1f)))
+    .toDF("id", "embedding")
+
+  test("brute-force topk finds the geometric nearest neighbor") {
+    val res = Similarity.bruteForceTopK(
+      embs.filter($"id" === 10L).select($"id", $"embedding"),
+      embs.select($"id", $"embedding"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(res.head._1 == 0L || res.head._1 == 1L) // x-axis cluster
+    assert(res.forall(_._1 != 10L))
+  }
+
+  test("ivf assigns vectors to nearest centroid and searches its cell") {
+    val vecs = embs.withColumnRenamed("id", "vec_id")
+    val assigned = Similarity.ivfAssign(vecs, vecs.filter($"vec_id" < 2))
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(0L) == 0L && assigned(1L) == 1L)   // centroids → selves
+    assert(assigned(10L) == 1L || assigned(10L) == 0L) // x-cluster centroid
+    assert(Set(0L, 1L).contains(assigned(2L)))
+    val res = Similarity.ivfTopK(vecs, numCentroids = 2,
+      queryPred = $"vec_id" === 10L, k = 2).collect()
+    assert(res.nonEmpty && res.forall(_.getLong(1) != 10L))
+  }
+
+  test("quality score formula on a known doc") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 0: n_chars=46, n_tok=8, n_distinct=8, n_stop=0
+    // = (46*10*8 + 8*3750) / (8*12500) = 33680/100000 = 0.3368
+    assert(q(0L) == 0.3368)
+  }
+
+  test("token counts three ways") {
+    val t = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(t(0L)._1 == 8L)  // whitespace
+    assert(t(0L)._2 == 8L)  // [a-z]+ runs
+    assert(t(0L)._3 == math.ceil(46 / 3.5).toLong)
+  }
+
+  test("fingerprint: identical docs share it, short docs fall back to md5") {
+    val short = Seq((9L, "ab cd", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fp = TextAnalysis.fingerprints(docs.union(short)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(9L) == java.security.MessageDigest.getInstance("MD5")
+      .digest("ab cd".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("multimodal: stub decode checksum equals exact byte sum") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.decodeFeatures(media, dim = 8).collect()
+      .map(m => m.doc_id -> m.features.map(_.toDouble).sum.toLong).toMap
+    val expected = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).getBytes("UTF-8").map(_ & 0xff).sum.toLong).toMap
+    assert(feats == expected)
+    assert(Multimodal.decodeFeatures(media, dim = 8).head().features.length == 8)
+  }
+
+  test("multimodal: resize scales metadata, frame sample counts") {
+    val media = Multimodal.mediaTable(docs)
+    val orig = media.select("doc_id", "width").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resized = Multimodal.resize(media, 0.5).select("doc_id", "width")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(resized(0L) == orig(0L) / 2)
+    // video docs: doc_id % 3 == 2 → only doc 2; n_chars=49 → 1 frame
+    val frames = Multimodal.frameSample(docs).collect()
+    assert(frames.forall(_.getLong(0) % 3 == 2))
+    assert(frames.length == 1 && frames.head.getLong(1) == 0L)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.EventStream.{Event, UserSession}
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  def tsH(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("hourly windowed counts over a memory stream (watermark + window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, tsH(10, 5), 1, "click", 1.0),
+        Event(2, tsH(10, 55), 2, "click", 2.0),
+        Event(3, tsH(11, 5), 1, "buy", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00", "buy", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions after the gap via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: user 1, events at 10:00 and 10:10
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // event 2h later: watermark advances past 10:10 + 30min → closes s1
+      input.addData(Event(3, tsH(13, 0), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, tsH(16, 0), 2, "click", 1.0)) // push watermark again
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[UserSession].collect()
+      val s1 = sessions.find(s => s.user_id == 1L && s.n_events == 2L)
+      assert(s1.isDefined, s"expected closed 2-event session, got ${sessions.mkString(", ")}")
+      assert(s1.get.session_start == ts(0) && s1.get.session_end == ts(10))
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    import spark.implicits._
+    // user 1: events at 0, 10, 55 min (gap 45 > 30 → 2 sessions)
+    // user 2: events at 0, 20, 40 min (gaps 20 ≤ 30 → 1 session)
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0), Event(3, ts(55), 1, "a", 0),
+      Event(4, ts(0), 2, "a", 0), Event(5, ts(20), 2, "a", 0), Event(6, ts(40), 2, "a", 0))
+      .toDF()
+    val got = EventStream.sessionizeBatch(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (2L, 1L, 3L)))
+  }
+}
