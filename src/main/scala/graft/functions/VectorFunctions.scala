@@ -16,9 +16,12 @@ object VectorFunctions {
   /** Widen array<float> → array<double> for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential (array-order) dot product — deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential (array-order) dot product — deterministic summation order.
+    * Backed by the native codegen'd [[DotProduct]] expression (tight
+    * primitive loop, no intermediate array); numerically identical to the
+    * higher-order-function formulation
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))

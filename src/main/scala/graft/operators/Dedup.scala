@@ -42,15 +42,38 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** Portable MinHash signature: the j-th hash is `min(md5(j || ':' ||
-    * shingle))` over the document's distinct word-3-gram shingles — string
-    * min over lowercase hex, identical in any engine with md5. */
+  /** MinHash hash family: one md5 per shingle → 32-bit integer `v` (first
+    * 8 hex digits), then the j-th hash is the affine map
+    * `(a_j · v + b_j) mod P` with P the largest prime < 2^32. One digest +
+    * `numHashes` multiply-adds per shingle instead of `numHashes` digests —
+    * the standard construction (Broder '97 uses exactly such a universal
+    * family), and every step is portable integer arithmetic the DuckDB
+    * oracle reproduces bit-for-bit. */
+  private[operators] val MinHashP = 4294967291L // largest prime < 2^32
+  private[operators] def minHashA(j: Int): Long = 2L * j + 1
+  private[operators] def minHashB(j: Int): Long = 97L * j + 13
+
+  /** BIGINT value of the first 8 hex digits of md5(`c`). */
+  private def hexVal8(c: Column): Column = {
+    val h = md5(c)
+    (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      (instr(lit("0123456789abcdef"), substring(h, p, 1)) - 1) * mult
+    }.reduce(_ + _)
+  }
+
+  /** Portable MinHash signature (s0..s{n-1}: BIGINT) over the document's
+    * word-3-gram shingles. */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
+    // No distinct() before the groupBy: min() is duplicate-insensitive, so
+    // deduplicating shingles first would only add a second full shuffle.
+    // The groupBy itself does map-side partial min — the shuffle carries
+    // numHashes longs per doc per map partition, nothing per-shingle.
     val sh = docs
       .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), shingleK)).as("shingle"))
-      .distinct()
+      .withColumn("v", hexVal8(col("shingle")))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"s$j"))
+      min((col("v") * minHashA(j) + minHashB(j)) % MinHashP).as(s"s$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,8 +87,8 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, numHashes, shingleK)
     val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"s${b * rows + r}"))
-      struct(lit(b).as("band"), md5(concat(slice: _*)).as("bucket"))
+      val slice = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", slice: _*)).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -171,7 +194,7 @@ object Dedup {
     * IVF/LSH bucketing in [[Similarity]]. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.3,
       aLimit: Long = 1000L): DataFrame = {
-    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val v = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val a = v.filter(col("vec_id") < aLimit)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))

@@ -27,9 +27,9 @@ object Similarity {
   /** Exact top-k neighbors for each query vector. `queries` and
     * `candidates` are (id, embedding) DataFrames; query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), toDouble(col("embedding")).as("qv"))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val c = candidates.select(col("id").as("neighbor_id"), toDouble(col("embedding")).as("cv"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -43,9 +43,9 @@ object Similarity {
     * asc as tie-break). Centroids are broadcast — the N-row side never
     * shuffles. Returns (vec_id, v, nrm, centroid_id). */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val v = vectors.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val c = centroids.select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv"))
+    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val best = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
     v.crossJoin(broadcast(c))

@@ -44,6 +44,8 @@ object TextAnalysis {
     * scoring is a broadcast join + one aggregate, no all-pairs anything.
     */
   def langIdConfusion(docs: DataFrame): DataFrame = {
+    // Profile pass: aggregate the exploded trigrams on (lang, tri) —
+    // map-side partial counts make the shuffle O(langs × distinct tri).
     val tri = charTrigrams(docs)
     val byLangFreq = Window.partitionBy(col("plang"))
       .orderBy(desc("cnt"), asc("tri"))
@@ -53,8 +55,13 @@ object TextAnalysis {
       .filter(col("rk") <= 20)
       .select("plang", "tri")
 
-    val docTri = tri.select(col("doc_id"), col("lang"), col("tri")).distinct()
-    val scores = docTri.join(broadcast(profile), "tri")
+    // Scoring pass: broadcast-join the O(langs·20) profile BEFORE any
+    // dedup, so only profile-matched trigram occurrences reach a shuffle
+    // (a small fraction of the corpus); the per-doc distinct then runs on
+    // that reduced set. Never shuffle the full exploded corpus.
+    val scores = tri.join(broadcast(profile), "tri")
+      .select(col("doc_id"), col("lang"), col("plang"), col("tri"))
+      .distinct()
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("score"))
     val best = Window.partitionBy(col("doc_id"))

@@ -118,7 +118,7 @@ object CoreQueries {
     * baseline shape before the IVF/LSH variants (operators.Similarity). */
   def q8AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("query_id") < 10)

@@ -36,16 +36,28 @@ object ExtQueries {
        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
        |             FROM toks WHERE len(t) >= 3))""".stripMargin
 
-  /** MinHash signatures + LSH buckets CTE (16 hashes, 4 bands of 4). */
+  /** MinHash signatures + LSH buckets CTE (16 hashes, 4 bands of 4).
+    * Mirrors Dedup.minHashSignatures: v = first-8-hex-digits value of
+    * md5(shingle); hash_j = (a_j·v + b_j) mod P (a_j=2j+1, b_j=97j+13,
+    * P = largest prime < 2^32); band bucket = md5 of ':'-joined slice. */
   private val minhashCte: String = {
-    val mins = (0 until 16).map(j => s"min(md5('$j:' || shingle)) AS s$j").mkString(", ")
+    val hexVal = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val mins = (0 until 16).map(j =>
+      s"min((v * ${2 * j + 1} + ${97 * j + 13}) % 4294967291) AS s$j").mkString(", ")
+    def band(ss: Seq[Int]): String =
+      "md5(" + ss.map(i => s"s$i::VARCHAR").mkString(" || ':' || ") + ")"
     s"""${shingleCte()},
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |shv AS (SELECT doc_id, $hexVal AS v
+       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+       |sigs AS (SELECT doc_id, $mins FROM shv GROUP BY doc_id),
        |buckets AS (SELECT doc_id, band, CASE band
-       |    WHEN 0 THEN md5(s0 || s1 || s2 || s3)
-       |    WHEN 1 THEN md5(s4 || s5 || s6 || s7)
-       |    WHEN 2 THEN md5(s8 || s9 || s10 || s11)
-       |    ELSE md5(s12 || s13 || s14 || s15) END AS bucket
+       |    WHEN 0 THEN ${band(0 to 3)}
+       |    WHEN 1 THEN ${band(4 to 7)}
+       |    WHEN 2 THEN ${band(8 to 11)}
+       |    ELSE ${band(12 to 15)} END AS bucket
        |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
   }
 

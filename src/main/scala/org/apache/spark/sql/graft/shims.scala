@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * `Column` API. Spark 4 wraps columns in `ColumnNode`s and keeps the
+  * Expression⇄Column converters `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so this one-file shim
+  * lives in the `org.apache.spark.sql` namespace to reach them — the same
+  * technique widely used by open-source Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

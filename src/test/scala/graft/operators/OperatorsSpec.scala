@@ -35,7 +35,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("minhash signature is identical for identical text") {
     val sigs = Dedup.minHashSignatures(docs).collect()
-      .map(r => r.getLong(0) -> (1 to 16).map(r.getString).mkString).toMap
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).mkString(":")).toMap
     assert(sigs(0L) == sigs(3L))
     assert(sigs(0L) != sigs(2L))
   }
