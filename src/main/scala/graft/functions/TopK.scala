@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** A scored candidate (neighbor id + similarity). */
+final case class Scored(id: Long, score: Double)
+
+/** Bounded top-k typed [[Aggregator]]: keeps the k best candidates by
+  * `(score desc, id asc)` — a total order, so the result is independent
+  * of encounter/merge order.
+  *
+  * This is the scale-correct shape for per-group top-k: Spark runs it
+  * with map-side partial aggregation, so each task ships at most
+  * `groups × k` candidates into the shuffle instead of every candidate
+  * row (the `Window` + `row_number` formulation shuffles AND sorts the
+  * full candidate set per group). At 100 TB with Q queries the shuffle
+  * drops from O(N·Q) rows to O(tasks·Q·k).
+  *
+  * The buffer is a sorted Vector (k is small — 5..100); insertion into it
+  * is O(k) which beats heap constant factors at these sizes.
+  */
+final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  require(k > 0, "k must be positive")
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
+    if (buf.size >= k && better(buf.last, x)) buf
+    else {
+      val i = buf.indexWhere(b => better(x, b))
+      val ins = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+      if (ins.size > k) ins.take(k) else ins
+    }
+
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+    b2.foldLeft(b1)(reduce)
+
+  override def finish(r: Seq[Scored]): Seq[Scored] = r
+
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}

@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.functions.{Scored, TopKAggregator}
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -24,6 +24,28 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Per-query top-k over (query_id, neighbor_id, sim) rows via the
+    * bounded-heap [[TopKAggregator]]. Map-side partial aggregation means
+    * the shuffle carries at most tasks × queries × k candidates — the
+    * window/row_number alternative would shuffle and sort EVERY scored
+    * pair per query, which is the wrong shape at 100 TB. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) => top.map(s => (qid, s.id, s.score)) }
+      .toDF("query_id", "neighbor_id", "sim")
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` and
     * `candidates` are (id, embedding) DataFrames; query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -31,28 +53,31 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
     val c = candidates.select(col("id").as("neighbor_id"), col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
   }
 
   /** Assign every vector to its nearest centroid (cos desc, centroid id
     * asc as tie-break). Centroids are broadcast — the N-row side never
-    * shuffles. Returns (vec_id, v, nrm, centroid_id). */
+    * shuffles — and the argmin is a hash aggregate `max(struct(csim,
+    * -centroid_id))` with map-side partial aggregation: each task reduces
+    * its local N×C scored rows back to N before the (vec_id) shuffle.
+    * A window/row_number argmin would shuffle and sort all N×C rows.
+    * Returns (vec_id, v, nrm, centroid_id). */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val v = vectors.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val best = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
     v.crossJoin(broadcast(c))
       .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("rk", row_number().over(best))
-      .filter(col("rk") === 1)
-      .select("vec_id", "v", "nrm", "centroid_id")
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(struct(col("csim"), (-col("centroid_id")).as("negc"))).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negc")).cast("long").as("centroid_id"))
   }
 
   /** IVF top-k: probe the query's own cell only (nprobe=1). Exact within
@@ -66,13 +91,10 @@ object Similarity {
     val cands = assigned
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
         col("centroid_id"))
-    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    cands.join(broadcast(q), Seq("centroid_id"))
+    val scored = cands.join(broadcast(q), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+    topKPerQuery(scored, k)
   }
 
   // ---- query-shaped entry points -----------------------------------------

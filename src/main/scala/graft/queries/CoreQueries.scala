@@ -114,20 +114,12 @@ object CoreQueries {
 
   /** Q8 — brute-force cosine top-5 neighbors for each query vector
     * (vec_id < 10). The 10-row query side is broadcast so the candidate
-    * scan never shuffles — O(N) per query with no data movement, the right
-    * baseline shape before the IVF/LSH variants (operators.Similarity). */
+    * scan never shuffles, and per-query top-k runs through the bounded-
+    * heap aggregator (operators.Similarity.topKPerQuery) — shuffle volume
+    * is O(tasks·Q·k), not O(N·Q). */
   def q8AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .filter(col("query_id") < 10)
-    val byQuery = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosineWithNorms(dot(col("v"), col("qv")), col("nrm"), col("qn")))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.Similarity.bruteForceTopK(e.filter(col("id") < 10), e, k = 5)
       .orderBy("query_id", "neighbor_id", "cos_sim")
   }
 

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Reference semantics: full sort by (score desc, id asc), take k. */
+  def expected(xs: Seq[Scored], k: Int): Seq[Scored] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+
+  val genCase: Gen[(List[Scored], Int)] = for {
+    n <- Gen.choose(0, 120)
+    // small score domain → plenty of exact ties to exercise id tie-break
+    xs <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 50L)
+      score <- Gen.oneOf(0.1, 0.25, 0.5, 0.5, 0.9, 1.0)
+    } yield Scored(id, score))
+    k <- Gen.choose(1, 12)
+  } yield (xs, k)
+
+  test("aggregator equals sort-and-take under any fold/merge split") {
+    (1 to 20).foreach { seed =>
+      val (xs, k) = genCase(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen"))
+      val agg = new TopKAggregator(k)
+      // plain fold
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded) == expected(xs, k), s"seed=$seed fold")
+      // arbitrary split + merge (simulates map-side partials)
+      val splitAt = if (xs.isEmpty) 0 else seed % (xs.size + 1)
+      val (l, r) = xs.splitAt(splitAt)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected(xs, k), s"seed=$seed merge")
+    }
+  }
+
+  test("distributed top-k equals local reference on a Dataset") {
+    import spark.implicits._
+    implicit val enc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    val xs = (1 to 200).map(i => Scored(i.toLong, (i % 17) / 17.0))
+    val got = spark.createDataset(xs).repartition(7)
+      .groupByKey(_ => 0)(org.apache.spark.sql.Encoders.scalaInt)
+      .agg(new TopKAggregator(10).toColumn.name("top"))
+      .collect().head._2
+    assert(got == expected(xs, 10))
+  }
+}

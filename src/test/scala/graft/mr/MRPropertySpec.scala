@@ -1,0 +1,98 @@
+package graft.mr
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based MR invariants (SURVEY §5 "adopt for the Spark engine"):
+  *   - every input record contributes exactly one map output;
+  *   - engine results equal a naive in-memory evaluation of the same spec
+  *     (multiset-equal — result order is nondeterministic by contract);
+  *   - results are invariant under repartitioning (Spark task placement
+  *     must not affect the answer — the analog of the reference's
+  *     cancellation/reassignment invariance, `algorithm_test.go:236-307`);
+  *   - the algebraic (Aggregator) path equals the holistic path.
+  *
+  * Generators are driven with fixed seeds (the scalatestplus bridge is not
+  * on the classpath) so every run exercises the same 10 random cases.
+  */
+class MRPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val genKV: Gen[KV] = for {
+    k <- Gen.oneOf("a", "b", "c", "dd", "ee", "")
+    v <- Gen.oneOf("0", "1", "2", "33", "444", "x y", "")
+  } yield KV(k, v)
+  val genCase: Gen[(List[KV], Int, Int)] = for {
+    input <- Gen.nonEmptyListOf(genKV)
+    n <- Gen.choose(1, 5)
+    parts <- Gen.choose(1, 7)
+  } yield (input, n, parts)
+
+  def cases: Seq[(List[KV], Int, Int)] = (1 to 10).map { i =>
+    genCase(Gen.Parameters.default.withSize(60), Seed(i.toLong))
+      .getOrElse(sys.error("generator exhausted"))
+  }
+
+  /** The spec under test: pi from key+value length, reduce = sorted concat
+    * (holistic — depends on the whole group, catches lost/duplicated
+    * values that a count would miss). */
+  def spec(n: Int): MRSpec = MRSpec(
+    mapFn = kv => ((kv.key.length + kv.value.length).toLong, KV(kv.key, kv.value)),
+    reduceFn = (k, vs) => KV(k, vs.sorted.mkString("|")),
+    numPartitions = n)
+
+  /** Naive single-threaded evaluation of the same semantics. */
+  def naive(input: List[KV], s: MRSpec): Set[(Long, String, String)] =
+    input.map { kv =>
+      val (pi, out) = s.mapFn(kv)
+      (java.lang.Math.floorMod(pi, s.numPartitions.toLong), out.key, out.value)
+    }
+      .groupBy { case (pi, k, _) => (pi, k) }
+      .map { case ((pi, k), rows) =>
+        val out = s.reduceFn(k, rows.map(_._3))
+        (pi, out.key, out.value)
+      }.toSet
+
+  test("engine equals naive evaluation; one map output per record") {
+    import spark.implicits._
+    cases.foreach { case (input, n, _) =>
+      val ds = spark.createDataset(input)
+      val s = spec(n)
+      assert(MapReduce.mapPhase(ds, s).count() == input.size.toLong)
+      val got = MapReduce.run(ds, s)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(got == naive(input, s), s"n=$n input=$input")
+    }
+  }
+
+  test("results invariant under repartitioning") {
+    import spark.implicits._
+    cases.foreach { case (input, n, parts) =>
+      val s = spec(n)
+      val base = naive(input, s)
+      val repart = MapReduce.run(spark.createDataset(input).repartition(parts), s)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(repart == base, s"n=$n parts=$parts input=$input")
+    }
+  }
+
+  test("algebraic count path equals holistic count path") {
+    import spark.implicits._
+    cases.foreach { case (input, n, _) =>
+      val countSpec = MRSpec(
+        mapFn = spec(n).mapFn,
+        reduceFn = (k, vs) => KV(k, vs.length.toString),
+        numPartitions = n)
+      val ds = spark.createDataset(input)
+      val holistic = MapReduce.run(ds, countSpec)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      val algebraic = MapReduce.runAlgebraic(
+        ds, countSpec.mapFn, MapReduce.countAggregator, n)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(algebraic == holistic, s"n=$n input=$input")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.mr.{KV, MapReduce}
+
+class JsonIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def write(name: String, body: String): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val f = dir.resolve(name)
+    Files.writeString(f, body)
+    f.toString
+  }
+
+  val valid =
+    """{"map_input_length": 10,
+      | "map_code": "function(r) { return [r.value.length % 2, {key: r.value, value: ''}]; }",
+      | "reduce_code": "function(g) { return {key: g.key, value: '' + g.values.length}; }",
+      | "input": [{"key": "", "value": "spark"}, {"key": "", "value": "scan"},
+      |           {"key": "", "value": "spark"}]}""".stripMargin
+
+  test("valid request parses, derives partitions, and runs end-to-end") {
+    val req = JsonIngest.readAlgorithmRequest(spark, write("req.json", valid))
+    assert(req.mapInputLength == 10)
+    assert(req.numReducePartitions == MapReduce.defaultReducePartitions(3, 10))
+    assert(req.input.collect().toSet ==
+      Set(KV("", "spark"), KV("", "scan")) + KV("", "spark") || req.input.count() == 3)
+
+    val spec = JsonIngest.toSpec(req, MapReduce.demoSpec(req.numReducePartitions).mapFn,
+      MapReduce.demoSpec(req.numReducePartitions).reduceFn)
+    val results = MapReduce.results(req.input, spec)
+      .collect().map(kv => (kv.key, kv.value)).toSet
+    assert(results == Set(("spark", "2"), ("scan", "1")))
+  }
+
+  test("validation parity: missing fields and bad values rejected") {
+    val noLen = valid.replace("\"map_input_length\": 10,", "")
+    intercept[IllegalArgumentException](
+      JsonIngest.readAlgorithmRequest(spark, write("r1.json", noLen)))
+
+    val zeroLen = valid.replace("\"map_input_length\": 10", "\"map_input_length\": 0")
+    intercept[IllegalArgumentException](
+      JsonIngest.readAlgorithmRequest(spark, write("r2.json", zeroLen)))
+
+    val noInput = valid.replaceAll("(?s)\"input\":.*\\]\\}", "\"input\": []}")
+    intercept[IllegalArgumentException](
+      JsonIngest.readAlgorithmRequest(spark, write("r3.json", noInput)))
+  }
+
+  test("JSON-lines bulk KV ingest") {
+    val path = write("kv.jsonl",
+      """{"key": "a", "value": "1"}
+        |{"key": "b", "value": "2"}""".stripMargin)
+    val ds = JsonIngest.readKvLines(spark, path)
+    assert(ds.collect().toSet == Set(KV("a", "1"), KV("b", "2")))
+  }
+}
