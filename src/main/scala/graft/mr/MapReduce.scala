@@ -89,6 +89,15 @@ object MapReduce {
     }
   }
 
+  /** Physical partition routing (SURVEY §2 row SH1): place each record in
+    * the Spark partition hash-derived from its user-chosen index. Query
+    * results never need this — grouping on (pi, key) subsumes it — but it
+    * reproduces the reference's *physical* layout (`partitions[index]`,
+    * `algorithm/algorithm.go:292-315`) when a downstream consumer wants
+    * one task per user partition (e.g. partition-indexed sinks). */
+  def partitionByIndex(mapped: Dataset[PKV], numPartitions: Int): Dataset[PKV] =
+    mapped.repartition(numPartitions, org.apache.spark.sql.functions.col("pi"))
+
   /** Shuffle with the reference's per-partition grouping: the group key is
     * `(pi, key)`, NOT `key` alone — the same key in two partitions reduces
     * independently (`algorithm/algorithm.go:166-196`; SURVEY §2 row SH2).

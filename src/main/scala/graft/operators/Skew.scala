@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at scale.
+  *
+  * Context: map-side partial aggregation already absorbs skew for
+  * algebraic aggregates, and AQE splits skewed shuffle-join partitions at
+  * runtime. The two cases those built-ins do NOT cover:
+  *
+  *   - a hot group in a HOLISTIC aggregate (collect_list-shaped — the MR
+  *     engine's reduce input) concentrating in one task: [[saltedCollect]]
+  *     spreads the fetch/sort across `salts` tasks and re-merges;
+  *   - a shuffle join whose hot key must stay a shuffle join (both sides
+  *     too big to broadcast, AQE disabled or streaming): [[saltedJoin]]
+  *     replicates the small(er) side once per salt so the hot key's rows
+  *     spread over `salts` reducers.
+  *
+  * Salt assignment uses a deterministic function of a uniformly-increasing
+  * row id, not rand(): identical under task retry given the same partition
+  * layout, and uniform even when the hot key's rows are byte-identical
+  * (hashing row content would put them all in one salt bucket).
+  */
+object Skew {
+
+  private def saltCol(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
+  /** Two-phase collect_list: phase 1 collects per (keys, salt) — spreading
+    * a hot key over `salts` tasks — phase 2 flattens the per-salt chunks.
+    * Output: keys + `values` array column. Order within the array is not
+    * defined (neither is plain collect_list's). */
+  def saltedCollect(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", saltCol(salts))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(collect_list(col(valueCol)).as("__chunk"))
+      .groupBy(keyCols: _*)
+      .agg(flatten(collect_list(col("__chunk"))).as("values"))
+  }
+
+  /** Salted equi-join: `big` gets a salt in [0, salts); `small` is
+    * replicated once per salt value; the join key becomes keys + salt.
+    * Row-identical result to `big.join(small, keys)`, but a hot join key
+    * spreads over `salts` reduce tasks instead of one. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn("__salt", saltCol(salts))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}
