@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.DotProduct
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two injection paths, one function list:
+  *   - at session build time, the Spark-native way:
+  *     `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *     `spark.sql.extensions=graft.GraftExtensions`;
+  *   - on a live session: `GraftExtensions.register(spark)`.
+  *
+  * After either, `SELECT graft_dot(a.embedding, b.embedding)` runs the
+  * codegen'd [[DotProduct]] in plain SQL — the same expression the Column
+  * API uses, so DataFrame and SQL callers share one implementation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) for every graft SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB) takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Register every graft function on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      ColumnBridge.registerFunction(spark, ident, info, builder)
+    }
+}

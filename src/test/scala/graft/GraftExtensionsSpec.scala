@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("graft_dot resolves and computes in plain SQL after registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head.getDouble(0)
+    assert(got == 32.0)
+    // float arrays read natively too
+    val gotF = spark.sql(
+      "SELECT graft_dot(array(cast(1.5 as float)), array(cast(2.0 as float))) AS d")
+      .head.getDouble(0)
+    assert(gotF == 3.0)
+  }
+
+  test("builder-time extensions path wires the same function list") {
+    // exercise the SparkSessionExtensions injection without needing a
+    // fresh JVM: apply to a new extensions container and check it accepts
+    // every entry (inject throws on duplicates/invalid builders).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("graft_dot"))
+  }
+}
