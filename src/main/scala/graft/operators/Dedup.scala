@@ -53,14 +53,11 @@ object Dedup {
   private[operators] def minHashA(j: Int): Long = 2L * j + 1
   private[operators] def minHashB(j: Int): Long = 97L * j + 13
 
-  /** BIGINT value of the first 8 hex digits of md5(`c`). */
-  private def hexVal8(c: Column): Column = {
-    val h = md5(c)
-    (1 to 8).map { p =>
-      val mult = 1L << (4 * (8 - p))
-      (instr(lit("0123456789abcdef"), substring(h, p, 1)) - 1) * mult
-    }.reduce(_ + _)
-  }
+  /** BIGINT value of the first 8 hex digits of md5(`c`). `conv` parses the
+    * hex prefix in one call (~4× faster than per-digit instr arithmetic;
+    * the DuckDB oracle computes the identical value digit-wise). */
+  private def hexVal8(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Portable MinHash signature (s0..s{n-1}: BIGINT) over the document's
     * word-3-gram shingles. */
@@ -70,7 +67,8 @@ object Dedup {
     // The groupBy itself does map-side partial min — the shuffle carries
     // numHashes longs per doc per map partition, nothing per-shingle.
     val sh = docs
-      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), shingleK)).as("shingle"))
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
       .withColumn("v", hexVal8(col("shingle")))
     val aggs = (0 until numHashes).map(j =>
       min((col("v") * minHashA(j) + minHashB(j)) % MinHashP).as(s"s$j"))
@@ -122,13 +120,9 @@ object Dedup {
     * Expressed in portable integer arithmetic (no engine-specific hash). */
   def simHash(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokenized(docs).select("doc_id", "token").distinct()
-      .withColumn("h", md5(col("token")))
-      // v = integer value of the first 16 bits of md5(token)
-      .withColumn("v", expr(
-        """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-          | + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-          | + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-          | + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin))
+      // v = integer value of the first 16 bits of md5(token); conv parses
+      // the hex prefix in one call (oracle computes it digit-wise)
+      .withColumn("v", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
     val bitSums = (0 until 16).map { k =>
       val shift = 1 << (15 - k)
       sum(expr(s"(v div $shift) % 2") * 2 - 1).as(s"b$k")
@@ -169,7 +163,8 @@ object Dedup {
     * production shape runs this only on LSH candidates, never all docs). */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, docLimit: Long = 300L): DataFrame = {
     val sh = docs.filter(col("doc_id") < docLimit)
-      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), shingleK)).as("shingle"))
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))

@@ -22,15 +22,21 @@ object TextAnalysis {
       .filter(col("token") =!= "")
 
   /** Character trigrams of text (positions 1..len-2, spaces included).
-    * Guarded: Spark's sequence(1, 0) is DESCENDING [1,0], not empty, so
-    * short texts need an explicit empty-array branch (DuckDB's
-    * generate_series(1,0) is empty — the oracle relies on that). */
+    * The text is split into a materialized char array first; building
+    * trigrams with `substr(text, i, 3)` instead is O(position) per call
+    * on UTF8String (codepoint scan from the start), i.e. O(len²) per
+    * document — measured 3× slower at sf0.1. Guarded: Spark's
+    * sequence(1, 0) is DESCENDING [1,0], not empty, so short texts need
+    * an explicit empty-array branch (DuckDB's generate_series(1,0) is
+    * empty — the oracle relies on that). */
   private def charTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-        explode(expr(
-          """CASE WHEN length(text) >= 3
-            | THEN transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
-            | ELSE array() END""".stripMargin)).as("tri"))
+    docs.select(col("doc_id"), col("lang"), split(col("text"), "").as("ch"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(size(col("ch")) >= 3,
+          transform(sequence(lit(1), size(col("ch")) - 2),
+            i => concat(element_at(col("ch"), i),
+              element_at(col("ch"), i + 1), element_at(col("ch"), i + 2))))
+          .otherwise(typedLit(Seq.empty[String]))).as("tri"))
 
   /** Self-supervised trigram-profile language ID.
     *
@@ -117,8 +123,9 @@ object TextAnalysis {
     * reordering of surrounding content, unlike md5(text)). Documents too
     * short for a shingle fall back to md5(text). */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-        Shingles.wordShingles(col("text"), 3).as("sh"))
+    docs.select(col("doc_id"), col("text"), Shingles.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        Shingles.fromTokens(col("toks"), 3).as("sh"))
       .select(col("doc_id"),
         coalesce(
           array_min(transform(col("sh"), s => md5(s))),
@@ -137,21 +144,29 @@ object TextAnalysis {
     fingerprints(Tables.documents(spark, dir))
 }
 
-/** Shared shingling helpers (used by TextAnalysis and Dedup). */
+/** Shared shingling helpers (used by TextAnalysis and Dedup).
+  *
+  * Two-step by design: BIND the token array to a column first
+  * ([[tokens]]), then shingle from that column ([[fromTokens]]). A
+  * single-expression formulation would reference the `split(...)` subtree
+  * inside the per-element lambda, and Catalyst re-evaluates lambda-bound
+  * subtrees per element — O(tokens²) work per document (measured 40×
+  * slower at sf0.1). */
 object Shingles {
   import org.apache.spark.sql.Column
 
-  /** Array of word k-gram shingles (space-joined); empty array when the
-    * text has fewer than k tokens. Built from sequence/transform HOFs so
-    * it stays codegen'd. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = filter(split(text, " "), t => t =!= "")
-    // sequence(1, n) must only run for n >= 1: Spark's sequence(1, 0)
-    // yields a DESCENDING [1, 0], not an empty array.
+  /** Non-empty whitespace tokens of `text`. Materialize this as a column
+    * before calling [[fromTokens]] on it. */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** Array of word k-gram shingles (space-joined) from a MATERIALIZED
+    * token-array column; empty array when fewer than k tokens.
+    * sequence(1, n) must only run for n >= 1: Spark's sequence(1, 0)
+    * yields a DESCENDING [1, 0], not an empty array. */
+  def fromTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(typedLit(Seq.empty[String]))
-  }
 }
