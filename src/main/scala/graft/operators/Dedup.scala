@@ -156,6 +156,35 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** The composed production pipeline: LSH candidates verified by exact
+    * Jaccard over shingle sets, keeping pairs with similarity ≥
+    * `minJaccard`. This is the scale shape end-to-end — candidate
+    * generation is the banded bucket join (never all-pairs) and the exact
+    * verification join touches only candidate doc ids. */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val cands = minHashLshPairs(docs, numHashes, bands, shingleK, maxBucketSize)
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(candDocs, "doc_id")
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   // ---- exact n-gram Jaccard ---------------------------------------------
 
   /** Exact Jaccard similarity over distinct word-3-gram shingle sets, for
@@ -213,6 +242,10 @@ object Dedup {
   def qSimHash(spark: SparkSession, dir: String): DataFrame =
     simHash(Tables.documents(spark, dir))
       .orderBy("doc_id", "simhash")
+
+  def qNearDupVerified(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b", "jaccard")
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir))

@@ -70,11 +70,12 @@ object TextAnalysis {
       .distinct()
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("score"))
-    val best = Window.partitionBy(col("doc_id"))
-      .orderBy(desc("score"), asc("plang"))
-    scores.withColumn("rk", row_number().over(best))
-      .filter(col("rk") === 1)
-      .groupBy(col("lang"), col("plang").as("predicted"))
+    // argmax(score desc, plang asc) per doc as min(struct(-score, plang)):
+    // a hash aggregate with map-side partials — no per-doc window sort.
+    scores
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("plang"))).as("b"))
+      .groupBy(col("lang"), col("b.plang").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted", "n_docs")
   }

@@ -16,6 +16,7 @@ object ExtQueries {
     "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
     "dedup_simhash"         -> Dedup.qSimHash _,
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
+    "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
@@ -104,6 +105,27 @@ object ExtQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM buckets a JOIN buckets b USING (band, bucket)
          |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_neardup_verified" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |cd AS (SELECT doc_a AS doc_id FROM cand
+         |       UNION SELECT doc_b FROM cand),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c
+         |  JOIN csh a ON a.doc_id = c.doc_a
+         |  JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    n / (sa.sz + sb.sz - n) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
 

@@ -40,6 +40,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sigs(0L) != sigs(2L))
   }
 
+  test("nearDupPairs: LSH + exact-Jaccard verification end to end") {
+    val pairs = Dedup.nearDupPairs(docs, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 3L)).contains(1.0))  // identical pair survives at 1.0
+    // doc 2 shares no shingle with anything → never verified in
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // every reported pair really has jaccard >= threshold
+    assert(pairs.values.forall(_ >= 0.5))
+  }
+
   test("simhash: identical docs equal; near-identical close in hamming") {
     val fp = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
