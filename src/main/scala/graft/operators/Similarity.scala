@@ -97,7 +97,50 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Random-hyperplane (sign) LSH bucketing: bit j of a vector's bucket
+    * key is `sign(v · h_j)` for `numPlanes` fixed Gaussian hyperplanes
+    * (Charikar '02 SimHash for cosine). Deterministic via `seed`; the
+    * hyperplanes are plan literals, so the pass is a narrow projection —
+    * no shuffle, no driver data movement. */
+  def signLshBuckets(vectors: DataFrame, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.toSeq.map { p =>
+      when(dot(col("embedding"), typedLit(p.toSeq)) >= 0, "1").otherwise("0")
+    }
+    vectors.select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"))
+  }
+
+  /** Sign-LSH ANN: exact top-k within the query's own bucket. With B
+    * buckets the candidate work drops to ~O(N/B) per query; recall is
+    * tunable by numPlanes (fewer planes → bigger cells → higher recall).
+    * The bucket join is an equi-join on the bucket key — broadcastable
+    * when the query set is small, AQE-skew-splittable when a cell is hot. */
+  def lshAnn(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val b = signLshBuckets(vectors, numPlanes, dim, seed)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val q = b.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val cands = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val scored = cands.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+    topKPerQuery(scored, k)
+  }
+
   // ---- query-shaped entry points -----------------------------------------
+
+  /** Sign-LSH ANN entry: 8 hyperplanes, queries vec_id < 10, top-5 within
+    * the probed cell. No SQL oracle (the Gaussian hyperplanes are not
+    * reproducible in DuckDB SQL) — driver records the rows-only check;
+    * semantics are locked by OperatorsSpec instead. */
+  def qLshAnn(spark: SparkSession, dir: String): DataFrame =
+    lshAnn(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
 
   /** IVF ANN: 8 centroids (vec_id < 8), queries vec_id in [10, 20), top-3
     * within the probed cell. */

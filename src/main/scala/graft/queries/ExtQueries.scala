@@ -19,6 +19,7 @@ object ExtQueries {
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
+    "ann_lsh"               -> Similarity.qLshAnn _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,

@@ -87,6 +87,16 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn _)
   }
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped; state for ids older than the
+    * watermark is evicted, which is what bounds memory on an unbounded
+    * stream (plain dropDuplicates would grow state forever). The
+    * streaming twin of Dedup.exactSurvivors. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Open a file-based event stream (one-file-at-a-time trigger testing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema

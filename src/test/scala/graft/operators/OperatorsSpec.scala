@@ -86,6 +86,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.forall(_._1 != 10L))
   }
 
+  test("sign-LSH: same-direction vectors share a bucket; opposite don't") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(0.9f)),            // same direction as 0
+      (2L, Array.fill(64)(-1.0f)))           // antipodal → complement bucket
+      .toDF("vec_id", "embedding")
+    val b = Similarity.signLshBuckets(vecs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(2L) == b(0L).map(c => if (c == '1') '0' else '1'))
+    val res = Similarity.lshAnn(vecs, $"vec_id" === 0L, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(res.map(_._1).toSet == Set(1L))   // only the co-bucketed vector
+    assert(res.head._2 == 1.0)               // parallel → cosine 1
+  }
+
   test("ivf assigns vectors to nearest centroid and searches its cell") {
     val vecs = embs.withColumnRenamed("id", "vec_id")
     val assigned = Similarity.ivfAssign(vecs, vecs.filter($"vec_id" < 2))

@@ -59,6 +59,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0),   // duplicate id in same batch
+        Event(2, ts(2), 1, "buy", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 1, "buy", 2.0)) // duplicate id next batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     // user 1: events at 0, 10, 55 min (gap 45 > 30 → 2 sessions)
