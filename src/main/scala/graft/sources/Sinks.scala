@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+
+import graft.mr.KV
+
+/** Result sinks — the Spark-native form of the reference's result
+  * accumulation (reference `algorithm/algorithm.go:321-343` appends reduce
+  * outputs to a master-RAM slice read via `Results()`): results stay a
+  * distributed DataFrame and are written columnar, never collected to the
+  * driver.
+  *
+  * Scale knobs surfaced deliberately:
+  *   - `partitionBy` → directory-partitioned layout for pruned downstream
+  *     reads;
+  *   - `coalesceTo` → bound output file count after a wide shuffle (a
+  *     32k-task job should not write 32k tiny files — the small-files
+  *     problem dominates list/open cost on object stores at 100 TB);
+  *   - JSON-lines KV for interop with [[JsonIngest.readKvLines]] (the
+  *     reference's wire shape).
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil, coalesceTo: Option[Int] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val out = coalesceTo.map(df.coalesce).getOrElse(df)
+    val w = out.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Final MR results in the reference's flat KV JSON shape
+    * (`{"key": …, "value": …}` lines) — round-trips through
+    * [[JsonIngest.readKvLines]]. */
+  def writeKvLines(results: Dataset[KV], path: String,
+      coalesceTo: Option[Int] = None): Unit = {
+    val out = coalesceTo.map(results.coalesce).getOrElse(results)
+    out.write.mode(SaveMode.Overwrite).json(path)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.mr.{KV, MapReduce}
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("MR results round-trip through the KV JSON-lines sink/source") {
+    val dir = Files.createTempDirectory("graft-sink").resolve("out").toString
+    val results = MapReduce.results(
+      MapReduce.demoInput(spark, Seq("a", "bb", "a", "ccc")), MapReduce.demoSpec(2))
+    Sinks.writeKvLines(results, dir, coalesceTo = Some(1))
+    val back = JsonIngest.readKvLines(spark, dir).collect().toSet
+    assert(back == Set(KV("a", "2"), KV("bb", "1"), KV("ccc", "1")))
+  }
+
+  test("partitioned parquet sink prunes on read") {
+    val dir = Files.createTempDirectory("graft-sink").resolve("part").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Sinks.writeParquet(docs, dir, partitionCols = Seq("lang"), coalesceTo = Some(2))
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val one = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === langs.head)
+    // partition pruning: the scan must carry the partition filter
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(one.count() > 0)
+  }
+
+  test("SQL entry point: registered views answer spark.sql queries") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin).count()
+    assert(n > 0)
+  }
+}
