@@ -30,6 +30,9 @@ object SparkEntry {
     "q8_ann_brute"     -> CoreQueries.q8AnnBruteForce _,
     "q9_text_stats"    -> CoreQueries.q9TextStats _,
     "q10_mktsegment"   -> CoreQueries.q10Mktsegment _,
+    "q13_region_volume" -> CoreQueries.q13RegionVolume _,
+    "q14_part_brand"   -> CoreQueries.q14PartBrand _,
+    "q15_event_props"  -> CoreQueries.q15EventProps _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -101,5 +104,25 @@ object SparkEntry {
         |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment, n_orders, total_price""".stripMargin,
+    "q13_region_volume" ->
+      """SELECT r_name, count(*) AS n_items,
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0, 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name, n_items, revenue""".stripMargin,
+
+    "q14_part_brand" ->
+      """SELECT p_brand, n_parts, ((cents * 200 + n_parts) // (n_parts * 2)) / 10000.0 AS avg_price
+        |FROM (SELECT p_brand, count(*) AS n_parts,
+        |        sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS cents
+        |      FROM part GROUP BY p_brand)
+        |ORDER BY p_brand, n_parts, avg_price""".stripMargin,
+
+    "q15_event_props" ->
+      """SELECT event_type, CAST(props->>'k' AS BIGINT) % 10 AS bucket,
+        |  count(*) AS cnt, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket, cnt, sum_k""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

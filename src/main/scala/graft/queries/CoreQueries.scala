@@ -154,6 +154,44 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
       .orderBy("hour", "event_type", "cnt", "sum_value")
 
+  /** Q13 — revenue per region: the fact table joined through three
+    * dimension hops (supplier → nation → region), every hop broadcast —
+    * the lineitem side never shuffles until the 5-group aggregate. */
+  def q13RegionVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation").select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region").select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_items"), moneySum(col("rev")).as("revenue"))
+      .orderBy("r_name", "n_items", "revenue")
+
+  /** Q14 — part catalog rollup by brand: count, exact-integer average
+    * retail price (4-decimal half-up, same construction as Q9). */
+  def q14PartBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round(col("p_retailprice") * 100, 0).cast("long")).as("cents"))
+      .select(col("p_brand"), col("n_parts"),
+        (expr("(cents * 200 + n_parts) div (n_parts * 2)") / 10000.0).as("avg_price"))
+      .orderBy("p_brand", "n_parts", "avg_price")
+
+  /** Q15 — JSON property extraction over the events stream: parse the
+    * props JSON column, bucket the numeric field, aggregate. Exercises
+    * the scalar JSON function path (get_json_object → codegen'd). */
+  def q15EventProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type", "bucket", "cnt", "sum_k")
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =
