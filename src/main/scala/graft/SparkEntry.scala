@@ -33,6 +33,9 @@ object SparkEntry {
     "q13_region_volume" -> CoreQueries.q13RegionVolume _,
     "q14_part_brand"   -> CoreQueries.q14PartBrand _,
     "q15_event_props"  -> CoreQueries.q15EventProps _,
+    "q16_order_windows" -> CoreQueries.q16OrderWindows _,
+    "q17_pricing_rollup" -> CoreQueries.q17PricingRollup _,
+    "q18_customers_no_orders" -> CoreQueries.q18CustomersNoOrders _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -124,5 +127,27 @@ object SparkEntry {
       """SELECT event_type, CAST(props->>'k' AS BIGINT) % 10 AS bucket,
         |  count(*) AS cnt, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket, cnt, sum_k""".stripMargin,
+    "q16_order_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rk,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0 AS running_total
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey, rk, running_total""".stripMargin,
+
+    "q17_pricing_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus, cnt, sum_price""".stripMargin,
+
+    "q18_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment, n_customers""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -192,6 +192,50 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
       .orderBy("event_type", "bucket", "cnt", "sum_k")
 
+  /** Q16 — window analytics: per-customer order sequence with rank and
+    * running total (integer cents — the running sum's value depends on
+    * frame order, which the unique (date, orderkey) sort fixes; cents
+    * keep it engine-exact). One shuffle on the partition key. */
+  def q16OrderWindows(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("rk", row_number().over(byCust))
+      .withColumn("run_cents",
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).over(byCust))
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+        (col("run_cents") / 100.0).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey", "rk", "running_total")
+  }
+
+  /** Q17 — hierarchical aggregate: ROLLUP over (returnflag, linestatus)
+    * — subtotal and grand-total rows computed in one pass (Spark Expand
+    * + single shuffle, no per-level rescans). NULL indicators coalesced
+    * to 'ALL' for engine-independent comparison. */
+  def q17PricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_price"))
+      .orderBy("returnflag", "linestatus", "cnt", "sum_price")
+
+  /** Q18 — anti join: customers with no high-value order (>300k), per
+    * market segment. LEFT ANTI against the filtered order-key set — the
+    * order filter pushes to the scan, the anti join materializes nothing
+    * for matches. */
+  def q18CustomersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 300000.0).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment", "n_customers")
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =
