@@ -115,6 +115,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.nonEmpty && res.forall(_.getLong(1) != 10L))
   }
 
+  test("edge cases: short/empty docs flow through without errors") {
+    val edge = Seq(
+      (100L, "", "en", "s", 0L),            // empty text
+      (101L, "one", "en", "s", 3L),         // single token → no shingles
+      (102L, "a b", "en", "s", 3L))         // 2 tokens, 3 chars
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // minhash: docs without a full shingle are absent (contract: the
+    // oracle's shingle CTE drops them identically)
+    val sigs = Dedup.minHashSignatures(edge).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigs.isEmpty)
+    // fingerprints: every doc still gets one (md5(text) fallback)
+    assert(TextAnalysis.fingerprints(edge).count() == 3)
+    // token counts: empty text → 0 whitespace tokens, no crash
+    val t = TextAnalysis.tokenCounts(edge).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(100L) == 0L && t(101L) == 1L && t(102L) == 2L)
+    // simhash skips tokenless docs; present for the rest
+    val fp = Dedup.simHash(edge).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(fp == Set(101L, 102L))
+  }
+
   test("quality score formula on a known doc") {
     val q = TextAnalysis.qualityScore(docs).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
