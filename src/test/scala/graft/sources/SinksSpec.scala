@@ -31,6 +31,24 @@ class SinksSpec extends AnyFunSuite {
     assert(one.count() > 0)
   }
 
+  test("bucketed tables join with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(Tables.orders(spark, dir), "orders_b",
+      Seq("o_custkey"), numBuckets = 4, sortCols = Seq("o_custkey"))
+    Sinks.writeBucketed(Tables.customer(spark, dir), "customer_b",
+      Seq("c_custkey"), numBuckets = 4, sortCols = Seq("c_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SQL entry point: registered views answer spark.sql queries") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
