@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Connected components over near-duplicate pairs — the step that turns
+  * pairwise dedup output into DEDUP GROUPS (a chain a~b, b~c must collapse
+  * to one cluster even though (a,c) was never compared).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts as its
+  * own label; each round every node takes the min label in its closed
+  * neighborhood; converges in O(component diameter) rounds. Each round is
+  * one shuffle (groupBy node) over the edge list — no driver-side graph,
+  * edges never collect. The driver only checks the scalar "labels
+  * changed?" count, so iteration count — not data volume — is the only
+  * driver-side state. For web-scale graphs with huge diameters the
+  * standard refinement is the alternating large-star/small-star algorithm
+  * (Kiveris et al. '14), which this structure extends to directly; corpus
+  * dedup components are near-cliques with tiny diameters, so plain
+  * propagation converges in 2–3 rounds.
+  */
+object Clusters {
+
+  /** (node → cluster) labeling: cluster id is the minimum node id
+    * reachable through `pairs` (columns doc_a, doc_b). Nodes present only
+    * as singletons are absent (callers union them back — see
+    * [[dedupSurvivors]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list incl. self-loops so isolated-within-pairs nodes
+    // and the node's own label participate in every min
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    edges.count() // materialize once; reused every iteration
+
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min over (own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dlabel")).as("nlabel"))
+        .join(labels, "node")
+        .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Full dedup resolution: every doc labeled with its cluster (singletons
+    * are their own cluster) plus a `survivor` flag — the min doc_id per
+    * cluster is kept, the rest are the removable duplicates. */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val labeled = docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val survivors = labeled.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("survivor_id"))
+    labeled.join(survivors, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("survivor_id")).as("survivor"))
+  }
+
+  // ---- query-shaped entry point ------------------------------------------
+
+  /** Cluster the LSH near-dup candidate pairs and report cluster sizes —
+    * the end-to-end "how much of the corpus is duplicated" rollup. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minHashLshPairs(docs)
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_id", "cluster_size")
+  }
+}

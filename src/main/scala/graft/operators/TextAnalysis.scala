@@ -133,6 +133,17 @@ object TextAnalysis {
           md5(col("text"))).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
 
+  /** Deterministic hash-based train/test split: a doc's split is a pure
+    * function of its id (first 16 bits of md5 mod 100 vs the train
+    * percentage) — stable across runs, machines, and engines; no RNG
+    * state, no reshuffling when the corpus grows. For leakage-safe
+    * splits, pass a GROUP id (e.g. dedup cluster_id or source) so
+    * near-duplicates land on the same side. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id", trainPct: Int = 90): DataFrame =
+    docs.withColumn("split",
+      when(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < trainPct, "train").otherwise("test"))
+
   // query-shaped entry points (SparkEntry contract) --------------------
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -143,6 +154,10 @@ object TextAnalysis {
     tokenCounts(Tables.documents(spark, dir))
   def qFingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.documents(spark, dir))
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(spark, dir))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split", "n_docs")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -24,6 +24,8 @@ object ExtQueries {
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
     "text_fingerprint"      -> TextAnalysis.qFingerprints _,
+    "text_hash_split"       -> TextAnalysis.qHashSplit _,
+    "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -162,6 +164,32 @@ object ExtQueries {
         |QUALIFY row_number() OVER (PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 3
         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    "text_hash_split" ->
+      """SELECT lang, CASE WHEN (
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |  ) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split, n_docs""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""$minhashCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(node, reach) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach)
+         |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node)
+         |SELECT cluster_id, count(*) AS cluster_size FROM reach
+         |GROUP BY cluster_id ORDER BY cluster_id, cluster_size""".stripMargin,
 
     "text_lang_id" ->
       """WITH tri AS (SELECT doc_id, lang, substr(text, i, 3) AS tri

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connected components collapse transitive chains") {
+    // chain 0-1-2-3 (never compared 0~3), separate pair 10-11, and a
+    // triangle 20-21-22
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(cc(_) == 0L), s"chain must collapse: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert((20L to 22L).forall(cc(_) == 20L))
+  }
+
+  test("dedupSurvivors keeps min per cluster and singletons") {
+    val docs = (0L to 5L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Clusters.dedupSurvivors(docs, pairs)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(0L) == ((0L, true)) && r(1L) == ((0L, false)) && r(2L) == ((0L, false)))
+    // singletons survive as their own cluster
+    (3L to 5L).foreach(i => assert(r(i) == ((i, true))))
+  }
+
+  test("hashSplit is deterministic and group-stable") {
+    val docs = (0L until 200L).map(i => (i, "t", "en")).toDF("doc_id", "text", "lang")
+    val s1 = TextAnalysis.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val s2 = TextAnalysis.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(s1 == s2)                                   // pure function of id
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"got $trainFrac")
+  }
+}
