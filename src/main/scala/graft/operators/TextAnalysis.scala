@@ -133,6 +133,49 @@ object TextAnalysis {
           md5(col("text"))).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
 
+  /** Rabin–Karp rolling-hash fingerprint: the minimum polynomial hash
+    * over all `window`-char sliding windows of the text (winnowing-style
+    * representative — stable under content insertion outside the matched
+    * window, unlike a whole-document digest). Docs shorter than the
+    * window hash their full text.
+    *
+    * Implemented as a typed map with TRUE O(chars) rolling (each step
+    * adds one char and removes one) — the honest rolling-hash, which SQL
+    * HOFs can't express (they would recompute O(window) per position).
+    * A narrow CPU-bound pass: no shuffle, scales with executors. The
+    * DuckDB oracle reproduces it with the O(n·w) per-position sum —
+    * same arithmetic mod 1e9+7, same minimum. */
+  def rollingFingerprint(docs: DataFrame, window: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+    val B = 257L
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length
+        val w = math.min(window, n)
+        var h = 0L
+        var i = 0
+        while (i < w) { h = (h * B + text.charAt(i)) % P; i += 1 }
+        var minH = h
+        if (n > w) {
+          // B^(w-1) mod P for the outgoing char
+          var pow = 1L
+          var k = 0
+          while (k < w - 1) { pow = pow * B % P; k += 1 }
+          i = w
+          while (i < n) {
+            h = (h - text.charAt(i - w) * pow % P + P * P) % P
+            h = (h * B + text.charAt(i)) % P
+            if (h < minH) minH = h
+            i += 1
+          }
+        }
+        (id, minH)
+      }
+      .toDF("doc_id", "fingerprint")
+  }
+
   /** Deterministic hash-based train/test split: a doc's split is a pure
     * function of its id (first 16 bits of md5 mod 100 vs the train
     * percentage) — stable across runs, machines, and engines; no RNG
@@ -158,6 +201,9 @@ object TextAnalysis {
     hashSplit(Tables.documents(spark, dir))
       .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "split", "n_docs")
+  def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    rollingFingerprint(Tables.documents(spark, dir))
+      .orderBy("doc_id", "fingerprint")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

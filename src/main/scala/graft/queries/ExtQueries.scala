@@ -25,6 +25,7 @@ object ExtQueries {
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
     "text_fingerprint"      -> TextAnalysis.qFingerprints _,
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
+    "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
@@ -174,6 +175,30 @@ object ExtQueries {
         |  ) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split, n_docs""".stripMargin,
+
+    "text_rolling_fp" -> {
+      // 257^32 mod 1e9+7, precomputed for the prefix-difference formula
+      val pow32 = (1 to 32).foldLeft(1L)((a, _) => a * 257L % 1000000007L)
+      s"""WITH RECURSIVE pre(doc_id, pos, h) AS (
+         |  SELECT doc_id, 0, CAST(0 AS BIGINT) FROM documents
+         |  UNION ALL
+         |  SELECT p.doc_id, p.pos + 1,
+         |    (p.h * 257 + ord(substr(d.text, p.pos + 1, 1))) % 1000000007
+         |  FROM pre p JOIN documents d USING (doc_id)
+         |  WHERE p.pos < length(d.text))
+         |, win AS (
+         |  SELECT pe.doc_id,
+         |    (pe.h - ps.h * $pow32 % 1000000007
+         |     + CAST(1000000007 AS BIGINT) * 1000000007) % 1000000007 AS wh
+         |  FROM pre pe JOIN pre ps
+         |    ON ps.doc_id = pe.doc_id AND ps.pos = pe.pos - 32)
+         |SELECT doc_id, fingerprint FROM (
+         |  SELECT doc_id, min(wh) AS fingerprint FROM win GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT p.doc_id, p.h FROM pre p JOIN documents d USING (doc_id)
+         |  WHERE p.pos = length(d.text) AND length(d.text) < 32)
+         |ORDER BY doc_id, fingerprint""".stripMargin
+    },
 
     "dedup_clusters" ->
       s"""$minhashCte,

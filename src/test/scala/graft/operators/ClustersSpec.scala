@@ -31,6 +31,30 @@ class ClustersSpec extends AnyFunSuite {
     (3L to 5L).foreach(i => assert(r(i) == ((i, true))))
   }
 
+  test("rolling fingerprint equals a naive per-window reference") {
+    val P = 1000000007L; val B = 257L
+    def naive(text: String, w0: Int = 32): Long = {
+      val n = text.length; val w = math.min(w0, n)
+      if (n == 0) return 0L
+      (0 to n - w).map { i =>
+        text.slice(i, i + w).foldLeft(0L)((h, c) => (h * B + c) % P)
+      }.min
+    }
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (1L, "short"), (2L, ""), (3L, "exactly-thirty-two-characters!!!"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.rollingFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == naive(t), s"doc $id")
+    }
+    // shifting content BEFORE the minimal window keeps the fingerprint
+    val shifted = Seq((9L, "zzz " + texts.head._2)).toDF("doc_id", "text")
+    val g2 = TextAnalysis.rollingFingerprint(shifted).head.getLong(1)
+    assert(g2 <= got(0L)) // min over superset of windows can only decrease
+  }
+
   test("hashSplit is deterministic and group-stable") {
     val docs = (0L until 200L).map(i => (i, "t", "en")).toDF("doc_id", "text", "lang")
     val s1 = TextAnalysis.hashSplit(docs).collect()
