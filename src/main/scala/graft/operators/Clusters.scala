@@ -36,29 +36,41 @@ object Clusters {
       .persist()
     edges.count() // materialize once; reused every iteration
 
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    // seed with the closed-neighborhood minimum — identical to running
+    // one propagation round over identity labels, but it's a single
+    // aggregation with no label join: near-clique dedup components
+    // (the common case) then converge in one confirmation round
+    var cached = edges
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("node"), least(col("node"), col("mind")).as("label"))
       .persist()
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min over (own label, neighbors' labels)
-      val next = edges
+      // candidate label per node: min over (own label, neighbors' labels);
+      // the convergence flag rides in the same projection — one action,
+      // no extra join against the previous labels
+      val stepped = edges
         .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dlabel")).as("nlabel"))
         .join(labels, "node")
-        .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        .select(col("node"), least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("chg"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = stepped.filter(col("chg")).count()
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("node", "label")
       iter += 1
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+    // note: the final labels frame stays cached until the caller's action
+    // completes and the session GC releases it (unpersisting here would
+    // recompute the whole iteration chain lazily)
   }
 
   /** Full dedup resolution: every doc labeled with its cluster (singletons
