@@ -161,6 +161,36 @@ object MapReduce {
       def outputEncoder: Encoder[String] = Encoders.STRING
     }
 
+  /** Numeric-string sum aggregator (values parsed as Long; the
+    * reference's strings-only value model means numeric reduces parse in
+    * the UDF — `server/views.go:57-59` does the same in JS). */
+  val sumAggregator: Aggregator[String, Long, String] =
+    new Aggregator[String, Long, String] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: String): Long = b + a.toLong
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): String = r.toString
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+
+  /** Lexicographic min/max aggregators over the string values. */
+  val minAggregator: Aggregator[String, String, String] = minMax(isMin = true)
+  val maxAggregator: Aggregator[String, String, String] = minMax(isMin = false)
+
+  private def minMax(isMin: Boolean): Aggregator[String, String, String] =
+    new Aggregator[String, String, String] {
+      def zero: String = null
+      private def pick(a: String, b: String): String =
+        if (a == null) b else if (b == null) a
+        else if ((a.compareTo(b) < 0) == isMin) a else b
+      def reduce(b: String, a: String): String = pick(b, a)
+      def merge(b1: String, b2: String): String = pick(b1, b2)
+      def finish(r: String): String = r
+      def bufferEncoder: Encoder[String] = Encoders.STRING
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+
   /** The bundled demo algorithm (reference `server/views.go:53-61`):
     * map: word → partition `len(word) % 2`, pair `(word, "")`;
     * reduce: group → `(word, count-of-values-as-string)`. */

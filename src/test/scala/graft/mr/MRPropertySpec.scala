@@ -79,6 +79,28 @@ class MRPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("algebraic sum/min/max equal their holistic counterparts") {
+    import spark.implicits._
+    val numeric = cases.map { case (input, n, _) =>
+      (input.map(kv => KV(kv.key, kv.value.count(_.isDigit).toString)), n)
+    }
+    numeric.foreach { case (input, n) =>
+      val ds = spark.createDataset(input)
+      val mapFn = spec(n).mapFn
+      def holistic(f: Seq[String] => String) =
+        MapReduce.run(ds, MRSpec(mapFn, (k, vs) => KV(k, f(vs)), n))
+          .collect().map(r => (r.pi, r.key, r.value)).toSet
+      def rows(ds2: org.apache.spark.sql.Dataset[PKV]) =
+        ds2.collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(rows(MapReduce.runAlgebraic(ds, mapFn, MapReduce.sumAggregator, n)) ==
+        holistic(vs => vs.map(_.toLong).sum.toString))
+      assert(rows(MapReduce.runAlgebraic(ds, mapFn, MapReduce.minAggregator, n)) ==
+        holistic(_.min))
+      assert(rows(MapReduce.runAlgebraic(ds, mapFn, MapReduce.maxAggregator, n)) ==
+        holistic(_.max))
+    }
+  }
+
   test("algebraic count path equals holistic count path") {
     import spark.implicits._
     cases.foreach { case (input, n, _) =>
