@@ -109,4 +109,45 @@ class MapReduceSpec extends AnyFunSuite {
       .map { case (w, ws) => (w, ws.size.toString) }.toSet
     all.foreach(res => assert(res.map(kv => (kv.key, kv.value)).toSet == expected))
   }
+
+  test("engine cancel aborts a running algorithm (FT1 parity)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.Await
+    import spark.implicits._
+    val engine = new Engine(spark)
+    // a slow map keeps the job running long enough to cancel
+    val slow = MRSpec(
+      mapFn = kv => { Thread.sleep(50); (0L, kv) },
+      reduceFn = (k, vs) => KV(k, vs.length.toString),
+      numPartitions = 1)
+    val input = spark.createDataset((0 until 2000).map(i => KV(i.toString, "x")))
+      .repartition(4)
+    val fut = engine.submit("slow-algo", input, slow)
+    Thread.sleep(300)             // let tasks start
+    engine.cancel("slow-algo")
+    val failed = scala.util.Try(Await.result(fut, 60.seconds))
+    assert(failed.isFailure, "cancelled algorithm must not complete normally")
+    assert(!engine.runningAlgorithms.contains("slow-algo"))
+  }
+
+  test("lifecycle: JSON request → engine → results (reference §3 path)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.Await
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle")
+    val req =
+      """{"map_input_length": 2, "map_code": "m", "reduce_code": "r",
+        | "input": [{"key": "", "value": "aa"}, {"key": "", "value": "b"},
+        |           {"key": "", "value": "aa"}, {"key": "", "value": "ccc"}]}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("req.json"), req)
+    val parsed = graft.sources.JsonIngest.readAlgorithmRequest(spark, dir.resolve("req.json").toString)
+    val spec = graft.sources.JsonIngest.toSpec(parsed,
+      MapReduce.demoSpec(parsed.numReducePartitions).mapFn,
+      MapReduce.demoSpec(parsed.numReducePartitions).reduceFn)
+    val engine = new Engine(spark)
+    val results = Await.result(engine.submit("lifecycle", parsed.input, spec), 60.seconds)
+    assert(results.map(kv => (kv.key, kv.value)).toSet ==
+      Set(("aa", "2"), ("b", "1"), ("ccc", "1")))
+  }
 }

@@ -59,6 +59,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("simhash pairs: identical docs at hamming 0, unrelated filtered") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 3L)).contains(0))   // identical → distance 0
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc must not pass the hamming filter: $pairs")
+  }
+
   test("ngram jaccard: exact for planted pair") {
     val j = Dedup.ngramJaccardPairs(docs, docLimit = 10L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
