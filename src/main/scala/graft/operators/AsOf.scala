@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Point-in-time (as-of) join: for every left row, attach the latest
+  * right row with the same key and `rightTime <= leftTime` — the
+  * feature-backfill join a training pipeline needs for leakage-free
+  * labels ("the customer's most recent order AT event time").
+  *
+  * Built by composition (the preferred path — no custom plan node): tag
+  * and union both sides, then one window pass per key ordered by
+  * (time, tag) takes the running `last` right payload with
+  * `ignoreNulls` — each left row sees exactly the latest earlier-or-equal
+  * right payload. One shuffle on the key, one ordered pass; no per-row
+  * range probing, no broadcast requirement on either side. Ties on
+  * (key, time): right rows sort before left (inclusive semantics), and
+  * among tied right rows the maximum payload struct wins —
+  * deterministic.
+  */
+object AsOf {
+
+  /** Left rows + `asof` struct column of `payloadCols` from the matched
+    * right row (null when no right row precedes the left row). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String], asofCol: String = "asof"): DataFrame = {
+    require(payloadCols.nonEmpty)
+    val payload = struct(payloadCols.map(col): _*)
+    val pType = right.select(payload.as("p")).schema("p").dataType
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+      lStruct.as("__l"), lit(null).cast(pType).as("__p"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      lit(null).cast(lType).as("__l"), payload.as("__p"))
+
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((left.columns.map(c => col(s"__l.$c")) :+ col("__m").as(asofCol)).toSeq: _*)
+  }
+
+  // ---- query-shaped entry point ------------------------------------------
+
+  /** Events as-of-joined to the user's most recent order at event time;
+    * rollup per (event_type, matched order year). Tied same-date orders
+    * share the year, so the result is tie-independent and matches
+    * DuckDB's native ASOF JOIN. */
+  def qEventOrderAsof(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(
+      Tables.events(spark, dir), Tables.orders(spark, dir),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_orderdate"))
+      .groupBy(col("event_type"),
+        year(col("asof.o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "order_year", "cnt")
+}

@@ -12,6 +12,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_events_hourly"     -> CoreQueries.qEventsHourly _,
     "q12_events_sessions"   -> graft.streaming.EventStream.qSessions _,
+    "q19_event_order_asof"  -> graft.operators.AsOf.qEventOrderAsof _,
     "dedup_minhash_buckets" -> Dedup.qMinHashBuckets _,
     "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
     "dedup_simhash"         -> Dedup.qSimHash _,
@@ -100,6 +101,12 @@ object ExtQueries {
         |  FROM g)
         |SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id, n_sessions, n_events""".stripMargin,
+
+    "q19_event_order_asof" ->
+      """SELECT e.event_type, year(o.o_orderdate) AS order_year, count(*) AS cnt
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |GROUP BY 1, 2 ORDER BY event_type, order_year, cnt""".stripMargin,
 
     "dedup_minhash_buckets" ->
       s"$minhashCte\nSELECT doc_id, band, bucket FROM buckets ORDER BY doc_id, band, bucket",

@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("as-of join attaches the latest earlier-or-equal right row") {
+    val left = Seq(
+      (1L, ts(10), "e1"),   // after r@5 → matches v5
+      (1L, ts(20), "e2"),   // after r@5, r@20 (equal!) → inclusive → v20
+      (1L, ts(2), "e3"),    // before any right row → null
+      (2L, ts(30), "e4"))   // other key, no right rows → null
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts(5), "v5"),
+      (1L, ts(20), "v20"),
+      (1L, ts(25), "v25"))  // later than every left row → never matched
+      .toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getString(2) ->
+        Option(r.getStruct(3)).map(_.getString(0))).toMap
+    assert(got == Map(
+      "e1" -> Some("v5"), "e2" -> Some("v20"), "e3" -> None, "e4" -> None))
+  }
+
+  test("tied right rows resolve to the max payload deterministically") {
+    val left = Seq((1L, ts(10), "e")).toDF("k", "t", "name")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(5), "b")).toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("v"))
+      .head.getStruct(3).getString(0)
+    assert(got == "b")
+  }
+}
