@@ -28,30 +28,47 @@ object Clusters {
     * as singletons are absent (callers union them back — see
     * [[dedupSurvivors]]). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list incl. self-loops so isolated-within-pairs nodes
-    // and the node's own label participate in every min
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Materialize the input pair list BEFORE the symmetric union: the
+    // union references `pairs` twice, and when pairs is an expensive
+    // derived frame (the LSH→Jaccard pipeline) an unpersisted plan would
+    // compute that whole pipeline once per branch.
+    // Materialize the pair list once with TRUNCATED lineage
+    // (localCheckpoint, eager): pairs is typically the whole LSH→Jaccard
+    // pipeline, and iterating over it with persist() would (a) recompute
+    // it once per union branch and (b) register giant plans in the SQL
+    // cache registry, whose subtree-matching cost then taxes every later
+    // query in the session. Checkpointed frames are leaf scans.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edgeCount = p.count() * 2
+    // Size the iteration partitioning from the MEASURED edge count
+    // (~1M edges per task): the dedup graph is orders of magnitude
+    // smaller than the corpus, and iterating a few hundred edges across
+    // the session's full shuffle width costs more in task launches than
+    // in compute — while a genuinely huge graph still spreads out.
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edgeCount / 1000000L).toInt + 1))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist()
-    edges.count() // materialize once; reused every iteration
+      .repartition(parts, col("dst"))
+      .localCheckpoint()
 
     // seed with the closed-neighborhood minimum — identical to running
     // one propagation round over identity labels, but it's a single
     // aggregation with no label join: near-clique dedup components
     // (the common case) then converge in one confirmation round
-    var cached = edges
+    var labels = edges
       .groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mind"))
       .select(col("node"), least(col("node"), col("mind")).as("label"))
-      .persist()
-    var labels = cached
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // candidate label per node: min over (own label, neighbors' labels);
-      // the convergence flag rides in the same projection — one action,
-      // no extra join against the previous labels
+      // the convergence flag rides in the same projection, and each round
+      // is checkpointed so plan size stays constant across iterations
       val stepped = edges
         .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("node"))
@@ -59,18 +76,12 @@ object Clusters {
         .join(labels, "node")
         .select(col("node"), least(col("label"), col("nlabel")).as("label"),
           (col("nlabel") < col("label")).as("chg"))
-        .persist()
+        .localCheckpoint()
       changed = stepped.filter(col("chg")).count()
-      cached.unpersist()
-      cached = stepped
       labels = stepped.select("node", "label")
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
-    // note: the final labels frame stays cached until the caller's action
-    // completes and the session GC releases it (unpersisting here would
-    // recompute the whole iteration chain lazily)
   }
 
   /** Full dedup resolution: every doc labeled with its cluster (singletons

@@ -164,13 +164,21 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    // The candidate pair list and the candidate-doc shingle set each feed
+    // three consumers below (symmetric unions / both join sides). Both
+    // are small relative to the corpus — candidates only — so materialize
+    // them once with truncated lineage (localCheckpoint) instead of
+    // recomputing the LSH pipeline per consumer branch; at cluster scale
+    // the same boundary would be a parquet checkpoint.
     val cands = minHashLshPairs(docs, numHashes, bands, shingleK, maxBucketSize)
+      .localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(candDocs, "doc_id")
       .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

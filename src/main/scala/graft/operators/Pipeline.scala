@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * library's operators — the workload this engine exists for:
+  *
+  *   1. quality gate     — heuristic score filter (TextAnalysis);
+  *   2. exact dedup      — content-digest survivors (Dedup);
+  *   3. near-dup dedup   — MinHash LSH candidates → exact-Jaccard verify
+  *                         → connected components → cluster survivors
+  *                         (Dedup + Clusters);
+  *   4. train/test split — deterministic id-hash split, applied at the
+  *                         CLUSTER level via the survivor id so near-dups
+  *                         can never straddle the split (TextAnalysis).
+  *
+  * Every stage is a DataFrame → DataFrame transform: no driver
+  * materialization anywhere, each arrow is at most one shuffle beyond
+  * its operator's documented cost, and the whole thing inherits AQE
+  * skew handling. At 100 TB the stages checkpoint naturally to parquet
+  * between phases (Sinks.writeParquet) — locally it runs fused.
+  */
+object Pipeline {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      minJaccard: Double = 0.7,
+      trainPct: Int = 90)
+
+  /** docs → (doc_id, lang, source, quality, split) for the retained,
+    * deduplicated corpus. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1. quality gate
+    val scored = TextAnalysis.qualityScore(docs)
+    val kept = docs.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
+
+    // 2. exact dedup — checkpointed: this frame feeds three consumers
+    // (candidate generation, cluster resolution, the final join); without
+    // a stage boundary every consumer would recompute the scan + quality
+    // join + digest window. This is the local analog of the parquet
+    // checkpoint between phases at 100 TB.
+    val exact = Dedup.exactSurvivors(kept).localCheckpoint()
+
+    // 3. near-dup: LSH candidates, Jaccard-verified pairs, clusters
+    val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard)
+    val resolved = Clusters.dedupSurvivors(exact, pairs)
+
+    // 4. cluster-stable split: hash the CLUSTER id, not the doc id, so
+    // every member of a near-dup cluster lands on the same side (no
+    // train/test leakage through paraphrases)
+    val split = TextAnalysis.hashSplit(
+      resolved.filter(col("survivor")), idCol = "cluster_id", trainPct = cfg.trainPct)
+
+    exact.join(split.select("doc_id", "split"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"), col("split"))
+  }
+
+  // ---- query-shaped entry point ------------------------------------------
+
+  /** Curation funnel rollup: retained docs per (lang, split) — the
+    * shape a pipeline report would show. Rows-only check (the composed
+    * oracle SQL would restate four operators; each stage is already
+    * oracle-checked individually). */
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(spark, dir))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("lang", "split", "n_docs", "avg_quality")
+}

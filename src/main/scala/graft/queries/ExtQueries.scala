@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 /** North-star extension operators (dedup / similarity / text / multimodal)
   * exposed in the driver's queries/oracle contract, with the DuckDB oracle
@@ -28,6 +28,7 @@ object ExtQueries {
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
+    "pipeline_curate"       -> Pipeline.qCurate _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("curate: quality-gates, dedups (exact + near), splits cluster-stable") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base, "en", "s1", base.length.toLong),                      // keeper
+      (1L, base, "en", "s1", base.length.toLong),                      // exact dup of 0
+      (2L, base.replace("kappa", "lambda"), "en", "s2",                // near dup of 0
+        base.length.toLong),
+      (3L, "one two three four five six seven eight nine ten", "en", "s2", 49L), // distinct keeper
+      (4L, "x y", "en", "s3", 3L))                                     // low quality-ish short doc
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val out = Pipeline.curate(docs, Pipeline.Config(minQuality = 0.2, minJaccard = 0.5))
+    val rows = out.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+
+    assert(!rows.contains(1L), "exact duplicate must be removed")
+    assert(!rows.contains(2L), "near-dup cluster member must be removed (survivor 0 kept)")
+    assert(rows.contains(0L) && rows.contains(3L))
+    assert(rows.values.toSet.subsetOf(Set("train", "test")))
+  }
+}
