@@ -50,9 +50,12 @@ object TextAnalysis {
     * scoring is a broadcast join + one aggregate, no all-pairs anything.
     */
   def langIdConfusion(docs: DataFrame): DataFrame = {
-    // Profile pass: aggregate the exploded trigrams on (lang, tri) —
-    // map-side partial counts make the shuffle O(langs × distinct tri).
-    val tri = charTrigrams(docs)
+    // The exploded trigram frame feeds BOTH passes (profile learning and
+    // per-doc scoring) — materialize it once with truncated lineage so
+    // the corpus explode runs a single time. Profile pass then aggregates
+    // on (lang, tri) with map-side partial counts — shuffle is
+    // O(langs × distinct tri).
+    val tri = charTrigrams(docs).localCheckpoint()
     val byLangFreq = Window.partitionBy(col("plang"))
       .orderBy(desc("cnt"), asc("tri"))
     val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
