@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed sketches built from PORTABLE primitives (md5 + integer
+  * arithmetic) so estimates are bit-reproducible across engines — unlike
+  * `approx_count_distinct` (HLL++), whose register layout no other
+  * engine replicates, these verify against the DuckDB oracle exactly.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al. '02): hash every element to
+  * a uniform value in [0,1); with h_k the k-th smallest DISTINCT hash in
+  * a group, `(k-1)/h_k` estimates the distinct count (±1/√k relative
+  * error; k=256 → ~6%). The per-group state is k doubles — constant
+  * memory regardless of cardinality — and merging groups is a k-way min
+  * merge, so the sketch scales to any corpus.
+  */
+object Sketches {
+
+  /** Uniform [0,1) hash of a column: first 12 hex digits of md5 (48
+    * bits — far below the 2^52 regime where collisions in the double
+    * mantissa would bias the minimum) over 16^12. */
+  def uniformHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12 = 2^48
+
+  /** Per-group KMV distinct estimate of `valueCol`, rounded to 4
+    * decimals. Exact-k semantics: groups with fewer than k distinct
+    * values fall back to the exact distinct count (the standard KMV
+    * completion). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2)
+    val g = groupCols.map(col)
+    val hashed = df.select((g :+ uniformHash(col(valueCol)).as("h")): _*).distinct()
+    val byH = Window.partitionBy(g: _*).orderBy(col("h"))
+    hashed
+      .withColumn("rk", row_number().over(byH))
+      .filter(col("rk") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select((g :+
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit(k - 1) / col("hk"), 4)).as("est_distinct")): _*)
+  }
+}

@@ -207,6 +207,12 @@ object TextAnalysis {
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprint(Tables.documents(spark, dir))
       .orderBy("doc_id", "fingerprint")
+  /** KMV-sketch vocabulary estimate per language (portable approximate
+    * distinct — see functions.Sketches). */
+  def qVocabSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.kmvDistinct(
+      tokenized(Tables.documents(spark, dir)), Seq("lang"), "token", k = 256)
+      .orderBy("lang", "est_distinct")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -27,6 +27,7 @@ object ExtQueries {
     "text_fingerprint"      -> TextAnalysis.qFingerprints _,
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
+    "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
@@ -183,6 +184,24 @@ object ExtQueries {
         |  ) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split, n_docs""".stripMargin,
+
+    "text_vocab_sketch" -> {
+      val hexVal12 = (1 to 12).map { p =>
+        val mult = 1L << (4 * (12 - p))
+        s"(instr('0123456789abcdef', substr(hh, $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT lang, token
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> ''),
+         |h AS (SELECT DISTINCT lang, ($hexVal12) / 281474976710656.0 AS h
+         |      FROM (SELECT lang, substr(md5(token), 1, 12) AS hh FROM tok)),
+         |kept AS (SELECT lang, h FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= 256),
+         |agg AS (SELECT lang, count(*) AS n_kept, max(h) AS hk FROM kept GROUP BY lang)
+         |SELECT lang, CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+         |  ELSE round(255 / hk, 4) END AS est_distinct
+         |FROM agg ORDER BY lang, est_distinct""".stripMargin
+    },
 
     "text_rolling_fp" -> {
       // 257^32 mod 1e9+7, precomputed for the prefix-difference formula

@@ -40,6 +40,20 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch estimates distinct counts within its error bound") {
+    import spark.implicits._
+    // 5000 distinct values in one group, 100 in another (exact branch)
+    val df = ((1 to 5000).map(i => ("big", s"v$i")) ++
+      (1 to 100).map(i => ("small", s"w$i")) ++
+      (1 to 100).map(i => ("big", s"v$i")))   // duplicates must not matter
+      .toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 100.0)             // below k → exact
+    assert(math.abs(est("big") - 5000) / 5000.0 < 0.2,
+      s"estimate ${est("big")} too far from 5000")
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =
