@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audit — the "would this survive a 100× scale-up"
+  * checklist as a library call. Inspects the executed plan and reports
+  * the properties that dominate cost on a big cluster: how many
+  * exchanges (shuffles) the query pays, whether joins broadcast or
+  * sort-merge, whether scans prune columns and push filters, and how
+  * much of the plan runs inside whole-stage codegen.
+  *
+  * Used by PlanSpec to lock plan shapes in CI; exposed publicly so
+  * pipeline authors can assert shapes in their own tests
+  * (`PlanAudit.audit(df).shuffles <= 2`, etc.).
+  */
+final case class PlanReport(
+    shuffles: Int,
+    broadcastJoins: Int,
+    sortMergeJoins: Int,
+    nestedLoopJoins: Int,
+    codegenSpans: Int,
+    scans: Seq[ScanInfo],
+    planString: String) {
+  def scanColumns: Seq[String] = scans.flatMap(_.readColumns)
+  def hasFullScans(allColumns: Int): Boolean =
+    scans.exists(_.readColumns.size >= allColumns)
+}
+
+final case class ScanInfo(readColumns: Seq[String], pushedFilters: Seq[String])
+
+object PlanAudit {
+
+  def audit(df: DataFrame): PlanReport = {
+    val plan = unwrap(df.queryExecution.executedPlan)
+    val s = plan.toString
+    PlanReport(
+      // shuffle exchanges only — BroadcastExchange contains the same
+      // substring but moves no partitioned data
+      shuffles = count(s, "Exchange ") - count(s, "BroadcastExchange "),
+      broadcastJoins = count(s, "BroadcastHashJoin"),
+      sortMergeJoins = count(s, "SortMergeJoin"),
+      nestedLoopJoins = count(s, "NestedLoopJoin"),
+      codegenSpans = count(s, "WholeStageCodegen") + count(s, """\*\(\d+\)"""),
+      scans = scanInfos(s),
+      planString = s)
+  }
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def count(s: String, pattern: String): Int =
+    pattern.r.findAllIn(s).length
+
+  private def scanInfos(s: String): Seq[ScanInfo] = {
+    val read = "ReadSchema: struct<([^>]*)>".r
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+    val cols = read.findAllMatchIn(s).map(_.group(1)
+      .split(",").map(_.split(":").head.trim).filter(_.nonEmpty).toSeq).toSeq
+    val filters = pushed.findAllMatchIn(s).map(_.group(1)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq).toSeq
+    cols.zipAll(filters, Seq.empty[String], Seq.empty[String])
+      .map { case (c, f) => ScanInfo(c, f) }
+  }
+}

@@ -1,67 +1,76 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.plans.PlanAudit
 import graft.queries.CoreQueries
 import graft.sources.Tables
 
 /** Physical-plan shape assertions — the "explain and iterate" contract.
   * These lock in the properties that make the queries viable at 100 TB:
   * filters and projections reach the parquet scan, small dimensions are
-  * broadcast (no fact-side shuffle), and global top-k avoids a total sort.
-  * A regression that silently turns a broadcast join into a sort-merge
-  * join or un-pushes a scan filter fails here, not in a cluster bill.
+  * broadcast (no fact-side shuffle), and global top-k avoids a total
+  * sort. A regression that silently turns a broadcast join into a
+  * sort-merge join or un-pushes a scan filter fails here, not in a
+  * cluster bill. Built on graft.plans.PlanAudit, the same API pipeline
+  * authors can use in their own tests.
   */
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def plan(df: DataFrame): String = {
-    val p = df.queryExecution.executedPlan
-    val unwrapped: SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    unwrapped.toString
-  }
-
   test("filter + projection push into the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter("l_extendedprice > 1000.0")
       .select("l_orderkey", "l_extendedprice")
-    val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("PushedFilters: [IsNotNull(l_extendedprice), " +
-      "GreaterThan(l_extendedprice,1000.0)]"), scan)
-    // ReadSchema must carry only the referenced columns, not all 16
-    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), scan)
+    val r = PlanAudit.audit(df)
+    assert(r.scans.nonEmpty)
+    assert(r.scans.head.readColumns == Seq("l_orderkey", "l_extendedprice"), r.scans)
+    assert(r.scans.head.pushedFilters.exists(_.contains("GreaterThan(l_extendedprice")), r.scans)
   }
 
   test("q10 joins the customer dimension via broadcast, not shuffle") {
-    val p = plan(CoreQueries.q10Mktsegment(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    val r = PlanAudit.audit(CoreQueries.q10Mktsegment(spark, sf))
+    assert(r.broadcastJoins >= 1, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+  }
+
+  test("q13 three-hop dimension chain stays all-broadcast") {
+    val r = PlanAudit.audit(CoreQueries.q13RegionVolume(spark, sf))
+    assert(r.broadcastJoins == 3, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+    // the only exchanges: the 5-group aggregate + final order
+    assert(r.shuffles <= 3, r.planString)
   }
 
   test("q5 global top-100 plans as TakeOrderedAndProject (no total sort)") {
-    val p = plan(CoreQueries.q5TopK(spark, sf))
-    assert(p.contains("TakeOrderedAndProject"), p)
+    val r = PlanAudit.audit(CoreQueries.q5TopK(spark, sf))
+    assert(r.planString.contains("TakeOrderedAndProject"), r.planString)
+    assert(r.shuffles == 0, r.planString)
   }
 
   test("q8 ANN keeps the candidate side shuffle-free before top-k") {
-    val df = CoreQueries.q8AnnBruteForce(spark, sf)
-    val p = plan(df)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    // the only wide exchanges are the O(queries·k) aggregator output and
-    // the final presentation sort — candidate rows never hash-shuffle
-    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    val r = PlanAudit.audit(CoreQueries.q8AnnBruteForce(spark, sf))
+    assert(r.broadcastJoins + r.nestedLoopJoins >= 1, r.planString)
+    assert(r.planString.contains("ObjectHashAggregate") ||
+      r.planString.contains("SortAggregate"), r.planString)
   }
 
   test("q1 wordcount partially aggregates map-side before the shuffle") {
-    val p = plan(CoreQueries.q1WordCount(spark, sf))
-    // two HashAggregates (partial + final) around one exchange
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    val r = PlanAudit.audit(CoreQueries.q1WordCount(spark, sf))
+    assert("HashAggregate".r.findAllIn(r.planString).length >= 2, r.planString)
+  }
+
+  test("q18 anti join broadcasts the filtered order keys") {
+    val r = PlanAudit.audit(CoreQueries.q18CustomersNoOrders(spark, sf))
+    assert(r.planString.contains("LeftAnti"), r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+  }
+
+  test("scan pruning: wide lineitem never read wholesale by q5") {
+    val r = PlanAudit.audit(CoreQueries.q5TopK(spark, sf))
+    // lineitem has 11 columns; q5 needs 3
+    assert(!r.hasFullScans(allColumns = 11), r.scans)
+    assert(r.scanColumns.toSet == Set("l_orderkey", "l_linenumber", "l_extendedprice"), r.scans)
   }
 }
