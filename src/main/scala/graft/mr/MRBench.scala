@@ -1,0 +1,65 @@
+package graft.mr
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+
+/** MR-lifecycle benchmark over the reference's own parameter grid
+  * (reference `algorithm/algorithm_benchmark_test.go:119-165`: serial
+  * cases with input 1k–20k records / splits 100–20k / 20–2,000
+  * partitions, and concurrent cases with many simultaneous algorithms).
+  * The reference defines these grids but records no results anywhere;
+  * this main produces the numbers for the Spark engine so the §6
+  * comparison has concrete data on at least one side.
+  *
+  * Not part of the driver contract — run manually:
+  * `sbt "runMain graft.mr.MRBench"`.
+  */
+object MRBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val kvEnc: Encoder[KV] = Encoders.product[KV]
+
+    def mkInput(n: Int) =
+      spark.createDataset((0 until n).map(i => KV(i.toString, s"v${i % 97}")))
+
+    def spec(parts: Int) = MRSpec(
+      mapFn = kv => (kv.value.length.toLong + kv.key.length, kv),
+      reduceFn = (k, vs) => KV(k, vs.length.toString),
+      numPartitions = parts)
+
+    def cycle(n: Int, parts: Int): Double = {
+      val t0 = System.nanoTime()
+      MapReduce.results(mkInput(n), spec(parts)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup
+    cycle(1000, 20)
+
+    // serial grid (reference serial cases)
+    println("serial grid: records partitions sec")
+    for ((n, p) <- Seq((1000, 20), (5000, 200), (10000, 1000), (20000, 2000)))
+      println(f"serial $n%6d $p%5d ${cycle(n, p)}%.3f")
+
+    // concurrent grid (reference runs up to 2,000 concurrent mock cycles;
+    // here: N simultaneous algorithms through the Engine)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.{Await, Future}
+    println("concurrent grid: algorithms records sec_total")
+    for (conc <- Seq(4, 16, 64)) {
+      val engine = new Engine(spark)
+      val t0 = System.nanoTime()
+      val futs = (1 to conc).map(i =>
+        engine.submit(s"bench$i", mkInput(2000), spec(20)))
+      Await.result(Future.sequence(futs), 600.seconds)
+      println(f"concurrent $conc%3d 2000 ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    spark.stop()
+  }
+}
