@@ -31,6 +31,27 @@ class AsOfSpec extends AnyFunSuite {
       "e1" -> Some("v5"), "e2" -> Some("v20"), "e3" -> None, "e4" -> None))
   }
 
+  test("property: as-of equals naive per-row max over 20 random cases") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val leftRows = (1 to 30).map(i =>
+        (rnd.nextInt(4).toLong, ts(rnd.nextInt(50)), s"L$i"))
+      val rightRows = (1 to 20).map(i =>
+        (rnd.nextInt(4).toLong, ts(rnd.nextInt(50)), f"R$i%03d"))
+      val got = AsOf.asofJoin(
+        leftRows.toDF("k", "t", "name"), rightRows.toDF("k", "rt", "v"),
+        "k", "k", "t", "rt", Seq("v"))
+        .collect().map(r => r.getString(2) ->
+          Option(r.getStruct(3)).map(_.getString(0))).toMap
+      val naive = leftRows.map { case (k, t, name) =>
+        val eligible = rightRows.filter(r => r._1 == k && !r._2.after(t))
+        val best = eligible.sortBy(r => (r._2.getTime, r._3)).lastOption
+        name -> best.map(_._3)
+      }.toMap
+      assert(got == naive)
+    }
+  }
+
   test("tied right rows resolve to the max payload deterministically") {
     val left = Seq((1L, ts(10), "e")).toDF("k", "t", "name")
     val right = Seq((1L, ts(5), "a"), (1L, ts(5), "b")).toDF("k", "rt", "v")
