@@ -114,44 +114,52 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 16-bit SimHash over distinct tokens: bit k of the fingerprint is the
+  /** SimHash bit width: 60 bits (15 md5 hex digits) — the largest width
+    * whose integer value stays in positive signed-64 range in both
+    * engines. A too-narrow fingerprint (16 bits) makes band buckets
+    * collide corpus-wide and the candidate self-join quadratic. */
+  private[operators] val SimHashBits = 60
+
+  /** 60-bit SimHash over distinct tokens: bit k of the fingerprint is the
     * sign of `sum over tokens of (2·bit_k(md5(token)) - 1)`, where
-    * bit_k(h) comes from the first 4 hex digits of the token's md5.
+    * bit_k(h) comes from the first 15 hex digits of the token's md5.
     * Expressed in portable integer arithmetic (no engine-specific hash). */
   def simHash(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokenized(docs).select("doc_id", "token").distinct()
-      // v = integer value of the first 16 bits of md5(token); conv parses
+      // v = integer value of the first 60 bits of md5(token); conv parses
       // the hex prefix in one call (oracle computes it digit-wise)
-      .withColumn("v", conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"))
-    val bitSums = (0 until 16).map { k =>
-      val shift = 1 << (15 - k)
+      .withColumn("v", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimHashBits).map { k =>
+      val shift = 1L << (SimHashBits - 1 - k)
       sum(expr(s"(v div $shift) % 2") * 2 - 1).as(s"b$k")
     }
-    val bitChars = (0 until 16).map(k => when(col(s"b$k") > 0, "1").otherwise("0"))
+    val bitChars = (0 until SimHashBits).map(k => when(col(s"b$k") > 0, "1").otherwise("0"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), concat(bitChars: _*).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`, found by
-    * banding the 16 bits into 4 nibbles (any equal nibble → candidate)
-    * and filtering candidates by true hamming distance. */
+    * banding the 60 bits into 4 bands of 15 (any equal band → candidate;
+    * guarantees recall for hamming ≤ 3) and filtering candidates by true
+    * hamming distance. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
     val fp = simHash(docs)
+    val bandWidth = SimHashBits / 4
     val nibbles = (0 until 4).map(n =>
-      struct(lit(n).as("band"), substring(col("simhash"), n * 4 + 1, 4).as("bucket")))
+      struct(lit(n).as("band"), substring(col("simhash"), n * bandWidth + 1, bandWidth).as("bucket")))
     val banded = fp.select(col("doc_id"), col("simhash"),
         explode(array(nibbles: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val hamming = (0 until 16).map(k =>
+    val hamming = (0 until SimHashBits).map(k =>
       when(substring(col("sh_a"), k + 1, 1) =!= substring(col("sh_b"), k + 1, 1), 1).otherwise(0))
       .reduce(_ + _)
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
@@ -250,6 +258,15 @@ object Dedup {
   def qSimHash(spark: SparkSession, dir: String): DataFrame =
     simHash(Tables.documents(spark, dir))
       .orderBy("doc_id", "simhash")
+
+  /** Bounded to doc_id < 500: this corpus's documents share one small
+    * vocabulary, so token-set simhashes are near-identical corpus-wide
+    * and all-pairs banding is quadratic BY THE DATA, not the plan — the
+    * production shape runs hamming verification on LSH candidates only
+    * (compare qNgramJaccard's docLimit). */
+  def qSimHashPairs(spark: SparkSession, dir: String): DataFrame =
+    simHashPairs(Tables.documents(spark, dir).filter(col("doc_id") < 500), maxHamming = 2)
+      .orderBy("doc_a", "doc_b", "hamming")
 
   def qNearDupVerified(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5)

@@ -16,6 +16,7 @@ object ExtQueries {
     "dedup_minhash_buckets" -> Dedup.qMinHashBuckets _,
     "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
     "dedup_simhash"         -> Dedup.qSimHash _,
+    "dedup_simhash_pairs"   -> Dedup.qSimHashPairs _,
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
@@ -69,21 +70,44 @@ object ExtQueries {
        |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
   }
 
-  private val simhashSql: String = {
-    val hexVal = (1 to 4).map { p =>
-      val mult = math.pow(16, 4 - p).toInt
+  /** Shared CTE producing fp(doc_id, simhash) — mirrors Dedup.simHash
+    * (60-bit fingerprint from the first 15 md5 hex digits). */
+  private val SimHashBits = 60
+  private def simhashFpCte(filter: String = ""): String = {
+    val hexVal = (1 to 15).map { p =>
+      val mult = 1L << (4 * (15 - p))
       s"(instr('0123456789abcdef', substr(md5(token), $p, 1)) - 1) * $mult"
     }.mkString(" + ")
-    val bitSums = (0 until 16)
-      .map(k => s"sum(((v // ${1 << (15 - k)}) % 2) * 2 - 1) AS b$k").mkString(", ")
-    val bitChars = (0 until 16)
+    val bitSums = (0 until SimHashBits)
+      .map(k => s"sum(((v // ${1L << (SimHashBits - 1 - k)}) % 2) * 2 - 1) AS b$k").mkString(", ")
+    val bitChars = (0 until SimHashBits)
       .map(k => s"CASE WHEN b$k > 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH tok AS (SELECT DISTINCT doc_id, token
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents$filter)
        |  WHERE token <> ''),
        |tv AS (SELECT doc_id, $hexVal AS v FROM tok),
-       |bits AS (SELECT doc_id, $bitSums FROM tv GROUP BY doc_id)
-       |SELECT doc_id, $bitChars AS simhash FROM bits ORDER BY doc_id, simhash""".stripMargin
+       |bits AS (SELECT doc_id, $bitSums FROM tv GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $bitChars AS simhash FROM bits)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"${simhashFpCte()}\nSELECT doc_id, simhash FROM fp ORDER BY doc_id, simhash"
+
+  private val simhashPairsSql: String = {
+    val bw = SimHashBits / 4
+    val hamming = (1 to SimHashBits)
+      .map(k => s"CASE WHEN substr(sh_a, $k, 1) <> substr(sh_b, $k, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${simhashFpCte(" WHERE doc_id < 500")},
+       |banded AS (SELECT doc_id, simhash, band, substr(simhash, band * $bw + 1, $bw) AS bucket
+       |  FROM fp, (VALUES (0), (1), (2), (3)) b(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming
+       |FROM (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming FROM cand)
+       |WHERE hamming <= 2 ORDER BY doc_a, doc_b, hamming""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -141,6 +165,7 @@ object ExtQueries {
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
 
     "dedup_ngram_jaccard" ->
       s"""${shingleCte(" WHERE doc_id < 300")},

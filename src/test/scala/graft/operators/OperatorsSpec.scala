@@ -61,8 +61,8 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("simhash pairs: identical docs at hamming 0, unrelated filtered") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 2)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    assert(pairs.get((0L, 3L)).contains(0))   // identical → distance 0
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((0L, 3L)).contains(0L))  // identical → distance 0
     assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L),
       s"unrelated doc must not pass the hamming filter: $pairs")
   }
