@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the driver contract itself: Verify.main produces a parquet dump
+  * per query plus a parseable oracle_sql.json, and the queries/oracleSql
+  * maps stay consistent (every oracle key has a query; a typo in either
+  * map silently zeroes that query's correctness score otherwise). */
+class VerifyContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark // same JVM session Verify.getOrCreate reuses
+
+  test("oracleSql keys are a subset of queries keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("Verify dump produces every query and a well-formed oracle_sql.json") {
+    val out = Files.createTempDirectory("graft-verify").toString
+    graft.Verify.run(spark, "/root/testdata/sf0.001", out)
+    SparkEntry.queries.keys.foreach { name =>
+      assert(Files.isDirectory(Paths.get(out, name)), s"missing dump for $name")
+    }
+    val json = Files.readString(Paths.get(out, "oracle_sql.json"))
+    assert(json.startsWith("{") && json.endsWith("}"))
+    SparkEntry.oracleSql.keys.foreach(k => assert(json.contains("\"" + k + "\"")))
+    // no raw control characters — the driver's json.load would reject them
+    assert(!json.exists(c => c < ' '), "unescaped control char in oracle_sql.json")
+  }
+}
