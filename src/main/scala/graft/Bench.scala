@@ -23,17 +23,23 @@ object Bench {
     }
     // Two timed passes, per-query minimum: local-mode timings swing ±40%
     // with GC/background load; the min is the stable steady-state number.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // A query that THROWS is recorded as failed (never as a normal time):
+    // a silently-swallowed failure would deflate the table instead of
+    // flagging a regression.
+    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val succeeded = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (((System.nanoTime() - t0) / 1e9, succeeded))
     }
     val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val failed = (p1.collect { case (k, (_, false)) => k } ++
+      p2.collect { case (k, (_, false)) => k }).toSeq.distinct.sorted
+    val results = p1.collect { case (k, (v, true)) if p2(k)._2 => k -> math.min(v, p2(k)._1) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

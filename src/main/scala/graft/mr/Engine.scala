@@ -6,6 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
+import graft.sources.Sinks
+
 /** Multi-algorithm concurrency — parity with the reference's server, which
   * runs N masters at once and routes each new worker to a random one
   * (reference `server/views.go:29-36`, `:119-157`, `:163-183`).
@@ -16,16 +18,32 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * interleaving; FIFO still runs them concurrently, just stage-ordered).
   * Completed algorithms are removed from the registry, mirroring the
   * reference's master cleanup (`server/views.go:135-157`).
+  *
+  * Two result paths:
+  *   - [[submit]] — driver-side `Seq[KV]`, parity with the reference's
+  *     `master.Results()` (`master/master.go:223`), fine for small results;
+  *   - [[submitToSink]] — the scale path: results stream straight to a
+  *     JSON-lines KV sink ([[Sinks.writeKvLines]]) and NEVER collect to
+  *     the driver.
   */
 final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
-  private val running = new ConcurrentHashMap[String, Future[Seq[KV]]]()
+  private val running = new ConcurrentHashMap[String, Future[_]]()
+  private val cancelled = ConcurrentHashMap.newKeySet[String]()
 
-  /** Submit a named algorithm; returns a future of its final results
-    * (the reference's `master.Results()`, `master/master.go:223`). */
-  def submit(name: String, input: Dataset[KV], spec: MRSpec): Future[Seq[KV]] = {
+  /** Common scheduling shell. Cancellation safety: `cancel` may run before
+    * the Future's thread has set the job group, in which case the Spark-side
+    * cancelJobGroup is a no-op — so the body re-checks the `cancelled` set
+    * first and aborts without launching any job. Once the group IS set,
+    * `interruptOnCancel = true` makes cancelJobGroup interrupt already-
+    * running tasks instead of letting them run to completion. */
+  private def schedule[T](name: String)(body: => T): Future[T] = {
+    cancelled.remove(name)
     val fut = Future {
-      spark.sparkContext.setJobGroup(name, s"graft MR algorithm $name")
-      try MapReduce.results(input, spec).collect().toSeq
+      if (cancelled.contains(name))
+        throw new InterruptedException(s"algorithm $name cancelled before start")
+      spark.sparkContext.setJobGroup(name, s"graft MR algorithm $name",
+        interruptOnCancel = true)
+      try body
       finally spark.sparkContext.clearJobGroup()
     }
     running.put(name, fut)
@@ -33,9 +51,23 @@ final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
     fut
   }
 
+  /** Submit a named algorithm; returns a future of its final results
+    * (the reference's `master.Results()`, `master/master.go:223`). */
+  def submit(name: String, input: Dataset[KV], spec: MRSpec): Future[Seq[KV]] =
+    schedule(name) { MapReduce.results(input, spec).collect().toSeq }
+
+  /** No-collect variant: write the results to `path` as JSON KV lines
+    * (the reference's wire shape — round-trips through
+    * `JsonIngest.readKvLines`). Nothing materializes on the driver. */
+  def submitToSink(name: String, input: Dataset[KV], spec: MRSpec,
+      path: String, coalesceTo: Option[Int] = None): Future[Unit] =
+    schedule(name) { Sinks.writeKvLines(MapReduce.results(input, spec), path, coalesceTo) }
+
   /** Cancel a running algorithm — the reference closes a master's workers
-    * and drops it (`master/master.go:198-209`). */
+    * and drops it (`master/master.go:198-209`). Marks the name cancelled
+    * FIRST so a submit whose Future hasn't started yet aborts at the gate. */
   def cancel(name: String): Unit = {
+    cancelled.add(name)
     spark.sparkContext.cancelJobGroup(name)
     running.remove(name)
   }

@@ -81,6 +81,17 @@ object Clusters {
       labels = stepped.select("node", "label")
       iter += 1
     }
+    // Non-convergence is a CORRECTNESS failure, not a best-effort result:
+    // labels that stopped short of the fixpoint split a component (e.g. a
+    // chain of templated near-dups longer than maxIter), silently diverging
+    // from the exact transitive closure. Fail loudly; callers with genuinely
+    // huge-diameter graphs should raise maxIter or move to the
+    // large-star/small-star scheme (O(log diameter) rounds).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter — component " +
+          "diameter exceeds the iteration budget")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -13,7 +13,7 @@ import graft.functions.VectorFunctions._
   *   - [[exactSurvivors]]    — hash-groupBy on a content digest; O(N), one shuffle.
   *   - [[minHashLsh*]]       — shingle → MinHash → banded LSH → bucket join;
   *                             near-dup candidates WITHOUT all-pairs compare.
-  *   - [[simHash*]]          — 16-bit token-frequency sign hash; hamming-
+  *   - [[simHash*]]          — 60-bit token-frequency sign hash; hamming-
   *                             bucketable fingerprint per document.
   *   - [[ngramJaccardPairs]] — exact Jaccard over shingle sets via a
   *                             shared-shingle join (the verify step after LSH).

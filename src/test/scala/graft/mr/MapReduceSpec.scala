@@ -131,6 +131,44 @@ class MapReduceSpec extends AnyFunSuite {
     assert(!engine.runningAlgorithms.contains("slow-algo"))
   }
 
+  test("engine submitToSink writes KV lines without collecting (scale path)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.Await
+    val engine = new Engine(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").resolve("kv").toString
+    Await.result(engine.submitToSink("sink-algo",
+      MapReduce.demoInput(spark, words), MapReduce.demoSpec(2), out,
+      coalesceTo = Some(1)), 120.seconds)
+    val back = graft.sources.JsonIngest.readKvLines(spark, out)
+      .collect().map(kv => (kv.key, kv.value.toLong)).toSet
+    val expected = words.groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSet
+    assert(back == expected)
+    assert(!engine.runningAlgorithms.contains("sink-algo"))
+  }
+
+  test("engine cancel before the future starts still aborts (race guard)") {
+    import scala.concurrent.duration._
+    import scala.concurrent.{Await, ExecutionContext}
+    // single-thread executor we saturate first, so the submitted algorithm's
+    // Future body cannot have run setJobGroup when cancel() arrives
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      pool.submit(new Runnable { def run(): Unit = gate.await() })
+      val engine = new Engine(spark)
+      val fut = engine.submit("queued-algo",
+        MapReduce.demoInput(spark, words), MapReduce.demoSpec(2))
+      engine.cancel("queued-algo") // future not yet started
+      gate.countDown()
+      val res = scala.util.Try(Await.result(fut, 60.seconds))
+      assert(res.isFailure, "algorithm cancelled before start must not run")
+      assert(!engine.runningAlgorithms.contains("queued-algo"))
+    } finally pool.shutdownNow()
+  }
+
   test("lifecycle: JSON request → engine → results (reference §3 path)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._

@@ -21,6 +21,19 @@ class ClustersSpec extends AnyFunSuite {
     assert((20L to 22L).forall(cc(_) == 20L))
   }
 
+  test("connected components fail loudly instead of returning split clusters") {
+    // a 10-node chain needs ~9 propagation rounds; maxIter=3 must throw,
+    // never silently return a partially-converged labeling
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Clusters.connectedComponents(chain, maxIter = 3).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough budget the same chain collapses fully
+    val cc = Clusters.connectedComponents(chain, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(cc(_) == 0L))
+  }
+
   test("dedupSurvivors keeps min per cluster and singletons") {
     val docs = (0L to 5L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")

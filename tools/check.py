@@ -49,7 +49,10 @@ for name, sql in sorted(oracle.items()):
     eq = True
     for c in got.columns:
         if got[c].dtype == "float64":
-            if not ((got[c] - exp[c]).abs() <= 1e-9).all():
+            # null-aware: a nullable int column loads as float64 with NaN,
+            # and NaN - NaN is NaN — matching nulls must compare equal
+            close = ((got[c] - exp[c]).abs() <= 1e-9) | (got[c].isna() & exp[c].isna())
+            if not close.all():
                 eq = False; bad = c; break
         else:
             if not (got[c].astype(str) == exp[c].astype(str)).all():
