@@ -32,22 +32,30 @@ final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
 
   /** Common scheduling shell. Cancellation safety: `cancel` may run before
     * the Future's thread has set the job group, in which case the Spark-side
-    * cancelJobGroup is a no-op — so the body re-checks the `cancelled` set
-    * first and aborts without launching any job. Once the group IS set,
-    * `interruptOnCancel = true` makes cancelJobGroup interrupt already-
-    * running tasks instead of letting them run to completion. */
+    * cancelJobGroup is a no-op — so the body checks the `cancelled` set and
+    * aborts without launching any job. The check runs AFTER setJobGroup:
+    * `cancel` adds to the set before calling cancelJobGroup, so a cancel
+    * that raced past an earlier gate either (a) wrote the set before this
+    * read — we abort here — or (b) wrote after it, in which case its
+    * cancelJobGroup call sees the group already registered and interrupts
+    * the running action (`interruptOnCancel = true`). Either interleaving
+    * cancels; there is no remaining window. */
   private def schedule[T](name: String)(body: => T): Future[T] = {
     cancelled.remove(name)
     val fut = Future {
-      if (cancelled.contains(name))
-        throw new InterruptedException(s"algorithm $name cancelled before start")
       spark.sparkContext.setJobGroup(name, s"graft MR algorithm $name",
         interruptOnCancel = true)
-      try body
-      finally spark.sparkContext.clearJobGroup()
+      try {
+        if (cancelled.contains(name))
+          throw new InterruptedException(s"algorithm $name cancelled before start")
+        body
+      } finally spark.sparkContext.clearJobGroup()
     }
     running.put(name, fut)
-    fut.onComplete(_ => running.remove(name))
+    // Drop bookkeeping for the name once the future settles — including its
+    // `cancelled` marker, which would otherwise leak one set entry per
+    // cancelled one-shot name for the Engine's lifetime.
+    fut.onComplete { _ => running.remove(name); cancelled.remove(name) }
     fut
   }
 

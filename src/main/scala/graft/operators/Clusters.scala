@@ -63,23 +63,33 @@ object Clusters {
       .agg(min(col("dst")).as("mind"))
       .select(col("node"), least(col("node"), col("mind")).as("label"))
       .localCheckpoint()
+    // candidate label per node: min over (own label, neighbors' labels);
+    // the convergence flag rides in the same projection, and each round
+    // is checkpointed so plan size stays constant across iterations
+    def step(): DataFrame = edges
+      .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dlabel")).as("nlabel"))
+      .join(labels, "node")
+      .select(col("node"), least(col("label"), col("nlabel")).as("label"),
+        (col("nlabel") < col("label")).as("chg"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min over (own label, neighbors' labels);
-      // the convergence flag rides in the same projection, and each round
-      // is checkpointed so plan size stays constant across iterations
-      val stepped = edges
-        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dlabel")).as("nlabel"))
-        .join(labels, "node")
-        .select(col("node"), least(col("label"), col("nlabel")).as("label"),
-          (col("nlabel") < col("label")).as("chg"))
-        .localCheckpoint()
+      val stepped = step()
       changed = stepped.filter(col("chg")).count()
       labels = stepped.select("node", "label")
       iter += 1
+    }
+    // The loop may exhaust maxIter on the exact round that REACHED the
+    // fixpoint (confirming convergence inherently costs one zero-change
+    // round). Run one uncounted confirmation round before judging, so the
+    // budget is maxIter productive rounds — not maxIter-1.
+    if (changed > 0) {
+      val confirm = step()
+      changed = confirm.filter(col("chg")).count()
+      labels = confirm.select("node", "label")
     }
     // Non-convergence is a CORRECTNESS failure, not a best-effort result:
     // labels that stopped short of the fixpoint split a component (e.g. a

@@ -28,7 +28,15 @@ object Pipeline {
   final case class Config(
       minQuality: Double = 0.3,
       minJaccard: Double = 0.7,
-      trainPct: Int = 90)
+      trainPct: Int = 90,
+      // Degenerate-LSH-bucket cap, ON by default in the production path: a
+      // boilerplate-heavy corpus puts thousands of near-identical docs in
+      // one bucket and the candidate self-join goes quadratic. Docs in an
+      // over-full bucket are near-identical boilerplate — exact dedup
+      // (stage 2) already collapsed the identical ones; the remainder is
+      // bounded per bucket. The standalone oracle queries stay uncapped
+      // for reference parity (Dedup.minHashLshPairs default = None).
+      maxBucketSize: Option[Int] = Some(200))
 
   /** docs → (doc_id, lang, source, quality, split) for the retained,
     * deduplicated corpus. */
@@ -45,7 +53,8 @@ object Pipeline {
     val exact = Dedup.exactSurvivors(kept).localCheckpoint()
 
     // 3. near-dup: LSH candidates, Jaccard-verified pairs, clusters
-    val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard)
+    val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard,
+      maxBucketSize = cfg.maxBucketSize)
     val resolved = Clusters.dedupSurvivors(exact, pairs)
 
     // 4. cluster-stable split: hash the CLUSTER id, not the doc id, so
@@ -61,12 +70,19 @@ object Pipeline {
   // ---- query-shaped entry point ------------------------------------------
 
   /** Curation funnel rollup: retained docs per (lang, split) — the
-    * shape a pipeline report would show. Rows-only check (the composed
-    * oracle SQL would restate four operators; each stage is already
-    * oracle-checked individually). */
+    * shape a pipeline report would show. Oracle-checked end-to-end by the
+    * composed CTE chain in ExtQueries.pipelineSql (quality → exact dedup →
+    * LSH+Jaccard+CC near-dup → cluster-stable split). The average rides
+    * through integer half-up rounding: quality is an exact 4-decimal value
+    * (qi/10000 with qi integral), so avg = sum_qi / n rounds portably as
+    * (sum_qi·2 + n) div (2n) — engine round(avg(double)) would diverge at
+    * half boundaries (see TextAnalysis.qualityScore). */
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(spark, dir))
+      .withColumn("qi", round(col("quality") * 10000).cast("long"))
       .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 4).as("avg_quality"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("sq"))
+      .select(col("lang"), col("split"), col("n").as("n_docs"),
+        (expr("(sq * 2 + n) div (n * 2)") / 10000.0).as("avg_quality"))
       .orderBy("lang", "split", "n_docs", "avg_quality")
 }

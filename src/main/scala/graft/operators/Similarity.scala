@@ -97,17 +97,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic hyperplane component (plane `j`, dimension `d`): the
+    * first 8 hex digits of md5("j:d") read as a 32-bit integer v, mapped
+    * affinely to [-1, 1) as v / 2^31 - 1 — the same portable-hash
+    * construction as MinHash/SimHash (Dedup), so the DuckDB oracle derives
+    * bit-identical doubles (the division is by a power of two, hence
+    * exact). Components are uniform on [-1, 1) rather than Gaussian: the
+    * direction distribution is cube- not sphere-symmetric — a standard
+    * portability trade that keeps the family locality-sensitive (collision
+    * probability still falls monotonically with angle). */
+  private[operators] def planeComponent(j: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    v / 2147483648.0 - 1.0
+  }
+
   /** Random-hyperplane (sign) LSH bucketing: bit j of a vector's bucket
-    * key is `sign(v · h_j)` for `numPlanes` fixed Gaussian hyperplanes
-    * (Charikar '02 SimHash for cosine). Deterministic via `seed`; the
-    * hyperplanes are plan literals, so the pass is a narrow projection —
-    * no shuffle, no driver data movement. */
-  def signLshBuckets(vectors: DataFrame, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.toSeq.map { p =>
-      when(dot(col("embedding"), typedLit(p.toSeq)) >= 0, "1").otherwise("0")
+    * key is `sign(v · h_j)` for `numPlanes` fixed md5-derived hyperplanes
+    * (Charikar '02 SimHash for cosine, with [[planeComponent]] as the
+    * portable direction source). The hyperplanes are plan literals, so the
+    * pass is a narrow projection — no shuffle, no driver data movement;
+    * the dot is the sequential-order native [[graft.functions.DotProduct]],
+    * so the sign matches the oracle's left-to-right double sum exactly. */
+  def signLshBuckets(vectors: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bits = (0 until numPlanes).map { j =>
+      val p = (0 until dim).map(d => planeComponent(j, d))
+      when(dot(col("embedding"), typedLit(p)) >= 0, "1").otherwise("0")
     }
     vectors.select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"))
   }
@@ -118,8 +135,8 @@ object Similarity {
     * The bucket join is an equi-join on the bucket key — broadcastable
     * when the query set is small, AQE-skew-splittable when a cell is hot. */
   def lshAnn(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val b = signLshBuckets(vectors, numPlanes, dim, seed)
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = signLshBuckets(vectors, numPlanes, dim)
       .withColumn("nrm", l2Norm(col("embedding")))
     val q = b.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -135,9 +152,8 @@ object Similarity {
   // ---- query-shaped entry points -----------------------------------------
 
   /** Sign-LSH ANN entry: 8 hyperplanes, queries vec_id < 10, top-5 within
-    * the probed cell. No SQL oracle (the Gaussian hyperplanes are not
-    * reproducible in DuckDB SQL) — driver records the rows-only check;
-    * semantics are locked by OperatorsSpec instead. */
+    * the probed cell. Oracle-checkable: the md5-derived hyperplanes are
+    * reproduced digit-wise by the DuckDB SQL (ExtQueries.signLshSql). */
   def qLshAnn(spark: SparkSession, dir: String): DataFrame =
     lshAnn(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("query_id", "neighbor_id", "cos_sim")

@@ -36,20 +36,24 @@ object ExtQueries {
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
   )
 
-  /** Shared CTE: distinct word-3-gram shingles per doc (matches
-    * Shingles.wordShingles(k=3): docs with <3 tokens produce none). */
-  private def shingleCte(filter: String = ""): String =
-    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |             FROM documents$filter),
+  /** Shared CTE chain (no leading WITH, composable): distinct word-3-gram
+    * shingles per doc of relation `rel` (matches Shingles k=3: docs with
+    * <3 tokens produce none). */
+  private def shingleCtes(rel: String): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |             FROM $rel),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
        |             FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  private def shingleCte(filter: String = ""): String =
+    "WITH " + shingleCtes(s"documents$filter")
 
   /** MinHash signatures + LSH buckets CTE (16 hashes, 4 bands of 4).
     * Mirrors Dedup.minHashSignatures: v = first-8-hex-digits value of
     * md5(shingle); hash_j = (a_j·v + b_j) mod P (a_j=2j+1, b_j=97j+13,
     * P = largest prime < 2^32); band bucket = md5 of ':'-joined slice. */
-  private val minhashCte: String = {
+  private def minhashCtes(rel: String): String = {
     val hexVal = (1 to 8).map { p =>
       val mult = 1L << (4 * (8 - p))
       s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
@@ -58,7 +62,7 @@ object ExtQueries {
       s"min((v * ${2 * j + 1} + ${97 * j + 13}) % 4294967291) AS s$j").mkString(", ")
     def band(ss: Seq[Int]): String =
       "md5(" + ss.map(i => s"s$i::VARCHAR").mkString(" || ':' || ") + ")"
-    s"""${shingleCte()},
+    s"""${shingleCtes(rel)},
        |shv AS (SELECT doc_id, $hexVal AS v
        |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
        |sigs AS (SELECT doc_id, $mins FROM shv GROUP BY doc_id),
@@ -69,6 +73,8 @@ object ExtQueries {
        |    ELSE ${band(12 to 15)} END AS bucket
        |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
   }
+
+  private val minhashCte: String = "WITH " + minhashCtes("documents")
 
   /** Shared CTE producing fp(doc_id, simhash) — mirrors Dedup.simHash
     * (60-bit fingerprint from the first 15 md5 hex digits). */
@@ -88,6 +94,107 @@ object ExtQueries {
        |tv AS (SELECT doc_id, $hexVal AS v FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM tv GROUP BY doc_id),
        |fp AS (SELECT doc_id, $bitChars AS simhash FROM bits)""".stripMargin
+  }
+
+  /** Sign-LSH ANN oracle — mirrors Similarity.signLshBuckets/lshAnn
+    * (8 planes × 64 dims). Hyperplane component c(j,d) = v/2^31 - 1 with
+    * v the first-8-hex-digit value of md5('j:d'); bit j = sign of the
+    * SEQUENTIAL left-to-right dot product (the generated 64-term sum chain
+    * matches the native DotProduct expression's accumulation order, so the
+    * sign is bit-identical). */
+  private val signLshSql: String = {
+    val hexVal = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val dotTerms = (1 to 64).map(k => s"vec[$k] * p[$k]").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |pc AS (SELECT j, d, ($hexVal) / 2147483648.0 - 1.0 AS c
+       |  FROM (SELECT j, d, md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+       |        FROM (SELECT unnest(generate_series(0, 7)) AS j),
+       |             (SELECT unnest(generate_series(0, 63)) AS d))),
+       |pl AS (SELECT j, list(c ORDER BY d) AS p FROM pc GROUP BY j),
+       |bits AS (SELECT vec_id, j,
+       |    CASE WHEN $dotTerms >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM v, pl),
+       |bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+       |       FROM bits GROUP BY vec_id),
+       |vb AS (SELECT v.vec_id, v.vec, bk.bucket FROM v JOIN bk USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10)
+       |SELECT query_id, neighbor_id, cos_sim FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(c.vec, q.qv), 4) AS cos_sim
+       |  FROM vb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)
+       |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
+  }
+
+  /** Composed end-to-end curation-funnel oracle — mirrors Pipeline.curate
+    * stage by stage (quality gate ≥ 0.3 → exact dedup → MinHash-LSH
+    * candidates with the production bucket cap of 200 → Jaccard ≥ 0.7
+    * verify → connected components → cluster-stable 90/10 hash split) and
+    * the qCurate rollup with integer half-up average rounding. Each stage
+    * CTE restates the corresponding individually-oracled query; the value
+    * of this composition is catching composition bugs (wrong join key,
+    * stage applied to the wrong frame) that per-stage checks cannot. */
+  private val pipelineSql: String = {
+    val splitHash = (1 to 4).map { p =>
+      val mult = 1L << (4 * (4 - p))
+      s"(instr('0123456789abcdef', substr(md5(CAST(l.cluster_id AS VARCHAR)), $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH ptok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |pst AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+       |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+       |  FROM ptok WHERE token <> '' GROUP BY doc_id),
+       |pq AS (SELECT doc_id, ((num * 20000 + den) // (den * 2)) / 10000.0 AS quality
+       |  FROM (SELECT d.doc_id,
+       |      least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750 AS num,
+       |      n_tok * 12500 AS den
+       |    FROM documents d JOIN pst USING (doc_id))),
+       |kept AS (SELECT d.doc_id, d.lang, d.source, d.text, pq.quality
+       |  FROM documents d JOIN pq USING (doc_id) WHERE pq.quality >= 0.3),
+       |exact AS (SELECT doc_id, lang, source, text, quality FROM (
+       |    SELECT k.*, min(doc_id) OVER (PARTITION BY md5(text)) AS kmin FROM kept k)
+       |  WHERE doc_id = kmin),
+       |${minhashCtes("exact")},
+       |bcap AS (SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |      count(*) OVER (PARTITION BY band, bucket) AS bsz FROM buckets)
+       |  WHERE bsz <= 200),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bcap a JOIN bcap b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+       |psz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pinter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM pinter
+       |  JOIN psz sa ON sa.doc_id = doc_a JOIN psz sb ON sb.doc_id = doc_b
+       |  WHERE n / (sa.sz + sb.sz - n) >= 0.7),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(node, reach) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach)
+       |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+       |labeled AS (SELECT e.doc_id, coalesce(r.cluster_id, e.doc_id) AS cluster_id
+       |  FROM exact e LEFT JOIN reach r ON r.node = e.doc_id),
+       |surv AS (SELECT cluster_id, min(doc_id) AS survivor_id
+       |         FROM labeled GROUP BY cluster_id),
+       |spl AS (SELECT l.doc_id,
+       |    CASE WHEN ($splitHash) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+       |  FROM labeled l JOIN surv s
+       |    ON l.cluster_id = s.cluster_id AND l.doc_id = s.survivor_id),
+       |fin AS (SELECT e.lang, e.quality, s.split FROM exact e JOIN spl s USING (doc_id))
+       |SELECT lang, split, n_docs, (sq * 2 + n_docs) // (n_docs * 2) / 10000.0 AS avg_quality
+       |FROM (SELECT lang, split, count(*) AS n_docs,
+       |        sum(CAST(round(quality * 10000) AS BIGINT)) AS sq
+       |      FROM fin GROUP BY 1, 2)
+       |ORDER BY lang, split, n_docs, avg_quality""".stripMargin
   }
 
   private val simhashSql: String =
@@ -163,6 +270,10 @@ object ExtQueries {
          |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
          |             JOIN sz sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    "ann_lsh" -> signLshSql,
+
+    "pipeline_curate" -> pipelineSql,
 
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
