@@ -33,6 +33,28 @@ class OperatorsSpec extends AnyFunSuite {
       "unrelated doc must not be a candidate")
   }
 
+  test("minhash LSH bucket cap bounds degenerate boilerplate buckets") {
+    // 30 copies of one boilerplate doc (one degenerate bucket per band)
+    // plus a legitimate 3-doc dup group that must survive the cap
+    val boiler = (0L until 30L).map(i =>
+      (i, "terms of service apply to all users of this product site"))
+    val small = (100L until 103L).map(i =>
+      (i, "completely different content about gardens and flowers here"))
+    val corpus = (boiler ++ small).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minHashLshPairs(corpus).count()
+    assert(uncapped == 30L * 29 / 2 + 3, s"uncapped candidate count: $uncapped")
+
+    val capped = Dedup.minHashLshPairs(corpus, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"cap must drop the 30-doc bucket, keep the 3-doc group: $capped")
+
+    // the production pipeline path (Pipeline.Config default) carries the cap
+    assert(Pipeline.Config().maxBucketSize.nonEmpty,
+      "curate must default to a bounded candidate join")
+  }
+
   test("minhash signature is identical for identical text") {
     val sigs = Dedup.minHashSignatures(docs).collect()
       .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).mkString(":")).toMap
