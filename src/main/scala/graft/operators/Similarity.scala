@@ -80,11 +80,48 @@ object Similarity {
         (-col("best.negc")).cast("long").as("centroid_id"))
   }
 
+  /** Portable fixed-iteration Lloyd k-means over the embedding column:
+    * cosine assignment (via [[ivfAssign]]) alternating with a mean update.
+    * The update quantizes each component to fixed point —
+    * `floor(x · 10^6)` as a long — and SUMS LONGS, because double addition
+    * is not associative: a float-sum mean would depend on partition order
+    * (and differ from the oracle), while integer sums are
+    * order-insensitive. The centroid component is then the single double
+    * division `sum / (n · 10^6)`, bit-identical in any engine. floor (not
+    * round) avoids engine round-half disagreement. Seeds are the first
+    * `numCentroids` vectors by id — deterministic, no RNG. */
+  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
+    var cents = vectors.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vectors,
+        cents.select(col("centroid_id").as("vec_id"), col("cv").as("embedding")))
+      // per-(centroid, dim) fixed-point sum; map-side partial aggregation
+      // keeps the shuffle at O(centroids × dims) per task
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("v")))
+        .select(col("centroid_id"), col("pos"),
+          floor(col("col").cast("double") * 1000000d).cast("long").as("q"))
+        .groupBy("centroid_id", "pos")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      cents = sums
+        .withColumn("c", col("s") / (col("n") * lit(1000000d)))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("centroid_id"), expr("transform(pc, x -> x.c)").as("cv"))
+    }
+    cents
+  }
+
   /** IVF top-k: probe the query's own cell only (nprobe=1). Exact within
-    * the cell; approximate overall — the standard IVF recall trade. */
+    * the cell; approximate overall — the standard IVF recall trade.
+    * Centroids come from [[kmeansCentroids]] (set `kmeansIters = 0` for
+    * the raw deterministic-subset seeds). */
   def ivfTopK(vectors: DataFrame, numCentroids: Int, queryPred: org.apache.spark.sql.Column,
-      k: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, vectors.filter(col("vec_id") < numCentroids))
+      k: Int, kmeansIters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(vectors, numCentroids, kmeansIters)
+      .select(col("centroid_id").as("vec_id"), col("cv").as("embedding"))
+    val assigned = ivfAssign(vectors, centroids)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("centroid_id"))
@@ -149,6 +186,35 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k of the approximate searchers measured against the exact
+    * brute force — turns "approximate" from a claim into a number a
+    * regression gate can hold. One row per (method, query): how many of
+    * the exact top-k the method recovered. The division rides through
+    * integer half-up rounding (n_hit/n_exact are small ints — exactly the
+    * half-boundary shape engine round(double) disagrees on). */
+  def annRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      numCentroids: Int = 8): DataFrame = {
+    // the exact reference feeds three consumers (two hit-joins + the
+    // per-query denominator) — checkpoint the diamond
+    val exact = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    def hits(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(nExact, Seq("query_id"), "right")
+        .na.fill(0L, Seq("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hit"), col("n_exact"))
+    hits("ivf", ivfTopK(emb, numCentroids, queryPred, k))
+      .union(hits("lsh", lshAnn(emb, queryPred, k)))
+      .select(col("method"), col("query_id"), col("n_hit"),
+        (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+  }
+
   // ---- query-shaped entry points -----------------------------------------
 
   /** Sign-LSH ANN entry: 8 hyperplanes, queries vec_id < 10, top-5 within
@@ -158,10 +224,16 @@ object Similarity {
     lshAnn(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("query_id", "neighbor_id", "cos_sim")
 
-  /** IVF ANN: 8 centroids (vec_id < 8), queries vec_id in [10, 20), top-3
-    * within the probed cell. */
+  /** IVF ANN: 8 Lloyd centroids (2 portable k-means iterations from the
+    * vec_id < 8 seeds), queries vec_id in [10, 20), top-3 within the
+    * probed cell. */
   def qIvfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir), numCentroids = 8,
       queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
       .orderBy("query_id", "neighbor_id", "cos_sim")
+
+  /** Recall@5 of IVF and sign-LSH vs brute force for queries vec_id < 10. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("method", "query_id", "n_hit", "recall")
 }

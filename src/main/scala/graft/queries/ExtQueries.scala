@@ -22,6 +22,7 @@ object ExtQueries {
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
     "ann_lsh"               -> Similarity.qLshAnn _,
+    "ann_recall"            -> Similarity.qAnnRecall _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -102,14 +103,18 @@ object ExtQueries {
     * SEQUENTIAL left-to-right dot product (the generated 64-term sum chain
     * matches the native DotProduct expression's accumulation order, so the
     * sign is bit-identical). */
-  private val signLshSql: String = {
+  /** `v(vec_id, vec)` base CTE body over embeddings. */
+  private val vecCte =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)"
+
+  /** Composable sign-LSH chain (needs `v`; emits `vb(vec_id, vec, bucket)`). */
+  private val signLshCtes: String = {
     val hexVal = (1 to 8).map { p =>
       val mult = 1L << (4 * (8 - p))
       s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
     }.mkString(" + ")
     val dotTerms = (1 to 64).map(k => s"vec[$k] * p[$k]").mkString(" + ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-       |pc AS (SELECT j, d, ($hexVal) / 2147483648.0 - 1.0 AS c
+    s"""pc AS (SELECT j, d, ($hexVal) / 2147483648.0 - 1.0 AS c
        |  FROM (SELECT j, d, md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
        |        FROM (SELECT unnest(generate_series(0, 7)) AS j),
        |             (SELECT unnest(generate_series(0, 63)) AS d))),
@@ -119,7 +124,12 @@ object ExtQueries {
        |  FROM v, pl),
        |bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
        |       FROM bits GROUP BY vec_id),
-       |vb AS (SELECT v.vec_id, v.vec, bk.bucket FROM v JOIN bk USING (vec_id)),
+       |vb AS (SELECT v.vec_id, v.vec, bk.bucket FROM v JOIN bk USING (vec_id))""".stripMargin
+  }
+
+  private val signLshSql: String =
+    s"""WITH $vecCte,
+       |$signLshCtes,
        |q AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10)
        |SELECT query_id, neighbor_id, cos_sim FROM (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -128,6 +138,33 @@ object ExtQueries {
        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
        |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)
        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
+
+  /** Composable IVF chain with portable Lloyd k-means centroids — mirrors
+    * Similarity.kmeansCentroids + ivfAssign (seeds = vec_id < numCentroids;
+    * each iteration: cosine argmax assignment, then the fixed-point mean
+    * `sum(floor(x·10^6)) / (n·10^6)` whose LONG sums are order-insensitive,
+    * making the update portable where a double sum would not be). Needs
+    * `v`; emits `asg$iters(vec_id, vec, centroid_id)`. */
+  private def ivfCtes(iters: Int = 2, numCentroids: Int = 8): String = {
+    def asg(i: Int, cent: String) =
+      s"""asg$i AS (SELECT x.vec_id, x.vec, c.centroid_id FROM v x, $cent c
+         |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
+         |    ORDER BY list_cosine_similarity(x.vec, c.cv) DESC, c.centroid_id) = 1)""".stripMargin
+    def cent(i: Int, prev: String) =
+      s"""cent$i AS (SELECT centroid_id, list(s / (n * 1000000.0) ORDER BY pos) AS cv
+         |  FROM (SELECT centroid_id, pos, sum(CAST(floor(x * 1000000) AS BIGINT)) AS s,
+         |          count(*) AS n
+         |        FROM (SELECT centroid_id, unnest(vec) AS x,
+         |                generate_subscripts(vec, 1) AS pos FROM $prev)
+         |        GROUP BY 1, 2) GROUP BY centroid_id)""".stripMargin
+    val parts = Seq.newBuilder[String]
+    parts += s"cent0 AS (SELECT vec_id AS centroid_id, vec AS cv FROM v WHERE vec_id < $numCentroids)"
+    for (i <- 0 until iters) {
+      parts += asg(i, s"cent$i")
+      parts += cent(i + 1, s"asg$i")
+    }
+    parts += asg(iters, s"cent$iters")
+    parts.result().mkString(",\n")
   }
 
   /** Composed end-to-end curation-funnel oracle — mirrors Pipeline.curate
@@ -297,19 +334,52 @@ object ExtQueries {
         |ORDER BY vec_a, vec_b, cos_sim""".stripMargin,
 
     "ann_ivf" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |assign AS (SELECT x.vec_id, x.vec, c.vec_id AS centroid_id
-        |  FROM v x, v c WHERE c.vec_id < 8
-        |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
-        |    ORDER BY list_cosine_similarity(x.vec, c.vec) DESC, c.vec_id) = 1),
-        |q AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM assign
-        |      WHERE vec_id >= 10 AND vec_id < 20)
-        |SELECT q.query_id, a.vec_id AS neighbor_id,
-        |  round(list_cosine_similarity(a.vec, q.qv), 4) AS cos_sim
-        |FROM assign a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
-        |QUALIFY row_number() OVER (PARTITION BY q.query_id
-        |  ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 3
-        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |q AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM asg2
+         |      WHERE vec_id >= 10 AND vec_id < 20)
+         |SELECT q.query_id, a.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(a.vec, q.qv), 4) AS cos_sim
+         |FROM asg2 a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+         |QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |  ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 3
+         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |ivfq AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM asg2
+         |         WHERE vec_id < 10),
+         |ivfk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id
+         |  FROM asg2 a JOIN ivfq q
+         |    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 5)),
+         |$signLshCtes,
+         |lq AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10),
+         |lshk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM vb c JOIN lq q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)),
+         |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.vec_id) <= 5),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id),
+         |hits AS (
+         |  SELECT 'ivf' AS method, query_id, count(*) AS n_hit
+         |    FROM ivfk JOIN bf USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'lsh', query_id, count(*)
+         |    FROM lshk JOIN bf USING (query_id, neighbor_id) GROUP BY 2),
+         |base AS (SELECT method, query_id, n_exact
+         |         FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m, ex)
+         |SELECT method, query_id, coalesce(n_hit, 0) AS n_hit,
+         |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |FROM base LEFT JOIN hits USING (method, query_id)
+         |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
     "text_hash_split" ->
       """SELECT lang, CASE WHEN (

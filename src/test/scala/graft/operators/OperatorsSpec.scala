@@ -145,6 +145,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.nonEmpty && res.forall(_.getLong(1) != 10L))
   }
 
+  test("portable k-means: deterministic, and k=1 centroid is the fixed-point mean") {
+    val vecs = embs.withColumnRenamed("id", "vec_id")
+    def run() = Similarity.kmeansCentroids(vecs, numCentroids = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(run() == run(), "k-means must be bit-deterministic across runs")
+    assert(run().forall(_._2.size == 3))
+    // k=1: every vector lands in the only cell, so the centroid is the
+    // column-wise fixed-point mean sum(floor(x*1e6)) / (n*1e6)
+    val m = Similarity.kmeansCentroids(vecs, numCentroids = 1, iters = 1)
+      .collect().head.getSeq[Double](1)
+    val raw = embs.collect().map(_.getSeq[Float](1))
+    val exp = (0 until 3).map(d =>
+      raw.map(v => math.floor(v(d).toDouble * 1e6).toLong).sum / (raw.length * 1e6))
+    assert(m == exp, s"$m != $exp")
+  }
+
   test("edge cases: short/empty docs flow through without errors") {
     val edge = Seq(
       (100L, "", "en", "s", 0L),            // empty text
