@@ -112,6 +112,80 @@ object Dedup {
       .distinct()
   }
 
+  // ---- incremental (batch-vs-corpus) dedup ------------------------------
+
+  /** The corpus near-dup signature index: one row per (doc, LSH band) with
+    * the band bucket AND the full MinHash signature — everything a later
+    * batch needs to (a) find candidates (bucket equality) and (b) verify
+    * them (signature agreement), WITHOUT re-reading corpus text. 16 longs
+    * + 4 bucket keys per doc: ~200 bytes/doc, i.e. a 100 TB corpus indexes
+    * into ~2 TB — re-shingling the corpus per refresh would re-scan all
+    * 100 TB instead. */
+  def signatureIndex(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, numHashes, shingleK)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"s${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", slice: _*)).as("bucket"))
+    }
+    val sigCols = (0 until numHashes).map(j => col(s"s$j"))
+    sigs.select(col("doc_id") +: explode(array(bandStructs: _*)).as("bb") +: sigCols: _*)
+      .select(col("doc_id") +: col("bb.band").as("band") +: col("bb.bucket").as("bucket") +: sigCols: _*)
+  }
+
+  /** Persist the signature index hash-bucketed on the probe key, so every
+    * later batch refresh joins against it with ZERO exchange on the corpus
+    * side (proven in SinksSpec) — the shape a production corpus refresh
+    * needs: the 100 TB corpus is never re-scanned OR re-shuffled, only the
+    * incoming batch moves. */
+  def writeSignatureIndex(docs: DataFrame, tableName: String, numBuckets: Int,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): Unit =
+    graft.sources.Sinks.writeBucketed(
+      signatureIndex(docs, numHashes, bands, shingleK), tableName,
+      bucketCols = Seq("band", "bucket"), numBuckets = numBuckets,
+      sortCols = Seq("band", "bucket"))
+
+  /** Raw bucket-equality probe of a batch index against the corpus index
+    * (one row per shared band; no pair dedup yet). Kept separate so the
+    * zero-exchange co-located join is assertable in isolation. */
+  private[graft] def probeIndex(index: DataFrame, batchIndex: DataFrame,
+      numHashes: Int): DataFrame = {
+    val bsel = batchIndex.select(col("doc_id").as("batch_id") +: col("band") +: col("bucket") +:
+      (0 until numHashes).map(j => col(s"s$j").as(s"bs$j")): _*)
+    val csel = index.select(col("doc_id").as("corpus_id") +: col("band") +: col("bucket") +:
+      (0 until numHashes).map(j => col(s"s$j").as(s"cs$j")): _*)
+    bsel.join(csel, Seq("band", "bucket"))
+  }
+
+  /** Incremental near-dup pairs: batch docs vs the existing corpus index.
+    * Candidates come from LSH bucket equality; verification is the
+    * standard MinHash Jaccard ESTIMATE (fraction of agreeing signature
+    * components — no text access, so the corpus never re-shingles).
+    * `index`/`batchIndex` are [[signatureIndex]] frames (read the
+    * persisted table for the corpus side). */
+  def incrementalPairs(index: DataFrame, batchIndex: DataFrame,
+      numHashes: Int = 16, minEstJaccard: Double = 0.25): DataFrame = {
+    val matches = (0 until numHashes)
+      .map(j => when(col(s"bs$j") === col(s"cs$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    probeIndex(index, batchIndex, numHashes)
+      .drop("band", "bucket")
+      .distinct() // signature cols are functionally dependent on the ids
+      .withColumn("est_jaccard", matches / lit(numHashes).cast("double"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("batch_id", "corpus_id", "est_jaccard")
+  }
+
+  /** Probe a persisted [[writeSignatureIndex]] table with an incoming
+    * batch of documents. */
+  def dedupBatchAgainstIndex(spark: SparkSession, batch: DataFrame,
+      tableName: String, numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, minEstJaccard: Double = 0.25): DataFrame =
+    incrementalPairs(spark.table(tableName),
+      signatureIndex(batch, numHashes, bands, shingleK), numHashes, minEstJaccard)
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash bit width: 60 bits (15 md5 hex digits) — the largest width
@@ -267,6 +341,19 @@ object Dedup {
   def qSimHashPairs(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir).filter(col("doc_id") < 500), maxHamming = 2)
       .orderBy("doc_a", "doc_b", "hamming")
+
+  /** Incremental-refresh simulation on the fixed corpus: docs with
+    * doc_id % 5 == 0 arrive as the new batch, the rest are the indexed
+    * corpus. (The query computes the corpus index in-flight for
+    * statelessness; production reads the bucketed table — identical
+    * values, proven-shuffle-free physical plan in SinksSpec.) */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalPairs(
+      signatureIndex(docs.filter(col("doc_id") % 5 =!= 0)),
+      signatureIndex(docs.filter(col("doc_id") % 5 === 0)))
+      .orderBy("batch_id", "corpus_id", "est_jaccard")
+  }
 
   def qNearDupVerified(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5)

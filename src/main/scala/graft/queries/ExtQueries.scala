@@ -13,6 +13,7 @@ object ExtQueries {
     "q11_events_hourly"     -> CoreQueries.qEventsHourly _,
     "q12_events_sessions"   -> graft.streaming.EventStream.qSessions _,
     "q19_event_order_asof"  -> graft.operators.AsOf.qEventOrderAsof _,
+    "dedup_incremental"     -> Dedup.qIncrementalDedup _,
     "dedup_minhash_buckets" -> Dedup.qMinHashBuckets _,
     "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
     "dedup_simhash"         -> Dedup.qSimHash _,
@@ -40,12 +41,12 @@ object ExtQueries {
   /** Shared CTE chain (no leading WITH, composable): distinct word-3-gram
     * shingles per doc of relation `rel` (matches Shingles k=3: docs with
     * <3 tokens produce none). */
-  private def shingleCtes(rel: String): String =
-    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  private def shingleCtes(rel: String, pfx: String = ""): String =
+    s"""${pfx}toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |             FROM $rel),
-       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |${pfx}sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-       |             FROM toks WHERE len(t) >= 3))""".stripMargin
+       |             FROM ${pfx}toks WHERE len(t) >= 3))""".stripMargin
 
   private def shingleCte(filter: String = ""): String =
     "WITH " + shingleCtes(s"documents$filter")
@@ -54,7 +55,7 @@ object ExtQueries {
     * Mirrors Dedup.minHashSignatures: v = first-8-hex-digits value of
     * md5(shingle); hash_j = (a_j·v + b_j) mod P (a_j=2j+1, b_j=97j+13,
     * P = largest prime < 2^32); band bucket = md5 of ':'-joined slice. */
-  private def minhashCtes(rel: String): String = {
+  private def minhashCtes(rel: String, pfx: String = ""): String = {
     val hexVal = (1 to 8).map { p =>
       val mult = 1L << (4 * (8 - p))
       s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
@@ -63,16 +64,16 @@ object ExtQueries {
       s"min((v * ${2 * j + 1} + ${97 * j + 13}) % 4294967291) AS s$j").mkString(", ")
     def band(ss: Seq[Int]): String =
       "md5(" + ss.map(i => s"s$i::VARCHAR").mkString(" || ':' || ") + ")"
-    s"""${shingleCtes(rel)},
-       |shv AS (SELECT doc_id, $hexVal AS v
-       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
-       |sigs AS (SELECT doc_id, $mins FROM shv GROUP BY doc_id),
-       |buckets AS (SELECT doc_id, band, CASE band
+    s"""${shingleCtes(rel, pfx)},
+       |${pfx}shv AS (SELECT doc_id, $hexVal AS v
+       |        FROM (SELECT doc_id, md5(shingle) AS h FROM ${pfx}sh)),
+       |${pfx}sigs AS (SELECT doc_id, $mins FROM ${pfx}shv GROUP BY doc_id),
+       |${pfx}buckets AS (SELECT doc_id, band, CASE band
        |    WHEN 0 THEN ${band(0 to 3)}
        |    WHEN 1 THEN ${band(4 to 7)}
        |    WHEN 2 THEN ${band(8 to 11)}
        |    ELSE ${band(12 to 15)} END AS bucket
-       |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
+       |  FROM ${pfx}sigs, (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
   }
 
   private val minhashCte: String = "WITH " + minhashCtes("documents")
@@ -277,6 +278,24 @@ object ExtQueries {
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |GROUP BY 1, 2 ORDER BY event_type, order_year, cnt""".stripMargin,
+
+    "dedup_incremental" -> {
+      val est = (0 until 16).map(j => s"CASE WHEN bs.s$j = cs.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |bat AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |${minhashCtes("corp", "c_")},
+         |${minhashCtes("bat", "b_")},
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM b_buckets b JOIN c_buckets c
+         |    ON b.band = c.band AND b.bucket = c.bucket),
+         |scored AS (SELECT cand.batch_id, cand.corpus_id, ($est) / 16.0 AS est_jaccard
+         |  FROM cand JOIN b_sigs bs ON bs.doc_id = cand.batch_id
+         |            JOIN c_sigs cs ON cs.doc_id = cand.corpus_id)
+         |SELECT batch_id, corpus_id, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.25
+         |ORDER BY batch_id, corpus_id, est_jaccard""".stripMargin
+    },
 
     "dedup_minhash_buckets" ->
       s"$minhashCte\nSELECT doc_id, band, bucket FROM buckets ORDER BY doc_id, band, bucket",

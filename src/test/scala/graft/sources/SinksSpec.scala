@@ -49,6 +49,35 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental dedup: bucketed signature-index probe joins with zero exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.Dedup.writeSignatureIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "sig_corpus", numBuckets = 4)
+    graft.operators.Dedup.writeSignatureIndex(
+      docs.filter(col("doc_id") % 5 === 0), "sig_batch", numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the raw probe join (before pair-dedup) must be fully co-located:
+      // neither the 100-TB-shaped corpus index nor the batch index moves
+      val probe = graft.operators.Dedup.probeIndex(
+        spark.table("sig_corpus"), spark.table("sig_batch"), numHashes = 16)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"index probe must not shuffle:\n$plan")
+      // and the full verified pipeline on the same tables gives the same
+      // pairs as the stateless in-flight computation
+      val viaTable = graft.operators.Dedup.incrementalPairs(
+          spark.table("sig_corpus"), spark.table("sig_batch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inFlight = graft.operators.Dedup.incrementalPairs(
+          graft.operators.Dedup.signatureIndex(docs.filter(col("doc_id") % 5 =!= 0)),
+          graft.operators.Dedup.signatureIndex(docs.filter(col("doc_id") % 5 === 0)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTable == inFlight)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SQL entry point: registered views answer spark.sql queries") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
