@@ -111,18 +111,63 @@ object MapReduce {
         (k._1, KVS(k._2, rows.map(_.value).toSeq)))
   }
 
-  /** Full pipeline, holistic reduce. Returns `(pi, key, value)` rows; use
-    * [[results]] for the reference's final flat KV shape
-    * (`algorithm/algorithm.go:337-343` — partition index is dropped when
-    * reduce outputs are appended to `results`). */
-  def run(input: Dataset[KV], spec: MRSpec): Dataset[PKV] = {
+  private def reduceHolistic(mapped: Dataset[PKV], spec: MRSpec): Dataset[PKV] = {
     implicit val enc: Encoder[PKV] = Encoders.product[PKV]
-    mapPhase(input, spec)
+    mapped
       .groupByKey(r => (r.pi, r.key))(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .mapGroups { (k: (Long, String), rows: Iterator[PKV]) =>
         val out = spec.reduceFn(k._2, rows.map(_.value).toSeq)
         PKV(k._1, out.key, out.value)
       }
+  }
+
+  /** Full pipeline, holistic reduce. Returns `(pi, key, value)` rows; use
+    * [[results]] for the reference's final flat KV shape
+    * (`algorithm/algorithm.go:337-343` — partition index is dropped when
+    * reduce outputs are appended to `results`). */
+  def run(input: Dataset[KV], spec: MRSpec): Dataset[PKV] =
+    reduceHolistic(mapPhase(input, spec), spec)
+
+  /** Holistic reduce with automatic hot-key protection — the documented
+    * skewed-key risk of the reference-parity path (a hot group's whole
+    * value list lands in ONE task, the distributed analog of the
+    * reference's master-RAM accumulation, `algorithm/algorithm.go:37`).
+    *
+    * A cheap algebraic pre-pass (map-side-combined count; the driver sees
+    * one scalar) measures the largest (pi, key) group. At or under
+    * `saltThreshold` the plan is exactly [[run]]'s. Above it, value
+    * collection runs two-phase via [[graft.operators.Skew.saltedCollect]]:
+    * phase 1 collects per (pi, key, salt) across `salts` tasks, phase 2
+    * flattens — the hot group's fetch/sort spreads over `salts` tasks
+    * before the (unchanged, holistic) reduce UDF sees the full list.
+    * Results are multiset-identical to [[run]] (value ORDER within a group
+    * is undefined in both paths, as in the reference — Go map iteration,
+    * `algorithm/algorithm.go:172-191`).
+    *
+    * The pre-pass re-evaluates the map phase (two input scans): map is a
+    * narrow codegen'd pass, so at scale this costs one extra read — cheap
+    * insurance against a reduce task that otherwise cannot finish at all.
+    */
+  def runSkewSafe(input: Dataset[KV], spec: MRSpec,
+      saltThreshold: Long = 1000000L, salts: Int = 16): Dataset[PKV] = {
+    import org.apache.spark.sql.functions.{col, struct, max}
+    implicit val enc: Encoder[PKV] = Encoders.product[PKV]
+    val mapped = mapPhase(input, spec)
+    val maxGroup = mapped.groupBy("pi", "key").count()
+      .agg(max("count")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    if (maxGroup <= saltThreshold) reduceHolistic(mapped, spec)
+    else {
+      val collected = graft.operators.Skew.saltedCollect(
+        mapped.toDF(), Seq("pi", "key"), "value", salts)
+      collected
+        .select(col("pi"), struct(col("key"), col("values")).as("kvs"))
+        .as[(Long, KVS)](Encoders.tuple(Encoders.scalaLong, Encoders.product[KVS]))
+        .map { case (pi, kvs) =>
+          val out = spec.reduceFn(kvs.key, kvs.values)
+          PKV(pi, out.key, out.value)
+        }
+    }
   }
 
   /** Reference final-result shape: flat KV records, partition dropped. */

@@ -79,6 +79,38 @@ class MRPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skew-safe holistic reduce equals plain run on both sides of the threshold") {
+    import spark.implicits._
+    cases.foreach { case (input, n, _) =>
+      val s = spec(n)
+      val base = naive(input, s)
+      val ds = spark.createDataset(input)
+      // threshold 0 forces the salted two-phase path for every group
+      val salted = MapReduce.runSkewSafe(ds, s, saltThreshold = 0L, salts = 4)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(salted == base, s"salted n=$n input=$input")
+      // unreachable threshold keeps the plain holistic plan
+      val plain = MapReduce.runSkewSafe(ds, s, saltThreshold = Long.MaxValue)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(plain == base, s"plain n=$n input=$input")
+    }
+  }
+
+  test("skew-safe reduce: a hot key exceeding the threshold reduces correctly") {
+    import spark.implicits._
+    val hot = (1 to 5000).map(i => KV("hot", i.toString)) ++
+      (1 to 50).map(i => KV(s"k$i", "1"))
+    val countSpec = MRSpec(
+      mapFn = kv => (0L, kv),
+      reduceFn = (k, vs) => KV(k, vs.length.toString),
+      numPartitions = 2)
+    val out = MapReduce.runSkewSafe(
+        spark.createDataset(hot.toList), countSpec, saltThreshold = 100L, salts = 8)
+      .collect().map(r => (r.key, r.value)).toMap
+    assert(out("hot") == "5000")
+    assert(out("k1") == "1" && out.size == 51)
+  }
+
   test("algebraic sum/min/max equal their holistic counterparts") {
     import spark.implicits._
     val numeric = cases.map { case (input, n, _) =>

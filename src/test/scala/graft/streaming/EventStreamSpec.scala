@@ -79,6 +79,55 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source micro-batches: append-mode hourly agg emits closed windows, evicts state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // batch 1: hour-10 events land as the first file
+    Seq(Event(1, tsH(10, 5), 1, "click", 1.0), Event(2, tsH(10, 55), 2, "click", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema).parquet(dir)
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batches 2-3: late files push the watermark past 11:00 (the
+      // watermark from batch N's data takes effect in batch N+1, so the
+      // closed hour-10 window emits in batch 3)
+      Seq(Event(3, tsH(15, 0), 1, "buy", 1.0)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq(Event(4, tsH(15, 1), 1, "buy", 1.0)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("hourly_file")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("2024-01-01 10:00", "click", 2L)),
+        s"only the watermark-closed hour-10 window may emit in append mode: $rows")
+      // the closed window's state must actually LEAVE the store — this is
+      // what bounds memory on an unbounded stream
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).max
+      assert(removed > 0, "watermark must evict closed-window state rows")
+    } finally q.stop()
+  }
+
+  test("dedup state evicts ids behind the watermark (progress metrics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(2), 1, "buy", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, tsH(16, 0), 1, "click", 1.0)) // watermark → 15:00
+      q.processAllAvailable()
+      input.addData(Event(4, tsH(16, 1), 1, "click", 1.0)) // eviction batch
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).max
+      assert(removed >= 2, s"ids 1,2 are behind the watermark and must leave state (removed=$removed)")
+      assert(spark.table("dedup_evict").count() == 4) // nothing was a duplicate
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     // user 1: events at 0, 10, 55 min (gap 45 > 30 → 2 sessions)
