@@ -303,9 +303,36 @@ object Dedup {
 
   // ---- embedding cosine -------------------------------------------------
 
-  /** Near-duplicate pairs by embedding cosine ≥ `threshold`. One side is
-    * bounded (`aLimit`) and broadcast; production replaces this with the
-    * IVF/LSH bucketing in [[Similarity]]. */
+  /** Bucketed embedding near-dup — the PRODUCTION entry point: candidates
+    * are same-sign-LSH-bucket pairs (Similarity.signLshBuckets, one md5-
+    * derived 8-bit bucket per vector → ~N/256 candidates per vector, never
+    * all-pairs), verified by exact cosine ≥ `threshold`. Recall covers
+    * high-cosine pairs (near-identical directions agree on most sign
+    * bits); lower `numPlanes` widens cells when higher recall is worth the
+    * larger candidate set. Oracle-checkable end to end (portable planes).
+    */
+  def embeddingNearDupBucketed(emb: DataFrame, threshold: Double = 0.3,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = Similarity.signLshBuckets(
+        emb.select(col("vec_id"), col("embedding")), numPlanes, dim)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    // one bucket per vector → each pair arises from exactly one bucket:
+    // no distinct needed
+    a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, exact over a
+    * bounded broadcast side (`aLimit`) — the EXHAUSTIVE small-set shape
+    * (oracle query q/dedup_embedding); [[embeddingNearDupBucketed]] is the
+    * corpus-scale production path. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.3,
       aLimit: Long = 1000L): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").as("v"))
@@ -365,5 +392,9 @@ object Dedup {
 
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir))
+      .orderBy("vec_a", "vec_b", "cos_sim")
+
+  def qEmbeddingNearDupBucketed(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupBucketed(Tables.embeddings(spark, dir))
       .orderBy("vec_a", "vec_b", "cos_sim")
 }

@@ -211,8 +211,38 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"), col("n_hit"), col("n_exact"))
     hits("ivf", ivfTopK(emb, numCentroids, queryPred, k))
       .union(hits("lsh", lshAnn(emb, queryPred, k)))
+      .union(hits("lsh_mp", lshAnnMultiProbe(emb, queryPred, k)))
       .select(col("method"), col("query_id"), col("n_hit"),
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+  }
+
+  /** Multi-probe sign-LSH ANN: besides its own bucket, each QUERY also
+    * probes every bucket at hamming distance 1 (one sign bit flipped) —
+    * the standard multi-probe trade (Lv et al. '07): candidate work grows
+    * ×(numPlanes+1) on the tiny query side only, recall jumps because a
+    * near neighbor differs from the query on at most a few marginal sign
+    * bits. Candidates still never all-pairs; the corpus side is untouched. */
+  def lshAnnMultiProbe(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = signLshBuckets(vectors, numPlanes, dim)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val flips = (1 to numPlanes).map { p =>
+      val flipped = when(substring(col("bucket"), p, 1) === "1", "0").otherwise("1")
+      concat(substring(col("bucket"), 1, p - 1), flipped,
+        substring(col("bucket"), p + 1, numPlanes - p))
+    }
+    val q = b.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val cands = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    // a candidate has ONE bucket, so each (query, neighbor) pair matches at
+    // most one probe key — no dedup needed before the top-k
+    val scored = cands.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+    topKPerQuery(scored, k)
   }
 
   // ---- query-shaped entry points -----------------------------------------

@@ -21,6 +21,7 @@ object ExtQueries {
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
+    "dedup_embedding_bucketed" -> Dedup.qEmbeddingNearDupBucketed _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
     "ann_lsh"               -> Similarity.qLshAnn _,
     "ann_recall"            -> Similarity.qAnnRecall _,
@@ -352,6 +353,16 @@ object ExtQueries {
         |WHERE a.vec_id < 1000 AND list_cosine_similarity(a.vec, b.vec) >= 0.3
         |ORDER BY vec_a, vec_b, cos_sim""".stripMargin,
 
+    "dedup_embedding_bucketed" ->
+      s"""WITH $vecCte,
+         |$signLshCtes
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_cosine_similarity(a.vec, b.vec), 4) AS cos_sim
+         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.3)
+         |ORDER BY vec_a, vec_b, cos_sim""".stripMargin,
+
     "ann_ivf" ->
       s"""WITH $vecCte,
          |${ivfCtes()},
@@ -382,6 +393,18 @@ object ExtQueries {
          |  FROM vb c JOIN lq q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)),
+         |lqp AS (SELECT query_id, qv, bucket FROM lq
+         |  UNION ALL
+         |  SELECT query_id, qv,
+         |    substr(bucket, 1, p - 1) ||
+         |      (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(bucket, p + 1, 8 - p) AS bucket
+         |  FROM lq, (SELECT unnest(generate_series(1, 8)) AS p)),
+         |lshmk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM vb c JOIN lqp q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)),
          |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
          |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
@@ -392,9 +415,13 @@ object ExtQueries {
          |    FROM ivfk JOIN bf USING (query_id, neighbor_id) GROUP BY 2
          |  UNION ALL
          |  SELECT 'lsh', query_id, count(*)
-         |    FROM lshk JOIN bf USING (query_id, neighbor_id) GROUP BY 2),
+         |    FROM lshk JOIN bf USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'lsh_mp', query_id, count(*)
+         |    FROM lshmk JOIN bf USING (query_id, neighbor_id) GROUP BY 2),
          |base AS (SELECT method, query_id, n_exact
-         |         FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m, ex)
+         |         FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
+         |               UNION ALL SELECT 'lsh_mp') m, ex)
          |SELECT method, query_id, coalesce(n_hit, 0) AS n_hit,
          |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
          |FROM base LEFT JOIN hits USING (method, query_id)
