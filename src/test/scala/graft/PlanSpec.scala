@@ -67,6 +67,35 @@ class PlanSpec extends AnyFunSuite {
     assert(r.sortMergeJoins == 0, r.planString)
   }
 
+  test("bucketed embedding near-dup joins on the bucket key, never all-pairs") {
+    val r = PlanAudit.audit(graft.operators.Dedup.embeddingNearDupBucketed(
+      Tables.embeddings(spark, sf)))
+    // the quadratic shapes the bucketing exists to avoid:
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(!r.planString.contains("CartesianProduct"), r.planString)
+  }
+
+  test("sign-LSH ANN broadcasts the probe set; corpus side never shuffles for it") {
+    val r = PlanAudit.audit(graft.operators.Similarity.lshAnnMultiProbe(
+      Tables.embeddings(spark, sf),
+      queryPred = org.apache.spark.sql.functions.col("vec_id") < 5, k = 3))
+    assert(r.broadcastJoins >= 1, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+  }
+
+  test("k-means assignment is a broadcast of centroids + hash-aggregate argmax") {
+    val r = PlanAudit.audit(graft.operators.Similarity.ivfAssign(
+      Tables.embeddings(spark, sf).select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")),
+      Tables.embeddings(spark, sf).filter("vec_id < 4")))
+    // centroids ride a broadcast nested-loop cross join (C rows); the
+    // argmax is max(struct(...)) — a hash aggregate, not a window sort
+    assert(r.nestedLoopJoins >= 1, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+    assert(!r.planString.contains("Window"), r.planString)
+  }
+
   test("scan pruning: wide lineitem never read wholesale by q5") {
     val r = PlanAudit.audit(CoreQueries.q5TopK(spark, sf))
     // lineitem has 11 columns; q5 needs 3
