@@ -13,6 +13,7 @@ object ExtQueries {
     "q11_events_hourly"     -> CoreQueries.qEventsHourly _,
     "q12_events_sessions"   -> graft.streaming.EventStream.qSessions _,
     "q19_event_order_asof"  -> graft.operators.AsOf.qEventOrderAsof _,
+    "q20_repeat_orders"     -> graft.operators.RangeJoin.qRepeatOrders _,
     "dedup_incremental"     -> Dedup.qIncrementalDedup _,
     "dedup_minhash_buckets" -> Dedup.qMinHashBuckets _,
     "dedup_minhash_pairs"   -> Dedup.qMinHashPairs _,
@@ -279,6 +280,14 @@ object ExtQueries {
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |GROUP BY 1, 2 ORDER BY event_type, order_year, cnt""".stripMargin,
+
+    "q20_repeat_orders" ->
+      """SELECT a.o_orderpriority, count(*) AS cnt
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+        | AND epoch_us(b.o_orderdate) >= epoch_us(a.o_orderdate)
+        | AND epoch_us(b.o_orderdate) < epoch_us(a.o_orderdate) + 2592000000000
+        |GROUP BY 1 ORDER BY a.o_orderpriority, cnt""".stripMargin,
 
     "dedup_incremental" -> {
       val est = (0 until 16).map(j => s"CASE WHEN bs.s$j = cs.s$j THEN 1 ELSE 0 END")

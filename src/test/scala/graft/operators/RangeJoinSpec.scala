@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.plans.PlanAudit
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random fixtures: points on [0, 1000), intervals
+  // of widths from sub-bin to several bins (binWidth = 50)
+  def points = (0 until 200)
+    .map(i => (i.toLong, (i * 37 % 1000).toLong)).toDF("pid", "p")
+  def intervals = (0 until 60).map { i =>
+    val lo = (i * 53 % 950).toLong
+    (i.toLong, lo, lo + (i % 5) * 60L + 10L) // widths 10..250
+  }.toDF("iid", "lo", "hi")
+
+  test("bucketed point-in-interval equals the naive range predicate") {
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(naive.nonEmpty, "fixture must actually produce matches")
+  }
+
+  test("equi keys restrict matches alongside the range") {
+    val p = points.withColumn("k", col("pid") % 3)
+    val i = intervals.withColumn("k", col("iid") % 3)
+    val got = RangeJoin.pointInInterval(p, "p", i, "lo", "hi", binWidth = 50L,
+        equiKeys = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = p.crossJoin(i.withColumnRenamed("k", "k2"))
+      .filter(col("k") === col("k2") && col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+  }
+
+  test("plans as a hash equi-join on the bin — no nested loop, no cartesian") {
+    val r = PlanAudit.audit(
+      RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 50L))
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(!r.planString.contains("CartesianProduct"), r.planString)
+  }
+}
