@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HammingDistance}
 
 /** SQL surface for graft's native expressions.
   *
@@ -34,6 +34,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(arrayA, arrayB) takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming(strA, strB) takes exactly 2 arguments")
+        HammingDistance(args.head, args(1))
       }))
 
   /** Register every graft function on an already-built session. */

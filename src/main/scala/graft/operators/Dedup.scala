@@ -226,14 +226,15 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val hamming = (0 until SimHashBits).map(k =>
-      when(substring(col("sh_a"), k + 1, 1) =!= substring(col("sh_b"), k + 1, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    // native codegen'd byte-loop hamming (graft.functions.HammingDistance):
+    // the 60-term substring-comparison chain costs 60 allocations per
+    // candidate pair inside the banded self-join (the hot path here)
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .distinct()
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming",
+        graft.functions.TextExpressions.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

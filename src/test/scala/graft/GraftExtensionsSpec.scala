@@ -24,6 +24,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // every entry (inject throws on duplicates/invalid builders).
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("graft_dot"))
+    assert(GraftExtensions.functions.map(_._1.funcName) ==
+      Seq("graft_dot", "graft_hamming"))
+  }
+
+  test("graft_hamming counts differing bytes; length gap counts as mismatch") {
+    GraftExtensions.register(spark)
+    def h(a: String, b: String): Long =
+      spark.sql(s"SELECT graft_hamming('$a', '$b') AS d").head.getLong(0)
+    assert(h("10110", "10011") == 2L)
+    assert(h("0000", "0000") == 0L)
+    assert(h("111", "1") == 2L)   // missing positions are mismatches
+    assert(h("", "") == 0L)
+    // agrees with the composed substring formulation on the simhash shape
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("110100101", "100110101")).toDF("a", "b")
+    val composed = (0 until 9).map(k =>
+      when(substring(col("a"), k + 1, 1) =!= substring(col("b"), k + 1, 1), 1)
+        .otherwise(0)).reduce(_ + _).cast("long")
+    val row = df.select(
+      graft.functions.TextExpressions.hamming(col("a"), col("b")).as("native"),
+      composed.as("composed")).head
+    assert(row.getLong(0) == row.getLong(1))
   }
 }
