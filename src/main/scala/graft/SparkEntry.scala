@@ -36,6 +36,8 @@ object SparkEntry {
     "q16_order_windows" -> CoreQueries.q16OrderWindows _,
     "q17_pricing_rollup" -> CoreQueries.q17PricingRollup _,
     "q18_customers_no_orders" -> CoreQueries.q18CustomersNoOrders _,
+    "q21_pricing_cube" -> CoreQueries.q21PricingCube _,
+    "q22_segment_intersect" -> CoreQueries.q22SegmentIntersect _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -149,5 +151,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment, n_customers""".stripMargin,
+    "q21_pricing_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus, cnt, sum_price""".stripMargin,
+
+    "q22_segment_intersect" ->
+      """SELECT c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+        |INTERSECT
+        |SELECT c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '5-LOW' AND o_totalprice < 100000.0
+        |ORDER BY c_mktsegment""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -236,6 +236,35 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment", "n_customers")
 
+  /** Q21 — CUBE over (returnflag, linestatus): completes the
+    * grouping-sets family next to Q17's ROLLUP (all four margin
+    * combinations in one pass — Spark expands the sets and aggregates
+    * once, no per-set rescans). */
+  def q21PricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_price"))
+      .orderBy("returnflag", "linestatus", "cnt", "sum_price")
+
+  /** Q22 — set intersection: market segments that have BOTH an urgent
+    * high-value order and a low-priority low-value one. INTERSECT plans
+    * as a hash aggregate + join — no manual dedup needed. */
+  def q22SegmentIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+    o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+      .select(col("c_mktsegment"))
+      .intersect(
+        o.filter(col("o_orderpriority") === "5-LOW" && col("o_totalprice") < 100000.0)
+          .select(col("c_mktsegment")))
+      .orderBy("c_mktsegment")
+  }
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =
