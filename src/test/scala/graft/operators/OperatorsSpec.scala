@@ -161,6 +161,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m == exp, s"$m != $exp")
   }
 
+  test("edge cases: incremental dedup and k-means on tiny/empty inputs") {
+    // empty batch probes the index without error and finds nothing
+    val corpusIdx = Dedup.signatureIndex(docs)
+    val emptyIdx = Dedup.signatureIndex(docs.filter($"doc_id" < 0))
+    assert(Dedup.incrementalPairs(corpusIdx, emptyIdx).count() == 0)
+    // identical doc split corpus/batch → estimate 1.0 match
+    val pairs = Dedup.incrementalPairs(
+      Dedup.signatureIndex(docs.filter($"doc_id" === 0L)),
+      Dedup.signatureIndex(docs.filter($"doc_id" === 3L))) // doc 3 = copy of 0
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((3L, 0L, 1.0)))
+    // fewer vectors than requested centroids: k-means returns what exists
+    val vecs = Seq((0L, Array(1.0f, 0f)), (1L, Array(0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kmeansCentroids(vecs, numCentroids = 8, iters = 1).count() == 2)
+  }
+
   test("edge cases: short/empty docs flow through without errors") {
     val edge = Seq(
       (100L, "", "en", "s", 0L),            // empty text

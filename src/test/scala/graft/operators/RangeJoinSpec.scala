@@ -41,6 +41,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("edge cases: empty sides and degenerate intervals") {
+    val noPoints = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val noIntervals = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(noPoints, "p", intervals, "lo", "hi", 50L).count() == 0)
+    assert(RangeJoin.pointInInterval(points, "p", noIntervals, "lo", "hi", 50L).count() == 0)
+    // zero-width interval [x, x] matches exactly the point x
+    val unit = Seq((1L, 370L, 370L)).toDF("iid", "lo", "hi")
+    val m = RangeJoin.pointInInterval(points, "p", unit, "lo", "hi", 50L)
+      .select("p").collect().map(_.getLong(0)).toSeq
+    assert(m.forall(_ == 370L) && m.nonEmpty) // p = (10*37)%1000 = 370 exists
+  }
+
   test("plans as a hash equi-join on the bin — no nested loop, no cartesian") {
     val r = PlanAudit.audit(
       RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 50L))
