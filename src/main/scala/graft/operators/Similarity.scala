@@ -158,12 +158,43 @@ object Similarity {
     * pass is a narrow projection — no shuffle, no driver data movement;
     * the dot is the sequential-order native [[graft.functions.DotProduct]],
     * so the sign matches the oracle's left-to-right double sum exactly. */
-  def signLshBuckets(vectors: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+  def signLshBuckets(vectors: DataFrame, numPlanes: Int = 8, dim: Int = 64,
+      planeOffset: Int = 0): DataFrame = {
     val bits = (0 until numPlanes).map { j =>
-      val p = (0 until dim).map(d => planeComponent(j, d))
+      val p = (0 until dim).map(d => planeComponent(planeOffset + j, d))
       when(dot(col("embedding"), typedLit(p)) >= 0, "1").otherwise("0")
     }
     vectors.select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"))
+  }
+
+  /** Multi-table sign-LSH ANN: `tables` INDEPENDENT hash tables (plane
+    * sets at offsets t·numPlanes), candidates unioned across tables and
+    * deduplicated before the exact top-k. For INDEPENDENT per-table
+    * collisions the probability compounds as 1-(1-p)^L — the standard
+    * recall lever that, unlike fewer planes, does not inflate any single
+    * bucket. (When the corpus's near pairs are very close, tables are
+    * correlated — each catches the same pairs — and the lever is flat;
+    * see [[annRecall]].) Corpus-side cost: L narrow bucket projections +
+    * L bucket joins (each still candidate-bounded). */
+  def lshAnnMultiTable(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, numPlanes: Int = 8, dim: Int = 64, tables: Int = 4): DataFrame = {
+    val base = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val cand = (0 until tables).map { t =>
+      val b = signLshBuckets(vectors, numPlanes, dim, planeOffset = t * numPlanes)
+      val q = b.filter(queryPred).select(col("vec_id").as("query_id"), col("bucket"))
+      b.select(col("vec_id").as("neighbor_id"), col("bucket"))
+        .join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+    }.reduce(_ union _).distinct() // a pair can collide in several tables
+    val scored = cand
+      .join(broadcast(base.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))), "query_id")
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("nrm").as("cn")), "neighbor_id")
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+    topKPerQuery(scored, k)
   }
 
   /** Sign-LSH ANN: exact top-k within the query's own bucket. With B
@@ -172,9 +203,17 @@ object Similarity {
     * The bucket join is an equi-join on the bucket key — broadcastable
     * when the query set is small, AQE-skew-splittable when a cell is hot. */
   def lshAnn(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val b = signLshBuckets(vectors, numPlanes, dim)
-      .withColumn("nrm", l2Norm(col("embedding")))
+      numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    lshTopKFrom(normedBuckets(vectors, numPlanes, dim), queryPred, k)
+
+  /** (vec_id, embedding, nrm, bucket) — the shared frame both LSH
+    * searchers probe; callers running several searchers (annRecall)
+    * build it once and checkpoint. */
+  private def normedBuckets(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =
+    signLshBuckets(vectors, numPlanes, dim).withColumn("nrm", l2Norm(col("embedding")))
+
+  private def lshTopKFrom(b: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
     val q = b.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("bucket"))
@@ -191,7 +230,17 @@ object Similarity {
     * regression gate can hold. One row per (method, query): how many of
     * the exact top-k the method recovered. The division rides through
     * integer half-up rounding (n_hit/n_exact are small ints — exactly the
-    * half-boundary shape engine round(double) disagrees on). */
+    * half-boundary shape engine round(double) disagrees on).
+    *
+    * Reading the ladder on THIS corpus: the exact top-5 pairs mostly sit
+    * near cosine 0.3 (≈70° apart), where an 8-bit sign hash collides with
+    * probability ~0.6^8 ≈ 2% per table — while the few genuinely-close
+    * pairs collide in EVERY table. So single-/multi-table LSH recall is
+    * pinned at the true-near-dup fraction (collisions are correlated,
+    * union adds nothing), multi-probe buys the 40–50° band, and coarse
+    * IVF cells win on mid-similarity kNN. That is the correct reading:
+    * sign-LSH is a near-duplicate tool, not a general-kNN one — the gate
+    * measures exactly that boundary. */
   def annRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int = 5,
       numCentroids: Int = 8): DataFrame = {
     // the exact reference feeds three consumers (two hit-joins + the
@@ -209,9 +258,14 @@ object Similarity {
         .join(nExact, Seq("query_id"), "right")
         .na.fill(0L, Seq("n_hit"))
         .select(lit(method).as("method"), col("query_id"), col("n_hit"), col("n_exact"))
+    // lsh and lsh_mp probe the SAME bucket frame — compute it once with
+    // truncated lineage instead of re-running the 8-plane projection and
+    // norm pass per searcher
+    val b8 = normedBuckets(emb, numPlanes = 8, dim = 64).localCheckpoint()
     hits("ivf", ivfTopK(emb, numCentroids, queryPred, k))
-      .union(hits("lsh", lshAnn(emb, queryPred, k)))
-      .union(hits("lsh_mp", lshAnnMultiProbe(emb, queryPred, k)))
+      .union(hits("lsh", lshTopKFrom(b8, queryPred, k)))
+      .union(hits("lsh_mp", lshMultiProbeTopKFrom(b8, queryPred, k, numPlanes = 8)))
+      .union(hits("lsh_mt", lshAnnMultiTable(emb, queryPred, k)))
       .select(col("method"), col("query_id"), col("n_hit"),
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
   }
@@ -223,9 +277,11 @@ object Similarity {
     * near neighbor differs from the query on at most a few marginal sign
     * bits. Candidates still never all-pairs; the corpus side is untouched. */
   def lshAnnMultiProbe(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val b = signLshBuckets(vectors, numPlanes, dim)
-      .withColumn("nrm", l2Norm(col("embedding")))
+      k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    lshMultiProbeTopKFrom(normedBuckets(vectors, numPlanes, dim), queryPred, k, numPlanes)
+
+  private def lshMultiProbeTopKFrom(b: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int, numPlanes: Int): DataFrame = {
     val flips = (1 to numPlanes).map { p =>
       val flipped = when(substring(col("bucket"), p, 1) === "1", "0").otherwise("1")
       concat(substring(col("bucket"), 1, p - 1), flipped,

@@ -130,6 +130,28 @@ object ExtQueries {
        |vb AS (SELECT v.vec_id, v.vec, bk.bucket FROM v JOIN bk USING (vec_id))""".stripMargin
   }
 
+  /** Multi-table sign-LSH chain: 4 tables × 8 planes (plane index
+    * t·8 + j, same component derivation), emits `mvb(vec_id, vec, tbl,
+    * bucket)` — mirrors Similarity.lshAnnMultiTable. Needs `v`. */
+  private val multiTableCtes: String = {
+    val hexVal = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val dotTerms = (1 to 64).map(k => s"vec[$k] * p[$k]").mkString(" + ")
+    s"""mpc AS (SELECT j, d, ($hexVal) / 2147483648.0 - 1.0 AS c
+       |  FROM (SELECT j, d, md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+       |        FROM (SELECT unnest(generate_series(0, 31)) AS j),
+       |             (SELECT unnest(generate_series(0, 63)) AS d))),
+       |mpl AS (SELECT j, list(c ORDER BY d) AS p FROM mpc GROUP BY j),
+       |mbits AS (SELECT vec_id, j,
+       |    CASE WHEN $dotTerms >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM v, mpl),
+       |mbk AS (SELECT vec_id, j // 8 AS tbl, string_agg(bit, '' ORDER BY j) AS bucket
+       |        FROM mbits GROUP BY vec_id, j // 8),
+       |mvb AS (SELECT v.vec_id, v.vec, mbk.tbl, mbk.bucket FROM v JOIN mbk USING (vec_id))""".stripMargin
+  }
+
   private val signLshSql: String =
     s"""WITH $vecCte,
        |$signLshCtes,
@@ -414,6 +436,17 @@ object ExtQueries {
          |  FROM vb c JOIN lqp q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) <= 5)),
+         |$multiTableCtes,
+         |mq AS (SELECT vec_id AS query_id, tbl, bucket FROM mvb WHERE vec_id < 10),
+         |mcand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM mvb c JOIN mq q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE c.vec_id <> q.query_id),
+         |mtk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT m.query_id, m.neighbor_id
+         |  FROM mcand m JOIN v a ON a.vec_id = m.query_id
+         |               JOIN v b ON b.vec_id = m.neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY m.query_id
+         |    ORDER BY list_cosine_similarity(b.vec, a.vec) DESC, m.neighbor_id) <= 5)),
          |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
          |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
@@ -427,10 +460,14 @@ object ExtQueries {
          |    FROM lshk JOIN bf USING (query_id, neighbor_id) GROUP BY 2
          |  UNION ALL
          |  SELECT 'lsh_mp', query_id, count(*)
-         |    FROM lshmk JOIN bf USING (query_id, neighbor_id) GROUP BY 2),
+         |    FROM lshmk JOIN bf USING (query_id, neighbor_id) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'lsh_mt', query_id, count(*)
+         |    FROM mtk JOIN bf USING (query_id, neighbor_id) GROUP BY 2),
          |base AS (SELECT method, query_id, n_exact
          |         FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
-         |               UNION ALL SELECT 'lsh_mp') m, ex)
+         |               UNION ALL SELECT 'lsh_mp'
+         |               UNION ALL SELECT 'lsh_mt') m, ex)
          |SELECT method, query_id, coalesce(n_hit, 0) AS n_hit,
          |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
          |FROM base LEFT JOIN hits USING (method, query_id)
