@@ -68,9 +68,75 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native character n-gram extraction.
+  *
+  * The composed formulation (`split(text, "")` → `transform(sequence...,
+  * i -> concat(element_at...))`) allocates one UTF8String PER CHARACTER
+  * plus one concat result per position — the dominant allocation cost of
+  * the language-ID corpus pass. This expression makes ONE copy of the
+  * string's bytes and returns every n-gram as a zero-copy slice view of
+  * that array (UTF8String.fromBytes(bytes, offset, len) wraps without
+  * copying). Character positions are resolved by a single UTF-8
+  * start-offset scan, so results match `substr(text, i, n)` character
+  * semantics for any input, not just ASCII.
+  */
+case class CharNGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharNGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes // the single copy
+    val nb = bytes.length
+    // char start offsets (UTF-8 lead-byte scan), one extra for the end
+    val starts = new Array[Int](s.numChars() + 1)
+    var c = 0
+    var i = 0
+    while (i < nb) {
+      starts(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(c) = nb
+    val count = math.max(0, c - n + 1)
+    val out = new Array[AnyRef](count)
+    var g = 0
+    while (g < count) {
+      out(g) = UTF8String.fromBytes(bytes, starts(g), starts(g + n) - starts(g))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   /** Column-level native Hamming distance over strings. */
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level native character n-grams (array<string>). */
+  def charNGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNGrams(ColumnBridge.expression(text), n))
 }

@@ -21,22 +21,16 @@ object TextAnalysis {
         explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
 
-  /** Character trigrams of text (positions 1..len-2, spaces included).
-    * The text is split into a materialized char array first; building
-    * trigrams with `substr(text, i, 3)` instead is O(position) per call
-    * on UTF8String (codepoint scan from the start), i.e. O(len²) per
-    * document — measured 3× slower at sf0.1. Guarded: Spark's
-    * sequence(1, 0) is DESCENDING [1,0], not empty, so short texts need
-    * an explicit empty-array branch (DuckDB's generate_series(1,0) is
-    * empty — the oracle relies on that). */
+  /** Character trigrams of text (positions 1..len-2, spaces included) via
+    * the native [[graft.functions.CharNGrams]] expression: one byte-array
+    * copy per document, every trigram a zero-copy slice — the composed
+    * split("")/transform formulation allocates per CHARACTER (and the
+    * `substr(text, i, 3)` formulation is O(len²) per document: O(position)
+    * codepoint scan per call). Short texts yield an empty array natively
+    * (DuckDB's generate_series(1, 0) matches). */
   private def charTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), split(col("text"), "").as("ch"))
-      .select(col("doc_id"), col("lang"),
-        explode(when(size(col("ch")) >= 3,
-          transform(sequence(lit(1), size(col("ch")) - 2),
-            i => concat(element_at(col("ch"), i),
-              element_at(col("ch"), i + 1), element_at(col("ch"), i + 2))))
-          .otherwise(typedLit(Seq.empty[String]))).as("tri"))
+    docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.TextExpressions.charNGrams(col("text"), 3)).as("tri"))
 
   /** Self-supervised trigram-profile language ID.
     *

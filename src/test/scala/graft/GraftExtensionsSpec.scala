@@ -28,6 +28,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("graft_dot", "graft_hamming"))
   }
 
+  test("charNGrams matches substring semantics, including multibyte chars") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("abcd", "héllo wörld", "ab", "", "日本語テスト").toDF("t")
+    val rows = df.select(col("t"),
+      graft.functions.TextExpressions.charNGrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def expect(s: String): Seq[String] =
+      if (s.length < 3) Seq.empty
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    for ((t, g) <- rows) assert(g == expect(t), s"text=$t")
+  }
+
   test("graft_hamming counts differing bytes; length gap counts as mismatch") {
     GraftExtensions.register(spark)
     def h(a: String, b: String): Long =
