@@ -130,6 +130,79 @@ object CharNGrams {
   }
 }
 
+/** Native word k-gram (shingle) extraction: tokens are maximal runs of
+  * non-space bytes (split on the single space character, empties dropped —
+  * exactly `filter(split(text, " "), _ != "")`), each shingle the k tokens
+  * joined by single spaces (exactly `concat_ws(" ", ...)`); empty array
+  * when fewer than k tokens. One boundary scan per document and one
+  * right-sized byte buffer per shingle — the composed HOF formulation
+  * re-evaluates element_at lambdas and allocates intermediate arrays per
+  * position. Feeds every MinHash/Jaccard/fingerprint shingling pass. */
+case class WordNGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordNGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // token boundaries: (start, end) pairs of non-space runs
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) != ' ') {
+        starts.add(i)
+        while (i < nb && bytes(i) != ' ') i += 1
+        ends.add(i)
+      } else i += 1
+    }
+    val ntok = starts.size()
+    val count = math.max(0, ntok - n + 1)
+    val out = new Array[AnyRef](count)
+    var g = 0
+    while (g < count) {
+      var len = n - 1 // the joining spaces
+      var j = 0
+      while (j < n) { len += ends.get(g + j) - starts.get(g + j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        val tl = ends.get(g + j) - starts.get(g + j)
+        System.arraycopy(bytes, starts.get(g + j), buf, pos, tl)
+        pos += tl
+        if (j < n - 1) { buf(pos) = ' '; pos += 1 }
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   /** Column-level native Hamming distance over strings. */
   def hamming(a: Column, b: Column): Column =
@@ -139,4 +212,8 @@ object TextExpressions {
   /** Column-level native character n-grams (array<string>). */
   def charNGrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNGrams(ColumnBridge.expression(text), n))
+
+  /** Column-level native word k-gram shingles (array<string>). */
+  def wordNGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(text), n))
 }

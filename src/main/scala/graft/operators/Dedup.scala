@@ -67,8 +67,7 @@ object Dedup {
     // The groupBy itself does map-side partial min — the shuffle carries
     // numHashes longs per doc per map partition, nothing per-shingle.
     val sh = docs
-      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
       .withColumn("v", hexVal8(col("shingle")))
     val aggs = (0 until numHashes).map(j =>
       min((col("v") * minHashA(j) + minHashB(j)) % MinHashP).as(s"s$j"))
@@ -258,8 +257,7 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(candDocs, "doc_id")
-      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
       .distinct()
       .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -283,8 +281,7 @@ object Dedup {
     * production shape runs this only on LSH candidates, never all docs). */
   def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, docLimit: Long = 300L): DataFrame = {
     val sh = docs.filter(col("doc_id") < docLimit)
-      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("toks"), shingleK)).as("shingle"))
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))

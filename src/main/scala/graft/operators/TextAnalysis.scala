@@ -121,9 +121,8 @@ object TextAnalysis {
     * reordering of surrounding content, unlike md5(text)). Documents too
     * short for a shingle fall back to md5(text). */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"), Shingles.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"),
-        Shingles.fromTokens(col("toks"), 3).as("sh"))
+    docs.select(col("doc_id"), col("text"),
+        Shingles.fromText(col("text"), 3).as("sh"))
       .select(col("doc_id"),
         coalesce(
           array_min(transform(col("sh"), s => md5(s))),
@@ -234,4 +233,13 @@ object Shingles {
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(typedLit(Seq.empty[String]))
+
+  /** Native one-pass path straight from the text column — semantically
+    * identical to `fromTokens(tokens(text), k)` (locked by spec), one
+    * boundary scan + right-sized buffers instead of the per-position HOF
+    * chain (graft.functions.WordNGrams). Preferred in shingling hot
+    * paths; use the two-step form only when the token array is needed
+    * separately anyway. */
+  def fromText(text: Column, k: Int): Column =
+    graft.functions.TextExpressions.wordNGrams(text, k)
 }

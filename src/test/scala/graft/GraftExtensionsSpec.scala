@@ -41,6 +41,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     for ((t, g) <- rows) assert(g == expect(t), s"text=$t")
   }
 
+  test("wordNGrams equals the composed tokens->fromTokens formulation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta", "  leading and  double  spaces ",
+      "one", "", "a b", "tab\there stays one-token", "x  y  z w")
+    val df = texts.toDF("t")
+    val rows = df.select(col("t"),
+        graft.operators.Shingles.fromText(col("t"), 3).as("native"),
+        graft.operators.Shingles.fromTokens(
+          graft.operators.Shingles.tokens(col("t")), 3).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"text='${r.getString(0)}'")
+    }
+  }
+
   test("graft_hamming counts differing bytes; length gap counts as mismatch") {
     GraftExtensions.register(spark)
     def h(a: String, b: String): Long =
