@@ -172,6 +172,42 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Within-document repetition: the duplicate word-bigram fraction
+    * `1 - distinct/total` — the Gopher/RefinedWeb-style repetition filter
+    * signal (templated or looping text scores high). One narrow n-gram
+    * pass + one hash aggregate; docs too short for a bigram are absent
+    * (no signal). Integer half-up rounding for oracle parity. */
+  def repetitionScore(docs: DataFrame, k: Int = 2): DataFrame =
+    docs.select(col("doc_id"), explode(Shingles.fromText(col("text"), k)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), countDistinct(col("g")).as("nd"))
+      .select(col("doc_id"), col("n_ngrams"),
+        (expr("((n_ngrams - nd) * 20000 + n_ngrams) div (n_ngrams * 2)") / 10000.0)
+          .as("dup_frac"))
+
+  /** Benchmark decontamination signal: for every corpus doc, the fraction
+    * of its distinct word shingles that also appear in the BENCHMARK set
+    * (docs matching `benchPred`) — the standard n-gram-overlap test run
+    * before training to keep eval data out of the corpus. The benchmark
+    * shingle set is distinct-small and broadcast; the corpus side does
+    * one shingle pass and one aggregate, never an all-pairs compare. */
+  def contamination(docs: DataFrame, benchPred: org.apache.spark.sql.Column,
+      shingleK: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
+      .distinct()
+    val benchIds = docs.filter(benchPred).select("doc_id")
+    val benchSh = sh.join(benchIds, "doc_id").select("shingle").distinct()
+      .withColumn("hit", lit(1L))
+    sh.join(benchIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        (expr("(n_hit * 20000 + n_sh) div (n_sh * 2)") / 10000.0).as("ratio"))
+  }
+
   /** Deterministic hash-based train/test split: a doc's split is a pure
     * function of its id (first 16 bits of md5 mod 100 vs the train
     * percentage) — stable across runs, machines, and engines; no RNG
@@ -200,6 +236,14 @@ object TextAnalysis {
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprint(Tables.documents(spark, dir))
       .orderBy("doc_id", "fingerprint")
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_ngrams", "dup_frac")
+  /** Benchmark = docs 0-9; every other doc reports its overlap ratio. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir), benchPred = col("doc_id") < 10)
+      .orderBy("doc_id", "n_sh", "n_hit", "ratio")
+
   /** KMV-sketch vocabulary estimate per language (portable approximate
     * distinct — see functions.Sketches). */
   def qVocabSketch(spark: SparkSession, dir: String): DataFrame =

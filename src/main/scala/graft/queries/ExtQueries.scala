@@ -33,6 +33,8 @@ object ExtQueries {
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
+    "text_repetition"       -> TextAnalysis.qRepetition _,
+    "text_contamination"    -> TextAnalysis.qContamination _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
@@ -524,6 +526,28 @@ object ExtQueries {
          |  WHERE p.pos = length(d.text) AND length(d.text) < 32)
          |ORDER BY doc_id, fingerprint""".stripMargin
     },
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM toks WHERE len(t) >= 2))
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |  (((count(*) - count(DISTINCT g)) * 20000 + count(*)) // (count(*) * 2)) / 10000.0
+        |    AS dup_frac
+        |FROM bg GROUP BY doc_id ORDER BY doc_id, n_ngrams, dup_frac""".stripMargin,
+
+    "text_contamination" ->
+      s"""${shingleCte()},
+         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |cd AS (SELECT doc_id, count(*) AS n_sh,
+         |    CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM sh WHERE doc_id >= 10 GROUP BY doc_id)
+         |SELECT doc_id, n_sh, n_hit,
+         |  ((n_hit * 20000 + n_sh) // (n_sh * 2)) / 10000.0 AS ratio
+         |FROM cd ORDER BY doc_id, n_sh, n_hit, ratio""".stripMargin,
 
     "dedup_clusters" ->
       s"""$minhashCte,
