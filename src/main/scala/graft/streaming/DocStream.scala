@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Streaming corpus ingestion with incremental near-dup dedup — the
+  * composition a continuously-refreshed 100 TB training corpus runs:
+  *
+  *   stream of documents
+  *     → per micro-batch: MinHash signature index of the batch
+  *     → probe the PERSISTED corpus signature index (bucketed on the
+  *       probe key — the corpus side joins with zero exchange and is
+  *       never re-scanned; see Dedup.writeSignatureIndex)
+  *     → drop batch docs with a verified corpus near-dup
+  *     → append survivors to the corpus sink AND their signatures to the
+  *       index, so batch N+1 dedups against everything through batch N.
+  *
+  * Built on `foreachBatch`: the probe is a batch join against a growing
+  * TABLE, which is exactly the case Structured Streaming delegates to
+  * batch semantics (stream-static joins re-read the static side per
+  * batch — here that re-read is the point). Within-batch duplicates are
+  * collapsed first via exact content digest; cross-batch near-dups via
+  * the index probe.
+  */
+object DocStream {
+
+  /** Start the ingestion query. `indexTable` must exist (create the seed
+    * with [[Dedup.writeSignatureIndex]], possibly from an empty corpus);
+    * survivors land in `outPath` as parquet, signatures append to the
+    * index with the same bucket spec. */
+  def dedupIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
+      outPath: String, checkpoint: String, numBuckets: Int = 16,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      minEstJaccard: Double = 0.25): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the session caches catalog-table file listings; the index grew
+        // outside this batch's plan, so drop the stale cache entry first
+        spark.catalog.refreshTable(indexTable)
+        // 1. collapse exact dups inside the batch (content digest)
+        val batchUnique = Dedup.exactSurvivors(batch)
+        // 2. probe the corpus index; batch docs with a near-dup are dropped
+        val batchIdx = Dedup
+          .signatureIndex(batchUnique, numHashes, bands, shingleK)
+          .localCheckpoint() // reused for the probe AND the index append
+        val dupIds = Dedup
+          .incrementalPairs(spark.table(indexTable), batchIdx, numHashes, minEstJaccard)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
+        // 3. emit survivors; grow the index with their signatures only
+        survivors.write.mode(SaveMode.Append).parquet(outPath)
+        batchIdx.join(dupIds, Seq("doc_id"), "left_anti")
+          .write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(numBuckets, "band", "bucket")
+          .sortBy("band", "bucket")
+          .saveAsTable(indexTable)
+        ()
+      }
+      .start()
+}

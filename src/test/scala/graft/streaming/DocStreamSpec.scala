@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+class DocStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming ingestion dedups each batch against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-docstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "completely different content about gardens and flowers"
+
+    // seed: an EMPTY corpus index
+    Dedup.writeSignatureIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "stream_idx", numBuckets = 4)
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "stream_idx", out, ckpt, numBuckets = 4)
+    try {
+      // batch 1: two new docs + an in-batch exact dup of A
+      input.addData((1L, textA), (2L, textB), (3L, textA))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup of A (must be dropped via the index
+      // probe) and one genuinely new doc
+      input.addData((4L, textA), (5L, textC))
+      q.processAllAvailable()
+
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 5L),
+        s"expected in-batch dup 3 and cross-batch dup 4 dropped: $survivors")
+      // the index holds exactly the survivors' signatures (4 bands each)
+      spark.catalog.refreshTable("stream_idx") // appended outside this plan
+      val idxDocs = spark.table("stream_idx")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxDocs == Set(1L, 2L, 5L))
+      assert(spark.table("stream_idx").count() == 3 * 4)
+    } finally q.stop()
+  }
+}
