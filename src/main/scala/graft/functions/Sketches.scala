@@ -44,4 +44,33 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(round(lit(k - 1) / col("hk"), 4)).as("est_distinct")): _*)
   }
+
+  /** Per-group approximate quantiles by FIXED-POINT BINNING: values map
+    * to integer bins `floor(v·scale)`, per-bin counts accumulate (a hash
+    * aggregate with map-side combine — state is O(distinct bins), bounded
+    * by the value range × scale, independent of row count), and the
+    * q-quantile is the smallest bin whose cumulative count reaches
+    * `ceil(q·n)` — all integer arithmetic, so the estimate is
+    * bit-reproducible in any engine. Spark's `percentile_approx`
+    * (Greenwald-Khanna) has engine-specific internals no oracle can
+    * mirror; this trades a known ±1/scale value error for exact
+    * portability and a fixed memory bound. Quantiles are passed as
+    * rationals (num, den, outputName) to keep the threshold integral. */
+  def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(Int, Int, String)], scale: Int = 100): DataFrame = {
+    require(scale > 0 && qs.nonEmpty)
+    val g = groupCols.map(col)
+    val binned = df
+      .groupBy((g :+ floor(col(valueCol) * scale).cast("long").as("bin")): _*)
+      .agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(g: _*).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(g: _*)))
+    val qCols = qs.map { case (num, den, name) =>
+      (min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"), col("bin")))
+        / scale.toDouble).as(name)
+    }
+    cum.groupBy(g: _*).agg(qCols.head, qCols.tail: _*)
+  }
 }

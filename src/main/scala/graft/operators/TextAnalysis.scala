@@ -250,6 +250,14 @@ object TextAnalysis {
     graft.functions.Sketches.kmvDistinct(
       tokenized(Tables.documents(spark, dir)), Seq("lang"), "token", k = 256)
       .orderBy("lang", "est_distinct")
+
+  /** Binned-quantile sketch of event values per type (p50/p95/p99 at
+    * cent resolution — portable approximate percentiles). */
+  def qEventQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.binnedQuantiles(
+      Tables.events(spark, dir), Seq("event_type"), "value",
+      qs = Seq((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")), scale = 100)
+      .orderBy("event_type", "p50", "p95", "p99")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

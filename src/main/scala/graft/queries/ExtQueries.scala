@@ -34,6 +34,7 @@ object ExtQueries {
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
     "text_repetition"       -> TextAnalysis.qRepetition _,
+    "events_quantiles"      -> TextAnalysis.qEventQuantiles _,
     "text_contamination"    -> TextAnalysis.qContamination _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
     "pipeline_curate"       -> Pipeline.qCurate _,
@@ -526,6 +527,19 @@ object ExtQueries {
          |  WHERE p.pos = length(d.text) AND length(d.text) < 32)
          |ORDER BY doc_id, fingerprint""".stripMargin
     },
+
+    "events_quantiles" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bin,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |cw AS (SELECT event_type, bin,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type,
+        |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bin END) / 100.0 AS p50,
+        |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bin END) / 100.0 AS p95,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) / 100.0 AS p99
+        |FROM cw GROUP BY event_type
+        |ORDER BY event_type, p50, p95, p99""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -54,6 +54,20 @@ class TopKSpec extends AnyFunSuite {
       s"estimate ${est("big")} too far from 5000")
   }
 
+  test("binned quantiles land within one bin of the exact quantile") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("g", (i % 500) / 10.0)) // 0.0 .. 49.9
+    val df = vals.toDF("g", "v")
+    val row = Sketches.binnedQuantiles(df, Seq("g"), "v",
+      qs = Seq((1, 2, "p50"), (19, 20, "p95")), scale = 100).collect().head
+    def exact(q: Double): Double = {
+      val sorted = vals.map(_._2).sorted
+      sorted(math.ceil(q * sorted.size).toInt - 1)
+    }
+    assert(math.abs(row.getDouble(1) - exact(0.5)) <= 0.01, s"p50=${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - exact(0.95)) <= 0.01, s"p95=${row.getDouble(2)}")
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =
