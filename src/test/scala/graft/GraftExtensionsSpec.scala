@@ -58,6 +58,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native n-gram expressions fuzz-equal the composed formulations") {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // strings over a hostile alphabet: spaces (single/multiple), ASCII,
+    // multibyte, empty — 60 deterministic cases
+    val alphabet = Gen.oneOf(' ', ' ', 'a', 'b', 'é', '日', 'z', '0')
+    val genText = Gen.listOf(alphabet).map(_.mkString)
+    val texts = (1 to 60).flatMap(i =>
+      genText(Gen.Parameters.default.withSize(40), Seed(i.toLong))).distinct
+    val df = texts.toDF("t")
+    val rows = df.select(col("t"),
+        graft.operators.Shingles.fromText(col("t"), 3).as("wNative"),
+        graft.operators.Shingles.fromTokens(
+          graft.operators.Shingles.tokens(col("t")), 3).as("wComposed"),
+        graft.functions.TextExpressions.charNGrams(col("t"), 3).as("cNative"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"word ngrams: '$t'")
+      val expected =
+        if (t.length < 3) Seq.empty[String]
+        else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      assert(r.getSeq[String](3) == expected, s"char ngrams: '$t'")
+    }
+    assert(rows.length >= 50, "fuzz corpus must be non-trivial")
+  }
+
   test("graft_hamming counts differing bytes; length gap counts as mismatch") {
     GraftExtensions.register(spark)
     def h(a: String, b: String): Long =
