@@ -322,4 +322,17 @@ object Similarity {
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("method", "query_id", "n_hit", "recall")
+
+  /** Corpus composition by embedding cluster — the data-mixture report a
+    * training pipeline balances against (per-cluster doc counts over the
+    * same portable k-means cells IVF probes). */
+  def qClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    val cents = kmeansCentroids(vecs, numCentroids = 8)
+      .select(col("centroid_id").as("vec_id"), col("cv").as("embedding"))
+    ivfAssign(vecs, cents)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("centroid_id", "n_vecs")
+  }
 }

@@ -26,6 +26,7 @@ object ExtQueries {
     "ann_ivf"               -> Similarity.qIvfAnn _,
     "ann_lsh"               -> Similarity.qLshAnn _,
     "ann_recall"            -> Similarity.qAnnRecall _,
+    "ann_cluster_sizes"     -> Similarity.qClusterSizes _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -408,6 +409,12 @@ object ExtQueries {
          |QUALIFY row_number() OVER (PARTITION BY q.query_id
          |  ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 3
          |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    "ann_cluster_sizes" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()}
+         |SELECT centroid_id, count(*) AS n_vecs FROM asg2
+         |GROUP BY centroid_id ORDER BY centroid_id, n_vecs""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $vecCte,
