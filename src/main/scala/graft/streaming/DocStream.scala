@@ -22,8 +22,9 @@ import graft.operators.Dedup
   * TABLE, which is exactly the case Structured Streaming delegates to
   * batch semantics (stream-static joins re-read the static side per
   * batch — here that re-read is the point). Within-batch duplicates are
-  * collapsed first via exact content digest; cross-batch near-dups via
-  * the index probe.
+  * collapsed first (exact via content digest, near via a self-probe of
+  * the batch index, min-id survivor); cross-batch near-dups via the
+  * corpus index probe.
   */
 object DocStream {
 
@@ -43,13 +44,23 @@ object DocStream {
         spark.catalog.refreshTable(indexTable)
         // 1. collapse exact dups inside the batch (content digest)
         val batchUnique = Dedup.exactSurvivors(batch)
-        // 2. probe the corpus index; batch docs with a near-dup are dropped
         val batchIdx = Dedup
           .signatureIndex(batchUnique, numHashes, bands, shingleK)
-          .localCheckpoint() // reused for the probe AND the index append
-        val dupIds = Dedup
+          .localCheckpoint() // reused for both probes AND the index append
+        // 2a. WITHIN-batch near-dups: probe the batch index against
+        // itself, keep the min doc_id of each matching pair (the same
+        // survivor rule as exact dedup) — without this, two
+        // near-identical docs arriving in one batch would both survive
+        val inBatchDups = Dedup
+          .incrementalPairs(batchIdx, batchIdx, numHashes, minEstJaccard)
+          .filter(col("batch_id") =!= col("corpus_id"))
+          .filter(col("batch_id") > col("corpus_id")) // keep the smaller id
+          .select(col("batch_id").as("doc_id")).distinct()
+        // 2b. CROSS-batch near-dups: probe the persisted corpus index
+        val corpusDups = Dedup
           .incrementalPairs(spark.table(indexTable), batchIdx, numHashes, minEstJaccard)
           .select(col("batch_id").as("doc_id")).distinct()
+        val dupIds = inBatchDups.union(corpusDups).distinct()
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
         // 3. emit survivors; grow the index with their signatures only
         survivors.write.mode(SaveMode.Append).parquet(outPath)

@@ -29,9 +29,14 @@ class DocStreamSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val q = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
       spark, "stream_idx", out, ckpt, numBuckets = 4)
+    // near-dup of A inside one batch: one word differs → shares LSH
+    // buckets and most signature components with A
+    val textA2 = textA.replace("theta", "iota")
+
     try {
-      // batch 1: two new docs + an in-batch exact dup of A
-      input.addData((1L, textA), (2L, textB), (3L, textA))
+      // batch 1: two new docs, an in-batch EXACT dup of A, and an
+      // in-batch NEAR dup of A (min-id survivor keeps 1)
+      input.addData((1L, textA), (2L, textB), (3L, textA), (6L, textA2))
       q.processAllAvailable()
       // batch 2: a cross-batch dup of A (must be dropped via the index
       // probe) and one genuinely new doc
@@ -41,7 +46,7 @@ class DocStreamSpec extends AnyFunSuite {
       val survivors = spark.read.parquet(out)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(1L, 2L, 5L),
-        s"expected in-batch dup 3 and cross-batch dup 4 dropped: $survivors")
+        s"expected in-batch dups 3,6 and cross-batch dup 4 dropped: $survivors")
       // the index holds exactly the survivors' signatures (4 bands each)
       spark.catalog.refreshTable("stream_idx") // appended outside this plan
       val idxDocs = spark.table("stream_idx")
