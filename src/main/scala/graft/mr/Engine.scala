@@ -1,7 +1,8 @@
 package graft.mr
 
 import java.util.concurrent.ConcurrentHashMap
-import scala.concurrent.{ExecutionContext, Future}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.concurrent.{ExecutionContext, Future, Promise}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -19,6 +20,18 @@ import graft.sources.Sinks
   * Completed algorithms are removed from the registry, mirroring the
   * reference's master cleanup (`server/views.go:135-157`).
   *
+  * Cancellation: each submission gets a UNIQUE Spark job-group id
+  * (`name#seq`), registered in the name registry BEFORE its Future can
+  * start. [[cancel]] flips the run's cancelled flag (aborting a body that
+  * has not launched a job yet) and calls
+  * `SparkContext.cancelJobGroupAndFutureJobs`, so a job the body launches
+  * AFTER the cancel call dies on submission — there is no window between
+  * "cancel observed no active jobs" and "body launches its first job", the
+  * race a plain `cancelJobGroup` leaves open. Unique group ids keep a
+  * stale future-jobs cancellation from ever hitting a resubmission of the
+  * same algorithm name, and Spark bounds the tracked-group set
+  * (`spark.scheduler.numCancelledJobGroupsToTrack`), so nothing leaks.
+  *
   * Two result paths:
   *   - [[submit]] — driver-side `Seq[KV]`, parity with the reference's
   *     `master.Results()` (`master/master.go:223`), fine for small results;
@@ -27,35 +40,37 @@ import graft.sources.Sinks
   *     the driver.
   */
 final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
-  private val running = new ConcurrentHashMap[String, Future[_]]()
-  private val cancelled = ConcurrentHashMap.newKeySet[String]()
+  private final case class Run(groupId: String, cancelled: AtomicBoolean,
+    done: Future[_])
+  private val running = new ConcurrentHashMap[String, Run]()
+  private val seq = new AtomicLong()
 
-  /** Common scheduling shell. Cancellation safety: `cancel` may run before
-    * the Future's thread has set the job group, in which case the Spark-side
-    * cancelJobGroup is a no-op — so the body checks the `cancelled` set and
-    * aborts without launching any job. The check runs AFTER setJobGroup:
-    * `cancel` adds to the set before calling cancelJobGroup, so a cancel
-    * that raced past an earlier gate either (a) wrote the set before this
-    * read — we abort here — or (b) wrote after it, in which case its
-    * cancelJobGroup call sees the group already registered and interrupts
-    * the running action (`interruptOnCancel = true`). Either interleaving
-    * cancels; there is no remaining window. */
+  /** Common scheduling shell. The registry entry (with its job-group id)
+    * is installed before the Future is constructed, so once `submit`
+    * has begun, a concurrent [[cancel]] always finds the run and its
+    * future-jobs cancellation covers every job the body will ever launch.
+    * The in-body flag check is a fast path that aborts without paying for
+    * a doomed job submission. */
   private def schedule[T](name: String)(body: => T): Future[T] = {
-    cancelled.remove(name)
+    val run = {
+      val p = Promise[T]()
+      Run(s"$name#${seq.incrementAndGet()}", new AtomicBoolean(false), p.future)
+    }
+    // Resubmitting a live name replaces its registry entry (reference
+    // semantics: a new POST of the same algorithm is a new master); the
+    // old run keeps executing under its own job group until cancelled.
+    running.put(name, run)
     val fut = Future {
-      spark.sparkContext.setJobGroup(name, s"graft MR algorithm $name",
-        interruptOnCancel = true)
+      spark.sparkContext.setJobGroup(run.groupId,
+        s"graft MR algorithm $name", interruptOnCancel = true)
       try {
-        if (cancelled.contains(name))
+        if (run.cancelled.get())
           throw new InterruptedException(s"algorithm $name cancelled before start")
         body
       } finally spark.sparkContext.clearJobGroup()
     }
-    running.put(name, fut)
-    // Drop bookkeeping for the name once the future settles — including its
-    // `cancelled` marker, which would otherwise leak one set entry per
-    // cancelled one-shot name for the Engine's lifetime.
-    fut.onComplete { _ => running.remove(name); cancelled.remove(name) }
+    // Guarded remove: only this run's entry — never a newer resubmission's.
+    fut.onComplete { _ => running.remove(name, run) }
     fut
   }
 
@@ -72,12 +87,17 @@ final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
     schedule(name) { Sinks.writeKvLines(MapReduce.results(input, spec), path, coalesceTo) }
 
   /** Cancel a running algorithm — the reference closes a master's workers
-    * and drops it (`master/master.go:198-209`). Marks the name cancelled
-    * FIRST so a submit whose Future hasn't started yet aborts at the gate. */
+    * and drops it (`master/master.go:198-209`). Cancelling a name that is
+    * not running is a no-op (nothing is recorded, nothing leaks). */
   def cancel(name: String): Unit = {
-    cancelled.add(name)
-    spark.sparkContext.cancelJobGroup(name)
-    running.remove(name)
+    val run = running.remove(name)
+    if (run != null) {
+      run.cancelled.set(true)
+      // Kills active jobs in the group AND fails any job submitted under
+      // it later — covering a body that passed the flag check but has not
+      // reached its first job yet.
+      spark.sparkContext.cancelJobGroupAndFutureJobs(run.groupId)
+    }
   }
 
   def runningAlgorithms: Set[String] = running.keySet().asScala.toSet

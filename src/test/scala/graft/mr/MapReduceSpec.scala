@@ -169,6 +169,20 @@ class MapReduceSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("cancelJobGroupAndFutureJobs kills a job launched AFTER the cancel") {
+    // Locks the Spark contract Engine.cancel relies on to close the
+    // gate-check → first-job-launch race: a job submitted under an
+    // already-cancelled group must fail on submission, not run.
+    val sc = spark.sparkContext
+    val group = s"race-closed-${System.nanoTime()}"
+    sc.cancelJobGroupAndFutureJobs(group)
+    sc.setJobGroup(group, "launched after cancel", interruptOnCancel = true)
+    try {
+      val res = scala.util.Try(sc.parallelize(1 to 100, 2).count())
+      assert(res.isFailure, "job in a future-cancelled group must not run")
+    } finally sc.clearJobGroup()
+  }
+
   test("lifecycle: JSON request → engine → results (reference §3 path)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
