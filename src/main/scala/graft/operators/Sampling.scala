@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling and sequence packing — the data-mixture side of
+  * a training-data pipeline: draw reproducible per-stratum samples (no RNG
+  * state, stable under reruns and corpus growth) and pack documents into
+  * fixed-token-budget training sequences.
+  *
+  * All randomness is the corpus-wide portable-hash trick (first 4 hex
+  * digits of an md5 → uniform 16-bit value), so the DuckDB oracle
+  * reproduces every decision bit-for-bit, and a row's fate depends only
+  * on its id + salt — resharding, re-ordering, or appending data never
+  * changes which existing rows are kept.
+  */
+object Sampling {
+
+  /** Uniform 16-bit hash of (salt, id): `hash16 / 65536` is the row's
+    * deterministic uniform draw in [0, 1). */
+  def hash16(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Bernoulli sample at rate `num/den`, identical on every engine and
+    * every run: keep iff hash16 · den < num · 65536. A pure filter — no
+    * shuffle, no sort, scales at scan speed. */
+  def bernoulli(df: DataFrame, idCol: String, num: Long, den: Long,
+      salt: String = "sample"): DataFrame =
+    df.filter(hash16(salt, col(idCol)) * den < num * 65536L)
+
+  /** Downsample every stratum to (in expectation) the size of the
+    * SMALLEST stratum — a balanced mixture. Per-stratum rate is
+    * min_count/count, applied in exact integer arithmetic:
+    * keep iff hash16 · count < min_count · 65536.
+    *
+    * Scale shape: one O(strata) aggregate broadcast back onto the scan,
+    * then a filter — the corpus itself never shuffles. (Integer guard:
+    * hash16 < 2^16, so the product stays in Long for strata below ~2^46
+    * rows; beyond that, widen to the 8-hex-digit hash and DECIMAL.) */
+  def balancedMixture(df: DataFrame, strataCol: String, idCol: String,
+      salt: String = "balance"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("n_min", min(col("n_stratum")).over(Window.partitionBy()))
+    df.join(broadcast(counts), strataCol)
+      .filter(hash16(salt, col(idCol)) * col("n_stratum") < col("n_min") * 65536L)
+      .drop("n_stratum", "n_min")
+  }
+
+  /** Weighted mixture: resample strata toward target WEIGHTS (relative
+    * proportions). The largest feasible target with no stratum
+    * oversampled keeps stratum s at `w_s · scale` rows, where
+    * scale = min over strata of count_s/w_s — computed exactly as an
+    * integer floor, then applied as the same hash-threshold filter.
+    * Unknown strata (no weight) are dropped. */
+  def weightedMixture(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Long], salt: String = "mixture"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(strataCol, "w")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+      .join(w, strataCol)
+      .withColumn("scale", min(expr("n_stratum div w")).over(Window.partitionBy()))
+      .withColumn("n_target", col("w") * col("scale"))
+    df.join(broadcast(counts), strataCol)
+      .filter(hash16(salt, col(idCol)) * col("n_stratum") < col("n_target") * 65536L)
+      .drop("w", "scale", "n_stratum", "n_target")
+  }
+
+  /** Pack documents into fixed-token-budget training sequences.
+    *
+    * Every doc gets a deterministic shard (so the sort below is bounded)
+    * and a deterministic within-shard shuffle position (hash16 — packing
+    * wants decorrelated neighbors, not corpus order). Within each
+    * (stratum, shard), documents are laid head-to-tail and chunk k is the
+    * docs whose FIRST token falls in [k·budget, (k+1)·budget) — the
+    * standard greedy concat-and-slice packing, expressed as one running
+    * sum window.
+    *
+    * Scale shape: the only data movement is the window's
+    * (stratum, shard) hash partition + in-partition sort; shards bound
+    * each sort to corpus_size/shards regardless of stratum skew, and
+    * shard count scales with the cluster, independent of data size. */
+  def packSequences(docs: DataFrame, tokensCol: Column, strataCol: String,
+      budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol), col("shard"))
+      .orderBy(col("pos"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", tokensCol)
+      .withColumn("pos", hash16(salt, col("doc_id")))
+      .withColumn("shard", (col("pos") % shards).cast("int"))
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("chunk", expr(s"start div ${budget}L").cast("long"))
+  }
+
+  /** Whitespace token count (matches TextAnalysis.tokenCounts n_ws). */
+  def wsTokens(text: Column): Column =
+    size(filter(split(text, " "), t => t =!= "")).cast("long")
+
+  // query-shaped entry points (SparkEntry contract) --------------------
+
+  /** 30% deterministic Bernoulli sample; per-language kept counts —
+    * the check is that every engine keeps the SAME rows, not ~30%. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    bernoulli(Tables.documents(spark, dir), "doc_id", 30, 100)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang", "n_kept")
+
+  /** Balance the corpus across languages (downsample to the smallest). */
+  def qSampleBalanced(spark: SparkSession, dir: String): DataFrame =
+    balancedMixture(Tables.documents(spark, dir), "lang", "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang", "n_kept")
+
+  /** Resample sources toward 3:1 weights en vs the rest. */
+  def qSampleMixture(spark: SparkSession, dir: String): DataFrame =
+    weightedMixture(Tables.documents(spark, dir), "lang", "doc_id",
+      Map("en" -> 3L, "es" -> 1L, "de" -> 1L, "fr" -> 1L, "zh" -> 1L))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang", "n_kept")
+
+  /** Pack each language's docs into 2048-token sequences over 4 shards;
+    * per-chunk fill report (docs, tokens — tokens near budget = good). */
+  def qPackChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    packSequences(docs, wsTokens(col("text")), "lang", budget = 2048L, shards = 4)
+      .groupBy(col("lang"), col("shard").cast("long").as("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "shard", "chunk", "n_docs", "n_tokens")
+  }
+}

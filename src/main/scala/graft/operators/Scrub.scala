@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text scrubbing for a training-data pipeline: whitespace/control-char
+  * normalization and PII redaction. Pure `regexp_replace`/`regexp_count`
+  * column transforms — codegen'd, narrow, zero shuffle: at 100 TB these
+  * run at scan speed on every executor with no data movement at all.
+  *
+  * Pattern portability: every regex here sticks to the syntax subset that
+  * Java regex (Spark) and RE2 (DuckDB oracle) evaluate identically —
+  * explicit classes, `\d`, `\b`, bounded repetition; no backrefs, no
+  * lookaround (RE2 has neither).
+  */
+object Scrub {
+
+  /** Whitespace/control normalization: every C0 control char (tab,
+    * newline, bell, …) becomes a space, space runs collapse to one,
+    * ends trimmed — the canonical first pass over web-crawled text. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
+
+  /** PII patterns, applied in this order (email first — its local part
+    * would otherwise be chewed up by the number patterns). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses and NANP-style phone numbers with
+    * typed placeholder tokens (the shape LLM-corpus scrubbers emit, so
+    * the model sees a consistent `<EMAIL>` vocabulary instead of noise). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document scrub report: match counts per PII class plus the md5
+    * of the redacted text (the strong cross-engine equality signal). */
+  def piiReport(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phone"),
+      md5(redactPii(text)).as("redacted_md5"))
+
+  // query-shaped entry points (SparkEntry contract) --------------------
+  //
+  // The synthetic corpus contains neither PII nor messy whitespace, so
+  // both queries DERIVE a deterministic dirty column from the real text
+  // first (id-dependent, so counts vary per doc) and scrub that — the
+  // oracle builds the identical string, making the md5 compare a real
+  // end-to-end check rather than a no-op pass-through.
+
+  /** Messy twin of `text`: leading/trailing runs, a tab after every
+    * "data", a BEL control char after every "row". */
+  private def messy(text: Column): Column =
+    concat(lit("  "),
+      regexp_replace(regexp_replace(text, "data", "data\t"), "row", "row\u0007"),
+      lit("   "))
+
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val m = messy(col("text"))
+    Tables.documents(spark, dir).select(col("doc_id"),
+        length(m).cast("long").as("len_raw"),
+        length(normalize(m)).cast("long").as("len_clean"),
+        md5(normalize(m)).as("clean_md5"))
+      .orderBy("doc_id", "len_raw", "len_clean", "clean_md5")
+  }
+
+  /** Text with synthesized PII appended: an email, an IP and a phone
+    * number, all derived from doc_id so every doc redacts differently. */
+  private def withPii(text: Column): Column = {
+    val id = col("doc_id").cast("string")
+    concat(text,
+      lit(" contact u"), id, lit("@ex"), (col("doc_id") % 5).cast("string"),
+      lit(".org ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 tel 202-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+  }
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    piiReport(docs, withPii(col("text")))
+      .orderBy("doc_id", "n_email", "n_ip", "n_phone", "redacted_md5")
+  }
+}

@@ -42,7 +42,23 @@ object ExtQueries {
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
+    "text_normalize"        -> graft.operators.Scrub.qNormalize _,
+    "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
+    "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
+    "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
+    "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
+    "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
   )
+
+  /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
+    * first 4 hex digits of md5(salt || ':' || doc_id). */
+  private def hex16(salt: String): String = {
+    val m = s"md5('$salt:' || CAST(doc_id AS VARCHAR))"
+    (1 to 4).map { p =>
+      val mult = 1L << (4 * (4 - p))
+      s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+  }
 
   /** Shared CTE chain (no leading WITH, composable): distinct word-3-gram
     * shingles per doc of relation `rel` (matches Shingles k=3: docs with
@@ -647,5 +663,72 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    "text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  '  ' || regexp_replace(regexp_replace(text, 'data', 'data' || chr(9), 'g'),
+        |                         'row', 'row' || chr(7), 'g') || '   ' AS messy
+        |  FROM documents),
+        |c AS (SELECT doc_id, messy,
+        |  trim(regexp_replace(regexp_replace(messy, '[\x00-\x1f]', ' ', 'g'),
+        |                      ' +', ' ', 'g')) AS clean FROM m)
+        |SELECT doc_id, length(messy) AS len_raw, length(clean) AS len_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id, len_raw, len_clean, clean_md5""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |       || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+        |       || '.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.7 tel 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id, n_email, n_ip, n_phone, redacted_md5""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_kept
+         |FROM documents
+         |WHERE ${hex16("sample")} * 100 < 30 * 65536
+         |GROUP BY lang ORDER BY lang, n_kept""".stripMargin,
+
+    "sample_balanced" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_stratum) AS n_min FROM c)
+         |SELECT d.lang, count(*) AS n_kept
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE ${hex16("balance")} * n_stratum < n_min * 65536
+         |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "sample_mixture" ->
+      s"""WITH w(lang, w) AS (VALUES ('en', 3), ('es', 1), ('de', 1), ('fr', 1), ('zh', 1)),
+         |c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+         |s AS (SELECT min(n_stratum // w) AS scale FROM c JOIN w USING (lang)),
+         |t AS (SELECT lang, n_stratum, w * scale AS n_target
+         |      FROM c JOIN w USING (lang) CROSS JOIN s)
+         |SELECT d.lang, count(*) AS n_kept
+         |FROM documents d JOIN t USING (lang)
+         |WHERE ${hex16("mixture")} * n_stratum < n_target * 65536
+         |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "pack_chunks" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         |    ${hex16("pack")} AS pos
+         |  FROM documents),
+         |r AS (SELECT lang, pos % 4 AS shard, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang, pos % 4 ORDER BY pos, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+         |  FROM d)
+         |SELECT lang, shard, start // 2048 AS chunk,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2, 3 ORDER BY lang, shard, chunk, n_docs, n_tokens""".stripMargin,
   )
 }

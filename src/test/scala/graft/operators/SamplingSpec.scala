@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sampling/packing semantics: determinism, growth-stability, mixture
+  * targets, and packing invariants (no doc lost, fills near budget). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"lang${i % 4}", s"doc $i body")).toDF("doc_id", "lang", "text")
+
+  test("bernoulli sample is deterministic and growth-stable") {
+    val small = Sampling.bernoulli(corpus(400), "doc_id", 30, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.bernoulli(corpus(800), "doc_id", 30, 100)
+      .select("doc_id").as[Long].collect().toSet
+    // appending rows never changes the fate of existing rows
+    assert(big.filter(_ < 400) == small)
+    // rate lands near 30% (hash16 is uniform)
+    assert(math.abs(small.size - 120) < 40)
+  }
+
+  test("balancedMixture downsamples every stratum toward the smallest") {
+    // skewed strata: lang0 has 4x the docs of lang3
+    val skewed = (0 until 1000).map { i =>
+      val lang = if (i < 640) "big" else if (i < 840) "mid" else "small"
+      (i.toLong, lang, "t")
+    }.toDF("doc_id", "lang", "text")
+    val kept = Sampling.balancedMixture(skewed, "lang", "doc_id")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // smallest stratum (160) kept whole; others near 160 in expectation
+    assert(kept("small") == 160)
+    assert(math.abs(kept("big") - 160) < 60 && math.abs(kept("mid") - 160) < 60)
+  }
+
+  test("weightedMixture hits relative target proportions") {
+    val df = corpus(1000) // 250 per lang
+    val kept = Sampling.weightedMixture(df, "lang", "doc_id",
+        Map("lang0" -> 3L, "lang1" -> 1L, "lang2" -> 1L, "lang3" -> 1L))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // scale = min(250/3, 250/1) = 83 → targets 249/83/83/83
+    assert(kept("lang0") > 200, s"lang0 kept ${kept("lang0")}")
+    assert(math.abs(kept("lang1") - 83) < 40)
+    // the heavy stratum keeps ~3x the light ones
+    assert(kept("lang0") > 2 * kept("lang1"))
+  }
+
+  test("weightedMixture drops strata with no weight") {
+    val kept = Sampling.weightedMixture(corpus(100), "lang", "doc_id",
+        Map("lang0" -> 1L))
+      .select("lang").distinct().as[String].collect().toSet
+    assert(kept == Set("lang0"))
+  }
+
+  test("packSequences keeps every doc exactly once and fills chunks") {
+    val docs = (0 until 500).map(i => (i.toLong, "en", 10L + i % 50)).toDF("doc_id", "lang", "n")
+    val packed = Sampling.packSequences(docs, col("n"), "lang", budget = 512L, shards = 4)
+    assert(packed.count() == 500)
+    assert(packed.select("doc_id").distinct().count() == 500)
+    val fills = packed.groupBy("lang", "shard", "chunk")
+      .agg(sum("n_tok").as("toks")).as[(String, Int, Long, Long)].collect()
+    // every non-final chunk of a shard ends within one doc of the budget:
+    // a chunk closes only because the next doc STARTS past the boundary
+    val maxChunk = fills.groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._3).max).toMap
+    fills.filter(f => f._3 < maxChunk((f._1, f._2))).foreach { f =>
+      assert(f._4 > 512L - 60L, s"underfilled non-final chunk: $f")
+    }
+  }
+
+  test("packSequences chunk assignment is the running-sum rule") {
+    // single shard, known order: verify chunk = floor(start/budget)
+    val docs = Seq((1L, "x", 100L), (2L, "x", 100L), (3L, "x", 100L)).toDF("doc_id", "lang", "n")
+    val p = Sampling.packSequences(docs, col("n"), "lang", budget = 150L, shards = 1)
+      .select("doc_id", "start", "chunk").as[(Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(p.map(_._2).toSeq == Seq(0L, 100L, 200L))
+    assert(p.map(_._3).toSeq == Seq(0L, 0L, 1L))
+  }
+}
