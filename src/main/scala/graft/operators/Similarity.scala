@@ -58,44 +58,59 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Assign every vector to its nearest centroid (cos desc, centroid id
-    * asc as tie-break). Centroids are broadcast — the N-row side never
-    * shuffles — and the argmin is a hash aggregate `max(struct(csim,
-    * -centroid_id))` with map-side partial aggregation: each task reduces
-    * its local N×C scored rows back to N before the (vec_id) shuffle.
-    * A window/row_number argmin would shuffle and sort all N×C rows.
-    * Returns (vec_id, v, nrm, centroid_id). */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding").as("v"))
+  /** A collected centroid set: (id, components, norm) — O(k·dim) DRIVER
+    * metadata, the same materialization a broadcast-join build performs.
+    * The norm replicates `l2Norm` exactly: sequential double sum of
+    * squares (DotProduct accumulation order), then sqrt. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    centroids.select(col("vec_id").cast("long"), toDouble(col("embedding")))
+      .collect().toSeq.map { r =>
+        val cv = r.getSeq[Double](1)
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        (r.getLong(0), cv, math.sqrt(s))
+      }.sortBy(_._1)
+
+  /** Nearest-centroid assignment against LITERAL centroids: one narrow
+    * projection, ZERO shuffle — the argmax runs per row as
+    * `greatest(struct(csim, -id)…)` over k plan-literal vectors (cos desc,
+    * centroid id asc tie-break, NaN-greatest semantics identical to the
+    * aggregate formulation it replaced). At any corpus size the N-row side
+    * only ever streams through the scan. Returns (vec_id, v, nrm,
+    * centroid_id). */
+  private def assignByCentroids(vectors: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val scored = cents.map { case (id, cv, cn) =>
+      struct(
+        cosineWithNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cn)).as("csim"),
+        lit(-id).as("negc"))
+    }
+    vectors.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      .withColumn("cn", l2Norm(col("cv")))
-    v.crossJoin(broadcast(c))
-      .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(struct(col("csim"), (-col("centroid_id")).as("negc"))).as("best"))
+      .withColumn("best", if (scored.sizeIs > 1) greatest(scored: _*) else scored.head)
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("best.negc")).cast("long").as("centroid_id"))
   }
 
-  /** Portable fixed-iteration Lloyd k-means over the embedding column:
-    * cosine assignment (via [[ivfAssign]]) alternating with a mean update.
-    * The update quantizes each component to fixed point —
-    * `floor(x · 10^6)` as a long — and SUMS LONGS, because double addition
-    * is not associative: a float-sum mean would depend on partition order
-    * (and differ from the oracle), while integer sums are
-    * order-insensitive. The centroid component is then the single double
-    * division `sum / (n · 10^6)`, bit-identical in any engine. floor (not
-    * round) avoids engine round-half disagreement. Seeds are the first
-    * `numCentroids` vectors by id — deterministic, no RNG. */
-  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
-    var cents = vectors.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("centroid_id"), toDouble(col("embedding")).as("cv"))
+  /** Assign every vector to its nearest centroid (cos desc, centroid id
+    * asc as tie-break). The centroid frame is collected to the driver
+    * (O(k·dim) metadata — a broadcast build, not a data collect) and
+    * embedded as plan literals, so the N-row side is a narrow
+    * zero-shuffle projection. Returns (vec_id, v, nrm, centroid_id). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignByCentroids(vectors, collectCentroids(centroids))
+
+  /** Portable fixed-iteration Lloyd k-means, collected form. Each
+    * iteration: literal-centroid assignment (zero shuffle) + one
+    * O(centroids × dims) fixed-point sum aggregate, whose 512-row result
+    * is collected and becomes the next iteration's literals. */
+  private def kmeansCollected(vectors: DataFrame, numCentroids: Int,
+      iters: Int): Seq[(Long, Seq[Double], Double)] = {
+    var cents = collectCentroids(
+      vectors.filter(col("vec_id") < numCentroids).select(col("vec_id"), col("embedding")))
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(vectors,
-        cents.select(col("centroid_id").as("vec_id"), col("cv").as("embedding")))
+      val assigned = assignByCentroids(vectors, cents)
       // per-(centroid, dim) fixed-point sum; map-side partial aggregation
       // keeps the shuffle at O(centroids × dims) per task
       val sums = assigned
@@ -104,13 +119,36 @@ object Similarity {
           floor(col("col").cast("double") * 1000000d).cast("long").as("q"))
         .groupBy("centroid_id", "pos")
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      cents = sums
-        .withColumn("c", col("s") / (col("n") * lit(1000000d)))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("centroid_id"), expr("transform(pc, x -> x.c)").as("cv"))
+        .select(col("centroid_id"), col("pos"),
+          (col("s") / (col("n") * lit(1000000d))).as("c"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (id, rows) =>
+        val cv = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        (id, cv, math.sqrt(s))
+      }.sortBy(_._1)
     }
     cents
+  }
+
+  /** Portable fixed-iteration Lloyd k-means over the embedding column:
+    * cosine assignment alternating with a mean update. The update
+    * quantizes each component to fixed point — `floor(x · 10^6)` as a
+    * long — and SUMS LONGS, because double addition is not associative:
+    * a float-sum mean would depend on partition order (and differ from
+    * the oracle), while integer sums are order-insensitive. The centroid
+    * component is then the single double division `sum / (n · 10^6)`,
+    * bit-identical in any engine. floor (not round) avoids engine
+    * round-half disagreement. Seeds are the first `numCentroids` vectors
+    * by id — deterministic, no RNG. Returns (centroid_id, cv). */
+  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    kmeansCollected(vectors, numCentroids, iters)
+      .map { case (id, cv, _) => (id, cv) }
+      .toDF("centroid_id", "cv")
   }
 
   /** IVF top-k: probe the query's own cell only (nprobe=1). Exact within
@@ -119,9 +157,8 @@ object Similarity {
     * the raw deterministic-subset seeds). */
   def ivfTopK(vectors: DataFrame, numCentroids: Int, queryPred: org.apache.spark.sql.Column,
       k: Int, kmeansIters: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(vectors, numCentroids, kmeansIters)
-      .select(col("centroid_id").as("vec_id"), col("cv").as("embedding"))
-    val assigned = ivfAssign(vectors, centroids)
+    val assigned = assignByCentroids(vectors,
+      kmeansCollected(vectors, numCentroids, kmeansIters))
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("centroid_id"))
@@ -178,16 +215,27 @@ object Similarity {
     * L bucket joins (each still candidate-bounded). */
   def lshAnnMultiTable(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int, numPlanes: Int = 8, dim: Int = 64, tables: Int = 4): DataFrame = {
+    // All L tables' bucket keys come out of ONE narrow corpus pass
+    // (L·numPlanes literal-plane dots per row) instead of L separate
+    // scans; keys are table-prefixed so a single equi-join probes every
+    // table at once. Same candidate set as the per-table formulation.
+    def tableKey(t: Int): org.apache.spark.sql.Column = {
+      val bits = (0 until numPlanes).map { j =>
+        val p = (0 until dim).map(d => planeComponent(t * numPlanes + j, d))
+        when(dot(col("embedding"), typedLit(p)) >= 0, "1").otherwise("0")
+      }
+      concat(lit(s"$t:") +: bits: _*)
+    }
+    val keyed = vectors.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(tableKey): _*)).as("bkey"))
+    val q = keyed.filter(queryPred).select(col("vec_id").as("query_id"), col("bkey"))
+    val cand = keyed.select(col("vec_id").as("neighbor_id"), col("bkey"))
+      .join(broadcast(q), Seq("bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct() // a pair can collide in several tables
     val base = vectors.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", l2Norm(col("embedding")))
-    val cand = (0 until tables).map { t =>
-      val b = signLshBuckets(vectors, numPlanes, dim, planeOffset = t * numPlanes)
-      val q = b.filter(queryPred).select(col("vec_id").as("query_id"), col("bucket"))
-      b.select(col("vec_id").as("neighbor_id"), col("bucket"))
-        .join(broadcast(q), Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id")
-    }.reduce(_ union _).distinct() // a pair can collide in several tables
     val scored = cand
       .join(broadcast(base.filter(queryPred).select(col("vec_id").as("query_id"),
         col("embedding").as("qv"), col("nrm").as("qn"))), "query_id")
@@ -328,9 +376,7 @@ object Similarity {
     * same portable k-means cells IVF probes). */
   def qClusterSizes(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-    val cents = kmeansCentroids(vecs, numCentroids = 8)
-      .select(col("centroid_id").as("vec_id"), col("cv").as("embedding"))
-    ivfAssign(vecs, cents)
+    assignByCentroids(vecs, kmeansCollected(vecs, numCentroids = 8, iters = 2))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("centroid_id", "n_vecs")
