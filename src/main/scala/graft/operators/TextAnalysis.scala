@@ -83,7 +83,11 @@ object TextAnalysis {
     * double ops on exact integer counts, so the score is reproducible.
     */
   def qualityScore(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
-    val t = tokenized(docs)
+    // local lang-free tokenization: quality needs only (doc_id, token),
+    // and callers (e.g. streaming curation) may not carry a lang column
+    val t = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
     val stats = t.groupBy("doc_id").agg(
       count(lit(1)).as("n_tok"),
       countDistinct(col("token")).as("n_distinct"),

@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Scrub, TextAnalysis}
 
 /** Streaming corpus ingestion with incremental near-dup dedup — the
   * composition a continuously-refreshed 100 TB training corpus runs:
   *
   *   stream of documents
+  *     → (curate mode: normalize + redact PII + quality gate)
   *     → per micro-batch: MinHash signature index of the batch
   *     → probe the PERSISTED corpus signature index (bucketed on the
   *       probe key — the corpus side joins with zero exchange and is
@@ -36,14 +37,45 @@ object DocStream {
       outPath: String, checkpoint: String, numBuckets: Int = 16,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
       minEstJaccard: Double = 0.25): StreamingQuery =
+    ingest(docs, spark, indexTable, outPath, checkpoint, identity,
+      numBuckets, numHashes, bands, shingleK, minEstJaccard)
+
+  /** Full curation funnel per micro-batch: text normalization → PII
+    * redaction → quality gate → dedup (exact, in-batch near, cross-batch
+    * index probe). Scrubbing runs BEFORE signatures, so near-dup
+    * detection sees canonical text (two docs differing only in
+    * whitespace/PII collapse to exact dups), and nothing un-scrubbed can
+    * reach the corpus sink. Docs with no tokens after scrubbing are
+    * dropped with the quality gate. */
+  def curateIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
+      outPath: String, checkpoint: String, minQuality: Double = 0.2,
+      numBuckets: Int = 16, numHashes: Int = 16, bands: Int = 4,
+      shingleK: Int = 3, minEstJaccard: Double = 0.25): StreamingQuery =
+    ingest(docs, spark, indexTable, outPath, checkpoint,
+      prepare = { batch =>
+        val scrubbed = batch
+          .withColumn("text", Scrub.redactPii(Scrub.normalize(col("text"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val keep = TextAnalysis.qualityScore(scrubbed)
+          .filter(col("quality") >= minQuality)
+          .select("doc_id")
+        scrubbed.join(keep, "doc_id")
+      },
+      numBuckets, numHashes, bands, shingleK, minEstJaccard)
+
+  private def ingest(docs: DataFrame, spark: SparkSession, indexTable: String,
+      outPath: String, checkpoint: String, prepare: DataFrame => DataFrame,
+      numBuckets: Int, numHashes: Int, bands: Int, shingleK: Int,
+      minEstJaccard: Double): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // the session caches catalog-table file listings; the index grew
         // outside this batch's plan, so drop the stale cache entry first
         spark.catalog.refreshTable(indexTable)
-        // 1. collapse exact dups inside the batch (content digest)
-        val batchUnique = Dedup.exactSurvivors(batch)
+        // 1. scrub/filter (curate mode), then collapse exact dups inside
+        // the batch (content digest)
+        val batchUnique = Dedup.exactSurvivors(prepare(batch))
         val batchIdx = Dedup
           .signatureIndex(batchUnique, numHashes, bands, shingleK)
           .localCheckpoint() // reused for both probes AND the index append

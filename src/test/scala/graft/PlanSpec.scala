@@ -83,16 +83,17 @@ class PlanSpec extends AnyFunSuite {
     assert(r.sortMergeJoins == 0, r.planString)
   }
 
-  test("k-means assignment is a broadcast of centroids + hash-aggregate argmax") {
+  test("k-means assignment is a zero-shuffle narrow projection") {
     val r = PlanAudit.audit(graft.operators.Similarity.ivfAssign(
       Tables.embeddings(spark, sf).select(
         org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding")),
       Tables.embeddings(spark, sf).filter("vec_id < 4")))
-    // centroids ride a broadcast nested-loop cross join (C rows); the
-    // argmax is max(struct(...)) — a hash aggregate, not a window sort
-    assert(r.nestedLoopJoins >= 1, r.planString)
-    assert(r.sortMergeJoins == 0, r.planString)
+    // centroids are collected (O(k·dim) driver metadata) and embedded as
+    // plan literals; the per-row argmax is greatest(struct(...)) — the
+    // N-row side is scan → project: no join, no shuffle, no window
+    assert(r.shuffles == 0, r.planString)
+    assert(r.broadcastJoins + r.sortMergeJoins + r.nestedLoopJoins == 0, r.planString)
     assert(!r.planString.contains("Window"), r.planString)
   }
 

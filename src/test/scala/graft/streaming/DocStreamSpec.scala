@@ -55,4 +55,44 @@ class DocStreamSpec extends AnyFunSuite {
       assert(spark.table("stream_idx").count() == 3 * 4)
     } finally q.stop()
   }
+
+  test("curateIngest scrubs, quality-gates, and dedups per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-curatestream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    Dedup.writeSignatureIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "curate_idx", numBuckets = 4)
+
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // same content as `good` modulo whitespace ONLY: after normalize the
+    // two are byte-identical, so scrub-before-dedup must collapse them
+    // as an in-batch EXACT dup
+    val goodMessy = "  alpha  beta\tgamma delta epsilon zeta eta theta iota kappa  "
+    val junk = "x x x x" // low quality: short, repetitive, no stopwords
+    val fresh = "completely different content about gardens and flowers, mail me x@y.io"
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "curate_idx", out, ckpt, minQuality = 0.2, numBuckets = 4)
+    try {
+      input.addData((1L, good), (2L, junk), (3L, goodMessy))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup of `good` (messy again — identical
+      // after scrubbing, caught by the index probe) + a new doc with PII
+      input.addData((4L, "  " + good + "  "), (5L, fresh))
+      q.processAllAvailable()
+
+      val rows = spark.read.parquet(out).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 5L),
+        s"junk 2 gated, scrub-dups 3,4 dropped: ${rows.keySet}")
+      // survivors carry scrubbed text (no runs/control chars, PII tokenized)
+      rows.values.foreach { t =>
+        assert(!t.contains("  ") && !t.contains("\t") && t == t.trim)
+      }
+      assert(rows(5L).endsWith("mail me <EMAIL>"), rows(5L))
+    } finally q.stop()
+  }
 }
