@@ -38,6 +38,9 @@ object SparkEntry {
     "q18_customers_no_orders" -> CoreQueries.q18CustomersNoOrders _,
     "q21_pricing_cube" -> CoreQueries.q21PricingCube _,
     "q22_segment_intersect" -> CoreQueries.q22SegmentIntersect _,
+    "q23_customer_except" -> CoreQueries.q23CustomerExcept _,
+    "q24_median_disc"  -> CoreQueries.q24MedianDisc _,
+    "q25_event_pivot"  -> CoreQueries.q25EventPivot _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -168,5 +171,25 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '5-LOW' AND o_totalprice < 100000.0
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q23_customer_except" ->
+      """SELECT o_custkey
+        |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q24_median_disc" ->
+      """SELECT event_type, quantile_disc(value, 0.5) AS p50, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type, p50, n""".stripMargin,
+
+    "q25_event_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -45,11 +45,14 @@ object TextAnalysis {
     */
   def langIdConfusion(docs: DataFrame): DataFrame = {
     // The exploded trigram frame feeds BOTH passes (profile learning and
-    // per-doc scoring) — materialize it once with truncated lineage so
-    // the corpus explode runs a single time. Profile pass then aggregates
-    // on (lang, tri) with map-side partial counts — shuffle is
+    // per-doc scoring). It is deliberately NOT materialized: the native
+    // CharNGrams explode runs at scan speed, so recomputing it costs two
+    // corpus scans — while checkpointing would write the 3–5× exploded
+    // corpus to executor disks (measured timing-neutral at sf0.1, and the
+    // re-scan is the only shape that survives 100 TB). Profile pass
+    // aggregates on (lang, tri) with map-side partial counts — shuffle is
     // O(langs × distinct tri).
-    val tri = charTrigrams(docs).localCheckpoint()
+    val tri = charTrigrams(docs)
     val byLangFreq = Window.partitionBy(col("plang"))
       .orderBy(desc("cnt"), asc("tri"))
     val profile = tri.groupBy(col("lang").as("plang"), col("tri"))
@@ -212,6 +215,29 @@ object TextAnalysis {
         (expr("(n_hit * 20000 + n_sh) div (n_sh * 2)") / 10000.0).as("ratio"))
   }
 
+  /** Integer-portable TF-IDF: the `topK` most DISTINCTIVE tokens per doc,
+    * ranked by `tf · ((N · 10000) div df)` — term frequency times an
+    * integer idf surrogate (log-free: `ln` is libm-dependent and would
+    * diverge between engines; the integer ratio preserves the df ordering
+    * that matters for ranking). Ties break on token text. Document
+    * frequency is derived from the tf frame (already one row per
+    * (doc, token)) — no second distinct pass over the corpus. */
+  def tfidfTop(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * expr("(n_total * 10000) div df"))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("token"), col("score"))
+  }
+
   /** Deterministic hash-based train/test split: a doc's split is a pure
     * function of its id (first 16 bits of md5 mod 100 vs the train
     * percentage) — stable across runs, machines, and engines; no RNG
@@ -240,6 +266,9 @@ object TextAnalysis {
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprint(Tables.documents(spark, dir))
       .orderBy("doc_id", "fingerprint")
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTop(Tables.documents(spark, dir))
+      .orderBy("doc_id", "token", "score")
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScore(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_ngrams", "dup_frac")

@@ -265,6 +265,42 @@ object CoreQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Q23 — EXCEPT (set difference): customers placing urgent expensive
+    * orders who never placed any low-priority one. Completes the set
+    * operators (INTERSECT in q22). Spark plans EXCEPT as a left-anti
+    * hash join over distinct keys — no sort, skew-splittable by AQE. */
+  def q23CustomerExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+      .except(
+        o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** Q24 — exact discrete median (PERCENTILE_DISC 0.5 WITHIN GROUP) of
+    * event values per type. disc (not cont): it RETURNS AN ELEMENT of the
+    * group, no interpolation arithmetic to diverge between engines — and
+    * at p=0.5 the picked index (smallest cume_dist ≥ q vs floor((n−1)q))
+    * provably coincides across engines for every n. */
+  def q24MedianDisc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "p50", "n")
+
+  /** Q25 — pivot: per user-id bucket, one count column per event type
+    * (explicit value list — deterministic output schema; Spark's pivot
+    * is a single hash aggregate over (bucket, type) then a reshape, not
+    * one pass per column). */
+  def q25EventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .orderBy("bucket")
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =

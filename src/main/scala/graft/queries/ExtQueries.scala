@@ -42,6 +42,7 @@ object ExtQueries {
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
+    "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
@@ -663,6 +664,18 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT doc_id, token, tf * ((n_total * 10000) // df) AS score
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) <= 3
+        |ORDER BY doc_id, token, score""".stripMargin,
 
     "text_normalize" ->
       """WITH m AS (SELECT doc_id,
