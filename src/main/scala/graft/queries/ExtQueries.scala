@@ -42,6 +42,7 @@ object ExtQueries {
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
+    "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
@@ -664,6 +665,25 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 'view', 2, count(*) FROM s2
+        |  UNION ALL SELECT 'click', 3, count(*) FROM s3
+        |  UNION ALL SELECT 'purchase', 4, count(*) FROM s4)
+        |ORDER BY step_idx, step, n_users""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, token

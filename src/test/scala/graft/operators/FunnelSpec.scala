@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Funnel semantics: strict time ordering, earliest-completion chains,
+  * monotone narrowing. */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(s * 1000L)
+
+  private def ev(rows: (Long, String, Int)*) =
+    rows.map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+
+  test("completes steps only in strict time order") {
+    val events = ev(
+      (1L, "a", 10), (1L, "b", 20), (1L, "c", 30), // full funnel
+      (2L, "a", 10), (2L, "b", 5),                 // b BEFORE a → stops at a
+      (3L, "b", 10), (3L, "c", 20))                // never did a → not counted
+    val got = Funnel.funnelCounts(events, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(("a", 1L, 2L), ("b", 2L, 1L), ("c", 3L, 1L)))
+  }
+
+  test("earliest-completion semantics: a later qualifying event still counts") {
+    // user does a@10, b@5 (too early, ignored), b@15 (counts)
+    val events = ev((1L, "a", 10), (1L, "b", 5), (1L, "b", 15))
+    val got = Funnel.funnelCounts(events, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("same-timestamp events do NOT satisfy the strict order") {
+    val events = ev((1L, "a", 10), (1L, "b", 10))
+    val got = Funnel.funnelCounts(events, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("chain uses the EARLIEST prefix completion, maximizing conversions") {
+    // a@10 and a@30; b@20 only qualifies against the earlier a
+    val events = ev((1L, "a", 10), (1L, "a", 30), (1L, "b", 20))
+    val got = Funnel.funnelCounts(events, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L))
+  }
+}
