@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{DotProduct, HammingDistance}
+import graft.functions.{CharNGrams, DotProduct, HammingDistance, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -40,7 +40,30 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_hamming(strA, strB) takes exactly 2 arguments")
         HammingDistance(args.head, args(1))
+      }),
+    (new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_char_ngrams(text, n) takes exactly 2 arguments")
+        CharNGrams(args.head, constInt(args(1), "graft_char_ngrams n"))
+      }),
+    (new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_ngrams(text, n) takes exactly 2 arguments")
+        WordNGrams(args.head, constInt(args(1), "graft_word_ngrams n"))
       }))
+
+  /** The n-gram width is part of the expression (it sizes codegen
+    * buffers), so the SQL argument must be a foldable integer literal. */
+  private def constInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a constant integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** Register every graft function on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_hamming"))
+      Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams"))
   }
 
   test("charNGrams matches substring semantics, including multibyte chars") {
@@ -85,6 +85,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](3) == expected, s"char ngrams: '$t'")
     }
     assert(rows.length >= 50, "fuzz corpus must be non-trivial")
+  }
+
+  test("graft n-gram SQL functions run the native expressions") {
+    GraftExtensions.register(spark)
+    val tri = spark.sql("SELECT graft_char_ngrams('abcd', 3) AS g")
+      .head.getSeq[String](0)
+    assert(tri == Seq("abc", "bcd"))
+    val w = spark.sql("SELECT graft_word_ngrams('a b c', 2) AS g")
+      .head.getSeq[String](0)
+    assert(w == Seq("a b", "b c"))
+    // a foldable width is fine (constant-evaluated at resolution)...
+    val folded = spark.sql("SELECT graft_char_ngrams('abcd', length('xyz')) AS g")
+      .head.getSeq[String](0)
+    assert(folded == Seq("abc", "bcd"))
+    // ...but a per-row width must be rejected (it sizes codegen buffers)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_char_ngrams('abc', cast(id AS INT) + 2) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("constant integer"), err.getMessage)
   }
 
   test("graft_hamming counts differing bytes; length gap counts as mismatch") {
