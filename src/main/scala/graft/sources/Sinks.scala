@@ -45,6 +45,26 @@ object Sinks {
       .saveAsTable(tableName)
   }
 
+  /** Directory-partitioned layout + rows SORTED WITHIN each file: the
+    * partition column prunes whole directories, and the in-file sort
+    * gives parquet min/max row-group statistics on `sortCols`, so point
+    * and range predicates on them skip row groups at scan time (pushed
+    * filters become actual IO skips only when the data is clustered —
+    * random row order makes every min/max span the full domain). The
+    * repartition keys rows so each output file covers a disjoint
+    * partition-column slice instead of every task writing into every
+    * directory (the small-files problem at 100 TB). */
+  def writeSortedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty)
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Final MR results in the reference's flat KV JSON shape
     * (`{"key": …, "value": …}` lines) — round-trips through
     * [[JsonIngest.readKvLines]]. */

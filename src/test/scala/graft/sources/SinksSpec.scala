@@ -49,6 +49,26 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sorted parquet layout: range predicate skips row groups via min/max stats") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-sink").resolve("sorted").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Sinks.writeSortedParquet(docs, dir,
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val q = spark.read.parquet(dir).filter(col("doc_id") < 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // the range predicate reaches the parquet reader as a pushed filter
+    // (with sorted files, its min/max check skips whole row groups)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]"), plan)
+    assert(q.count() == docs.filter(col("doc_id") < 5).count())
+    // layout: one file per lang directory (disjoint slices, no fan-out)
+    val langDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1, d)
+    }
+  }
+
   test("incremental dedup: bucketed signature-index probe joins with zero exchange") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
