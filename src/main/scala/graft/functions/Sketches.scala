@@ -73,4 +73,46 @@ object Sketches {
     }
     cum.groupBy(g: _*).agg(qCols.head, qCols.tail: _*)
   }
+
+  /** Count-min sketch (Cormode–Muthukrishnan '05) from portable
+    * primitives: `depth` hash rows × `width` columns of COUNTS — cell
+    * (r, c) sums the frequency of every element with
+    * `md5(r:element) mod width = c`. Point estimate = min over rows of
+    * the element's cell (always an overestimate; error ≤ N/width with
+    * probability 1−(1/2)^depth). Unlike Misra-Gries style heavy-hitter
+    * state, cell sums are ORDER-INSENSITIVE — partition order can't
+    * change a single bit, so the sketch is mergeable (cell-wise add),
+    * streamable, and oracle-reproducible.
+    *
+    * Scale shape: building is one hash aggregate of depth·N exploded
+    * rows into depth·width cells (map-side partial sums ⇒ the shuffle
+    * carries at most depth·width longs per task); estimating joins the
+    * tiny query set against the cell table on the cell key. */
+  def countMinCell(r: Int, width: Int, element: Column): Column =
+    conv(substring(md5(concat(lit(s"$r:"), element)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Build the (r, c, cnt) cell table of `valueCol` frequencies. */
+  def countMinSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), countMinCell(r, width, col(valueCol)).as("c"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimated frequency of each element of `queries(queryCol)` from a
+    * prebuilt cell table: min over the depth rows of the matching cell. */
+  def countMinEstimate(cells: DataFrame, queries: DataFrame, queryCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = queries.select(col(queryCol), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"), countMinCell(r, width, col(queryCol)).as("c"))
+      }: _*)).as("rc"))
+      .select(col(queryCol), col("rc.r").as("r"), col("rc.c").as("c"))
+    cells.join(broadcast(probes), Seq("r", "c"))
+      .groupBy(queryCol)
+      .agg(min(col("cnt")).as("est"))
+  }
 }

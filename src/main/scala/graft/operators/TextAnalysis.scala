@@ -284,6 +284,22 @@ object TextAnalysis {
       tokenized(Tables.documents(spark, dir)), Seq("lang"), "token", k = 256)
       .orderBy("lang", "est_distinct")
 
+  /** Count-min heavy-hitter estimation over the token stream: a 4×64
+    * cell sketch (deliberately narrow so collisions are visible) probed
+    * for every vocabulary token, reported against the exact counts —
+    * the bounded-memory frequency table a streaming corpus monitor
+    * keeps where the exact groupBy would be unbounded state. */
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(Tables.documents(spark, dir)).select("token")
+    val cells = graft.functions.Sketches.countMinSketch(toks, "token",
+      depth = 4, width = 64)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    graft.functions.Sketches.countMinEstimate(cells, exact.select("token"),
+        "token", depth = 4, width = 64)
+      .join(exact, "token")
+      .orderBy("token", "est", "exact")
+  }
+
   /** Binned-quantile sketch of event values per type (p50/p95/p99 at
     * cent resolution — portable approximate percentiles). */
   def qEventQuantiles(spark: SparkSession, dir: String): DataFrame =

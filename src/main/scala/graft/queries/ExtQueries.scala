@@ -43,6 +43,7 @@ object ExtQueries {
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
+    "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
@@ -665,6 +666,29 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    "text_countmin" -> {
+      // hexVal8 of md5(r || ':' || token), digit-wise (mirrors
+      // Sketches.countMinCell's conv(substring(md5, 1, 8), 16, 10))
+      val hv = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT token
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> ''),
+         |rc AS (SELECT token, r,
+         |    ($hv) % 64 AS c
+         |  FROM (SELECT token, r, md5(CAST(r AS VARCHAR) || ':' || token) AS h
+         |        FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) t(r))),
+         |cells AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY 1, 2),
+         |exact AS (SELECT token, count(*) AS exact FROM tok GROUP BY 1),
+         |probes AS (SELECT DISTINCT token, r, c FROM rc),
+         |est AS (SELECT token, min(cnt) AS est
+         |        FROM probes JOIN cells USING (r, c) GROUP BY 1)
+         |SELECT token, est, exact FROM est JOIN exact USING (token)
+         |ORDER BY token, est, exact""".stripMargin
+    },
 
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

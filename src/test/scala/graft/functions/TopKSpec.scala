@@ -68,6 +68,26 @@ class TopKSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - exact(0.95)) <= 0.01, s"p95=${row.getDouble(2)}")
   }
 
+  test("count-min never underestimates; exact at ample width") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    // zipf-ish stream: token i appears 100/(i+1) times
+    val rows = (0 until 50).flatMap(i => Seq.fill(100 / (i + 1))(s"tok$i")).toDF("t")
+    val exact = rows.groupBy("t").agg(count(lit(1)).as("exact"))
+    def est(width: Int) = graft.functions.Sketches.countMinEstimate(
+        graft.functions.Sketches.countMinSketch(rows, "t", depth = 4, width = width),
+        exact.select("t"), "t", depth = 4, width = width)
+      .join(exact, "t")
+      .select(col("t"), col("est"), col("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // narrow sketch: collisions only ever ADD (one-sided error)
+    est(16).foreach { case (t, e, x) => assert(e >= x, s"$t: est $e < exact $x") }
+    // ample width: 4 independent rows make residual collision vanishingly
+    // unlikely for 50 keys in 4096 cells — estimates become exact
+    est(4096).foreach { case (t, e, x) => assert(e == x, s"$t: est $e != exact $x") }
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =
