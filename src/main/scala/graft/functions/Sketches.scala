@@ -115,4 +115,49 @@ object Sketches {
       .groupBy(queryCol)
       .agg(min(col("cnt")).as("est"))
   }
+
+  // ---- Bloom filter ----------------------------------------------------
+
+  /** Portable Bloom filter over 60-BIT words (bit 60+ never set — a
+    * 61+-bit shift overflows/signs differently across engines): element →
+    * k md5-derived bit positions in [0, mBits); the filter is the
+    * (word_idx, word) table of OR-ed masks — `mBits/60` longs TOTAL, a
+    * fixed few KB regardless of how many elements went in. The
+    * membership structure for "is this shingle in the benchmark set" at
+    * 100 TB, where the exact string set would be too big to broadcast:
+    * one-sided (never misses a member; false-positive rate
+    * ≈ (1 − e^(−k·n/m))^k). bit_or is order-insensitive ⇒ mergeable,
+    * streamable, oracle-reproducible. */
+  def bloomPos(element: Column, j: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), element)), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  private def bloomPositions(df: DataFrame, valueCol: String, k: Int,
+      mBits: Int): DataFrame =
+    df.withColumn("pos",
+        explode(array((0 until k).map(j => bloomPos(col(valueCol), j, mBits)): _*)))
+      .withColumn("widx", expr("pos div 60"))
+      .withColumn("bit", expr("CAST(pos % 60 AS INT)"))
+
+  /** Build the (widx, word) filter table over `df(valueCol)`. */
+  def bloomBuild(df: DataFrame, valueCol: String, k: Int = 4,
+      mBits: Int = 4800): DataFrame =
+    bloomPositions(df.select(valueCol), valueCol, k, mBits)
+      .groupBy("widx")
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("word"))
+
+  /** Probe: every row of `df` gains a `maybe` flag — true iff ALL k of
+    * `valueCol`'s bits are set (definitely-absent rows are false). The
+    * filter table is broadcast; cost is k narrow rows per probe and one
+    * hash aggregate back to the input key set. */
+  def bloomProbe(bloom: DataFrame, df: DataFrame, valueCol: String, k: Int = 4,
+      mBits: Int = 4800): DataFrame = {
+    val keyCols = df.columns.map(col).toSeq
+    bloomPositions(df, valueCol, k, mBits)
+      .join(broadcast(bloom), Seq("widx"), "left")
+      .withColumn("hit",
+        coalesce(expr("(word & shiftleft(1L, bit)) <> 0"), lit(false)))
+      .groupBy(keyCols: _*)
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === k).as("maybe"))
+  }
 }

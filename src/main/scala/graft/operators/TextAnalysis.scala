@@ -238,6 +238,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("score"))
   }
 
+  /** Bloom-filter decontamination: like [[contamination]], but the
+    * benchmark shingle set is compressed into a fixed-size Bloom filter
+    * (a few KB) instead of broadcast as exact strings — the shape that
+    * still works when the benchmark suite has millions of shingles.
+    * One-sided: `n_bloom_hit` can only over-count true overlap
+    * (false positives), never miss it. */
+  def contaminationBloom(docs: DataFrame, benchPred: org.apache.spark.sql.Column,
+      shingleK: Int = 3, bloomHashes: Int = 4, bloomBits: Int = 4800): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
+      .distinct()
+    val benchIds = docs.filter(benchPred).select("doc_id")
+    val benchSh = sh.join(benchIds, "doc_id").select("shingle").distinct()
+    val bloom = graft.functions.Sketches.bloomBuild(benchSh, "shingle",
+      bloomHashes, bloomBits)
+    val cand = sh.join(benchIds, Seq("doc_id"), "left_anti")
+    graft.functions.Sketches.bloomProbe(bloom, cand, "shingle",
+        bloomHashes, bloomBits)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hit"))
+  }
+
   /** Deterministic hash-based train/test split: a doc's split is a pure
     * function of its id (first 16 bits of md5 mod 100 vs the train
     * percentage) — stable across runs, machines, and engines; no RNG
@@ -276,6 +299,11 @@ object TextAnalysis {
   def qContamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir), benchPred = col("doc_id") < 10)
       .orderBy("doc_id", "n_sh", "n_hit", "ratio")
+
+  /** Bloom-filter variant of the decontamination probe (same benchmark). */
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    contaminationBloom(Tables.documents(spark, dir), benchPred = col("doc_id") < 10)
+      .orderBy("doc_id", "n_sh", "n_bloom_hit")
 
   /** KMV-sketch vocabulary estimate per language (portable approximate
     * distinct — see functions.Sketches). */

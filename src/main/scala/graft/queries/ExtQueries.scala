@@ -44,6 +44,7 @@ object ExtQueries {
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
+    "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
@@ -666,6 +667,31 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    "text_contamination_bloom" -> {
+      // hexVal8(md5(j || ':' || shingle)) % 4800 — mirrors Sketches.bloomPos
+      def hv(expr: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($expr, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      val posExpr = hv("md5(CAST(j AS VARCHAR) || ':' || shingle)") + " % 4800"
+      s"""WITH ${shingleCtes("documents")},
+         |js(j) AS (VALUES (0), (1), (2), (3)),
+         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |bpos AS (SELECT $posExpr AS pos FROM bsh CROSS JOIN js),
+         |bloom AS (SELECT pos // 60 AS widx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS word
+         |  FROM bpos GROUP BY 1),
+         |cpos AS (SELECT doc_id, shingle, $posExpr AS pos
+         |  FROM sh CROSS JOIN js WHERE doc_id >= 10),
+         |flags AS (SELECT doc_id, shingle,
+         |    count(*) FILTER (WHERE (word & (CAST(1 AS BIGINT) << CAST(pos % 60 AS INT))) <> 0) = 4 AS maybe
+         |  FROM cpos LEFT JOIN bloom ON pos // 60 = widx
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, count(*) AS n_sh,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
+         |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
+    },
 
     "text_countmin" -> {
       // hexVal8 of md5(r || ':' || token), digit-wise (mirrors

@@ -88,6 +88,23 @@ class TopKSpec extends AnyFunSuite {
     est(4096).foreach { case (t, e, x) => assert(e == x, s"$t: est $e != exact $x") }
   }
 
+  test("bloom filter: no false negatives; few false positives at ample bits") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val members = (0 until 200).map(i => s"in$i").toDF("v")
+    val bloom = graft.functions.Sketches.bloomBuild(members, "v", k = 4, mBits = 4800)
+    // every member must probe true (one-sided guarantee)
+    val inFlags = graft.functions.Sketches.bloomProbe(bloom, members, "v", 4, 4800)
+      .select(col("maybe")).collect().map(_.getBoolean(0))
+    assert(inFlags.forall(identity))
+    // non-members: fp rate ≈ (1-e^(-4·200/4800))^4 ≈ 0.05%
+    val outs = (0 until 500).map(i => s"out$i").toDF("v")
+    val fp = graft.functions.Sketches.bloomProbe(bloom, outs, "v", 4, 4800)
+      .filter(col("maybe")).count()
+    assert(fp <= 10, s"false-positive count $fp out of 500")
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =
