@@ -132,32 +132,35 @@ object Sketches {
     conv(substring(md5(concat(lit(s"$j:"), element)), 1, 8), 16, 10)
       .cast("long") % mBits
 
-  private def bloomPositions(df: DataFrame, valueCol: String, k: Int,
-      mBits: Int): DataFrame =
-    df.withColumn("pos",
-        explode(array((0 until k).map(j => bloomPos(col(valueCol), j, mBits)): _*)))
-      .withColumn("widx", expr("pos div 60"))
-      .withColumn("bit", expr("CAST(pos % 60 AS INT)"))
-
   /** Build the (widx, word) filter table over `df(valueCol)`. */
   def bloomBuild(df: DataFrame, valueCol: String, k: Int = 4,
       mBits: Int = 4800): DataFrame =
-    bloomPositions(df.select(valueCol), valueCol, k, mBits)
+    df.select(col(valueCol))
+      .withColumn("pos",
+        explode(array((0 until k).map(j => bloomPos(col(valueCol), j, mBits)): _*)))
+      .withColumn("widx", expr("pos div 60"))
+      .withColumn("bit", expr("CAST(pos % 60 AS INT)"))
       .groupBy("widx")
       .agg(expr("bit_or(shiftleft(1L, bit))").as("word"))
 
   /** Probe: every row of `df` gains a `maybe` flag — true iff ALL k of
     * `valueCol`'s bits are set (definitely-absent rows are false). The
-    * filter table is broadcast; cost is k narrow rows per probe and one
-    * hash aggregate back to the input key set. */
+    * filter's `mBits/60` words are COLLECTED into a plan-literal array
+    * (O(KB) driver metadata, the same move as IVF's literal centroids),
+    * so the probe is a narrow zero-shuffle projection — no explode, no
+    * join, no re-aggregation back to the input keys. */
   def bloomProbe(bloom: DataFrame, df: DataFrame, valueCol: String, k: Int = 4,
       mBits: Int = 4800): DataFrame = {
-    val keyCols = df.columns.map(col).toSeq
-    bloomPositions(df, valueCol, k, mBits)
-      .join(broadcast(bloom), Seq("widx"), "left")
-      .withColumn("hit",
-        coalesce(expr("(word & shiftleft(1L, bit)) <> 0"), lit(false)))
-      .groupBy(keyCols: _*)
-      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === k).as("maybe"))
+    val words = Array.fill((mBits + 59) / 60)(0L)
+    bloom.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    var out = df.withColumn("graft_bwords", typedLit(words.toSeq))
+    for (j <- 0 until k)
+      out = out.withColumn(s"graft_p$j", bloomPos(col(valueCol), j, mBits))
+    val hit = (0 until k)
+      .map(j => expr(s"(element_at(graft_bwords, CAST(graft_p$j div 60 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(graft_p$j % 60 AS INT))) <> 0"))
+      .reduce(_ && _)
+    out.withColumn("maybe", hit)
+      .drop((Seq("graft_bwords") ++ (0 until k).map(j => s"graft_p$j")): _*)
   }
 }

@@ -151,14 +151,20 @@ object Similarity {
       .toDF("centroid_id", "cv")
   }
 
+  /** Run portable k-means and assign every vector to its cell in one
+    * call: (vec_id, v, nrm, centroid_id). The composable entry for
+    * cell-local operators (IVF search, [[Dedup.semanticDedup]], cluster
+    * composition reports). */
+  def kmeansAssign(vectors: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame =
+    assignByCentroids(vectors, kmeansCollected(vectors, numCentroids, iters))
+
   /** IVF top-k: probe the query's own cell only (nprobe=1). Exact within
     * the cell; approximate overall — the standard IVF recall trade.
     * Centroids come from [[kmeansCentroids]] (set `kmeansIters = 0` for
     * the raw deterministic-subset seeds). */
   def ivfTopK(vectors: DataFrame, numCentroids: Int, queryPred: org.apache.spark.sql.Column,
       k: Int, kmeansIters: Int = 2): DataFrame = {
-    val assigned = assignByCentroids(vectors,
-      kmeansCollected(vectors, numCentroids, kmeansIters))
+    val assigned = kmeansAssign(vectors, numCentroids, kmeansIters)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("centroid_id"))
@@ -376,7 +382,7 @@ object Similarity {
     * same portable k-means cells IVF probes). */
   def qClusterSizes(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-    assignByCentroids(vecs, kmeansCollected(vecs, numCentroids = 8, iters = 2))
+    kmeansAssign(vecs, numCentroids = 8, iters = 2)
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("centroid_id", "n_vecs")
