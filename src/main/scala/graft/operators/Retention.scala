@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Cohort retention analysis over an event stream — the standard product
+  * analytics rollup (users grouped by first-activity day, tracked by how
+  * many return N days later). The reference has no analytics operators at
+  * all (its only dataflow is the MR pipeline, reference
+  * `algorithm/algorithm.go:86-343`); this is part of the first-class
+  * relational/analytics surface of the Spark-native engine.
+  *
+  * Scale shape: activity collapses to DISTINCT (user, day) FIRST — the
+  * smallest frame that answers the question — then one groupBy derives
+  * each user's cohort day, one equi-join on user_id tags activity with its
+  * cohort, and one hash aggregate counts users per (cohort, offset) cell.
+  * Every shuffle key is user- or cell-grained; nothing scales with raw
+  * event count past the initial scan. The (user, day) distinct and the
+  * per-user min reuse the same hash partitioning on user_id where Spark
+  * can (the distinct's key subsumes the groupBy's).
+  */
+object Retention {
+
+  /** Per (cohort_day, day_offset): how many of that cohort's users were
+    * active `day_offset` days after their first day. Rows with n_users = 0
+    * are absent (sparse cells carry no signal). `n_users` needs no
+    * countDistinct: (user, day) rows are distinct by construction. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---- query-shaped entry point ------------------------------------------
+
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(spark, dir))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset", "n_users")
+}

@@ -215,6 +215,68 @@ object TextAnalysis {
         (expr("(n_hit * 20000 + n_sh) div (n_sh * 2)") / 10000.0).as("ratio"))
   }
 
+  /** Corpus-level duplicated-n-gram signal (the passage-duplication test of
+    * Lee et al. '21, "Deduplicating Training Data Makes Language Models
+    * Better", run at n-gram rather than 50-token granularity): for every
+    * doc, the fraction of its DISTINCT word `k`-grams that also occur in
+    * at least one OTHER document. High fractions mark boilerplate/templated
+    * documents that exact and MinHash dedup both miss (they share passages,
+    * not whole texts).
+    *
+    * Scale shape: one shingle pass → distinct (doc, gram) → ONE shuffle on
+    * the gram key where a window count computes each gram's document
+    * frequency (no separate frequency table, no join back) → per-doc hash
+    * aggregate. Nothing is ever all-pairs; the gram-key shuffle is the
+    * same cardinality any inverted index build pays. */
+  def dupNgramFraction(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(Shingles.fromText(col("text"), k)).as("g"))
+      .distinct()
+    sh.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        (expr("(n_dup * 20000 + n_ngrams) div (n_ngrams * 2)") / 10000.0).as("dup_frac"))
+  }
+
+  /** Fixed-point Okapi BM25 retrieval (k1 = 1.2, b = 0.75): rank the
+    * corpus against a small query-term set, summing per-term BM25. The
+    * classic score
+    *   idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    * is restated over INTEGERS so any engine reproduces it bit-for-bit:
+    * with k1 = 6/5, b = 3/4 and avgdl = sum_dl/N, multiplying through by
+    * 10·sum_dl gives numerator 22·tf·sum_dl and denominator
+    * 10·tf·sum_dl + 3·sum_dl + 9·dl·N; the fraction is fixed-pointed by
+    * integer half-up division at 10^3 scale and multiplied by the same
+    * log-free integer idf surrogate [[tfidfTop]] uses ((N·10^4) div df —
+    * preserves the df ordering that matters for ranking).
+    *
+    * Scale shape: the query-term filter pushes into the token scan, so tf
+    * is an aggregate over ONLY matching occurrences; doc lengths are one
+    * corpus-wide aggregate; df and the (N, sum_dl) totals are O(terms)
+    * and O(1) broadcasts; final top-k is TakeOrderedAndProject. */
+  def bm25Retrieve(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("den",
+        expr("10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs"))
+      .withColumn("s",
+        expr("((n_docs * 10000) div df) * ((22 * tf * sum_dl * 2000 + den) div (den * 2))"))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+  }
+
   /** Integer-portable TF-IDF: the `topK` most DISTINCTIVE tokens per doc,
     * ranked by `tf · ((N · 10000) div df)` — term frequency times an
     * integer idf surrogate (log-free: `ln` is libm-dependent and would
@@ -304,6 +366,16 @@ object TextAnalysis {
   def qContaminationBloom(spark: SparkSession, dir: String): DataFrame =
     contaminationBloom(Tables.documents(spark, dir), benchPred = col("doc_id") < 10)
       .orderBy("doc_id", "n_sh", "n_bloom_hit")
+
+  /** Duplicated word-5-gram fraction per doc (corpus-wide passage reuse). */
+  def qDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    dupNgramFraction(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_ngrams", "n_dup", "dup_frac")
+
+  /** BM25 retrieval for a fixed 3-term query over the corpus vocabulary. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Retrieve(Tables.documents(spark, dir),
+      queryTerms = Seq("spark", "hash", "window"))
 
   /** KMV-sketch vocabulary estimate per language (portable approximate
     * distinct — see functions.Sketches). */

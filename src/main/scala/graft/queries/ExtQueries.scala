@@ -52,6 +52,9 @@ object ExtQueries {
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
+    "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
+    "text_bm25"             -> TextAnalysis.qBm25 _,
+    "events_retention"      -> graft.operators.Retention.qRetention _,
   )
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
@@ -800,6 +803,50 @@ object ExtQueries {
          |FROM documents d JOIN t USING (lang)
          |WHERE ${hex16("mixture")} * n_stratum < n_target * 65536
          |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |nd AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS nd FROM sh)
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ((CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 20000 + count(*))
+        |    // (count(*) * 2)) / 10000.0 AS dup_frac
+        |FROM nd GROUP BY doc_id
+        |ORDER BY doc_id, n_ngrams, n_dup, dup_frac""".stripMargin,
+
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |    ((n_docs * 10000) // df) *
+        |      ((22 * tf * sum_dl * 2000 + den) // (den * 2)) AS s
+        |  FROM (SELECT tf.*, 10 * tf * sum_dl + 3 * sum_dl + 9 * dl.dl * n_docs AS den,
+        |          n_docs, sum_dl
+        |        FROM tf JOIN dl USING (doc_id) CROSS JOIN tot) tf
+        |  JOIN dfreq USING (token))
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset, n_users""".stripMargin,
 
     "pack_chunks" ->
       s"""WITH d AS (SELECT lang, doc_id,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Cohort retention: first-day cohorting, offset counting, sparse cells. */
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def day(d: Int) = Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00")
+
+  private def ev(rows: (Long, Int)*) =
+    rows.map { case (u, d) => (u, day(d)) }.toDF("user_id", "ts")
+
+  private def run(rows: (Long, Int)*): Map[(String, Long), Long] =
+    Retention.cohortRetention(ev(rows: _*))
+      .collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2)))
+      .toMap
+
+  test("users cohort by their first active day; offsets count distinct users") {
+    val got = run(
+      (1L, 1), (1L, 2), (1L, 4),  // cohort d1, back on d2 and d4
+      (2L, 1), (2L, 4),           // cohort d1, back on d4
+      (3L, 2))                    // cohort d2, never returns
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 2L, ("2024-01-02", 0L) -> 1L))
+  }
+
+  test("multiple same-day events collapse to one active (user, day)") {
+    val got = run((1L, 1), (1L, 1), (1L, 1), (1L, 2), (1L, 2))
+    assert(got == Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L))
+  }
+
+  test("zero-retention cells are absent, not zero") {
+    val got = run((1L, 1), (2L, 1))
+    assert(got == Map(("2024-01-01", 0L) -> 2L))
+  }
+}
