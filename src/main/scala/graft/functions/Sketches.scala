@@ -104,14 +104,18 @@ object Sketches {
   }
 
   /** Estimated frequency of each element of `queries(queryCol)` from a
-    * prebuilt cell table: min over the depth rows of the matching cell. */
+    * prebuilt cell table: min over the depth rows of the matching cell.
+    * The CELL table is the broadcast side — it is bounded at depth·width
+    * rows BY CONSTRUCTION (a few KB), so the query side can be anything
+    * up to the full corpus vocabulary and the join still never shuffles
+    * or funnels a large frame through the driver. */
   def countMinEstimate(cells: DataFrame, queries: DataFrame, queryCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val probes = queries.select(col(queryCol), explode(array((0 until depth).map { r =>
         struct(lit(r).as("r"), countMinCell(r, width, col(queryCol)).as("c"))
       }: _*)).as("rc"))
       .select(col(queryCol), col("rc.r").as("r"), col("rc.c").as("c"))
-    cells.join(broadcast(probes), Seq("r", "c"))
+    probes.join(broadcast(cells), Seq("r", "c"))
       .groupBy(queryCol)
       .agg(min(col("cnt")).as("est"))
   }

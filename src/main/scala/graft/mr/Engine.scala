@@ -2,7 +2,7 @@ package graft.mr
 
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
-import scala.concurrent.{ExecutionContext, Future, Promise}
+import scala.concurrent.{ExecutionContext, Future}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -40,8 +40,9 @@ import graft.sources.Sinks
   *     the driver.
   */
 final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
-  private final case class Run(groupId: String, cancelled: AtomicBoolean,
-    done: Future[_])
+  // Plain class: registry removal (`running.remove(name, run)`) must match
+  // THIS run by identity, never a different run with equal fields.
+  private final class Run(val groupId: String, val cancelled: AtomicBoolean)
   private val running = new ConcurrentHashMap[String, Run]()
   private val seq = new AtomicLong()
 
@@ -52,10 +53,7 @@ final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
     * The in-body flag check is a fast path that aborts without paying for
     * a doomed job submission. */
   private def schedule[T](name: String)(body: => T): Future[T] = {
-    val run = {
-      val p = Promise[T]()
-      Run(s"$name#${seq.incrementAndGet()}", new AtomicBoolean(false), p.future)
-    }
+    val run = new Run(s"$name#${seq.incrementAndGet()}", new AtomicBoolean(false))
     // Resubmitting a live name replaces its registry entry (reference
     // semantics: a new POST of the same algorithm is a new master); the
     // old run keeps executing under its own job group until cancelled.

@@ -250,7 +250,11 @@ object TextAnalysis {
     * 10·tf·sum_dl + 3·sum_dl + 9·dl·N; the fraction is fixed-pointed by
     * integer half-up division at 10^3 scale and multiplied by the same
     * log-free integer idf surrogate [[tfidfTop]] uses ((N·10^4) div df —
-    * preserves the df ordering that matters for ranking).
+    * preserves the df ordering that matters for ranking). The tf·sum_dl
+    * products are widened to DECIMAL(38,0) (HUGEINT on the oracle side)
+    * before multiplying — in 64-bit they'd wrap once tf·sum_dl exceeds
+    * ~2.1·10^14, i.e. exactly the trillion-token corpora this is for;
+    * both `div` results are small so the output stays BIGINT.
     *
     * Scale shape: the query-term filter pushes into the token scan, so tf
     * is an aggregate over ONLY matching occurrences; doc lengths are one
@@ -269,9 +273,9 @@ object TextAnalysis {
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("den",
-        expr("10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs"))
+        expr("10 * CAST(tf AS DECIMAL(38,0)) * sum_dl + 3 * CAST(sum_dl AS DECIMAL(38,0)) + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs"))
       .withColumn("s",
-        expr("((n_docs * 10000) div df) * ((22 * tf * sum_dl * 2000 + den) div (den * 2))"))
+        expr("((n_docs * 10000) div df) * ((22 * CAST(tf AS DECIMAL(38,0)) * sum_dl * 2000 + den) div (den * 2))"))
       .groupBy("doc_id").agg(sum(col("s")).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)

@@ -293,13 +293,18 @@ object CoreQueries {
   /** Q25 — pivot: per user-id bucket, one count column per event type
     * (explicit value list — deterministic output schema; Spark's pivot
     * is a single hash aggregate over (bucket, type) then a reshape, not
-    * one pass per column). */
-  def q25EventPivot(spark: SparkSession, dir: String): DataFrame =
+    * one pass per column). A (bucket, type) cell with no rows pivots to
+    * NULL while SQL's count(*) FILTER yields 0 — na.fill pins the empty
+    * cell to 0 so the result is scale/filter-independent. */
+  def q25EventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, dir)
       .groupBy((col("user_id") % 10).as("bucket"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)))
+      .na.fill(0, types)
       .orderBy("bucket")
+  }
 
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */

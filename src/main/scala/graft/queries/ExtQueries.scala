@@ -830,8 +830,8 @@ object ExtQueries {
         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         |s AS (SELECT tf.doc_id,
         |    ((n_docs * 10000) // df) *
-        |      ((22 * tf * sum_dl * 2000 + den) // (den * 2)) AS s
-        |  FROM (SELECT tf.*, 10 * tf * sum_dl + 3 * sum_dl + 9 * dl.dl * n_docs AS den,
+        |      CAST((22 * CAST(tf AS HUGEINT) * sum_dl * 2000 + den) // (den * 2) AS BIGINT) AS s
+        |  FROM (SELECT tf.*, 10 * CAST(tf AS HUGEINT) * sum_dl + 3 * sum_dl + 9 * dl.dl * n_docs AS den,
         |          n_docs, sum_dl
         |        FROM tf JOIN dl USING (doc_id) CROSS JOIN tot) tf
         |  JOIN dfreq USING (token))
