@@ -324,6 +324,131 @@ object Similarity {
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
   }
 
+  // ---- Product quantization (PQ codes + ADC search) --------------------
+
+  /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
+    * `ds`-dim slices and each slice gets its own `ks`-centroid portable
+    * Lloyd k-means ([[kmeansCollected]] — cosine assignment, fixed-point
+    * LONG-sum mean update, so any engine reproduces the codebooks
+    * bit-for-bit). Returns, per subspace, (code, sub-centroid, norm)
+    * sorted by code. Driver cost is O(m · iters) tiny collects of
+    * ks × ds sums — codebook training is metadata work. */
+  private def pqCodebooks(vectors: DataFrame, m: Int, ds: Int, ks: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double], Double)]] =
+    (0 until m).map { s =>
+      kmeansCollected(
+        vectors.select(col("vec_id"),
+          slice(toDouble(col("embedding")), s * ds + 1, ds).as("embedding")),
+        ks, iters)
+    }
+
+  /** Missing-code padding: a centroid that loses all members mid-Lloyd
+    * drops out of the codebook; no vector can be assigned to it, so its
+    * lookup slot is a zero vector purely to keep `element_at` indexable. */
+  private def padCodebook(cb: Seq[(Long, Seq[Double], Double)], ks: Int,
+      ds: Int): IndexedSeq[(Seq[Double], Double)] = {
+    val byId = cb.map { case (id, cv, cn) => id -> (cv, cn) }.toMap
+    (0 until ks).map(i => byId.getOrElse(i.toLong, (Seq.fill(ds)(0.0), 0.0)))
+  }
+
+  /** Encode every vector as `m` sub-codes — nearest sub-centroid per
+    * slice (cos desc, code asc tie-break) — in zero-shuffle projections:
+    * slices and their norms are materialized as columns first (Catalyst
+    * re-evaluates non-attribute subtrees per use), then each code is a
+    * `greatest(struct(csim, -code)…)` over ks plan-literal sub-centroids.
+    * Also emits `rn`, the reconstructed-vector norm √Σₛ‖cbₛ[codeₛ]‖²
+    * (element_at over a literal norm² table, folded s = 0..m-1 — the
+    * oracle mirrors the fold order). Returns (vec_id, c0..c{m-1}, rn):
+    * the 100 TB point is that THIS m-byte frame, not the 4·dim-byte
+    * vectors, is what ADC search scans. */
+  def pqEncode(vectors: DataFrame, cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+      ds: Int): DataFrame = {
+    val m = cbs.length
+    // pad lookup tables to the largest surviving code + 1 — codes are
+    // seeded 0..ks-1 so no assignment can exceed it
+    val ks = cbs.map(_.map(_._1.toInt).maxOption.getOrElse(-1) + 1).max
+    val padded = cbs.map(cb => padCodebook(cb, ks, ds))
+    val subs = vectors.select(
+      col("vec_id") +: (0 until m).map(s =>
+        slice(toDouble(col("embedding")), s * ds + 1, ds).as(s"s$s")): _*)
+    val normed = subs.select(
+      (col("vec_id") +: (0 until m).map(s => col(s"s$s"))) ++
+        (0 until m).map(s => l2Norm(col(s"s$s")).as(s"n$s")): _*)
+    val codeCols = (0 until m).map { s =>
+      val scored = cbs(s).map { case (id, cv, cn) =>
+        struct(
+          cosineWithNorms(dot(col(s"s$s"), typedLit(cv)), col(s"n$s"), lit(cn)).as("csim"),
+          lit(-id).as("negc"))
+      }
+      val best = if (scored.sizeIs > 1) greatest(scored: _*) else scored.head
+      (-best.getField("negc")).cast("int").as(s"c$s")
+    }
+    val coded = normed.select(col("vec_id") +: codeCols: _*)
+    // norm² recomputed as the raw ascending sum of squares — NOT cn²:
+    // sqrt-then-square is not the identity in doubles, and the oracle
+    // computes the explicit product chain
+    def sumSq(cv: Seq[Double]): Double = {
+      var t = 0.0
+      var i = 0
+      while (i < cv.length) { t += cv(i) * cv(i); i += 1 }
+      t
+    }
+    val rn2 = (0 until m).map { s =>
+      element_at(typedLit(padded(s).map { case (cv, _) => sumSq(cv) }),
+        col(s"c$s") + 1)
+    }.reduce(_ + _)
+    coded.withColumn("rn", sqrt(rn2))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries stay full
+    * precision, candidates are their PQ codes. Approximate similarity is
+    * Σₛ ⟨q_s, cbₛ[codeₛ]⟩ / (‖q‖·rn) — the dot product decomposes exactly
+    * across subspaces, so the only error is quantization. The candidate
+    * side scans m small ints + one double per vector instead of the dim
+    * floats (32× smaller at m=8, ds=8 — the memory/IO win PQ exists for);
+    * sub-centroid lookups are plan literals (ks·ds doubles per subspace),
+    * queries broadcast, and the per-query top-k is the bounded-heap
+    * aggregator — zero shuffle of the candidate side. */
+  def pqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+    val cbs = pqCodebooks(vectors, m, ds, ks, iters)
+    val padded = cbs.map(cb => padCodebook(cb, ks, ds))
+    val codes = pqEncode(vectors, cbs, ds)
+    val q = vectors.filter(queryPred).select(
+      (col("vec_id").as("query_id") +:
+        (0 until m).map(s => slice(toDouble(col("embedding")), s * ds + 1, ds).as(s"q$s"))) :+
+        l2Norm(toDouble(col("embedding"))).as("qn"): _*)
+    val adot = (0 until m).map { s =>
+      dot(col(s"q$s"), element_at(typedLit(padded(s).map(_._1)), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", adot / (col("qn") * col("rn")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Recall@k of [[pqTopK]] against the exact baseline, per query —
+    * the measured-number companion every approximate searcher here gets
+    * (same integer half-up recall arithmetic as [[annRecall]]). */
+  def pqRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+    val exact = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    pqTopK(emb, queryPred, k, m, ds, ks, iters)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      .join(nExact, Seq("query_id"), "right")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+  }
+
   /** Multi-probe sign-LSH ANN: besides its own bucket, each QUERY also
     * probes every bucket at hamming distance 1 (one sign bit flipped) —
     * the standard multi-probe trade (Lv et al. '07): candidate work grows
@@ -376,6 +501,20 @@ object Similarity {
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("method", "query_id", "n_hit", "recall")
+
+  /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
+    * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over
+    * the 8-code candidate frame. */
+  def qPqAnn(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.embeddings(spark, dir),
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      .withColumnRenamed("cos_sim", "adc_sim")
+      .orderBy("query_id", "neighbor_id", "adc_sim")
+
+  /** Recall@5 of PQ/ADC vs brute force for queries vec_id < 10. */
+  def qPqRecall(spark: SparkSession, dir: String): DataFrame =
+    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("query_id", "n_hit", "recall")
 
   /** Corpus composition by embedding cluster — the data-mixture report a
     * training pipeline balances against (per-cluster doc counts over the

@@ -27,6 +27,8 @@ object ExtQueries {
     "ann_lsh"               -> Similarity.qLshAnn _,
     "ann_recall"            -> Similarity.qAnnRecall _,
     "ann_cluster_sizes"     -> Similarity.qClusterSizes _,
+    "ann_pq"                -> Similarity.qPqAnn _,
+    "ann_pq_recall"         -> Similarity.qPqRecall _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -218,6 +220,63 @@ object ExtQueries {
     parts += asg(iters, s"cent$iters")
     parts.result().mkString(",\n")
   }
+
+  /** Composable product-quantization chain — mirrors Similarity
+    * .pqCodebooks/pqEncode: per subspace s, a ds-dim slice, seeds
+    * vec_id < ks, `iters` portable Lloyd iterations (cosine assignment,
+    * fixed-point LONG-sum mean), then the final code assignment keeping
+    * the winning sub-centroid alongside the code. Emits
+    * `codes(vec_id, cv0..cv{m-1}, rn)` where rn is the
+    * reconstructed-vector norm (per-subspace norm² as explicit left-to-
+    * right products, folded s = 0..m-1 — DotProduct accumulation order).
+    * Needs `v`. */
+  private def pqCtes(m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): String = {
+    def sq(rel: String) = (1 to ds).map(i => s"$rel[$i] * $rel[$i]").mkString(" + ")
+    val parts = Seq.newBuilder[String]
+    for (s <- 0 until m) {
+      val lo = s * ds + 1
+      val hi = (s + 1) * ds
+      parts += s"sub$s AS (SELECT vec_id, vec[$lo:$hi] AS sv FROM v)"
+      parts += s"c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM sub$s WHERE vec_id < $ks)"
+      for (i <- 0 until iters) {
+        parts +=
+          s"""a${s}_$i AS (SELECT x.vec_id, x.sv, c.cid FROM sub$s x, c${s}_$i c
+             |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
+             |    ORDER BY list_cosine_similarity(x.sv, c.cv) DESC, c.cid) = 1)""".stripMargin
+        parts +=
+          s"""c${s}_${i + 1} AS (SELECT cid, list(s / (n * 1000000.0) ORDER BY pos) AS cv
+             |  FROM (SELECT cid, pos, sum(CAST(floor(x * 1000000) AS BIGINT)) AS s,
+             |          count(*) AS n
+             |        FROM (SELECT cid, unnest(sv) AS x,
+             |                generate_subscripts(sv, 1) AS pos FROM a${s}_$i)
+             |        GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+      }
+      parts +=
+        s"""code$s AS (SELECT x.vec_id, c.cv AS cv$s FROM sub$s x, c${s}_$iters c
+           |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
+           |    ORDER BY list_cosine_similarity(x.sv, c.cv) DESC, c.cid) = 1)""".stripMargin
+    }
+    val joins = (1 until m).map(s => s"JOIN code$s USING (vec_id)").mkString(" ")
+    val rn = (0 until m).map(s => s"(${sq(s"cv$s")})").mkString(" + ")
+    parts +=
+      s"""codes AS (SELECT vec_id, ${(0 until m).map(s => s"cv$s").mkString(", ")},
+         |  sqrt($rn) AS rn FROM code0 $joins)""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
+  /** ADC similarity over [[pqCtes]]'s `codes` for a query CTE
+    * `q(query_id, qv, qn)`: (Σₛ ⟨qv[slice s], cvₛ⟩) / (qn · rn) — the
+    * subspace dots and the s-fold are explicit left-to-right chains
+    * (DotProduct accumulation order). */
+  private def pqAdcSim(m: Int = 8, ds: Int = 8): String =
+    "(" + (0 until m).map { s =>
+      (1 to ds).map(i => s"q.qv[${s * ds + i}] * cv$s[$i]").mkString("(", " + ", ")")
+    }.mkString(" + ") + ") / (q.qn * c.rn)"
+
+  private def pqQueryCte(filter: String): String =
+    s"""q AS (SELECT vec_id AS query_id, vec AS qv,
+       |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn
+       |  FROM v WHERE $filter)""".stripMargin
 
   /** Composed end-to-end curation-funnel oracle — mirrors Pipeline.curate
     * stage by stage (quality gate ≥ 0.3 → exact dedup → MinHash-LSH
@@ -438,6 +497,38 @@ object ExtQueries {
          |${ivfCtes()}
          |SELECT centroid_id, count(*) AS n_vecs FROM asg2
          |GROUP BY centroid_id ORDER BY centroid_id, n_vecs""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH $vecCte,
+         |${pqCtes()},
+         |${pqQueryCte("vec_id >= 10 AND vec_id < 20")}
+         |SELECT query_id, neighbor_id, adc_sim FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    round(${pqAdcSim()}, 4) AS adc_sim
+         |  FROM codes c, q WHERE c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
+         |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""WITH $vecCte,
+         |${pqCtes()},
+         |${pqQueryCte("vec_id < 10")},
+         |ex AS (SELECT q.query_id, x.vec_id AS neighbor_id FROM v x, q
+         |  WHERE x.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(x.vec, q.qv) DESC, x.vec_id) <= 5),
+         |pq5 AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM codes c, q WHERE c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 5),
+         |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |hit AS (SELECT query_id, count(*) AS n_hit
+         |        FROM ex JOIN pq5 USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |FROM nex n LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id, n_hit, recall""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $vecCte,
