@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Scored, TopKAggregator}
 import graft.sources.Tables
 
 /** Deterministic sampling and sequence packing — the data-mixture side of
@@ -101,6 +102,34 @@ object Sampling {
   def wsTokens(text: Column): Column =
     size(filter(split(text, " "), t => t =!= "")).cast("long")
 
+  /** EXACTLY-n-per-stratum deterministic sample (vs [[bernoulli]]'s
+    * in-expectation rate): keep each stratum's n rows with the smallest
+    * hash16 draw (ties by id). The distributed reservoir — same draw ⇒
+    * same sample on every engine, every run, every resharding.
+    *
+    * Scale shape: per-stratum top-n runs on the bounded-heap
+    * [[TopKAggregator]] with map-side partial aggregation, so the shuffle
+    * carries at most tasks × strata × n candidates — the window/
+    * row_number formulation would shuffle AND sort the whole corpus per
+    * stratum. Returns (strataCol, idCol) keys; callers semi-join the
+    * payload (keys-only keeps the heap rows narrow). */
+  def fixedSizeSample(df: DataFrame, strataCol: String, idCol: String, n: Int,
+      salt: String = "fixed"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    df.select(col(strataCol).cast("string"),
+        col(idCol).cast("long"),
+        -hash16(salt, col(idCol)).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(n).toColumn.name("top"))
+      .flatMap { case (stratum, top) => top.map(s => (stratum, s.id)) }
+      .toDF(strataCol, idCol)
+  }
+
   // query-shaped entry points (SparkEntry contract) --------------------
 
   /** 30% deterministic Bernoulli sample; per-language kept counts —
@@ -122,6 +151,12 @@ object Sampling {
       Map("en" -> 3L, "es" -> 1L, "de" -> 1L, "fr" -> 1L, "zh" -> 1L))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang", "n_kept")
+
+  /** Exactly 20 docs per language, smallest-hash-first — the per-group
+    * reservoir draw. */
+  def qSamplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    fixedSizeSample(Tables.documents(spark, dir), "lang", "doc_id", n = 20)
+      .orderBy("lang", "doc_id")
 
   /** Pack each language's docs into 2048-token sequences over 4 shards;
     * per-chunk fill report (docs, tokens — tokens near budget = good). */

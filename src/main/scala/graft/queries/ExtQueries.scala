@@ -54,6 +54,7 @@ object ExtQueries {
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
+    "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
@@ -894,6 +895,13 @@ object ExtQueries {
          |FROM documents d JOIN t USING (lang)
          |WHERE ${hex16("mixture")} * n_stratum < n_target * 65536
          |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "sample_per_group" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hex16("fixed")} ASC, doc_id ASC) AS rn
+         |  FROM documents) WHERE rn <= 20
+         |ORDER BY lang, doc_id""".stripMargin,
 
     "text_dup_ngrams" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -38,6 +38,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept("big") - 160) < 60 && math.abs(kept("mid") - 160) < 60)
   }
 
+  test("fixedSizeSample: exactly n per stratum, deterministic, growth-stable top") {
+    val out = Sampling.fixedSizeSample(corpus(400), "lang", "doc_id", n = 10)
+      .as[(String, Long)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 10))
+    // deterministic: a second run draws the identical sample
+    val again = Sampling.fixedSizeSample(corpus(400), "lang", "doc_id", n = 10)
+      .as[(String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // a stratum smaller than n is kept whole
+    val tiny = Sampling.fixedSizeSample(corpus(8), "lang", "doc_id", n = 10)
+      .as[(String, Long)].collect()
+    assert(tiny.length == 8)
+  }
+
   test("weightedMixture hits relative target proportions") {
     val df = corpus(1000) // 250 per lang
     val kept = Sampling.weightedMixture(df, "lang", "doc_id",
