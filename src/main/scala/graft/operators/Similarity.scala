@@ -153,7 +153,7 @@ object Similarity {
 
   /** Run portable k-means and assign every vector to its cell in one
     * call: (vec_id, v, nrm, centroid_id). The composable entry for
-    * cell-local operators (IVF search, [[Dedup.semanticDedup]], cluster
+    * cell-local operators (IVF search, [[pqSemanticCells]], cluster
     * composition reports). */
   def kmeansAssign(vectors: DataFrame, numCentroids: Int, iters: Int = 2): DataFrame =
     assignByCentroids(vectors, kmeansCollected(vectors, numCentroids, iters))
@@ -428,6 +428,23 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PQ-cell semantic dedup (the SemDeDup shape): vectors that agree on
+    * ALL m sub-codes quantize to the same reconstruction — at m=8, ks=8
+    * that is a 16M-cell partition of embedding space, and full-code
+    * agreement is the "semantically interchangeable" band. Survivor =
+    * min vec_id per cell. The 100 TB point: this is ONE hash aggregate
+    * over the m-int code frame — no pair joins, no candidate generation,
+    * no thresholded similarity at all — which is the only embedding-dedup
+    * shape whose cost stays linear as the corpus grows. Precision knob:
+    * more subspaces / more codes per subspace = finer cells.
+    * Returns (c0..c{m-1}, keeper, n_vecs). */
+  def pqSemanticCells(vectors: DataFrame, m: Int = 8, ds: Int = 8, ks: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val codes = pqEncode(vectors, pqCodebooks(vectors, m, ds, ks, iters), ds)
+    codes.groupBy((0 until m).map(s => col(s"c$s")): _*)
+      .agg(min(col("vec_id")).as("keeper"), count(lit(1)).as("n_vecs"))
+  }
+
   /** Recall@k of [[pqTopK]] against the exact baseline, per query —
     * the measured-number companion every approximate searcher here gets
     * (same integer half-up recall arithmetic as [[annRecall]]). */
@@ -515,6 +532,18 @@ object Similarity {
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
     pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("query_id", "n_hit", "recall")
+
+  /** PQ-cell dedup report: occupancy histogram (how many cells hold n
+    * vectors — n > 1 rows are the semantic-duplicate groups) plus the
+    * duplicate count those groups would remove. Coarser quantizer than
+    * the ANN one (4 × 16-dim subspaces, 8 codes → 4096 cells): dedup
+    * wants a semantic BAND, not a ranking. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    pqSemanticCells(Tables.embeddings(spark, dir), m = 4, ds = 16, ks = 8)
+      .groupBy(col("n_vecs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_vecs") - 1).as("n_removed"))
+      .orderBy("group_size", "n_groups", "n_removed")
 
   /** Corpus composition by embedding cluster — the data-mixture report a
     * training pipeline balances against (per-cluster doc counts over the

@@ -29,6 +29,7 @@ object ExtQueries {
     "ann_cluster_sizes"     -> Similarity.qClusterSizes _,
     "ann_pq"                -> Similarity.qPqAnn _,
     "ann_pq_recall"         -> Similarity.qPqRecall _,
+    "dedup_semantic"        -> Similarity.qSemanticDedup _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -253,14 +254,15 @@ object ExtQueries {
              |        GROUP BY 1, 2) GROUP BY cid)""".stripMargin
       }
       parts +=
-        s"""code$s AS (SELECT x.vec_id, c.cv AS cv$s FROM sub$s x, c${s}_$iters c
+        s"""code$s AS (SELECT x.vec_id, c.cid AS c$s, c.cv AS cv$s FROM sub$s x, c${s}_$iters c
            |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
            |    ORDER BY list_cosine_similarity(x.sv, c.cv) DESC, c.cid) = 1)""".stripMargin
     }
     val joins = (1 until m).map(s => s"JOIN code$s USING (vec_id)").mkString(" ")
+    val cols = (0 until m).map(s => s"c$s, cv$s").mkString(", ")
     val rn = (0 until m).map(s => s"(${sq(s"cv$s")})").mkString(" + ")
     parts +=
-      s"""codes AS (SELECT vec_id, ${(0 until m).map(s => s"cv$s").mkString(", ")},
+      s"""codes AS (SELECT vec_id, $cols,
          |  sqrt($rn) AS rn FROM code0 $joins)""".stripMargin
     parts.result().mkString(",\n")
   }
@@ -510,6 +512,16 @@ object ExtQueries {
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
          |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $vecCte,
+         |${pqCtes(m = 4, ds = 16, ks = 8)},
+         |cells AS (SELECT ${(0 until 4).map(s => s"c$s").mkString(", ")}, count(*) AS n_vecs
+         |          FROM codes GROUP BY ALL)
+         |SELECT n_vecs AS group_size, count(*) AS n_groups,
+         |  CAST(sum(n_vecs - 1) AS BIGINT) AS n_removed
+         |FROM cells GROUP BY n_vecs
+         |ORDER BY group_size, n_groups, n_removed""".stripMargin,
 
     "ann_pq_recall" ->
       s"""WITH $vecCte,

@@ -42,6 +42,19 @@ class PqSpec extends AnyFunSuite {
       s"expected cluster-0 neighbors, got ${out.map(_.getLong(1)).toSeq}")
   }
 
+  test("pqSemanticCells: cluster-mates collapse to one cell, keeper = min id") {
+    val cells = Similarity.pqSemanticCells(vecs, m = 4, ds = 4, ks = 4, iters = 1)
+      .collect()
+    // every vector lands in exactly one cell
+    assert(cells.map(r => r.getLong(r.fieldIndex("n_vecs"))).sum == 20)
+    // the two tight clusters produce multi-occupancy cells whose keeper
+    // is the smallest member id
+    val multi = cells.filter(r => r.getLong(r.fieldIndex("n_vecs")) > 1)
+    assert(multi.nonEmpty, "near-identical directions must share PQ codes")
+    val keepers = cells.map(r => r.getLong(r.fieldIndex("keeper"))).toSet
+    assert(keepers.contains(0L) || keepers.contains(10L))
+  }
+
   test("pqRecall: one row per query, recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id
