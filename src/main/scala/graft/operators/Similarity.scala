@@ -334,13 +334,83 @@ object Similarity {
     * sorted by code. Driver cost is O(m · iters) tiny collects of
     * ks × ds sums — codebook training is metadata work. */
   private def pqCodebooks(vectors: DataFrame, m: Int, ds: Int, ks: Int,
-      iters: Int): Seq[Seq[(Long, Seq[Double], Double)]] =
-    (0 until m).map { s =>
-      kmeansCollected(
-        vectors.select(col("vec_id"),
-          slice(toDouble(col("embedding")), s * ds + 1, ds).as("embedding")),
-        ks, iters)
+      iters: Int): Seq[Seq[(Long, Seq[Double], Double)]] = {
+    // One row per (vector, subspace): ALL m subspace k-means advance in the
+    // SAME Spark jobs — m sequential kmeansCollected calls would pay
+    // m × (iters + 1) job round-trips of pure scheduling latency for
+    // interchangeable work. The math per subspace is identical (same dot /
+    // cosine / fixed-point mean expressions), so the oracle SQL — which
+    // mirrors the per-subspace formulation — is unaffected.
+    val sub = vectors.select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(toDouble(col("embedding")), s * ds + 1, ds).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .withColumn("nrm", l2Norm(col("sv")))
+
+    def withNorm(cv: Seq[Double]): (Seq[Double], Double) = {
+      var t = 0.0
+      var i = 0
+      while (i < cv.length) { t += cv(i) * cv(i); i += 1 }
+      (cv, math.sqrt(t))
     }
+
+    // seeds: the first ks vectors' slices — one collect for every subspace
+    var cents: IndexedSeq[Map[Long, (Seq[Double], Double)]] = {
+      val rows = sub.filter(col("vec_id") < ks)
+        .select(col("s"), col("vec_id"), col("sv")).collect()
+      (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s)
+          .map(r => r.getLong(1) -> withNorm(r.getSeq[Double](2))).toMap
+      }
+    }
+
+    // nearest-sub-centroid assignment against nested plan literals,
+    // indexed by (s, code): cos desc, code asc tie-break. A code whose
+    // cluster emptied mid-Lloyd scores -Inf — never chosen, mirroring the
+    // per-subspace formulation where it simply isn't a candidate.
+    def assigned: DataFrame = {
+      val cvLit = typedLit((0 until m).map { s =>
+        (0 until ks).map(j => cents(s).get(j.toLong).map(_._1).getOrElse(Seq.fill(ds)(0.0)))
+      })
+      val cnLit = typedLit((0 until m).map { s =>
+        (0 until ks).map(j => cents(s).get(j.toLong).map(_._2).getOrElse(0.0))
+      })
+      val alive = typedLit((0 until m).map { s =>
+        (0 until ks).map(j => cents(s).contains(j.toLong))
+      })
+      val scored = (0 until ks).map { j =>
+        val csim = dot(col("sv"), element_at(element_at(cvLit, col("s") + 1), lit(j + 1))) /
+          (col("nrm") * element_at(element_at(cnLit, col("s") + 1), lit(j + 1)))
+        struct(
+          when(element_at(element_at(alive, col("s") + 1), lit(j + 1)), csim)
+            .otherwise(lit(Double.NegativeInfinity)).as("csim"),
+          lit(-j.toLong).as("negc"))
+      }
+      val best = if (scored.sizeIs > 1) greatest(scored: _*) else scored.head
+      sub.withColumn("centroid_id", (-best.getField("negc")).cast("long"))
+    }
+
+    for (_ <- 0 until iters) {
+      // one fixed-point mean aggregate for every subspace at once;
+      // m·ks·ds sum rows come back to the driver
+      val sums = assigned
+        .select(col("s"), col("centroid_id"), posexplode(col("sv")))
+        .select(col("s"), col("centroid_id"), col("pos"),
+          floor(col("col") * 1000000d).cast("long").as("q"))
+        .groupBy("s", "centroid_id", "pos")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .collect()
+      cents = (0 until m).map { s =>
+        sums.filter(_.getInt(0) == s).groupBy(_.getLong(1)).map { case (cid, rows) =>
+          val sorted = rows.sortBy(_.getInt(2))
+          val n = sorted.head.getLong(4)
+          cid -> withNorm(sorted.map(r => r.getLong(3).toDouble / (n * 1000000.0)).toSeq)
+        }.toMap
+      }
+    }
+    (0 until m).map(s =>
+      cents(s).toSeq.map { case (id, (cv, cn)) => (id, cv, cn) }.sortBy(_._1))
+  }
 
   /** Missing-code padding: a centroid that loses all members mid-Lloyd
     * drops out of the codebook; no vector can be assigned to it, so its
