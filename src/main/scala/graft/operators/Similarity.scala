@@ -479,6 +479,18 @@ object Similarity {
     * sub-centroid lookups are plan literals (ks·ds doubles per subspace),
     * queries broadcast, and the per-query top-k is the bounded-heap
     * aggregator — zero shuffle of the candidate side. */
+  /** ADC similarity column over a (codes ⋈ queries) frame carrying
+    * q0..q{m-1} (full-precision query slices), qn, c0..c{m-1}, rn:
+    * (Σₛ ⟨q_s, cbₛ[codeₛ]⟩) / (qn·rn), sub-centroid lookups as plan
+    * literals, s-fold left-to-right (the oracle mirrors the order). */
+  private def adcSim(padded: Seq[IndexedSeq[(Seq[Double], Double)]]): org.apache.spark.sql.Column = {
+    val m = padded.length
+    val adot = (0 until m).map { s =>
+      dot(col(s"q$s"), element_at(typedLit(padded(s).map(_._1)), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    adot / (col("qn") * col("rn"))
+  }
+
   def pqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
       m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
     val cbs = pqCodebooks(vectors, m, ds, ks, iters)
@@ -488,12 +500,38 @@ object Similarity {
       (col("vec_id").as("query_id") +:
         (0 until m).map(s => slice(toDouble(col("embedding")), s * ds + 1, ds).as(s"q$s"))) :+
         l2Norm(toDouble(col("embedding"))).as("qn"): _*)
-    val adot = (0 until m).map { s =>
-      dot(col(s"q$s"), element_at(typedLit(padded(s).map(_._1)), col(s"c$s") + 1))
-    }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", adot / (col("qn") * col("rn")))
+      .withColumn("sim", adcSim(padded))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ: coarse k-means cells route the search (nprobe=1, exactly
+    * [[ivfTopK]]'s cell geometry) and WITHIN the probed cell candidates
+    * are ranked by ADC over their PQ codes. This is the production ANN
+    * memory/compute shape: the scan per query touches (N/cells) rows of
+    * m ints — not full vectors — so a 1000-executor cluster holds the
+    * whole index hot where raw embeddings would spill. (Codes here
+    * quantize the vector itself, not the IVF residual — residual
+    * encoding would couple the codebooks to the cell layout; with
+    * cosine ranking the gain is marginal and the decoupled form keeps
+    * both indexes independently refreshable.) */
+  def ivfPqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, numCentroids: Int = 8, kmeansIters: Int = 2,
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+    val cells = kmeansAssign(vectors, numCentroids, kmeansIters)
+    val cbs = pqCodebooks(vectors, m, ds, ks, iters)
+    val padded = cbs.map(cb => padCodebook(cb, ks, ds))
+    val cand = pqEncode(vectors, cbs, ds)
+      .join(cells.select(col("vec_id"), col("centroid_id")), "vec_id")
+    val q = cells.filter(queryPred).select(
+      (col("vec_id").as("query_id") +:
+        (0 until m).map(s => slice(col("v"), s * ds + 1, ds).as(s"q$s"))) ++
+        Seq(col("nrm").as("qn"), col("centroid_id")): _*)
+    val scored = cand.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", adcSim(padded))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
     topKPerQuery(scored, k)
   }
@@ -602,6 +640,14 @@ object Similarity {
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
     pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("query_id", "n_hit", "recall")
+
+  /** IVF-PQ ANN: 8 coarse cells route, ADC over 8×8×8 codes ranks;
+    * queries vec_id in [10, 20), top-3 within the probed cell. */
+  def qIvfPqAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, dir),
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      .withColumnRenamed("cos_sim", "adc_sim")
+      .orderBy("query_id", "neighbor_id", "adc_sim")
 
   /** PQ-cell dedup report: occupancy histogram (how many cells hold n
     * vectors — n > 1 rows are the semantic-duplicate groups) plus the

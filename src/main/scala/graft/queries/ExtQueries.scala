@@ -30,6 +30,7 @@ object ExtQueries {
     "ann_pq"                -> Similarity.qPqAnn _,
     "ann_pq_recall"         -> Similarity.qPqRecall _,
     "dedup_semantic"        -> Similarity.qSemanticDedup _,
+    "ann_ivfpq"             -> Similarity.qIvfPqAnn _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -509,6 +510,23 @@ object ExtQueries {
          |  SELECT q.query_id, c.vec_id AS neighbor_id,
          |    round(${pqAdcSim()}, 4) AS adc_sim
          |  FROM codes c, q WHERE c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
+         |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |${pqCtes()},
+         |q AS (SELECT vec_id AS query_id, vec AS qv,
+         |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn,
+         |  centroid_id
+         |  FROM asg2 WHERE vec_id >= 10 AND vec_id < 20),
+         |cand AS (SELECT c.*, a.centroid_id FROM codes c JOIN asg2 a USING (vec_id))
+         |SELECT query_id, neighbor_id, adc_sim FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    round(${pqAdcSim()}, 4) AS adc_sim
+         |  FROM cand c JOIN q ON c.centroid_id = q.centroid_id AND c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
          |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,

@@ -42,6 +42,18 @@ class PqSpec extends AnyFunSuite {
       s"expected cluster-0 neighbors, got ${out.map(_.getLong(1)).toSeq}")
   }
 
+  test("ivfPqTopK routes by cell and ranks by ADC: cluster-mates only") {
+    val out = Similarity.ivfPqTopK(vecs, col("vec_id") === 0, k = 5,
+      numCentroids = 2, kmeansIters = 1, m = 4, ds = 4, ks = 4, iters = 1)
+      .collect()
+    assert(out.nonEmpty && out.length <= 5)
+    // with 2 coarse cells over 2 separable clusters, the probed cell IS
+    // the query's cluster — every neighbor is a cluster-0 vector
+    assert(out.forall(_.getLong(1) < 10),
+      s"expected cluster-0 neighbors, got ${out.map(_.getLong(1)).toSeq}")
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("pqSemanticCells: cluster-mates collapse to one cell, keeper = min id") {
     val cells = Similarity.pqSemanticCells(vecs, m = 4, ds = 4, ks = 4, iters = 1)
       .collect()
