@@ -97,6 +97,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!r.planString.contains("Window"), r.planString)
   }
 
+  test("PQ encode is a zero-shuffle projection over literal codebooks") {
+    // codes are what ADC search scans at 100 TB — if encoding shuffled
+    // or joined, the compression would cost more than it saves
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cells = graft.operators.Similarity.pqSemanticCells(
+      emb, m = 4, ds = 16, ks = 4, iters = 1)
+    val r = PlanAudit.audit(cells)
+    // one hash aggregate (its exchange) and nothing else: no joins, no
+    // window, no shuffle besides the single groupBy over codes
+    assert(r.shuffles <= 1, r.planString)
+    assert(r.broadcastJoins + r.sortMergeJoins + r.nestedLoopJoins == 0, r.planString)
+    assert(!r.planString.contains("Window"), r.planString)
+  }
+
   test("scan pruning: wide lineitem never read wholesale by q5") {
     val r = PlanAudit.audit(CoreQueries.q5TopK(spark, sf))
     // lineitem has 11 columns; q5 needs 3
