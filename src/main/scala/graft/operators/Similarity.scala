@@ -553,25 +553,31 @@ object Similarity {
       .agg(min(col("vec_id")).as("keeper"), count(lit(1)).as("n_vecs"))
   }
 
-  /** Recall@k of [[pqTopK]] against the exact baseline, per query —
-    * the measured-number companion every approximate searcher here gets
-    * (same integer half-up recall arithmetic as [[annRecall]]). */
+  /** Recall@k of [[pqTopK]] (pure quantization loss) AND [[ivfPqTopK]]
+    * (quantization + cell-routing loss) against the exact baseline, per
+    * query — the two numbers whose GAP tells you whether a recall miss
+    * is the codebook's fault or the coarse router's (same integer
+    * half-up recall arithmetic as [[annRecall]]). */
   def pqRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+      k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
+      numCentroids: Int = 8, kmeansIters: Int = 2): DataFrame = {
     val exact = bruteForceTopK(
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-    pqTopK(emb, queryPred, k, m, ds, ks, iters)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(exact, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      .join(nExact, Seq("query_id"), "right")
-      .na.fill(0L, Seq("n_hit"))
-      .select(col("query_id"), col("n_hit"),
-        (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+    def hits(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(nExact, Seq("query_id"), "right")
+        .na.fill(0L, Seq("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hit"),
+          (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+    hits("pq", pqTopK(emb, queryPred, k, m, ds, ks, iters))
+      .union(hits("ivfpq",
+        ivfPqTopK(emb, queryPred, k, numCentroids, kmeansIters, m, ds, ks, iters)))
   }
 
   /** Multi-probe sign-LSH ANN: besides its own bucket, each QUERY also
@@ -636,10 +642,11 @@ object Similarity {
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
-  /** Recall@5 of PQ/ADC vs brute force for queries vec_id < 10. */
+  /** Recall@5 of flat PQ and IVF-PQ vs brute force for queries
+    * vec_id < 10. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
     pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
-      .orderBy("query_id", "n_hit", "recall")
+      .orderBy("method", "query_id", "n_hit", "recall")
 
   /** IVF-PQ ANN: 8 coarse cells route, ADC over 8×8×8 codes ranks;
     * queries vec_id in [10, 20), top-3 within the probed cell. */

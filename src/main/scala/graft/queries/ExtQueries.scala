@@ -544,7 +544,10 @@ object ExtQueries {
     "ann_pq_recall" ->
       s"""WITH $vecCte,
          |${pqCtes()},
+         |${ivfCtes()},
          |${pqQueryCte("vec_id < 10")},
+         |qc AS (SELECT q.*, a.centroid_id FROM q JOIN asg2 a ON q.query_id = a.vec_id),
+         |cand AS (SELECT c.*, a.centroid_id FROM codes c JOIN asg2 a USING (vec_id)),
          |ex AS (SELECT q.query_id, x.vec_id AS neighbor_id FROM v x, q
          |  WHERE x.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
@@ -553,13 +556,26 @@ object ExtQueries {
          |  FROM codes c, q WHERE c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 5),
+         |ipq5 AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM cand c JOIN qc q ON c.centroid_id = q.centroid_id
+         |    AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 5),
          |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
-         |hit AS (SELECT query_id, count(*) AS n_hit
-         |        FROM ex JOIN pq5 USING (query_id, neighbor_id) GROUP BY 1)
-         |SELECT n.query_id, coalesce(h.n_hit, 0) AS n_hit,
-         |  ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
-         |FROM nex n LEFT JOIN hit h USING (query_id)
-         |ORDER BY query_id, n_hit, recall""".stripMargin,
+         |hitp AS (SELECT query_id, count(*) AS n_hit
+         |         FROM ex JOIN pq5 USING (query_id, neighbor_id) GROUP BY 1),
+         |hiti AS (SELECT query_id, count(*) AS n_hit
+         |         FROM ex JOIN ipq5 USING (query_id, neighbor_id) GROUP BY 1),
+         |r AS (
+         |  SELECT 'pq' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hitp h USING (query_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hiti h USING (query_id))
+         |SELECT method, query_id, n_hit, recall FROM r
+         |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $vecCte,

@@ -67,15 +67,17 @@ class PqSpec extends AnyFunSuite {
     assert(keepers.contains(0L) || keepers.contains(10L))
   }
 
-  test("pqRecall: one row per query, recall within [0, 1]") {
+  test("pqRecall: one row per (method, query), recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id
     // while the exact ranking follows the jitter. That boundary (great
     // cross-cluster separation, id-order within a code cell) is exactly
     // what the measured recall gate exists to expose.
     val r = Similarity.pqRecall(vecs, col("vec_id") < 3, k = 3,
-      m = 4, ds = 4, ks = 4, iters = 1).collect()
-    assert(r.length == 3)
-    assert(r.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
+      m = 4, ds = 4, ks = 4, iters = 1,
+      numCentroids = 2, kmeansIters = 1).collect()
+    assert(r.length == 6) // methods pq + ivfpq x 3 queries
+    assert(r.map(_.getString(0)).toSet == Set("pq", "ivfpq"))
+    assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
   }
 }
