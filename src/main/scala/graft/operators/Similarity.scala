@@ -638,21 +638,22 @@ object Similarity {
     * the 8-code candidate frame. */
   def qPqAnn(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
   /** Recall@5 of flat PQ and IVF-PQ vs brute force for queries
     * vec_id < 10. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
-    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10,
+      k = 5, ks = 16)
       .orderBy("method", "query_id", "n_hit", "recall")
 
   /** IVF-PQ ANN: 8 coarse cells route, ADC over 8×8×8 codes ranks;
     * queries vec_id in [10, 20), top-3 within the probed cell. */
   def qIvfPqAnn(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
