@@ -470,15 +470,6 @@ object Similarity {
     coded.withColumn("rn", sqrt(rn2))
   }
 
-  /** ADC (asymmetric distance computation) top-k: queries stay full
-    * precision, candidates are their PQ codes. Approximate similarity is
-    * Σₛ ⟨q_s, cbₛ[codeₛ]⟩ / (‖q‖·rn) — the dot product decomposes exactly
-    * across subspaces, so the only error is quantization. The candidate
-    * side scans m small ints + one double per vector instead of the dim
-    * floats (32× smaller at m=8, ds=8 — the memory/IO win PQ exists for);
-    * sub-centroid lookups are plan literals (ks·ds doubles per subspace),
-    * queries broadcast, and the per-query top-k is the bounded-heap
-    * aggregator — zero shuffle of the candidate side. */
   /** ADC similarity column over a (codes ⋈ queries) frame carrying
     * q0..q{m-1} (full-precision query slices), qn, c0..c{m-1}, rn:
     * (Σₛ ⟨q_s, cbₛ[codeₛ]⟩) / (qn·rn), sub-centroid lookups as plan
@@ -491,18 +482,59 @@ object Similarity {
     adot / (col("qn") * col("rn"))
   }
 
-  def pqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+  /** Trained PQ artifacts, built once and shared by every searcher that
+    * probes the same corpus snapshot — codebooks are metadata, the code
+    * frame is the index. */
+  final case class PqIndex(padded: Seq[IndexedSeq[(Seq[Double], Double)]],
+    codes: DataFrame, ds: Int)
+
+  def pqIndex(vectors: DataFrame, m: Int = 8, ds: Int = 8, ks: Int = 8,
+      iters: Int = 1): PqIndex = {
     val cbs = pqCodebooks(vectors, m, ds, ks, iters)
-    val padded = cbs.map(cb => padCodebook(cb, ks, ds))
-    val codes = pqEncode(vectors, cbs, ds)
-    val q = vectors.filter(queryPred).select(
+    PqIndex(cbs.map(cb => padCodebook(cb, ks, ds)), pqEncode(vectors, cbs, ds), ds)
+  }
+
+  private def pqQueries(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      m: Int, ds: Int): DataFrame =
+    vectors.filter(queryPred).select(
       (col("vec_id").as("query_id") +:
         (0 until m).map(s => slice(toDouble(col("embedding")), s * ds + 1, ds).as(s"q$s"))) :+
         l2Norm(toDouble(col("embedding"))).as("qn"): _*)
-    val scored = codes.crossJoin(broadcast(q))
+
+  private def pqTopKFrom(ix: PqIndex, q: DataFrame, k: Int): DataFrame = {
+    val scored = ix.codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", adcSim(padded))
+      .withColumn("sim", adcSim(ix.padded))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** ADC (asymmetric distance computation) top-k: queries stay full
+    * precision, candidates are their PQ codes. Approximate similarity is
+    * Σₛ ⟨q_s, cbₛ[codeₛ]⟩ / (‖q‖·rn) — the dot product decomposes exactly
+    * across subspaces, so the only error is quantization. The candidate
+    * side scans m small ints + one double per vector instead of the dim
+    * floats (32× smaller at m=8, ds=8 — the memory/IO win PQ exists for);
+    * sub-centroid lookups are plan literals (ks·ds doubles per subspace),
+    * queries broadcast, and the per-query top-k is the bounded-heap
+    * aggregator — zero shuffle of the candidate side. */
+  def pqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
+    val ix = pqIndex(vectors, m, ds, ks, iters)
+    pqTopKFrom(ix, pqQueries(vectors, queryPred, m, ds), k)
+  }
+
+  private def ivfPqTopKFrom(ix: PqIndex, cells: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val m = ix.padded.length
+    val cand = ix.codes.join(cells.select(col("vec_id"), col("centroid_id")), "vec_id")
+    val q = cells.filter(queryPred).select(
+      (col("vec_id").as("query_id") +:
+        (0 until m).map(s => slice(col("v"), s * ix.ds + 1, ix.ds).as(s"q$s"))) ++
+        Seq(col("nrm").as("qn"), col("centroid_id")): _*)
+    val scored = cand.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", adcSim(ix.padded))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
     topKPerQuery(scored, k)
   }
@@ -519,22 +551,9 @@ object Similarity {
     * both indexes independently refreshable.) */
   def ivfPqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int, numCentroids: Int = 8, kmeansIters: Int = 2,
-      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame = {
-    val cells = kmeansAssign(vectors, numCentroids, kmeansIters)
-    val cbs = pqCodebooks(vectors, m, ds, ks, iters)
-    val padded = cbs.map(cb => padCodebook(cb, ks, ds))
-    val cand = pqEncode(vectors, cbs, ds)
-      .join(cells.select(col("vec_id"), col("centroid_id")), "vec_id")
-    val q = cells.filter(queryPred).select(
-      (col("vec_id").as("query_id") +:
-        (0 until m).map(s => slice(col("v"), s * ds + 1, ds).as(s"q$s"))) ++
-        Seq(col("nrm").as("qn"), col("centroid_id")): _*)
-    val scored = cand.join(broadcast(q), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", adcSim(padded))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-    topKPerQuery(scored, k)
-  }
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame =
+    ivfPqTopKFrom(pqIndex(vectors, m, ds, ks, iters),
+      kmeansAssign(vectors, numCentroids, kmeansIters), queryPred, k)
 
   /** PQ-cell semantic dedup (the SemDeDup shape): vectors that agree on
     * ALL m sub-codes quantize to the same reconstruction — at m=8, ks=8
@@ -575,9 +594,14 @@ object Similarity {
         .na.fill(0L, Seq("n_hit"))
         .select(lit(method).as("method"), col("query_id"), col("n_hit"),
           (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
-    hits("pq", pqTopK(emb, queryPred, k, m, ds, ks, iters))
+    // one trained index feeds BOTH searchers: codebooks collect once and
+    // the code frame materializes once (localCheckpoint) instead of
+    // re-encoding the corpus per method
+    val ix0 = pqIndex(emb, m, ds, ks, iters)
+    val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
+    hits("pq", pqTopKFrom(ix, pqQueries(emb, queryPred, m, ds), k))
       .union(hits("ivfpq",
-        ivfPqTopK(emb, queryPred, k, numCentroids, kmeansIters, m, ds, ks, iters)))
+        ivfPqTopKFrom(ix, kmeansAssign(emb, numCentroids, kmeansIters), queryPred, k)))
   }
 
   /** Multi-probe sign-LSH ANN: besides its own bucket, each QUERY also
@@ -638,22 +662,21 @@ object Similarity {
     * the 8-code candidate frame. */
   def qPqAnn(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
   /** Recall@5 of flat PQ and IVF-PQ vs brute force for queries
     * vec_id < 10. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
-    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10,
-      k = 5, ks = 16)
+    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("method", "query_id", "n_hit", "recall")
 
   /** IVF-PQ ANN: 8 coarse cells route, ADC over 8×8×8 codes ranks;
     * queries vec_id in [10, 20), top-3 within the probed cell. */
   def qIvfPqAnn(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 

@@ -504,7 +504,7 @@ object ExtQueries {
 
     "ann_pq" ->
       s"""WITH $vecCte,
-         |${pqCtes(ks = 16)},
+         |${pqCtes()},
          |${pqQueryCte("vec_id >= 10 AND vec_id < 20")}
          |SELECT query_id, neighbor_id, adc_sim FROM (
          |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -517,7 +517,7 @@ object ExtQueries {
     "ann_ivfpq" ->
       s"""WITH $vecCte,
          |${ivfCtes()},
-         |${pqCtes(ks = 16)},
+         |${pqCtes()},
          |q AS (SELECT vec_id AS query_id, vec AS qv,
          |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn,
          |  centroid_id
@@ -543,7 +543,7 @@ object ExtQueries {
 
     "ann_pq_recall" ->
       s"""WITH $vecCte,
-         |${pqCtes(ks = 16)},
+         |${pqCtes()},
          |${ivfCtes()},
          |${pqQueryCte("vec_id < 10")},
          |qc AS (SELECT q.*, a.centroid_id FROM q JOIN asg2 a ON q.query_id = a.vec_id),
