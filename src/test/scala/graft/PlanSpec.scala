@@ -113,6 +113,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!r.planString.contains("Window"), r.planString)
   }
 
+  test("PQ ADC search never sort-merges; one aggregator exchange only") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val r = PlanAudit.audit(graft.operators.Similarity.pqTopK(
+      emb, org.apache.spark.sql.functions.col("vec_id") < 4, k = 3,
+      m = 4, ds = 16, ks = 4, iters = 1))
+    // candidate side: code scan → broadcast cross with the tiny query set
+    // (BroadcastNestedLoopJoin by design) → bounded-heap aggregate. The
+    // only shuffle allowed is the top-k aggregator's exchange.
+    assert(r.sortMergeJoins == 0, r.planString)
+    assert(r.shuffles <= 1, r.planString)
+  }
+
   test("scan pruning: wide lineitem never read wholesale by q5") {
     val r = PlanAudit.audit(CoreQueries.q5TopK(spark, sf))
     // lineitem has 11 columns; q5 needs 3
