@@ -524,14 +524,39 @@ object Similarity {
     pqTopKFrom(ix, pqQueries(vectors, queryPred, m, ds), k)
   }
 
-  private def ivfPqTopKFrom(ix: PqIndex, cells: DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val m = ix.padded.length
+  /** Per-query probe set: each query's top-`nprobe` cells by centroid
+    * cosine (cos desc, id asc — the SAME total order as assignment, via
+    * sort_array desc over (csim, -id) structs, so nprobe=1 reproduces
+    * [[assignByCentroids]]' argmax bit-for-bit). One exploded row per
+    * (query, probed cell), slices + norm carried for ADC. Query side
+    * only — the corpus never sees nprobe. */
+  private def ivfPqProbeQueries(vectors: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)],
+      queryPred: org.apache.spark.sql.Column, m: Int, ds: Int,
+      nprobe: Int): DataFrame = {
+    val scored = cents.map { case (id, cv, cn) =>
+      struct(
+        cosineWithNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cn)).as("csim"),
+        lit(-id).as("negc"))
+    }
+    vectors.filter(queryPred)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("cells", slice(sort_array(array(scored: _*), asc = false), 1, nprobe))
+      .select(
+        (col("query_id") +:
+          (0 until m).map(s => slice(col("v"), s * ds + 1, ds).as(s"q$s"))) ++
+          Seq(col("nrm").as("qn"), explode(col("cells")).as("cell")): _*)
+      .withColumn("centroid_id", (-col("cell.negc")).cast("long"))
+      .drop("cell")
+  }
+
+  /** Search core: candidates = codes ⋈ their cell; probe rows broadcast;
+    * cells PARTITION candidates, so multi-probe joins are disjoint and
+    * need no dedup before the top-k heap. */
+  private def ivfPqSearch(ix: PqIndex, cells: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val cand = ix.codes.join(cells.select(col("vec_id"), col("centroid_id")), "vec_id")
-    val q = cells.filter(queryPred).select(
-      (col("vec_id").as("query_id") +:
-        (0 until m).map(s => slice(col("v"), s * ix.ds + 1, ix.ds).as(s"q$s"))) ++
-        Seq(col("nrm").as("qn"), col("centroid_id")): _*)
     val scored = cand.join(broadcast(q), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", adcSim(ix.padded))
@@ -539,21 +564,25 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** IVF-PQ: coarse k-means cells route the search (nprobe=1, exactly
-    * [[ivfTopK]]'s cell geometry) and WITHIN the probed cell candidates
-    * are ranked by ADC over their PQ codes. This is the production ANN
-    * memory/compute shape: the scan per query touches (N/cells) rows of
-    * m ints — not full vectors — so a 1000-executor cluster holds the
-    * whole index hot where raw embeddings would spill. (Codes here
-    * quantize the vector itself, not the IVF residual — residual
-    * encoding would couple the codebooks to the cell layout; with
-    * cosine ranking the gain is marginal and the decoupled form keeps
-    * both indexes independently refreshable.) */
+  /** IVF-PQ: coarse k-means cells route the search and WITHIN the probed
+    * cells candidates are ranked by ADC over their PQ codes. This is the
+    * production ANN memory/compute shape: the scan per query touches
+    * nprobe·(N/cells) rows of m ints — not full vectors — so a
+    * 1000-executor cluster holds the whole index hot where raw embeddings
+    * would spill. `nprobe` is the recall knob: probe work grows on the
+    * tiny query side only. (Codes quantize the vector itself, not the IVF
+    * residual — residual encoding would couple the codebooks to the cell
+    * layout; with cosine ranking the gain is marginal and the decoupled
+    * form keeps both indexes independently refreshable.) */
   def ivfPqTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int, numCentroids: Int = 8, kmeansIters: Int = 2,
-      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): DataFrame =
-    ivfPqTopKFrom(pqIndex(vectors, m, ds, ks, iters),
-      kmeansAssign(vectors, numCentroids, kmeansIters), queryPred, k)
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
+      nprobe: Int = 1): DataFrame = {
+    val cents = kmeansCollected(vectors, numCentroids, kmeansIters)
+    ivfPqSearch(pqIndex(vectors, m, ds, ks, iters),
+      assignByCentroids(vectors, cents),
+      ivfPqProbeQueries(vectors, cents, queryPred, m, ds, nprobe), k)
+  }
 
   /** PQ-cell semantic dedup (the SemDeDup shape): vectors that agree on
     * ALL m sub-codes quantize to the same reconstruction — at m=8, ks=8
@@ -594,14 +623,19 @@ object Similarity {
         .na.fill(0L, Seq("n_hit"))
         .select(lit(method).as("method"), col("query_id"), col("n_hit"),
           (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
-    // one trained index feeds BOTH searchers: codebooks collect once and
-    // the code frame materializes once (localCheckpoint) instead of
-    // re-encoding the corpus per method
+    // one trained index feeds EVERY searcher: codebooks collect once, the
+    // code frame materializes once (localCheckpoint), the coarse Lloyd
+    // runs once — per-method retraining would triple identical work
     val ix0 = pqIndex(emb, m, ds, ks, iters)
     val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
+    val cents = kmeansCollected(emb, numCentroids, kmeansIters)
+    val cells = assignByCentroids(emb, cents)
+    def ivfArm(nprobe: Int): DataFrame =
+      ivfPqSearch(ix, cells,
+        ivfPqProbeQueries(emb, cents, queryPred, m, ds, nprobe), k)
     hits("pq", pqTopKFrom(ix, pqQueries(emb, queryPred, m, ds), k))
-      .union(hits("ivfpq",
-        ivfPqTopKFrom(ix, kmeansAssign(emb, numCentroids, kmeansIters), queryPred, k)))
+      .union(hits("ivfpq", ivfArm(nprobe = 1)))
+      .union(hits("ivfpq_p2", ivfArm(nprobe = 2)))
   }
 
   /** Multi-probe sign-LSH ANN: besides its own bucket, each QUERY also
@@ -662,21 +696,22 @@ object Similarity {
     * the 8-code candidate frame. */
   def qPqAnn(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
   /** Recall@5 of flat PQ and IVF-PQ vs brute force for queries
     * vec_id < 10. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame =
-    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+    pqRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10,
+      k = 5, ks = 16)
       .orderBy("method", "query_id", "n_hit", "recall")
 
   /** IVF-PQ ANN: 8 coarse cells route, ADC over 8×8×8 codes ranks;
     * queries vec_id in [10, 20), top-3 within the probed cell. */
   def qIvfPqAnn(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, dir),
-      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3)
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 

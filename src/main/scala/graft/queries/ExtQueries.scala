@@ -504,7 +504,7 @@ object ExtQueries {
 
     "ann_pq" ->
       s"""WITH $vecCte,
-         |${pqCtes()},
+         |${pqCtes(ks = 16)},
          |${pqQueryCte("vec_id >= 10 AND vec_id < 20")}
          |SELECT query_id, neighbor_id, adc_sim FROM (
          |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -517,7 +517,7 @@ object ExtQueries {
     "ann_ivfpq" ->
       s"""WITH $vecCte,
          |${ivfCtes()},
-         |${pqCtes()},
+         |${pqCtes(ks = 16)},
          |q AS (SELECT vec_id AS query_id, vec AS qv,
          |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn,
          |  centroid_id
@@ -543,7 +543,7 @@ object ExtQueries {
 
     "ann_pq_recall" ->
       s"""WITH $vecCte,
-         |${pqCtes()},
+         |${pqCtes(ks = 16)},
          |${ivfCtes()},
          |${pqQueryCte("vec_id < 10")},
          |qc AS (SELECT q.*, a.centroid_id FROM q JOIN asg2 a ON q.query_id = a.vec_id),
@@ -561,11 +561,21 @@ object ExtQueries {
          |    AND c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 5),
+         |qc2 AS (SELECT q.*, c.centroid_id FROM q, cent2 c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) <= 2),
+         |ipq5b AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM cand c JOIN qc2 q ON c.centroid_id = q.centroid_id
+         |    AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 5),
          |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
          |hitp AS (SELECT query_id, count(*) AS n_hit
          |         FROM ex JOIN pq5 USING (query_id, neighbor_id) GROUP BY 1),
          |hiti AS (SELECT query_id, count(*) AS n_hit
          |         FROM ex JOIN ipq5 USING (query_id, neighbor_id) GROUP BY 1),
+         |hiti2 AS (SELECT query_id, count(*) AS n_hit
+         |          FROM ex JOIN ipq5b USING (query_id, neighbor_id) GROUP BY 1),
          |r AS (
          |  SELECT 'pq' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
          |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
@@ -573,7 +583,11 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT 'ivfpq' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
          |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
-         |  FROM nex n LEFT JOIN hiti h USING (query_id))
+         |  FROM nex n LEFT JOIN hiti h USING (query_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq_p2' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hiti2 h USING (query_id))
          |SELECT method, query_id, n_hit, recall FROM r
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 

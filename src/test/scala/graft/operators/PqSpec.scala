@@ -76,8 +76,15 @@ class PqSpec extends AnyFunSuite {
     val r = Similarity.pqRecall(vecs, col("vec_id") < 3, k = 3,
       m = 4, ds = 4, ks = 4, iters = 1,
       numCentroids = 2, kmeansIters = 1).collect()
-    assert(r.length == 6) // methods pq + ivfpq x 3 queries
-    assert(r.map(_.getString(0)).toSet == Set("pq", "ivfpq"))
+    assert(r.length == 9) // methods pq + ivfpq + ivfpq_p2 x 3 queries
+    assert(r.map(_.getString(0)).toSet == Set("pq", "ivfpq", "ivfpq_p2"))
     assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
+    // with nprobe = numCentroids = 2 every cell is probed: the ivfpq_p2
+    // arm degenerates to flat PQ exactly
+    val byQ = r.groupBy(_.getLong(1))
+    assert(byQ.values.forall { rows =>
+      rows.find(_.getString(0) == "ivfpq_p2").get.getLong(2) ==
+        rows.find(_.getString(0) == "pq").get.getLong(2)
+    })
   }
 }
