@@ -120,6 +120,25 @@ object Clusters {
         (col("doc_id") === col("survivor_id")).as("survivor"))
   }
 
+  /** Quality-aware survivor selection: keep the BEST-scoring doc per
+    * dup cluster (score desc, doc_id asc tie-break) instead of the
+    * smallest id — what a production curation run actually wants, since
+    * near-duplicates differ in boilerplate/truncation and min-id keeps
+    * an arbitrary one. `scores` is any (doc_id, score) frame (e.g.
+    * [[TextAnalysis.qualityScore]]). The argmax is one hash aggregate of
+    * `max(struct(score, -doc_id))` — no window over the corpus. */
+  def bestSurvivors(pairs: DataFrame, scores: DataFrame,
+      scoreCol: String = "quality"): DataFrame = {
+    connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+      .join(scores, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col(scoreCol).as("score"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("b.negid")).as("survivor_id"), col("b.score").as(scoreCol))
+  }
+
   // ---- query-shaped entry point ------------------------------------------
 
   /** Cluster the LSH near-dup candidate pairs and report cluster sizes —
@@ -131,5 +150,13 @@ object Clusters {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("cluster_id", "cluster_size")
+  }
+
+  /** Per dup cluster: the highest-quality member kept as survivor. */
+  def qBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bestSurvivors(Dedup.minHashLshPairs(docs),
+      graft.operators.TextAnalysis.qualityScore(docs))
+      .orderBy("cluster_id", "cluster_size", "survivor_id", "quality")
   }
 }

@@ -42,6 +42,7 @@ object ExtQueries {
     "events_quantiles"      -> TextAnalysis.qEventQuantiles _,
     "text_contamination"    -> TextAnalysis.qContamination _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
+    "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
@@ -760,6 +761,37 @@ object ExtQueries {
          |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node)
          |SELECT cluster_id, count(*) AS cluster_size FROM reach
          |GROUP BY cluster_id ORDER BY cluster_id, cluster_size""".stripMargin,
+
+    "dedup_best_survivor" ->
+      s"""$minhashCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(node, reach) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach)
+         |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+         |qtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |qst AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+         |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+         |  FROM qtok WHERE token <> '' GROUP BY doc_id),
+         |qq AS (SELECT doc_id, ((num * 20000 + den) // (den * 2)) / 10000.0 AS quality
+         |  FROM (SELECT d.doc_id,
+         |      least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750 AS num,
+         |      n_tok * 12500 AS den
+         |    FROM documents d JOIN qst USING (doc_id))),
+         |sel AS (SELECT r.cluster_id, r.node, q.quality,
+         |    row_number() OVER (PARTITION BY r.cluster_id
+         |      ORDER BY q.quality DESC, r.node) AS rn,
+         |    count(*) OVER (PARTITION BY r.cluster_id) AS cluster_size
+         |  FROM reach r JOIN qq q ON r.node = q.doc_id)
+         |SELECT cluster_id, cluster_size, node AS survivor_id, quality
+         |FROM sel WHERE rn = 1
+         |ORDER BY cluster_id, cluster_size, survivor_id, quality""".stripMargin,
 
     "text_lang_id" ->
       """WITH tri AS (SELECT doc_id, lang, substr(text, i, 3) AS tri

@@ -34,6 +34,17 @@ class ClustersSpec extends AnyFunSuite {
     assert((0L to 9L).forall(cc(_) == 0L))
   }
 
+  test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10
+    val scores = Seq((0L, 0.2), (1L, 0.9), (2L, 0.5), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "quality")
+    val r = Clusters.bestSurvivors(pairs, scores)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((3L, 1L, 0.9)), s"got $r")   // size 3, survivor 1
+    assert(r(10L) == ((2L, 10L, 0.4)), s"got $r") // tie broken to min id
+  }
+
   test("dedupSurvivors keeps min per cluster and singletons") {
     val docs = (0L to 5L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
