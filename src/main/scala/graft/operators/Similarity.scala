@@ -601,6 +601,42 @@ object Similarity {
       .agg(min(col("vec_id")).as("keeper"), count(lit(1)).as("n_vecs"))
   }
 
+  /** Incremental semantic dedup: encode a NEW batch with the corpus's
+    * FROZEN codebooks and probe the corpus code index by full-code
+    * equality — the embedding twin of Dedup.incrementalPairs. The corpus
+    * is summarized once into m ints per vector; a batch refresh encodes
+    * only the batch (zero-shuffle projection against the frozen literal
+    * codebooks) and equi-joins the index, so the corpus is never
+    * re-scanned or re-shuffled — persist the index with
+    * [[writePqCodeIndex]] and the join side stays exchange-free too.
+    * Returns one row per duplicated batch vector:
+    * (vec_id, n_dups, first_dup). */
+  def pqIncrementalDups(corpus: DataFrame, batch: DataFrame,
+      m: Int = 4, ds: Int = 16, ks: Int = 8, iters: Int = 1): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, ds, ks, iters)
+    val codeCols = (0 until m).map(s => s"c$s")
+    val idx = pqEncode(corpus, cbs, ds)
+      .select(col("vec_id").as("corpus_id") +: codeCols.map(col): _*)
+    val probe = pqEncode(batch, cbs, ds)
+      .select(col("vec_id") +: codeCols.map(col): _*)
+    probe.join(idx, codeCols)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dups"), min(col("corpus_id")).as("first_dup"))
+  }
+
+  /** Persist a PQ code index hash-bucketed (and sorted) on the code
+    * columns, so later batch probes equi-join it with ZERO exchange on
+    * the corpus side (proven in SinksSpec — same contract as the MinHash
+    * signature index). */
+  def writePqCodeIndex(vectors: DataFrame, tableName: String, numBuckets: Int,
+      m: Int = 4, ds: Int = 16, ks: Int = 8, iters: Int = 1): Unit = {
+    val codeCols = (0 until m).map(s => s"c$s")
+    graft.sources.Sinks.writeBucketed(
+      pqEncode(vectors, pqCodebooks(vectors, m, ds, ks, iters), ds),
+      tableName, bucketCols = codeCols, numBuckets = numBuckets,
+      sortCols = codeCols)
+  }
+
   /** Recall@k of [[pqTopK]] (pure quantization loss) AND [[ivfPqTopK]]
     * (quantization + cell-routing loss) against the exact baseline, per
     * query — the two numbers whose GAP tells you whether a recall miss
@@ -726,6 +762,18 @@ object Similarity {
       .agg(count(lit(1)).as("n_groups"),
         sum(col("n_vecs") - 1).as("n_removed"))
       .orderBy("group_size", "n_groups", "n_removed")
+
+  /** Incremental semantic dedup over an even/odd corpus-vs-batch split:
+    * codebooks train on the corpus (even ids) only — the frozen-index
+    * refresh contract — and odd-id batch vectors report their corpus
+    * collisions. */
+  def qSemanticIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqIncrementalDups(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+      .orderBy("vec_id", "n_dups", "first_dup")
+  }
 
   /** Corpus composition by embedding cluster — the data-mixture report a
     * training pipeline balances against (per-cluster doc counts over the

@@ -31,6 +31,7 @@ object ExtQueries {
     "ann_pq_recall"         -> Similarity.qPqRecall _,
     "dedup_semantic"        -> Similarity.qSemanticDedup _,
     "ann_ivfpq"             -> Similarity.qIvfPqAnn _,
+    "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
     "text_token_counts"     -> TextAnalysis.qTokenCounts _,
@@ -234,17 +235,23 @@ object ExtQueries {
     * reconstructed-vector norm (per-subspace norm² as explicit left-to-
     * right products, folded s = 0..m-1 — DotProduct accumulation order).
     * Needs `v`. */
-  private def pqCtes(m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1): String = {
+  private def pqCtes(m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
+      trainFilter: String = "TRUE"): String = {
     def sq(rel: String) = (1 to ds).map(i => s"$rel[$i] * $rel[$i]").mkString(" + ")
     val parts = Seq.newBuilder[String]
     for (s <- 0 until m) {
       val lo = s * ds + 1
       val hi = (s + 1) * ds
       parts += s"sub$s AS (SELECT vec_id, vec[$lo:$hi] AS sv FROM v)"
-      parts += s"c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM sub$s WHERE vec_id < $ks)"
+      // codebooks train on the trainFilter subset (seeds + every Lloyd
+      // iteration); the final code assignment encodes EVERY vector —
+      // that split is what makes frozen-codebook incremental encoding
+      // expressible with the same chain
+      parts += s"c${s}_0 AS (SELECT vec_id AS cid, sv AS cv FROM sub$s WHERE ($trainFilter) AND vec_id < $ks)"
       for (i <- 0 until iters) {
         parts +=
           s"""a${s}_$i AS (SELECT x.vec_id, x.sv, c.cid FROM sub$s x, c${s}_$i c
+             |  WHERE ($trainFilter)
              |  QUALIFY row_number() OVER (PARTITION BY x.vec_id
              |    ORDER BY list_cosine_similarity(x.sv, c.cv) DESC, c.cid) = 1)""".stripMargin
         parts +=
@@ -541,6 +548,16 @@ object ExtQueries {
          |  CAST(sum(n_vecs - 1) AS BIGINT) AS n_removed
          |FROM cells GROUP BY n_vecs
          |ORDER BY group_size, n_groups, n_removed""".stripMargin,
+
+    "dedup_semantic_incremental" ->
+      s"""WITH $vecCte,
+         |${pqCtes(m = 4, ds = 16, ks = 8, iters = 1, trainFilter = "vec_id % 2 = 0")},
+         |idx AS (SELECT vec_id AS corpus_id, c0, c1, c2, c3 FROM codes WHERE vec_id % 2 = 0),
+         |probe AS (SELECT vec_id, c0, c1, c2, c3 FROM codes WHERE vec_id % 2 <> 0)
+         |SELECT p.vec_id, count(*) AS n_dups, CAST(min(i.corpus_id) AS BIGINT) AS first_dup
+         |FROM probe p JOIN idx i USING (c0, c1, c2, c3)
+         |GROUP BY p.vec_id
+         |ORDER BY vec_id, n_dups, first_dup""".stripMargin,
 
     "ann_pq_recall" ->
       s"""WITH $vecCte,

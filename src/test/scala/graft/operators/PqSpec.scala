@@ -67,6 +67,23 @@ class PqSpec extends AnyFunSuite {
     assert(keepers.contains(0L) || keepers.contains(10L))
   }
 
+  test("pqIncrementalDups: batch vectors collide with frozen-codebook corpus cells") {
+    // corpus = even ids, batch = odd ids: each batch vector's cluster-mates
+    // sit in the corpus, so every batch vector reports corpus duplicates
+    val corpus = vecs.filter(col("vec_id") % 2 === 0)
+    val batch = vecs.filter(col("vec_id") % 2 =!= 0)
+    val dups = Similarity.pqIncrementalDups(corpus, batch,
+      m = 4, ds = 4, ks = 4, iters = 1).collect()
+    assert(dups.nonEmpty, "tight clusters must collide across the split")
+    // every reported id is from the batch, every first_dup from the corpus
+    assert(dups.forall(r => r.getLong(0) % 2 == 1))
+    assert(dups.forall(r => r.getLong(2) % 2 == 0))
+    // cluster-0 batch vectors collide with cluster-0 corpus vectors
+    // (seeds here are all cluster-0 evens, so cluster-1 assignments are
+    // degenerate — only the well-seeded side is asserted exactly)
+    assert(dups.filter(_.getLong(0) < 10).forall(_.getLong(2) < 10))
+  }
+
   test("pqRecall: one row per (method, query), recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id

@@ -69,6 +69,30 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental semantic dedup: bucketed PQ code index probes with zero exchange") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.writePqCodeIndex(
+      emb.filter(col("vec_id") % 2 === 0), "pq_corpus", numBuckets = 4)
+    graft.operators.Similarity.writePqCodeIndex(
+      emb.filter(col("vec_id") % 2 =!= 0), "pq_batch", numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // full-code equality probe between the persisted indexes: both sides
+      // are bucketed on (c0..c3) so the join moves NOTHING
+      val probe = spark.table("pq_batch").select(
+          col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+        .join(spark.table("pq_corpus").withColumnRenamed("vec_id", "corpus_id")
+          .select(col("corpus_id"), col("c0"), col("c1"), col("c2"), col("c3")),
+          Seq("c0", "c1", "c2", "c3"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"code-index probe must not shuffle:\n$plan")
+      assert(probe.count() >= 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental dedup: bucketed signature-index probe joins with zero exchange") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
