@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Outlier detection over grouped counts — the monitoring signal a
+  * large-scale ingest pipeline watches (an hour of event counts that
+  * spikes or craters signals an upstream breakage long before any
+  * downstream metric moves).
+  *
+  * The 2σ z-test is restated WITHOUT division or sqrt so it is exact on
+  * any engine: |x − μ| > 2σ over a group's buckets, with μ = S1/n and
+  * σ² = S2/n − μ², multiplies through by n² into
+  *
+  *   (x·n − S1)² > 4·(n·S2 − S1²)
+  *
+  * where S1 = Σx and S2 = Σx² are exact integer sums. Every comparison
+  * happens on exact integers — no float mean/stddev to diverge between
+  * engines at a boundary bucket. Arithmetic is widened to DECIMAL(38,0)
+  * (HUGEINT on the oracle side): 64-bit would wrap once x·n exceeds
+  * ~3·10⁹, i.e. exactly the billion-events-per-bucket scale this exists
+  * for.
+  */
+object Anomaly {
+
+  /** Flag buckets whose `valueCol` deviates from their group's mean by
+    * more than 2σ, with a spike/drop direction. Group stats are one
+    * O(groups) aggregate broadcast back onto the bucket frame — the
+    * bucket frame itself (already aggregated from the raw corpus) never
+    * shuffles again. */
+  def countAnomalies(counts: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val stats = counts.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol)).as("s1"),
+      sum(col(valueCol) * col(valueCol)).as("s2"))
+    counts.join(broadcast(stats), groupCols)
+      .withColumn("dev", expr(s"CAST($valueCol AS DECIMAL(38,0)) * n - s1"))
+      .filter(expr(
+        "dev * dev > 4 * (CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"))
+      .withColumn("direction",
+        when(col("dev") > 0, lit("spike")).otherwise(lit("drop")))
+      .drop("n", "s1", "s2", "dev")
+  }
+
+  /** Hourly event-count anomalies per event type. */
+  def qEventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    countAnomalies(hourly, Seq("event_type"), "n_events")
+      .select("event_type", "hour", "n_events", "direction")
+      .orderBy("event_type", "hour", "n_events", "direction")
+  }
+}

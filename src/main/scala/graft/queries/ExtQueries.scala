@@ -62,6 +62,7 @@ object ExtQueries {
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
+    "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
   )
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
@@ -1055,6 +1056,22 @@ object ExtQueries {
         |  count(*) AS n_users
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset, n_users""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    sum(n_events) AS s1, sum(n_events * n_events) AS s2
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, hour, n_events,
+        |  CASE WHEN CAST(n_events AS HUGEINT) * n - s1 > 0
+        |       THEN 'spike' ELSE 'drop' END AS direction
+        |FROM h JOIN st USING (event_type)
+        |WHERE (CAST(n_events AS HUGEINT) * n - s1) * (CAST(n_events AS HUGEINT) * n - s1)
+        |    > 4 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+        |ORDER BY event_type, hour, n_events, direction""".stripMargin,
 
     "pack_chunks" ->
       s"""WITH d AS (SELECT lang, doc_id,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Integer-exact 2σ outlier flagging: the restated test
+  * (x·n − S1)² > 4·(n·S2 − S1²) must agree with the float z-test it
+  * replaces, flag both directions, and flag nothing on flat data. */
+class AnomalySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("flags the spike and the crater, nothing else") {
+    // per group: 10 steady buckets of exactly 100, one outlier — a lone
+    // outlier against a flat baseline is >2σ in its own group (one
+    // extreme value inflates σ, so spike and crater live in separate
+    // groups, as they would per event_type)
+    val counts = (Seq.tabulate(10)(i => ("up", s"b$i", 100L)) ++
+      Seq(("up", "spike", 200L)) ++
+      Seq.tabulate(10)(i => ("down", s"b$i", 100L)) ++
+      Seq(("down", "crater", 0L)))
+      .toDF("grp", "bucket", "cnt")
+    val flagged = Anomaly.countAnomalies(counts, Seq("grp"), "cnt")
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(flagged == Map("spike" -> "spike", "crater" -> "drop"), s"got $flagged")
+  }
+
+  test("flat data yields no anomalies (zero variance, strict inequality)") {
+    val counts = Seq.tabulate(8)(i => ("a", s"b$i", 42L)).toDF("grp", "bucket", "cnt")
+    assert(Anomaly.countAnomalies(counts, Seq("grp"), "cnt").count() == 0)
+  }
+
+  test("integer test agrees with the float z-test on varied data") {
+    val vals = Seq(10L, 12L, 9L, 11L, 10L, 30L, 10L, 11L, 9L, 1L)
+    val counts = vals.zipWithIndex.map { case (v, i) => ("g", s"b$i", v) }
+      .toDF("grp", "bucket", "cnt")
+    val flagged = Anomaly.countAnomalies(counts, Seq("grp"), "cnt")
+      .collect().map(_.getString(1)).toSet
+    // float reference
+    val n = vals.size.toDouble
+    val mu = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / n)
+    val expected = vals.zipWithIndex
+      .filter { case (v, _) => math.abs(v - mu) > 2 * sd }
+      .map { case (_, i) => s"b$i" }.toSet
+    assert(flagged == expected, s"flagged $flagged vs float $expected")
+  }
+}
