@@ -41,6 +41,7 @@ object SparkEntry {
     "q23_customer_except" -> CoreQueries.q23CustomerExcept _,
     "q24_median_disc"  -> CoreQueries.q24MedianDisc _,
     "q25_event_pivot"  -> CoreQueries.q25EventPivot _,
+    "q26_js_demo"      -> CoreQueries.q26JsDemo _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -191,5 +192,13 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Same algorithm as q2_demo_parity — here executed from the recorded
+    // JavaScript source through the JsMini interpreter, so the oracle
+    // doubles as an engine-independent check on the replay path.
+    "q26_js_demo" ->
+      """SELECT length(token) % 2 AS pi, token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1, 2 ORDER BY pi, token, cnt""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

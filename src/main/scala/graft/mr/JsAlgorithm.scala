@@ -1,0 +1,60 @@
+package graft.mr
+
+import JsMini._
+
+/** Adapters from the reference's JavaScript UDF conventions to [[MRSpec]]
+  * closures — the executable half of code-as-data algorithm replay.
+  *
+  * Reference calling conventions (client loops, `server/static/js/main.js`):
+  *   - map (`main.js:7-23`):    `f({key, value}) → [partitionIndex, {key, value}]`
+  *   - reduce (`main.js:24-30`): `f({key, values: [...]}) → {key, value}`
+  *
+  * `compileMap`/`compileReduce` parse ONCE (driver side) and return plain
+  * serializable closures over the AST — each Spark task walks the tree per
+  * record, no engine, no codegen, no reflection. Output values are coerced
+  * to strings with JS `String(...)` semantics, matching the reference's
+  * strings-only value model (`protocol/input.go:10-14`; its demo emits
+  * numbers through `JSON.stringify`, which for numbers equals `String`).
+  *
+  * Shape violations throw `IllegalArgumentException` — the in-process
+  * analog of the reference closing a worker over a bad message
+  * (`master/master.go:162-178`).
+  */
+object JsAlgorithm {
+
+  /** Compile a map UDF source string: `{key,value}` in,
+    * `[pi, {key,value}]` out. */
+  def compileMap(code: String): KV => (Long, KV) = {
+    val fn = parseFunction(code)
+    kv => {
+      val arg = VObj(Vector("key" -> VStr(kv.key), "value" -> VStr(kv.value)))
+      callFunction(fn, arg) match {
+        case VArr(Vector(pi, out: VObj)) =>
+          val piNum = pi match {
+            case VNum(d) if !d.isNaN => d.toLong
+            case other => throw new IllegalArgumentException(
+              s"map UDF partition index must be a number, got $other")
+          }
+          (piNum, KV(jsString(out.get("key")), jsString(out.get("value"))))
+        case other => throw new IllegalArgumentException(
+          s"map UDF must return [partitionIndex, {key, value}], got $other")
+      }
+    }
+  }
+
+  /** Compile a reduce UDF source string: `{key, values[]}` in,
+    * `{key,value}` out. */
+  def compileReduce(code: String): (String, Seq[String]) => KV = {
+    val fn = parseFunction(code)
+    (key, values) => {
+      val arg = VObj(Vector(
+        "key" -> VStr(key),
+        "values" -> VArr(values.iterator.map(VStr(_)).toVector)))
+      callFunction(fn, arg) match {
+        case out: VObj => KV(jsString(out.get("key")), jsString(out.get("value")))
+        case other => throw new IllegalArgumentException(
+          s"reduce UDF must return {key, value}, got $other")
+      }
+    }
+  }
+}

@@ -306,6 +306,36 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** Q26 — code-as-data replay: the reference's demo algorithm executed
+    * FROM ITS JAVASCRIPT SOURCE (verbatim strings from `server/views.go:53-61`)
+    * through the JS-subset interpreter (graft.mr.JsMini) and the MR engine.
+    * Same dataflow as q2 but the UDFs arrive as strings, as they do in a
+    * recorded `POST /algorithm` document — the reference's one capability
+    * (`main.js:48` eval) that a closure-only API can't replay. The AST is
+    * compiled once on the driver; tasks walk it per record. */
+  def q26JsDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mapJs =
+      """(function(o) {
+        |  return [o.value.length % 2, {key: o.value, value: "1"}];
+        |})""".stripMargin
+    val reduceJs =
+      """(function(o) {
+        |  return {key: o.key, value: JSON.stringify(o.values.length)};
+        |})""".stripMargin
+    val words = tokens(Tables.documents(spark, dir))
+      .select(col("token"))
+      .as[String]
+      .map(w => KV("", w))
+    val spec = graft.mr.MRSpec(
+      graft.mr.JsAlgorithm.compileMap(mapJs),
+      graft.mr.JsAlgorithm.compileReduce(reduceJs),
+      numPartitions = 2)
+    MapReduce.run(words, spec)
+      .select(col("pi"), col("key").as("token"), col("value").cast("long").as("cnt"))
+      .orderBy("pi", "token", "cnt")
+  }
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =

@@ -12,13 +12,14 @@ import graft.mr.{KV, MapReduce, MRSpec}
   * the split size, and the inline input records; the server validates it
   * and derives job counts before building the algorithm.
   *
-  * Differences by design (SURVEY §7): code ships as JS strings in the
-  * reference and is `eval()`'d in the browser; here the code fields are
-  * carried as opaque metadata and the caller supplies Scala closures when
-  * constructing the [[MRSpec]] — embedding a JS engine on executors is
-  * explicitly out of scope. Validation parity is kept: every field
-  * required, positive split size, non-empty input
-  * (`server/views.go:85-104` → IllegalArgumentException here).
+  * The code fields are EXECUTABLE, not just metadata: [[toSpecJs]] compiles
+  * the request's JavaScript map/reduce sources through the dependency-free
+  * JS-subset interpreter ([[graft.mr.JsMini]]) — a recorded `POST /algorithm`
+  * document replays end-to-end, the reference's `eval()` path
+  * (`server/static/js/main.js:48`) without a JS engine on executors.
+  * Callers that prefer native closures use [[toSpec]] instead. Validation
+  * parity is kept: every field required, positive split size, non-empty
+  * input (`server/views.go:85-104` → IllegalArgumentException here).
   */
 object JsonIngest {
 
@@ -91,4 +92,13 @@ object JsonIngest {
       mapFn: KV => (Long, KV),
       reduceFn: (String, Seq[String]) => KV): MRSpec =
     MRSpec(mapFn, reduceFn, req.numReducePartitions)
+
+  /** Build a runnable [[MRSpec]] directly from the request's JavaScript
+    * code strings — full code-as-data replay (compile once on the driver,
+    * AST-walk per record in each task; [[graft.mr.JsAlgorithm]]). */
+  def toSpecJs(req: AlgorithmRequest): MRSpec =
+    MRSpec(
+      graft.mr.JsAlgorithm.compileMap(req.mapCode),
+      graft.mr.JsAlgorithm.compileReduce(req.reduceCode),
+      req.numReducePartitions)
 }

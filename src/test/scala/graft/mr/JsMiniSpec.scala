@@ -1,0 +1,159 @@
+package graft.mr
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import JsMini._
+
+/** Code-as-data replay: the JS-subset interpreter executes the reference's
+  * algorithm documents (map/reduce shipped as JavaScript source strings —
+  * reference `protocol/algorithm.go:5`, eval'd at `server/static/js/main.js:48`)
+  * with JS value semantics, and the compiled closures run distributed
+  * through the MR engine with results identical to the Scala-closure path. */
+class JsMiniSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // The reference's own demo UDF sources, verbatim (server/views.go:53-61).
+  val demoMapJs =
+    """(function(o) {
+      |  return [o.value.length % 2, {key: o.value, value: "1"}];
+      |})""".stripMargin
+  val demoReduceJs =
+    """(function(o) {
+      |  return {key: o.key, value: JSON.stringify(o.values.length)};
+      |})""".stripMargin
+
+  private def run1(code: String, arg: V): V =
+    callFunction(parseFunction(code), arg)
+
+  private def expr(e: String, arg: V = VNull): V =
+    run1(s"(function(o) { return $e; })", arg)
+
+  test("demo map UDF: partition by length parity, unit value") {
+    val f = JsAlgorithm.compileMap(demoMapJs)
+    assert(f(KV("", "spark")) == ((1L, KV("spark", "1"))))
+    assert(f(KV("", "scan")) == ((0L, KV("scan", "1"))))
+  }
+
+  test("demo reduce UDF: group size via JSON.stringify") {
+    val f = JsAlgorithm.compileReduce(demoReduceJs)
+    assert(f("spark", Seq("1", "1", "1")) == KV("spark", "3"))
+    assert(f("x", Seq("1")) == KV("x", "1"))
+  }
+
+  test("JS arithmetic, precedence, ternary, comparison") {
+    assert(expr("1 + 2 * 3") == VNum(7))
+    assert(expr("(1 + 2) * 3") == VNum(9))
+    assert(expr("7 % 3") == VNum(1))
+    assert(expr("-7 % 3") == VNum(-1)) // sign-of-dividend remainder
+    assert(expr("2 < 3 ? 'a' : 'b'") == VStr("a"))
+    assert(expr("1 === 1.0") == VBool(true))
+    assert(expr("'2' == 2") == VBool(true))
+    assert(expr("'2' === 2") == VBool(false))
+    assert(expr("!0") == VBool(true))
+  }
+
+  test("string concat and JS number formatting") {
+    assert(expr("'n=' + 2") == VStr("n=2"))       // whole numbers print bare
+    assert(expr("'x' + 1.5") == VStr("x1.5"))
+    assert(expr("1 + '1'") == VStr("11"))         // JS: string wins
+    assert(expr("'' + (4 / 2)") == VStr("2"))
+  }
+
+  test("member access, indexing, length, method calls") {
+    val arg = VObj(Vector("key" -> VStr("k"), "value" -> VStr("hello world")))
+    assert(run1("(function(o) { return o.value.length; })", arg) == VNum(11))
+    assert(run1("(function(o) { return o.value.split(' ')[1]; })", arg) == VStr("world"))
+    assert(run1("(function(o) { return o.value.toUpperCase(); })", arg) == VStr("HELLO WORLD"))
+    assert(run1("(function(o) { return o.value.indexOf('wor'); })", arg) == VNum(6))
+    assert(run1("(function(o) { return o.value.substring(0, 5); })", arg) == VStr("hello"))
+    assert(expr("[10, 20, 30][1]") == VNum(20))
+    assert(expr("[1, 2, 3].length") == VNum(3))
+    assert(expr("['a', 'b'].join('-')") == VStr("a-b"))
+  }
+
+  test("var declarations, if/else, nested function body") {
+    val code =
+      """(function(o) {
+        |  var n = o.values.length;
+        |  var label = "";
+        |  if (n > 2) { label = "many"; } else { label = "few"; }
+        |  return {key: o.key + ":" + label, value: JSON.stringify(n)};
+        |})""".stripMargin
+    val f = JsAlgorithm.compileReduce(code)
+    assert(f("k", Seq("a", "b", "c")) == KV("k:many", "3"))
+    assert(f("k", Seq("a")) == KV("k:few", "1"))
+  }
+
+  test("JSON.stringify and JSON.parse round-trip") {
+    assert(expr("JSON.stringify({a: 1, b: 'x', c: [1, 2]})") ==
+      VStr("""{"a":1,"b":"x","c":[1,2]}"""))
+    assert(expr("JSON.parse('{\"a\": [1, \"two\", null]}').a[1]") == VStr("two"))
+    assert(expr("JSON.parse('3.5') + 1") == VNum(4.5))
+    assert(expr("JSON.stringify(JSON.parse('{\"k\":\"v\"}'))") == VStr("""{"k":"v"}"""))
+  }
+
+  test("Math and global builtins") {
+    assert(expr("Math.floor(3.7)") == VNum(3))
+    assert(expr("Math.max(1, 5, 3)") == VNum(5))
+    assert(expr("parseInt('42x')") == VNum(42))
+    assert(expr("parseFloat('3.5rest')") == VNum(3.5))
+    assert(expr("Number('7') + 1") == VNum(8))
+    assert(expr("String(12)") == VStr("12"))
+  }
+
+  test("JS split keeps trailing empties (unlike Java)") {
+    assert(expr("'a,b,,'.split(',').length") == VNum(4))
+    assert(expr("'abc'.split('')[2]") == VStr("c"))
+  }
+
+  test("malformed code and wrong shapes are rejected") {
+    intercept[IllegalArgumentException](parseFunction("not a function"))
+    intercept[IllegalArgumentException](parseFunction("(function(o) { return 1; )"))
+    intercept[IllegalArgumentException](
+      JsAlgorithm.compileMap("(function(o) { return {key: 1}; })")(KV("", "w")))
+    intercept[IllegalArgumentException](
+      JsAlgorithm.compileReduce("(function(o) { return [1]; })")("k", Seq("v")))
+  }
+
+  test("replayed JS algorithm matches the Scala-closure path through the MR engine") {
+    val words = Seq("spark", "scan", "merge", "scan", "join", "join",
+      "sort", "agg", "agg", "window", "hash", "hash", "spark")
+    val input = MapReduce.demoInput(spark, words)
+    val jsSpec = MRSpec(
+      JsAlgorithm.compileMap(demoMapJs),
+      JsAlgorithm.compileReduce(demoReduceJs),
+      numPartitions = 2)
+    val js = MapReduce.run(input, jsSpec)
+      .collect().map(r => (r.pi, r.key, r.value)).toSet
+    val scala = MapReduce.run(input, MapReduce.demoSpec(2))
+      .collect().map(r => (r.pi, r.key, r.value)).toSet
+    assert(js == scala)
+    assert(js.nonEmpty)
+  }
+
+  test("recorded POST /algorithm document replays end-to-end (ingest → JS → results)") {
+    // A request document exactly as the reference's HTTP surface records it
+    // (server/api.go:8-13) — including the code strings — now executable.
+    val doc = s"""{
+      |  "map_input_length": 3,
+      |  "map_code": ${JsMini.stringify(VStr(demoMapJs))},
+      |  "reduce_code": ${JsMini.stringify(VStr(demoReduceJs))},
+      |  "input": [
+      |    {"key": "", "value": "alpha"}, {"key": "", "value": "beta"},
+      |    {"key": "", "value": "beta"},  {"key": "", "value": "gamma"},
+      |    {"key": "", "value": "delta"}, {"key": "", "value": "beta"}
+      |  ]
+      |}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("jsreq").toFile
+    val f = new java.io.File(dir, "req.json")
+    val w = new java.io.PrintWriter(f)
+    w.write(doc); w.close()
+
+    val req = graft.sources.JsonIngest.readAlgorithmRequest(spark, f.getPath)
+    val spec = graft.sources.JsonIngest.toSpecJs(req)
+    val got = MapReduce.results(req.input, spec)
+      .collect().map(kv => (kv.key, kv.value.toLong)).toSet
+    assert(got == Set(("alpha", 1L), ("beta", 3L), ("gamma", 1L), ("delta", 1L)))
+  }
+}
