@@ -395,4 +395,62 @@ object Dedup {
   def qEmbeddingNearDupBucketed(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupBucketed(Tables.embeddings(spark, dir))
       .orderBy("vec_a", "vec_b", "cos_sim")
+
+  /** Cross-document duplicate-SPAN removal — dedup at sub-document
+    * granularity (the "exact substring dedup" of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated at token-k-gram resolution, the MassiveText/RefinedWeb
+    * production recipe): any k-token window that appears in `minDocs`+
+    * distinct documents is boilerplate; every position it covers is cut
+    * and the surviving tokens are stitched back in order.
+    *
+    * Plan shape, all hash-partitioned (nothing all-pairs):
+    *   1. positional k-grams per doc   — narrow explode, no shuffle;
+    *   2. grams seen in ≥ minDocs docs — one partial-agg shuffle on gram;
+    *   3. covered positions           — equi-join grams ⋈ dup-grams on
+    *      gram (AQE splits a boilerplate-hot gram key), explode to
+    *      positions, distinct;
+    *   4. reconstruction              — anti join kept positions, one
+    *      sort-free collect_list + array_sort per doc.
+    *
+    * At 100 TB the gram table is the big intermediate (≈ tokens × 1
+    * rows); it never materializes — stages 1→2 pipeline inside one
+    * codegen'd pass into the partial aggregate. Returns one row per doc:
+    * (doc_id, n_tokens, n_removed, clean_text). */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2, "k and minDocs must be >= 2")
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(k))).as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+    val cleaned = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        _.getField("token"))).as("clean_text"))
+    val removed = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_removed"))
+      .na.fill("", Seq("clean_text"))
+  }
+
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    removeDuplicateSpans(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")
 }

@@ -60,6 +60,7 @@ object ExtQueries {
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
+    "dedup_spans"           -> Dedup.qDedupSpans _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
@@ -1027,6 +1028,31 @@ object ExtQueries {
         |    // (count(*) * 2)) / 10000.0 AS dup_frac
         |FROM nd GROUP BY doc_id
         |ORDER BY doc_id, n_ngrams, n_dup, dup_frac""".stripMargin,
+
+    "dedup_spans" -> {
+      val gram8 = (0 to 7).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |              FROM documents),
+         |grams AS (SELECT doc_id, i, $gram8 AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+         |        FROM toks WHERE len(t) >= 8)),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+         |  FROM grams JOIN dup USING (g))),
+         |pos AS (SELECT doc_id, i AS pos, t[i] AS token
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+         |kept AS (SELECT p.doc_id, p.pos, p.token FROM pos p
+         |  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+         |cleaned AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.t) AS n_tokens,
+         |  coalesce(rem.n_removed, 0) AS n_removed,
+         |  coalesce(cleaned.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+         |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin
+    },
 
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, token

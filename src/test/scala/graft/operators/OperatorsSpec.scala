@@ -107,6 +107,36 @@ class OperatorsSpec extends AnyFunSuite {
     (11L, Array(0.05f, 0.9f, 0.1f)))
     .toDF("id", "embedding")
 
+  test("duplicate-span removal cuts the shared window, keeps unique text") {
+    // docs 10 and 11 share an 8-token run ("w1..w8") with different
+    // surroundings; doc 12 is entirely unique; doc 13 is too short to gram.
+    val spans = Seq(
+      (10L, "pre1 pre2 w1 w2 w3 w4 w5 w6 w7 w8 tail1"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 other1 other2 other3"),
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (13L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(spans, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) == ((11L, 8L, "pre1 pre2 tail1")))
+    assert(out(11L) == ((11L, 8L, "other1 other2 other3")))
+    assert(out(12L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    assert(out(13L) == ((2L, 0L, "short doc")))
+  }
+
+  test("duplicate-span removal: overlapping dup windows merge their cover") {
+    // doc 21 repeats doc 20's 9-token run → two overlapping dup 8-grams
+    // cover 9 positions, not 16.
+    val spans = Seq(
+      (20L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (21L, "x0 a1 a2 a3 a4 a5 a6 a7 a8 a9 x1")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(spans, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(20L) == ((9L, 9L, "")))
+    assert(out(21L) == ((11L, 9L, "x0 x1")))
+  }
+
   test("brute-force topk finds the geometric nearest neighbor") {
     val res = Similarity.bruteForceTopK(
       embs.filter($"id" === 10L).select($"id", $"embedding"),
