@@ -304,6 +304,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("score"))
   }
 
+  /** Bigram language-model fluency score — the perplexity-surrogate
+    * quality filter of the CCNet/CC-style curation recipe (docs whose
+    * word transitions are improbable under a reference model are noise),
+    * restated in engine-exact integer arithmetic (no `ln`/float-pow:
+    * libm-dependent and they diverge between engines; the integer
+    * conditional-probability scale preserves the ordering a filter
+    * thresholds on).
+    *
+    * Model = the corpus's own bigram table: per document bigram (w1,w2),
+    * score `(1e6 * count(w1,w2)) div count(w1·)` ≈ P(w2|w1) in
+    * parts-per-million; the document score is the half-up integer mean.
+    * Plan: one narrow explode to bigrams, two partial-agg shuffles for
+    * the model tables, two equi-joins back (AQE-splittable; the prefix
+    * table is vocabulary-sized and usually broadcastable), one per-doc
+    * aggregate. Nothing is driver-side.
+    *
+    * Integer bound: `1e6 * c2` stays inside Long while any single bigram
+    * occurs < 9.2e12 times; beyond that (a ~1e13-token corpus of one
+    * repeated phrase) widen to DECIMAL like Anomaly does. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("t"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), expr("(1000000 * c2) div c1").as("s"))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      expr("(sum(s) * 2 + count(1)) div (2 * count(1))").as("lm_score"))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "lm_score"))
+  }
+
   /** Bloom-filter decontamination: like [[contamination]], but the
     * benchmark shingle set is compressed into a fixed-size Bloom filter
     * (a few KB) instead of broadcast as exact strings — the shape that
@@ -375,6 +417,11 @@ object TextAnalysis {
   def qDupNgrams(spark: SparkSession, dir: String): DataFrame =
     dupNgramFraction(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_ngrams", "n_dup", "dup_frac")
+
+  /** Bigram-LM fluency score per document. */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_bigrams", "lm_score")
 
   /** BM25 retrieval for a fixed 3-term query over the corpus vocabulary. */
   def qBm25(spark: SparkSession, dir: String): DataFrame =

@@ -61,6 +61,7 @@ object ExtQueries {
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
+    "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
@@ -1053,6 +1054,24 @@ object ExtQueries {
          |FROM toks t LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
          |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin
     },
+
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |s AS (SELECT doc_id, (1000000 * c2.c2) // c1.c1 AS s
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        CAST((sum(s) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS lm_score
+        |        FROM s GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(lm_score, 0) AS lm_score
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id, n_bigrams, lm_score""".stripMargin,
 
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, token

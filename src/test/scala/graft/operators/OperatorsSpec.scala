@@ -137,6 +137,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(21L) == ((11L, 9L, "x0 x1")))
   }
 
+  test("bigram LM score: exact conditional-probability means") {
+    // bigrams — d1: (a,b),(b,a),(a,b); d2: (a,b),(b,c)
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2
+    // ppm — (a,b): 1e6*3/3=1000000; (b,a),(b,c): 1e6*1/2=500000
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 833333L))) // mean(1e6, 5e5, 1e6) = 833333.3 → half-up
+    assert(out(2L) == ((2L, 750000L))) // mean(1e6, 5e5)
+    assert(out(3L) == ((0L, 0L)))      // no bigrams
+  }
+
   test("brute-force topk finds the geometric nearest neighbor") {
     val res = Similarity.bruteForceTopK(
       embs.filter($"id" === 10L).select($"id", $"embedding"),
