@@ -78,7 +78,8 @@ object Similarity {
     * centroid id asc tie-break, NaN-greatest semantics identical to the
     * aggregate formulation it replaced). At any corpus size the N-row side
     * only ever streams through the scan. Returns (vec_id, v, nrm,
-    * centroid_id). */
+    * centroid_id, cell_sim) — cell_sim is the cosine to the winning
+    * centroid, already paid for by the argmax. */
   private def assignByCentroids(vectors: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
     val scored = cents.map { case (id, cv, cn) =>
@@ -90,7 +91,8 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("best", if (scored.sizeIs > 1) greatest(scored: _*) else scored.head)
       .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("best.negc")).cast("long").as("centroid_id"))
+        (-col("best.negc")).cast("long").as("centroid_id"),
+        col("best.csim").as("cell_sim"))
   }
 
   /** Assign every vector to its nearest centroid (cos desc, centroid id
@@ -785,4 +787,35 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("centroid_id", "n_vecs")
   }
+
+  /** Embedding-space outlier report: per k-means cell, the `bottomK`
+    * vectors LEAST similar to their own centroid — the candidates for
+    * mislabeled/noisy/off-distribution items in a training corpus (the
+    * embedding analog of a quality filter; SemDeDup-style pipelines drop
+    * or down-weight exactly these).
+    *
+    * The per-cell bottom-k runs through the bounded-heap aggregator on
+    * NEGATED similarity, not a window: cells are few, so a window's
+    * shuffle-and-sort would funnel the whole corpus through `numCentroids`
+    * partitions, while the aggregator ships `tasks × cells × bottomK`
+    * rows (cell_sim itself is free — the assignment argmax already
+    * computed it). */
+  def embeddingOutliers(vectors: DataFrame, numCentroids: Int = 8,
+      iters: Int = 2, bottomK: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    kmeansAssign(vectors, numCentroids, iters)
+      .select(col("centroid_id"), col("vec_id"), col("cell_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, -r._3))
+      .agg(new TopKAggregator(bottomK).toColumn.name("bottom"))
+      .flatMap { case (cid, bottom) => bottom.map(s => (cid, s.id, -s.score)) }
+      .toDF("centroid_id", "vec_id", "cos_sim")
+      .select(col("centroid_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  def qEmbOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliers(Tables.embeddings(spark, dir))
+      .orderBy("centroid_id", "vec_id", "cos_sim")
 }

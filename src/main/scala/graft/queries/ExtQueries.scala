@@ -27,6 +27,7 @@ object ExtQueries {
     "ann_lsh"               -> Similarity.qLshAnn _,
     "ann_recall"            -> Similarity.qAnnRecall _,
     "ann_cluster_sizes"     -> Similarity.qClusterSizes _,
+    "emb_outliers"          -> Similarity.qEmbOutliers _,
     "ann_pq"                -> Similarity.qPqAnn _,
     "ann_pq_recall"         -> Similarity.qPqRecall _,
     "dedup_semantic"        -> Similarity.qSemanticDedup _,
@@ -512,6 +513,17 @@ object ExtQueries {
          |${ivfCtes()}
          |SELECT centroid_id, count(*) AS n_vecs FROM asg2
          |GROUP BY centroid_id ORDER BY centroid_id, n_vecs""".stripMargin,
+
+    "emb_outliers" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()}
+         |SELECT centroid_id, vec_id, cos_sim FROM (
+         |  SELECT a.centroid_id, a.vec_id,
+         |    round(list_cosine_similarity(a.vec, c.cv), 4) AS cos_sim
+         |  FROM asg2 a JOIN cent2 c USING (centroid_id)
+         |  QUALIFY row_number() OVER (PARTITION BY a.centroid_id
+         |    ORDER BY list_cosine_similarity(a.vec, c.cv) ASC, a.vec_id) <= 5)
+         |ORDER BY centroid_id, vec_id, cos_sim""".stripMargin,
 
     "ann_pq" ->
       s"""WITH $vecCte,

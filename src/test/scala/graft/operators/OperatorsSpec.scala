@@ -188,6 +188,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.nonEmpty && res.forall(_.getLong(1) != 10L))
   }
 
+  test("embedding outliers: the off-axis vector is the cell's worst member") {
+    // cell geometry: seeds 0,1 on the x/y axes; 2..5 hug the x axis,
+    // 6 is diagonal — assigned somewhere, but its cosine to either
+    // centroid is the lowest in its cell.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f)),
+      (4L, Array(0.9f, 0.0f, 0.1f)),
+      (5L, Array(0.0f, 0.9f, 0.1f)),
+      (6L, Array(0.6f, 0.55f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(vecs, numCentroids = 2, iters = 1, bottomK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 2)                        // one worst member per cell
+    assert(out.map(_._2).contains(6L))             // the diagonal vector
+    assert(out.forall(r => r._3 > 0 && r._3 <= 1)) // valid cosines
+    // bottomK larger than the cell yields the whole cell, no duplicates
+    val all = Similarity.embeddingOutliers(vecs, numCentroids = 2, iters = 1, bottomK = 10)
+    assert(all.count() == 7)
+    assert(all.select("vec_id").distinct().count() == 7)
+  }
+
   test("portable k-means: deterministic, and k=1 centroid is the fixed-point mean") {
     val vecs = embs.withColumnRenamed("id", "vec_id")
     def run() = Similarity.kmeansCentroids(vecs, numCentroids = 2, iters = 2)
