@@ -105,6 +105,64 @@ object Clusters {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. '14, "Connected Components in MapReduce and
+    * Beyond") — the huge-diameter scale path next to
+    * [[connectedComponents]]' plain propagation: converges in
+    * O(log diameter) rounds instead of O(diameter), so a million-node
+    * templated-near-dup chain needs ~20 rounds, not a million.
+    *
+    * Each round is two aggregate+join passes over the canonical
+    * (bigger → smaller) edge list, every stage hash-partitioned:
+    *   - large-star: every node u connects its LARGER neighbors to
+    *     m(u) = min(Γ(u) ∪ u);
+    *   - small-star: every node connects its smaller neighbors (and
+    *     itself) to their minimum.
+    * Both preserve connectivity and never create new components; the
+    * fixpoint is a star forest rooted at each component's min id. Same
+    * output contract as [[connectedComponents]]: (node, cluster_id),
+    * singleton-only nodes absent. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val p0 = pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var edges = p0
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over full neighborhoods (both orientations)
+      val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val lm = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // v > u ≥ m, so the output is already canonically oriented
+      val large = nbrs.join(lm, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star on the canonical orientation: all of a's smaller
+      // neighbors (and a itself) re-point at their minimum
+      val sm = large.groupBy("a").agg(min(col("b")).as("mn"))
+      val joined = large.join(sm, "a")
+      val small = joined.filter(col("b") =!= col("mn"))
+        .select(col("b").as("a"), col("mn").as("b"))
+        .union(joined.select(col("a"), col("mn").as("b")))
+        .distinct().localCheckpoint()
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter rounds; " +
+          "raise maxIter (rounds grow with log of component diameter)")
+    // fixpoint edges are (node → component-min root) stars
+    edges.select(col("a").as("node"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("node"), col("b").as("cluster_id")))
+      .distinct()
+  }
+
   /** Full dedup resolution: every doc labeled with its cluster (singletons
     * are their own cluster) plus a `survivor` flag — the min doc_id per
     * cluster is kept, the rest are the removable duplicates. */
@@ -147,6 +205,17 @@ object Clusters {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.minHashLshPairs(docs)
     connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_id", "cluster_size")
+  }
+
+  /** Same rollup as [[qDedupClusters]] through the large-star/small-star
+    * path — the two algorithms must agree exactly, so this shares
+    * dedup_clusters' oracle. */
+  def qDedupClustersStars(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    connectedComponentsStars(Dedup.minHashLshPairs(docs))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("cluster_id", "cluster_size")

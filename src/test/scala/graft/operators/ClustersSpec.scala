@@ -34,6 +34,41 @@ class ClustersSpec extends AnyFunSuite {
     assert((0L to 9L).forall(cc(_) == 0L))
   }
 
+  test("large-star/small-star agrees with plain propagation on a mixed graph") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (3L, 7L), (7L, 2L))
+      .toDF("doc_a", "doc_b")
+    val plain = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Clusters.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == plain)
+  }
+
+  test("large-star/small-star collapses a high-diameter chain in log rounds") {
+    // a 60-node chain has diameter 59 — far past plain propagation's
+    // default budget — but star contraction needs only O(log n) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponentsStars(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60 && (0L to 59L).forall(cc(_) == 0L))
+  }
+
+  test("large-star/small-star equivalence on a pseudo-random graph") {
+    // deterministic pseudo-random edges over 40 nodes (no RNG seed drift)
+    val edges = (1 to 60).map { i =>
+      val a = (i * 17) % 40
+      val b = (i * i * 13 + 5) % 40
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val plain = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Clusters.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == plain)
+  }
+
   test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
     // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10
