@@ -102,6 +102,35 @@ object Sampling {
   def wsTokens(text: Column): Column =
     size(filter(split(text, " "), t => t =!= "")).cast("long")
 
+  /** Split every document into fixed-length training chunks with stride
+    * overlap — the tokenize-and-chunk step before sequence packing
+    * ([[packSequences]] packs whole docs; models with a context budget
+    * need long docs CUT first, with overlap so no span loses its left
+    * context). Chunk starts are 1, 1+stride, …; each chunk takes up to
+    * `maxLen` tokens; a trailing start whose span is already fully
+    * inside the previous chunk is dropped (no redundant pure-suffix
+    * chunks). One narrow explode per doc — zero shuffle, zero state;
+    * emitted rows ≈ tokens/stride regardless of document skew. */
+  def chunkDocuments(docs: DataFrame, maxLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(maxLen >= 1 && stride >= 1 && stride <= maxLen,
+      "need 1 <= stride <= maxLen")
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("t"))
+    toks.filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(stride))).as("start"))
+      .filter(col("start") === 1 ||
+        col("start") + (maxLen - stride) <= size(col("t")))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $stride").cast("long").as("chunk_id"),
+        least(lit(maxLen), size(col("t")) - col("start") + 1).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("start"), lit(maxLen))).as("chunk_text"))
+  }
+
+  def qChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+
   /** EXACTLY-n-per-stratum deterministic sample (vs [[bernoulli]]'s
     * in-expectation rate): keep each stratum's n rows with the smallest
     * hash16 draw (ties by id). The distributed reservoir — same draw ⇒

@@ -61,6 +61,7 @@ object ExtQueries {
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
+    "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
@@ -1085,6 +1086,19 @@ object ExtQueries {
          |FROM toks t LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
          |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin
     },
+
+    // maxLen=64, stride=48 → redundancy guard start + (64-48) <= len(t)
+    "text_chunks" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS start
+        |       FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id, (start - 1) // 48 AS chunk_id,
+        |  least(64, len(t) - start + 1) AS n_chunk_tokens,
+        |  array_to_string(t[start:start+63], ' ') AS chunk_text
+        |FROM st
+        |WHERE start = 1 OR start + 16 <= len(t)
+        |ORDER BY doc_id, chunk_id, n_chunk_tokens, chunk_text""".stripMargin,
 
     "text_lm_score" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -95,4 +95,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(p.map(_._2).toSeq == Seq(0L, 100L, 200L))
     assert(p.map(_._3).toSeq == Seq(0L, 0L, 1L))
   }
+
+  test("chunkDocuments: stride windows, short tails, no redundant suffix chunks") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),   // single short chunk
+      (2L, (1 to 100).map(i => s"x$i").mkString(" ")),  // 1..64, 49..100
+      (3L, (1 to 60).map(i => s"y$i").mkString(" ")))   // suffix chunk dropped
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(docs, maxLen = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(x => (x._2, x._3)).toSeq == Seq((0L, 10L)))
+    assert(byDoc(2L).map(x => (x._2, x._3)).toSeq == Seq((0L, 64L), (1L, 52L)))
+    assert(byDoc(2L)(1)._4.startsWith("x49 ") && byDoc(2L)(1)._4.endsWith(" x100"))
+    // doc 3: start=49 would be a pure suffix of chunk 0 (covers 1..60) → dropped
+    assert(byDoc(3L).map(x => (x._2, x._3)).toSeq == Seq((0L, 60L)))
+    // every token of doc 2 appears in some chunk (coverage)
+    val covered = byDoc(2L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"x$i").toSet)
+  }
 }
