@@ -67,6 +67,7 @@ object ExtQueries {
     "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
+    "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
   )
 
@@ -1137,6 +1138,18 @@ object ExtQueries {
         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ck AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c
+        |            FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT pu.user_id, purchase_id, count(*) AS n_clicks,
+        |  min(pu.p - ck.c) AS min_lag_us
+        |FROM pu JOIN ck ON pu.user_id = ck.user_id
+        |  AND ck.c >= pu.p - 3600000000 AND ck.c <= pu.p
+        |GROUP BY 1, 2
+        |ORDER BY pu.user_id, purchase_id, n_clicks, min_lag_us""".stripMargin,
 
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

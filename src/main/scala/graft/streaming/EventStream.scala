@@ -97,6 +97,57 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase attributed to the SAME
+    * user's clicks in the preceding hour. The canonical Structured-
+    * Streaming two-stream join — both sides watermarked, the time-range
+    * predicate bounds how long either side's rows wait in state, so the
+    * join is viable on unbounded streams (state per side ≈ one watermark
+    * horizon of rows, hash-partitioned on user_id). Emits one row per
+    * (purchase, click) pair as soon as both sides have arrived. */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+  }
+
+  /** Batch twin of [[attributionStream]], aggregated per purchase. The
+    * interval join routes through RangeJoin's binning decomposition
+    * (equi-join on (user, hour-bin) + exact refine) — a hash join, never
+    * a nested loop; bin width = the attribution window, so each purchase
+    * interval lands in exactly 2 bins. Oracle-checked as
+    * events_attribution. */
+  def attributionBatch(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p"))
+      .withColumn("lo", col("p") - hourUs)
+      .withColumn("hi", col("p"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, "c", purchases, "lo", "hi",
+        binWidth = hourUs, equiKeys = Seq("user_id"))
+      .groupBy("user_id", "purchase_id")
+      .agg(count(lit(1)).as("n_clicks"), min(col("p") - col("c")).as("min_lag_us"))
+  }
+
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionBatch(Tables.events(spark, dir))
+      .orderBy("user_id", "purchase_id", "n_clicks", "min_lag_us")
+
   /** Open a file-based event stream (one-file-at-a-time trigger testing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema

@@ -128,6 +128,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch twin's pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 0),     // in window of purchase 3 (40 min)
+      Event(2, ts(30), 1, "click", 0),    // in window of purchase 3 (10 min)
+      Event(3, ts(40), 1, "purchase", 9),
+      Event(4, ts(45), 2, "click", 0),    // other user — not attributed
+      Event(5, ts(50), 1, "click", 0))    // AFTER purchase 3 — not attributed
+    val input = MemoryStream[Event]
+    val q = EventStream.attributionStream(input.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // inner two-stream join emits matched pairs without waiting for the
+      // watermark; a later event only bounds state, not results
+      val got = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, 3L, 1L, 2400000000L), (1L, 3L, 2L, 600000000L)))
+      // pair multiset == the oracle-checked batch twin (pre-aggregation)
+      val batch = EventStream.attributionBatch(events.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == Set((1L, 3L, 2L))) // 2 clicks attributed, min lag 10 min
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     // user 1: events at 0, 10, 55 min (gap 45 > 30 → 2 sessions)
