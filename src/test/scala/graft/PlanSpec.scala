@@ -133,4 +133,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!r.hasFullScans(allColumns = 11), r.scans)
     assert(r.scanColumns.toSet == Set("l_orderkey", "l_linenumber", "l_extendedprice"), r.scans)
   }
+
+  test("document chunking is a zero-shuffle narrow pass") {
+    val r = PlanAudit.audit(
+      graft.operators.Sampling.chunkDocuments(Tables.documents(spark, sf)))
+    assert(r.shuffles == 0, r.planString)
+    assert(r.scanColumns.toSet == Set("doc_id", "text"), r.scans)
+  }
+
+  test("duplicate-span removal: hash joins only, pruned scans") {
+    val r = PlanAudit.audit(
+      graft.operators.Dedup.removeDuplicateSpans(Tables.documents(spark, sf)))
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(r.scanColumns.toSet == Set("doc_id", "text"), r.scans)
+  }
+
+  test("LM scoring: equi-joins, never a nested loop; scans pruned") {
+    val r = PlanAudit.audit(
+      graft.operators.TextAnalysis.lmScore(Tables.documents(spark, sf)))
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(r.scanColumns.toSet == Set("doc_id", "text"), r.scans)
+  }
+
+  test("attribution interval join routes through the bin equi-join, not a nested loop") {
+    val r = PlanAudit.audit(
+      graft.streaming.EventStream.attributionBatch(Tables.events(spark, sf)))
+    assert(r.nestedLoopJoins == 0, r.planString)
+  }
 }
