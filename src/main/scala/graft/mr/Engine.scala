@@ -77,6 +77,14 @@ final class Engine(spark: SparkSession)(implicit ec: ExecutionContext) {
   def submit(name: String, input: Dataset[KV], spec: MRSpec): Future[Seq[KV]] =
     schedule(name) { MapReduce.results(input, spec).collect().toSeq }
 
+  /** Submit a recorded `POST /algorithm` request document end-to-end:
+    * the document's JavaScript code strings execute through the
+    * JS-subset interpreter ([[graft.sources.JsonIngest.toSpecJs]]) —
+    * the complete reference client loop, in-process and distributed. */
+  def submitRequest(name: String,
+      req: graft.sources.JsonIngest.AlgorithmRequest): Future[Seq[KV]] =
+    submit(name, req.input, graft.sources.JsonIngest.toSpecJs(req))
+
   /** No-collect variant: write the results to `path` as JSON KV lines
     * (the reference's wire shape — round-trips through
     * `JsonIngest.readKvLines`). Nothing materializes on the driver. */

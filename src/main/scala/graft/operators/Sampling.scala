@@ -71,6 +71,30 @@ object Sampling {
       .drop("w", "scale", "n_stratum", "n_target")
   }
 
+  /** Temperature-flattened mixture (α = 0.5): resample strata toward
+    * weights ∝ count^α — the standard knob that keeps high-resource
+    * strata dominant but lifts the tail (α=1 is the natural mix,
+    * [[balancedMixture]] is the α=0 extreme). α is fixed at 1/2 because
+    * `sqrt` is IEEE-754 correctly rounded — bit-identical in every
+    * engine — while an arbitrary `pow(x, α)` is libm-dependent and
+    * would diverge from the oracle.
+    *
+    * Largest feasible targets with no oversampling:
+    * `target_s = sqrt(n_s) · sqrt(min_s n_s)` (the binding stratum is
+    * the smallest — it keeps all rows). Selection is the usual
+    * deterministic hash16 threshold; the float comparison is engine-safe
+    * (two correctly-rounded sqrts, one correctly-rounded product, and a
+    * ×65536 power-of-two rescale are bit-identical everywhere). */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("n_min", min(col("n_stratum")).over(Window.partitionBy()))
+      .withColumn("n_target", sqrt(col("n_stratum")) * sqrt(col("n_min")))
+    df.join(broadcast(counts), strataCol)
+      .filter(hash16(salt, col(idCol)) * col("n_stratum") < col("n_target") * 65536d)
+      .drop("n_stratum", "n_min", "n_target")
+  }
+
   /** Pack documents into fixed-token-budget training sequences.
     *
     * Every doc gets a deterministic shard (so the sort below is bounded)
@@ -178,6 +202,12 @@ object Sampling {
   def qSampleMixture(spark: SparkSession, dir: String): DataFrame =
     weightedMixture(Tables.documents(spark, dir), "lang", "doc_id",
       Map("en" -> 3L, "es" -> 1L, "de" -> 1L, "fr" -> 1L, "zh" -> 1L))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang", "n_kept")
+
+  /** α=0.5 temperature mixture over languages. */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixture(Tables.documents(spark, dir), "lang", "doc_id")
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang", "n_kept")
 

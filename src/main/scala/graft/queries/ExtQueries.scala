@@ -62,6 +62,7 @@ object ExtQueries {
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
+    "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
@@ -1028,6 +1029,14 @@ object ExtQueries {
          |SELECT d.lang, count(*) AS n_kept
          |FROM documents d JOIN c USING (lang) CROSS JOIN m
          |WHERE ${hex16("balance")} * n_stratum < n_min * 65536
+         |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+         |m AS (SELECT sqrt(min(n_stratum)) AS sq_min FROM c)
+         |SELECT d.lang, count(*) AS n_kept
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE ${hex16("temp")} * n_stratum < sqrt(n_stratum) * sq_min * 65536
          |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
 
     "sample_mixture" ->

@@ -155,5 +155,14 @@ class JsMiniSpec extends AnyFunSuite {
     val got = MapReduce.results(req.input, spec)
       .collect().map(kv => (kv.key, kv.value.toLong)).toSet
     assert(got == Set(("alpha", 1L), ("beta", 3L), ("gamma", 1L), ("delta", 1L)))
+
+    // and through the concurrent engine — the full reference lifecycle
+    // (POST /algorithm → schedule → execute JS → Results())
+    import scala.concurrent.Await
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val engine = new Engine(spark)
+    val res = Await.result(engine.submitRequest("replay", req), 120.seconds)
+    assert(res.map(kv => (kv.key, kv.value.toLong)).toSet == got)
   }
 }

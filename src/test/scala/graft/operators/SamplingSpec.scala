@@ -96,6 +96,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(p.map(_._3).toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("temperatureMixture keeps the smallest stratum whole and flattens the rest") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(df, "lang", "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding (smallest) stratum keeps every row: threshold is
+    // hash16 < 65536, always true
+    assert(kept("small") == 4L)
+    // the large stratum flattens toward sqrt(4·100) = 20 in expectation
+    // (hash-deterministic, so an exact band is stable across runs)
+    assert(kept("big") > 5L && kept("big") < 40L, kept.toString)
+    // deterministic: same draw every run
+    val again = Sampling.temperatureMixture(df, "lang", "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("chunkDocuments: stride windows, short tails, no redundant suffix chunks") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
