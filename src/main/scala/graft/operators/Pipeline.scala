@@ -67,6 +67,29 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"), col("split"))
   }
 
+  /** Stage 2 — from the curated corpus to model-ready chunks:
+    *
+    *   5. span dedup — cross-document duplicate 8-gram runs cut from the
+    *      SURVIVING corpus (whole-doc dedup already ran; this removes the
+    *      shared boilerplate it cannot see — Dedup.removeDuplicateSpans);
+    *   6. chunking   — cleaned text cut into maxLen-token training
+    *      windows at stride intervals (Sampling.chunkDocuments).
+    *
+    * Returns one row per chunk: (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text, lang, split). Fully-boilerplate documents chunk to
+    * nothing and drop out here — the funnel's last stage. */
+  def prepareTrainingData(docs: DataFrame, cfg: Config = Config(),
+      chunkLen: Int = 64, stride: Int = 48): DataFrame = {
+    val curated = curate(docs, cfg)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(curated.select(col("doc_id"), col("lang"), col("split")), "doc_id")
+    val cleaned = Dedup.removeDuplicateSpans(corpus, k = 8)
+    val chunks = Sampling.chunkDocuments(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      maxLen = chunkLen, stride = stride)
+    chunks.join(corpus.select(col("doc_id"), col("lang"), col("split")), "doc_id")
+  }
+
   // ---- query-shaped entry point ------------------------------------------
 
   /** Curation funnel rollup: retained docs per (lang, split) — the
@@ -85,4 +108,16 @@ object Pipeline {
       .select(col("lang"), col("split"), col("n").as("n_docs"),
         (expr("(sq * 2 + n) div (n * 2)") / 10000.0).as("avg_quality"))
       .orderBy("lang", "split", "n_docs", "avg_quality")
+
+  /** Full-funnel rollup to the chunk level: per (lang, split), surviving
+    * docs that produced chunks, chunk count, and total training tokens.
+    * Oracle-checked end-to-end as pipeline_prepare (the curate chain plus
+    * span-dedup and chunking CTEs). */
+  def qPrepare(spark: SparkSession, dir: String): DataFrame =
+    prepareTrainingData(Tables.documents(spark, dir))
+      .groupBy("lang", "split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"))
+      .orderBy("lang", "split", "n_docs", "n_chunks", "n_tokens")
 }

@@ -47,6 +47,7 @@ object ExtQueries {
     "dedup_clusters_stars"  -> graft.operators.Clusters.qDedupClustersStars _,
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
     "pipeline_curate"       -> Pipeline.qCurate _,
+    "pipeline_prepare"      -> Pipeline.qPrepare _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -306,7 +307,11 @@ object ExtQueries {
     * CTE restates the corresponding individually-oracled query; the value
     * of this composition is catching composition bugs (wrong join key,
     * stage applied to the wrong frame) that per-stage checks cannot. */
-  private val pipelineSql: String = {
+  /** The curate-funnel CTE chain (quality gate → exact dedup → LSH +
+    * Jaccard + CC near-dup → cluster-stable split), ending at `spl`
+    * (surviving doc_id → split). Shared prefix of pipeline_curate and
+    * pipeline_prepare. */
+  private val pipelineChain: String = {
     val splitHash = (1 to 4).map { p =>
       val mult = 1L << (4 * (4 - p))
       s"(instr('0123456789abcdef', substr(md5(CAST(l.cluster_id AS VARCHAR)), $p, 1)) - 1) * $mult"
@@ -356,13 +361,52 @@ object ExtQueries {
        |spl AS (SELECT l.doc_id,
        |    CASE WHEN ($splitHash) % 100 < 90 THEN 'train' ELSE 'test' END AS split
        |  FROM labeled l JOIN surv s
-       |    ON l.cluster_id = s.cluster_id AND l.doc_id = s.survivor_id),
+       |    ON l.cluster_id = s.cluster_id AND l.doc_id = s.survivor_id)""".stripMargin
+  }
+
+  private val pipelineSql: String =
+    s"""$pipelineChain,
        |fin AS (SELECT e.lang, e.quality, s.split FROM exact e JOIN spl s USING (doc_id))
        |SELECT lang, split, n_docs, (sq * 2 + n_docs) // (n_docs * 2) / 10000.0 AS avg_quality
        |FROM (SELECT lang, split, count(*) AS n_docs,
        |        sum(CAST(round(quality * 10000) AS BIGINT)) AS sq
        |      FROM fin GROUP BY 1, 2)
        |ORDER BY lang, split, n_docs, avg_quality""".stripMargin
+
+  /** pipeline_prepare: the curate chain continued through span dedup
+    * (8-gram windows shared by ≥2 SURVIVING docs cut) and 64/48 stride
+    * chunking, rolled up to (lang, split) chunk counts. */
+  private val pipelinePrepareSql: String = {
+    val gram8 = (0 to 7).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""$pipelineChain,
+       |sdocs AS (SELECT e.doc_id, e.lang, e.text, s.split
+       |  FROM exact e JOIN spl s USING (doc_id)),
+       |stk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM sdocs),
+       |sg AS (SELECT doc_id, i, $gram8 AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+       |        FROM stk WHERE len(t) >= 8)),
+       |sdup AS (SELECT g FROM sg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |scov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+       |  FROM sg JOIN sdup USING (g))),
+       |spos AS (SELECT doc_id, i AS pos, t[i] AS token
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM stk)),
+       |skept AS (SELECT p.doc_id, p.pos, p.token FROM spos p
+       |  ANTI JOIN scov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+       |scln AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text
+       |  FROM skept GROUP BY doc_id),
+       |ctk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM scln),
+       |chk AS (SELECT doc_id, least(64, len(t) - start + 1) AS nct
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS start
+       |        FROM ctk WHERE len(t) >= 1)
+       |  WHERE start = 1 OR start + 16 <= len(t))
+       |SELECT s.lang, s.split, count(DISTINCT c.doc_id) AS n_docs,
+       |  count(*) AS n_chunks, CAST(sum(nct) AS BIGINT) AS n_tokens
+       |FROM chk c JOIN sdocs s USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY s.lang, s.split, n_docs, n_chunks, n_tokens""".stripMargin
   }
 
   private val simhashSql: String =
@@ -468,6 +512,7 @@ object ExtQueries {
     "ann_lsh" -> signLshSql,
 
     "pipeline_curate" -> pipelineSql,
+    "pipeline_prepare" -> pipelinePrepareSql,
 
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

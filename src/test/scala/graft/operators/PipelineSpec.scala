@@ -27,4 +27,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.contains(0L) && rows.contains(3L))
     assert(rows.values.toSet.subsetOf(Set("train", "test")))
   }
+
+  test("prepareTrainingData: chunks only surviving docs, bounds chunk length") {
+    // 20 distinct long-ish docs so quality passes; two share a 10-token
+    // boilerplate run that span-dedup must cut from one of them
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = (0L until 20L).map { i =>
+      val body = (1 to 70).map(j => s"w${i}_$j").mkString(" ")
+      val text = if (i < 2) s"$boiler $body" else body
+      (i, text, "en", "s1", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val chunks = Pipeline.prepareTrainingData(docs,
+      Pipeline.Config(minQuality = 0.0, minJaccard = 0.9))
+    val rows = chunks.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_chunk_tokens") <= 64L))
+    assert(rows.forall(_.getAs[String]("split") != null))
+    // the shared boilerplate run never reaches a chunk
+    assert(rows.forall(!_.getAs[String]("chunk_text").contains("b1 b2")))
+    // doc 5's unique body survives into chunks intact
+    val d5 = rows.filter(_.getAs[Long]("doc_id") == 5L)
+      .flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert((1 to 70).map(j => s"w5_$j").toSet.subsetOf(d5))
+  }
 }
