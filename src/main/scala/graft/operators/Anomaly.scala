@@ -55,4 +55,51 @@ object Anomaly {
       .select("event_type", "hour", "n_events", "direction")
       .orderBy("event_type", "hour", "n_events", "direction")
   }
+
+  /** Distribution drift between a reference sample and an incoming
+    * sample — the "did the data change under us" check a corpus refresh
+    * runs before accepting a batch (the PSI/KL family, restated
+    * division-light and log-free so it is engine-exact): per group, the
+    * L1 distance between the two samples' binned value histograms, in
+    * parts-per-million.
+    *
+    * Bins are integer cents divided by `binCents`; each side's per-bin
+    * fraction is the exact integer `(n_bin · 1e6) div n_total` (ppm —
+    * overflow-free to ~9·10¹¹ rows per group per side), and
+    * `l1_ppm = Σ_bins |ref_ppm − inc_ppm|` ∈ [0, 2·10⁶]. Plan: two
+    * partial-agg shuffles (one per side), a full outer join on
+    * (group, bin) — both sides already bin-keyed — and an O(groups)
+    * rollup. Identical samples score 0; disjoint supports score 2e6. */
+  def histogramDrift(ref: DataFrame, inc: DataFrame, groupCol: String,
+      valueCol: String, binCents: Long = 100L): DataFrame = {
+    require(binCents >= 1, "binCents must be positive")
+    def binned(df: DataFrame, side: String): DataFrame = {
+      val b = df.groupBy(col(groupCol),
+          expr(s"floor($valueCol * 100) div $binCents").cast("long").as("bin"))
+        .agg(count(lit(1)).as(s"${side}_n"))
+      val tot = b.groupBy(col(groupCol)).agg(sum(col(s"${side}_n")).as(s"${side}_tot"))
+      b.join(tot, groupCol)
+        .withColumn(s"${side}_ppm",
+          expr(s"(${side}_n * 1000000) div ${side}_tot"))
+        .select(col(groupCol), col("bin"), col(s"${side}_n"), col(s"${side}_ppm"))
+    }
+    binned(ref, "ref").join(binned(inc, "inc"), Seq(groupCol, "bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "ref_ppm", "inc_n", "inc_ppm"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("ref_n")).as("ref_rows"),
+        sum(col("inc_n")).as("inc_rows"),
+        sum(abs(col("ref_ppm") - col("inc_ppm"))).as("l1_ppm"))
+  }
+
+  /** Drift between the even- and odd-id halves of the events stream per
+    * type — two samples of the same distribution, so l1_ppm stays small;
+    * a broken upstream would push it toward 2e6. */
+  def qEventDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    histogramDrift(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        groupCol = "event_type", valueCol = "value")
+      .orderBy("event_type", "ref_rows", "inc_rows", "l1_ppm")
+  }
 }

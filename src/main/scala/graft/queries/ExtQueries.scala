@@ -71,6 +71,7 @@ object ExtQueries {
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
+    "events_drift"          -> graft.operators.Anomaly.qEventDrift _,
   )
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
@@ -1204,6 +1205,30 @@ object ExtQueries {
         |  AND ck.c >= pu.p - 3600000000 AND ck.c <= pu.p
         |GROUP BY 1, 2
         |ORDER BY pu.user_id, purchase_id, n_clicks, min_lag_us""".stripMargin,
+
+    "events_drift" ->
+      """WITH rb AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
+        |    count(*) AS ref_n
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(ref_n) AS ref_tot FROM rb GROUP BY 1),
+        |r AS (SELECT rb.event_type, bin, ref_n,
+        |    CAST((ref_n * 1000000) // ref_tot AS BIGINT) AS ref_ppm
+        |  FROM rb JOIN rt USING (event_type)),
+        |ib AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
+        |    count(*) AS inc_n
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |it AS (SELECT event_type, sum(inc_n) AS inc_tot FROM ib GROUP BY 1),
+        |i AS (SELECT ib.event_type, bin, inc_n,
+        |    CAST((inc_n * 1000000) // inc_tot AS BIGINT) AS inc_ppm
+        |  FROM ib JOIN it USING (event_type)),
+        |j AS (SELECT coalesce(r.event_type, i.event_type) AS event_type,
+        |    coalesce(r.ref_n, 0) AS ref_n, coalesce(r.ref_ppm, 0) AS ref_ppm,
+        |    coalesce(i.inc_n, 0) AS inc_n, coalesce(i.inc_ppm, 0) AS inc_ppm
+        |  FROM r FULL OUTER JOIN i ON r.event_type = i.event_type AND r.bin = i.bin)
+        |SELECT event_type, CAST(sum(ref_n) AS BIGINT) AS ref_rows,
+        |  CAST(sum(inc_n) AS BIGINT) AS inc_rows,
+        |  CAST(sum(abs(ref_ppm - inc_ppm)) AS BIGINT) AS l1_ppm
+        |FROM j GROUP BY 1 ORDER BY event_type, ref_rows, inc_rows, l1_ppm""".stripMargin,
 
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -46,4 +46,26 @@ class AnomalySpec extends AnyFunSuite {
       .map { case (_, i) => s"b$i" }.toSet
     assert(flagged == expected, s"flagged $flagged vs float $expected")
   }
+
+  test("histogram drift: identical samples 0, disjoint supports 2e6") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 50).map(i => ("t", (i % 5) * 1.0)).toDF("event_type", "value")
+    val same = Anomaly.histogramDrift(a, a, "event_type", "value").head
+    assert(same.getAs[Long]("l1_ppm") == 0L)
+    assert(same.getAs[Long]("ref_rows") == 50L && same.getAs[Long]("inc_rows") == 50L)
+
+    val b = (1 to 30).map(i => ("t", 1000.0 + i)).toDF("event_type", "value")
+    val far = Anomaly.histogramDrift(a, b, "event_type", "value").head
+    assert(far.getAs[Long]("l1_ppm") >= 1999990L, far.toString) // ppm floors lose <10 ppm
+  }
+
+  test("histogram drift: a shifted mixture lands between the extremes") {
+    import spark.implicits._
+    // 80/20 vs 20/80 over two bins → |800000-200000| + |200000-800000| = 1.2e6
+    val ref = (1 to 100).map(i => ("t", if (i <= 80) 1.0 else 2.0)).toDF("event_type", "value")
+    val inc = (1 to 100).map(i => ("t", if (i <= 20) 1.0 else 2.0)).toDF("event_type", "value")
+    val r = Anomaly.histogramDrift(ref, inc, "event_type", "value").head
+    assert(r.getAs[Long]("l1_ppm") == 1200000L, r.toString)
+  }
 }
