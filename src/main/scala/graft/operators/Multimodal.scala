@@ -86,6 +86,49 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         round(col("frame_idx") / 2.0, 4).as("ts_sec"))
 
+  /** Cross-modal content dedup on EXTRACTED FEATURES: media whose decoded
+    * feature vectors are identical are the same content regardless of
+    * container metadata — the dedup a media corpus needs, since byte-level
+    * hashing misses re-encoded copies (with the stub codec "identical
+    * features" degrades to identical payload bytes, but the operator
+    * shape — decode → canonical feature key → hash-group — is the real
+    * one). Feature components are integer-exact (byte sums < 2^24), so
+    * the key is a portable integer join. Returns dup groups:
+    * (survivor_id, n_docs). */
+  def featureDupGroups(media: DataFrame, dim: Int = 8): DataFrame =
+    featureGroups(media, dim)
+      .filter(col("n_docs") >= 2)
+      .select("survivor_id", "n_docs")
+
+  /** One row per distinct feature vector: (survivor_id, n_docs). */
+  def featureGroups(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeFeatures(media, dim)
+      .map(m => (m.doc_id, m.features.map(_.toLong).mkString(",")))
+      .toDF("doc_id", "fkey")
+      .groupBy("fkey")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Audio frame windowing: fixed `windowMs` windows every `hopMs` over
+    * the sample stream (1 byte = 1 sample here; a real PCM payload would
+    * divide by the frame size) — the spectrogram-front-end slicing,
+    * generated with sequence/explode, no UDF, no shuffle. Windows are
+    * emitted only while fully inside the payload. */
+  def audioWindows(media: DataFrame, windowMs: Int = 25, hopMs: Int = 10): DataFrame =
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("sample_rate"),
+        length(col("payload")).cast("long").as("n_samples"))
+      .withColumn("wlen", expr(s"(sample_rate * $windowMs) div 1000").cast("long"))
+      .withColumn("hop", expr(s"(sample_rate * $hopMs) div 1000").cast("long"))
+      .filter(col("n_samples") >= col("wlen"))
+      .select(col("doc_id"), col("wlen"), col("hop"),
+        explode(sequence(lit(0L), col("n_samples") - col("wlen"), col("hop"))).as("start_sample"))
+      .select(col("doc_id"),
+        expr("start_sample div hop").as("window_idx"),
+        col("start_sample"), col("wlen").as("n_window_samples"))
+
   // ---- query-shaped entry points -----------------------------------------
 
   /** Payload + metadata summary (oracle-checkable: byte lengths). */
@@ -100,6 +143,20 @@ object Multimodal {
   def qFrames(spark: SparkSession, dir: String): DataFrame =
     frameSample(Tables.documents(spark, dir))
       .orderBy("doc_id", "frame_idx", "ts_sec")
+
+  /** Group-size histogram over decoded feature vectors (size 1 =
+    * unique content; ≥2 = cross-modal dups) — informative on a dup-free
+    * corpus too, and detects dups the moment they appear. */
+  def qFeatureDedup(spark: SparkSession, dir: String): DataFrame =
+    featureGroups(mediaTable(Tables.documents(spark, dir)))
+      .groupBy(col("n_docs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size", "n_groups")
+
+  /** Audio window slicing rows. */
+  def qAudioWindows(spark: SparkSession, dir: String): DataFrame =
+    audioWindows(mediaTable(Tables.documents(spark, dir)))
+      .orderBy("doc_id", "window_idx", "start_sample", "n_window_samples")
 
   /** Decoded feature summary — exercises the stub-codec mapPartitions path
     * end-to-end but reduces to an oracle-checkable scalar: the feature sum

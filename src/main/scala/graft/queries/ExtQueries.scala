@@ -51,6 +51,8 @@ object ExtQueries {
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
+    "mm_feature_dedup"      -> Multimodal.qFeatureDedup _,
+    "mm_audio_windows"      -> Multimodal.qAudioWindows _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
@@ -954,6 +956,36 @@ object ExtQueries {
         |  CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
         |GROUP BY 1, 2 ORDER BY doc_id, media_type, byte_sum""".stripMargin,
+
+    // stub-codec features = per-(i-1)%8-bucket byte sums; texts are ASCII
+    // so ord(char) == payload byte (same equivalence mm_decode_checksum uses)
+    "mm_feature_dedup" ->
+      """WITH f AS (SELECT doc_id, (i - 1) % 8 AS bucket,
+        |    CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT doc_id, string_agg(CAST(s AS VARCHAR), ',' ORDER BY bucket) AS fkey
+        |      FROM f GROUP BY doc_id),
+        |g AS (SELECT fkey, count(*) AS n_docs FROM v GROUP BY fkey)
+        |SELECT n_docs AS group_size, count(*) AS n_groups
+        |FROM g GROUP BY 1 ORDER BY group_size, n_groups""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH a AS (SELECT doc_id,
+        |    8000 + (doc_id % 5) * 8000 AS sample_rate,
+        |    length(text) AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id,
+        |    (sample_rate * 25) // 1000 AS wlen,
+        |    (sample_rate * 10) // 1000 AS hop, n_samples
+        |  FROM a)
+        |SELECT doc_id, start_sample // hop AS window_idx,
+        |  start_sample, wlen AS n_window_samples
+        |FROM (SELECT doc_id, wlen, hop,
+        |        unnest(generate_series(0, n_samples - wlen, hop)) AS start_sample
+        |      FROM w WHERE n_samples >= wlen)
+        |ORDER BY doc_id, window_idx, start_sample, n_window_samples""".stripMargin,
 
     "text_contamination_bloom" -> {
       // hexVal8(md5(j || ':' || shingle)) % 4800 — mirrors Sketches.bloomPos

@@ -303,6 +303,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(media, dim = 8).head().features.length == 8)
   }
 
+  test("multimodal: feature-level dedup groups identical payloads") {
+    // docs fixture: doc 3 is an exact copy of doc 0 → identical features
+    val groups = Multimodal.featureDupGroups(Multimodal.mediaTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.toSeq == Seq((0L, 2L)))
+  }
+
+  test("multimodal: audio windowing emits only fully-contained windows") {
+    // doc 10 → audio (10%3=1), sample_rate 8000 → wlen 200, hop 80;
+    // 360 samples → starts 0, 80, 160 (240 would overrun)
+    val audio = Seq((10L, "x" * 360, "en", "s1", 360L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Multimodal.audioWindows(Multimodal.mediaTable(audio))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(w.toSeq == Seq((0L, 0L, 200L), (1L, 80L, 200L), (2L, 160L, 200L)))
+    // too-short payload → no windows at all
+    val short = Seq((10L, "x" * 100, "en", "s1", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.audioWindows(Multimodal.mediaTable(short)).count() == 0)
+  }
+
   test("multimodal: resize scales metadata, frame sample counts") {
     val media = Multimodal.mediaTable(docs)
     val orig = media.select("doc_id", "width").collect()
