@@ -304,6 +304,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("score"))
   }
 
+  /** Tokenizer-vocabulary coverage: fit a top-V vocabulary on the corpus
+    * (frequency desc, token asc — total order, deterministic), then
+    * report each document's out-of-vocabulary token count and rate in
+    * exact ppm. The signal that sizes a tokenizer and flags docs that
+    * would shatter into bytes. The vocabulary is V rows — broadcast onto
+    * the token stream; the corpus side never shuffles for membership. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = tokenized(docs)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+  }
+
   /** Bigram language-model fluency score — the perplexity-surrogate
     * quality filter of the CCNet/CC-style curation recipe (docs whose
     * word transitions are improbable under a reference model are noise),
@@ -417,6 +436,12 @@ object TextAnalysis {
   def qDupNgrams(spark: SparkSession, dir: String): DataFrame =
     dupNgramFraction(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_ngrams", "n_dup", "dup_frac")
+
+  /** OOV rate per doc against a 20-token fitted vocabulary (this corpus
+    * has ~31 distinct tokens — V=20 leaves a measurable tail). */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), vocabSize = 20)
+      .orderBy("doc_id", "n_tokens", "n_oov", "oov_ppm")
 
   /** Bigram-LM fluency score per document. */
   def qLmScore(spark: SparkSession, dir: String): DataFrame =

@@ -69,6 +69,7 @@ object ExtQueries {
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
+    "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
@@ -1187,6 +1188,21 @@ object ExtQueries {
         |FROM st
         |WHERE start = 1 OR start + 16 <= len(t)
         |ORDER BY doc_id, chunk_id, n_chunk_tokens, chunk_text""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |voc AS (SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |    ORDER BY cnt DESC, token LIMIT 20)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok t LEFT JOIN voc v USING (token))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id, n_tokens, n_oov, oov_ppm""".stripMargin,
 
     "text_lm_score" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

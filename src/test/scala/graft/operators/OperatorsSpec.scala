@@ -137,6 +137,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(21L) == ((11L, 9L, "x0 x1")))
   }
 
+  test("vocab coverage: top-V fit, per-doc OOV in exact ppm") {
+    // counts: a=3, b=2, c=1, d=1 → V=2 vocab {a, b}; ties break on token
+    val corpus = Seq(
+      (1L, "a a b c", "en", "s", 7L),
+      (2L, "a b d", "en", "s", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabCoverage(corpus, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 250000L))) // c is OOV
+    assert(out(2L) == ((3L, 1L, 333333L))) // d is OOV
+  }
+
   test("bigram LM score: exact conditional-probability means") {
     // bigrams — d1: (a,b),(b,a),(a,b); d2: (a,b),(b,c)
     // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2
