@@ -42,6 +42,7 @@ object SparkEntry {
     "q24_median_disc"  -> CoreQueries.q24MedianDisc _,
     "q25_event_pivot"  -> CoreQueries.q25EventPivot _,
     "q26_js_demo"      -> CoreQueries.q26JsDemo _,
+    "q27_rolling"      -> CoreQueries.q27RollingWindow _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -200,5 +201,14 @@ object SparkEntry {
       """SELECT length(token) % 2 AS pi, token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> '' GROUP BY 1, 2 ORDER BY pi, token, cnt""".stripMargin,
+
+    "q27_rolling" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_24h,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_24h
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id, event_type, n_24h, sum_24h""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

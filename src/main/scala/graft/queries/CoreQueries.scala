@@ -336,6 +336,27 @@ object CoreQueries {
       .orderBy("pi", "token", "cnt")
   }
 
+  /** Q27 — rolling time-RANGE window: per event, the count and exact
+    * cent-sum of the same type's events in the trailing 24 hours —
+    * a RANGE frame over event-time micros (rows at equal timestamps
+    * share a frame, so the result is set-deterministic, unlike a ROWS
+    * frame). One shuffle on the partition key; the frame scan is
+    * per-partition streaming state, no self-join. */
+  def q27RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000L
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("us"))
+      .rangeBetween(-(dayUs - 1), 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", (sum(col("cents")).over(w) / 100.0))
+      .select(col("event_id"), col("event_type"), col("n_24h"), col("sum_24h"))
+      .orderBy("event_id", "event_type", "n_24h", "sum_24h")
+  }
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =
