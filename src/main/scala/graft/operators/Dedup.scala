@@ -419,19 +419,34 @@ object Dedup {
     * (doc_id, n_tokens, n_removed, clean_text). */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && minDocs >= 2, "k and minDocs must be >= 2")
-    val toks = docs.select(col("doc_id"),
+    val toks = tokenArrays(docs)
+    val grams = gramTable(toks, k)
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    rebuildWithoutSpans(toks, grams.join(dup, "g"), k)
+  }
+
+  /** (doc_id, t: array<string>) token arrays. */
+  private def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       filter(split(col("text"), " "), t => t =!= "").as("t"))
-    val grams = toks
+
+  /** Positional k-gram table (doc_id, i, g) — one row per window start. */
+  private def gramTable(toks: DataFrame, k: Int): DataFrame =
+    toks
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         concat_ws(" ", slice(col("t"), col("i"), lit(k))).as("g"))
-    val dup = grams.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("g")
-    val covered = grams.join(dup, "g")
+
+  /** Cut every position covered by `hitGrams` (doc_id, i, …) and stitch
+    * the survivors: (doc_id, n_tokens, n_removed, clean_text). */
+  private def rebuildWithoutSpans(toks: DataFrame, hitGrams: DataFrame,
+      k: Int): DataFrame = {
+    val covered = hitGrams
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
     val positions = toks
@@ -450,7 +465,50 @@ object Dedup {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** Persist the corpus's DISTINCT k-gram set hash-bucketed on the gram —
+    * the boilerplate index a batch refresh probes. Like
+    * [[writeSignatureIndex]], the corpus is never re-scanned or
+    * re-shuffled on refresh (zero-exchange corpus side, SinksSpec). */
+  def writeGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
+      k: Int = 8): Unit =
+    graft.sources.Sinks.writeBucketed(
+      gramTable(tokenArrays(docs), k).select("g").distinct(),
+      tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
+      sortCols = Seq("g"))
+
+  /** Incremental span removal: clean an incoming batch against the
+    * persisted corpus gram index ([[writeGramIndex]]) — spans the corpus
+    * already carries are boilerplate by definition — plus the batch's own
+    * cross-document duplicate spans. Only the batch moves: the index join
+    * is bucket-co-located on g, and the batch-internal pass is
+    * [[removeDuplicateSpans]]' aggregate over batch grams only. */
+  def incrementalSpanRemoval(batch: DataFrame, corpusGrams: DataFrame,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = tokenArrays(batch)
+    val grams = gramTable(toks, k)
+    val fromCorpus = grams.join(corpusGrams.select("g"), "g")
+    val batchDup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val fromBatch = grams.join(batchDup, "g")
+    rebuildWithoutSpans(toks,
+      fromCorpus.select("doc_id", "i").union(fromBatch.select("doc_id", "i")), k)
+  }
+
   def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
     removeDuplicateSpans(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")
+
+  /** Batch (doc_id % 5 = 0) cleaned against the rest-of-corpus gram set
+    * — in production the corpus side reads the persisted
+    * [[writeGramIndex]] table instead. */
+  def qDedupSpansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalSpanRemoval(
+        docs.filter(col("doc_id") % 5 === 0),
+        gramTable(tokenArrays(docs.filter(col("doc_id") % 5 =!= 0)), k = 8)
+          .select("g").distinct())
+      .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")
+  }
 }

@@ -68,6 +68,7 @@ object ExtQueries {
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
+    "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
@@ -1188,6 +1189,37 @@ object ExtQueries {
         |FROM st
         |WHERE start = 1 OR start + 16 <= len(t)
         |ORDER BY doc_id, chunk_id, n_chunk_tokens, chunk_text""".stripMargin,
+
+    "dedup_spans_incremental" -> {
+      val gram8 = (0 to 7).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH btk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |             FROM documents WHERE doc_id % 5 = 0),
+         |ctk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |        FROM documents WHERE doc_id % 5 <> 0),
+         |bg AS (SELECT doc_id, i, $gram8 AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+         |        FROM btk WHERE len(t) >= 8)),
+         |cgr AS (SELECT DISTINCT $gram8 AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+         |        FROM ctk WHERE len(t) >= 8)),
+         |bdup AS (SELECT g FROM bg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |hit AS (SELECT doc_id, i FROM bg JOIN cgr USING (g)
+         |        UNION SELECT doc_id, i FROM bg JOIN bdup USING (g)),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos FROM hit)),
+         |pos AS (SELECT doc_id, i AS pos, t[i] AS token
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM btk)),
+         |kept AS (SELECT p.doc_id, p.pos, p.token FROM pos p
+         |  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+         |cleaned AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id, len(b.t) AS n_tokens,
+         |  coalesce(rem.n_removed, 0) AS n_removed,
+         |  coalesce(cleaned.clean_text, '') AS clean_text
+         |FROM btk b LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+         |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin
+    },
 
     "text_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, token

@@ -124,6 +124,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(13L) == ((2L, 0L, "short doc")))
   }
 
+  test("incremental span removal: corpus grams and batch-internal dups both cut") {
+    import org.apache.spark.sql.functions.{col, explode, sequence, lit, concat_ws, slice, size, filter => afilter}
+    val boiler = (1 to 8).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((100L, s"pre $boiler post")).toDF("doc_id", "text")
+    // corpus gram set, built the same way writeGramIndex does
+    val corpusGrams = corpus
+      .select(col("doc_id"), afilter(split(col("text"), " "), t => t =!= "").as("t"))
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 7)).as("i"))
+      .select(concat_ws(" ", slice(col("t"), col("i"), lit(8))).as("g")).distinct()
+    val share = (1 to 8).map(i => s"s$i").mkString(" ")
+    val batch = Seq(
+      (1L, s"$boiler own1 own2"),          // carries corpus boilerplate
+      (2L, s"a1 $share a2"),               // shares a run with batch doc 3
+      (3L, s"$share b1 b2 b3"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))  // unique — untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSpanRemoval(batch, corpusGrams)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, "own1 own2")))
+    assert(out(2L) == ((8L, "a1 a2")))
+    assert(out(3L) == ((8L, "b1 b2 b3")))
+    assert(out(4L) == ((0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+  }
+
   test("duplicate-span removal: overlapping dup windows merge their cover") {
     // doc 21 repeats doc 20's 9-token run → two overlapping dup 8-grams
     // cover 9 positions, not 16.

@@ -122,6 +122,23 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental span dedup: bucketed gram-index join has zero exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.Dedup.writeGramIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "gram_corpus", numBuckets = 4)
+    graft.operators.Dedup.writeGramIndex(
+      docs.filter(col("doc_id") % 5 === 0), "gram_batch", numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.table("gram_batch").join(spark.table("gram_corpus"), "g")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"gram-index probe must not shuffle:\n$plan")
+      assert(probe.count() > 0, "corpus boilerplate must appear in the batch")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SQL entry point: registered views answer spark.sql queries") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
