@@ -476,6 +476,16 @@ object Dedup {
       tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
       sortCols = Seq("g"))
 
+  /** Append a batch's distinct grams to an existing [[writeGramIndex]]
+    * table (same bucket spec — co-location survives appends; duplicate
+    * grams across appends are harmless, the probe is a semi-style set
+    * join). */
+  def appendGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
+      k: Int = 8): Unit =
+    gramTable(tokenArrays(docs), k).select("g").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "g").sortBy("g").saveAsTable(tableName)
+
   /** Incremental span removal: clean an incoming batch against the
     * persisted corpus gram index ([[writeGramIndex]]) — spans the corpus
     * already carries are boilerplate by definition — plus the batch's own

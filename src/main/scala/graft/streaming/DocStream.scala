@@ -50,7 +50,8 @@ object DocStream {
   def curateIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, minQuality: Double = 0.2,
       numBuckets: Int = 16, numHashes: Int = 16, bands: Int = 4,
-      shingleK: Int = 3, minEstJaccard: Double = 0.25): StreamingQuery =
+      shingleK: Int = 3, minEstJaccard: Double = 0.25,
+      gramIndexTable: Option[String] = None): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
         val scrubbed = batch
@@ -61,12 +62,12 @@ object DocStream {
           .select("doc_id")
         scrubbed.join(keep, "doc_id")
       },
-      numBuckets, numHashes, bands, shingleK, minEstJaccard)
+      numBuckets, numHashes, bands, shingleK, minEstJaccard, gramIndexTable)
 
   private def ingest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, prepare: DataFrame => DataFrame,
       numBuckets: Int, numHashes: Int, bands: Int, shingleK: Int,
-      minEstJaccard: Double): StreamingQuery =
+      minEstJaccard: Double, gramIndexTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -94,13 +95,30 @@ object DocStream {
           .select(col("batch_id").as("doc_id")).distinct()
         val dupIds = inBatchDups.union(corpusDups).distinct()
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
-        // 3. emit survivors; grow the index with their signatures only
-        survivors.write.mode(SaveMode.Append).parquet(outPath)
+        // 3. optional sub-document pass: cut spans the corpus gram index
+        // already carries (plus the batch's own cross-doc duplicates),
+        // so boilerplate never accumulates in the sink — whole-doc dedup
+        // upstream cannot see it
+        val emitted = gramIndexTable match {
+          case Some(gt) =>
+            spark.catalog.refreshTable(gt)
+            val rebuilt = Dedup.incrementalSpanRemoval(
+              survivors, spark.table(gt))
+            survivors.drop("text")
+              .join(rebuilt.select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+              .filter(col("text") =!= "")
+          case None => survivors
+        }
+        // 4. emit; grow the signature index with survivor signatures and
+        // the gram index with the EMITTED (cleaned) text's grams
+        emitted.write.mode(SaveMode.Append).parquet(outPath)
         batchIdx.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode(SaveMode.Append).format("parquet")
           .bucketBy(numBuckets, "band", "bucket")
           .sortBy("band", "bucket")
           .saveAsTable(indexTable)
+        gramIndexTable.foreach(gt =>
+          Dedup.appendGramIndex(emitted, gt, numBuckets))
         ()
       }
       .start()

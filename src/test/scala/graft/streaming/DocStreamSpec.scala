@@ -95,4 +95,40 @@ class DocStreamSpec extends AnyFunSuite {
       assert(rows(5L).endsWith("mail me <EMAIL>"), rows(5L))
     } finally q.stop()
   }
+
+  test("curateIngest with a gram index cuts cross-batch boilerplate spans") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-spanstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(empty, "span_sig_idx", numBuckets = 4)
+    Dedup.writeGramIndex(empty, "span_gram_idx", numBuckets = 4)
+
+    val boiler = (1 to 8).map(i => s"terms$i").mkString(" ")
+    val bodyA = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val bodyB = "completely different content about gardens the flowers a pond and sunshine"
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "span_sig_idx", out, ckpt, minQuality = 0.0, numBuckets = 4,
+      gramIndexTable = Some("span_gram_idx"))
+    try {
+      // batch 1: doc 1 establishes the boilerplate run in the gram index
+      input.addData((1L, s"$boiler $bodyA"))
+      q.processAllAvailable()
+      // batch 2: doc 2 is a DIFFERENT document carrying the same run —
+      // not a near-dup (body differs), so signature dedup keeps it, but
+      // the span pass must cut the boilerplate
+      input.addData((2L, s"$boiler $bodyB"))
+      q.processAllAvailable()
+
+      val rows = spark.read.parquet(out).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 2L), rows.keySet.toString)
+      assert(rows(1L) == s"$boiler $bodyA", "first sighting passes intact")
+      assert(rows(2L) == bodyB, s"boilerplate must be cut: ${rows(2L)}")
+    } finally q.stop()
+  }
 }
