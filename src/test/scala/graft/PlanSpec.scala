@@ -160,4 +160,20 @@ class PlanSpec extends AnyFunSuite {
       graft.streaming.EventStream.attributionBatch(Tables.events(spark, sf)))
     assert(r.nestedLoopJoins == 0, r.planString)
   }
+
+  test("incremental span removal: hash joins only, batch scans pruned") {
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val r = PlanAudit.audit(
+      graft.operators.Dedup.qDedupSpansIncremental(spark, sf))
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(r.scanColumns.toSet == Set("doc_id", "text"), r.scans)
+  }
+
+  test("temperature mixture broadcasts the stratum table; corpus side never sorts") {
+    val r = PlanAudit.audit(graft.operators.Sampling.temperatureMixture(
+      Tables.documents(spark, sf), "lang", "doc_id"))
+    assert(r.broadcastJoins >= 1, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+  }
 }

@@ -149,4 +149,27 @@ class MRPropertySpec extends AnyFunSuite {
       assert(algebraic == holistic, s"n=$n input=$input")
     }
   }
+
+  test("JS-interpreted spec equals the equivalent Scala closures on random inputs") {
+    import spark.implicits._
+    // the same semantics as `spec` (pi = key+value length, reduce = count)
+    // written as the reference would ship them: JavaScript source strings
+    val jsMap = "(function(o) { return [o.key.length + o.value.length, " +
+      "{key: o.key, value: o.value}]; })"
+    val jsReduce = "(function(o) { return {key: o.key, " +
+      "value: JSON.stringify(o.values.length)}; })"
+    cases.foreach { case (input, n, _) =>
+      val ds = spark.createDataset(input)
+      val js = MRSpec(
+        JsAlgorithm.compileMap(jsMap), JsAlgorithm.compileReduce(jsReduce), n)
+      val native = MRSpec(
+        kv => ((kv.key.length + kv.value.length).toLong, KV(kv.key, kv.value)),
+        (k, vs) => KV(k, vs.length.toString), n)
+      val got = MapReduce.run(ds, js)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      val want = MapReduce.run(ds, native)
+        .collect().map(r => (r.pi, r.key, r.value)).toSet
+      assert(got == want, s"n=$n input=$input")
+    }
+  }
 }
