@@ -68,6 +68,33 @@ object Sinks {
   /** Final MR results in the reference's flat KV JSON shape
     * (`{"key": …, "value": …}` lines) — round-trips through
     * [[JsonIngest.readKvLines]]. */
+  /** Compact a parquet directory's small files to ~`targetFileBytes`
+    * outputs — the maintenance pass a streaming-append corpus needs
+    * (every micro-batch appends a few files; after a day the directory
+    * is thousands of tiny files and list/open dominates scan cost on an
+    * object store). Sizing comes from the CURRENT on-disk bytes, the
+    * rewrite goes to a sibling temp directory first, and the swap is
+    * rename-based — readers never observe a half-written state on a
+    * rename-atomic filesystem. Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { fs.rename(bak, p); sys.error(s"compact: cannot swap in $tmp") }
+    fs.delete(bak, true)
+    n
+  }
+
   def writeKvLines(results: Dataset[KV], path: String,
       coalesceTo: Option[Int] = None): Unit = {
     val out = coalesceTo.map(results.coalesce).getOrElse(results)

@@ -139,6 +139,28 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction merges append-era small files, preserves content") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // simulate 8 micro-batch appends → many small files
+    (0 until 8).foreach { i =>
+      docs.filter(col("doc_id") % 8 === i)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    }
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 8, s"expected many small files, got $before")
+    val checksum = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum(col("doc_id"))).head.getLong(0)
+    val n = Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles == 1, s"one big target file, got $parquetFiles")
+    assert(spark.read.parquet(dir).count() == docs.count())
+    assert(spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum(col("doc_id"))).head.getLong(0) == checksum)
+  }
+
   test("SQL entry point: registered views answer spark.sql queries") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
