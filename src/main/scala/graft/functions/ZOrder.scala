@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional data clustering.
+  *
+  * A single-column sort clusters one predicate dimension; files then
+  * carry tight min/max stats on that column only, and filters on any
+  * other column hit every file. Interleaving the bits of two key columns
+  * gives a 1-D sort key whose ranges are 2-D tiles — point/range
+  * predicates on EITHER column touch only the files whose tile overlaps,
+  * the standard lakehouse OPTIMIZE ZORDER layout.
+  *
+  * Pure Column arithmetic (shifts, masks, OR) — codegen'd, portable, no
+  * UDF. Inputs are truncated to the low `bits` bits after an unsigned
+  * shift, so negative values need a caller-side offset first.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of `a` and `b`: result bit 2i is
+    * a's bit i, bit 2i+1 is b's bit i. Monotone in each argument when
+    * the other is fixed. */
+  def interleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+  }
+}

@@ -68,6 +68,23 @@ object Sinks {
   /** Final MR results in the reference's flat KV JSON shape
     * (`{"key": …, "value": …}` lines) — round-trips through
     * [[JsonIngest.readKvLines]]. */
+  /** Z-order-clustered parquet layout: rows range-partitioned AND sorted
+    * by the Morton interleave of two key columns, so each output file
+    * covers a 2-D tile of the key space — range/point predicates on
+    * EITHER column skip the files whose tile cannot match (per-file
+    * min/max on both columns stay tight). The two-dimensional answer to
+    * [[writeSortedParquet]]'s one-dimensional clustering; effectiveness
+    * is asserted file-count-wise in SinksSpec. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", graft.functions.ZOrder.interleave(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a parquet directory's small files to ~`targetFileBytes`
     * outputs — the maintenance pass a streaming-append corpus needs
     * (every micro-batch appends a few files; after a day the directory

@@ -139,6 +139,28 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order layout skips files on BOTH clustered dimensions") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = Files.createTempDirectory("graft-zorder").resolve("z").toString
+    // uniform 32×32 grid (equal 5-bit dimensions — the layout's intended
+    // regime; with unequal widths the wide dimension dominates the curve)
+    val grid = spark.range(32L * 32)
+      .select((col("id") % 32).cast("int").as("a"),
+        (col("id") / 32).cast("int").as("b"))
+    Sinks.writeZOrdered(grid, dir, "a", "b", numFiles = 8, bits = 5)
+    val t = spark.read.parquet(dir)
+    def filesHit(pred: org.apache.spark.sql.Column): Long =
+      t.filter(pred).select(input_file_name().as("f")).distinct().count()
+    val total = t.select(input_file_name().as("f")).distinct().count()
+    assert(total == 8, s"want 8 files, got $total")
+    // point predicates on EITHER dimension touch a strict subset of files
+    // (a one-column sort would make one of these hit every file)
+    assert(filesHit(col("a") === 5) <= total / 2, s"a=5 hit ${filesHit(col("a") === 5)}")
+    assert(filesHit(col("b") === 17) <= total / 2, s"b=17 hit ${filesHit(col("b") === 17)}")
+    // content preserved
+    assert(t.count() == 32L * 32)
+  }
+
   test("compaction merges append-era small files, preserves content") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
