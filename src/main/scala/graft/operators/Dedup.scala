@@ -476,6 +476,25 @@ object Dedup {
       tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
       sortCols = Seq("g"))
 
+  /** WITHIN-document repeated-span removal — the de-repetition half of
+    * exact-substring dedup ([[removeDuplicateSpans]] handles the
+    * cross-document half): any k-token window occurring twice in the
+    * SAME document keeps its first occurrence and loses the rest
+    * (degenerate generation loops, copy-pasted passages). Per (doc, gram)
+    * the first window start is one hash aggregate; later occurrences'
+    * positions are cut and the survivors re-stitched. Grouping is keyed
+    * by doc — embarrassingly parallel, no cross-doc shuffle beyond the
+    * doc-hash partition. */
+  def removeRepeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val toks = tokenArrays(docs)
+    val grams = gramTable(toks, k)
+    val firsts = grams.groupBy("doc_id", "g").agg(min(col("i")).as("first_i"))
+    val repeats = grams.join(firsts, Seq("doc_id", "g"))
+      .filter(col("i") > col("first_i"))
+    rebuildWithoutSpans(toks, repeats, k)
+  }
+
   /** Append a batch's distinct grams to an existing [[writeGramIndex]]
     * table (same bucket spec — co-location survives appends; duplicate
     * grams across appends are harmless, the probe is a semi-style set
@@ -508,6 +527,12 @@ object Dedup {
 
   def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
     removeDuplicateSpans(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")
+
+  /** k=3 on this corpus (its short docs repeat trigrams, not 8-grams —
+    * production default stays 8). */
+  def qDedupSelfSpans(spark: SparkSession, dir: String): DataFrame =
+    removeRepeatedSpans(Tables.documents(spark, dir), k = 3)
       .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")
 
   /** Batch (doc_id % 5 = 0) cleaned against the rest-of-corpus gram set

@@ -69,6 +69,7 @@ object ExtQueries {
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
+    "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
@@ -1220,6 +1221,30 @@ object ExtQueries {
          |FROM btk b LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
          |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin
     },
+
+    "dedup_self_spans" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |firsts AS (SELECT doc_id, g, min(i) AS first_i FROM g GROUP BY 1, 2),
+        |rep AS (SELECT g.doc_id, g.i FROM g JOIN firsts USING (doc_id, g)
+        |        WHERE g.i > firsts.first_i),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT doc_id, unnest(generate_series(i, i + 2)) AS pos FROM rep)),
+        |pos AS (SELECT doc_id, i AS pos, t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |kept AS (SELECT p.doc_id, p.pos, p.token FROM pos p
+        |  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+        |cleaned AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  coalesce(rem.n_removed, 0) AS n_removed,
+        |  coalesce(cleaned.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN rem USING (doc_id) LEFT JOIN cleaned USING (doc_id)
+        |ORDER BY doc_id, n_tokens, n_removed, clean_text""".stripMargin,
 
     "text_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, token

@@ -124,6 +124,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(13L) == ((2L, 0L, "short doc")))
   }
 
+  test("repeated-span removal keeps the first occurrence, cuts the loop") {
+    val spans = Seq(
+      // "r1..r8" occurs at positions 1 and 11 → second occurrence cut
+      (30L, "r1 r2 r3 r4 r5 r6 r7 r8 mid1 mid2 r1 r2 r3 r4 r5 r6 r7 r8 tail"),
+      (31L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(spans, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(30L) == ((19L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8 mid1 mid2 tail")))
+    assert(out(31L) == ((9L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+  }
+
   test("incremental span removal: corpus grams and batch-internal dups both cut") {
     import org.apache.spark.sql.functions.{col, explode, sequence, lit, concat_ws, slice, size, filter => afilter}
     val boiler = (1 to 8).map(i => s"c$i").mkString(" ")
