@@ -113,6 +113,41 @@ object TextAnalysis {
       .orderBy("doc_id", "quality")
   }
 
+  /** Adaptive quality gate: per language, keep documents at or above that
+    * language's `pct`-th quality percentile — fixed global thresholds
+    * over- or under-prune languages with different score distributions,
+    * so production filters threshold per stratum.
+    *
+    * Scale shape: quality is an exact 4-decimal value, so the score
+    * ITSELF is the bin — the per-language histogram is ≤ 10⁴ rows per
+    * language, the cumulative walk runs over bins (never corpus rows),
+    * and the O(langs) threshold table broadcasts back onto the scan.
+    * Threshold rule (integer-exact): the smallest score with cumulative
+    * count ≥ ceil(n·pct/100). Returns per-language
+    * (n_docs, threshold, n_kept). */
+  def adaptiveQualityGate(docs: DataFrame, pct: Int = 25): DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct in [1, 100]")
+    val scored = docs.select("doc_id", "lang")
+      .join(qualityScore(docs), "doc_id")
+      .withColumn("qi", round(col("quality") * 10000).cast("long"))
+    val bins = scored.groupBy("lang", "qi").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("qi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val thr = bins
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") >= expr(s"(n * $pct + 99) div 100"), col("qi"))).as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("qi") >= col("thr"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"),
+        (max(col("thr")) / 10000.0).as("threshold"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Token counting three ways: whitespace tokens, alphabetic regex
     * tokens (a BPE-ish pre-tokenization), and a chars/3.5 BPE estimate. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -436,6 +471,11 @@ object TextAnalysis {
   def qDupNgrams(spark: SparkSession, dir: String): DataFrame =
     dupNgramFraction(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_ngrams", "n_dup", "dup_frac")
+
+  /** Per-language p25 adaptive gate report. */
+  def qAdaptiveGate(spark: SparkSession, dir: String): DataFrame =
+    adaptiveQualityGate(Tables.documents(spark, dir))
+      .orderBy("lang", "n_docs", "threshold", "n_kept")
 
   /** OOV rate per doc against a 20-token fitted vocabulary (this corpus
     * has ~31 distinct tokens — V=20 leaves a measurable tail). */

@@ -72,6 +72,7 @@ object ExtQueries {
     "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
+    "text_adaptive_gate"    -> TextAnalysis.qAdaptiveGate _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
@@ -1260,6 +1261,29 @@ object ExtQueries {
         |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id
         |ORDER BY doc_id, n_tokens, n_oov, oov_ppm""".stripMargin,
+
+    "text_adaptive_gate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+        |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok WHERE token <> '' GROUP BY doc_id),
+        |q AS (SELECT d.doc_id, d.lang,
+        |    (least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750) AS num,
+        |    n_tok * 12500 AS den
+        |  FROM documents d JOIN st USING (doc_id)),
+        |s AS (SELECT doc_id, lang, CAST((num * 20000 + den) // (den * 2) AS BIGINT) AS qi FROM q),
+        |b AS (SELECT lang, qi, count(*) AS c FROM s GROUP BY 1, 2),
+        |cw AS (SELECT lang, qi,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY qi) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n FROM b),
+        |thr AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |    min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN qi END) AS thr
+        |  FROM cw GROUP BY lang)
+        |SELECT s.lang, max(t.n_docs) AS n_docs, max(t.thr) / 10000.0 AS threshold,
+        |  count(*) AS n_kept
+        |FROM s JOIN thr t USING (lang) WHERE s.qi >= t.thr
+        |GROUP BY s.lang
+        |ORDER BY lang, n_docs, threshold, n_kept""".stripMargin,
 
     "text_lm_score" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -173,6 +173,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(21L) == ((11L, 9L, "x0 x1")))
   }
 
+  test("adaptive quality gate: per-language p25 threshold, ≥75% kept") {
+    // two languages with deliberately different quality distributions
+    val corpus = (0L until 8L).map { i =>
+      val text = ((1 to (10 + i.toInt * 5)).map(j => s"w$j") :+ "the").mkString(" ")
+      (i, text, if (i < 4) "aa" else "bb", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.adaptiveQualityGate(corpus, pct = 25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("aa", "bb"))
+    out.foreach { case (lang, (n, thr, kept)) =>
+      assert(n == 4, s"$lang: $n")
+      assert(kept >= 3 && kept <= 4, s"$lang kept $kept of $n at p25")
+      assert(thr > 0 && thr <= 1.0)
+    }
+  }
+
   test("vocab coverage: top-V fit, per-doc OOV in exact ppm") {
     // counts: a=3, b=2, c=1, d=1 → V=2 vocab {a, b}; ties break on token
     val corpus = Seq(
