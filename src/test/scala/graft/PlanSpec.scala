@@ -162,8 +162,6 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("incremental span removal: hash joins only, batch scans pruned") {
-    val docs = Tables.documents(spark, sf)
-    import org.apache.spark.sql.functions.col
     val r = PlanAudit.audit(
       graft.operators.Dedup.qDedupSpansIncremental(spark, sf))
     assert(r.nestedLoopJoins == 0, r.planString)
