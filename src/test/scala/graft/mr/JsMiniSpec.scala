@@ -107,6 +107,12 @@ class JsMiniSpec extends AnyFunSuite {
     assert(expr("'abc'.split('')[2]") == VStr("c"))
   }
 
+  test("string escapes: \\0 is NUL, \\u is a code point") {
+    assert(expr("'a\\0b'.length") == VNum(3))
+    assert(expr("'a\\0b'.charCodeAt(1)") == VNum(0))
+    assert(expr("'\\u0041'") == VStr("A"))
+  }
+
   test("malformed code and wrong shapes are rejected") {
     intercept[IllegalArgumentException](parseFunction("not a function"))
     intercept[IllegalArgumentException](parseFunction("(function(o) { return 1; )"))
