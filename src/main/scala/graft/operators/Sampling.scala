@@ -126,6 +126,33 @@ object Sampling {
   def wsTokens(text: Column): Column =
     size(filter(split(text, " "), t => t =!= "")).cast("long")
 
+  /** Deterministic per-epoch shuffle order: position of each row in
+    * epoch e is its rank under `hash16("epoch<e>", id)` (ties by id) —
+    * a different, reproducible permutation every epoch, the property a
+    * training run needs (same data, decorrelated order, restartable
+    * mid-epoch from a position, identical on every engine/cluster).
+    * Assigning positions globally is a sort by design; at scale consumers
+    * use the (shard = hash % shards, within-shard rank) pair from
+    * [[packSequences]]' machinery instead of a total order — this
+    * operator exposes the per-shard form: (epoch, shard, pos within
+    * shard). */
+  def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
+      shards: Int = 1024): DataFrame = {
+    val h = hash16(s"epoch$epoch", col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(lit(epoch).as("epoch"), col("shard"), col("pos"), col(idCol))
+  }
+
+  /** Two epochs of shuffle order over a small shard count — shows the
+    * permutations differ across epochs yet are each deterministic. */
+  def qEpochOrder(spark: SparkSession, dir: String): DataFrame =
+    epochOrder(Tables.documents(spark, dir), "doc_id", epoch = 0, shards = 4)
+      .union(epochOrder(Tables.documents(spark, dir), "doc_id", epoch = 1, shards = 4))
+      .orderBy("epoch", "shard", "pos", "doc_id")
+
   /** Split every document into fixed-length training chunks with stride
     * overlap — the tokenize-and-chunk step before sequence packing
     * ([[packSequences]] packs whole docs; models with a context budget

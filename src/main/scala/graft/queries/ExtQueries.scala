@@ -66,6 +66,7 @@ object ExtQueries {
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
+    "sample_epoch_order"    -> graft.operators.Sampling.qEpochOrder _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
@@ -1120,6 +1121,24 @@ object ExtQueries {
          |FROM documents d JOIN c USING (lang) CROSS JOIN m
          |WHERE ${hex16("temp")} * n_stratum < sqrt(n_stratum) * sq_min * 65536
          |GROUP BY d.lang ORDER BY lang, n_kept""".stripMargin,
+
+    "sample_epoch_order" -> {
+      def ep(e: Int) = {
+        val m = s"md5('epoch$e:' || CAST(doc_id AS VARCHAR))"
+        val h = (1 to 4).map { p =>
+          val mult = 1L << (4 * (4 - p))
+          s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+        }.mkString("(", " + ", ")")
+        s"""SELECT $e AS epoch, CAST(h % 4 AS INTEGER) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+           |  doc_id
+           |FROM (SELECT doc_id, $h AS h FROM documents)""".stripMargin
+      }
+      s"""${ep(0)}
+         |UNION ALL
+         |${ep(1)}
+         |ORDER BY epoch, shard, pos, doc_id""".stripMargin
+    },
 
     "sample_mixture" ->
       s"""WITH w(lang, w) AS (VALUES ('en', 3), ('es', 1), ('de', 1), ('fr', 1), ('zh', 1)),

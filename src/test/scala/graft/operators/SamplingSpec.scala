@@ -117,6 +117,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("epochOrder: reproducible within an epoch, decorrelated across epochs") {
+    val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(e: Int) = Sampling.epochOrder(docs, "doc_id", e, shards = 2)
+      .collect().map(r => ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(order(0) == order(0), "same epoch must reproduce exactly")
+    assert(order(0) != order(1), "different epochs must permute differently")
+    // every doc appears exactly once per epoch, positions dense per shard
+    val e0 = Sampling.epochOrder(docs, "doc_id", 0, shards = 2).collect()
+    assert(e0.map(_.getLong(3)).toSet == (0L until 50L).toSet)
+    e0.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
   test("chunkDocuments: stride windows, short tails, no redundant suffix chunks") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
