@@ -20,9 +20,11 @@ object ZOrder {
 
   /** Interleave the low `bits` bits of `a` and `b`: result bit 2i is
     * a's bit i, bit 2i+1 is b's bit i. Monotone in each argument when
-    * the other is fixed. */
+    * the other is fixed. `bits` caps at 30 so the top interleaved bit
+    * lands at position 61 — bit 63 would be the Long sign bit and
+    * reverse the sort order for large keys. */
   def interleave(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
     val al = a.cast("long")
     val bl = b.cast("long")
     (0 until bits).map { i =>

@@ -63,7 +63,10 @@ object Anomaly {
     * L1 distance between the two samples' binned value histograms, in
     * parts-per-million.
     *
-    * Bins are integer cents divided by `binCents`; each side's per-bin
+    * Bins are integer cents divided by `binCents` (values are assumed
+    * non-negative — for signed metrics offset first, since integer `div`
+    * truncates toward zero on both engines while float floor does not);
+    * each side's per-bin
     * fraction is the exact integer `(n_bin · 1e6) div n_total` (ppm —
     * overflow-free to ~9·10¹¹ rows per group per side), and
     * `l1_ppm = Σ_bins |ref_ppm − inc_ppm|` ∈ [0, 2·10⁶]. Plan: two
