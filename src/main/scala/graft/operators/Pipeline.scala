@@ -67,6 +67,35 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"), col("split"))
   }
 
+  /** Funnel report: document counts after every curation stage — the
+    * run-report a production pipeline logs (and the number that makes a
+    * silent stage regression visible: a dedup change that drops 40% of
+    * the corpus shows up here before any model does).
+    * Rows: (stage, n_docs) for input → quality → exact → near-dup →
+    * train/test. Each stage is the operator's own frame counted — no
+    * separate bookkeeping code path to drift from the real pipeline. */
+  def funnelReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = TextAnalysis.qualityScore(docs)
+    val kept = docs.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
+    val exact = Dedup.exactSurvivors(kept).localCheckpoint()
+    val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard,
+      maxBucketSize = cfg.maxBucketSize)
+    val resolved = Clusters.dedupSurvivors(exact, pairs)
+      .filter(col("survivor")).localCheckpoint()
+    val split = TextAnalysis.hashSplit(resolved, idCol = "cluster_id",
+      trainPct = cfg.trainPct)
+    Seq(
+      ("1_input", docs.count()),
+      ("2_quality", kept.count()),
+      ("3_exact", exact.count()),
+      ("4_neardup", resolved.count()),
+      ("5_train", split.filter(col("split") === "train").count()),
+      ("6_test", split.filter(col("split") === "test").count()))
+      .toDF("stage", "n_docs")
+  }
+
   /** Stage 2 — from the curated corpus to model-ready chunks:
     *
     *   5. span dedup — cross-document duplicate 8-gram runs cut from the
@@ -108,6 +137,10 @@ object Pipeline {
       .select(col("lang"), col("split"), col("n").as("n_docs"),
         (expr("(sq * 2 + n) div (n * 2)") / 10000.0).as("avg_quality"))
       .orderBy("lang", "split", "n_docs", "avg_quality")
+
+  def qFunnelReport(spark: SparkSession, dir: String): DataFrame =
+    funnelReport(Tables.documents(spark, dir))
+      .orderBy("stage", "n_docs")
 
   /** Full-funnel rollup to the chunk level: per (lang, split), surviving
     * docs that produced chunks, chunk count, and total training tokens.

@@ -48,6 +48,7 @@ object ExtQueries {
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "pipeline_prepare"      -> Pipeline.qPrepare _,
+    "pipeline_funnel"       -> Pipeline.qFunnelReport _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -521,6 +522,16 @@ object ExtQueries {
 
     "pipeline_curate" -> pipelineSql,
     "pipeline_prepare" -> pipelinePrepareSql,
+    "pipeline_funnel" ->
+      s"""$pipelineChain
+         |SELECT stage, n_docs FROM (
+         |  SELECT '1_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '2_quality', count(*) FROM kept
+         |  UNION ALL SELECT '3_exact', count(*) FROM exact
+         |  UNION ALL SELECT '4_neardup', count(*) FROM spl
+         |  UNION ALL SELECT '5_train', count(*) FROM spl WHERE split = 'train'
+         |  UNION ALL SELECT '6_test', count(*) FROM spl WHERE split = 'test')
+         |ORDER BY stage, n_docs""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
