@@ -111,6 +111,22 @@ object Multimodal {
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Cross-modal retrieval: k nearest media items by cosine over DECODED
+    * feature vectors — the search a media corpus runs once payloads are
+    * embedded (with the stub codec the "embedding" is the byte-bucket
+    * sum vector; swap the codec and nothing else changes). Routes
+    * through Similarity.bruteForceTopK: broadcast query side, bounded-
+    * heap per-query top-k, candidate side never shuffles. */
+  def featureTopK(media: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 3, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = decodeFeatures(media, dim)
+      .map(m => (m.doc_id, m.features))
+      .toDF("id", "embedding")
+    Similarity.bruteForceTopK(feats.filter(queryPred), feats, k)
+  }
+
   /** Audio frame windowing: fixed `windowMs` windows every `hopMs` over
     * the sample stream (1 byte = 1 sample here; a real PCM payload would
     * divide by the frame size) — the spectrogram-front-end slicing,
@@ -152,6 +168,11 @@ object Multimodal {
       .groupBy(col("n_docs").as("group_size"))
       .agg(count(lit(1)).as("n_groups"))
       .orderBy("group_size", "n_groups")
+
+  /** Top-3 nearest media by decoded-feature cosine for 10 query items. */
+  def qFeatureKnn(spark: SparkSession, dir: String): DataFrame =
+    featureTopK(mediaTable(Tables.documents(spark, dir)), col("id") < 10)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
 
   /** Audio window slicing rows. */
   def qAudioWindows(spark: SparkSession, dir: String): DataFrame =

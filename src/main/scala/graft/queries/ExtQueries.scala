@@ -54,6 +54,7 @@ object ExtQueries {
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
     "mm_feature_dedup"      -> Multimodal.qFeatureDedup _,
     "mm_audio_windows"      -> Multimodal.qAudioWindows _,
+    "mm_feature_knn"        -> Multimodal.qFeatureKnn _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
@@ -1002,6 +1003,24 @@ object ExtQueries {
         |        unnest(generate_series(0, n_samples - wlen, hop)) AS start_sample
         |      FROM w WHERE n_samples >= wlen)
         |ORDER BY doc_id, window_idx, start_sample, n_window_samples""".stripMargin,
+
+    // integer-exact feature sums → order-insensitive, so double cosine
+    // agrees bit-for-bit at 4-decimal rounding (same regime as q8)
+    "mm_feature_knn" ->
+      """WITH f AS (SELECT doc_id, (i - 1) % 8 AS bucket,
+        |    CAST(sum(ord(substr(text, i, 1))) AS DOUBLE) AS s
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(s ORDER BY bucket) AS v FROM f GROUP BY doc_id)
+        |SELECT query_id, neighbor_id, cos_sim FROM (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |  FROM v a, v b
+        |  WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
+        |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
+        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
 
     "text_contamination_bloom" -> {
       // hexVal8(md5(j || ':' || shingle)) % 4800 — mirrors Sketches.bloomPos
