@@ -121,10 +121,14 @@ object Multimodal {
       k: Int = 3, dim: Int = 8): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val feats = decodeFeatures(media, dim)
-      .map(m => (m.doc_id, m.features))
+    def feats(m: DataFrame) = decodeFeatures(m, dim)
+      .map(x => (x.doc_id, x.features))
       .toDF("id", "embedding")
-    Similarity.bruteForceTopK(feats.filter(queryPred), feats, k)
+    // queryPred is a predicate over the MEDIA frame (doc_id, media_type,
+    // metadata…) and is applied BEFORE decoding — a typed mapPartitions
+    // is a pushdown barrier, so filtering after it would decode the
+    // whole corpus to select a handful of query items
+    Similarity.bruteForceTopK(feats(media.filter(queryPred)), feats(media), k)
   }
 
   /** Audio frame windowing: fixed `windowMs` windows every `hopMs` over
@@ -171,7 +175,7 @@ object Multimodal {
 
   /** Top-3 nearest media by decoded-feature cosine for 10 query items. */
   def qFeatureKnn(spark: SparkSession, dir: String): DataFrame =
-    featureTopK(mediaTable(Tables.documents(spark, dir)), col("id") < 10)
+    featureTopK(mediaTable(Tables.documents(spark, dir)), col("doc_id") < 10)
       .orderBy("query_id", "neighbor_id", "cos_sim")
 
   /** Audio window slicing rows. */
