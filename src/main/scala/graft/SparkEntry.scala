@@ -43,6 +43,7 @@ object SparkEntry {
     "q25_event_pivot"  -> CoreQueries.q25EventPivot _,
     "q26_js_demo"      -> CoreQueries.q26JsDemo _,
     "q27_rolling"      -> CoreQueries.q27RollingWindow _,
+    "q28_js_sum"       -> CoreQueries.q28JsSum _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -210,5 +211,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id, event_type, n_24h, sum_24h""".stripMargin,
+
+    // Loop-based user JS (for / += / parseInt) replayed through JsMini;
+    // map emits each token's length, reduce sums — so per token the
+    // result is sum(length(token)), checkable in plain SQL.
+    "q28_js_sum" ->
+      """SELECT length(token) % 2 AS pi, token,
+        |  CAST(sum(length(token)) AS BIGINT) AS total
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1, 2 ORDER BY pi, token, total""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -27,13 +27,18 @@ object JsAlgorithm {
   def compileMap(code: String): KV => (Long, KV) = {
     val fn = parseFunction(code)
     kv => {
-      val arg = VObj(Vector("key" -> VStr(kv.key), "value" -> VStr(kv.value)))
+      val arg = VObj.of("key" -> VStr(kv.key), "value" -> VStr(kv.value))
       callFunction(fn, arg) match {
-        case VArr(Vector(pi, out: VObj)) =>
-          val piNum = pi match {
+        case VArr(items) if items.length == 2 =>
+          val piNum = items(0) match {
             case VNum(d) if !d.isNaN => d.toLong
             case other => throw new IllegalArgumentException(
               s"map UDF partition index must be a number, got $other")
+          }
+          val out = items(1) match {
+            case o: VObj => o
+            case other => throw new IllegalArgumentException(
+              s"map UDF output record must be an object, got $other")
           }
           (piNum, KV(jsString(out.get("key")), jsString(out.get("value"))))
         case other => throw new IllegalArgumentException(
@@ -47,9 +52,9 @@ object JsAlgorithm {
   def compileReduce(code: String): (String, Seq[String]) => KV = {
     val fn = parseFunction(code)
     (key, values) => {
-      val arg = VObj(Vector(
+      val arg = VObj.of(
         "key" -> VStr(key),
-        "values" -> VArr(values.iterator.map(VStr(_)).toVector)))
+        "values" -> VArr.from(values.iterator.map(VStr(_))))
       callFunction(fn, arg) match {
         case out: VObj => KV(jsString(out.get("key")), jsString(out.get("value")))
         case other => throw new IllegalArgumentException(

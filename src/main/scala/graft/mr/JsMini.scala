@@ -16,25 +16,47 @@ import scala.collection.mutable
   * embedding a JS engine on executors.
   *
   * Supported subset (everything the reference's own algorithms and tests
-  * use, plus the obvious neighborhood):
-  *   - function literal `(function(p) { ... })`, statements `var x = e;`,
-  *     `if (c) {...} else {...}`, `return e;`
+  * use, plus the neighborhood a hand-written map/reduce needs):
+  *   - function forms: `(function name?(a, b) { ... })`, arrow functions
+  *     `x => e` / `(a, b) => { ... }` — both also usable as VALUES (so
+  *     `arr.map(function(x) { ... })` works); named function expressions
+  *     may recurse via their own name
+  *   - statements: `var/let/const` (multi-declarator, init optional),
+  *     assignment to variables / members / indices (`x = e`, `o.k = e`,
+  *     `a[i] = e`) plain or compound (`+= -= *= /= %=`), `i++`/`--i`,
+  *     expression statements (calls), `if/else`, `while`, `for(;;)`,
+  *     `break`/`continue`, `return`
   *   - literals: numbers, single/double-quoted strings, booleans, null,
   *     array `[...]` and object `{k: v}` literals
   *   - operators: `+ - * / %`, comparisons, `== != === !==`, `&& || !`,
   *     unary minus, ternary `c ? a : b`, member `.name`, index `[e]`,
   *     calls
   *   - builtins: `JSON.stringify/parse`, `Math.floor/ceil/abs/min/max/
-  *     round/pow/sqrt`, `String/Number/parseInt/parseFloat/isNaN`, string
-  *     methods (`split`, `substring`, `slice`, `indexOf`, `charAt`,
+  *     round/pow/sqrt/trunc/sign`, `Object.keys/values/entries`,
+  *     `String/Number/parseInt/parseFloat/isNaN`, string methods
+  *     (`split`, `substring`, `slice`, `indexOf`, `includes`, `charAt`,
   *     `charCodeAt`, `toLowerCase`, `toUpperCase`, `trim`, `concat`,
-  *     `startsWith`, `endsWith`, `replace`), array methods (`join`,
-  *     `indexOf`, `slice`, `concat`), `.length`
+  *     `startsWith`, `endsWith`, `replace`), array methods (`push`, `pop`,
+  *     `shift`, `unshift`, `join`, `indexOf`, `includes`, `slice`,
+  *     `concat`, `map`, `filter`, `reduce`, `forEach`, `some`, `every`,
+  *     `find`, `sort`, `reverse`), `.length`
   *
   * JS semantics kept where they matter for value fidelity: `+` is string
   * concat when either side is a string; numbers print integer-form when
   * whole (`JSON.stringify(2)` is `"2"`); `%` is sign-of-dividend remainder;
-  * `&&`/`||` return operand values; falsy = `false/0/""/null/undefined/NaN`.
+  * `&&`/`||` return operand values; falsy = `false/0/""/null/undefined/NaN`;
+  * arrays and objects are MUTABLE references (push/index-assignment mutate
+  * in place, aliases observe the change), matching JS object identity.
+  * Deviation kept deliberately small: `var`/`let` are both function-scoped.
+  *
+  * Algorithm documents are UNTRUSTED input, so every unbounded dimension is
+  * capped and surfaces as [[JsError]] (never a raw `StackOverflowError` /
+  * `NumberFormatException`):
+  *   - [[MaxDepth]] bounds parser and JSON nesting, which in turn bounds
+  *     evaluator recursion (the tree can't be deeper than the parse cap);
+  *   - [[MaxSteps]] bounds statements + expression nodes evaluated per
+  *     [[callFunction]] — a `while(true)` UDF fails the record, not the JVM;
+  *   - [[MaxCallDepth]] bounds user-function recursion.
   *
   * The AST is plain serializable case classes — compile on the driver,
   * ship the tree inside task closures, evaluate per row (the reference
@@ -43,20 +65,53 @@ import scala.collection.mutable
   */
 object JsMini {
 
+  /** Max parser / JSON nesting depth (untrusted-input guard). */
+  val MaxDepth = 200
+  /** Max statements + expression nodes evaluated per [[callFunction]]. */
+  val MaxSteps = 10000000
+  /** Max user-function call nesting per [[callFunction]]. */
+  val MaxCallDepth = 64
+
   // ---- values ------------------------------------------------------------
 
   sealed trait V extends Serializable
   final case class VNum(d: Double) extends V
   final case class VStr(s: String) extends V
   final case class VBool(b: Boolean) extends V
-  /** Insertion-ordered fields — JSON.stringify order matches JS. */
-  final case class VObj(fields: Vector[(String, V)]) extends V {
-    def get(name: String): V =
-      fields.find(_._1 == name).map(_._2).getOrElse(VUndef)
+  /** Insertion-ordered, MUTABLE fields — JSON.stringify order matches JS,
+    * `o.k = v` updates in place (aliases observe it, as in JS). */
+  final case class VObj(fields: mutable.LinkedHashMap[String, V]) extends V {
+    def get(name: String): V = fields.getOrElse(name, VUndef)
   }
-  final case class VArr(items: Vector[V]) extends V
+  object VObj {
+    def of(fs: (String, V)*): VObj = VObj(mutable.LinkedHashMap(fs: _*))
+  }
+  /** MUTABLE array — `push`/index-assignment mutate in place. */
+  final case class VArr(items: mutable.ArrayBuffer[V]) extends V
+  object VArr {
+    def of(vs: V*): VArr = VArr(mutable.ArrayBuffer(vs: _*))
+    def from(it: IterableOnce[V]): VArr = VArr(mutable.ArrayBuffer.from(it))
+  }
   case object VNull extends V
   case object VUndef extends V
+  /** A function value (function/arrow literal) closing over its scope. */
+  final case class VFunc(params: List[String], body: List[Stmt], closure: Scope) extends V
+
+  /** A lexical scope: `var` declarations land in the innermost function
+    * scope; assignment walks outward to the owning scope (closures share
+    * their captured variables, as in JS). */
+  final class Scope(parent: Scope) extends Serializable {
+    private val vars = mutable.Map.empty[String, V]
+    def declare(name: String, v: V): Unit = vars(name) = v
+    def lookup(name: String): Option[V] = vars.get(name) match {
+      case s @ Some(_) => s
+      case None => if (parent ne null) parent.lookup(name) else None
+    }
+    /** True if an enclosing scope owned the variable and was updated. */
+    def assign(name: String, v: V): Boolean =
+      if (vars.contains(name)) { vars(name) = v; true }
+      else (parent ne null) && parent.assign(name, v)
+  }
 
   // ---- AST ---------------------------------------------------------------
 
@@ -75,21 +130,42 @@ object JsMini {
   final case class Cond(c: Expr, t: Expr, e: Expr) extends Expr
   final case class ArrLit(items: List[Expr]) extends Expr
   final case class ObjLit(fields: List[(String, Expr)]) extends Expr
+  /** Function or arrow literal; a name enables self-recursion. */
+  final case class FuncLit(name: Option[String], params: List[String], body: List[Stmt]) extends Expr
+  /** `t++ / t-- / ++t / --t` — yields old (postfix) or new (prefix) value. */
+  final case class IncDec(target: Tgt, delta: Int, prefix: Boolean) extends Expr
+
+  /** An assignable location. */
+  sealed trait Tgt extends Serializable
+  final case class TName(name: String) extends Tgt
+  final case class TMember(obj: Expr, name: String) extends Tgt
+  final case class TIndex(obj: Expr, idx: Expr) extends Tgt
 
   sealed trait Stmt extends Serializable
-  final case class VarDecl(name: String, init: Expr) extends Stmt
-  final case class Assign(name: String, e: Expr) extends Stmt
+  final case class VarDecl(decls: List[(String, Expr)]) extends Stmt
+  /** op is `=` or a compound `+= -= *= /= %=`. */
+  final case class Assign(target: Tgt, op: String, e: Expr) extends Stmt
+  final case class ExprStmt(e: Expr) extends Stmt
   final case class Return(e: Expr) extends Stmt
   final case class If(c: Expr, thenB: List[Stmt], elseB: List[Stmt]) extends Stmt
+  final case class While(c: Expr, body: List[Stmt]) extends Stmt
+  final case class For(init: Option[Stmt], cond: Option[Expr],
+      update: Option[Stmt], body: List[Stmt]) extends Stmt
+  case object BreakStmt extends Stmt
+  case object ContinueStmt extends Stmt
 
-  /** A compiled single-parameter function. */
-  final case class Func(param: String, body: List[Stmt]) extends Serializable
+  /** A compiled top-level function (the UDF entry point). */
+  final case class Func(name: Option[String], params: List[String], body: List[Stmt])
+    extends Serializable
 
   final class JsError(msg: String) extends IllegalArgumentException(msg)
 
   // ---- tokenizer ---------------------------------------------------------
 
   private final case class Tok(kind: String, text: String, pos: Int)
+
+  private val twoCharOps =
+    Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--", "=>")
 
   private def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -113,7 +189,12 @@ object JsMini {
           if (i < n && (src.charAt(i) == '+' || src.charAt(i) == '-')) i += 1
           while (i < n && src.charAt(i).isDigit) i += 1
         }
-        out += Tok("num", src.substring(start, i), start)
+        val text = src.substring(start, i)
+        // Validate here so a malformed literal like `1.2.3` is a JsError,
+        // not a NumberFormatException escaping from the parser.
+        try java.lang.Double.parseDouble(text)
+        catch { case _: NumberFormatException => err(s"malformed number literal '$text'") }
+        out += Tok("num", text, start)
       } else if (c == '"' || c == '\'') {
         val quote = c
         val start = i
@@ -149,7 +230,7 @@ object JsMini {
         val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
         if (three == "===" || three == "!==") { out += Tok("op", three, i); i += 3 }
-        else if (Set("==", "!=", "<=", ">=", "&&", "||").contains(two)) { out += Tok("op", two, i); i += 2 }
+        else if (twoCharOps.contains(two)) { out += Tok("op", two, i); i += 2 }
         else if ("+-*/%<>!?:;,.()[]{}=".indexOf(c) >= 0) { out += Tok("op", c.toString, i); i += 1 }
         else err(s"unexpected character '$c'")
       }
@@ -159,8 +240,11 @@ object JsMini {
 
   // ---- parser (recursive descent) ----------------------------------------
 
+  private val assignOps = Set("=", "+=", "-=", "*=", "/=", "%=")
+
   private final class Parser(toks: Vector[Tok]) {
     private var p = 0
+    private var depth = 0
     private def peek: Tok = if (p < toks.length) toks(p) else Tok("eof", "", -1)
     private def next(): Tok = { val t = peek; p += 1; t }
     private def err(m: String) =
@@ -173,20 +257,22 @@ object JsMini {
       peek.kind == kind && peek.text == text
     private def eat(kind: String, text: String): Boolean =
       if (at(kind, text)) { p += 1; true } else false
+    private def nest[A](body: => A): A = {
+      depth += 1
+      if (depth > MaxDepth) err(s"nesting deeper than $MaxDepth")
+      try body finally depth -= 1
+    }
 
+    /** Top level: a function literal — `(function name?(a,b){...})`,
+      * bare `function(a){...}`, or an arrow `o => ...`. */
     def parseFunction(): Func = {
-      val wrapped = eat("op", "(")
-      if (!(peek.kind == "ident" && peek.text == "function")) err("expected 'function'")
-      next()
-      if (peek.kind == "ident" && peek.text != "(") next() // optional function name
-      expect("op", "(")
-      val param = { val t = next(); if (t.kind != "ident") err("expected parameter name"); t.text }
-      expect("op", ")")
-      val body = block()
-      if (wrapped) expect("op", ")")
+      val e = expression()
       if (eat("op", ";")) ()
       if (peek.kind != "eof") err("trailing tokens after function")
-      Func(param, body)
+      e match {
+        case FuncLit(name, params, body) => Func(name, params, body)
+        case _ => err("expected a function literal")
+      }
     }
 
     private def block(): List[Stmt] = {
@@ -197,17 +283,15 @@ object JsMini {
       stmts.toList
     }
 
-    private def statement(): Stmt = {
+    private def bodyBlock(): List[Stmt] =
+      if (at("op", "{")) block() else List(statement())
+
+    private def statement(): Stmt = nest {
       if (at("ident", "var") || at("ident", "let") || at("ident", "const")) {
-        next()
-        val name = { val t = next(); if (t.kind != "ident") err("expected variable name"); t.text }
-        expect("op", "=")
-        val init = expression()
-        if (eat("op", ";")) ()
-        VarDecl(name, init)
+        varDecl(consumeSemi = true)
       } else if (at("ident", "return")) {
         next()
-        val e = expression()
+        val e = if (at("op", ";") || at("op", "}")) UndefLit else expression()
         if (eat("op", ";")) ()
         Return(e)
       } else if (at("ident", "if")) {
@@ -215,24 +299,76 @@ object JsMini {
         expect("op", "(")
         val c = expression()
         expect("op", ")")
-        val thenB = if (at("op", "{")) block() else List(statement())
-        val elseB =
-          if (at("ident", "else")) { next(); if (at("op", "{")) block() else List(statement()) }
-          else Nil
+        val thenB = bodyBlock()
+        val elseB = if (at("ident", "else")) { next(); bodyBlock() } else Nil
         If(c, thenB, elseB)
-      } else if (peek.kind == "ident" && p + 1 < toks.length &&
-          toks(p + 1).kind == "op" && toks(p + 1).text == "=") {
-        // Plain reassignment of a declared variable ("==" is one token,
-        // so a bare "=" here is unambiguous).
-        val name = next().text
+      } else if (at("ident", "while")) {
         next()
-        val e = expression()
+        expect("op", "(")
+        val c = expression()
+        expect("op", ")")
+        While(c, bodyBlock())
+      } else if (at("ident", "for")) {
+        next()
+        expect("op", "(")
+        val init =
+          if (at("op", ";")) None
+          else if (at("ident", "var") || at("ident", "let") || at("ident", "const"))
+            Some(varDecl(consumeSemi = false))
+          else Some(simpleStatement())
+        expect("op", ";")
+        val cond = if (at("op", ";")) None else Some(expression())
+        expect("op", ";")
+        val update = if (at("op", ")")) None else Some(simpleStatement())
+        expect("op", ")")
+        For(init, cond, update, bodyBlock())
+      } else if (at("ident", "break")) {
+        next(); if (eat("op", ";")) (); BreakStmt
+      } else if (at("ident", "continue")) {
+        next(); if (eat("op", ";")) (); ContinueStmt
+      } else {
+        val s = simpleStatement()
         if (eat("op", ";")) ()
-        Assign(name, e)
-      } else err("expected statement (var/assign/return/if)")
+        s
+      }
     }
 
-    private def expression(): Expr = conditional()
+    private def varDecl(consumeSemi: Boolean): Stmt = {
+      next() // var | let | const
+      val decls = mutable.ListBuffer.empty[(String, Expr)]
+      def one(): Unit = {
+        val t = next()
+        if (t.kind != "ident") err("expected variable name")
+        val init = if (eat("op", "=")) expression() else UndefLit
+        decls += ((t.text, init))
+      }
+      one()
+      while (eat("op", ",")) one()
+      if (consumeSemi && eat("op", ";")) ()
+      VarDecl(decls.toList)
+    }
+
+    /** Assignment / call / inc-dec statement, no semicolon consumed —
+      * shared by plain statements and for-loop init/update clauses. */
+    private def simpleStatement(): Stmt = {
+      val e = expression()
+      if (peek.kind == "op" && assignOps.contains(peek.text)) {
+        val op = next().text
+        Assign(toTarget(e), op, expression())
+      } else e match {
+        case _: Call | _: IncDec => ExprStmt(e)
+        case _ => err("expected statement (var/assign/call/return/if/while/for)")
+      }
+    }
+
+    private def toTarget(e: Expr): Tgt = e match {
+      case Ident(n) => TName(n)
+      case Member(o, n) => TMember(o, n)
+      case Index(o, i) => TIndex(o, i)
+      case _ => err("invalid assignment target")
+    }
+
+    private def expression(): Expr = nest { conditional() }
 
     private def conditional(): Expr = {
       val c = or()
@@ -285,6 +421,8 @@ object JsMini {
       if (at("op", "!")) { next(); Unary("!", unary()) }
       else if (at("op", "-")) { next(); Unary("-", unary()) }
       else if (at("op", "+")) { next(); Unary("+", unary()) }
+      else if (at("op", "++")) { next(); IncDec(toTarget(postfix()), 1, prefix = true) }
+      else if (at("op", "--")) { next(); IncDec(toTarget(postfix()), -1, prefix = true) }
       else postfix()
 
     private def postfix(): Expr = {
@@ -309,7 +447,49 @@ object JsMini {
           e = Call(e, args.toList)
         } else done = true
       }
-      e
+      if (at("op", "++")) { next(); IncDec(toTarget(e), 1, prefix = false) }
+      else if (at("op", "--")) { next(); IncDec(toTarget(e), -1, prefix = false) }
+      else e
+    }
+
+    /** True when the tokens ahead are `(p1, p2, ...) =>` — an arrow
+      * parameter list, not a parenthesized expression. */
+    private def isArrowParams: Boolean = {
+      def tk(k: Int) = if (k < toks.length) toks(k) else Tok("eof", "", -1)
+      var j = p + 1
+      if (tk(j).kind == "op" && tk(j).text == ")")
+        return tk(j + 1).kind == "op" && tk(j + 1).text == "=>"
+      var ok = true
+      var closed = false
+      while (ok && !closed) {
+        if (tk(j).kind != "ident") ok = false
+        else {
+          j += 1
+          if (tk(j).kind == "op" && tk(j).text == ",") j += 1
+          else if (tk(j).kind == "op" && tk(j).text == ")") closed = true
+          else ok = false
+        }
+      }
+      ok && tk(j + 1).kind == "op" && tk(j + 1).text == "=>"
+    }
+
+    private def arrowBody(): List[Stmt] =
+      if (at("op", "{")) block() else List(Return(expression()))
+
+    private def paramList(): List[String] = {
+      expect("op", "(")
+      val params = mutable.ListBuffer.empty[String]
+      if (!at("op", ")")) {
+        def one(): Unit = {
+          val t = next()
+          if (t.kind != "ident") err("expected parameter name")
+          params += t.text
+        }
+        one()
+        while (eat("op", ",")) one()
+      }
+      expect("op", ")")
+      params.toList
     }
 
     private def primary(): Expr = {
@@ -322,10 +502,30 @@ object JsMini {
           case "false" => next(); Bool(false)
           case "null" => next(); NullLit
           case "undefined" => next(); UndefLit
-          case _ => next(); Ident(t.text)
+          case "function" =>
+            next()
+            val name = if (peek.kind == "ident") Some(next().text) else None
+            val params = paramList()
+            FuncLit(name, params, block())
+          case _ =>
+            next()
+            if (at("op", "=>")) { next(); FuncLit(None, List(t.text), arrowBody()) }
+            else Ident(t.text)
         }
         case "op" if t.text == "(" =>
-          next(); val e = expression(); expect("op", ")"); e
+          if (isArrowParams) {
+            next()
+            val params = mutable.ListBuffer.empty[String]
+            if (!at("op", ")")) {
+              params += next().text
+              while (eat("op", ",")) params += next().text
+            }
+            expect("op", ")")
+            expect("op", "=>")
+            FuncLit(None, params.toList, arrowBody())
+          } else {
+            next(); val e = expression(); expect("op", ")"); e
+          }
         case "op" if t.text == "[" =>
           next()
           val items = mutable.ListBuffer.empty[Expr]
@@ -360,101 +560,216 @@ object JsMini {
     }
   }
 
-  /** Parse a `(function(p) { ... })` source string to a compiled AST. */
+  /** Parse a function source string to a compiled AST. */
   def parseFunction(code: String): Func = new Parser(tokenize(code)).parseFunction()
 
   // ---- evaluator ----------------------------------------------------------
 
   /** Apply a compiled function to one argument value. */
-  def callFunction(f: Func, arg: V): V = {
-    val env = mutable.Map[String, V](f.param -> arg)
-    execBlock(f.body, env) match {
-      case Some(v) => v
-      case None => VUndef
-    }
-  }
+  def callFunction(f: Func, arg: V): V = callFunction(f, List(arg))
 
-  private def execBlock(stmts: List[Stmt], env: mutable.Map[String, V]): Option[V] = {
-    var rest = stmts
-    while (rest.nonEmpty) {
-      rest.head match {
-        case VarDecl(name, init) => env(name) = eval(init, env)
-        case Assign(name, e) =>
-          if (!env.contains(name))
-            throw new JsError(s"assignment to undeclared variable: $name")
-          env(name) = eval(e, env)
-        case Return(e) => return Some(eval(e, env))
-        case If(c, t, e) =>
-          val branch = if (truthy(eval(c, env))) t else e
-          execBlock(branch, env) match {
-            case some @ Some(_) => return some
-            case None =>
+  /** Apply a compiled function to argument values (extra params → undefined). */
+  def callFunction(f: Func, args: List[V]): V = new Interp().callTop(f, args)
+
+  private sealed trait Ctrl
+  private case object CNone extends Ctrl
+  private final case class CRet(v: V) extends Ctrl
+  private case object CBrk extends Ctrl
+  private case object CCont extends Ctrl
+
+  /** One interpreter run = one [[callFunction]] — owns the step and call
+    * budgets, so a hostile UDF fails with [[JsError]] per record. */
+  private final class Interp {
+    private var steps = 0
+    private var callDepth = 0
+    private def tick(): Unit = {
+      steps += 1
+      if (steps > MaxSteps)
+        throw new JsError(s"step budget exceeded ($MaxSteps): non-terminating UDF?")
+    }
+
+    def callTop(f: Func, args: List[V]): V = {
+      val root = new Scope(null)
+      val vf = VFunc(f.params, f.body, root)
+      f.name.foreach(n => root.declare(n, vf))
+      callUser(vf, args)
+    }
+
+    def callUser(f: VFunc, args: List[V]): V = {
+      callDepth += 1
+      if (callDepth > MaxCallDepth)
+        throw new JsError(s"call depth exceeded ($MaxCallDepth)")
+      try {
+        val scope = new Scope(f.closure)
+        var i = 0
+        f.params.foreach { p =>
+          scope.declare(p, if (i < args.length) args(i) else VUndef)
+          i += 1
+        }
+        exec(f.body, scope) match {
+          case CRet(v) => v
+          case _ => VUndef
+        }
+      } finally callDepth -= 1
+    }
+
+    private def exec(stmts: List[Stmt], scope: Scope): Ctrl = {
+      var rest = stmts
+      while (rest.nonEmpty) {
+        val c = execStmt(rest.head, scope)
+        if (c != CNone) return c
+        rest = rest.tail
+      }
+      CNone
+    }
+
+    private def execStmt(s: Stmt, scope: Scope): Ctrl = {
+      tick()
+      s match {
+        case VarDecl(decls) =>
+          decls.foreach { case (n, e) => scope.declare(n, eval(e, scope)) }
+          CNone
+        case Assign(t, op, e) =>
+          val rhs = eval(e, scope)
+          val v = if (op == "=") rhs else binop(op.substring(0, 1), readTarget(t, scope), rhs)
+          writeTarget(t, v, scope)
+          CNone
+        case ExprStmt(e) =>
+          eval(e, scope)
+          CNone
+        case Return(e) => CRet(eval(e, scope))
+        case If(c, thenB, elseB) =>
+          exec(if (truthy(eval(c, scope))) thenB else elseB, scope)
+        case While(c, body) =>
+          var out: Ctrl = CNone
+          var go = true
+          while (go && truthy(eval(c, scope))) {
+            exec(body, scope) match {
+              case r: CRet => out = r; go = false
+              case CBrk => go = false
+              case _ => // CNone | CCont: next iteration
+            }
           }
+          out
+        case For(init, cond, update, body) =>
+          init.foreach(execStmt(_, scope))
+          var out: Ctrl = CNone
+          var go = true
+          while (go && cond.forall(c => truthy(eval(c, scope)))) {
+            exec(body, scope) match {
+              case r: CRet => out = r; go = false
+              case CBrk => go = false
+              case _ => // continue still runs the update clause, as in JS
+            }
+            if (go) update.foreach(execStmt(_, scope))
+          }
+          out
+        case BreakStmt => CBrk
+        case ContinueStmt => CCont
       }
-      rest = rest.tail
     }
-    None
-  }
 
-  private def eval(e: Expr, env: mutable.Map[String, V]): V = e match {
-    case Num(d) => VNum(d)
-    case Str(s) => VStr(s)
-    case Bool(b) => VBool(b)
-    case NullLit => VNull
-    case UndefLit => VUndef
-    case Ident(name) =>
-      env.getOrElse(name,
-        if (name == "JSON" || name == "Math") VStr(s"<builtin:$name>")
-        else throw new JsError(s"undefined identifier: $name"))
-    case Member(obj, name) => member(eval(obj, env), name)
-    case Index(obj, idx) =>
-      (eval(obj, env), eval(idx, env)) match {
-        case (VArr(items), i) =>
-          val k = toNum(i).toInt
-          if (k >= 0 && k < items.length) items(k) else VUndef
-        case (VStr(s), i) =>
-          val k = toNum(i).toInt
-          if (k >= 0 && k < s.length) VStr(s.charAt(k).toString) else VUndef
-        case (o: VObj, key) => o.get(jsString(key))
-        case (other, _) => throw new JsError(s"cannot index ${typeName(other)}")
+    private def readTarget(t: Tgt, scope: Scope): V = t match {
+      case TName(n) =>
+        scope.lookup(n).getOrElse(throw new JsError(s"undefined identifier: $n"))
+      case TMember(o, name) => member(eval(o, scope), name)
+      case TIndex(o, i) =>
+        indexGet(eval(o, scope), eval(i, scope))
+    }
+
+    private def writeTarget(t: Tgt, v: V, scope: Scope): Unit = t match {
+      case TName(n) =>
+        if (!scope.assign(n, v))
+          throw new JsError(s"assignment to undeclared variable: $n")
+      case TMember(o, name) => eval(o, scope) match {
+        case VObj(fields) => fields(name) = v
+        case other => throw new JsError(s"cannot set property on ${typeName(other)}")
       }
-    case Call(callee, argExprs) => call(callee, argExprs, env)
-    case Unary(op, inner) =>
-      val v = eval(inner, env)
-      op match {
-        case "!" => VBool(!truthy(v))
-        case "-" => VNum(-toNum(v))
-        case "+" => VNum(toNum(v))
-        case other => throw new JsError(s"unknown unary $other")
+      case TIndex(o, i) => (eval(o, scope), eval(i, scope)) match {
+        case (VArr(items), iv) =>
+          val k = toNum(iv).toInt
+          if (k < 0) throw new JsError(s"negative array index $k in assignment")
+          while (items.length <= k) items += VUndef
+          items(k) = v
+        case (VObj(fields), key) => fields(jsString(key)) = v
+        case (other, _) => throw new JsError(s"cannot index-assign ${typeName(other)}")
       }
-    case Bin("&&", l, r) =>
-      val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
-    case Bin("||", l, r) =>
-      val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
-    case Bin(op, l, r) => binop(op, eval(l, env), eval(r, env))
-    case Cond(c, t, f) => if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
-    case ArrLit(items) => VArr(items.map(eval(_, env)).toVector)
-    case ObjLit(fields) => VObj(fields.map { case (k, v) => (k, eval(v, env)) }.toVector)
-  }
+    }
 
-  private def member(v: V, name: String): V = (v, name) match {
-    case (VStr(s), "length") => VNum(s.length.toDouble)
-    case (VArr(items), "length") => VNum(items.length.toDouble)
-    case (o: VObj, _) => o.get(name)
-    case _ => VUndef
-  }
+    private def indexGet(ov: V, iv: V): V = (ov, iv) match {
+      case (VArr(items), i) =>
+        val k = toNum(i).toInt
+        if (k >= 0 && k < items.length) items(k) else VUndef
+      case (VStr(s), i) =>
+        val k = toNum(i).toInt
+        if (k >= 0 && k < s.length) VStr(s.charAt(k).toString) else VUndef
+      case (o: VObj, key) => o.get(jsString(key))
+      case (other, _) => throw new JsError(s"cannot index ${typeName(other)}")
+    }
 
-  private def call(callee: Expr, argExprs: List[Expr], env: mutable.Map[String, V]): V = {
-    callee match {
-      case Member(Ident("JSON"), m) =>
-        val args = argExprs.map(eval(_, env))
+    def eval(e: Expr, scope: Scope): V = {
+      tick()
+      e match {
+        case Num(d) => VNum(d)
+        case Str(s) => VStr(s)
+        case Bool(b) => VBool(b)
+        case NullLit => VNull
+        case UndefLit => VUndef
+        case Ident(name) =>
+          scope.lookup(name).getOrElse(
+            if (name == "JSON" || name == "Math" || name == "Object") VStr(s"<builtin:$name>")
+            else throw new JsError(s"undefined identifier: $name"))
+        case Member(obj, name) => member(eval(obj, scope), name)
+        case Index(obj, idx) => indexGet(eval(obj, scope), eval(idx, scope))
+        case c: Call => call(c, scope)
+        case FuncLit(name, params, body) => name match {
+          case Some(n) =>
+            // Named function expression: the name is visible inside the
+            // body (self-recursion), not outside — model with a wrapper
+            // scope holding only the binding.
+            val s = new Scope(scope)
+            val f = VFunc(params, body, s)
+            s.declare(n, f)
+            f
+          case None => VFunc(params, body, scope)
+        }
+        case IncDec(t, delta, prefix) =>
+          val old = toNum(readTarget(t, scope))
+          val nv = old + delta
+          writeTarget(t, VNum(nv), scope)
+          VNum(if (prefix) nv else old)
+        case Unary(op, inner) =>
+          val v = eval(inner, scope)
+          op match {
+            case "!" => VBool(!truthy(v))
+            case "-" => VNum(-toNum(v))
+            case "+" => VNum(toNum(v))
+            case other => throw new JsError(s"unknown unary $other")
+          }
+        case Bin("&&", l, r) =>
+          val lv = eval(l, scope); if (!truthy(lv)) lv else eval(r, scope)
+        case Bin("||", l, r) =>
+          val lv = eval(l, scope); if (truthy(lv)) lv else eval(r, scope)
+        case Bin(op, l, r) => binop(op, eval(l, scope), eval(r, scope))
+        case Cond(c, t, f) => if (truthy(eval(c, scope))) eval(t, scope) else eval(f, scope)
+        case ArrLit(items) => VArr(mutable.ArrayBuffer.from(items.map(eval(_, scope))))
+        case ObjLit(fields) =>
+          val m = mutable.LinkedHashMap.empty[String, V]
+          fields.foreach { case (k, ex) => m(k) = eval(ex, scope) }
+          VObj(m)
+      }
+    }
+
+    private def call(c: Call, scope: Scope): V = c.callee match {
+      case Member(Ident("JSON"), m) if scope.lookup("JSON").isEmpty =>
+        val args = c.args.map(eval(_, scope))
         m match {
           case "stringify" => VStr(stringify(args.headOption.getOrElse(VUndef)))
           case "parse" => parseJson(str(args.headOption.getOrElse(VUndef), "JSON.parse argument"))
           case other => throw new JsError(s"unsupported JSON.$other")
         }
-      case Member(Ident("Math"), m) =>
-        val args = argExprs.map(e => toNum(eval(e, env)))
+      case Member(Ident("Math"), m) if scope.lookup("Math").isEmpty =>
+        val args = c.args.map(e => toNum(eval(e, scope)))
         m match {
           case "floor" => VNum(math.floor(args.head))
           case "ceil" => VNum(math.ceil(args.head))
@@ -462,16 +777,27 @@ object JsMini {
           case "round" => VNum(math.floor(args.head + 0.5)) // JS rounds half-up toward +inf
           case "sqrt" => VNum(math.sqrt(args.head))
           case "pow" => VNum(math.pow(args.head, args(1)))
+          case "trunc" => VNum(if (args.head < 0) math.ceil(args.head) else math.floor(args.head))
+          case "sign" => VNum(math.signum(args.head))
           case "min" => VNum(if (args.isEmpty) Double.PositiveInfinity else args.min)
           case "max" => VNum(if (args.isEmpty) Double.NegativeInfinity else args.max)
           case other => throw new JsError(s"unsupported Math.$other")
         }
+      case Member(Ident("Object"), m) if scope.lookup("Object").isEmpty =>
+        val args = c.args.map(eval(_, scope))
+        (m, args.headOption) match {
+          case ("keys", Some(VObj(fields))) => VArr.from(fields.keysIterator.map(VStr(_)))
+          case ("values", Some(VObj(fields))) => VArr.from(fields.valuesIterator)
+          case ("entries", Some(VObj(fields))) =>
+            VArr.from(fields.iterator.map { case (k, v) => VArr.of(VStr(k), v) })
+          case _ => throw new JsError(s"unsupported Object.$m or non-object argument")
+        }
       case Member(objExpr, m) =>
-        val obj = eval(objExpr, env)
-        val args = argExprs.map(eval(_, env))
+        val obj = eval(objExpr, scope)
+        val args = c.args.map(eval(_, scope))
         method(obj, m, args)
-      case Ident(fn) =>
-        val args = argExprs.map(eval(_, env))
+      case Ident(fn) if scope.lookup(fn).isEmpty =>
+        val args = c.args.map(eval(_, scope))
         fn match {
           case "String" => VStr(jsString(args.headOption.getOrElse(VUndef)))
           case "Number" => VNum(toNum(args.headOption.getOrElse(VUndef)))
@@ -482,7 +808,13 @@ object JsMini {
             val body = (if (neg || s.startsWith("+")) s.drop(1) else s)
               .takeWhile(c => Character.digit(c, radix) >= 0)
             if (body.isEmpty) VNum(Double.NaN)
-            else VNum((if (neg) -1 else 1) * java.lang.Long.parseLong(body, radix).toDouble)
+            else {
+              // Past Long range, JS returns the approximate double.
+              val mag =
+                try java.lang.Long.parseLong(body, radix).toDouble
+                catch { case _: NumberFormatException => BigInt(body, radix).toDouble }
+              VNum((if (neg) -1 else 1) * mag)
+            }
           case "parseFloat" =>
             val s = jsString(args.head).trim
             val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
@@ -490,71 +822,193 @@ object JsMini {
           case "isNaN" => VBool(toNum(args.headOption.getOrElse(VUndef)).isNaN)
           case other => throw new JsError(s"unsupported function: $other")
         }
-      case other => throw new JsError(s"cannot call $other")
+      case calleeExpr =>
+        eval(calleeExpr, scope) match {
+          case f: VFunc => callUser(f, c.args.map(eval(_, scope)))
+          case other => throw new JsError(s"cannot call ${typeName(other)}")
+        }
+    }
+
+    private def fnArg(args: List[V], what: String): VFunc = args.headOption match {
+      case Some(f: VFunc) => f
+      case _ => throw new JsError(s"$what requires a function argument")
+    }
+
+    private def method(obj: V, name: String, args: List[V]): V = (obj, name) match {
+      case (VStr(s), "split") =>
+        val sep = str(args.head, "split separator")
+        val parts =
+          if (sep.isEmpty) s.map(_.toString).toVector
+          else {
+            // JS split keeps trailing empties (unlike Java's String.split).
+            val out = Vector.newBuilder[String]
+            var from = 0
+            var idx = s.indexOf(sep, from)
+            while (idx >= 0) {
+              out += s.substring(from, idx)
+              from = idx + sep.length
+              idx = s.indexOf(sep, from)
+            }
+            out += s.substring(from)
+            out.result()
+          }
+        VArr.from(parts.map(VStr(_)))
+      case (VStr(s), "substring") =>
+        val a = clamp(toNum(args.head).toInt, s.length)
+        val b = clamp(args.lift(1).map(toNum(_).toInt).getOrElse(s.length), s.length)
+        VStr(s.substring(math.min(a, b), math.max(a, b)))
+      case (VStr(s), "slice") =>
+        val (a, b) = sliceBounds(s.length, args)
+        VStr(if (a < b) s.substring(a, b) else "")
+      case (VStr(s), "indexOf") => VNum(s.indexOf(str(args.head, "indexOf")).toDouble)
+      case (VStr(s), "includes") => VBool(s.contains(str(args.head, "includes")))
+      case (VStr(s), "charAt") =>
+        val i = toNum(args.head).toInt
+        VStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
+      case (VStr(s), "charCodeAt") =>
+        val i = toNum(args.head).toInt
+        if (i >= 0 && i < s.length) VNum(s.charAt(i).toDouble) else VNum(Double.NaN)
+      case (VStr(s), "toLowerCase") => VStr(s.toLowerCase)
+      case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)
+      case (VStr(s), "trim") => VStr(s.trim)
+      case (VStr(s), "concat") => VStr(s + args.map(jsString).mkString)
+      case (VStr(s), "startsWith") => VBool(s.startsWith(str(args.head, "startsWith")))
+      case (VStr(s), "endsWith") => VBool(s.endsWith(str(args.head, "endsWith")))
+      case (VStr(s), "replace") =>
+        // String-pattern JS replace: first occurrence only.
+        val pat = str(args.head, "replace pattern")
+        val rep = jsString(args(1))
+        val idx = s.indexOf(pat)
+        VStr(if (idx < 0) s else s.substring(0, idx) + rep + s.substring(idx + pat.length))
+      case (VStr(s), "toString") => VStr(s)
+
+      case (VArr(items), "join") =>
+        val sep = args.headOption.map(jsString).getOrElse(",")
+        VStr(items.map {
+          case VNull | VUndef => ""
+          case x => jsString(x)
+        }.mkString(sep))
+      case (VArr(items), "indexOf") =>
+        VNum(items.indexWhere(strictEq(_, args.head)).toDouble)
+      case (VArr(items), "includes") =>
+        VBool(items.exists(strictEq(_, args.head)))
+      case (VArr(items), "slice") =>
+        val (a, b) = sliceBounds(items.length, args)
+        VArr(if (a < b) mutable.ArrayBuffer.from(items.view.slice(a, b)) else mutable.ArrayBuffer.empty[V])
+      case (VArr(items), "concat") =>
+        VArr(mutable.ArrayBuffer.from(items) ++=
+          args.flatMap { case VArr(more) => more; case v => mutable.ArrayBuffer(v) })
+      case (VArr(items), "push") =>
+        items ++= args
+        VNum(items.length.toDouble)
+      case (VArr(items), "pop") =>
+        if (items.isEmpty) VUndef else items.remove(items.length - 1)
+      case (VArr(items), "shift") =>
+        if (items.isEmpty) VUndef else items.remove(0)
+      case (VArr(items), "unshift") =>
+        items.insertAll(0, args)
+        VNum(items.length.toDouble)
+      case (arr @ VArr(items), "map") =>
+        val f = fnArg(args, "map")
+        val n = items.length
+        val out = new mutable.ArrayBuffer[V](n)
+        var i = 0
+        while (i < n) { out += callUser(f, List(items(i), VNum(i), arr)); i += 1 }
+        VArr(out)
+      case (arr @ VArr(items), "filter") =>
+        val f = fnArg(args, "filter")
+        val n = items.length
+        val out = mutable.ArrayBuffer.empty[V]
+        var i = 0
+        while (i < n) {
+          val v = items(i)
+          if (truthy(callUser(f, List(v, VNum(i), arr)))) out += v
+          i += 1
+        }
+        VArr(out)
+      case (arr @ VArr(items), "reduce") =>
+        val f = fnArg(args, "reduce")
+        var i = 0
+        var acc = args.lift(1) match {
+          case Some(init) => init
+          case None =>
+            if (items.isEmpty) throw new JsError("reduce of empty array with no initial value")
+            i = 1
+            items(0)
+        }
+        val n = items.length
+        while (i < n) { acc = callUser(f, List(acc, items(i), VNum(i), arr)); i += 1 }
+        acc
+      case (arr @ VArr(items), "forEach") =>
+        val f = fnArg(args, "forEach")
+        val n = items.length
+        var i = 0
+        while (i < n) { callUser(f, List(items(i), VNum(i), arr)); i += 1 }
+        VUndef
+      case (arr @ VArr(items), "some") =>
+        val f = fnArg(args, "some")
+        val n = items.length
+        var i = 0
+        var found = false
+        while (!found && i < n) {
+          found = truthy(callUser(f, List(items(i), VNum(i), arr)))
+          i += 1
+        }
+        VBool(found)
+      case (arr @ VArr(items), "every") =>
+        val f = fnArg(args, "every")
+        val n = items.length
+        var i = 0
+        var all = true
+        while (all && i < n) {
+          all = truthy(callUser(f, List(items(i), VNum(i), arr)))
+          i += 1
+        }
+        VBool(all)
+      case (arr @ VArr(items), "find") =>
+        val f = fnArg(args, "find")
+        val n = items.length
+        var i = 0
+        while (i < n) {
+          val v = items(i)
+          if (truthy(callUser(f, List(v, VNum(i), arr)))) return v
+          i += 1
+        }
+        VUndef
+      case (arr @ VArr(items), "sort") =>
+        val sorted = args.headOption match {
+          case Some(f: VFunc) =>
+            try items.toVector.sortWith((a, b) => toNum(callUser(f, List(a, b))) < 0)
+            catch {
+              case e: IllegalArgumentException if !e.isInstanceOf[JsError] =>
+                throw new JsError("inconsistent sort comparator")
+            }
+          case _ =>
+            // JS default sort compares STRING forms, even for numbers.
+            items.toVector.sortWith((a, b) => jsString(a).compareTo(jsString(b)) < 0)
+        }
+        items.clear()
+        items ++= sorted
+        arr
+      case (arr @ VArr(items), "reverse") =>
+        val r = items.reverse
+        items.clear()
+        items ++= r
+        arr
+
+      case (VNum(d), "toString") => VStr(formatNum(d))
+      case (VNum(d), "toFixed") =>
+        val digits = args.headOption.map(toNum(_).toInt).getOrElse(0)
+        VStr(new java.math.BigDecimal(d).setScale(digits, java.math.RoundingMode.HALF_UP).toPlainString)
+      case (other, m) => throw new JsError(s"unsupported method ${typeName(other)}.$m")
     }
   }
 
-  private def method(obj: V, name: String, args: List[V]): V = (obj, name) match {
-    case (VStr(s), "split") =>
-      val sep = str(args.head, "split separator")
-      val parts =
-        if (sep.isEmpty) s.map(_.toString).toVector
-        else {
-          // JS split keeps trailing empties (unlike Java's String.split).
-          val out = Vector.newBuilder[String]
-          var from = 0
-          var idx = s.indexOf(sep, from)
-          while (idx >= 0) {
-            out += s.substring(from, idx)
-            from = idx + sep.length
-            idx = s.indexOf(sep, from)
-          }
-          out += s.substring(from)
-          out.result()
-        }
-      VArr(parts.map(VStr(_)))
-    case (VStr(s), "substring") =>
-      val a = clamp(toNum(args.head).toInt, s.length)
-      val b = clamp(args.lift(1).map(toNum(_).toInt).getOrElse(s.length), s.length)
-      VStr(s.substring(math.min(a, b), math.max(a, b)))
-    case (VStr(s), "slice") =>
-      val (a, b) = sliceBounds(s.length, args)
-      VStr(if (a < b) s.substring(a, b) else "")
-    case (VStr(s), "indexOf") => VNum(s.indexOf(str(args.head, "indexOf")).toDouble)
-    case (VStr(s), "charAt") =>
-      val i = toNum(args.head).toInt
-      VStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
-    case (VStr(s), "charCodeAt") =>
-      val i = toNum(args.head).toInt
-      if (i >= 0 && i < s.length) VNum(s.charAt(i).toDouble) else VNum(Double.NaN)
-    case (VStr(s), "toLowerCase") => VStr(s.toLowerCase)
-    case (VStr(s), "toUpperCase") => VStr(s.toUpperCase)
-    case (VStr(s), "trim") => VStr(s.trim)
-    case (VStr(s), "concat") => VStr(s + args.map(jsString).mkString)
-    case (VStr(s), "startsWith") => VBool(s.startsWith(str(args.head, "startsWith")))
-    case (VStr(s), "endsWith") => VBool(s.endsWith(str(args.head, "endsWith")))
-    case (VStr(s), "replace") =>
-      // String-pattern JS replace: first occurrence only.
-      val pat = str(args.head, "replace pattern")
-      val rep = jsString(args(1))
-      val idx = s.indexOf(pat)
-      VStr(if (idx < 0) s else s.substring(0, idx) + rep + s.substring(idx + pat.length))
-    case (VStr(s), "toString") => VStr(s)
-    case (VArr(items), "join") =>
-      val sep = args.headOption.map(jsString).getOrElse(",")
-      VStr(items.map(jsString).mkString(sep))
-    case (VArr(items), "indexOf") =>
-      VNum(items.indexWhere(strictEq(_, args.head)).toDouble)
-    case (VArr(items), "slice") =>
-      val (a, b) = sliceBounds(items.length, args)
-      VArr(if (a < b) items.slice(a, b) else Vector.empty)
-    case (VArr(items), "concat") =>
-      VArr(items ++ args.flatMap { case VArr(more) => more; case v => Vector(v) })
-    case (VNum(d), "toString") => VStr(formatNum(d))
-    case (VNum(d), "toFixed") =>
-      val digits = args.headOption.map(toNum(_).toInt).getOrElse(0)
-      VStr(new java.math.BigDecimal(d).setScale(digits, java.math.RoundingMode.HALF_UP).toPlainString)
-    case (other, m) => throw new JsError(s"unsupported method ${typeName(other)}.$m")
+  private def member(v: V, name: String): V = (v, name) match {
+    case (VStr(s), "length") => VNum(s.length.toDouble)
+    case (VArr(items), "length") => VNum(items.length.toDouble)
+    case (o: VObj, _) => o.get(name)
+    case _ => VUndef
   }
 
   private def sliceBounds(len: Int, args: List[V]): (Int, Int) = {
@@ -605,6 +1059,7 @@ object JsMini {
     case (VNull, VNull) | (VUndef, VUndef) => true
     case (a: VObj, b: VObj) => a eq b
     case (a: VArr, b: VArr) => a eq b
+    case (a: VFunc, b: VFunc) => a eq b
     case _ => false
   }
 
@@ -656,6 +1111,7 @@ object JsMini {
       case VNull | VUndef => ""
       case x => jsString(x)
     }.mkString(",")
+    case _: VFunc => "function"
     case _: VObj => "[object Object]"
   }
 
@@ -670,6 +1126,7 @@ object JsMini {
     case _: VBool => "boolean"
     case _: VArr => "array"
     case _: VObj => "object"
+    case _: VFunc => "function"
     case VNull => "null"
     case VUndef => "undefined"
   }
@@ -677,16 +1134,19 @@ object JsMini {
   // ---- JSON --------------------------------------------------------------
 
   /** JSON.stringify over the value model (insertion-ordered object keys;
-    * undefined serializes as null inside arrays, omitted inside objects). */
+    * undefined/function serialize as null inside arrays, omitted inside
+    * objects). */
   def stringify(v: V): String = v match {
     case VNum(d) => if (d.isNaN || d.isInfinite) "null" else formatNum(d)
     case VStr(s) => quote(s)
     case VBool(b) => b.toString
     case VNull | VUndef => "null"
+    case _: VFunc => "null"
     case VArr(items) => items.map(stringify).mkString("[", ",", "]")
     case VObj(fields) =>
-      fields.collect { case (k, value) if value != VUndef =>
-        quote(k) + ":" + stringify(value)
+      fields.iterator.collect {
+        case (k, value) if value != VUndef && !value.isInstanceOf[VFunc] =>
+          quote(k) + ":" + stringify(value)
       }.mkString("{", ",", "}")
   }
 
@@ -716,16 +1176,22 @@ object JsMini {
 
   private final class JsonP(s: String) {
     private var i = 0
+    private var depth = 0
     def done: Boolean = i >= s.length
     def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     private def err(m: String) = throw new JsError(s"JSON: $m at $i")
     private def ch: Char = if (i < s.length) s.charAt(i) else '\u0000'
     def value(): V = {
+      depth += 1
+      if (depth > MaxDepth) err(s"nesting deeper than $MaxDepth")
+      try valueInner() finally depth -= 1
+    }
+    private def valueInner(): V = {
       skipWs()
       ch match {
         case '{' =>
           i += 1; skipWs()
-          val fields = Vector.newBuilder[(String, V)]
+          val fields = mutable.LinkedHashMap.empty[String, V]
           if (ch == '}') { i += 1 }
           else {
             var more = true
@@ -736,17 +1202,17 @@ object JsMini {
               skipWs()
               if (ch != ':') err("expected ':'")
               i += 1
-              fields += ((k, value()))
+              fields(k) = value()
               skipWs()
               if (ch == ',') i += 1
               else if (ch == '}') { i += 1; more = false }
               else err("expected ',' or '}'")
             }
           }
-          VObj(fields.result())
+          VObj(fields)
         case '[' =>
           i += 1; skipWs()
-          val items = Vector.newBuilder[V]
+          val items = mutable.ArrayBuffer.empty[V]
           if (ch == ']') { i += 1 }
           else {
             var more = true
@@ -758,7 +1224,7 @@ object JsMini {
               else err("expected ',' or ']'")
             }
           }
-          VArr(items.result())
+          VArr(items)
         case '"' => VStr(string())
         case 't' =>
           if (s.startsWith("true", i)) { i += 4; VBool(true) } else err("bad literal")
@@ -770,7 +1236,9 @@ object JsMini {
           val start = i
           if (ch == '-') i += 1
           while (i < s.length && (s.charAt(i).isDigit || ".eE+-".indexOf(s.charAt(i)) >= 0)) i += 1
-          VNum(s.substring(start, i).toDouble)
+          val text = s.substring(start, i)
+          try VNum(text.toDouble)
+          catch { case _: NumberFormatException => err(s"malformed number '$text'") }
         case _ => err("unexpected character")
       }
     }

@@ -61,7 +61,7 @@ class JsMiniSpec extends AnyFunSuite {
   }
 
   test("member access, indexing, length, method calls") {
-    val arg = VObj(Vector("key" -> VStr("k"), "value" -> VStr("hello world")))
+    val arg = VObj.of("key" -> VStr("k"), "value" -> VStr("hello world"))
     assert(run1("(function(o) { return o.value.length; })", arg) == VNum(11))
     assert(run1("(function(o) { return o.value.split(' ')[1]; })", arg) == VStr("world"))
     assert(run1("(function(o) { return o.value.toUpperCase(); })", arg) == VStr("HELLO WORLD"))
@@ -111,6 +111,145 @@ class JsMiniSpec extends AnyFunSuite {
     assert(expr("'a\\0b'.length") == VNum(3))
     assert(expr("'a\\0b'.charCodeAt(1)") == VNum(0))
     assert(expr("'\\u0041'") == VStr("A"))
+  }
+
+  test("for loop, compound assignment, parseInt — the hand-written sum reduce") {
+    val code =
+      """(function(o) {
+        |  var total = 0;
+        |  for (var i = 0; i < o.values.length; i++) {
+        |    total += parseInt(o.values[i]);
+        |  }
+        |  return {key: o.key, value: JSON.stringify(total)};
+        |})""".stripMargin
+    val f = JsAlgorithm.compileReduce(code)
+    assert(f("k", Seq("5", "10", "7")) == KV("k", "22"))
+    assert(f("k", Seq.empty) == KV("k", "0"))
+  }
+
+  test("while loop, ++/--, break and continue") {
+    val code =
+      """(function(o) {
+        |  var i = 0, acc = 0;
+        |  while (i < 5) { acc += i; i++; }
+        |  var j = 3;
+        |  var post = j++;
+        |  var pre = --j;
+        |  return [acc, post, pre, j];
+        |})""".stripMargin
+    assert(callFunction(parseFunction(code), VNull) ==
+      VArr.of(VNum(10), VNum(3), VNum(3), VNum(3)))
+    val loop =
+      """(function(o) {
+        |  var acc = 0, i = 0;
+        |  while (true) {
+        |    i++;
+        |    if (i > 10) break;
+        |    if (i % 2 === 0) continue;
+        |    acc += i;
+        |  }
+        |  return acc;
+        |})""".stripMargin
+    assert(callFunction(parseFunction(loop), VNull) == VNum(25)) // 1+3+5+7+9
+  }
+
+  test("mutable arrays and objects: push, index assignment, aliasing") {
+    val code =
+      """(function(o) {
+        |  var a = [];
+        |  var alias = a;
+        |  a.push(1);
+        |  a.push(2, 3);
+        |  alias[0] = 10;
+        |  a[4] = 9;
+        |  var m = {};
+        |  m.x = 1;
+        |  m['y'] = 2;
+        |  m.x += 5;
+        |  return JSON.stringify([a, alias.length, m]);
+        |})""".stripMargin
+    assert(callFunction(parseFunction(code), VNull) ==
+      VStr("""[[10,2,3,null,9],5,{"x":6,"y":2}]"""))
+  }
+
+  test("array map/filter/reduce/forEach with function literals and arrows") {
+    assert(expr("[1, 2, 3].map(function(x) { return x * 2; }).join(',')") == VStr("2,4,6"))
+    assert(expr("[1, 2, 3, 4].filter(x => x % 2 === 0).length") == VNum(2))
+    assert(expr("[1, 2, 3, 4].reduce(function(a, b) { return a + b; }, 0)") == VNum(10))
+    assert(expr("[1, 2, 3].reduce((a, b) => a + b)") == VNum(6))
+    assert(expr("['b', 'a', 'c'].sort().join('')") == VStr("abc"))
+    assert(expr("[3, 1, 2].sort((a, b) => b - a).join('')") == VStr("321"))
+    assert(expr("[10, 11, 12].map((x, i) => i).join(',')") == VStr("0,1,2"))
+    assert(expr("[1, 2, 3].reverse().join('')") == VStr("321"))
+    assert(expr("[1, 2].includes(2)") == VBool(true))
+    assert(expr("[5, 6, 7].find(x => x > 5)") == VNum(6))
+    assert(expr("[5, 6, 7].some(x => x > 6)") == VBool(true))
+    assert(expr("[5, 6, 7].every(x => x > 4)") == VBool(true))
+    val forEach =
+      """(function(o) {
+        |  var acc = 0;
+        |  [1, 2, 3].forEach(function(x) { acc += x; });
+        |  return acc;
+        |})""".stripMargin
+    assert(callFunction(parseFunction(forEach), VNull) == VNum(6))
+  }
+
+  test("Object.keys/values: object-accumulator word count") {
+    val code =
+      """(function(o) {
+        |  var counts = {};
+        |  var words = o.value.split(' ');
+        |  for (var i = 0; i < words.length; i++) {
+        |    var w = words[i];
+        |    counts[w] = (counts[w] || 0) + 1;
+        |  }
+        |  var ks = Object.keys(counts).sort();
+        |  var out = [];
+        |  for (var j = 0; j < ks.length; j++) {
+        |    out.push(ks[j] + ':' + counts[ks[j]]);
+        |  }
+        |  return out.join(' ');
+        |})""".stripMargin
+    val arg = VObj.of("value" -> VStr("a b a c b a"))
+    assert(callFunction(parseFunction(code), arg) == VStr("a:3 b:2 c:1"))
+    assert(expr("Object.values({a: 1, b: 2}).reduce((x, y) => x + y)") == VNum(3))
+  }
+
+  test("named function expressions can recurse; runaway recursion is a JsError") {
+    val fact =
+      """(function(o) {
+        |  var f = function fact(n) { return n <= 1 ? 1 : n * fact(n - 1); };
+        |  return f(10);
+        |})""".stripMargin
+    assert(callFunction(parseFunction(fact), VNull) == VNum(3628800))
+    val infinite =
+      """(function(o) {
+        |  var f = function loop(n) { return loop(n + 1); };
+        |  return f(0);
+        |})""".stripMargin
+    val e = intercept[IllegalArgumentException](callFunction(parseFunction(infinite), VNull))
+    assert(e.getMessage.contains("call depth"))
+  }
+
+  test("hostile input is a JsError, never a JVM error (ADVICE round 5)") {
+    // Non-terminating loop → step budget, not a hang.
+    val spin = "(function(o) { while (true) { var x = 1; } })"
+    val e1 = intercept[IllegalArgumentException](callFunction(parseFunction(spin), VNull))
+    assert(e1.getMessage.contains("step budget"))
+    // Parser nesting bomb → depth cap, not StackOverflowError.
+    val bomb = "(function(o) { return " + ("(" * 5000) + "1" + (")" * 5000) + "; })"
+    val e2 = intercept[IllegalArgumentException](parseFunction(bomb))
+    assert(e2.getMessage.contains("nesting"))
+    // JSON nesting bomb → depth cap.
+    val jsonBomb = "[" * 5000 + "]" * 5000
+    intercept[IllegalArgumentException](parseJson(jsonBomb))
+    // Digit string past Long range → approximate double, like JS.
+    assert(expr("parseInt('123456789012345678901234567890')") ==
+      VNum(1.2345678901234568e29))
+    // Malformed number literals are JsError, not NumberFormatException.
+    val e3 = intercept[IllegalArgumentException](parseFunction("(function(o) { return 1.2.3; })"))
+    assert(e3.isInstanceOf[JsMini.JsError])
+    intercept[IllegalArgumentException](parseJson("[1.2.3]"))
   }
 
   test("malformed code and wrong shapes are rejected") {
