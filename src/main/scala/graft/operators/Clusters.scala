@@ -148,8 +148,9 @@ object Clusters {
         .select(col("b").as("a"), col("mn").as("b"))
         .union(joined.select(col("a"), col("mn").as("b")))
         .distinct().localCheckpoint()
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // one driver action per round: the edge sets (both distinct) are
+      // equal iff their symmetric difference is empty
+      converged = small.except(edges).union(edges.except(small)).isEmpty
       edges = small
       iter += 1
     }

@@ -277,9 +277,12 @@ object Dedup {
   // ---- exact n-gram Jaccard ---------------------------------------------
 
   /** Exact Jaccard similarity over distinct word-3-gram shingle sets, for
-    * pairs sharing at least one shingle. `docLimit` bounds each side (the
-    * production shape runs this only on LSH candidates, never all docs). */
-  def ngramJaccardPairs(docs: DataFrame, shingleK: Int = 3, docLimit: Long = 300L): DataFrame = {
+    * pairs sharing at least one shingle. This is the ORACLE/VERIFY helper:
+    * the production shape runs Jaccard verification only on LSH candidates
+    * ([[nearDupPairs]]), never doc×doc. `docLimit` has no default on
+    * purpose — it truncates the corpus to `doc_id < docLimit`, and that
+    * decision must be the caller's, not a silent built-in cap. */
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int, docLimit: Long): DataFrame = {
     val sh = docs.filter(col("doc_id") < docLimit)
       .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
       .distinct()
@@ -385,7 +388,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "jaccard")
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir))
+    ngramJaccardPairs(Tables.documents(spark, dir), shingleK = 3, docLimit = 300L)
       .orderBy("doc_a", "doc_b", "jaccard")
 
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =

@@ -90,7 +90,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard: exact for planted pair") {
-    val j = Dedup.ngramJaccardPairs(docs, docLimit = 10L)
+    val j = Dedup.ngramJaccardPairs(docs, shingleK = 3, docLimit = 10L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // docs 0/3 identical → jaccard 1.0
     assert(j((0L, 3L)) == 1.0)
