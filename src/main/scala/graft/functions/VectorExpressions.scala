@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -77,9 +77,113 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native nearest-codebook-entry argmax for PQ / k-means assignment.
+  *
+  * Per row: over the candidate list for subspace `sIdx`, pick the id
+  * maximizing cosine(sv, cv_j) = ⟨sv, cv_j⟩ / (nrm · cn_j), ties broken
+  * by smaller id. Ordering semantics are EXACTLY Spark's
+  * `array_max(struct(csim, -id))` / `greatest(struct…)`:
+  * `java.lang.Double.compare` (NaN greatest, -0.0 < 0.0), and the dot is
+  * the same sequential double accumulation as [[DotProduct]] — so results
+  * are bit-identical to the declarative formulations AND to the DuckDB
+  * oracle's per-subspace `row_number() ... ORDER BY cos DESC, cid` pick.
+  *
+  * Why native: at ks = 256 codes the unrolled `greatest(struct…)` plan
+  * blows the codegen method limit (seconds of failed Janino compiles per
+  * job) and the HOF `array_max(transform(...))` form pays per-element
+  * lambda interpretation over m·ks·ds terms per row. Here the codebooks
+  * ride along as primitive arrays inside the expression (O(m·ks·ds)
+  * doubles of plan metadata — the same payload the literal tables
+  * carried) and each row costs one tight primitive loop.
+  *
+  * Dead codes are simply absent from the candidate list — mirroring the
+  * oracle formulation where an emptied cluster isn't a candidate. */
+case class NearestCode(sv: Expression, nrm: Expression, sIdx: Expression,
+    cvs: Seq[Seq[Seq[Double]]], cns: Seq[Seq[Double]], ids: Seq[Seq[Long]])
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = sv
+  override def second: Expression = nrm
+  override def third: Expression = sIdx
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val svOk = sv.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (svOk && nrm.dataType == DoubleType &&
+        (sIdx.dataType == IntegerType || sIdx.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_code requires (array<float|double>, double, int), got " +
+        s"(${sv.dataType.catalogString}, ${nrm.dataType.catalogString}, " +
+        s"${sIdx.dataType.catalogString})")
+  }
+
+  @transient private lazy val cvsA: Array[Array[Array[Double]]] =
+    cvs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cnsA: Array[Array[Double]] =
+    cns.map(_.toArray).toArray
+  @transient private lazy val idsA: Array[Array[Long]] =
+    ids.map(_.toArray).toArray
+  @transient private lazy val svFloat =
+    sv.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(svV: Any, nrmV: Any, sV: Any): Any = {
+    val x = svV.asInstanceOf[ArrayData]
+    val nr = nrmV.asInstanceOf[Double]
+    val s = sV match {
+      case i: Int => i
+      case l: Long => l.toInt
+    }
+    val cands = cvsA(s)
+    val norms = cnsA(s)
+    val idv = idsA(s)
+    var bestC = 0.0
+    var bestId = 0L
+    var found = false
+    var j = 0
+    while (j < cands.length) {
+      val cv = cands(j)
+      val n = math.min(x.numElements(), cv.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (svFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        d += xv * cv(i)
+        i += 1
+      }
+      val csim = d / (nr * norms(j))
+      val cmp = java.lang.Double.compare(csim, bestC)
+      if (!found || cmp > 0 || (cmp == 0 && idv(j) < bestId)) {
+        bestC = csim
+        bestId = idv(j)
+        found = true
+      }
+      j += 1
+    }
+    if (found) bestId else null
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCode =
+    copy(sv = newFirst, nrm = newSecond, sIdx = newThird)
+}
+
 object VectorExpressions {
   /** Column-level native dot product over array<float|double>. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level nearest-code argmax: winning candidate id for the
+    * subspace `sIdx` row, cosine desc / id asc — see [[NearestCode]]. */
+  def nearestCode(sv: Column, nrm: Column, sIdx: Column,
+      cvs: Seq[Seq[Seq[Double]]], cns: Seq[Seq[Double]],
+      ids: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(NearestCode(
+      ColumnBridge.expression(sv), ColumnBridge.expression(nrm),
+      ColumnBridge.expression(sIdx), cvs, cns, ids))
 }

@@ -366,30 +366,21 @@ object Similarity {
       }
     }
 
-    // nearest-sub-centroid assignment against nested plan literals,
-    // indexed by (s, code): cos desc, code asc tie-break. A code whose
-    // cluster emptied mid-Lloyd scores -Inf — never chosen, mirroring the
-    // per-subspace formulation where it simply isn't a candidate.
+    // nearest-sub-centroid assignment: cos desc, code asc tie-break,
+    // via the native NearestCode argmax (bit-identical ordering to the
+    // greatest(struct…) form, but the plan stays O(1) in ks — the
+    // unrolled form blows the codegen method limit at ks = 256, and the
+    // HOF form pays per-element lambda interpretation). A code whose
+    // cluster emptied mid-Lloyd is simply not a candidate, mirroring the
+    // per-subspace oracle formulation.
     def assigned: DataFrame = {
-      val cvLit = typedLit((0 until m).map { s =>
-        (0 until ks).map(j => cents(s).get(j.toLong).map(_._1).getOrElse(Seq.fill(ds)(0.0)))
-      })
-      val cnLit = typedLit((0 until m).map { s =>
-        (0 until ks).map(j => cents(s).get(j.toLong).map(_._2).getOrElse(0.0))
-      })
-      val alive = typedLit((0 until m).map { s =>
-        (0 until ks).map(j => cents(s).contains(j.toLong))
-      })
-      val scored = (0 until ks).map { j =>
-        val csim = dot(col("sv"), element_at(element_at(cvLit, col("s") + 1), lit(j + 1))) /
-          (col("nrm") * element_at(element_at(cnLit, col("s") + 1), lit(j + 1)))
-        struct(
-          when(element_at(element_at(alive, col("s") + 1), lit(j + 1)), csim)
-            .otherwise(lit(Double.NegativeInfinity)).as("csim"),
-          lit(-j.toLong).as("negc"))
-      }
-      val best = if (scored.sizeIs > 1) greatest(scored: _*) else scored.head
-      sub.withColumn("centroid_id", (-best.getField("negc")).cast("long"))
+      val candIds = (0 until m).map(s => cents(s).keys.toSeq.sorted)
+      sub.withColumn("centroid_id",
+        graft.functions.VectorExpressions.nearestCode(
+          col("sv"), col("nrm"), col("s"),
+          (0 until m).map(s => candIds(s).map(id => cents(s)(id)._1)),
+          (0 until m).map(s => candIds(s).map(id => cents(s)(id)._2)),
+          candIds))
     }
 
     for (_ <- 0 until iters) {
@@ -434,28 +425,29 @@ object Similarity {
     * the 100 TB point is that THIS m-byte frame, not the 4·dim-byte
     * vectors, is what ADC search scans. */
   def pqEncode(vectors: DataFrame, cbs: Seq[Seq[(Long, Seq[Double], Double)]],
-      ds: Int): DataFrame = {
+      ds: Int, keep: Seq[String] = Nil): DataFrame = {
     val m = cbs.length
     // pad lookup tables to the largest surviving code + 1 — codes are
     // seeded 0..ks-1 so no assignment can exceed it
     val ks = cbs.map(_.map(_._1.toInt).maxOption.getOrElse(-1) + 1).max
     val padded = cbs.map(cb => padCodebook(cb, ks, ds))
+    val carried = col("vec_id") +: keep.map(col)
     val subs = vectors.select(
-      col("vec_id") +: (0 until m).map(s =>
+      carried ++ (0 until m).map(s =>
         slice(toDouble(col("embedding")), s * ds + 1, ds).as(s"s$s")): _*)
     val normed = subs.select(
-      (col("vec_id") +: (0 until m).map(s => col(s"s$s"))) ++
+      (carried ++ (0 until m).map(s => col(s"s$s"))) ++
         (0 until m).map(s => l2Norm(col(s"s$s")).as(s"n$s")): _*)
+    // argmax over the SURVIVING codes via the native NearestCode
+    // expression: identical (cos desc, code asc) pick, O(1) plan size in
+    // ks — see pqCodebooks.assigned
     val codeCols = (0 until m).map { s =>
-      val scored = cbs(s).map { case (id, cv, cn) =>
-        struct(
-          cosineWithNorms(dot(col(s"s$s"), typedLit(cv)), col(s"n$s"), lit(cn)).as("csim"),
-          lit(-id).as("negc"))
-      }
-      val best = if (scored.sizeIs > 1) greatest(scored: _*) else scored.head
-      (-best.getField("negc")).cast("int").as(s"c$s")
+      graft.functions.VectorExpressions.nearestCode(
+        col(s"s$s"), col(s"n$s"), lit(0),
+        Seq(cbs(s).map(_._2)), Seq(cbs(s).map(_._3)), Seq(cbs(s).map(_._1)))
+        .cast("int").as(s"c$s")
     }
-    val coded = normed.select(col("vec_id") +: codeCols: _*)
+    val coded = normed.select(carried ++ codeCols: _*)
     // norm² recomputed as the raw ascending sum of squares — NOT cn²:
     // sqrt-then-square is not the identity in doubles, and the oracle
     // computes the explicit product chain
@@ -584,6 +576,164 @@ object Similarity {
     ivfPqSearch(pqIndex(vectors, m, ds, ks, iters),
       assignByCentroids(vectors, cents),
       ivfPqProbeQueries(vectors, cents, queryPred, m, ds, nprobe), k)
+  }
+
+  // ---- Residual IVF-PQ --------------------------------------------------
+
+  /** Residual vectors r = v − c(v) against each vector's assigned coarse
+    * centroid: the assignment is the zero-shuffle literal argmax and the
+    * centroid lookup is a plan-literal map keyed by centroid_id, so the
+    * residual frame is a narrow projection — no join, no shuffle.
+    * Returns (vec_id, embedding = residual, centroid_id). */
+  private def residualFrame(vectors: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val cellVecs = typedLit(cents.map { case (id, cv, _) => id -> cv }.toMap)
+    assignByCentroids(vectors, cents)
+      .select(col("vec_id"),
+        zip_with(toDouble(col("v")), element_at(cellVecs, col("centroid_id")),
+          (x, y) => x - y).as("embedding"),
+        col("centroid_id"))
+  }
+
+  /** A trained residual IVF-PQ index: coarse centroids + residual
+    * sub-codebooks + the code frame carrying each vector's cell and its
+    * full reconstructed norm ‖c + r̂‖. */
+  final case class ResidualPqIndex(cents: Seq[(Long, Seq[Double], Double)],
+    padded: Seq[IndexedSeq[(Seq[Double], Double)]], codes: DataFrame, ds: Int)
+
+  /** Train a residual IVF-PQ index: coarse Lloyd cells first, then PQ
+    * codebooks on the RESIDUALS r = v − c(v) — the classic IVFADC coupling
+    * (Jégou et al. '11): residuals concentrate near the origin, so the
+    * same code budget spends its resolution on the within-cell offset
+    * instead of re-describing the cell direction, which is what lifts
+    * recall over the decoupled [[pqIndex]] at equal bytes.
+    *
+    * The reconstructed norm ‖c + r̂‖ is a per-(cell, code) DRIVER-side
+    * table (numCentroids × ks × m doubles — metadata), embedded as plan
+    * literals; encode stays a zero-shuffle projection. */
+  def ivfPqResidualIndex(vectors: DataFrame, numCentroids: Int = 8,
+      kmeansIters: Int = 2, m: Int = 8, ds: Int = 8, ks: Int = 8,
+      iters: Int = 1): ResidualPqIndex = {
+    val cents = kmeansCollected(vectors, numCentroids, kmeansIters)
+    val resid = residualFrame(vectors, cents)
+    val cbs = pqCodebooks(resid, m, ds, ks, iters)
+    val ksPad = cbs.map(_.map(_._1.toInt).maxOption.getOrElse(-1) + 1).max
+    val padded = cbs.map(cb => padCodebook(cb, ksPad, ds))
+    // ‖c + r̂‖² per (cell, subspace, code), inner i ascending then the
+    // s-fold left-to-right — the oracle mirrors both orders
+    val rnTables: Seq[Map[Long, Seq[Double]]] = (0 until m).map { s =>
+      cents.map { case (cid, cv, _) =>
+        val cslice = cv.slice(s * ds, (s + 1) * ds)
+        cid -> (0 until ksPad).map { code =>
+          val cb = padded(s)(code)._1
+          var t = 0.0
+          var i = 0
+          while (i < ds) { val a = cslice(i) + cb(i); t += a * a; i += 1 }
+          t
+        }.toSeq
+      }.toMap
+    }
+    val rn2 = (0 until m).map { s =>
+      element_at(element_at(typedLit(rnTables(s)), col("centroid_id")), col(s"c$s") + 1)
+    }.reduce(_ + _)
+    val codes = pqEncode(resid, cbs, ds, keep = Seq("centroid_id"))
+      .drop("rn")
+      .withColumn("rn", sqrt(rn2))
+    ResidualPqIndex(cents, padded, codes, ds)
+  }
+
+  /** Probe rows for residual ADC: like [[ivfPqProbeQueries]] (same
+    * top-nprobe cell choice, same slices + norm) plus ⟨q, c⟩ for each
+    * probed cell — the decomposition ⟨q, c + r̂⟩ = ⟨q,c⟩ + Σₛ⟨q_s, cbₛ⟩
+    * needs the coarse term per (query, cell), and it's one literal-map
+    * dot on the tiny query side. */
+  private def residualProbeQueries(vectors: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)],
+      queryPred: org.apache.spark.sql.Column, m: Int, ds: Int,
+      nprobe: Int): DataFrame = {
+    val scored = cents.map { case (id, cv, cn) =>
+      struct(
+        cosineWithNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cn)).as("csim"),
+        lit(-id).as("negc"))
+    }
+    val cellVecs = typedLit(cents.map { case (id, cv, _) => id -> cv }.toMap)
+    vectors.filter(queryPred)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("cells", slice(sort_array(array(scored: _*), asc = false), 1, nprobe))
+      .select(
+        (col("query_id") +: col("v") +:
+          (0 until m).map(s => slice(col("v"), s * ds + 1, ds).as(s"q$s"))) ++
+          Seq(col("nrm").as("qn"), explode(col("cells")).as("cell")): _*)
+      .withColumn("centroid_id", (-col("cell.negc")).cast("long"))
+      .withColumn("qdotc", dot(col("v"), element_at(cellVecs, col("centroid_id"))))
+      .drop("cell", "v")
+  }
+
+  /** Residual ADC over a (codes ⋈ probes) frame: (⟨q,c⟩ + Σₛ ⟨q_s,
+    * cbₛ[codeₛ]⟩) / (qn · ‖c + r̂‖) — coarse term from the probe row,
+    * residual terms from plan-literal codebooks, s-fold left-to-right. */
+  private def residualAdcSim(padded: Seq[IndexedSeq[(Seq[Double], Double)]]): org.apache.spark.sql.Column = {
+    val m = padded.length
+    val adot = (0 until m).map { s =>
+      dot(col(s"q$s"), element_at(typedLit(padded(s).map(_._1)), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    (col("qdotc") + adot) / (col("qn") * col("rn"))
+  }
+
+  private def ivfPqResidualSearch(ix: ResidualPqIndex, q: DataFrame,
+      k: Int): DataFrame = {
+    val scored = ix.codes.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", residualAdcSim(ix.padded))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Residual IVF-PQ top-k (IVFADC): the recall path of the PQ family —
+    * same scan shape as [[ivfPqTopK]] (nprobe·(N/cells) rows of m ints
+    * per query, probe work on the query side only), but codes describe
+    * the within-cell residual, so quantization error shrinks by the cell
+    * radius. Trade: the codebooks are coupled to the cell layout — refresh
+    * the coarse index and the codes must re-encode ([[ivfPqTopK]] keeps
+    * them independent; this path buys recall with that coupling). */
+  def ivfPqResidualTopK(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, numCentroids: Int = 8, kmeansIters: Int = 2,
+      m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
+      nprobe: Int = 1): DataFrame = {
+    val ix = ivfPqResidualIndex(vectors, numCentroids, kmeansIters, m, ds, ks, iters)
+    ivfPqResidualSearch(ix,
+      residualProbeQueries(vectors, ix.cents, queryPred, m, ds, nprobe), k)
+  }
+
+  /** Recall@k of residual IVF-PQ (nprobe 1 and 2) against the exact
+    * baseline — the number that justifies the residual coupling (same
+    * integer half-up recall arithmetic as [[annRecall]]). */
+  def ivfPqResidualRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
+      numCentroids: Int = 8, kmeansIters: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    def hits(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .join(nExact, Seq("query_id"), "right")
+        .na.fill(0L, Seq("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hit"),
+          (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+    // one trained index for both probe widths
+    val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks, iters)
+    val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
+    def arm(nprobe: Int): DataFrame =
+      ivfPqResidualSearch(ix,
+        residualProbeQueries(emb, ix.cents, queryPred, m, ds, nprobe), k)
+    hits("ivfpq_res", arm(nprobe = 1))
+      .union(hits("ivfpq_res_p2", arm(nprobe = 2)))
   }
 
   /** PQ-cell semantic dedup (the SemDeDup shape): vectors that agree on
@@ -752,6 +902,23 @@ object Similarity {
       queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 16)
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
+
+  /** Residual IVF-PQ ANN: same routing as qIvfPqAnn but codes quantize
+    * the within-cell residual (IVFADC); queries vec_id in [10, 20),
+    * top-3 within the probed cell. */
+  def qIvfPqResAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopK(Tables.embeddings(spark, dir),
+      queryPred = col("vec_id") >= 10 && col("vec_id") < 20, k = 3, ks = 256, iters = 2)
+      .withColumnRenamed("cos_sim", "adc_sim")
+      .orderBy("query_id", "neighbor_id", "adc_sim")
+
+  /** Recall@5 of residual IVF-PQ (nprobe 1 / 2) vs brute force for
+    * queries vec_id < 10 — comparable row-for-row with qPqRecall's
+    * non-residual ivfpq / ivfpq_p2 arms. */
+  def qIvfPqResRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualRecall(Tables.embeddings(spark, dir),
+      queryPred = col("vec_id") < 10, k = 5, ks = 256, iters = 2)
+      .orderBy("method", "query_id", "n_hit", "recall")
 
   /** PQ-cell dedup report: occupancy histogram (how many cells hold n
     * vectors — n > 1 rows are the semantic-duplicate groups) plus the

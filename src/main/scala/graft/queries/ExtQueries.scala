@@ -32,6 +32,8 @@ object ExtQueries {
     "ann_pq_recall"         -> Similarity.qPqRecall _,
     "dedup_semantic"        -> Similarity.qSemanticDedup _,
     "ann_ivfpq"             -> Similarity.qIvfPqAnn _,
+    "ann_ivfpq_res"         -> Similarity.qIvfPqResAnn _,
+    "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
@@ -255,13 +257,13 @@ object ExtQueries {
     * right products, folded s = 0..m-1 — DotProduct accumulation order).
     * Needs `v`. */
   private def pqCtes(m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
-      trainFilter: String = "TRUE"): String = {
+      trainFilter: String = "TRUE", src: String = "v"): String = {
     def sq(rel: String) = (1 to ds).map(i => s"$rel[$i] * $rel[$i]").mkString(" + ")
     val parts = Seq.newBuilder[String]
     for (s <- 0 until m) {
       val lo = s * ds + 1
       val hi = (s + 1) * ds
-      parts += s"sub$s AS (SELECT vec_id, vec[$lo:$hi] AS sv FROM v)"
+      parts += s"sub$s AS (SELECT vec_id, vec[$lo:$hi] AS sv FROM $src)"
       // codebooks train on the trainFilter subset (seeds + every Lloyd
       // iteration); the final code assignment encodes EVERY vector —
       // that split is what makes frozen-codebook incremental encoding
@@ -308,6 +310,41 @@ object ExtQueries {
     s"""q AS (SELECT vec_id AS query_id, vec AS qv,
        |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn
        |  FROM v WHERE $filter)""".stripMargin
+
+  /** Residual vectors r = v − c(v) against the asg2/cent2 coarse cells —
+    * mirrors Similarity.residualFrame (elementwise subtraction, exact in
+    * doubles regardless of order). Needs ivfCtes; emits
+    * `resid(vec_id, centroid_id, vec)`. */
+  private val residCte: String =
+    """resid AS (SELECT a.vec_id, a.centroid_id,
+      |  list_transform(generate_series(1, 64), i -> a.vec[i] - c.cv[i]) AS vec
+      |  FROM asg2 a JOIN cent2 c USING (centroid_id))""".stripMargin
+
+  /** Reconstructed-vector norm ‖c + r̂‖ over residual `codes`: per
+    * subspace Σᵢ (c[s·ds+i] + cvₛ[i])² ascending, subspace groups folded
+    * left-to-right — mirrors Similarity.ivfPqResidualIndex's driver-side
+    * rn tables. Needs ivfCtes + pqCtes(src = "resid"); emits
+    * `rcodes(codes.*, centroid_id, rrn)`. */
+  private def residCodesCte(m: Int = 8, ds: Int = 8): String = {
+    val rn = (0 until m).map { s =>
+      (1 to ds).map { i =>
+        val gi = s * ds + i
+        s"(cc.cv[$gi] + cv$s[$i]) * (cc.cv[$gi] + cv$s[$i])"
+      }.mkString("(", " + ", ")")
+    }.mkString(" + ")
+    s"""rcodes AS (SELECT cd.*, a.centroid_id, sqrt($rn) AS rrn
+       |  FROM codes cd JOIN asg2 a USING (vec_id)
+       |  JOIN cent2 cc ON a.centroid_id = cc.centroid_id)""".stripMargin
+  }
+
+  /** Residual ADC similarity over `rcodes c` and a probe CTE `q(query_id,
+    * qv, qn, centroid_id, qdotc)`: (⟨q,c⟩ + Σₛ ⟨q_s, cvₛ⟩) / (qn · rrn),
+    * the coarse term inside the outer parens first — mirrors
+    * Similarity.residualAdcSim's expression tree. */
+  private def pqResAdcSim(m: Int = 8, ds: Int = 8): String =
+    "(q.qdotc + (" + (0 until m).map { s =>
+      (1 to ds).map(i => s"q.qv[${s * ds + i}] * cv$s[$i]").mkString("(", " + ", ")")
+    }.mkString(" + ") + ")) / (q.qn * c.rrn)"
 
   /** Composed end-to-end curation-funnel oracle — mirrors Pipeline.curate
     * stage by stage (quality gate ≥ 0.3 → exact dedup → MinHash-LSH
@@ -622,6 +659,74 @@ object ExtQueries {
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
          |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "ann_ivfpq_res" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |$residCte,
+         |${pqCtes(ks = 256, iters = 2, src = "resid")},
+         |${residCodesCte()},
+         |q AS (SELECT a.vec_id AS query_id, a.vec AS qv,
+         |  sqrt(${(1 to 64).map(i => s"a.vec[$i] * a.vec[$i]").mkString(" + ")}) AS qn,
+         |  a.centroid_id,
+         |  (${(1 to 64).map(i => s"a.vec[$i] * c.cv[$i]").mkString(" + ")}) AS qdotc
+         |  FROM asg2 a JOIN cent2 c USING (centroid_id)
+         |  WHERE a.vec_id >= 10 AND a.vec_id < 20)
+         |SELECT query_id, neighbor_id, adc_sim FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    round(${pqResAdcSim()}, 4) AS adc_sim
+         |  FROM rcodes c JOIN q ON c.centroid_id = q.centroid_id AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqResAdcSim()} DESC, c.vec_id) <= 3)
+         |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "ann_res_recall" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |$residCte,
+         |${pqCtes(ks = 256, iters = 2, src = "resid")},
+         |${residCodesCte()},
+         |q0 AS (SELECT vec_id AS query_id, vec AS qv,
+         |  sqrt(${(1 to 64).map(i => s"vec[$i] * vec[$i]").mkString(" + ")}) AS qn
+         |  FROM v WHERE vec_id < 10),
+         |rq AS (SELECT q.query_id, q.qv, q.qn, a.centroid_id,
+         |  (${(1 to 64).map(i => s"q.qv[$i] * c.cv[$i]").mkString(" + ")}) AS qdotc
+         |  FROM q0 q JOIN asg2 a ON q.query_id = a.vec_id
+         |  JOIN cent2 c ON a.centroid_id = c.centroid_id),
+         |rq2 AS (SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+         |  (${(1 to 64).map(i => s"q.qv[$i] * c.cv[$i]").mkString(" + ")}) AS qdotc
+         |  FROM q0 q, cent2 c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) <= 2),
+         |ex AS (SELECT q.query_id, x.vec_id AS neighbor_id FROM v x, q0 q
+         |  WHERE x.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(x.vec, q.qv) DESC, x.vec_id) <= 5),
+         |r5 AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM rcodes c JOIN rq q ON c.centroid_id = q.centroid_id
+         |    AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqResAdcSim()} DESC, c.vec_id) <= 5),
+         |r5b AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM rcodes c JOIN rq2 q ON c.centroid_id = q.centroid_id
+         |    AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqResAdcSim()} DESC, c.vec_id) <= 5),
+         |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |hit1 AS (SELECT query_id, count(*) AS n_hit
+         |         FROM ex JOIN r5 USING (query_id, neighbor_id) GROUP BY 1),
+         |hit2 AS (SELECT query_id, count(*) AS n_hit
+         |         FROM ex JOIN r5b USING (query_id, neighbor_id) GROUP BY 1),
+         |r AS (
+         |  SELECT 'ivfpq_res' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hit1 h USING (query_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq_res_p2' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hit2 h USING (query_id))
+         |SELECT method, query_id, n_hit, recall FROM r
+         |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $vecCte,
