@@ -29,10 +29,22 @@ object Multimodal {
 
   final case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Float])
 
+  /** A media codec: payload bytes → fixed-dim feature vector. Pluggable
+    * into [[decodeFeatures]]; implementations must be Serializable (the
+    * instance ships in the task closure) and deterministic (same bytes →
+    * same features, so dedup/checksum results are reproducible). Codecs
+    * needing expensive init (a model, a decoder table) should do it
+    * lazily per instance — [[decodeFeatures]] streams each PARTITION
+    * through one codec value, the mapInPandas shape. */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
   /** ===== STUB ===== deterministic fake codec standing in for real
-    * image/audio decoding (libs unavailable here). Swap `decode` for a
-    * real implementation; the operator plumbing does not change. */
-  object StubCodec {
+    * image/video decoding (libs unavailable here). Swap any [[Codec]] in;
+    * the operator plumbing does not change — [[WavCodec]] is the real
+    * in-repo example. */
+  object StubCodec extends Codec {
     /** Fake "features": per-bucket sums of byte values. Integer sums are
       * exact in Float below 2^24, which keeps the checksum query
       * bit-reproducible against the oracle. */
@@ -42,6 +54,76 @@ object Multimodal {
       while (i < payload.length) {
         out(i % dim) += (payload(i) & 0xff).toFloat
         i += 1
+      }
+      out
+    }
+  }
+
+  /** REAL codec for RIFF/WAVE PCM payloads — no media libraries needed:
+    * the container is a chunk walk and PCM samples are fixed-width
+    * little-endian integers. Supports 8-bit unsigned and 16-bit signed
+    * mono/interleaved PCM (format code 1); features are per-bucket sums
+    * of sample values (the same bucketed-sum shape as [[StubCodec]], so
+    * checksum-style oracles stay integer-exact — 16-bit sums stay exact
+    * in Float up to ~2^24/32768 ≈ 512 samples per bucket at full scale,
+    * and the audio rows here are far below that). A malformed header is
+    * an `IllegalArgumentException` — media corpora carry trash bytes and
+    * the decode stage must fail the RECORD, not poison the feature. */
+  object WavCodec extends Codec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def i16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      def bad(m: String) = throw new IllegalArgumentException(s"WavCodec: $m")
+      if (payload.length < 12 || tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE")
+        bad("not a RIFF/WAVE payload")
+      var off = 12
+      var bits = -1
+      var fmtCode = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= payload.length && (bits < 0 || dataOff < 0)) {
+        val id = tag(payload, off)
+        val size = u32(payload, off + 4).toInt
+        if (size < 0 || off + 8 + size > payload.length) bad(s"truncated '$id' chunk")
+        id match {
+          case "fmt " =>
+            if (size < 16) bad("fmt chunk too short")
+            fmtCode = u16(payload, off + 8)
+            bits = u16(payload, off + 22)
+          case "data" =>
+            dataOff = off + 8
+            dataLen = size
+          case _ => // skip unknown chunks (LIST, fact, …)
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (bits < 0) bad("missing fmt chunk")
+      if (dataOff < 0) bad("missing data chunk")
+      if (fmtCode != 1) bad(s"unsupported format code $fmtCode (PCM only)")
+      val out = new Array[Float](dim)
+      bits match {
+        case 8 =>
+          var i = 0
+          while (i < dataLen) {
+            out(i % dim) += ((payload(dataOff + i) & 0xff) - 128).toFloat
+            i += 1
+          }
+        case 16 =>
+          val n = dataLen / 2
+          var i = 0
+          while (i < n) {
+            out(i % dim) += i16(payload, dataOff + 2 * i).toFloat
+            i += 1
+          }
+        case other => bad(s"unsupported bit depth $other (8/16-bit PCM only)")
       }
       out
     }
@@ -59,14 +141,17 @@ object Multimodal {
       (lit(8000) + (col("doc_id") % 5) * 8000).cast("int").as("sample_rate"))
 
   /** Batched per-partition decode — the mapInPandas-shaped operator: one
-    * codec per partition, records streamed through it, fixed feature dim. */
-  def decodeFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    * codec per partition, records streamed through it, fixed feature dim.
+    * `codec` defaults to the documented [[StubCodec]]; pass [[WavCodec]]
+    * (or any [[Codec]]) for real payloads. */
+  def decodeFeatures(media: DataFrame, dim: Int = 8,
+      codec: Codec = StubCodec): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
     media.select("doc_id", "media_type", "payload").as(
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>
         // per-partition codec init would go here (model load, etc.)
-        it.map { case (id, mt, bytes) => MediaFeatures(id, mt, StubCodec.decode(bytes, dim)) }
+        it.map { case (id, mt, bytes) => MediaFeatures(id, mt, codec.decode(bytes, dim)) }
       }
   }
 

@@ -367,6 +367,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeFeatures(media, dim = 8).head().features.length == 8)
   }
 
+  test("multimodal: WavCodec decodes real RIFF/WAVE PCM payloads") {
+    def le16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le16(out, v & 0xffff); le16(out, (v >> 16) & 0xffff)
+    }
+    def wav16(samples: Seq[Int], withListChunk: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dataLen = samples.length * 2
+      out.write("RIFF".getBytes("US-ASCII")); le32(out, 36 + dataLen)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(out, 16)
+      le16(out, 1); le16(out, 1)          // PCM, mono
+      le32(out, 8000); le32(out, 16000)   // sample rate, byte rate
+      le16(out, 2); le16(out, 16)         // block align, bits
+      if (withListChunk) {
+        out.write("LIST".getBytes("US-ASCII")); le32(out, 4)
+        out.write("INFO".getBytes("US-ASCII"))
+      }
+      out.write("data".getBytes("US-ASCII")); le32(out, dataLen)
+      samples.foreach(s => le16(out, s & 0xffff))
+      out.toByteArray
+    }
+    // 16-bit signed samples bucket-sum into dim slots round-robin
+    val w = Multimodal.WavCodec.decode(wav16(Seq(100, -50, 30, 7)), dim = 2)
+    assert(w.toSeq == Seq(130f, -43f))
+    // unknown chunks (LIST) are skipped on the way to data
+    val w2 = Multimodal.WavCodec.decode(wav16(Seq(5, 6), withListChunk = true), dim = 2)
+    assert(w2.toSeq == Seq(5f, 6f))
+    // 8-bit unsigned PCM recenters around 128
+    val out8 = new java.io.ByteArrayOutputStream()
+    out8.write("RIFF".getBytes("US-ASCII")); le32(out8, 36 + 3)
+    out8.write("WAVE".getBytes("US-ASCII"))
+    out8.write("fmt ".getBytes("US-ASCII")); le32(out8, 16)
+    le16(out8, 1); le16(out8, 1); le32(out8, 8000); le32(out8, 8000)
+    le16(out8, 1); le16(out8, 8)
+    out8.write("data".getBytes("US-ASCII")); le32(out8, 3)
+    Seq(128, 131, 125).foreach(out8.write)
+    assert(Multimodal.WavCodec.decode(out8.toByteArray, dim = 3).toSeq == Seq(0f, 3f, -3f))
+    // trash bytes fail the record with a clear error, not a poisoned vector
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode("not audio at all".getBytes, dim = 2))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode(wav16(Seq(1, 2)).dropRight(1), dim = 2))
+    // and the pluggable path: decodeFeatures with WavCodec end-to-end
+    val media = Seq((1L, "audio", wav16(Seq(10, 20, 30))), (2L, "audio", wav16(Seq(-1, 1))))
+      .toDF("doc_id", "media_type", "payload")
+    val feats = Multimodal.decodeFeatures(media, dim = 2, codec = Multimodal.WavCodec)
+      .collect().map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(feats == Map(1L -> Seq(40f, 20f), 2L -> Seq(-1f, 1f)))
+  }
+
   test("multimodal: feature-level dedup groups identical payloads") {
     // docs fixture: doc 3 is an exact copy of doc 0 → identical features
     val groups = Multimodal.featureDupGroups(Multimodal.mediaTable(docs))
