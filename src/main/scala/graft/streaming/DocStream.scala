@@ -29,10 +29,14 @@ import graft.operators.{Dedup, Scrub, TextAnalysis}
   */
 object DocStream {
 
-  /** Start the ingestion query. `indexTable` must exist (create the seed
-    * with [[Dedup.writeSignatureIndex]], possibly from an empty corpus);
-    * survivors land in `outPath` as parquet, signatures append to the
-    * index with the same bucket spec. */
+  /** Start the ingestion query. Survivors land in `outPath` as parquet,
+    * signatures append to the index. If `indexTable` (or the optional
+    * gram index) does not exist yet, the first batch bootstraps it: the
+    * corpus side is treated as empty and the first append CREATES the
+    * bucketed table — no [[Dedup.writeSignatureIndex]] pre-seed needed.
+    * When the table does exist, appends derive the bucket count from the
+    * table's own spec, so a stream configured with a different
+    * `numBuckets` cannot corrupt an existing index. */
   def dedupIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, numBuckets: Int = 16,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
@@ -64,6 +68,15 @@ object DocStream {
       },
       numBuckets, numHashes, bands, shingleK, minEstJaccard, gramIndexTable)
 
+  /** Bucket count an existing table was created with (None if the table
+    * does not exist yet) — appends must use THIS, not the stream's own
+    * setting, or saveAsTable rejects the mismatched spec. */
+  private def tableBuckets(spark: SparkSession, table: String): Option[Int] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
   private def ingest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, prepare: DataFrame => DataFrame,
       numBuckets: Int, numHashes: Int, bands: Int, shingleK: Int,
@@ -71,9 +84,15 @@ object DocStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the session caches catalog-table file listings; the index grew
-        // outside this batch's plan, so drop the stale cache entry first
-        spark.catalog.refreshTable(indexTable)
+        // the corpus index may not exist before the first append
+        // (bootstrap); when it does, the session caches catalog-table
+        // file listings and the index grew outside this batch's plan —
+        // drop the stale cache entry first
+        val corpusIdx =
+          if (spark.catalog.tableExists(indexTable)) {
+            spark.catalog.refreshTable(indexTable)
+            Some(spark.table(indexTable))
+          } else None
         // 1. scrub/filter (curate mode), then collapse exact dups inside
         // the batch (content digest)
         val batchUnique = Dedup.exactSurvivors(prepare(batch))
@@ -90,35 +109,45 @@ object DocStream {
           .filter(col("batch_id") > col("corpus_id")) // keep the smaller id
           .select(col("batch_id").as("doc_id")).distinct()
         // 2b. CROSS-batch near-dups: probe the persisted corpus index
-        val corpusDups = Dedup
-          .incrementalPairs(spark.table(indexTable), batchIdx, numHashes, minEstJaccard)
-          .select(col("batch_id").as("doc_id")).distinct()
+        val corpusDups = corpusIdx match {
+          case Some(ix) => Dedup
+            .incrementalPairs(ix, batchIdx, numHashes, minEstJaccard)
+            .select(col("batch_id").as("doc_id")).distinct()
+          case None => spark.range(0).select(col("id").as("doc_id"))
+        }
         val dupIds = inBatchDups.union(corpusDups).distinct()
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
         // 3. optional sub-document pass: cut spans the corpus gram index
         // already carries (plus the batch's own cross-doc duplicates),
         // so boilerplate never accumulates in the sink — whole-doc dedup
-        // upstream cannot see it
+        // upstream cannot see it. Before the first append the gram table
+        // may be absent: the corpus gram set is empty, batch-internal
+        // spans are still cut, and the append below creates the table.
         val emitted = gramIndexTable match {
           case Some(gt) =>
-            spark.catalog.refreshTable(gt)
-            val rebuilt = Dedup.incrementalSpanRemoval(
-              survivors, spark.table(gt))
+            val corpusGrams =
+              if (spark.catalog.tableExists(gt)) {
+                spark.catalog.refreshTable(gt)
+                spark.table(gt)
+              } else spark.range(0).select(lit("").as("g"))
+            val rebuilt = Dedup.incrementalSpanRemoval(survivors, corpusGrams)
             survivors.drop("text")
               .join(rebuilt.select(col("doc_id"), col("clean_text").as("text")), "doc_id")
               .filter(col("text") =!= "")
           case None => survivors
         }
         // 4. emit; grow the signature index with survivor signatures and
-        // the gram index with the EMITTED (cleaned) text's grams
+        // the gram index with the EMITTED (cleaned) text's grams —
+        // bucket counts come from the existing tables' own specs
         emitted.write.mode(SaveMode.Append).parquet(outPath)
         batchIdx.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode(SaveMode.Append).format("parquet")
-          .bucketBy(numBuckets, "band", "bucket")
+          .bucketBy(tableBuckets(spark, indexTable).getOrElse(numBuckets), "band", "bucket")
           .sortBy("band", "bucket")
           .saveAsTable(indexTable)
         gramIndexTable.foreach(gt =>
-          Dedup.appendGramIndex(emitted, gt, numBuckets))
+          Dedup.appendGramIndex(emitted, gt,
+            tableBuckets(spark, gt).getOrElse(numBuckets)))
         ()
       }
       .start()

@@ -56,6 +56,58 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: no re-emits, no duplicate index appends, bootstrap") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-restartstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // NO pre-seeded index: the first batch must bootstrap the bucketed
+    // table (the writeSignatureIndex pre-seed is no longer a precondition)
+    spark.sql("DROP TABLE IF EXISTS restart_idx")
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "completely different content about gardens and flowers"
+
+    val input = MemoryStream[(Long, String)]
+    val q1 = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "restart_idx", out, ckpt, numBuckets = 4)
+    try {
+      input.addData((1L, textA), (2L, textB))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    assert(spark.read.parquet(out).count() == 2)
+    spark.catalog.refreshTable("restart_idx")
+    assert(spark.table("restart_idx").count() == 2 * 4) // 4 bands per doc
+
+    // restart from the same checkpoint — with a DIFFERENT numBuckets on
+    // purpose: appends must follow the existing table's spec (4), not 8
+    val q2 = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "restart_idx", out, ckpt, numBuckets = 8)
+    try {
+      // doc 3 is a cross-batch dup of 1 — the restarted query must still
+      // see batch 1's index entries
+      input.addData((3L, textA), (4L, textC))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val docs = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(docs == Seq(1L, 2L, 4L),
+      s"batch-1 docs must not re-emit and dup 3 must drop: $docs")
+    spark.catalog.refreshTable("restart_idx")
+    val idx = spark.table("restart_idx").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx.toSet == Set(1L, 2L, 4L))
+    assert(idx.groupBy(identity).values.map(_.size).toSet == Set(4),
+      s"exactly one 4-band signature set per doc — no duplicate appends: $idx")
+    // the table's bucket spec survived the mismatched restart setting
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("restart_idx"))
+      .bucketSpec.exists(_.numBuckets == 4))
+  }
+
   test("curateIngest scrubs, quality-gates, and dedups per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-curatestream")
