@@ -138,7 +138,13 @@ object Sampling {
     * shard). */
   def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
       shards: Int = 1024): DataFrame = {
-    val h = hash16(s"epoch$epoch", col(idCol))
+    // 32-bit hash (8 hex digits), not hash16: with `shards` shards the
+    // within-shard ordering key still spans 2^32/shards values, where a
+    // 16-bit key would leave only 65536/shards distinct ranks — long
+    // doc-id-ascending runs, weak decorrelation at corpus scale
+    val h = conv(substring(
+        md5(concat(lit(s"epoch$epoch"), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
     docs.select(col(idCol), h.as("h"))
       .withColumn("shard", (col("h") % shards).cast("int"))

@@ -1259,9 +1259,10 @@ object ExtQueries {
 
     "sample_epoch_order" -> {
       def ep(e: Int) = {
+        // 32-bit (8-hex-digit) hash — mirrors Sampling.epochOrder
         val m = s"md5('epoch$e:' || CAST(doc_id AS VARCHAR))"
-        val h = (1 to 4).map { p =>
-          val mult = 1L << (4 * (4 - p))
+        val h = (1 to 8).map { p =>
+          val mult = 1L << (4 * (8 - p))
           s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
         }.mkString("(", " + ", ")")
         s"""SELECT $e AS epoch, CAST(h % 4 AS INTEGER) AS shard,

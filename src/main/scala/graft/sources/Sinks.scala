@@ -85,25 +85,55 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** Compact a parquet directory's small files to ~`targetFileBytes`
+  /** Compact a FLAT parquet directory's small files to ~`targetFileBytes`
     * outputs — the maintenance pass a streaming-append corpus needs
     * (every micro-batch appends a few files; after a day the directory
     * is thousands of tiny files and list/open dominates scan cost on an
-    * object store). Sizing comes from the CURRENT on-disk bytes, the
-    * rewrite goes to a sibling temp directory first, and the swap is
-    * rename-based — readers never observe a half-written state on a
-    * rename-atomic filesystem. Returns the new file count. */
+    * object store).
+    *
+    * Concurrency contract: quiesce the appending stream for FULL safety.
+    * If appends do race the compaction, the rewrite reads a PINNED file
+    * snapshot (not "whatever is there at execution time") and files that
+    * appeared after the snapshot are MOVED FORWARD into the compacted
+    * directory before the swap, so an append that lands between snapshot
+    * and re-list is preserved, not deleted. The remaining unsafe window
+    * is the swap itself: two renames, during which (a) an append can
+    * still slip in after the re-list and be lost with the old directory,
+    * and (b) `path` briefly does not exist — on a rename-atomic
+    * filesystem readers see either the old or the new directory, but a
+    * reader listing exactly between the renames fails. Returns the
+    * number of compacted files (late-append files come on top). */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactParquetHooked(spark, path, targetFileBytes, () => ())
+
+  /** [[compactParquet]] with a test seam: `beforeRelist` runs after the
+    * rewrite and before the late-append re-list — the spec injects a
+    * racing append there to prove copy-forward. */
+  private[graft] def compactParquetHooked(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long, beforeRelist: () => Unit): Int = {
     require(targetFileBytes > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val bytes = fs.getContentSummary(p).getLength
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    // pin the snapshot: read exactly these files, size from exactly them
+    val snapshot = dataFiles()
+    val snapNames = snapshot.map(_.getPath.getName).toSet
+    val bytes = snapshot.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    spark.read.parquet(path).repartition(n)
+    spark.read.parquet(snapshot.map(_.getPath.toString): _*).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeRelist()
+    // copy forward files appended while the rewrite ran
+    dataFiles().filterNot(f => snapNames.contains(f.getPath.getName)).foreach { f =>
+      val dest = new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)
+      if (fs.exists(dest) || !fs.rename(f.getPath, dest))
+        sys.error(s"compact: cannot carry forward late append ${f.getPath}")
+    }
     val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot move $p aside")

@@ -183,6 +183,29 @@ class SinksSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum(col("doc_id"))).head.getLong(0) == checksum)
   }
 
+  test("compaction carries forward files appended during the rewrite") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-compact-race").resolve("t").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    }
+    val total = docs.count()
+    val late = docs.filter(col("doc_id") < 5) // the racing micro-batch
+    val n = Sinks.compactParquetHooked(spark, dir, targetFileBytes = 1L << 30,
+      // injected between the rewrite and the re-list: an append that a
+      // snapshot-then-swap compaction would silently delete
+      beforeRelist = () =>
+        late.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir))
+    assert(n == 1)
+    // the compacted dir holds the snapshot rows AND the racing append
+    assert(spark.read.parquet(dir).count() == total + late.count(),
+      "late-append rows must survive compaction")
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+  }
+
   test("SQL entry point: registered views answer spark.sql queries") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
