@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Dev tooling: build a ~10x replica of sf0.1 (an "sf1") for local
+scale-stress runs, under a gitignored scratch dir. Replicas get shifted
+ids; text gains a per-replica trailing token and embeddings a small
+per-replica component offset, so cross-replica rows are NEAR-duplicates
+(the realistic shape for a dup-heavy corpus) rather than exact clones.
+
+Usage: python3 tools/scalegen.py [src_sf_dir] [out_dir] [replicas]
+"""
+import sys
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+import os
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+n_docs = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+n_vecs = con.sql(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+
+con.sql(f"""
+COPY (
+  SELECT d.doc_id + {n_docs} * r.i AS doc_id,
+         CASE WHEN r.i = 0 THEN d.text ELSE d.text || ' rep' || r.i END AS text,
+         d.lang, d.source,
+         CAST(length(CASE WHEN r.i = 0 THEN d.text ELSE d.text || ' rep' || r.i END) AS BIGINT) AS n_chars
+  FROM '{SRC}/documents.parquet' d,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY doc_id
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.sql(f"""
+COPY (
+  SELECT e.vec_id + {n_vecs} * r.i AS vec_id,
+         CAST(list_transform(generate_series(1, len(e.embedding)),
+           j -> e.embedding[j] + CASE WHEN j = (r.i % 64) + 1
+                                 THEN r.i * 0.01 ELSE 0 END) AS FLOAT[]) AS embedding,
+         e.label
+  FROM '{SRC}/embeddings.parquet' e,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY vec_id
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+# remaining tables: plain copies so Tables.* resolve (queries under
+# stress use documents/embeddings; the star-schema tables just need to
+# exist for any incidental reads)
+for t in "region nation customer supplier part orders lineitem events".split():
+    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+
+print(f"[scalegen] {OUT}: documents={n_docs * REPS} embeddings={n_vecs * REPS}")
