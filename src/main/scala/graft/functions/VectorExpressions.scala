@@ -58,16 +58,22 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names, NOT raw literals: two DotProducts inlined into the
+    // same generated function (e.g. qn and qdotc in one projection)
+    // would otherwise redefine `i`/`n`/`s` and fail Janino compilation
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     def get(e: Expression, v: String): String =
-      if (elemType(e) == FloatType) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
+      if (elemType(e) == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ${get(left, a)} * ${get(right, b)};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(left, a)} * ${get(right, b)};
          |}
-         |${ev.value} = s;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }
