@@ -528,6 +528,73 @@ object Dedup {
       fromCorpus.select("doc_id", "i").union(fromBatch.select("doc_id", "i")), k)
   }
 
+  // ---- content-defined chunking (CDC) dedup -----------------------------
+
+  /** Content-defined chunks per document: the token stream is split at
+    * CONTENT-DERIVED boundaries — after token i whenever the hash of the
+    * trailing `w`-token window satisfies `h % m == 0` (expected chunk
+    * length ≈ m tokens) — the LBFS/Venti chunking discipline. Unlike
+    * fixed-stride chunking, an insertion near the start of a document
+    * shifts every fixed chunk but only the ONE content-defined chunk it
+    * lands in: downstream chunk-hash dedup still matches everything after
+    * the edit, which is the whole point of CDC. Windows shorter than `w`
+    * tokens never cut (short docs = one chunk).
+    *
+    * One narrow pass builds windows + boundary flags; the chunk index is
+    * a running boundary count per doc (window partitioned BY DOC — state
+    * is per-document, embarrassingly parallel); chunk reassembly is one
+    * (doc, chunk) hash aggregate. Nothing is all-pairs and no stage keys
+    * on anything wider than (doc_id, chunk_idx).
+    * Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_hash). */
+  def cdcChunks(docs: DataFrame, w: Int = 4, m: Int = 16): DataFrame = {
+    require(w >= 1 && m >= 1, "w and m must be >= 1")
+    val toks = tokenArrays(docs).filter(size(col("t")) >= 1)
+    val pos = toks.select(col("doc_id"), col("t"),
+      explode(sequence(lit(1), size(col("t")))).as("i"))
+    // boundary AFTER token i: hash of tokens (i-w+1 .. i), only once a
+    // full window exists
+    val windowed = pos.withColumn("boundary",
+      when(col("i") >= w,
+        (hexVal8(concat_ws(" ", slice(col("t"), col("i") - (w - 1), lit(w)))) % m) === 0)
+        .otherwise(lit(false)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunked = windowed.withColumn("chunk_idx",
+      coalesce(sum(when(col("boundary"), 1L).otherwise(0L)).over(win), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("i"),
+        element_at(col("t"), col("i")).as("token"))
+    chunked.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("token")))),
+            s => s.getField("token")))).as("chunk_hash"))
+  }
+
+  /** Chunk-level dedup report over [[cdcChunks]]: per document, how many
+    * of its tokens sit in chunks whose content also occurs elsewhere in
+    * the corpus (in another doc OR repeated within this one) — the
+    * storage-dedup / near-copy signal at sub-document granularity that
+    * whole-doc hashing misses and span dedup pays shingle-explosion for.
+    * The duplicate test is ONE hash aggregate over chunk_hash (count ≥ 2
+    * occurrences corpus-wide); cost stays linear in chunks at any corpus
+    * size. Returns (doc_id, n_chunks, n_tokens, n_dup_tokens). */
+  def cdcDupReport(docs: DataFrame, w: Int = 4, m: Int = 16): DataFrame = {
+    val chunks = cdcChunks(docs, w, m)
+    val occur = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occur"))
+    chunks.join(occur, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(when(col("n_occur") >= 2, col("n_chunk_tokens")).otherwise(0L))
+          .as("n_dup_tokens"))
+  }
+
+  def qCdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDupReport(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_chunks", "n_tokens", "n_dup_tokens")
+
   def qDedupSpans(spark: SparkSession, dir: String): DataFrame =
     removeDuplicateSpans(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_tokens", "n_removed", "clean_text")

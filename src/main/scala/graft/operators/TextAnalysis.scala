@@ -523,6 +523,123 @@ object TextAnalysis {
       Tables.events(spark, dir), Seq("event_type"), "value",
       qs = Seq((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")), scale = 100)
       .orderBy("event_type", "p50", "p95", "p99")
+
+  // ---- BPE merge training ------------------------------------------------
+
+  /** Literal-replace passes per merge application: the DEFINED apply
+    * semantics is "non-overlapping left-to-right literal replace, run 4
+    * passes" — Java `String.replace` and DuckDB `replace` resume after
+    * the replacement identically (verified byte-for-byte on the
+    * overlap cases), so the result is engine-exact. On degenerate runs
+    * of one repeated symbol this deviates from canonical leftmost-greedy
+    * BPE (both engines deviate IDENTICALLY); real vocabularies are
+    * unaffected. */
+  private val BpeReplacePasses = 4
+
+  private def bpeApplyMerge(sym: String, a: String, b: String): String = {
+    val pat = " " + a + " " + b + " "
+    val rep = " " + a + b + " "
+    var s = " " + sym + " "
+    var i = 0
+    while (i < BpeReplacePasses) { s = s.replace(pat, rep); i += 1 }
+    s.trim
+  }
+
+  /** The (word, count) dictionary as BPE symbol strings: characters
+    * space-joined plus the `</w>` end-of-word marker. ONE distributed
+    * pass — classic BPE trains on this dictionary, not the corpus, so
+    * everything downstream is O(vocab) driver metadata (the same class
+    * as k-means centroids and PQ codebooks in this repo). */
+  def bpeWordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat_ws(" ", concat(split(col("word"), ""), array(lit("</w>")))).as("sym"),
+        col("cnt"))
+
+  /** Train `numMerges` BPE merges (Sennrich et al. '16) on the corpus:
+    * per round, the highest-count adjacent symbol pair (ties broken
+    * lexicographically — binary/codepoint order, identical in the JVM
+    * and DuckDB for BMP text) becomes one symbol. The corpus cost is the
+    * single word-count aggregate in [[bpeWordTable]]; the merge loop
+    * walks the collected dictionary on the driver. At 100 TB the
+    * dictionary is still vocab-sized (millions of rows, not corpus
+    * rows); a corpus whose RAW vocab exceeds driver memory would move
+    * the loop onto the word frame unchanged — the per-round operations
+    * (pair explode + argmax + literal replace) are all engine
+    * expressions, which is exactly how the DuckDB oracle runs them.
+    * Returns (lhs, rhs, pairCount) in merge order. */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
+    var words = bpeWordTable(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, cnt) =>
+        val s = sym.split(' ')
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b, c))
+        words = words.map { case (sym, cnt) => (bpeApplyMerge(sym, a, b), cnt) }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode the corpus dictionary with trained merges and report the
+    * compression: per language, whitespace-token count, BPE-token count,
+    * and exact integer tokens-per-word in ppm — the number that tells a
+    * tokenizer-budget planner what the vocabulary buys. The merges are
+    * driver literals, so the whole application is a chain of codegen'd
+    * literal `replace` expressions (numMerges × 4 passes) — no UDF — with
+    * identical semantics to [[bpeApplyMerge]]. */
+  def bpeTokenStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val sym0 = concat(lit(" "),
+      concat_ws(" ", concat(split(col("word"), ""), array(lit("</w>")))), lit(" "))
+    val symFinal = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      val pat = lit(" " + a + " " + b + " ")
+      val rep = lit(" " + a + b + " ")
+      (1 to BpeReplacePasses).foldLeft(s)((acc, _) =>
+        call_function("replace", acc, pat, rep))
+    }
+    docs.select(col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .withColumn("bpe_len", size(split(trim(symFinal), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("bpe_len")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 2000000 + n_words) div (n_words * 2)").as("tokens_per_word_ppm"))
+  }
+
+  /** 8 trained merges over the documents corpus. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(Tables.documents(spark, dir), numMerges = 8)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => ((i + 1).toLong, a, b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Per-language BPE compression under the 8 trained merges. */
+  def qBpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeTokenStats(docs, bpeTrainMerges(docs, numMerges = 8).map { case (a, b, _) => (a, b) })
+      .orderBy("lang", "n_words", "n_bpe_tokens", "tokens_per_word_ppm")
+  }
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -72,6 +72,9 @@ object ExtQueries {
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
     "sample_epoch_order"    -> graft.operators.Sampling.qEpochOrder _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
+    "dedup_cdc"             -> Dedup.qCdcDedup _,
+    "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
+    "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
     "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
@@ -456,6 +459,35 @@ object ExtQueries {
        |ORDER BY s.lang, s.split, n_docs, n_chunks, n_tokens""".stripMargin
   }
 
+  /** Shared BPE merge-training chain — mirrors TextAnalysis.bpeTrainMerges
+    * round for round: word dictionary → adjacent-pair counts → argmax
+    * (count desc, lexicographic — binary collation, same as JVM compareTo
+    * for BMP text) → 4-pass literal-replace application (DuckDB `replace`
+    * and Java `String.replace` resume after the replacement identically).
+    * Emits b1..b{n} (the merges) and w{n} (the final dictionary, word
+    * identity carried through). */
+  private def bpeCtes(numMerges: Int = 8): String = {
+    val parts = Seq.newBuilder[String]
+    parts +=
+      """ws AS (SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents) GROUP BY word)""".stripMargin
+    parts += "w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym, cnt FROM ws)"
+    for (r <- 1 to numMerges) {
+      parts +=
+        s"""p$r AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT string_split(sym, ' ') AS s, cnt,
+           |          unnest(generate_series(1, len(string_split(sym, ' ')) - 1)) AS i
+           |        FROM w${r - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      parts += s"b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)"
+      val rep4 = (1 to 4).foldLeft("' ' || w.sym || ' '")((acc, _) =>
+        s"replace($acc, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')")
+      parts += s"w$r AS (SELECT w.word, trim($rep4) AS sym, w.cnt FROM w${r - 1} w, b$r m)"
+    }
+    parts.result().mkString(",\n")
+  }
+
   private val simhashSql: String =
     s"${simhashFpCte()}\nSELECT doc_id, simhash FROM fp ORDER BY doc_id, simhash"
 
@@ -570,6 +602,62 @@ object ExtQueries {
          |  UNION ALL SELECT '5_train', count(*) FROM spl WHERE split = 'train'
          |  UNION ALL SELECT '6_test', count(*) FROM spl WHERE split = 'test')
          |ORDER BY stage, n_docs""".stripMargin,
+
+    "text_bpe_merges" -> {
+      val arms = (1 to 8).map(r =>
+        s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtes(8)}
+         |SELECT merge_rank, lhs, rhs, pair_count FROM (
+         |$arms)
+         |ORDER BY merge_rank, lhs, rhs, pair_count""".stripMargin
+    },
+
+    "text_bpe_stats" ->
+      s"""WITH ${bpeCtes(8)},
+         |lw AS (SELECT lang, word, count(*) AS n FROM (
+         |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents) GROUP BY 1, 2),
+         |bl AS (SELECT word, len(string_split(sym, ' ')) AS bpe_len FROM w8),
+         |agg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * bpe_len) AS BIGINT) AS n_bpe_tokens
+         |  FROM lw JOIN bl USING (word) GROUP BY lang)
+         |SELECT lang, n_words, n_bpe_tokens,
+         |  (n_bpe_tokens * 2000000 + n_words) // (n_words * 2) AS tokens_per_word_ppm
+         |FROM agg
+         |ORDER BY lang, n_words, n_bpe_tokens, tokens_per_word_ppm""".stripMargin,
+
+    "dedup_cdc" -> {
+      // boundary hash: 8-hex-digit md5 value of the trailing 4-token
+      // window — mirrors Dedup.cdcChunks (hexVal8, w=4, m=16)
+      val md5g = "md5(t[i-3] || ' ' || t[i-2] || ' ' || t[i-1] || ' ' || t[i])"
+      val h8 = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($md5g, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |            FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |        FROM tk WHERE len(t) >= 1),
+         |bnd AS (SELECT doc_id, i, t[i] AS token,
+         |  CASE WHEN i >= 4 THEN ($h8) % 16 = 0 ELSE FALSE END AS boundary
+         |  FROM pos),
+         |ch AS (SELECT doc_id, i, token,
+         |  coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |  FROM bnd),
+         |chunks AS (SELECT doc_id, chunk_idx, count(*) AS n_chunk_tokens,
+         |    md5(string_agg(token, ' ' ORDER BY i)) AS chunk_hash
+         |  FROM ch GROUP BY doc_id, chunk_idx),
+         |occ AS (SELECT chunk_hash, count(*) AS n_occur FROM chunks GROUP BY 1)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN o.n_occur >= 2 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS n_dup_tokens
+         |FROM chunks c JOIN occ o USING (chunk_hash)
+         |GROUP BY c.doc_id
+         |ORDER BY doc_id, n_chunks, n_tokens, n_dup_tokens""".stripMargin
+    },
 
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

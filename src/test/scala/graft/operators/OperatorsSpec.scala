@@ -357,6 +357,54 @@ class OperatorsSpec extends AnyFunSuite {
       .digest("ab cd".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("BPE training: the textbook merge sequence on the low/lower/lowest corpus") {
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, numMerges = 5)
+    // pair counts round 1: (l,o)=5, (o,w)=5, rest smaller — lexicographic
+    // tie-break picks (l,o); then the chain collapses "low" and extends it
+    assert(merges == Seq(
+      ("l", "o", 5L),
+      ("lo", "w", 5L),
+      ("low", "</w>", 3L),
+      ("low", "e", 2L),
+      ("lowe", "r", 1L)), merges.toString)
+
+    // token stats: with enough merges, "low" becomes ONE token
+    val stats = TextAnalysis.bpeTokenStats(
+      Seq((1L, "low low low", "en")).toDF("doc_id", "text", "lang"),
+      Seq(("l", "o"), ("lo", "w"), ("low", "</w>")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stats == Seq(("en", 3L, 3L)), stats.toString)
+  }
+
+  test("CDC chunking: boundaries are content-defined, so an insertion only perturbs its own chunk") {
+    // a long synthetic doc (deterministic tokens) and a copy with ONE
+    // token inserted near the front — fixed-stride chunking would shift
+    // every downstream chunk; CDC must keep most chunk hashes identical
+    val words = (1 to 400).map(i => s"tok${i * 7 % 97}x$i")
+    val original = (1L, words.mkString(" "))
+    val edited = (2L, (words.take(5) ++ Seq("INSERTED") ++ words.drop(5)).mkString(" "))
+    val docs = Seq(original, edited).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, w = 4, m = 16).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (h1 & h2).size
+    assert(shared >= (h1.size * 2) / 3,
+      s"most chunks must survive a front insertion: ${shared}/${h1.size} shared")
+    assert(h1 != h2, "the edited chunk itself must differ")
+
+    // dup report: two identical docs → every token in dup chunks;
+    // a unique doc → zero dup tokens
+    val dup = Dedup.cdcDupReport(Seq(
+      (1L, words.mkString(" ")), (2L, words.mkString(" ")),
+      (3L, (1 to 100).map(i => s"uniq$i").mkString(" "))).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(dup(1L)._1 == 400L && dup(1L)._2 == 400L)
+    assert(dup(2L)._2 == 400L)
+    assert(dup(3L)._2 == 0L)
+  }
+
   test("multimodal: stub decode checksum equals exact byte sum") {
     val media = Multimodal.mediaTable(docs)
     val feats = Multimodal.decodeFeatures(media, dim = 8).collect()
