@@ -33,7 +33,8 @@ import scala.collection.mutable
   *     calls
   *   - builtins: `JSON.stringify/parse`, `Math.floor/ceil/abs/min/max/
   *     round/pow/sqrt/trunc/sign`, `Object.keys/values/entries`,
-  *     `String/Number/parseInt/parseFloat/isNaN`, string methods
+  *     `String/Number/parseInt/parseFloat/isNaN` — all usable as VALUES
+  *     too (`arr.map(Number)`, `var f = Math.floor`), string methods
   *     (`split`, `substring`, `slice`, `indexOf`, `includes`, `charAt`,
   *     `charCodeAt`, `toLowerCase`, `toUpperCase`, `trim`, `concat`,
   *     `startsWith`, `endsWith`, `replace`), array methods (`push`, `pop`,
@@ -96,6 +97,9 @@ object JsMini {
   case object VUndef extends V
   /** A function value (function/arrow literal) closing over its scope. */
   final case class VFunc(params: List[String], body: List[Stmt], closure: Scope) extends V
+  /** A builtin referenced as a VALUE — `arr.map(Number)`,
+    * `var f = Math.floor` — dispatched by name at call time. */
+  final case class VNative(name: String) extends V
 
   /** A lexical scope: `var` declarations land in the innermost function
     * scope; assignment walks outward to the owning scope (closures share
@@ -717,7 +721,7 @@ object JsMini {
         case UndefLit => VUndef
         case Ident(name) =>
           scope.lookup(name).getOrElse(
-            if (name == "JSON" || name == "Math" || name == "Object") VStr(s"<builtin:$name>")
+            if (builtinNamespaces(name) || builtinFunctions(name)) VNative(name)
             else throw new JsError(s"undefined identifier: $name"))
         case Member(obj, name) => member(eval(obj, scope), name)
         case Index(obj, idx) => indexGet(eval(obj, scope), eval(idx, scope))
@@ -761,76 +765,80 @@ object JsMini {
     }
 
     private def call(c: Call, scope: Scope): V = c.callee match {
-      case Member(Ident("JSON"), m) if scope.lookup("JSON").isEmpty =>
-        val args = c.args.map(eval(_, scope))
-        m match {
-          case "stringify" => VStr(stringify(args.headOption.getOrElse(VUndef)))
-          case "parse" => parseJson(str(args.headOption.getOrElse(VUndef), "JSON.parse argument"))
-          case other => throw new JsError(s"unsupported JSON.$other")
-        }
-      case Member(Ident("Math"), m) if scope.lookup("Math").isEmpty =>
-        val args = c.args.map(e => toNum(eval(e, scope)))
-        m match {
-          case "floor" => VNum(math.floor(args.head))
-          case "ceil" => VNum(math.ceil(args.head))
-          case "abs" => VNum(math.abs(args.head))
-          case "round" => VNum(math.floor(args.head + 0.5)) // JS rounds half-up toward +inf
-          case "sqrt" => VNum(math.sqrt(args.head))
-          case "pow" => VNum(math.pow(args.head, args(1)))
-          case "trunc" => VNum(if (args.head < 0) math.ceil(args.head) else math.floor(args.head))
-          case "sign" => VNum(math.signum(args.head))
-          case "min" => VNum(if (args.isEmpty) Double.PositiveInfinity else args.min)
-          case "max" => VNum(if (args.isEmpty) Double.NegativeInfinity else args.max)
-          case other => throw new JsError(s"unsupported Math.$other")
-        }
-      case Member(Ident("Object"), m) if scope.lookup("Object").isEmpty =>
-        val args = c.args.map(eval(_, scope))
-        (m, args.headOption) match {
-          case ("keys", Some(VObj(fields))) => VArr.from(fields.keysIterator.map(VStr(_)))
-          case ("values", Some(VObj(fields))) => VArr.from(fields.valuesIterator)
-          case ("entries", Some(VObj(fields))) =>
-            VArr.from(fields.iterator.map { case (k, v) => VArr.of(VStr(k), v) })
-          case _ => throw new JsError(s"unsupported Object.$m or non-object argument")
-        }
+      // fast paths for unshadowed builtin namespaces and globals
+      case Member(Ident(ns), m) if builtinNamespaces(ns) && scope.lookup(ns).isEmpty =>
+        applyBuiltin(s"$ns.$m", c.args.map(eval(_, scope)))
       case Member(objExpr, m) =>
         val obj = eval(objExpr, scope)
         val args = c.args.map(eval(_, scope))
         method(obj, m, args)
       case Ident(fn) if scope.lookup(fn).isEmpty =>
-        val args = c.args.map(eval(_, scope))
-        fn match {
-          case "String" => VStr(jsString(args.headOption.getOrElse(VUndef)))
-          case "Number" => VNum(toNum(args.headOption.getOrElse(VUndef)))
-          case "parseInt" =>
-            val s = jsString(args.head).trim
-            val radix = args.lift(1).map(toNum(_).toInt).filter(_ != 0).getOrElse(10)
-            val neg = s.startsWith("-")
-            val body = (if (neg || s.startsWith("+")) s.drop(1) else s)
-              .takeWhile(c => Character.digit(c, radix) >= 0)
-            if (body.isEmpty) VNum(Double.NaN)
-            else {
-              // Past Long range, JS returns the approximate double.
-              val mag =
-                try java.lang.Long.parseLong(body, radix).toDouble
-                catch { case _: NumberFormatException => BigInt(body, radix).toDouble }
-              VNum((if (neg) -1 else 1) * mag)
-            }
-          case "parseFloat" =>
-            val s = jsString(args.head).trim
-            val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
-            m.map(x => VNum(x.toDouble)).getOrElse(VNum(Double.NaN))
-          case "isNaN" => VBool(toNum(args.headOption.getOrElse(VUndef)).isNaN)
-          case other => throw new JsError(s"unsupported function: $other")
-        }
+        applyBuiltin(fn, c.args.map(eval(_, scope)))
       case calleeExpr =>
-        eval(calleeExpr, scope) match {
-          case f: VFunc => callUser(f, c.args.map(eval(_, scope)))
-          case other => throw new JsError(s"cannot call ${typeName(other)}")
-        }
+        callAny(eval(calleeExpr, scope), c.args.map(eval(_, scope)))
     }
 
-    private def fnArg(args: List[V], what: String): VFunc = args.headOption match {
+    /** Invoke any callable value — a user function or a builtin value. */
+    private def callAny(f: V, args: List[V]): V = f match {
+      case vf: VFunc => callUser(vf, args)
+      case VNative(name) => applyBuiltin(name, args)
+      case other => throw new JsError(s"cannot call ${typeName(other)}")
+    }
+
+    private def applyBuiltin(name: String, args: List[V]): V = name match {
+      case "JSON.stringify" => VStr(stringify(args.headOption.getOrElse(VUndef)))
+      case "JSON.parse" =>
+        parseJson(str(args.headOption.getOrElse(VUndef), "JSON.parse argument"))
+      case "Object.keys" | "Object.values" | "Object.entries" =>
+        (name, args.headOption) match {
+          case ("Object.keys", Some(VObj(fields))) => VArr.from(fields.keysIterator.map(VStr(_)))
+          case ("Object.values", Some(VObj(fields))) => VArr.from(fields.valuesIterator)
+          case ("Object.entries", Some(VObj(fields))) =>
+            VArr.from(fields.iterator.map { case (k, v) => VArr.of(VStr(k), v) })
+          case _ => throw new JsError(s"unsupported $name or non-object argument")
+        }
+      case _ if name.startsWith("Math.") =>
+        val n = args.map(toNum)
+        name.substring(5) match {
+          case "floor" => VNum(math.floor(n.head))
+          case "ceil" => VNum(math.ceil(n.head))
+          case "abs" => VNum(math.abs(n.head))
+          case "round" => VNum(math.floor(n.head + 0.5)) // JS rounds half-up toward +inf
+          case "sqrt" => VNum(math.sqrt(n.head))
+          case "pow" => VNum(math.pow(n.head, n(1)))
+          case "trunc" => VNum(if (n.head < 0) math.ceil(n.head) else math.floor(n.head))
+          case "sign" => VNum(math.signum(n.head))
+          case "min" => VNum(if (n.isEmpty) Double.PositiveInfinity else n.min)
+          case "max" => VNum(if (n.isEmpty) Double.NegativeInfinity else n.max)
+          case other => throw new JsError(s"unsupported Math.$other")
+        }
+      case "String" => VStr(jsString(args.headOption.getOrElse(VUndef)))
+      case "Number" => VNum(toNum(args.headOption.getOrElse(VUndef)))
+      case "parseInt" =>
+        val s = jsString(args.head).trim
+        val radix = args.lift(1).map(toNum(_).toInt).filter(_ != 0).getOrElse(10)
+        val neg = s.startsWith("-")
+        val body = (if (neg || s.startsWith("+")) s.drop(1) else s)
+          .takeWhile(c => Character.digit(c, radix) >= 0)
+        if (body.isEmpty) VNum(Double.NaN)
+        else {
+          // Past Long range, JS returns the approximate double.
+          val mag =
+            try java.lang.Long.parseLong(body, radix).toDouble
+            catch { case _: NumberFormatException => BigInt(body, radix).toDouble }
+          VNum((if (neg) -1 else 1) * mag)
+        }
+      case "parseFloat" =>
+        val s = jsString(args.head).trim
+        val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
+        m.map(x => VNum(x.toDouble)).getOrElse(VNum(Double.NaN))
+      case "isNaN" => VBool(toNum(args.headOption.getOrElse(VUndef)).isNaN)
+      case other => throw new JsError(s"unsupported function: $other")
+    }
+
+    private def fnArg(args: List[V], what: String): V = args.headOption match {
       case Some(f: VFunc) => f
+      case Some(n: VNative) => n
       case _ => throw new JsError(s"$what requires a function argument")
     }
 
@@ -913,7 +921,7 @@ object JsMini {
         val n = items.length
         val out = new mutable.ArrayBuffer[V](n)
         var i = 0
-        while (i < n) { out += callUser(f, List(items(i), VNum(i), arr)); i += 1 }
+        while (i < n) { out += callAny(f, List(items(i), VNum(i), arr)); i += 1 }
         VArr(out)
       case (arr @ VArr(items), "filter") =>
         val f = fnArg(args, "filter")
@@ -922,7 +930,7 @@ object JsMini {
         var i = 0
         while (i < n) {
           val v = items(i)
-          if (truthy(callUser(f, List(v, VNum(i), arr)))) out += v
+          if (truthy(callAny(f, List(v, VNum(i), arr)))) out += v
           i += 1
         }
         VArr(out)
@@ -937,13 +945,13 @@ object JsMini {
             items(0)
         }
         val n = items.length
-        while (i < n) { acc = callUser(f, List(acc, items(i), VNum(i), arr)); i += 1 }
+        while (i < n) { acc = callAny(f, List(acc, items(i), VNum(i), arr)); i += 1 }
         acc
       case (arr @ VArr(items), "forEach") =>
         val f = fnArg(args, "forEach")
         val n = items.length
         var i = 0
-        while (i < n) { callUser(f, List(items(i), VNum(i), arr)); i += 1 }
+        while (i < n) { callAny(f, List(items(i), VNum(i), arr)); i += 1 }
         VUndef
       case (arr @ VArr(items), "some") =>
         val f = fnArg(args, "some")
@@ -951,7 +959,7 @@ object JsMini {
         var i = 0
         var found = false
         while (!found && i < n) {
-          found = truthy(callUser(f, List(items(i), VNum(i), arr)))
+          found = truthy(callAny(f, List(items(i), VNum(i), arr)))
           i += 1
         }
         VBool(found)
@@ -961,7 +969,7 @@ object JsMini {
         var i = 0
         var all = true
         while (all && i < n) {
-          all = truthy(callUser(f, List(items(i), VNum(i), arr)))
+          all = truthy(callAny(f, List(items(i), VNum(i), arr)))
           i += 1
         }
         VBool(all)
@@ -971,14 +979,14 @@ object JsMini {
         var i = 0
         while (i < n) {
           val v = items(i)
-          if (truthy(callUser(f, List(v, VNum(i), arr)))) return v
+          if (truthy(callAny(f, List(v, VNum(i), arr)))) return v
           i += 1
         }
         VUndef
       case (arr @ VArr(items), "sort") =>
         val sorted = args.headOption match {
-          case Some(f: VFunc) =>
-            try items.toVector.sortWith((a, b) => toNum(callUser(f, List(a, b))) < 0)
+          case Some(f @ (_: VFunc | _: VNative)) =>
+            try items.toVector.sortWith((a, b) => toNum(callAny(f, List(a, b))) < 0)
             catch {
               case e: IllegalArgumentException if !e.isInstanceOf[JsError] =>
                 throw new JsError("inconsistent sort comparator")
@@ -1004,9 +1012,16 @@ object JsMini {
     }
   }
 
+  /** Unshadowable-by-default builtin namespaces and global functions —
+    * a user variable of the same name shadows them (checked at the call
+    * and identifier sites). */
+  private val builtinNamespaces = Set("JSON", "Math", "Object")
+  private val builtinFunctions = Set("String", "Number", "parseInt", "parseFloat", "isNaN")
+
   private def member(v: V, name: String): V = (v, name) match {
     case (VStr(s), "length") => VNum(s.length.toDouble)
     case (VArr(items), "length") => VNum(items.length.toDouble)
+    case (VNative(ns), _) if builtinNamespaces(ns) => VNative(s"$ns.$name")
     case (o: VObj, _) => o.get(name)
     case _ => VUndef
   }
@@ -1060,6 +1075,7 @@ object JsMini {
     case (a: VObj, b: VObj) => a eq b
     case (a: VArr, b: VArr) => a eq b
     case (a: VFunc, b: VFunc) => a eq b
+    case (VNative(a), VNative(b)) => a == b // same builtin = same object in JS
     case _ => false
   }
 
@@ -1111,7 +1127,7 @@ object JsMini {
       case VNull | VUndef => ""
       case x => jsString(x)
     }.mkString(",")
-    case _: VFunc => "function"
+    case _: VFunc | _: VNative => "function"
     case _: VObj => "[object Object]"
   }
 
@@ -1126,7 +1142,7 @@ object JsMini {
     case _: VBool => "boolean"
     case _: VArr => "array"
     case _: VObj => "object"
-    case _: VFunc => "function"
+    case _: VFunc | _: VNative => "function"
     case VNull => "null"
     case VUndef => "undefined"
   }
@@ -1141,11 +1157,12 @@ object JsMini {
     case VStr(s) => quote(s)
     case VBool(b) => b.toString
     case VNull | VUndef => "null"
-    case _: VFunc => "null"
+    case _: VFunc | _: VNative => "null"
     case VArr(items) => items.map(stringify).mkString("[", ",", "]")
     case VObj(fields) =>
       fields.iterator.collect {
-        case (k, value) if value != VUndef && !value.isInstanceOf[VFunc] =>
+        case (k, value) if value != VUndef &&
+            !value.isInstanceOf[VFunc] && !value.isInstanceOf[VNative] =>
           quote(k) + ":" + stringify(value)
       }.mkString("{", ",", "}")
   }

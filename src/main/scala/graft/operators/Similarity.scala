@@ -903,6 +903,49 @@ object Similarity {
       .withColumnRenamed("cos_sim", "adc_sim")
       .orderBy("query_id", "neighbor_id", "adc_sim")
 
+  /** Hard-negative mining for contrastive/retrieval training data: per
+    * query, the top-k most-similar candidates whose cosine stays BELOW
+    * `maxCos` — close enough to be confusable (that's what makes the
+    * negative hard), but under the near-dup ceiling that would make it a
+    * false negative / disguised positive. Routed through the IVF cells
+    * (query-side `nprobe` controls the recall/cost trade, candidates
+    * never all-pairs, cells partition candidates so multi-probe needs no
+    * dedup), filtered before the bounded-heap top-k — the scan shape is
+    * exactly [[ivfTopK]]'s. */
+  def hardNegatives(vectors: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, maxCos: Double = 0.95, numCentroids: Int = 8,
+      kmeansIters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCollected(vectors, numCentroids, kmeansIters)
+    val scored = cents.map { case (id, cv, cn) =>
+      struct(
+        cosineWithNorms(dot(col("qv"), typedLit(cv)), col("qn"), lit(cn)).as("csim"),
+        lit(-id).as("negc"))
+    }
+    val q = vectors.filter(queryPred)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("cells", slice(sort_array(array(scored: _*), asc = false), 1, nprobe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells")).as("cell"))
+      .withColumn("centroid_id", (-col("cell.negc")).cast("long"))
+      .drop("cell")
+    val cand = assignByCentroids(vectors, cents)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("centroid_id"))
+    val s = cand.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+      .filter(col("sim") < maxCos)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    topKPerQuery(s, k)
+  }
+
+  /** Top-5 hard negatives (cos < 0.95) for queries vec_id < 10, two
+    * probed cells. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
+
   /** Residual IVF-PQ ANN: same routing as qIvfPqAnn but codes quantize
     * the within-cell residual (IVFADC); queries vec_id in [10, 20),
     * top-3 within the probed cell. */

@@ -33,6 +33,7 @@ object ExtQueries {
     "dedup_semantic"        -> Similarity.qSemanticDedup _,
     "ann_ivfpq"             -> Similarity.qIvfPqAnn _,
     "ann_ivfpq_res"         -> Similarity.qIvfPqResAnn _,
+    "ann_hard_negatives"    -> Similarity.qHardNegatives _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
@@ -747,6 +748,23 @@ object ExtQueries {
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqAdcSim()} DESC, c.vec_id) <= 3)
          |ORDER BY query_id, neighbor_id, adc_sim""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |q0 AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+         |qc AS (SELECT q.query_id, q.qv, c.centroid_id FROM q0 q, cent2 c
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) <= 2)
+         |SELECT query_id, neighbor_id, cos_sim FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(a.vec, q.qv), 4) AS cos_sim
+         |  FROM asg2 a JOIN qc q USING (centroid_id)
+         |  WHERE a.vec_id <> q.query_id
+         |    AND list_cosine_similarity(a.vec, q.qv) < 0.95
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) <= 5)
+         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
 
     "ann_ivfpq_res" ->
       s"""WITH $vecCte,

@@ -215,6 +215,19 @@ class JsMiniSpec extends AnyFunSuite {
     assert(expr("Object.values({a: 1, b: 2}).reduce((x, y) => x + y)") == VNum(3))
   }
 
+  test("builtins are first-class values: map(Number), map(Math.floor), var f = parseInt") {
+    assert(expr("['1', '2', '3'].map(Number).reduce((a, b) => a + b)") == VNum(6))
+    assert(expr("[1.7, 2.3].map(Math.floor).join(',')") == VStr("1,2"))
+    val code =
+      """(function(o) {
+        |  var f = parseInt;
+        |  return f('42x') + o.values.map(Number).length;
+        |})""".stripMargin
+    assert(callFunction(parseFunction(code),
+      VObj.of("values" -> VArr.of(VStr("1"), VStr("2")))) == VNum(44))
+    assert(expr("Number === Number") == VBool(true))
+  }
+
   test("named function expressions can recurse; runaway recursion is a JsError") {
     val fact =
       """(function(o) {
