@@ -174,4 +174,42 @@ class PlanSpec extends AnyFunSuite {
     assert(r.broadcastJoins >= 1, r.planString)
     assert(r.sortMergeJoins == 0, r.planString)
   }
+
+  test("CDC chunking: no joins at all until the dup report; scans pruned") {
+    val chunks = PlanAudit.audit(
+      graft.operators.Dedup.cdcChunks(Tables.documents(spark, sf)))
+    assert(chunks.nestedLoopJoins == 0, chunks.planString)
+    assert(chunks.sortMergeJoins == 0 && chunks.broadcastJoins == 0,
+      "chunking itself is join-free: " + chunks.planString)
+    assert(chunks.scanColumns.toSet == Set("doc_id", "text"), chunks.scans)
+    val report = PlanAudit.audit(
+      graft.operators.Dedup.cdcDupReport(Tables.documents(spark, sf)))
+    assert(report.nestedLoopJoins == 0, report.planString)
+  }
+
+  test("hard-negative mining: probe set broadcast, candidates never all-pairs") {
+    val r = PlanAudit.audit(graft.operators.Similarity.hardNegatives(
+      Tables.embeddings(spark, sf),
+      queryPred = org.apache.spark.sql.functions.col("vec_id") < 10))
+    assert(r.broadcastJoins >= 1, r.planString)
+    assert(r.nestedLoopJoins == 0, r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+  }
+
+  test("BPE word table: one aggregate over a pruned text scan") {
+    val r = PlanAudit.audit(
+      graft.operators.TextAnalysis.bpeWordTable(Tables.documents(spark, sf)))
+    assert(r.nestedLoopJoins == 0 && r.sortMergeJoins == 0, r.planString)
+    assert(r.scanColumns.toSet == Set("text"), r.scans)
+  }
+
+  test("residual IVF-PQ search: codes never sort-merge; probe rows broadcast") {
+    val r = PlanAudit.audit(graft.operators.Similarity.ivfPqResidualTopK(
+      Tables.embeddings(spark, sf),
+      queryPred = org.apache.spark.sql.functions.col("vec_id") < 5, k = 3,
+      ks = 16))
+    assert(r.sortMergeJoins == 0, r.planString)
+    assert(r.broadcastJoins >= 1, r.planString)
+    assert(r.nestedLoopJoins == 0, r.planString)
+  }
 }

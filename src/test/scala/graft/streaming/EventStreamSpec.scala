@@ -109,6 +109,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourly agg restart: window state recovers from checkpoint, sink stays exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-agg")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def start() = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema).parquet(in)
+      EventStream.hourlyCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // before the stop: hour-10 events build WINDOW STATE but emit nothing
+    // (watermark hasn't passed 11:00)
+    Seq(Event(1, tsH(10, 5), 1, "click", 1.0), Event(2, tsH(10, 55), 2, "click", 2.0))
+      .toDF().write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // after restart: late files advance the watermark; the hour-10 window
+    // must emit WITH THE PRE-RESTART COUNT — that count only exists if the
+    // state store recovered from the checkpoint
+    Seq(Event(3, tsH(15, 0), 1, "buy", 1.0)).toDF().write.mode("append").parquet(in)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      Seq(Event(4, tsH(15, 1), 1, "buy", 1.0)).toDF().write.mode("append").parquet(in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("2024-01-01 10:00", "click", 2L)),
+      s"exactly ONE emission of the recovered hour-10 window: $rows")
+  }
+
   test("dedup state evicts ids behind the watermark (progress metrics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
