@@ -524,6 +524,50 @@ object TextAnalysis {
       qs = Seq((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")), scale = 100)
       .orderBy("event_type", "p50", "p95", "p99")
 
+  // ---- hashed linear classifier scoring ----------------------------------
+
+  /** Apply a linear classifier over HASHED bag-of-words features — the
+    * fastText-style "score every document with a trained quality/domain
+    * model" pass. Each token hashes to one of `dim` buckets (md5-derived,
+    * engine-portable); the model is a `dim`-long weight vector riding as
+    * plan literals; the doc score is the exact integer sum of its tokens'
+    * bucket weights (ppm fixed point — no float accumulation, no libm).
+    * One explode + one hash aggregate: scoring cost is the token scan,
+    * at any corpus size. A real deployment swaps `weights` for its
+    * trained vector (ppm-quantized); nothing else changes.
+    * Returns (doc_id, score_ppm, keep ∈ {0,1} for score ≥ 0). */
+  def hashedLinearScore(docs: DataFrame, weights: Seq[Long]): DataFrame = {
+    val dim = weights.length
+    require(dim >= 1, "need at least one weight bucket")
+    val wLit = typedLit(weights)
+    docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .withColumn("b",
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .select(col("doc_id"), element_at(wLit, col("b") + 1).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score_ppm"))
+      .select(col("doc_id"), col("score_ppm"),
+        when(col("score_ppm") >= 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** Deterministic demo weights in [-1e6, 1e6] ppm — md5("seed:j")-derived
+    * so the DuckDB oracle reproduces them digit for digit (stand-in for a
+    * trained vector). */
+  def demoWeights(dim: Int = 64, seed: String = "qw"): Seq[Long] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val h = digest.digest(s"$seed:$j".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 2000001L - 1000000L
+    }
+  }
+
+  /** Corpus scored under the 64-bucket demo model. */
+  def qHashClassifier(spark: SparkSession, dir: String): DataFrame =
+    hashedLinearScore(Tables.documents(spark, dir), demoWeights())
+      .orderBy("doc_id", "score_ppm", "keep")
+
   // ---- BPE merge training ------------------------------------------------
 
   /** Literal-replace passes per merge application: the DEFINED apply

@@ -75,6 +75,7 @@ object ExtQueries {
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
+    "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
@@ -603,6 +604,23 @@ object ExtQueries {
          |  UNION ALL SELECT '5_train', count(*) FROM spl WHERE split = 'train'
          |  UNION ALL SELECT '6_test', count(*) FROM spl WHERE split = 'test')
          |ORDER BY stage, n_docs""".stripMargin,
+
+    "text_hash_classifier" -> {
+      def h8(m: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH wt AS (SELECT j, ${h8("md5('qw:' || CAST(j AS VARCHAR))")} % 2000001 - 1000000 AS w
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |tb AS (SELECT doc_id, CAST(${h8("md5(token)")} % 64 AS BIGINT) AS j FROM tok)
+         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_ppm,
+         |  CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM tb JOIN wt USING (j)
+         |GROUP BY doc_id
+         |ORDER BY doc_id, score_ppm, keep""".stripMargin
+    },
 
     "text_bpe_merges" -> {
       val arms = (1 to 8).map(r =>

@@ -32,6 +32,37 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("span dedup under boilerplate skew: hot gram stays bounded") {
+    // one 8-gram carried by 50% of docs — the worst-case boilerplate
+    // distribution removeDuplicateSpans' scaladoc claims survives
+    val boiler = (1 to 8).map(i => s"terms$i").mkString(" ")
+    val docs = (1 to 200).map { i =>
+      val body = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$boiler $body" else body)
+    }.toDF("doc_id", "text").repartition(8)
+
+    val out = Dedup.removeDuplicateSpans(docs, k = 8)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // correctness under skew: every carrier loses exactly the 8-token
+    // run, every other doc is untouched
+    (1 to 200).foreach { i =>
+      val (nRemoved, clean) = rows(i.toLong)
+      if (i % 2 == 0) {
+        assert(nRemoved == 8L, s"doc $i: $nRemoved")
+        assert(!clean.contains("terms1"), s"doc $i kept boilerplate")
+      } else assert(nRemoved == 0L, s"doc $i: $nRemoved")
+    }
+    // boundedness: the dup-gram list is tiny (1 hot gram + nothing else),
+    // so AQE must broadcast it — the fat positional-gram side then never
+    // shuffles on g at all, which is what keeps the hot key out of any
+    // single task. The final adaptive plan must carry a broadcast join
+    // and no sort-merge join on the gram column.
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"dup-gram join should broadcast under AQE:\n$planStr")
+  }
+
   test("salting actually spreads the hot key over multiple tasks") {
     val perPartition = Skew.saltedCollect(skewed, Seq("k"), "v", salts = 4)
       .queryExecution // force a fresh plan (not cached)
