@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -567,6 +567,77 @@ object TextAnalysis {
   def qHashClassifier(spark: SparkSession, dir: String): DataFrame =
     hashedLinearScore(Tables.documents(spark, dir), demoWeights())
       .orderBy("doc_id", "score_ppm", "keep")
+
+  // ---- distributed classifier training -----------------------------------
+
+  /** Hashed bag-of-words features: one row per (doc, bucket) with the
+    * token count and the doc's ±1 label — the training frame for
+    * [[trainPerceptron]]. Docs with zero tokens carry no rows (they can
+    * never move a weight, and both engines agree on their exclusion). */
+  private def hashedFeatures(docs: DataFrame, label: Column, dim: Int): DataFrame =
+    docs.select(col("doc_id"), label.cast("long").as("y"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .withColumn("j",
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy("doc_id", "y", "j").agg(count(lit(1)).as("cnt"))
+
+  /** TRAIN the [[hashedLinearScore]] model distributed: batch perceptron
+    * over md5-hashed bag-of-words buckets. `label` must evaluate to ±1.
+    *
+    * Each iteration scores every doc under the current weights
+    * (s = Σ_j w_j·cnt_j), finds the misclassified set (y·s ≤ 0), and
+    * applies the BATCH update w_j += Σ_misclassified y·cnt_j. All
+    * arithmetic is exact integers and every update is an
+    * order-independent SUM, so training is deterministic on any engine,
+    * any partitioning — no SGD iteration-order dependence.
+    *
+    * Scale shape (the Lloyd's-k-means pattern): the feature frame is
+    * built ONCE, hash-partitioned by doc and cached; per iteration one
+    * partition-local window computes doc scores (no exchange — the
+    * partitioning is already doc_id), one O(dim) hash aggregate computes
+    * the update, and the driver holds only the O(dim) weight vector that
+    * rides back into the next plan as literals. Corpus-size work per
+    * iteration = one cached scan.
+    *
+    * Returns (weights after `iters` updates, misclassified count per
+    * iteration measured BEFORE that iteration's update). */
+  def trainPerceptron(docs: DataFrame, label: Column, dim: Int = 32,
+      iters: Int = 4): (Array[Long], Array[Long]) = {
+    require(dim >= 1 && iters >= 1, "need dim >= 1 and iters >= 1")
+    val feat = hashedFeatures(docs, label, dim)
+      .repartition(col("doc_id")).localCheckpoint()
+    val w = Array.fill(dim)(0L)
+    val errs = Array.fill(iters)(0L)
+    val byDoc = Window.partitionBy("doc_id")
+    for (t <- 0 until iters) {
+      val wLit = typedLit(w.toSeq)
+      val mis = feat
+        .withColumn("s", sum(element_at(wLit, col("j") + 1) * col("cnt")).over(byDoc))
+        .filter(col("y") * col("s") <= 0)
+      val upd = mis.groupBy("j")
+        .agg(sum(col("y") * col("cnt")).as("d")).collect()
+      // misclassified docs = distinct docs across buckets — counted from
+      // the same frame the update summed over (no drift between the two)
+      errs(t) = mis.select(count_distinct(col("doc_id"))).head().getLong(0)
+      upd.foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    (w, errs)
+  }
+
+  /** Train-then-score demo: a 32-bucket English-vs-rest perceptron,
+    * 4 batch iterations. Output: final weights (kind='w', k=bucket,
+    * v=weight) and the per-iteration misclassified counts (kind='err',
+    * k=iteration, v=count) — the learning curve the oracle replays
+    * exactly. */
+  def qTrainPerceptron(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, errs) = trainPerceptron(Tables.documents(spark, dir),
+      when(col("lang") === "en", 1L).otherwise(-1L), dim = 32, iters = 4)
+    (w.zipWithIndex.map { case (wj, j) => ("w", j.toLong, wj) } ++
+      errs.zipWithIndex.map { case (e, t) => ("err", (t + 1).toLong, e) })
+      .toSeq.toDF("kind", "k", "v")
+      .orderBy("kind", "k", "v")
+  }
 
   // ---- BPE merge training ------------------------------------------------
 

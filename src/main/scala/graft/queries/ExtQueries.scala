@@ -76,6 +76,7 @@ object ExtQueries {
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
     "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
+    "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
@@ -620,6 +621,44 @@ object ExtQueries {
          |FROM tb JOIN wt USING (j)
          |GROUP BY doc_id
          |ORDER BY doc_id, score_ppm, keep""".stripMargin
+    },
+
+    "text_perceptron" -> {
+      def h8(m: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      // iteration t: score under w_{t-1}, misclassified set m_t, updated
+      // weights w_t — exactly trainPerceptron's loop, unrolled
+      val iters = (2 to 4).map { t =>
+        s"""s$t AS (SELECT f.doc_id, f.y, sum(w${t - 1}.w * f.cnt) AS s
+           |  FROM feat f JOIN w${t - 1} USING (j) GROUP BY 1, 2),
+           |m$t AS (SELECT doc_id FROM s$t WHERE y * s <= 0),
+           |w$t AS (SELECT w${t - 1}.j, w${t - 1}.w + coalesce(d.d, 0) AS w FROM w${t - 1}
+           |  LEFT JOIN (SELECT f.j, sum(f.y * f.cnt) AS d FROM feat f
+           |             JOIN m$t USING (doc_id) GROUP BY f.j) d USING (j))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, y, CAST(${h8("md5(token)")} % 32 AS BIGINT) AS j,
+         |    count(*) AS cnt
+         |  FROM tok GROUP BY 1, 2, 3),
+         |buckets AS (SELECT unnest(generate_series(0, 31)) AS j),
+         |m1 AS (SELECT DISTINCT doc_id FROM feat),
+         |w1 AS (SELECT b.j, coalesce(d.d, 0) AS w FROM buckets b
+         |  LEFT JOIN (SELECT j, sum(y * cnt) AS d FROM feat GROUP BY j) d USING (j)),
+         |$iters
+         |SELECT kind, k, v FROM (
+         |  SELECT 'w' AS kind, j AS k, CAST(w AS BIGINT) AS v FROM w4
+         |  UNION ALL SELECT 'err', 1, (SELECT count(*) FROM m1)
+         |  UNION ALL SELECT 'err', 2, (SELECT count(*) FROM m2)
+         |  UNION ALL SELECT 'err', 3, (SELECT count(*) FROM m3)
+         |  UNION ALL SELECT 'err', 4, (SELECT count(*) FROM m4))
+         |ORDER BY kind, k, v""".stripMargin
     },
 
     "text_bpe_merges" -> {

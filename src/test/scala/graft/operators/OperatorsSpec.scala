@@ -501,4 +501,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(0) % 3 == 2))
     assert(frames.length == 1 && frames.head.getLong(1) == 0L)
   }
+
+  test("perceptron training separates a separable corpus and its weights " +
+      "reproduce through hashedLinearScore") {
+    // two disjoint vocabularies → linearly separable under any feature
+    // hashing (no bucket collisions across classes at dim=64 for these
+    // 8 tokens is not guaranteed, but separability only needs the CLASS
+    // SUMS to differ — verify empirically via the converged error count)
+    val corpus = Seq(
+      (0L, "good fine solid clean", "en", "s", 1L),
+      (1L, "good fine solid clean good", "en", "s", 1L),
+      (2L, "bad junk noise trash", "xx", "s", 1L),
+      (3L, "bad junk noise trash bad", "xx", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val (w, errs) = TextAnalysis.trainPerceptron(corpus, label, dim = 64, iters = 6)
+    // batch perceptron on separable data: errors hit 0 and stay there
+    assert(errs.last == 0L, s"did not converge: ${errs.toSeq}")
+    // the trained vector, applied via the inference operator, labels the
+    // training set perfectly (keep = 1 ⟺ score ≥ 0 ⟺ en here)
+    val scored = TextAnalysis.hashedLinearScore(corpus, w.toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored == Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L))
+    // determinism: same data, different partitioning → same weights
+    val (w2, _) = TextAnalysis.trainPerceptron(corpus.repartition(7), label,
+      dim = 64, iters = 6)
+    assert(w2.toSeq == w.toSeq)
+  }
 }
