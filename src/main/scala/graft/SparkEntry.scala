@@ -44,6 +44,7 @@ object SparkEntry {
     "q26_js_demo"      -> CoreQueries.q26JsDemo _,
     "q27_rolling"      -> CoreQueries.q27RollingWindow _,
     "q28_js_sum"       -> CoreQueries.q28JsSum _,
+    "q29_bloom_join"   -> CoreQueries.q29BloomJoin _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -220,5 +221,14 @@ object SparkEntry {
         |  CAST(sum(length(token)) AS BIGINT) AS total
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> '' GROUP BY 1, 2 ORDER BY pi, token, total""".stripMargin,
+
+    // The Bloom pruning is result-invisible (one-sided filter + exact
+    // join) — the oracle is the PLAIN join, which is the point.
+    "q29_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand, n_items, sum_qty""".stripMargin,
   ) ++ ExtQueries.oracleSql
 }

@@ -167,4 +167,32 @@ object Sketches {
     out.withColumn("maybe", hit)
       .drop((Seq("graft_bwords") ++ (0 until k).map(j => s"graft_p$j")): _*)
   }
+
+  /** Bloom-pruned equi-join — semi-join reduction for the case the
+    * broadcast-hash join can't cover: `small` is too WIDE to broadcast as
+    * rows, but its distinct KEY SET fits a fixed-KB Bloom filter. The
+    * filter built over `small`'s keys prunes `big` to probable matches
+    * BEFORE `big` shuffles for the join, so the exchange carries only
+    * rows that can survive (plus the filter's false-positive sliver —
+    * rate (1−e^(−k·n/m))^k); the join itself then removes false
+    * positives, making the RESULT exactly `big ⋈ small` — the Bloom is
+    * invisible in the output, only the shuffled bytes change. This is
+    * runtime-filter / sideways-information-passing semantics, stated as
+    * an explicit composable operator with engine-portable hashing.
+    *
+    * Scale shape: one O(distinct keys) aggregate builds the filter
+    * (`mBits/60` longs total), the probe is a zero-shuffle projection of
+    * plan-literal words onto `big`'s scan, and the only corpus-sized
+    * exchange left is the join's, over the pruned frame. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      k: Int = 4, mBits: Int = 4800): DataFrame = {
+    val bloom = bloomBuild(
+      small.select(col(key).cast("string").as("graft_bk")).distinct(), "graft_bk",
+      k, mBits)
+    val pruned = bloomProbe(
+        bloom, big.withColumn("graft_bk", col(key).cast("string")), "graft_bk",
+        k, mBits)
+      .filter(col("maybe")).drop("maybe", "graft_bk")
+    pruned.join(small, key)
+  }
 }

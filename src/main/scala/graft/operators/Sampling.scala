@@ -95,6 +95,61 @@ object Sampling {
       .drop("n_stratum", "n_min", "n_target")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — arXiv:2302.03169):
+    * weight every raw document by how much it looks like a TARGET domain,
+    * using hashed-token likelihood ratios, then keep rows by an
+    * importance-proportional deterministic draw.
+    *
+    * Features are md5-hashed token buckets (dim of them). Per bucket the
+    * +1-smoothed likelihood ratio of target vs raw token shares is
+    *   ratio = ((n_tgt + 1)·(N_raw + dim)) / ((n_raw + 1)·(N_tgt + dim))
+    * in exact ppm fixed point (DECIMAL(38,0) intermediates — the triple
+    * product overflows Long on a 100 TB token count). A document's weight
+    * is the MEAN ratio over its token occurrences (the log-free surrogate
+    * for DSIR's sum of log ratios — order-preserving per token, exact in
+    * integers, engine-portable), and the keep decision is the usual
+    * hash16 draw at probability min(1, weight/1e6) — deterministic,
+    * restart-stable, identical on every engine.
+    *
+    * Scale shape: one token scan builds the O(dim) distribution table
+    * (hash aggregate), the ratios broadcast back onto a second token
+    * scan, and one hash aggregate per doc finishes — no corpus shuffle
+    * beyond the per-doc aggregate, nothing driver-side but the O(dim)
+    * broadcast. Returns (doc_id, weight_ppm, keep ∈ {0,1}). */
+  def importanceWeights(docs: DataFrame, target: Column, dim: Int = 256,
+      salt: String = "dsir"): DataFrame = {
+    require(dim >= 1, "need at least one feature bucket")
+    val tok = docs.select(col("doc_id"), target.cast("boolean").as("tgt"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .withColumn("j",
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .select("doc_id", "tgt", "j")
+    val dist = tok.groupBy("j").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = dist.agg(sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
+    val ratios = dist.crossJoin(broadcast(totals))
+      .withColumn("ratio_ppm", expr(
+        s"((n_tgt + 1) * CAST(tot_raw + $dim AS DECIMAL(38,0)) * 1000000) div " +
+          s"((n_raw + 1) * CAST(tot_tgt + $dim AS DECIMAL(38,0)))"))
+      .select("j", "ratio_ppm")
+    tok.join(broadcast(ratios), "j")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("ratio_ppm").as("sum_ppm"))
+      .withColumn("weight_ppm", expr("sum_ppm div n_tok"))
+      .withColumn("keep",
+        when(hash16(salt, col("doc_id")) * 1000000L <
+          least(col("weight_ppm"), lit(1000000L)) * 65536L, 1L).otherwise(0L))
+      .select("doc_id", "weight_ppm", "keep")
+  }
+
+  /** English as the target domain: every doc importance-weighted by
+    * en-likeness of its (hashed) vocabulary, 256 buckets. */
+  def qImportanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeights(Tables.documents(spark, dir), col("lang") === "en")
+      .orderBy("doc_id", "weight_ppm", "keep")
+
   /** Pack documents into fixed-token-budget training sequences.
     *
     * Every doc gets a deterministic shard (so the sort below is bounded)

@@ -392,6 +392,24 @@ object CoreQueries {
       .orderBy("pi", "token", "total")
   }
 
+  /** Q29 — Bloom-pruned fact⋈dim join: lineitem quantities for the small
+    * parts (p_size ≤ 5), routed through [[graft.functions.Sketches
+    * .bloomPrunedJoin]] so the fact side is pre-filtered by the dim key
+    * Bloom BEFORE any join exchange. The Bloom never changes the result
+    * (one-sided; the join removes false positives), so the oracle is the
+    * plain SQL join — what this query locks is result-parity of the
+    * semi-join-reduction path itself. */
+  def q29BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val small = Tables.load(spark, dir, "part").filter(col("p_size") <= 5)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.functions.Sketches.bloomPrunedJoin(
+        Tables.lineitem(spark, dir), small, "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("p_brand", "n_items", "sum_qty")
+  }
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =

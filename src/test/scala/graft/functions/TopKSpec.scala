@@ -105,6 +105,31 @@ class TopKSpec extends AnyFunSuite {
     assert(fp <= 10, s"false-positive count $fp out of 500")
   }
 
+  test("bloom-pruned join equals the plain join and actually prunes") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val big = (0 until 2000).map(i => (i.toLong % 400, i.toLong)).toDF("k", "payload")
+    // selective dim: 20 of the 400 big-side key values
+    val small = (0 until 20).map(i => (i.toLong * 7, s"dim$i")).toDF("k", "attr")
+    val got = graft.functions.Sketches.bloomPrunedJoin(big, small, "k")
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, "k")
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == plain)           // the Bloom is invisible in the result
+    assert(plain.nonEmpty)
+    // and the pre-join filter really shrinks the fact side: probable
+    // matches ≈ 20/400 of rows plus a tiny false-positive sliver
+    val bloom = graft.functions.Sketches.bloomBuild(
+      small.select(col("k").cast("string").as("v")), "v")
+    val pruned = graft.functions.Sketches.bloomProbe(
+        bloom, big.withColumn("v", col("k").cast("string")), "v")
+      .filter(col("maybe")).count()
+    assert(pruned < 300, s"pruned side still has $pruned of 2000 rows")
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =

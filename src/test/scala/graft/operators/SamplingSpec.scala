@@ -151,4 +151,27 @@ class SamplingSpec extends AnyFunSuite {
     val covered = byDoc(2L).flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 100).map(i => s"x$i").toSet)
   }
+
+  test("importance weights rank target-vocabulary docs above off-target ones") {
+    // two disjoint vocabularies; target = the docs speaking vocabulary A
+    val docs = ((0 until 40).map(i => (i.toLong, "alpha beta gamma delta", true)) ++
+      (40 until 80).map(i => (i.toLong, "omega psi chi phi", false)) ++
+      // a mixed doc: half target-ish, half not
+      Seq((80L, "alpha beta omega psi", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.importanceWeights(docs, col("is_tgt"), dim = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pure-target vocab ≈ 2× share (target tokens are half the corpus) —
+    // strictly above the mixed doc, which is strictly above pure-off-target
+    assert(w(0L) > w(80L), s"target ${w(0L)} !> mixed ${w(80L)}")
+    assert(w(80L) > w(40L), s"mixed ${w(80L)} !> off-target ${w(40L)}")
+    // off-target weight lands below ratio parity (1e6 ppm), target above
+    // (absolute magnitudes are softened by the +dim smoothing, so only
+    // the parity side is asserted, not a specific ratio)
+    assert(w(40L) < 1000000L && w(0L) > 1000000L)
+    // deterministic under repartitioning
+    val w2 = Sampling.importanceWeights(docs.repartition(7), col("is_tgt"), dim = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2 == w)
+  }
 }
