@@ -89,15 +89,21 @@ object Sketches {
     * carries at most depth·width longs per task); estimating joins the
     * tiny query set against the cell table on the cell key. */
   def countMinCell(r: Int, width: Int, element: Column): Column =
-    conv(substring(md5(concat(lit(s"$r:"), element)), 1, 8), 16, 10)
-      .cast("long") % width
+    element_at(TextExpressions.md5Windows(element, s"${r / 4}:"), r % 4 + 1) % width
 
-  /** Build the (r, c, cnt) cell table of `valueCol` frequencies. */
+  /** Build the (r, c, cnt) cell table of `valueCol` frequencies. Hash
+    * rows share digests four-at-a-time ([[Md5Windows]] — one digest per
+    * ⌈depth/4⌉, no hex parse), so the standard depth=4 costs ONE md5 per
+    * element, the dominant per-row cost of the corpus scan. */
   def countMinSketch(df: DataFrame, valueCol: String, depth: Int = 4,
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2)
-    df.select(explode(array((0 until depth).map { r =>
-        struct(lit(r).as("r"), countMinCell(r, width, col(valueCol)).as("c"))
+    val wins = (0 until (depth + 3) / 4)
+      .map(g => TextExpressions.md5Windows(col(valueCol), s"$g:").as(s"graft_w$g"))
+    df.select(wins: _*)
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          (element_at(col(s"graft_w${r / 4}"), r % 4 + 1) % width).as("c"))
       }: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
@@ -111,8 +117,12 @@ object Sketches {
     * or funnels a large frame through the driver. */
   def countMinEstimate(cells: DataFrame, queries: DataFrame, queryCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    val probes = queries.select(col(queryCol), explode(array((0 until depth).map { r =>
-        struct(lit(r).as("r"), countMinCell(r, width, col(queryCol)).as("c"))
+    val wins = (0 until (depth + 3) / 4)
+      .map(g => TextExpressions.md5Windows(col(queryCol), s"$g:").as(s"graft_w$g"))
+    val probes = queries.select(col(queryCol) +: wins: _*)
+      .select(col(queryCol), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          (element_at(col(s"graft_w${r / 4}"), r % 4 + 1) % width).as("c"))
       }: _*)).as("rc"))
       .select(col(queryCol), col("rc.r").as("r"), col("rc.c").as("c"))
     probes.join(broadcast(cells), Seq("r", "c"))
@@ -131,41 +141,66 @@ object Sketches {
     * 100 TB, where the exact string set would be too big to broadcast:
     * one-sided (never misses a member; false-positive rate
     * ≈ (1 − e^(−k·n/m))^k). bit_or is order-insensitive ⇒ mergeable,
-    * streamable, oracle-reproducible. */
+    * streamable, oracle-reproducible.
+    *
+    * Hash budget: ONE md5 digest carries FOUR positions (its four 32-bit
+    * words, each a uniform draw — the native [[Md5Windows]] expression,
+    * value-identical to the hex-window idiom), so the per-row probe cost
+    * is ⌈k/4⌉ digests with no hex materialization, not k digests + k
+    * base-16 parses — at corpus scale the digest is the scan's dominant
+    * per-row cost, and k=4 (the standard depth) needs exactly one.
+    * Digest g of an element is salted `"g:"`. */
+  def bloomWindows(element: Column, g: Int): Column =
+    TextExpressions.md5Windows(element, s"$g:")
+
+  /** Position j from its digest's (already computed) window array. */
+  def bloomPosFromWindows(windows: Column, j: Int, mBits: Int): Column =
+    element_at(windows, j % 4 + 1) % mBits
+
+  /** Position j of an element (windows derived inline — prefer
+    * materializing [[bloomWindows]] once when several positions share
+    * one digest). */
   def bloomPos(element: Column, j: Int, mBits: Int): Column =
-    conv(substring(md5(concat(lit(s"$j:"), element)), 1, 8), 16, 10)
-      .cast("long") % mBits
+    bloomPosFromWindows(bloomWindows(element, j / 4), j, mBits)
 
   /** Build the (widx, word) filter table over `df(valueCol)`. */
   def bloomBuild(df: DataFrame, valueCol: String, k: Int = 4,
-      mBits: Int = 4800): DataFrame =
-    df.select(col(valueCol))
-      .withColumn("pos",
-        explode(array((0 until k).map(j => bloomPos(col(valueCol), j, mBits)): _*)))
+      mBits: Int = 4800): DataFrame = {
+    val wins = (0 until (k + 3) / 4)
+      .map(g => bloomWindows(col(valueCol), g).as(s"graft_w$g"))
+    df.select(col(valueCol)).select(col(valueCol) +: wins: _*)
+      .withColumn("pos", explode(array((0 until k).map(j =>
+        bloomPosFromWindows(col(s"graft_w${j / 4}"), j, mBits)): _*)))
       .withColumn("widx", expr("pos div 60"))
       .withColumn("bit", expr("CAST(pos % 60 AS INT)"))
       .groupBy("widx")
       .agg(expr("bit_or(shiftleft(1L, bit))").as("word"))
+  }
 
   /** Probe: every row of `df` gains a `maybe` flag — true iff ALL k of
     * `valueCol`'s bits are set (definitely-absent rows are false). The
     * filter's `mBits/60` words are COLLECTED into a plan-literal array
     * (O(KB) driver metadata, the same move as IVF's literal centroids),
     * so the probe is a narrow zero-shuffle projection — no explode, no
-    * join, no re-aggregation back to the input keys. */
+    * join, no re-aggregation back to the input keys; per-row cost is
+    * ⌈k/4⌉ md5 digests (materialized once, not per position). */
   def bloomProbe(bloom: DataFrame, df: DataFrame, valueCol: String, k: Int = 4,
       mBits: Int = 4800): DataFrame = {
     val words = Array.fill((mBits + 59) / 60)(0L)
     bloom.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     var out = df.withColumn("graft_bwords", typedLit(words.toSeq))
+    for (g <- 0 until (k + 3) / 4)
+      out = out.withColumn(s"graft_w$g", bloomWindows(col(valueCol), g))
     for (j <- 0 until k)
-      out = out.withColumn(s"graft_p$j", bloomPos(col(valueCol), j, mBits))
+      out = out.withColumn(s"graft_p$j",
+        bloomPosFromWindows(col(s"graft_w${j / 4}"), j, mBits))
     val hit = (0 until k)
       .map(j => expr(s"(element_at(graft_bwords, CAST(graft_p$j div 60 AS INT) + 1)" +
         s" & shiftleft(1L, CAST(graft_p$j % 60 AS INT))) <> 0"))
       .reduce(_ && _)
     out.withColumn("maybe", hit)
-      .drop((Seq("graft_bwords") ++ (0 until k).map(j => s"graft_p$j")): _*)
+      .drop((Seq("graft_bwords") ++ (0 until (k + 3) / 4).map(g => s"graft_w$g") ++
+        (0 until k).map(j => s"graft_p$j")): _*)
   }
 
   /** Bloom-pruned equi-join — semi-join reduction for the case the

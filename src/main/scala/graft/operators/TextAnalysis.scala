@@ -614,12 +614,18 @@ object TextAnalysis {
       val mis = feat
         .withColumn("s", sum(element_at(wLit, col("j") + 1) * col("cnt")).over(byDoc))
         .filter(col("y") * col("s") <= 0)
-      val upd = mis.groupBy("j")
-        .agg(sum(col("y") * col("cnt")).as("d")).collect()
-      // misclassified docs = distinct docs across buckets — counted from
-      // the same frame the update summed over (no drift between the two)
-      errs(t) = mis.select(count_distinct(col("doc_id"))).head().getLong(0)
-      upd.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      // ONE action per iteration: rollup fuses the per-bucket update rows
+      // with the global arm, whose distinct-doc count is the error count —
+      // measured on the same frame the update summed over, in the same job
+      // (a separate count action would recompute the scoring window)
+      mis.rollup("j")
+        .agg(sum(col("y") * col("cnt")).as("d"),
+          count_distinct(col("doc_id")).as("nd"))
+        .collect()
+        .foreach { r =>
+          if (r.isNullAt(0)) errs(t) = r.getLong(2)
+          else w(r.getInt(0)) += r.getLong(1)
+        }
     }
     (w, errs)
   }

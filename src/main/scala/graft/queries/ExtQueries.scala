@@ -1320,12 +1320,14 @@ object ExtQueries {
         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
 
     "text_contamination_bloom" -> {
-      // hexVal8(md5(j || ':' || shingle)) % 4800 — mirrors Sketches.bloomPos
+      // position j = hexVal8 of window j of ONE md5('0:' || shingle)
+      // (hex chars j·8+1 … j·8+8), % 4800 — mirrors Sketches.bloomDigest/
+      // bloomPosFromDigest (one digest carries all four positions)
       def hv(expr: String) = (1 to 8).map { p =>
         val mult = 1L << (4 * (8 - p))
-        s"(instr('0123456789abcdef', substr($expr, $p, 1)) - 1) * $mult"
+        s"(instr('0123456789abcdef', substr($expr, j * 8 + $p, 1)) - 1) * $mult"
       }.mkString("(", " + ", ")")
-      val posExpr = hv("md5(CAST(j AS VARCHAR) || ':' || shingle)") + " % 4800"
+      val posExpr = hv("md5('0:' || shingle)") + " % 4800"
       s"""WITH ${shingleCtes("documents")},
          |js(j) AS (VALUES (0), (1), (2), (3)),
          |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
@@ -1345,18 +1347,18 @@ object ExtQueries {
     },
 
     "text_countmin" -> {
-      // hexVal8 of md5(r || ':' || token), digit-wise (mirrors
-      // Sketches.countMinCell's conv(substring(md5, 1, 8), 16, 10))
+      // hash row r = hexVal8 of window r (hex chars r·8+1 … r·8+8) of ONE
+      // md5('0:' || token) — mirrors Sketches.countMinCell via Md5Windows
       val hv = (1 to 8).map { p =>
         val mult = 1L << (4 * (8 - p))
-        s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+        s"(instr('0123456789abcdef', substr(h, r * 8 + $p, 1)) - 1) * $mult"
       }.mkString(" + ")
       s"""WITH tok AS (SELECT token
          |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          |  WHERE token <> ''),
          |rc AS (SELECT token, r,
          |    ($hv) % 64 AS c
-         |  FROM (SELECT token, r, md5(CAST(r AS VARCHAR) || ':' || token) AS h
+         |  FROM (SELECT token, r, md5('0:' || token) AS h
          |        FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) t(r))),
          |cells AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY 1, 2),
          |exact AS (SELECT token, count(*) AS exact FROM tok GROUP BY 1),
