@@ -591,21 +591,27 @@ object TextAnalysis {
     * order-independent SUM, so training is deterministic on any engine,
     * any partitioning — no SGD iteration-order dependence.
     *
-    * Scale shape (the Lloyd's-k-means pattern): the feature frame is
-    * built ONCE, hash-partitioned by doc and cached; per iteration one
-    * partition-local window computes doc scores (no exchange — the
-    * partitioning is already doc_id), one O(dim) hash aggregate computes
-    * the update, and the driver holds only the O(dim) weight vector that
-    * rides back into the next plan as literals. Corpus-size work per
-    * iteration = one cached scan.
+    * Scale shape (the Lloyd's-k-means pattern): the COMPACT feature
+    * frame — one row per (doc, distinct bucket), far smaller than the
+    * token stream — is built ONCE and locally checkpointed; the corpus
+    * is never re-tokenized (PlanSpec-locked: iteration plans read the
+    * checkpoint RDD, no FileScan). Each iteration re-clusters that
+    * frame for its scoring window and runs one O(dim) rollup aggregate
+    * computing update + error count in a single job; the driver holds
+    * only the O(dim) weight vector that rides back into the next plan
+    * as literals. (Measured alternative: caching the frame
+    * pre-partitioned+sorted makes the window exchange-AND-sort-free,
+    * but the columnar cache decode costs more per iteration than
+    * re-shuffling the compact frame — 0.67 s vs 0.36 s per iteration
+    * at sf0.1 — so the checkpoint shape wins until the cluster's
+    * network, not CPU, is the binding constraint.)
     *
     * Returns (weights after `iters` updates, misclassified count per
     * iteration measured BEFORE that iteration's update). */
   def trainPerceptron(docs: DataFrame, label: Column, dim: Int = 32,
       iters: Int = 4): (Array[Long], Array[Long]) = {
     require(dim >= 1 && iters >= 1, "need dim >= 1 and iters >= 1")
-    val feat = hashedFeatures(docs, label, dim)
-      .repartition(col("doc_id")).localCheckpoint()
+    val feat = hashedFeatures(docs, label, dim).localCheckpoint()
     val w = Array.fill(dim)(0L)
     val errs = Array.fill(iters)(0L)
     val byDoc = Window.partitionBy("doc_id")
