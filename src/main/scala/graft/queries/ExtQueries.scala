@@ -90,6 +90,7 @@ object ExtQueries {
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
     "events_drift"          -> graft.operators.Anomaly.qEventDrift _,
+    "events_drift_windows"  -> graft.streaming.EventStream.qDriftWindows _,
   )
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
@@ -1707,6 +1708,35 @@ object ExtQueries {
         |  CAST(sum(inc_n) AS BIGINT) AS inc_rows,
         |  CAST(sum(abs(ref_ppm - inc_ppm)) AS BIGINT) AS l1_ppm
         |FROM j GROUP BY 1 ORDER BY event_type, ref_rows, inc_rows, l1_ppm""".stripMargin,
+
+    // the batch twin of EventStream.driftStream: per-hour windows vs the
+    // even-id reference histogram; l1 = Σ_win|win−ref| + (ref − Σ_win ref)
+    "events_drift_windows" ->
+      """WITH rb AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) // 100 AS bin,
+        |    count(*) AS n
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(n) AS tot FROM rb GROUP BY 1),
+        |refp AS (SELECT rb.event_type, bin,
+        |    CAST((n * 1000000) // tot AS BIGINT) AS ref_ppm
+        |  FROM rb JOIN rt USING (event_type)),
+        |refs AS (SELECT event_type, CAST(sum(ref_ppm) AS BIGINT) AS ref_sum
+        |  FROM refp GROUP BY 1),
+        |wb AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS win_s, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) // 100 AS bin, count(*) AS n
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2, 3),
+        |wt AS (SELECT win_s, event_type, sum(n) AS tot FROM wb GROUP BY 1, 2),
+        |j AS (SELECT wb.win_s, wb.event_type, wb.n, wt.tot,
+        |    coalesce(refp.ref_ppm, 0) AS rp
+        |  FROM wb JOIN wt USING (win_s, event_type)
+        |  LEFT JOIN refp ON refp.event_type = wb.event_type AND refp.bin = wb.bin),
+        |agg AS (SELECT win_s, event_type, CAST(sum(n) AS BIGINT) AS n_win,
+        |    CAST(sum(abs((n * 1000000) // tot - rp)) AS BIGINT) AS term1,
+        |    CAST(sum(rp) AS BIGINT) AS winref
+        |  FROM j GROUP BY 1, 2)
+        |SELECT win_s, agg.event_type, n_win,
+        |  CAST(term1 + coalesce(refs.ref_sum, 0) - winref AS BIGINT) AS l1_ppm
+        |FROM agg LEFT JOIN refs ON refs.event_type = agg.event_type
+        |ORDER BY win_s, agg.event_type, n_win, l1_ppm""".stripMargin,
 
     "events_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

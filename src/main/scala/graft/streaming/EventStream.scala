@@ -148,6 +148,98 @@ object EventStream {
     attributionBatch(Tables.events(spark, dir))
       .orderBy("user_id", "purchase_id", "n_clicks", "min_lag_us")
 
+  // ---- streaming drift monitor -------------------------------------------
+
+  /** Reference value-histogram in exact integer ppm, (group, bin,
+    * ref_ppm) — the frozen "known-good" distribution a live stream is
+    * judged against (same binning/ppm arithmetic as
+    * [[graft.operators.Anomaly.histogramDrift]]). O(groups · bins)
+    * rows — broadcastable. */
+  def referenceHistogram(ref: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", binCents: Long = 100L): DataFrame = {
+    require(binCents >= 1, "binCents must be positive")
+    val b = ref.groupBy(col(groupCol),
+        expr(s"floor($valueCol * 100) div $binCents").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val tot = b.groupBy(col(groupCol)).agg(sum(col("n")).as("tot"))
+    b.join(tot, groupCol)
+      .select(col(groupCol), col("bin"), expr("(n * 1000000) div tot").as("ref_ppm"))
+  }
+
+  /** Shared tail of the stream/batch drift twins, fed finalized
+    * (win, group, bin, n) rows: left-join the broadcast reference bins,
+    * collect the window's O(bins) histogram in ONE aggregate, and
+    * compute the exact-ppm L1 in a codegen'd projection —
+    * `l1 = Σ_win |win_ppm − ref_ppm| + (ref bins the window missed)`,
+    * the second term via ref_sum − Σ_win ref_ppm so ABSENT bins never
+    * need enumerating. A group unseen in the reference scores its full
+    * one-sided 1e6. */
+  private def driftFromBinned(binned: DataFrame, reference: DataFrame,
+      groupCol: String): DataFrame = {
+    val refTot = reference.groupBy(col(groupCol))
+      .agg(sum(col("ref_ppm")).as("ref_sum"))
+    binned
+      .join(broadcast(reference), Seq(groupCol, "bin"), "left_outer")
+      .groupBy(col("win"), col(groupCol))
+      .agg(collect_list(struct(col("n").as("n"),
+        coalesce(col("ref_ppm"), lit(0L)).as("rp"))).as("bins"))
+      .join(broadcast(refTot), Seq(groupCol), "left_outer")
+      .withColumn("n_win", expr("aggregate(bins, 0L, (a, x) -> a + x.n)"))
+      .withColumn("term1", expr(
+        "aggregate(bins, 0L, (a, x) -> a + abs((x.n * 1000000) div n_win - x.rp))"))
+      .withColumn("winref", expr("aggregate(bins, 0L, (a, x) -> a + x.rp)"))
+      .select(col("win.start").cast("long").as("win_s"), col(groupCol),
+        col("n_win"),
+        (col("term1") + coalesce(col("ref_sum"), lit(0L)) - col("winref"))
+          .as("l1_ppm"))
+  }
+
+  /** STREAMING drift monitor: per event-time tumbling window and group,
+    * the L1-ppm distance between the window's binned value histogram and
+    * the broadcast [[referenceHistogram]] — "did the live distribution
+    * walk away from the approved one", emitted per finalized window.
+    *
+    * State stays bounded twice over: the first (and only wide) stateful
+    * aggregate keys on (window, group, bin) — histogram cells, not
+    * events — and the watermark closes windows; the second aggregate
+    * only folds each window's O(bins) cells into one row (chained
+    * windowed aggregation, Spark's multiple-stateful-operator support).
+    * The reference join is stream-static and stateless. Append mode:
+    * a window's verdict emits exactly once, when the watermark passes. */
+  def driftStream(events: DataFrame, reference: DataFrame,
+      groupCol: String = "event_type", valueCol: String = "value",
+      windowDur: String = "1 hour", binCents: Long = 100L): DataFrame = {
+    require(binCents >= 1, "binCents must be positive")
+    val binned = events.withWatermark("ts", windowDur)
+      .groupBy(window(col("ts"), windowDur).as("win"), col(groupCol),
+        expr(s"floor($valueCol * 100) div $binCents").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    driftFromBinned(binned, reference, groupCol)
+  }
+
+  /** Batch twin of [[driftStream]] — same windows, same integer math,
+    * oracle-checked as events_drift_windows (the stream twin is
+    * spec-locked equal on the same rows). */
+  def driftBatch(events: DataFrame, reference: DataFrame,
+      groupCol: String = "event_type", valueCol: String = "value",
+      windowDur: String = "1 hour", binCents: Long = 100L): DataFrame = {
+    require(binCents >= 1, "binCents must be positive")
+    val binned = events
+      .groupBy(window(col("ts"), windowDur).as("win"), col(groupCol),
+        expr(s"floor($valueCol * 100) div $binCents").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    driftFromBinned(binned, reference, groupCol)
+  }
+
+  /** Even event_ids freeze the reference; odd ids play the live stream
+    * (two samples of one distribution → small l1 per window). */
+  def qDriftWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    driftBatch(e.filter(col("event_id") % 2 === 1),
+        referenceHistogram(e.filter(col("event_id") % 2 === 0)))
+      .orderBy("win_s", "event_type", "n_win", "l1_ppm")
+  }
+
   /** Open a file-based event stream (one-file-at-a-time trigger testing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema

@@ -193,6 +193,41 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor emits finalized windows equal to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference distribution: values 1.0 / 2.0 at equal shares
+    val refEvents = (0 until 40).map(i =>
+      Event(100 + i, tsH(9, i % 60), 9, "click", 1.0 + (i % 2)))
+    val reference = EventStream.referenceHistogram(refEvents.toDF())
+    // live windows: hour 10 matches the reference mix; hour 11 collapses
+    // onto one value (half the mass moved → l1 = 1e6)
+    val live = (0 until 20).map(i =>
+      Event(i, tsH(10, i * 2), 1, "click", 1.0 + (i % 2))) ++
+      (0 until 20).map(i => Event(200 + i, tsH(11, i * 2), 1, "click", 7.0))
+    val input = MemoryStream[Event]
+    val q = EventStream.driftStream(input.toDF(), reference)
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      input.addData(live: _*)
+      q.processAllAvailable()
+      // hour-13 straggler pushes the watermark past both live windows
+      input.addData(Event(999, tsH(13, 30), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("drift")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.driftBatch(live.toDF(), reference)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(got), s"stream $got missing batch windows $batch")
+      // and the distances are the ones the arithmetic promises
+      val byHour = got.map(r => r._1 -> r._4).toMap
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+      assert(byHour(h10) == 0L, s"matching mix must score 0: $got")
+      assert(byHour(h11) == 2000000L, s"disjoint support must score 2e6: $got")
+    } finally q.stop()
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     import spark.implicits._
     // user 1: events at 0, 10, 55 min (gap 45 > 30 → 2 sessions)
