@@ -188,7 +188,10 @@ object EventStream {
       .withColumn("term1", expr(
         "aggregate(bins, 0L, (a, x) -> a + abs((x.n * 1000000) div n_win - x.rp))"))
       .withColumn("winref", expr("aggregate(bins, 0L, (a, x) -> a + x.rp)"))
-      .select(col("win.start").cast("long").as("win_s"), col(groupCol),
+      // NTZ-safe epoch seconds: a µs-precision parquet source reads as
+      // TIMESTAMP_NTZ (no direct long cast) — route through the UTC
+      // session timestamp first, a no-op for the LTZ nanos path
+      .select(col("win.start").cast("timestamp").cast("long").as("win_s"), col(groupCol),
         col("n_win"),
         (col("term1") + coalesce(col("ref_sum"), lit(0L)) - col("winref"))
           .as("l1_ppm"))
