@@ -568,6 +568,64 @@ object TextAnalysis {
     hashedLinearScore(Tables.documents(spark, dir), demoWeights())
       .orderBy("doc_id", "score_ppm", "keep")
 
+  // ---- feature-hashing text embedder -------------------------------------
+
+  /** Sparse signed feature-hashing features (the "hashing trick",
+    * Weinberger et al. '09): token → bucket j AND a ±1 sign, both from
+    * ONE [[graft.functions.Md5Windows]] digest; v_j = Σ signs over the
+    * doc's token occurrences. The sign makes bucket collisions cancel
+    * in expectation instead of accumulating, which is what keeps inner
+    * products unbiased at small dim. Returns (doc_id, j, v) — token-less
+    * docs produce no rows. */
+  def hashEmbedSparse(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1, "need at least one embedding bucket")
+    val wins = graft.functions.TextExpressions.md5Windows(col("token"), "e:")
+    docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .select(col("doc_id"),
+        (element_at(wins, 1) % dim).cast("int").as("j"),
+        (element_at(wins, 2) % 2 * 2 - 1).as("sgn"))
+      .groupBy("doc_id", "j").agg(sum(col("sgn")).as("v"))
+  }
+
+  /** Model-free text embeddings: the dense `dim`-length float vector of
+    * [[hashEmbedSparse]] counts, in the SAME (id, embedding) shape as
+    * the embeddings table — so the whole Similarity/ANN/semantic-dedup
+    * family runs end-to-end from raw text with no external model (and
+    * deterministically: integer-valued components, engine-exact).
+    * Scale shape: one token scan + one hash aggregate per doc; the
+    * dense assembly is a narrow projection. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbedSparse(docs, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          "j -> CAST(coalesce(element_at(m, j), 0) AS FLOAT))").as("embedding"))
+
+  /** Per-doc integer embedding stats — locks the sparse construction
+    * exactly (bucket, sign, and count arithmetic) without any float
+    * compare: nonzero components, squared norm, L1 mass. */
+  def qHashEmbed(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedSparse(Tables.documents(spark, dir), dim = 64)
+      .groupBy("doc_id")
+      .agg(count(when(col("v") =!= 0, 1)).as("nnz"),
+        sum(col("v") * col("v")).as("norm2"),
+        sum(abs(col("v"))).as("l1"))
+      .orderBy("doc_id", "nnz", "norm2", "l1")
+
+  /** Top-3 cosine retrieval across hash-embedded docs — raw TEXT through
+    * the full ANN path (broadcast queries + bounded-heap top-k), no
+    * model anywhere. Zero vectors (every token pair cancelled) are
+    * excluded — their cosine is undefined. */
+  def qTextKnn(spark: SparkSession, dir: String): DataFrame = {
+    val nonzero = expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0")
+    val e = hashEmbed(Tables.documents(spark, dir))
+      .select(col("doc_id").as("id"), col("embedding")).filter(nonzero)
+    Similarity.bruteForceTopK(e.filter(col("id") < 10), e, k = 3)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
+  }
+
   // ---- distributed classifier training -----------------------------------
 
   /** Hashed bag-of-words features: one row per (doc, bucket) with the

@@ -77,6 +77,8 @@ object ExtQueries {
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
     "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
+    "text_hash_embed"       -> TextAnalysis.qHashEmbed _,
+    "ann_text_knn"          -> TextAnalysis.qTextKnn _,
     "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
@@ -101,6 +103,23 @@ object ExtQueries {
       val mult = 1L << (4 * (4 - p))
       s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
     }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB mirror of TextAnalysis.hashEmbedSparse (dim=64): bucket from
+    * hex window 1 and ±1 sign from hex window 2 of ONE md5('e:' || token)
+    * — the Md5Windows layout, digit-wise. No leading WITH, composable. */
+  private def hashEmbedCtes(): String = {
+    def hv(off: Int) = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(h, ${off + p}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+    s"""tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents),
+       |hw AS (SELECT doc_id, md5('e:' || token) AS h FROM tok),
+       |sp AS (SELECT doc_id, CAST(${hv(0)} % 64 AS BIGINT) AS j,
+       |    CAST(sum((${hv(8)} % 2) * 2 - 1) AS BIGINT) AS v
+       |  FROM hw GROUP BY 1, 2)""".stripMargin
   }
 
   /** Shared CTE chain (no leading WITH, composable): distinct word-3-gram
@@ -651,6 +670,34 @@ object ExtQueries {
          |  THEN 1 ELSE 0 END AS keep
          |FROM d
          |ORDER BY doc_id, weight_ppm, keep""".stripMargin
+    },
+
+    "text_hash_embed" -> {
+      s"""WITH ${hashEmbedCtes()}
+         |SELECT doc_id, count(*) FILTER (WHERE v <> 0) AS nnz,
+         |  CAST(sum(v * v) AS BIGINT) AS norm2,
+         |  CAST(sum(abs(v)) AS BIGINT) AS l1
+         |FROM sp GROUP BY doc_id
+         |ORDER BY doc_id, nnz, norm2, l1""".stripMargin
+    },
+
+    "ann_text_knn" -> {
+      s"""WITH ${hashEmbedCtes()},
+         |ids AS (SELECT DISTINCT doc_id FROM sp),
+         |dense AS (SELECT g.doc_id,
+         |    list(CAST(coalesce(sp.v, 0) AS DOUBLE) ORDER BY g.j) AS vec
+         |  FROM (SELECT doc_id, j FROM ids
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)) g
+         |  LEFT JOIN sp ON sp.doc_id = g.doc_id AND sp.j = g.j
+         |  GROUP BY g.doc_id),
+         |nz AS (SELECT * FROM dense WHERE list_dot_product(vec, vec) > 0)
+         |SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos_sim
+         |FROM nz a JOIN nz b ON b.doc_id <> a.doc_id
+         |WHERE a.doc_id < 10
+         |QUALIFY row_number() OVER (PARTITION BY a.doc_id
+         |  ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.doc_id) <= 3
+         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
     },
 
     "text_perceptron" -> {

@@ -502,6 +502,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.length == 1 && frames.head.getLong(1) == 0L)
   }
 
+  test("hash embeddings: exact copies coincide, near-dups score high, " +
+      "and the vectors drive the existing embedding-dedup operator") {
+    val emb = TextAnalysis.hashEmbed(docs, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb(0L) == emb(3L))            // same text ⇒ same vector
+    assert(emb(0L) != emb(2L))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(cos(emb(0L), emb(1L)) > 0.8,   // 7 of 8 tokens shared
+      s"near-dup cosine ${cos(emb(0L), emb(1L))}")
+    assert(cos(emb(0L), emb(2L)) < 0.5,   // disjoint vocabulary
+      s"unrelated cosine ${cos(emb(0L), emb(2L))}")
+    // composition: the model-free vectors feed the embedding near-dup
+    // path unchanged (same (vec_id, embedding) shape)
+    val vecs = TextAnalysis.hashEmbed(docs, dim = 64)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.8, aLimit = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)), s"pairs: $pairs")
+    assert(!pairs.contains((0L, 2L)))
+  }
+
   test("perceptron training separates a separable corpus and its weights " +
       "reproduce through hashedLinearScore") {
     // two disjoint vocabularies → linearly separable under any feature
