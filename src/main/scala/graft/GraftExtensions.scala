@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharNGrams, DotProduct, HammingDistance, WordNGrams}
+import graft.functions.{CharNGrams, DotProduct, HammingDistance, Md5Windows, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -52,6 +52,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_word_ngrams(text, n) takes exactly 2 arguments")
         WordNGrams(args.head, constInt(args(1), "graft_word_ngrams n"))
+      }),
+    (new FunctionIdentifier("graft_md5_windows"),
+      new ExpressionInfo(classOf[Md5Windows].getName, "graft_md5_windows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_md5_windows(text, prefix) takes exactly 2 arguments")
+        Md5Windows(args.head, constString(args(1), "graft_md5_windows prefix"))
       }))
 
   /** The n-gram width is part of the expression (it sizes codegen
@@ -62,6 +69,18 @@ object GraftExtensions {
       case i: Int => i
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
+    }
+  }
+
+  /** The digest salt prefix is baked into the expression (it is a
+    * per-expression constant byte array), so the SQL argument must be a
+    * foldable string literal. */
+  private def constString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
     }
   }
 

@@ -75,8 +75,6 @@ object Pipeline {
     * train/test. Each stage is the operator's own frame counted — no
     * separate bookkeeping code path to drift from the real pipeline. */
   def funnelReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val scored = TextAnalysis.qualityScore(docs)
     val kept = docs.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
     val exact = Dedup.exactSurvivors(kept).localCheckpoint()
@@ -86,14 +84,19 @@ object Pipeline {
       .filter(col("survivor")).localCheckpoint()
     val split = TextAnalysis.hashSplit(resolved, idCol = "cluster_id",
       trainPct = cfg.trainPct)
-    Seq(
-      ("1_input", docs.count()),
-      ("2_quality", kept.count()),
-      ("3_exact", exact.count()),
-      ("4_neardup", resolved.count()),
-      ("5_train", split.filter(col("split") === "train").count()),
-      ("6_test", split.filter(col("split") === "test").count()))
-      .toDF("stage", "n_docs")
+    // ONE action for all six stage counts: a union of global aggregates
+    // (a global agg emits its 0 even for an empty stage, where a
+    // groupBy-literal would emit nothing). Six separate .count() calls
+    // would pay six job launches and re-run the split chain twice.
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt("1_input", docs)
+      .unionAll(cnt("2_quality", kept))
+      .unionAll(cnt("3_exact", exact))
+      .unionAll(cnt("4_neardup", resolved))
+      .unionAll(cnt("5_train", split.filter(col("split") === "train")))
+      .unionAll(cnt("6_test", split.filter(col("split") === "test")))
   }
 
   /** Stage 2 — from the curated corpus to model-ready chunks:

@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
-      Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams"))
+      Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
+        "graft_md5_windows"))
   }
 
   test("charNGrams matches substring semantics, including multibyte chars") {
@@ -125,5 +126,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.TextExpressions.hamming(col("a"), col("b")).as("native"),
       composed.as("composed")).head
     assert(row.getLong(0) == row.getLong(1))
+  }
+
+  test("graft_md5_windows equals the hex-window conv idiom, window by window") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("alpha", "", "héllo wörld", "x" * 300).toDF("t")
+    val wins = df.select(col("t"),
+      expr("graft_md5_windows(t, '7:')").as("w"),
+      expr("transform(sequence(0, 3), i -> CAST(conv(substring(" +
+        "md5(concat('7:', t)), i * 8 + 1, 8), 16, 10) AS BIGINT))").as("h"))
+    wins.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for '${r.getString(0)}'")
+    }
+    // salt must be a literal (a foldable expression like md5('b') is
+    // constant-folded and legal) — a COLUMN reference is not
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_md5_windows('a', t) FROM VALUES ('x') AS v(t)").collect()
+    }
+    assert(err.getMessage.contains("constant string"), err.getMessage)
   }
 }
