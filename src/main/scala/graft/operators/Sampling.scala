@@ -117,38 +117,74 @@ object Sampling {
     * scan, and one hash aggregate per doc finishes — no corpus shuffle
     * beyond the per-doc aggregate, nothing driver-side but the O(dim)
     * broadcast. Returns (doc_id, weight_ppm, keep ∈ {0,1}). */
-  def importanceWeights(docs: DataFrame, target: Column, dim: Int = 256,
-      salt: String = "dsir"): DataFrame = {
-    require(dim >= 1, "need at least one feature bucket")
-    val tok = docs.select(col("doc_id"), target.cast("boolean").as("tgt"),
+  /** (doc_id, j) hashed-token rows — one per token occurrence. */
+  private def tokenBuckets(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"),
         explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
       .withColumn("j",
         (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
-      .select("doc_id", "tgt", "j")
+      .select("doc_id", "j")
+
+  /** The FROZEN half of importance resampling: the O(dim) per-bucket
+    * likelihood-ratio table from a reference corpus + target predicate.
+    * Persist it (a dim-row frame) and re-apply to every future batch
+    * with [[applyImportanceWeights]] — the reference corpus is never
+    * re-scanned on refresh, the same incremental contract as the
+    * signature / gram / PQ-code indexes. */
+  def importanceRatios(docs: DataFrame, target: Column, dim: Int = 256): DataFrame = {
+    require(dim >= 1, "need at least one feature bucket")
+    val tok = docs.select(target.cast("boolean").as("tgt"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .withColumn("j",
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
     val dist = tok.groupBy("j").agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
-    val totals = dist.agg(sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
-    val ratios = dist.crossJoin(broadcast(totals))
+    dist.crossJoin(broadcast(
+        dist.agg(sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))))
       .withColumn("ratio_ppm", expr(
         s"((n_tgt + 1) * CAST(tot_raw + $dim AS DECIMAL(38,0)) * 1000000) div " +
           s"((n_raw + 1) * CAST(tot_tgt + $dim AS DECIMAL(38,0)))"))
       .select("j", "ratio_ppm")
-    tok.join(broadcast(ratios), "j")
+  }
+
+  /** Score + sample a batch against a FROZEN [[importanceRatios]] table
+    * (broadcast; buckets the reference never saw score 0 — maximally
+    * off-target, which is exactly what unseen vocabulary is). One token
+    * scan + one per-doc aggregate, nothing else. */
+  def applyImportanceWeights(ratios: DataFrame, docs: DataFrame, dim: Int = 256,
+      salt: String = "dsir"): DataFrame =
+    tokenBuckets(docs, dim)
+      .join(broadcast(ratios), Seq("j"), "left_outer")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum("ratio_ppm").as("sum_ppm"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("ratio_ppm"), lit(0L))).as("sum_ppm"))
       .withColumn("weight_ppm", expr("sum_ppm div n_tok"))
       .withColumn("keep",
         when(hash16(salt, col("doc_id")) * 1000000L <
           least(col("weight_ppm"), lit(1000000L)) * 65536L, 1L).otherwise(0L))
       .select("doc_id", "weight_ppm", "keep")
-  }
+
+  def importanceWeights(docs: DataFrame, target: Column, dim: Int = 256,
+      salt: String = "dsir"): DataFrame =
+    applyImportanceWeights(importanceRatios(docs, target, dim), docs, dim, salt)
 
   /** English as the target domain: every doc importance-weighted by
     * en-likeness of its (hashed) vocabulary, 256 buckets. */
   def qImportanceWeights(spark: SparkSession, dir: String): DataFrame =
     importanceWeights(Tables.documents(spark, dir), col("lang") === "en")
       .orderBy("doc_id", "weight_ppm", "keep")
+
+  /** Incremental refresh shape: ratios frozen on the even-id half of the
+    * corpus, applied to the odd-id "new batch" — the reference half is
+    * never re-scanned when new data arrives. */
+  def qImportanceIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    applyImportanceWeights(
+        importanceRatios(docs.filter(col("doc_id") % 2 === 0), col("lang") === "en"),
+        docs.filter(col("doc_id") % 2 === 1))
+      .orderBy("doc_id", "weight_ppm", "keep")
+  }
 
   /** Pack documents into fixed-token-budget training sequences.
     *

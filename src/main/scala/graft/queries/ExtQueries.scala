@@ -73,6 +73,7 @@ object ExtQueries {
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
     "sample_epoch_order"    -> graft.operators.Sampling.qEpochOrder _,
     "sample_importance"     -> graft.operators.Sampling.qImportanceWeights _,
+    "sample_importance_incr" -> graft.operators.Sampling.qImportanceIncremental _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
@@ -664,6 +665,37 @@ object ExtQueries {
          |  FROM dist, tot),
          |d AS (SELECT doc_id, count(*) AS n_tok, sum(ratio_ppm) AS s
          |  FROM tok JOIN rat USING (j) GROUP BY doc_id)
+         |SELECT doc_id, CAST(s // n_tok AS BIGINT) AS weight_ppm,
+         |  CASE WHEN ${hex16("dsir")} * 1000000 <
+         |    least(CAST(s // n_tok AS BIGINT), 1000000) * 65536
+         |  THEN 1 ELSE 0 END AS keep
+         |FROM d
+         |ORDER BY doc_id, weight_ppm, keep""".stripMargin
+    },
+
+    "sample_importance_incr" -> {
+      def h8(m: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH rtok AS (
+         |  SELECT (lang = 'en') AS tgt, CAST(${h8("md5(token)")} % 256 AS BIGINT) AS j
+         |  FROM (SELECT lang,
+         |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |        FROM documents WHERE doc_id % 2 = 0)),
+         |dist AS (SELECT j, count(*) AS n_raw,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+         |  FROM rtok GROUP BY j),
+         |tot AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM dist),
+         |rat AS (SELECT j, ((n_tgt + 1) * (tot_raw + 256) * 1000000)
+         |    // ((n_raw + 1) * (tot_tgt + 256)) AS ratio_ppm
+         |  FROM dist, tot),
+         |btok AS (SELECT doc_id, CAST(${h8("md5(token)")} % 256 AS BIGINT) AS j
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |        FROM documents WHERE doc_id % 2 = 1)),
+         |d AS (SELECT doc_id, count(*) AS n_tok, sum(coalesce(ratio_ppm, 0)) AS s
+         |  FROM btok LEFT JOIN rat USING (j) GROUP BY doc_id)
          |SELECT doc_id, CAST(s // n_tok AS BIGINT) AS weight_ppm,
          |  CASE WHEN ${hex16("dsir")} * 1000000 <
          |    least(CAST(s // n_tok AS BIGINT), 1000000) * 65536

@@ -173,5 +173,12 @@ class SamplingSpec extends AnyFunSuite {
     val w2 = Sampling.importanceWeights(docs.repartition(7), col("is_tgt"), dim = 512)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w2 == w)
+    // frozen-ratio refresh: a batch of entirely unseen vocabulary scores
+    // weight 0 (maximally off-target) and is never kept
+    val ratios = Sampling.importanceRatios(docs, col("is_tgt"), dim = 512)
+    val batch = Seq((100L, "zzz qqq vvv")).toDF("doc_id", "text")
+    val scored = Sampling.applyImportanceWeights(ratios, batch, dim = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(scored.toSeq == Seq((100L, 0L, 0L)), scored.toSeq.toString)
   }
 }
