@@ -55,7 +55,8 @@ object DocStream {
       outPath: String, checkpoint: String, minQuality: Double = 0.2,
       numBuckets: Int = 16, numHashes: Int = 16, bands: Int = 4,
       shingleK: Int = 3, minEstJaccard: Double = 0.25,
-      gramIndexTable: Option[String] = None): StreamingQuery =
+      gramIndexTable: Option[String] = None,
+      modelWeights: Option[Seq[Long]] = None): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
         val scrubbed = batch
@@ -64,7 +65,15 @@ object DocStream {
         val keep = TextAnalysis.qualityScore(scrubbed)
           .filter(col("quality") >= minQuality)
           .select("doc_id")
-        scrubbed.join(keep, "doc_id")
+        val gated = scrubbed.join(keep, "doc_id")
+        // optional TRAINED gate: a perceptron/fastText-shape weight
+        // vector (e.g. from TextAnalysis.trainPerceptron) scores each
+        // scrubbed doc; only keep ≥ 0. The weights ride the closure as
+        // an O(dim) literal — no model service in the hot path.
+        modelWeights.fold(gated) { w =>
+          gated.join(TextAnalysis.hashedLinearScore(gated, w)
+            .filter(col("keep") === 1L).select("doc_id"), "doc_id")
+        }
       },
       numBuckets, numHashes, bands, shingleK, minEstJaccard, gramIndexTable)
 

@@ -148,6 +148,41 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateIngest applies a trained model gate when weights are plugged in") {
+    import org.apache.spark.sql.functions.{col, when}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-modelstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS model_idx")
+
+    // train offline on disjoint-vocabulary classes…
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", true),
+      (1L, "the slow brown bear walks over the green hill today", true),
+      (2L, "zz9 qq8 vv7 kk6 jj5 xx4 ww3 uu2 tt1 ss0", false),
+      (3L, "kk6 jj5 xx4 zz9 qq8 vv7 ss0 tt1 uu2 ww3", false))
+      .toDF("doc_id", "text", "is_good")
+    val (w, _) = graft.operators.TextAnalysis.trainPerceptron(
+      corpus, when(col("is_good"), 1L).otherwise(-1L), dim = 64, iters = 6)
+
+    // …then gate the live stream with the frozen weight vector
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "model_idx", out, ckpt, minQuality = 0.0, numBuckets = 4,
+      modelWeights = Some(w.toSeq))
+    try {
+      input.addData(
+        (10L, "the brown fox walks over the lazy green dog today"),
+        (11L, "qq8 vv7 zz9 kk6 xx4 jj5 tt1 ss0 ww3 uu2 extra"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L),
+        s"model gate must keep the in-domain doc and drop the junk-domain one: $got")
+    } finally q.stop()
+  }
+
   test("curateIngest with a gram index cuts cross-batch boilerplate spans") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-spanstream")
