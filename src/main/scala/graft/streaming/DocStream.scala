@@ -92,7 +92,7 @@ object DocStream {
       minEstJaccard: Double, gramIndexTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the corpus index may not exist before the first append
         // (bootstrap); when it does, the session caches catalog-table
         // file listings and the index grew outside this batch's plan —
@@ -145,10 +145,22 @@ object DocStream {
               .filter(col("text") =!= "")
           case None => survivors
         }
-        // 4. emit; grow the signature index with survivor signatures and
-        // the gram index with the EMITTED (cleaned) text's grams —
-        // bucket counts come from the existing tables' own specs
-        emitted.write.mode(SaveMode.Append).parquet(outPath)
+        // 4. emit — IDEMPOTENT under micro-batch replay: foreachBatch is
+        // at-least-once (a crash between this write and the checkpoint
+        // commit re-runs the batch), so the corpus sink partitions by
+        // batch id and dynamically overwrites ONLY its own partition —
+        // a replay rewrites ingest_batch=<id> in place instead of
+        // appending a second copy. The signature/gram index appends
+        // below stay at-least-once; duplicate signature rows only widen
+        // candidate sets (every probe result passes a distinct()), they
+        // cannot change which docs survive. Then grow the indexes with
+        // the EMITTED text — bucket counts come from the existing
+        // tables' own specs.
+        emitted.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
         batchIdx.join(dupIds, Seq("doc_id"), "left_anti")
           .write.mode(SaveMode.Append).format("parquet")
           .bucketBy(tableBuckets(spark, indexTable).getOrElse(numBuckets), "band", "bucket")

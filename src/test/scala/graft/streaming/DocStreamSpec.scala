@@ -47,6 +47,14 @@ class DocStreamSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(1L, 2L, 5L),
         s"expected in-batch dups 3,6 and cross-batch dup 4 dropped: $survivors")
+      // replay-idempotent sink layout: each doc sits in its OWN batch's
+      // partition (a replayed batch dynamically overwrites that partition
+      // instead of appending a second copy)
+      // (partition values read back type-inferred as int → cast)
+      val byBatch = spark.read.parquet(out)
+        .selectExpr("doc_id", "CAST(ingest_batch AS BIGINT)")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byBatch == Map(1L -> 0L, 2L -> 0L, 5L -> 1L), byBatch.toString)
       // the index holds exactly the survivors' signatures (4 bands each)
       spark.catalog.refreshTable("stream_idx") // appended outside this plan
       val idxDocs = spark.table("stream_idx")
