@@ -568,6 +568,64 @@ object TextAnalysis {
     hashedLinearScore(Tables.documents(spark, dir), demoWeights())
       .orderBy("doc_id", "score_ppm", "keep")
 
+  // ---- budget-constrained selection --------------------------------------
+
+  /** "Keep the best N tokens": select the highest-quality documents until
+    * a TOKEN budget is filled — the standard curation move when the
+    * training run, not the corpus, sets the data size.
+    *
+    * Greedy-by-quality, solved WITHOUT a corpus sort: quality is an exact
+    * 4-decimal integer (≤ 10⁴ distinct values), so the per-bin token
+    * masses + a cumulative walk over that O(bins) frame find the
+    * threshold — bins strictly above it are kept whole, bins below are
+    * dropped whole, and only the single BOUNDARY bin is rank-ordered
+    * (deterministic hash16 draw, ties by id) to fill the remaining
+    * budget exactly. The only sort over documents is within that one
+    * bin; everything else is hash aggregates and an O(bins) window.
+    *
+    * Returns every doc as (doc_id, qi, n_tokens, kept ∈ {0,1}) with
+    * Σ_kept n_tokens ≤ budgetTokens, maximal under greedy-by-quality. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val d = qualityScore(docs)
+      .withColumn("qi", round(col("quality") * 10000).cast("long"))
+      .join(docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+          .as("n_tokens")), "doc_id")
+      .select("doc_id", "qi", "n_tokens")
+    val wTop = Window.orderBy(desc("qi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.groupBy("qi").agg(sum("n_tokens").as("bt"))
+      .withColumn("cum", sum(col("bt")).over(wTop))
+    // q_full: lowest bin kept WHOLE; q_edge: the boundary bin right
+    // below it; used: tokens consumed by the whole bins
+    val thr = cum.agg(
+      min(when(col("cum") <= budgetTokens, col("qi"))).as("q_full"),
+      max(when(col("cum") > budgetTokens, col("qi"))).as("q_edge"),
+      coalesce(max(when(col("cum") <= budgetTokens, col("cum"))), lit(0L))
+        .as("used"))
+    val z = d.crossJoin(broadcast(thr))
+    val wEdge = Window.orderBy(
+        graft.operators.Sampling.hash16("budget", col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edgeKept = z
+      .filter(col("qi") === coalesce(col("q_edge"), lit(Long.MinValue)))
+      .withColumn("run", sum(col("n_tokens")).over(wEdge))
+      .filter(col("run") <= lit(budgetTokens) - col("used"))
+      .select(col("doc_id"), lit(1L).as("edge_kept"))
+    z.join(edgeKept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("qi"), col("n_tokens"),
+        when(col("q_full").isNotNull && col("qi") >= col("q_full"), 1L)
+          .when(col("edge_kept") === 1L, 1L)
+          .otherwise(0L).as("kept"))
+  }
+
+  /** A 10k-token budget over the corpus — exercises whole-kept bins, the
+    * partially-filled boundary bin, and whole-dropped bins. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(spark, dir), budgetTokens = 10000L)
+      .orderBy("doc_id", "qi", "n_tokens", "kept")
+
   // ---- feature-hashing text embedder -------------------------------------
 
   /** Sparse signed feature-hashing features (the "hashing trick",

@@ -79,6 +79,7 @@ object ExtQueries {
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
     "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
     "text_hash_embed"       -> TextAnalysis.qHashEmbed _,
+    "text_token_budget"     -> TextAnalysis.qTokenBudget _,
     "ann_text_knn"          -> TextAnalysis.qTextKnn _,
     "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
@@ -703,6 +704,35 @@ object ExtQueries {
          |FROM d
          |ORDER BY doc_id, weight_ppm, keep""".stripMargin
     },
+
+    "text_token_budget" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+         |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok WHERE token <> '' GROUP BY doc_id),
+         |q AS (SELECT d.doc_id,
+         |    (least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750) AS num,
+         |    n_tok * 12500 AS den, n_tok
+         |  FROM documents d JOIN st USING (doc_id)),
+         |s AS (SELECT doc_id, CAST((num * 20000 + den) // (den * 2) AS BIGINT) AS qi,
+         |    n_tok AS n_tokens FROM q),
+         |b AS (SELECT qi, sum(n_tokens) AS bt FROM s GROUP BY qi),
+         |cw AS (SELECT qi, sum(bt) OVER (ORDER BY qi DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+         |thr AS (SELECT min(CASE WHEN cum <= 10000 THEN qi END) AS q_full,
+         |    max(CASE WHEN cum > 10000 THEN qi END) AS q_edge,
+         |    coalesce(max(CASE WHEN cum <= 10000 THEN cum END), 0) AS used FROM cw),
+         |ek AS (SELECT doc_id FROM (
+         |    SELECT s.doc_id, t.used,
+         |      sum(s.n_tokens) OVER (ORDER BY ${hex16("budget")}, s.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |    FROM s, thr t WHERE s.qi = t.q_edge)
+         |  WHERE run <= 10000 - used)
+         |SELECT s.doc_id, s.qi, s.n_tokens,
+         |  CASE WHEN t.q_full IS NOT NULL AND s.qi >= t.q_full THEN 1
+         |       WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+         |FROM s CROSS JOIN thr t LEFT JOIN ek USING (doc_id)
+         |ORDER BY doc_id, qi, n_tokens, kept""".stripMargin,
 
     "text_hash_embed" -> {
       s"""WITH ${hashEmbedCtes()}

