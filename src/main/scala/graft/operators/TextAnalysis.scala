@@ -568,6 +568,41 @@ object TextAnalysis {
     hashedLinearScore(Tables.documents(spark, dir), demoWeights())
       .orderBy("doc_id", "score_ppm", "keep")
 
+  // ---- corpus report (dataset card) --------------------------------------
+
+  /** One-pass-per-signal "dataset card": the per-language summary a
+    * corpus release ships — docs, token mass, exact-integer mean quality
+    * (half-up, engine-portable), exact-duplicate rate in ppm, distinct
+    * vocabulary. Each signal is its own hash aggregate over the shared
+    * token/digest scans, joined on the O(langs) key — nothing here
+    * scales past the scans at 100 TB. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tokStats = toks.groupBy("lang").agg(
+      sum(lit(1L)).as("n_tokens"),
+      count_distinct(col("token")).as("n_vocab"))
+    val q = qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("qi", round(col("quality") * 10000).cast("long"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum(col("qi")).as("sq"))
+    // exact-dup mass per lang: docs whose content digest appeared before
+    // (min doc_id per digest is the original, the rest are duplicates)
+    val dupFlag = docs.select(col("doc_id"), col("lang"), md5(col("text")).as("dg"))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("dg")))
+      .withColumn("is_dup", when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+      .groupBy("lang").agg(sum(col("is_dup")).as("n_dups"))
+    q.join(tokStats, "lang").join(dupFlag, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        (expr("(sq * 2 + n_docs) div (n_docs * 2)") / 10000.0).as("avg_quality"),
+        expr("(n_dups * 1000000) div n_docs").as("dup_ppm"))
+  }
+
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(Tables.documents(spark, dir))
+      .orderBy("lang", "n_docs", "n_tokens", "n_vocab", "avg_quality", "dup_ppm")
+
   // ---- budget-constrained selection --------------------------------------
 
   /** "Keep the best N tokens": select the highest-quality documents until

@@ -80,6 +80,7 @@ object ExtQueries {
     "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
     "text_hash_embed"       -> TextAnalysis.qHashEmbed _,
     "text_token_budget"     -> TextAnalysis.qTokenBudget _,
+    "text_corpus_report"    -> TextAnalysis.qCorpusReport _,
     "ann_text_knn"          -> TextAnalysis.qTextKnn _,
     "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
@@ -704,6 +705,31 @@ object ExtQueries {
          |FROM d
          |ORDER BY doc_id, weight_ppm, keep""".stripMargin
     },
+
+    "text_corpus_report" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |ts AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_vocab
+        |  FROM tok GROUP BY lang),
+        |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+        |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY doc_id),
+        |qd AS (SELECT d.doc_id, d.lang,
+        |    CAST(((least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750)
+        |      * 20000 + n_tok * 12500) // (n_tok * 12500 * 2) AS BIGINT) AS qi
+        |  FROM documents d JOIN st USING (doc_id)),
+        |q AS (SELECT lang, count(*) AS n_docs, sum(qi) AS sq FROM qd GROUP BY lang),
+        |dup AS (SELECT lang, CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        |  FROM (SELECT doc_id, lang,
+        |          min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |        FROM documents) GROUP BY lang)
+        |SELECT q.lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_vocab AS BIGINT) AS n_vocab,
+        |  CAST((sq * 2 + n_docs) // (n_docs * 2) AS BIGINT) / 10000.0 AS avg_quality,
+        |  CAST((n_dups * 1000000) // n_docs AS BIGINT) AS dup_ppm
+        |FROM q JOIN ts USING (lang) JOIN dup USING (lang)
+        |ORDER BY lang, n_docs, n_tokens, n_vocab, avg_quality, dup_ppm""".stripMargin,
 
     "text_token_budget" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

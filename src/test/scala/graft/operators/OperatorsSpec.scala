@@ -502,6 +502,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.length == 1 && frames.head.getLong(1) == 0L)
   }
 
+  test("corpus report counts docs, tokens, vocab, and the exact-dup rate") {
+    val r = TextAnalysis.corpusReport(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "en")
+    assert(row.getLong(1) == 4L)          // docs
+    assert(row.getLong(2) == 8 + 8 + 10 + 8) // tokens
+    // vocab: doc0 ∪ doc1 share 7, doc2 distinct 10, doc3 = doc0
+    assert(row.getLong(3) == 9 + 10)
+    assert(row.getLong(5) == 250000L, s"1 dup of 4 docs = 250000 ppm, got $row")
+  }
+
   test("token-budget selection: fills greedily by quality, respects the " +
       "budget exactly, and handles the degenerate budgets") {
     val corpus = (1 to 40).map { i =>
