@@ -179,6 +179,51 @@ object Clusters {
         (col("doc_id") === col("survivor_id")).as("survivor"))
   }
 
+  /** INCREMENTAL connected components: fold a new batch of duplicate
+    * pairs into an existing (node, cluster_id) assignment WITHOUT
+    * re-clustering the corpus — the cluster-maintenance step a streaming
+    * dedup pipeline needs (the signature index already finds each
+    * batch's pairs incrementally; this keeps the component labels
+    * incremental too).
+    *
+    * Correctness invariant: cluster ids are component MINIMA, and the
+    * minimum composes — contracting every old component to its root and
+    * clustering the ROOT GRAPH (old roots touched by new pairs + new
+    * nodes) yields exactly full CC over (old ∪ new) pairs. So the
+    * iterative work runs on a graph sized by the BATCH's touched
+    * clusters, never the corpus; untouched clusters pass through with a
+    * single broadcast-ready relabel join (spec-locked equal to a full
+    * recompute, including chained batches).
+    *
+    * `mapping` is any prior [[connectedComponents]]/
+    * [[connectedComponentsStars]]/[[incrementalComponents]] output;
+    * returns the same (node, cluster_id) shape covering old members and
+    * every node of `newPairs`. */
+  def incrementalComponents(mapping: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val m = mapping.select(col("node"), col("cluster_id")).localCheckpoint()
+    // project the batch's endpoints onto current roots (unseen → self)
+    val ra = m.select(col("node").as("doc_a"), col("cluster_id").as("ra"))
+    val rb = m.select(col("node").as("doc_b"), col("cluster_id").as("rb"))
+    val rootPairs = newPairs.select(col("doc_a"), col("doc_b"))
+      .join(ra, Seq("doc_a"), "left_outer")
+      .join(rb, Seq("doc_b"), "left_outer")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // cluster the root graph — batch-sized, not corpus-sized
+    val rootMap = connectedComponentsStars(rootPairs, maxIter)
+      .localCheckpoint()
+    // relabel old members whose root moved; keep the rest; add new nodes
+    val moved = rootMap.select(col("node").as("cluster_id"),
+      col("cluster_id").as("new_root"))
+    val relabeled = m.join(moved, Seq("cluster_id"), "left_outer")
+      .select(col("node"), coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+    val newNodes = rootMap.join(m, Seq("node"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    relabeled.union(newNodes)
+  }
+
   /** Quality-aware survivor selection: keep the BEST-scoring doc per
     * dup cluster (score desc, doc_id asc tie-break) instead of the
     * smallest id — what a production curation run actually wants, since
@@ -206,6 +251,22 @@ object Clusters {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.minHashLshPairs(docs)
     connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_id", "cluster_size")
+  }
+
+  /** Same rollup as [[qDedupClusters]] through the INCREMENTAL path: the
+    * LSH pairs arrive as two batches (even/odd pair-sum halves), the
+    * first is clustered, the second folded in with
+    * [[incrementalComponents]] — the result must be label-identical to
+    * one full clustering, so this shares dedup_clusters' oracle. */
+  def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(Tables.documents(spark, dir))
+      .localCheckpoint()
+    val first = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
+    val second = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 1)
+    incrementalComponents(connectedComponents(first), second)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("cluster_id", "cluster_size")

@@ -47,6 +47,7 @@ object ExtQueries {
     "events_quantiles"      -> TextAnalysis.qEventQuantiles _,
     "text_contamination"    -> TextAnalysis.qContamination _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
+    "dedup_clusters_incr"   -> graft.operators.Clusters.qDedupClustersIncremental _,
     "dedup_clusters_stars"  -> graft.operators.Clusters.qDedupClustersStars _,
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
     "pipeline_curate"       -> Pipeline.qCurate _,
@@ -1281,6 +1282,25 @@ object ExtQueries {
          |FROM cd ORDER BY doc_id, n_sh, n_hit, ratio""".stripMargin,
 
     "dedup_clusters" ->
+      s"""$minhashCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(node, reach) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach)
+         |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node)
+         |SELECT cluster_id, count(*) AS cluster_size FROM reach
+         |GROUP BY cluster_id ORDER BY cluster_id, cluster_size""".stripMargin,
+
+    // The two-batch incremental path must be label-identical to one full
+    // clustering — same transitive closure, so dedup_clusters' oracle
+    // verbatim.
+    "dedup_clusters_incr" ->
       s"""$minhashCte,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM buckets a JOIN buckets b USING (band, bucket)

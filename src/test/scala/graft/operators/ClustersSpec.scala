@@ -69,6 +69,31 @@ class ClustersSpec extends AnyFunSuite {
     assert(stars == plain)
   }
 
+  test("incremental components equal a full recompute, batch after batch") {
+    // pseudo-random edges over 60 nodes, split into 3 arrival batches
+    def h(i: Int) = ((i * 2654435761L) >>> 7) % 60
+    val allPairs = (1 to 80).map(i => (h(i), h(i * 31 + 7)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val batches = allPairs.grouped((allPairs.size + 2) / 3).toSeq
+    def full(ps: Seq[(Long, Long)]) =
+      Clusters.connectedComponents(ps.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var mapping = Clusters.connectedComponents(batches.head.toDF("doc_a", "doc_b"))
+    var seen = batches.head
+    batches.tail.foreach { b =>
+      mapping = Clusters.incrementalComponents(mapping, b.toDF("doc_a", "doc_b"))
+      seen = seen ++ b
+      val inc = mapping.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full(seen), s"incremental diverged after ${seen.size} pairs")
+    }
+    // a batch entirely internal to existing clusters is a no-op
+    val noop = Clusters.incrementalComponents(mapping,
+      Seq(allPairs.head).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == full(seen))
+  }
+
   test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
     // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10
