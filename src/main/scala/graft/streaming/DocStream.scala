@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Dedup, Scrub, TextAnalysis}
+import graft.operators.{Clusters, Dedup, Scrub, TextAnalysis}
 
 /** Streaming corpus ingestion with incremental near-dup dedup — the
   * composition a continuously-refreshed 100 TB training corpus runs:
@@ -40,9 +40,11 @@ object DocStream {
   def dedupIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, numBuckets: Int = 16,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
-      minEstJaccard: Double = 0.25): StreamingQuery =
+      minEstJaccard: Double = 0.25,
+      clusterTable: Option[String] = None): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint, identity,
-      numBuckets, numHashes, bands, shingleK, minEstJaccard)
+      numBuckets, numHashes, bands, shingleK, minEstJaccard,
+      clusterTable = clusterTable)
 
   /** Full curation funnel per micro-batch: text normalization → PII
     * redaction → quality gate → dedup (exact, in-batch near, cross-batch
@@ -89,7 +91,8 @@ object DocStream {
   private def ingest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, prepare: DataFrame => DataFrame,
       numBuckets: Int, numHashes: Int, bands: Int, shingleK: Int,
-      minEstJaccard: Double, gramIndexTable: Option[String] = None): StreamingQuery =
+      minEstJaccard: Double, gramIndexTable: Option[String] = None,
+      clusterTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -103,8 +106,10 @@ object DocStream {
             Some(spark.table(indexTable))
           } else None
         // 1. scrub/filter (curate mode), then collapse exact dups inside
-        // the batch (content digest)
-        val batchUnique = Dedup.exactSurvivors(prepare(batch))
+        // the batch (content digest). The prepared frame feeds both the
+        // survivor filter and (cluster mode) the exact-dup pair list.
+        val prepared = prepare(batch).localCheckpoint()
+        val batchUnique = Dedup.exactSurvivors(prepared)
         val batchIdx = Dedup
           .signatureIndex(batchUnique, numHashes, bands, shingleK)
           .localCheckpoint() // reused for both probes AND the index append
@@ -112,19 +117,53 @@ object DocStream {
         // itself, keep the min doc_id of each matching pair (the same
         // survivor rule as exact dedup) — without this, two
         // near-identical docs arriving in one batch would both survive
-        val inBatchDups = Dedup
+        val inBatchPairs = Dedup
           .incrementalPairs(batchIdx, batchIdx, numHashes, minEstJaccard)
-          .filter(col("batch_id") =!= col("corpus_id"))
-          .filter(col("batch_id") > col("corpus_id")) // keep the smaller id
-          .select(col("batch_id").as("doc_id")).distinct()
+          .filter(col("batch_id") > col("corpus_id")) // one orientation
+        val inBatchDups = inBatchPairs
+          .select(col("batch_id").as("doc_id")).distinct() // keep smaller id
         // 2b. CROSS-batch near-dups: probe the persisted corpus index
-        val corpusDups = corpusIdx match {
-          case Some(ix) => Dedup
-            .incrementalPairs(ix, batchIdx, numHashes, minEstJaccard)
-            .select(col("batch_id").as("doc_id")).distinct()
-          case None => spark.range(0).select(col("id").as("doc_id"))
+        val corpusPairs = corpusIdx match {
+          case Some(ix) =>
+            Dedup.incrementalPairs(ix, batchIdx, numHashes, minEstJaccard)
+          case None => spark.range(0).select(col("id").as("corpus_id"),
+            col("id").as("batch_id"), lit(0.0).as("est_jaccard"))
         }
+        val corpusDups = corpusPairs
+          .select(col("batch_id").as("doc_id")).distinct()
         val dupIds = inBatchDups.union(corpusDups).distinct()
+        // optional cluster-label maintenance: fold this batch's verified
+        // pairs into the persisted (node, cluster_id) table with
+        // batch-sized incremental CC — labels stay identical to a full
+        // re-clustering of every pair ever seen, but the corpus is never
+        // re-clustered. The table holds dup-component MEMBERS only
+        // (small next to the corpus), so the per-batch overwrite is
+        // bounded by dup mass, not corpus size. Checkpoint before the
+        // overwrite: the new mapping is derived FROM the table it
+        // replaces.
+        clusterTable.foreach { ct =>
+          val mapping =
+            if (spark.catalog.tableExists(ct)) {
+              spark.catalog.refreshTable(ct)
+              spark.table(ct)
+            } else spark.range(0).select(col("id").as("node"),
+              col("id").as("cluster_id"))
+          // exact in-batch dups never reach the signature index — add
+          // their (survivor, duplicate) pairs so the cluster table
+          // covers EVERY duplicate relation the stream drops
+          val byDigest = org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))
+          val exactPairs = prepared
+            .withColumn("keeper", min(col("doc_id")).over(byDigest))
+            .filter(col("doc_id") =!= col("keeper"))
+            .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+          val pairs = inBatchPairs.union(corpusPairs)
+            .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
+            .union(exactPairs)
+          val updated = Clusters.incrementalComponents(mapping, pairs)
+            .localCheckpoint()
+          updated.write.mode(SaveMode.Overwrite).saveAsTable(ct)
+        }
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
         // 3. optional sub-document pass: cut spans the corpus gram index
         // already carries (plus the batch's own cross-doc duplicates),

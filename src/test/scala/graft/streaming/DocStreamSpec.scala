@@ -26,9 +26,11 @@ class DocStreamSpec extends AnyFunSuite {
     Dedup.writeSignatureIndex(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "stream_idx", numBuckets = 4)
 
+    spark.sql("DROP TABLE IF EXISTS stream_clusters")
     val input = MemoryStream[(Long, String)]
     val q = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
-      spark, "stream_idx", out, ckpt, numBuckets = 4)
+      spark, "stream_idx", out, ckpt, numBuckets = 4,
+      clusterTable = Some("stream_clusters"))
     // near-dup of A inside one batch: one word differs → shares LSH
     // buckets and most signature components with A
     val textA2 = textA.replace("theta", "iota")
@@ -61,6 +63,16 @@ class DocStreamSpec extends AnyFunSuite {
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(idxDocs == Set(1L, 2L, 5L))
       assert(spark.table("stream_idx").count() == 3 * 4)
+      // cluster labels maintained incrementally across batches: batch 1's
+      // near-dup pair (1,6) AND its exact-dup pair (1,3) form cluster 1;
+      // batch-2's exact copy 4 probes the corpus index and joins the
+      // SAME cluster — exactly what one full clustering of every
+      // duplicate relation ever dropped would say
+      spark.catalog.refreshTable("stream_clusters")
+      val clusters = spark.table("stream_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 1L),
+        s"incremental cluster table: $clusters")
     } finally q.stop()
   }
 
