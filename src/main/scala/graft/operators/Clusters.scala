@@ -224,6 +224,26 @@ object Clusters {
     relabeled.union(newNodes)
   }
 
+  /** Reconciliation for an incrementally-deduped corpus: docs that are
+    * NON-SURVIVOR members of their dup cluster under the CURRENT labels.
+    * A streaming ingest drops new duplicates, but a later batch can
+    * MERGE two clusters whose earlier survivors both already reached the
+    * corpus — after the merge only the smallest corpus member of the
+    * united cluster should stay. Returns (doc_id, cluster_id,
+    * survivor_id) for the removable rows; feed it to a compaction/
+    * delete maintenance pass. One equi-join against the (dup-mass-sized)
+    * mapping + one hash aggregate — the corpus is scanned once, never
+    * sorted. */
+  def removableDocs(corpusDocs: DataFrame, mapping: DataFrame): DataFrame = {
+    val members = corpusDocs.select(col("doc_id"))
+      .join(mapping.withColumnRenamed("node", "doc_id"), Seq("doc_id"))
+    val survivors = members.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("survivor_id"))
+    members.join(survivors, "cluster_id")
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"))
+  }
+
   /** Quality-aware survivor selection: keep the BEST-scoring doc per
     * dup cluster (score desc, doc_id asc tie-break) instead of the
     * smallest id — what a production curation run actually wants, since

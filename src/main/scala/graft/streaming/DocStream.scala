@@ -138,16 +138,17 @@ object DocStream {
         // re-clustering of every pair ever seen, but the corpus is never
         // re-clustered. The table holds dup-component MEMBERS only
         // (small next to the corpus), so the per-batch overwrite is
-        // bounded by dup mass, not corpus size. Checkpoint before the
-        // overwrite: the new mapping is derived FROM the table it
-        // replaces.
+        // bounded by dup mass, not corpus size.
+        //
+        // Durability: the mapping table is a CACHE. Every batch first
+        // APPENDS its pairs to the `<ct>_pairs` journal (append-only,
+        // duplicate rows from replays are harmless to CC), and the
+        // mapping overwrite (drop + recreate — not atomic) comes last:
+        // a crash in the overwrite window loses only the cache, and the
+        // next batch rebuilds it from the journal with one full CC over
+        // PAIRS (dup-mass-sized, not corpus-sized). Re-folding already-
+        // merged pairs is a no-op, so replay at any point converges.
         clusterTable.foreach { ct =>
-          val mapping =
-            if (spark.catalog.tableExists(ct)) {
-              spark.catalog.refreshTable(ct)
-              spark.table(ct)
-            } else spark.range(0).select(col("id").as("node"),
-              col("id").as("cluster_id"))
           // exact in-batch dups never reach the signature index — add
           // their (survivor, duplicate) pairs so the cluster table
           // covers EVERY duplicate relation the stream drops
@@ -157,12 +158,23 @@ object DocStream {
             .withColumn("keeper", min(col("doc_id")).over(byDigest))
             .filter(col("doc_id") =!= col("keeper"))
             .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
-          val pairs = inBatchPairs.union(corpusPairs)
+          val pairs = (inBatchPairs.union(corpusPairs)
             .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
-            .union(exactPairs)
-          val updated = Clusters.incrementalComponents(mapping, pairs)
-            .localCheckpoint()
-          updated.write.mode(SaveMode.Overwrite).saveAsTable(ct)
+            .union(exactPairs)).localCheckpoint()
+          val journal = ct + "_pairs"
+          pairs.write.mode(SaveMode.Append).saveAsTable(journal)
+          val updated =
+            if (spark.catalog.tableExists(ct)) {
+              spark.catalog.refreshTable(ct)
+              Clusters.incrementalComponents(spark.table(ct), pairs)
+            } else {
+              // bootstrap OR crash recovery: the journal (which already
+              // holds this batch's pairs) is the source of truth
+              spark.catalog.refreshTable(journal)
+              Clusters.connectedComponentsStars(spark.table(journal))
+            }
+          updated.localCheckpoint()
+            .write.mode(SaveMode.Overwrite).saveAsTable(ct)
         }
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
         // 3. optional sub-document pass: cut spans the corpus gram index

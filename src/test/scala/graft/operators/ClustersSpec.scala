@@ -94,6 +94,19 @@ class ClustersSpec extends AnyFunSuite {
     assert(noop == full(seen))
   }
 
+  test("removableDocs flags merged-cluster extra survivors only") {
+    // corpus holds 1, 2, 5, 9; labels say {1,2} and {5} are one merged
+    // cluster family: 2 arrived as a survivor before its cluster merged
+    // with 1's — now removable. 5 is its own cluster's min; 9 is not a
+    // dup member at all.
+    val corpus = Seq(1L, 2L, 5L, 9L).toDF("doc_id")
+    val mapping = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L))
+      .toDF("node", "cluster_id")
+    val out = Clusters.removableDocs(corpus, mapping)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L, 1L)), out.toSeq.toString)
+  }
+
   test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
     // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10

@@ -27,6 +27,7 @@ class DocStreamSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "stream_idx", numBuckets = 4)
 
     spark.sql("DROP TABLE IF EXISTS stream_clusters")
+    spark.sql("DROP TABLE IF EXISTS stream_clusters_pairs")
     val input = MemoryStream[(Long, String)]
     val q = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"),
       spark, "stream_idx", out, ckpt, numBuckets = 4,
@@ -73,6 +74,18 @@ class DocStreamSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(clusters == Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 1L),
         s"incremental cluster table: $clusters")
+      // crash recovery: the mapping table is only a cache — drop it
+      // (simulating a crash inside its non-atomic overwrite) and the
+      // next batch rebuilds identical labels from the pairs journal
+      spark.sql("DROP TABLE stream_clusters")
+      input.addData((7L, textC)) // near-dup of 5 → pair (5,7)
+      q.processAllAvailable()
+      spark.catalog.refreshTable("stream_clusters")
+      val recovered = spark.table("stream_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(recovered ==
+        Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 1L, 5L -> 5L, 7L -> 5L),
+        s"journal rebuild after cache loss: $recovered")
     } finally q.stop()
   }
 
