@@ -79,6 +79,26 @@ object DocStream {
       },
       numBuckets, numHashes, bands, shingleK, minEstJaccard, gramIndexTable)
 
+  /** Compact a cluster-maintenance pairs journal: the journal grows with
+    * every batch's pairs forever, but the CURRENT mapping's star edges
+    * (cluster_id → node) regenerate exactly the same components — so the
+    * journal can be rewritten down to one edge per non-root member.
+    * Run it with the ingest quiesced and the mapping table present: the
+    * journal overwrite is not atomic, and during the rewrite the MAPPING
+    * is the recovery source (only losing both in one crash loses labels,
+    * which is why this never touches the mapping table). */
+  def compactClusterJournal(spark: SparkSession, clusterTable: String): Unit = {
+    require(spark.catalog.tableExists(clusterTable),
+      s"mapping table $clusterTable must exist — it is the recovery " +
+        "source while the journal is rewritten")
+    spark.catalog.refreshTable(clusterTable)
+    val edges = spark.table(clusterTable)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
+      .localCheckpoint()
+    edges.write.mode(SaveMode.Overwrite).saveAsTable(clusterTable + "_pairs")
+  }
+
   /** Bucket count an existing table was created with (None if the table
     * does not exist yet) — appends must use THIS, not the stream's own
     * setting, or saveAsTable rejects the mismatched spec. */

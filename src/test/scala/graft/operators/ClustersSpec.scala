@@ -94,6 +94,38 @@ class ClustersSpec extends AnyFunSuite {
     assert(noop == full(seen))
   }
 
+  test("incremental components fuzz-equal full recompute over random " +
+      "graphs and random batch splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      n <- Gen.choose(5, 30)                       // nodes
+      e <- Gen.choose(0, 40)                       // edges
+      edges <- Gen.listOfN(e, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+      cut <- Gen.choose(0, e)                      // batch boundary
+    } yield (edges.filter(p => p._1 != p._2), cut)
+    val cases = (1 to 12).flatMap(i =>
+      genCase(Gen.Parameters.default, Seed(i.toLong)))
+    def full(ps: Seq[(Long, Long)]) =
+      if (ps.isEmpty) Map.empty[Long, Long]
+      else Clusters.connectedComponents(ps.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (edges, cut0) =>
+      val cut = math.min(cut0, edges.size)
+      val (b1, b2) = edges.splitAt(cut)
+      if (b1.nonEmpty && b2.nonEmpty) {
+        val inc = Clusters.incrementalComponents(
+            Clusters.connectedComponents(b1.toDF("doc_a", "doc_b")),
+            b2.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc == full(edges),
+          s"divergence on ${edges.size} edges cut at $cut")
+      }
+    }
+  }
+
   test("removableDocs flags merged-cluster extra survivors only") {
     // corpus holds 1, 2, 5, 9; labels say {1,2} and {5} are one merged
     // cluster family: 2 arrived as a survivor before its cluster merged

@@ -86,6 +86,19 @@ class DocStreamSpec extends AnyFunSuite {
       assert(recovered ==
         Map(1L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 1L, 5L -> 5L, 7L -> 5L),
         s"journal rebuild after cache loss: $recovered")
+      // journal compaction: the star edges of the mapping regenerate the
+      // SAME labels — compact, drop the cache again, rebuild, compare
+      val before = spark.table("stream_clusters_pairs").count()
+      DocStream.compactClusterJournal(spark, "stream_clusters")
+      spark.catalog.refreshTable("stream_clusters_pairs")
+      assert(spark.table("stream_clusters_pairs").count() <= before)
+      spark.sql("DROP TABLE stream_clusters")
+      input.addData((8L, "yet another unique document about mountains"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("stream_clusters")
+      val rebuilt = spark.table("stream_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rebuilt == recovered, s"compacted journal must rebuild: $rebuilt")
     } finally q.stop()
   }
 
