@@ -568,6 +568,34 @@ object TextAnalysis {
     hashedLinearScore(Tables.documents(spark, dir), demoWeights())
       .orderBy("doc_id", "score_ppm", "keep")
 
+  // ---- novelty scoring ---------------------------------------------------
+
+  /** Arrival-order novelty: the share (ppm) of a doc's distinct word
+    * 3-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    * "how much content does each doc actually add", the complement of
+    * [[dupNgramFraction]]'s passage-reuse signal and the ranking a
+    * crawl-frontier prioritizer wants (re-crawls and templates score
+    * near 0, fresh material near 1e6). One shingle scan, one
+    * min-aggregate on the gram key, one equi-join back — all
+    * hash-partitioned on the gram, nothing all-pairs. */
+  def noveltyScore(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(Shingles.fromText(col("text"), 3)).as("g"))
+      .distinct()
+    val firsts = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+  }
+
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyScore(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_grams", "n_novel", "novelty_ppm")
+
   // ---- corpus report (dataset card) --------------------------------------
 
   /** One-pass-per-signal "dataset card": the per-language summary a

@@ -82,6 +82,7 @@ object ExtQueries {
     "text_hash_embed"       -> TextAnalysis.qHashEmbed _,
     "text_token_budget"     -> TextAnalysis.qTokenBudget _,
     "text_corpus_report"    -> TextAnalysis.qCorpusReport _,
+    "text_novelty"          -> TextAnalysis.qNovelty _,
     "ann_text_knn"          -> TextAnalysis.qTextKnn _,
     "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
@@ -706,6 +707,18 @@ object ExtQueries {
          |FROM d
          |ORDER BY doc_id, weight_ppm, keep""".stripMargin
     },
+
+    "text_novelty" ->
+      s"""WITH ${shingleCtes("documents")},
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN f USING (shingle)
+         |GROUP BY doc_id
+         |ORDER BY doc_id, n_grams, n_novel, novelty_ppm""".stripMargin,
 
     "text_corpus_report" ->
       """WITH tok AS (SELECT doc_id, lang,

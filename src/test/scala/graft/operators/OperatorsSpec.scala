@@ -502,6 +502,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.length == 1 && frames.head.getLong(1) == 0L)
   }
 
+  test("novelty: first writer owns its grams, exact copies score zero") {
+    val out = TextAnalysis.noveltyScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == 1000000L, s"doc 0 is all-new: $out")   // first arrival
+    assert(out(3L) == 0L, s"doc 3 is an exact copy of 0: $out")
+    assert(out(2L) == 1000000L)                              // disjoint vocab
+    // doc 1 shares a 7-token prefix with doc 0: of its 6 distinct
+    // 3-grams, 5 first appeared in doc 0 — only the final one is new
+    assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
+  }
+
   test("corpus report counts docs, tokens, vocab, and the exact-dup rate") {
     val r = TextAnalysis.corpusReport(docs).collect()
     assert(r.length == 1)
