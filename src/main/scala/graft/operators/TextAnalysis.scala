@@ -601,9 +601,11 @@ object TextAnalysis {
   /** One-pass-per-signal "dataset card": the per-language summary a
     * corpus release ships — docs, token mass, exact-integer mean quality
     * (half-up, engine-portable), exact-duplicate rate in ppm, distinct
-    * vocabulary. Each signal is its own hash aggregate over the shared
-    * token/digest scans, joined on the O(langs) key — nothing here
-    * scales past the scans at 100 TB. */
+    * vocabulary. Each signal is a hash aggregate over its own scan,
+    * joined on the O(langs) key; the only non-aggregate exchanges are
+    * the dup window's narrow (doc_id, lang, digest) projection and the
+    * per-language distinct-vocab expansion — both far below corpus
+    * width. */
   def corpusReport(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
