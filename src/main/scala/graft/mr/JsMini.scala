@@ -24,8 +24,9 @@ import scala.collection.mutable
   *   - statements: `var/let/const` (multi-declarator, init optional),
   *     assignment to variables / members / indices (`x = e`, `o.k = e`,
   *     `a[i] = e`) plain or compound (`+= -= *= /= %=`), `i++`/`--i`,
-  *     expression statements (calls), `if/else`, `while`, `for(;;)`,
-  *     `break`/`continue`, `return`
+  *     expression statements (calls), `if/else`, `while`, `do/while`,
+  *     `for(;;)`, `switch` (strict-equality cases, fall-through,
+  *     default), `break`/`continue`, `return`
   *   - literals: numbers, single/double-quoted strings, booleans, null,
   *     array `[...]` and object `{k: v}` literals
   *   - operators: `+ - * / %`, comparisons, `== != === !==`, `&& || !`,
@@ -153,6 +154,10 @@ object JsMini {
   final case class Return(e: Expr) extends Stmt
   final case class If(c: Expr, thenB: List[Stmt], elseB: List[Stmt]) extends Stmt
   final case class While(c: Expr, body: List[Stmt]) extends Stmt
+  final case class DoWhile(c: Expr, body: List[Stmt]) extends Stmt
+  /** Cases in source order; None label = default. Fall-through JS
+    * semantics: execution continues into later cases until `break`. */
+  final case class Switch(disc: Expr, cases: List[(Option[Expr], List[Stmt])]) extends Stmt
   final case class For(init: Option[Stmt], cond: Option[Expr],
       update: Option[Stmt], body: List[Stmt]) extends Stmt
   case object BreakStmt extends Stmt
@@ -312,6 +317,34 @@ object JsMini {
         val c = expression()
         expect("op", ")")
         While(c, bodyBlock())
+      } else if (at("ident", "do")) {
+        next()
+        val body = bodyBlock()
+        expect("ident", "while")
+        expect("op", "(")
+        val c = expression()
+        expect("op", ")")
+        if (eat("op", ";")) ()
+        DoWhile(c, body)
+      } else if (at("ident", "switch")) {
+        next()
+        expect("op", "(")
+        val d = expression()
+        expect("op", ")")
+        expect("op", "{")
+        val cases = mutable.ListBuffer.empty[(Option[Expr], List[Stmt])]
+        while (!at("op", "}")) {
+          val label =
+            if (eat("ident", "case")) Some(expression())
+            else { expect("ident", "default"); None }
+          expect("op", ":")
+          val stmts = mutable.ListBuffer.empty[Stmt]
+          while (!at("op", "}") && !at("ident", "case") && !at("ident", "default"))
+            stmts += statement()
+          cases += ((label, stmts.toList))
+        }
+        expect("op", "}")
+        Switch(d, cases.toList)
       } else if (at("ident", "for")) {
         next()
         expect("op", "(")
@@ -668,6 +701,38 @@ object JsMini {
             if (go) update.foreach(execStmt(_, scope))
           }
           out
+        case DoWhile(c, body) =>
+          var out: Ctrl = CNone
+          var go = true
+          while (go) {
+            exec(body, scope) match {
+              case r: CRet => out = r; go = false
+              case CBrk => go = false
+              case _ => // CNone | CCont: fall through to the test
+            }
+            if (go && !truthy(eval(c, scope))) go = false
+          }
+          out
+        case Switch(disc, cases) =>
+          val v = eval(disc, scope)
+          // labels evaluate in order only until the first match, as in JS
+          val matched = cases.indexWhere(_._1.exists(e => strictEq(eval(e, scope), v)))
+          val from = if (matched >= 0) matched else cases.indexWhere(_._1.isEmpty)
+          if (from < 0) CNone
+          else {
+            var i = from
+            var out: Ctrl = CNone
+            var done = false
+            while (!done && i < cases.length) {
+              exec(cases(i)._2, scope) match {
+                case r: CRet => out = r; done = true
+                case CBrk => done = true // break leaves the switch, consumed
+                case CCont => out = CCont; done = true // up to the loop
+                case CNone => i += 1 // fall through into the next case
+              }
+            }
+            out
+          }
         case BreakStmt => CBrk
         case ContinueStmt => CCont
       }

@@ -290,6 +290,56 @@ class JsMiniSpec extends AnyFunSuite {
     assert(js.nonEmpty)
   }
 
+  test("do/while and switch: fall-through, default, break, loop interplay") {
+    // do/while runs the body before the first test
+    assert(run1("""(function(o) {
+      |  var n = 0;
+      |  do { n += 1; } while (n < 5);
+      |  return n;
+      |})""".stripMargin, VNull) == VNum(5))
+    assert(run1("""(function(o) {
+      |  var n = 0;
+      |  do { n += 1; } while (false);
+      |  return n;
+      |})""".stripMargin, VNull) == VNum(1))
+    // switch: strict equality, fall-through without break, default arm
+    val classify = """(function(o) {
+      |  var out = [];
+      |  for (var i = 0; i < o.length; i++) {
+      |    switch (o[i]) {
+      |      case 1:
+      |      case 2: out.push("small"); break;
+      |      case "2": out.push("string-two"); break;
+      |      default: out.push("other");
+      |    }
+      |  }
+      |  return out.join(",");
+      |})""".stripMargin
+    assert(run1(classify, VArr.of(VNum(1), VNum(2), VStr("2"), VNum(9))) ==
+      VStr("small,small,string-two,other"))
+    // break inside switch leaves the SWITCH; continue reaches the loop
+    assert(run1("""(function(o) {
+      |  var total = 0;
+      |  for (var i = 0; i < 6; i++) {
+      |    switch (i % 3) {
+      |      case 0: continue;
+      |      case 1: total += 10; break;
+      |      default: total += 1;
+      |    }
+      |    total += 100;
+      |  }
+      |  return total;
+      |})""".stripMargin, VNull) == VNum(422)) // i=0,3 skip; i=1,4: 110; i=2,5: 101
+    // return from inside a switch inside do/while
+    assert(run1("""(function(o) {
+      |  var i = 0;
+      |  do {
+      |    switch (i) { case 3: return i * 7; }
+      |    i += 1;
+      |  } while (true);
+      |})""".stripMargin, VNull) == VNum(21))
+  }
+
   test("recorded POST /algorithm document replays end-to-end (ingest → JS → results)") {
     // A request document exactly as the reference's HTTP surface records it
     // (server/api.go:8-13) — including the code strings — now executable.
