@@ -54,8 +54,13 @@ import scala.collection.mutable
   * Algorithm documents are UNTRUSTED input, so every unbounded dimension is
   * capped and surfaces as [[JsError]] (never a raw `StackOverflowError` /
   * `NumberFormatException`):
-  *   - [[MaxDepth]] bounds parser and JSON nesting, which in turn bounds
-  *     evaluator recursion (the tree can't be deeper than the parse cap);
+  *   - [[MaxDepth]] bounds parser and JSON nesting — including unary
+  *     chains, ternary chains, and member/index/call chains — which in
+  *     turn bounds evaluator recursion; binary-operator chains
+  *     (`1+1+...+1`) parse left-deep with NO depth cap, so the evaluator
+  *     unrolls the left spine iteratively instead of recursing, and
+  *     runtime-built nesting (`while(...) a=[a]`) is caught by a value
+  *     depth cap in [[stringify]]/[[jsString]];
   *   - [[MaxSteps]] bounds statements + expression nodes evaluated per
   *     [[callFunction]] — a `while(true)` UDF fails the record, not the JVM;
   *   - [[MaxCallDepth]] bounds user-function recursion.
@@ -145,6 +150,15 @@ object JsMini {
   final case class TName(name: String) extends Tgt
   final case class TMember(obj: Expr, name: String) extends Tgt
   final case class TIndex(obj: Expr, idx: Expr) extends Tgt
+
+  /** An assignment location with the receiver/index already evaluated —
+    * compound assignment and ++/-- resolve once, then read and write the
+    * SAME slot even when the target expression has side effects
+    * (`a[i++] += 1` bumps `i` once, not twice). */
+  private sealed trait Loc
+  private final case class LName(n: String) extends Loc
+  private final case class LMember(obj: V, name: String) extends Loc
+  private final case class LIndex(obj: V, idx: V) extends Loc
 
   sealed trait Stmt extends Serializable
   final case class VarDecl(decls: List[(String, Expr)]) extends Stmt
@@ -407,7 +421,11 @@ object JsMini {
 
     private def expression(): Expr = nest { conditional() }
 
-    private def conditional(): Expr = {
+    // Chained ternaries (`a?b: c?d: ...`) recurse through conditional(),
+    // so it nests; binary-operator chains below are parsed by ITERATIVE
+    // loops and left unbounded on purpose — Interp.eval unrolls their
+    // left spine iteratively, so chain length never becomes stack depth.
+    private def conditional(): Expr = nest {
       val c = or()
       if (eat("op", "?")) {
         val t = conditional()
@@ -454,18 +472,26 @@ object JsMini {
       }
       l
     }
-    private def unary(): Expr =
+    // nest: `!!!!...x` recurses one level per operator.
+    private def unary(): Expr = nest {
       if (at("op", "!")) { next(); Unary("!", unary()) }
       else if (at("op", "-")) { next(); Unary("-", unary()) }
       else if (at("op", "+")) { next(); Unary("+", unary()) }
       else if (at("op", "++")) { next(); IncDec(toTarget(postfix()), 1, prefix = true) }
       else if (at("op", "--")) { next(); IncDec(toTarget(postfix()), -1, prefix = true) }
       else postfix()
+    }
 
     private def postfix(): Expr = {
       var e = primary()
+      // Member/index/call chains (`a.b[0].c()...`) build a left-deep tree
+      // in this loop; the evaluator recurses one frame per link, so cap
+      // the chain length like any other nesting dimension.
+      var chain = 0
       var done = false
       while (!done) {
+        chain += 1
+        if (chain > MaxDepth) err(s"member/call chain longer than $MaxDepth")
         if (eat("op", ".")) {
           val t = next()
           if (t.kind != "ident") err("expected property name")
@@ -667,9 +693,14 @@ object JsMini {
           decls.foreach { case (n, e) => scope.declare(n, eval(e, scope)) }
           CNone
         case Assign(t, op, e) =>
-          val rhs = eval(e, scope)
-          val v = if (op == "=") rhs else binop(op.substring(0, 1), readTarget(t, scope), rhs)
-          writeTarget(t, v, scope)
+          // Resolve the target's receiver/index exactly once so a
+          // side-effecting target (`a[i++] += 1`) reads and writes the
+          // same slot, matching JS reference-before-RHS evaluation order.
+          val loc = resolve(t, scope)
+          val v =
+            if (op == "=") eval(e, scope)
+            else binop(op.substring(0, 1), readLoc(loc, scope), eval(e, scope))
+          writeLoc(loc, v, scope)
           CNone
         case ExprStmt(e) =>
           eval(e, scope)
@@ -738,23 +769,28 @@ object JsMini {
       }
     }
 
-    private def readTarget(t: Tgt, scope: Scope): V = t match {
-      case TName(n) =>
-        scope.lookup(n).getOrElse(throw new JsError(s"undefined identifier: $n"))
-      case TMember(o, name) => member(eval(o, scope), name)
-      case TIndex(o, i) =>
-        indexGet(eval(o, scope), eval(i, scope))
+    private def resolve(t: Tgt, scope: Scope): Loc = t match {
+      case TName(n) => LName(n)
+      case TMember(o, name) => LMember(eval(o, scope), name)
+      case TIndex(o, i) => LIndex(eval(o, scope), eval(i, scope))
     }
 
-    private def writeTarget(t: Tgt, v: V, scope: Scope): Unit = t match {
-      case TName(n) =>
+    private def readLoc(l: Loc, scope: Scope): V = l match {
+      case LName(n) =>
+        scope.lookup(n).getOrElse(throw new JsError(s"undefined identifier: $n"))
+      case LMember(o, name) => member(o, name)
+      case LIndex(o, i) => indexGet(o, i)
+    }
+
+    private def writeLoc(l: Loc, v: V, scope: Scope): Unit = l match {
+      case LName(n) =>
         if (!scope.assign(n, v))
           throw new JsError(s"assignment to undeclared variable: $n")
-      case TMember(o, name) => eval(o, scope) match {
+      case LMember(o, name) => o match {
         case VObj(fields) => fields(name) = v
         case other => throw new JsError(s"cannot set property on ${typeName(other)}")
       }
-      case TIndex(o, i) => (eval(o, scope), eval(i, scope)) match {
+      case LIndex(o, i) => (o, i) match {
         case (VArr(items), iv) =>
           val k = toNum(iv).toInt
           if (k < 0) throw new JsError(s"negative array index $k in assignment")
@@ -803,9 +839,10 @@ object JsMini {
           case None => VFunc(params, body, scope)
         }
         case IncDec(t, delta, prefix) =>
-          val old = toNum(readTarget(t, scope))
+          val loc = resolve(t, scope)
+          val old = toNum(readLoc(loc, scope))
           val nv = old + delta
-          writeTarget(t, VNum(nv), scope)
+          writeLoc(loc, VNum(nv), scope)
           VNum(if (prefix) nv else old)
         case Unary(op, inner) =>
           val v = eval(inner, scope)
@@ -815,11 +852,29 @@ object JsMini {
             case "+" => VNum(toNum(v))
             case other => throw new JsError(s"unknown unary $other")
           }
-        case Bin("&&", l, r) =>
-          val lv = eval(l, scope); if (!truthy(lv)) lv else eval(r, scope)
-        case Bin("||", l, r) =>
-          val lv = eval(l, scope); if (truthy(lv)) lv else eval(r, scope)
-        case Bin(op, l, r) => binop(op, eval(l, scope), eval(r, scope))
+        case b: Bin =>
+          // Operator chains parse left-deep (`a+b+c` = Bin(+,Bin(+,a,b),c))
+          // with unbounded length, so unroll the left spine iteratively —
+          // recursing here would let `1+1+...+1` overflow the JVM stack.
+          // Right operands sit one precedence level down and are bounded
+          // by the parser's nest cap.
+          var spine: List[Bin] = Nil
+          var leaf: Expr = b
+          while (leaf.isInstanceOf[Bin]) {
+            val bb = leaf.asInstanceOf[Bin]; spine = bb :: spine; leaf = bb.l
+          }
+          var v = eval(leaf, scope)
+          var rest = spine
+          while (rest.nonEmpty) {
+            val bb = rest.head; rest = rest.tail
+            tick()
+            v = bb.op match {
+              case "&&" => if (!truthy(v)) v else eval(bb.r, scope)
+              case "||" => if (truthy(v)) v else eval(bb.r, scope)
+              case op => binop(op, v, eval(bb.r, scope))
+            }
+          }
+          v
         case Cond(c, t, f) => if (truthy(eval(c, scope))) eval(t, scope) else eval(f, scope)
         case ArrLit(items) => VArr(mutable.ArrayBuffer.from(items.map(eval(_, scope))))
         case ObjLit(fields) =>
@@ -1181,19 +1236,27 @@ object JsMini {
       BigDecimal(d).toBigInt.toString
     else d.toString
 
-  /** JS String(v) coercion. */
-  def jsString(v: V): String = v match {
-    case VStr(s) => s
-    case VNum(d) => formatNum(d)
-    case VBool(b) => b.toString
-    case VNull => "null"
-    case VUndef => "undefined"
-    case VArr(items) => items.map {
-      case VNull | VUndef => ""
-      case x => jsString(x)
-    }.mkString(",")
-    case _: VFunc | _: VNative => "function"
-    case _: VObj => "[object Object]"
+  /** JS String(v) coercion. Depth-capped: arrays are runtime values, so
+    * `while(...) a=[a]` can nest deeper than any parse-time bound —
+    * surface that as [[JsError]], not a raw StackOverflowError. (strictEq
+    * needs no cap: arrays/objects compare by reference, never recursing.) */
+  def jsString(v: V): String = jsString(v, 0)
+
+  private def jsString(v: V, depth: Int): String = {
+    if (depth > MaxDepth) throw new JsError(s"value nesting deeper than $MaxDepth")
+    v match {
+      case VStr(s) => s
+      case VNum(d) => formatNum(d)
+      case VBool(b) => b.toString
+      case VNull => "null"
+      case VUndef => "undefined"
+      case VArr(items) => items.map {
+        case VNull | VUndef => ""
+        case x => jsString(x, depth + 1)
+      }.mkString(",")
+      case _: VFunc | _: VNative => "function"
+      case _: VObj => "[object Object]"
+    }
   }
 
   private def str(v: V, what: String): String = v match {
@@ -1217,19 +1280,24 @@ object JsMini {
   /** JSON.stringify over the value model (insertion-ordered object keys;
     * undefined/function serialize as null inside arrays, omitted inside
     * objects). */
-  def stringify(v: V): String = v match {
-    case VNum(d) => if (d.isNaN || d.isInfinite) "null" else formatNum(d)
-    case VStr(s) => quote(s)
-    case VBool(b) => b.toString
-    case VNull | VUndef => "null"
-    case _: VFunc | _: VNative => "null"
-    case VArr(items) => items.map(stringify).mkString("[", ",", "]")
-    case VObj(fields) =>
-      fields.iterator.collect {
-        case (k, value) if value != VUndef &&
-            !value.isInstanceOf[VFunc] && !value.isInstanceOf[VNative] =>
-          quote(k) + ":" + stringify(value)
-      }.mkString("{", ",", "}")
+  def stringify(v: V): String = stringify(v, 0)
+
+  private def stringify(v: V, depth: Int): String = {
+    if (depth > MaxDepth) throw new JsError(s"value nesting deeper than $MaxDepth")
+    v match {
+      case VNum(d) => if (d.isNaN || d.isInfinite) "null" else formatNum(d)
+      case VStr(s) => quote(s)
+      case VBool(b) => b.toString
+      case VNull | VUndef => "null"
+      case _: VFunc | _: VNative => "null"
+      case VArr(items) => items.map(stringify(_, depth + 1)).mkString("[", ",", "]")
+      case VObj(fields) =>
+        fields.iterator.collect {
+          case (k, value) if value != VUndef &&
+              !value.isInstanceOf[VFunc] && !value.isInstanceOf[VNative] =>
+            quote(k) + ":" + stringify(value, depth + 1)
+        }.mkString("{", ",", "}")
+    }
   }
 
   private def quote(s: String): String = {

@@ -92,7 +92,9 @@ object Multimodal {
       while (off + 8 <= payload.length && (bits < 0 || dataOff < 0)) {
         val id = tag(payload, off)
         val size = u32(payload, off + 4).toInt
-        if (size < 0 || off + 8 + size > payload.length) bad(s"truncated '$id' chunk")
+        // Compare in Long: a crafted size near 2^31 overflows `off+8+size`
+        // to negative in Int, bypassing the truncation check.
+        if (size < 0 || off.toLong + 8 + size > payload.length) bad(s"truncated '$id' chunk")
         id match {
           case "fmt " =>
             if (size < 16) bad("fmt chunk too short")

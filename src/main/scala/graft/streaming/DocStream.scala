@@ -163,8 +163,8 @@ object DocStream {
         // Durability: the mapping table is a CACHE. Every batch first
         // APPENDS its pairs to the `<ct>_pairs` journal (append-only,
         // duplicate rows from replays are harmless to CC), and the
-        // mapping overwrite (drop + recreate — not atomic) comes last:
-        // a crash in the overwrite window loses only the cache, and the
+        // mapping publish (staging write + atomic catalog rename) comes
+        // last: a crash in the publish window loses only the cache, and the
         // next batch rebuilds it from the journal with one full CC over
         // PAIRS (dup-mass-sized, not corpus-sized). Re-folding already-
         // merged pairs is a no-op, so replay at any point converges.
@@ -193,8 +193,18 @@ object DocStream {
               spark.catalog.refreshTable(journal)
               Clusters.connectedComponentsStars(spark.table(journal))
             }
+          // Publish via staging + catalog rename so the mapping is never
+          // catalog-visible half-written: a crash mid-staging-write leaves
+          // the OLD mapping authoritative; a crash between DROP and RENAME
+          // leaves the mapping absent, which the next batch detects and
+          // rebuilds from the journal. A direct overwrite (drop+recreate)
+          // could instead leave a partial table that existence checks
+          // would silently trust.
+          val staging = ct + "_staging"
           updated.localCheckpoint()
-            .write.mode(SaveMode.Overwrite).saveAsTable(ct)
+            .write.mode(SaveMode.Overwrite).saveAsTable(staging)
+          spark.sql(s"DROP TABLE IF EXISTS $ct")
+          spark.sql(s"ALTER TABLE $staging RENAME TO $ct")
         }
         val survivors = batchUnique.join(dupIds, Seq("doc_id"), "left_anti")
         // 3. optional sub-document pass: cut spans the corpus gram index

@@ -265,6 +265,54 @@ class JsMiniSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseJson("[1.2.3]"))
   }
 
+  test("deep chains and runtime-built nesting are JsError, never StackOverflowError (ADVICE round 6)") {
+    // Long binary chains are LEGAL: they parse left-deep with no depth cap,
+    // and the evaluator unrolls the left spine iteratively.
+    val terms = 50000
+    assert(expr(Array.fill(terms)("1").mkString("+")) == VNum(terms))
+    assert(expr("'x'" + "+'y'" * 10000) == VStr("x" + "y" * 10000))
+    // Short-circuit survives the iterative unroll.
+    assert(expr("1 || undefined.boom" + "+1" * 1000) == VNum(1))
+    // Unary chains recurse in the parser → depth cap.
+    val bangs = intercept[IllegalArgumentException](expr("!" * 5000 + "1"))
+    assert(bangs.getMessage.contains("nesting"))
+    // Ternary chains recurse in the parser → depth cap.
+    val terns = intercept[IllegalArgumentException](expr("0 ? 0 : " * 5000 + "1"))
+    assert(terns.getMessage.contains("nesting"))
+    // Member/index chains grow the evaluator's recursion → chain cap.
+    val chain = intercept[IllegalArgumentException](expr("o" + ".x" * 5000))
+    assert(chain.getMessage.contains("chain"))
+    // Runtime-built nesting (deeper than any parse bound) → value depth cap
+    // in JSON.stringify and String coercion.
+    val deepBuild =
+      """(function(o) {
+        |  var a = [];
+        |  for (var i = 0; i < 5000; i++) { a = [a]; }
+        |  return JSON.stringify(a);
+        |})""".stripMargin
+    val js = intercept[IllegalArgumentException](callFunction(parseFunction(deepBuild), VNull))
+    assert(js.getMessage.contains("value nesting"))
+    val deepStr = deepBuild.replace("JSON.stringify(a)", "'' + a")
+    val cs = intercept[IllegalArgumentException](callFunction(parseFunction(deepStr), VNull))
+    assert(cs.getMessage.contains("value nesting"))
+  }
+
+  test("side-effecting assignment targets resolve once (ADVICE round 6)") {
+    // a[i++] += 1 must read and write the SAME slot and bump i ONCE.
+    val prog =
+      """(function(o) {
+        |  var a = [10, 20, 30];
+        |  var i = 1;
+        |  a[i++] += 5;
+        |  var b = [0, 0];
+        |  var j = 0;
+        |  b[j++]++;
+        |  return JSON.stringify([a[0], a[1], a[2], i, b[0], b[1], j]);
+        |})""".stripMargin
+    assert(callFunction(parseFunction(prog), VNull) ==
+      VStr("[10,25,30,2,1,0,1]"))
+  }
+
   test("malformed code and wrong shapes are rejected") {
     intercept[IllegalArgumentException](parseFunction("not a function"))
     intercept[IllegalArgumentException](parseFunction("(function(o) { return 1; )"))

@@ -460,6 +460,15 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.WavCodec.decode("not audio at all".getBytes, dim = 2))
     intercept[IllegalArgumentException](
       Multimodal.WavCodec.decode(wav16(Seq(1, 2)).dropRight(1), dim = 2))
+    // crafted chunk size near 2^31 must not overflow the Int bounds check
+    // into a raw ArrayIndexOutOfBoundsException (ADVICE round 6)
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII")); le32(evil, 36)
+    evil.write("WAVE".getBytes("US-ASCII"))
+    evil.write("fmt ".getBytes("US-ASCII")); le32(evil, 0x7ffffff0)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode(evil.toByteArray, dim = 2))
+    assert(e.getMessage.contains("truncated"))
     // and the pluggable path: decodeFeatures with WavCodec end-to-end
     val media = Seq((1L, "audio", wav16(Seq(10, 20, 30))), (2L, "audio", wav16(Seq(-1, 1))))
       .toDF("doc_id", "media_type", "payload")

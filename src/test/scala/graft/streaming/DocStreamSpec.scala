@@ -99,6 +99,20 @@ class DocStreamSpec extends AnyFunSuite {
       val rebuilt = spark.table("stream_clusters")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(rebuilt == recovered, s"compacted journal must rebuild: $rebuilt")
+      // crash INSIDE the publish window (ADVICE round 6): the mapping is
+      // published staging→rename, so a crash mid-staging-write leaves the
+      // OLD mapping authoritative plus a stale _staging table; the next
+      // batch must overwrite the leftover and publish cleanly
+      Seq((99L, 99L)).toDF("node", "cluster_id")
+        .write.mode("overwrite").saveAsTable("stream_clusters_staging")
+      input.addData((9L, "a ninth document mentioning rivers and stones"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("stream_clusters")
+      val afterStale = spark.table("stream_clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterStale == rebuilt, s"stale staging must not leak: $afterStale")
+      assert(!spark.catalog.tableExists("stream_clusters_staging"),
+        "publish must consume the staging table")
     } finally q.stop()
   }
 

@@ -46,10 +46,56 @@ COPY (
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-# remaining tables: plain copies so Tables.* resolve (queries under
-# stress use documents/embeddings; the star-schema tables just need to
-# exist for any incidental reads)
-for t in "region nation customer supplier part orders lineitem events".split():
+# events: REPS replicas with disjoint user/event-id populations (each
+# replica is a fresh cohort doing the same session shapes) and a few-ms
+# timestamp jitter so replicated rows are not byte-identical. Windowed
+# aggregations, funnels, retention and interval joins then see 10x rows
+# AND 10x users — per-user work constant, total work linear, the shape a
+# 100 TB event log actually has.
+n_events = con.sql(f"SELECT count(*) FROM '{SRC}/events.parquet'").fetchone()[0]
+u_span = con.sql(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT e.event_id + {n_events} * r.i AS event_id,
+         e.ts + INTERVAL (r.i * 7) MILLISECOND AS ts,
+         e.user_id + {u_span} * r.i AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{SRC}/events.parquet' e,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY ts
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+# facts (orders + lineitem): REPS replicas with shifted ORDER keys — the
+# same offset on both tables so the orderkey join lines up — while
+# customer/part/supplier keys stay fixed. Dims stay small, facts grow:
+# the broadcast-dim / big-fact proportions of a real warehouse scale-up.
+ok_span = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT o.o_orderkey + {ok_span} * r.i AS o_orderkey,
+         o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+         o.o_orderpriority
+  FROM '{SRC}/orders.parquet' o,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY o_orderkey
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+con.sql(f"""
+COPY (
+  SELECT l.l_orderkey + {ok_span} * r.i AS l_orderkey,
+         l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+         l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+         l.l_linestatus, l.l_shipdate
+  FROM '{SRC}/lineitem.parquet' l,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY l_orderkey
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+# dimension tables: plain copies — at 100 TB these are the broadcast side
+for t in "region nation customer supplier part".split():
     con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
 
-print(f"[scalegen] {OUT}: documents={n_docs * REPS} embeddings={n_vecs * REPS}")
+print(f"[scalegen] {OUT}: documents={n_docs * REPS} embeddings={n_vecs * REPS} "
+      f"events={n_events * REPS} orders/lineitem x{REPS}")
