@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: time a single SparkEntry query (warm pass + N timed
-  * passes, per-pass seconds printed). Usage:
-  *   sbt "runMain graft.TimeOne <queryName> [sfDir] [passes]"
+/** Dev utility: time SparkEntry queries (warm pass + N timed passes,
+  * per-pass seconds printed; min reported). Accepts one query name or a
+  * comma-separated list — the list shares one JVM, so cross-scale ratios
+  * stay clean as long as BOTH scales run the same list. Usage:
+  *   sbt "runMain graft.TimeOne <name>[,<name>...] [sfDir] [passes]"
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,14 +24,16 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warm
-    val times = (1 to passes).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // warm
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timeone] $name min=${times.min}%.3f passes=${times.map(t => f"$t%.3f").mkString(",")}")
     }
-    println(f"[timeone] $name min=${times.min}%.3f passes=${times.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }

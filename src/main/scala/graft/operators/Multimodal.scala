@@ -131,6 +131,127 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for uncompressed BMP payloads (BITMAPINFOHEADER, BI_RGB,
+    * 24-bit BGR or 8-bit palettized) — like [[WavCodec]], no media
+    * library needed: the format is a header walk plus a padded-row pixel
+    * array. Features are per-bucket sums of per-pixel channel totals
+    * (B+G+R, palette-resolved for 8-bit) in RASTER order — top-left to
+    * bottom-right — so a correct decode must honor the 4-byte row
+    * stride AND the bottom-up row order (positive height) vs top-down
+    * (negative height). Channel sums are integers < 3·255, exact in
+    * Float up to ~22k pixels per bucket — far above the payloads here.
+    * Malformed headers are `IllegalArgumentException`: fail the record,
+    * never poison the feature (all bounds math in Long — a crafted
+    * 2^31-ish size must not wrap the checks). */
+  object BmpCodec extends Codec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      def bad(m: String) = throw new IllegalArgumentException(s"BmpCodec: $m")
+      if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
+        bad("not a BMP payload")
+      val pixOff = u32(payload, 10)
+      val dibSize = u32(payload, 14)
+      if (dibSize < 40) bad(s"unsupported DIB header size $dibSize")
+      val width = i32(payload, 18)
+      val heightRaw = i32(payload, 22)
+      val topDown = heightRaw < 0
+      val height = math.abs(heightRaw.toLong)
+      if (width <= 0 || height == 0) bad(s"bad dimensions ${width}x$heightRaw")
+      if (u16(payload, 26) != 1) bad("color planes must be 1")
+      val bpp = u16(payload, 28)
+      val compression = u32(payload, 30)
+      if (compression != 0) bad(s"unsupported compression $compression (BI_RGB only)")
+      val bytesPerPx = bpp match {
+        case 24 => 3
+        case 8 => 1
+        case other => bad(s"unsupported bit depth $other (8/24-bit only)")
+      }
+      val stride = (width.toLong * bytesPerPx + 3) / 4 * 4
+      if (pixOff < 14 + dibSize || pixOff + stride * height > payload.length)
+        bad("truncated pixel array")
+      val palOff = 14 + dibSize
+      val palEntries =
+        if (bpp != 8) 0L
+        else {
+          val clrUsed = u32(payload, 46)
+          val n = if (clrUsed == 0) 256L else clrUsed
+          if (palOff + 4 * n > pixOff) bad("palette overruns pixel array")
+          n
+        }
+      val out = new Array[Float](dim)
+      var y = 0L
+      while (y < height) {
+        val sy = if (topDown) y else height - 1 - y
+        val rowOff = (pixOff + sy * stride).toInt // bounds proven above
+        var x = 0
+        while (x < width) {
+          val v =
+            if (bytesPerPx == 3) {
+              val o = rowOff + x * 3
+              (payload(o) & 0xff) + (payload(o + 1) & 0xff) + (payload(o + 2) & 0xff)
+            } else {
+              val idx = payload(rowOff + x) & 0xff
+              if (idx >= palEntries) bad(s"palette index $idx out of range")
+              val e = palOff.toInt + idx * 4 // BGRA entry
+              (payload(e) & 0xff) + (payload(e + 1) & 0xff) + (payload(e + 2) & 0xff)
+            }
+          out(((y * width + x) % dim).toInt) += v.toFloat
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic 24-bit BMP built from text: width 5 px, 3 consecutive
+    * text bytes per pixel (as B,G,R) in raster order, stored BOTTOM-UP
+    * with 4-byte-aligned rows (stride 16 ⇒ one pad byte per row) — a
+    * small but fully-real BMP, so [[BmpCodec]]'s stride walk and row
+    * flip are exercised against oracles that read the text directly. */
+  private[graft] def bmpFromText(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 5
+    val h = bytes.length / 3 / w
+    require(h >= 1, s"text too short for one pixel row: ${bytes.length} bytes")
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + stride * h)
+    def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, stride * h)
+    le32(38, 2835); le32(42, 2835) // 72 dpi, both axes
+    var p = 0
+    while (p < w * h) {
+      val y = p / w
+      val o = 54 + (h - 1 - y) * stride + (p % w) * 3
+      out(o) = bytes(3 * p); out(o + 1) = bytes(3 * p + 1); out(o + 2) = bytes(3 * p + 2)
+      p += 1
+    }
+    out
+  }
+
+  /** Image-typed media rows with REAL (built) BMP payloads — the image
+    * counterpart of the WAV path: doc_id % 3 == 0 rows whose text yields
+    * at least one pixel row. */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", bmpFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
   /** The multimodal table: binary payload + typed metadata, all derived
     * deterministically from documents. */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -205,10 +326,10 @@ object Multimodal {
     * through Similarity.bruteForceTopK: broadcast query side, bounded-
     * heap per-query top-k, candidate side never shuffles. */
   def featureTopK(media: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int = 3, dim: Int = 8): DataFrame = {
+      k: Int = 3, dim: Int = 8, codec: Codec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    def feats(m: DataFrame) = decodeFeatures(m, dim)
+    def feats(m: DataFrame) = decodeFeatures(m, dim, codec)
       .map(x => (x.doc_id, x.features))
       .toDF("id", "embedding")
     // queryPred is a predicate over the MEDIA frame (doc_id, media_type,
@@ -269,6 +390,30 @@ object Multimodal {
   def qAudioWindows(spark: SparkSession, dir: String): DataFrame =
     audioWindows(mediaTable(Tables.documents(spark, dir)))
       .orderBy("doc_id", "window_idx", "start_sample", "n_window_samples")
+
+  /** Per-bucket pixel sums over REAL decoded BMP pixels: build a genuine
+    * 24-bit bottom-up padded BMP from each image-typed doc's text, decode
+    * it with [[BmpCodec]], and emit the bucket sums long-form. The oracle
+    * reads the text directly in raster order — so a decode that mishandles
+    * the row stride, the bottom-up flip, or the pad bytes hash-mismatches
+    * immediately. */
+  def qImageChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(imageTable(Tables.documents(spark, dir)), dim = 8, codec = BmpCodec)
+      .flatMap(m => m.features.iterator.zipWithIndex.map {
+        case (s, b) => (m.doc_id, b.toLong, s.toLong)
+      })
+      .toDF("doc_id", "bucket", "s")
+      .orderBy("doc_id", "bucket", "s")
+  }
+
+  /** Top-3 nearest images by cosine over REAL decoded BMP pixel-bucket
+    * vectors — [[featureTopK]] with [[BmpCodec]] end-to-end. */
+  def qImageKnn(spark: SparkSession, dir: String): DataFrame =
+    featureTopK(imageTable(Tables.documents(spark, dir)),
+      col("doc_id") < 30, k = 3, dim = 8, codec = BmpCodec)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
 
   /** Decoded feature summary — exercises the stub-codec mapPartitions path
     * end-to-end but reduces to an oracle-checkable scalar: the feature sum

@@ -706,6 +706,46 @@ object Similarity {
       residualProbeQueries(vectors, ix.cents, queryPred, m, ds, nprobe), k)
   }
 
+  /** Exact re-ranking of a bounded shortlist (the "+R" of IVFADC+R,
+    * Jégou et al. '11 §III-C): fetch the full float vectors for the
+    * shortlist's neighbor ids, re-score with exact cosine, keep top-k.
+    * Scale shape: the shortlist is queries × R rows — driver-bounded
+    * metadata — so BOTH joins broadcast and the corpus side streams
+    * through one scan with no shuffle; the extra IO is R·dim floats per
+    * query regardless of corpus size. Any true neighbor that made the
+    * shortlist is recovered exactly, which is why a cheap wide-R ADC
+    * pass + re-rank approaches brute-force recall at a fraction of the
+    * cost. */
+  private def rerankExact(vectors: DataFrame, shortlist: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val q = vectors.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val cand = vectors
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = cand
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** IVFADC+R: residual IVF-PQ search widened to a top-`rerank` ADC
+    * shortlist, then re-ranked exactly by [[rerankExact]]. Same index,
+    * same probe shape as [[ivfPqResidualTopK]] — the rerank buys back
+    * the quantization error on the final k at the cost of R exact
+    * distance evaluations per query. */
+  def ivfPqResidualTopKRerank(vectors: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int, numCentroids: Int = 8,
+      kmeansIters: Int = 2, m: Int = 8, ds: Int = 8, ks: Int = 8,
+      iters: Int = 1, nprobe: Int = 1, rerank: Int = 50): DataFrame = {
+    val ix = ivfPqResidualIndex(vectors, numCentroids, kmeansIters, m, ds, ks, iters)
+    val shortlist = ivfPqResidualSearch(ix,
+      residualProbeQueries(vectors, ix.cents, queryPred, m, ds, nprobe), rerank)
+    rerankExact(vectors, shortlist, queryPred, k)
+  }
+
   /** Recall@k of residual IVF-PQ (nprobe 1 and 2) against the exact
     * baseline — the number that justifies the residual coupling (same
     * integer half-up recall arithmetic as [[annRecall]]). */
@@ -729,11 +769,16 @@ object Similarity {
     // one trained index for both probe widths
     val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks, iters)
     val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
-    def arm(nprobe: Int): DataFrame =
+    def arm(nprobe: Int, kk: Int = k): DataFrame =
       ivfPqResidualSearch(ix,
-        residualProbeQueries(emb, ix.cents, queryPred, m, ds, nprobe), k)
+        residualProbeQueries(emb, ix.cents, queryPred, m, ds, nprobe), kk)
+    // IVFADC+R arm: nprobe-2 ADC shortlist of 50, re-ranked exactly —
+    // the recall@k this pipeline ships with (rerank recovers any true
+    // neighbor the shortlist caught)
+    val rr = rerankExact(emb, arm(nprobe = 2, kk = 50), queryPred, k)
     hits("ivfpq_res", arm(nprobe = 1))
       .union(hits("ivfpq_res_p2", arm(nprobe = 2)))
+      .union(hits("ivfpq_res_rr", rr))
   }
 
   /** PQ-cell semantic dedup (the SemDeDup shape): vectors that agree on

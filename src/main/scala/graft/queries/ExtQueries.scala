@@ -59,6 +59,8 @@ object ExtQueries {
     "mm_feature_dedup"      -> Multimodal.qFeatureDedup _,
     "mm_audio_windows"      -> Multimodal.qAudioWindows _,
     "mm_feature_knn"        -> Multimodal.qFeatureKnn _,
+    "mm_image_checksum"     -> Multimodal.qImageChecksum _,
+    "mm_image_knn"          -> Multimodal.qImageKnn _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
@@ -1054,11 +1056,23 @@ object ExtQueries {
          |    AND c.vec_id <> q.query_id
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY ${pqResAdcSim()} DESC, c.vec_id) <= 5),
+         |r50 AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM rcodes c JOIN rq2 q ON c.centroid_id = q.centroid_id
+         |    AND c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${pqResAdcSim()} DESC, c.vec_id) <= 50),
+         |rr5 AS (SELECT s.query_id, s.neighbor_id
+         |  FROM r50 s JOIN v x ON s.neighbor_id = x.vec_id
+         |  JOIN q0 q ON s.query_id = q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY s.query_id
+         |    ORDER BY list_cosine_similarity(x.vec, q.qv) DESC, s.neighbor_id) <= 5),
          |nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
          |hit1 AS (SELECT query_id, count(*) AS n_hit
          |         FROM ex JOIN r5 USING (query_id, neighbor_id) GROUP BY 1),
          |hit2 AS (SELECT query_id, count(*) AS n_hit
          |         FROM ex JOIN r5b USING (query_id, neighbor_id) GROUP BY 1),
+         |hit3 AS (SELECT query_id, count(*) AS n_hit
+         |         FROM ex JOIN rr5 USING (query_id, neighbor_id) GROUP BY 1),
          |r AS (
          |  SELECT 'ivfpq_res' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
          |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
@@ -1066,7 +1080,11 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT 'ivfpq_res_p2' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
          |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
-         |  FROM nex n LEFT JOIN hit2 h USING (query_id))
+         |  FROM nex n LEFT JOIN hit2 h USING (query_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq_res_rr' AS method, n.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |    ((coalesce(h.n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |  FROM nex n LEFT JOIN hit3 h USING (query_id))
          |SELECT method, query_id, n_hit, recall FROM r
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
@@ -1484,6 +1502,40 @@ object ExtQueries {
         |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |  FROM v a, v b
         |  WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
+        |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
+        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    // real-BMP decode: pixel p (raster order, width 5) = text bytes
+    // 3p+1..3p+3; usable pixels = full rows only ((len//3)//5 rows).
+    // The Spark side routes these bytes through an actual bottom-up
+    // padded BMP container and BmpCodec's header/stride/flip walk —
+    // the oracle never sees the container, so any walk bug mismatches.
+    "mm_image_checksum" ->
+      """SELECT doc_id, p % 8 AS bucket,
+        |  CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
+        |           + ord(substr(text, 3*p + 3, 1))) AS BIGINT) AS s
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
+        |      FROM documents
+        |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    "mm_image_knn" ->
+      """WITH px AS (SELECT doc_id, p % 8 AS bucket,
+        |    CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
+        |             + ord(substr(text, 3*p + 3, 1))) AS DOUBLE) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
+        |        FROM documents
+        |        WHERE doc_id % 3 = 0 AND length(text) >= 15)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(s ORDER BY bucket) AS v FROM px GROUP BY doc_id)
+        |SELECT query_id, neighbor_id, cos_sim FROM (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |  FROM v a, v b
+        |  WHERE a.doc_id < 30 AND b.doc_id <> a.doc_id
         |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,

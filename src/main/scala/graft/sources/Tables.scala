@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders for the driver-provided testdata corpus
   * (TESTDATA.md / FIXTURES.md).
@@ -29,11 +29,19 @@ object Tables {
     * long when `spark.sql.legacy.parquet.nanosAsLong=true` (set in every
     * graft session builder). Convert to a microsecond timestamp here so
     * downstream queries see a normal timestamp column. */
+  /** events with `ts` normalized to session-zone TIMESTAMP regardless of
+    * how the parquet types it: the driver testdata stores TIMESTAMP(NANOS)
+    * (read as Long under nanosAsLong), while rewritten corpora (DuckDB's
+    * writer, the sf1 scale replica) store µs-precision TIMESTAMP_NTZ —
+    * epoch functions (unix_micros etc.) accept only the LTZ type, so every
+    * downstream query must see exactly one type here. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

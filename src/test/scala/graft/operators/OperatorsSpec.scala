@@ -477,6 +477,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats == Map(1L -> Seq(40f, 20f), 2L -> Seq(-1f, 1f)))
   }
 
+  test("multimodal: BmpCodec decodes real BMP pixel arrays (stride, row order, palette)") {
+    // bmpFromText builds a BOTTOM-UP padded 24-bit BMP; decoding must
+    // return bucket sums over text bytes in RASTER order.
+    val text = "abcdefghijklmnopqrstuvwxyz0123" // 30 bytes = 10 px = 2 rows
+    val bmp = Multimodal.bmpFromText(text)
+    assert(bmp.length == 54 + 2 * 16, "width 5 => stride 16 (one pad byte)")
+    val got = Multimodal.BmpCodec.decode(bmp, dim = 4)
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    val want = new Array[Float](4)
+    for (p <- 0 until 10)
+      want(p % 4) += (bytes(3 * p) + bytes(3 * p + 1) + bytes(3 * p + 2)).toFloat
+    assert(got.toSeq == want.toSeq)
+    // a TOP-DOWN copy (negative height, rows in raster order) decodes to
+    // the same features — proves the row flip is actually exercised
+    val top = bmp.clone()
+    def le32(b: Array[Byte], o: Int, v: Int): Unit =
+      (0 to 3).foreach(i => b(o + i) = (v >> (8 * i)).toByte)
+    le32(top, 22, -2) // height = -2: top-down
+    for (y <- 0 until 2; i <- 0 until 16)
+      top(54 + y * 16 + i) = bmp(54 + (1 - y) * 16 + i)
+    assert(Multimodal.BmpCodec.decode(top, dim = 4).toSeq == want.toSeq)
+    // 8-bit palettized: 2x1 px, palette entry sums differ per index
+    val p8 = new Array[Byte](54 + 8 + 4) // header + 2 palette entries + 1 padded row
+    p8(0) = 'B'; p8(1) = 'M'
+    le32(p8, 10, 62); le32(p8, 14, 40); le32(p8, 18, 2); le32(p8, 22, 1)
+    p8(26) = 1; p8(28) = 8; le32(p8, 30, 0); le32(p8, 46, 2)
+    // palette: entry 0 = (1,2,3,x) sum 6; entry 1 = (10,20,30,x) sum 60
+    p8(54) = 1; p8(55) = 2; p8(56) = 3
+    p8(58) = 10; p8(59) = 20; p8(60) = 30
+    p8(62) = 1; p8(63) = 0 // pixels: idx 1 then idx 0 (then 2 pad bytes)
+    assert(Multimodal.BmpCodec.decode(p8, dim = 2).toSeq == Seq(60f, 6f))
+    // malformed payloads fail the record, never a raw JVM error
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode("not an image".getBytes, dim = 4))
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(bmp.dropRight(1), dim = 4)) // truncated pixels
+    val evil = bmp.clone()
+    le32(evil, 22, 0x7ffffff0) // crafted height: Long math must catch it
+    intercept[IllegalArgumentException](Multimodal.BmpCodec.decode(evil, dim = 4))
+    val rle = bmp.clone()
+    le32(rle, 30, 1) // BI_RLE8 compression unsupported
+    intercept[IllegalArgumentException](Multimodal.BmpCodec.decode(rle, dim = 4))
+    val badIdx = p8.clone()
+    badIdx(62) = 5 // palette index past clrUsed=2
+    intercept[IllegalArgumentException](Multimodal.BmpCodec.decode(badIdx, dim = 2))
+  }
+
   test("multimodal: feature-level dedup groups identical payloads") {
     // docs fixture: doc 3 is an exact copy of doc 0 → identical features
     val groups = Multimodal.featureDupGroups(Multimodal.mediaTable(docs))

@@ -5,7 +5,12 @@ ids; text gains a per-replica trailing token and embeddings a small
 per-replica component offset, so cross-replica rows are NEAR-duplicates
 (the realistic shape for a dup-heavy corpus) rather than exact clones.
 
-Usage: python3 tools/scalegen.py [src_sf_dir] [out_dir] [replicas]
+Usage: python3 tools/scalegen.py [src_sf_dir] [out_dir] [replicas] [mode]
+
+mode "all" (default) replicates every scalable table; mode "facts"
+replicates only events/orders/lineitem (documents/embeddings copied 1x) —
+the cheap way to push the event/join family to 100x without building a
+multi-GB document corpus.
 """
 import sys
 import duckdb
@@ -13,6 +18,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+MODE = sys.argv[4] if len(sys.argv) > 4 else "all"
 
 import os
 os.makedirs(OUT, exist_ok=True)
@@ -21,7 +27,13 @@ con = duckdb.connect()
 n_docs = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
 n_vecs = con.sql(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 
-con.sql(f"""
+if MODE == "facts":
+    for t in ("documents", "embeddings"):
+        con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    n_docs = n_vecs = 0  # signal "copied, not replicated" in the summary line
+
+if MODE != "facts":
+    con.sql(f"""
 COPY (
   SELECT d.doc_id + {n_docs} * r.i AS doc_id,
          CASE WHEN r.i = 0 THEN d.text ELSE d.text || ' rep' || r.i END AS text,
@@ -32,8 +44,7 @@ COPY (
   ORDER BY doc_id
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
-
-con.sql(f"""
+    con.sql(f"""
 COPY (
   SELECT e.vec_id + {n_vecs} * r.i AS vec_id,
          CAST(list_transform(generate_series(1, len(e.embedding)),
