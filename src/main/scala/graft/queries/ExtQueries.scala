@@ -497,13 +497,21 @@ object ExtQueries {
     * and Java `String.replace` resume after the replacement identically).
     * Emits b1..b{n} (the merges) and w{n} (the final dictionary, word
     * identity carried through). */
-  private def bpeCtes(numMerges: Int = 8): String = {
+  /** BPE training chain. `minCount` prunes the TRAINING dictionary only
+    * (mirrors TextAnalysis.bpeTrainMerges); with `encodeAll` an extra
+    * e0..e{numMerges} chain applies the trained merges to the FULL vocab
+    * (mirrors bpeTokenStats, which encodes every word). */
+  private def bpeCtes(numMerges: Int = 8, minCount: Long = 1,
+      encodeAll: Boolean = false): String = {
     val parts = Seq.newBuilder[String]
     parts +=
       """ws AS (SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
         |  FROM documents) GROUP BY word)""".stripMargin
-    parts += "w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym, cnt FROM ws)"
+    parts += s"wt AS (SELECT word, cnt FROM ws WHERE cnt >= $minCount)"
+    parts += "w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym, cnt FROM wt)"
+    def rep4(sym: String) = (1 to 4).foldLeft(s"' ' || $sym || ' '")((acc, _) =>
+      s"replace($acc, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')")
     for (r <- 1 to numMerges) {
       parts +=
         s"""p$r AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
@@ -512,9 +520,12 @@ object ExtQueries {
            |        FROM w${r - 1})
            |  GROUP BY 1, 2)""".stripMargin
       parts += s"b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)"
-      val rep4 = (1 to 4).foldLeft("' ' || w.sym || ' '")((acc, _) =>
-        s"replace($acc, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')")
-      parts += s"w$r AS (SELECT w.word, trim($rep4) AS sym, w.cnt FROM w${r - 1} w, b$r m)"
+      parts += s"w$r AS (SELECT w.word, trim(${rep4("w.sym")}) AS sym, w.cnt FROM w${r - 1} w, b$r m)"
+    }
+    if (encodeAll) {
+      parts += "e0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym, cnt FROM ws)"
+      for (r <- 1 to numMerges)
+        parts += s"e$r AS (SELECT w.word, trim(${rep4("w.sym")}) AS sym, w.cnt FROM e${r - 1} w, b$r m)"
     }
     parts.result().mkString(",\n")
   }
@@ -846,18 +857,18 @@ object ExtQueries {
       val arms = (1 to 8).map(r =>
         s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM b$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH ${bpeCtes(8)}
+      s"""WITH ${bpeCtes(8, minCount = 2)}
          |SELECT merge_rank, lhs, rhs, pair_count FROM (
          |$arms)
          |ORDER BY merge_rank, lhs, rhs, pair_count""".stripMargin
     },
 
     "text_bpe_stats" ->
-      s"""WITH ${bpeCtes(8)},
+      s"""WITH ${bpeCtes(8, minCount = 2, encodeAll = true)},
          |lw AS (SELECT lang, word, count(*) AS n FROM (
          |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
          |  FROM documents) GROUP BY 1, 2),
-         |bl AS (SELECT word, len(string_split(sym, ' ')) AS bpe_len FROM w8),
+         |bl AS (SELECT word, len(string_split(sym, ' ')) AS bpe_len FROM e8),
          |agg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
          |    CAST(sum(n * bpe_len) AS BIGINT) AS n_bpe_tokens
          |  FROM lw JOIN bl USING (word) GROUP BY lang)

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PlanAudit
+
+/** Global plan-regression sweep: every `SparkEntry.queries` entry is
+  * planned (at sf0.001 — plan SHAPE, not timing) and checked against the
+  * invariants that hold across the whole query surface, with an explicit
+  * allowlist naming each documented exception. The per-query PlanSpec
+  * cases assert tighter, query-specific shapes; this sweep catches the
+  * regression class where a NEW query (or an edit to a shared helper)
+  * silently introduces an all-pairs join or turns a broadcast join into
+  * a sort-merge join — the mistakes that show up as a cluster bill at
+  * 100 TB, not as a wrong answer at any scale.
+  *
+  * Invariants:
+  *   1. No `CartesianProduct` — an unkeyed big×big join is never the
+  *      plan we want; the documented exceptions are oracle-shaped
+  *      brute-force scorers whose QUERY side is bounded by construction.
+  *   2. No `SortMergeJoin` — at sf0.001 every join side is far below the
+  *      broadcast threshold, so any SMJ means a plan lost its broadcast
+  *      (size misestimate, a stats-breaking operator, or a disabled
+  *      hint), which is exactly the regression to catch early.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain CartesianProduct. Currently NONE: even
+    * the brute-force ANN / totals-crossJoin shapes plan as
+    * BroadcastNestedLoopJoin (bounded build side), never a partitioned
+    * cartesian — swept and confirmed empty this round. */
+  private val allowUnkeyedJoin: Set[String] = Set.empty
+
+  /** Queries allowed to contain SortMergeJoin in the FINAL adaptive plan
+    * at sf0.001 — each names a join that is big-big BY DESIGN, where SMJ
+    * is the plan we'd want at 100 TB too:
+    *   - events_drift: FULL OUTER join of current-vs-reference histogram
+    *     CELLS on (event_type, bin) — broadcast joins cannot build a
+    *     full-outer side, and the frames are bounded cell sets, so the
+    *     merge join is both forced and trivially cheap.
+    *   - pipeline_prepare: chunk-token rows ⋈ per-doc split assignment
+    *     on doc_id — BOTH sides are corpus-sized by construction (one
+    *     row per chunk / per doc), so a partitioned join on doc_id is
+    *     the correct scalable shape, not a missed broadcast. */
+  private val allowSortMerge: Set[String] = Set("events_drift", "pipeline_prepare")
+
+  test("no query plans an unkeyed or sort-merge join outside the allowlist") {
+    val violations = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        // Execute first: several frames sit behind localCheckpoint, whose
+        // size stats are opaque to the STATIC planner — the initial AQE
+        // plan shows SortMergeJoin that adaptive execution converts to
+        // broadcast once real sizes are known. The contract is the plan
+        // that RUNS, so audit the final adaptive plan.
+        df.queryExecution.toRdd.count()
+        val r = PlanAudit.audit(df)
+        val cartesian = r.planString.contains("CartesianProduct")
+        val smj = r.sortMergeJoins > 0
+        if (cartesian && !allowUnkeyedJoin(name))
+          violations += s"$name: CartesianProduct"
+        if (smj && !allowSortMerge(name))
+          violations += s"$name: SortMergeJoin x${r.sortMergeJoins}"
+        // allowlist hygiene: an allowlisted query that no longer needs
+        // its exception should come OFF the list
+        if (!cartesian && allowUnkeyedJoin(name))
+          violations += s"$name: allowlisted for CartesianProduct but plan has none"
+        if (!smj && allowSortMerge(name))
+          violations += s"$name: allowlisted for SortMergeJoin but plan has none"
+      } catch {
+        case e: Exception => violations += s"$name: failed to plan: ${e.getMessage}"
+      }
+    }
+    val v = violations.result()
+    assert(v.isEmpty, s"\n${v.mkString("\n")}")
+  }
+}

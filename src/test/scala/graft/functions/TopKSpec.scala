@@ -130,6 +130,36 @@ class TopKSpec extends AnyFunSuite {
     assert(pruned < 300, s"pruned side still has $pruned of 2000 rows")
   }
 
+  test("bloom-pruned join survives a hostile key count (n >> mBits saturates the filter)") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // dim keys ≈ 10× mBits: ~48k distinct insertions into a 4800-bit
+    // filter drive the per-position load to saturation — FPR ≈ 1, so the
+    // prune degrades to a no-op. The contract under that abuse: result
+    // parity STILL holds (the bloom is one-sided), the join just stops
+    // benefiting.
+    val mBits = 480 // small filter, same regime, cheap test: n = 10·mBits
+    val big = (0 until 20000).map(i => (i.toLong % 10000, i.toLong)).toDF("k", "payload")
+    val small = (0 until 4800).map(i => (i.toLong * 3, s"dim$i")).toDF("k", "attr")
+    val got = graft.functions.Sketches.bloomPrunedJoin(big, small, "k", mBits = mBits)
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, "k")
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == plain, "one-sided filter: saturation may stop pruning but never drops matches")
+    assert(plain.nonEmpty)
+    // saturation check: the filter passes essentially everything — the
+    // degradation is graceful (no errors, no dropped rows), just useless
+    val bloom = graft.functions.Sketches.bloomBuild(
+      small.select(col("k").cast("string").as("v")), "v", mBits = mBits)
+    val passed = graft.functions.Sketches.bloomProbe(
+        bloom, big.withColumn("v", col("k").cast("string")), "v", mBits = mBits)
+      .filter(col("maybe")).count()
+    assert(passed > 19000, s"a 10x-overloaded filter should pass ~everything, passed $passed")
+  }
+
   test("distributed top-k equals local reference on a Dataset") {
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[Scored] =

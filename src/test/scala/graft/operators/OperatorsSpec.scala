@@ -375,6 +375,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("l", "o"), ("lo", "w"), ("low", "</w>")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(stats == Seq(("en", 3L, 3L)), stats.toString)
+
+    // minCount prunes singleton words from the TRAINING dictionary only:
+    // "lower"/"lowest" (count 1) drop, so training sees {low: 3} and the
+    // merge chain exhausts after collapsing it — but ENCODING still
+    // covers the rare words (5 whitespace tokens counted)
+    val pruned = TextAnalysis.bpeTrainMerges(docs, numMerges = 5, minCount = 2)
+    assert(pruned == Seq(
+      ("l", "o", 3L),
+      ("lo", "w", 3L),
+      ("low", "</w>", 3L)), pruned.toString)
+    val prunedStats = TextAnalysis.bpeTokenStats(
+      docs.withColumn("lang", lit("en")),
+      pruned.map { case (a, b, _) => (a, b) })
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // low→1 token; lower → l o w e r </w> with "low" merged = low,e,r,</w>
+    // = 4; lowest = low,e,s,t,</w> = 5 → 3·1 + 4 + 5 = 12
+    assert(prunedStats == Seq(("en", 5L, 12L)), prunedStats.toString)
   }
 
   test("CDC chunking: boundaries are content-defined, so an insertion only perturbs its own chunk") {
