@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Clusters, Dedup}
+import graft.streaming.DocStream
+
+/** Multi-batch streaming soak: drive a corpus through N micro-batches of
+  * [[DocStream.dedupIngest]] with cluster-label maintenance, run
+  * [[DocStream.compactClusterJournal]] and a [[Clusters.removableDocs]]
+  * reconciliation between batches (ingest quiesced), and report per-batch
+  * wall time plus journal/mapping/index sizes — the bounded-growth
+  * evidence that the streaming stack survives sustained ingest, not just
+  * the 2–3-batch spec corpora.
+  *
+  * What "bounded" means here: per-batch time must not trend upward as
+  * the corpus index grows (probes are bucket-equi-joins against a
+  * bucketed table — cost tracks the BATCH, not the corpus), and the
+  * pairs journal must stay ~proportional to dup mass, with compaction
+  * rewriting it down to one edge per non-root member.
+  *
+  * Usage: sbt "runMain graft.Soak [sfDir] [nBatches]"
+  * Exit is nonzero if per-batch time blows up (late-batch mean > 3x
+  * early-batch mean) — the soak doubles as a regression gate.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/.scratch/sf1")
+    val nBatches = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = java.nio.file.Files.createTempDirectory("graft-soak")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", root.resolve("wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val perBatch = math.max(1, docs.length / nBatches)
+    println(s"[soak] ${docs.length} docs, $nBatches batches of ~$perBatch")
+
+    Dedup.writeSignatureIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "soak_idx", numBuckets = 16)
+    val input = MemoryStream[(Long, String)]
+    val out = root.resolve("out").toString
+    val q = DocStream.dedupIngest(input.toDF().toDF("doc_id", "text"), spark,
+      "soak_idx", out, root.resolve("ckpt").toString,
+      clusterTable = Some("soak_clusters"))
+
+    def tableCount(t: String): Long =
+      if (!spark.catalog.tableExists(t)) 0L
+      else { spark.catalog.refreshTable(t); spark.table(t).count() }
+
+    val batchSecs = Array.fill(nBatches)(0.0)
+    try {
+      for (b <- 0 until nBatches) {
+        val slice = docs.slice(b * perBatch,
+          if (b == nBatches - 1) docs.length else (b + 1) * perBatch)
+        val t0 = System.nanoTime()
+        input.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+        batchSecs(b) = (System.nanoTime() - t0) / 1e9
+        // maintenance window (ingest quiesced): compact the pairs
+        // journal, then reconcile merged-cluster extra survivors
+        val journalBefore = tableCount("soak_clusters_pairs")
+        val tc0 = System.nanoTime()
+        DocStream.compactClusterJournal(spark, "soak_clusters")
+        val compactSecs = (System.nanoTime() - tc0) / 1e9
+        val journalAfter = tableCount("soak_clusters_pairs")
+        val removable = Clusters.removableDocs(
+          spark.read.parquet(out), spark.table("soak_clusters")).count()
+        println(f"[soak] batch $b%2d: ${batchSecs(b)}%6.2f s  " +
+          f"journal $journalBefore%7d -> $journalAfter%7d (compact $compactSecs%5.2f s)  " +
+          f"mapping ${tableCount("soak_clusters")}%7d  index ${tableCount("soak_idx")}%8d  " +
+          f"removable $removable%5d")
+      }
+    } finally q.stop()
+
+    // final reconciliation DELETE pass: rewrite the sink minus removable
+    // docs (at production scale this is a storage-layer delete; the soak
+    // proves the reconciliation identifies a consistent set)
+    val sink = spark.read.parquet(out).localCheckpoint()
+    val removable = Clusters.removableDocs(sink, spark.table("soak_clusters"))
+      .localCheckpoint()
+    val nRemovable = removable.count()
+    val clean = sink.join(removable.select("doc_id"), Seq("doc_id"), "left_anti")
+    val cleanDir = root.resolve("clean").toString
+    clean.write.parquet(cleanDir)
+    val nClean = spark.read.parquet(cleanDir).count()
+    println(s"[soak] final: sink ${sink.count()} rows, removable $nRemovable, clean $nClean")
+    require(nClean == sink.count() - nRemovable, "delete pass must remove exactly the removable set")
+
+    val early = batchSecs.slice(1, 4).sum / 3 // skip batch 0: table bootstrap
+    val late = batchSecs.takeRight(3).sum / 3
+    println(f"[soak] early-batch mean ${early}%5.2f s, late-batch mean ${late}%5.2f s, ratio ${late / early}%4.2f")
+    require(late <= early * 3,
+      f"per-batch time must stay bounded as the corpus grows: $early%.2f -> $late%.2f")
+    spark.stop()
+  }
+}
