@@ -45,6 +45,65 @@ object Sketches {
           .otherwise(round(lit(k - 1) / col("hk"), 4)).as("est_distinct")): _*)
   }
 
+  /** Per-group HyperLogLog distinct estimate (Flajolet et al. '07) from
+    * the same portable primitives. One md5 digest per row: the first two
+    * hex digits pick one of `m = 2^b` registers, the next 12 hex digits
+    * (48 bits) yield the rank `rho` = leading-zero count + 1; the
+    * register table is `groupBy(bucket).agg(max(rho))` — a plain hash
+    * aggregate with map-side combine whose per-group state is m small
+    * ints, and whose merge (register-wise max) is idempotent and
+    * order-insensitive, so the sketch streams and unions for free.
+    * Complements [[kmvDistinct]]: KMV needs a distinct + per-group
+    * ordered top-k (a sort-bearing window); HLL is ONE shuffle-light
+    * aggregate straight off the raw (duplicated) stream.
+    *
+    * Portability: the harmonic sum is kept EXACT by scaling to integers
+    * — `Z = sum(2^(49-rho))` over set registers plus `2^49` per empty
+    * register fits a BIGINT (rho ≤ 49, m ≤ 64 ⇒ Z < 2^55) — so the only
+    * floating-point steps are one division (correctly rounded, engine-
+    * identical) and the small-range `m·ln(m/V)` branch, rounded to 4
+    * decimals like every sketch estimate here.
+    *
+    * Returns (groupCols…, n_empty, est_distinct). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 6): DataFrame = {
+    val m = 1 << b
+    // Bias-correction constants from the HLL paper for small m; b is
+    // capped where the table ends (large-m alpha is a formula whose
+    // float printing would be another portability surface).
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => throw new IllegalArgumentException(s"b must be 4..6, got $b")
+    }
+    val g = groupCols.map(col)
+    val hx = md5(col(valueCol).cast("string"))
+    val bucket = (conv(substring(hx, 1, 2), 16, 10).cast("long") % m).as("bucket")
+    val suf = substring(hx, 3, 12)
+    val z = length(regexp_extract(suf, "^(0*)", 1))
+    val d = suf.substr(z + lit(1), lit(1))
+    // Leading zeros of the first nonzero hex digit: single-char compare
+    // is lexicographic in both engines ('1'<'2'<…<'9'<'a'<…<'f').
+    val lz = when(d >= "8", 0).when(d >= "4", 1).when(d >= "2", 2).otherwise(3)
+    val rho = when(z === 12, 49).otherwise(z * 4 + lz + 1)
+    val two49 = 562949953421312.0 // 2^49, exact in a double
+    val regs = df
+      .select((g :+ bucket :+ rho.as("rho")): _*)
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("reg"))
+    val agg = regs
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("nset"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - CAST(reg AS INT))")).as("zp"))
+      .withColumn("est_raw",
+        lit(alpha) * m * m * lit(two49) / (col("zp") + (lit(m) - col("nset")) * lit(two49)))
+    agg.select((g :+ (lit(m) - col("nset")).as("n_empty") :+
+      when(col("est_raw") <= lit(2.5 * m) && col("nset") < m,
+          round(lit(m) * log(lit(m.toDouble) / (lit(m) - col("nset"))), 4))
+        .otherwise(round(col("est_raw"), 4)).as("est_distinct")): _*)
+  }
+
   /** Per-group approximate quantiles by FIXED-POINT BINNING: values map
     * to integer bins `floor(v·scale)`, per-bin counts accumulate (a hash
     * aggregate with map-side combine — state is O(distinct bins), bounded

@@ -263,6 +263,60 @@ object Clusters {
         (-col("b.negid")).as("survivor_id"), col("b.score").as(scoreCol))
   }
 
+  /** PageRank centrality over the (undirected) near-dup pair graph — the
+    * graph-importance signal for canonical-survivor selection: inside a
+    * dup cluster the most-central member is the one most of the cluster
+    * is a near-copy OF (template sources, canonical mirrors), which is a
+    * better "keep this one" criterion than min-id and composes with
+    * [[bestSurvivors]]' quality argmax.
+    *
+    * FIXED-POINT INTEGER arithmetic end to end: ranks live in units of
+    * 10^-12 (`Scale`), each iteration is
+    * `rank' = ⌊0.15·Scale/n⌋ + Σ ⌊rank·85 / (deg·100)⌋` with floor
+    * division — integer sums are order-independent under any
+    * partitioning, so the result is bit-deterministic and
+    * oracle-reproducible (the DSIR DECIMAL move applied to graph
+    * iteration; doubles would drift with partition order). Max rank is
+    * Scale ⇒ `rank·85` stays far under 2^63.
+    *
+    * Scale shape: degrees and the symmetric edge list are computed once
+    * and localCheckpoint'd (edges pre-partitioned on `src`, so each
+    * iteration's rank join shuffles only the O(nodes) rank frame, and
+    * the contribution aggregate shuffles O(edges) longs with map-side
+    * partial sums). The `iters` rounds chain lazily into ONE job — no
+    * per-round driver action; n (node count) is the single driver-side
+    * scalar, read off the checkpointed degree frame. Undirected dedup
+    * graphs have deg ≥ 1 everywhere, so there are no dangling nodes and
+    * every node receives ≥ 1 contribution — no rank mass is lost and no
+    * outer-join row-recovery is needed. */
+  def pageRankCentrality(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val Scale = 1000000000000L // 10^12
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val spark = pairs.sparkSession
+    val edgesD = edges.join(deg, "src")
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism / 4), col("src"))
+      .localCheckpoint()
+    val n = edgesD.select(countDistinct(col("src"))).collect()(0).getLong(0)
+    if (n == 0) return spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("rank_e12", lit(0L)).limit(0)
+    val r0 = Scale / n
+    val base = Scale * 15 / (100 * n)
+    var ranks = edgesD.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * 85) div (deg * 100)").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("contrib"))
+        .select(col("dst").as("node"), (lit(base) + col("contrib")).as("rank"))
+    }
+    ranks.select(col("node").as("doc_id"), col("rank").as("rank_e12"))
+  }
+
   // ---- query-shaped entry point ------------------------------------------
 
   /** Cluster the LSH near-dup candidate pairs and report cluster sizes —
@@ -301,6 +355,15 @@ object Clusters {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("cluster_id", "cluster_size")
+  }
+
+  /** PageRank centrality of every member of the near-dup pair graph —
+    * the canonical-survivor importance signal, fixed-point integer so
+    * the oracle matches bit-for-bit. */
+  def qDedupCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    pageRankCentrality(Dedup.minHashLshPairs(docs), iters = 5)
+      .orderBy("doc_id", "rank_e12")
   }
 
   /** Per dup cluster: the highest-quality member kept as survivor. */

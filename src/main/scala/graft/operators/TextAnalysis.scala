@@ -500,6 +500,15 @@ object TextAnalysis {
       tokenized(Tables.documents(spark, dir)), Seq("lang"), "token", k = 256)
       .orderBy("lang", "est_distinct")
 
+  /** HLL-sketch vocabulary estimate per language over the RAW token
+    * stream — no distinct, no window: one register aggregate (see
+    * functions.Sketches.hllDistinct). The streaming/mergeable sibling of
+    * qVocabSketch's KMV. */
+  def qHllSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllDistinct(
+      tokenized(Tables.documents(spark, dir)), Seq("lang"), "token", b = 6)
+      .orderBy("lang", "n_empty", "est_distinct")
+
   /** Count-min heavy-hitter estimation over the token stream: a 4×64
     * cell sketch (deliberately narrow so collisions are visible) probed
     * for every vocabulary token, reported against the exact counts —

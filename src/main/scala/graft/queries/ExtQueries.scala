@@ -43,6 +43,7 @@ object ExtQueries {
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
+    "text_hll_sketch"       -> TextAnalysis.qHllSketch _,
     "text_repetition"       -> TextAnalysis.qRepetition _,
     "events_quantiles"      -> TextAnalysis.qEventQuantiles _,
     "text_contamination"    -> TextAnalysis.qContamination _,
@@ -50,6 +51,7 @@ object ExtQueries {
     "dedup_clusters_incr"   -> graft.operators.Clusters.qDedupClustersIncremental _,
     "dedup_clusters_stars"  -> graft.operators.Clusters.qDedupClustersStars _,
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
+    "dedup_centrality"      -> graft.operators.Clusters.qDedupCentrality _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "pipeline_prepare"      -> Pipeline.qPrepare _,
     "pipeline_funnel"       -> Pipeline.qFunnelReport _,
@@ -1264,6 +1266,43 @@ object ExtQueries {
          |FROM agg ORDER BY lang, est_distinct""".stripMargin
     },
 
+    // Mirrors Sketches.hllDistinct (b=6, m=64): bucket = first-2-hex-digit
+    // value of md5(token) mod 64; rho = leading-zero count of the next 12
+    // hex digits + 1 (all-zero window -> 49). The harmonic sum is exact
+    // integer arithmetic (2^(49-reg) via a generated CASE, summed as
+    // integers), so the only float steps are the final division and the
+    // small-range ln branch -- both written with e0 double literals and
+    // the same association order as the Spark plan.
+    "text_hll_sketch" -> {
+      val h2 = "((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1))"
+      val pow = (1 to 49).map(r => s"WHEN $r THEN ${1L << (49 - r)}").mkString(" ")
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |h AS (SELECT lang, md5(token) AS hx FROM tok WHERE token <> ''),
+         |parts AS (SELECT lang, $h2 % 64 AS bucket, substr(hx, 3, 12) AS suf
+         |  FROM h),
+         |zd AS (SELECT lang, bucket,
+         |    length(regexp_extract(suf, '^(0*)', 1)) AS z,
+         |    substr(suf, length(regexp_extract(suf, '^(0*)', 1)) + 1, 1) AS d
+         |  FROM parts),
+         |reg AS (SELECT lang, bucket, max(CASE WHEN z = 12 THEN 49
+         |    ELSE z * 4 + (CASE WHEN d >= '8' THEN 0 WHEN d >= '4' THEN 1
+         |                       WHEN d >= '2' THEN 2 ELSE 3 END) + 1 END) AS reg
+         |  FROM zd GROUP BY 1, 2),
+         |agg AS (SELECT lang, count(*) AS nset,
+         |    sum(CASE reg $pow END) AS zp FROM reg GROUP BY lang),
+         |est AS (SELECT lang, nset,
+         |    0.709e0 * 64 * 64 * 562949953421312e0
+         |      / (zp + (64 - nset) * 562949953421312e0) AS est_raw
+         |  FROM agg)
+         |SELECT lang, (64 - nset) AS n_empty,
+         |  CASE WHEN est_raw <= 160.0e0 AND nset < 64
+         |       THEN round(64 * ln(64.0e0 / (64 - nset)), 4)
+         |       ELSE round(est_raw, 4) END AS est_distinct
+         |FROM est ORDER BY lang, n_empty, est_distinct""".stripMargin
+    },
+
     "text_rolling_fp" -> {
       // 257^32 mod 1e9+7, precomputed for the prefix-difference formula
       val pow32 = (1 to 32).foldLeft(1L)((a, _) => a * 257L % 1000000007L)
@@ -1375,6 +1414,34 @@ object ExtQueries {
          |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node)
          |SELECT cluster_id, count(*) AS cluster_size FROM reach
          |GROUP BY cluster_id ORDER BY cluster_id, cluster_size""".stripMargin,
+
+    // Mirrors Clusters.pageRankCentrality: 5 fixed-point integer PageRank
+    // rounds over the symmetric LSH pair graph (ranks in 10^-12 units,
+    // floor division), unrolled as chained CTEs -- integer arithmetic on
+    // both sides, so the match is exact, not rounded.
+    "dedup_centrality" -> {
+      val chain = (1 to 5).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+           |    (SELECT b FROM pbase) + sum((r.rank * 85) // (d.deg * 100)) AS rank
+           |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+           |               JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pbase AS (SELECT 15000000000000 // (100 * n) AS b FROM nn),
+         |r0 AS (SELECT src AS node,
+         |    (SELECT 1000000000000 // n FROM nn) AS rank FROM deg),
+         |$chain
+         |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_e12 FROM r5
+         |ORDER BY doc_id, rank_e12""".stripMargin
+    },
 
     "dedup_best_survivor" ->
       s"""$minhashCte,

@@ -54,6 +54,30 @@ class TopKSpec extends AnyFunSuite {
       s"estimate ${est("big")} too far from 5000")
   }
 
+  test("HLL sketch: within error bound, duplicate-insensitive, union-mergeable") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => ("big", s"v$i"))
+    val small = (1 to 40).map(i => ("small", s"w$i"))
+    val df = (big ++ small ++ big.take(2000)).toDF("g", "v") // dups must not matter
+    val est = Sketches.hllDistinct(df, Seq("g"), "v", b = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
+    assert(math.abs(est("big") - 5000) / 5000.0 < 0.4,
+      s"estimate ${est("big")} too far from 5000")
+    // small-range (linear counting) regime stays accurate
+    assert(math.abs(est("small") - 40) / 40.0 < 0.4,
+      s"estimate ${est("small")} too far from 40")
+    // mergeability: the sketch over A union B equals running it over the
+    // concatenated stream in any order (max-register merge)
+    val a = (1 to 3000).map(i => ("g", s"x$i"))
+    val b = (2000 to 5000).map(i => ("g", s"x$i"))
+    val together = Sketches.hllDistinct((a ++ b).toDF("g", "v"), Seq("g"), "v")
+      .collect().head.getDouble(2)
+    val shuffled = Sketches.hllDistinct((b ++ a).reverse.toDF("g", "v"), Seq("g"), "v")
+      .collect().head.getDouble(2)
+    assert(together == shuffled)
+  }
+
   test("binned quantiles land within one bin of the exact quantile") {
     import spark.implicits._
     val vals = (1 to 1000).map(i => ("g", (i % 500) / 10.0)) // 0.0 .. 49.9

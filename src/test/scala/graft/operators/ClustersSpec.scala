@@ -139,6 +139,31 @@ class ClustersSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1L, 1L)), out.toSeq.toString)
   }
 
+  test("pageRankCentrality: hub outranks leaves, mass conserved, partition-invariant") {
+    // star: 0 is the template 1..4 are near-copies of, plus a detached pair
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val ranks = Clusters.pageRankCentrality(pairs, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 7)
+    // the hub is strictly more central than every leaf
+    assert((1L to 4L).forall(l => ranks(0L) > ranks(l)))
+    // leaves are symmetric → identical integer ranks
+    assert((1L to 4L).map(ranks).toSet.size == 1)
+    // the detached pair's nodes are symmetric too
+    assert(ranks(10L) == ranks(11L))
+    // ranks are normalized: corpus mass is Scale (each node starts at
+    // Scale/n), and fixed-point floor division only ever LOSES mass —
+    // total ≤ Scale, short by at most a few units per node per round
+    val total = ranks.values.sum
+    assert(total <= 1000000000000L)
+    assert(total > 1000000000000L - 1000000L)
+    // bit-determinism under a different input partitioning
+    val re = Clusters.pageRankCentrality(pairs.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == ranks)
+  }
+
   test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
     // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10
