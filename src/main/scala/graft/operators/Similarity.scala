@@ -326,6 +326,70 @@ object Similarity {
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
   }
 
+  // ---- Scalar quantization (SQ8) ---------------------------------------
+
+  /** Per-vector symmetric int8 scalar quantization — the 4×-compression
+    * midpoint of the quantization family: PQ stores 8 bytes/vector (lossy
+    * codebook), SQ8 stores dim bytes/vector (per-component, near-lossless
+    * for cosine), full floats store 4·dim. Encode is one narrow
+    * zero-shuffle projection: `scale = max|v_i|` per vector, then
+    * `q_i = ⌊v_i/scale·127 + 0.5⌋ ∈ [−127, 127]`. The quantized
+    * components are stored as integer-VALUED doubles so the existing
+    * codegen'd [[graft.functions.VectorExpressions.DotProduct]] scores
+    * them and every dot/sum is EXACT integer arithmetic in the double
+    * mantissa (≤ dim·127² ≪ 2^53) — order-independent, so quantized
+    * similarities are bit-reproducible across engines and partitionings
+    * (unlike float dot products, which only stay deterministic because
+    * DotProduct fixes the accumulation order).
+    *
+    * Returns (vec_id, q, qn) — qn the quantized L2 norm, computed once
+    * per vector like every other norm here. */
+  def sq8Encode(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sc", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("sc") === 0, transform(col("v"), _ => lit(0.0)))
+        .otherwise(transform(col("v"),
+          x => floor(x / col("sc") * 127 + lit(0.5)).cast("double"))))
+      .withColumn("qn", l2Norm(col("q")))
+      .select(col("vec_id"), col("q"), col("qn"))
+
+  /** Top-k by QUANTIZED cosine: the brute-force scan shape ([[
+    * bruteForceTopK]] — broadcast queries, candidates never shuffle,
+    * bounded-heap top-k) over SQ8 codes. At 100 TB this is the memory
+    * lever: the resident index is int8, a quarter of the float corpus,
+    * while recall stays near-exact (gated by [[sq8Recall]]). */
+  def sq8TopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val enc = sq8Encode(emb)
+    val q = enc.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("qn").as("qnn"))
+    val c = enc.select(col("vec_id").as("neighbor_id"), col("q").as("cv"),
+      col("qn").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qnn")))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "sq_sim")
+  }
+
+  /** Recall@k of SQ8 search vs exact brute force — the quantization-loss
+    * gate, same contract as [[annRecall]]. */
+  def sq8Recall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    sq8TopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      .join(nExact, Seq("query_id"), "right")
+      .na.fill(0L, Seq("n_hit"))
+      .select(lit("sq8").as("method"), col("query_id"), col("n_hit"),
+        (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+  }
+
   // ---- Product quantization (PQ codes + ADC search) --------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
@@ -922,6 +986,18 @@ object Similarity {
   /** Recall@5 of IVF and sign-LSH vs brute force for queries vec_id < 10. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("method", "query_id", "n_hit", "recall")
+
+  /** SQ8 ANN: per-vector int8 quantization, queries vec_id < 10, top-5
+    * by quantized cosine — exact integer arithmetic, oracle matches
+    * bit-for-bit. */
+  def qSq8Ann(spark: SparkSession, dir: String): DataFrame =
+    sq8TopK(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("query_id", "neighbor_id", "sq_sim")
+
+  /** Recall@5 of SQ8 vs brute force for queries vec_id < 10. */
+  def qSq8Recall(spark: SparkSession, dir: String): DataFrame =
+    sq8Recall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("method", "query_id", "n_hit", "recall")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per

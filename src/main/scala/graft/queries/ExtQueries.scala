@@ -34,6 +34,8 @@ object ExtQueries {
     "ann_ivfpq"             -> Similarity.qIvfPqAnn _,
     "ann_ivfpq_res"         -> Similarity.qIvfPqResAnn _,
     "ann_hard_negatives"    -> Similarity.qHardNegatives _,
+    "ann_sq8"               -> Similarity.qSq8Ann _,
+    "ann_sq8_recall"        -> Similarity.qSq8Recall _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
@@ -200,6 +202,21 @@ object ExtQueries {
   /** `v(vec_id, vec)` base CTE body over embeddings. */
   private val vecCte =
     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)"
+
+  /** Mirrors Similarity.sq8Encode: per-vector symmetric int8 quantization
+    * (scale = max|v_i|, q_i = floor(v_i/scale*127 + 0.5)) as integer-valued
+    * doubles — dots over them are exact integers, so no rounding surface. */
+  private val sq8Ctes: String =
+    """sqs AS (SELECT vec_id, list_max(list_transform(vec, x -> abs(x))) AS sc,
+      |    vec FROM v),
+      |sq AS (SELECT vec_id, CASE WHEN sc = 0 THEN list_transform(vec, x -> 0.0)
+      |       ELSE list_transform(vec, x -> floor(x / sc * 127 + 0.5)) END AS q
+      |  FROM sqs)""".stripMargin
+
+  /** Quantized cosine of sq rows aliased a (query) and b (candidate). */
+  private val sq8Score: String =
+    "list_dot_product(a.q, b.q) / (sqrt(list_dot_product(a.q, a.q))" +
+      " * sqrt(list_dot_product(b.q, b.q)))"
 
   /** Composable sign-LSH chain (needs `v`; emits `vb(vec_id, vec, bucket)`). */
   private val signLshCtes: String = {
@@ -633,6 +650,36 @@ object ExtQueries {
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
 
     "ann_lsh" -> signLshSql,
+
+    "ann_sq8" ->
+      s"""WITH $vecCte,
+         |$sq8Ctes
+         |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round($sq8Score, 4) AS sq_sim
+         |FROM sq a, sq b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |  ORDER BY $sq8Score DESC, b.vec_id) <= 5
+         |ORDER BY query_id, neighbor_id, sq_sim""".stripMargin,
+
+    "ann_sq8_recall" ->
+      s"""WITH $vecCte,
+         |$sq8Ctes,
+         |sqk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM sq a, sq b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY $sq8Score DESC, b.vec_id) <= 5)),
+         |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.vec_id) <= 5),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id),
+         |hits AS (SELECT query_id, count(*) AS n_hit
+         |  FROM sqk JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT 'sq8' AS method, query_id, coalesce(n_hit, 0) AS n_hit,
+         |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |FROM ex LEFT JOIN hits USING (query_id)
+         |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
     "pipeline_curate" -> pipelineSql,
     "pipeline_prepare" -> pipelinePrepareSql,

@@ -84,6 +84,28 @@ class PqSpec extends AnyFunSuite {
     assert(dups.filter(_.getLong(0) < 10).forall(_.getLong(2) < 10))
   }
 
+  test("sq8: codes bounded by ±127, zero vector safe, near-exact recall") {
+    val withZero = vecs.union(Seq((99L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val enc = Similarity.sq8Encode(withZero).collect()
+    assert(enc.length == 21)
+    enc.foreach { r =>
+      val q = r.getSeq[Double](1)
+      assert(q.forall(x => x == math.floor(x) && math.abs(x) <= 127.0),
+        s"vec ${r.getLong(0)}: codes must be integers in [-127, 127]")
+      if (r.getLong(0) == 99L) assert(q.forall(_ == 0.0) && r.getDouble(2) == 0.0)
+      else assert(q.exists(_ == 127.0) || q.exists(_ == -127.0),
+        "the max-|component| must map to ±127")
+    }
+    // quantized top-k agrees with exact brute force on well-separated
+    // clusters (the id<10 cluster's neighbors are all id<10)
+    val top = Similarity.sq8TopK(vecs, col("vec_id") < 3, k = 4).collect()
+    assert(top.length == 12)
+    assert(top.forall(r => r.getLong(1) < 10 && r.getLong(1) != r.getLong(0)))
+    val rec = Similarity.sq8Recall(vecs, col("vec_id") < 3, k = 4)
+      .collect().map(_.getDouble(3))
+    assert(rec.forall(_ >= 0.75), s"sq8 recall collapsed: ${rec.toSeq}")
+  }
+
   test("pqRecall: one row per (method, query), recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id
