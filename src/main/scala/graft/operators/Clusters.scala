@@ -317,6 +317,64 @@ object Clusters {
     ranks.select(col("node").as("doc_id"), col("rank").as("rank_e12"))
   }
 
+  /** Per-node triangle count and local clustering coefficient over the
+    * near-dup pair graph — the CLUSTER-SHAPE signal the size rollup
+    * misses: a template farm is a near-clique (coefficient ≈ 1, safe to
+    * collapse to one survivor), while revision drift is a chain
+    * (coefficient ≈ 0 — endpoints may not be near-dups at all, so
+    * collapsing the whole component loses data). Downstream policy reads
+    * the coefficient to choose collapse-aggressiveness per cluster.
+    *
+    * Algorithm: degree-ordered orientation ("compact-forward", Latapy
+    * '08 — the same shape Spark GraphX's TriangleCount distributes).
+    * Each undirected edge is oriented from the endpoint with the smaller
+    * (degree, id) to the larger, which bounds every out-degree by
+    * O(√edges) regardless of skew — a boilerplate hub with a million
+    * neighbors contributes wedges only through its (few) higher-degree
+    * peers, so the wedge self-join never explodes. Each triangle is
+    * found EXACTLY once (at its orientation-minimum apex), then credited
+    * to all three corners. Every step is an equi-join or hash aggregate
+    * on node ids — no windows, no driver-side graph; counts are integer
+    * sums (order-independent), and the coefficient is one correctly-
+    * rounded division of integers, so the oracle matches exactly.
+    *
+    * Returns (doc_id, deg, triangles, lcc) for every non-isolated node;
+    * lcc = 2·triangles / (deg·(deg−1)), 0 for degree-1 nodes. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    // Canonical undirected edge set (a < b), computed once: the wedge
+    // closure probes it and the degree table derives from it.
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient by (deg, id): src is the smaller endpoint under that order.
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    // Wedges at each apex: unordered out-neighbor pairs (v < w by id),
+    // closed iff the canonical edge (v, w) exists.
+    val o1 = oriented.select(col("src"), col("dst").as("v"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"))
+    val tri = o1.join(o2, Seq("src")).filter(col("v") < col("w"))
+      .join(e, col("v") === col("a") && col("w") === col("b"))
+      .select(col("src"), col("v"), col("w"))
+    val perNode = tri.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node").as("doc_id"), col("deg"), col("triangles"),
+        when(col("deg") >= 2,
+            round(col("triangles") * 2 / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   // ---- query-shaped entry point ------------------------------------------
 
   /** Cluster the LSH near-dup candidate pairs and report cluster sizes —
@@ -364,6 +422,14 @@ object Clusters {
     val docs = Tables.documents(spark, dir)
     pageRankCentrality(Dedup.minHashLshPairs(docs), iters = 5)
       .orderBy("doc_id", "rank_e12")
+  }
+
+  /** Triangle count + local clustering coefficient of every member of
+    * the near-dup pair graph — near-clique vs chain cluster shape. */
+  def qDedupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    triangleStats(Dedup.minHashLshPairs(docs))
+      .orderBy("doc_id", "deg", "triangles", "lcc")
   }
 
   /** Per dup cluster: the highest-quality member kept as survivor. */

@@ -390,6 +390,63 @@ object Similarity {
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
   }
 
+  /** Maximal-marginal-relevance (Carbonell & Goldstein '98) diversified
+    * top-k — the diverse-data-selection operator: a plain top-k of a
+    * near-dup-heavy corpus returns k copies of the same thing, MMR picks
+    * the next item by `0.5·rel − 0.5·max-sim-to-already-picked`, trading
+    * relevance against redundancy. Used to sample varied training
+    * examples per prompt/centroid instead of k clones.
+    *
+    * Scale shape: the corpus-sized work is ONE shortlist pass (the
+    * [[sq8TopK]] scan shape — broadcast queries, candidates never
+    * shuffle, bounded heap). The k greedy rounds then run on the
+    * checkpointed shortlist — O(Q·R) rows, R=`shortlist` — so each round
+    * is a small broadcast-join + aggregate no matter the corpus size;
+    * all similarities are SQ8 quantized (exact integer dots), and every
+    * argmax tie-breaks by id, so selection is bit-deterministic and the
+    * unrolled oracle matches exactly. */
+  def mmrSelect(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, shortlist: Int = 20): DataFrame = {
+    val enc = sq8Encode(emb)
+    val q = enc.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("qn").as("qnn"))
+    val c = enc.select(col("vec_id").as("cid"), col("q").as("cv"), col("qn").as("cn"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qnn")))
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("sim"))
+    val short = topKPerQuery(scored, shortlist)
+      .withColumnRenamed("neighbor_id", "cid").withColumnRenamed("cos_sim", "rel")
+      .join(c, "cid")
+      .localCheckpoint()
+    def argmaxBy(df: DataFrame, scoreCol: org.apache.spark.sql.Column): DataFrame = df
+      .groupBy("query_id")
+      .agg(max(struct(scoreCol.as("s"), (-col("cid")).as("negid"))).as("b"))
+      .select(col("query_id"), (-col("b.negid")).as("cid"), col("b.s").as("score"))
+    // round 1: pure relevance (empty selected set ⇒ redundancy term 0)
+    var selected = argmaxBy(short, col("rel"))
+      .select(col("query_id"), col("cid"), (lit(0.5) * col("score")).as("score"),
+        lit(1).as("sel_rank"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val selV = selected.select(col("query_id"), col("cid").as("sid"))
+        .join(short.select(col("query_id"), col("cid").as("sid"),
+          col("cv").as("scv"), col("cn").as("scn")), Seq("query_id", "sid"))
+      val notSel = short.join(selected.select(col("query_id"), col("cid")),
+        Seq("query_id", "cid"), "left_anti")
+      val next = argmaxBy(
+        notSel.join(selV, Seq("query_id"))
+          .withColumn("psim",
+            cosineWithNorms(dot(col("cv"), col("scv")), col("cn"), col("scn")))
+          .groupBy("query_id", "cid", "rel").agg(max(col("psim")).as("maxsim"))
+          .withColumn("mmr", lit(0.5) * col("rel") - lit(0.5) * col("maxsim")),
+        col("mmr"))
+        .select(col("query_id"), col("cid"), col("score"), lit(r).as("sel_rank"))
+      selected = selected.union(next).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("sel_rank"), col("cid").as("neighbor_id"),
+      round(col("score"), 4).as("mmr_score"))
+  }
+
   // ---- Product quantization (PQ codes + ADC search) --------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
@@ -999,6 +1056,13 @@ object Similarity {
   def qSq8Recall(spark: SparkSession, dir: String): DataFrame =
     sq8Recall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
       .orderBy("method", "query_id", "n_hit", "recall")
+
+  /** MMR diversified top-5 from a 20-deep SQ8 shortlist, queries
+    * vec_id < 10 — relevance/redundancy λ = 0.5. */
+  def qMmrDiverse(spark: SparkSession, dir: String): DataFrame =
+    mmrSelect(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10,
+      k = 5, shortlist = 20)
+      .orderBy("query_id", "sel_rank", "neighbor_id", "mmr_score")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
     * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over

@@ -36,6 +36,7 @@ object ExtQueries {
     "ann_hard_negatives"    -> Similarity.qHardNegatives _,
     "ann_sq8"               -> Similarity.qSq8Ann _,
     "ann_sq8_recall"        -> Similarity.qSq8Recall _,
+    "ann_mmr_diverse"       -> Similarity.qMmrDiverse _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
@@ -54,6 +55,7 @@ object ExtQueries {
     "dedup_clusters_stars"  -> graft.operators.Clusters.qDedupClustersStars _,
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
     "dedup_centrality"      -> graft.operators.Clusters.qDedupCentrality _,
+    "dedup_triangles"       -> graft.operators.Clusters.qDedupTriangles _,
     "pipeline_curate"       -> Pipeline.qCurate _,
     "pipeline_prepare"      -> Pipeline.qPrepare _,
     "pipeline_funnel"       -> Pipeline.qFunnelReport _,
@@ -680,6 +682,51 @@ object ExtQueries {
          |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
          |FROM ex LEFT JOIN hits USING (query_id)
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
+
+    // Mirrors Similarity.mmrSelect: SQ8 shortlist of 20, then 5 greedy
+    // MMR rounds unrolled as chained CTEs. rel is the ROUNDED shortlist
+    // similarity (as topKPerQuery emits), pair sims are unrounded -- the
+    // Spark plan computes the same doubles, so ordering + id tie-breaks
+    // agree exactly.
+    "ann_mmr_diverse" -> {
+      val relScore = "list_dot_product(b.q, a.qv)" +
+        " / (sqrt(list_dot_product(b.q, b.q)) * sqrt(list_dot_product(a.qv, a.qv)))"
+      val pairSim = "list_dot_product(c.cv, s.scv)" +
+        " / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(s.scv, s.scv)))"
+      val rounds = (2 to 5).map { r =>
+        s"""ns$r AS (SELECT c.query_id, c.cid, c.rel, max($pairSim) AS maxsim
+           |  FROM srt c JOIN sel${r - 1} s USING (query_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+           |    WHERE x.query_id = c.query_id AND x.cid = c.cid)
+           |  GROUP BY 1, 2, 3),
+           |pick$r AS (SELECT query_id, cid,
+           |    0.5e0 * rel - 0.5e0 * maxsim AS score FROM ns$r
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY 0.5e0 * rel - 0.5e0 * maxsim DESC, cid) = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT p.query_id, p.cid, s.cv AS scv, p.score, $r AS sel_rank
+           |  FROM pick$r p JOIN srt s
+           |    ON s.query_id = p.query_id AND s.cid = p.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vecCte,
+         |$sq8Ctes,
+         |qs AS (SELECT vec_id AS query_id, q AS qv FROM sq WHERE vec_id < 10),
+         |srt AS (SELECT query_id, cid, rel, cv FROM (
+         |  SELECT a.query_id, b.vec_id AS cid, round($relScore, 4) AS rel,
+         |    b.q AS cv
+         |  FROM sq b JOIN qs a ON b.vec_id <> a.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.query_id
+         |    ORDER BY $relScore DESC, b.vec_id) <= 20)),
+         |sel1 AS (SELECT query_id, cid, cv AS scv, 0.5e0 * rel AS score,
+         |    1 AS sel_rank FROM srt
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, cid) = 1),
+         |$rounds
+         |SELECT query_id, sel_rank, cid AS neighbor_id,
+         |  round(score, 4) AS mmr_score
+         |FROM sel5
+         |ORDER BY query_id, sel_rank, neighbor_id, mmr_score""".stripMargin
+    },
 
     "pipeline_curate" -> pipelineSql,
     "pipeline_prepare" -> pipelinePrepareSql,
@@ -1489,6 +1536,40 @@ object ExtQueries {
          |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_e12 FROM r5
          |ORDER BY doc_id, rank_e12""".stripMargin
     },
+
+    // Mirrors Clusters.triangleStats: degree-ordered orientation, wedge
+    // join at each apex, closure probe against the canonical (a < b)
+    // edge set; each triangle credited to all three corners. Integer
+    // counts end to end; lcc is one division of exact integers, rounded
+    // identically in both engines.
+    "dedup_triangles" ->
+      s"""$minhashCte,
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT doc_a AS node FROM prs UNION ALL SELECT doc_b FROM prs)
+         |  GROUP BY node),
+         |ori AS (SELECT
+         |    CASE WHEN (da.deg, e.doc_a) < (db.deg, e.doc_b)
+         |         THEN e.doc_a ELSE e.doc_b END AS src,
+         |    CASE WHEN (da.deg, e.doc_a) < (db.deg, e.doc_b)
+         |         THEN e.doc_b ELSE e.doc_a END AS dst
+         |  FROM prs e JOIN deg da ON da.node = e.doc_a
+         |             JOIN deg db ON db.node = e.doc_b),
+         |tri AS (SELECT o1.src, o1.dst AS v, o2.dst AS w
+         |  FROM ori o1 JOIN ori o2 ON o1.src = o2.src AND o1.dst < o2.dst
+         |  JOIN prs c ON c.doc_a = o1.dst AND c.doc_b = o2.dst),
+         |pn AS (SELECT node, count(*) AS triangles FROM (
+         |    SELECT src AS node FROM tri UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri)
+         |  GROUP BY node)
+         |SELECT d.node AS doc_id, d.deg, coalesce(pn.triangles, 0) AS triangles,
+         |  CASE WHEN d.deg >= 2
+         |       THEN round(coalesce(pn.triangles, 0) * 2 / (d.deg * (d.deg - 1)), 4)
+         |       ELSE 0.0 END AS lcc
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node
+         |ORDER BY doc_id, deg, triangles, lcc""".stripMargin,
 
     "dedup_best_survivor" ->
       s"""$minhashCte,

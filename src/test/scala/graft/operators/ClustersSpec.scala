@@ -164,6 +164,25 @@ class ClustersSpec extends AnyFunSuite {
     assert(re == ranks)
   }
 
+  test("triangleStats: clique is all-triangles, chain is none, counts exact") {
+    // K4 on 0-3 (every node: deg 3, 3 triangles, lcc 1.0) plus a
+    // 3-chain 10-11-12 (no triangles; middle deg 2 lcc 0, ends deg 1)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val pairs = (k4 ++ Seq((10L, 11L), (11L, 12L)))
+      .toDF("doc_a", "doc_b")
+    val out = Clusters.triangleStats(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 7)
+    (0L to 3L).foreach { n => assert(out(n) == ((3L, 3L, 1.0)), s"node $n: ${out(n)}") }
+    assert(out(11L) == ((2L, 0L, 0.0)))
+    assert(out(10L) == ((1L, 0L, 0.0)) && out(12L) == ((1L, 0L, 0.0)))
+    // duplicate + reversed input edges must not inflate counts
+    val noisy = pairs.union(Seq((1L, 0L), (3L, 2L)).toDF("doc_a", "doc_b"))
+    val re = Clusters.triangleStats(noisy.repartition(5)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(re == out)
+  }
+
   test("bestSurvivors keeps the top-scoring member, ties to the smaller id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
     // cluster {0,1,2}: doc 1 scores highest; cluster {10,11}: tie → 10

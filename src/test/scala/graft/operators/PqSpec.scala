@@ -106,6 +106,31 @@ class PqSpec extends AnyFunSuite {
     assert(rec.forall(_ >= 0.75), s"sq8 recall collapsed: ${rec.toSeq}")
   }
 
+  test("mmrSelect: diversity beats redundant relevance from round 2 on") {
+    // query 0 = e1; ids 1-3 are e1 clones (rel ~1, mutually ~1);
+    // id 50 points elsewhere: lower relevance but near-zero redundancy
+    val d = 8
+    def unit(hot: Int, v: Double) =
+      Array.tabulate(d)(i => if (i == hot) v.toFloat else 0.02f).toSeq
+    val emb = (Seq(
+      (0L, unit(0, 1.0)), (1L, unit(0, 0.99)), (2L, unit(0, 0.98)),
+      (3L, unit(0, 0.97)), (50L, unit(4, 1.0)))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(emb, col("vec_id") === 0, k = 3, shortlist = 4)
+      .collect().sortBy(_.getInt(1))
+    assert(sel.length == 3)
+    // ranks are 1..3 and selections are distinct
+    assert(sel.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(sel.map(_.getLong(2)).distinct.length == 3)
+    // round 1 is pure relevance: the closest clone
+    assert(sel(0).getLong(2) == 1L)
+    // round 2 must JUMP CLUSTERS: clones score ~0.5-0.5, the orthogonal
+    // candidate keeps most of its relevance
+    assert(sel(1).getLong(2) == 50L,
+      s"expected diversity pick, got ${sel.toSeq}")
+    // MMR scores are non-increasing in rank for a fixed query
+    assert(sel(0).getDouble(3) >= sel(1).getDouble(3))
+  }
+
   test("pqRecall: one row per (method, query), recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id
