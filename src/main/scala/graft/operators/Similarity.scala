@@ -447,6 +447,49 @@ object Similarity {
       round(col("score"), 4).as("mmr_score"))
   }
 
+  /** Nearest-centroid classification over the labeled embedding corpus —
+    * the auto-labeling operator for data-mixture control: train one
+    * centroid per label, tag every (new) document with its nearest
+    * centroid, and read the confusion matrix to see which domains the
+    * embedding space actually separates before trusting the tags to
+    * weight a training mix.
+    *
+    * Determinism without floats drifting: vectors are SQ8-quantized
+    * ([[sq8Encode]] — integer-valued doubles), and each label centroid is
+    * the COMPONENT-WISE INTEGER SUM of its members' codes, not the mean —
+    * cosine is scale-invariant, so sum and mean rank identically, and
+    * integer sums are order-independent under any partitioning where a
+    * float mean would drift. Every dot product stays an exact integer in
+    * the double mantissa, so the confusion matrix is bit-reproducible.
+    *
+    * Scale shape: `posexplode` inflates rows dim×, but partial
+    * aggregation collapses each partition to O(labels·dim) cells before
+    * the (tiny) shuffle; the assembled centroid frame is O(labels·dim)
+    * and broadcast, so classification is a map-side scan of the corpus —
+    * no shuffle grows with corpus size except the final O(labels²)
+    * confusion rollup. Ties break toward the smaller label id.
+    *
+    * Returns (label, pred_label, n) — the confusion matrix. */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    val enc = sq8Encode(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val comp = enc.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x")).as("s"))
+    // Reassemble each centroid ordered by component position —
+    // collect_list alone is partition-order-dependent, the sort fixes it.
+    val cents = comp.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label").as("pred_label"),
+        transform(col("ps"), p => p.getField("s").cast("double")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = enc.crossJoin(broadcast(cents))
+      .withColumn("cos", cosineWithNorms(dot(col("q"), col("cv")), col("qn"), col("cn")))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos").as("c"), (-col("pred_label")).as("neg"))).as("b"))
+      .select(col("label"), (-col("b.neg")).as("pred_label"))
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+  }
+
   // ---- Product quantization (PQ codes + ADC search) --------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
@@ -1063,6 +1106,12 @@ object Similarity {
     mmrSelect(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10,
       k = 5, shortlist = 20)
       .orderBy("query_id", "sel_rank", "neighbor_id", "mmr_score")
+
+  /** Nearest-centroid label confusion matrix over the full labeled
+    * corpus — integer-sum centroids, SQ8 codes, exact arithmetic. */
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidClassify(Tables.embeddings(spark, dir))
+      .orderBy("label", "pred_label", "n")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
     * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over

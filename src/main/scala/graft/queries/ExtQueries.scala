@@ -37,6 +37,7 @@ object ExtQueries {
     "ann_sq8"               -> Similarity.qSq8Ann _,
     "ann_sq8_recall"        -> Similarity.qSq8Recall _,
     "ann_mmr_diverse"       -> Similarity.qMmrDiverse _,
+    "ann_label_centroids"   -> Similarity.qLabelCentroids _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
@@ -727,6 +728,32 @@ object ExtQueries {
          |FROM sel5
          |ORDER BY query_id, sel_rank, neighbor_id, mmr_score""".stripMargin
     },
+
+    // Mirrors Similarity.centroidClassify: SQ8 codes, per-label integer
+    // component sums as centroids (cosine is scale-invariant, so sum ==
+    // mean for ranking), argmax cosine with ties to the smaller label.
+    // All dots are exact integers; the one division is correctly rounded
+    // identically in both engines.
+    "ann_label_centroids" ->
+      s"""WITH $vecCte,
+         |$sq8Ctes,
+         |sl AS (SELECT s.vec_id, e.label, s.q FROM sq s
+         |  JOIN embeddings e USING (vec_id)),
+         |comp AS (SELECT label, generate_subscripts(q, 1) AS pos,
+         |    unnest(q) AS x FROM sl),
+         |cs AS (SELECT label, pos, sum(x) AS s FROM comp GROUP BY 1, 2),
+         |cent AS (SELECT label AS pred_label,
+         |    list(CAST(s AS DOUBLE) ORDER BY pos) AS cv FROM cs GROUP BY 1),
+         |sc AS (SELECT sl.vec_id, sl.label, c.pred_label,
+         |    list_dot_product(sl.q, c.cv)
+         |      / (sqrt(list_dot_product(sl.q, sl.q))
+         |         * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |  FROM sl CROSS JOIN cent c),
+         |pred AS (SELECT vec_id, label, pred_label FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, pred_label) = 1)
+         |SELECT label, pred_label, count(*) AS n FROM pred GROUP BY 1, 2
+         |ORDER BY label, pred_label, n""".stripMargin,
 
     "pipeline_curate" -> pipelineSql,
     "pipeline_prepare" -> pipelinePrepareSql,

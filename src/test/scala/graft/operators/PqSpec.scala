@@ -131,6 +131,20 @@ class PqSpec extends AnyFunSuite {
     assert(sel(0).getDouble(3) >= sel(1).getDouble(3))
   }
 
+  test("centroidClassify: separable labels give a diagonal confusion matrix") {
+    // label = cluster (0 for e1-ish, 1 for e9-ish): nearest centroid must
+    // recover every label exactly on well-separated directions
+    val labeled = vecs.withColumn("label",
+      when(col("vec_id") < 10, lit(0)).otherwise(lit(1)))
+    val conf = Similarity.centroidClassify(labeled)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(conf == Map((0, 0) -> 10L, (1, 1) -> 10L), conf.toString)
+    // partition-invariance: integer-sum centroids make the matrix exact
+    val re = Similarity.centroidClassify(labeled.repartition(7))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(re == conf)
+  }
+
   test("pqRecall: one row per (method, query), recall within [0, 1]") {
     // NOTE: recall inside a tight cluster is NOT expected to be 1.0 —
     // cluster-mates collapse to identical codes, so ADC ties break by id
