@@ -387,6 +387,30 @@ object Dedup {
     nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5)
       .orderBy("doc_a", "doc_b", "jaccard")
 
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up
+    * by the (unordered) source pair — the provenance-leakage report that
+    * tells a corpus curator WHICH crawls/feeds mirror each other (the
+    * diagonal is within-source duplication). Drives source-level
+    * decisions — drop a wholesale-mirror source, or dedup two feeds
+    * jointly — that per-pair output can't surface.
+    *
+    * Scale shape: pairs come from [[nearDupPairs]] (LSH candidates only,
+    * never all-pairs), so both source joins are equi-joins with the
+    * SMALL pair frame on the probe side; the rollup is O(sources²). */
+  def sourceDupMatrix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    nearDupPairs(docs, minJaccard)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("dup_pairs"))
+  }
+
+  def qSourceDupMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceDupMatrix(Tables.documents(spark, dir), minJaccard = 0.5)
+      .orderBy("source_a", "source_b", "dup_pairs")
+
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), shingleK = 3, docLimit = 300L)
       .orderBy("doc_a", "doc_b", "jaccard")

@@ -21,6 +21,7 @@ object ExtQueries {
     "dedup_simhash_pairs"   -> Dedup.qSimHashPairs _,
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
+    "dedup_source_matrix"   -> Dedup.qSourceDupMatrix _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
     "dedup_embedding_bucketed" -> Dedup.qEmbeddingNearDupBucketed _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
@@ -651,6 +652,35 @@ object ExtQueries {
          |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
          |             JOIN sz sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    // Mirrors Dedup.sourceDupMatrix: the dedup_neardup_verified pair set
+    // (LSH candidates, exact-Jaccard >= 0.5) rolled up by unordered
+    // source pair.
+    "dedup_source_matrix" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |cd AS (SELECT doc_a AS doc_id FROM cand
+         |       UNION SELECT doc_b FROM cand),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c
+         |  JOIN csh a ON a.doc_id = c.doc_a
+         |  JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, n / (sa.sz + sb.sz - n) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+         |          JOIN documents db ON db.doc_id = vp.doc_b)
+         |SELECT source_a, source_b, count(*) AS dup_pairs FROM m
+         |GROUP BY 1, 2 ORDER BY source_a, source_b, dup_pairs""".stripMargin,
 
     "ann_lsh" -> signLshSql,
 

@@ -72,6 +72,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.values.forall(_ >= 0.5))
   }
 
+  test("sourceDupMatrix rolls verified pairs up by unordered source pair") {
+    val m = Dedup.sourceDupMatrix(docs, minJaccard = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every verified pair is counted exactly once, under a canonical
+    // (lexicographically ordered) source pair
+    assert(m.values.sum == Dedup.nearDupPairs(docs, minJaccard = 0.5).count())
+    assert(m.keys.forall(k => k._1 <= k._2))
+    // the identical cross-source pair (0 in s1, 3 in s3) must appear
+    assert(m.getOrElse(("s1", "s3"), 0L) >= 1L)
+    // s2's doc shares nothing → its source never enters the matrix
+    assert(!m.keySet.exists(k => k._1 == "s2" || k._2 == "s2"))
+  }
+
   test("simhash: identical docs equal; near-identical close in hamming") {
     val fp = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
