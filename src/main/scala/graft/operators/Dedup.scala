@@ -274,6 +274,61 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT dedup — catches the near-superset pairs
+    * symmetric Jaccard (and therefore MinHash LSH) structurally misses: a
+    * paragraph quoted wholesale inside a much longer page has
+    * containment ≈ 1 but Jaccard ≈ |small|/|big| ≈ 0, so its minhashes
+    * almost never collide and [[nearDupPairs]] never proposes the pair.
+    * The containment score is |A∩B| / min(|A|,|B|) over distinct shingle
+    * sets.
+    *
+    * Candidate generation is RARE-SHINGLE BLOCKING (the prefix-filtering
+    * idea from set-similarity joins, e.g. Xiao et al. '08 ppjoin): only
+    * shingles with document frequency in [2, maxDf] propose pairs, so
+    * each posting list contributes ≤ maxDf·(maxDf−1)/2 pairs and no
+    * boilerplate-hot shingle ever explodes the join — skew is bounded by
+    * construction, not by AQE luck. A contained doc is found through any
+    * one of its rare shingles; only a doc made ENTIRELY of corpus-wide
+    * boilerplate (every shingle df > maxDf) escapes, and that doc is
+    * boilerplate itself — the quality gate's job, not dedup's. Exact
+    * verification then touches candidate doc ids only, like
+    * [[nearDupPairs]]. Integer half-up rounding to 4 decimals, same as
+    * the Jaccard family. */
+  def containmentPairs(docs: DataFrame, shingleK: Int = 3, maxDf: Int = 20,
+      minContainment: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("shingle")
+    val rsh = sh.join(rare, "shingle")
+    val cands = rsh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(rsh.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint()
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .withColumn("m", least(col("sz_a"), col("sz_b")))
+      .withColumn("containment",
+        expr("(inter * 20000 + m) div (m * 2)") / 10000.0)
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), shingleK = 3, maxDf = 20,
+      minContainment = 0.8)
+      .orderBy("doc_a", "doc_b", "containment")
+
   // ---- exact n-gram Jaccard ---------------------------------------------
 
   /** Exact Jaccard similarity over distinct word-3-gram shingle sets, for

@@ -22,6 +22,7 @@ object ExtQueries {
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
     "dedup_source_matrix"   -> Dedup.qSourceDupMatrix _,
+    "dedup_containment"     -> Dedup.qContainment _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
     "dedup_embedding_bucketed" -> Dedup.qEmbeddingNearDupBucketed _,
     "ann_ivf"               -> Similarity.qIvfAnn _,
@@ -652,6 +653,31 @@ object ExtQueries {
          |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
          |             JOIN sz sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    // Mirrors Dedup.containmentPairs: rare-shingle blocking (df in
+    // [2, 20]) proposes pairs, exact |A∩B| / min(|A|,|B|) verifies;
+    // integer half-up rounding like the Jaccard family.
+    "dedup_containment" ->
+      s"""${shingleCte()},
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM (
+         |    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df BETWEEN 2 AND 20),
+         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rsh a JOIN rsh b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b,
+         |    ((n * 20000 + least(sa.sz, sb.sz))
+         |      // (least(sa.sz, sb.sz) * 2)) / 10000.0 AS containment
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b, containment""".stripMargin,
 
     // Mirrors Dedup.sourceDupMatrix: the dedup_neardup_verified pair set
     // (LSH candidates, exact-Jaccard >= 0.5) rolled up by unordered

@@ -72,6 +72,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.values.forall(_ >= 0.5))
   }
 
+  test("containmentPairs finds near-supersets that Jaccard misses") {
+    val small = "red orange yellow green blue indigo violet umbra"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),                       // the quoted paragraph
+      (1L, s"$filler $small"),           // a page quoting it wholesale
+      (2L, "totally different words about nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, shingleK = 3, maxDf = 20,
+      minContainment = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the superset pair is found at containment 1.0...
+    assert(got.get((0L, 1L)).contains(1.0), got.toString)
+    // ...while its Jaccard is far below any dedup threshold
+    val j = Dedup.ngramJaccardPairs(corpus, shingleK = 3, docLimit = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) < 0.2, j.toString)
+    // the unrelated doc proposes nothing
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("sourceDupMatrix rolls verified pairs up by unordered source pair") {
     val m = Dedup.sourceDupMatrix(docs, minJaccard = 0.5).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
