@@ -370,6 +370,31 @@ object Similarity {
     topKPerQuery(scored, k).withColumnRenamed("cos_sim", "sq_sim")
   }
 
+  /** Persist the SQ8 code index (vec_id, q, qn) — the frozen retrieval
+    * side of [[sq8TopKIndexed]]: encode the corpus ONCE, then any number
+    * of query batches score against the table without ever touching the
+    * float corpus again. */
+  def writeSq8Index(emb: DataFrame, tableName: String): Unit =
+    sq8Encode(emb).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tableName)
+
+  /** Top-k by quantized cosine of `queryVecs` (vec_id, embedding)
+    * against a pre-encoded SQ8 `index` (vec_id, q, qn — see
+    * [[writeSq8Index]]): the [[sq8TopK]] scan shape with the two sides
+    * decoupled, so a STREAM of query batches can probe a frozen corpus
+    * index. Queries are encoded per call (tiny), broadcast to the index
+    * scan, and reduced by the bounded-heap top-k — the index never
+    * shuffles and is never re-encoded. */
+  def sq8TopKIndexed(index: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+    val q = sq8Encode(queryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("qn").as("qnn"))
+    val c = index.select(col("vec_id").as("neighbor_id"), col("q").as("cv"),
+      col("qn").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qnn")))
+    topKPerQuery(scored, k).withColumnRenamed("cos_sim", "sq_sim")
+  }
+
   /** Recall@k of SQ8 search vs exact brute force — the quantization-loss
     * gate, same contract as [[annRecall]]. */
   def sq8Recall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,

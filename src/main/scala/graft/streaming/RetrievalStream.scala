@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming top-k retrieval against a FROZEN SQ8 vector index — the
+  * online half of the ANN family: the corpus is encoded once
+  * ([[Similarity.writeSq8Index]], int8 codes = a quarter of the float
+  * footprint), and a continuous stream of query embeddings probes it
+  * per micro-batch (hard-negative mining against a fixed corpus,
+  * retrieval-augmented labeling, dedup-on-arrival lookups).
+  *
+  * Shape: `foreachBatch` + a cached static index. Each batch is the
+  * [[Similarity.sq8TopKIndexed]] scan — the tiny query batch is
+  * broadcast, the resident index never shuffles and is read from
+  * executor cache, not disk, after the first batch. Results land
+  * partitioned by batch id with dynamic partition overwrite, so a
+  * replayed batch overwrites its own partition instead of appending a
+  * second copy — the same replay-idempotence contract as the corpus
+  * sink in [[DocStream]].
+  */
+object RetrievalStream {
+
+  /** Start the retrieval query: `queries` is a stream of
+    * (vec_id, embedding) rows; top-`k` neighbors per query land in
+    * `outPath` as (query_id, neighbor_id, sq_sim, ingest_batch). */
+  def retrievalStream(queries: DataFrame, spark: SparkSession,
+      indexTable: String, outPath: String, checkpoint: String,
+      k: Int = 5): StreamingQuery = {
+    // loaded + cached ONCE at stream start: the index is frozen by
+    // contract (refresh = restart the stream against the new table)
+    val index = spark.table(indexTable).persist()
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.sq8TopKIndexed(index, batch, k)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+  }
+}

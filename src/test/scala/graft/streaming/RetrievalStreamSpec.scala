@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Similarity
+
+class RetrievalStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val dim = 16
+  // the PqSpec corpus shape: two well-separated direction clusters
+  def corpus = (0L until 20L).map { i =>
+    val base = if (i < 10) 0 else dim / 2
+    val v = Array.tabulate(dim) { d =>
+      val hot = if (d >= base && d < base + dim / 2) 1.0f else 0.05f
+      hot + 0.01f * ((i * 7 + d) % 5)
+    }
+    (i, v.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("streaming retrieval matches the batch scan, per batch, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-retrieval")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    Similarity.writeSq8Index(corpus, "retr_sq8_idx")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = RetrievalStream.retrievalStream(
+      input.toDF().toDF("vec_id", "embedding"),
+      spark, "retr_sq8_idx", out, ckpt, k = 3)
+
+    // query ids disjoint from the corpus (100+) — pure lookups
+    def qvec(id: Long, hot: Int) =
+      (id, Array.tabulate(dim)(d => if (d == hot) 1.0f else 0.02f).toSeq)
+    try {
+      input.addData(qvec(100L, 2))
+      q.processAllAvailable()
+      input.addData(qvec(101L, 10), qvec(102L, 1))
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(out)
+        .select("query_id", "neighbor_id", "sq_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin: the same queries against the same index, in one batch
+      val twin = Similarity.sq8TopKIndexed(
+        spark.table("retr_sq8_idx"),
+        Seq(qvec(100L, 2), qvec(101L, 10), qvec(102L, 1))
+          .toDF("vec_id", "embedding"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == twin, s"stream/batch divergence: ${got.diff(twin)} vs ${twin.diff(got)}")
+      // 3 queries x k=3, and cluster routing is right: e1-ish queries hit
+      // the id<10 cluster, the e9-ish query hits the id>=10 cluster
+      assert(got.size == 9)
+      assert(got.filter(_._1 != 101L).forall(_._2 < 10L))
+      assert(got.filter(_._1 == 101L).forall(_._2 >= 10L))
+      // per-batch partitions: a replayed batch would overwrite, not append
+      val batches = spark.read.parquet(out)
+        .selectExpr("query_id", "CAST(ingest_batch AS BIGINT)")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batches == Map(100L -> 0L, 101L -> 1L, 102L -> 1L), batches.toString)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS retr_sq8_idx")
+    }
+  }
+}
