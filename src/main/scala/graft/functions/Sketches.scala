@@ -262,6 +262,55 @@ object Sketches {
         (0 until k).map(j => s"graft_p$j")): _*)
   }
 
+  /** Heavy hitters (frequency ≥ ⌈φ·N⌉) with a count-min PREFILTER — the
+    * same result-invisible-sketch contract as [[bloomPrunedJoin]]: the
+    * output is EXACTLY `GROUP BY value HAVING count ≥ T` (the plain SQL
+    * is the oracle); the sketch only changes how many rows reach the
+    * exact aggregation's exchange.
+    *
+    * Two passes, textbook CM heavy-hitter shape (Cormode–Muthukrishnan
+    * '05 §4): pass 1 builds the depth×width cell table (one hash
+    * aggregate, map-side combined, shuffle ≤ depth·width longs per
+    * task). The collected cells give BOTH the prefilter and the exact
+    * stream length — every CM row partitions the stream, so one row's
+    * cell sum IS N — hence the φ·N threshold costs no extra corpus
+    * pass. Pass 2 projects each occurrence's estimate `min_r
+    * cells[r][h_r(x)]` from the PLAN-LITERAL cell array (zero-shuffle
+    * narrow projection, the [[bloomProbe]] move; depth·width longs =
+    * 32 KB at the default 4×1024 — for the widths a 100 TB vocabulary
+    * wants, ship the same array as a broadcast variable instead of a
+    * literal) and keeps occurrences with est ≥ T. CM only ever
+    * OVERestimates, so no true heavy hitter is dropped, and the exact
+    * count over survivors removes the false candidates — at web scale
+    * the exchange carries the few heavy keys' occurrences instead of
+    * the full long-tail vocabulary.
+    *
+    * Returns (valueCol, cnt), survivors only. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
+    val cellArr = Array.fill(depth * width)(0L)
+    countMinSketch(df, valueCol, depth, width).collect()
+      .foreach(r => cellArr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val n = (0 until width).map(c => cellArr(c)).sum // row 0's cells partition the stream
+    val threshold = math.ceil(phi * n).toLong
+    val wins = (0 until (depth + 3) / 4)
+      .map(g => TextExpressions.md5Windows(col(valueCol), s"$g:").as(s"graft_w$g"))
+    // ONE literal array column shared by the depth probes (not one copy
+    // of the 32 KB literal per hash row).
+    val est = (0 until depth).map { r =>
+      element_at(col("graft_cm"),
+        (lit(r * width) + element_at(col(s"graft_w${r / 4}"), r % 4 + 1) % width + 1)
+          .cast("int"))
+    }.reduce(least(_, _))
+    df.select(col(valueCol) +: wins: _*)
+      .withColumn("graft_cm", typedLit(cellArr.toSeq))
+      .filter(est >= threshold)
+      .groupBy(valueCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Bloom-pruned equi-join — semi-join reduction for the case the
     * broadcast-hash join can't cover: `small` is too WIDE to broadcast as
     * rows, but its distinct KEY SET fits a fixed-KB Bloom filter. The

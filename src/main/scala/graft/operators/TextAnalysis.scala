@@ -525,6 +525,19 @@ object TextAnalysis {
       .orderBy("token", "est", "exact")
   }
 
+  /** Heavy-hitter word BIGRAMS at φ = 0.15% of the stream — the
+    * count-min-prefiltered exact heavy-hitter pass
+    * ([[graft.functions.Sketches.heavyHitters]]): the sketch prunes the
+    * long-tail vocabulary before the exact aggregation's exchange, and
+    * is invisible in the result — the oracle is the plain
+    * GROUP BY / HAVING. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+      explode(graft.functions.TextExpressions.wordNGrams(col("text"), 2)).as("gram"))
+    graft.functions.Sketches.heavyHitters(grams, "gram", phi = 0.0015)
+      .orderBy("gram", "cnt")
+  }
+
   /** Binned-quantile sketch of event values per type (p50/p95/p99 at
     * cent resolution — portable approximate percentiles). */
   def qEventQuantiles(spark: SparkSession, dir: String): DataFrame =

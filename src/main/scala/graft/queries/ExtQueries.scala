@@ -72,6 +72,7 @@ object ExtQueries {
     "mm_image_knn"          -> Multimodal.qImageKnn _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
+    "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1855,6 +1856,22 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
     },
+
+    // Mirrors TextAnalysis.qHeavyHitters: the count-min prefilter is
+    // result-INVISIBLE (CM only overestimates, exact count over the
+    // survivors removes false candidates), so the oracle is the plain
+    // GROUP BY / HAVING at the same ⌈φ·N⌉ threshold — the sketch only
+    // changes what reaches the exchange, which is the point.
+    "text_heavy_hitters" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |g AS (SELECT t[i] || ' ' || t[i+1] AS gram
+        |      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |            FROM toks WHERE len(t) >= 2)),
+        |tot AS (SELECT count(*) AS n FROM g)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+        |HAVING count(*) >= ceil(0.0015 * (SELECT n FROM tot))
+        |ORDER BY gram, cnt""".stripMargin,
 
     "text_countmin" -> {
       // hash row r = hexVal8 of window r (hex chars r·8+1 … r·8+8) of ONE

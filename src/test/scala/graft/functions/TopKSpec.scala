@@ -112,6 +112,28 @@ class TopKSpec extends AnyFunSuite {
     est(4096).foreach { case (t, e, x) => assert(e == x, s"$t: est $e != exact $x") }
   }
 
+  test("heavy hitters: CM prefilter is result-invisible at any width") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    // zipf-ish: tok0 ×300, tok1 ×150, …, long tail of singletons
+    val rows = ((0 until 6).flatMap(i => Seq.fill(300 / (1 << i))(s"hot$i")) ++
+      (0 until 400).map(i => s"tail$i")).toDF("t")
+    val n = rows.count()
+    def plain(phi: Double) = rows.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(phi * n).toLong)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (width <- Seq(8, 1024); phi <- Seq(0.01, 0.05)) {
+      val got = graft.functions.Sketches.heavyHitters(rows, "t", phi, depth = 4,
+          width = width)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == plain(phi), s"width=$width phi=$phi")
+    }
+    // the prune is real: at ample width the candidate OCCURRENCES the
+    // exact pass sees shrink from the full stream to the hot keys' rows
+    assert(plain(0.05).map(_._2).sum < n)
+  }
+
   test("bloom filter: no false negatives; few false positives at ample bits") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
