@@ -158,6 +158,49 @@ object TextAnalysis {
       ceil(col("n_chars") / 3.5).cast("long").as("n_bpe_est"))
       .orderBy("doc_id", "n_ws", "n_alpha", "n_bpe_est")
 
+  /** Inverted character-q-gram index: one (doc_id, gram) posting per
+    * DISTINCT q-gram per document — the substring-search index a corpus
+    * keeps alongside the text. Built here as a narrow explode; at corpus
+    * scale it is built ONCE and persisted bucketed by `gram`
+    * ([[graft.sources.Sinks]]), so a probe reads only the queried grams'
+    * postings (partition-pruned), never the text. */
+  def gramIndex(docs: DataFrame, q: Int = 4): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextExpressions.charNGrams(col("text"), q))).as("gram"))
+
+  /** Literal-substring corpus grep, PRUNED by the inverted q-gram index —
+    * grep as index probe instead of corpus scan. A document containing
+    * `pattern` necessarily holds every one of its q-grams, so the
+    * postings intersection (grams pinned as plan literals → pushed into
+    * the index scan; candidate = doc holding ALL of them) can never drop
+    * a true match, and the final `contains` over the candidate slice
+    * removes gram-coincidence false positives — the index is invisible
+    * in the result, the oracle is the plain `WHERE contains(...)`. At
+    * 100 TB the exact scan touches only the candidate documents (an
+    * equi-join fetch), not the corpus.
+    *
+    * Patterns shorter than q have no gram to probe — the caller falls
+    * back to the plain scan. */
+  def grepIndexed(index: DataFrame, docs: DataFrame, pattern: String,
+      q: Int = 4): DataFrame = {
+    require(pattern.length >= q, s"pattern shorter than q=$q: use a plain scan")
+    val grams = pattern.sliding(q).toSeq.distinct
+    val cands = index
+      .filter(col("gram").isin(grams: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("graft_n"))
+      .filter(col("graft_n") === grams.size)
+      .select("doc_id")
+    docs.join(cands, "doc_id")
+      .filter(col("text").contains(pattern))
+      .select("doc_id")
+  }
+
+  def qGrepIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    grepIndexed(gramIndex(docs, q = 4), docs, "row column sort", q = 4)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: the minimum md5 over the document's word
     * 3-gram shingles (a winnowing-style representative hash — robust to
     * reordering of surrounding content, unlike md5(text)). Documents too

@@ -73,6 +73,7 @@ object ExtQueries {
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
+    "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1856,6 +1857,15 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
     },
+
+    // Mirrors TextAnalysis.qGrepIndexed: the q-gram postings
+    // intersection can only ever over-select (a doc containing the
+    // pattern holds every one of its q-grams) and the exact contains()
+    // runs over the candidates — so the index is result-INVISIBLE and
+    // the oracle is the plain substring scan.
+    "text_grep_indexed" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(text, 'row column sort') ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.qHeavyHitters: the count-min prefilter is
     // result-INVISIBLE (CM only overestimates, exact count over the

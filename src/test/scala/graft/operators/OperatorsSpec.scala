@@ -620,6 +620,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
   }
 
+  test("indexed grep: postings intersection finds exactly the contains() set") {
+    val d = docs
+    val ix = TextAnalysis.gramIndex(d, q = 4)
+    // "gamma delta" present in docs 0/1/3, absent from 2
+    val hits = TextAnalysis.grepIndexed(ix, d, "gamma delta", q = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(0L, 1L, 3L))
+    // gram-coincidence false positive: every 4-gram of "nine two" occurs
+    // somewhere in doc 2 ("nine"/"ine " from "nine ten", "ne t" from
+    // "nine ten", "e tw"/" two" from "one two") but never contiguously —
+    // the postings intersection admits doc 2 and the exact contains()
+    // pass must reject it
+    val scattered = TextAnalysis.grepIndexed(ix, d, "nine two", q = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(scattered.isEmpty, "grams exist in doc 2 but never contiguously")
+    require(intercept[IllegalArgumentException] {
+      TextAnalysis.grepIndexed(ix, d, "abc", q = 4)
+    }.getMessage.contains("plain scan"))
+  }
+
   test("corpus report counts docs, tokens, vocab, and the exact-dup rate") {
     val r = TextAnalysis.corpusReport(docs).collect()
     assert(r.length == 1)
