@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Column-level data profiling — the per-column statistics block of a
+  * dataset card (row count, null count, exact distinct cardinality,
+  * min/max), emitted long-form so the report is a TABLE a pipeline can
+  * join/diff across snapshots rather than a printed summary.
+  *
+  * Plan shape: ONE aggregate pass computes every column's statistics
+  * (count / count-distinct / min / max are all algebraic or
+  * Expand-planned), then the single result row is exploded into one row
+  * per profiled column — no per-column scan, no driver-side loop over
+  * columns. The multi-column exact `count(DISTINCT …)` plans through
+  * Catalyst's Expand: the shuffle carries #cols × rows projected rows,
+  * each pruned to ONE column's value — at 100 TB profile the columns you
+  * need, or swap the exact cardinality for the O(1)-state sketches
+  * already in the library ([[graft.functions.Sketches.kmvDistinct]] /
+  * [[graft.functions.Sketches.hllDistinct]]) when ±few-% is acceptable;
+  * exact is the default here because exact is what an oracle can check.
+  *
+  * Numeric columns report (min_num, max_num) as doubles (rounded to the
+  * oracle's 4-decimal contract); string columns report (min_str,
+  * max_str) under binary collation — each family NULL for the other.
+  */
+object Profile {
+
+  def columnProfile(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty)
+    val specs = numCols.map((_, true)) ++ strCols.map((_, false))
+    val aggs = specs.flatMap { case (c, isNum) =>
+      Seq(count(col(c)).as(s"graft_${c}_nn"),
+        countDistinct(col(c)).as(s"graft_${c}_nd")) ++
+        (if (isNum) Seq(
+          min(col(c)).cast("double").as(s"graft_${c}_mn"),
+          max(col(c)).cast("double").as(s"graft_${c}_mx"))
+        else Seq(
+          min(col(c)).cast("string").as(s"graft_${c}_mns"),
+          max(col(c)).cast("string").as(s"graft_${c}_mxs")))
+    }
+    val row = df.agg(count(lit(1)).as("graft_n"), aggs: _*)
+    val structs = specs.map { case (c, isNum) =>
+      struct(
+        lit(c).as("col_name"),
+        col("graft_n").as("n_rows"),
+        (col("graft_n") - col(s"graft_${c}_nn")).as("n_null"),
+        col(s"graft_${c}_nd").as("n_distinct"),
+        (if (isNum) round(col(s"graft_${c}_mn"), 4)
+         else lit(null).cast("double")).as("min_num"),
+        (if (isNum) round(col(s"graft_${c}_mx"), 4)
+         else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string")
+         else col(s"graft_${c}_mns")).as("min_str"),
+        (if (isNum) lit(null).cast("string")
+         else col(s"graft_${c}_mxs")).as("max_str"))
+    }
+    row.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
+  def qProfileOrders(spark: SparkSession, dir: String): DataFrame =
+    columnProfile(Tables.orders(spark, dir),
+      numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("col_name")
+}

@@ -74,6 +74,7 @@ object ExtQueries {
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
+    "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1856,6 +1857,29 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_sh,
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
+    },
+
+    // Mirrors Profile.qProfileOrders — per-column UNION ALL is the
+    // oracle's (multi-pass) formulation of the one-pass Expand profile.
+    "profile_orders" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+        Seq("o_orderstatus", "o_orderpriority").map(str))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
     // Mirrors TextAnalysis.qGrepIndexed: the q-gram postings

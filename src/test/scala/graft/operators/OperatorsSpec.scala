@@ -620,6 +620,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
   }
 
+  test("column profile: one pass, exact nulls/cardinality/extremes per column") {
+    val df = Seq(
+      (Some(1.5), Some("b")), (Some(2.0), None),
+      (None, Some("a")), (Some(1.5), Some("b")))
+      .toDF("x", "s")
+    val p = Profile.columnProfile(df, numCols = Seq("x"), strCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.5 && x.getDouble(5) == 2.0 && x.isNullAt(6))
+    val s = p("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "a" && s.getString(7) == "b" && s.isNullAt(4))
+  }
+
   test("indexed grep: postings intersection finds exactly the contains() set") {
     val d = docs
     val ix = TextAnalysis.gramIndex(d, q = 4)
