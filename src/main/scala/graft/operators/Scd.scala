@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Slowly-changing-dimension TYPE-2 maintenance — the versioned-upsert a
+  * pipeline needs to keep dimension history (who was in which segment
+  * WHEN) while training-data snapshots evolve underneath it. Batch ids
+  * are plain longs, not wall-clock timestamps: portable, replay-stable,
+  * and totally ordered by construction.
+  *
+  * Plan shape of [[scd2Merge]]: ONE full-outer equi-join of the CURRENT
+  * slice against the update batch on the business key (zero-exchange
+  * when both sides are bucketed by the key — [[graft.sources.Sinks]]),
+  * then a narrow explode that emits 1 row (carry / fresh insert /
+  * unchanged) or 2 rows (close + reopen) per joined key. Closed history
+  * never re-enters the join — it unions back untouched, so at 100 TB the
+  * join's left side is the CURRENT dimension (≈ key cardinality), not
+  * the ever-growing version history, and a batch-partitioned sink
+  * rewrites only the current slice.
+  */
+object Scd {
+
+  /** Version-metadata columns appended to the business schema. */
+  val MetaCols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** Lift a plain snapshot into an SCD2 dimension: every row current
+    * since `batch`, open-ended. */
+  def scd2Init(snapshot: DataFrame, batch: Long = 0L): DataFrame =
+    snapshot
+      .withColumn("valid_from", lit(batch))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+  /** Fold one update batch into the dimension. Every key in `updates`
+    * carries its full observed state at `batch`; keys absent from
+    * `updates` are carried forward unchanged (an absent key is "not
+    * observed", not "deleted" — model deletions as an observed
+    * tombstone value in a tracked column if the source emits them).
+    * Null-safe struct equality decides changed-ness, so NULL tracked
+    * values compare like values, not like SQL unknowns. */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String], batch: Long): DataFrame = {
+    require(tracked.nonEmpty)
+    val outCols = (key +: tracked) ++ MetaCols
+    val curr = dim.filter(col("is_current")).withColumn("graft_in_c", lit(true))
+    val hist = dim.filter(!col("is_current")).select(outCols.map(col): _*)
+    val uRen = updates.select(
+      (col(key) +: tracked.map(t => col(t).as(s"graft_u_$t"))) :+
+        lit(true).as("graft_in_u"): _*)
+    val j = curr.join(uRen, Seq(key), "full_outer")
+
+    def meta(from: Column, to: Column, cur: Column) = Seq(
+      from.as("valid_from"), to.cast("long").as("valid_to"), cur.as("is_current"))
+    val carry = struct((col(key) +: tracked.map(col)) ++
+      meta(col("valid_from"), col("valid_to"), col("is_current")): _*)
+    val closed = struct((col(key) +: tracked.map(col)) ++
+      meta(col("valid_from"), lit(batch), lit(false)): _*)
+    val opened = struct((col(key) +: tracked.map(t => col(s"graft_u_$t").as(t))) ++
+      meta(lit(batch), lit(null), lit(true)): _*)
+    val unchanged = struct(tracked.map(col): _*) <=>
+      struct(tracked.map(t => col(s"graft_u_$t")): _*)
+
+    val versions =
+      when(col("graft_in_u").isNull, array(carry))      // not observed: carry
+        .when(col("graft_in_c").isNull, array(opened))  // fresh key: insert
+        .when(unchanged, array(carry))                  // observed, same state
+        .otherwise(array(closed, opened))               // changed: close + reopen
+    j.select(explode(versions).as("graft_v")).select("graft_v.*")
+      .unionByName(hist)
+  }
+
+  /** SCD2 demo over `customer`: batch 1 re-observes segment changes for
+    * the %7 cohort, no-op re-observations for the %11 cohort, and a
+    * fresh key cohort — exercising all four merge branches. */
+  def qScd2Customer(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val promo = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("PROMO"))
+    val noop = cust.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 7 =!= 0)
+    val fresh = cust.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    scd2Merge(scd2Init(cust, batch = 0L),
+        promo.unionByName(noop).unionByName(fresh),
+        "c_custkey", Seq("c_mktsegment", "c_acctbal"), batch = 1L)
+      .orderBy("c_custkey", "valid_from", "is_current")
+  }
+}

@@ -75,6 +75,7 @@ object ExtQueries {
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
+    "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1858,6 +1859,37 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
     },
+
+    // Mirrors Scd.qScd2Customer: the four merge branches written out as
+    // set algebra — unchanged carries, changed keys close (valid_to=1)
+    // and reopen (valid_from=1), fresh keys insert.
+    "storage_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS c_mktsegment, c_acctbal FROM cust
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM cust
+        |  WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM cust WHERE c_custkey % 13 = 0),
+        |chg AS (SELECT c.c_custkey, c.c_mktsegment AS seg_c, c.c_acctbal AS bal_c,
+        |    u.c_mktsegment AS seg_u, u.c_acctbal AS bal_u
+        |  FROM cust c JOIN upd u USING (c_custkey)
+        |  WHERE c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM u.c_acctbal)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |  true AS is_current
+        |FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, seg_c, bal_c, 0, 1, false FROM chg
+        |UNION ALL
+        |SELECT c_custkey, seg_u, bal_u, 1, NULL, true FROM chg
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, 1, NULL, true
+        |FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cust)
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
 
     // Mirrors Profile.qProfileOrders — per-column UNION ALL is the
     // oracle's (multi-pass) formulation of the one-pass Expand profile.

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ScdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def snap(rows: (Long, String, Double)*) =
+    rows.toDF("k", "seg", "bal")
+
+  test("scd2: carry / no-op / change / fresh-insert across two batches") {
+    val dim0 = Scd.scd2Init(snap((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0)))
+    // batch 1: key 1 changes, key 2 re-observed identically, key 4 fresh,
+    // key 3 unobserved
+    val dim1 = Scd.scd2Merge(dim0,
+      snap((1L, "A2", 10.0), (2L, "B", 20.0), (4L, "D", 40.0)),
+      "k", Seq("seg", "bal"), batch = 1L)
+    val r1 = dim1.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSet
+    assert(r1 == Set(
+      (1L, "A", 0L, 1L, false), (1L, "A2", 1L, -1L, true),
+      (2L, "B", 0L, -1L, true), (3L, "C", 0L, -1L, true),
+      (4L, "D", 1L, -1L, true)))
+
+    // batch 2: key 1 changes AGAIN (three versions), key 4 changes —
+    // closed history rows must pass through untouched
+    val dim2 = Scd.scd2Merge(dim1, snap((1L, "A3", 10.0), (4L, "D2", 40.0)),
+      "k", Seq("seg", "bal"), batch = 2L)
+    val byKey = dim2.collect().groupBy(_.getLong(0))
+    assert(byKey(1L).length == 3 && byKey(4L).length == 2)
+    assert(byKey(1L).count(_.getBoolean(5)) == 1, "exactly one current version")
+    val v1 = byKey(1L).map(r => (r.getString(1), r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(v1 == Set(("A", 0L, 1L), ("A2", 1L, 2L), ("A3", 2L, -1L)),
+      s"contiguous version chain, got $v1")
+  }
+
+  test("scd2: null tracked values compare as values, not SQL unknowns") {
+    val dim0 = Scd.scd2Init(
+      Seq((1L, Option.empty[String], 1.0), (2L, Some("x"), 2.0)).toDF("k", "seg", "bal"))
+    val dim1 = Scd.scd2Merge(dim0,
+      Seq((1L, Option.empty[String], 1.0), (2L, Option.empty[String], 2.0)).toDF("k", "seg", "bal"),
+      "k", Seq("seg", "bal"), batch = 1L)
+    // key 1: NULL == NULL → no new version; key 2: x → NULL is a change
+    assert(dim1.filter(col("k") === 1L).count() == 1)
+    assert(dim1.filter(col("k") === 2L).count() == 2)
+  }
+}
