@@ -151,7 +151,13 @@ object Multimodal {
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
 
-    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+    /** Header walk + validated raster-order pixel stream: `f` receives
+      * (pixel_index, B, G, R) top-left to bottom-right regardless of the
+      * file's row order. Returns (width, height). All decode entry
+      * points go through here, so the stride/flip/palette/bounds logic
+      * exists once. */
+    private def walkPixels(payload: Array[Byte])(
+        f: (Long, Int, Int, Int) => Unit): (Int, Long) = {
       def bad(m: String) = throw new IllegalArgumentException(s"BmpCodec: $m")
       if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
         bad("not a BMP payload")
@@ -184,29 +190,43 @@ object Multimodal {
           if (palOff + 4 * n > pixOff) bad("palette overruns pixel array")
           n
         }
-      val out = new Array[Float](dim)
       var y = 0L
       while (y < height) {
         val sy = if (topDown) y else height - 1 - y
         val rowOff = (pixOff + sy * stride).toInt // bounds proven above
         var x = 0
         while (x < width) {
-          val v =
-            if (bytesPerPx == 3) {
-              val o = rowOff + x * 3
-              (payload(o) & 0xff) + (payload(o + 1) & 0xff) + (payload(o + 2) & 0xff)
-            } else {
-              val idx = payload(rowOff + x) & 0xff
-              if (idx >= palEntries) bad(s"palette index $idx out of range")
-              val e = palOff.toInt + idx * 4 // BGRA entry
-              (payload(e) & 0xff) + (payload(e + 1) & 0xff) + (payload(e + 2) & 0xff)
-            }
-          out(((y * width + x) % dim).toInt) += v.toFloat
+          if (bytesPerPx == 3) {
+            val o = rowOff + x * 3
+            f(y * width + x, payload(o) & 0xff, payload(o + 1) & 0xff,
+              payload(o + 2) & 0xff)
+          } else {
+            val idx = payload(rowOff + x) & 0xff
+            if (idx >= palEntries) bad(s"palette index $idx out of range")
+            val e = palOff.toInt + idx * 4 // BGRA entry
+            f(y * width + x, payload(e) & 0xff, payload(e + 1) & 0xff,
+              payload(e + 2) & 0xff)
+          }
           x += 1
         }
         y += 1
       }
+      (width, height)
+    }
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      walkPixels(payload)((p, b, g, r) => out((p % dim).toInt) += (b + g + r).toFloat)
       out
+    }
+
+    /** Raster-order (B,G,R) channel triples, flattened 3 ints per pixel,
+      * plus dimensions — the pixel-level API [[Multimodal.imagePool]]
+      * consumes. */
+    private[graft] def rasterPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val buf = scala.collection.mutable.ArrayBuilder.make[Int]
+      val (w, h) = walkPixels(payload) { (_, b, g, r) => buf += b; buf += g; buf += r }
+      (w, h.toInt, buf.result())
     }
   }
 
@@ -414,6 +434,66 @@ object Multimodal {
     featureTopK(imageTable(Tables.documents(spark, dir)),
       col("doc_id") < 30, k = 3, dim = 8, codec = BmpCodec)
       .orderBy("query_id", "neighbor_id", "cos_sim")
+
+  /** factor×factor average-pool over REAL decoded BMP pixels — pixel
+    * ARITHMETIC behind the codec (the resize/downsample stage of an image
+    * pipeline), not just bucket checksums: decode via
+    * [[BmpCodec.rasterPixels]], mean-pool each factor² window per channel
+    * with integer division (truncating partial edge windows, the
+    * floor-mode pooling convention), and reduce per image to the pooled
+    * dimensions plus the pooled-value sum. Narrow mapPartitions like
+    * every codec path (a binary format walk is imperative by nature —
+    * SURVEY §4's justified-RDD case); one row in, one row out, no
+    * shuffle. Images too small for one pooled window are dropped (no
+    * pooled content to report). */
+  def imagePool(images: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 2, s"pooling needs factor >= 2, got $factor")
+    val spark = images.sparkSession
+    import spark.implicits._
+    val area = factor * factor
+    images.select("doc_id", "payload")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, px) = BmpCodec.rasterPixels(bytes)
+        val ow = w / factor
+        val oh = h / factor
+        if (ow == 0 || oh == 0) Iterator.empty
+        else {
+          var sum = 0L
+          var ry = 0
+          while (ry < oh) {
+            var cx = 0
+            while (cx < ow) {
+              var ch = 0
+              while (ch < 3) {
+                var s = 0
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    s += px(((ry * factor + dy) * w + (cx * factor + dx)) * 3 + ch)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                sum += s / area
+                ch += 1
+              }
+              cx += 1
+            }
+            ry += 1
+          }
+          Iterator.single((id, ow.toLong, oh.toLong, sum))
+        }
+      }).toDF("doc_id", "out_w", "out_h", "pool_sum")
+  }
+
+  /** 2×2 pooled summary of the built-BMP image table — the oracle reads
+    * the SAME pooled arithmetic straight off the text bytes, so a pool
+    * that misindexes a window, a stride, or a channel hash-mismatches. */
+  def qImagePool(spark: SparkSession, dir: String): DataFrame =
+    imagePool(imageTable(Tables.documents(spark, dir)), factor = 2)
+      .orderBy("doc_id", "out_w", "out_h", "pool_sum")
 
   /** Decoded feature summary — exercises the stub-codec mapPartitions path
     * end-to-end but reduces to an oracle-checkable scalar: the feature sum

@@ -70,6 +70,7 @@ object ExtQueries {
     "mm_feature_knn"        -> Multimodal.qFeatureKnn _,
     "mm_image_checksum"     -> Multimodal.qImageChecksum _,
     "mm_image_knn"          -> Multimodal.qImageKnn _,
+    "mm_image_pool"         -> Multimodal.qImagePool _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
@@ -1813,6 +1814,29 @@ object ExtQueries {
         |      FROM documents
         |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
         |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    // Mirrors Multimodal.qImagePool: the built BMP is width-5 raster of
+    // text byte triples, so pooled window (ry,cx) covers pixels
+    // p0=(2ry)·5+2cx, p0+1, p0+5, p0+6 and channel c of pixel p is text
+    // byte 3p+c — floor-mean per channel, summed over cells.
+    "mm_image_pool" -> {
+      def chSum(c: Int) =
+        s"((ord(substr(text, 3*p0 + $c, 1)) + ord(substr(text, 3*(p0+1) + $c, 1)) + " +
+          s"ord(substr(text, 3*(p0+5) + $c, 1)) + ord(substr(text, 3*(p0+6) + $c, 1))) // 4)"
+      s"""WITH img AS (SELECT doc_id, text, (length(text) // 3) // 5 AS h FROM documents
+         |  WHERE doc_id % 3 = 0 AND length(text) >= 15),
+         |cells AS (SELECT doc_id, text, h,
+         |    unnest(generate_series(0, (h // 2) * 2 - 1)) AS cell
+         |  FROM img WHERE h >= 2),
+         |base AS (SELECT doc_id, text, h,
+         |    ((cell // 2) * 2) * 5 + (cell % 2) * 2 AS p0 FROM cells),
+         |vals AS (SELECT doc_id, h,
+         |    ${chSum(1)} + ${chSum(2)} + ${chSum(3)} AS cv FROM base)
+         |SELECT doc_id, CAST(2 AS BIGINT) AS out_w, h // 2 AS out_h,
+         |  CAST(sum(cv) AS BIGINT) AS pool_sum
+         |FROM vals GROUP BY doc_id, h
+         |ORDER BY doc_id, out_w, out_h, pool_sum""".stripMargin
+    },
 
     "mm_image_knn" ->
       """WITH px AS (SELECT doc_id, p % 8 AS bucket,

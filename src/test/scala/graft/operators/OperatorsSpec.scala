@@ -575,6 +575,31 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.BmpCodec.decode(badIdx, dim = 2))
   }
 
+  test("multimodal: 2x2 pool over decoded pixels matches byte-level arithmetic") {
+    // 4 rows of 5 px = 60 text bytes; pooled → out 2x2 = 4 cells
+    val text = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '7')).mkString
+    assert(text.length == 60)
+    val images = Seq((7L, "image", Multimodal.bmpFromText(text)))
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.imagePool(images, factor = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    // expected straight from the text bytes (channel c of pixel p = byte 3p+c)
+    val b = text.getBytes("UTF-8").map(_ & 0xff)
+    var want = 0L
+    for (ry <- 0 until 2; cx <- 0 until 2; ch <- 0 until 3) {
+      val p0 = (2 * ry) * 5 + 2 * cx
+      want += (b(3 * p0 + ch) + b(3 * (p0 + 1) + ch) +
+        b(3 * (p0 + 5) + ch) + b(3 * (p0 + 6) + ch)) / 4
+    }
+    assert(r.getLong(3) == want)
+    // an image with only one pixel row pools to nothing (no full window)
+    val tiny = Seq((8L, "image", Multimodal.bmpFromText(text.take(15))))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.imagePool(tiny, factor = 2).count() == 0)
+  }
+
   test("multimodal: feature-level dedup groups identical payloads") {
     // docs fixture: doc 3 is an exact copy of doc 0 → identical features
     val groups = Multimodal.featureDupGroups(Multimodal.mediaTable(docs))
