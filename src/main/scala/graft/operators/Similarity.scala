@@ -415,6 +415,92 @@ object Similarity {
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
   }
 
+  /** Johnson–Lindenstrauss SIGN random projection (the ±1 variant of
+    * Achlioptas '03, "Database-friendly random projections"): project
+    * every embedding once to `outDim` dims, then search in the projected
+    * space at outDim/inDim of the scan bytes and multiply-adds — the
+    * cheap-distance lever that composes with any of the search shapes
+    * here (brute/IVF/heap top-k all take an (id, embedding) frame). The
+    * sign matrix derives from salted md5 (high bit of the digest's first
+    * byte of "j:i"), so the "random" matrix is a deterministic O(outDim·
+    * inDim) plan literal ANY engine can rebuild — no RNG state, no
+    * stored matrix, same move as the IVF literal centroids. Cosine is
+    * scale-invariant, so the customary 1/√outDim factor is dropped.
+    * Projection quality is gated by [[rpRecall]], like every lossy
+    * index here. */
+  def rpSignMatrix(outDim: Int, inDim: Int): IndexedSeq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map { j =>
+      (1 to inDim).map { i =>
+        val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** (vec_id, embedding) with `embedding` replaced by its `outDim`-dim
+    * sign projection — a narrow zero-shuffle projection of `outDim`
+    * fixed-order [[graft.functions.DotProduct]]s. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16,
+      inDim: Int = 64): DataFrame = {
+    val signs = rpSignMatrix(outDim, inDim)
+    vectors.select(col("vec_id"), toDouble(col("embedding")).as("graft_v"))
+      .select(col("vec_id"),
+        array(signs.map(s => dot(col("graft_v"), typedLit(s))): _*).as("embedding"))
+  }
+
+  /** Two-stage projected retrieval: coarse top-`shortlist` in the
+    * `outDim`-dim projected space (scan cost ∝ outDim/inDim of the float
+    * corpus), then EXACT re-rank of the shortlist ([[rerankExact]] — R·
+    * dim floats per query of extra IO, corpus-size-independent). The
+    * production JL shape: the projection decides what the full-precision
+    * pass looks at, never the final order. At 100 TB `shortlist` stays
+    * fixed while the corpus grows, so the exact stage's share of the
+    * cost → 0. */
+  def rpTopKRerank(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      outDim: Int = 32, shortlist: Int = 100, k: Int = 5): DataFrame = {
+    val proj = randomProject(emb, outDim)
+    val coarse = bruteForceTopK(
+        proj.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        proj.select(col("vec_id").as("id"), col("embedding")), shortlist)
+      .select("query_id", "neighbor_id")
+    rerankExact(emb, coarse, queryPred, k)
+  }
+
+  /** Recall@k of projected-space search vs exact brute force, BOTH arms
+    * — `rproj` ranks by projected cosine alone (the distortion floor),
+    * `rproj_rr` re-ranks the projected shortlist exactly (the shape you
+    * ship). Same contract as [[sq8Recall]]/[[annRecall]]. */
+  def rpRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      outDim: Int = 32, shortlist: Int = 100, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    def arm(method: String, approx: DataFrame) = approx
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      .join(nExact, Seq("query_id"), "right")
+      .na.fill(0L, Seq("n_hit"))
+      .select(lit(method).as("method"), col("query_id"), col("n_hit"),
+        (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+    val proj = randomProject(emb, outDim)
+    arm("rproj", bruteForceTopK(
+        proj.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        proj.select(col("vec_id").as("id"), col("embedding")), k))
+      .unionByName(arm("rproj_rr",
+        rpTopKRerank(emb, queryPred, outDim, shortlist, k)))
+  }
+
+  /** Recall of 32-dim (2×-compressed) sign-projected search, queries
+    * vec_id < 10, k = 5, shortlist 100 — projected-only vs re-ranked. */
+  def qRpRecall(spark: SparkSession, dir: String): DataFrame =
+    rpRecall(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("method", "query_id", "n_hit", "recall")
+
   /** Maximal-marginal-relevance (Carbonell & Goldstein '98) diversified
     * top-k — the diverse-data-selection operator: a plain top-k of a
     * near-dup-heavy corpus returns k copies of the same thing, MMR picks

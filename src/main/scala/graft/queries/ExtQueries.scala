@@ -38,6 +38,7 @@ object ExtQueries {
     "ann_hard_negatives"    -> Similarity.qHardNegatives _,
     "ann_sq8"               -> Similarity.qSq8Ann _,
     "ann_sq8_recall"        -> Similarity.qSq8Recall _,
+    "ann_rproj_recall"      -> Similarity.qRpRecall _,
     "ann_mmr_diverse"       -> Similarity.qMmrDiverse _,
     "ann_label_centroids"   -> Similarity.qLabelCentroids _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
@@ -743,6 +744,51 @@ object ExtQueries {
          |SELECT 'sq8' AS method, query_id, coalesce(n_hit, 0) AS n_hit,
          |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
          |FROM ex LEFT JOIN hits USING (query_id)
+         |ORDER BY method, query_id, n_hit, recall""".stripMargin,
+
+    // Mirrors Similarity.rpRecall: the ±1 sign matrix is rebuilt from
+    // the same salted md5 (first hex digit >= '8' ⇔ high bit of the
+    // digest's first byte), vectors project via fixed-order
+    // list_dot_product, and recall compares projected vs exact top-5.
+    "ann_rproj_recall" ->
+      s"""WITH $vecCte,
+         |signs AS (SELECT j, list(CASE WHEN substr(md5(j || ':' || i), 1, 1) >= '8'
+         |    THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+         |  FROM range(32) t(j), range(1, 65) u(i) GROUP BY j),
+         |proj AS (SELECT vec_id, list(list_dot_product(vec, sv) ORDER BY j) AS pv
+         |  FROM v, signs GROUP BY vec_id),
+         |rpk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM proj a, proj b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.pv, b.pv) DESC, b.vec_id) <= 5)),
+         |coarse AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM proj a, proj b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.pv, b.pv) DESC, b.vec_id) <= 100)),
+         |rr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id
+         |  FROM coarse c JOIN v q ON q.vec_id = c.query_id
+         |               JOIN v n ON n.vec_id = c.neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY list_cosine_similarity(q.vec, n.vec) DESC, c.neighbor_id) <= 5)),
+         |bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.vec_id) <= 5),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id),
+         |hp AS (SELECT query_id, count(*) AS n_hit
+         |  FROM rpk JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |hr AS (SELECT query_id, count(*) AS n_hit
+         |  FROM rr JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT 'rproj' AS method, query_id, coalesce(n_hit, 0) AS n_hit,
+         |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
+         |FROM ex LEFT JOIN hp USING (query_id)
+         |UNION ALL
+         |SELECT 'rproj_rr', query_id, coalesce(n_hit, 0),
+         |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0
+         |FROM ex LEFT JOIN hr USING (query_id)
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
     // Mirrors Similarity.mmrSelect: SQ8 shortlist of 20, then 5 greedy

@@ -165,4 +165,30 @@ class PqSpec extends AnyFunSuite {
         rows.find(_.getString(0) == "pq").get.getLong(2)
     })
   }
+
+  test("random projection: deterministic sign matrix; full-shortlist rerank " +
+    "degenerates to exact brute force") {
+    val m1 = Similarity.rpSignMatrix(4, dim)
+    assert(m1 == Similarity.rpSignMatrix(4, dim), "matrix must be replayable")
+    assert(m1.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(m1.flatten.count(_ == 1.0) > 0 && m1.flatten.count(_ == -1.0) > 0)
+    // shortlist = corpus: the exact re-rank sees every candidate, so the
+    // result IS bruteForceTopK regardless of projection quality
+    val exact = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3).select(col("vec_id").as("id"), col("embedding")),
+        vecs.select(col("vec_id").as("id"), col("embedding")), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.rpTopKRerank(vecs, col("vec_id") < 3,
+        outDim = 8, shortlist = 20, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr == exact)
+    // projection preserves the two-cluster structure: projected-space
+    // top-4 of query 0 stays inside cluster 0 (ids < 10)
+    val proj = Similarity.randomProject(vecs, outDim = 8, inDim = dim)
+    val ptop = Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") === 0).select(col("vec_id").as("id"), col("embedding")),
+        proj.select(col("vec_id").as("id"), col("embedding")), 4)
+      .collect().map(_.getLong(1))
+    assert(ptop.forall(_ < 10), s"cross-cluster leak in projected space: ${ptop.toSeq}")
+  }
 }
