@@ -287,11 +287,23 @@ object Sketches {
     *
     * Returns (valueCol, cnt), survivors only. */
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    heavyHittersFromCells(countMinSketch(df, valueCol, depth, width),
+      df, valueCol, phi, depth, width)
+
+  /** [[heavyHitters]] against PREBUILT cells — the decoupled form for a
+    * sketch somebody else maintains (e.g. the streaming cell journal of
+    * [[graft.streaming.DocStream.sketchIngest]]): the corpus pass reads
+    * the cells instead of re-sketching, and because cell sums are exact
+    * and order-insensitive, streamed cells give bit-identical results to
+    * an inline sketch over the same rows. */
+  def heavyHittersFromCells(cells: DataFrame, df: DataFrame, valueCol: String,
+      phi: Double, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
     val cellArr = Array.fill(depth * width)(0L)
-    countMinSketch(df, valueCol, depth, width).collect()
-      .foreach(r => cellArr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    cells.select(col("r").cast("int"), col("c").cast("int"), col("cnt").cast("long"))
+      .collect()
+      .foreach(r => cellArr(r.getInt(0) * width + r.getInt(1)) = r.getLong(2))
     val n = (0 until width).map(c => cellArr(c)).sum // row 0's cells partition the stream
     val threshold = math.ceil(phi * n).toLong
     val wins = (0 until (depth + 3) / 4)

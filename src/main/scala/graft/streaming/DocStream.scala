@@ -99,6 +99,43 @@ object DocStream {
     edges.write.mode(SaveMode.Overwrite).saveAsTable(clusterTable + "_pairs")
   }
 
+  /** Streaming count-min maintenance — the mergeability CM was designed
+    * for ([[graft.functions.Sketches]]: cell sums are order-insensitive,
+    * merge = cell-wise add), run as an actual stream: each micro-batch
+    * sketches ITS OWN rows (one bounded hash aggregate, ≤ depth·width
+    * cells) and lands them in a cell JOURNAL partitioned by batch id
+    * with dynamic overwrite — the same replay-idempotency contract as
+    * the corpus sink: an at-least-once re-run rewrites `sketch_batch=
+    * <id>` in place, it can never double-count. The live sketch is
+    * [[currentSketch]]'s cell-wise sum over the journal — O(batches ·
+    * depth·width) tiny rows, and because sums are batch-order-
+    * insensitive the merged cells are BIT-IDENTICAL to a batch sketch
+    * over the union of all streamed rows. Feed them to
+    * [[graft.functions.Sketches.heavyHittersFromCells]] /
+    * [[graft.functions.Sketches.countMinEstimate]] without ever
+    * re-scanning the stream. */
+  def sketchIngest(rows: DataFrame, spark: SparkSession, journalPath: String,
+      checkpoint: String, valueCol: String = "token", depth: Int = 4,
+      width: Int = 1024): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.Sketches.countMinSketch(batch, valueCol, depth, width)
+          .withColumn("sketch_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sketch_batch")
+          .parquet(journalPath)
+        ()
+      }
+      .start()
+
+  /** The journal's merged (r, c, cnt) cells — the sketch over every row
+    * streamed so far. */
+  def currentSketch(spark: SparkSession, journalPath: String): DataFrame =
+    spark.read.parquet(journalPath)
+      .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
   /** Bucket count an existing table was created with (None if the table
     * does not exist yet) — appends must use THIS, not the stream's own
     * setting, or saveAsTable rejects the mismatched spec. */

@@ -278,4 +278,46 @@ class DocStreamSpec extends AnyFunSuite {
       assert(rows(2L) == bodyB, s"boilerplate must be cut: ${rows(2L)}")
     } finally q.stop()
   }
+
+  test("streaming sketch journal merges to the exact batch sketch; " +
+    "heavy hitters agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-sketchstream")
+    val journal = base.resolve("cells").toString
+    val ckpt = base.resolve("ckpt").toString
+    import org.apache.spark.sql.functions.col
+
+    val b1 = Seq.fill(30)("hot") ++ (0 until 20).map(i => s"t$i")
+    val b2 = Seq.fill(25)("hot") ++ Seq.fill(12)("warm") ++ (0 until 20).map(i => s"u$i")
+    val b3 = Seq.fill(15)("warm") ++ (0 until 10).map(i => s"v$i")
+
+    val input = MemoryStream[String]
+    val q = DocStream.sketchIngest(input.toDF().toDF("token"), spark,
+      journal, ckpt, valueCol = "token", depth = 4, width = 64)
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val all = (b1 ++ b2 ++ b3).toDF("token")
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("CAST(r AS INT)", "CAST(c AS INT)", "CAST(cnt AS BIGINT)")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // cell-wise sums are batch-insensitive: streamed journal ≡ one-shot sketch
+    val streamed = DocStream.currentSketch(spark, journal)
+    assert(cellSet(streamed) ==
+      cellSet(graft.functions.Sketches.countMinSketch(all, "token", 4, 64)))
+    // journal layout: one partition per micro-batch (replay overwrites in place)
+    val batches = spark.read.parquet(journal)
+      .selectExpr("CAST(sketch_batch AS BIGINT)").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(0L, 1L, 2L), batches.toString)
+    // heavy hitters from the STREAMED cells = inline-sketch heavy hitters
+    def hh(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromStream = graft.functions.Sketches.heavyHittersFromCells(
+      streamed, all, "token", phi = 0.1, depth = 4, width = 64)
+    assert(hh(fromStream) ==
+      hh(graft.functions.Sketches.heavyHitters(all, "token", 0.1, 4, 64)))
+    assert(hh(fromStream).map(_._1) == Set("hot", "warm"))
+  }
 }
