@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Record linkage / entity resolution over STRUCTURED records — fuzzy
+  * match on a name-like field, made tractable by BLOCKING (Fellegi–
+  * Sunter style candidate generation): records only ever compare within
+  * a block (equality on cheap discriminating fields), so the pair space
+  * is Σ|block|² instead of N² — the same never-all-pairs discipline as
+  * the LSH dedup family, on relational keys instead of content hashes.
+  *
+  * Plan shape: one aggregate counts block sizes, one equi-join keeps
+  * records in admissible blocks, one self-equi-join ON THE BLOCK KEY
+  * (hash join, AQE-splittable) generates candidates, and the edit-
+  * distance filter runs inside the join's codegen stage (Spark's
+  * `levenshtein` — classic DP, engine-portable). A pathological block
+  * (everyone in one city) would still be quadratic, so blocks larger
+  * than `maxBlock` are EXCLUDED from matching — the cap that bounds
+  * worst-case work by maxBlock² per block. Per the no-silent-caps rule
+  * the dropped blocks are first-class output: [[oversizedBlocks]] is
+  * the monitoring side of the same contract (re-block offenders on a
+  * finer key rather than raising the cap).
+  */
+object Linkage {
+
+  /** Candidate pairs (id_a < id_b, dist ≤ maxDist) within admissible
+    * blocks. */
+  def blockedFuzzyPairs(records: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int = 2,
+      maxBlock: Long = 1000L): DataFrame = {
+    require(blockCols.nonEmpty && maxDist >= 0 && maxBlock >= 2)
+    val bc = blockCols.map(col)
+    val admissible = records
+      .groupBy(bc: _*).agg(count(lit(1)).as("graft_bn"))
+      .filter(col("graft_bn") <= maxBlock)
+      .select(bc: _*)
+    val kept = records.join(admissible, blockCols)
+    val a = kept.select(bc :+ col(idCol).as("id_a") :+ col(nameCol).as("graft_na"): _*)
+    val b = kept.select(bc :+ col(idCol).as("id_b") :+ col(nameCol).as("graft_nb"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("graft_na"), col("graft_nb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Blocks the cap excluded from matching, with their sizes — route
+    * these to finer re-blocking, never silently lose them. */
+  def oversizedBlocks(records: DataFrame, blockCols: Seq[String],
+      maxBlock: Long = 1000L): DataFrame =
+    records.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") > maxBlock)
+
+  /** Customer-name linkage blocked on (nation, segment), edit distance
+    * ≤ 2. */
+  def qErBlockedPairs(spark: SparkSession, dir: String): DataFrame =
+    blockedFuzzyPairs(Tables.customer(spark, dir), "c_custkey", "c_name",
+      Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
+      .orderBy("id_a", "id_b", "dist")
+}

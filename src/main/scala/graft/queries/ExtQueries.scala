@@ -78,6 +78,7 @@ object ExtQueries {
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
+    "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1929,6 +1930,21 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
     },
+
+    // Mirrors Linkage.qErBlockedPairs: admissible blocks (≤ 1000
+    // members) on (nation, segment), pairwise levenshtein ≤ 2 within
+    // block — both engines implement classic edit-distance DP.
+    "er_blocked_pairs" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+        |bl AS (SELECT c_nationkey, c_mktsegment FROM c
+        |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cb AS (SELECT c.* FROM c JOIN bl USING (c_nationkey, c_mktsegment))
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM cb a JOIN cb b USING (c_nationkey, c_mktsegment)
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b, dist""".stripMargin,
 
     // Mirrors Scd.qScd2Customer: the four merge branches written out as
     // set algebra — unchanged carries, changed keys close (valid_to=1)

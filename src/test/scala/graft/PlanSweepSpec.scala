@@ -43,8 +43,15 @@ class PlanSweepSpec extends AnyFunSuite {
     *   - pipeline_prepare: chunk-token rows ⋈ per-doc split assignment
     *     on doc_id — BOTH sides are corpus-sized by construction (one
     *     row per chunk / per doc), so a partitioned join on doc_id is
-    *     the correct scalable shape, not a missed broadcast. */
-  private val allowSortMerge: Set[String] = Set("events_drift", "pipeline_prepare")
+    *     the correct scalable shape, not a missed broadcast.
+    *   - storage_scd2: the SCD2 merge's FULL OUTER join of the current
+    *     dimension slice vs the update batch on the business key —
+    *     full-outer cannot broadcast either side, and at scale both
+    *     sides are key-cardinality frames, so a partitioned merge join
+    *     (zero-exchange once both sides are bucketed by the key — see
+    *     Scd scaladoc) is the plan we'd want. */
+  private val allowSortMerge: Set[String] =
+    Set("events_drift", "pipeline_prepare", "storage_scd2")
 
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def recs = Seq(
+    (1L, "jon smith", "NY"), (2L, "john smith", "NY"), (3L, "jane smythe", "NY"),
+    (4L, "john smith", "LA"), // same name, different block: never compared
+    (5L, "bob jones", "NY"))
+    .toDF("id", "name", "city")
+
+  test("blocked fuzzy pairs: matches within block only, by edit distance") {
+    val pairs = Linkage.blockedFuzzyPairs(recs, "id", "name", Seq("city"),
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), s"jon/john dist 1 only: $pairs")
+    // wider tolerance admits nothing new at dist 2 (jane smythe is 4+ away)
+    val p2 = Linkage.blockedFuzzyPairs(recs, "id", "name", Seq("city"),
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 2L)))
+  }
+
+  test("block cap excludes oversized blocks and reports them") {
+    val big = (0L until 20L).map(i => (i, s"name$i", "HOT")).toDF("id", "name", "city")
+    val both = recs.unionByName(big)
+    val pairs = Linkage.blockedFuzzyPairs(both, "id", "name", Seq("city"),
+        maxDist = 1, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), "HOT block must be excluded from matching")
+    val over = Linkage.oversizedBlocks(both, Seq("city"), maxBlock = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(over.toSeq == Seq(("HOT", 20L)), "dropped block is first-class output")
+  }
+}
