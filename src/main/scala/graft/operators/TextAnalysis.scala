@@ -814,6 +814,78 @@ object TextAnalysis {
       .orderBy("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia '20
+    * restated model-free): instead of one vector per document, every
+    * TOKEN gets a subword embedding — signed feature hashing of its char
+    * 3-grams (fastText's subword idea), so "running"/"runner" land near
+    * each other and typos degrade gracefully — and a query-doc scores a
+    * candidate by Σ_{t∈q} max_{s∈d} cos(t, s): each query token finds
+    * its best counterpart, unmatched tokens contribute nothing.
+    *
+    * Engine-exact by construction: token vectors are integer-component
+    * (sum of ±1 grams), dots are integer, cosines divide identical
+    * doubles, and each max term is clamped at 0 and HALF-UP ROUNDED TO
+    * INTEGER PPM before the per-candidate sum — so the only float
+    * reduction (the sum) is over integers and partition-order cannot
+    * move a bit. Clamping also fixes the missing-pair semantics: a
+    * query token with no bucket overlap scores its true cos 0, not an
+    * accidental negative.
+    *
+    * Scale shape: token vectors are VOCAB-sized, built once; the
+    * query side (its distinct tokens, their components, the vocab-level
+    * cos table) is bounded by |query tokens| and broadcasts; the only
+    * corpus-sized frames are the (doc, token) postings scan and two hash
+    * aggregates (per-term max, per-candidate sum). Nothing doc×doc. */
+  def maxSimRetrieve(docs: DataFrame, queryPred: Column, dim: Int = 64,
+      k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " "), t => t =!= "")))
+        .as("token"))
+    val wins = graft.functions.TextExpressions.md5Windows(col("g"), "s:")
+    val tv = toks.select("token").distinct()
+      .select(col("token"),
+        explode(graft.functions.TextExpressions.charNGrams(col("token"), 3)).as("g"))
+      .select(col("token"), (element_at(wins, 1) % dim).cast("int").as("j"),
+        (element_at(wins, 2) % 2 * 2 - 1).as("sgn"))
+      .groupBy("token", "j").agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+    val n2 = tv.groupBy("token").agg(sum(col("v") * col("v")).as("n2"))
+    val qtoks = toks.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("token").as("qtok"))
+    val qtv = qtoks.select(col("qtok").as("token")).distinct()
+      .join(tv, "token")
+      .select(col("token").as("qtok"), col("j"), col("v").as("qv"))
+    val qn2 = n2.select(col("token").as("qtok"), col("n2").as("qn2"))
+    val cosT = tv.join(broadcast(qtv), "j")
+      .groupBy("qtok", "token").agg(sum(col("v") * col("qv")).as("dot"))
+      .join(broadcast(qn2), "qtok").join(n2, "token")
+      .select(col("qtok"), col("token"),
+        (col("dot") / (sqrt(col("qn2")) * sqrt(col("n2")))).as("cs"))
+    val terms = toks.withColumnRenamed("doc_id", "neighbor_id")
+      .join(cosT, "token")
+      .join(broadcast(qtoks), "qtok")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id", "qtok")
+      .agg(max(col("cs")).as("mx"))
+      .withColumn("ppm",
+        floor(greatest(col("mx"), lit(0.0)) * 1e6 + 0.5).cast("long"))
+    val scored = terms.groupBy("query_id", "neighbor_id")
+      .agg(sum(col("ppm")).as("maxsim_ppm"))
+    // per-query candidate set = docs sharing subword mass with the query
+    // — window over Q partitions; swap in the bounded-heap TopKAggregator
+    // if Q itself is corpus-scale
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("maxsim_ppm").desc, col("neighbor_id"))
+    scored.withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= k)
+      .select("query_id", "neighbor_id", "maxsim_ppm")
+  }
+
+  /** Top-3 late-interaction matches for query docs 0–4. */
+  def qMaxSim(spark: SparkSession, dir: String): DataFrame =
+    maxSimRetrieve(Tables.documents(spark, dir), col("doc_id") < 5)
+      .orderBy("query_id", "neighbor_id", "maxsim_ppm")
+
   // ---- distributed classifier training -----------------------------------
 
   /** Hashed bag-of-words features: one row per (doc, bucket) with the

@@ -102,6 +102,7 @@ object ExtQueries {
     "text_corpus_report"    -> TextAnalysis.qCorpusReport _,
     "text_novelty"          -> TextAnalysis.qNovelty _,
     "ann_text_knn"          -> TextAnalysis.qTextKnn _,
+    "ann_maxsim"            -> TextAnalysis.qMaxSim _,
     "text_perceptron"       -> TextAnalysis.qTrainPerceptron _,
     "text_bpe_stats"        -> TextAnalysis.qBpeTokenStats _,
     "dedup_spans"           -> Dedup.qDedupSpans _,
@@ -746,6 +747,50 @@ object ExtQueries {
          |  ((coalesce(n_hit, 0) * 20000 + n_exact) // (n_exact * 2)) / 10000.0 AS recall
          |FROM ex LEFT JOIN hits USING (query_id)
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
+
+    // Mirrors TextAnalysis.maxSimRetrieve: subword token vectors (signed
+    // hashed char 3-grams), vocab-level cosines, per-query-token clamped
+    // max half-up rounded to integer ppm BEFORE the candidate sum — so
+    // the only cross-row reduction over non-identical floats is a max,
+    // and both engines sum identical integers.
+    "ann_maxsim" -> {
+      def hv(win: Int) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr(h, ${win * 8} + $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> ''),
+         |gr AS (SELECT token, substr(token, i, 3) AS g
+         |  FROM (SELECT token, unnest(generate_series(1, len(token) - 2)) AS i
+         |        FROM (SELECT DISTINCT token FROM toks) WHERE len(token) >= 3)),
+         |comp AS (SELECT token, ${hv(0)} % 64 AS j, (${hv(1)} % 2) * 2 - 1 AS sgn
+         |  FROM (SELECT token, md5('s:' || g) AS h FROM gr)),
+         |tv AS (SELECT token, j, sum(sgn) AS v FROM comp GROUP BY 1, 2
+         |       HAVING sum(sgn) <> 0),
+         |n2 AS (SELECT token, sum(v * v) AS n2 FROM tv GROUP BY 1),
+         |qt AS (SELECT doc_id AS query_id, token AS qtok FROM toks WHERE doc_id < 5),
+         |qtv AS (SELECT t.token AS qtok, t.j, t.v AS qv FROM tv t
+         |        WHERE t.token IN (SELECT DISTINCT qtok FROM qt)),
+         |dots AS (SELECT a.qtok, b.token, sum(b.v * a.qv) AS dot
+         |  FROM qtv a JOIN tv b USING (j) GROUP BY 1, 2),
+         |cosT AS (SELECT d.qtok, d.token,
+         |    d.dot / (sqrt(nq.n2) * sqrt(nt.n2)) AS cs
+         |  FROM dots d JOIN n2 nq ON nq.token = d.qtok
+         |             JOIN n2 nt ON nt.token = d.token),
+         |terms AS (SELECT q.query_id, c.doc_id AS neighbor_id, q.qtok,
+         |    CAST(floor(greatest(max(ct.cs), 0) * 1000000 + 0.5) AS BIGINT) AS ppm
+         |  FROM qt q JOIN cosT ct ON ct.qtok = q.qtok
+         |            JOIN toks c ON c.token = ct.token AND c.doc_id <> q.query_id
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, neighbor_id, sum(ppm) AS maxsim_ppm
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, CAST(maxsim_ppm AS BIGINT) AS maxsim_ppm
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY maxsim_ppm DESC, neighbor_id) <= 3
+         |ORDER BY query_id, neighbor_id, maxsim_ppm""".stripMargin
+    },
 
     // Mirrors Similarity.rpRecall: the ±1 sign matrix is rebuilt from
     // the same salted md5 (first hex digit >= '8' ⇔ high bit of the

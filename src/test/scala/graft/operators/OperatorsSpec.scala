@@ -645,6 +645,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
   }
 
+  test("maxsim late interaction: exact copy saturates, near-dup beats unrelated") {
+    val out = TextAnalysis.maxSimRetrieve(docs, col("doc_id") === 0, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // doc 3 is an exact copy: every query token's best counterpart is
+    // itself (cos 1), so the score is exactly (#tokens with a nonzero
+    // subword vector) * 1e6
+    val nVec = out(3L) / 1000000L
+    assert(out(3L) == nVec * 1000000L && nVec >= 6,
+      s"copy must saturate at token-count ppm: $out")
+    // doc 1 shares 7 of 8 tokens; doc 2 shares none
+    assert(out(1L) > out.getOrElse(2L, 0L), s"near-dup must outrank unrelated: $out")
+    assert(out(3L) >= out(1L))
+  }
+
   test("column profile: one pass, exact nulls/cardinality/extremes per column") {
     val df = Seq(
       (Some(1.5), Some("b")), (Some(2.0), None),
