@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classifier-score calibration by ISOTONIC REGRESSION (pool-adjacent-
+  * violators) — turn a monotone-ish raw signal (quality score, length,
+  * model margin) into calibrated outcome rates without assuming a
+  * functional form. Chosen over Platt scaling deliberately: Platt needs
+  * `exp`, whose last-ulp behavior differs across libms, while PAV is
+  * pure rational arithmetic — pooled block means are (Σy, n) pairs
+  * compared by cross-multiplication and emitted as exact half-up ppm,
+  * so the fit is bit-reproducible in any engine.
+  *
+  * Scale shape: ONE hash aggregate collapses the corpus to per-bin
+  * (n, Σy) — the same O(bins) driver-metadata move as the adaptive
+  * quality gate and the BPE dictionary; PAV then runs on the driver
+  * over the bounded bin table (linear stack algorithm), and the fitted
+  * step function is O(bins) data any scorer can broadcast. The corpus
+  * is touched exactly once.
+  *
+  * The oracle checks PAV against isotonic regression's minimax
+  * characterization — fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+  * computed independently in SQL, so the stack algorithm is verified
+  * against the THEOREM, not against a reimplementation of itself.
+  */
+object Calibration {
+
+  /** Per-bin isotonic fit: (bin, n, pos, iso_ppm), nondecreasing in
+    * `bin`. `binCol` must be integral; `labelCol` 0/1. */
+  def isotonicCalibrate(df: DataFrame, binCol: Column,
+      labelCol: Column): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val binRows = df
+      .groupBy(binCol.cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("pos"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV: merge adjacent blocks while the left mean EXCEEDS the right
+    // (cross-multiplied BigInt compare — no division until emission)
+    final case class Block(var sy: BigInt, var n: BigInt, var bins: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    binRows.foreach { case (_, n, pos) =>
+      stack += Block(BigInt(pos), BigInt(n), 1)
+      while (stack.length >= 2 &&
+          stack(stack.length - 2).sy * stack.last.n >
+            stack.last.sy * stack(stack.length - 2).n) {
+        val r = stack.remove(stack.length - 1)
+        val l = stack.last
+        l.sy += r.sy; l.n += r.n; l.bins += r.bins
+      }
+    }
+    val ppm = stack.iterator.flatMap { b =>
+      val v = ((b.sy * 2000000 + b.n) / (b.n * 2)).toLong
+      Iterator.fill(b.bins)(v)
+    }.toSeq
+    binRows.zip(ppm).toSeq
+      .map { case ((bin, n, pos), v) => (bin, n, pos, v) }
+      .toDF("bin", "n", "pos", "iso_ppm")
+  }
+
+  /** Calibrated P(lang = en) per document-length bin — the length→
+    * label-rate curve forced monotone. */
+  def qIsotonicCalib(spark: SparkSession, dir: String): DataFrame =
+    isotonicCalibrate(Tables.documents(spark, dir),
+      expr("least(n_chars div 50, 40)"),
+      (col("lang") === "en").cast("int"))
+      .orderBy("bin", "n", "pos", "iso_ppm")
+}

@@ -79,6 +79,7 @@ object ExtQueries {
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
+    "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
@@ -1975,6 +1976,35 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
          |FROM flags GROUP BY 1 ORDER BY doc_id, n_sh, n_bloom_hit""".stripMargin
     },
+
+    // Checks Calibration.isotonicCalibrate (driver PAV) against the
+    // minimax THEOREM: fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]).
+    // Argmax/argmin pick by double mean (distinct rationals with
+    // denominators <= corpus size are far beyond double resolution),
+    // but the emitted ppm comes from the selected segment's EXACT
+    // (sum, n) pair via the same half-up integer formula as the PAV
+    // side — representation-independent, so ties are harmless.
+    "text_isotonic_calib" ->
+      """WITH d AS (SELECT least(n_chars // 50, 40) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |bins AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |         FROM d GROUP BY 1),
+        |ob AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i,
+        |       CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |       CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM bins),
+        |seg AS (SELECT j.i AS ji, k.i AS ki,
+        |    k.cp - j.cp + j.pos AS ssy, k.cn - j.cn + j.n AS sn
+        |  FROM ob j JOIN ob k ON k.i >= j.i),
+        |tri AS (SELECT i.i, i.bin, i.n, i.pos, s.ji, s.ki, s.ssy, s.sn,
+        |    CAST(s.ssy AS DOUBLE) / s.sn AS m
+        |  FROM ob i JOIN seg s ON s.ji <= i.i AND s.ki >= i.i),
+        |mn AS (SELECT i, bin, n, pos, ji, ssy, sn, m FROM tri
+        |       QUALIFY row_number() OVER (PARTITION BY i, ji ORDER BY m, ki) = 1),
+        |mx AS (SELECT i, bin, n, pos, ssy, sn FROM mn
+        |       QUALIFY row_number() OVER (PARTITION BY i ORDER BY m DESC, ji) = 1)
+        |SELECT bin, n, pos,
+        |  CAST((ssy * 2000000 + sn) // (2 * sn) AS BIGINT) AS iso_ppm
+        |FROM mx ORDER BY bin, n, pos, iso_ppm""".stripMargin,
 
     // Mirrors Linkage.qErBlockedPairs: admissible blocks (≤ 1000
     // members) on (nation, segment), pairwise levenshtein ≤ 2 within

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CalibrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def frame(spec: (Long, Int, Int)*) = // (bin, positives, negatives)
+    spec.flatMap { case (b, p, n) =>
+      Seq.fill(p)((b, 1)) ++ Seq.fill(n)((b, 0))
+    }.toDF("bin", "y")
+
+  test("PAV: single violation pools the two offending bins") {
+    // raw means 0.2, 0.6, 0.4 → bins 1,2 pool to 0.5
+    val got = Calibration.isotonicCalibrate(
+        frame((0L, 1, 4), (1L, 3, 2), (2L, 2, 3)), col("bin"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 200000L), (1L, 500000L), (2L, 500000L)))
+  }
+
+  test("PAV: cascading violations pool to one block; fit is nondecreasing") {
+    // strictly decreasing raw means → everything pools to the global mean
+    val got = Calibration.isotonicCalibrate(
+        frame((0L, 5, 5), (1L, 4, 6), (2L, 3, 7)), col("bin"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).toSeq == Seq(400000L, 400000L, 400000L))
+    // per-bin n/pos stay the ORIGINAL observations, only the fit pools
+    assert(got.map(g => (g._2, g._3)).toSeq == Seq((10L, 5L), (10L, 4L), (10L, 3L)))
+    // monotone output on an already-monotone input is untouched
+    val mono = Calibration.isotonicCalibrate(
+        frame((0L, 1, 9), (1L, 5, 5), (2L, 9, 1)), col("bin"), col("y"))
+      .collect().map(_.getLong(3))
+    assert(mono.toSeq == Seq(100000L, 500000L, 900000L))
+  }
+}
