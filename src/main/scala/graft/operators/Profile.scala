@@ -66,4 +66,43 @@ object Profile {
       numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
       strCols = Seq("o_orderstatus", "o_orderpriority"))
       .orderBy("col_name")
+
+  /** Profile DRIFT between two snapshots of the same schema — the
+    * cross-release check a dataset card pipeline runs: both snapshots
+    * profile independently (one aggregate pass each), then the long-form
+    * tables join on column name, so the output is one row per column
+    * with both snapshots' statistics side by side and integer deltas.
+    * Null-safe equality flags extreme drift without caring which side
+    * is null (an all-null column has no min). */
+  def profileDiff(before: DataFrame, after: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      columnProfile(df, numCols, strCols).select(
+        col("col_name"),
+        col("n_rows").as(s"n_rows_$tag"), col("n_null").as(s"n_null_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_num").as(s"graft_mn_$tag"), col("max_num").as(s"graft_mx_$tag"),
+        col("min_str").as(s"graft_mns_$tag"), col("max_str").as(s"graft_mxs_$tag"))
+    side(before, "a").join(side(after, "b"), "col_name")
+      .select(col("col_name"),
+        col("n_rows_a"), col("n_rows_b"),
+        (col("n_rows_b") - col("n_rows_a")).as("d_rows"),
+        col("n_null_a"), col("n_null_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("d_distinct"),
+        (!(col("graft_mn_a") <=> col("graft_mn_b")) ||
+          !(col("graft_mx_a") <=> col("graft_mx_b")) ||
+          !(col("graft_mns_a") <=> col("graft_mns_b")) ||
+          !(col("graft_mxs_a") <=> col("graft_mxs_b"))).as("extremes_changed"))
+  }
+
+  /** Drift report between the full `orders` snapshot and its open-order
+    * slice — a deterministic "next release" stand-in. */
+  def qProfileDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    profileDiff(orders, orders.filter(col("o_orderstatus") === "O"),
+      numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("col_name")
+  }
 }

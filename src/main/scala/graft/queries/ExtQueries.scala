@@ -77,6 +77,7 @@ object ExtQueries {
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
+    "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
@@ -119,6 +120,29 @@ object ExtQueries {
     "events_drift"          -> graft.operators.Anomaly.qEventDrift _,
     "events_drift_windows"  -> graft.streaming.EventStream.qDriftWindows _,
   )
+
+  /** Per-column profile of the orders schema over any relation — shared
+    * by the profile_orders and profile_diff oracles. */
+  private def ordersProfileSql(rel: String): String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+         |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM $rel""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str
+         |FROM $rel""".stripMargin
+    (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+      Seq("o_orderstatus", "o_orderpriority").map(str))
+      .mkString("\nUNION ALL\n")
+  }
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
     * first 4 hex digits of md5(salt || ':' || doc_id). */
@@ -2054,26 +2078,25 @@ object ExtQueries {
 
     // Mirrors Profile.qProfileOrders — per-column UNION ALL is the
     // oracle's (multi-pass) formulation of the one-pass Expand profile.
-    "profile_orders" -> {
-      def num(c: String) =
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  count(*) - count($c) AS n_null,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
-           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
-           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-           |FROM orders""".stripMargin
-      def str(c: String) =
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  count(*) - count($c) AS n_null,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
-           |  min($c) AS min_str, max($c) AS max_str
-           |FROM orders""".stripMargin
-      (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
-        Seq("o_orderstatus", "o_orderpriority").map(str))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    },
+    "profile_orders" -> (ordersProfileSql("orders") + "\nORDER BY col_name"),
+
+    // Mirrors Profile.qProfileDiff: two independent profiles joined on
+    // column name; extreme drift via null-safe inequality.
+    "profile_diff" ->
+      s"""WITH pa AS (${ordersProfileSql("orders")}),
+         |pb AS (${ordersProfileSql("(SELECT * FROM orders WHERE o_orderstatus = 'O')")})
+         |SELECT col_name,
+         |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+         |  b.n_rows - a.n_rows AS d_rows,
+         |  a.n_null AS n_null_a, b.n_null AS n_null_b,
+         |  a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+         |  b.n_distinct - a.n_distinct AS d_distinct,
+         |  (a.min_num IS DISTINCT FROM b.min_num
+         |   OR a.max_num IS DISTINCT FROM b.max_num
+         |   OR a.min_str IS DISTINCT FROM b.min_str
+         |   OR a.max_str IS DISTINCT FROM b.max_str) AS extremes_changed
+         |FROM pa a JOIN pb b USING (col_name)
+         |ORDER BY col_name""".stripMargin,
 
     // Mirrors TextAnalysis.qGrepIndexed: the q-gram postings
     // intersection can only ever over-select (a doc containing the

@@ -674,6 +674,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.getString(6) == "a" && s.getString(7) == "b" && s.isNullAt(4))
   }
 
+  test("profile diff: row/distinct deltas and null-safe extreme drift") {
+    val before = Seq((1.0, Some("a")), (2.0, Some("b")), (9.0, None))
+      .toDF("x", "s")
+    val after = before.filter(col("x") < 9.0)
+    val d = Profile.profileDiff(before, after, Seq("x"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = d("x")
+    assert(x.getLong(3) == -1L)                    // d_rows
+    assert(x.getBoolean(9), "max_num 9.0 → 2.0 must flag")
+    val s = d("s")
+    assert(!s.getBoolean(9), "string extremes a/b unchanged")
+    assert(s.getLong(4) == 1 && s.getLong(5) == 0) // null row dropped
+  }
+
   test("indexed grep: postings intersection finds exactly the contains() set") {
     val d = docs
     val ix = TextAnalysis.gramIndex(d, q = 4)
