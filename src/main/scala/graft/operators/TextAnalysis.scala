@@ -814,6 +814,42 @@ object TextAnalysis {
       .orderBy("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Collocation mining — which adjacent word pairs are STICKY (occur
+    * together far more than their unigram frequencies predict): the
+    * association measure is PMI's argument restated log-free as integer
+    * LIFT, `lift_ppm = 10⁶ · N · c(ab) / (c(a)·c(b))` half-down via
+    * integer division — 10⁶ means independence, above it attraction —
+    * because ranking by lift IS ranking by PMI (log is monotone) and
+    * integer arithmetic is engine-exact where log is not. The
+    * collocation list feeds tokenizer curricula (merge sticky pairs
+    * first) and boilerplate detection (template phrases have extreme
+    * lift).
+    *
+    * One bigram scan + two unigram-count broadcasts; `minCount` bounds
+    * the output (and the lift numerator: 10⁶·N·c(ab) must fit a long —
+    * at petabyte N, widen to DECIMAL(38,0) like the DSIR ratio table).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val grams = docs.select(
+      explode(graft.functions.TextExpressions.wordNGrams(col("text"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w_a"),
+        split(col("g"), " ").getItem(1).as("w_b"))
+    val pairCnt = grams.groupBy("w_a", "w_b").agg(count(lit(1)).as("cab"))
+    val leftCnt = grams.groupBy("w_a").agg(count(lit(1)).as("ca"))
+    val rightCnt = grams.groupBy("w_b").agg(count(lit(1)).as("cb"))
+    val n = pairCnt.select(sum("cab").as("graft_n"))
+    pairCnt.filter(col("cab") >= minCount)
+      .join(broadcast(leftCnt), "w_a")
+      .join(broadcast(rightCnt), "w_b")
+      .join(broadcast(n))
+      .select(col("w_a"), col("w_b"), col("cab"),
+        expr("(1000000 * graft_n * cab) div (ca * cb)").as("lift_ppm"))
+  }
+
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.documents(spark, dir), minCount = 5L)
+      .orderBy("w_a", "w_b", "cab", "lift_ppm")
+
   /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia '20
     * restated model-free): instead of one vector per document, every
     * TOKEN gets a subword embedding — signed feature hashing of its char

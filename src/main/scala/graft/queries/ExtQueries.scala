@@ -75,6 +75,7 @@ object ExtQueries {
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
+    "text_collocations"     -> TextAnalysis.qCollocations _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
@@ -2097,6 +2098,25 @@ object ExtQueries {
          |   OR a.max_str IS DISTINCT FROM b.max_str) AS extremes_changed
          |FROM pa a JOIN pb b USING (col_name)
          |ORDER BY col_name""".stripMargin,
+
+    // Mirrors TextAnalysis.collocations: integer lift (PMI's argument,
+    // log-free) over word bigrams — unigram counts are the bigram
+    // frame's own left/right marginals, N its total.
+    "text_collocations" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |g AS (SELECT t[i] AS w_a, t[i+1] AS w_b
+        |      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |            FROM toks WHERE len(t) >= 2)),
+        |pc AS (SELECT w_a, w_b, count(*) AS cab FROM g GROUP BY 1, 2),
+        |lc AS (SELECT w_a, count(*) AS ca FROM g GROUP BY 1),
+        |rc AS (SELECT w_b, count(*) AS cb FROM g GROUP BY 1),
+        |n AS (SELECT CAST(sum(cab) AS BIGINT) AS nn FROM pc)
+        |SELECT w_a, w_b, cab,
+        |  CAST((1000000 * nn * cab) // (ca * cb) AS BIGINT) AS lift_ppm
+        |FROM pc JOIN lc USING (w_a) JOIN rc USING (w_b) CROSS JOIN n
+        |WHERE cab >= 5
+        |ORDER BY w_a, w_b, cab, lift_ppm""".stripMargin,
 
     // Mirrors TextAnalysis.qGrepIndexed: the q-gram postings
     // intersection can only ever over-select (a doc containing the

@@ -645,6 +645,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
   }
 
+  test("collocations: exclusive pair lifts 4x above a freely-mixing pair") {
+    // x/y mix in all four orders; p/q occur ONLY together
+    val rows = (Seq.fill(5)("x y") ++ Seq.fill(5)("y x") ++
+      Seq.fill(5)("x x") ++ Seq.fill(5)("y y") ++ Seq.fill(5)("p q"))
+      .zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.collocations(rows, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // N=25; (p,q): 1e6·25·5/(5·5) = 5e6; (x,y): 1e6·25·5/(10·10) = 1.25e6
+    assert(got(("p", "q")) == 5000000L, got.toString)
+    assert(got(("x", "y")) == 1250000L, got.toString)
+    assert(got(("p", "q")) > 3 * got(("x", "y")))
+  }
+
   test("maxsim late interaction: exact copy saturates, near-dup beats unrelated") {
     val out = TextAnalysis.maxSimRetrieve(docs, col("doc_id") === 0, k = 3)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap

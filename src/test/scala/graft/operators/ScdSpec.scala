@@ -39,6 +39,47 @@ class ScdSpec extends AnyFunSuite {
       s"contiguous version chain, got $v1")
   }
 
+  test("scd2 property: random batch sequences match an in-memory replay model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genBatch: Gen[List[(Long, String, Double)]] = Gen.listOf(for {
+      k <- Gen.choose(1L, 6L)
+      seg <- Gen.oneOf("A", "B", "C")
+      bal <- Gen.oneOf(1.0, 2.0)
+    } yield (k, seg, bal)).map(_.groupBy(_._1).values.map(_.head).toList)
+    val genCase: Gen[List[List[(Long, String, Double)]]] =
+      Gen.listOfN(4, genBatch)
+    (1 to 8).foreach { seed =>
+      val batches = genCase(Gen.Parameters.default.withSize(30), Seed(seed.toLong))
+        .getOrElse(sys.error("generator exhausted"))
+      // replay model: observed state per key + closed version history
+      var state = Map.empty[Long, (String, Double, Long)] // seg, bal, from
+      var closed = List.empty[(Long, String, Double, Long, Long)]
+      var dim = Scd.scd2Init(snap(), batch = 0L)
+      batches.zipWithIndex.foreach { case (b, i0) =>
+        val batch = i0 + 1L
+        dim = Scd.scd2Merge(dim, snap(b: _*), "k", Seq("seg", "bal"), batch)
+          .localCheckpoint() // chain stays executable without lineage blowup
+        b.foreach { case (k, seg, bal) =>
+          state.get(k) match {
+            case Some((s0, b0, f0)) if (s0, b0) != (seg, bal) =>
+              closed ::= ((k, s0, b0, f0, batch))
+              state += k -> ((seg, bal, batch))
+            case Some(_) => ()
+            case None => state += k -> ((seg, bal, batch))
+          }
+        }
+      }
+      val got = dim.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSet
+      val want =
+        state.map { case (k, (s, b, f)) => (k, s, b, f, -1L, true) }.toSet ++
+          closed.map { case (k, s, b, f, t) => (k, s, b, f, t, false) }.toSet
+      assert(got == want, s"seed $seed: \ngot  $got\nwant $want")
+    }
+  }
+
   test("scd2: null tracked values compare as values, not SQL unknowns") {
     val dim0 = Scd.scd2Init(
       Seq((1L, Option.empty[String], 1.0), (2L, Some("x"), 2.0)).toDF("k", "seg", "bal"))
