@@ -201,6 +201,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Persist [[gramIndex]] bucketed + sorted by gram: probes against the
+    * table are BUCKET-PRUNED — `grepIndexed`'s gram-literal filter reads
+    * only the buckets the pattern's grams hash to (SelectedBucketsCount
+    * in the scan, spec-locked in SinksSpec), so a search touches
+    * O(pattern grams / numBuckets) of the index and none of the text.
+    * Build once, probe per query — the same persisted-index contract as
+    * the signature/gram/PQ-code indexes. */
+  def writeSearchIndex(docs: DataFrame, tableName: String, q: Int = 4,
+      numBuckets: Int = 16): Unit =
+    graft.sources.Sinks.writeBucketed(gramIndex(docs, q), tableName,
+      bucketCols = Seq("gram"), numBuckets = numBuckets, sortCols = Seq("gram"))
+
   /** Document fingerprint: the minimum md5 over the document's word
     * 3-gram shingles (a winnowing-style representative hash — robust to
     * reordering of surrounding content, unlike md5(text)). Documents too

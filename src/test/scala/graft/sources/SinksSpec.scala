@@ -214,4 +214,29 @@ class SinksSpec extends AnyFunSuite {
         |GROUP BY c_mktsegment""".stripMargin).count()
     assert(n > 0)
   }
+
+  test("persisted grep index: probe is bucket-pruned and result-invisible") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.TextAnalysis.writeSearchIndex(docs, "grep_ix",
+      q = 4, numBuckets = 64)
+    // Spark's auto-bucketed-scan drops the bucketed layout when no
+    // operator consumes the distribution — which also forfeits bucket
+    // PRUNING, the property this index exists for. Pin it on for the
+    // probe (the production conf for a search-index table).
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // single-gram pattern: 1 of 64 buckets can hold its postings
+      val out = graft.operators.TextAnalysis.grepIndexed(
+        spark.table("grep_ix"), docs, "sort", q = 4)
+      val want = docs
+        .filter(org.apache.spark.sql.functions.col("text").contains("sort"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.collect().map(_.getLong(0)).toSet == want)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 64"), plan.take(2000))
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
 }
