@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Scd
+
+/** Streaming SCD2 dimension maintenance — [[graft.operators.Scd]] run
+  * continuously: each micro-batch of observed records folds into a
+  * persisted type-2 dimension table, so the stream's consumers always
+  * see full version history with exactly one current row per key.
+  *
+  * Correctness under streaming's failure model:
+  *   - REPLAY (foreachBatch is at-least-once): re-running a batch
+  *     against the already-merged dimension is a NO-OP by construction —
+  *     every replayed observation now equals the current state, so the
+  *     merge takes the carry branch everywhere (same batch id ⇒ even
+  *     the version stamps are identical). No replay partitioning tricks
+  *     needed; idempotency falls out of SCD2's change detection.
+  *   - PUBLISH: staging table + catalog rename (the cluster-mapping
+  *     contract): a crash mid-staging-write leaves the old dimension
+  *     authoritative; a crash between DROP and RENAME leaves a COMPLETE
+  *     staging (the drop only runs after the staging write succeeded)
+  *     which the next batch detects and adopts before merging.
+  *
+  * Batches may observe a key more than once; observations collapse to
+  * the struct-max of the tracked columns — deterministic under any
+  * partitioning. Sources with an event-time column should pre-reduce
+  * to last-by-time instead.
+  */
+object DimStream {
+
+  def dimIngest(updates: DataFrame, spark: SparkSession, dimTable: String,
+      key: String, tracked: Seq[String], checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val staging = dimTable + "_staging"
+        if (!spark.catalog.tableExists(dimTable) &&
+            spark.catalog.tableExists(staging))
+          // interrupted publish: staging is complete, adopt it
+          spark.sql(s"ALTER TABLE $staging RENAME TO $dimTable")
+        val obs = batch
+          .groupBy(col(key))
+          .agg(max(struct(tracked.map(col): _*)).as("graft_s"))
+          .select(col(key) +: tracked.map(t => col(s"graft_s.$t").as(t)): _*)
+        val dim =
+          if (spark.catalog.tableExists(dimTable)) {
+            spark.catalog.refreshTable(dimTable)
+            spark.table(dimTable)
+          } else Scd.scd2Init(obs.limit(0))
+        val merged = Scd.scd2Merge(dim, obs, key, tracked, batchId + 1)
+        merged.localCheckpoint()
+          .write.mode(SaveMode.Overwrite).saveAsTable(staging)
+        spark.sql(s"DROP TABLE IF EXISTS $dimTable")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $dimTable")
+        ()
+      }
+      .start()
+}
