@@ -268,4 +268,40 @@ class PlanSpec extends AnyFunSuite {
     // the whole iteration is one window re-cluster + the O(dim) rollup
     assert(r.shuffles <= 2, r.planString)
   }
+
+  test("heavy hitters: the CM prefilter is a zero-join narrow projection " +
+      "before the only exchange") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+    val r = PlanAudit.audit(
+      graft.functions.Sketches.heavyHitters(toks, "t", phi = 0.01))
+    // pass 2 has exactly ONE exchange (the exact aggregation); the
+    // estimate probe contributes no join and no extra shuffle
+    assert(r.shuffles == 1, r.planString)
+    assert(r.broadcastJoins == 0 && r.sortMergeJoins == 0, r.planString)
+  }
+
+  test("scd2 merge: history carries without exchange; one keyed join") {
+    import org.apache.spark.sql.functions._
+    val r = PlanAudit.audit(
+      graft.operators.Scd.qScd2Customer(spark, sf))
+    // the full-outer dimension merge is the only join in the plan
+    assert(r.broadcastJoins + r.sortMergeJoins == 1, r.planString)
+    assert(!r.planString.contains("CartesianProduct"), r.planString)
+    // customer scans: current slice + update cohorts — every scan prunes
+    // to the three business columns
+    assert(r.scans.nonEmpty &&
+      r.scans.forall(_.readColumns.toSet
+        .subsetOf(Set("c_custkey", "c_mktsegment", "c_acctbal"))), r.scans)
+  }
+
+  test("maxsim: query-side frames broadcast; candidate side never all-pairs") {
+    import org.apache.spark.sql.functions._
+    val r = PlanAudit.audit(graft.operators.TextAnalysis.maxSimRetrieve(
+      Tables.documents(spark, sf), col("doc_id") < 5))
+    assert(!r.planString.contains("CartesianProduct"), r.planString)
+    assert(r.sortMergeJoins == 0, r.planString)
+    assert(r.broadcastJoins >= 3, r.planString) // qtv, qn2, qtoks at least
+  }
 }
