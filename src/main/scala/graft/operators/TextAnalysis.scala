@@ -826,6 +826,81 @@ object TextAnalysis {
       .orderBy("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Gopher-style document quality RULES (Rae et al. '21 §A1.1, the
+    * production web-filter checklist) — each rule emitted as its own
+    * column so downstream mixing can weight rules instead of consuming
+    * one opaque boolean: word-count bounds, mean word length bounds,
+    * symbol ratio, and minimum distinct-stopword hits. All integer/ppm
+    * arithmetic over one narrow projection — no shuffle, no UDF; the
+    * rule thresholds are plan literals. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L, minMeanLen: Long = 3L, maxMeanLen: Long = 10L,
+      maxSymbolPpm: Long = 100000L,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with"), minStopHits: Int = 2): DataFrame = {
+    val words = filter(split(col("text"), " "), t => t =!= "")
+    val wc = size(words).cast("long")
+    val chars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanPpm = expr("(graft_chars * 1000000) div graft_wc")
+    val symbols =
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+    val stopArr = typedLit(stopwords)
+    docs.select(col("doc_id"), col("text"), wc.as("graft_wc"),
+        chars.as("graft_chars"), symbols.as("graft_sym"))
+      .filter(col("graft_wc") > 0)
+      .select(col("doc_id"), col("graft_wc").as("word_count"),
+        meanPpm.as("mean_word_len_ppm"),
+        expr("(graft_sym * 1000000) div length(text)").as("symbol_ppm"),
+        size(array_intersect(stopArr, split(col("text"), " ")))
+          .cast("long").as("stop_hits"))
+      .withColumn("passes",
+        col("word_count").between(minWords, maxWords) &&
+          col("mean_word_len_ppm").between(minMeanLen * 1000000L,
+            maxMeanLen * 1000000L) &&
+          col("symbol_ppm") <= maxSymbolPpm &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+      .orderBy("doc_id", "word_count", "mean_word_len_ppm", "symbol_ppm",
+        "stop_hits", "passes")
+
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb "too
+    * repetitive / too random" tell): per document, the DEFLATE length
+    * over the raw UTF-8 length in exact ppm. Highly repetitive docs
+    * (generation loops, boilerplate) compress far below normal prose;
+    * near-random strings (minified JS, base64 blobs) barely compress at
+    * all — both tails are filter targets. A narrow one-in-one-out
+    * mapPartitions (DEFLATE is a byte-stream walk, the codec-family
+    * case); level pinned so results are stable for a given zlib. No SQL
+    * oracle exists for DEFLATE, so the contract is spec-locked by
+    * landmark ordering, not hash-matched. */
+  def compressionQuality(docs: DataFrame, level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text")
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var gz = 0L
+          while (!defl.finished()) gz += defl.deflate(buf)
+          val ratio = if (raw.length == 0) 1000000L
+            else (gz * 1000000L + raw.length / 2) / raw.length
+          (id, raw.length.toLong, gz, ratio)
+        }
+      }
+      .toDF("doc_id", "raw_len", "deflate_len", "ratio_ppm")
+  }
+
   /** Collocation mining — which adjacent word pairs are STICKY (occur
     * together far more than their unigram frequencies predict): the
     * association measure is PMI's argument restated log-free as integer

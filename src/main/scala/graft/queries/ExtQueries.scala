@@ -76,6 +76,7 @@ object ExtQueries {
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_collocations"     -> TextAnalysis.qCollocations _,
+    "text_gopher_rules"     -> TextAnalysis.qGopherRules _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
@@ -2098,6 +2099,30 @@ object ExtQueries {
          |   OR a.max_str IS DISTINCT FROM b.max_str) AS extremes_changed
          |FROM pa a JOIN pb b USING (col_name)
          |ORDER BY col_name""".stripMargin,
+
+    // Mirrors TextAnalysis.gopherRules: each Gopher filter rule as its
+    // own integer/ppm column, conjunction in `passes`.
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, len(w) AS word_count,
+        |    list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS chars,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS sym,
+        |    len(list_intersect(['the','be','to','of','and','that','have','with'],
+        |                       string_split(text, ' '))) AS stop_hits
+        |  FROM d WHERE len(w) > 0)
+        |SELECT doc_id, CAST(word_count AS BIGINT) AS word_count,
+        |  CAST((chars * 1000000) // word_count AS BIGINT) AS mean_word_len_ppm,
+        |  CAST((sym * 1000000) // length(text) AS BIGINT) AS symbol_ppm,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (word_count BETWEEN 50 AND 100000
+        |   AND (chars * 1000000) // word_count BETWEEN 3000000 AND 10000000
+        |   AND (sym * 1000000) // length(text) <= 100000
+        |   AND stop_hits >= 2) AS passes
+        |FROM m
+        |ORDER BY doc_id, word_count, mean_word_len_ppm, symbol_ppm,
+        |  stop_hits, passes""".stripMargin,
 
     // Mirrors TextAnalysis.collocations: integer lift (PMI's argument,
     // log-free) over word bigrams — unigram counts are the bigram

@@ -645,6 +645,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == 1000000L / 6, s"doc 1 near-dup: $out")
   }
 
+  test("gopher rules: each rule trips on its own pathology") {
+    val longText = (1 to 60).map(_ => "the data with that").mkString(" ")
+    val rows = Seq(
+      (0L, longText),                                // passes everything
+      (1L, "too short to pass the word count"),      // < 50 words
+      (2L, ("#$%! " * 60).trim),                     // symbol-heavy, no stopwords
+      (3L, (1 to 60).map(_ => "unstoppableword").mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.gopherRules(rows)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getBoolean(5), s"well-formed doc passes: ${got(0L)}")
+    assert(!got(1L).getBoolean(5) && got(1L).getLong(1) < 50)
+    assert(!got(2L).getBoolean(5) && got(2L).getLong(3) > 100000,
+      "symbol ratio must trip")
+    assert(!got(3L).getBoolean(5) && got(3L).getLong(4) == 0,
+      "no stopwords and 15-char mean word length must trip")
+  }
+
+  test("compression quality: repetitive text compresses far below varied text") {
+    val rep = (1 to 200).map(_ => "spam").mkString(" ")
+    val varied = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
+    val rows = Seq((0L, rep), (1L, varied)).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionQuality(rows)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(0L) < got(1L) / 3,
+      s"loop-like text must compress several times better: $got")
+    assert(got.values.forall(v => v > 0 && v < 1000000L))
+  }
+
   test("collocations: exclusive pair lifts 4x above a freely-mixing pair") {
     // x/y mix in all four orders; p/q occur ONLY together
     val rows = (Seq.fill(5)("x y") ++ Seq.fill(5)("y x") ++
