@@ -442,6 +442,35 @@ object Dedup {
     nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5)
       .orderBy("doc_a", "doc_b", "jaccard")
 
+  /** RECALL GATE for the MinHash-LSH candidate generator — the dedup
+    * family's analog of the ANN recall gates: of the pairs whose EXACT
+    * Jaccard clears `minJaccard` (ground truth, all-pairs over a
+    * `docLimit` slice — oracle-shaped, like [[ngramJaccardPairs]]),
+    * what fraction appears among the LSH candidates? The banded-LSH
+    * miss probability (1−s^r)^b is theory; this measures it on the
+    * corpus the pipeline actually runs, so band/hash settings are tuned
+    * against data, not formulas. One row: (n_true, n_caught, recall). */
+  def lshRecall(docs: DataFrame, docLimit: Long, minJaccard: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    val truth = ngramJaccardPairs(docs, shingleK, docLimit)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val cands = minHashLshPairs(docs.filter(col("doc_id") < docLimit),
+        numHashes, bands, shingleK)
+      .select("doc_a", "doc_b").distinct()
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_caught"),
+        (expr("(n_caught * 20000 + n_true) div (n_true * 2)") / 10000.0)
+          .as("recall"))
+  }
+
+  def qLshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecall(Tables.documents(spark, dir), docLimit = 300L)
+      .orderBy("n_true", "n_caught", "recall")
+
   /** Cross-source duplication matrix: verified near-dup pairs rolled up
     * by the (unordered) source pair — the provenance-leakage report that
     * tells a corpus curator WHICH crawls/feeds mirror each other (the

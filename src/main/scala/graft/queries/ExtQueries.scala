@@ -21,6 +21,7 @@ object ExtQueries {
     "dedup_simhash_pairs"   -> Dedup.qSimHashPairs _,
     "dedup_ngram_jaccard"   -> Dedup.qNgramJaccard _,
     "dedup_neardup_verified" -> Dedup.qNearDupVerified _,
+    "dedup_lsh_recall"      -> Dedup.qLshRecall _,
     "dedup_source_matrix"   -> Dedup.qSourceDupMatrix _,
     "dedup_containment"     -> Dedup.qContainment _,
     "dedup_embedding"       -> Dedup.qEmbeddingNearDup _,
@@ -1214,6 +1215,32 @@ object ExtQueries {
 
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+
+    // Mirrors Dedup.lshRecall: exact-Jaccard ground truth over the
+    // doc_id < 300 slice vs the banded-LSH candidate set — the measured
+    // (1−s^r)^b, as a gate.
+    "dedup_lsh_recall" ->
+      s"""WITH ${minhashCtes("(SELECT * FROM documents WHERE doc_id < 300)")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+         |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ((n * 20000 + uni) // (uni * 2)) / 10000.0 AS jacc
+         |    FROM (SELECT doc_a, doc_b, n, sa.sz + sb.sz - n AS uni
+         |          FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |                     JOIN sz sb ON sb.doc_id = doc_b))
+         |  WHERE jacc >= 0.5),
+         |nt AS (SELECT count(*) AS n_true FROM truth),
+         |nc AS (SELECT count(*) AS n_caught
+         |       FROM truth JOIN cand USING (doc_a, doc_b))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_caught AS BIGINT) AS n_caught,
+         |  ((n_caught * 20000 + n_true) // (n_true * 2)) / 10000.0 AS recall
+         |FROM nt, nc ORDER BY n_true, n_caught, recall""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""${shingleCte(" WHERE doc_id < 300")},
