@@ -156,4 +156,30 @@ object Pipeline {
         count(lit(1)).as("n_chunks"),
         sum(col("n_chunk_tokens")).as("n_tokens"))
       .orderBy("lang", "split", "n_docs", "n_chunks", "n_tokens")
+
+  /** Split-LEAKAGE audit (the Lee et al. '22 finding as an operator):
+    * verified near-dup pairs whose members land on OPPOSITE sides of the
+    * deterministic train/test split — each row is an eval example whose
+    * near-copy sits in training. The fix is the cluster-stable split
+    * [[curate]] already uses; this measures what a naive id-hash split
+    * would leak, so the pipeline can PROVE the stable split is needed
+    * rather than assert it. Work = the near-dup pair frame (LSH-bounded)
+    * plus two broadcast-sized split joins. */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
+      trainPct: Int = 90): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs, minJaccard)
+    val split = TextAnalysis.hashSplit(docs, trainPct = trainPct)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b", "jaccard")
 }

@@ -96,6 +96,37 @@ object Profile {
           !(col("graft_mxs_a") <=> col("graft_mxs_b"))).as("extremes_changed"))
   }
 
+  /** Referential-integrity report for one child→parent relation: row
+    * count, orphaned-FK count (child keys with no parent — counted via
+    * LEFT ANTI join, the join Catalyst plans as a broadcast/hash
+    * semi-difference), null-FK count, and the orphan rate in exact ppm.
+    * Emitted one-row long-form with the relation named, so reports for
+    * every edge of a schema union into one integrity table — the
+    * join-health block of a dataset card. */
+  def fkIntegrity(child: DataFrame, parent: DataFrame, fk: String,
+      pk: String, relation: String): DataFrame = {
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+    child.agg(count(lit(1)).as("n_child"),
+        count(when(col(fk).isNull, 1)).as("n_null_fk"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(relation).as("relation"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"),
+        expr("(n_orphans * 2000000 + n_child) div (n_child * 2)")
+          .as("orphan_ppm"))
+  }
+
+  /** Integrity of the two fact→dimension edges in the corpus schema. */
+  def qFkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = fkIntegrity(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), "l_orderkey", "o_orderkey",
+      "lineitem->orders")
+    val oc = fkIntegrity(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), "o_custkey", "c_custkey",
+      "orders->customer")
+    li.unionByName(oc).orderBy("relation")
+  }
+
   /** Drift report between the full `orders` snapshot and its open-order
     * slice — a deterministic "next release" stand-in. */
   def qProfileDiff(spark: SparkSession, dir: String): DataFrame = {

@@ -64,6 +64,7 @@ object ExtQueries {
     "pipeline_curate"       -> Pipeline.qCurate _,
     "pipeline_prepare"      -> Pipeline.qPrepare _,
     "pipeline_funnel"       -> Pipeline.qFunnelReport _,
+    "pipeline_split_leakage" -> Pipeline.qSplitLeakage _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -81,6 +82,7 @@ object ExtQueries {
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
+    "profile_fk_integrity"  -> graft.operators.Profile.qFkIntegrity _,
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
@@ -689,6 +691,41 @@ object ExtQueries {
          |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
          |             JOIN sz sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    // Mirrors Pipeline.splitLeakage: the verified near-dup pairs whose
+    // members hash to opposite sides of the naive id-hash split.
+    "pipeline_split_leakage" -> {
+      val hx = (1 to 4).map { p =>
+        val mult = 1L << (4 * (4 - p))
+        s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |cd AS (SELECT doc_a AS doc_id FROM cand
+         |       UNION SELECT doc_b FROM cand),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c
+         |  JOIN csh a ON a.doc_id = c.doc_a
+         |  JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, n / (sa.sz + sb.sz - n) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ($hx) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, jaccard
+         |FROM vp JOIN sp sa ON sa.doc_id = vp.doc_a
+         |        JOIN sp sb ON sb.doc_id = vp.doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY doc_a, doc_b, jaccard""".stripMargin
+    },
 
     // Mirrors Dedup.containmentPairs: rare-shingle blocking (df in
     // [2, 20]) proposes pairs, exact |A∩B| / min(|A|,|B|) verifies;
@@ -2108,6 +2145,28 @@ object ExtQueries {
     // Mirrors Profile.qProfileOrders — per-column UNION ALL is the
     // oracle's (multi-pass) formulation of the one-pass Expand profile.
     "profile_orders" -> (ordersProfileSql("orders") + "\nORDER BY col_name"),
+
+    // Mirrors Profile.qFkIntegrity: orphan = child key with no parent,
+    // counted per relation; half-up ppm like every rate here.
+    "profile_fk_integrity" -> {
+      def edge(rel: String, child: String, parent: String, fk: String,
+          pk: String) =
+        s"""SELECT '$rel' AS relation, count(*) AS n_child,
+           |  count(*) FILTER (WHERE $fk IS NULL) AS n_null_fk,
+           |  (SELECT count(*) FROM $child c
+           |   WHERE c.$fk IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    AS n_orphans,
+           |  CAST(((SELECT count(*) FROM $child c
+           |     WHERE c.$fk IS NOT NULL
+           |       AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    * 2000000 + count(*)) // (count(*) * 2) AS BIGINT) AS orphan_ppm
+           |FROM $child""".stripMargin
+      edge("lineitem->orders", "lineitem", "orders", "l_orderkey", "o_orderkey") +
+        "\nUNION ALL\n" +
+        edge("orders->customer", "orders", "customer", "o_custkey", "c_custkey") +
+        "\nORDER BY relation"
+    },
 
     // Mirrors Profile.qProfileDiff: two independent profiles joined on
     // column name; extreme drift via null-safe inequality.

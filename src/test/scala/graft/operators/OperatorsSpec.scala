@@ -719,6 +719,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.getString(6) == "a" && s.getString(7) == "b" && s.isNullAt(4))
   }
 
+  test("fk integrity: orphans and null FKs counted; clean edge is zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val r = Profile.fkIntegrity(child, parent, "fk", "pk", "c->p").collect().head
+    assert(r.getString(0) == "c->p" && r.getLong(1) == 4)
+    assert(r.getLong(2) == 1, "one null FK")
+    assert(r.getLong(3) == 1, "one orphan (9)")
+    assert(r.getLong(4) == 250000L, "1/4 half-up ppm")
+    val clean = Profile.fkIntegrity(
+      Seq(1L, 2L).toDF("fk"), parent, "fk", "pk", "ok").collect().head
+    assert(clean.getLong(3) == 0 && clean.getLong(4) == 0L)
+  }
+
   test("profile diff: row/distinct deltas and null-safe extreme drift") {
     val before = Seq((1.0, Some("a")), (2.0, Some("b")), (9.0, None))
       .toDF("x", "s")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.TestSpark
 
@@ -50,5 +51,25 @@ class PipelineSpec extends AnyFunSuite {
     val d5 = rows.filter(_.getAs[Long]("doc_id") == 5L)
       .flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
     assert((1 to 70).map(j => s"w5_$j").toSet.subsetOf(d5))
+  }
+
+  test("split leakage flags near-dup pairs straddling the naive split only") {
+    // pick real ids on each side of the deterministic split
+    val side = TextAnalysis.hashSplit((0L until 50L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trains = side.collect { case (k, "train") => k }.toSeq.sorted
+    val test0 = side.collect { case (k, "test") => k }.min
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (trains(0), textA), (test0, textA + " lambda"),   // crossing near-dup
+      (trains(1), textB), (trains(2), textB))           // same-side exact dup
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val leaks = Pipeline.splitLeakage(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossPair = (math.min(trains(0), test0), math.max(trains(0), test0))
+    assert(leaks == Set(crossPair),
+      s"only the crossing pair leaks (same-side dup must not): $leaks")
   }
 }
