@@ -301,10 +301,29 @@ object Sketches {
       phi: Double, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
     val cellArr = Array.fill(depth * width)(0L)
-    cells.select(col("r").cast("int"), col("c").cast("int"), col("cnt").cast("long"))
+    val cellRows = cells
+      .select(col("r").cast("int"), col("c").cast("int"), col("cnt").cast("long"))
       .collect()
-      .foreach(r => cellArr(r.getInt(0) * width + r.getInt(1)) = r.getLong(2))
+    // The cells MUST come from a sketch built with this exact
+    // (depth, width): a narrower journal would silently misalign probes
+    // and UNDER-estimate (breaking "CM only overestimates"), a deeper
+    // one would index out of bounds. Fail loudly on shape mismatch.
+    cellRows.foreach { r =>
+      require(r.getInt(0) >= 0 && r.getInt(0) < depth &&
+          r.getInt(1) >= 0 && r.getInt(1) < width,
+        s"cell (r=${r.getInt(0)}, c=${r.getInt(1)}) outside depth=$depth " +
+          s"width=$width — journal was built with different parameters")
+      cellArr(r.getInt(0) * width + r.getInt(1)) = r.getLong(2)
+    }
     val n = (0 until width).map(c => cellArr(c)).sum // row 0's cells partition the stream
+    // Every CM row partitions the same stream, so row sums must agree;
+    // a mismatch means the journal shape doesn't match (depth, width).
+    (1 until depth).foreach { r =>
+      val rn = (0 until width).map(c => cellArr(r * width + c)).sum
+      require(rn == n,
+        s"CM row $r sums to $rn but row 0 sums to $n — cell journal " +
+          s"does not match depth=$depth width=$width")
+    }
     val threshold = math.ceil(phi * n).toLong
     val wins = (0 until (depth + 3) / 4)
       .map(g => TextExpressions.md5Windows(col(valueCol), s"$g:").as(s"graft_w$g"))

@@ -29,17 +29,27 @@ import graft.sources.Tables
 object Calibration {
 
   /** Per-bin isotonic fit: (bin, n, pos, iso_ppm), nondecreasing in
-    * `bin`. `binCol` must be integral; `labelCol` 0/1. */
+    * `bin`. `binCol` must be integral; `labelCol` 0/1. NULL bins are
+    * excluded (no order position on the calibration axis); NULL labels
+    * count as 0. The driver-side PAV stack assumes a BOUNDED bin table
+    * — `maxBins` makes that assumption a loud failure instead of an
+    * unbounded collect when a caller bins on a high-cardinality key. */
   def isotonicCalibrate(df: DataFrame, binCol: Column,
-      labelCol: Column): DataFrame = {
+      labelCol: Column, maxBins: Int = 100000): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val binRows = df
+      .filter(binCol.isNotNull)
       .groupBy(binCol.cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(labelCol.cast("long"), lit(0L))).as("pos"))
       .orderBy("bin")
+      .limit(maxBins + 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(binRows.length <= maxBins,
+      s"more than $maxBins calibration bins — binCol is not a bounded " +
+        "axis; coarsen the binning or raise maxBins deliberately")
     // PAV: merge adjacent blocks while the left mean EXCEEDS the right
     // (cross-multiplied BigInt compare — no division until emission)
     final case class Block(var sy: BigInt, var n: BigInt, var bins: Int)

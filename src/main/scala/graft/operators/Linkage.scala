@@ -27,7 +27,11 @@ import graft.sources.Tables
 object Linkage {
 
   /** Candidate pairs (id_a < id_b, dist ≤ maxDist) within admissible
-    * blocks. */
+    * blocks. Records with a NULL in any block-key column never match —
+    * SQL equi-joins drop NULL keys — so they are NOT silently absorbed
+    * into some block; surface them via [[nullKeyRecords]] (the same
+    * monitoring contract as [[oversizedBlocks]]) and re-block on a
+    * non-null key. */
   def blockedFuzzyPairs(records: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDist: Int = 2,
       maxBlock: Long = 1000L): DataFrame = {
@@ -46,6 +50,14 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Records whose block key contains a NULL — unmatchable under
+    * equi-join blocking, reported rather than silently dropped; route
+    * these to re-blocking on another key. Together with
+    * [[oversizedBlocks]] this completes the no-silent-drop contract:
+    * every record is matched, oversize-reported, or null-key-reported. */
+  def nullKeyRecords(records: DataFrame, blockCols: Seq[String]): DataFrame =
+    records.filter(blockCols.map(col(_).isNull).reduce(_ || _))
 
   /** Blocks the cap excluded from matching, with their sizes — route
     * these to finer re-blocking, never silently lose them. */

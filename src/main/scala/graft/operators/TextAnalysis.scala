@@ -886,7 +886,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](64 * 1024)
-        it.map { case (id, text) =>
+        val mapped = it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           defl.reset()
           defl.setInput(raw)
@@ -896,6 +896,17 @@ object TextAnalysis {
           val ratio = if (raw.length == 0) 1000000L
             else (gz * 1000000L + raw.length / 2) / raw.length
           (id, raw.length.toLong, gz, ratio)
+        }
+        // Release the native zlib buffer when the partition drains —
+        // waiting for finalization accumulates off-heap memory on
+        // executors running many tasks. end() is idempotent.
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) defl.end()
+            h
+          }
+          def next(): (Long, Long, Long, Long) = mapped.next()
         }
       }
       .toDF("doc_id", "raw_len", "deflate_len", "ratio_ppm")

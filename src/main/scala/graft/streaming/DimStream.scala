@@ -22,7 +22,10 @@ import graft.operators.Scd
   *     contract): a crash mid-staging-write leaves the old dimension
   *     authoritative; a crash between DROP and RENAME leaves a COMPLETE
   *     staging (the drop only runs after the staging write succeeded)
-  *     which the next batch detects and adopts before merging.
+  *     which the next batch detects and adopts before merging. The
+  *     bootstrap batch materializes an empty dimension first, so the
+  *     adoption check can never mistake a partial first-batch staging
+  *     write for an interrupted publish.
   *
   * Batches may observe a key more than once; observations collapse to
   * the struct-max of the tracked columns — deterministic under any
@@ -49,7 +52,17 @@ object DimStream {
           if (spark.catalog.tableExists(dimTable)) {
             spark.catalog.refreshTable(dimTable)
             spark.table(dimTable)
-          } else Scd.scd2Init(obs.limit(0))
+          } else {
+            // Bootstrap: materialize an EMPTY dimension table BEFORE the
+            // first staging write, so on any restart `!tableExists(dim)`
+            // can only mean "crashed between DROP and RENAME" — where
+            // staging is by construction complete — never "crashed
+            // mid-staging-write on the very first batch" (which would
+            // adopt a partial table).
+            Scd.scd2Init(obs.limit(0))
+              .write.mode(SaveMode.Overwrite).saveAsTable(dimTable)
+            spark.table(dimTable)
+          }
         val merged = Scd.scd2Merge(dim, obs, key, tracked, batchId + 1)
         merged.localCheckpoint()
           .write.mode(SaveMode.Overwrite).saveAsTable(staging)

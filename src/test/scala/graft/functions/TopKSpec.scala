@@ -134,6 +134,35 @@ class TopKSpec extends AnyFunSuite {
     assert(plain(0.05).map(_._2).sum < n)
   }
 
+  test("heavy hitters from cells: journal shape mismatch fails loudly") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (Seq.fill(50)("hot") ++ (0 until 50).map(i => s"t$i")).toDF("t")
+    val cells = graft.functions.Sketches.countMinSketch(rows, "t", 4, 64)
+    // a journal built at width 64 probed as width 32: cells land out of
+    // bounds / rows stop partitioning the stream — must throw, never
+    // silently under-estimate
+    val e1 = intercept[IllegalArgumentException] {
+      graft.functions.Sketches
+        .heavyHittersFromCells(cells, rows, "t", 0.1, depth = 4, width = 32)
+        .collect()
+    }
+    assert(e1.getMessage.contains("width=32"))
+    // deeper journal than probe depth: row sums disagree
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.Sketches
+        .heavyHittersFromCells(cells, rows, "t", 0.1, depth = 2, width = 64)
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("depth"))
+    // matching shape still exact
+    val got = graft.functions.Sketches
+      .heavyHittersFromCells(cells, rows, "t", 0.1, depth = 4, width = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("hot", 50L)))
+  }
+
   test("bloom filter: no false negatives; few false positives at ample bits") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark

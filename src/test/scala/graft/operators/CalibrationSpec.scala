@@ -35,4 +35,20 @@ class CalibrationSpec extends AnyFunSuite {
       .collect().map(_.getLong(3))
     assert(mono.toSeq == Seq(100000L, 500000L, 900000L))
   }
+
+  test("degenerate input: NULL bins dropped, NULL labels count 0, bin cap loud") {
+    val dirty = Seq[(java.lang.Long, java.lang.Integer)](
+      (0L, 1), (0L, 0), (1L, null), (1L, 1), (null, 1))
+      .toDF("bin", "y")
+    val got = Calibration.isotonicCalibrate(dirty, col("bin"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // NULL bin row excluded; bin 1's NULL label contributes n but not pos
+    assert(got.toSeq == Seq((0L, 2L, 1L), (1L, 2L, 1L)))
+    val err = intercept[IllegalArgumentException] {
+      Calibration.isotonicCalibrate(
+        (0L until 20L).map(i => (i, 1)).toDF("bin", "y"),
+        col("bin"), col("y"), maxBins = 10)
+    }
+    assert(err.getMessage.contains("calibration bins"))
+  }
 }

@@ -36,4 +36,20 @@ class LinkageSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(over.toSeq == Seq(("HOT", 20L)), "dropped block is first-class output")
   }
+
+  test("NULL block keys never match and are reported, not silently lost") {
+    val withNulls = recs.unionByName(Seq(
+      (6L, "jon smith", null.asInstanceOf[String]),
+      (7L, "john smith", null.asInstanceOf[String]))
+      .toDF("id", "name", "city"))
+    // two identical-ish names with NULL city: the equi-join can't block
+    // them together, so no pair may appear
+    val pairs = Linkage.blockedFuzzyPairs(withNulls, "id", "name", Seq("city"),
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), "NULL-key records must not match")
+    val nulls = Linkage.nullKeyRecords(withNulls, Seq("city"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls == Set(6L, 7L), "NULL-key records are first-class output")
+  }
 }
