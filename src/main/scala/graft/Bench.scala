@@ -39,7 +39,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The one-line stdout contract survives only when the log tail isn't
+    // truncated — at 100+ queries it is. The durable copy is a plain
+    // JSON file, written last so a crash can't leave a half-baked table.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
+      .toAbsolutePath
+    java.nio.file.Files.write(outPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[bench] per-query timings written to $outPath")
     spark.stop()
   }
 }
