@@ -1137,6 +1137,10 @@ object Similarity {
     val ix0 = pqIndex(emb, m, ds, ks, iters)
     val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
     val cents = kmeansCollected(emb, numCentroids, kmeansIters)
+    // deliberately NOT checkpointed: the assignment carries the full
+    // vectors, and materializing it cost more than the second scan
+    // (TimeOne sf0.1: 2.89 s plain vs 3.46 s checkpointed) — the arms'
+    // re-scan is cheap because the parquet pages are already hot
     val cells = assignByCentroids(emb, cents)
     def ivfArm(nprobe: Int): DataFrame =
       ivfPqSearch(ix, cells,
