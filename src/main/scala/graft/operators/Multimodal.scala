@@ -230,6 +230,272 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for PNG payloads on the pure JDK — the compressed-format
+    * case: the pixel array is a zlib stream (`java.util.zip.Inflater`)
+    * of per-row FILTERED scanlines, so a correct decode must inflate and
+    * then reverse whichever of the five PNG filters (None/Sub/Up/
+    * Average/Paeth) each row chose. Supports 8-bit truecolor (color
+    * type 2) and 8-bit grayscale (color type 0), non-interlaced. Every
+    * chunk's CRC-32 is verified — a media corpus carries bit-rot and
+    * trash, and a flipped byte must fail the RECORD loudly, not decode
+    * to garbage features. All bounds math in Long; the decompressed
+    * raster is capped (DEFLATE expands up to ~1000×, so a 64 KB payload
+    * can claim a multi-GB raster — a decompression bomb must die at the
+    * header check, before any allocation). Features are per-bucket sums
+    * of per-pixel channel totals in raster order, the same shape as
+    * [[BmpCodec]] — the two codecs are interchangeable behind
+    * [[decodeFeatures]] and must produce identical features for the
+    * same pixel content. */
+  object PngCodec extends Codec {
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private[operators] val Signature: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Decompressed-raster ceiling (64 MiB). A header claiming more is
+      * rejected loudly — never silently truncated. */
+    private val MaxRasterBytes = 64L << 20
+
+    /** The Paeth predictor (PNG spec §9.4) — shared by the decoder's
+      * reconstruction and [[Multimodal.pngFromText]]'s filtering. */
+    private[operators] def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Chunk walk + inflate + unfilter + validated raster stream: `f`
+      * receives (pixel_index, ch0, ch1, ch2) in top-down raster order
+      * (grayscale repeats the sample across channels). Returns
+      * (width, height). All decode entry points go through here. */
+    private def walkPixels(payload: Array[Byte])(
+        f: (Long, Int, Int, Int) => Unit): (Int, Long) = {
+      def bad(m: String) = throw new IllegalArgumentException(s"PngCodec: $m")
+      if (payload.length < Signature.length + 12 ||
+          !Signature.indices.forall(i => payload(i) == Signature(i)))
+        bad("not a PNG payload")
+      var off = Signature.length
+      var width = 0
+      var height = 0L
+      var channels = 0
+      var seenIhdr = false
+      var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenIend) {
+        // Long math throughout: a crafted 2^31-ish length must not wrap
+        // the truncation checks.
+        if (off.toLong + 12 > payload.length) bad("truncated chunk header")
+        val len = u32be(payload, off)
+        if (off.toLong + 12 + len > payload.length) bad("truncated chunk")
+        val ctype = new String(payload, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload, off + 4, 4 + len.toInt)
+        if (crc.getValue != u32be(payload, off + 8 + len.toInt))
+          bad(s"CRC mismatch in '$ctype' chunk")
+        ctype match {
+          case "IHDR" =>
+            if (seenIhdr) bad("duplicate IHDR")
+            if (len != 13) bad(s"IHDR length $len, want 13")
+            val w = u32be(payload, off + 8)
+            val h = u32be(payload, off + 12)
+            // 64Mi-row/col ceiling keeps rowBytes·height far from Long
+            // overflow BEFORE the raster-size multiply below
+            if (w < 1 || h < 1 || w > (1L << 26) || h > (1L << 26))
+              bad(s"bad dimensions ${w}x$h")
+            val bitDepth = payload(off + 16) & 0xff
+            if (bitDepth != 8) bad(s"unsupported bit depth $bitDepth (8 only)")
+            channels = (payload(off + 17) & 0xff) match {
+              case 0 => 1 // grayscale
+              case 2 => 3 // truecolor RGB
+              case other => bad(s"unsupported color type $other (0/2 only)")
+            }
+            if ((payload(off + 18) & 0xff) != 0) bad("bad compression method")
+            if ((payload(off + 19) & 0xff) != 0) bad("bad filter method")
+            if ((payload(off + 20) & 0xff) != 0)
+              bad("interlaced PNG unsupported")
+            width = w.toInt
+            height = h
+            seenIhdr = true
+          case "IDAT" =>
+            if (!seenIhdr) bad("IDAT before IHDR")
+            idat.write(payload, off + 8, len.toInt)
+          case "IEND" => seenIend = true
+          case _ => // ancillary chunks (tEXt, pHYs, …) skipped
+        }
+        off += 12 + len.toInt
+      }
+      if (!seenIhdr) bad("missing IHDR")
+      val rowBytes = 1L + width.toLong * channels
+      val total = rowBytes * height
+      if (total > MaxRasterBytes)
+        bad(s"raster ${total}B exceeds ${MaxRasterBytes}B cap " +
+          "(decompression bomb?)")
+      val raster = new Array[Byte](total.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < total && !inf.finished()) {
+          val n =
+            try inf.inflate(raster, got, total.toInt - got)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                bad(s"corrupt IDAT stream: ${e.getMessage}")
+            }
+          if (n == 0 && inf.needsInput()) bad("IDAT stream truncated")
+          got += n
+        }
+        if (got < total) bad("IDAT stream truncated")
+        if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0)
+          bad("IDAT decompresses past the raster")
+      } finally inf.end() // release native zlib memory deterministically
+      // Reverse the per-row filter in place: recon bytes overwrite raw
+      // bytes, each row reading the already-reconstructed row above.
+      val bpp = channels
+      val rowData = width * channels
+      var y = 0L
+      while (y < height) {
+        val base = (y * rowBytes).toInt
+        val ft = raster(base) & 0xff
+        var x = 0
+        while (x < rowData) {
+          val o = base + 1 + x
+          val left = if (x >= bpp) raster(o - bpp) & 0xff else 0
+          val up = if (y > 0) raster(o - rowBytes.toInt) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) raster(o - rowBytes.toInt - bpp) & 0xff else 0
+          val recon = ft match {
+            case 0 => raster(o) & 0xff
+            case 1 => ((raster(o) & 0xff) + left) & 0xff
+            case 2 => ((raster(o) & 0xff) + up) & 0xff
+            case 3 => ((raster(o) & 0xff) + (left + up) / 2) & 0xff
+            case 4 => ((raster(o) & 0xff) + paeth(left, up, ul)) & 0xff
+            case other => bad(s"bad filter type $other on row $y")
+          }
+          raster(o) = recon.toByte
+          x += 1
+        }
+        y += 1
+      }
+      var p = 0L
+      y = 0L
+      while (y < height) {
+        val base = (y * rowBytes).toInt + 1
+        var px = 0
+        while (px < width) {
+          if (channels == 3)
+            f(p, raster(base + px * 3) & 0xff, raster(base + px * 3 + 1) & 0xff,
+              raster(base + px * 3 + 2) & 0xff)
+          else {
+            val v = raster(base + px) & 0xff
+            f(p, v, v, v)
+          }
+          px += 1
+          p += 1
+        }
+        y += 1
+      }
+      (width, height)
+    }
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      walkPixels(payload)((p, a, b, c) => out((p % dim).toInt) += (a + b + c).toFloat)
+      out
+    }
+
+    /** Raster-order channel triples (R,G,B for truecolor), flattened 3
+      * ints per pixel, plus dimensions — the pixel-level API
+      * [[Multimodal.imagePool]] consumes. */
+    private[graft] def rasterPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val buf = scala.collection.mutable.ArrayBuilder.make[Int]
+      val (w, h) = walkPixels(payload) { (_, a, b, c) => buf += a; buf += b; buf += c }
+      (w, h.toInt, buf.result())
+    }
+  }
+
+  /** Deterministic truecolor PNG built from text: width 5 px, 3
+    * consecutive text bytes per pixel (as R,G,B) in raster order —
+    * the SAME text→pixel mapping as [[bmpFromText]], so the BMP and
+    * PNG paths must decode to identical features. Each scanline is
+    * filtered with type `row % 5`, so a corpus of ≥5-row images
+    * exercises every PNG filter (None, Sub, Up, Average, Paeth) against
+    * real data, and the whole raster round-trips through a genuine
+    * zlib DEFLATE stream. */
+  private[graft] def pngFromText(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 5
+    val h = bytes.length / 3 / w
+    require(h >= 1, s"text too short for one pixel row: ${bytes.length} bytes")
+    val channels = 3
+    val rowLen = w * channels
+    def orig(y: Int, x: Int): Int = bytes(y * rowLen + x) & 0xff
+    val raw = new Array[Byte](h * (1 + rowLen))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (1 + rowLen)) = ft.toByte
+      var x = 0
+      while (x < rowLen) {
+        val cur = orig(y, x)
+        val left = if (x >= channels) orig(y, x - channels) else 0
+        val up = if (y > 0) orig(y - 1, x) else 0
+        val ul = if (y > 0 && x >= channels) orig(y - 1, x - channels) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - PngCodec.paeth(left, up, ul)
+        }
+        raw(y * (1 + rowLen) + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(6)
+    defl.setInput(raw)
+    defl.finish()
+    val cbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](16 * 1024)
+    while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngCodec.Signature)
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, deflate, adaptive, no interlace
+    chunk("IDAT", cbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Image-typed media rows with REAL (built) PNG payloads — the
+    * compressed-container counterpart of [[imageTable]], same doc
+    * selection and text→pixel mapping. */
+  def pngTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", pngFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
   /** Deterministic 24-bit BMP built from text: width 5 px, 3 consecutive
     * text bytes per pixel (as B,G,R) in raster order, stored BOTTOM-UP
     * with 4-byte-aligned rows (stride 16 ⇒ one pad byte per row) — a
@@ -446,7 +712,9 @@ object Multimodal {
     * SURVEY §4's justified-RDD case); one row in, one row out, no
     * shuffle. Images too small for one pooled window are dropped (no
     * pooled content to report). */
-  def imagePool(images: DataFrame, factor: Int = 2): DataFrame = {
+  def imagePool(images: DataFrame, factor: Int = 2,
+      pixels: Array[Byte] => (Int, Int, Array[Int]) =
+        BmpCodec.rasterPixels): DataFrame = {
     require(factor >= 2, s"pooling needs factor >= 2, got $factor")
     val spark = images.sparkSession
     import spark.implicits._
@@ -454,7 +722,7 @@ object Multimodal {
     images.select("doc_id", "payload")
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val (w, h, px) = BmpCodec.rasterPixels(bytes)
+        val (w, h, px) = pixels(bytes)
         val ow = w / factor
         val oh = h / factor
         if (ow == 0 || oh == 0) Iterator.empty
@@ -494,6 +762,37 @@ object Multimodal {
   def qImagePool(spark: SparkSession, dir: String): DataFrame =
     imagePool(imageTable(Tables.documents(spark, dir)), factor = 2)
       .orderBy("doc_id", "out_w", "out_h", "pool_sum")
+
+  /** Per-bucket pixel sums over REAL PNG decode: the same text→pixel
+    * mapping as [[qImageChecksum]], but the container is a genuine
+    * CRC-checked zlib-compressed PNG with every scanline filter in play
+    * — the oracle reads the text directly, so an inflate or unfilter
+    * bug hash-mismatches immediately, and the result must equal the BMP
+    * path's bit-for-bit. */
+  def qPngChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(pngTable(Tables.documents(spark, dir)), dim = 8, codec = PngCodec)
+      .flatMap(m => m.features.iterator.zipWithIndex.map {
+        case (s, b) => (m.doc_id, b.toLong, s.toLong)
+      })
+      .toDF("doc_id", "bucket", "s")
+      .orderBy("doc_id", "bucket", "s")
+  }
+
+  /** 2×2 pooled summary over REAL decoded PNG pixels — [[imagePool]]'s
+    * arithmetic fed by [[PngCodec.rasterPixels]]. */
+  def qPngPool(spark: SparkSession, dir: String): DataFrame =
+    imagePool(pngTable(Tables.documents(spark, dir)), factor = 2,
+      pixels = PngCodec.rasterPixels)
+      .orderBy("doc_id", "out_w", "out_h", "pool_sum")
+
+  /** Top-3 nearest images by cosine over REAL decoded PNG pixel-bucket
+    * vectors — [[featureTopK]] with [[PngCodec]] end-to-end. */
+  def qPngKnn(spark: SparkSession, dir: String): DataFrame =
+    featureTopK(pngTable(Tables.documents(spark, dir)),
+      col("doc_id") < 30, k = 3, dim = 8, codec = PngCodec)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
 
   /** Decoded feature summary — exercises the stub-codec mapPartitions path
     * end-to-end but reduces to an oracle-checkable scalar: the feature sum

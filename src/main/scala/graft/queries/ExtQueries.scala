@@ -74,6 +74,9 @@ object ExtQueries {
     "mm_image_checksum"     -> Multimodal.qImageChecksum _,
     "mm_image_knn"          -> Multimodal.qImageKnn _,
     "mm_image_pool"         -> Multimodal.qImagePool _,
+    "mm_png_checksum"       -> Multimodal.qPngChecksum _,
+    "mm_png_knn"            -> Multimodal.qPngKnn _,
+    "mm_png_pool"           -> Multimodal.qPngPool _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
@@ -611,6 +614,64 @@ object ExtQueries {
        |FROM (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming FROM cand)
        |WHERE hamming <= 2 ORDER BY doc_a, doc_b, hamming""".stripMargin
   }
+
+  // real-image-decode oracles, shared by the BMP (mm_image_*) and PNG
+  // (mm_png_*) container paths: pixel p (raster order, width 5) = text
+  // bytes 3p+1..3p+3; usable pixels = full rows only. The Spark side
+  // routes these bytes through an actual container + codec walk — the
+  // oracle never sees the container, so any walk bug mismatches, and
+  // both containers must agree with the one truth.
+  private def imageChecksumSql: String =
+    """SELECT doc_id, p % 8 AS bucket,
+      |  CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
+      |           + ord(substr(text, 3*p + 3, 1))) AS BIGINT) AS s
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
+      |      FROM documents
+      |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
+      |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin
+
+  // Mirrors Multimodal.imagePool at factor 2: the built image is a
+  // width-5 raster of text byte triples, so pooled window (ry,cx) covers
+  // pixels p0=(2ry)·5+2cx, p0+1, p0+5, p0+6 and channel c of pixel p is
+  // text byte 3p+c — floor-mean per channel, summed over cells.
+  private def imagePoolSql: String = {
+    def chSum(c: Int) =
+      s"((ord(substr(text, 3*p0 + $c, 1)) + ord(substr(text, 3*(p0+1) + $c, 1)) + " +
+        s"ord(substr(text, 3*(p0+5) + $c, 1)) + ord(substr(text, 3*(p0+6) + $c, 1))) // 4)"
+    s"""WITH img AS (SELECT doc_id, text, (length(text) // 3) // 5 AS h FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= 15),
+       |cells AS (SELECT doc_id, text, h,
+       |    unnest(generate_series(0, (h // 2) * 2 - 1)) AS cell
+       |  FROM img WHERE h >= 2),
+       |base AS (SELECT doc_id, text, h,
+       |    ((cell // 2) * 2) * 5 + (cell % 2) * 2 AS p0 FROM cells),
+       |vals AS (SELECT doc_id, h,
+       |    ${chSum(1)} + ${chSum(2)} + ${chSum(3)} AS cv FROM base)
+       |SELECT doc_id, CAST(2 AS BIGINT) AS out_w, h // 2 AS out_h,
+       |  CAST(sum(cv) AS BIGINT) AS pool_sum
+       |FROM vals GROUP BY doc_id, h
+       |ORDER BY doc_id, out_w, out_h, pool_sum""".stripMargin
+  }
+
+  private def imageKnnSql: String =
+    """WITH px AS (SELECT doc_id, p % 8 AS bucket,
+      |    CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
+      |             + ord(substr(text, 3*p + 3, 1))) AS DOUBLE) AS s
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
+      |        FROM documents
+      |        WHERE doc_id % 3 = 0 AND length(text) >= 15)
+      |  GROUP BY 1, 2),
+      |v AS (SELECT doc_id, list(s ORDER BY bucket) AS v FROM px GROUP BY doc_id)
+      |SELECT query_id, neighbor_id, cos_sim FROM (
+      |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+      |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      |  FROM v a, v b
+      |  WHERE a.doc_id < 30 AND b.doc_id <> a.doc_id
+      |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
+      |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
+      |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q11_events_hourly" ->
@@ -1988,57 +2049,21 @@ object ExtQueries {
     // The Spark side routes these bytes through an actual bottom-up
     // padded BMP container and BmpCodec's header/stride/flip walk —
     // the oracle never sees the container, so any walk bug mismatches.
-    "mm_image_checksum" ->
-      """SELECT doc_id, p % 8 AS bucket,
-        |  CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
-        |           + ord(substr(text, 3*p + 3, 1))) AS BIGINT) AS s
-        |FROM (SELECT doc_id, text,
-        |        unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
-        |      FROM documents
-        |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
-        |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+    "mm_image_checksum" -> imageChecksumSql,
+    // Same oracle as mm_image_checksum on purpose: the PNG path routes
+    // the SAME text bytes through a zlib-compressed filtered container,
+    // so two fully independent codec walks must hash-match one truth.
+    "mm_png_checksum" -> imageChecksumSql,
+    "mm_png_pool" -> imagePoolSql,
+    "mm_png_knn" -> imageKnnSql,
 
     // Mirrors Multimodal.qImagePool: the built BMP is width-5 raster of
     // text byte triples, so pooled window (ry,cx) covers pixels
     // p0=(2ry)·5+2cx, p0+1, p0+5, p0+6 and channel c of pixel p is text
     // byte 3p+c — floor-mean per channel, summed over cells.
-    "mm_image_pool" -> {
-      def chSum(c: Int) =
-        s"((ord(substr(text, 3*p0 + $c, 1)) + ord(substr(text, 3*(p0+1) + $c, 1)) + " +
-          s"ord(substr(text, 3*(p0+5) + $c, 1)) + ord(substr(text, 3*(p0+6) + $c, 1))) // 4)"
-      s"""WITH img AS (SELECT doc_id, text, (length(text) // 3) // 5 AS h FROM documents
-         |  WHERE doc_id % 3 = 0 AND length(text) >= 15),
-         |cells AS (SELECT doc_id, text, h,
-         |    unnest(generate_series(0, (h // 2) * 2 - 1)) AS cell
-         |  FROM img WHERE h >= 2),
-         |base AS (SELECT doc_id, text, h,
-         |    ((cell // 2) * 2) * 5 + (cell % 2) * 2 AS p0 FROM cells),
-         |vals AS (SELECT doc_id, h,
-         |    ${chSum(1)} + ${chSum(2)} + ${chSum(3)} AS cv FROM base)
-         |SELECT doc_id, CAST(2 AS BIGINT) AS out_w, h // 2 AS out_h,
-         |  CAST(sum(cv) AS BIGINT) AS pool_sum
-         |FROM vals GROUP BY doc_id, h
-         |ORDER BY doc_id, out_w, out_h, pool_sum""".stripMargin
-    },
+    "mm_image_pool" -> imagePoolSql,
 
-    "mm_image_knn" ->
-      """WITH px AS (SELECT doc_id, p % 8 AS bucket,
-        |    CAST(sum(ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
-        |             + ord(substr(text, 3*p + 3, 1))) AS DOUBLE) AS s
-        |  FROM (SELECT doc_id, text,
-        |          unnest(generate_series(0, ((length(text) // 3) // 5) * 5 - 1)) AS p
-        |        FROM documents
-        |        WHERE doc_id % 3 = 0 AND length(text) >= 15)
-        |  GROUP BY 1, 2),
-        |v AS (SELECT doc_id, list(s ORDER BY bucket) AS v FROM px GROUP BY doc_id)
-        |SELECT query_id, neighbor_id, cos_sim FROM (
-        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
-        |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-        |  FROM v a, v b
-        |  WHERE a.doc_id < 30 AND b.doc_id <> a.doc_id
-        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
-        |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
-        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+    "mm_image_knn" -> imageKnnSql,
 
     "text_contamination_bloom" -> {
       // position j = hexVal8 of window j of ONE md5('0:' || shingle)

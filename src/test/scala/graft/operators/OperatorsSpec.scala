@@ -575,6 +575,90 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.BmpCodec.decode(badIdx, dim = 2))
   }
 
+  test("multimodal: PngCodec inflates and unfilters real PNG payloads") {
+    // 75 bytes = 25 px = 5 rows → filter types 0,1,2,3,4 each used once,
+    // so the round trip proves every PNG filter's reconstruction
+    val text =
+      (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ ('a' to 'm')).mkString
+    assert(text.length == 75)
+    val png = Multimodal.pngFromText(text)
+    val got = Multimodal.PngCodec.decode(png, dim = 4)
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    val want = new Array[Float](4)
+    for (p <- 0 until 25)
+      want(p % 4) += (bytes(3 * p) + bytes(3 * p + 1) + bytes(3 * p + 2)).toFloat
+    assert(got.toSeq == want.toSeq)
+    // container-independence: the BMP path over the same text must agree
+    assert(got.toSeq ==
+      Multimodal.BmpCodec.decode(Multimodal.bmpFromText(text), dim = 4).toSeq)
+    // rasterPixels returns the text bytes verbatim in raster order
+    val (w, h, px) = Multimodal.PngCodec.rasterPixels(png)
+    assert(w == 5 && h == 5 && px.toSeq == bytes.toSeq)
+
+    // hand-built PNGs for the shapes pngFromText doesn't emit
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val tb = ctype.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def mkPng(w: Int, h: Int, colorType: Int, idatRaw: Array[Byte],
+        interlace: Int = 0): Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+          Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte)) ++
+        chunk("IDAT", deflate(idatRaw)) ++ chunk("IEND", Array.emptyByteArray)
+    // grayscale (color type 0): sample v decodes as (v,v,v) → sum 3v
+    val gray = mkPng(2, 1, 0, Array[Byte](0, 7, 100))
+    assert(Multimodal.PngCodec.decode(gray, dim = 2).toSeq == Seq(21f, 300f))
+
+    // malformed payloads fail the record, never a raw JVM error
+    intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode("not an image".getBytes, dim = 4))
+    intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(png.dropRight(1), dim = 4)) // truncated chunk
+    val flip = png.clone()
+    flip(flip.length - 1) = (flip(flip.length - 1) ^ 0x01).toByte
+    val crcErr = intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(flip, dim = 4)) // bit-rot → CRC mismatch
+    assert(crcErr.getMessage.contains("CRC"))
+    // decompression bomb: a 2^25×2^25 header over a tiny stream must die
+    // at the raster cap, before any allocation or inflate
+    val bomb = mkPng(1 << 25, 1 << 25, 0, Array[Byte](0, 1))
+    val bombErr = intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(bomb, dim = 4))
+    assert(bombErr.getMessage.contains("bomb"))
+    intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(
+        mkPng(1, 1, 0, Array[Byte](0, 42), interlace = 1), dim = 4))
+    intercept[IllegalArgumentException]( // palette color type unsupported
+      Multimodal.PngCodec.decode(mkPng(1, 1, 3, Array[Byte](0, 0)), dim = 4))
+    val filtErr = intercept[IllegalArgumentException]( // filter type 9
+      Multimodal.PngCodec.decode(mkPng(1, 1, 0, Array[Byte](9, 42)), dim = 4))
+    assert(filtErr.getMessage.contains("filter type"))
+    intercept[IllegalArgumentException]( // raster short one sample
+      Multimodal.PngCodec.decode(mkPng(2, 1, 0, Array[Byte](0, 42)), dim = 4))
+    // pooling consumes PNG pixels through the shared imagePool arithmetic
+    val images = Seq((7L, "image", png)).toDF("doc_id", "media_type", "payload")
+    val pool = Multimodal.imagePool(images, factor = 2,
+      pixels = Multimodal.PngCodec.rasterPixels).collect()
+    val bmpPool = Multimodal.imagePool(
+      Seq((7L, "image", Multimodal.bmpFromText(text)))
+        .toDF("doc_id", "media_type", "payload"), factor = 2).collect()
+    assert(pool.map(_.toSeq).toSeq == bmpPool.map(_.toSeq).toSeq)
+  }
+
   test("multimodal: 2x2 pool over decoded pixels matches byte-level arithmetic") {
     // 4 rows of 5 px = 60 text bytes; pooled → out 2x2 = 4 cells
     val text = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '7')).mkString
