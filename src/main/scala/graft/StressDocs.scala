@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clusters, Dedup, Pipeline}
+import graft.sources.Tables
+
+/** Dev utility: the 100×-documents scale-stress harness for the
+  * dedup/text family. Times a fixed query list (warm + N passes, min)
+  * against one sf dir — run it at sf0.1 and at the scalegen `docs`-mode
+  * 100× replica and compare the printed minimums, exactly the TimeOne
+  * discipline.
+  *
+  * The dup-heavy 100× corpus (100 near-identical replicas per doc) is
+  * the adversarial case for LSH-banded dedup: every replica group lands
+  * in one bucket per band, so UNCAPPED candidate pairs grow as
+  * replicas² (C(100,2) ≈ 5k pairs per group per band — ~25M verified
+  * pairs corpus-wide, quadratic in dup multiplicity, and that output
+  * size is irreducible for any engine asked for all pairs). The
+  * production path bounds this with the bucket-size cap
+  * ([[Dedup.minHashLshPairs]] maxBucketSize): per-bucket work ≤ cap²
+  * regardless of corpus growth. Per the no-silent-caps rule this
+  * harness PRINTS the pair-mass ledger — uncapped candidate-pair count
+  * (computed from bucket sizes, Σ C(n,2), without running the join),
+  * the capped count, and how many docs in how many buckets the cap
+  * drops — so the trade is a reported number, not a silent truncation.
+  *
+  * Usage: sbt "runMain graft.StressDocs <sfDir> [passes] [cap]"
+  */
+object StressDocs {
+
+  def entries(cap: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // linear-in-work paths, registered-query shapes
+    "text_lang_id" -> SparkEntry.queries("text_lang_id"),
+    "text_novelty" -> SparkEntry.queries("text_novelty"),
+    "dedup_containment" -> SparkEntry.queries("dedup_containment"),
+    "ann_maxsim" -> SparkEntry.queries("ann_maxsim"),
+    "dedup_spans" -> SparkEntry.queries("dedup_spans"),
+    // stage-2 pipeline (span dedup + chunking) with the cap engaged —
+    // identical to the registered pipeline_prepare wherever the cap
+    // doesn't bind (it doesn't at sf0.1: max bucket 14)
+    s"prepare_c$cap" -> ((s: SparkSession, d: String) =>
+      Pipeline.prepareTrainingData(Tables.documents(s, d),
+        Pipeline.Config(maxBucketSize = Some(cap)))),
+    // pair-mass paths with the production bucket cap engaged
+    s"neardup_verified_c$cap" -> ((s: SparkSession, d: String) =>
+      Dedup.nearDupPairs(Tables.documents(s, d), minJaccard = 0.5,
+        maxBucketSize = Some(cap))),
+    s"split_leakage_c$cap" -> ((s: SparkSession, d: String) =>
+      Pipeline.splitLeakage(Tables.documents(s, d),
+        maxBucketSize = Some(cap))),
+    s"curate_c$cap" -> ((s: SparkSession, d: String) =>
+      Pipeline.curate(Tables.documents(s, d),
+        Pipeline.Config(maxBucketSize = Some(cap)))),
+    s"funnel_c$cap" -> ((s: SparkSession, d: String) =>
+      Pipeline.funnelReport(Tables.documents(s, d),
+        Pipeline.Config(maxBucketSize = Some(cap)))),
+    s"clusters_incr_c$cap" -> ((s: SparkSession, d: String) => {
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
+        maxBucketSize = Some(cap)).localCheckpoint()
+      val first = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
+      val second = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 1)
+      Clusters.incrementalComponents(Clusters.connectedComponents(first), second)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 2
+    val cap = if (args.length > 2) args(2).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // pair-mass ledger: what the cap is up against, and what it drops
+    val sizes = Dedup.minHashLshBuckets(Tables.documents(spark, sfDir))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ledger = sizes.agg(
+      sum(expr("n * (n - 1) div 2")).as("uncapped_pairs"),
+      sum(when(col("n") <= cap, expr("n * (n - 1) div 2"))
+        .otherwise(lit(0L))).as("capped_pairs"),
+      sum(when(col("n") > cap, col("n")).otherwise(lit(0L))).as("dropped_doc_rows"),
+      count(when(col("n") > cap, lit(1))).as("dropped_buckets"),
+      max(col("n")).as("max_bucket")).collect()(0)
+    println(s"[stress] $sfDir cap=$cap pair-mass ledger: " +
+      s"uncapped_cand_pairs=${ledger.getLong(0)} capped_cand_pairs=${ledger.getLong(1)} " +
+      s"dropped_doc_rows=${ledger.getLong(2)} dropped_buckets=${ledger.getLong(3)} " +
+      s"max_bucket=${ledger.getLong(4)}")
+
+    entries(cap).foreach { case (name, fn) =>
+      fn(spark, sfDir).count() // warm
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[stress] $name min=${times.min}%.3f " +
+        f"passes=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

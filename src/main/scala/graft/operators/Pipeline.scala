@@ -166,8 +166,8 @@ object Pipeline {
     * rather than assert it. Work = the near-dup pair frame (LSH-bounded)
     * plus two broadcast-sized split joins. */
   def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
-      trainPct: Int = 90): DataFrame = {
-    val pairs = Dedup.nearDupPairs(docs, minJaccard)
+      trainPct: Int = 90, maxBucketSize: Option[Int] = None): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs, minJaccard, maxBucketSize = maxBucketSize)
     val split = TextAnalysis.hashSplit(docs, trainPct = trainPct)
       .select(col("doc_id"), col("split"))
     pairs

@@ -1005,9 +1005,15 @@ object TextAnalysis {
         floor(greatest(col("mx"), lit(0.0)) * 1e6 + 0.5).cast("long"))
     val scored = terms.groupBy("query_id", "neighbor_id")
       .agg(sum(col("ppm")).as("maxsim_ppm"))
-    // per-query candidate set = docs sharing subword mass with the query
-    // — window over Q partitions; swap in the bounded-heap TopKAggregator
-    // if Q itself is corpus-scale
+    // window top-k KEPT over the bounded-heap TopKAggregator after a
+    // back-to-back measurement (round 8, TimeOne mins, same session):
+    // window 1.72 s / 11.85 s at sf0.1 / sf1 vs heap 2.54 s / 13.83 s —
+    // the typed groupByKey/Aggregator pays object (de)serialization per
+    // row that the codegen'd window never does, and `scored` is already
+    // post-aggregation (one row per query×candidate, NOT the raw score
+    // mass Similarity.topKPerQuery heaps over), so the per-query sort is
+    // cheap. The heap swap becomes right only if Q goes corpus-scale
+    // AND candidates-per-query outgrow the sort budget.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("maxsim_ppm").desc, col("neighbor_id"))
     scored.withColumn("graft_rk", row_number().over(w))

@@ -1,0 +1,125 @@
+package graft.mr
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import JsMini._
+
+/** Generative hardening lock for the JsMini interpreter: random
+  * expression/statement trees — including undeclared identifiers, type
+  * confusion, division by zero, member access on undefined, deep
+  * nesting up to and past the parser caps, and recursion past the call
+  * cap — must ALWAYS produce either a value or a [[JsMini.JsError]].
+  * Any other JVM throwable (StackOverflowError, NPE, ClassCastException,
+  * MatchError, …) is a hardening bug: a hostile algorithm document must
+  * never take down the executor thread with a raw error.
+  *
+  * Deterministic: fixed seeds drive scalacheck generators (the ScdSpec
+  * replay-fuzz pattern), so a failure reproduces by seed number.
+  */
+class JsMiniFuzzSpec extends AnyFunSuite {
+
+  private val leaf: Gen[String] = Gen.oneOf(
+    Gen.choose(-1000000, 1000000).map(_.toString),
+    Gen.oneOf("0", "1", "-1", "1.5", "1e9", "1e308", "0.0001", "999999999999999999999"),
+    Gen.oneOf("'a'", "'xy z'", "''", "'0'", "'NaN'", "'\\u0041'", "'a,b,c'"),
+    Gen.oneOf("true", "false", "null", "undefined"),
+    // o is the argument; x/i/a declared by some statements; nope never is
+    Gen.oneOf("o", "x", "i", "a", "nope"),
+    Gen.const("[]"), Gen.const("{}"), Gen.const("[1,2,3]"),
+    Gen.const("{k: 1, s: 'v'}"))
+
+  private def expr(depth: Int): Gen[String] =
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      4 -> leaf,
+      4 -> (for {
+        a <- expr(depth - 1)
+        op <- Gen.oneOf("+", "-", "*", "/", "%", "<", "<=", ">", ">=",
+          "==", "===", "!=", "!==", "&&", "||")
+        b <- expr(depth - 1)
+      } yield s"($a $op $b)"),
+      2 -> (for { u <- Gen.oneOf("!", "-", "+"); a <- expr(depth - 1) }
+        yield s"($u($a))"),
+      1 -> (for { c <- expr(depth - 1); t <- expr(depth - 1); f <- expr(depth - 1) }
+        yield s"(($c) ? ($t) : ($f))"),
+      2 -> (for { a <- expr(depth - 1); k <- Gen.oneOf("x", "length", "k", "foo") }
+        yield s"($a).$k"),
+      1 -> (for { a <- expr(depth - 1); i <- expr(depth - 1) } yield s"($a)[$i]"),
+      1 -> Gen.listOfN(3, expr(depth - 1)).map(_.mkString("[", ",", "]")),
+      1 -> (for { m <- Gen.oneOf("JSON.stringify", "String", "Number",
+          "parseInt", "parseFloat", "isNaN"); a <- expr(depth - 1) }
+        yield s"$m($a)"),
+      1 -> (for { a <- expr(depth - 1); b <- expr(depth - 1);
+          m <- Gen.oneOf("split", "indexOf", "charAt", "substring") }
+        yield s"String($a).$m($b)"),
+      1 -> (for { a <- expr(depth - 1) } yield s"JSON.parse(String($a))"),
+      1 -> (for { a <- expr(depth - 1) } yield s"(function f(n) { return n; })($a)"))
+
+  private def stmt(depth: Int): Gen[String] =
+    if (depth <= 0) expr(1).map(e => s"x = $e;")
+    else Gen.frequency(
+      3 -> (for { v <- Gen.oneOf("x", "a"); e <- expr(depth) } yield s"var $v = $e;"),
+      2 -> (for { c <- expr(depth - 1); s1 <- stmt(depth - 1); s2 <- stmt(depth - 1) }
+        yield s"if ($c) { $s1 } else { $s2 }"),
+      // loops are bounded by construction: the step budget is a separate
+      // hand-tested lock, and a fuzz corpus of spinners would only test
+      // the budget 300 times over
+      2 -> (for { b <- stmt(depth - 1) }
+        yield s"for (var i = 0; i < 20; i++) { $b }"),
+      1 -> (for { b <- stmt(depth - 1) }
+        yield s"var j = 0; while (j < 10) { j++; $b }"),
+      2 -> (for { e <- expr(depth) } yield s"x = $e;"),
+      1 -> (for { e <- expr(depth - 1) } yield s"a = [$e]; a.push($e);"))
+
+  private val program: Gen[String] = for {
+    depth <- Gen.choose(1, 5)
+    body <- Gen.listOfN(3, stmt(depth))
+    ret <- expr(depth)
+  } yield s"(function(o) { var x = 0; var a = []; ${body.mkString(" ")} return $ret; })"
+
+  private def outcomeIsContractual(src: String, seed: Long): Unit =
+    try {
+      callFunction(parseFunction(src), VStr("the quick brown fox 1 2 3"))
+      ()
+    } catch {
+      case _: JsMini.JsError => () // the contract: fail the record, typed
+      case other: Throwable =>
+        fail(s"seed=$seed raised ${other.getClass.getName}: " +
+          s"${other.getMessage}\nsource: $src")
+    }
+
+  test("fuzz: random programs yield a value or JsError, never a raw JVM throwable") {
+    var generated = 0
+    (1 to 300).foreach { seed =>
+      program(Gen.Parameters.default.withSize(24), Seed(seed.toLong)).foreach { src =>
+        generated += 1
+        outcomeIsContractual(src, seed.toLong)
+      }
+    }
+    assert(generated >= 280, s"generator discarded too much: $generated/300")
+  }
+
+  test("fuzz: nesting at, just under, and past every cap stays contractual") {
+    // parser depth: straddle MaxDepth with parens, unaries, ternaries
+    for (d <- Seq(MaxDepth - 2, MaxDepth - 1, MaxDepth, MaxDepth + 1, MaxDepth * 4)) {
+      outcomeIsContractual("(function(o) { return " + "(" * d + "1" + ")" * d + "; })", -1)
+      outcomeIsContractual("(function(o) { return " + "!" * d + "1; })", -2)
+      outcomeIsContractual("(function(o) { return " + "1 ? 1 : " * d + "0; })", -3)
+      outcomeIsContractual("(function(o) { return " + "[" * d + "]" * d + "; })", -4)
+    }
+    // call depth: recursion to exactly the cap, one past, and far past
+    for (n <- Seq(MaxCallDepth - 2, MaxCallDepth - 1, MaxCallDepth, MaxCallDepth + 1, 5000)) {
+      outcomeIsContractual(
+        s"(function(o) { var f = function r(n) { return n <= 0 ? 0 : r(n - 1); }; return f($n); })",
+        -5)
+    }
+    // runtime-built value depth: wrap past MaxDepth then coerce
+    outcomeIsContractual(
+      s"""(function(o) {
+         |  var a = []; for (var i = 0; i < ${MaxDepth + 10}; i++) { a = [a]; }
+         |  return JSON.stringify(a);
+         |})""".stripMargin, -6)
+  }
+}

@@ -1,16 +1,20 @@
 #!/usr/bin/env python3
-"""Dev tooling: build a ~10x replica of sf0.1 (an "sf1") for local
-scale-stress runs, under a gitignored scratch dir. Replicas get shifted
-ids; text gains a per-replica trailing token and embeddings a small
-per-replica component offset, so cross-replica rows are NEAR-duplicates
-(the realistic shape for a dup-heavy corpus) rather than exact clones.
+"""Dev tooling: build an N-x replica of sf0.1 for local scale-stress
+runs, under a gitignored scratch dir. Replicas get shifted ids; text
+gains a per-replica trailing token and embeddings a small per-replica
+component offset, so cross-replica rows are NEAR-duplicates (the
+realistic shape for a dup-heavy corpus) rather than exact clones.
 
 Usage: python3 tools/scalegen.py [src_sf_dir] [out_dir] [replicas] [mode]
 
-mode "all" (default) replicates every scalable table; mode "facts"
-replicates only events/orders/lineitem (documents/embeddings copied 1x) —
-the cheap way to push the event/join family to 100x without building a
-multi-GB document corpus.
+Modes pick which tables replicate (the rest are copied 1x):
+  all      documents, embeddings, events, orders+lineitem  (the sf1 build)
+  facts    events, orders+lineitem — pushes the event/join family to
+           100x without a multi-GB document corpus
+  docs     documents only — pushes the dedup/text family to 100x
+           (500k near-dup docs at REPS=100) without 100x of everything else
+  custdim  customer only (shifted c_custkey) — scales DIMENSION KEY
+           cardinality for SCD2/dimension-stream stress
 """
 import sys
 import duckdb
@@ -20,19 +24,30 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 MODE = sys.argv[4] if len(sys.argv) > 4 else "all"
 
+REP_TABLES = {
+    "all": {"documents", "embeddings", "events", "facts"},
+    "facts": {"events", "facts"},
+    "docs": {"documents"},
+    "custdim": {"customer"},
+}[MODE]
+
 import os
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
+
+def copy(table):
+    con.sql(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') "
+            f"TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+
+
+summary = []
+
+# documents / embeddings -------------------------------------------------
 n_docs = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
 n_vecs = con.sql(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 
-if MODE == "facts":
-    for t in ("documents", "embeddings"):
-        con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
-    n_docs = n_vecs = 0  # signal "copied, not replicated" in the summary line
-
-if MODE != "facts":
+if "documents" in REP_TABLES:
     con.sql(f"""
 COPY (
   SELECT d.doc_id + {n_docs} * r.i AS doc_id,
@@ -44,6 +59,11 @@ COPY (
   ORDER BY doc_id
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
+    summary.append(f"documents={n_docs * REPS}")
+else:
+    copy("documents")
+
+if "embeddings" in REP_TABLES:
     con.sql(f"""
 COPY (
   SELECT e.vec_id + {n_vecs} * r.i AS vec_id,
@@ -56,16 +76,20 @@ COPY (
   ORDER BY vec_id
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
 """)
+    summary.append(f"embeddings={n_vecs * REPS}")
+else:
+    copy("embeddings")
 
 # events: REPS replicas with disjoint user/event-id populations (each
 # replica is a fresh cohort doing the same session shapes) and a few-ms
 # timestamp jitter so replicated rows are not byte-identical. Windowed
-# aggregations, funnels, retention and interval joins then see 10x rows
-# AND 10x users — per-user work constant, total work linear, the shape a
+# aggregations, funnels, retention and interval joins then see Nx rows
+# AND Nx users — per-user work constant, total work linear, the shape a
 # 100 TB event log actually has.
-n_events = con.sql(f"SELECT count(*) FROM '{SRC}/events.parquet'").fetchone()[0]
-u_span = con.sql(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
-con.sql(f"""
+if "events" in REP_TABLES:
+    n_events = con.sql(f"SELECT count(*) FROM '{SRC}/events.parquet'").fetchone()[0]
+    u_span = con.sql(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+    con.sql(f"""
 COPY (
   SELECT e.event_id + {n_events} * r.i AS event_id,
          e.ts + INTERVAL (r.i * 7) MILLISECOND AS ts,
@@ -76,13 +100,17 @@ COPY (
   ORDER BY ts
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
+    summary.append(f"events={n_events * REPS}")
+else:
+    copy("events")
 
 # facts (orders + lineitem): REPS replicas with shifted ORDER keys — the
 # same offset on both tables so the orderkey join lines up — while
 # customer/part/supplier keys stay fixed. Dims stay small, facts grow:
 # the broadcast-dim / big-fact proportions of a real warehouse scale-up.
-ok_span = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
-con.sql(f"""
+if "facts" in REP_TABLES:
+    ok_span = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    con.sql(f"""
 COPY (
   SELECT o.o_orderkey + {ok_span} * r.i AS o_orderkey,
          o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
@@ -92,7 +120,7 @@ COPY (
   ORDER BY o_orderkey
 ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
 """)
-con.sql(f"""
+    con.sql(f"""
 COPY (
   SELECT l.l_orderkey + {ok_span} * r.i AS l_orderkey,
          l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
@@ -103,10 +131,36 @@ COPY (
   ORDER BY l_orderkey
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
 """)
+    summary.append(f"orders/lineitem x{REPS}")
+else:
+    copy("orders")
+    copy("lineitem")
 
-# dimension tables: plain copies — at 100 TB these are the broadcast side
-for t in "region nation customer supplier part".split():
-    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+# customer: REPS replicas with shifted c_custkey and a per-replica name
+# suffix — REPS-x DISTINCT dimension keys, each with slightly different
+# tracked attributes, the shape an SCD2 merge meets when the dimension
+# itself is large. Other dims reference only replica 0's keys (fine:
+# dimension-history operators read the dim alone).
+if "customer" in REP_TABLES:
+    ck_span = con.sql(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0]
+    con.sql(f"""
+COPY (
+  SELECT c.c_custkey + {ck_span} * r.i AS c_custkey,
+         CASE WHEN r.i = 0 THEN c.c_name ELSE c.c_name || ' rep' || r.i END AS c_name,
+         c.c_nationkey, c.c_acctbal, c.c_mktsegment
+  FROM '{SRC}/customer.parquet' c,
+       (SELECT unnest(generate_series(0, {REPS - 1})) AS i) r
+  ORDER BY c_custkey
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+    summary.append(f"customer x{REPS}")
+else:
+    copy("customer")
 
-print(f"[scalegen] {OUT}: documents={n_docs * REPS} embeddings={n_vecs * REPS} "
-      f"events={n_events * REPS} orders/lineitem x{REPS}")
+# remaining dimension tables: plain copies — at 100 TB these are the
+# broadcast side
+for t in "region nation supplier part".split():
+    copy(t)
+
+print(f"[scalegen] {OUT} mode={MODE} reps={REPS}: " +
+      (", ".join(summary) if summary else "all copied"))
