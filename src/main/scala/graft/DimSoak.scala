@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DimStream
+
+/** Dev utility: SCD2 dimension-stream stress at scaled key cardinality.
+  * Drives [[DimStream.dimIngest]] with `nBatches` micro-batches over the
+  * customer dimension of the given sf dir (scalegen `custdim` mode
+  * builds a 10× key-cardinality replica), mutating a deterministic
+  * slice of balances each batch so every batch carries real SCD2
+  * changes at full key width. Reports per-batch seconds — the evidence
+  * that the merge's full-outer join scales with KEY CARDINALITY (one
+  * shuffle at |keys|) and the staging publish stays a catalog rename
+  * (O(metadata), invariant to dimension size).
+  *
+  * Usage: sbt "runMain graft.DimSoak [sfDir] [nBatches]"
+  */
+object DimSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = java.nio.file.Files.createTempDirectory("graft-dimsoak")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", root.resolve("wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .as[(Long, String, Double)].collect()
+    println(s"[dimsoak] ${cust.length} dimension keys, $nBatches batches")
+
+    spark.sql("DROP TABLE IF EXISTS dimsoak_cust")
+    spark.sql("DROP TABLE IF EXISTS dimsoak_cust_staging")
+    val input = MemoryStream[(Long, String, Double)]
+    val q = DimStream.dimIngest(input.toDF().toDF("k", "seg", "bal"), spark,
+      "dimsoak_cust", "k", Seq("seg", "bal"),
+      root.resolve("ckpt").toString)
+    val batchSecs = Array.fill(nBatches)(0.0)
+    try {
+      for (b <- 0 until nBatches) {
+        // every batch observes EVERY key (the worst-case full-width
+        // merge); keys in groups 0..b carry their CUMULATIVE mutation so
+        // each key changes exactly once (in its own batch) — batch b
+        // writes |keys|/nBatches new versions on top of the carry scan
+        val obs = cust.map { case (k, seg, bal) =>
+          (k, seg, if (k % nBatches <= b.toLong) bal + (k % nBatches) + 1 else bal)
+        }
+        val t0 = System.nanoTime()
+        input.addData(obs.toIndexedSeq)
+        q.processAllAvailable()
+        batchSecs(b) = (System.nanoTime() - t0) / 1e9
+        spark.catalog.refreshTable("dimsoak_cust")
+        val dim = spark.table("dimsoak_cust")
+        println(f"[dimsoak] batch $b%2d: ${batchSecs(b)}%6.2f s  " +
+          f"rows ${dim.count()}%8d  current ${dim.filter(col("is_current")).count()}%8d")
+      }
+    } finally q.stop()
+
+    spark.catalog.refreshTable("dimsoak_cust")
+    val dim = spark.table("dimsoak_cust")
+    val nKeys = cust.length.toLong
+    val current = dim.filter(col("is_current")).count()
+    require(current == nKeys, s"one current row per key: $current vs $nKeys")
+    // batch 0 loads every key at its (group-0-mutated) value; each later
+    // batch b adds one new version per group-b key
+    val expectRows = nKeys + (1 until nBatches)
+      .map(b => cust.count(_._1 % nBatches == b.toLong).toLong).sum
+    val rows = dim.count()
+    require(rows == expectRows, s"version history rows: $rows vs $expectRows")
+    println(f"[dimsoak] history $rows%d rows over $nKeys%d keys — " +
+      f"batch secs ${batchSecs.map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}

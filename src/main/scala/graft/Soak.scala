@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Clusters, Dedup}
+import graft.operators.{Clusters, Dedup, TextAnalysis}
 import graft.streaming.DocStream
 
 /** Multi-batch streaming soak: drive a corpus through N micro-batches of
@@ -21,7 +21,16 @@ import graft.streaming.DocStream
   * pairs journal must stay ~proportional to dup mass, with compaction
   * rewriting it down to one edge per non-root member.
   *
-  * Usage: sbt "runMain graft.Soak [sfDir] [nBatches]"
+  * Mode `curate` soaks the FULL composed curation path instead
+  * ([[DocStream.curateIngest]]: normalize → PII redaction → quality
+  * gate → trained model gate → exact/near dedup against signature AND
+  * gram indexes), and kills the streaming query at mid-run with a batch
+  * already in flight, restarting from the checkpoint — the crash the
+  * replay-idempotency contract exists for. After the run: the sink must
+  * hold zero duplicate doc_ids and the signature index exactly one
+  * band-set per surviving doc, or the soak exits nonzero.
+  *
+  * Usage: sbt "runMain graft.Soak [sfDir] [nBatches] [dedup|curate]"
   * Exit is nonzero if per-batch time blows up (late-batch mean > 3x
   * early-batch mean) — the soak doubles as a regression gate.
   */
@@ -29,6 +38,7 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/.scratch/sf1")
     val nBatches = if (args.length > 1) args(1).toInt else 10
+    val mode = if (args.length > 2) args(2) else "dedup"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = java.nio.file.Files.createTempDirectory("graft-soak")
     val spark = SparkSession.builder()
@@ -41,6 +51,7 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "curate") { curateSoak(spark, sfDir, nBatches, root); return }
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -104,6 +115,94 @@ object Soak {
     val early = batchSecs.slice(1, 4).sum / 3 // skip batch 0: table bootstrap
     val late = batchSecs.takeRight(3).sum / 3
     println(f"[soak] early-batch mean ${early}%5.2f s, late-batch mean ${late}%5.2f s, ratio ${late / early}%4.2f")
+    require(late <= early * 3,
+      f"per-batch time must stay bounded as the corpus grows: $early%.2f -> $late%.2f")
+    spark.stop()
+  }
+
+  /** The composed-pipeline soak with a kill/restart: curateIngest over
+    * the corpus in `nBatches` micro-batches, query killed after batch
+    * `nBatches/2` WITH the next batch's data already queued (so the
+    * restarted query recovers it from the checkpoint — and, when the
+    * stop lands mid-batch, actually REPLAYS it against the already-
+    * appended sink/index state). */
+  private def curateSoak(spark: SparkSession, sfDir: String, nBatches: Int,
+      root: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    // O(dim) trained model gate — the real curateIngest surface, weights
+    // ride the closure as a literal exactly as in production
+    val (w, _) = TextAnalysis.trainPerceptron(
+      docsDf.filter(col("doc_id") < 2000), col("lang") === "en", dim = 32, iters = 2)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val perBatch = math.max(1, docs.length / nBatches)
+    println(s"[soak] curate mode: ${docs.length} docs, $nBatches batches " +
+      s"of ~$perBatch, model gate dim=${w.length}")
+
+    spark.sql("DROP TABLE IF EXISTS soakc_idx")
+    spark.sql("DROP TABLE IF EXISTS soakc_grams")
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "soakc_idx", out, ckpt, minQuality = 0.2,
+      gramIndexTable = Some("soakc_grams"), modelWeights = Some(w.toSeq))
+
+    def tableCount(t: String): Long =
+      if (!spark.catalog.tableExists(t)) 0L
+      else { spark.catalog.refreshTable(t); spark.table(t).count() }
+
+    var q = start()
+    val killAfter = nBatches / 2
+    val batchSecs = Array.fill(nBatches)(0.0)
+    try {
+      for (b <- 0 until nBatches) {
+        val slice = docs.slice(b * perBatch,
+          if (b == nBatches - 1) docs.length else (b + 1) * perBatch)
+        val t0 = System.nanoTime()
+        input.addData(slice.toIndexedSeq)
+        if (b == killAfter + 1) {
+          // the kill: batch data queued, query stopped (possibly
+          // mid-batch), fresh query recovers from the checkpoint
+          q.stop()
+          q = start()
+          println(s"[soak] killed the query with batch $b in flight; " +
+            "restarted from checkpoint")
+        }
+        q.processAllAvailable()
+        batchSecs(b) = (System.nanoTime() - t0) / 1e9
+        println(f"[soak] batch $b%2d: ${batchSecs(b)}%6.2f s  " +
+          f"sink ${spark.read.parquet(out).count()}%7d  " +
+          f"index ${tableCount("soakc_idx")}%8d  " +
+          f"grams ${tableCount("soakc_grams")}%9d")
+      }
+    } finally q.stop()
+
+    // the crash contract, asserted: no doc emitted twice, no duplicate
+    // signature appends (one band-set per doc), index == sink survivors
+    val sink = spark.read.parquet(out).localCheckpoint()
+    val n = sink.count()
+    val nDistinct = sink.select("doc_id").distinct().count()
+    println(s"[soak] final: sink $n rows, $nDistinct distinct doc_ids")
+    require(n == nDistinct,
+      s"restart must not duplicate sink rows: $n rows, $nDistinct distinct")
+    val sigCounts = spark.table("soakc_idx").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .select("c").distinct().collect().map(_.getLong(0)).toSet
+    require(sigCounts == Set(4L),
+      s"exactly one 4-band signature set per doc: got counts $sigCounts")
+    val idxDocs = spark.table("soakc_idx").select("doc_id").distinct().count()
+    require(idxDocs == nDistinct,
+      s"index docs ($idxDocs) must equal sink survivors ($nDistinct)")
+
+    val early = batchSecs.slice(1, 4).sum / 3
+    val late = batchSecs.takeRight(3).sum / 3
+    println(f"[soak] early-batch mean ${early}%5.2f s, late-batch mean " +
+      f"${late}%5.2f s, ratio ${late / early}%4.2f")
     require(late <= early * 3,
       f"per-batch time must stay bounded as the corpus grows: $early%.2f -> $late%.2f")
     spark.stop()

@@ -583,7 +583,8 @@ object Dedup {
   def writeGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
       k: Int = 8): Unit =
     graft.sources.Sinks.writeBucketed(
-      gramTable(tokenArrays(docs), k).select("g").distinct(),
+      gramTable(tokenArrays(docs), k).select("g").distinct()
+        .withColumn("ingest_batch", lit(-1L)),
       tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
       sortCols = Seq("g"))
 
@@ -610,9 +611,18 @@ object Dedup {
     * table (same bucket spec — co-location survives appends; duplicate
     * grams across appends are harmless, the probe is a semi-style set
     * join). */
+  /** `batchId` stamps the appended grams with their micro-batch of
+    * origin (−1 = batch-independent seed, [[writeGramIndex]]): a
+    * streaming REPLAY of the same batch must be able to exclude its own
+    * pre-crash append when it probes the corpus set, or every replayed
+    * doc reads as pure boilerplate against itself and is cut to "".
+    * Replay re-appends are tolerated (at-least-once): duplicates are
+    * invisible to their own batch and [[rebuildWithoutSpans]] dedups
+    * hit positions for everyone else. */
   def appendGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
-      k: Int = 8): Unit =
+      k: Int = 8, batchId: Long = -1L): Unit =
     gramTable(tokenArrays(docs), k).select("g").distinct()
+      .withColumn("ingest_batch", lit(batchId))
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "g").sortBy("g").saveAsTable(tableName)
 

@@ -179,13 +179,22 @@ object DocStream {
           .filter(col("batch_id") > col("corpus_id")) // one orientation
         val inBatchDups = inBatchPairs
           .select(col("batch_id").as("doc_id")).distinct() // keep smaller id
-        // 2b. CROSS-batch near-dups: probe the persisted corpus index
-        val corpusPairs = corpusIdx match {
+        // 2b. CROSS-batch near-dups: probe the persisted corpus index.
+        // The self-pair filter is the REPLAY guard, not an optimization:
+        // foreachBatch is at-least-once, so after a crash that lands
+        // between the index append and the checkpoint commit the
+        // replayed batch finds ITS OWN signatures in the corpus index
+        // (est_jaccard 1.0) — without the filter every replayed doc
+        // becomes "a dup of itself", the dynamic partition overwrite
+        // rewrites the sink partition WITHOUT the batch, and the docs
+        // are lost while the index still claims them (caught by the
+        // round-8 curate soak's kill/restart).
+        val corpusPairs = (corpusIdx match {
           case Some(ix) =>
             Dedup.incrementalPairs(ix, batchIdx, numHashes, minEstJaccard)
           case None => spark.range(0).select(col("id").as("corpus_id"),
             col("id").as("batch_id"), lit(0.0).as("est_jaccard"))
-        }
+        }).filter(col("corpus_id") =!= col("batch_id"))
         val corpusDups = corpusPairs
           .select(col("batch_id").as("doc_id")).distinct()
         val dupIds = inBatchDups.union(corpusDups).distinct()
@@ -255,7 +264,12 @@ object DocStream {
             val corpusGrams =
               if (spark.catalog.tableExists(gt)) {
                 spark.catalog.refreshTable(gt)
-                spark.table(gt)
+                // replay guard (the gram-side twin of the signature
+                // self-pair filter): grams a pre-crash run of THIS batch
+                // appended must not count as corpus boilerplate, or the
+                // replayed docs are span-cut to "" against themselves
+                // and dropped from the sink
+                spark.table(gt).filter(col("ingest_batch") =!= lit(batchId))
               } else spark.range(0).select(lit("").as("g"))
             val rebuilt = Dedup.incrementalSpanRemoval(survivors, corpusGrams)
             survivors.drop("text")
@@ -268,25 +282,41 @@ object DocStream {
         // commit re-runs the batch), so the corpus sink partitions by
         // batch id and dynamically overwrites ONLY its own partition —
         // a replay rewrites ingest_batch=<id> in place instead of
-        // appending a second copy. The signature/gram index appends
-        // below stay at-least-once; duplicate signature rows only widen
-        // candidate sets (every probe result passes a distinct()), they
-        // cannot change which docs survive. Then grow the indexes with
-        // the EMITTED text — bucket counts come from the existing
+        // appending a second copy. The signature append is made
+        // replay-idempotent too: an anti-join on (band, bucket, doc_id)
+        // against the existing index — bucket-pruned, so it costs a
+        // batch-sized probe like the dedup probe itself, never a corpus
+        // scan — skips rows a pre-crash append already landed, keeping
+        // the one-band-set-per-doc invariant under replay. Then grow
+        // the indexes with the EMITTED text — bucket counts come from
+        // the existing
         // tables' own specs.
         emitted.withColumn("ingest_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .parquet(outPath)
-        batchIdx.join(dupIds, Seq("doc_id"), "left_anti")
+        // index EMITTED docs, not near-dup survivors: a doc span-cut to
+        // "" never reaches the sink, and indexing it would leave the
+        // signature index claiming docs the corpus doesn't hold (the
+        // round-8 soak's index-vs-sink off-by-one). Future copies of
+        // such a doc are still caught — their grams are all corpus
+        // boilerplate, so the span pass cuts them to "" too.
+        val toAppend = batchIdx.join(emitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        val freshRows = corpusIdx match {
+          case Some(ix) => toAppend.join(
+            ix.select(col("band"), col("bucket"), col("doc_id")),
+            Seq("band", "bucket", "doc_id"), "left_anti")
+          case None => toAppend
+        }
+        freshRows
           .write.mode(SaveMode.Append).format("parquet")
           .bucketBy(tableBuckets(spark, indexTable).getOrElse(numBuckets), "band", "bucket")
           .sortBy("band", "bucket")
           .saveAsTable(indexTable)
         gramIndexTable.foreach(gt =>
           Dedup.appendGramIndex(emitted, gt,
-            tableBuckets(spark, gt).getOrElse(numBuckets)))
+            tableBuckets(spark, gt).getOrElse(numBuckets), batchId = batchId))
         ()
       }
       .start()

@@ -168,6 +168,68 @@ class DocStreamSpec extends AnyFunSuite {
       .bucketSpec.exists(_.numBuckets == 4))
   }
 
+  test("crash replay: re-running a batch loses nothing and appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-replaystream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS replay_idx")
+    spark.sql("DROP TABLE IF EXISTS replay_grams")
+
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    val input = MemoryStream[(Long, String)]
+    def start() = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "replay_idx", out, ckpt, minQuality = 0.0, numBuckets = 4,
+      gramIndexTable = Some("replay_grams"))
+    val q1 = start()
+    try {
+      input.addData((1L, textA), (2L, textB))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // simulate the at-least-once crash window: every batch write landed
+    // (sink partition, signature index, gram index) but the checkpoint
+    // COMMIT is lost — on restart structured streaming re-executes batch
+    // 0 with the same batch id and the same data. Before the round-8
+    // fixes the replayed docs matched their own signatures/grams in the
+    // indexes, were classified as dups/boilerplate of themselves, and
+    // the dynamic partition overwrite erased them from the sink.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // the local Hadoop FS keeps a checksum sidecar next to the commit
+    // file; a stale one makes the re-commit fail as a concurrent writer
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    def partFiles() = {
+      val d = java.nio.file.Paths.get(out, "ingest_batch=0")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = partFiles()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the replay must have actually RE-EXECUTED batch 0 (rewritten its
+    // sink partition) — otherwise this test locks nothing
+    assert(partFiles() != before,
+      "batch 0 was not re-executed; the crash simulation is broken")
+
+    val docs = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(docs.toSeq == Seq(1L, 2L),
+      s"replay must neither lose nor duplicate docs: ${docs.toSeq}")
+    spark.catalog.refreshTable("replay_idx")
+    val idx = spark.table("replay_idx").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(idx == Map(1L -> 4L, 2L -> 4L),
+      s"exactly one band-set per doc survives the replay: $idx")
+  }
+
   test("curateIngest scrubs, quality-gates, and dedups per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-curatestream")
