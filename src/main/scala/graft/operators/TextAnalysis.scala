@@ -455,6 +455,62 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams", "lm_score"))
   }
 
+  /** Interpolated Kneser–Ney bigram fluency score — the smoothed-LM
+    * filter (the CCNet shape) restated engine-exact in [[lmScore]]'s
+    * convention: per-bigram probability in integer ppm, half-up mean
+    * per document, no logs anywhere. KN's insight over MLE: back off
+    * not to unigram FREQUENCY but to continuation counts — a word is
+    * likely in a novel context in proportion to how many distinct
+    * contexts it already follows ("Francisco" is frequent but follows
+    * only "San", so it backs off to ~nothing). With absolute discount
+    * D = 3/4 every term is a ratio of integer counts, so the whole
+    * probability collapses to ONE exact integer division:
+    *
+    *   ppm = (max(4·c2 − 3, 0)·B·10⁶ + 3·n1p(w1)·nl(w2)·10⁶)
+    *         div (4·c1·B)
+    *
+    * c2/c1 = bigram/prefix counts, n1p(w1) = distinct continuations of
+    * w1, nl(w2) = distinct left contexts of w2, B = distinct bigram
+    * types (Kneser–Ney '95; Chen–Goodman '99 interpolated form). The
+    * model sums to 1 over the vocabulary per prefix up to ppm
+    * truncation (spec-locked).
+    *
+    * Plan: the same one-explode/aggregate shape as [[lmScore]] plus two
+    * vocabulary-sized continuation tables (broadcast) and the 1-row
+    * type total (broadcast crossJoin — the established totals pattern).
+    * Long bound: 4·c2·B·10⁶ ≤ 9.2e18 holds while c2·B < 2.3e12; a
+    * web-scale corpus widens the expression to DECIMAL like Anomaly. */
+  def knScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("t"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1p = c2.groupBy("w1").agg(count(lit(1)).as("n1p"))
+    val nl = c2.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val bt = c2.agg(count(lit(1)).as("bt"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(broadcast(n1p), Seq("w1"))
+      .join(broadcast(nl), Seq("w2"))
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        expr("(greatest(4 * c2 - 3, 0) * bt * 1000000 + 3 * n1p * nl * 1000000)" +
+          " div (4 * c1 * bt)").as("s"))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      expr("(sum(s) * 2 + count(1)) div (2 * count(1))").as("kn_score"))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "kn_score"))
+  }
+
   /** Bloom-filter decontamination: like [[contamination]], but the
     * benchmark shingle set is compressed into a fixed-size Bloom filter
     * (a few KB) instead of broadcast as exact strings — the shape that
@@ -542,6 +598,11 @@ object TextAnalysis {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(spark, dir))
       .orderBy("doc_id", "n_bigrams", "lm_score")
+
+  /** Kneser–Ney-smoothed bigram fluency score per document. */
+  def qKnScore(spark: SparkSession, dir: String): DataFrame =
+    knScore(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_bigrams", "kn_score")
 
   /** BM25 retrieval for a fixed 3-term query over the corpus vocabulary. */
   def qBm25(spark: SparkSession, dir: String): DataFrame =

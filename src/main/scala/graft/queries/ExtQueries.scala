@@ -119,6 +119,7 @@ object ExtQueries {
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
     "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
+    "text_kn_score"         -> TextAnalysis.qKnScore _,
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_adaptive_gate"    -> TextAnalysis.qAdaptiveGate _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
@@ -2584,6 +2585,34 @@ object ExtQueries {
         |  coalesce(lm_score, 0) AS lm_score
         |FROM toks t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id, n_bigrams, lm_score""".stripMargin,
+
+    // Mirrors TextAnalysis.knScore digit-for-digit: interpolated
+    // Kneser–Ney with D = 3/4 as one integer division per bigram —
+    // continuation counts n1p/nl and the type total bt are plain
+    // aggregates over the bigram-type table.
+    "text_kn_score" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |n1p AS (SELECT w1, count(*) AS n1p FROM c2 GROUP BY 1),
+        |nl AS (SELECT w2, count(*) AS nl FROM c2 GROUP BY 1),
+        |bt AS (SELECT count(*) AS bt FROM c2),
+        |s AS (SELECT doc_id,
+        |        (greatest(4 * c2.c2 - 3, 0) * bt.bt * 1000000
+        |         + 3 * n1p.n1p * nl.nl * 1000000) // (4 * c1.c1 * bt.bt) AS s
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |           JOIN n1p USING (w1) JOIN nl USING (w2) CROSS JOIN bt),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        CAST((sum(s) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS kn_score
+        |        FROM s GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(kn_score, 0) AS kn_score
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id, n_bigrams, kn_score""".stripMargin,
 
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, token

@@ -248,6 +248,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L)))      // no bigrams
   }
 
+  test("Kneser-Ney score: exact interpolated probabilities; model sums to one") {
+    // corpus "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    // c1: a=3 b=2; types B=3; n1p: a=2 b=1; nl: a=1 b=1 c=1
+    // P(b|a) = (4*2-3)/12 + (3*2/12)(1/3) = 7/12 -> 583333 ppm
+    // P(a|b) = 5/8 + (3/8)(1/3)           = 3/4  -> 750000 ppm
+    // P(c|a) = 1/12 + (6/12)(1/3)         = 1/4  -> 250000 ppm
+    val corpus = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.knScore(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc stream scores: 583333,750000,583333,750000,250000 -> mean 583333
+    assert(out.toSeq == Seq((1L, 5L, 583333L)))
+    // sums-to-one over the full vocab per prefix (KN's defining
+    // property): unseen (a,a) backs off to 3*n1p(a)*nl(a)/(4*c1(a)*B)
+    // = 6/36 -> 166666 ppm; 583333 + 250000 + 166666 = 999999
+    // (each ppm truncates down by < 1, so the sum sits in [1e6-V, 1e6])
+    val pA = Seq(583333L, 250000L, 166666L).sum
+    assert(pA >= 1000000L - 3 && pA <= 1000000L, pA.toString)
+    // prefix b over {a, b, c}: seen (b,a) = 750000; unseen (b,b) and
+    // (b,c) back off to 3*1*1/(4*2*3) = 1/8 -> 125000 each
+    val pB = Seq(750000L, 125000L, 125000L).sum
+    assert(pB == 1000000L, pB.toString)
+  }
+
   test("brute-force topk finds the geometric nearest neighbor") {
     val res = Similarity.bruteForceTopK(
       embs.filter($"id" === 10L).select($"id", $"embedding"),
