@@ -45,6 +45,59 @@ object Sketches {
           .otherwise(round(lit(k - 1) / col("hk"), 4)).as("est_distinct")): _*)
   }
 
+  /** KMV SET-OPERATION estimates: the Jaccard similarity between every
+    * pair of groups' value sets, from each group's k-minimum-values
+    * sketch (Beyer et al. '07's union/intersection trick): the UNION
+    * sketch of a pair is the k smallest hashes of K_A ∪ K_B, and
+    * J ≈ |{h ∈ K_U : h ∈ K_A ∧ h ∈ K_B}| / |K_U| — so pairwise set
+    * overlap between sources costs O(groups²·k) sketch rows, never a
+    * corpus-×-corpus comparison. This is the "which crawls share
+    * vocabulary / which sources mirror content" provenance report at
+    * sketch cost; groups with fewer than k distinct values degrade to
+    * EXACT Jaccard (their sketch is the whole set).
+    *
+    * Scale shape: the corpus-sized work is one (group, hash) distinct;
+    * sketches are O(groups·k); the group list (bounded: sources,
+    * languages, shards) is collected as driver metadata like the
+    * centroid/codebook family, and the pair frame broadcasts onto two
+    * equi-joins — no inequality join, no cartesian in the plan.
+    *
+    * Returns (src_a, src_b, n_union_sketch, n_both, jaccard_ppm) for
+    * every unordered group pair, jaccard half-up integer ppm. */
+  def kmvJaccardMatrix(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2)
+    val hashed = df.select(col(groupCol).cast("string").as("g"),
+      uniformHash(col(valueCol)).as("h")).distinct()
+    val byH = Window.partitionBy(col("g")).orderBy(col("h"))
+    val kept = hashed.withColumn("rk", row_number().over(byH))
+      .filter(col("rk") <= k).select("g", "h")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = kept.select("g").distinct()
+      .collect().map(_.getString(0)).sorted // O(groups) driver metadata
+    val pairs = (for {
+      i <- gs.indices; j <- (i + 1) until gs.length
+    } yield (gs(i), gs(j))).toDF("src_a", "src_b")
+    val left = broadcast(pairs).join(kept.withColumnRenamed("g", "src_a"), "src_a")
+    val right = broadcast(pairs).join(kept.withColumnRenamed("g", "src_b"), "src_b")
+    val merged = left.select("src_a", "src_b", "h")
+      .unionByName(right.select("src_a", "src_b", "h"))
+    // cnt = 2 ⟺ the hash sits in BOTH truncated sketches (each group's
+    // rows are h-distinct, so a pair sees any h at most twice)
+    val byPairH = Window.partitionBy("src_a", "src_b").orderBy("h")
+    merged.groupBy("src_a", "src_b", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byPairH))
+      .filter(col("rk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n_both"))
+      .select(col("src_a"), col("src_b"), col("n_union_sketch"), col("n_both"),
+        expr("(n_both * 2000000 + n_union_sketch) div (n_union_sketch * 2)")
+          .as("jaccard_ppm"))
+  }
+
   /** Per-group HyperLogLog distinct estimate (Flajolet et al. '07) from
     * the same portable primitives. One md5 digest per row: the first two
     * hex digits pick one of `m = 2^b` registers, the next 12 hex digits

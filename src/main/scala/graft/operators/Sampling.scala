@@ -350,4 +350,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("lang", "shard", "chunk", "n_docs", "n_tokens")
   }
+
+  /** Packing-efficiency report over [[packSequences]]' chunk layout —
+    * the capacity-QA a packing config is judged by before a training
+    * run: per stratum, how many sequences the corpus fills, the fill
+    * ratio against `n_chunks · budget` capacity (half-up ppm), and the
+    * overflow tail (chunks whose straddling last doc pushed them past
+    * the budget — the rows a truncation/continuation policy must
+    * handle). Wasted capacity and overflow are BOTH config smells:
+    * low fill says budget ≫ doc lengths per shard, high overflow says
+    * docs should be [[chunkDocuments]]-cut first.
+    *
+    * Scale shape: two hash aggregates over the packing frame — cell
+    * grain (stratum, shard, chunk), then stratum grain; O(strata) rows
+    * out, nothing beyond packSequences' own window moves data. */
+  def packReport(docs: DataFrame, tokensCol: Column, strataCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    val chunks = packSequences(docs, tokensCol, strataCol, budget, shards)
+      .groupBy(col(strataCol), col("shard"), col("chunk"))
+      .agg(sum(col("n_tok")).as("ct"))
+    chunks.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("ct")).as("n_tokens"),
+        sum(when(col("ct") > budget, 1L).otherwise(0L)).as("n_overflow"),
+        max(col("ct")).as("max_chunk_tokens"))
+      .select(col(strataCol), col("n_chunks"), col("n_tokens"),
+        expr(s"(n_tokens * 2000000 + n_chunks * ${budget}L) div (n_chunks * ${budget}L * 2)")
+          .as("fill_ppm"),
+        col("n_overflow"), col("max_chunk_tokens"))
+  }
+
+  /** Fill/overflow report for the 2048-token × 4-shard packing of
+    * [[qPackChunks]]. */
+  def qPackReport(spark: SparkSession, dir: String): DataFrame =
+    packReport(Tables.documents(spark, dir), wsTokens(col("text")), "lang",
+      budget = 2048L, shards = 4)
+      .orderBy("lang", "n_chunks", "n_tokens", "fill_ppm", "n_overflow",
+        "max_chunk_tokens")
 }

@@ -46,6 +46,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
   }
 
+  /** Like [[topKPerQuery]] but emitting each survivor's RANK (1 = best)
+    * under the aggregator's UNROUNDED (score desc, id asc) total order —
+    * the shape retrieval-quality metrics (MRR, NDCG) consume. Ranking
+    * off the aggregator's already-sorted output keeps the order exactly
+    * the arm's own, rather than re-sorting display-rounded similarities
+    * (which could regroup ties differently from the oracle). */
+  private def topKPerQueryRanked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val scoredEnc: org.apache.spark.sql.Encoder[Scored] =
+      org.apache.spark.sql.Encoders.product[Scored]
+    scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, (i + 1).toLong) } }
+      .toDF("query_id", "neighbor_id", "rk")
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` and
     * `candidates` are (id, embedding) DataFrames; query side is broadcast. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
@@ -165,7 +188,13 @@ object Similarity {
     * Centroids come from [[kmeansCentroids]] (set `kmeansIters = 0` for
     * the raw deterministic-subset seeds). */
   def ivfTopK(vectors: DataFrame, numCentroids: Int, queryPred: org.apache.spark.sql.Column,
-      k: Int, kmeansIters: Int = 2): DataFrame = {
+      k: Int, kmeansIters: Int = 2): DataFrame =
+    topKPerQuery(ivfScored(vectors, numCentroids, queryPred, kmeansIters), k)
+
+  /** The IVF candidate×query scored frame ([[ivfTopK]] before its top-k)
+    * — shared with rank-consuming metrics ([[mrrEval]]). */
+  private def ivfScored(vectors: DataFrame, numCentroids: Int,
+      queryPred: org.apache.spark.sql.Column, kmeansIters: Int = 2): DataFrame = {
     val assigned = kmeansAssign(vectors, numCentroids, kmeansIters)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
@@ -173,10 +202,9 @@ object Similarity {
     val cands = assigned
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
         col("centroid_id"))
-    val scored = cands.join(broadcast(q), Seq("centroid_id"))
+    cands.join(broadcast(q), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-    topKPerQuery(scored, k)
   }
 
   /** Deterministic hyperplane component (plane `j`, dimension `d`): the
@@ -324,6 +352,46 @@ object Similarity {
       .union(hits("lsh_mt", lshAnnMultiTable(emb, queryPred, k)))
       .select(col("method"), col("query_id"), col("n_hit"),
         (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
+  }
+
+  /** Mean reciprocal rank of approximate searchers at surfacing the TRUE
+    * nearest neighbor — the position-sensitive companion to [[annRecall]]
+    * (recall@k says the right answer is *somewhere* in the list; MRR says
+    * *where*, which is what a retrieval-augmented consumer that reads
+    * top-1..3 actually experiences). Ground truth = exact brute-force
+    * top-1 per query; each arm's list is ranked by its own unrounded
+    * (score desc, id asc) order; rr = ⌊10⁶ / rank⌋, 0 when the true
+    * neighbor is absent from the top-`k`; MRR = half-up integer mean.
+    *
+    * One row per method: (method, n_queries, mrr_ppm).
+    *
+    * Scale shape: exactly the arms' own cost — truth is one broadcast-
+    * query brute scan (Q bounded by queryPred), each arm's rank list is
+    * its bounded-heap top-k, and the metric join is O(Q·k). */
+  def mrrEval(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 10, numCentroids: Int = 8): DataFrame = {
+    val truth = bruteForceTopK(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), 1)
+      .select(col("query_id"), col("neighbor_id").as("true_id"))
+      .localCheckpoint() // feeds every arm's metric join
+    def armMrr(method: String, ranked: DataFrame): DataFrame = {
+      val found = ranked.join(truth, Seq("query_id"))
+        .filter(col("neighbor_id") === col("true_id"))
+        .select(col("query_id"), expr("1000000 div rk").as("rr"))
+      truth.join(found, Seq("query_id"), "left")
+        .select(lit(method).as("method"), coalesce(col("rr"), lit(0L)).as("rr"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"), sum(col("rr")).as("s"))
+        .select(col("method"), col("n_queries"),
+          expr("(s * 2 + n_queries) div (n_queries * 2)").as("mrr_ppm"))
+    }
+    armMrr("ivf",
+        topKPerQueryRanked(ivfScored(emb, numCentroids, queryPred), k))
+      .union(armMrr("lsh_mp",
+        topKPerQueryRanked(
+          lshMultiProbeScored(normedBuckets(emb, numPlanes = 8, dim = 64),
+            queryPred, numPlanes = 8), k)))
   }
 
   // ---- Scalar quantization (SQ8) ---------------------------------------
@@ -1161,7 +1229,13 @@ object Similarity {
     lshMultiProbeTopKFrom(normedBuckets(vectors, numPlanes, dim), queryPred, k, numPlanes)
 
   private def lshMultiProbeTopKFrom(b: DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int, numPlanes: Int): DataFrame = {
+      queryPred: org.apache.spark.sql.Column, k: Int, numPlanes: Int): DataFrame =
+    topKPerQuery(lshMultiProbeScored(b, queryPred, numPlanes), k)
+
+  /** The hamming-1 multi-probe candidate×query scored frame (before the
+    * top-k) — shared with rank-consuming metrics ([[mrrEval]]). */
+  private def lshMultiProbeScored(b: DataFrame,
+      queryPred: org.apache.spark.sql.Column, numPlanes: Int): DataFrame = {
     val flips = (1 to numPlanes).map { p =>
       val flipped = when(substring(col("bucket"), p, 1) === "1", "0").otherwise("1")
       concat(substring(col("bucket"), 1, p - 1), flipped,
@@ -1175,10 +1249,9 @@ object Similarity {
       col("nrm").as("cn"), col("bucket"))
     // a candidate has ONE bucket, so each (query, neighbor) pair matches at
     // most one probe key — no dedup needed before the top-k
-    val scored = cands.join(broadcast(q), Seq("bucket"))
+    cands.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-    topKPerQuery(scored, k)
   }
 
   // ---- query-shaped entry points -----------------------------------------
@@ -1227,6 +1300,12 @@ object Similarity {
   def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidClassify(Tables.embeddings(spark, dir))
       .orderBy("label", "pred_label", "n")
+
+  /** MRR@10 of IVF and hamming-1 multi-probe LSH at surfacing the exact
+    * nearest neighbor, queries vec_id < 10. */
+  def qAnnMrr(spark: SparkSession, dir: String): DataFrame =
+    mrrEval(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 10)
+      .orderBy("method", "n_queries", "mrr_ppm")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
     * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over

@@ -1320,6 +1320,175 @@ object TextAnalysis {
         .map { case (a, b, _) => (a, b) })
       .orderBy("lang", "n_words", "n_bpe_tokens", "tokens_per_word_ppm")
   }
+
+  // ---- line-level boilerplate removal ------------------------------------
+
+  /** C4-style LINE-level boilerplate removal (the Raffel et al. '20
+    * cleanup family, line-granular where [[Dedup.removeDuplicateSpans]]
+    * is token-window-granular): any line whose trimmed text appears in at
+    * least `minDocs` DISTINCT documents is boilerplate — nav menus,
+    * cookie banners, footers, legal blurbs — and is cut from EVERY
+    * document; survivors re-stitch in original line order. Blank lines
+    * are structure, never boilerplate candidates.
+    *
+    * Returns (doc_id, n_lines, n_kept, clean_text) for every input doc —
+    * a fully-boilerplate doc survives with n_kept = 0 and clean_text ""
+    * so the caller's drop policy stays explicit, mirroring the span
+    * remover's contract.
+    *
+    * Scale shape: one narrow posexplode scan; the boilerplate decision is
+    * a (line, doc) distinct + hash aggregate at line-text cardinality
+    * (never on the driver, never broadcast — boilerplate sets are
+    * data-sized); one equi-join back on the line key; one per-doc
+    * re-stitch aggregate whose sort is within a single doc's lines.
+    * Nothing pairwise, no corpus-wide window — the same gram-keyed
+    * dataflow the span/novelty family already proved sublinear at 100×.
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 3,
+      delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim))))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("lkey", trim(col("line")))
+    val boiler = lines.filter(col("lkey") =!= "")
+      .select("lkey", "doc_id").distinct()
+      .groupBy("lkey").agg(count(lit(1)).as("bl_docs"))
+      .filter(col("bl_docs") >= minDocs)
+    val rebuilt = lines.join(boiler, Seq("lkey"), "left")
+      .filter(col("bl_docs").isNull)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_kept"),
+        array_join(transform(col("ls"), x => x.getField("line")), delim)
+          .as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), java.util.regex.Pattern.quote(delim)))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Boilerplate-line removal over the corpus, with line structure
+    * derived deterministically in-query (the corpus text is single-line):
+    * every literal " a " token becomes a line break — same
+    * container-synthesis idea as the mm_png_* queries' pixel derivation,
+    * identical left-to-right non-overlapping `replace` in both engines. */
+  def qLineBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("replace(text, ' a ', chr(10))").as("text"))
+    removeBoilerplateLines(d, minDocs = 3)
+      .orderBy("doc_id", "n_lines", "n_kept", "clean_text")
+  }
+
+  // ---- exact classifier AUC (Mann–Whitney) -------------------------------
+
+  /** EXACT area under the ROC curve of a score column against a binary
+    * label — the metric a quality/domain-filter model is tuned by —
+    * computed as the tie-corrected Mann–Whitney statistic over the SCORE
+    * HISTOGRAM rather than a corpus sort: group scores into exact bins
+    * (scores are integer ppm, so binning is lossless), then
+    * AUC·n_pos·n_neg = Σ_bins pos_b·(neg_below_b + neg_b/2). The ×2
+    * ledger keeps every intermediate integral; the single division is
+    * the final half-up ppm.
+    *
+    * Returns one row (n_pos, n_neg, auc_ppm).
+    *
+    * Scale shape: one hash aggregate collapses the corpus to O(distinct
+    * scores) bins; the cumulative walk is a window over those bins, same
+    * O(bins) pattern as [[adaptiveQualityGate]] and the token-budget
+    * walk — no global sort of the corpus, no driver collect.
+    */
+  def exactAuc(scored: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val bins = scored.select(scoreCol.cast("long").as("s"),
+        labelCol.cast("long").as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .withColumn("neg", col("n") - col("p"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = bins
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      // 2·(pairs won + half-ties) per bin: p·(2·neg_below + neg)
+      .select(col("p"), col("neg"),
+        (col("p") * (col("neg_below") * 2 + col("neg"))).as("u2"))
+    contrib.agg(sum(col("p")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("u2")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(u2 * 1000000 + n_pos * n_neg) div (n_pos * n_neg * 2)")
+          .as("auc_ppm"))
+  }
+
+  /** AUC of the 64-bucket demo linear model at predicting lang = 'en' —
+    * the "does my cheap fastText-shape filter actually separate the
+    * target domain" check, run corpus-side before a threshold is picked. */
+  def qClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    exactAuc(
+      hashedLinearScore(docs, demoWeights())
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      col("score_ppm"), (col("lang") === "en").cast("long"))
+      .orderBy("n_pos", "n_neg", "auc_ppm")
+  }
+
+  // ---- vocabulary growth (Heaps' law) ------------------------------------
+
+  /** Vocabulary-growth curve in arrival order (doc_id ascending) — the
+    * empirical Heaps'-law trace (Heaps '78, V ≈ K·nᵝ) a corpus release
+    * card plots: after each tranche of the corpus, the cumulative doc,
+    * token, and DISTINCT-vocab counts. A flattening curve says new data
+    * is re-treading old vocabulary (diminishing content); a linear one
+    * says the source is still surfacing novelty — the aggregate
+    * companion to [[noveltyScore]]'s per-doc signal.
+    *
+    * Buckets are doc_id ranges (`doc_id·buckets div (max_id+1)`), so a
+    * token's first-appearance bucket is just min(bucket) — no corpus
+    * sort, no per-doc window. Scale shape: one token scan feeding two
+    * hash aggregates (bucket mass, token→min-bucket), then O(buckets)
+    * cumulative windows; the 1-row max(doc_id) broadcasts onto the scan.
+    *
+    * Returns (bucket, n_docs_cum, n_tokens_cum, vocab_cum). */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bucketOf = expr(s"doc_id * $buckets div (mx + 1)")
+    val tb = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("token"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf.as("b"), col("token"))
+    val tokMass = tb.groupBy("b").agg(count(lit(1)).as("toks"))
+    val firstSeen = tb.groupBy("token").agg(min(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_vocab"))
+    val docMass = docs.crossJoin(broadcast(mx))
+      .select(bucketOf.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("docs"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docMass.join(tokMass, Seq("b"), "left").join(firstSeen, Seq("b"), "left")
+      .na.fill(0L, Seq("toks", "new_vocab"))
+      .select(col("b").as("bucket"),
+        sum(col("docs")).over(w).as("n_docs_cum"),
+        sum(col("toks")).over(w).as("n_tokens_cum"),
+        sum(col("new_vocab")).over(w).as("vocab_cum"))
+  }
+
+  /** Ten-tranche vocabulary-growth curve over the corpus. */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir), buckets = 10)
+      .orderBy("bucket", "n_docs_cum", "n_tokens_cum", "vocab_cum")
+
+  /** Pairwise source-vocabulary Jaccard from KMV sketches — word BIGRAMS
+    * as the set elements so per-source cardinality exceeds the sketch
+    * size and the estimator path (not the exact-fallback) is what the
+    * oracle locks. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("source"), explode(Shingles.fromText(col("text"), 2)).as("v"))
+    graft.functions.Sketches.kmvJaccardMatrix(bigrams, "source", "v")
+      .orderBy("src_a", "src_b", "n_union_sketch", "n_both", "jaccard_ppm")
+  }
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

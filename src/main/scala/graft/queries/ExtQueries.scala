@@ -43,6 +43,7 @@ object ExtQueries {
     "ann_mmr_diverse"       -> Similarity.qMmrDiverse _,
     "ann_label_centroids"   -> Similarity.qLabelCentroids _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
+    "ann_mrr"               -> Similarity.qAnnMrr _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
@@ -97,6 +98,7 @@ object ExtQueries {
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
+    "pack_report"           -> graft.operators.Sampling.qPackReport _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
@@ -120,6 +122,10 @@ object ExtQueries {
     "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
     "text_kn_score"         -> TextAnalysis.qKnScore _,
+    "text_line_boilerplate" -> TextAnalysis.qLineBoilerplate _,
+    "text_classifier_auc"   -> TextAnalysis.qClassifierAuc _,
+    "text_source_overlap"   -> TextAnalysis.qSourceOverlap _,
+    "text_vocab_growth"     -> TextAnalysis.qVocabGrowth _,
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_adaptive_gate"    -> TextAnalysis.qAdaptiveGate _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
@@ -1598,6 +1604,56 @@ object ExtQueries {
          |SELECT method, query_id, n_hit, recall FROM r
          |ORDER BY method, query_id, n_hit, recall""".stripMargin,
 
+    // Mirrors Similarity.mrrEval: exact brute-force top-1 as ground
+    // truth; each arm ranked by its unrounded (cos desc, id asc) order;
+    // rr = 1e6 // rank (0 if absent from top-10); half-up ppm mean.
+    "ann_mrr" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |ivfq AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM asg2
+         |         WHERE vec_id < 10),
+         |ivfr AS (SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) AS rk
+         |  FROM asg2 a JOIN ivfq q
+         |    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id)
+         |  WHERE rk <= 10),
+         |$signLshCtes,
+         |lq AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10),
+         |lqp AS (SELECT query_id, qv, bucket FROM lq
+         |  UNION ALL
+         |  SELECT query_id, qv,
+         |    substr(bucket, 1, p - 1) ||
+         |      (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(bucket, p + 1, 8 - p) AS bucket
+         |  FROM lq, (SELECT unnest(generate_series(1, 8)) AS p)),
+         |mpr AS (SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) AS rk
+         |  FROM vb c JOIN lqp q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+         |  WHERE rk <= 10),
+         |bf1 AS (SELECT query_id, true_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS true_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.vec_id) AS rk
+         |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rk = 1),
+         |rr AS (
+         |  SELECT 'ivf' AS method, t.query_id,
+         |    coalesce(max(CASE WHEN r.neighbor_id = t.true_id
+         |                      THEN 1000000 // r.rk END), 0) AS rr
+         |  FROM bf1 t LEFT JOIN ivfr r USING (query_id) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'lsh_mp' AS method, t.query_id,
+         |    coalesce(max(CASE WHEN r.neighbor_id = t.true_id
+         |                      THEN 1000000 // r.rk END), 0) AS rr
+         |  FROM bf1 t LEFT JOIN mpr r USING (query_id) GROUP BY 1, 2)
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST((sum(rr) * 2 + count(*)) // (count(*) * 2) AS BIGINT) AS mrr_ppm
+         |FROM rr GROUP BY method
+         |ORDER BY method, n_queries, mrr_ppm""".stripMargin,
+
     "ann_recall" ->
       s"""WITH $vecCte,
          |${ivfCtes()},
@@ -2614,6 +2670,113 @@ object ExtQueries {
         |FROM toks t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id, n_bigrams, kn_score""".stripMargin,
 
+    // Mirrors TextAnalysis.removeBoilerplateLines over line structure
+    // derived in-query (replace ' a ' -> newline; left-to-right
+    // non-overlapping literal replace in both engines): a trimmed line
+    // seen in >= 3 distinct docs is cut everywhere, survivors re-stitch
+    // in order, fully-boilerplate docs survive as "".
+    "text_line_boilerplate" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' a ', chr(10)) AS text FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM d),
+        |lines AS (SELECT doc_id, i AS pos, t[i] AS line
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM sp)),
+        |boiler AS (SELECT trim(line) AS lkey FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |  WHERE trim(line) NOT IN (SELECT lkey FROM boiler)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM sp s LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id, n_lines, n_kept, clean_text""".stripMargin,
+
+    // Mirrors TextAnalysis.exactAuc over the demo linear model's scores
+    // vs the lang='en' label: tie-corrected Mann-Whitney computed on the
+    // exact score histogram (u2 = 2*(wins + ties/2)), final half-up ppm.
+    "text_classifier_auc" -> {
+      def h8(m: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH wt AS (SELECT j, ${h8("md5('qw:' || CAST(j AS VARCHAR))")} % 2000001 - 1000000 AS w
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |tb AS (SELECT doc_id, CAST(${h8("md5(token)")} % 64 AS BIGINT) AS j FROM tok),
+         |sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s
+         |       FROM tb JOIN wt USING (j) GROUP BY doc_id),
+         |lab AS (SELECT sc.doc_id, s,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |        FROM sc JOIN documents USING (doc_id)),
+         |bins AS (SELECT s, count(*) AS n, sum(y) AS p FROM lab GROUP BY s),
+         |cb AS (SELECT s, p, n - p AS neg,
+         |       coalesce(sum(n - p) OVER (ORDER BY s
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |       FROM bins),
+         |agg AS (SELECT sum(p) AS n_pos, sum(neg) AS n_neg,
+         |        sum(p * (2 * neg_below + neg)) AS u2 FROM cb)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST((u2 * 1000000 + n_pos * n_neg) // (n_pos * n_neg * 2) AS BIGINT) AS auc_ppm
+         |FROM agg ORDER BY n_pos, n_neg, auc_ppm""".stripMargin
+    },
+
+    // Mirrors Sketches.kmvJaccardMatrix over per-source word-bigram sets:
+    // per-source KMV (k=256, same md5/16^12 uniform hash as
+    // text_vocab_sketch), union sketch per pair = k smallest of both,
+    // J = |in-both within union sketch| / |union sketch|, half-up ppm.
+    "text_source_overlap" -> {
+      val hexVal12 = (1 to 12).map { p =>
+        val mult = 1L << (4 * (12 - p))
+        s"(instr('0123456789abcdef', substr(hh, $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |              FROM documents),
+         |bg AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] AS v
+         |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |h AS (SELECT DISTINCT source AS g, ($hexVal12) / 281474976710656.0 AS h
+         |      FROM (SELECT source, substr(md5(v), 1, 12) AS hh FROM bg)),
+         |kept AS (SELECT g, h FROM h
+         |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY h) <= 256),
+         |pairs AS (SELECT a.g AS src_a, b.g AS src_b
+         |  FROM (SELECT DISTINCT g FROM kept) a
+         |  JOIN (SELECT DISTINCT g FROM kept) b ON a.g < b.g),
+         |merged AS (SELECT src_a, src_b, h FROM pairs JOIN kept k ON k.g = src_a
+         |  UNION ALL SELECT src_a, src_b, h FROM pairs JOIN kept k ON k.g = src_b),
+         |fl AS (SELECT src_a, src_b, h, count(*) AS cnt FROM merged GROUP BY 1, 2, 3),
+         |u AS (SELECT * FROM fl
+         |  QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= 256)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+         |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST((sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) * 2000000 + count(*))
+         |       // (count(*) * 2) AS BIGINT) AS jaccard_ppm
+         |FROM u GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b, n_union_sketch, n_both, jaccard_ppm""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.vocabGrowth: doc_id-range tranches, token
+    // first-appearance = min(bucket), O(buckets) cumulative windows.
+    "text_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents),
+        |tb AS (SELECT doc_id * 10 // (mx + 1) AS b, token FROM t, mx),
+        |tok AS (SELECT b, count(*) AS toks FROM tb GROUP BY b),
+        |fv AS (SELECT b, count(*) AS new_vocab
+        |       FROM (SELECT token, min(b) AS b FROM tb GROUP BY token) GROUP BY b),
+        |dm AS (SELECT doc_id * 10 // (mx + 1) AS b, count(*) AS docs
+        |       FROM documents, mx GROUP BY 1)
+        |SELECT b AS bucket,
+        |  CAST(sum(docs) OVER w AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(coalesce(toks, 0)) OVER w AS BIGINT) AS n_tokens_cum,
+        |  CAST(sum(coalesce(new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+        |FROM dm LEFT JOIN tok USING (b) LEFT JOIN fv USING (b)
+        |WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |ORDER BY bucket, n_docs_cum, n_tokens_cum, vocab_cum""".stripMargin,
+
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, token
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -2736,5 +2899,28 @@ object ExtQueries {
          |SELECT lang, shard, start // 2048 AS chunk,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1, 2, 3 ORDER BY lang, shard, chunk, n_docs, n_tokens""".stripMargin,
+
+    // Mirrors Sampling.packReport: same packing cells as pack_chunks,
+    // rolled up per stratum with capacity = n_chunks * budget, half-up
+    // ppm fill, and the over-budget chunk tail.
+    "pack_report" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         |    ${hex16("pack")} AS pos
+         |  FROM documents),
+         |r AS (SELECT lang, pos % 4 AS shard, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang, pos % 4 ORDER BY pos, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+         |  FROM d),
+         |ch AS (SELECT lang, shard, start // 2048 AS chunk,
+         |       CAST(sum(n_tok) AS BIGINT) AS ct
+         |       FROM r GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(ct) AS BIGINT) AS n_tokens,
+         |  CAST((sum(ct) * 2000000 + count(*) * 2048) // (count(*) * 2048 * 2) AS BIGINT) AS fill_ppm,
+         |  CAST(sum(CASE WHEN ct > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+         |  CAST(max(ct) AS BIGINT) AS max_chunk_tokens
+         |FROM ch GROUP BY lang
+         |ORDER BY lang, n_chunks, n_tokens, fill_ppm, n_overflow, max_chunk_tokens""".stripMargin,
   )
 }

@@ -246,4 +246,28 @@ class TopKSpec extends AnyFunSuite {
       .collect().head._2
     assert(got == expected(xs, 10))
   }
+
+  test("KMV Jaccard matrix: exact below sketch size, truncation-correct above") {
+    import spark.implicits._
+    // below k: sketches are the full sets -> exact Jaccard
+    val rows = ((1 to 8).map(i => ("A", s"v$i"))
+      ++ (5 to 12).map(i => ("B", s"v$i"))
+      ++ (100 to 103).map(i => ("C", s"v$i"))).toDF("g", "v")
+    val m = Sketches.kmvJaccardMatrix(rows, "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(("A", "B")) == ((12L, 4L, 333333L))) // |A∩B|=4, |A∪B|=12
+    assert(m(("A", "C"))._2 == 0L)
+    assert(m(("B", "C"))._3 == 0L)
+    // above k: identical sets keep J=1 under truncation, disjoint keep 0
+    val big = ((1 to 50).map(i => ("X", s"w$i"))
+      ++ (1 to 50).map(i => ("Y", s"w$i"))
+      ++ (200 to 249).map(i => ("Z", s"w$i"))).toDF("g", "v")
+    val t = Sketches.kmvJaccardMatrix(big, "g", "v", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(t(("X", "Y")) == ((8L, 8L, 1000000L)))
+    assert(t(("X", "Z"))._1 == 8L)
+    assert(t(("X", "Z"))._3 == 0L)
+  }
 }

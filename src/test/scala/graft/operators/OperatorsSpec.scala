@@ -966,4 +966,66 @@ class OperatorsSpec extends AnyFunSuite {
       dim = 64, iters = 6)
     assert(w2.toSeq == w.toSeq)
   }
+
+  test("boilerplate lines cut everywhere; survivors re-stitch in order") {
+    val corpus = Seq(
+      (1L, "intro one\ncookie banner\nshared duo\nbody one"),
+      (2L, "shared duo\nbody two\ncookie banner"),
+      (3L, "cookie banner\nbody three"),
+      (4L, "cookie banner")) // fully boilerplate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(corpus, minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // "cookie banner" is in 3 docs -> cut; "shared duo" only in 2 -> kept
+    assert(out(1L) == ((4L, 3L, "intro one\nshared duo\nbody one")))
+    assert(out(2L) == ((3L, 2L, "shared duo\nbody two")))
+    assert(out(3L) == ((2L, 1L, "body three")))
+    assert(out(4L) == ((1L, 0L, ""))) // survives empty, drop stays explicit
+  }
+
+  test("exact AUC: hand-computed tie-corrected Mann-Whitney") {
+    // neg scores {1,2}, pos {2,3}: U = 1 (2>1) + 0.5 (2=2 tie) + 2 (3>both)
+    // = 3.5 of 4 pairs -> 875000 ppm
+    val scored = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 2L, 1L), (4L, 3L, 1L))
+      .toDF("id", "s", "y")
+    val r = TextAnalysis.exactAuc(scored, col("s"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 875000L)))
+  }
+
+  test("exact AUC: perfect separation, pure tie, and inversion") {
+    def auc(rows: Seq[(Long, Long, Long)]): Long =
+      TextAnalysis.exactAuc(rows.toDF("id", "s", "y"), col("s"), col("y"))
+        .collect().head.getLong(2)
+    assert(auc(Seq((1L, 10L, 1L), (2L, 0L, 0L))) == 1000000L)
+    assert(auc(Seq((1L, 5L, 1L), (2L, 5L, 0L))) == 500000L)
+    assert(auc(Seq((1L, 0L, 1L), (2L, 10L, 0L))) == 0L)
+  }
+
+  test("MRR: arms that cover the corpus rank the true nearest first") {
+    // six vectors in one orthant: with one IVF cell every candidate is
+    // scanned, and identical sign patterns put the cluster in one LSH
+    // bucket -> both arms find the exact nearest at rank 1 (MRR = 1e6)
+    val base = Array.tabulate(64)(i => 1.0f + (i % 3) * 0.1f)
+    val vecs = (0L until 6L).map { id =>
+      (id, base.zipWithIndex.map { case (v, i) => v + 0.01f * ((id + i) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.mrrEval(vecs, col("vec_id") < 2, k = 5, numCentroids = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("ivf") == ((2L, 1000000L)))
+    assert(out("lsh_mp") == ((2L, 1000000L)))
+  }
+
+  test("vocabulary growth: cumulative curve with first-appearance credit") {
+    // bucket 0: docs 0,1 (ids 0..3 over 2 buckets); bucket 1: docs 2,3
+    val corpus = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a b d"), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(corpus, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bucket 0: 2 docs, 4 tokens, vocab {a,b,c}=3
+    // bucket 1: +2 docs, +5 tokens, +{d,e}=2 -> cum (4, 9, 5)
+    assert(out.toSeq == Seq((0L, 2L, 4L, 3L), (1L, 4L, 9L, 5L)))
+  }
 }

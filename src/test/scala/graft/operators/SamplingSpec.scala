@@ -181,4 +181,25 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(scored.toSeq == Seq((100L, 0L, 0L)), scored.toSeq.toString)
   }
+
+  test("pack report: fill + overflow accounting matches the chunk layout") {
+    // one stratum, one shard; hash order is whatever it is -- the report
+    // is checked against the independently-computed chunk table
+    val docs = Seq(
+      (1L, ("w " * 99).trim), (2L, ("w " * 99).trim), (3L, ("w " * 99).trim),
+      (4L, ("w " * 9).trim)).map { case (id, t) => (id, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val rep = Sampling.packReport(docs, Sampling.wsTokens(col("text")), "lang",
+      budget = 100L, shards = 1).collect().head
+    val chunks = Sampling.packSequences(docs, Sampling.wsTokens(col("text")),
+      "lang", budget = 100L, shards = 1)
+      .groupBy("chunk").agg(sum(col("n_tok")).as("ct"))
+      .collect().map(_.getLong(1))
+    assert(rep.getLong(1) == chunks.length.toLong)
+    assert(rep.getLong(2) == chunks.sum)
+    val cap = chunks.length * 100L
+    assert(rep.getLong(3) == (chunks.sum * 2000000L + cap) / (cap * 2))
+    assert(rep.getLong(4) == chunks.count(_ > 100L).toLong)
+    assert(rep.getLong(5) == chunks.max)
+  }
 }
