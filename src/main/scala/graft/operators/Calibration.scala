@@ -80,4 +80,44 @@ object Calibration {
       expr("least(n_chars div 50, 40)"),
       (col("lang") === "en").cast("int"))
       .orderBy("bin", "n", "pos", "iso_ppm")
+
+  /** Brier score — mean squared error of a ppm probability against a
+    * 0/1 outcome — the proper scoring rule that grades CALIBRATION where
+    * [[graft.operators.TextAnalysis.exactAuc]] grades RANKING (a
+    * classifier can ace one and flunk the other; a filter threshold
+    * needs both numbers). Exact integer arithmetic end to end: per-row
+    * squared error ≤ 10¹², summed as DECIMAL(38,0) (the BM25/DSIR
+    * widening discipline — a LONG sum overflows past ~9·10⁶ rows), one
+    * half-up division at the end. One hash aggregate; O(1) output.
+    *
+    * Returns one row (predictor, n, brier_ppm ∈ [0, 10⁶]). */
+  def brierScore(frame: DataFrame, predictor: String, probPpm: Column,
+      label: Column): DataFrame =
+    frame.select((probPpm.cast("long") - label.cast("long") * 1000000L).as("e"))
+      .select((col("e") * col("e")).cast("decimal(38,0)").as("sq"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sq"))
+      .select(lit(predictor).as("predictor"), col("n"),
+        expr("""CAST((sq * 2 + CAST(n AS DECIMAL(38,0)) * 1000000)
+                div (CAST(n AS DECIMAL(38,0)) * 2000000) AS BIGINT)""")
+          .as("brier_ppm"))
+
+  /** Brier of the isotonic length→P(en) fit vs the constant base-rate
+    * predictor — PAV minimizes squared error over monotone functions and
+    * the constant IS monotone, so isotonic ≤ base_rate is a theorem the
+    * two rows exhibit (and the oracle re-derives both from scratch). */
+  def qBrier(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val docs = base.select(expr("least(n_chars div 50, 40)").as("bin"),
+      (col("lang") === "en").cast("long").as("y"))
+    val fit = isotonicCalibrate(base, expr("least(n_chars div 50, 40)"),
+        (col("lang") === "en").cast("int"))
+      .select(col("bin"), col("iso_ppm"))
+    val rate = docs.agg(
+      expr("(sum(y) * 2000000 + count(1)) div (2 * count(1))").as("p"))
+    brierScore(docs.join(broadcast(fit), "bin"), "isotonic",
+        col("iso_ppm"), col("y"))
+      .union(brierScore(docs.crossJoin(broadcast(rate)), "base_rate",
+        col("p"), col("y")))
+      .orderBy("predictor", "n", "brier_ppm")
+  }
 }

@@ -201,6 +201,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** FUZZY vocabulary search: every corpus token within `maxDist` edit
+    * distance of `pattern`, with doc/occurrence counts — the typo/variant
+    * probe of the grep family (exact substring = [[grepIndexed]]; this is
+    * "find the misspellings a blocklist or query should also cover").
+    *
+    * Scale shape: the corpus-sized work is ONE token aggregate to the
+    * VOCABULARY grain; the Levenshtein DP runs per distinct token (vocab-
+    * sized, not corpus-sized) inside the scan's codegen stage, behind a
+    * sound `|len(t) − len(p)| ≤ maxDist` prefilter (edit distance is
+    * bounded below by the length gap, so the filter is result-invisible
+    * — the oracle omits it and still hash-matches). Both engines compute
+    * the same exact integer DP, so no rounding surface exists. */
+  def fuzzyTokenSearch(docs: DataFrame, pattern: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0)
+    docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(abs(length(col("token")) - lit(pattern.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("token"), lit(pattern)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("token"), col("dist"), col("n_docs"), col("n_occurrences"))
+  }
+
+  /** Tokens within edit distance 2 of the (misspelled) query "tble". */
+  def qGrepFuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyTokenSearch(Tables.documents(spark, dir), "tble", maxDist = 2)
+      .orderBy("token", "dist", "n_docs", "n_occurrences")
+
   /** Persist [[gramIndex]] bucketed + sorted by gram: probes against the
     * table are BUCKET-PRUNED — `grepIndexed`'s gram-literal filter reads
     * only the buckets the pattern's grams hash to (SelectedBucketsCount

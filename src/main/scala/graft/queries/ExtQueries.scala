@@ -134,6 +134,9 @@ object ExtQueries {
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
     "events_drift"          -> graft.operators.Anomaly.qEventDrift _,
     "events_drift_windows"  -> graft.streaming.EventStream.qDriftWindows _,
+    "events_trending"       -> graft.streaming.EventStream.qTrending _,
+    "text_grep_fuzzy"       -> TextAnalysis.qGrepFuzzy _,
+    "text_brier"            -> graft.operators.Calibration.qBrier _,
   )
 
   /** Per-column profile of the orders schema over any relation — shared
@@ -2177,6 +2180,68 @@ object ExtQueries {
         |SELECT bin, n, pos,
         |  CAST((ssy * 2000000 + sn) // (2 * sn) AS BIGINT) AS iso_ppm
         |FROM mx ORDER BY bin, n, pos, iso_ppm""".stripMargin,
+
+    // Mirrors Calibration.qBrier: the isotonic fit (same PAV-by-minimax
+    // chain as text_isotonic_calib) applied back per doc vs the constant
+    // base rate; Brier = half-up ppm mean of (p_ppm - y*1e6)^2 / 1e12.
+    "text_brier" ->
+      """WITH d AS (SELECT least(n_chars // 50, 40) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |bins AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |         FROM d GROUP BY 1),
+        |ob AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i,
+        |       CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |       CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM bins),
+        |seg AS (SELECT j.i AS ji, k.i AS ki,
+        |    k.cp - j.cp + j.pos AS ssy, k.cn - j.cn + j.n AS sn
+        |  FROM ob j JOIN ob k ON k.i >= j.i),
+        |tri AS (SELECT i.i, i.bin, i.n, i.pos, s.ji, s.ki, s.ssy, s.sn,
+        |    CAST(s.ssy AS DOUBLE) / s.sn AS m
+        |  FROM ob i JOIN seg s ON s.ji <= i.i AND s.ki >= i.i),
+        |mn AS (SELECT i, bin, n, pos, ji, ssy, sn, m FROM tri
+        |       QUALIFY row_number() OVER (PARTITION BY i, ji ORDER BY m, ki) = 1),
+        |mx AS (SELECT i, bin, n, pos, ssy, sn FROM mn
+        |       QUALIFY row_number() OVER (PARTITION BY i ORDER BY m DESC, ji) = 1),
+        |fit AS (SELECT bin,
+        |        CAST((ssy * 2000000 + sn) // (2 * sn) AS BIGINT) AS iso_ppm FROM mx),
+        |base AS (SELECT CAST((sum(y) * 2000000 + count(*)) // (2 * count(*)) AS BIGINT) AS p
+        |         FROM d),
+        |b1 AS (SELECT 'isotonic' AS predictor, count(*) AS n,
+        |       sum((f.iso_ppm - d.y * 1000000) * (f.iso_ppm - d.y * 1000000)) AS sq
+        |       FROM d JOIN fit f USING (bin)),
+        |b2 AS (SELECT 'base_rate' AS predictor, count(*) AS n,
+        |       sum((base.p - d.y * 1000000) * (base.p - d.y * 1000000)) AS sq
+        |       FROM d, base),
+        |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |SELECT predictor, CAST(n AS BIGINT) AS n,
+        |  CAST((sq * 2 + n * 1000000) // (n * 2000000) AS BIGINT) AS brier_ppm
+        |FROM u ORDER BY predictor, n, brier_ppm""".stripMargin,
+
+    // Mirrors TextAnalysis.fuzzyTokenSearch (query 'tble', maxDist 2):
+    // vocabulary-grain Levenshtein; the oracle OMITS the spark side's
+    // sound length prefilter, proving it result-invisible.
+    "text_grep_fuzzy" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |             FROM documents),
+        |v AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |      CAST(count(*) AS BIGINT) AS n_occurrences FROM tok GROUP BY token)
+        |SELECT token, CAST(levenshtein(token, 'tble') AS BIGINT) AS dist,
+        |  n_docs, n_occurrences
+        |FROM v WHERE levenshtein(token, 'tble') <= 2
+        |ORDER BY token, dist, n_docs, n_occurrences""".stripMargin,
+
+    // Mirrors EventStream.trendingBatch: hourly count cells, top-3 by
+    // (cnt desc, type asc) per window.
+    "events_trending" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS win_s, event_type,
+        |           count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT win_s, event_type, cnt,
+        |      CAST(row_number() OVER (PARTITION BY win_s
+        |        ORDER BY cnt DESC, event_type) AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT win_s, rk, event_type, cnt FROM r WHERE rk <= 3
+        |ORDER BY win_s, rk, event_type, cnt""".stripMargin,
 
     // Mirrors Linkage.qErBlockedPairs: admissible blocks (≤ 1000
     // members) on (nation, segment), pairwise levenshtein ≤ 2 within

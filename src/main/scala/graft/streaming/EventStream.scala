@@ -243,6 +243,51 @@ object EventStream {
       .orderBy("win_s", "event_type", "n_win", "l1_ppm")
   }
 
+  // ---- windowed trending (top-k per window) ------------------------------
+
+  /** Shared fold of the trending pair: each window's O(event-types)
+    * count cells collapse to the k top rows, ranked (cnt desc, type asc)
+    * via one array sort over the per-window cell list — no corpus
+    * window function, no second shuffle beyond the window key. */
+  private def trendingFromCounts(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .groupBy(col("win"))
+      .agg(array_sort(collect_list(
+        struct((-col("cnt")).as("nc"), col("event_type"), col("cnt")))).as("xs"))
+      // NTZ-safe epoch seconds (see driftFromBinned)
+      .select(col("win.start").cast("timestamp").cast("long").as("win_s"),
+        posexplode(slice(col("xs"), 1, k)))
+      .select(col("win_s"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.event_type").as("event_type"), col("col.cnt").as("cnt"))
+
+  /** STREAMING trending monitor: per event-time tumbling window, the
+    * top-`k` event types by count — the "what is spiking right now"
+    * dashboard feed. Same bounded-state shape as [[driftStream]]: the
+    * only wide stateful aggregate keys on (window, event_type) — count
+    * cells, not events — closed by the watermark; the second (chained)
+    * aggregate folds each finalized window's O(types) cells into k
+    * ranked rows. Append mode: each window's ranking emits exactly once. */
+  def trendingStream(events: DataFrame, k: Int = 3,
+      windowDur: String = "1 hour"): DataFrame =
+    trendingFromCounts(
+      events.withWatermark("ts", windowDur)
+        .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")), k)
+
+  /** Batch twin of [[trendingStream]] — same windows, same tie order
+    * (cnt desc, type asc), oracle-checked as events_trending; the stream
+    * twin is spec-locked equal on the same rows. */
+  def trendingBatch(events: DataFrame, k: Int = 3,
+      windowDur: String = "1 hour"): DataFrame =
+    trendingFromCounts(
+      events.groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")), k)
+
+  /** Top-3 event types per hour over the events table. */
+  def qTrending(spark: SparkSession, dir: String): DataFrame =
+    trendingBatch(Tables.events(spark, dir))
+      .orderBy("win_s", "rk", "event_type", "cnt")
+
   /** Open a file-based event stream (one-file-at-a-time trigger testing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema

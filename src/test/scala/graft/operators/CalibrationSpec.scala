@@ -51,4 +51,31 @@ class CalibrationSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("calibration bins"))
   }
+
+  test("Brier score: hand values and the PAV-beats-constant theorem") {
+    import spark.implicits._
+    // perfect predictor -> 0; inverted -> 1e6; coin at 0.5 -> 250000
+    def brier(rows: Seq[(Long, Long)]): Long =
+      Calibration.brierScore(rows.toDF("p", "y"), "t", col("p"), col("y"))
+        .collect().head.getLong(2)
+    assert(brier(Seq((1000000L, 1L), (0L, 0L))) == 0L)
+    assert(brier(Seq((0L, 1L), (1000000L, 0L))) == 1000000L)
+    assert(brier(Seq((500000L, 1L), (500000L, 0L))) == 250000L)
+    // isotonic fit never loses to the constant base rate (PAV minimizes
+    // squared error over monotone fits; the constant is monotone)
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, "w", if (i % 7 < (i / 10)) "en" else "de", (i * 13L) % 400 + 20)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val bin = expr("least(n_chars div 50, 40)")
+    val y = (col("lang") === "en").cast("long")
+    val fit = Calibration.isotonicCalibrate(docs, bin, y.cast("int"))
+      .select(col("bin"), col("iso_ppm"))
+    val frame = docs.select(bin.as("bin"), y.as("y"))
+    val rate = frame.agg(expr("(sum(y) * 2000000 + count(1)) div (2 * count(1))").as("p"))
+    val iso = Calibration.brierScore(frame.join(broadcast(fit), "bin"),
+      "iso", col("iso_ppm"), col("y")).collect().head.getLong(2)
+    val const = Calibration.brierScore(frame.crossJoin(broadcast(rate)),
+      "c", col("p"), col("y")).collect().head.getLong(2)
+    assert(iso <= const, s"isotonic $iso must not lose to constant $const")
+  }
 }

@@ -1028,4 +1028,23 @@ class OperatorsSpec extends AnyFunSuite {
     // bucket 1: +2 docs, +5 tokens, +{d,e}=2 -> cum (4, 9, 5)
     assert(out.toSeq == Seq((0L, 2L, 4L, 3L), (1L, 4L, 9L, 5L)))
   }
+
+  test("fuzzy token search: edit-distance hits with result-invisible prefilter") {
+    val corpus = Seq(
+      (1L, "table cable tble stable rock"),
+      (2L, "table fable rocket"),
+      (3L, "xyzzy")).toDF("doc_id", "text")
+    val out = TextAnalysis.fuzzyTokenSearch(corpus, "tble", maxDist = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // d=1: exact hit + the one-insertion variant, nothing else
+    assert(out.keySet == Set("tble", "table"))
+    assert(out("tble") == ((0L, 1L, 1L)))
+    assert(out("table") == ((1L, 2L, 2L))) // in 2 docs, 2 occurrences
+    // d=2 widens to substitution+insertion variants and the s-prefix,
+    // but never to unrelated tokens
+    val wide = TextAnalysis.fuzzyTokenSearch(corpus, "tble", maxDist = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(wide == Set("tble", "table", "cable", "fable", "stable"))
+  }
 }

@@ -240,4 +240,39 @@ class EventStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 3L), (2L, 1L, 3L)))
   }
+
+  test("streaming trending top-k emits finalized windows equal to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hour 10: click x3, view x2, buy x1 -> ranks click, view, buy
+    // hour 11: view x2, buy x2 (tie -> buy before view), click x1
+    val live =
+      (0 until 3).map(i => Event(i, tsH(10, i), 1, "click", 0)) ++
+      (0 until 2).map(i => Event(10 + i, tsH(10, 10 + i), 1, "view", 0)) ++
+      Seq(Event(20, tsH(10, 20), 1, "buy", 0)) ++
+      (0 until 2).map(i => Event(30 + i, tsH(11, i), 1, "view", 0)) ++
+      (0 until 2).map(i => Event(40 + i, tsH(11, 10 + i), 1, "buy", 0)) ++
+      Seq(Event(50, tsH(11, 20), 1, "click", 0))
+    val input = MemoryStream[Event]
+    val q = EventStream.trendingStream(input.toDF(), k = 2)
+      .writeStream.format("memory").queryName("trending").outputMode("append").start()
+    try {
+      input.addData(live: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, tsH(13, 30), 2, "click", 0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("trending")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = EventStream.trendingBatch(live.toDF(), k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(got), s"stream $got missing batch rows $batch")
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+      assert(got.filter(_._1 == h10) ==
+        Set((h10, 1L, "click", 3L), (h10, 2L, "view", 2L)))
+      // tie at cnt=2 breaks by type asc: buy before view; k=2 cuts click
+      assert(got.filter(_._1 == h11) ==
+        Set((h11, 1L, "buy", 2L), (h11, 2L, "view", 2L)))
+    } finally q.stop()
+  }
 }
