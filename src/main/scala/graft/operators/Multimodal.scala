@@ -643,6 +643,61 @@ object Multimodal {
         expr("start_sample div hop").as("window_idx"),
         col("start_sample"), col("wlen").as("n_window_samples"))
 
+  /** Per-sample stream of an audio payload: (doc_id, n, x) with x the
+    * byte value at position n — the composable input of
+    * [[sequencySpectrum]] (these payloads are text bytes, so the byte
+    * panel is a char-split + ascii projection; a real PCM payload
+    * routes through [[WavCodec]]'s sample decode instead, nothing
+    * downstream changes). */
+  def audioSamples(media: DataFrame): DataFrame =
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), posexplode(split(col("payload").cast("string"), "")))
+      .toDF("doc_id", "n", "c")
+      .filter(col("c") =!= "") // Spark's limit=-1 split keeps a trailing ""
+      .select(col("doc_id"), col("n").cast("long").as("n"),
+        ascii(col("c")).cast("long").as("x"))
+
+  /** Walsh–Hadamard "sequency" spectrum over audio sample windows — the
+    * spectral-feature front end (tone/noise/band-energy descriptors per
+    * frame) restated in EXACT integer arithmetic: coefficient k of a
+    * 2^m-sample window is Σ xₙ·(−1)^popcount(n AND k) (the WHT;
+    * Harmuth's sequency analysis is the classical DFT alternative when
+    * multiplications must be exact). A float Goertzel/FFT would be
+    * libm- and order-dependent across engines; the WHT's ±1 basis keeps
+    * every amplitude an exact integer, so the spectrum hash-matches the
+    * SQL oracle and is bit-stable under any partitioning.
+    *
+    * Dataflow: window starts explode per doc ([[audioWindows]]' fully-
+    * inside rule), window positions expand ×windowLen, coefficients
+    * ×nCoeffs, then ONE equi-join back to the sample panel on
+    * (doc_id, n) and one hash aggregate per (doc, window, k) — a
+    * postings-shaped linear pipeline with a windowLen·nCoeffs/hop
+    * constant factor, no range join, no UDF, nothing quadratic.
+    *
+    * Returns (doc_id, w, k, amp) — amp the exact integer amplitude. */
+  def sequencySpectrum(samples: DataFrame, windowLen: Int = 8, hop: Int = 8,
+      nCoeffs: Int = 4): DataFrame = {
+    require((windowLen & (windowLen - 1)) == 0 && windowLen >= 2,
+      s"windowLen must be a power of two, got $windowLen")
+    require(hop >= 1 && hop <= windowLen, "need 1 <= hop <= windowLen")
+    require(nCoeffs >= 1 && nCoeffs <= windowLen, "need 1 <= nCoeffs <= windowLen")
+    val wins = samples.groupBy("doc_id").agg((max(col("n")) + 1).as("len"))
+      .filter(col("len") >= windowLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("len") - windowLen, lit(hop.toLong)))
+          .as("start"))
+      .select(col("doc_id"), expr(s"start div $hop").as("w"), col("start"))
+      .select(col("doc_id"), col("w"), col("start"),
+        explode(sequence(lit(0L), lit(windowLen - 1L))).as("m"))
+      .select(col("doc_id"), col("w"), (col("start") + col("m")).as("n"), col("m"))
+    wins.join(samples, Seq("doc_id", "n"))
+      .select(col("doc_id"), col("w"), col("m"), col("x"),
+        explode(sequence(lit(0L), lit(nCoeffs - 1L))).as("k"))
+      .groupBy("doc_id", "w", "k")
+      .agg(sum(col("x") *
+        when(expr("bit_count(m & k) % 2") === 0, 1L).otherwise(-1L)).as("amp"))
+  }
+
   // ---- query-shaped entry points -----------------------------------------
 
   /** Payload + metadata summary (oracle-checkable: byte lengths). */
@@ -676,6 +731,15 @@ object Multimodal {
   def qAudioWindows(spark: SparkSession, dir: String): DataFrame =
     audioWindows(mediaTable(Tables.documents(spark, dir)))
       .orderBy("doc_id", "window_idx", "start_sample", "n_window_samples")
+
+  /** Exact integer sequency spectrum (4 WHT coefficients per 8-sample
+    * window) for audio docs with doc_id < 60. */
+  def qAudioSpectrum(spark: SparkSession, dir: String): DataFrame =
+    sequencySpectrum(audioSamples(
+        mediaTable(Tables.documents(spark, dir)).filter(col("doc_id") < 60)))
+      .select(col("doc_id"), col("w").as("window_idx"), col("k").as("coeff"),
+        col("amp"))
+      .orderBy("doc_id", "window_idx", "coeff", "amp")
 
   /** Per-bucket pixel sums over REAL decoded BMP pixels: build a genuine
     * 24-bit bottom-up padded BMP from each image-typed doc's text, decode

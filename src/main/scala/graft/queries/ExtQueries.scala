@@ -75,6 +75,7 @@ object ExtQueries {
     "mm_image_checksum"     -> Multimodal.qImageChecksum _,
     "mm_image_knn"          -> Multimodal.qImageKnn _,
     "mm_image_pool"         -> Multimodal.qImagePool _,
+    "mm_audio_spectrum"     -> Multimodal.qAudioSpectrum _,
     "mm_png_checksum"       -> Multimodal.qPngChecksum _,
     "mm_png_knn"            -> Multimodal.qPngKnn _,
     "mm_png_pool"           -> Multimodal.qPngPool _,
@@ -2229,6 +2230,28 @@ object ExtQueries {
         |  n_docs, n_occurrences
         |FROM v WHERE levenshtein(token, 'tble') <= 2
         |ORDER BY token, dist, n_docs, n_occurrences""".stripMargin,
+
+    // Mirrors Multimodal.sequencySpectrum over audio-typed docs
+    // (doc_id % 3 = 1, payload = text bytes): Walsh-Hadamard coefficient
+    // k of each fully-inside 8-sample window, exact integer amplitudes.
+    "mm_audio_spectrum" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 3 = 1 AND doc_id < 60),
+        |smp AS (SELECT doc_id, i - 1 AS n, ord(t[i]) AS x
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, '') AS t FROM a))),
+        |ln AS (SELECT doc_id, max(n) + 1 AS len FROM smp GROUP BY 1),
+        |wins AS (SELECT doc_id, s AS start, s // 8 AS w
+        |  FROM (SELECT doc_id, unnest(generate_series(0, len - 8, 8)) AS s
+        |        FROM ln WHERE len >= 8)),
+        |pos AS (SELECT doc_id, w, start + m AS n, m
+        |  FROM wins, (SELECT unnest(generate_series(0, 7)) AS m)),
+        |j AS (SELECT p.doc_id, p.w, p.m, s.x FROM pos p JOIN smp s USING (doc_id, n)),
+        |ks AS (SELECT unnest(generate_series(0, 3)) AS k)
+        |SELECT doc_id, w AS window_idx, ks.k AS coeff,
+        |  CAST(sum(x * CASE WHEN bit_count(m & ks.k) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS amp
+        |FROM j, ks GROUP BY 1, 2, 3
+        |ORDER BY doc_id, window_idx, coeff, amp""".stripMargin,
 
     // Mirrors EventStream.trendingBatch: hourly count cells, top-3 by
     // (cnt desc, type asc) per window.

@@ -1047,4 +1047,24 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(wide == Set("tble", "table", "cable", "fable", "stable"))
   }
+
+  test("sequency spectrum: DC and alternating signals land on their coefficients") {
+    // doc 1: constant 5s -> all mass on k=0 (DC), zero elsewhere
+    // doc 2: alternating 100,0 -> mass splits between k=0 and k=1
+    //   (x_n = 50 + 50*(-1)^n and (-1)^n = (-1)^popcount(n&1))
+    val samples = ((0 until 8).map(n => (1L, n.toLong, 5L))
+      ++ (0 until 8).map(n => (2L, n.toLong, if (n % 2 == 0) 100L else 0L)))
+      .toDF("doc_id", "n", "x")
+    val out = Multimodal.sequencySpectrum(samples, windowLen = 8, hop = 8,
+        nCoeffs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out((1L, 0L)) == 40L)
+    assert(out((1L, 1L)) == 0L && out((1L, 2L)) == 0L && out((1L, 3L)) == 0L)
+    assert(out((2L, 0L)) == 400L)
+    assert(out((2L, 1L)) == 400L)
+    assert(out((2L, 2L)) == 0L && out((2L, 3L)) == 0L)
+    // short doc (< windowLen) emits nothing; hop windows tile correctly
+    val short = Seq((3L, 0L, 9L), (3L, 1L, 9L)).toDF("doc_id", "n", "x")
+    assert(Multimodal.sequencySpectrum(short, 8, 8, 2).count() == 0L)
+  }
 }
