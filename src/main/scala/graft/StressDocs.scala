@@ -69,6 +69,11 @@ object StressDocs {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 2
     val cap = if (args.length > 2) args(2).toInt else 32
+    // optional 4th arg: comma-separated REGISTERED query names — stress
+    // an ad-hoc list (e.g. a session's new operators) instead of the
+    // curated pair-mass family below
+    val only = args.drop(3).headOption
+      .map(_.split(',').toSeq.map(n => n -> SparkEntry.queries(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,6 +87,23 @@ object StressDocs {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     // pair-mass ledger: what the cap is up against, and what it drops
+    // (skipped for ad-hoc lists — it belongs to the pair-mass family)
+    if (only.isEmpty) printLedger(spark, sfDir, cap)
+
+    only.getOrElse(entries(cap)).foreach { case (name, fn) =>
+      fn(spark, sfDir).count() // warm
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[stress] $name min=${times.min}%.3f " +
+        f"passes=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+
+  private def printLedger(spark: SparkSession, sfDir: String, cap: Int): Unit = {
     val sizes = Dedup.minHashLshBuckets(Tables.documents(spark, sfDir))
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -96,17 +118,5 @@ object StressDocs {
       s"uncapped_cand_pairs=${ledger.getLong(0)} capped_cand_pairs=${ledger.getLong(1)} " +
       s"dropped_doc_rows=${ledger.getLong(2)} dropped_buckets=${ledger.getLong(3)} " +
       s"max_bucket=${ledger.getLong(4)}")
-
-    entries(cap).foreach { case (name, fn) =>
-      fn(spark, sfDir).count() // warm
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[stress] $name min=${times.min}%.3f " +
-        f"passes=${times.map(t => f"$t%.3f").mkString(",")}")
-    }
-    spark.stop()
   }
 }

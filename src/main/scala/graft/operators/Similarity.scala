@@ -71,14 +71,22 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector. `queries` and
     * `candidates` are (id, embedding) DataFrames; query side is broadcast. */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    topKPerQuery(bruteScored(queries, candidates), k)
+
+  /** RANKED exact top-k — the ground-truth shape position-sensitive
+    * metrics ([[mrrEval]], [[ndcgEval]]) consume. */
+  private def bruteForceTopKRanked(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame =
+    topKPerQueryRanked(bruteScored(queries, candidates), k)
+
+  private def bruteScored(queries: DataFrame, candidates: DataFrame): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     val c = candidates.select(col("id").as("neighbor_id"), col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-    topKPerQuery(scored, k)
   }
 
   /** A collected centroid set: (id, components, norm) — O(k·dim) DRIVER
@@ -389,6 +397,57 @@ object Similarity {
     armMrr("ivf",
         topKPerQueryRanked(ivfScored(emb, numCentroids, queryPred), k))
       .union(armMrr("lsh_mp",
+        topKPerQueryRanked(
+          lshMultiProbeScored(normedBuckets(emb, numPlanes = 8, dim = 64),
+            queryPred, numPlanes = 8), k)))
+  }
+
+  /** Discount weight table for NDCG@k: w_r = ⌊10⁶/log₂(r+1) + ½⌋.
+    * Computed ONCE here and interpolated into BOTH the Spark plan and
+    * the generated oracle SQL as the same integer literals — the log is
+    * never evaluated engine-side, so no libm surface exists. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k of the approximate searchers — the graded, position-
+    * discounted member of the retrieval-eval family ([[annRecall]]:
+    * presence; [[mrrEval]]: position of the single best; this: the whole
+    * ranking's quality). Relevance of the exact rank-r neighbor is
+    * k+1−r (graded by ground-truth position); DCG discounts by the
+    * [[ndcgWeights]] literal table; per-query NDCG and the cross-query
+    * mean are half-up integer ppm.
+    *
+    * One row per method: (method, n_queries, ndcg_ppm). Same cost shape
+    * as the arms themselves plus O(Q·k) metric joins. */
+  def ndcgEval(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 10, numCentroids: Int = 8): DataFrame = {
+    val wLit = typedLit(ndcgWeights(k))
+    val truth = bruteForceTopKRanked(
+        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+        emb.select(col("vec_id").as("id"), col("embedding")), k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1L) - col("rk")).as("rel"), col("rk").as("erk"))
+      .localCheckpoint() // feeds idcg + both arms' dcg joins
+    val idcg = truth
+      .select(col("query_id"), (col("rel") * element_at(wLit, col("erk").cast("int"))).as("g"))
+      .groupBy("query_id").agg(sum(col("g")).as("idcg"))
+    def armNdcg(method: String, ranked: DataFrame): DataFrame = {
+      val dcg = ranked
+        .join(truth.select("query_id", "neighbor_id", "rel"), Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), (col("rel") * element_at(wLit, col("rk").cast("int"))).as("g"))
+        .groupBy("query_id").agg(sum(col("g")).as("dcg"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(lit(method).as("method"),
+          expr("(coalesce(dcg, 0L) * 2000000 + idcg) div (2 * idcg)").as("nd"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_queries"), sum(col("nd")).as("s"))
+        .select(col("method"), col("n_queries"),
+          expr("(s * 2 + n_queries) div (n_queries * 2)").as("ndcg_ppm"))
+    }
+    armNdcg("ivf",
+        topKPerQueryRanked(ivfScored(emb, numCentroids, queryPred), k))
+      .union(armNdcg("lsh_mp",
         topKPerQueryRanked(
           lshMultiProbeScored(normedBuckets(emb, numPlanes = 8, dim = 64),
             queryPred, numPlanes = 8), k)))
@@ -1306,6 +1365,12 @@ object Similarity {
   def qAnnMrr(spark: SparkSession, dir: String): DataFrame =
     mrrEval(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 10)
       .orderBy("method", "n_queries", "mrr_ppm")
+
+  /** NDCG@10 of IVF and hamming-1 multi-probe LSH against the exact
+    * graded ranking, queries vec_id < 10. */
+  def qAnnNdcg(spark: SparkSession, dir: String): DataFrame =
+    ndcgEval(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 10)
+      .orderBy("method", "n_queries", "ndcg_ppm")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
     * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over

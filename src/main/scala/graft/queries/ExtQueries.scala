@@ -44,6 +44,7 @@ object ExtQueries {
     "ann_label_centroids"   -> Similarity.qLabelCentroids _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "ann_mrr"               -> Similarity.qAnnMrr _,
+    "ann_ndcg"              -> Similarity.qAnnNdcg _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
@@ -316,6 +317,36 @@ object ExtQueries {
        |        FROM mbits GROUP BY vec_id, j // 8),
        |mvb AS (SELECT v.vec_id, v.vec, mbk.tbl, mbk.bucket FROM v JOIN mbk USING (vec_id))""".stripMargin
   }
+
+  /** Rank-retaining (rk ≤ 10) IVF and multi-probe-LSH candidate lists
+    * for the position-sensitive retrieval metrics (ann_mrr, ann_ndcg).
+    * Needs `v`, `asg2` (ivfCtes) and `vb` (signLshCtes); emits
+    * `ivfr(query_id, neighbor_id, rk)` and `mpr(query_id, neighbor_id,
+    * rk)` for queries vec_id < 10. */
+  private val rankedArmsCtes: String =
+    """ivfq AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM asg2
+      |         WHERE vec_id < 10),
+      |ivfr AS (SELECT query_id, neighbor_id, rk FROM (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) AS rk
+      |  FROM asg2 a JOIN ivfq q
+      |    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id)
+      |  WHERE rk <= 10),
+      |lq AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10),
+      |lqp AS (SELECT query_id, qv, bucket FROM lq
+      |  UNION ALL
+      |  SELECT query_id, qv,
+      |    substr(bucket, 1, p - 1) ||
+      |      (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
+      |      substr(bucket, p + 1, 8 - p) AS bucket
+      |  FROM lq, (SELECT unnest(generate_series(1, 8)) AS p)),
+      |mpr AS (SELECT query_id, neighbor_id, rk FROM (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) AS rk
+      |  FROM vb c JOIN lqp q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+      |  WHERE rk <= 10)""".stripMargin
 
   private val signLshSql: String =
     s"""WITH $vecCte,
@@ -1614,30 +1645,8 @@ object ExtQueries {
     "ann_mrr" ->
       s"""WITH $vecCte,
          |${ivfCtes()},
-         |ivfq AS (SELECT vec_id AS query_id, vec AS qv, centroid_id FROM asg2
-         |         WHERE vec_id < 10),
-         |ivfr AS (SELECT query_id, neighbor_id, rk FROM (
-         |  SELECT q.query_id, a.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_cosine_similarity(a.vec, q.qv) DESC, a.vec_id) AS rk
-         |  FROM asg2 a JOIN ivfq q
-         |    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id)
-         |  WHERE rk <= 10),
          |$signLshCtes,
-         |lq AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM vb WHERE vec_id < 10),
-         |lqp AS (SELECT query_id, qv, bucket FROM lq
-         |  UNION ALL
-         |  SELECT query_id, qv,
-         |    substr(bucket, 1, p - 1) ||
-         |      (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END) ||
-         |      substr(bucket, p + 1, 8 - p) AS bucket
-         |  FROM lq, (SELECT unnest(generate_series(1, 8)) AS p)),
-         |mpr AS (SELECT query_id, neighbor_id, rk FROM (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_cosine_similarity(c.vec, q.qv) DESC, c.vec_id) AS rk
-         |  FROM vb c JOIN lqp q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
-         |  WHERE rk <= 10),
+         |$rankedArmsCtes,
          |bf1 AS (SELECT query_id, true_id FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS true_id,
          |    row_number() OVER (PARTITION BY a.vec_id
@@ -1657,6 +1666,45 @@ object ExtQueries {
          |  CAST((sum(rr) * 2 + count(*)) // (count(*) * 2) AS BIGINT) AS mrr_ppm
          |FROM rr GROUP BY method
          |ORDER BY method, n_queries, mrr_ppm""".stripMargin,
+
+    // Mirrors Similarity.ndcgEval: graded relevance 11-rk from the exact
+    // top-10, the SAME Scala-computed ⌊1e6/log2(r+1)+½⌋ discount table
+    // interpolated as literals on both sides, per-query then cross-query
+    // half-up ppm.
+    "ann_ndcg" -> {
+      val wt = Similarity.ndcgWeights(10).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |$signLshCtes,
+         |$rankedArmsCtes,
+         |bfr AS (SELECT query_id, neighbor_id, rk, 11 - rk AS rel FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, b.vec_id) AS rk
+         |  FROM v a, v b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rk <= 10),
+         |wt AS (SELECT * FROM (VALUES $wt) AS t(r, w)),
+         |idcg AS (SELECT query_id, sum(rel * w) AS idcg
+         |         FROM bfr JOIN wt ON wt.r = bfr.rk GROUP BY 1),
+         |d1 AS (SELECT t.query_id, sum(b.rel * wt.w) AS dcg
+         |       FROM ivfr t JOIN bfr b USING (query_id, neighbor_id)
+         |       JOIN wt ON wt.r = t.rk GROUP BY 1),
+         |d2 AS (SELECT t.query_id, sum(b.rel * wt.w) AS dcg
+         |       FROM mpr t JOIN bfr b USING (query_id, neighbor_id)
+         |       JOIN wt ON wt.r = t.rk GROUP BY 1),
+         |nd AS (SELECT 'ivf' AS method, i.query_id,
+         |       (coalesce(d1.dcg, 0) * 2000000 + i.idcg) // (2 * i.idcg) AS nd
+         |       FROM idcg i LEFT JOIN d1 USING (query_id)
+         |  UNION ALL
+         |       SELECT 'lsh_mp', i.query_id,
+         |       (coalesce(d2.dcg, 0) * 2000000 + i.idcg) // (2 * i.idcg)
+         |       FROM idcg i LEFT JOIN d2 USING (query_id))
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST((sum(nd) * 2 + count(*)) // (count(*) * 2) AS BIGINT) AS ndcg_ppm
+         |FROM nd GROUP BY method
+         |ORDER BY method, n_queries, ndcg_ppm""".stripMargin
+    },
 
     "ann_recall" ->
       s"""WITH $vecCte,

@@ -1067,4 +1067,19 @@ class OperatorsSpec extends AnyFunSuite {
     val short = Seq((3L, 0L, 9L), (3L, 1L, 9L)).toDF("doc_id", "n", "x")
     assert(Multimodal.sequencySpectrum(short, 8, 8, 2).count() == 0L)
   }
+
+  test("NDCG: arms that cover the corpus reproduce the exact ranking") {
+    val base = Array.tabulate(64)(i => 1.0f + (i % 3) * 0.1f)
+    val vecs = (0L until 6L).map { id =>
+      (id, base.zipWithIndex.map { case (v, i) => v + 0.01f * ((id + i) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ndcgEval(vecs, col("vec_id") < 2, k = 3, numCentroids = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one IVF cell / one LSH bucket scan everything -> arm order == exact
+    // order -> per-query NDCG = 1e6 exactly
+    assert(out("ivf") == ((2L, 1000000L)))
+    assert(out("lsh_mp") == ((2L, 1000000L)))
+    // weight table is the documented formula
+    assert(Similarity.ndcgWeights(3) == Seq(1000000L, 630930L, 500000L))
+  }
 }
