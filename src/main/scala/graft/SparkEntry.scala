@@ -45,6 +45,7 @@ object SparkEntry {
     "q27_rolling"      -> CoreQueries.q27RollingWindow _,
     "q28_js_sum"       -> CoreQueries.q28JsSum _,
     "q29_bloom_join"   -> CoreQueries.q29BloomJoin _,
+    "q30_join_size"    -> CoreQueries.q30JoinSize _,
   ) ++ ExtQueries.queries
 
   /** DuckDB-runnable SQL equivalent for each query (same tables, same
@@ -230,5 +231,45 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 5
         |GROUP BY p_brand ORDER BY p_brand, n_items, sum_qty""".stripMargin,
+
+    // Mirrors Sketches.joinSizeEstimate digit-for-digit: CM (depth 4,
+    // width 1024, min of row inner products) + signed AGMS count-sketch
+    // (depth 5, width 8192, median), hash row r = window r%4 of
+    // md5((r//4) || ':' || key); AGMS sign = spare bits (hv // width) % 2.
+    "q30_join_size" -> {
+      def hv(wj: String) = (1 to 8).map { p =>
+        val mult = 1L << (4 * (8 - p))
+        s"(instr('0123456789abcdef', substr(h, ($wj) * 8 + $p, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      def rcs(rel: String, depth: Int, width: Int) = {
+        val rows = (0 until depth).map(r => s"($r)").mkString(", ")
+        s"""SELECT r, hv % $width AS c,
+           |      ((hv // $width) % 2) * 2 - 1 AS s
+           |    FROM (SELECT r, ${hv("r % 4")} AS hv
+           |          FROM (SELECT k, r, md5(CAST(r // 4 AS VARCHAR) || ':' || k) AS h
+           |                FROM $rel CROSS JOIN (VALUES $rows) t(r)))""".stripMargin
+      }
+      s"""WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+         |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |cma AS (SELECT r, c, count(*) AS cnt FROM (${rcs("ka", 4, 1024)}) GROUP BY 1, 2),
+         |cmb AS (SELECT r, c, count(*) AS cnt FROM (${rcs("kb", 4, 1024)}) GROUP BY 1, 2),
+         |cmest AS (SELECT min(dotp) AS est_cm_upper FROM (
+         |  SELECT a.r, sum(a.cnt * b.cnt) AS dotp
+         |  FROM cma a JOIN cmb b USING (r, c) GROUP BY 1)),
+         |csa AS (SELECT r, c, sum(s) AS cnt FROM (${rcs("ka", 5, 8192)}) GROUP BY 1, 2),
+         |csb AS (SELECT r, c, sum(s) AS cnt FROM (${rcs("kb", 5, 8192)}) GROUP BY 1, 2),
+         |agms AS (SELECT ds[3] AS est_agms FROM (
+         |  SELECT list(dotp ORDER BY dotp) AS ds FROM (
+         |    SELECT a.r, sum(a.cnt * b.cnt) AS dotp
+         |    FROM csa a JOIN csb b USING (r, c) GROUP BY 1))),
+         |exact AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_rows FROM
+         |  (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1) a
+         |  JOIN (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1) b
+         |  USING (k))
+         |SELECT exact_join_rows, CAST(est_agms AS BIGINT) AS est_agms,
+         |  CAST(est_cm_upper AS BIGINT) AS est_cm_upper
+         |FROM exact, agms, cmest
+         |ORDER BY exact_join_rows, est_agms, est_cm_upper""".stripMargin
+    },
   ) ++ ExtQueries.oracleSql
 }

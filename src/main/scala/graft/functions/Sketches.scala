@@ -242,6 +242,66 @@ object Sketches {
       .agg(min(col("cnt")).as("est"))
   }
 
+  /** Signed count-sketch cells (Charikar et al. '02): like [[
+    * countMinSketch]] but each occurrence adds ±1, with the sign drawn
+    * from spare bits of the SAME md5 window that picks the column —
+    * portable, one digest per 4 rows. Signed cells make inner products
+    * unbiased (collisions cancel in expectation instead of only adding),
+    * which is what join-size estimation needs. */
+  def countSketch(df: DataFrame, valueCol: String, depth: Int = 5,
+      width: Int = 8192): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val wins = (0 until (depth + 3) / 4)
+      .map(g => TextExpressions.md5Windows(col(valueCol), s"$g:").as(s"graft_w$g"))
+    df.select(wins: _*)
+      .select(explode(array((0 until depth).map { r =>
+        val w = element_at(col(s"graft_w${r / 4}"), r % 4 + 1)
+        struct(lit(r).as("r"), (w % width).as("c"),
+          (expr(s"(element_at(graft_w${r / 4}, ${r % 4 + 1}) div $width) % 2") * 2 - 1)
+            .as("s"))
+      }: _*)).as("rcs"))
+      .groupBy(col("rcs.r").as("r"), col("rcs.c").as("c"))
+      .agg(sum(col("rcs.s")).as("cnt"))
+  }
+
+  /** Equi-join cardinality estimation WITHOUT running the join — the
+    * sketch a planner sizes a join with: |A ⋈ B| = Σ_v fA(v)·fB(v).
+    * Two estimators over one pass per side:
+    *
+    *  - `est_cm_upper`: CM inner product, min over rows of
+    *    Σ_c cmA[r,c]·cmB[r,c] (Cormode–Muthukrishnan §4.2) — counts are
+    *    non-negative so collisions only ADD: a guaranteed UPPER BOUND
+    *    (spec-locked), loose when N_A·N_B/width dominates.
+    *  - `est_agms`: Fast-AGMS / count-sketch MEDIAN over rows of the
+    *    signed inner products (Alon–Matias–Szegedy via Charikar cells) —
+    *    unbiased, ±√(F2_A·F2_B/width) noise, the number to plan with.
+    *
+    * Both are O(depth·width) cell joins of two bounded tables; the
+    * corpus-sized work is the two one-pass sketches (mergeable,
+    * streamable — the same cells the streaming journal maintains).
+    * Returns 1 row (est_cm_upper, est_agms). */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      cmDepth: Int = 4, cmWidth: Int = 1024,
+      agmsDepth: Int = 5, agmsWidth: Int = 8192): DataFrame = {
+    def keyed(df: DataFrame, k: String) = df.select(col(k).cast("string").as("k"))
+    val cmA = countMinSketch(keyed(a, aKey), "k", cmDepth, cmWidth)
+      .withColumnRenamed("cnt", "ca")
+    val cmB = countMinSketch(keyed(b, bKey), "k", cmDepth, cmWidth)
+      .withColumnRenamed("cnt", "cb")
+    val cmEst = cmA.join(cmB, Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("dotp"))
+      .agg(min(col("dotp")).as("est_cm_upper"))
+    val csA = countSketch(keyed(a, aKey), "k", agmsDepth, agmsWidth)
+      .withColumnRenamed("cnt", "ca")
+    val csB = countSketch(keyed(b, bKey), "k", agmsDepth, agmsWidth)
+      .withColumnRenamed("cnt", "cb")
+    val agmsEst = csA.join(csB, Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("dotp"))
+      .agg(sort_array(collect_list(col("dotp"))).as("ds"))
+      .select(element_at(col("ds"), agmsDepth / 2 + 1).as("est_agms"))
+    cmEst.crossJoin(broadcast(agmsEst)) // 1 × 1
+  }
+
   // ---- Bloom filter ----------------------------------------------------
 
   /** Portable Bloom filter over 60-BIT words (bit 60+ never set — a

@@ -313,6 +313,29 @@ object TextAnalysis {
         (expr("((n_ngrams - nd) * 20000 + n_ngrams) div (n_ngrams * 2)") / 10000.0)
           .as("dup_frac"))
 
+  /** Simpson lexical-diversity index per document: 1 − Σᵢ pᵢ² over the
+    * token distribution (the probability two random tokens differ) — the
+    * LOG-FREE diversity member of the quality family: Shannon entropy
+    * needs libm logs, while Simpson is a pure rational in the exact
+    * per-token counts, so it hash-matches any engine. Near 0 = one token
+    * dominates (degenerate loops); near 10⁶·(1−1/n) = maximally varied.
+    * One token scan → per-(doc, token) counts → one per-doc aggregate.
+    * Returns (doc_id, n_tok, simpson_ppm) with half-up ppm. */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"), sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("((n_tok * n_tok - ss) * 2000000 + n_tok * n_tok) div (n_tok * n_tok * 2)")
+          .as("simpson_ppm"))
+
+  /** Per-doc Simpson diversity over the corpus. */
+  def qSimpson(spark: SparkSession, dir: String): DataFrame =
+    simpsonDiversity(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_tok", "simpson_ppm")
+
   /** Benchmark decontamination signal: for every corpus doc, the fraction
     * of its distinct word shingles that also appear in the BENCHMARK set
     * (docs matching `benchPred`) — the standard n-gram-overlap test run

@@ -410,6 +410,25 @@ object CoreQueries {
       .orderBy("p_brand", "n_items", "sum_qty")
   }
 
+  /** Q30 — join-size estimation without the join: CM upper bound +
+    * unbiased AGMS median for |orders ⋈ lineitem on orderkey|, next to
+    * the exact product-of-counts answer (computed at KEY grain — a
+    * group-count join, never the join itself). The planner-shaped
+    * sketch answer: both sketches are one-pass, mergeable cell tables. */
+  def q30JoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val est = graft.functions.Sketches.joinSizeEstimate(
+      o, "o_orderkey", l, "l_orderkey")
+    val exact = o.groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("na"))
+      .join(l.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("nb")), "k")
+      .agg(sum(col("na") * col("nb")).as("exact_join_rows"))
+    est.crossJoin(broadcast(exact)) // 1 × 1
+      .select(col("exact_join_rows"), col("est_agms"), col("est_cm_upper"))
+      .orderBy("exact_join_rows", "est_agms", "est_cm_upper")
+  }
+
   /** Q10 — customer ⋈ orders rollup by market segment. customer is the
     * small dimension → broadcast hash join, no shuffle of the fact side. */
   def q10Mktsegment(spark: SparkSession, dir: String): DataFrame =

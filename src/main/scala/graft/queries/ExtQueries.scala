@@ -138,6 +138,7 @@ object ExtQueries {
     "events_drift_windows"  -> graft.streaming.EventStream.qDriftWindows _,
     "events_trending"       -> graft.streaming.EventStream.qTrending _,
     "text_grep_fuzzy"       -> TextAnalysis.qGrepFuzzy _,
+    "text_simpson"          -> TextAnalysis.qSimpson _,
     "text_brier"            -> graft.operators.Calibration.qBrier _,
   )
 
@@ -2300,6 +2301,19 @@ object ExtQueries {
         |  CAST(sum(x * CASE WHEN bit_count(m & ks.k) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS amp
         |FROM j, ks GROUP BY 1, 2, 3
         |ORDER BY doc_id, window_idx, coeff, amp""".stripMargin,
+
+    // Mirrors TextAnalysis.simpsonDiversity: 1 - sum(p_i^2) as an exact
+    // rational over per-token counts, half-up ppm.
+    "text_simpson" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |             FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |      CAST(sum(c * c) AS BIGINT) AS ss FROM c GROUP BY 1)
+        |SELECT doc_id, n_tok,
+        |  CAST(((n_tok * n_tok - ss) * 2000000 + n_tok * n_tok)
+        |       // (n_tok * n_tok * 2) AS BIGINT) AS simpson_ppm
+        |FROM a ORDER BY doc_id, n_tok, simpson_ppm""".stripMargin,
 
     // Mirrors EventStream.trendingBatch: hourly count cells, top-3 by
     // (cnt desc, type asc) per window.

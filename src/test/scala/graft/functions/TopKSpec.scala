@@ -270,4 +270,29 @@ class TopKSpec extends AnyFunSuite {
     assert(t(("X", "Z"))._1 == 8L)
     assert(t(("X", "Z"))._3 == 0L)
   }
+
+  test("join-size estimate: CM is a true upper bound, AGMS lands near exact") {
+    import spark.implicits._
+    // 200 keys on side A (1x each), side B has key i repeated (i%5)+1 times
+    val a = (0 until 200).map(i => s"k$i").toDF("ka")
+    val b = (0 until 200).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("kb")
+    val exact = (0 until 200).map(i => (i % 5 + 1).toLong).sum
+    val est = Sketches.joinSizeEstimate(a, "ka", b, "kb").collect().head
+    val (cm, agms) = (est.getLong(0), est.getLong(1))
+    assert(cm >= exact, s"CM inner product must upper-bound $exact, got $cm")
+    // unbiased median at width 8192 with 200 keys: tight in practice
+    assert(math.abs(agms - exact) <= exact / 5, s"AGMS $agms vs exact $exact")
+  }
+
+  test("simpson diversity: degenerate and varied landmark docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // one token -> 0
+      (2L, "a b c d"),        // all distinct -> 1 - 4/16 = 750000
+      (3L, "a a b b")         // 1 - 8/16 = 500000
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.simpsonDiversity(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 750000L, 3L -> 500000L))
+  }
 }
