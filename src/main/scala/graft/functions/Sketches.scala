@@ -119,6 +119,37 @@ object Sketches {
     *
     * Returns (groupCols…, n_empty, est_distinct). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 6): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol, b), groupCols, b)
+
+  /** The per-group HLL REGISTER table (groupCols…, bucket, reg) — split
+    * out so the streaming twin can maintain the registers as watermark-
+    * bounded state and fold them with the identical estimate arithmetic
+    * ([[hllFromRegisters]]); register max-merge is idempotent and
+    * order-insensitive, so stream and batch registers are equal by
+    * construction. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val g = groupCols.map(col)
+    val hx = md5(col(valueCol).cast("string"))
+    val bucket = (conv(substring(hx, 1, 2), 16, 10).cast("long") % m).as("bucket")
+    val suf = substring(hx, 3, 12)
+    val z = length(regexp_extract(suf, "^(0*)", 1))
+    val d = suf.substr(z + lit(1), lit(1))
+    // Leading zeros of the first nonzero hex digit: single-char compare
+    // is lexicographic in both engines ('1'<'2'<…<'9'<'a'<…<'f').
+    val lz = when(d >= "8", 0).when(d >= "4", 1).when(d >= "2", 2).otherwise(3)
+    val rho = when(z === 12, 49).otherwise(z * 4 + lz + 1)
+    df.select((g :+ bucket :+ rho.as("rho")): _*)
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Fold a register table into (groupCols…, n_empty, est_distinct) —
+    * the exact-integer harmonic sum + small-range bias branch shared by
+    * the batch and streaming HLL paths. */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String],
       b: Int = 6): DataFrame = {
     val m = 1 << b
     // Bias-correction constants from the HLL paper for small m; b is
@@ -131,20 +162,7 @@ object Sketches {
       case _ => throw new IllegalArgumentException(s"b must be 4..6, got $b")
     }
     val g = groupCols.map(col)
-    val hx = md5(col(valueCol).cast("string"))
-    val bucket = (conv(substring(hx, 1, 2), 16, 10).cast("long") % m).as("bucket")
-    val suf = substring(hx, 3, 12)
-    val z = length(regexp_extract(suf, "^(0*)", 1))
-    val d = suf.substr(z + lit(1), lit(1))
-    // Leading zeros of the first nonzero hex digit: single-char compare
-    // is lexicographic in both engines ('1'<'2'<…<'9'<'a'<…<'f').
-    val lz = when(d >= "8", 0).when(d >= "4", 1).when(d >= "2", 2).otherwise(3)
-    val rho = when(z === 12, 49).otherwise(z * 4 + lz + 1)
     val two49 = 562949953421312.0 // 2^49, exact in a double
-    val regs = df
-      .select((g :+ bucket :+ rho.as("rho")): _*)
-      .groupBy((g :+ col("bucket")): _*)
-      .agg(max(col("rho")).as("reg"))
     val agg = regs
       .groupBy(g: _*)
       .agg(count(lit(1)).as("nset"),

@@ -44,4 +44,40 @@ object Retention {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_users"))
       .orderBy("cohort_day", "day_offset", "n_users")
+
+  /** Exponentially-decayed per-user activity score — the recency-
+    * weighted engagement feature (feature-store staple) restated in
+    * EXACT arithmetic: weight = 2^(32 − age_days) with age capped at 32,
+    * i.e. a one-day half-life as dyadic integers rather than
+    * `exp(−λ·age)` (whose libm value differs in the last ulp across
+    * engines and whose float sum is partition-order-dependent). Cent
+    * values × dyadic weights sum as DECIMAL(38,0) — the BM25/DSIR
+    * widening discipline, since 2^32-scaled cents overflow a LONG at
+    * corpus scale — and the single half-up division by 2^32 lands the
+    * score back in cents.
+    *
+    * "Now" is the corpus max(ts) — a 1-row aggregate broadcast onto the
+    * scan, so the operator is deterministic for a fixed corpus; a
+    * production scheduler passes its own clock literal instead. One
+    * scan + one per-user hash aggregate. */
+  def decayedActivity(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(unix_micros(col("ts"))).as("m"))
+    events.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("least((m - unix_micros(ts)) div 86400000000, 32)").as("age"))
+      .select(col("user_id"),
+        expr("""CAST(cents * shiftleft(CAST(1 AS BIGINT), CAST(32 - age AS INT))
+                AS DECIMAL(38,0))""").as("wv"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("wv")).as("raw"))
+      .select(col("user_id"), col("n_events"),
+        expr("CAST((raw * 2 + 4294967296) div 8589934592 AS BIGINT)")
+          .as("decayed_cents"))
+  }
+
+  /** Recency-weighted activity in cents per user. */
+  def qDecayedActivity(spark: SparkSession, dir: String): DataFrame =
+    decayedActivity(Tables.events(spark, dir))
+      .orderBy("user_id", "n_events", "decayed_cents")
 }

@@ -132,11 +132,13 @@ object ExtQueries {
     "text_adaptive_gate"    -> TextAnalysis.qAdaptiveGate _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
+    "events_decay_score"    -> graft.operators.Retention.qDecayedActivity _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
     "events_anomaly"        -> graft.operators.Anomaly.qEventAnomalies _,
     "events_drift"          -> graft.operators.Anomaly.qEventDrift _,
     "events_drift_windows"  -> graft.streaming.EventStream.qDriftWindows _,
     "events_trending"       -> graft.streaming.EventStream.qTrending _,
+    "events_hll_windows"    -> graft.streaming.EventStream.qHllWindows _,
     "text_grep_fuzzy"       -> TextAnalysis.qGrepFuzzy _,
     "text_simpson"          -> TextAnalysis.qSimpson _,
     "text_brier"            -> graft.operators.Calibration.qBrier _,
@@ -2314,6 +2316,51 @@ object ExtQueries {
         |  CAST(((n_tok * n_tok - ss) * 2000000 + n_tok * n_tok)
         |       // (n_tok * n_tok * 2) AS BIGINT) AS simpson_ppm
         |FROM a ORDER BY doc_id, n_tok, simpson_ppm""".stripMargin,
+
+    // Mirrors Retention.decayedActivity: dyadic 2^(32-age) weights over
+    // cent values, HUGEINT/DECIMAL sum, one half-up division by 2^32.
+    "events_decay_score" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |      least((m - epoch_us(ts)) // 86400000000, 32) AS age
+        |      FROM events, mx),
+        |s AS (SELECT user_id, count(*) AS n_events,
+        |      sum(cents * (CAST(1 AS BIGINT) << CAST(32 - age AS INT))) AS raw
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((raw * 2 + 4294967296) // 8589934592 AS BIGINT) AS decayed_cents
+        |FROM s ORDER BY user_id, n_events, decayed_cents""".stripMargin,
+
+    // Mirrors EventStream.hllWindowBatch: the text_hll_sketch register/
+    // estimate chain grouped per hourly window over user_id.
+    "events_hll_windows" -> {
+      val h2 = "((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1))"
+      val pow = (1 to 49).map(r => s"WHEN $r THEN ${1L << (49 - r)}").mkString(" ")
+      s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS win_s,
+         |           md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         |parts AS (SELECT win_s, $h2 % 64 AS bucket, substr(hx, 3, 12) AS suf
+         |  FROM h),
+         |zd AS (SELECT win_s, bucket,
+         |    length(regexp_extract(suf, '^(0*)', 1)) AS z,
+         |    substr(suf, length(regexp_extract(suf, '^(0*)', 1)) + 1, 1) AS d
+         |  FROM parts),
+         |reg AS (SELECT win_s, bucket, max(CASE WHEN z = 12 THEN 49
+         |    ELSE z * 4 + (CASE WHEN d >= '8' THEN 0 WHEN d >= '4' THEN 1
+         |                       WHEN d >= '2' THEN 2 ELSE 3 END) + 1 END) AS reg
+         |  FROM zd GROUP BY 1, 2),
+         |agg AS (SELECT win_s, count(*) AS nset,
+         |    sum(CASE reg $pow END) AS zp FROM reg GROUP BY win_s),
+         |est AS (SELECT win_s, nset,
+         |    0.709e0 * 64 * 64 * 562949953421312e0
+         |      / (zp + (64 - nset) * 562949953421312e0) AS est_raw
+         |  FROM agg)
+         |SELECT win_s, (64 - nset) AS n_empty,
+         |  CASE WHEN est_raw <= 160.0e0 AND nset < 64
+         |       THEN round(64 * ln(64.0e0 / (64 - nset)), 4)
+         |       ELSE round(est_raw, 4) END AS est_distinct
+         |FROM est ORDER BY win_s, n_empty, est_distinct""".stripMargin
+    },
 
     // Mirrors EventStream.trendingBatch: hourly count cells, top-3 by
     // (cnt desc, type asc) per window.

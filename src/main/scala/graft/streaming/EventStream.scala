@@ -288,6 +288,46 @@ object EventStream {
     trendingBatch(Tables.events(spark, dir))
       .orderBy("win_s", "rk", "event_type", "cnt")
 
+  // ---- windowed HLL distinct (approximate COUNT DISTINCT per window) ----
+
+  /** STREAMING distinct-user estimate per event-time window via HLL
+    * registers as state — exact streaming COUNT DISTINCT would hold
+    * every id in state; the register table holds 2^b small ints per
+    * window, closed by the watermark. First (only wide) stateful
+    * aggregate keys (window, bucket) with an idempotent max-merge —
+    * re-delivered rows can't move a register, so the sketch is
+    * at-least-once-safe by construction; the chained fold applies the
+    * identical estimate arithmetic as the batch path
+    * ([[graft.functions.Sketches.hllFromRegisters]]), so stream ≡ batch
+    * twin on the same rows (spec-locked). */
+  def hllWindowStream(events: DataFrame, valueCol: String = "user_id",
+      windowDur: String = "1 hour", b: Int = 6): DataFrame =
+    hllWindowFold(
+      events.withWatermark("ts", windowDur)
+        .select(window(col("ts"), windowDur).as("win"), col(valueCol)),
+      valueCol, b)
+
+  /** Batch twin of [[hllWindowStream]] — oracle-checked as
+    * events_hll_windows. */
+  def hllWindowBatch(events: DataFrame, valueCol: String = "user_id",
+      windowDur: String = "1 hour", b: Int = 6): DataFrame =
+    hllWindowFold(
+      events.select(window(col("ts"), windowDur).as("win"), col(valueCol)),
+      valueCol, b)
+
+  private def hllWindowFold(prepared: DataFrame, valueCol: String,
+      b: Int): DataFrame = {
+    val regs = graft.functions.Sketches.hllRegisters(prepared, Seq("win"), valueCol, b)
+    graft.functions.Sketches.hllFromRegisters(regs, Seq("win"), b)
+      .select(col("win.start").cast("timestamp").cast("long").as("win_s"),
+        col("n_empty"), col("est_distinct"))
+  }
+
+  /** Hourly distinct-user estimates over the events table. */
+  def qHllWindows(spark: SparkSession, dir: String): DataFrame =
+    hllWindowBatch(Tables.events(spark, dir))
+      .orderBy("win_s", "n_empty", "est_distinct")
+
   /** Open a file-based event stream (one-file-at-a-time trigger testing). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema

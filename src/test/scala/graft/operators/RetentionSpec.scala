@@ -41,4 +41,23 @@ class RetentionSpec extends AnyFunSuite {
     val got = run((1L, 1), (2L, 1))
     assert(got == Map(("2024-01-01", 0L) -> 2L))
   }
+
+  test("decayed activity: dyadic half-life weights, capped age, exact cents") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")
+    def daysAgo(d: Int) = new java.sql.Timestamp(
+      t0.getTime - d.toLong * 86400000L)
+    // user 1: 100 cents now + 100 cents 1 day ago -> 100 + 50 = 150
+    // user 2: 100 cents 2 days ago -> 25
+    // user 3: 100 cents 40 days ago (cap 32) -> halfup(100 / 2^32) = 0
+    val events = Seq(
+      (1L, daysAgo(0), 1L, "a", 1.0), (2L, daysAgo(1), 1L, "a", 1.0),
+      (3L, daysAgo(2), 2L, "a", 1.0), (4L, daysAgo(40), 3L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Retention.decayedActivity(events)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 150L)))
+    assert(out(2L) == ((1L, 25L)))
+    assert(out(3L) == ((1L, 0L)))
+  }
 }

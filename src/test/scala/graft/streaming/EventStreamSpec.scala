@@ -275,4 +275,32 @@ class EventStreamSpec extends AnyFunSuite {
         Set((h11, 1L, "buy", 2L), (h11, 2L, "view", 2L)))
     } finally q.stop()
   }
+
+  test("streaming windowed HLL distinct emits finalized windows equal to the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hour 10: users 0..39 (distinct 40); hour 11: users 0..9 x4 (distinct 10)
+    val live = (0 until 40).map(i => Event(i, tsH(10, i % 60), i, "click", 0)) ++
+      (0 until 40).map(i => Event(100 + i, tsH(11, i % 60), i % 10, "click", 0))
+    val input = MemoryStream[Event]
+    val q = EventStream.hllWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("hllw").outputMode("append").start()
+    try {
+      input.addData(live: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, tsH(13, 30), 2, "click", 0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("hllw")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = EventStream.hllWindowBatch(live.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.subsetOf(got), s"stream $got missing batch rows $batch")
+      // estimates in a sane band around the true distinct counts
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+      val est = got.map(r => r._1 -> r._3).toMap
+      assert(est(h10) > 25 && est(h10) < 60, s"h10 ${est(h10)}")
+      assert(est(h11) > 5 && est(h11) < 20, s"h11 ${est(h11)}")
+    } finally q.stop()
+  }
 }
