@@ -75,7 +75,10 @@ object Scd {
   /** SCD2 demo over `customer`: batch 1 re-observes segment changes for
     * the %7 cohort, no-op re-observations for the %11 cohort, and a
     * fresh key cohort — exercising all four merge branches. */
-  def qScd2Customer(spark: SparkSession, dir: String): DataFrame = {
+  /** Two-batch customer version history shared by the SCD2 queries:
+    * batch 1 promotes every 7th key to PROMO, re-observes every 11th
+    * unchanged, and inserts fresh +1e6 keys. */
+  def demoCustomerHistory(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select("c_custkey", "c_mktsegment", "c_acctbal")
     val promo = cust.filter(col("c_custkey") % 7 === 0)
@@ -85,8 +88,48 @@ object Scd {
       .select((col("c_custkey") + 1000000L).as("c_custkey"),
         lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
     scd2Merge(scd2Init(cust, batch = 0L),
-        promo.unionByName(noop).unionByName(fresh),
-        "c_custkey", Seq("c_mktsegment", "c_acctbal"), batch = 1L)
+      promo.unionByName(noop).unionByName(fresh),
+      "c_custkey", Seq("c_mktsegment", "c_acctbal"), batch = 1L)
+  }
+
+  def qScd2Customer(spark: SparkSession, dir: String): DataFrame = {
+    demoCustomerHistory(spark, dir)
       .orderBy("c_custkey", "valid_from", "is_current")
+  }
+
+  /** Point-in-time ("as-was") fact join against the version history —
+    * the read side of SCD2: each fact, stamped with the batch era it
+    * happened in, joins the ONE dimension version whose
+    * [valid_from, valid_to) interval contains that era, so reports
+    * reflect the attributes as they were, not as they are. Versions
+    * tile time per key (scd2Merge invariant), so the interval filter
+    * after a plain equi-join on the key selects exactly one version per
+    * fact — a hash join with per-key fanout bounded by versions-per-key,
+    * never an inequality-driven nested loop. Facts older than the key's
+    * first version (or with no version at all) drop, as in any
+    * dimensional model. */
+  def asOfVersionJoin(history: DataFrame, facts: DataFrame,
+      key: String, batchCol: Column): DataFrame =
+    facts.withColumn("graft_b", batchCol)
+      .join(history, Seq(key))
+      .filter(col("valid_from") <= col("graft_b") &&
+        (col("valid_to").isNull || col("graft_b") < col("valid_to")))
+      .drop("graft_b")
+
+  /** As-was revenue report: orders split into two eras by orderkey
+    * parity, each order classified by the market segment its customer
+    * HAD in that era — era-1 PROMO rows appear exactly for the promoted
+    * keys, era-0 rows keep the original segments. */
+  def qScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val hist = demoCustomerHistory(spark, dir)
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 2).as("era"))
+    asOfVersionJoin(hist, facts, "c_custkey", col("era"))
+      .groupBy(col("era"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0, 4)
+          .as("total_price"))
+      .orderBy("era", "c_mktsegment", "n_orders", "total_price")
   }
 }

@@ -90,6 +90,7 @@ object ExtQueries {
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
     "profile_fk_integrity"  -> graft.operators.Profile.qFkIntegrity _,
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
+    "storage_scd2_asof"     -> graft.operators.Scd.qScd2AsOf _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
@@ -2420,6 +2421,43 @@ object ExtQueries {
         |SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, 1, NULL, true
         |FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cust)
         |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
+
+    // Mirrors Scd.qScd2AsOf: same two-batch history, each order joined
+    // to the version valid in its era (valid_from <= era < valid_to).
+    "storage_scd2_asof" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS c_mktsegment, c_acctbal FROM cust
+        |  WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM cust
+        |  WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM cust WHERE c_custkey % 13 = 0),
+        |chg AS (SELECT c.c_custkey, c.c_mktsegment AS seg_c,
+        |    u.c_mktsegment AS seg_u
+        |  FROM cust c JOIN upd u USING (c_custkey)
+        |  WHERE c.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+        |     OR c.c_acctbal IS DISTINCT FROM u.c_acctbal),
+        |hist AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL SELECT c_custkey, seg_c, 0, 1 FROM chg
+        |  UNION ALL SELECT c_custkey, seg_u, 1, NULL FROM chg
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, 1, NULL FROM upd u
+        |  WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cust)),
+        |f AS (SELECT o_custkey AS c_custkey, o_totalprice,
+        |      o_orderkey % 2 AS era FROM orders),
+        |j AS (SELECT f.era, h.c_mktsegment, f.o_totalprice
+        |      FROM f JOIN hist h USING (c_custkey)
+        |      WHERE h.valid_from <= f.era
+        |        AND (h.valid_to IS NULL OR f.era < h.valid_to))
+        |SELECT era, c_mktsegment, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_price
+        |FROM j GROUP BY 1, 2
+        |ORDER BY era, c_mktsegment, n_orders, total_price""".stripMargin,
 
     // Mirrors Profile.qProfileOrders — per-column UNION ALL is the
     // oracle's (multi-pass) formulation of the one-pass Expand profile.

@@ -90,4 +90,29 @@ class ScdSpec extends AnyFunSuite {
     assert(dim1.filter(col("k") === 1L).count() == 1)
     assert(dim1.filter(col("k") === 2L).count() == 2)
   }
+
+  test("as-of version join: each fact sees the version of its era") {
+    import spark.implicits._
+    // key 1: seg A in era [0,1), seg B from era 1; key 2: only ever C
+    val hist = Seq(
+      (1L, "A", 0L, Some(1L), false),
+      (1L, "B", 1L, None, true),
+      (2L, "C", 0L, None, true))
+      .map { case (k, s0, f, t, c) => (k, s0, f, t.map(Long.box).orNull, c) }
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+      .select(col("k"), col("seg"), col("valid_from"),
+        col("valid_to").cast("long"), col("is_current"))
+    val facts = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 5L, 30.0),
+      (2L, 0L, 40.0), (3L, 0L, 50.0)) // key 3 has no dimension row -> drops
+      .toDF("k", "era", "v")
+    val out = Scd.asOfVersionJoin(hist, facts, "k", col("era"))
+      .select("k", "era", "seg", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, "A", 10.0),  // era 0 sees the CLOSED version
+      (1L, 1L, "B", 20.0),  // era 1 sees the reopened one
+      (1L, 5L, "B", 30.0),  // open-ended current version
+      (2L, 0L, "C", 40.0)))
+  }
 }
