@@ -121,7 +121,10 @@ object Scd {
     * HAD in that era — era-1 PROMO rows appear exactly for the promoted
     * keys, era-0 rows keep the original segments. */
   def qScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
-    val hist = demoCustomerHistory(spark, dir)
+    // dimension-history-side broadcast: versions ≈ key cardinality, the
+    // classic fact⋈dim shape — without the hint Catalyst can't size the
+    // merged-history subtree and falls back to sort-merge
+    val hist = broadcast(demoCustomerHistory(spark, dir))
     val facts = Tables.orders(spark, dir)
       .select(col("o_custkey").as("c_custkey"), col("o_totalprice"),
         (col("o_orderkey") % 2).as("era"))

@@ -49,9 +49,12 @@ class PlanSweepSpec extends AnyFunSuite {
     *     full-outer cannot broadcast either side, and at scale both
     *     sides are key-cardinality frames, so a partitioned merge join
     *     (zero-exchange once both sides are bucketed by the key — see
-    *     Scd scaladoc) is the plan we'd want. */
+    *     Scd scaladoc) is the plan we'd want.
+    *   - storage_scd2_asof: rebuilds the same history (the SAME forced
+    *     full-outer merge as storage_scd2) before the as-of read; the
+    *     fact⋈history join itself IS broadcast (hinted in qScd2AsOf). */
   private val allowSortMerge: Set[String] =
-    Set("events_drift", "pipeline_prepare", "storage_scd2")
+    Set("events_drift", "pipeline_prepare", "storage_scd2", "storage_scd2_asof")
 
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]
