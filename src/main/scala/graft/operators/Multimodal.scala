@@ -827,6 +827,93 @@ object Multimodal {
     imagePool(imageTable(Tables.documents(spark, dir)), factor = 2)
       .orderBy("doc_id", "out_w", "out_h", "pool_sum")
 
+  /** Perceptual average-hash over REAL decoded pixels — the image-side
+    * near-duplicate fingerprint (aHash family: bit = region brighter
+    * than the image mean), robust to re-encoding where byte hashing is
+    * not: the BMP and PNG containers of the same content produce the
+    * SAME hash. 16 region buckets (pixel index mod 16); each bit is
+    * decided by integer cross-multiplication (sum_b·n ≥ total·n_b), so
+    * the fingerprint is exact; empty regions (images under 16 px) bit 0.
+    * Decode is the usual narrow mapPartitions codec walk; everything
+    * after is per-image O(pixels). Returns (doc_id, ahash) with ahash a
+    * 16-char '0'/'1' string, banded like the SimHash fingerprints. */
+  def imageAHash(images: DataFrame,
+      pixels: Array[Byte] => (Int, Int, Array[Int]) =
+        BmpCodec.rasterPixels): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("doc_id", "payload")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, px) = pixels(bytes)
+        val n = w * h
+        if (n == 0) Iterator.empty
+        else {
+          val sums = new Array[Long](16)
+          val cnts = new Array[Long](16)
+          var total = 0L
+          var p = 0
+          while (p < n) {
+            val l = (px(3 * p) + px(3 * p + 1) + px(3 * p + 2)).toLong
+            sums(p % 16) += l
+            cnts(p % 16) += 1
+            total += l
+            p += 1
+          }
+          val sb = new StringBuilder(16)
+          var b = 0
+          while (b < 16) {
+            sb.append(if (cnts(b) > 0 && sums(b) * n >= total * cnts(b)) '1' else '0')
+            b += 1
+          }
+          Iterator.single((id, sb.toString))
+        }
+      }).toDF("doc_id", "ahash")
+  }
+
+  /** Banded-hamming near-dup pairs over [[imageAHash]] fingerprints —
+    * the SimHash candidate discipline applied to images: 4 bands × 4
+    * bits, candidates share a band verbatim, exact hamming ≤
+    * `maxHamming` verifies. Scale note: a 16-bit hash has only 2⁴
+    * buckets per band, so at corpus scale this shape needs the wider
+    * 64-bit/8-bit-band variant plus the LSH bucket-size cap+ledger
+    * (Dedup.minHashLshPairs) — at report scale the 16-bit form keeps
+    * the oracle tractable while exercising the identical dataflow. */
+  def imageNearDupPairs(images: DataFrame, maxHamming: Int = 4,
+      pixels: Array[Byte] => (Int, Int, Array[Int]) =
+        BmpCodec.rasterPixels): DataFrame = {
+    val fp = imageAHash(images, pixels)
+    val banded = fp.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          substring(col("ahash"), b * 4 + 1, 4).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("ahash"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+      col("band"), col("bucket"))
+    val hamming = (1 to 16).map(k =>
+      when(substring(col("ha"), k, 1) =!= substring(col("hb"), k, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** aHash fingerprints of the BMP image table (PNG container must
+    * agree — same pixels, spec-locked). */
+  def qImageAHash(spark: SparkSession, dir: String): DataFrame =
+    imageAHash(imageTable(Tables.documents(spark, dir)))
+      .orderBy("doc_id", "ahash")
+
+  /** Banded near-dup image pairs at hamming ≤ 4 of 16. */
+  def qImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupPairs(imageTable(Tables.documents(spark, dir)))
+      .orderBy("doc_a", "doc_b", "hamming")
+
   /** Per-bucket pixel sums over REAL PNG decode: the same text→pixel
     * mapping as [[qImageChecksum]], but the container is a genuine
     * CRC-checked zlib-compressed PNG with every scanline filter in play

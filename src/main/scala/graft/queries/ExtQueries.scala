@@ -77,6 +77,8 @@ object ExtQueries {
     "mm_image_knn"          -> Multimodal.qImageKnn _,
     "mm_image_pool"         -> Multimodal.qImagePool _,
     "mm_audio_spectrum"     -> Multimodal.qAudioSpectrum _,
+    "mm_image_ahash"        -> Multimodal.qImageAHash _,
+    "mm_image_neardup"      -> Multimodal.qImageNearDup _,
     "mm_png_checksum"       -> Multimodal.qPngChecksum _,
     "mm_png_knn"            -> Multimodal.qPngKnn _,
     "mm_png_pool"           -> Multimodal.qPngPool _,
@@ -719,7 +721,52 @@ object ExtQueries {
       |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
       |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
 
+  // Mirrors Multimodal.imageAHash off the raw text bytes (pixel p =
+  // bytes 3p+1..3p+3, usable pixels = full width-5 rows): 16 region
+  // buckets (p % 16), bit = cross-multiplied region-mean >= image-mean,
+  // empty regions 0.
+  private val imageAHashCtes: String =
+    """img AS (SELECT doc_id, text, ((length(text) // 3) // 5) * 5 AS n FROM documents
+      |  WHERE doc_id % 3 = 0 AND length(text) >= 15),
+      |lp AS (SELECT doc_id, p % 16 AS b, n,
+      |    ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
+      |      + ord(substr(text, 3*p + 3, 1)) AS l
+      |  FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 1)) AS p FROM img)),
+      |reg AS (SELECT doc_id, b, sum(l) AS sb, count(*) AS nb, max(n) AS n
+      |        FROM lp GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sb) AS total FROM reg GROUP BY 1),
+      |bits AS (SELECT d.doc_id, bb.b,
+      |    CASE WHEN r.nb IS NULL THEN '0'
+      |         WHEN r.sb * r.n >= t.total * r.nb THEN '1' ELSE '0' END AS bit
+      |  FROM (SELECT DISTINCT doc_id FROM img) d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bb
+      |  LEFT JOIN reg r ON r.doc_id = d.doc_id AND r.b = bb.b
+      |  LEFT JOIN tot t ON t.doc_id = d.doc_id),
+      |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+      |       FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "mm_image_ahash" ->
+      s"""WITH $imageAHashCtes
+         |SELECT doc_id, ahash FROM fp ORDER BY doc_id, ahash""".stripMargin,
+
+    "mm_image_neardup" -> {
+      val hamming = (1 to 16)
+        .map(k => s"CASE WHEN substr(ha, $k, 1) <> substr(hb, $k, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $imageAHashCtes,
+         |banded AS (SELECT doc_id, ahash, band,
+         |    substr(ahash, band * 4 + 1, 4) AS bucket
+         |  FROM fp, (VALUES (0), (1), (2), (3)) b(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.ahash AS ha, b.ahash AS hb
+         |  FROM banded a JOIN banded b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming
+         |FROM (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming FROM cand)
+         |WHERE hamming <= 4 ORDER BY doc_a, doc_b, hamming""".stripMargin
+    },
+
     "q11_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS cnt,

@@ -1082,4 +1082,24 @@ class OperatorsSpec extends AnyFunSuite {
     // weight table is the documented formula
     assert(Similarity.ndcgWeights(3) == Seq(1000000L, 630930L, 500000L))
   }
+
+  test("image aHash: containers agree, identical pixels pair at hamming 0") {
+    val txt = "abcabcabcabcabc" * 4
+    val corpus = Seq(
+      (0L, txt, "en", "s", 60L),
+      (3L, txt, "en", "s", 60L),  // same pixels, different doc -> dup pair
+      (6L, "zzzzzzzzzzzzzzz" + "aaaaaaaaaaaaaaa" * 3, "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bmp = Multimodal.imageAHash(Multimodal.imageTable(corpus))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val png = Multimodal.imageAHash(Multimodal.pngTable(corpus),
+        Multimodal.PngCodec.rasterPixels)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // re-encoding must not move a perceptual hash
+    assert(bmp == png)
+    assert(bmp(0L).length == 16 && bmp(0L) == bmp(3L))
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.imageTable(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((0L, 3L, 0L)))
+  }
 }
