@@ -453,6 +453,37 @@ object Similarity {
             queryPred, numPlanes = 8), k)))
   }
 
+  /** Reciprocal-rank fusion of the approximate searchers (Cormack,
+    * Clarke & Buettcher '09 — the standard score-free way to combine
+    * heterogeneous retrievers, e.g. sparse BM25 + dense ANN in a RAG
+    * stack): each arm contributes ⌊10⁶/(60+rank)⌋ for every candidate
+    * it surfaces, contributions SUM per (query, candidate), and the
+    * fused top-k re-ranks on the summed score (ties to candidate id).
+    * RRF needs only ranks — no score calibration across arms — which is
+    * why it composes retrievers whose scores live on different scales.
+    *
+    * Returns (query_id, fused_rank, neighbor_id, rrf_score, n_arms);
+    * n_arms = how many retrievers surfaced the candidate (consensus
+    * signal). Cost = the arms' own cost + one O(Q·k·arms) aggregate;
+    * the fused re-rank partitions by query over ≤ arms·k rows. */
+  def rrfFuse(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, armDepth: Int = 10, numCentroids: Int = 8): DataFrame = {
+    val ivf = topKPerQueryRanked(ivfScored(emb, numCentroids, queryPred), armDepth)
+    val mp = topKPerQueryRanked(
+      lshMultiProbeScored(normedBuckets(emb, numPlanes = 8, dim = 64),
+        queryPred, numPlanes = 8), armDepth)
+    val contrib = ivf.unionByName(mp)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("1000000 div (60 + rk)").as("c"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_arms"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("rrf_score"), asc("neighbor_id"))
+    contrib.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select("query_id", "fused_rank", "neighbor_id", "rrf_score", "n_arms")
+  }
+
   // ---- Scalar quantization (SQ8) ---------------------------------------
 
   /** Per-vector symmetric int8 scalar quantization — the 4×-compression
@@ -1371,6 +1402,12 @@ object Similarity {
   def qAnnNdcg(spark: SparkSession, dir: String): DataFrame =
     ndcgEval(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10, k = 10)
       .orderBy("method", "n_queries", "ndcg_ppm")
+
+  /** RRF-fused top-5 of the IVF + multi-probe-LSH arms (depth 10),
+    * queries vec_id < 10. */
+  def qAnnRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(Tables.embeddings(spark, dir), queryPred = col("vec_id") < 10)
+      .orderBy("query_id", "fused_rank", "neighbor_id", "rrf_score", "n_arms")
 
   /** PQ/ADC ANN: 8 subspaces × 8 dims × 8 codes (one Lloyd iteration per
     * subspace), queries vec_id in [10, 20), top-3 by ADC similarity over

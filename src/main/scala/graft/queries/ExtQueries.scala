@@ -45,6 +45,7 @@ object ExtQueries {
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
     "ann_mrr"               -> Similarity.qAnnMrr _,
     "ann_ndcg"              -> Similarity.qAnnNdcg _,
+    "ann_rrf"               -> Similarity.qAnnRrf _,
     "dedup_semantic_incremental" -> Similarity.qSemanticIncremental _,
     "text_lang_id"          -> TextAnalysis.qLangId _,
     "text_quality"          -> TextAnalysis.qQuality _,
@@ -1717,6 +1718,27 @@ object ExtQueries {
          |  CAST((sum(rr) * 2 + count(*)) // (count(*) * 2) AS BIGINT) AS mrr_ppm
          |FROM rr GROUP BY method
          |ORDER BY method, n_queries, mrr_ppm""".stripMargin,
+
+    // Mirrors Similarity.rrfFuse: per-arm 1e6 // (60 + rank)
+    // contributions summed per (query, candidate), fused top-5 by
+    // (score desc, id asc).
+    "ann_rrf" ->
+      s"""WITH $vecCte,
+         |${ivfCtes()},
+         |$signLshCtes,
+         |$rankedArmsCtes,
+         |contrib AS (SELECT query_id, neighbor_id, 1000000 // (60 + rk) AS c FROM ivfr
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 1000000 // (60 + rk) FROM mpr),
+         |f AS (SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+         |      CAST(count(*) AS BIGINT) AS n_arms FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, rrf_score, n_arms,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS fused_rank
+         |      FROM f)
+         |SELECT query_id, fused_rank, neighbor_id, rrf_score, n_arms
+         |FROM r WHERE fused_rank <= 5
+         |ORDER BY query_id, fused_rank, neighbor_id, rrf_score, n_arms""".stripMargin,
 
     // Mirrors Similarity.ndcgEval: graded relevance 11-rk from the exact
     // top-10, the SAME Scala-computed ⌊1e6/log2(r+1)+½⌋ discount table

@@ -1102,4 +1102,25 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.contains((0L, 3L, 0L)))
   }
+
+  test("RRF fusion: consensus candidates outrank single-arm ones") {
+    val base = Array.tabulate(64)(i => 1.0f + (i % 3) * 0.1f)
+    val vecs = (0L until 8L).map { id =>
+      (id, base.zipWithIndex.map { case (v, i) => v + 0.01f * ((id + i) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.rrfFuse(vecs, col("vec_id") < 2, k = 3, armDepth = 5,
+        numCentroids = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // both arms cover the whole corpus here -> every fused candidate has
+    // n_arms = 2 and score = 2 * (1e6 div (60 + rank)) for SOME ranks
+    assert(out.nonEmpty && out.forall(_._5 == 2L))
+    // fused_rank 1 carries the maximum score per query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.head._4 == rows.map(_._4).max)
+    }
+    // the top fused candidate got rank 1 in both arms: 2 * (1e6 div 61)
+    assert(out.filter(_._2 == 1L).forall(_._4 == 2L * (1000000L / 61)))
+  }
 }
