@@ -836,10 +836,15 @@ object Multimodal {
     * the fingerprint is exact; empty regions (images under 16 px) bit 0.
     * Decode is the usual narrow mapPartitions codec walk; everything
     * after is per-image O(pixels). Returns (doc_id, ahash) with ahash a
-    * 16-char '0'/'1' string, banded like the SimHash fingerprints. */
-  def imageAHash(images: DataFrame,
+    * `bits`-char '0'/'1' string, banded like the SimHash fingerprints.
+    * 64 regions by default: an early 16-bit variant measured QUADRATIC
+    * at 10× images (141 s vs 1.9 s — only 2⁴ bucket values per band),
+    * which is why the width and the pair cap below are not optional
+    * niceties but the scale design. */
+  def imageAHash(images: DataFrame, bits: Int = 64,
       pixels: Array[Byte] => (Int, Int, Array[Int]) =
         BmpCodec.rasterPixels): DataFrame = {
+    require(bits >= 4, s"need at least 4 hash regions, got $bits")
     val spark = images.sparkSession
     import spark.implicits._
     images.select("doc_id", "payload")
@@ -849,20 +854,20 @@ object Multimodal {
         val n = w * h
         if (n == 0) Iterator.empty
         else {
-          val sums = new Array[Long](16)
-          val cnts = new Array[Long](16)
+          val sums = new Array[Long](bits)
+          val cnts = new Array[Long](bits)
           var total = 0L
           var p = 0
           while (p < n) {
             val l = (px(3 * p) + px(3 * p + 1) + px(3 * p + 2)).toLong
-            sums(p % 16) += l
-            cnts(p % 16) += 1
+            sums(p % bits) += l
+            cnts(p % bits) += 1
             total += l
             p += 1
           }
-          val sb = new StringBuilder(16)
+          val sb = new StringBuilder(bits)
           var b = 0
-          while (b < 16) {
+          while (b < bits) {
             sb.append(if (cnts(b) > 0 && sums(b) * n >= total * cnts(b)) '1' else '0')
             b += 1
           }
@@ -872,27 +877,41 @@ object Multimodal {
   }
 
   /** Banded-hamming near-dup pairs over [[imageAHash]] fingerprints —
-    * the SimHash candidate discipline applied to images: 4 bands × 4
-    * bits, candidates share a band verbatim, exact hamming ≤
-    * `maxHamming` verifies. Scale note: a 16-bit hash has only 2⁴
-    * buckets per band, so at corpus scale this shape needs the wider
-    * 64-bit/8-bit-band variant plus the LSH bucket-size cap+ledger
-    * (Dedup.minHashLshPairs) — at report scale the 16-bit form keeps
-    * the oracle tractable while exercising the identical dataflow. */
-  def imageNearDupPairs(images: DataFrame, maxHamming: Int = 4,
+    * the SimHash candidate discipline applied to images: `bands` bands
+    * of bits/bands chars, candidates share a band verbatim, exact
+    * hamming ≤ `maxHamming` verifies. `maxBucketSize` is the LSH-family
+    * pair-mass cap: a degenerate band bucket (e.g. every near-uniform
+    * image sharing one brightness pattern) is dropped from CANDIDATE
+    * GENERATION once it exceeds the cap — per-bucket work stays ≤ cap²
+    * at any corpus size, the same production switch as
+    * Dedup.minHashLshPairs (measured there: the cap, not hash width
+    * alone, is what bounds the dup-dense tail). */
+  def imageNearDupPairs(images: DataFrame, maxHamming: Int = 16,
+      bits: Int = 64, bands: Int = 8, maxBucketSize: Option[Int] = Some(512),
       pixels: Array[Byte] => (Int, Int, Array[Int]) =
         BmpCodec.rasterPixels): DataFrame = {
-    val fp = imageAHash(images, pixels)
+    require(bits % bands == 0, s"bands must divide bits: $bits % $bands")
+    val bw = bits / bands
+    val fp = imageAHash(images, bits, pixels)
     val banded = fp.select(col("doc_id"), col("ahash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          substring(col("ahash"), b * 4 + 1, 4).as("bucket"))): _*)).as("bb"))
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          substring(col("ahash"), b * bw + 1, bw).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("ahash"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("graft_bn"))
+          .filter(col("graft_bn") <= cap)
+          .select("band", "bucket")
+        banded.join(sizes, Seq("band", "bucket"))
+      case None => banded
+    }
+    val a = kept.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
       col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+    val b = kept.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
       col("band"), col("bucket"))
-    val hamming = (1 to 16).map(k =>
+    val hamming = (1 to bits).map(k =>
       when(substring(col("ha"), k, 1) =!= substring(col("hb"), k, 1), 1L)
         .otherwise(0L)).reduce(_ + _)
     a.join(b, Seq("band", "bucket"))
@@ -909,7 +928,9 @@ object Multimodal {
     imageAHash(imageTable(Tables.documents(spark, dir)))
       .orderBy("doc_id", "ahash")
 
-  /** Banded near-dup image pairs at hamming ≤ 4 of 16. */
+  /** Banded near-dup image pairs at hamming ≤ 16 of 64, bucket cap 512
+    * (the cap is mirrored by the oracle, so its effect is part of the
+    * verified contract, not a silent truncation). */
   def qImageNearDup(spark: SparkSession, dir: String): DataFrame =
     imageNearDupPairs(imageTable(Tables.documents(spark, dir)))
       .orderBy("doc_a", "doc_b", "hamming")

@@ -723,13 +723,13 @@ object ExtQueries {
       |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin
 
   // Mirrors Multimodal.imageAHash off the raw text bytes (pixel p =
-  // bytes 3p+1..3p+3, usable pixels = full width-5 rows): 16 region
-  // buckets (p % 16), bit = cross-multiplied region-mean >= image-mean,
+  // bytes 3p+1..3p+3, usable pixels = full width-5 rows): 64 region
+  // buckets (p % 64), bit = cross-multiplied region-mean >= image-mean,
   // empty regions 0.
   private val imageAHashCtes: String =
     """img AS (SELECT doc_id, text, ((length(text) // 3) // 5) * 5 AS n FROM documents
       |  WHERE doc_id % 3 = 0 AND length(text) >= 15),
-      |lp AS (SELECT doc_id, p % 16 AS b, n,
+      |lp AS (SELECT doc_id, p % 64 AS b, n,
       |    ord(substr(text, 3*p + 1, 1)) + ord(substr(text, 3*p + 2, 1))
       |      + ord(substr(text, 3*p + 3, 1)) AS l
       |  FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 1)) AS p FROM img)),
@@ -740,7 +740,7 @@ object ExtQueries {
       |    CASE WHEN r.nb IS NULL THEN '0'
       |         WHEN r.sb * r.n >= t.total * r.nb THEN '1' ELSE '0' END AS bit
       |  FROM (SELECT DISTINCT doc_id FROM img) d
-      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bb
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
       |  LEFT JOIN reg r ON r.doc_id = d.doc_id AND r.b = bb.b
       |  LEFT JOIN tot t ON t.doc_id = d.doc_id),
       |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
@@ -752,20 +752,24 @@ object ExtQueries {
          |SELECT doc_id, ahash FROM fp ORDER BY doc_id, ahash""".stripMargin,
 
     "mm_image_neardup" -> {
-      val hamming = (1 to 16)
+      val hamming = (1 to 64)
         .map(k => s"CASE WHEN substr(ha, $k, 1) <> substr(hb, $k, 1) THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $imageAHashCtes,
          |banded AS (SELECT doc_id, ahash, band,
-         |    substr(ahash, band * 4 + 1, 4) AS bucket
-         |  FROM fp, (VALUES (0), (1), (2), (3)) b(band)),
+         |    substr(ahash, band * 8 + 1, 8) AS bucket
+         |  FROM fp, (SELECT unnest(generate_series(0, 7)) AS band) b),
+         |kept AS (SELECT band, bucket FROM banded
+         |  GROUP BY 1, 2 HAVING count(*) <= 512),
+         |bk AS (SELECT bd.doc_id, bd.ahash, bd.band, bd.bucket
+         |  FROM banded bd JOIN kept USING (band, bucket)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.ahash AS ha, b.ahash AS hb
-         |  FROM banded a JOIN banded b USING (band, bucket)
+         |  FROM bk a JOIN bk b USING (band, bucket)
          |  WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming
          |FROM (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming FROM cand)
-         |WHERE hamming <= 4 ORDER BY doc_a, doc_b, hamming""".stripMargin
+         |WHERE hamming <= 16 ORDER BY doc_a, doc_b, hamming""".stripMargin
     },
 
     "q11_events_hourly" ->

@@ -1093,11 +1093,11 @@ class OperatorsSpec extends AnyFunSuite {
     val bmp = Multimodal.imageAHash(Multimodal.imageTable(corpus))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val png = Multimodal.imageAHash(Multimodal.pngTable(corpus),
-        Multimodal.PngCodec.rasterPixels)
+        pixels = Multimodal.PngCodec.rasterPixels _)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // re-encoding must not move a perceptual hash
     assert(bmp == png)
-    assert(bmp(0L).length == 16 && bmp(0L) == bmp(3L))
+    assert(bmp(0L).length == 64 && bmp(0L) == bmp(3L))
     val pairs = Multimodal.imageNearDupPairs(Multimodal.imageTable(corpus))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.contains((0L, 3L, 0L)))
