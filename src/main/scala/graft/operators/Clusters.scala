@@ -439,4 +439,52 @@ object Clusters {
       graft.operators.TextAnalysis.qualityScore(docs))
       .orderBy("cluster_id", "cluster_size", "survivor_id", "quality")
   }
+
+  /** k-core of the dup graph (Seidman '83 peel): the maximal subgraph
+    * where every surviving node keeps degree ≥ k — the dense-template
+    * detector ([[triangleStats]] scores local density; the k-core is the
+    * global "everything here props everything else up" region, the
+    * boilerplate-farm shape that survivor policies treat differently
+    * from chains of incidental matches). Iterative deletion: each round
+    * one degree aggregate + two semi-joins, frames localCheckpoint'd so
+    * lineage stays flat — the star-CC driver-loop discipline; rounds
+    * are bounded by the peel depth (tiny in practice — each round must
+    * delete ≥ 1 node to continue). The loop exits at the FIXPOINT, so
+    * extra rounds are provable no-ops and the SQL oracle's fixed
+    * unrolling agrees whenever it covers the peel depth (asserted by
+    * the round budget).
+    *
+    * Returns surviving (node, degree) — degree within the core. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var n = edges.count()
+    var round = 0
+    var converged = n == 0
+    while (!converged && round < maxRounds) {
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("node").localCheckpoint()
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == n
+      edges = pruned
+      n = n2
+      round += 1
+    }
+    require(converged, s"k-core did not converge in $maxRounds rounds")
+    edges.select(col("a").as("node")).unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
+  /** 2-core of the verified near-dup graph: nodes in at least one
+    * dup CYCLE (tree-like incidental chains peel away). */
+  def qDedupKCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(Dedup.nearDupPairs(Tables.documents(spark, dir), minJaccard = 0.5), k = 2)
+      .orderBy("node", "degree")
 }

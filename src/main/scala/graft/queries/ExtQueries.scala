@@ -59,6 +59,7 @@ object ExtQueries {
     "events_quantiles"      -> TextAnalysis.qEventQuantiles _,
     "text_contamination"    -> TextAnalysis.qContamination _,
     "dedup_clusters"        -> graft.operators.Clusters.qDedupClusters _,
+    "dedup_kcore"           -> graft.operators.Clusters.qDedupKCore _,
     "dedup_clusters_incr"   -> graft.operators.Clusters.qDedupClustersIncremental _,
     "dedup_clusters_stars"  -> graft.operators.Clusters.qDedupClustersStars _,
     "dedup_best_survivor"   -> graft.operators.Clusters.qBestSurvivor _,
@@ -850,6 +851,43 @@ object ExtQueries {
          |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
          |             JOIN sz sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+
+    // Mirrors Clusters.kCore (k=2) over the verified near-dup pairs:
+    // peel rounds unrolled past the corpus's peel depth (the Spark side
+    // exits at the provable fixpoint, so extra rounds are no-ops).
+    "dedup_kcore" -> {
+      val rounds = 12
+      val peel = (1 to rounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+           |  SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  JOIN k$i ka ON ka.node = e${i - 1}.a
+           |  JOIN k$i kb ON kb.node = e${i - 1}.b)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |cd AS (SELECT doc_a AS doc_id FROM cand
+         |       UNION SELECT doc_b FROM cand),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c
+         |  JOIN csh a ON a.doc_id = c.doc_a
+         |  JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (
+         |  SELECT doc_a, doc_b, n / (sa.sz + sb.sz - n) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |$peel
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY node ORDER BY node, degree""".stripMargin
+    },
 
     // Mirrors Pipeline.splitLeakage: the verified near-dup pairs whose
     // members hash to opposite sides of the naive id-hash split.

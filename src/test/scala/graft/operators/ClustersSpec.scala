@@ -238,4 +238,21 @@ class ClustersSpec extends AnyFunSuite {
     val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"got $trainFrac")
   }
+
+  test("k-core peel: K4 survives a pendant chain; cycles are 2-cores") {
+    import spark.implicits._
+    // K4 on 1-4 with a chain 4-5-6 hanging off, plus a 5-cycle 10..14
+    val pairs = (Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L)) ++
+      Seq((10L,11L),(11L,12L),(12L,13L),(13L,14L),(10L,14L)))
+      .toDF("doc_a", "doc_b")
+    val out = Clusters.kCore(pairs, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain peels in two rounds (6 first, then 5); K4 keeps degree 3,
+    // the cycle keeps degree 2
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 2L, 14L -> 2L))
+    // 4-core of the same graph is empty (K4 degrees are only 3)
+    assert(Clusters.kCore(pairs, k = 4).count() == 0L)
+  }
 }
