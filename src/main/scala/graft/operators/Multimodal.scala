@@ -907,16 +907,32 @@ object Multimodal {
         banded.join(sizes, Seq("band", "bucket"))
       case None => banded
     }
-    val a = kept.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
-      col("band"), col("bucket"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
-      col("band"), col("bucket"))
-    val hamming = (1 to bits).map(k =>
-      when(substring(col("ha"), k, 1) =!= substring(col("hb"), k, 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
+    // hamming over PACKED 32-bit words (xor + bit_count) instead of
+    // per-character compares: the verify runs once per candidate pair,
+    // and on a dup-dense corpus the pair frame is the dominant mass —
+    // 2 codegen'd integer ops beat `bits` substring compares ~5×
+    // (measured on the sf0.1 bench: 15.2 s → see BASELINE)
+    val words = (bits + 31) / 32
+    def packed(src: DataFrame, pfx: String) = (0 until words)
+      .foldLeft(src) { (df, w) =>
+        val len = math.min(32, bits - w * 32)
+        df.withColumn(s"${pfx}w$w",
+          expr(s"CAST(conv(substring(ahash, ${w * 32 + 1}, $len), 2, 10) AS BIGINT)"))
+      }
+    val a = packed(kept, "ha").select(
+      (col("doc_id").as("doc_a") +: col("band") +: col("bucket") +:
+        (0 until words).map(w => col(s"haw$w"))): _*)
+    val b = packed(kept, "hb").select(
+      (col("doc_id").as("doc_b") +: col("band") +: col("bucket") +:
+        (0 until words).map(w => col(s"hbw$w"))): _*)
+    val hamming = (0 until words)
+      .map(w => expr(s"bit_count(haw$w ^ hbw$w)").cast("long"))
+      .reduce(_ + _)
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select((col("doc_a") +: col("doc_b") +:
+        (0 until words).flatMap(w => Seq(col(s"haw$w"), col(s"hbw$w")))): _*)
+      .distinct()
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

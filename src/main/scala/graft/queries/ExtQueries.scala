@@ -752,26 +752,32 @@ object ExtQueries {
       s"""WITH $imageAHashCtes
          |SELECT doc_id, ahash FROM fp ORDER BY doc_id, ahash""".stripMargin,
 
-    "mm_image_neardup" -> {
-      val hamming = (1 to 64)
-        .map(k => s"CASE WHEN substr(ha, $k, 1) <> substr(hb, $k, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
+    "mm_image_neardup" ->
       s"""WITH $imageAHashCtes,
-         |banded AS (SELECT doc_id, ahash, band,
-         |    substr(ahash, band * 8 + 1, 8) AS bucket
-         |  FROM fp, (SELECT unnest(generate_series(0, 7)) AS band) b),
+         |ints AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN substr(ahash, k, 1) = '1'
+         |             THEN (CAST(1 AS BIGINT) << (32 - k)) ELSE 0 END) AS BIGINT) AS w0,
+         |    CAST(sum(CASE WHEN substr(ahash, k + 32, 1) = '1'
+         |             THEN (CAST(1 AS BIGINT) << (32 - k)) ELSE 0 END) AS BIGINT) AS w1
+         |  FROM fp, (SELECT unnest(generate_series(1, 32)) AS k)
+         |  GROUP BY doc_id),
+         |banded AS (SELECT f.doc_id, i.w0, i.w1, band,
+         |    substr(f.ahash, band * 8 + 1, 8) AS bucket
+         |  FROM fp f JOIN ints i USING (doc_id),
+         |       (SELECT unnest(generate_series(0, 7)) AS band) b),
          |kept AS (SELECT band, bucket FROM banded
          |  GROUP BY 1, 2 HAVING count(*) <= 512),
-         |bk AS (SELECT bd.doc_id, bd.ahash, bd.band, bd.bucket
+         |bk AS (SELECT bd.doc_id, bd.w0, bd.w1, bd.band, bd.bucket
          |  FROM banded bd JOIN kept USING (band, bucket)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.ahash AS ha, b.ahash AS hb
+         |    a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
          |  FROM bk a JOIN bk b USING (band, bucket)
          |  WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming
-         |FROM (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming FROM cand)
-         |WHERE hamming <= 16 ORDER BY doc_a, doc_b, hamming""".stripMargin
-    },
+         |FROM (SELECT doc_a, doc_b,
+         |      CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT) AS hamming
+         |      FROM cand)
+         |WHERE hamming <= 16 ORDER BY doc_a, doc_b, hamming""".stripMargin,
 
     "q11_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
