@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** User-journey mining over the events stream — the "what do users DO"
+  * family that product analytics engines ship next to funnels and
+  * retention: frequent session paths, the first-order Markov transition
+  * matrix, and hour-of-day seasonal baselines with per-cell residuals.
+  *
+  * Scale shape, shared by all three: the only corpus-sized work is the
+  * per-user session window (one shuffle on `user_id` — the same
+  * partitioning [[graft.streaming.EventStream.sessionizeBatch]] and the
+  * funnel already use, so at 100 TB these stages reuse one exchange)
+  * followed by aggregates whose OUTPUT grain is bounded by the
+  * event-type vocabulary (|types|³ path rows, |types|² transition rows,
+  * |types|·24 baseline cells) — never by the corpus. Everything
+  * downstream of the window is integer arithmetic (half-up rational
+  * division in ppm / micro units), so results are bit-stable under any
+  * partitioning.
+  */
+object Journeys {
+
+  private def sessionized(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+      .drop("prev_us", "new_sess")
+  }
+
+  /** Frequent session paths: every length-3 run of event types inside a
+    * session, with occurrence and distinct-session counts. The output
+    * grain is |event types|³ — a plan-sized frame at any corpus scale —
+    * so no top-k cap is needed to bound it. */
+  def sessionPathTrigrams(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    sessionized(events, gapSeconds)
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id"), col("sess_id")).as("n_sessions"))
+  }
+
+  /** First-order Markov transition matrix of the session event stream:
+    * P(next = e2 | current = e1) in half-up ppm, plus the raw counts.
+    * |types|² rows; the ppm is the exact rational (n·10⁶·2 + tot) div
+    * (2·tot), so both engines agree bit-for-bit. */
+  def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    val pairs = sessionized(events, gapSeconds)
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("e1").agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "e1")
+      .select(col("e1"), col("e2"), col("n"),
+        expr("(n * 1000000 * 2 + tot) div (2 * tot)").as("p_ppm"))
+  }
+
+  /** Hour-of-day seasonality: per event type, the all-days baseline sum
+    * of `value` for each hour slot, and per (type, date, hour) cell the
+    * residual of the observed sum against the baseline's per-event
+    * expectation — the de-seasonalized signal an alerting pipeline
+    * thresholds (a traffic spike at 3am is anomalous; the same count at
+    * peak hour is Tuesday). `value` is fixed to micro units BEFORE any
+    * aggregation, so sums are exact integers; the expected value for a
+    * cell with n events is the half-up rational n·base_sum/base_n. */
+  def hourOfDaySeasonality(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hod"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      .groupBy("event_type", "day", "hod")
+      .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("obs_micro"))
+    val base = cells.groupBy("event_type", "hod")
+      .agg(sum(col("n_events")).as("base_n"), sum(col("obs_micro")).as("base_micro"))
+    cells.join(base, Seq("event_type", "hod"))
+      .select(col("event_type"), col("day").cast("string").as("day"), col("hod"),
+        col("n_events"), col("obs_micro"),
+        (col("obs_micro") -
+          expr("(n_events * base_micro * 2 + base_n) div (2 * base_n)"))
+          .as("resid_micro"))
+  }
+
+  // ---- query-shaped entry points -----------------------------------------
+
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathTrigrams(Tables.events(spark, dir))
+      .orderBy("e1", "e2", "e3", "n_occ", "n_sessions")
+
+  def qTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir))
+      .orderBy("e1", "e2", "n", "p_ppm")
+
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame =
+    hourOfDaySeasonality(Tables.events(spark, dir))
+      .orderBy("event_type", "day", "hod", "n_events", "obs_micro", "resid_micro")
+}

@@ -72,4 +72,59 @@ object Linkage {
     blockedFuzzyPairs(Tables.customer(spark, dir), "c_custkey", "c_name",
       Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
       .orderBy("id_a", "id_b", "dist")
+
+  /** GOLDEN RECORDS — field-level survivorship merge over matched
+    * clusters (the step after candidate matching: linkage/dedup found
+    * who is the same entity; this decides what the merged master record
+    * SAYS). Per multi-member cluster:
+    *   - `modalCols` → the modal value, ties broken (count desc, value
+    *     asc) so the pick is deterministic under any partitioning;
+    *   - `maxCols` / `minCols` → field max / min (callers pre-convert
+    *     doubles to exact integer units).
+    * This differs from [[Clusters.bestSurvivors]], which elects one
+    * EXISTING record; a golden record is a synthesized row that can mix
+    * fields from different members (the usual MDM contract).
+    *
+    * Scale shape: clusters come from the pair graph (blocking/LSH-
+    * bounded), the merge is one aggregate at the cluster grain plus, per
+    * modal field, one aggregate + window at the (cluster, value) grain —
+    * nothing pairwise, nothing driver-side. */
+  def goldenRecords(records: DataFrame, pairs: DataFrame, idCol: String,
+      modalCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame = {
+    require(modalCols.nonEmpty)
+    val cc = Clusters.connectedComponents(
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    val labeled = records.join(cc.withColumnRenamed("node", idCol), Seq(idCol))
+    val perCluster = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        (maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c"))): _*)
+      .filter(col("n_members") >= 2)
+    modalCols.foldLeft(perCluster) { (acc, c) =>
+      val modal = labeled.groupBy(col("cluster_id"), col(c))
+        .agg(count(lit(1)).as("graft_mn"))
+        .withColumn("graft_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+            .orderBy(col("graft_mn").desc, col(c).asc)))
+        .filter(col("graft_rn") === 1)
+        .select(col("cluster_id"), col(c).as(s"modal_$c"))
+      acc.join(modal, "cluster_id")
+    }
+  }
+
+  /** Golden metadata record per near-dup DOCUMENT cluster (LSH pair
+    * graph → CC → field survivorship): the canonical (lang, source,
+    * char-length, display id) a downstream catalog shows for the whole
+    * dup group — near-dup replicas in this corpus genuinely disagree on
+    * source and lang, so the modal pick is doing real work. */
+  def qErGolden(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    goldenRecords(docs, Dedup.minHashLshPairs(docs)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+      "doc_id", modalCols = Seq("lang", "source"),
+      maxCols = Seq("n_chars"), minCols = Seq("doc_id"))
+      .orderBy("cluster_id", "n_members", "max_n_chars", "min_doc_id",
+        "modal_lang", "modal_source")
+  }
 }

@@ -1543,6 +1543,103 @@ object TextAnalysis {
     graft.functions.Sketches.kmvJaccardMatrix(bigrams, "source", "v")
       .orderBy("src_a", "src_b", "n_union_sketch", "n_both", "jaccard_ppm")
   }
+
+  /** Character-distribution Shannon entropy per document, in micro-nats
+    * — the gibberish/base64-blob detector of the quality family (random
+    * byte soup ≈ uniform over its alphabet scores high; natural language
+    * sits in a narrow band; "aaaa…" padding scores ~0). Per-document
+    * H = Σ_c (n_c/N)·ln(N/n_c); each character's term is rounded to
+    * micro-nats BEFORE the sum, so the sum is exact integer addition —
+    * the HLL queries' ln-then-round portability contract.
+    *
+    * Scale shape: one narrow explode to the (doc, char) grain and two
+    * hash aggregates back down — entirely map-side-combinable since
+    * distinct chars per doc are alphabet-bounded. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty (the
+      // Shingles.fromTokens trap) — empty docs must drop out here, as
+      // they do naturally under the oracle's generate_series.
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("n"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "n", "ch")
+      .agg(count(lit(1)).as("nc"))
+      .select(col("doc_id"), col("n"), col("ch"),
+        expr("CAST(round(1000000.0 * (nc / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / nc)) AS BIGINT)")
+          .as("term_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(col("term_micro")).as("entropy_micro"))
+
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(spark, dir))
+      .orderBy("doc_id", "n_distinct_chars", "entropy_micro")
+
+  /** Distributed multinomial NAIVE BAYES: train token likelihoods on the
+    * held-in docs (doc_id % 5 ≠ 0), score and argmax-classify the
+    * held-out fifth, and report the confusion matrix — the supervised
+    * twin of [[qLangId]]'s heuristic and the generative counterpart of
+    * [[trainPerceptron]] (which is discriminative and iterative; NB
+    * trains in ONE aggregate pass, the classic first classifier of a
+    * curation pipeline).
+    *
+    * Everything is add-one-smoothed count arithmetic:
+    * p(t|c) = (c_tc + 1)/(T_c + V); per-(class, token) log-likelihoods
+    * and per-class priors are rounded to micro-nats individually, so
+    * document scores are exact integer sums (same portability contract
+    * as [[charEntropy]]). Prediction ties break to the lexicographically
+    * smaller class.
+    *
+    * Scale shape: training is one (class, token) aggregate — the model
+    * is vocab×classes, broadcast-sized by construction, and it stays a
+    * FRAME (broadcast-joined to the scoring stream), never a driver
+    * collect. Scoring is tokens × |classes| rows through one broadcast
+    * join and one hash aggregate: linear in corpus tokens, no shuffle
+    * wider than the per-document score reduce. */
+  def naiveBayesConfusion(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(Shingles.tokens(col("text"))).as("token"))
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+
+    val counts = train.groupBy(col("lang").as("cls"), col("token"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val classTotals = counts.groupBy("cls").agg(sum(col("c")).as("t"))
+    val vocab = counts.select("token").distinct().agg(count(lit(1)).as("v"))
+    val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
+    val classes = classTotals.join(trainDocs, "cls").crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(trainDocs.agg(sum(col("nd")).as("ndall"))))
+      .select(col("cls"), col("t"), col("v"),
+        expr("CAST(round(1000000.0 * ln(nd / CAST(ndall AS DOUBLE))) AS BIGINT)")
+          .as("prior_micro"))
+
+    // tokens × classes: seen tokens take ln((c+1)/(T+V)), unseen take c=0
+    val scored = test
+      .crossJoin(broadcast(classes))
+      .join(broadcast(counts), Seq("cls", "token"), "left")
+      .select(col("doc_id"), col("lang"), col("cls"), col("prior_micro"),
+        expr("CAST(round(1000000.0 * ln((coalesce(c, 0) + 1) / CAST(t + v AS DOUBLE))) AS BIGINT)")
+          .as("term_micro"))
+      .groupBy("doc_id", "lang", "cls", "prior_micro")
+      .agg(sum(col("term_micro")).as("ll_micro"))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("prior_micro") + col("ll_micro")).as("score_micro"))
+    val predicted = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("cls").asc)))
+      .filter(col("rn") === 1)
+    predicted.groupBy(col("lang"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def qNaiveBayes(spark: SparkSession, dir: String): DataFrame =
+    naiveBayesConfusion(Tables.documents(spark, dir))
+      .orderBy("lang", "predicted", "n")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -147,6 +147,13 @@ object ExtQueries {
     "text_grep_fuzzy"       -> TextAnalysis.qGrepFuzzy _,
     "text_simpson"          -> TextAnalysis.qSimpson _,
     "text_brier"            -> graft.operators.Calibration.qBrier _,
+    "events_paths"          -> graft.operators.Journeys.qSessionPaths _,
+    "events_markov"         -> graft.operators.Journeys.qTransitions _,
+    "events_seasonality"    -> graft.operators.Journeys.qSeasonality _,
+    "er_golden"             -> graft.operators.Linkage.qErGolden _,
+    "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
+    "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
+    "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
   )
 
   /** Per-column profile of the orders schema over any relation — shared
@@ -3274,5 +3281,144 @@ object ExtQueries {
          |  CAST(max(ct) AS BIGINT) AS max_chunk_tokens
          |FROM ch GROUP BY lang
          |ORDER BY lang, n_chunks, n_tokens, fill_ppm, n_overflow, max_chunk_tokens""".stripMargin,
+
+    // Mirrors Journeys.sessionPathTrigrams: 30-min-gap sessions, ordered
+    // length-3 event-type runs, |types|^3-bounded output.
+    "events_paths" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+        |t AS (SELECT user_id, sess_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w2 AS e2, lead(event_type, 2) OVER w2 AS e3
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_occ,
+        |  CAST(count(DISTINCT (user_id, sess_id)) AS BIGINT) AS n_sessions
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY e1, e2, e3, n_occ, n_sessions""".stripMargin,
+
+    // Mirrors Journeys.transitionMatrix: first-order session transitions,
+    // half-up rational ppm.
+    "events_markov" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+        |p AS (SELECT event_type AS e1, lead(event_type, 1) OVER w2 AS e2
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+        |c AS (SELECT e1, e2, count(*) AS n FROM p WHERE e2 IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT e1, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT e1, e2, n, CAST((n * 1000000 * 2 + tot) // (2 * tot) AS BIGINT) AS p_ppm
+        |FROM c JOIN tot USING (e1) ORDER BY e1, e2, n, p_ppm""".stripMargin,
+
+    // Mirrors Journeys.hourOfDaySeasonality: micro-unit value sums per
+    // (type, day, hour) cell against the all-days hour-of-day baseline.
+    "events_seasonality" ->
+      """WITH cells AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n_events,
+        |    sum(CAST(round(value * 1000000) AS BIGINT)) AS obs_micro
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (SELECT event_type, hod, sum(n_events) AS base_n,
+        |    sum(obs_micro) AS base_micro
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT event_type, day, hod, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(obs_micro AS BIGINT) AS obs_micro,
+        |  CAST(obs_micro - (n_events * base_micro * 2 + base_n) // (2 * base_n) AS BIGINT)
+        |    AS resid_micro
+        |FROM cells JOIN base USING (event_type, hod)
+        |ORDER BY event_type, day, hod, n_events, obs_micro, resid_micro""".stripMargin,
+
+    // Mirrors Linkage.goldenRecords over the MinHash-LSH dup graph:
+    // CC via recursive closure, then field survivorship (modal with
+    // (count desc, value asc) ties, max/min fields) per >=2 cluster.
+    "er_golden" ->
+      s"""$minhashCte,
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  WITH RECURSIVE r(node, reach) AS (
+         |    SELECT src, src FROM edges
+         |    UNION
+         |    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach)
+         |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+         |lab AS (SELECT d.*, reach.cluster_id FROM documents d
+         |        JOIN reach ON reach.node = d.doc_id),
+         |agg AS (SELECT cluster_id, count(*) AS n_members,
+         |    max(n_chars) AS max_n_chars, min(doc_id) AS min_doc_id
+         |  FROM lab GROUP BY 1 HAVING count(*) >= 2),
+         |ml AS (SELECT cluster_id, lang AS modal_lang FROM (
+         |    SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM lab GROUP BY cluster_id, lang) WHERE rn = 1),
+         |ms AS (SELECT cluster_id, source AS modal_source FROM (
+         |    SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY count(*) DESC, source ASC) AS rn
+         |    FROM lab GROUP BY cluster_id, source) WHERE rn = 1)
+         |SELECT cluster_id, n_members, max_n_chars, min_doc_id, modal_lang, modal_source
+         |FROM agg JOIN ml USING (cluster_id) JOIN ms USING (cluster_id)
+         |ORDER BY cluster_id, n_members, max_n_chars, min_doc_id, modal_lang, modal_source""".stripMargin,
+
+    // The zone-map pruned scan must return EXACTLY the plain filter's
+    // rows — the oracle is the unpruned query, so a hash match proves
+    // file skipping lost nothing and invented nothing.
+    "storage_zonemap" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
+        |ORDER BY o_orderkey, o_custkey, price_cents""".stripMargin,
+
+    // Mirrors TextAnalysis.charEntropy: per-character micro-nat terms
+    // rounded before the exact integer sum.
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, n, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text, len(text) AS n,
+        |          unnest(generate_series(1, len(text))) AS i FROM documents)),
+        |cc AS (SELECT doc_id, n, ch, count(*) AS nc FROM ch GROUP BY 1, 2, 3),
+        |tm AS (SELECT doc_id,
+        |    CAST(round(1000000.0 * (nc / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / nc)) AS BIGINT) AS term_micro
+        |  FROM cc)
+        |SELECT doc_id, count(*) AS n_distinct_chars,
+        |  CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+        |FROM tm GROUP BY doc_id
+        |ORDER BY doc_id, n_distinct_chars, entropy_micro""".stripMargin,
+
+    // Mirrors TextAnalysis.naiveBayesConfusion: add-one multinomial NB
+    // trained on doc_id % 5 <> 0, argmax-scored on the held-out fifth,
+    // micro-nat terms rounded per (class, token) before the exact sum.
+    "text_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+        |counts AS (SELECT lang AS cls, token, count(*) AS c FROM train GROUP BY 1, 2),
+        |tot AS (SELECT cls, sum(c) AS t FROM counts GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT token) AS v FROM counts),
+        |nd AS (SELECT lang AS cls, count(*) AS nd FROM documents
+        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |ndall AS (SELECT sum(nd) AS ndall FROM nd),
+        |classes AS (SELECT cls, t, v,
+        |    CAST(round(1000000.0 * ln(nd / CAST(ndall AS DOUBLE))) AS BIGINT) AS prior_micro
+        |  FROM tot JOIN nd USING (cls) CROSS JOIN voc CROSS JOIN ndall),
+        |terms AS (SELECT te.doc_id, te.lang, cl.cls, cl.prior_micro,
+        |    CAST(round(1000000.0 * ln((coalesce(co.c, 0) + 1) / CAST(cl.t + cl.v AS DOUBLE))) AS BIGINT) AS term_micro
+        |  FROM test te CROSS JOIN classes cl
+        |  LEFT JOIN counts co ON co.cls = cl.cls AND co.token = te.token),
+        |scored AS (SELECT doc_id, lang, cls,
+        |    prior_micro + sum(term_micro) AS score_micro
+        |  FROM terms GROUP BY doc_id, lang, cls, prior_micro),
+        |pred AS (SELECT doc_id, lang, cls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, cls ASC) AS rn FROM scored)
+        |SELECT lang, cls AS predicted, count(*) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, predicted, n""".stripMargin,
   )
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** FILE-LEVEL zone maps — explicit data skipping above the format layer.
+  *
+  * [[Sinks.writeSortedParquet]] clusters rows so parquet row-group
+  * min/max stats prune WITHIN files, but Spark still has to list and
+  * open every footer to learn that. A zone map moves the min/max up a
+  * level: one tiny stats table (`<path>_zonemap`, one row per data
+  * file) is consulted FIRST, and files whose [lo, hi] range cannot
+  * intersect the predicate are never listed into the scan at all. On an
+  * object store with 10⁵–10⁶ files per table this is the difference
+  * between a metadata query and 10⁶ GET-footer round-trips — the
+  * mechanism behind every table format's file skipping (Iceberg/Delta
+  * manifests are zone maps with a transaction log).
+  *
+  * Write path: range-repartition + in-file sort on the zone column
+  * (each file covers a disjoint slice), then ONE pass over the written
+  * files computes per-file min/max via `input_file_name()` grouping.
+  * Read path: filter the stats table, collect the surviving file list
+  * (bounded: O(files) rows of (path, lo, hi) — metadata, never data),
+  * and scan exactly those files with the residual predicate applied.
+  * Correctness does not depend on the stats being tight — a stale/wide
+  * zone only loses skipping, never rows — but [[prunedScan]] recomputes
+  * them from the data itself, so they are exact here.
+  */
+object ZoneMap {
+
+  /** Write `df` clustered by `zoneCol` into ~`numFiles` files plus the
+    * sibling `<path>_zonemap` stats table. */
+  def writeZoneMapped(df: DataFrame, path: String, zoneCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0)
+    df.repartitionByRange(numFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("zone_lo"), max(col(zoneCol)).as("zone_hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap")
+  }
+
+  /** Scan only the files whose zone can satisfy `zoneCol ∈ [lo, hi]`,
+    * with the exact predicate re-applied to the survivors. Returns the
+    * same rows as an unpruned `filter` — the zone map is an IO
+    * optimization, never a semantic one. The driver-side collect is the
+    * stats table: O(files) metadata rows, the same order of work as the
+    * file listing Spark does anyway. */
+  def prunedScan(spark: SparkSession, path: String, zoneCol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = prunedFiles(spark, path, lo, hi)
+    val scan =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    scan.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
+  }
+
+  /** The surviving file list for a zone predicate — split out so specs
+    * can assert the skip actually happens. */
+  def prunedFiles(spark: SparkSession, path: String, lo: Column,
+      hi: Column): Seq[String] =
+    spark.read.parquet(path + "_zonemap")
+      .filter(col("zone_hi") >= lo && col("zone_lo") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Query-shaped entry: orders zone-mapped by `o_totalprice` into a
+    * scratch layout, then a band predicate read back through the pruned
+    * scan — the oracle is the PLAIN filter over the original table, so
+    * a hash match proves pruning lost no rows and invented none. */
+  def qZoneMapScan(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-zonemap").toString + "/orders"
+    writeZoneMapped(Tables.orders(spark, dir), scratch, "o_totalprice",
+      numFiles = 16)
+    prunedScan(spark, scratch, "o_totalprice", lit(50000.0), lit(80000.0))
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      .orderBy("o_orderkey", "o_custkey", "price_cents")
+  }
+}

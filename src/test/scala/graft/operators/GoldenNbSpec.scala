@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GoldenNbSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("goldenRecords: modal tie breaks to smaller value, max/min per field") {
+    val recs = Seq(
+      (1L, "en", "srcB", 10L), (2L, "en", "srcA", 30L), (3L, "fr", "srcA", 20L),
+      (9L, "zh", "srcZ", 5L)) // singleton: no pair, must not appear
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val g = Linkage.goldenRecords(recs, pairs, "doc_id",
+      modalCols = Seq("lang", "source"), maxCols = Seq("n_chars"),
+      minCols = Seq("doc_id")).collect()
+    assert(g.length == 1)
+    val r = g.head
+    assert(r.getAs[Long]("n_members") == 3L)
+    assert(r.getAs[String]("modal_lang") == "en")   // 2 en vs 1 fr
+    assert(r.getAs[String]("modal_source") == "srcA") // 2 srcA vs 1 srcB
+    assert(r.getAs[Long]("max_n_chars") == 30L)
+    assert(r.getAs[Long]("min_doc_id") == 1L)
+  }
+
+  test("goldenRecords: exact 50/50 modal tie picks the lexicographic min") {
+    val recs = Seq((1L, "fr"), (2L, "en")).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val g = Linkage.goldenRecords(recs, pairs, "doc_id", Seq("lang")).collect()
+    assert(g.head.getAs[String]("modal_lang") == "en")
+  }
+
+  test("charEntropy: zero for constant text, ln(k) micro for uniform") {
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(e(1L) == (1L, 0L))
+    // uniform over 4 chars: 4 terms of 0.25*ln(4) → 4 * round(1e6*0.25*ln 4)
+    val term = math.round(1e6 * 0.25 * math.log(4.0))
+    assert(e(2L) == (4L, 4 * term))
+    assert(!e.contains(3L)) // empty text drops (sequence(1,0) trap)
+  }
+
+  test("naive bayes separates a clean two-class corpus") {
+    // train docs (id % 5 != 0) with disjoint vocab per lang; held-out
+    // docs 5 and 10 must classify to their own class
+    val docs = Seq(
+      (1L, "le chat noir dort", "fr"), (2L, "le chien noir court", "fr"),
+      (3L, "chat et chien", "fr"), (5L, "le chat dort", "fr"),
+      (6L, "the black cat sleeps", "en"), (7L, "the black dog runs", "en"),
+      (8L, "cat and dog", "en"), (10L, "the cat sleeps", "en"))
+      .toDF("doc_id", "text", "lang")
+    val conf = TextAnalysis.naiveBayesConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("fr", "fr") -> 1L, ("en", "en") -> 1L))
+  }
+}

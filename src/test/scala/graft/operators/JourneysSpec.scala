@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class JourneysSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  // user 1: one session a,b,c,d then (95-min gap) a second session x,y;
+  // user 2: one session a,b,c
+  private def events = Seq(
+    (1L, ts(0), 1L, "a", 1.0),
+    (2L, ts(1), 1L, "b", 1.0),
+    (3L, ts(2), 1L, "c", 1.0),
+    (4L, ts(3), 1L, "d", 1.0),
+    (5L, ts(98), 1L, "x", 1.0),
+    (6L, ts(99), 1L, "y", 1.0),
+    (7L, ts(0), 2L, "a", 1.0),
+    (8L, ts(1), 2L, "b", 1.0),
+    (9L, ts(2), 2L, "c", 1.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("trigrams never cross a session boundary and count sessions") {
+    val t = Journeys.sessionPathTrigrams(events)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(t(("a", "b", "c")) == (2L, 2L)) // both users
+    assert(t(("b", "c", "d")) == (1L, 1L))
+    // d|x|y span the 95-min gap: no trigram may bridge it
+    assert(!t.keySet.exists(k => k.productIterator.contains("x") ||
+      k.productIterator.contains("y")))
+    assert(t.size == 2)
+  }
+
+  test("transition ppm is the half-up rational of in-session successors") {
+    val m = Journeys.transitionMatrix(events)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // successors of a: b (twice, both users); x never follows d (gap)
+    assert(m(("a", "b")) == (2L, 1000000L))
+    assert(!m.contains(("d", "x")))
+    assert(m(("b", "c")) == (2L, 1000000L))
+    // c -> d for user 1 only; c is terminal for user 2
+    assert(m(("c", "d")) == (1L, 1000000L))
+    assert(m(("x", "y")) == (1L, 1000000L))
+  }
+
+  test("seasonality residuals sum to ~0 per (type, hour) across days") {
+    // same hour on two days, imbalanced values: residuals must offset
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:10:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 09:20:00"), 1L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Journeys.hourOfDaySeasonality(ev).collect()
+    assert(rows.length == 2)
+    val resid = rows.map(_.getAs[Long]("resid_micro"))
+    // baseline per-event expectation = 2.0 → residuals -1e6 and +1e6
+    assert(resid.sorted.toSeq == Seq(-1000000L, 1000000L))
+    assert(rows.map(_.getAs[Long]("resid_micro")).sum == 0L)
+  }
+}

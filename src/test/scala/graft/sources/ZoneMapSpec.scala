@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def layout(): String = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-zm-spec").toString + "/t"
+    val df = (0L until 10000L).map(i => (i, i % 97)).toDF("k", "payload")
+    ZoneMap.writeZoneMapped(df, path, "k", numFiles = 10)
+    path
+  }
+
+  test("pruned scan touches a strict subset of files and loses no rows") {
+    val path = layout()
+    val total = spark.read.parquet(path + "_zonemap").count()
+    assert(total == 10L)
+    // a band covering ~2 of 10 disjoint zones
+    val files = ZoneMap.prunedFiles(spark, path, lit(2500L), lit(3500L))
+    assert(files.nonEmpty && files.length <= 3,
+      s"band of 10% should prune most zones, read ${files.length}/10")
+    val pruned = ZoneMap.prunedScan(spark, path, "k", lit(2500L), lit(3500L))
+      .select("k").as[Long].collect().sorted
+    assert(pruned.toSeq == (2500L to 3500L).toSeq)
+  }
+
+  test("empty band reads zero files and returns an empty same-schema frame") {
+    val path = layout()
+    assert(ZoneMap.prunedFiles(spark, path, lit(50000L), lit(60000L)).isEmpty)
+    val out = ZoneMap.prunedScan(spark, path, "k", lit(50000L), lit(60000L))
+    assert(out.columns.toSeq == Seq("k", "payload") && out.count() == 0L)
+  }
+
+  test("boundary rows sitting exactly on zone edges are kept") {
+    val path = layout()
+    val edges = spark.read.parquet(path + "_zonemap")
+      .select("zone_lo").as[Long].collect().sorted
+    val probe = edges(3) // an exact file-min key
+    val got = ZoneMap.prunedScan(spark, path, "k", lit(probe), lit(probe))
+      .select("k").as[Long].collect()
+    assert(got.toSeq == Seq(probe))
+  }
+}
