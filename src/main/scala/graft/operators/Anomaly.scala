@@ -105,4 +105,47 @@ object Anomaly {
         groupCol = "event_type", valueCol = "value")
       .orderBy("event_type", "ref_rows", "inc_rows", "l1_ppm")
   }
+
+  /** EMBEDDING drift between two collection batches, per label: squared
+    * distance between the batches' per-label centroids — the monitor
+    * that catches a silently-changed embedding model or a skewed new
+    * crawl before it poisons ANN indexes and semantic dedup ([[
+    * histogramDrift]]'s counterpart for the vector modality).
+    *
+    * Exactness: components quantize to milli units BEFORE aggregation;
+    * per-dimension means are half-up integer rationals, so the reported
+    * dist² is bit-stable under any partitioning AND bounded (milli
+    * means ≤ ~2·10³ per dim ⇒ Σ ≤ 64·4·10⁶ — no overflow at any corpus
+    * size, unlike summing raw cross-multiplied numerators).
+    *
+    * Scale shape: one narrow posexplode to (label, dim, batch) grain —
+    * the only corpus-sized stage, map-side combinable — then the
+    * centroid algebra runs on labels×dims×2 rows. */
+  def embeddingBatchDrift(emb: DataFrame, batchCol: org.apache.spark.sql.Column): DataFrame = {
+    val comp = emb
+      .select(col("label"), batchCol.as("b"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "b", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)")).as("s"))
+      // half-up on |s| then re-sign: Spark's `div` truncates while the
+      // oracle's `//` floors, so negative dividends must never reach
+      // either — positive-only division makes both floor==trunc.
+      .withColumn("mean_milli",
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n) div (2 * n))"))
+    val a = comp.filter(col("b") === 0)
+      .select(col("label"), col("dim"), col("n").as("n_a"), col("mean_milli").as("m_a"))
+    val b = comp.filter(col("b") === 1)
+      .select(col("label"), col("dim"), col("n").as("n_b"), col("mean_milli").as("m_b"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        sum((col("m_a") - col("m_b")) * (col("m_a") - col("m_b"))).as("dist_sq_milli2"))
+  }
+
+  /** Drift between the even/odd vec_id halves — same distribution, so
+    * dist² stays near 0; a label whose centroid moved is the alert. */
+  def qEmbDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingBatchDrift(Tables.embeddings(spark, dir), col("vec_id") % 2)
+      .orderBy("label", "n_a", "n_b", "dist_sq_milli2")
 }

@@ -993,4 +993,280 @@ object Multimodal {
       .toDF("doc_id", "media_type", "byte_sum")
       .orderBy("doc_id", "media_type", "byte_sum")
   }
+
+  /** REAL codec for GIF87a palette images — the third compressed format
+    * after PNG, and the first with an ENTROPY coder in the hot path: the
+    * pixel stream is variable-width LZW (9→12-bit codes, clear/EOI
+    * semantics, dictionary cap 4096 with mid-stream reset, the KwKwK
+    * self-referencing code case) reassembled from length-prefixed data
+    * sub-blocks, and every pixel is an index resolved through the global
+    * color table. Features are per-bucket sums of each pixel's R+G+B
+    * palette components (the BMP/PNG bucket-sum shape, so checksum
+    * oracles stay integer-exact). Malformed containers — bad signature,
+    * header-declared sizes exceeding the payload, codes beyond the
+    * dictionary, missing terminators — raise `IllegalArgumentException`
+    * so a trash record fails alone, never poisons the partition. All
+    * size math goes through Long before any allocation: header fields
+    * are untrusted input. */
+  object GifCodec extends Codec {
+    private def bad(m: String) = throw new IllegalArgumentException(s"GifCodec: $m")
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** (width, height, pixels as palette-resolved R+G+B sums). */
+    private[graft] def rasterPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      if (payload.length < 14) bad(s"truncated header: ${payload.length} bytes")
+      val sig = new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF87a" && sig != "GIF89a") bad(s"bad signature '$sig'")
+      val packed = payload(10) & 0xff
+      if ((packed & 0x80) == 0) bad("no global color table")
+      val gctEntries = 1 << ((packed & 0x07) + 1)
+      val gctOff = 13
+      val gctLen = gctEntries.toLong * 3
+      if (gctOff + gctLen + 10 > payload.length) bad("global color table exceeds payload")
+      var off = (gctOff + gctLen).toInt
+      if ((payload(off) & 0xff) != 0x2c) bad(f"expected image descriptor, got 0x${payload(off)}%02x")
+      val w = u16(payload, off + 5)
+      val h = u16(payload, off + 7)
+      val nPix = w.toLong * h
+      if (w <= 0 || h <= 0) bad(s"bad dimensions ${w}x$h")
+      if (nPix > (1L << 26)) bad(s"implausible pixel count $nPix")
+      if ((payload(off + 9) & 0x80) != 0) bad("local color tables unsupported")
+      off += 10
+      if (off >= payload.length) bad("missing LZW minimum code size")
+      val mcs = payload(off) & 0xff
+      if (mcs < 2 || mcs > 8) bad(s"bad LZW min code size $mcs")
+      off += 1
+
+      // reassemble the length-prefixed sub-blocks into one code stream
+      val data = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        if (off >= payload.length) bad("unterminated sub-block chain")
+        val len = payload(off) & 0xff
+        off += 1
+        if (len == 0) done = true
+        else {
+          if (off + len > payload.length) bad("sub-block exceeds payload")
+          data.write(payload, off, len)
+          off += len
+        }
+      }
+      val idx = lzwDecode(data.toByteArray, mcs, nPix.toInt)
+
+      val pixels = new Array[Int](nPix.toInt)
+      var p = 0
+      while (p < pixels.length) {
+        val i = idx(p) & 0xff
+        if (i >= gctEntries) bad(s"palette index $i >= table size $gctEntries")
+        val o = gctOff + 3 * i
+        pixels(p) = (payload(o) & 0xff) + (payload(o + 1) & 0xff) + (payload(o + 2) & 0xff)
+        p += 1
+      }
+      (w, h, pixels)
+    }
+
+    /** Variable-width GIF-LZW: codes start at mcs+1 bits, the dictionary
+      * holds at most 4096 entries, CLEAR resets mid-stream, EOI ends it.
+      * Exactly `expected` indices must decode. */
+    private def lzwDecode(data: Array[Byte], mcs: Int, expected: Int): Array[Byte] = {
+      val clear = 1 << mcs
+      val eoi = clear + 1
+      val out = new Array[Byte](expected)
+      var outLen = 0
+      // dictionary as (prefix code, appended byte); roots are implicit
+      val prefix = new Array[Int](4096)
+      val append = new Array[Byte](4096)
+      var next = eoi + 1
+      var width = mcs + 1
+      var prev = -1
+      var bitPos = 0L
+      val nBits = data.length.toLong * 8
+      val buf = new Array[Byte](4096) // longest possible dictionary string
+
+      def expand(code: Int): Int = { // writes string for `code` into buf, returns length
+        var len = 0
+        var c = code
+        while (c >= clear + 2) { // a dictionary entry
+          buf(len) = append(c); len += 1
+          if (len >= 4096) bad("dictionary cycle")
+          c = prefix(c)
+        }
+        buf(len) = c.toByte; len += 1
+        // reverse in place
+        var i = 0; var j = len - 1
+        while (i < j) { val t = buf(i); buf(i) = buf(j); buf(j) = t; i += 1; j -= 1 }
+        len
+      }
+
+      var finished = false
+      while (!finished) {
+        if (bitPos + width > nBits) bad("code stream ran out before EOI")
+        var code = 0
+        var k = 0
+        while (k < width) { // LSB-first bit order
+          val bp = bitPos + k
+          if ((data((bp >> 3).toInt) & (1 << (bp & 7).toInt)) != 0) code |= 1 << k
+          k += 1
+        }
+        bitPos += width
+        if (code == clear) {
+          next = eoi + 1; width = mcs + 1; prev = -1
+        } else if (code == eoi) {
+          finished = true
+        } else if (prev == -1) {
+          if (code >= clear) bad(s"first code $code is not a root")
+          if (outLen >= expected) bad("more pixels than declared")
+          out(outLen) = code.toByte; outLen += 1
+          prev = code
+        } else {
+          if (code > next || (code >= clear && code < clear + 2)) bad(s"code $code beyond dictionary $next")
+          val len =
+            if (code == next) { // KwKwK: prev string + its own first byte
+              val l = expand(prev)
+              if (l >= 4096) bad("dictionary string overflow")
+              buf(l) = buf(0)
+              l + 1
+            } else expand(code)
+          if (outLen + len > expected) bad("more pixels than declared")
+          System.arraycopy(buf, 0, out, outLen, len)
+          outLen += len
+          if (next < 4096) {
+            prefix(next) = prev; append(next) = buf(0)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      if (outLen != expected) bad(s"decoded $outLen pixels, header declared $expected")
+      out
+    }
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (_, _, pixels) = rasterPixels(payload)
+      val out = new Array[Float](dim)
+      var p = 0
+      while (p < pixels.length) {
+        out(p % dim) += pixels(p).toFloat
+        p += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic GIF87a built from text: width 5, one PALETTE INDEX
+    * per text byte in raster order, grayscale global color table
+    * (entry i = (i,i,i) so R+G+B = 3·index), pixel stream LZW-encoded
+    * by [[lzwEncode]] — a genuinely entropy-coded container whose
+    * decoded truth is still readable straight off the text. */
+  private[graft] def gifFromText(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 5
+    val h = bytes.length / w
+    require(h >= 1, s"text too short for one pixel row: ${bytes.length} bytes")
+    val pix = java.util.Arrays.copyOf(bytes, w * h)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)    // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(8) // LZW minimum code size
+    val code = lzwEncode(pix, 8)
+    var o = 0
+    while (o < code.length) { // 255-byte sub-blocks
+      val n = math.min(255, code.length - o)
+      out.write(n); out.write(code, o, n)
+      o += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-LZW encoder, width bookkeeping MIRRORING the decoder's state
+    * machine (the decoder trails the encoder's dictionary by one entry,
+    * so the encoder tracks the DECODER's next/width to know each code's
+    * on-wire width — the classic variable-width LZW symmetry trap,
+    * solved by simulation instead of an off-by-one rule). */
+  private[graft] def lzwEncode(pix: Array[Byte], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L // bit accumulator
+    var nb = 0
+    // decoder-state simulation for on-wire code width
+    var dNext = eoi + 1
+    var dWidth = mcs + 1
+    var sinceClear = 0
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nb
+      nb += dWidth
+      while (nb >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nb -= 8 }
+    }
+    def emitData(code: Int): Unit = {
+      emit(code)
+      // the decoder adds one entry per code AFTER the first since clear
+      if (sinceClear >= 1 && dNext < 4096) {
+        dNext += 1
+        if (dNext == (1 << dWidth) && dWidth < 12) dWidth += 1
+      }
+      sinceClear += 1
+    }
+    def emitClear(): Unit = { emit(clear); dNext = eoi + 1; dWidth = mcs + 1; sinceClear = 0 }
+
+    val dict = scala.collection.mutable.HashMap.empty[Int, Int] // (prefix<<8 | byte) -> code
+    var next = eoi + 1
+    emitClear()
+    var prev = pix(0) & 0xff
+    var p = 1
+    while (p < pix.length) {
+      val b = pix(p) & 0xff
+      val key = (prev << 8) | b
+      val hit = dict.getOrElse(key, -1)
+      if (hit >= 0) prev = hit
+      else {
+        emitData(prev)
+        if (next < 4096) { dict.update(key, next); next += 1 }
+        else { emitClear(); dict.clear(); next = eoi + 1 }
+        prev = b
+      }
+      p += 1
+    }
+    emitData(prev)
+    emit(eoi)
+    if (nb > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Image-typed media rows with REAL (built) GIF payloads — same doc
+    * selection as the BMP/PNG paths; one palette index per text byte. */
+  def gifTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", gifFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Per-bucket pixel sums over REAL decoded GIF pixels: LZW decode +
+    * palette resolution end-to-end; the oracle reads 3·byte straight
+    * off the text, so any slip in sub-block reassembly, code widths,
+    * dictionary rebuild, or palette lookup hash-mismatches. */
+  def qGifChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(gifTable(Tables.documents(spark, dir)), dim = 8, codec = GifCodec)
+      .flatMap(m => m.features.iterator.zipWithIndex.map {
+        case (s, b) => (m.doc_id, b.toLong, s.toLong)
+      })
+      .toDF("doc_id", "bucket", "s")
+      .orderBy("doc_id", "bucket", "s")
+  }
 }

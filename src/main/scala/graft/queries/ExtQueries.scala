@@ -154,6 +154,8 @@ object ExtQueries {
     "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
+    "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
+    "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
   )
 
   /** Per-column profile of the orders schema over any relation — shared
@@ -3420,5 +3422,38 @@ object ExtQueries {
         |      ORDER BY score_micro DESC, cls ASC) AS rn FROM scored)
         |SELECT lang, cls AS predicted, count(*) AS n
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, predicted, n""".stripMargin,
+
+    // Mirrors Multimodal.qGifChecksum: the built GIF maps text byte p to
+    // palette index p with a grayscale (i,i,i) table, so each decoded
+    // pixel is exactly 3*byte — the oracle reads the text while the
+    // query walks sub-blocks, variable-width LZW, and the palette.
+    "mm_gif_checksum" ->
+      """SELECT doc_id, p % 8 AS bucket,
+        |  CAST(sum(3 * ord(substr(text, p + 1, 1))) AS BIGINT) AS s
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, (length(text) // 5) * 5 - 1)) AS p
+        |      FROM documents
+        |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    // Mirrors Anomaly.embeddingBatchDrift: milli-quantized components,
+    // half-up means on |s| (positive-only division so floor == trunc),
+    // per-label centroid dist^2 between even/odd vec_id batches.
+    "emb_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 AS b, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |comp AS (SELECT label, b, i - 1 AS dim,
+        |    CAST(round(v[i] * 1000) AS BIGINT) AS xm
+        |  FROM (SELECT label, b, v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |g AS (SELECT label, b, dim, count(*) AS n, sum(xm) AS s
+        |      FROM comp GROUP BY 1, 2, 3),
+        |m AS (SELECT label, b, dim, n,
+        |    CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n) // (2 * n)) AS mm FROM g),
+        |a AS (SELECT label, dim, n AS n_a, mm AS m_a FROM m WHERE b = 0),
+        |bb AS (SELECT label, dim, n AS n_b, mm AS m_b FROM m WHERE b = 1)
+        |SELECT label, CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(sum((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS dist_sq_milli2
+        |FROM a JOIN bb USING (label, dim) GROUP BY label
+        |ORDER BY label, n_a, n_b, dist_sq_milli2""".stripMargin,
   )
 }

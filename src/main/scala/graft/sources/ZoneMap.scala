@@ -69,6 +69,42 @@ object ZoneMap {
       .filter(col("zone_hi") >= lo && col("zone_lo") <= hi)
       .select("file").collect().map(_.getString(0)).toSeq
 
+  /** Append a batch into an existing zone-mapped layout: the batch's
+    * files land alongside the old ones and ONLY the new files are
+    * stat'd (snapshot-diff of the directory listing), their rows merged
+    * into the stats table. Zones may now overlap across eras — that
+    * costs skipping efficiency on overlapping predicates, never
+    * correctness (pruning keeps any file whose range intersects) — and
+    * a maintenance rewrite ([[writeZoneMapped]] again, the compaction
+    * analog) restores disjointness. This is the micro-batch append
+    * discipline of [[Sinks.compactParquet]]'s streaming corpora applied
+    * to the skipping index: per batch, work is O(batch) + an O(files)
+    * metadata rewrite, never a corpus re-scan. */
+  def appendZoneMapped(df: DataFrame, path: String, zoneCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0)
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def dataFiles(): Set[String] = fs.listStatus(p).collect {
+      case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") => f.getPath.toString
+    }.toSet
+    val before = dataFiles()
+    df.repartitionByRange(numFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode(SaveMode.Append).parquet(path)
+    val fresh = (dataFiles() -- before).toSeq
+    val newStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("zone_lo"), max(col(zoneCol)).as("zone_hi"),
+        count(lit(1)).as("n_rows"))
+    val merged = spark.read.parquet(path + "_zonemap")
+      .unionByName(newStats).coalesce(1).localCheckpoint()
+    merged.write.mode(SaveMode.Overwrite).parquet(path + "_zonemap")
+  }
+
   /** Query-shaped entry: orders zone-mapped by `o_totalprice` into a
     * scratch layout, then a band predicate read back through the pruned
     * scan — the oracle is the PLAIN filter over the original table, so

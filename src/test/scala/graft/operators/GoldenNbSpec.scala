@@ -44,6 +44,24 @@ class GoldenNbSpec extends AnyFunSuite {
     assert(!e.contains(3L)) // empty text drops (sequence(1,0) trap)
   }
 
+  test("embedding batch drift: identical batches score 0, a shifted one doesn't") {
+    val same = (0L until 8L).map(id =>
+      (id, Array.tabulate(4)(d => 0.1f * d), 0))
+      .toDF("vec_id", "embedding", "label")
+    val d0 = graft.operators.Anomaly
+      .embeddingBatchDrift(same, col("vec_id") % 2).collect()
+    assert(d0.map(_.getAs[Long]("dist_sq_milli2")).toSeq == Seq(0L))
+
+    // odd batch shifted by +1.0 in every dim -> dist^2 = 4 * 1000^2
+    val shifted = (0L until 8L).map { id =>
+      val off = if (id % 2 == 1) 1.0f else 0.0f
+      (id, Array.tabulate(4)(d => 0.1f * d + off), 7)
+    }.toDF("vec_id", "embedding", "label")
+    val d1 = graft.operators.Anomaly
+      .embeddingBatchDrift(shifted, col("vec_id") % 2).collect()
+    assert(d1.map(_.getAs[Long]("dist_sq_milli2")).toSeq == Seq(4L * 1000 * 1000))
+  }
+
   test("naive bayes separates a clean two-class corpus") {
     // train docs (id % 5 != 0) with disjoint vocab per lang; held-out
     // docs 5 and 10 must classify to their own class

@@ -1123,4 +1123,74 @@ class OperatorsSpec extends AnyFunSuite {
     // the top fused candidate got rank 1 in both arms: 2 * (1e6 div 61)
     assert(out.filter(_._2 == 1L).forall(_._4 == 2L * (1000000L / 61)))
   }
+
+  test("multimodal: GifCodec round-trips real LZW streams") {
+    val text = "the quick brown fox jumps over the lazy dog twice over again please now ok."
+    val gif = Multimodal.gifFromText(text)
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    val (w, h, px) = Multimodal.GifCodec.rasterPixels(gif)
+    assert(w == 5 && h == text.length / 5)
+    // palette is grayscale identity: pixel value = 3 * text byte
+    assert(px.toSeq == bytes.take(5 * h).map(_ * 3).toSeq)
+    val got = Multimodal.GifCodec.decode(gif, dim = 4)
+    val want = new Array[Float](4)
+    for (p <- 0 until 5 * h) want(p % 4) += (3 * bytes(p)).toFloat
+    assert(got.toSeq == want.toSeq)
+
+    // KwKwK: a run of identical bytes forces the code==next case
+    val runs = "aaaaaaaaaaaaaaaaaaaa"
+    val (_, _, px2) = Multimodal.GifCodec.rasterPixels(Multimodal.gifFromText(runs))
+    assert(px2.toSeq == Seq.fill(20)('a'.toInt * 3))
+
+    // dictionary cap + mid-stream CLEAR reset: a long low-repetition
+    // stream emits far more than 4096-258 dictionary entries
+    val rnd = new scala.util.Random(7)
+    val longText = Array.fill(20000)((33 + rnd.nextInt(94)).toChar).mkString
+    val (_, h3, px3) = Multimodal.GifCodec.rasterPixels(Multimodal.gifFromText(longText))
+    val lb = longText.getBytes("UTF-8").map(_ & 0xff)
+    assert(h3 == 4000 && px3.toSeq == lb.take(20000).map(_ * 3).toSeq)
+  }
+
+  test("multimodal: GifCodec rejects malformed containers") {
+    def mkGif(w: Int, h: Int, code: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF87a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      le16(w); le16(h); out.write(0xf7); out.write(0); out.write(0)
+      for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8)
+      if (code.nonEmpty) { out.write(code.length); out.write(code) }
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    def pack(codes: Seq[Int], width: Int): Array[Byte] = {
+      var cur = 0L; var nb = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        cur |= c.toLong << nb; nb += width
+        while (nb >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nb -= 8 }
+      }
+      if (nb > 0) out.write((cur & 0xff).toInt)
+      out.toByteArray
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decode("not a gif at all".getBytes, dim = 4))
+    // header-declared pixel count implausibly large
+    intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decode(mkGif(65535, 65535, Array.emptyByteArray), dim = 4))
+    // first code after clear is not a root
+    intercept[IllegalArgumentException](Multimodal.GifCodec.decode(
+      mkGif(1, 1, pack(Seq(256, 300, 257), 9)), dim = 4))
+    // EOI before the declared pixel count is filled
+    intercept[IllegalArgumentException](Multimodal.GifCodec.decode(
+      mkGif(5, 2, pack(Seq(256, 65, 257), 9)), dim = 4))
+    // unterminated sub-block chain (no 0 block, no EOI in codes)
+    val valid = Multimodal.gifFromText("the quick brown fox jumps over it")
+    intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decode(valid.dropRight(3), dim = 4))
+    // code beyond the dictionary
+    intercept[IllegalArgumentException](Multimodal.GifCodec.decode(
+      mkGif(5, 1, pack(Seq(256, 65, 400, 257), 9)), dim = 4))
+  }
 }

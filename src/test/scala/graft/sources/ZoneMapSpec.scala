@@ -36,6 +36,22 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "payload") && out.count() == 0L)
   }
 
+  test("append merges new file stats; pruning stays lossless across eras") {
+    val path = layout()
+    val batch = (20000L until 21000L).map(i => (i, i % 7)).toDF("k", "payload")
+    ZoneMap.appendZoneMapped(batch, path, "k", numFiles = 2)
+    assert(spark.read.parquet(path + "_zonemap").count() == 12L)
+    // band fully inside the appended era
+    val newEra = ZoneMap.prunedScan(spark, path, "k", lit(20100L), lit(20200L))
+      .select("k").as[Long].collect().sorted
+    assert(newEra.toSeq == (20100L to 20200L).toSeq)
+    assert(ZoneMap.prunedFiles(spark, path, lit(20100L), lit(20200L)).length <= 2)
+    // band in the original era is untouched by the append
+    val oldEra = ZoneMap.prunedScan(spark, path, "k", lit(100L), lit(200L))
+      .select("k").as[Long].collect().sorted
+    assert(oldEra.toSeq == (100L to 200L).toSeq)
+  }
+
   test("boundary rows sitting exactly on zone edges are kept") {
     val path = layout()
     val edges = spark.read.parquet(path + "_zonemap")
