@@ -265,11 +265,77 @@ object Md5Windows {
   }
 }
 
+/** Per-string character-distribution entropy in micro-nats, one pass —
+  * returns array<long> [n_distinct_codepoints, entropy_micro].
+  *
+  * The composed formulation (explode to the (doc, char) grain, two hash
+  * aggregates) is the right DISTRIBUTED shape but pays ~len(text) rows
+  * of shuffle machinery per document; this expression computes the same
+  * integers inside the scan's codegen stage — measured 15.9 s → 0.40 s
+  * at the 10× corpus (BASELINE round-8). Exactness contract matches the
+  * oracle: per-codepoint terms `round(1e6 · (nc/n) · ln(n/nc))` with
+  * `StrictMath.log` — the same function Spark's own `ln` evaluates, so
+  * swapping the formulation could not move a single term. Codepoint
+  * counting (not UTF-16 units) mirrors SQL `substr` semantics. */
+case class CharEntropyMicro(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_micro requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyMicro.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyMicro.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
+    copy(child = newChild)
+}
+
+object CharEntropyMicro {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L))
+    java.util.Arrays.sort(cps)
+    var distinct = 0L
+    var entropy = 0L
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val nc = j - i
+      distinct += 1
+      val t = 1e6 * (nc / n.toDouble) * StrictMath.log(n.toDouble / nc)
+      // exact half-up: for 0 <= t < 2^52, t - floor(t) is computed
+      // exactly, unlike Math.round's `t + 0.5` which can carry across
+      // the boundary and disagree with the oracle's std::round
+      val f = Math.floor(t)
+      entropy += (if (t - f >= 0.5) f + 1 else f).toLong
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(distinct, entropy))
+  }
+}
+
 object TextExpressions {
   /** Column-level native Hamming distance over strings. */
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level native char-entropy (array<long> [n_distinct, micro]). */
+  def charEntropyMicro(text: Column): Column =
+    ColumnBridge.column(CharEntropyMicro(ColumnBridge.expression(text)))
 
   /** Column-level native salted-md5 32-bit windows (array<long>, size 4). */
   def md5Windows(text: Column, prefix: String): Column =

@@ -105,6 +105,67 @@ object ZoneMap {
     merged.write.mode(SaveMode.Overwrite).parquet(path + "_zonemap")
   }
 
+  /** STREAMING zone-map maintenance: [[appendZoneMapped]] under
+    * foreachBatch's at-least-once replay, made idempotent by a batch
+    * ledger in the stats table.
+    *
+    * Replay contract: the stats table is the SINGLE source of truth for
+    * scans — [[prunedFiles]] reads the file list from it, never from a
+    * directory listing. So the crash window (data files appended, stats
+    * merge not yet written) leaves only ORPHAN files that no scan can
+    * see; the replayed batch checks the ledger, finds its batch_id
+    * absent, and appends again — the orphans stay invisible garbage (a
+    * compaction rewrite reclaims them), never duplicate rows. A batch
+    * whose id IS in the ledger is a completed publish and replays as a
+    * no-op. Per batch: O(batch) data write + O(files) metadata rewrite,
+    * independent of corpus size. */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      zoneCol: String, numFiles: Int): Unit = {
+    val spark = batch.sparkSession
+    val statsPath = path + "_zonemap"
+    val exists = try { spark.read.parquet(statsPath).limit(1).count(); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!exists) {
+      writeZoneMapped(batch, path, zoneCol, numFiles)
+      spark.read.parquet(statsPath).withColumn("batch_id", lit(batchId))
+        .localCheckpoint()
+        .write.mode(SaveMode.Overwrite).parquet(statsPath)
+    } else if (spark.read.parquet(statsPath)
+        .filter(col("batch_id") === batchId).limit(1).count() == 0L) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      def dataFiles(): Set[String] = fs.listStatus(p).collect {
+        case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") => f.getPath.toString
+      }.toSet
+      val before = dataFiles()
+      batch.repartitionByRange(numFiles, col(zoneCol))
+        .sortWithinPartitions(zoneCol)
+        .write.mode(SaveMode.Append).parquet(path)
+      val fresh = (dataFiles() -- before).toSeq
+      val newStats = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(zoneCol)).as("zone_lo"), max(col(zoneCol)).as("zone_hi"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("batch_id", lit(batchId))
+      val merged = spark.read.parquet(statsPath)
+        .unionByName(newStats).coalesce(1).localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).parquet(statsPath)
+    }
+  }
+
+  /** The streaming entry: every micro-batch folds into the zone-mapped
+    * layout through the idempotent [[appendBatch]]. */
+  def zoneMapIngest(updates: DataFrame, path: String, zoneCol: String,
+      numFiles: Int, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, path, zoneCol, numFiles)
+      }
+      .start()
+
   /** Query-shaped entry: orders zone-mapped by `o_totalprice` into a
     * scratch layout, then a band predicate read back through the pruned
     * scan — the oracle is the PLAIN filter over the original table, so

@@ -52,6 +52,56 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(oldEra.toSeq == (100L to 200L).toSeq)
   }
 
+  test("streaming ingest: batches fold in; replay of a published batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-stream").toString
+    val path = root + "/t"
+    val input = MemoryStream[(Long, Long)]
+    val q = ZoneMap.zoneMapIngest(
+      input.toDF().toDF("k", "payload"), path, "k", numFiles = 2,
+      checkpoint = root + "/ckpt")
+    try {
+      input.addData((0L until 500L).map(i => (i, i % 9)): _*)
+      q.processAllAvailable()
+      input.addData((1000L until 1500L).map(i => (i, i % 9)): _*)
+      q.processAllAvailable()
+      input.addData((2000L until 2500L).map(i => (i, i % 9)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L))
+    assert(all.count() == 1500L)
+    // pruning still bites: a band inside batch 2 reads only its files
+    assert(ZoneMap.prunedFiles(spark, path, lit(1100L), lit(1200L)).length <= 2)
+    // at-least-once replay: re-running a PUBLISHED batch id is a no-op...
+    val replay = (1000L until 1500L).map(i => (i, i % 9)).toDF("k", "payload")
+    ZoneMap.appendBatch(replay, batchId = 1L, path, "k", numFiles = 2)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L)).count() == 1500L)
+    // ...while a genuinely new batch id still lands
+    ZoneMap.appendBatch(
+      (3000L until 3100L).map(i => (i, i % 9)).toDF("k", "payload"),
+      batchId = 9L, path, "k", numFiles = 1)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L)).count() == 1600L)
+  }
+
+  test("torn append leaves orphans invisible to scans, then the replay lands once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-torn").toString
+    val path = root + "/t"
+    ZoneMap.appendBatch((0L until 300L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 0L, path, "k", numFiles = 2)
+    // simulate the crash window: data files of batch 1 appended but the
+    // stats merge never ran (write the files directly, bypassing stats)
+    (5000L until 5300L).map(i => (i, i)).toDF("k", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    // orphans are invisible — the stats table is the source of truth
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L)).count() == 300L)
+    // the replayed batch publishes once; rows appear exactly once
+    ZoneMap.appendBatch((5000L until 5300L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 1L, path, "k", numFiles = 2)
+    val got = ZoneMap.prunedScan(spark, path, "k", lit(5000L), lit(5299L))
+    assert(got.count() == 300L)
+  }
+
   test("boundary rows sitting exactly on zone edges are kept") {
     val path = layout()
     val edges = spark.read.parquet(path + "_zonemap")
