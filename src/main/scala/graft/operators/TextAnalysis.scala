@@ -1636,6 +1636,53 @@ object TextAnalysis {
   def qNaiveBayes(spark: SparkSession, dir: String): DataFrame =
     naiveBayesConfusion(Tables.documents(spark, dir))
       .orderBy("lang", "predicted", "n")
+
+  /** Per-source Jensen–Shannon divergence of the token distribution
+    * against the whole corpus — the "which crawl source drifted" report
+    * ([[qSourceOverlap]] measures pairwise CONTENT overlap via sketches;
+    * this measures each source's distributional distance from the
+    * mixture, the quantity curation pipelines threshold to quarantine a
+    * source whose language model suddenly shifted). JS rather than KL:
+    * symmetric-bounded and defined when a source lacks tokens the
+    * corpus has (the KL term would be ∞).
+    *
+    * Exactness: both JS halves accumulate per-token terms rounded to
+    * pico-nats (micro is too coarse — single-token terms are ~1e-5
+    * nats), so the sum is exact integer addition; multiplication order
+    * is pinned left-associative identically in the oracle.
+    *
+    * Scale shape: corpus-sized work is ONE (source, token) aggregate;
+    * everything after runs at the sources × vocabulary grain (the
+    * mixture side broadcast), map-side combinable, output |sources|
+    * rows. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(Shingles.tokens(col("text"))).as("token"))
+    val cst = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ts = cst.groupBy("source").agg(sum(col("c")).as("ts"))
+    val ct = cst.groupBy("token").agg(sum(col("c")).as("ct"))
+    val tt = ct.agg(sum(col("ct")).as("tt"))
+    val grid = ts.crossJoin(broadcast(ct)).crossJoin(broadcast(tt))
+      .join(cst, Seq("source", "token"), "left")
+      .select(col("source"), col("ts"), col("ct"), col("tt"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    grid
+      .withColumn("p", expr("c / CAST(ts AS DOUBLE)"))
+      .withColumn("g", expr("ct / CAST(tt AS DOUBLE)"))
+      .withColumn("m", expr("(p + g) / 2.0"))
+      .withColumn("tp", expr(
+        "CASE WHEN c > 0 THEN CAST(round(1000000000000.0 * (0.5 * p) * ln(p / m)) AS BIGINT) ELSE 0 END"))
+      .withColumn("tg", expr(
+        "CAST(round(1000000000000.0 * (0.5 * g) * ln(g / m)) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(when(col("c") > 0, 1)).as("n_tokens_present"),
+        sum(col("tp") + col("tg")).as("js_pico"))
+  }
+
+  def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.documents(spark, dir))
+      .orderBy("source", "n_tokens_present", "js_pico")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -156,6 +156,7 @@ object ExtQueries {
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
+    "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
   )
 
   /** Per-column profile of the orders schema over any relation — shared
@@ -3455,5 +3456,35 @@ object ExtQueries {
         |  CAST(sum((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS dist_sq_milli2
         |FROM a JOIN bb USING (label, dim) GROUP BY label
         |ORDER BY label, n_a, n_b, dist_sq_milli2""".stripMargin,
+
+    // Mirrors TextAnalysis.sourceDivergence: per-source JS divergence vs
+    // the corpus mixture, per-token terms rounded to pico-nats with
+    // pinned left-associative multiplication.
+    "text_source_divergence" ->
+      """WITH tok AS (SELECT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |cst AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT source, sum(c) AS ts FROM cst GROUP BY 1),
+        |ct AS (SELECT token, sum(c) AS ct FROM cst GROUP BY 1),
+        |tt AS (SELECT sum(ct) AS tt FROM ct),
+        |grid AS (SELECT s.source, s.ts, v.token, v.ct, tt.tt,
+        |    coalesce(cst.c, 0) AS c
+        |  FROM ts s CROSS JOIN ct v CROSS JOIN tt
+        |  LEFT JOIN cst ON cst.source = s.source AND cst.token = v.token),
+        |terms AS (SELECT source, c,
+        |    c / CAST(ts AS DOUBLE) AS p, ct / CAST(tt AS DOUBLE) AS g,
+        |    (c / CAST(ts AS DOUBLE) + ct / CAST(tt AS DOUBLE)) / 2.0 AS m
+        |  FROM grid)
+        |SELECT source,
+        |  CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_tokens_present,
+        |  CAST(sum(
+        |    CASE WHEN c > 0
+        |      THEN CAST(round(1000000000000.0 * (0.5 * p) * ln(p / m)) AS BIGINT)
+        |      ELSE 0 END +
+        |    CAST(round(1000000000000.0 * (0.5 * g) * ln(g / m)) AS BIGINT)) AS BIGINT)
+        |    AS js_pico
+        |FROM terms GROUP BY source
+        |ORDER BY source, n_tokens_present, js_pico""".stripMargin,
   )
 }

@@ -62,6 +62,32 @@ class GoldenNbSpec extends AnyFunSuite {
     assert(d1.map(_.getAs[Long]("dist_sq_milli2")).toSeq == Seq(4L * 1000 * 1000))
   }
 
+  test("source divergence: identical sources score 0, a disjoint one scores ln 2") {
+    // srcA and srcB have the SAME token distribution -> p == m per token
+    // only if the third source didn't skew the mixture; use two sources
+    // first: identical -> js exactly 0
+    val same = Seq((1L, "x y z", "sA"), (2L, "x y z", "sB"))
+      .toDF("doc_id", "text", "source")
+    val d0 = TextAnalysis.sourceDivergence(same).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d0 == Map("sA" -> 0L, "sB" -> 0L))
+
+    // disjoint vocabularies, equal mass: for every token of a source,
+    // p = 2g and m = p*3/4... compute expected analytically instead:
+    // p=1/2 per token (2 tokens each), g=1/4, m=3/8
+    // JS half for the source: 2 * 0.5*(1/2)*ln((1/2)/(3/8)) plus
+    // g-side: its own tokens 2 * 0.5*(1/4)*ln((1/4)/(3/8))
+    //         + other source's tokens 2 * (0.5*(1/4)*ln((1/4)/(1/8)))
+    val disj = Seq((1L, "x y", "sA"), (2L, "u v", "sB"))
+      .toDF("doc_id", "text", "source")
+    val own = 2 * (math.round(1e12 * 0.5 * 0.5 * math.log(0.5 / 0.375)) +
+      math.round(1e12 * 0.5 * 0.25 * math.log(0.25 / 0.375)))
+    val other = 2 * math.round(1e12 * 0.5 * 0.25 * math.log(0.25 / 0.125))
+    val d1 = TextAnalysis.sourceDivergence(disj).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d1.toSet == Set(("sA", 2L, own + other), ("sB", 2L, own + other)))
+  }
+
   test("naive bayes separates a clean two-class corpus") {
     // train docs (id % 5 != 0) with disjoint vocab per lang; held-out
     // docs 5 and 10 must classify to their own class
