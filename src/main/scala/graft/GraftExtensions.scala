@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharNGrams, DotProduct, HammingDistance, Md5Windows, WordNGrams}
+import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -52,6 +52,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_word_ngrams(text, n) takes exactly 2 arguments")
         WordNGrams(args.head, constInt(args(1), "graft_word_ngrams n"))
+      }),
+    (new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyMicro].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_char_entropy(text) takes exactly 1 argument")
+        CharEntropyMicro(args.head)
       }),
     (new FunctionIdentifier("graft_md5_windows"),
       new ExpressionInfo(classOf[Md5Windows].getName, "graft_md5_windows"),

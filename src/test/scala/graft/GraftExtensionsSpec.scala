@@ -26,7 +26,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
-        "graft_md5_windows"))
+        "graft_char_entropy", "graft_md5_windows"))
+  }
+
+  test("graft_char_entropy runs the native expression in plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_char_entropy('abcd') AS e").collect().head
+      .getSeq[Long](0)
+    val term = math.round(1e6 * 0.25 * StrictMath.log(4.0))
+    assert(r == Seq(4L, 4 * term))
+    assert(spark.sql("SELECT graft_char_entropy('aaaa') AS e").collect()
+      .head.getSeq[Long](0) == Seq(1L, 0L))
   }
 
   test("charNGrams matches substring semantics, including multibyte chars") {
