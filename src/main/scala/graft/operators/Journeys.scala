@@ -93,6 +93,36 @@ object Journeys {
           .as("resid_micro"))
   }
 
+  /** Per-user PREDICTABILITY: the conditional entropy rate of the
+    * user's in-session event transitions, in micro-nats —
+    * H = Σ_{e1,e2} (n12/N)·ln(n1/n12) over the user's own transition
+    * counts (N = the user's total transitions, n1 = those leaving e1).
+    * A bot replaying one loop scores ~0; erratic exploration scores
+    * ~ln|types| — the behavioral-segmentation feature next to
+    * [[transitionMatrix]]'s population-level matrix. Per-term micro
+    * rounding keeps the per-user sum exact integer addition.
+    *
+    * Scale shape: the shared session window, then aggregates at the
+    * (user, e1, e2) grain — bounded by users × |types|², map-side
+    * combinable, output one row per user with ≥1 transition. */
+  def userEntropyRate(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    val pairs = sessionized(events, gapSeconds)
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("user_id"), col("event_type").as("e1"), col("e2"))
+      .agg(count(lit(1)).as("n12"))
+    val n1 = pairs.groupBy("user_id", "e1").agg(sum(col("n12")).as("n1"))
+    val nn = pairs.groupBy("user_id").agg(sum(col("n12")).as("nn"))
+    pairs.join(n1, Seq("user_id", "e1")).join(nn, Seq("user_id"))
+      .select(col("user_id"), col("nn"),
+        expr("CAST(round(1000000.0 * (n12 / CAST(nn AS DOUBLE)) * ln(n1 / CAST(n12 AS DOUBLE))) AS BIGINT)")
+          .as("term_micro"))
+      .groupBy("user_id")
+      .agg(min(col("nn")).as("n_transitions"),
+        sum(col("term_micro")).as("entropy_micro"))
+  }
+
   // ---- query-shaped entry points -----------------------------------------
 
   def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
@@ -106,4 +136,8 @@ object Journeys {
   def qSeasonality(spark: SparkSession, dir: String): DataFrame =
     hourOfDaySeasonality(Tables.events(spark, dir))
       .orderBy("event_type", "day", "hod", "n_events", "obs_micro", "resid_micro")
+
+  def qUserEntropy(spark: SparkSession, dir: String): DataFrame =
+    userEntropyRate(Tables.events(spark, dir))
+      .orderBy("user_id", "n_transitions", "entropy_micro")
 }

@@ -157,6 +157,7 @@ object ExtQueries {
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
+    "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
   )
 
   /** Per-column profile of the orders schema over any relation — shared
@@ -3486,5 +3487,28 @@ object ExtQueries {
         |    AS js_pico
         |FROM terms GROUP BY source
         |ORDER BY source, n_tokens_present, js_pico""".stripMargin,
+
+    // Mirrors Journeys.userEntropyRate: conditional entropy rate of each
+    // user's in-session transitions, per-term micro rounding.
+    "events_user_entropy" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+        |p AS (SELECT user_id, event_type AS e1, lead(event_type, 1) OVER w2 AS e2
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, e1, e2, count(*) AS n12 FROM p
+        |      WHERE e2 IS NOT NULL GROUP BY 1, 2, 3),
+        |c1 AS (SELECT user_id, e1, sum(n12) AS n1 FROM c GROUP BY 1, 2),
+        |cn AS (SELECT user_id, sum(n12) AS nn FROM c GROUP BY 1),
+        |terms AS (SELECT c.user_id, cn.nn,
+        |    CAST(round(1000000.0 * (n12 / CAST(nn AS DOUBLE)) * ln(n1 / CAST(n12 AS DOUBLE))) AS BIGINT) AS term_micro
+        |  FROM c JOIN c1 USING (user_id, e1) JOIN cn USING (user_id))
+        |SELECT user_id, CAST(min(nn) AS BIGINT) AS n_transitions,
+        |  CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+        |FROM terms GROUP BY user_id
+        |ORDER BY user_id, n_transitions, entropy_micro""".stripMargin,
   )
 }

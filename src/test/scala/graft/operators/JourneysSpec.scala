@@ -50,6 +50,23 @@ class JourneysSpec extends AnyFunSuite {
     assert(m(("x", "y")) == (1L, 1000000L))
   }
 
+  test("user entropy rate: deterministic loop scores 0, a fair coin ln 2") {
+    // user 1 loops a->b->a->b... (every transition certain -> H = 0);
+    // user 2 leaves 'a' for b or c with equal counts -> H = ln 2
+    val ev = (
+      (1L to 9L).map(i => (i, ts(i), 1L, if (i % 2 == 1) "a" else "b", 1.0)) ++
+      Seq((10L, ts(0), 2L, "a", 1.0), (11L, ts(1), 2L, "b", 1.0),
+        (12L, ts(2), 2L, "a", 1.0), (13L, ts(3), 2L, "c", 1.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val h = Journeys.userEntropyRate(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) == (8L, 0L))
+    // user 2: transitions a->b, b->a, a->c; N=3, n1(a)=2
+    // terms: a->b (1/3)ln2, b->a (1/3)ln1=0, a->c (1/3)ln2
+    val t = math.round(1e6 * (1.0 / 3) * math.log(2.0))
+    assert(h(2L) == (3L, 2 * t))
+  }
+
   test("seasonality residuals sum to ~0 per (type, hour) across days") {
     // same hour on two days, imbalanced values: residuals must offset
     val ev = Seq(
