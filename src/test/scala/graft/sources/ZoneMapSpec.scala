@@ -39,7 +39,7 @@ class ZoneMapSpec extends AnyFunSuite {
   test("append merges new file stats; pruning stays lossless across eras") {
     val path = layout()
     val batch = (20000L until 21000L).map(i => (i, i % 7)).toDF("k", "payload")
-    ZoneMap.appendZoneMapped(batch, path, "k", numFiles = 2)
+    ZoneMap.appendZoneMapped(batch, path, "k", numFiles = 2, attemptId = 1L)
     assert(spark.read.parquet(path + "_zonemap").count() == 12L)
     // band fully inside the appended era
     val newEra = ZoneMap.prunedScan(spark, path, "k", lit(20100L), lit(20200L))
@@ -100,6 +100,76 @@ class ZoneMapSpec extends AnyFunSuite {
       batchId = 1L, path, "k", numFiles = 2)
     val got = ZoneMap.prunedScan(spark, path, "k", lit(5000L), lit(5299L))
     assert(got.count() == 300L)
+  }
+
+  test("batch util: torn append (crash before stats publish) replays once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-util").toString
+    val path = root + "/t"
+    ZoneMap.writeZoneMapped((0L until 400L).map(i => (i, i)).toDF("k", "payload"),
+      path, "k", numFiles = 2)
+    // crash window of appendZoneMapped: data files landed, stats publish
+    // never ran (write the files directly, bypassing the stats merge)
+    (9000L until 9200L).map(i => (i, i)).toDF("k", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(99999L))
+      .count() == 400L, "orphans must stay invisible to scans")
+    // the RETRY of the same logical batch (same attempt id) lands once
+    ZoneMap.appendZoneMapped(
+      (9000L until 9200L).map(i => (i, i)).toDF("k", "payload"),
+      path, "k", numFiles = 2, attemptId = 7L)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(9000L), lit(9199L))
+      .count() == 200L)
+    // a retry of the COMPLETED append (attempt id in the ledger) is a no-op
+    ZoneMap.appendZoneMapped(
+      (9000L until 9200L).map(i => (i, i)).toDF("k", "payload"),
+      path, "k", numFiles = 2, attemptId = 7L)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(99999L))
+      .count() == 600L, "duplicate rows after replay of a published attempt")
+  }
+
+  test("stats publish is atomic: a crash between delete and rename recovers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-atomic").toString
+    val path = root + "/t"
+    ZoneMap.appendBatch((0L until 500L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 0L, path, "k", numFiles = 2)
+    // simulate the one remaining crash point: finished tmp on disk, old
+    // stats already deleted, rename never ran
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = new org.apache.hadoop.fs.Path(path + "_zonemap")
+    val fs = stats.getFileSystem(conf)
+    assert(fs.rename(stats, new org.apache.hadoop.fs.Path(path + "_zonemap.tmp")))
+    // every entry point recovers the stranded tmp before reading
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L))
+      .count() == 500L)
+    // and the ledger survived: replay of batch 0 is still a no-op
+    ZoneMap.appendBatch((0L until 500L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 0L, path, "k", numFiles = 2)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L))
+      .count() == 500L)
+  }
+
+  test("entry points share one stats schema; append adopts foreign layouts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-mixed").toString
+    val path = root + "/t"
+    // a layout written with NO stats table at all (foreign writer)
+    (0L until 300L).map(i => (i, i)).toDF("k", "payload")
+      .write.parquet(path)
+    // appendBatch must ADOPT the existing files, never overwrite them
+    ZoneMap.appendBatch((1000L until 1300L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 0L, path, "k", numFiles = 2)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L))
+      .count() == 600L, "adopting a foreign layout must not lose its rows")
+    // full rewrite then ledgered appends: one schema end to end
+    ZoneMap.writeZoneMapped((0L until 100L).map(i => (i, i)).toDF("k", "payload"),
+      path, "k", numFiles = 2)
+    ZoneMap.appendBatch((200L until 300L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 5L, path, "k", numFiles = 1)
+    ZoneMap.appendZoneMapped((400L until 500L).map(i => (i, i)).toDF("k", "payload"),
+      path, "k", numFiles = 1, attemptId = 6L)
+    assert(ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(9999L))
+      .count() == 300L)
+    val cols = spark.read.parquet(path + "_zonemap").columns.toSet
+    assert(cols == Set("file", "zone_lo", "zone_hi", "n_rows", "batch_id"))
   }
 
   test("boundary rows sitting exactly on zone edges are kept") {
