@@ -75,7 +75,12 @@ object Journeys {
     * thresholds (a traffic spike at 3am is anomalous; the same count at
     * peak hour is Tuesday). `value` is fixed to micro units BEFORE any
     * aggregation, so sums are exact integers; the expected value for a
-    * cell with n events is the half-up rational n·base_sum/base_n. */
+    * cell with n events is the half-up rational n·base_sum/base_n —
+    * computed as sign(s)·((|s|·2+d) div (2·d)) because Spark's `div`
+    * truncates while DuckDB's `//` floors: on a NEGATIVE dividend (a
+    * value column summing below zero) the raw rational would differ by
+    * one between the engines (same guard as
+    * [[Anomaly.embeddingBatchDrift]]). */
   def hourOfDaySeasonality(events: DataFrame): DataFrame = {
     val cells = events
       .select(col("event_type"), to_date(col("ts")).as("day"),
@@ -89,7 +94,8 @@ object Journeys {
       .select(col("event_type"), col("day").cast("string").as("day"), col("hod"),
         col("n_events"), col("obs_micro"),
         (col("obs_micro") -
-          expr("(n_events * base_micro * 2 + base_n) div (2 * base_n)"))
+          expr("CAST(sign(n_events * base_micro) AS BIGINT) * " +
+            "((abs(n_events * base_micro) * 2 + base_n) div (2 * base_n))"))
           .as("resid_micro"))
   }
 
@@ -99,8 +105,19 @@ object Journeys {
     * counts (N = the user's total transitions, n1 = those leaving e1).
     * A bot replaying one loop scores ~0; erratic exploration scores
     * ~ln|types| — the behavioral-segmentation feature next to
-    * [[transitionMatrix]]'s population-level matrix. Per-term micro
-    * rounding keeps the per-user sum exact integer addition.
+    * [[transitionMatrix]]'s population-level matrix.
+    *
+    * Transcendental contract (the [[graft.functions.CharEntropyMicro]]
+    * discipline): `ln` is evaluated ONLY at INTEGER arguments —
+    * L(k) = round(10⁶·ln k) for the counts n1 and n12 — and every
+    * downstream step is exact integer arithmetic: term = n12·(L(n1) −
+    * L(n12)) ≥ 0 (L is monotone), summed per user, then ONE half-up
+    * rational division by N. For the hash oracle to drift, DuckDB's and
+    * the JVM's libm would have to disagree on ln(k) at an integer point
+    * by enough to flip a half-up at the sixth decimal — ~10⁻⁷ relative,
+    * vs the ≤1-ulp (~10⁻¹⁶) spread of correctly-rounded libms; a spec
+    * pins landmark L values so any platform drift fails loudly in the
+    * suite rather than silently in the oracle gate.
     *
     * Scale shape: the shared session window, then aggregates at the
     * (user, e1, e2) grain — bounded by users × |types|², map-side
@@ -116,12 +133,17 @@ object Journeys {
     val nn = pairs.groupBy("user_id").agg(sum(col("n12")).as("nn"))
     pairs.join(n1, Seq("user_id", "e1")).join(nn, Seq("user_id"))
       .select(col("user_id"), col("nn"),
-        expr("CAST(round(1000000.0 * (n12 / CAST(nn AS DOUBLE)) * ln(n1 / CAST(n12 AS DOUBLE))) AS BIGINT)")
-          .as("term_micro"))
+        (col("n12") * (lnMicroInt(col("n1")) - lnMicroInt(col("n12"))))
+          .as("term"))
       .groupBy("user_id")
       .agg(min(col("nn")).as("n_transitions"),
-        sum(col("term_micro")).as("entropy_micro"))
+        expr("(sum(term) * 2 + min(nn)) div (2 * min(nn))").as("entropy_micro"))
   }
+
+  /** L(k) = round(10⁶·ln k) — the integer-argument micro-rounded log
+    * the entropy rate is built from (see [[userEntropyRate]] scaladoc). */
+  private[operators] def lnMicroInt(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(lit(1000000.0d) * log(k.cast("double"))).cast("long")
 
   // ---- query-shaped entry points -----------------------------------------
 

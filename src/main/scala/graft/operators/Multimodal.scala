@@ -1032,6 +1032,9 @@ object Multimodal {
       if (w <= 0 || h <= 0) bad(s"bad dimensions ${w}x$h")
       if (nPix > (1L << 26)) bad(s"implausible pixel count $nPix")
       if ((payload(off + 9) & 0x80) != 0) bad("local color tables unsupported")
+      // fail loud, not wrong: an interlaced raster decoded sequentially
+      // would yield pixels in the wrong order — silently corrupt features
+      if ((payload(off + 9) & 0x40) != 0) bad("interlaced images unsupported")
       off += 10
       if (off >= payload.length) bad("missing LZW minimum code size")
       val mcs = payload(off) & 0xff

@@ -3331,7 +3331,8 @@ object ExtQueries {
         |  FROM cells GROUP BY 1, 2)
         |SELECT event_type, day, hod, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(obs_micro AS BIGINT) AS obs_micro,
-        |  CAST(obs_micro - (n_events * base_micro * 2 + base_n) // (2 * base_n) AS BIGINT)
+        |  CAST(obs_micro - CASE WHEN n_events * base_micro < 0 THEN -1 ELSE 1 END
+        |    * ((abs(n_events * base_micro) * 2 + base_n) // (2 * base_n)) AS BIGINT)
         |    AS resid_micro
         |FROM cells JOIN base USING (event_type, hod)
         |ORDER BY event_type, day, hod, n_events, obs_micro, resid_micro""".stripMargin,
@@ -3489,7 +3490,9 @@ object ExtQueries {
         |ORDER BY source, n_tokens_present, js_pico""".stripMargin,
 
     // Mirrors Journeys.userEntropyRate: conditional entropy rate of each
-    // user's in-session transitions, per-term micro rounding.
+    // user's in-session transitions. ln evaluated ONLY at integer
+    // arguments, micro-rounded (L(k) = round(1e6*ln k)); everything
+    // after is exact integer arithmetic ending in one half-up division.
     "events_user_entropy" ->
       """WITH g AS (SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL
@@ -3504,10 +3507,11 @@ object ExtQueries {
         |c1 AS (SELECT user_id, e1, sum(n12) AS n1 FROM c GROUP BY 1, 2),
         |cn AS (SELECT user_id, sum(n12) AS nn FROM c GROUP BY 1),
         |terms AS (SELECT c.user_id, cn.nn,
-        |    CAST(round(1000000.0 * (n12 / CAST(nn AS DOUBLE)) * ln(n1 / CAST(n12 AS DOUBLE))) AS BIGINT) AS term_micro
+        |    n12 * (CAST(round(1000000.0 * ln(CAST(n1 AS DOUBLE))) AS BIGINT)
+        |         - CAST(round(1000000.0 * ln(CAST(n12 AS DOUBLE))) AS BIGINT)) AS term
         |  FROM c JOIN c1 USING (user_id, e1) JOIN cn USING (user_id))
         |SELECT user_id, CAST(min(nn) AS BIGINT) AS n_transitions,
-        |  CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+        |  CAST((sum(term) * 2 + min(nn)) // (2 * min(nn)) AS BIGINT) AS entropy_micro
         |FROM terms GROUP BY user_id
         |ORDER BY user_id, n_transitions, entropy_micro""".stripMargin,
   )

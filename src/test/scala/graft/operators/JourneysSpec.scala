@@ -67,6 +67,28 @@ class JourneysSpec extends AnyFunSuite {
     assert(h(2L) == (3L, 2 * t))
   }
 
+  test("ln-micro landmarks: integer-argument log table is pinned") {
+    // the transcendental contract of userEntropyRate: L(k) = round(1e6 ln k)
+    // evaluated engine-side — these literals fail loudly if any platform's
+    // libm drifts enough to move a micro-rounded value
+    val got = Seq(1L, 2L, 3L, 10L, 1000000L).toDF("k")
+      .select(Journeys.lnMicroInt(col("k")).as("l")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 693147L, 1098612L, 2302585L, 13815511L))
+  }
+
+  test("seasonality expectation is half-up under NEGATIVE value sums") {
+    // truncating div (Spark) vs flooring // (DuckDB) diverge on negative
+    // dividends; the sign/abs form must keep them identical
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:10:00"), 1L, "refund", -1.0),
+      (2L, Timestamp.valueOf("2024-01-02 09:20:00"), 1L, "refund", -3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val resid = Journeys.hourOfDaySeasonality(ev).collect()
+      .map(_.getAs[Long]("resid_micro")).sorted.toSeq
+    // baseline per-event expectation = -2.0 → residuals +1e6 and -1e6
+    assert(resid == Seq(-1000000L, 1000000L))
+  }
+
   test("seasonality residuals sum to ~0 per (type, hour) across days") {
     // same hour on two days, imbalanced values: residuals must offset
     val ev = Seq(

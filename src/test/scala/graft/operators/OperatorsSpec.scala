@@ -1192,5 +1192,15 @@ class OperatorsSpec extends AnyFunSuite {
     // code beyond the dictionary
     intercept[IllegalArgumentException](Multimodal.GifCodec.decode(
       mkGif(5, 1, pack(Seq(256, 65, 400, 257), 9)), dim = 4))
+    // interlace flag set: sequential decode would scramble raster order,
+    // so the codec must fail loud instead of emitting wrong features
+    val plain = Multimodal.gifFromText("the quick brown fox jumps over it")
+    val interlaced = plain.clone()
+    val gctLen = (1 << ((plain(10) & 0x07) + 1)) * 3
+    val descOff = 13 + gctLen // image descriptor, packed byte at +9
+    interlaced(descOff + 9) = (interlaced(descOff + 9) | 0x40).toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decode(interlaced, dim = 4))
+    assert(e.getMessage.contains("interlaced"))
   }
 }
