@@ -327,6 +327,92 @@ object CharEntropyMicro {
   }
 }
 
+/** ENCODING REPAIR for double-encoded UTF-8 ("mojibake": Ã© where é was
+  * meant) — the C4/CCNet-family text-cleaning step for crawl corpora
+  * that were decoded as Latin-1/Windows-1252 somewhere upstream and
+  * re-encoded as UTF-8.
+  *
+  * The rule is the deterministic whole-string round-trip, not a
+  * substitution table: map every char back to the byte it mis-decoded
+  * from — identity for U+0000–U+00FF (Latin-1), the 27 Windows-1252
+  * specials (€→0x80, ™→0x99, …) for the C1 gap that real cp1252
+  * mojibake lands in — and strictly decode those bytes as UTF-8. Only
+  * if EVERY char maps and the WHOLE byte string is valid UTF-8 is the
+  * text repaired; otherwise it is returned untouched. This is what
+  * makes the repair safe: genuine Latin-1 text ("café" with a real é)
+  * produces an invalid UTF-8 byte (0xE9 followed by a non-continuation)
+  * and survives unmodified, while true mojibake decodes cleanly. One
+  * pass only — output that still looks repairable (triple-encoded
+  * input) needs a second application; corpora with that pathology are
+  * rare enough that the caller decides. Single-string, zero-shuffle,
+  * codegen'd: runs at scan speed.
+  */
+case class RepairDoubleUtf8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repair_double_utf8 requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RepairDoubleUtf8.repair(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepairDoubleUtf8.repair($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepairDoubleUtf8 =
+    copy(child = newChild)
+}
+
+object RepairDoubleUtf8 {
+  /** Windows-1252 bytes 0x80–0x9F → the code points they decode to (the
+    * five undefined slots 0x81/0x8D/0x8F/0x90/0x9D excluded — those
+    * bytes mis-decode as C1 controls, covered by the Latin-1 identity). */
+  private val cp1252Inverse: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]()
+    val pairs = Seq(
+      0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+      0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+      0x89 -> '‰', 0x8a -> 'Š', 0x8b -> '‹', 0x8c -> 'Œ',
+      0x8e -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+      0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+      0x98 -> '˜', 0x99 -> '™', 0x9a -> 'š', 0x9b -> '›',
+      0x9c -> 'œ', 0x9e -> 'ž', 0x9f -> 'Ÿ')
+    pairs.foreach { case (b, c) => m.put(c, b.toByte) }
+    m
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def repair(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var any = false
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c < 0x80) bytes(i) = c.toByte
+      else if (c <= 0xff) { any = true; bytes(i) = c.toByte }
+      else {
+        val b = cp1252Inverse.get(c)
+        if (b == null) return s // unmappable char: cannot be mojibake
+        any = true; bytes(i) = b.byteValue()
+      }
+      i += 1
+    }
+    if (!any) return s // pure ASCII round-trips to itself
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+}
+
 object TextExpressions {
   /** Column-level native Hamming distance over strings. */
   def hamming(a: Column, b: Column): Column =
@@ -336,6 +422,10 @@ object TextExpressions {
   /** Column-level native char-entropy (array<long> [n_distinct, micro]). */
   def charEntropyMicro(text: Column): Column =
     ColumnBridge.column(CharEntropyMicro(ColumnBridge.expression(text)))
+
+  /** Column-level native double-encoded-UTF-8 repair (string → string). */
+  def repairDoubleUtf8(text: Column): Column =
+    ColumnBridge.column(RepairDoubleUtf8(ColumnBridge.expression(text)))
 
   /** Column-level native salted-md5 32-bit windows (array<long>, size 4). */
   def md5Windows(text: Column, prefix: String): Column =

@@ -87,4 +87,44 @@ object Scrub {
     piiReport(docs, withPii(col("text")))
       .orderBy("doc_id", "n_email", "n_ip", "n_phone", "redacted_md5")
   }
+
+  // encoding repair (mojibake) ----------------------------------------
+
+  /** Repair double-encoded UTF-8 via the strict whole-string round-trip
+    * rule (see [[graft.functions.RepairDoubleUtf8]]) — genuine Latin-1
+    * or clean text passes through untouched, byte-identical. */
+  def repairEncoding(text: Column): Column =
+    graft.functions.TextExpressions.repairDoubleUtf8(text)
+
+  /** Per-source repair-rate rollup: how much of each crawl source is
+    * mojibake — the signal that an upstream feed is mis-decoding, and
+    * an input to the per-domain curation report. O(sources) output. */
+  def encodingReport(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("source"),
+        (repairEncoding(text) =!= text).cast("long").as("was_repaired"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("was_repaired")).as("n_repaired"))
+
+  /** Mojibake twin for the oracle check (the [[messy]] pattern): by
+    * doc_id, a third of docs get a double-encoded suffix (must repair),
+    * a third a genuine-UTF-8 accented suffix (MUST pass untouched — the
+    * round-trip rule's safety property), a third stay ASCII. The suffix
+    * exercises both the Latin-1 path (Ã©→é) and the cp1252-special path
+    * (â€œ→“, â€™→’, â‚¬→€). */
+  private val MojiSuffix =
+    " cafÃ© naÃ¯ve â€œsmartâ€™ â‚¬5"
+  private val CleanSuffix =
+    " café naïve “smart’ €5"
+  private val Latin1Suffix = " résumé café"
+
+  def qEncodingFix(spark: SparkSession, dir: String): DataFrame = {
+    val twin = when(col("doc_id") % 3 === 0, concat(col("text"), lit(MojiSuffix)))
+      .when(col("doc_id") % 3 === 1, concat(col("text"), lit(Latin1Suffix)))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (repairEncoding(twin) =!= twin).cast("long").as("was_repaired"),
+        md5(repairEncoding(twin)).as("fixed_md5"))
+      .orderBy("doc_id", "source", "was_repaired", "fixed_md5")
+  }
 }

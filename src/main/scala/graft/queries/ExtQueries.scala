@@ -101,6 +101,7 @@ object ExtQueries {
     "text_tfidf"            -> TextAnalysis.qTfidf _,
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
+    "text_encoding_fix"     -> graft.operators.Scrub.qEncodingFix _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
@@ -2781,6 +2782,26 @@ object ExtQueries {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id, n_email, n_ip, n_phone, redacted_md5""".stripMargin,
+
+    // Mirrors Scrub.qEncodingFix. The oracle does not re-implement the
+    // round-trip repair — it KNOWS the ground truth of the synthetic
+    // twin (mojibake suffix repairs to the clean suffix; the genuine
+    // Latin-1 suffix and plain ASCII pass through byte-identical), so
+    // the md5 match proves the general engine-side rule lands exactly
+    // on ground truth for both repairable and must-not-touch rows.
+    "text_encoding_fix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' cafÃ© naÃ¯ve â€œsmartâ€™ â‚¬5'
+        |       WHEN doc_id % 3 = 1 THEN text || ' résumé café'
+        |       ELSE text END AS twin,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' café naïve “smart’ €5'
+        |       WHEN doc_id % 3 = 1 THEN text || ' résumé café'
+        |       ELSE text END AS fixed
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(CASE WHEN fixed <> twin THEN 1 ELSE 0 END AS BIGINT) AS was_repaired,
+        |  md5(fixed) AS fixed_md5
+        |FROM t ORDER BY doc_id, source, was_repaired, fixed_md5""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n_kept

@@ -41,6 +41,45 @@ class ScrubSpec extends AnyFunSuite {
     assert(scrub1(dirty, Scrub.redactPii) == "<EMAIL> <EMAIL> <IP> <IP>")
   }
 
+  test("repairEncoding fixes double-encoded UTF-8, Latin-1 and cp1252 paths") {
+    // Latin-1 path: Ã©(C3 A9) → é
+    assert(scrub1("cafÃ© naÃ¯ve", Scrub.repairEncoding) == "café naïve")
+    // cp1252-special path: â€œ(E2 80 9C) → “, â€™(E2 80 99) → ’, â‚¬(E2 82 AC) → €
+    assert(scrub1("â€œsmartâ€™ â‚¬5", Scrub.repairEncoding) == "“smart’ €5")
+    // C1-control mojibake (latin-1 decode upstream): chars U+0080–U+009F
+    // map back through the identity, e.g. â + U+0080 + U+0093 → U+2013 “–”
+    assert(scrub1("up\u00e2\u0080\u0093down", Scrub.repairEncoding) == "up\u2013down")
+  }
+
+  test("repairEncoding leaves clean and genuinely accented text untouched") {
+    // pure ASCII round-trips to itself
+    assert(scrub1("plain ascii text.", Scrub.repairEncoding) == "plain ascii text.")
+    // genuine Latin-1 text: é alone makes the byte string invalid UTF-8
+    assert(scrub1("résumé café", Scrub.repairEncoding) == "résumé café")
+    // unmappable char (CJK) anywhere vetoes the repair of the whole string
+    assert(scrub1("cafÃ© 日本", Scrub.repairEncoding) == "cafÃ© 日本")
+    // a lone would-be lead byte with no continuation stays put
+    assert(scrub1("Ã alone", Scrub.repairEncoding) == "Ã alone")
+  }
+
+  test("repairEncoding is a single deterministic pass") {
+    // repairing already-repaired text is a no-op (é alone is invalid UTF-8)
+    val once = scrub1("cafÃ©", Scrub.repairEncoding)
+    assert(once == "café" && scrub1(once, Scrub.repairEncoding) == "café")
+    // empty and null-free behavior
+    assert(scrub1("", Scrub.repairEncoding) == "")
+  }
+
+  test("encodingReport rolls repair rate up per source") {
+    val docs = Seq(
+      (1L, "srcA", "cafÃ© one"), (2L, "srcA", "clean"),
+      (3L, "srcB", "clean too"), (4L, "srcB", "also clean"))
+      .toDF("doc_id", "source", "text")
+    val rep = Scrub.encodingReport(docs, col("text")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("srcA") == (2L, 1L) && rep("srcB") == (2L, 0L))
+  }
+
   test("piiReport counts per class and hashes the redacted text") {
     val df = Seq((1L, "x a@b.co 1.2.3.4 9.9.9.9")).toDF("doc_id", "text")
     val r = Scrub.piiReport(df, col("text")).head
