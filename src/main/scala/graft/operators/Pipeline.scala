@@ -36,14 +36,31 @@ object Pipeline {
       // (stage 2) already collapsed the identical ones; the remainder is
       // bounded per bucket. The standalone oracle queries stay uncapped
       // for reference parity (Dedup.minHashLshPairs default = None).
-      maxBucketSize: Option[Int] = Some(200))
+      maxBucketSize: Option[Int] = Some(200),
+      // Per-SOURCE gate (the RefinedWeb/C4 host-level heuristic): when
+      // set, documents from sources whose near-dup involvement exceeds
+      // domainMaxDupPpm or whose mean quality falls below
+      // domainMinMeanQuality are dropped BEFORE the per-doc stages — a
+      // feed that is mostly mirror-spam or boilerplate is cheaper to cut
+      // at the source grain than to out-filter doc by doc. Off by
+      // default: the oracle-checked funnel stays byte-stable.
+      domainMaxDupPpm: Option[Long] = None,
+      domainMinMeanQuality: Double = 0.0)
 
   /** docs → (doc_id, lang, source, quality, split) for the retained,
     * deduplicated corpus. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 0. optional per-source gate (see Config.domainMaxDupPpm)
+    val input = cfg.domainMaxDupPpm match {
+      case Some(cap) =>
+        val rep = domainReport(docs, col("text"), cfg.minJaccard,
+          cfg.maxBucketSize)
+        domainGate(docs, rep, cap, cfg.domainMinMeanQuality)
+      case None => docs
+    }
     // 1. quality gate
-    val scored = TextAnalysis.qualityScore(docs)
-    val kept = docs.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
+    val scored = TextAnalysis.qualityScore(input)
+    val kept = input.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
 
     // 2. exact dedup — checkpointed: this frame feeds three consumers
     // (candidate generation, cluster resolution, the final join); without
@@ -121,6 +138,64 @@ object Pipeline {
       maxLen = chunkLen, stride = stride)
     chunks.join(corpus.select(col("doc_id"), col("lang"), col("split")), "doc_id")
   }
+
+  // ---- per-domain curation rollup ----------------------------------------
+
+  /** Per-SOURCE curation report — the RefinedWeb/C4 host-level heuristic
+    * at this corpus's domain grain. One row per source: doc count,
+    * near-dup pair involvement (from the same LSH+Jaccard verified pairs
+    * the dedup stage uses; a cross-source pair counts for both sources,
+    * a same-source pair once), encoding-repair count, the two rates in
+    * exact half-up ppm, and mean quality (quality is an exact 4-decimal
+    * value, so the mean is integer-summed then half-up divided — never
+    * an engine-side avg(double)).
+    *
+    * Scale shape: one token-explode aggregate for quality (shared shape
+    * with [[TextAnalysis.qualityScore]]), one scan with the codegen'd
+    * repair expression, and the pair frame from [[Dedup.nearDupPairs]]
+    * (LSH candidates only, never all-pairs) joined twice against the
+    * tiny (doc_id, source) projection. Output is O(sources) — a
+    * metadata frame at any corpus size. */
+  def domainReport(docs: DataFrame, text: org.apache.spark.sql.Column,
+      minJaccard: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        (Scrub.repairEncoding(text) =!= text).cast("long").as("rep"))
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+    val base = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("rep")).as("n_repaired"),
+      sum(expr("CAST(round(quality * 10000) AS BIGINT)")).as("q4"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val dup = Dedup.nearDupPairs(docs, minJaccard, maxBucketSize = maxBucketSize)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(explode(array_distinct(array(col("sa"), col("sb")))).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("dup_pairs"))
+    base.join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+        col("n_repaired"),
+        expr("(coalesce(dup_pairs, 0) * 1000000 * 2 + n_docs) div (2 * n_docs)")
+          .as("dup_ppm"),
+        expr("(n_repaired * 1000000 * 2 + n_docs) div (2 * n_docs)")
+          .as("repair_ppm"),
+        (expr("(q4 * 2 + n_docs) div (2 * n_docs)") / 10000.0).as("mean_quality"))
+  }
+
+  /** Doc-level domain gate: keep only documents whose SOURCE passes the
+    * rollup thresholds. The report is O(sources), so it broadcasts —
+    * the gate costs one broadcast hash join on the scan, no shuffle. */
+  def domainGate(docs: DataFrame, report: DataFrame, maxDupPpm: Long,
+      minMeanQuality: Double): DataFrame = {
+    val ok = report.filter(col("dup_ppm") <= maxDupPpm &&
+      col("mean_quality") >= minMeanQuality).select("source")
+    docs.join(broadcast(ok), "source")
+  }
+
+  def qDomainReport(spark: SparkSession, dir: String): DataFrame =
+    domainReport(Tables.documents(spark, dir), Scrub.encodingTwin)
+      .orderBy("source", "n_docs", "dup_pairs", "n_repaired", "dup_ppm",
+        "repair_ppm", "mean_quality")
 
   // ---- query-shaped entry point ------------------------------------------
 

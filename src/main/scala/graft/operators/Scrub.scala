@@ -117,10 +117,15 @@ object Scrub {
     " café naïve “smart’ €5"
   private val Latin1Suffix = " résumé café"
 
-  def qEncodingFix(spark: SparkSession, dir: String): DataFrame = {
-    val twin = when(col("doc_id") % 3 === 0, concat(col("text"), lit(MojiSuffix)))
+  /** The deterministic dirty-text twin, shared with the per-domain
+    * report query so both exercise the same ground truth. */
+  private[operators] def encodingTwin: Column =
+    when(col("doc_id") % 3 === 0, concat(col("text"), lit(MojiSuffix)))
       .when(col("doc_id") % 3 === 1, concat(col("text"), lit(Latin1Suffix)))
       .otherwise(col("text"))
+
+  def qEncodingFix(spark: SparkSession, dir: String): DataFrame = {
+    val twin = encodingTwin
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (repairEncoding(twin) =!= twin).cast("long").as("was_repaired"),

@@ -102,6 +102,7 @@ object ExtQueries {
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
     "text_encoding_fix"     -> graft.operators.Scrub.qEncodingFix _,
+    "text_domain_report"    -> graft.operators.Pipeline.qDomainReport _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
@@ -2802,6 +2803,58 @@ object ExtQueries {
         |  CAST(CASE WHEN fixed <> twin THEN 1 ELSE 0 END AS BIGINT) AS was_repaired,
         |  md5(fixed) AS fixed_md5
         |FROM t ORDER BY doc_id, source, was_repaired, fixed_md5""".stripMargin,
+
+    // Mirrors Pipeline.qDomainReport: per-source doc count, verified
+    // near-dup pair involvement (cross-source pairs count for both
+    // sources, same-source once), encoding-repair ground truth
+    // (doc_id%3=0 rows of the shared twin), exact half-up ppm rates,
+    // and integer-summed half-up mean quality.
+    "text_domain_report" ->
+      s"""$minhashCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |cd AS (SELECT doc_a AS doc_id FROM cand
+         |       UNION SELECT doc_b FROM cand),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n
+         |  FROM cand c
+         |  JOIN csh a ON a.doc_id = c.doc_a
+         |  JOIN csh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b, n / (sa.sz + sb.sz - n) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.5),
+         |m AS (SELECT da.source AS sa, db.source AS sb
+         |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+         |          JOIN documents db ON db.doc_id = vp.doc_b),
+         |dup AS (SELECT source, count(*) AS dup_pairs FROM (
+         |    SELECT sa AS source FROM m
+         |    UNION ALL SELECT sb FROM m WHERE sb <> sa)
+         |  GROUP BY source),
+         |tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+         |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok2 WHERE token <> '' GROUP BY doc_id),
+         |qd AS (SELECT d.doc_id, d.source,
+         |    ((least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750) * 20000
+         |      + n_tok * 12500) // (n_tok * 12500 * 2) AS q4
+         |  FROM documents d JOIN st USING (doc_id)),
+         |rep AS (SELECT source, count(*) AS n_docs,
+         |    sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n_repaired
+         |  FROM documents GROUP BY source),
+         |qs AS (SELECT source, sum(q4) AS q4 FROM qd GROUP BY source)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(dup_pairs, 0) AS BIGINT) AS dup_pairs,
+         |  CAST(r.n_repaired AS BIGINT) AS n_repaired,
+         |  CAST((coalesce(dup_pairs, 0) * 1000000 * 2 + r.n_docs) // (2 * r.n_docs) AS BIGINT) AS dup_ppm,
+         |  CAST((r.n_repaired * 1000000 * 2 + r.n_docs) // (2 * r.n_docs) AS BIGINT) AS repair_ppm,
+         |  ((q4 * 2 + r.n_docs) // (2 * r.n_docs)) / 10000.0 AS mean_quality
+         |FROM rep r JOIN qs USING (source) LEFT JOIN dup USING (source)
+         |ORDER BY source, n_docs, dup_pairs, n_repaired, dup_ppm, repair_ppm, mean_quality""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n_kept

@@ -29,6 +29,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.values.toSet.subsetOf(Set("train", "test")))
   }
 
+  test("domainReport rates per source; domainGate drops the spam feed") {
+    // srcGood: two distinct decent docs; srcSpam: three near-identical
+    // docs (high dup_ppm) — the source-level gate must cut srcSpam
+    // wholesale while srcGood sails through the full curate funnel.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val spam = "spam one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, base, "en", "srcGood", base.length.toLong),
+      (3L, "one two three four five six seven eight nine ten", "en", "srcGood", 49L),
+      (6L, spam, "en", "srcSpam", spam.length.toLong),
+      (7L, spam.replace("nine", "white"), "en", "srcSpam", spam.length.toLong),
+      (8L, spam.replace("eight", "black"), "en", "srcSpam", spam.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val rep = Pipeline.domainReport(docs, col("text"), minJaccard = 0.5)
+    val byS = rep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(byS("srcGood")._2 == 0L, "no near-dup pairs in the good feed")
+    assert(byS("srcSpam")._2 >= 2L, "spam feed must show pair involvement")
+    assert(byS("srcSpam")._3 > byS("srcGood")._3, "dup_ppm separates the feeds")
+
+    val gated = Pipeline.curate(docs, Pipeline.Config(minQuality = 0.2,
+      minJaccard = 0.5, domainMaxDupPpm = Some(100000L)))
+    val kept = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(6L, 7L, 8L)).isEmpty, "spam source gated out")
+    assert(kept.contains(0L) && kept.contains(3L), "good source survives")
+  }
+
   test("prepareTrainingData: chunks only surviving docs, bounds chunk length") {
     // 20 distinct long-ish docs so quality passes; two share a 10-token
     // boilerplate run that span-dedup must cut from one of them
