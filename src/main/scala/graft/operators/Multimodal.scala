@@ -1272,4 +1272,701 @@ object Multimodal {
       .toDF("doc_id", "bucket", "s")
       .orderBy("doc_id", "bucket", "s")
   }
+
+  /** REAL codec for baseline JFIF/JPEG — the DCT-domain member of the
+    * codec family (WAV/BMP/PNG/GIF are raw/LZ; real multimodal corpora
+    * are overwhelmingly JPEG). Pure JDK: marker walk, DQT/DHT/SOF0/
+    * DRI/SOS parsing, canonical-Huffman entropy decode over the
+    * byte-stuffed scan (0xFF00 unstuffing, RSTn restart handling, DC
+    * prediction with EXTEND sign recovery, AC run/size with ZRL and
+    * EOB), dequantization, de-zigzag, and the Loeffler-class 13-bit
+    * fixed-point integer IDCT (the libjpeg jidctint constants — integer
+    * arithmetic only, so decoding is bit-identical on every platform;
+    * a DC-only block decodes to exactly round(dc/8)+128, which is what
+    * lets the checksum oracles predict pixels from text). Supported
+    * frames: baseline sequential (SOF0), 8-bit, grayscale (1 component)
+    * or YCbCr 4:2:0 (components (2,2),(1,1),(1,1)); everything else —
+    * progressive SOF2, 4:2:2/4:4:4, 12-bit, arithmetic coding — fails
+    * loud with `IllegalArgumentException`, never decodes wrong pixels.
+    * Chroma upsampling is 2×2 replication; YCbCr→RGB is the libjpeg
+    * 16-bit fixed-point form (zero chroma ⇒ R=G=B=Y exactly). All size
+    * math goes through Long before any allocation: header fields are
+    * untrusted input. */
+  object JpegCodec extends Codec {
+    private def bad(m: String) = throw new IllegalArgumentException(s"JpegCodec: $m")
+
+    private val Zigzag: Array[Int] = Array(
+       0,  1,  8, 16,  9,  2,  3, 10,
+      17, 24, 32, 25, 18, 11,  4,  5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13,  6,  7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Canonical Huffman decode table (JPEG F.2.2.3: MINCODE/MAXCODE/
+      * VALPTR), built from the DHT BITS + HUFFVAL lists. */
+    private final class HuffTable(bits: Array[Int], val vals: Array[Byte]) {
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      private var code = 0
+      private var k = 0
+      private var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l); k += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) bad("DHT counts do not match symbol list")
+    }
+
+    /** Entropy-segment bit reader: MSB-first, 0xFF00 unstuffing; any
+      * other marker inside the scan ends it (RSTn are consumed by the
+      * MCU loop via [[restart]]). */
+    private final class BitReader(data: Array[Byte], var pos: Int) {
+      private var cur = 0
+      private var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          if (pos >= data.length) bad("entropy data exhausted")
+          var b = data(pos) & 0xff
+          pos += 1
+          if (b == 0xff) {
+            if (pos >= data.length) bad("entropy data exhausted at 0xFF")
+            val m = data(pos) & 0xff
+            if (m == 0x00) pos += 1 // stuffed 0xFF data byte
+            else bad(f"unexpected marker 0xFF$m%02x inside scan")
+            b = 0xff
+          }
+          cur = b; nbits = 8
+        }
+        nbits -= 1
+        (cur >> nbits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      def decodeSym(t: HuffTable): Int = {
+        var code = bit()
+        var l = 1
+        while (code > t.maxCode(l)) {
+          if (l >= 16) bad("huffman code longer than 16 bits")
+          code = (code << 1) | bit()
+          l += 1
+        }
+        t.vals(t.valPtr(l) + code - t.minCode(l)) & 0xff
+      }
+      /** Byte-align and consume an expected RSTn marker. */
+      def restart(n: Int): Unit = {
+        nbits = 0
+        if (pos + 1 >= data.length) bad("entropy data exhausted at restart")
+        if ((data(pos) & 0xff) != 0xff || (data(pos + 1) & 0xff) != (0xd0 + n))
+          bad("missing RST marker at restart interval")
+        pos += 2
+      }
+      def receiveExtend(t: Int): Int = {
+        if (t == 0) 0
+        else {
+          val v = bits(t)
+          if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+        }
+      }
+    }
+
+    // 13-bit fixed-point Loeffler IDCT constants (libjpeg jidctint —
+    // public reference implementation of ITU T.81 Annex A accuracy)
+    private val ConstBits = 13
+    private val Pass1Bits = 2
+    private val F0_298631336 = 2446
+    private val F0_390180644 = 3196
+    private val F0_541196100 = 4433
+    private val F0_765366865 = 6270
+    private val F0_899976223 = 7373
+    private val F1_175875602 = 9633
+    private val F1_501321110 = 12299
+    private val F1_847759065 = 15137
+    private val F1_961570560 = 16069
+    private val F2_053119869 = 16819
+    private val F2_562915447 = 20995
+    private val F3_072711026 = 25172
+
+    @inline private def descale(x: Long, n: Int): Int =
+      ((x + (1L << (n - 1))) >> n).toInt
+
+    /** In-place 8×8 integer IDCT over dequantized natural-order
+      * coefficients; output = level-shifted samples clamped to 0..255. */
+    private[graft] def idct(b: Array[Int]): Unit = {
+      val ws = new Array[Int](64)
+      // pass 1: columns
+      var c = 0
+      while (c < 8) {
+        if (b(c + 8) == 0 && b(c + 16) == 0 && b(c + 24) == 0 && b(c + 32) == 0 &&
+            b(c + 40) == 0 && b(c + 48) == 0 && b(c + 56) == 0) {
+          val dc = b(c) << Pass1Bits
+          var i = 0
+          while (i < 8) { ws(c + 8 * i) = dc; i += 1 }
+        } else {
+          val s0 = b(c); val s1 = b(c + 8); val s2 = b(c + 16); val s3 = b(c + 24)
+          val s4 = b(c + 32); val s5 = b(c + 40); val s6 = b(c + 48); val s7 = b(c + 56)
+          var z1 = (s2 + s6).toLong * F0_541196100
+          val t2 = z1 - s6.toLong * F1_847759065
+          val t3 = z1 + s2.toLong * F0_765366865
+          val t0 = (s0 + s4).toLong << ConstBits
+          val t1 = (s0 - s4).toLong << ConstBits
+          val t10 = t0 + t3; val t13 = t0 - t3
+          val t11 = t1 + t2; val t12 = t1 - t2
+          var o0 = s7.toLong; var o1 = s5.toLong; var o2 = s3.toLong; var o3 = s1.toLong
+          z1 = o0 + o3; var z2 = o1 + o2
+          var z3 = o0 + o2; var z4 = o1 + o3
+          val z5 = (z3 + z4) * F1_175875602
+          o0 *= F0_298631336; o1 *= F2_053119869; o2 *= F3_072711026; o3 *= F1_501321110
+          z1 *= -F0_899976223; z2 *= -F2_562915447
+          z3 = z3 * (-F1_961570560) + z5
+          z4 = z4 * (-F0_390180644) + z5
+          o0 += z1 + z3; o1 += z2 + z4; o2 += z2 + z3; o3 += z1 + z4
+          ws(c) = descale(t10 + o3, ConstBits - Pass1Bits)
+          ws(c + 56) = descale(t10 - o3, ConstBits - Pass1Bits)
+          ws(c + 8) = descale(t11 + o2, ConstBits - Pass1Bits)
+          ws(c + 48) = descale(t11 - o2, ConstBits - Pass1Bits)
+          ws(c + 16) = descale(t12 + o1, ConstBits - Pass1Bits)
+          ws(c + 40) = descale(t12 - o1, ConstBits - Pass1Bits)
+          ws(c + 24) = descale(t13 + o0, ConstBits - Pass1Bits)
+          ws(c + 32) = descale(t13 - o0, ConstBits - Pass1Bits)
+        }
+        c += 1
+      }
+      // pass 2: rows, final descale + level shift + clamp
+      @inline def px(v: Int): Int = {
+        val s = v + 128
+        if (s < 0) 0 else if (s > 255) 255 else s
+      }
+      var r = 0
+      while (r < 8) {
+        val o = 8 * r
+        if (ws(o + 1) == 0 && ws(o + 2) == 0 && ws(o + 3) == 0 && ws(o + 4) == 0 &&
+            ws(o + 5) == 0 && ws(o + 6) == 0 && ws(o + 7) == 0) {
+          val dc = px(descale(ws(o).toLong, Pass1Bits + 3))
+          var i = 0
+          while (i < 8) { b(o + i) = dc; i += 1 }
+        } else {
+          val s0 = ws(o); val s1 = ws(o + 1); val s2 = ws(o + 2); val s3 = ws(o + 3)
+          val s4 = ws(o + 4); val s5 = ws(o + 5); val s6 = ws(o + 6); val s7 = ws(o + 7)
+          var z1 = (s2 + s6).toLong * F0_541196100
+          val t2 = z1 - s6.toLong * F1_847759065
+          val t3 = z1 + s2.toLong * F0_765366865
+          val t0 = (s0 + s4).toLong << ConstBits
+          val t1 = (s0 - s4).toLong << ConstBits
+          val t10 = t0 + t3; val t13 = t0 - t3
+          val t11 = t1 + t2; val t12 = t1 - t2
+          var o0 = s7.toLong; var o1 = s5.toLong; var o2 = s3.toLong; var o3 = s1.toLong
+          z1 = o0 + o3; var z2 = o1 + o2
+          var z3 = o0 + o2; var z4 = o1 + o3
+          val z5 = (z3 + z4) * F1_175875602
+          o0 *= F0_298631336; o1 *= F2_053119869; o2 *= F3_072711026; o3 *= F1_501321110
+          z1 *= -F0_899976223; z2 *= -F2_562915447
+          z3 = z3 * (-F1_961570560) + z5
+          z4 = z4 * (-F0_390180644) + z5
+          o0 += z1 + z3; o1 += z2 + z4; o2 += z2 + z3; o3 += z1 + z4
+          val sh = ConstBits + Pass1Bits + 3
+          b(o) = px(descale(t10 + o3, sh)); b(o + 7) = px(descale(t10 - o3, sh))
+          b(o + 1) = px(descale(t11 + o2, sh)); b(o + 6) = px(descale(t11 - o2, sh))
+          b(o + 2) = px(descale(t12 + o1, sh)); b(o + 5) = px(descale(t12 - o1, sh))
+          b(o + 3) = px(descale(t13 + o0, sh)); b(o + 4) = px(descale(t13 - o0, sh))
+        }
+        r += 1
+      }
+    }
+
+    private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
+      var dcTable: Int = 0, var acTable: Int = 0, var dcPred: Int = 0)
+
+    /** (width, height, RGB triples flattened) — the pixel-level API the
+      * pool/aHash/feature operators consume, same shape as the other
+      * codecs. */
+    private[graft] def rasterPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      if (payload.length < 4) bad(s"truncated: ${payload.length} bytes")
+      def u8(o: Int): Int = {
+        if (o >= payload.length) bad("offset past payload")
+        payload(o) & 0xff
+      }
+      def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+      if (u16(0) != 0xffd8) bad("missing SOI")
+
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      var comps: Array[Comp] = null
+      var w = 0; var h = 0
+      var dri = 0
+      var off = 2
+      var scanStart = -1
+
+      while (scanStart < 0) {
+        if (u8(off) != 0xff) bad(f"expected marker, got 0x${u8(off)}%02x")
+        val marker = u8(off + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
+        else if (marker == 0xd9) bad("EOI before SOS")
+        else {
+          val len = u16(off + 2)
+          if (len < 2 || off.toLong + 2 + len > payload.length)
+            bad(s"segment length $len exceeds payload")
+          val seg = off + 4
+          val segEnd = off + 2 + len
+          marker match {
+            case 0xdb => // DQT: one or more tables
+              var p = seg
+              while (p < segEnd) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+                if (pq != 0) bad("16-bit quant tables unsupported")
+                if (tq > 3) bad(s"bad quant table id $tq")
+                if (p + 65 > segEnd) bad("DQT truncated")
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(i) = u8(p + 1 + i); i += 1 } // zigzag order
+                quant(tq) = t
+                p += 65
+              }
+            case 0xc4 => // DHT: one or more tables
+              var p = seg
+              while (p < segEnd) {
+                val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+                if (tc > 1 || th > 3) bad(s"bad huffman table class/id $tc/$th")
+                val bits = new Array[Int](17)
+                var total = 0
+                var i = 1
+                while (i <= 16) { bits(i) = u8(p + i); total += bits(i); i += 1 }
+                if (total > 256 || p + 17 + total > segEnd) bad("DHT truncated")
+                val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + total)
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                p += 17 + total
+              }
+            case 0xc0 => // SOF0 baseline
+              if (u8(seg) != 8) bad("only 8-bit precision supported")
+              h = u16(seg + 1); w = u16(seg + 3)
+              if (w <= 0 || h <= 0) bad(s"bad dimensions ${w}x$h")
+              if (w.toLong * h > (1L << 26)) bad(s"implausible pixel count ${w.toLong * h}")
+              val nf = u8(seg + 5)
+              comps = Array.tabulate(nf) { i =>
+                val p = seg + 6 + 3 * i
+                Comp(u8(p), u8(p + 1) >> 4, u8(p + 1) & 0x0f, u8(p + 2))
+              }
+              val sampling = comps.map(cp => (cp.h, cp.v)).toSeq
+              val ok = sampling == Seq((1, 1)) ||
+                sampling == Seq((2, 2), (1, 1), (1, 1))
+              if (!ok) bad(s"unsupported component layout $sampling " +
+                "(baseline grayscale or 4:2:0 only)")
+            case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xcf && m != 0xc8) =>
+              bad(f"unsupported frame type SOF 0x$m%02x (baseline SOF0 only)")
+            case 0xdd => // DRI
+              dri = u16(seg)
+            case 0xda => // SOS
+              if (comps == null) bad("SOS before SOF0")
+              val ns = u8(seg)
+              if (ns != comps.length) bad("scan component count != frame")
+              var i = 0
+              while (i < ns) {
+                val cid = u8(seg + 1 + 2 * i)
+                val cp = comps.find(_.id == cid).getOrElse(bad(s"unknown scan component $cid"))
+                cp.dcTable = u8(seg + 2 + 2 * i) >> 4
+                cp.acTable = u8(seg + 2 + 2 * i) & 0x0f
+                i += 1
+              }
+              scanStart = segEnd
+            case _ => () // APPn/COM/etc: skip
+          }
+          off = segEnd
+        }
+      }
+
+      // validate referenced tables exist
+      comps.foreach { cp =>
+        if (quant(cp.tq) == null) bad(s"quant table ${cp.tq} undefined")
+        if (dcTables(cp.dcTable) == null) bad(s"DC table ${cp.dcTable} undefined")
+        if (acTables(cp.acTable) == null) bad(s"AC table ${cp.acTable} undefined")
+      }
+
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      // per-component padded planes
+      val planes = comps.map(cp => new Array[Int](mcusX * cp.h * 8 * mcusY * cp.v * 8))
+      val planeW = comps.map(cp => mcusX * cp.h * 8)
+
+      val br = new BitReader(payload, scanStart)
+      val zz = new Array[Int](64)
+      val blk = new Array[Int](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      var sinceRestart = 0
+      var restartNo = 0
+      while (mcu < nMcus) {
+        if (dri > 0 && sinceRestart == dri) {
+          br.restart(restartNo)
+          restartNo = (restartNo + 1) & 7
+          sinceRestart = 0
+          comps.foreach(_.dcPred = 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val cp = comps(ci)
+          val q = quant(cp.tq)
+          var by = 0
+          while (by < cp.v) {
+            var bx = 0
+            while (bx < cp.h) {
+              // entropy-decode one block (zigzag order)
+              java.util.Arrays.fill(zz, 0)
+              val t = br.decodeSym(dcTables(cp.dcTable))
+              if (t > 11) bad(s"DC category $t out of range")
+              cp.dcPred += br.receiveExtend(t)
+              zz(0) = cp.dcPred
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decodeSym(acTables(cp.acTable))
+                val rr = rs >> 4; val ss = rs & 0x0f
+                if (ss == 0) {
+                  if (rr == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += rr
+                  if (k > 63) bad("AC run past block end")
+                  if (ss > 10) bad(s"AC size $ss out of range")
+                  zz(k) = br.receiveExtend(ss)
+                  k += 1
+                }
+              }
+              if (k > 64) bad("AC run past block end")
+              // dequantize + de-zigzag, then IDCT
+              var i = 0
+              while (i < 64) { blk(Zigzag(i)) = zz(i) * q(i); i += 1 }
+              idct(blk)
+              // place into plane
+              val pw = planeW(ci)
+              val px0 = (mx * cp.h + bx) * 8
+              val py0 = (my * cp.v + by) * 8
+              var rI = 0
+              while (rI < 8) {
+                var cI = 0
+                val base = (py0 + rI) * pw + px0
+                while (cI < 8) { planes(ci)(base + cI) = blk(8 * rI + cI); cI += 1 }
+                rI += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        sinceRestart += 1
+      }
+
+      // assemble RGB triples
+      val out = new Array[Int](w * h * 3)
+      if (comps.length == 1) {
+        val pw = planeW(0)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val g = planes(0)(r * pw + c)
+            val o = (r * w + c) * 3
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+            c += 1
+          }
+          r += 1
+        }
+      } else {
+        val yw = planeW(0); val cw = planeW(1)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val y = planes(0)(r * yw + c)
+            val cb = planes(1)((r >> 1) * cw + (c >> 1)) - 128
+            val cr = planes(2)((r >> 1) * cw + (c >> 1)) - 128
+            // libjpeg 16-bit fixed-point YCbCr->RGB (zero chroma => Y exactly)
+            @inline def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+            val o = (r * w + c) * 3
+            out(o) = cl(y + ((91881 * cr + 32768) >> 16))
+            out(o + 1) = cl(y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+            out(o + 2) = cl(y + ((116130 * cb + 32768) >> 16))
+            c += 1
+          }
+          r += 1
+        }
+      }
+      (w, h, out)
+    }
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (_, _, px) = rasterPixels(payload)
+      val out = new Array[Float](dim)
+      var p = 0
+      val n = px.length / 3
+      while (p < n) {
+        out(p % dim) += (px(3 * p) + px(3 * p + 1) + px(3 * p + 2)).toFloat
+        p += 1
+      }
+      out
+    }
+  }
+
+  // ---- baseline JPEG test-payload builder --------------------------------
+  //
+  // A real entropy-coded JFIF writer (quant table all-ones, canonical
+  // Huffman tables, byte-stuffed bit stream) driven by QUANTIZED
+  // coefficient blocks, so specs can author arbitrary AC content while
+  // the text-derived tables use DC-only blocks whose decode is exactly
+  // round(dc/8)+128 — the property the checksum oracles rely on.
+  private[graft] object JpegWriter {
+    // DC: categories 0..11 as 4-bit codes; AC: EOB, ZRL, and every
+    // (run 0..15, size 1..10) symbol as 8-bit codes — canonical from
+    // BITS so the decoder's generic table builder is what's exercised.
+    private val DcVals: Array[Int] = (0 to 11).toArray
+    private val AcVals: Array[Int] =
+      Array(0x00, 0xf0) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+    private val DcCodes: Map[Int, (Int, Int)] =
+      DcVals.zipWithIndex.map { case (v, i) => v -> (i, 4) }.toMap
+    private val AcCodes: Map[Int, (Int, Int)] =
+      AcVals.zipWithIndex.map { case (v, i) => v -> (i, 8) }.toMap
+
+    private val Zig: Array[Int] = Array(
+       0,  1,  8, 16,  9,  2,  3, 10,
+      17, 24, 32, 25, 18, 11,  4,  5,
+      12, 19, 26, 33, 40, 48, 41, 34,
+      27, 20, 13,  6,  7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36,
+      29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46,
+      53, 60, 61, 54, 47, 55, 62, 63)
+
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var cur = 0
+      private var n = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((code >> i) & 1)
+          n += 1
+          if (n == 8) {
+            out.write(cur)
+            if (cur == 0xff) out.write(0x00) // byte stuffing
+            cur = 0; n = 0
+          }
+          i -= 1
+        }
+      }
+      def finish(): Unit = if (n > 0) { put((1 << (8 - n)) - 1, 8 - n) }
+    }
+
+    private def category(v: Int): Int = {
+      var a = math.abs(v); var t = 0
+      while (a != 0) { a >>= 1; t += 1 }
+      t
+    }
+
+    /** Entropy-encode one NATURAL-order quantized block; returns new DC pred. */
+    private def encodeBlock(bw: BitWriter, natural: Array[Int], dcPred: Int): Int = {
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) { zz(i) = natural(Zig(i)); i += 1 }
+      val diff = zz(0) - dcPred
+      val t = category(diff)
+      require(t <= 11, s"DC diff $diff out of baseline range")
+      val (dc, dl) = DcCodes(t)
+      bw.put(dc, dl)
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { val (c, l) = AcCodes(0xf0); bw.put(c, l); run -= 16 }
+          val s = category(zz(k))
+          require(s >= 1 && s <= 10, s"AC size $s unsupported by test table")
+          val (c, l) = AcCodes((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << s) - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) } // EOB
+      zz(0)
+    }
+
+    private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
+        body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+
+    private def headerTables(out: java.io.ByteArrayOutputStream): Unit = {
+      seg(out, 0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0, all ones
+      val dcBits = Array.tabulate(16)(i => if (i == 3) DcVals.length else 0)
+      seg(out, 0xc4, Array(0x00) ++ dcBits ++ DcVals)
+      val acBits = Array.tabulate(16)(i => if (i == 7) AcVals.length else 0)
+      seg(out, 0xc4, Array(0x10) ++ acBits ++ AcVals)
+    }
+
+    /** Grayscale baseline JPEG, width 8, one 8×8 block per entry of
+      * `blocks` (NATURAL-order quantized coefficients), stacked
+      * vertically. `restartEvery` > 0 emits a DRI segment and RSTn
+      * markers every that many MCUs (blocks), exercising the decoder's
+      * restart/DC-reset path. */
+    private[graft] def gray(blocks: Array[Array[Int]],
+        restartEvery: Int = 0): Array[Byte] = {
+      require(blocks.nonEmpty)
+      val w = 8; val h = 8 * blocks.length
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      headerTables(out)
+      seg(out, 0xc0, Array(8, h >> 8, h & 0xff, 0, w, 1, 1, 0x11, 0))
+      if (restartEvery > 0)
+        seg(out, 0xdd, Array(restartEvery >> 8, restartEvery & 0xff))
+      seg(out, 0xda, Array(1, 1, 0x00, 0, 63, 0))
+      var bw = new BitWriter(out)
+      var pred = 0
+      var rst = 0
+      var i = 0
+      while (i < blocks.length) {
+        if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+          bw.finish()
+          out.write(0xff); out.write(0xd0 + rst)
+          rst = (rst + 1) & 7
+          pred = 0
+          bw = new BitWriter(out)
+        }
+        pred = encodeBlock(bw, blocks(i), pred)
+        i += 1
+      }
+      bw.finish()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** YCbCr 4:2:0 baseline JPEG, width 16, one MCU (4 Y blocks + flat
+      * Cb + flat Cr) per group of four `yBlocks`, MCUs stacked
+      * vertically. Chroma DC is 0 ⇒ Cb=Cr=128 ⇒ RGB = (Y,Y,Y) exactly
+      * through the fixed-point conversion. */
+    private[graft] def color420(yBlocks: Array[Array[Int]]): Array[Byte] = {
+      require(yBlocks.nonEmpty && yBlocks.length % 4 == 0, "4 Y blocks per MCU")
+      val mcus = yBlocks.length / 4
+      val w = 16; val h = 16 * mcus
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      headerTables(out)
+      seg(out, 0xc0, Array(8, h >> 8, h & 0xff, 0, w, 3,
+        1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+      seg(out, 0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+      val bw = new BitWriter(out)
+      val zero = new Array[Int](64)
+      var yPred = 0; var cbPred = 0; var crPred = 0
+      var m = 0
+      while (m < mcus) {
+        var i = 0
+        while (i < 4) { yPred = encodeBlock(bw, yBlocks(4 * m + i), yPred); i += 1 }
+        cbPred = encodeBlock(bw, zero, cbPred)
+        crPred = encodeBlock(bw, zero, crPred)
+        m += 1
+      }
+      bw.finish()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
+    private def dcOnly(byte: Int): Array[Int] = {
+      val b = new Array[Int](64)
+      b(0) = (byte - 128) * 8 // decodes to exactly `byte` after IDCT+shift
+      b
+    }
+
+    /** Gray JPEG from text: one DC-only block per byte (first 96),
+      * width 8 — pixel p decodes to exactly byte(p div 64). */
+    private[graft] def grayFromText(text: String): Array[Byte] = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      gray(bytes.take(96).map(b => dcOnly(b & 0xff)))
+    }
+
+    /** 4:2:0 color JPEG from text: one DC-only Y block per byte (first
+      * (min(len,64) div 4)·4, so MCUs are full), width 16. */
+    private[graft] def colorFromText(text: String): Array[Byte] = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = (math.min(bytes.length, 64) / 4) * 4
+      color420(bytes.take(n).map(b => dcOnly(b & 0xff)))
+    }
+  }
+
+  /** Image-typed media rows with REAL (built) grayscale JPEG payloads. */
+  def jpegGrayTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", JpegWriter.grayFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Image-typed media rows with REAL (built) 4:2:0 color JPEG payloads. */
+  def jpegColorTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", JpegWriter.colorFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Per-bucket pixel sums over REAL entropy-decoded JPEG pixels:
+    * Huffman DC decode, dequant, integer IDCT, level shift end-to-end —
+    * the oracle reads 3·byte straight off the text (dim 5 is coprime to
+    * the width-8 raster, so bucket membership mixes rows and any
+    * block-placement or raster-order slip hash-mismatches). */
+  def qJpegChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(jpegGrayTable(Tables.documents(spark, dir)), dim = 5,
+        codec = JpegCodec)
+      .flatMap(m => m.features.iterator.zipWithIndex.map {
+        case (s, b) => (m.doc_id, b.toLong, s.toLong)
+      })
+      .toDF("doc_id", "bucket", "s")
+      .orderBy("doc_id", "bucket", "s")
+  }
+
+  /** 2×2 pooled summary over REAL decoded 4:2:0 color JPEG pixels —
+    * exercises the MCU interleave, chroma upsampling, and the
+    * fixed-point YCbCr→RGB path ([[imagePool]]'s arithmetic fed by
+    * [[JpegCodec.rasterPixels]]). */
+  def qJpegPool(spark: SparkSession, dir: String): DataFrame =
+    imagePool(jpegColorTable(Tables.documents(spark, dir)), factor = 2,
+      pixels = JpegCodec.rasterPixels)
+      .orderBy("doc_id", "out_w", "out_h", "pool_sum")
+
+  /** Top-3 nearest images by cosine over decoded JPEG pixel-bucket
+    * vectors — [[featureTopK]] with [[JpegCodec]] end-to-end. */
+  def qJpegKnn(spark: SparkSession, dir: String): DataFrame =
+    featureTopK(jpegColorTable(Tables.documents(spark, dir)),
+      col("doc_id") < 30, k = 3, dim = 5, codec = JpegCodec)
+      .orderBy("query_id", "neighbor_id", "cos_sim")
 }

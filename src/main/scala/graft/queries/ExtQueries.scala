@@ -157,6 +157,9 @@ object ExtQueries {
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
+    "mm_jpeg_checksum"      -> Multimodal.qJpegChecksum _,
+    "mm_jpeg_pool"          -> Multimodal.qJpegPool _,
+    "mm_jpeg_knn"           -> Multimodal.qJpegKnn _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
@@ -3512,6 +3515,58 @@ object ExtQueries {
         |      FROM documents
         |      WHERE doc_id % 3 = 0 AND length(text) >= 15)
         |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    // Mirrors Multimodal.qJpegChecksum: the built grayscale JPEG is one
+    // DC-only 8x8 block per text byte (width 8), and the integer IDCT
+    // decodes a DC-only block to exactly round(dc/8)+128 = the byte —
+    // so the oracle reads 3*byte off the text while the query runs the
+    // full marker walk, Huffman entropy decode, dequant, and IDCT.
+    // dim 5 is coprime to the width-8 raster: bucket membership mixes
+    // rows, so a block-placement or raster-order slip hash-mismatches.
+    "mm_jpeg_checksum" ->
+      """SELECT doc_id, p % 5 AS bucket,
+        |  CAST(sum(3 * ord(substr(text, p // 64 + 1, 1))) AS BIGINT) AS s
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, 64 * least(length(text), 96) - 1)) AS p
+        |      FROM documents
+        |      WHERE doc_id % 3 = 1 AND length(text) >= 24)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    // Mirrors Multimodal.qJpegPool over the 4:2:0 color build (width 16,
+    // one DC-only Y block per byte, flat chroma => RGB = gray exactly):
+    // every 2x2 window sits inside one constant 8x8 block, so the
+    // floor-mean per channel is the byte itself and pool_sum =
+    // 48 * sum(bytes) (16 windows/block x 3 channels), out 8 x 2n.
+    "mm_jpeg_pool" ->
+      """SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(2 * n AS BIGINT) AS out_h,
+        |  CAST(48 * sum(ord(substr(text, i + 1, 1))) AS BIGINT) AS pool_sum
+        |FROM (SELECT doc_id, text, (least(length(text), 64) // 4) * 4 AS n,
+        |        unnest(generate_series(0, (least(length(text), 64) // 4) * 4 - 1)) AS i
+        |      FROM documents
+        |      WHERE doc_id % 3 = 2 AND length(text) >= 24)
+        |GROUP BY doc_id, n ORDER BY doc_id, out_w, out_h, pool_sum""".stripMargin,
+
+    // Mirrors Multimodal.qJpegKnn: bucket-sum vectors (dim 5) over the
+    // decoded 4:2:0 raster; pixel p of the width-16 image shows the
+    // byte of Y block (p//256)*4 + ((p//128)%2)*2 + ((p%16)//8).
+    "mm_jpeg_knn" ->
+      """WITH px AS (SELECT doc_id, p % 5 AS bucket,
+        |    CAST(sum(3 * ord(substr(text,
+        |      (p // 256) * 4 + ((p // 128) % 2) * 2 + ((p % 16) // 8) + 1, 1))) AS DOUBLE) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, 64 * ((least(length(text), 64) // 4) * 4) - 1)) AS p
+        |        FROM documents
+        |        WHERE doc_id % 3 = 2 AND length(text) >= 24)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(s ORDER BY bucket) AS v FROM px GROUP BY doc_id)
+        |SELECT query_id, neighbor_id, cos_sim FROM (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |  FROM v a, v b
+        |  WHERE a.doc_id < 30 AND b.doc_id <> a.doc_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
+        |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
+        |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
 
     // Mirrors Anomaly.embeddingBatchDrift: milli-quantized components,
     // half-up means on |s| (positive-only division so floor == trunc),

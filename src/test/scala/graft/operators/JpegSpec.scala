@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG codec semantics: DC-only exactness (the property the checksum
+  * oracles lean on), full AC entropy coding + integer IDCT against an
+  * independent double-precision reference, 4:2:0 color assembly,
+  * restart markers, and the fail-loud hostile-input contract. */
+class JpegSpec extends AnyFunSuite {
+
+  private def dcOnly(byte: Int): Array[Int] = {
+    val b = new Array[Int](64)
+    b(0) = (byte - 128) * 8
+    b
+  }
+
+  /** Independent reference: textbook double-precision 2-D IDCT
+    * (ITU T.81 A.3.3) + level shift + clamp. The integer decoder must
+    * land within ±1 of this on every pixel (the conformance-style
+    * bound), and exactly on it for DC-only blocks. */
+  private def refIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv * coef(8 * v + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      val p = math.round(s / 4).toInt + 128
+      out(8 * y + x) = math.max(0, math.min(255, p))
+    }
+    out
+  }
+
+  test("grayscale DC-only blocks decode to exactly their source bytes") {
+    val bytes = Array(0, 1, 7, 42, 127, 128, 200, 254, 255)
+    val payload = Multimodal.JpegWriter.gray(bytes.map(dcOnly))
+    val (w, h, px) = Multimodal.JpegCodec.rasterPixels(payload)
+    assert(w == 8 && h == 8 * bytes.length)
+    for (p <- 0 until w * h) {
+      val want = bytes(p / 64)
+      assert(px(3 * p) == want && px(3 * p + 1) == want && px(3 * p + 2) == want,
+        s"pixel $p: got ${px(3 * p)}, want $want")
+    }
+  }
+
+  test("AC blocks: integer IDCT within ±1 of the double-precision reference") {
+    // deterministic pseudo-random coefficient blocks: scattered AC values,
+    // long zero runs (ZRL path), large and small magnitudes, negative DC
+    val rnd = new scala.util.Random(42)
+    val blocks = Array.tabulate(12) { bi =>
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(1601) - 800
+      val nAc = 1 + rnd.nextInt(8)
+      for (_ <- 0 until nAc)
+        b(1 + rnd.nextInt(63)) = rnd.nextInt(2001) - 1000
+      b
+    }
+    val payload = Multimodal.JpegWriter.gray(blocks)
+    val (_, _, px) = Multimodal.JpegCodec.rasterPixels(payload)
+    for (bi <- blocks.indices) {
+      val want = refIdct(blocks(bi))
+      for (i <- 0 until 64) {
+        val got = px(3 * (64 * bi + (i / 8) * 8 + (i % 8)))
+        assert(math.abs(got - want(i)) <= 1,
+          s"block $bi pos $i: int IDCT $got vs reference ${want(i)}")
+      }
+    }
+    // and the decode is deterministic
+    val (_, _, px2) = Multimodal.JpegCodec.rasterPixels(payload)
+    assert(px.toSeq == px2.toSeq)
+  }
+
+  test("4:2:0 color: flat chroma yields exact gray; real chroma lands within ±1") {
+    // DC-only Y blocks with zero chroma: RGB = (Y, Y, Y) exactly
+    val bytes = Array(10, 60, 130, 250, 33, 99, 180, 240)
+    val payload = Multimodal.JpegWriter.color420(bytes.map(dcOnly))
+    val (w, h, px) = Multimodal.JpegCodec.rasterPixels(payload)
+    assert(w == 16 && h == 16 * (bytes.length / 4))
+    for (p <- 0 until w * h) {
+      val r = p / 16; val c = p % 16
+      val block = (r / 16) * 4 + ((r % 16) / 8) * 2 + (c / 8)
+      val want = bytes(block)
+      assert(px(3 * p) == want && px(3 * p + 1) == want && px(3 * p + 2) == want,
+        s"pixel $p (block $block): got (${px(3 * p)},${px(3 * p + 1)},${px(3 * p + 2)}), want gray $want")
+    }
+  }
+
+  test("restart markers: DRI/RSTn stream decodes identically to the plain one") {
+    val bytes = Array(5, 250, 100, 17, 203, 77, 150)
+    val plain = Multimodal.JpegCodec.rasterPixels(
+      Multimodal.JpegWriter.gray(bytes.map(dcOnly)))
+    val restarted = Multimodal.JpegCodec.rasterPixels(
+      Multimodal.JpegWriter.gray(bytes.map(dcOnly), restartEvery = 2))
+    assert(plain._3.toSeq == restarted._3.toSeq)
+  }
+
+  test("hostile containers fail loud, never decode wrong pixels") {
+    def bad(payload: Array[Byte]): IllegalArgumentException =
+      intercept[IllegalArgumentException](
+        Multimodal.JpegCodec.rasterPixels(payload))
+    // not a JPEG at all / truncated
+    bad("definitely not a jpeg".getBytes)
+    bad(Array(0xff, 0xd8).map(_.toByte))
+    val valid = Multimodal.JpegWriter.gray(Array(dcOnly(42), dcOnly(200)))
+    // entropy stream cut mid-scan
+    bad(valid.dropRight(6))
+    // progressive frame type rejected by name
+    val progressive = valid.clone()
+    val sofAt = valid.indices.find(i =>
+      (valid(i) & 0xff) == 0xff && (valid(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(bad(progressive).getMessage.contains("SOF"))
+    // unsupported sampling (4:2:2) rejected
+    val sof422 = valid.clone()
+    sof422(sofAt + 11) = 0x21.toByte // component 1 sampling H=2,V=1
+    assert(bad(sof422).getMessage.contains("unsupported"))
+    // dimension bomb: header claims 65500x65500
+    val bomb = valid.clone()
+    bomb(sofAt + 5) = 0xff.toByte; bomb(sofAt + 6) = 0xdc.toByte
+    bomb(sofAt + 7) = 0xff.toByte; bomb(sofAt + 8) = 0xdc.toByte
+    assert(bad(bomb).getMessage.contains("implausible"))
+    // scan referencing an undefined huffman table
+    val sosAt = valid.indices.find(i =>
+      (valid(i) & 0xff) == 0xff && (valid(i + 1) & 0xff) == 0xda).get
+    val noTable = valid.clone()
+    noTable(sosAt + 6) = 0x33.toByte // DC table 3 / AC table 3: never defined
+    assert(bad(noTable).getMessage.contains("undefined"))
+  }
+
+  test("JpegCodec.decode buckets pixel sums like the other image codecs") {
+    val bytes = Array(1, 2, 3, 4)
+    val payload = Multimodal.JpegWriter.gray(bytes.map(dcOnly))
+    val f = Multimodal.JpegCodec.decode(payload, dim = 5)
+    // 4 blocks x 64 pixels, pixel p value = bytes(p/64), bucket p%5
+    val want = new Array[Float](5)
+    for (p <- 0 until 256) want(p % 5) += 3f * bytes(p / 64)
+    assert(f.toSeq == want.toSeq)
+  }
+}
