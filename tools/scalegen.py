@@ -13,6 +13,8 @@ Modes pick which tables replicate (the rest are copied 1x):
            100x without a multi-GB document corpus
   docs     documents only — pushes the dedup/text family to 100x
            (500k near-dup docs at REPS=100) without 100x of everything else
+  embeddings  embeddings only — pushes the ANN/PQ family to 100x
+           (near-dup vectors with per-replica component offsets)
   custdim  customer only (shifted c_custkey) — scales DIMENSION KEY
            cardinality for SCD2/dimension-stream stress
 """
@@ -28,6 +30,7 @@ REP_TABLES = {
     "all": {"documents", "embeddings", "events", "facts"},
     "facts": {"events", "facts"},
     "docs": {"documents"},
+    "embeddings": {"embeddings"},
     "custdim": {"customer"},
 }[MODE]
 
