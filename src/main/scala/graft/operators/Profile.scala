@@ -136,4 +136,37 @@ object Profile {
       strCols = Seq("o_orderstatus", "o_orderpriority"))
       .orderBy("col_name")
   }
+
+  /** PER-DIMENSION embedding profile — the feature-health report for an
+    * embedding column (the [[columnProfile]] idea at vector-component
+    * grain): per dim, count, milli-quantized min/max, sign-safe half-up
+    * milli mean, and the dead-fraction (components that quantize to
+    * zero) in half-up ppm. A collapsed dim (min=max), a drifted mean,
+    * or a dead-ppm spike flags a broken encoder or a truncated export
+    * before any downstream ANN job does.
+    *
+    * Milli quantization BEFORE aggregation makes every sum an exact
+    * integer (the [[Anomaly.embeddingBatchDrift]] contract), so the
+    * report is bit-identical on any partitioning and any engine. One
+    * posexplode scan + one O(dims) hash aggregate — map-side
+    * combinable, output |dims| rows at any corpus size. */
+  def embeddingProfile(vectors: DataFrame): DataFrame =
+    vectors
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(x * 1000) AS BIGINT)").as("xm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("xm")).as("min_milli"), max(col("xm")).as("max_milli"),
+        sum(col("xm")).as("s"),
+        sum(when(col("xm") === 0L, 1L).otherwise(0L)).as("z"))
+      .select(col("dim"), col("n_vecs"), col("min_milli"), col("max_milli"),
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_vecs) div (2 * n_vecs))")
+          .as("mean_milli"),
+        expr("(z * 1000000 * 2 + n_vecs) div (2 * n_vecs)").as("dead_ppm"))
+
+  def qEmbProfile(spark: SparkSession, dir: String): DataFrame =
+    embeddingProfile(Tables.embeddings(spark, dir))
+      .orderBy("dim", "n_vecs", "min_milli", "max_milli", "mean_milli",
+        "dead_ppm")
 }

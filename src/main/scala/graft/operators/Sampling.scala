@@ -217,6 +217,58 @@ object Sampling {
   def wsTokens(text: Column): Column =
     size(filter(split(text, " "), t => t =!= "")).cast("long")
 
+  /** WATER-FILLING token-budget allocation across strata — the mixture
+    * PLANNING step (the DoReMi/Pile mixture-table shape): given each
+    * stratum's available token mass and a quality weight, split a global
+    * token budget B so that quotas are proportional to weight — except
+    * that no stratum is asked for more than it has; its excess
+    * "water" redistributes to the rest. The exact solution is a
+    * threshold t* with quota_s = min(avail_s, w_s·t*), and because the
+    * capped set is a PREFIX of strata sorted by avail/weight, the whole
+    * thing is three window functions — no driver loop, no recursion,
+    * no iteration:
+    *
+    *   capped_s  ⟺  avail_s · (W − cw_s) ≤ (B − ca_s) · w_s
+    *
+    * with cw/ca the lagged cumulative weight/avail over the sorted
+    * order — an INTEGER cross-multiplication, so both engines agree
+    * bit-for-bit (the sort key avail·10⁶ div weight is likewise an
+    * integer quotient). Uncapped quotas floor-divide the leftover
+    * budget; the rounding slack (< #strata tokens) stays unallocated
+    * and is visible as B − Σ quota — never silently spread.
+    *
+    * Scale shape: `strata` is an O(sources) metadata frame (the caller
+    * aggregates the corpus down to it — see [[qWaterfill]]); the three
+    * single-partition windows run on that metadata, never on the
+    * corpus. Weights must be ≥ 1 (a zero-weight stratum would divide
+    * by zero at the threshold; give unwanted strata weight 1 and a cap
+    * of 0 upstream instead). */
+  def budgetWaterfill(strata: DataFrame, budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0)
+    val all = Window.partitionBy()
+    val byRatio = Window.partitionBy()
+      .orderBy(col("ratio_key"), col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    strata
+      .withColumn("ratio_key", expr("(tokens_avail * 1000000) div weight"))
+      .withColumn("b_total", expr(s"(sum(tokens_avail) OVER () * $budgetNum) div $budgetDen"))
+      .withColumn("w_total", sum(col("weight")).over(all))
+      .withColumn("cw", sum(col("weight")).over(byRatio) - col("weight"))
+      .withColumn("ca", sum(col("tokens_avail")).over(byRatio) - col("tokens_avail"))
+      .withColumn("capped",
+        (col("tokens_avail") * (col("w_total") - col("cw")) <=
+          (col("b_total") - col("ca")) * col("weight")).cast("long"))
+      .withColumn("ca_cap",
+        sum(when(col("capped") === 1, col("tokens_avail")).otherwise(0L)).over(all))
+      .withColumn("w_free",
+        sum(when(col("capped") === 0, col("weight")).otherwise(0L)).over(all))
+      .withColumn("quota_tokens",
+        when(col("capped") === 1, col("tokens_avail"))
+          .otherwise(expr("((b_total - ca_cap) * weight) div w_free")))
+      .select(col("stratum"), col("n_docs"), col("tokens_avail"), col("weight"),
+        col("b_total").as("budget"), col("capped"), col("quota_tokens"))
+  }
+
   /** Deterministic per-epoch shuffle order: position of each row in
     * epoch e is its rank under `hash16("epoch<e>", id)` (ties by id) —
     * a different, reproducible permutation every epoch, the property a
@@ -386,4 +438,23 @@ object Sampling {
       budget = 2048L, shards = 4)
       .orderBy("lang", "n_chunks", "n_tokens", "fill_ppm", "n_overflow",
         "max_chunk_tokens")
+
+  /** Water-fill 2/5 of the corpus's token mass across sources, weighted
+    * by each source's half-up mean quality (+1 so weights stay ≥ 1 —
+    * see [[budgetWaterfill]]). */
+  def qWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val strata = docs
+      .select(col("doc_id"), col("source").as("stratum"),
+        wsTokens(col("text")).as("t"))
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens_avail"),
+        sum(expr("CAST(round(quality * 10000) AS BIGINT)")).as("q4"))
+      .withColumn("weight", expr("(q4 * 2 + n_docs) div (2 * n_docs) + 1"))
+      .drop("q4")
+    budgetWaterfill(strata, budgetNum = 2, budgetDen = 5)
+      .orderBy("stratum", "n_docs", "tokens_avail", "weight", "budget",
+        "capped", "quota_tokens")
+  }
 }

@@ -108,6 +108,8 @@ object ExtQueries {
     "sample_mixture"        -> graft.operators.Sampling.qSampleMixture _,
     "pack_chunks"           -> graft.operators.Sampling.qPackChunks _,
     "pack_report"           -> graft.operators.Sampling.qPackReport _,
+    "sample_waterfill"      -> graft.operators.Sampling.qWaterfill _,
+    "profile_embeddings"    -> graft.operators.Profile.qEmbProfile _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
@@ -3567,6 +3569,62 @@ object ExtQueries {
         |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    // Mirrors Sampling.qWaterfill: water-filling allocation of 2/5 of
+    // the corpus token mass across sources, weight = half-up mean
+    // quality + 1. The capped set is a prefix of strata sorted by
+    // (avail*1e6)//weight, decided per row by the integer
+    // cross-multiplication avail*(W-cw) <= (B-ca)*weight over lagged
+    // cumulative sums; uncapped quotas floor-divide the leftover.
+    "sample_waterfill" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT token) AS n_distinct,
+        |    sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok WHERE token <> '' GROUP BY doc_id),
+        |qd AS (SELECT d.doc_id, d.source,
+        |    ((least(d.n_chars, 500) * 10 * n_tok + (n_stop + n_distinct) * 3750) * 20000
+        |      + n_tok * 12500) // (n_tok * 12500 * 2) AS q4,
+        |    n_tok AS t
+        |  FROM documents d JOIN st USING (doc_id)),
+        |s AS (SELECT source AS stratum, count(*) AS n_docs, sum(t) AS tokens_avail,
+        |    sum(q4) AS q4 FROM qd GROUP BY 1),
+        |w AS (SELECT stratum, n_docs, tokens_avail,
+        |    (q4 * 2 + n_docs) // (2 * n_docs) + 1 AS weight FROM s),
+        |base AS (SELECT *, (tokens_avail * 1000000) // weight AS rk,
+        |    (SELECT (sum(tokens_avail) * 2) // 5 FROM w) AS b_total,
+        |    (SELECT sum(weight) FROM w) AS w_total FROM w),
+        |c AS (SELECT *,
+        |    sum(weight) OVER (ORDER BY rk, stratum ROWS UNBOUNDED PRECEDING) - weight AS cw,
+        |    sum(tokens_avail) OVER (ORDER BY rk, stratum ROWS UNBOUNDED PRECEDING) - tokens_avail AS ca
+        |  FROM base),
+        |f AS (SELECT *, CASE WHEN tokens_avail * (w_total - cw) <= (b_total - ca) * weight
+        |    THEN 1 ELSE 0 END AS capped FROM c),
+        |g AS (SELECT *,
+        |    (SELECT sum(CASE WHEN capped = 1 THEN tokens_avail ELSE 0 END) FROM f) AS ca_cap,
+        |    (SELECT sum(CASE WHEN capped = 0 THEN weight ELSE 0 END) FROM f) AS w_free FROM f)
+        |SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens_avail AS BIGINT) AS tokens_avail,
+        |  CAST(weight AS BIGINT) AS weight, CAST(b_total AS BIGINT) AS budget,
+        |  CAST(capped AS BIGINT) AS capped,
+        |  CAST(CASE WHEN capped = 1 THEN tokens_avail
+        |       ELSE ((b_total - ca_cap) * weight) // w_free END AS BIGINT) AS quota_tokens
+        |FROM g ORDER BY stratum, n_docs, tokens_avail, weight, budget, capped, quota_tokens""".stripMargin,
+
+    // Mirrors Profile.qEmbProfile: per-dimension milli-quantized
+    // min/max, sign-safe half-up mean, dead-component ppm.
+    "profile_embeddings" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT i - 1 AS dim, CAST(round(v[i] * 1000) AS BIGINT) AS xm
+        |  FROM (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e)),
+        |g AS (SELECT dim, count(*) AS n_vecs, min(xm) AS min_milli,
+        |    max(xm) AS max_milli, sum(xm) AS s,
+        |    sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS z
+        |  FROM comp GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(min_milli AS BIGINT) AS min_milli, CAST(max_milli AS BIGINT) AS max_milli,
+        |  CAST(CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_vecs) // (2 * n_vecs)) AS BIGINT) AS mean_milli,
+        |  CAST((z * 1000000 * 2 + n_vecs) // (2 * n_vecs) AS BIGINT) AS dead_ppm
+        |FROM g ORDER BY dim, n_vecs, min_milli, max_milli, mean_milli, dead_ppm""".stripMargin,
 
     // Mirrors Anomaly.embeddingBatchDrift: milli-quantized components,
     // half-up means on |s| (positive-only division so floor == trunc),

@@ -117,6 +117,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("budgetWaterfill: capped stratum redistributes its excess water") {
+    // equal weights, budget 2/5 of 1100 = 440; ideal 220 each but 'a'
+    // has only 100 -> capped, 'b' absorbs the rest (340)
+    val strata = Seq(("a", 10L, 100L, 1L), ("b", 10L, 1000L, 1L))
+      .toDF("stratum", "n_docs", "tokens_avail", "weight")
+    val out = Sampling.budgetWaterfill(strata, 2, 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") == (1L, 100L), "small stratum capped at its avail")
+    assert(out("b") == (0L, 340L), "excess water flows to the big stratum")
+  }
+
+  test("budgetWaterfill: budget >= total avail caps everything, no slack") {
+    val strata = Seq(("a", 10L, 100L, 1L), ("b", 10L, 1000L, 1L))
+      .toDF("stratum", "n_docs", "tokens_avail", "weight")
+    val out = Sampling.budgetWaterfill(strata, 1, 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") == (1L, 100L) && out("b") == (1L, 1000L))
+  }
+
+  test("budgetWaterfill: with no binding cap, quotas are weight-proportional") {
+    val strata = Seq(("a", 10L, 10000L, 1L), ("b", 10L, 10000L, 3L))
+      .toDF("stratum", "n_docs", "tokens_avail", "weight")
+    val rows = Sampling.budgetWaterfill(strata, 2, 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // budget = 8000; quotas 2000 / 6000, nothing capped
+    assert(rows("a") == (8000L, 0L, 2000L) && rows("b") == (8000L, 0L, 6000L))
+  }
+
+  test("budgetWaterfill invariants: quota <= avail, sum <= budget") {
+    val strata = Seq(("a", 1L, 37L, 2L), ("b", 1L, 991L, 5L), ("c", 1L, 4L, 9L),
+      ("d", 1L, 555L, 1L), ("e", 1L, 123L, 7L))
+      .toDF("stratum", "n_docs", "tokens_avail", "weight")
+    val rows = Sampling.budgetWaterfill(strata, 3, 7).collect()
+    val budget = rows.head.getLong(4)
+    assert(rows.forall(r => r.getLong(6) <= r.getLong(2)), "quota <= avail")
+    assert(rows.map(_.getLong(6)).sum <= budget, "sum of quotas within budget")
+    // slack is only floor-rounding: strictly less than one token per stratum
+    assert(budget - rows.map(_.getLong(6)).sum < rows.length,
+      "no unexplained unallocated budget")
+  }
+
   test("epochOrder: reproducible within an epoch, decorrelated across epochs") {
     val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def order(e: Int) = Sampling.epochOrder(docs, "doc_id", e, shards = 2)
