@@ -46,13 +46,18 @@ object DocStream {
       numBuckets, numHashes, bands, shingleK, minEstJaccard,
       clusterTable = clusterTable)
 
-  /** Full curation funnel per micro-batch: text normalization → PII
-    * redaction → quality gate → dedup (exact, in-batch near, cross-batch
-    * index probe). Scrubbing runs BEFORE signatures, so near-dup
-    * detection sees canonical text (two docs differing only in
-    * whitespace/PII collapse to exact dups), and nothing un-scrubbed can
-    * reach the corpus sink. Docs with no tokens after scrubbing are
-    * dropped with the quality gate. */
+  /** Full curation funnel per micro-batch: encoding repair → text
+    * normalization → PII redaction → quality gate → dedup (exact,
+    * in-batch near, cross-batch index probe). Scrubbing runs BEFORE
+    * signatures, so near-dup detection sees canonical text (two docs
+    * differing only in whitespace/PII — or only in double-encoded vs
+    * clean UTF-8 — collapse to exact dups), and nothing un-scrubbed can
+    * reach the corpus sink. Repair comes first (the C4/CCNet order):
+    * mojibake would otherwise distort tokenization, quality ratios, and
+    * shingles; on already-clean text it is byte-identity
+    * ([[graft.operators.Scrub.repairEncoding]]'s round-trip contract).
+    * Docs with no tokens after scrubbing are dropped with the quality
+    * gate. */
   def curateIngest(docs: DataFrame, spark: SparkSession, indexTable: String,
       outPath: String, checkpoint: String, minQuality: Double = 0.2,
       numBuckets: Int = 16, numHashes: Int = 16, bands: Int = 4,
@@ -62,7 +67,8 @@ object DocStream {
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
         val scrubbed = batch
-          .withColumn("text", Scrub.redactPii(Scrub.normalize(col("text"))))
+          .withColumn("text",
+            Scrub.redactPii(Scrub.normalize(Scrub.repairEncoding(col("text")))))
           .withColumn("n_chars", length(col("text")).cast("long"))
         val keep = TextAnalysis.qualityScore(scrubbed)
           .filter(col("quality") >= minQuality)

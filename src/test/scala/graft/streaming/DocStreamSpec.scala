@@ -239,11 +239,14 @@ class DocStreamSpec extends AnyFunSuite {
     Dedup.writeSignatureIndex(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "curate_idx", numBuckets = 4)
 
-    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val good = "alpha beta gamma delta café epsilon zeta eta theta iota kappa"
     // same content as `good` modulo whitespace ONLY: after normalize the
     // two are byte-identical, so scrub-before-dedup must collapse them
     // as an in-batch EXACT dup
-    val goodMessy = "  alpha  beta\tgamma delta epsilon zeta eta theta iota kappa  "
+    val goodMessy = "  alpha  beta\tgamma delta café epsilon zeta eta theta iota kappa  "
+    // same content as `good` but DOUBLE-ENCODED (café → cafÃ©): after
+    // encoding repair it is byte-identical too — repair-before-dedup
+    val goodMoji = good.replace("café", "cafÃ©")
     val junk = "x x x x" // low quality: short, repetitive, no stopwords
     val fresh = "completely different content about gardens and flowers, mail me x@y.io"
 
@@ -254,14 +257,15 @@ class DocStreamSpec extends AnyFunSuite {
       input.addData((1L, good), (2L, junk), (3L, goodMessy))
       q.processAllAvailable()
       // batch 2: a cross-batch dup of `good` (messy again — identical
-      // after scrubbing, caught by the index probe) + a new doc with PII
-      input.addData((4L, "  " + good + "  "), (5L, fresh))
+      // after scrubbing, caught by the index probe), a MOJIBAKE dup of
+      // `good` (identical after repair), + a new doc with PII
+      input.addData((4L, "  " + good + "  "), (5L, fresh), (6L, goodMoji))
       q.processAllAvailable()
 
       val rows = spark.read.parquet(out).select("doc_id", "text")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rows.keySet == Set(1L, 5L),
-        s"junk 2 gated, scrub-dups 3,4 dropped: ${rows.keySet}")
+        s"junk 2 gated, scrub-dups 3,4 and mojibake-dup 6 dropped: ${rows.keySet}")
       // survivors carry scrubbed text (no runs/control chars, PII tokenized)
       rows.values.foreach { t =>
         assert(!t.contains("  ") && !t.contains("\t") && t == t.trim)
