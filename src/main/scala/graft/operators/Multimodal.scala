@@ -1493,7 +1493,17 @@ object Multimodal {
 
     /** (width, height, RGB triples flattened) — the pixel-level API the
       * pool/aHash/feature operators consume, same shape as the other
-      * codecs. */
+      * codecs.
+      *
+      * Decode model: every scan (baseline's single full scan, or a
+      * progressive file's DC-first / DC-refinement / AC
+      * spectral-selection / AC-refinement scans) accumulates into
+      * per-component COEFFICIENT arrays (zigzag order, raw —
+      * dequantization happens once at reconstruction), then one pass
+      * dequantizes, de-zigzags, and IDCTs every block into the sample
+      * planes. The progressive scan semantics (EOB runs, correction
+      * bits, point transform) follow ITU T.81 G.2 as implemented by the
+      * public libjpeg jdphuff reference. */
     private[graft] def rasterPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
       if (payload.length < 4) bad(s"truncated: ${payload.length} bytes")
       def u8(o: Int): Int = {
@@ -1507,22 +1517,223 @@ object Multimodal {
       val dcTables = new Array[HuffTable](4)
       val acTables = new Array[HuffTable](4)
       var comps: Array[Comp] = null
+      var progressive = false
       var w = 0; var h = 0
+      var hmax = 0; var vmax = 0
+      var mcusX = 0; var mcusY = 0
       var dri = 0
+      // per component: coefficient store (blocksW·blocksH blocks × 64,
+      // zigzag order), padded block dims, and ceil (image) block dims
+      var coefs: Array[Array[Int]] = null
+      var blocksW: Array[Int] = null
+      var blocksH: Array[Int] = null
+      var ceilW: Array[Int] = null
+      var ceilH: Array[Int] = null
+      var sawScan = false
       var off = 2
-      var scanStart = -1
+      var done = false
 
-      while (scanStart < 0) {
+      /** One scan's entropy-coded data, updating the coefficient store. */
+      def decodeScan(start: Int, scan: Array[Comp], ss: Int, se: Int,
+          ah: Int, al: Int): Int = {
+        val br = new BitReader(payload, start)
+        var eobrun = 0
+        var sinceRestart = 0
+        var restartNo = 0
+        def maybeRestart(): Unit = if (dri > 0 && sinceRestart == dri) {
+          br.restart(restartNo)
+          restartNo = (restartNo + 1) & 7
+          sinceRestart = 0
+          eobrun = 0
+          comps.foreach(_.dcPred = 0)
+        }
+
+        def decodeDc(cp: Comp, zz: Array[Int], base: Int): Unit = {
+          val t = br.decodeSym(dcTables(cp.dcTable))
+          if (t > 11) bad(s"DC category $t out of range")
+          cp.dcPred += br.receiveExtend(t)
+          zz(base) = cp.dcPred << al
+        }
+
+        def decodeAcBaseline(cp: Comp, zz: Array[Int], base: Int): Unit = {
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decodeSym(acTables(cp.acTable))
+            val rr = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (rr == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += rr
+              if (k > 63) bad("AC run past block end")
+              if (s > 10) bad(s"AC size $s out of range")
+              zz(base + k) = br.receiveExtend(s)
+              k += 1
+            }
+          }
+          if (k > 64) bad("AC run past block end")
+        }
+
+        def decodeAcFirst(cp: Comp, zz: Array[Int], base: Int): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          var eob = false
+          while (k <= se && !eob) {
+            val rs = br.decodeSym(acTables(cp.acTable))
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.bits(r)
+                eobrun -= 1 // this block is part of the run
+                eob = true
+              }
+            } else {
+              k += r
+              if (k > se) bad("AC run past band end")
+              if (s > 10) bad(s"AC size $s out of range")
+              zz(base + k) = br.receiveExtend(s) << al
+              k += 1
+            }
+          }
+        }
+
+        def decodeAcRefine(cp: Comp, zz: Array[Int], base: Int): Unit = {
+          val p1 = 1 << al
+          val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var eob = false
+            while (k <= se && !eob) {
+              val rs = br.decodeSym(acTables(cp.acTable))
+              var r = rs >> 4
+              val s = rs & 0x0f
+              var newval = 0
+              if (s == 0) {
+                if (r != 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.bits(r)
+                  eob = true // remaining coeffs handled in the EOB pass
+                }
+                // r == 15 (ZRL): skip 16 zero-history coeffs below
+              } else {
+                if (s != 1) bad(s"AC refinement size $s (must be 1)")
+                newval = if (br.bit() == 1) p1 else m1
+              }
+              if (!eob) {
+                // advance over r zero-history coeffs, emitting correction
+                // bits for every nonzero-history coefficient passed
+                var stop = false
+                while (k <= se && !stop) {
+                  val c = zz(base + k)
+                  if (c != 0) {
+                    if (br.bit() == 1 && (c & p1) == 0)
+                      zz(base + k) = c + (if (c >= 0) p1 else m1)
+                    k += 1
+                  } else {
+                    if (r == 0) stop = true
+                    else { r -= 1; k += 1 }
+                  }
+                }
+                if (newval != 0) {
+                  if (k > se) bad("AC refinement run past band end")
+                  zz(base + k) = newval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB run covers this block: correction bits only
+            while (k <= se) {
+              val c = zz(base + k)
+              if (c != 0 && br.bit() == 1 && (c & p1) == 0)
+                zz(base + k) = c + (if (c >= 0) p1 else m1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+
+        if (scan.length > 1 || (!progressive && scan.length == comps.length)) {
+          // interleaved MCU order (baseline full scan, progressive DC scan)
+          if (progressive && ss != 0) bad("interleaved AC scan")
+          val nMcus = mcusX * mcusY
+          var mcu = 0
+          while (mcu < nMcus) {
+            maybeRestart()
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var ci = 0
+            while (ci < scan.length) {
+              val cp = scan(ci)
+              val gi = comps.indexWhere(_.id == cp.id)
+              var by = 0
+              while (by < cp.v) {
+                var bx = 0
+                while (bx < cp.h) {
+                  val bIdx = (my * cp.v + by) * blocksW(gi) + (mx * cp.h + bx)
+                  val base = bIdx * 64
+                  if (!progressive) {
+                    decodeDc(cp, coefs(gi), base)
+                    decodeAcBaseline(cp, coefs(gi), base)
+                  } else if (ah == 0) decodeDc(cp, coefs(gi), base)
+                  else if (br.bit() == 1) coefs(gi)(base) |= (1 << al)
+                  bx += 1
+                }
+                by += 1
+              }
+              ci += 1
+            }
+            mcu += 1
+            sinceRestart += 1
+          }
+        } else {
+          // non-interleaved: the single component's blocks in raster
+          // order over its CEIL (image) dims — padding blocks excluded
+          val cp = scan(0)
+          val gi = comps.indexWhere(_.id == cp.id)
+          val bw = ceilW(gi); val bh = ceilH(gi)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              maybeRestart()
+              val base = (by * blocksW(gi) + bx) * 64
+              if (!progressive) {
+                decodeDc(cp, coefs(gi), base)
+                decodeAcBaseline(cp, coefs(gi), base)
+              } else if (ss == 0) {
+                if (ah == 0) decodeDc(cp, coefs(gi), base)
+                else if (br.bit() == 1) coefs(gi)(base) |= (1 << al)
+              } else {
+                if (ah == 0) decodeAcFirst(cp, coefs(gi), base)
+                else decodeAcRefine(cp, coefs(gi), base)
+              }
+              sinceRestart += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        br.pos
+      }
+
+      while (!done) {
         if (u8(off) != 0xff) bad(f"expected marker, got 0x${u8(off)}%02x")
         val marker = u8(off + 1)
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
-        else if (marker == 0xd9) bad("EOI before SOS")
-        else {
+        else if (marker == 0xd9) {
+          if (!sawScan) bad("EOI before SOS")
+          done = true
+        } else {
           val len = u16(off + 2)
           if (len < 2 || off.toLong + 2 + len > payload.length)
             bad(s"segment length $len exceeds payload")
           val seg = off + 4
           val segEnd = off + 2 + len
+          var nextOff = segEnd
           marker match {
             case 0xdb => // DQT: one or more tables
               var p = seg
@@ -1552,7 +1763,9 @@ object Multimodal {
                 if (tc == 0) dcTables(th) = t else acTables(th) = t
                 p += 17 + total
               }
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+              if (comps != null) bad("multiple SOF segments")
+              progressive = marker == 0xc2
               if (u8(seg) != 8) bad("only 8-bit precision supported")
               h = u16(seg + 1); w = u16(seg + 3)
               if (w <= 0 || h <= 0) bad(s"bad dimensions ${w}x$h")
@@ -1566,114 +1779,104 @@ object Multimodal {
               val ok = sampling == Seq((1, 1)) ||
                 sampling == Seq((2, 2), (1, 1), (1, 1))
               if (!ok) bad(s"unsupported component layout $sampling " +
-                "(baseline grayscale or 4:2:0 only)")
-            case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xcf && m != 0xc8) =>
-              bad(f"unsupported frame type SOF 0x$m%02x (baseline SOF0 only)")
+                "(grayscale or 4:2:0 only)")
+              hmax = comps.map(_.h).max
+              vmax = comps.map(_.v).max
+              mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              blocksW = comps.map(cp => mcusX * cp.h)
+              blocksH = comps.map(cp => mcusY * cp.v)
+              ceilW = comps.map(cp => ((w * cp.h + hmax - 1) / hmax + 7) / 8)
+              ceilH = comps.map(cp => ((h * cp.v + vmax - 1) / vmax + 7) / 8)
+              coefs = comps.indices.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+            case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xcf && m != 0xc8) =>
+              bad(f"unsupported frame type SOF 0x$m%02x (SOF0/SOF2 only)")
             case 0xdd => // DRI
               dri = u16(seg)
             case 0xda => // SOS
-              if (comps == null) bad("SOS before SOF0")
+              if (comps == null) bad("SOS before SOF")
               val ns = u8(seg)
-              if (ns != comps.length) bad("scan component count != frame")
-              var i = 0
-              while (i < ns) {
+              if (ns < 1 || ns > comps.length) bad(s"bad scan component count $ns")
+              val scan = Array.tabulate(ns) { i =>
                 val cid = u8(seg + 1 + 2 * i)
                 val cp = comps.find(_.id == cid).getOrElse(bad(s"unknown scan component $cid"))
                 cp.dcTable = u8(seg + 2 + 2 * i) >> 4
                 cp.acTable = u8(seg + 2 + 2 * i) & 0x0f
-                i += 1
+                cp
               }
-              scanStart = segEnd
+              val ss = u8(seg + 1 + 2 * ns)
+              val se = u8(seg + 2 + 2 * ns)
+              val ahal = u8(seg + 3 + 2 * ns)
+              val ah = ahal >> 4; val al = ahal & 0x0f
+              if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
+                bad("baseline scan must cover the full band")
+              if (progressive) {
+                if (ss == 0 && se != 0) bad("progressive DC scan must have Se=0")
+                if (ss > 0 && ns != 1) bad("progressive AC scan must be single-component")
+                if (ss > 63 || se > 63 || ss > se) bad(s"bad spectral band $ss..$se")
+              }
+              // validate referenced tables exist for what this scan reads
+              scan.foreach { cp =>
+                if (quant(cp.tq) == null) bad(s"quant table ${cp.tq} undefined")
+                if (ss == 0 && ah == 0 && dcTables(cp.dcTable) == null)
+                  bad(s"DC table ${cp.dcTable} undefined")
+                if ((ss > 0 || !progressive) && acTables(cp.acTable) == null)
+                  bad(s"AC table ${cp.acTable} undefined")
+              }
+              comps.foreach(_.dcPred = 0) // DC prediction is per scan
+              val scanEnd = decodeScan(segEnd, scan, ss, se, ah, al)
+              sawScan = true
+              // skip entropy remainder to the next true marker (stuffed
+              // 0xFF00 and RSTn bytes are scan data, not segment starts)
+              var p = scanEnd
+              var found = false
+              while (!found) {
+                if (p + 1 >= payload.length) bad("no marker after scan")
+                val m = u8(p + 1)
+                if (u8(p) == 0xff && m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) found = true
+                else p += 1
+              }
+              nextOff = p
             case _ => () // APPn/COM/etc: skip
           }
-          off = segEnd
+          off = nextOff
         }
       }
+      if (!sawScan || comps == null) bad("no scan decoded")
 
-      // validate referenced tables exist
-      comps.foreach { cp =>
-        if (quant(cp.tq) == null) bad(s"quant table ${cp.tq} undefined")
-        if (dcTables(cp.dcTable) == null) bad(s"DC table ${cp.dcTable} undefined")
-        if (acTables(cp.acTable) == null) bad(s"AC table ${cp.acTable} undefined")
-      }
-
-      val hmax = comps.map(_.h).max
-      val vmax = comps.map(_.v).max
-      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-      // per-component padded planes
-      val planes = comps.map(cp => new Array[Int](mcusX * cp.h * 8 * mcusY * cp.v * 8))
-      val planeW = comps.map(cp => mcusX * cp.h * 8)
-
-      val br = new BitReader(payload, scanStart)
-      val zz = new Array[Int](64)
+      // reconstruct: dequantize + de-zigzag + IDCT every stored block
+      val planes = comps.indices.map(i =>
+        new Array[Int](blocksW(i) * 8 * blocksH(i) * 8)).toArray
+      val planeW = comps.indices.map(i => blocksW(i) * 8).toArray
       val blk = new Array[Int](64)
-      var mcu = 0
-      val nMcus = mcusX * mcusY
-      var sinceRestart = 0
-      var restartNo = 0
-      while (mcu < nMcus) {
-        if (dri > 0 && sinceRestart == dri) {
-          br.restart(restartNo)
-          restartNo = (restartNo + 1) & 7
-          sinceRestart = 0
-          comps.foreach(_.dcPred = 0)
-        }
-        val mx = mcu % mcusX; val my = mcu / mcusX
-        var ci = 0
-        while (ci < comps.length) {
-          val cp = comps(ci)
-          val q = quant(cp.tq)
-          var by = 0
-          while (by < cp.v) {
-            var bx = 0
-            while (bx < cp.h) {
-              // entropy-decode one block (zigzag order)
-              java.util.Arrays.fill(zz, 0)
-              val t = br.decodeSym(dcTables(cp.dcTable))
-              if (t > 11) bad(s"DC category $t out of range")
-              cp.dcPred += br.receiveExtend(t)
-              zz(0) = cp.dcPred
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = br.decodeSym(acTables(cp.acTable))
-                val rr = rs >> 4; val ss = rs & 0x0f
-                if (ss == 0) {
-                  if (rr == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += rr
-                  if (k > 63) bad("AC run past block end")
-                  if (ss > 10) bad(s"AC size $ss out of range")
-                  zz(k) = br.receiveExtend(ss)
-                  k += 1
-                }
-              }
-              if (k > 64) bad("AC run past block end")
-              // dequantize + de-zigzag, then IDCT
-              var i = 0
-              while (i < 64) { blk(Zigzag(i)) = zz(i) * q(i); i += 1 }
-              idct(blk)
-              // place into plane
-              val pw = planeW(ci)
-              val px0 = (mx * cp.h + bx) * 8
-              val py0 = (my * cp.v + by) * 8
-              var rI = 0
-              while (rI < 8) {
-                var cI = 0
-                val base = (py0 + rI) * pw + px0
-                while (cI < 8) { planes(ci)(base + cI) = blk(8 * rI + cI); cI += 1 }
-                rI += 1
-              }
-              bx += 1
-            }
-            by += 1
+      var ci = 0
+      while (ci < comps.length) {
+        val cp = comps(ci)
+        val q = quant(cp.tq)
+        if (q == null) bad(s"quant table ${cp.tq} undefined")
+        val cc = coefs(ci)
+        val bw = blocksW(ci)
+        var b = 0
+        val nBlocks = bw * blocksH(ci)
+        while (b < nBlocks) {
+          val base = b * 64
+          var i = 0
+          while (i < 64) { blk(Zigzag(i)) = cc(base + i) * q(i); i += 1 }
+          idct(blk)
+          val pw = planeW(ci)
+          val px0 = (b % bw) * 8
+          val py0 = (b / bw) * 8
+          var rI = 0
+          while (rI < 8) {
+            var cI = 0
+            val pBase = (py0 + rI) * pw + px0
+            while (cI < 8) { planes(ci)(pBase + cI) = blk(8 * rI + cI); cI += 1 }
+            rI += 1
           }
-          ci += 1
+          b += 1
         }
-        mcu += 1
-        sinceRestart += 1
+        ci += 1
       }
 
       // assemble RGB triples
@@ -1735,12 +1938,14 @@ object Multimodal {
   // the text-derived tables use DC-only blocks whose decode is exactly
   // round(dc/8)+128 — the property the checksum oracles rely on.
   private[graft] object JpegWriter {
-    // DC: categories 0..11 as 4-bit codes; AC: EOB, ZRL, and every
-    // (run 0..15, size 1..10) symbol as 8-bit codes — canonical from
-    // BITS so the decoder's generic table builder is what's exercised.
+    // DC: categories 0..11 as 4-bit codes; AC: EOB/EOBn (r<<4, r 0..14),
+    // ZRL, and every (run 0..15, size 1..10) symbol as 8-bit codes —
+    // canonical from BITS so the decoder's generic table builder is
+    // what's exercised.
     private val DcVals: Array[Int] = (0 to 11).toArray
     private val AcVals: Array[Int] =
-      Array(0x00, 0xf0) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+      Array(0xf0) ++ (0 to 14).map(_ << 4) ++
+        (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
     private val DcCodes: Map[Int, (Int, Int)] =
       DcVals.zipWithIndex.map { case (v, i) => v -> (i, 4) }.toMap
     private val AcCodes: Map[Int, (Int, Int)] =
@@ -1781,20 +1986,27 @@ object Multimodal {
       t
     }
 
-    /** Entropy-encode one NATURAL-order quantized block; returns new DC pred. */
-    private def encodeBlock(bw: BitWriter, natural: Array[Int], dcPred: Int): Int = {
+    private def zigzagOf(natural: Array[Int]): Array[Int] = {
       val zz = new Array[Int](64)
       var i = 0
       while (i < 64) { zz(i) = natural(Zig(i)); i += 1 }
-      val diff = zz(0) - dcPred
+      zz
+    }
+
+    private def emitDc(bw: BitWriter, diff: Int): Unit = {
       val t = category(diff)
       require(t <= 11, s"DC diff $diff out of baseline range")
       val (dc, dl) = DcCodes(t)
       bw.put(dc, dl)
       if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
-      var k = 1
+    }
+
+    /** Run-length encode zigzag coefficients [from, to]; EOB-terminated
+      * if the band has a trailing zero run. */
+    private def emitAcBand(bw: BitWriter, zz: Array[Int], from: Int, to: Int): Unit = {
+      var k = from
       var run = 0
-      while (k < 64) {
+      while (k <= to) {
         if (zz(k) == 0) run += 1
         else {
           while (run > 15) { val (c, l) = AcCodes(0xf0); bw.put(c, l); run -= 16 }
@@ -1808,6 +2020,13 @@ object Multimodal {
         k += 1
       }
       if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) } // EOB
+    }
+
+    /** Entropy-encode one NATURAL-order quantized block; returns new DC pred. */
+    private def encodeBlock(bw: BitWriter, natural: Array[Int], dcPred: Int): Int = {
+      val zz = zigzagOf(natural)
+      emitDc(bw, zz(0) - dcPred)
+      emitAcBand(bw, zz, 1, 63)
       zz(0)
     }
 
@@ -1893,6 +2112,191 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** PROGRESSIVE grayscale JPEG (SOF2), width 8: the libjpeg-style
+      * scan script with DC successive approximation plus AC spectral
+      * selection — scan 1 = DC first (Al=1), scan 2 = DC refinement
+      * (Ah=1, Al=0), then one AC scan per `bands` entry (Al=0). Drives
+      * the decoder's multi-scan coefficient accumulation, DC point
+      * transform + refinement bit, and per-band EOB paths with real
+      * entropy-coded data. */
+    private[graft] def grayProgressive(blocks: Array[Array[Int]],
+        bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+      require(blocks.nonEmpty)
+      require(bands.nonEmpty && bands.forall { case (s, e) => s >= 1 && s <= e && e <= 63 })
+      val w = 8; val h = 8 * blocks.length
+      val zzs = blocks.map(zigzagOf)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      headerTables(out)
+      seg(out, 0xc2, Array(8, h >> 8, h & 0xff, 0, w, 1, 1, 0x11, 0))
+      // scan 1: DC first, point transform Al=1 (diff coding over dc >> 1)
+      seg(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+      var bw = new BitWriter(out)
+      var pred = 0
+      zzs.foreach { zz => emitDc(bw, (zz(0) >> 1) - pred); pred = zz(0) >> 1 }
+      bw.finish()
+      // scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+      seg(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+      bw = new BitWriter(out)
+      zzs.foreach { zz => bw.put(zz(0) & 1, 1) }
+      bw.finish()
+      // AC spectral-selection scans (no successive approximation),
+      // with cross-block EOB-run accumulation
+      bands.foreach { case (s, e) =>
+        seg(out, 0xda, Array(1, 1, 0x00, s, e, 0x00))
+        bw = new BitWriter(out)
+        emitAcFirstScan(bw, zzs, s, e, al = 0)
+        bw.finish()
+      }
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
+    private def emitEobn(bw: BitWriter, run0: Int): Unit = {
+      var run = run0
+      while (run > 0) {
+        val r = math.min(14, 31 - Integer.numberOfLeadingZeros(run))
+        val take = math.min(run, (1 << (r + 1)) - 1)
+        val (c, l) = AcCodes(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(take - (1 << r), r)
+        run -= take
+      }
+    }
+
+    /** Progressive AC FIRST scan over band [s,e] at point transform
+      * `al`: per-block run/size coding of |v|>>al with cross-block
+      * EOB-run accumulation (EOBn codes). */
+    private def emitAcFirstScan(bw: BitWriter, zzs: Array[Array[Int]],
+        s: Int, e: Int, al: Int): Unit = {
+      var pending = 0
+      zzs.foreach { zz =>
+        var k = s
+        var run = 0
+        var any = false
+        while (k <= e) {
+          val a = math.abs(zz(k)) >> al
+          if (a == 0) run += 1
+          else {
+            if (!any) { emitEobn(bw, pending); pending = 0 }
+            any = true
+            while (run > 15) { val (c, l) = AcCodes(0xf0); bw.put(c, l); run -= 16 }
+            val v = if (zz(k) >= 0) a else -a
+            val cat = category(v)
+            require(cat <= 10, s"AC size $cat unsupported by test table")
+            val (c, l) = AcCodes((run << 4) | cat)
+            bw.put(c, l)
+            bw.put(if (v >= 0) v else v + (1 << cat) - 1, cat)
+            run = 0
+          }
+          k += 1
+        }
+        if (!any || run > 0) pending += 1 // this block ends in an EOB
+      }
+      emitEobn(bw, pending)
+    }
+
+    /** Progressive AC REFINEMENT scan (Ah = al+1 → Al = al): newly
+      * nonzero coefficients (|v|>>al == 1) emit (run,1)+sign; already
+      * nonzero ones emit correction bits. The encoder mirrors the
+      * decoder's WALK exactly: each symbol (ZRL or run/1) is followed
+      * by precisely the correction bits of the nonzero-history
+      * positions its walk passes — a ZRL's bits stop at its 16th
+      * zero-history position — and blocks with nothing new fold into
+      * EOB runs whose remaining correction bits flush after the EOBn
+      * code. */
+    private def emitAcRefineScan(bw: BitWriter, zzs: Array[Array[Int]],
+        s: Int, e: Int, al: Int): Unit = {
+      var pending = 0
+      val eobBits = scala.collection.mutable.ArrayBuffer[Int]()
+      def flushPending(): Unit = {
+        emitEobn(bw, pending); pending = 0
+        eobBits.foreach(b => bw.put(b, 1)); eobBits.clear()
+      }
+      zzs.foreach { zz =>
+        def hist(p: Int): Int = math.abs(zz(p)) >> (al + 1)
+        def mag(p: Int): Int = math.abs(zz(p)) >> al
+        var k = s
+        var more = true
+        while (more) {
+          // next newly-nonzero coefficient at this precision
+          var np = k
+          while (np <= e && !(mag(np) == 1 && hist(np) == 0)) np += 1
+          if (np > e) {
+            // rest of the band rides an EOB run if the decoder's symbol
+            // loop would still read (k <= e): its corrections flush
+            // after the EOBn code, in position order
+            if (k <= e) {
+              pending += 1
+              var p = k
+              while (p <= e) { if (hist(p) != 0) eobBits += (mag(p) & 1); p += 1 }
+            }
+            more = false
+          } else {
+            if (pending > 0 || eobBits.nonEmpty) flushPending()
+            // walk [k, np): ZRL per 16 zero-history positions, each
+            // followed by exactly the corrections its span passed
+            var run = 0
+            val span = scala.collection.mutable.ArrayBuffer[Int]()
+            var p = k
+            while (p < np) {
+              if (hist(p) != 0) span += (mag(p) & 1)
+              else {
+                run += 1
+                if (run == 16) {
+                  val (c, l) = AcCodes(0xf0); bw.put(c, l)
+                  span.foreach(b => bw.put(b, 1)); span.clear()
+                  run = 0
+                }
+              }
+              p += 1
+            }
+            val (c, l) = AcCodes((run << 4) | 1)
+            bw.put(c, l)
+            bw.put(if (zz(np) >= 0) 1 else 0, 1) // sign of the new ±1<<al
+            span.foreach(b => bw.put(b, 1)); span.clear()
+            k = np + 1
+            if (k > e) more = false
+          }
+        }
+      }
+      flushPending()
+    }
+
+    /** PROGRESSIVE grayscale with FULL successive approximation: DC
+      * first/refine plus AC first (Al=1) and AC refinement (Ah=1,
+      * Al=0) over the whole 1..63 band — drives every progressive
+      * decoder path including correction bits and refinement EOB
+      * runs. */
+    private[graft] def grayProgressiveSA(blocks: Array[Array[Int]]): Array[Byte] = {
+      require(blocks.nonEmpty)
+      val w = 8; val h = 8 * blocks.length
+      val zzs = blocks.map(zigzagOf)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      headerTables(out)
+      seg(out, 0xc2, Array(8, h >> 8, h & 0xff, 0, w, 1, 1, 0x11, 0))
+      seg(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x01)) // DC first, Al=1
+      var bw = new BitWriter(out)
+      var pred = 0
+      zzs.foreach { zz => emitDc(bw, (zz(0) >> 1) - pred); pred = zz(0) >> 1 }
+      bw.finish()
+      seg(out, 0xda, Array(1, 1, 0x00, 0, 0, 0x10)) // DC refine
+      bw = new BitWriter(out)
+      zzs.foreach { zz => bw.put(zz(0) & 1, 1) }
+      bw.finish()
+      seg(out, 0xda, Array(1, 1, 0x00, 1, 63, 0x01)) // AC first, Al=1
+      bw = new BitWriter(out)
+      emitAcFirstScan(bw, zzs, 1, 63, al = 1)
+      bw.finish()
+      seg(out, 0xda, Array(1, 1, 0x00, 1, 63, 0x10)) // AC refine, Ah=1 Al=0
+      bw = new BitWriter(out)
+      emitAcRefineScan(bw, zzs, 1, 63, al = 0)
+      bw.finish()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
     private def dcOnly(byte: Int): Array[Int] = {
       val b = new Array[Int](64)
       b(0) = (byte - 128) * 8 // decodes to exactly `byte` after IDCT+shift
@@ -1904,6 +2308,13 @@ object Multimodal {
     private[graft] def grayFromText(text: String): Array[Byte] = {
       val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       gray(bytes.take(96).map(b => dcOnly(b & 0xff)))
+    }
+
+    /** PROGRESSIVE (SOF2, full successive approximation) twin of
+      * [[grayFromText]] — same pixels, four-scan container. */
+    private[graft] def progFromText(text: String): Array[Byte] = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      grayProgressiveSA(bytes.take(96).map(b => dcOnly(b & 0xff)))
     }
 
     /** 4:2:0 color JPEG from text: one DC-only Y block per byte (first
@@ -1923,6 +2334,18 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, "image", JpegWriter.grayFromText(t)) })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Image-typed media rows with REAL (built) PROGRESSIVE JPEG payloads
+    * (four-scan successive approximation). */
+  def jpegProgTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, "image", JpegWriter.progFromText(t)) })
       .toDF("doc_id", "media_type", "payload")
   }
 
@@ -1946,6 +2369,24 @@ object Multimodal {
     val spark2 = spark
     import spark2.implicits._
     decodeFeatures(jpegGrayTable(Tables.documents(spark, dir)), dim = 5,
+        codec = JpegCodec)
+      .flatMap(m => m.features.iterator.zipWithIndex.map {
+        case (s, b) => (m.doc_id, b.toLong, s.toLong)
+      })
+      .toDF("doc_id", "bucket", "s")
+      .orderBy("doc_id", "bucket", "s")
+  }
+
+  /** [[qJpegChecksum]]'s PROGRESSIVE twin: the same per-bucket pixel
+    * sums, but decoded from a four-scan SOF2 container — multi-scan
+    * coefficient accumulation, DC point transform + refinement bits,
+    * AC spectral selection and AC refinement with EOB runs, all
+    * entropy-decoded for real; the oracle is identical to the baseline
+    * one because the pixels must be. */
+  def qJpegProgChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decodeFeatures(jpegProgTable(Tables.documents(spark, dir)), dim = 5,
         codec = JpegCodec)
       .flatMap(m => m.features.iterator.zipWithIndex.map {
         case (s, b) => (m.doc_id, b.toLong, s.toLong)

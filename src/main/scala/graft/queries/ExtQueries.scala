@@ -160,6 +160,7 @@ object ExtQueries {
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
     "mm_jpeg_checksum"      -> Multimodal.qJpegChecksum _,
+    "mm_jpeg_prog_checksum" -> Multimodal.qJpegProgChecksum _,
     "mm_jpeg_pool"          -> Multimodal.qJpegPool _,
     "mm_jpeg_knn"           -> Multimodal.qJpegKnn _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
@@ -3526,6 +3527,19 @@ object ExtQueries {
     // dim 5 is coprime to the width-8 raster: bucket membership mixes
     // rows, so a block-placement or raster-order slip hash-mismatches.
     "mm_jpeg_checksum" ->
+      """SELECT doc_id, p % 5 AS bucket,
+        |  CAST(sum(3 * ord(substr(text, p // 64 + 1, 1))) AS BIGINT) AS s
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, 64 * least(length(text), 96) - 1)) AS p
+        |      FROM documents
+        |      WHERE doc_id % 3 = 1 AND length(text) >= 24)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket, s""".stripMargin,
+
+    // Mirrors Multimodal.qJpegProgChecksum: the PROGRESSIVE (SOF2,
+    // four-scan successive-approximation) build of the same DC-only
+    // raster — pixels, and therefore the oracle, are identical to the
+    // baseline mm_jpeg_checksum by construction.
+    "mm_jpeg_prog_checksum" ->
       """SELECT doc_id, p % 5 AS bucket,
         |  CAST(sum(3 * ord(substr(text, p // 64 + 1, 1))) AS BIGINT) AS s
         |FROM (SELECT doc_id, text,

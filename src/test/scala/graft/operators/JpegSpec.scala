@@ -108,12 +108,16 @@ class JpegSpec extends AnyFunSuite {
     val valid = Multimodal.JpegWriter.gray(Array(dcOnly(42), dcOnly(200)))
     // entropy stream cut mid-scan
     bad(valid.dropRight(6))
-    // progressive frame type rejected by name
-    val progressive = valid.clone()
+    // unsupported frame type (extended sequential) rejected by name
+    val sof1 = valid.clone()
     val sofAt = valid.indices.find(i =>
       (valid(i) & 0xff) == 0xff && (valid(i + 1) & 0xff) == 0xc0).get
-    progressive(sofAt + 1) = 0xc2.toByte
-    assert(bad(progressive).getMessage.contains("SOF"))
+    sof1(sofAt + 1) = 0xc1.toByte
+    assert(bad(sof1).getMessage.contains("SOF"))
+    // a baseline full-band scan inside a PROGRESSIVE frame is malformed
+    val sof2 = valid.clone()
+    sof2(sofAt + 1) = 0xc2.toByte
+    assert(bad(sof2).getMessage.contains("progressive"))
     // unsupported sampling (4:2:2) rejected
     val sof422 = valid.clone()
     sof422(sofAt + 11) = 0x21.toByte // component 1 sampling H=2,V=1
@@ -129,6 +133,48 @@ class JpegSpec extends AnyFunSuite {
     val noTable = valid.clone()
     noTable(sosAt + 6) = 0x33.toByte // DC table 3 / AC table 3: never defined
     assert(bad(noTable).getMessage.contains("undefined"))
+  }
+
+  test("progressive spectral selection decodes identically to baseline") {
+    // DC-only blocks AND full AC blocks: progressive (DC first + DC
+    // refine + two AC band scans with EOB-run accumulation) must
+    // reconstruct the exact same coefficients as the baseline stream
+    val rnd = new scala.util.Random(7)
+    val blocks = Array.tabulate(9) { bi =>
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(1601) - 800
+      if (bi % 3 != 0) { // every third block stays DC-only (EOBn path)
+        for (_ <- 0 until 1 + rnd.nextInt(6))
+          b(1 + rnd.nextInt(63)) = rnd.nextInt(801) - 400
+      }
+      b
+    }
+    val base = Multimodal.JpegCodec.rasterPixels(Multimodal.JpegWriter.gray(blocks))
+    val prog = Multimodal.JpegCodec.rasterPixels(
+      Multimodal.JpegWriter.grayProgressive(blocks))
+    assert(base._3.toSeq == prog._3.toSeq)
+  }
+
+  test("progressive successive approximation round-trips every coefficient") {
+    // AC first at Al=1 transmits v>>1, the refinement scan restores bit
+    // 0 via correction bits / new ±1 coefficients / refinement EOB runs
+    val rnd = new scala.util.Random(11)
+    val blocks = Array.tabulate(10) { bi =>
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(1601) - 800
+      if (bi != 4) { // one all-zero-AC block inside the run
+        for (_ <- 0 until 1 + rnd.nextInt(7))
+          b(1 + rnd.nextInt(63)) = rnd.nextInt(801) - 400
+        // odd values force correction bits; ±1 values force new coeffs
+        b(1 + rnd.nextInt(63)) = if (rnd.nextBoolean()) 1 else -1
+        b(1 + rnd.nextInt(63)) = if (rnd.nextBoolean()) 7 else -7
+      }
+      b
+    }
+    val base = Multimodal.JpegCodec.rasterPixels(Multimodal.JpegWriter.gray(blocks))
+    val sa = Multimodal.JpegCodec.rasterPixels(
+      Multimodal.JpegWriter.grayProgressiveSA(blocks))
+    assert(base._3.toSeq == sa._3.toSeq)
   }
 
   test("JpegCodec.decode buckets pixel sums like the other image codecs") {
