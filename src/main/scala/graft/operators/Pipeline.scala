@@ -130,8 +130,12 @@ object Pipeline {
   def prepareTrainingData(docs: DataFrame, cfg: Config = Config(),
       chunkLen: Int = 64, stride: Int = 48): DataFrame = {
     val curated = curate(docs, cfg)
+    // corpus feeds BOTH the span-dedup pass and the final chunk join —
+    // without a stage boundary here the whole curate chain (including
+    // the CC resolution) is computed twice, once per consumer
     val corpus = docs.select(col("doc_id"), col("text"))
       .join(curated.select(col("doc_id"), col("lang"), col("split")), "doc_id")
+      .localCheckpoint()
     val cleaned = Dedup.removeDuplicateSpans(corpus, k = 8)
     val chunks = Sampling.chunkDocuments(
       cleaned.select(col("doc_id"), col("clean_text").as("text")),
