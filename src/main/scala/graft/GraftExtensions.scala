@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, WordNGrams}
+import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, RepairDoubleUtf8, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -65,6 +65,12 @@ object GraftExtensions {
         require(args.length == 2,
           "graft_md5_windows(text, prefix) takes exactly 2 arguments")
         Md5Windows(args.head, constString(args(1), "graft_md5_windows prefix"))
+      }),
+    (new FunctionIdentifier("graft_repair_utf8"),
+      new ExpressionInfo(classOf[RepairDoubleUtf8].getName, "graft_repair_utf8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_repair_utf8(text) takes exactly 1 argument")
+        RepairDoubleUtf8(args.head)
       }))
 
   /** The n-gram width is part of the expression (it sizes codegen

@@ -215,6 +215,62 @@ object ZoneMap {
     }
   }
 
+  /** Maintenance COMPACTION of a zone-mapped layout: rewrite the data
+    * clustered on the zone column (restoring disjoint zones across
+    * append eras, shrinking the file count back to `numFiles`) and
+    * physically reclaim ORPHAN files — on-disk data files the stats
+    * table does not reference, the residue of torn appends that scans
+    * can never see. Returns the number of files deleted (orphans plus
+    * replaced era files).
+    *
+    * Crash-safe by ordering, same discipline as the appends (run with
+    * appends quiesced): (1) the LIVE rows (stats-listed files only) are
+    * rewritten into a staging dir; (2) each staged file is renamed INTO
+    * the layout — at this point they are merely invisible orphans; (3)
+    * the new stats table is published atomically, the instant scans
+    * flip to the compacted files; (4) the old files are deleted. A
+    * crash before (3) leaves the old layout fully live plus some
+    * orphans a re-run reclaims; a crash during (4) leaves stale
+    * invisible files, reclaimed the same way. No crash point loses a
+    * row or exposes a half state. */
+  def compactZoneMapped(spark: SparkSession, path: String, zoneCol: String,
+      numFiles: Int): Long = {
+    require(numFiles > 0)
+    val statsPath = path + "_zonemap"
+    recoverStats(spark, statsPath)
+    // normalize: input_file_name() URIs (file:///x) vs Hadoop Path
+    // rendering (file:/x) must compare equal
+    val listed = spark.read.parquet(statsPath)
+      .select("file").collect().map(r => new Path(r.getString(0)).toString).toSet
+    val onDisk = dataFiles(spark, path)
+    val live = (listed & onDisk).toSeq
+    require(live.nonEmpty, s"no live files under $path")
+    val (fs, p) = fsFor(spark, path)
+    // (1) rewrite live rows, clustered, into staging
+    val staging = new Path(path + ".compact")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale prior attempt
+    spark.read.parquet(live: _*)
+      .repartitionByRange(numFiles, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.parquet(staging.toString)
+    // (2) move staged data files into the layout (invisible until (3))
+    val moved = fs.listStatus(staging).collect {
+      case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") =>
+        val dest = new Path(p, f.getPath.getName)
+        require(fs.rename(f.getPath, dest), s"rename ${f.getPath} failed")
+        dest.toString
+    }.toSeq
+    fs.delete(staging, true)
+    // (3) atomic flip: stats now reference exactly the compacted files
+    publishStats(statsFor(spark, moved, zoneCol)
+      .withColumn("batch_id", nullBatchId), statsPath)
+    // (4) reclaim everything else (old eras + torn-append orphans)
+    val stale = onDisk -- moved.toSet
+    stale.foreach(f => fs.delete(new Path(f), false))
+    stale.size.toLong
+  }
+
   /** The streaming entry: every micro-batch folds into the zone-mapped
     * layout through the idempotent [[appendBatch]]. */
   def zoneMapIngest(updates: DataFrame, path: String, zoneCol: String,

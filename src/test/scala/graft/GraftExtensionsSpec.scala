@@ -26,7 +26,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
-        "graft_char_entropy", "graft_md5_windows"))
+        "graft_char_entropy", "graft_md5_windows", "graft_repair_utf8"))
   }
 
   test("graft_char_entropy runs the native expression in plain SQL") {
@@ -37,6 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r == Seq(4L, 4 * term))
     assert(spark.sql("SELECT graft_char_entropy('aaaa') AS e").collect()
       .head.getSeq[Long](0) == Seq(1L, 0L))
+  }
+
+  test("graft_repair_utf8 runs the round-trip repair in plain SQL") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT graft_repair_utf8('caf\u00c3\u00a9') AS a, " +
+        "graft_repair_utf8('r\u00e9sum\u00e9') AS b").collect().head
+    assert(rows.getString(0) == "caf\u00e9", "mojibake repaired")
+    assert(rows.getString(1) == "r\u00e9sum\u00e9", "genuine accents untouched")
   }
 
   test("charNGrams matches substring semantics, including multibyte chars") {

@@ -172,6 +172,38 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(cols == Set("file", "zone_lo", "zone_hi", "n_rows", "batch_id"))
   }
 
+  test("compaction restores disjoint zones and reclaims orphans") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-compact").toString
+    val path = root + "/t"
+    // two overlapping eras + one torn-append orphan
+    ZoneMap.appendBatch((0L until 4000L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 0L, path, "k", numFiles = 4)
+    ZoneMap.appendBatch((2000L until 6000L).map(i => (i, i)).toDF("k", "payload"),
+      batchId = 1L, path, "k", numFiles = 4)
+    (90000L until 90200L).map(i => (i, i)).toDF("k", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path) // orphan
+    val before = ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(99999L))
+      .select("k").as[Long].collect().sorted.toSeq
+    // overlapping eras: a band needs files from both
+    assert(ZoneMap.prunedFiles(spark, path, lit(2500L), lit(2600L)).length >= 2)
+
+    val reclaimed = ZoneMap.compactZoneMapped(spark, path, "k", numFiles = 8)
+    assert(reclaimed >= 9, s"8 era files + 1+ orphan files, got $reclaimed")
+    val after = ZoneMap.prunedScan(spark, path, "k", lit(0L), lit(99999L))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction must not change scan results")
+    assert(!after.contains(90000L), "orphan rows stay invisible")
+    // zones disjoint again: a narrow band touches exactly one file
+    assert(ZoneMap.prunedFiles(spark, path, lit(2500L), lit(2600L)).length == 1)
+    // the orphan files are physically gone
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pp = new org.apache.hadoop.fs.Path(path)
+    val nFiles = pp.getFileSystem(conf).listStatus(pp).count(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    assert(nFiles == 8, s"exactly the compacted files remain, got $nFiles")
+  }
+
   test("boundary rows sitting exactly on zone edges are kept") {
     val path = layout()
     val edges = spark.read.parquet(path + "_zonemap")
