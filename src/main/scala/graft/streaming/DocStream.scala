@@ -142,6 +142,63 @@ object DocStream {
     spark.read.parquet(journalPath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
 
+  /** STREAMING per-SOURCE curation stats — the per-domain report
+    * ([[graft.operators.Pipeline.domainReport]]'s count side) maintained
+    * incrementally: each micro-batch aggregates its own rows down to
+    * O(sources) cells (doc count, encoding-repair count, integer
+    * token-and-quality mass) and lands them in a batch-id-partitioned
+    * journal with dynamic overwrite — the [[sketchIngest]] replay
+    * contract: an at-least-once re-run rewrites `stats_batch=<id>` in
+    * place, it can never double-count. Cells are plain sums, so the
+    * merged journal is BIT-identical to a one-shot aggregate over every
+    * row streamed so far, regardless of batch boundaries or replay
+    * order. Near-dup involvement is left to the batch-mode report (it
+    * needs the pair frame); everything additive lives here. */
+  def sourceStatsIngest(docs: DataFrame, spark: SparkSession,
+      journalPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchSourceCells(batch)
+          .withColumn("stats_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("stats_batch")
+          .parquet(journalPath)
+        ()
+      }
+      .start()
+
+  /** One batch's additive per-source cells (shared by the stream and
+    * the spec's one-shot twin): docs, repairs, whitespace-token count,
+    * and the exact 4-decimal quality mass. */
+  def batchSourceCells(batch: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(batch
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars")))
+    batch.select(col("doc_id"), col("source"),
+        (Scrub.repairEncoding(col("text")) =!= col("text")).cast("long").as("rep"),
+        graft.operators.Sampling.wsTokens(col("text")).as("t"))
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("rep")).as("n_repaired"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("CAST(round(quality * 10000) AS BIGINT)")).as("q4"))
+  }
+
+  /** The journal rolled up to the CURRENT per-source report: additive
+    * cells summed, mean quality as the half-up of the exact q4 mass,
+    * repair rate in half-up ppm. O(sources · batches) journal rows in,
+    * O(sources) out. */
+  def currentSourceReport(spark: SparkSession, journalPath: String): DataFrame =
+    spark.read.parquet(journalPath)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_repaired")).as("n_repaired"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("q4")).as("q4"))
+      .select(col("source"), col("n_docs"), col("n_repaired"), col("n_tokens"),
+        expr("(n_repaired * 1000000 * 2 + n_docs) div (2 * n_docs)").as("repair_ppm"),
+        (expr("(q4 * 2 + n_docs) div (2 * n_docs)") / 10000.0).as("mean_quality"))
+
   /** Bucket count an existing table was created with (None if the table
     * does not exist yet) — appends must use THIS, not the stream's own
     * setting, or saveAsTable rejects the mismatched spec. */

@@ -345,6 +345,57 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source-stats journal equals the one-shot report; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-srcstats")
+    val journal = base.resolve("cells").toString
+    val ckpt = base.resolve("ckpt").toString
+    import org.apache.spark.sql.functions.col
+
+    def doc(id: Long, src: String, text: String) = (id, src, text)
+    val b1 = Seq(
+      doc(1, "srcA", "the quick brown fox jumps over a lazy dog"),
+      doc(2, "srcA", "caf\u00c3\u00a9 menu the a list of drinks and prices"),
+      doc(3, "srcB", "completely clean text about gardens and a flower"))
+    val b2 = Seq(
+      doc(4, "srcB", "another clean doc with the usual a words"),
+      doc(5, "srcC", "na\u00c3\u00afve mojibake content the a here too"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.sourceStatsIngest(
+      input.toDF().toDF("doc_id", "source", "text"), spark, journal, ckpt)
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def report(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val streamed = report(DocStream.currentSourceReport(spark, journal))
+    // one-shot twin over ALL rows: identical cells regardless of batching
+    val all = (b1 ++ b2).toDF("doc_id", "source", "text")
+    val oneShot = DocStream.batchSourceCells(all)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("n_repaired")).as("n_repaired"),
+        org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"),
+        org.apache.spark.sql.functions.sum(col("q4")).as("q4"))
+      .selectExpr("source", "n_docs", "n_repaired", "n_tokens",
+        "(n_repaired * 1000000 * 2 + n_docs) div (2 * n_docs) AS repair_ppm",
+        "((q4 * 2 + n_docs) div (2 * n_docs)) / CAST(10000 AS DOUBLE) AS mean_quality")
+    assert(streamed == report(oneShot))
+    assert(streamed("srcA")._2 == 1L && streamed("srcC")._2 == 1L &&
+      streamed("srcB")._2 == 0L, "repair counts land per source")
+    // at-least-once replay: re-writing batch 0's cells in place cannot
+    // double-count (dynamic partition overwrite)
+    DocStream.batchSourceCells(b1.toDF("doc_id", "source", "text"))
+      .withColumn("stats_batch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("stats_batch").parquet(journal)
+    assert(report(DocStream.currentSourceReport(spark, journal)) == streamed)
+  }
+
   test("streaming sketch journal merges to the exact batch sketch; " +
     "heavy hitters agree") {
     implicit val sqlCtx = spark.sqlContext
