@@ -46,8 +46,13 @@ object Linkage {
     val b = kept.select(bc :+ col(idCol).as("id_b") :+ col(nameCol).as("graft_nb"): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("graft_na"), col("graft_nb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein: band-limited DP, O(len·maxDist) per
+      // pair with early exit (returns -1 past the threshold) instead of
+      // the full O(len²) table — the filter runs on every candidate
+      // pair, so the band is where the block-join's work actually goes
+      .withColumn("dist",
+        levenshtein(col("graft_na"), col("graft_nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select("id_a", "id_b", "dist")
   }
 

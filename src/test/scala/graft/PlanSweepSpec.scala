@@ -40,10 +40,12 @@ class PlanSweepSpec extends AnyFunSuite {
     *     CELLS on (event_type, bin) — broadcast joins cannot build a
     *     full-outer side, and the frames are bounded cell sets, so the
     *     merge join is both forced and trivially cheap.
-    *   - pipeline_prepare: chunk-token rows ⋈ per-doc split assignment
-    *     on doc_id — BOTH sides are corpus-sized by construction (one
-    *     row per chunk / per doc), so a partitioned join on doc_id is
-    *     the correct scalable shape, not a missed broadcast.
+    *   - (pipeline_prepare WAS here for its chunk⋈split doc_id join;
+    *     the round-9 corpus localCheckpoint gives Spark accurate size
+    *     stats at that boundary and the join now broadcasts — at true
+    *     100 TB scale AQE would keep the partitioned join, which
+    *     remains the right shape, but the local plan no longer needs
+    *     the exception.)
     *   - storage_scd2: the SCD2 merge's FULL OUTER join of the current
     *     dimension slice vs the update batch on the business key —
     *     full-outer cannot broadcast either side, and at scale both
@@ -54,7 +56,7 @@ class PlanSweepSpec extends AnyFunSuite {
     *     full-outer merge as storage_scd2) before the as-of read; the
     *     fact⋈history join itself IS broadcast (hinted in qScd2AsOf). */
   private val allowSortMerge: Set[String] =
-    Set("events_drift", "pipeline_prepare", "storage_scd2", "storage_scd2_asof")
+    Set("events_drift", "storage_scd2", "storage_scd2_asof")
 
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]

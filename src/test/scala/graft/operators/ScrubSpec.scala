@@ -70,6 +70,59 @@ class ScrubSpec extends AnyFunSuite {
     assert(scrub1("", Scrub.repairEncoding) == "")
   }
 
+  test("repairEncoding fuzz: total, sound, and exact on generated mojibake") {
+    // the JsMini discipline: arbitrary input never throws, and the
+    // output obeys the round-trip contract — either byte-identical to
+    // the input, or exactly the strict-UTF-8 decode of the input's
+    // mapped bytes. Plus the generative positive case: double-encoding
+    // any valid string and repairing it returns the original.
+    val rnd = new scala.util.Random(1234)
+    val alphabets = Array(
+      () => (rnd.nextInt(0x7f) + 1).toChar,             // ASCII
+      () => (0x80 + rnd.nextInt(0x80)).toChar,          // Latin-1 high half
+      () => "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ".charAt(rnd.nextInt(27)), // cp1252 specials
+      () => { // arbitrary BMP, excluding surrogates (a lone surrogate
+              // cannot exist in a UTF8String — Spark replaces it with ?)
+        var c = 0
+        while ({ c = 0x100 + rnd.nextInt(0xf000); c >= 0xd800 && c <= 0xdfff }) ()
+        c.toChar
+      })
+    for (_ <- 0 until 2000) {
+      val len = rnd.nextInt(24)
+      val s = new String(Array.fill(len)(alphabets(rnd.nextInt(alphabets.length))()))
+      val out = graft.functions.RepairDoubleUtf8.repair(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      if (out != s) {
+        // soundness: a changed output must BE the strict decode of the
+        // input's latin-1/cp1252-mapped bytes — i.e. the output's UTF-8
+        // bytes equal the input mapped char-by-char back to bytes
+        def mapped(str: String): Option[Array[Byte]] = {
+          val cp1252 = Map('€'->0x80,'‚'->0x82,'ƒ'->0x83,'„'->0x84,'…'->0x85,
+            '†'->0x86,'‡'->0x87,'ˆ'->0x88,'‰'->0x89,'Š'->0x8a,'‹'->0x8b,
+            'Œ'->0x8c,'Ž'->0x8e,'‘'->0x91,'’'->0x92,'“'->0x93,'”'->0x94,
+            '•'->0x95,'–'->0x96,'—'->0x97,'˜'->0x98,'™'->0x99,'š'->0x9a,
+            '›'->0x9b,'œ'->0x9c,'ž'->0x9e,'Ÿ'->0x9f)
+          val bs = str.map(c =>
+            if (c <= 0xff) c.toInt
+            else cp1252.getOrElse(c, -1))
+          if (bs.contains(-1)) None else Some(bs.map(_.toByte).toArray)
+        }
+        assert(mapped(s).exists(_.sameElements(out.getBytes("UTF-8"))),
+          s"unsound repair: ${s.map(_.toInt.toHexString)} -> ${out.map(_.toInt.toHexString)}")
+      }
+    }
+    // generative positive: double-encode arbitrary valid text, repair it
+    for (_ <- 0 until 500) {
+      val len = 1 + rnd.nextInt(20)
+      val clean = new String(Array.fill(len)(alphabets(rnd.nextInt(3))()))
+      val moji = new String(clean.getBytes("UTF-8").map(b => (b & 0xff).toChar))
+      val out = graft.functions.RepairDoubleUtf8.repair(
+        org.apache.spark.unsafe.types.UTF8String.fromString(moji)).toString
+      assert(out == clean || moji == clean, // pure-ASCII clean: moji == clean
+        s"repair(double-encode(x)) != x for ${clean.map(_.toInt.toHexString)}")
+    }
+  }
+
   test("encodingReport rolls repair rate up per source") {
     val docs = Seq(
       (1L, "srcA", "cafÃ© one"), (2L, "srcA", "clean"),
