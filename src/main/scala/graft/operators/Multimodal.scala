@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -9,13 +10,15 @@ import graft.sources.Tables
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The payload here is derived from documents.text (no real media in the
-  * corpus) and the DECODE STEP IS A STUB — this container has no
-  * image/audio codecs, so [[StubCodec]] produces a deterministic fake
-  * feature vector from the bytes. Everything around it is real Spark:
-  * binary columns, metadata struct schema, per-partition batched decode
-  * (the Scala analog of `mapInPandas` — one codec instance per partition,
-  * records streamed through it), and generated frame rows.
+  * Payloads are derived from documents.text (no real media in the
+  * corpus) but are REAL container bytes built by the in-repo writers and
+  * decoded end-to-end by the pure-JDK codecs below (WAV, BMP, PNG,
+  * GIF87a, baseline + progressive JPEG, MJPEG video). [[StubCodec]]
+  * remains for the codec-free plumbing queries. Everything around the
+  * codecs is plain Spark: binary columns, metadata struct schema,
+  * per-partition batched decode (the Scala analog of `mapInPandas` —
+  * one codec instance per partition, records streamed through it), and
+  * generated frame rows.
   *
   * At 100 TB the decode pass is the expensive stage: it is a narrow
   * mapPartitions (no shuffle), so it scales with executors; partition
@@ -2297,7 +2300,7 @@ object Multimodal {
       out.toByteArray
     }
 
-    private def dcOnly(byte: Int): Array[Int] = {
+    private[graft] def dcOnly(byte: Int): Array[Int] = {
       val b = new Array[Int](64)
       b(0) = (byte - 128) * 8 // decodes to exactly `byte` after IDCT+shift
       b
@@ -2410,4 +2413,126 @@ object Multimodal {
     featureTopK(jpegColorTable(Tables.documents(spark, dir)),
       col("doc_id") < 30, k = 3, dim = 5, codec = JpegCodec)
       .orderBy("query_id", "neighbor_id", "cos_sim")
+
+  // ---- Video: MJPEG-style frame containers -------------------------------
+
+  /** Builds MJPEG-style video payloads: N complete baseline-JPEG frames
+    * concatenated into one binary column, indexed by a `frame_offsets`
+    * metadata column (offsets(f) = start of frame f; offsets(n) = total
+    * length) — the opaque-payload-plus-typed-metadata shape the container
+    * formats real corpora carry (an mp4's sample table plays the same
+    * role). Frame content is a deterministic function of the document
+    * text so a SQL oracle can predict decoded pixels without a decoder. */
+  private[graft] object MjpegWriter {
+    /** Frames per video, shot length in frames, and blocks (= bytes of
+      * text) per frame. 10 frames in 3-frame shots give shot ids
+      * 0,0,0,1,1,1,2,2,2,3 — hard cuts at frames 3, 6 and 9. */
+    val Frames = 10
+    val ShotLen = 3
+    val Blocks = 24
+
+    /** Video from text: frame f renders the first [[Blocks]] text bytes
+      * rotated left by 5·(f div [[ShotLen]]) — every frame of a shot is
+      * identical, and each cut rotates the byte window, so pixel-level
+      * frame differencing sees exactly the shot boundaries. Pixel p of
+      * frame f decodes to byte((p div 64 + 5·shot) mod 24). */
+    private[graft] def videoFromText(text: String): (Array[Byte], Array[Int]) = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val frames = Array.tabulate(Frames) { f =>
+        val shot = f / ShotLen
+        JpegWriter.gray(Array.tabulate(Blocks)(i =>
+          JpegWriter.dcOnly(bytes((i + 5 * shot) % Blocks) & 0xff)))
+      }
+      val offsets = frames.scanLeft(0)(_ + _.length)
+      val payload = new Array[Byte](offsets.last)
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        System.arraycopy(fr, 0, payload, offsets(f), fr.length)
+      }
+      (payload, offsets)
+    }
+  }
+
+  /** Video-typed media rows with REAL MJPEG payloads (10 concatenated
+    * baseline-JPEG frames) plus the frame-offset index column. */
+  def mjpegTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1 && length(col("text")) >= 24)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (payload, offsets) = MjpegWriter.videoFromText(t)
+        (id, "video", payload, offsets)
+      })
+      .toDF("doc_id", "media_type", "payload", "frame_offsets")
+  }
+
+  /** Sample every `step`-th frame of each video and ENTROPY-DECODE it:
+    * slice the payload at the offset index, run the full
+    * [[JpegCodec.rasterPixels]] path per frame, and emit one row per
+    * sampled frame with its decoded pixel array.
+    *
+    * Scale shape: per-video work is (n_frames/step) bounded decodes with
+    * no shuffle — frame extraction is embarrassingly parallel over the
+    * media scan, exactly how a 100 TB video corpus has to be processed
+    * (payloads never move; only the small per-frame feature rows do).
+    * Hostile offset indexes fail loud before any array slice. */
+  def videoSampleFrames(media: DataFrame, step: Int): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "frame_offsets")
+      .as[(Long, Array[Byte], Array[Int])]
+      .flatMap { case (id, payload, offsets) =>
+        if (offsets.length < 2 || offsets.head != 0 ||
+            offsets.last != payload.length ||
+            offsets.sliding(2).exists(p => p(0) >= p(1)))
+          throw new IllegalArgumentException(
+            s"videoSampleFrames: corrupt frame_offsets for doc $id")
+        Iterator.range(0, offsets.length - 1, step).map { f =>
+          val frame = java.util.Arrays.copyOfRange(payload, offsets(f), offsets(f + 1))
+          val (_, _, px) = JpegCodec.rasterPixels(frame)
+          (id, f.toLong, px)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "px")
+  }
+
+  /** Scene-cut detection over sampled frames: per video, the pixelwise
+    * L1 distance between each sampled frame and its predecessor
+    * (`zip_with` + `aggregate` — codegen'd array ops, no UDF), flagged
+    * against `threshold`. The window partitions by video and holds
+    * O(1) rows of state — grain is sampled frames per video, never
+    * corpus-wide. First sampled frame of each video has no predecessor
+    * and is dropped (a cut needs two frames). */
+  def videoSceneCuts(frames: DataFrame, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("px"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("diff", expr(
+        "aggregate(zip_with(px, prev, (x, y) -> CAST(abs(x - y) AS BIGINT)), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("frame_idx"), col("diff"),
+        (col("diff") >= threshold).cast("int").as("is_cut"))
+  }
+
+  /** Per-sampled-frame pixel checksums over REAL entropy-decoded MJPEG
+    * frames — locks the offset-index slicing and per-frame decode: a
+    * one-frame slip, wrong shot rotation, or raster slip hash-mismatches
+    * against the oracle's byte arithmetic. */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoSampleFrames(mjpegTable(Tables.documents(spark, dir)), step = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        expr("aggregate(px, 0L, (acc, v) -> acc + v)").as("s"))
+      .orderBy("doc_id", "frame_idx", "s")
+
+  /** Scene cuts on every-2nd-frame sampling: sampled frames 2,4,6,8 vs
+    * their sampled predecessors span both within-shot pairs (diff 0) and
+    * cross-shot pairs (the rotated byte window), so the query verifies
+    * the differencing arithmetic AND the cut flag in one result. */
+  def qVideoScenes(spark: SparkSession, dir: String): DataFrame =
+    videoSceneCuts(
+      videoSampleFrames(mjpegTable(Tables.documents(spark, dir)), step = 2),
+      threshold = 1L)
+      .orderBy("doc_id", "frame_idx", "diff", "is_cut")
 }

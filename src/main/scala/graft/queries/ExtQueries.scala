@@ -163,6 +163,8 @@ object ExtQueries {
     "mm_jpeg_prog_checksum" -> Multimodal.qJpegProgChecksum _,
     "mm_jpeg_pool"          -> Multimodal.qJpegPool _,
     "mm_jpeg_knn"           -> Multimodal.qJpegKnn _,
+    "mm_video_frames"       -> Multimodal.qVideoFrames _,
+    "mm_video_scenes"       -> Multimodal.qVideoScenes _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
@@ -3583,6 +3585,42 @@ object ExtQueries {
         |  QUALIFY row_number() OVER (PARTITION BY a.doc_id
         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.doc_id) <= 3)
         |ORDER BY query_id, neighbor_id, cos_sim""".stripMargin,
+
+    // Mirrors Multimodal.qVideoFrames: 10-frame MJPEG videos, every 2nd
+    // frame sampled and entropy-decoded; frame f's 24 width-8 blocks
+    // show text bytes rotated by 5*(f div 3) (3-frame shots), so the
+    // per-frame sum over the decoded RGB raster (gray => R=G=B, so
+    // 3*64 = 192 per byte) is 192 * sum of the first 24 bytes — rotation-
+    // invariant, which locks sampling/decode while the scenes query
+    // locks the rotation itself.
+    "mm_video_frames" ->
+      """SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(192 * sum(ord(substr(text, i + 1, 1))) AS BIGINT) AS s
+        |FROM (SELECT doc_id, text, unnest([0, 2, 4, 6, 8]) AS fi
+        |      FROM documents
+        |      WHERE doc_id % 3 = 1 AND length(text) >= 24),
+        |     (SELECT unnest(generate_series(0, 23)) AS i)
+        |GROUP BY doc_id, fi ORDER BY doc_id, frame_idx, s""".stripMargin,
+
+    // Mirrors Multimodal.qVideoScenes: pixelwise L1 distance between
+    // each sampled frame (2,4,6,8) and its sampled predecessor. Frame f
+    // renders byte((i + 5*(f div 3)) mod 24) in block i (64 px/block,
+    // RGB triples => 192 components/byte), so diff = 192 * sum_i |byte
+    // rotated by shot(f) - byte rotated by shot(f-2)|; within-shot pairs
+    // give 0, cross-shot pairs compare windows 5 bytes apart.
+    "mm_video_scenes" ->
+      """SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(192 * sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) AS BIGINT) AS diff,
+        |  CAST(sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS is_cut
+        |FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi
+        |      FROM documents
+        |      WHERE doc_id % 3 = 1 AND length(text) >= 24),
+        |     (SELECT unnest(generate_series(0, 23)) AS i)
+        |GROUP BY doc_id, fi ORDER BY doc_id, frame_idx, diff, is_cut""".stripMargin,
 
     // Mirrors Sampling.qWaterfill: water-filling allocation of 2/5 of
     // the corpus token mass across sources, weight = half-up mean

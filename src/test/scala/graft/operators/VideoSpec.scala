@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MJPEG video plumbing: container layout, frame sampling + per-frame
+  * entropy decode, scene-cut differencing semantics, and the fail-loud
+  * contract on corrupt offset indexes. */
+class VideoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val text = "abcdefghijklmnopqrstuvwx" // exactly 24 ASCII bytes
+
+  private def mediaDf(rows: (Long, String, Array[Byte], Array[Int])*) =
+    rows.toDF("doc_id", "media_type", "payload", "frame_offsets")
+
+  test("container: 10 frames, valid offset index, every frame a JPEG") {
+    val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
+    assert(offsets.length == Multimodal.MjpegWriter.Frames + 1)
+    assert(offsets.head == 0 && offsets.last == payload.length)
+    assert(offsets.sliding(2).forall(p => p(0) < p(1)))
+    for (f <- 0 until Multimodal.MjpegWriter.Frames) {
+      val frame = java.util.Arrays.copyOfRange(payload, offsets(f), offsets(f + 1))
+      val (w, h, px) = Multimodal.JpegCodec.rasterPixels(frame)
+      assert(w == 8 && h == 8 * Multimodal.MjpegWriter.Blocks)
+      // pixel p of frame f = byte((p div 64 + 5·shot) mod 24), RGB triple
+      val shot = f / Multimodal.MjpegWriter.ShotLen
+      for (p <- Seq(0, 63, 64, 1535)) {
+        val want = text.charAt((p / 64 + 5 * shot) % 24).toInt
+        assert(px(3 * p) == want, s"frame $f pixel $p")
+      }
+    }
+  }
+
+  test("frame sampling: step-k yields frames 0, k, 2k, ... decoded") {
+    val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
+    val sampled = Multimodal.videoSampleFrames(
+      mediaDf((7L, "video", payload, offsets)), step = 3)
+      .orderBy("frame_idx").collect()
+    assert(sampled.map(_.getLong(1)).toSeq == Seq(0L, 3L, 6L, 9L))
+    // frame 3 is shot 1: first pixel shows byte((0 + 5) mod 24) = 'f'
+    val f3 = sampled(1).getSeq[Int](2)
+    assert(f3.head == 'f'.toInt)
+  }
+
+  test("scene cuts: zero within shots, the rotated-window L1 at cuts") {
+    val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
+    val cuts = Multimodal.videoSceneCuts(
+      Multimodal.videoSampleFrames(mediaDf((1L, "video", payload, offsets)), step = 2),
+      threshold = 1L)
+      .orderBy("frame_idx").collect()
+    // sampled 2,4,6,8: shots 0,1,2,2 vs predecessors' shots 0,0,1,2
+    assert(cuts.map(r => (r.getLong(1), r.getInt(3))).toSeq ==
+      Seq((2L, 0), (4L, 1), (6L, 1), (8L, 0)))
+    // landmark: the cut's L1 is 192·Σ|byte((i+5)%24) − byte(i%24)|
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    val want = 192L * (0 until 24).map(i =>
+      math.abs(bytes((i + 5) % 24) - bytes(i))).sum
+    assert(cuts(1).getLong(2) == want)
+    assert(cuts(0).getLong(2) == 0L && cuts(3).getLong(2) == 0L)
+  }
+
+  test("corrupt offset indexes fail loud before any decode") {
+    val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
+    def run(offs: Array[Int]): Unit =
+      Multimodal.videoSampleFrames(mediaDf((1L, "video", payload, offs)), step = 1)
+        .count()
+    for (bad <- Seq(
+        Array.empty[Int],                         // no index
+        offsets.updated(0, 1),                    // doesn't start at 0
+        offsets.updated(offsets.length - 1, payload.length + 4), // past end
+        offsets.updated(1, 0)))                   // non-monotonic
+      assert(intercept[org.apache.spark.SparkException](run(bad))
+        .getMessage != null)
+    // truncated FRAME bytes (valid index, hostile payload) surface the
+    // codec's own fail-loud error, not wrong pixels
+    val cut = java.util.Arrays.copyOfRange(payload, 0, offsets(1) - 2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoSampleFrames(
+        mediaDf((1L, "video", cut, Array(0, cut.length))), step = 1).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("step must be positive") {
+    intercept[IllegalArgumentException] {
+      Multimodal.videoSampleFrames(mediaDf(), step = 0)
+    }
+  }
+}
