@@ -44,14 +44,9 @@ object TextAnalysis {
     * scoring is a broadcast join + one aggregate, no all-pairs anything.
     */
   def langIdConfusion(docs: DataFrame): DataFrame = {
-    // The exploded trigram frame feeds BOTH passes (profile learning and
-    // per-doc scoring). It is deliberately NOT materialized: the native
-    // CharNGrams explode runs at scan speed, so recomputing it costs two
-    // corpus scans — while checkpointing would write the 3–5× exploded
-    // corpus to executor disks (measured timing-neutral at sf0.1, and the
-    // re-scan is the only shape that survives 100 TB). Profile pass
-    // aggregates on (lang, tri) with map-side partial counts — shuffle is
-    // O(langs × distinct tri).
+    // Profile pass: aggregate the native CharNGrams explode on
+    // (lang, tri) with map-side partial counts — the only corpus-grain
+    // shuffle in the query, bounded at O(langs × distinct tri).
     val tri = charTrigrams(docs)
     val byLangFreq = Window.partitionBy(col("plang"))
       .orderBy(desc("cnt"), asc("tri"))
@@ -61,13 +56,24 @@ object TextAnalysis {
       .filter(col("rk") <= 20)
       .select("plang", "tri")
 
-    // Scoring pass: broadcast-join the O(langs·20) profile BEFORE any
-    // dedup, so only profile-matched trigram occurrences reach a shuffle
-    // (a small fraction of the corpus); the per-doc distinct then runs on
-    // that reduced set. Never shuffle the full exploded corpus.
-    val scores = tri.join(broadcast(profile), "tri")
-      .select(col("doc_id"), col("lang"), col("plang"), col("tri"))
-      .distinct()
+    // Scoring pass: dedup trigrams PER DOCUMENT, map-side, before
+    // anything shuffles — array_distinct over the native trigram array
+    // costs one local hash set per doc, where the r8 shape's global
+    // .distinct() after the profile join shuffled every matched trigram
+    // OCCURRENCE (top-20 trigrams are by construction the corpus's most
+    // frequent, so that was a large fraction of the exploded corpus).
+    // After the broadcast join only profile-matched DISTINCT trigrams
+    // survive — ≤ 20·langs rows per document — so both downstream
+    // aggregates shuffle bounded per-doc rows, never corpus-grain.
+    // (TimeOne at sf0.1, min of 3: r8 global-distinct shape 1.60 s,
+    // this shape 1.08 s; a third shape — profiles collected into plan
+    // literals and scored with per-lang array_intersect, no join at
+    // all — measured 2.12 s, a recorded negative: per-row set builds
+    // for every lang cost more than the broadcast hash join avoided.)
+    val docTri = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(
+        graft.functions.TextExpressions.charNGrams(col("text"), 3))).as("tri"))
+    val scores = docTri.join(broadcast(profile), "tri")
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("score"))
     // argmax(score desc, plang asc) per doc as min(struct(-score, plang)):
