@@ -735,6 +735,52 @@ object Multimodal {
     audioWindows(mediaTable(Tables.documents(spark, dir)))
       .orderBy("doc_id", "window_idx", "start_sample", "n_window_samples")
 
+  /** Energy-gated audio segmentation (VAD-style): cut the sample stream
+    * into utterance-like segments of consecutive high-energy frames —
+    * the segmentation step every speech-corpus pipeline runs before
+    * transcription/feature extraction, restated in exact integers.
+    *
+    * Frame energy = Σ|x − 128| over `frameLen` samples (mean absolute
+    * deviation from the 8-bit PCM midpoint — exact where an RMS would
+    * drag in doubles); only FULL frames count (the [[audioWindows]]
+    * fully-inside rule). Frames at or above `energyThreshold` are
+    * active; maximal runs of consecutive active frames become segments
+    * via the gaps-and-islands identity (frame − row_number over active
+    * frames is constant exactly on a run); runs shorter than
+    * `minFrames` are dropped as clicks/noise.
+    *
+    * Scale shape: one (doc, frame)-grain hash aggregate with map-side
+    * partials over the sample panel, then a per-DOC window (state =
+    * one doc's active frames, never corpus-grain) and an O(segments)
+    * aggregate. Nothing quadratic, no UDF, no libm. */
+  def audioSegments(samples: DataFrame, frameLen: Int = 16,
+      energyThreshold: Long = 520L, minFrames: Int = 2): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(minFrames >= 1, s"minFrames must be >= 1, got $minFrames")
+    val frames = samples
+      .withColumn("frame", expr(s"n div $frameLen"))
+      .groupBy(col("doc_id"), col("frame"))
+      .agg(count(lit(1)).as("n_samps"),
+        sum(abs(col("x") - 128)).as("fenergy"))
+      .filter(col("n_samps") === frameLen)
+    val active = frames.filter(col("fenergy") >= energyThreshold)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    active
+      .withColumn("isl", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame")).as("start_frame"),
+        max(col("frame")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("fenergy")).as("energy"))
+      .filter(col("n_frames") >= minFrames)
+      .select("doc_id", "start_frame", "end_frame", "n_frames", "energy")
+  }
+
+  /** Utterance segments over the audio docs' sample panels. */
+  def qAudioSegments(spark: SparkSession, dir: String): DataFrame =
+    audioSegments(audioSamples(mediaTable(Tables.documents(spark, dir))))
+      .orderBy("doc_id", "start_frame", "end_frame", "n_frames", "energy")
+
   /** Exact integer sequency spectrum (4 WHT coefficients per 8-sample
     * window) for audio docs with doc_id < 60. */
   def qAudioSpectrum(spark: SparkSession, dir: String): DataFrame =

@@ -165,6 +165,7 @@ object ExtQueries {
     "mm_jpeg_knn"           -> Multimodal.qJpegKnn _,
     "mm_video_frames"       -> Multimodal.qVideoFrames _,
     "mm_video_scenes"       -> Multimodal.qVideoScenes _,
+    "mm_audio_segments"     -> Multimodal.qAudioSegments _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
@@ -3621,6 +3622,27 @@ object ExtQueries {
         |      WHERE doc_id % 3 = 1 AND length(text) >= 24),
         |     (SELECT unnest(generate_series(0, 23)) AS i)
         |GROUP BY doc_id, fi ORDER BY doc_id, frame_idx, diff, is_cut""".stripMargin,
+
+    // Mirrors Multimodal.qAudioSegments: frame energy = sum |byte-128|
+    // over 16-sample frames of the audio docs' char panel (full frames
+    // only), frames >= 520 active, maximal consecutive-active runs via
+    // the gaps-and-islands identity, runs >= 2 frames kept.
+    "mm_audio_segments" ->
+      """WITH s AS (SELECT doc_id, i - 1 AS n, ord(substr(text, i, 1)) AS x
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents WHERE doc_id % 3 = 1)),
+        |f AS (SELECT doc_id, n // 16 AS frame, count(*) AS n_samps,
+        |        sum(abs(x - 128)) AS fenergy
+        |      FROM s GROUP BY 1, 2 HAVING count(*) = 16),
+        |a AS (SELECT doc_id, frame, fenergy,
+        |        frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS isl
+        |      FROM f WHERE fenergy >= 520)
+        |SELECT doc_id, CAST(min(frame) AS BIGINT) AS start_frame,
+        |  CAST(max(frame) AS BIGINT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(fenergy) AS BIGINT) AS energy
+        |FROM a GROUP BY doc_id, isl HAVING count(*) >= 2
+        |ORDER BY doc_id, start_frame, end_frame, n_frames, energy""".stripMargin,
 
     // Mirrors Sampling.qWaterfill: water-filling allocation of 2/5 of
     // the corpus token mass across sources, weight = half-up mean

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Energy-gated audio segmentation semantics: frame energy arithmetic,
+  * the gaps-and-islands run grouping, partial-frame exclusion, and the
+  * min-length gate — all against hand-computed sample streams. */
+class AudioSegmentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sample panel from per-frame byte values: frame i of doc d holds
+    * `frames(i)` repeated frameLen times. */
+  private def panel(d: Long, frameLen: Int, frames: Seq[Int]) =
+    frames.zipWithIndex.flatMap { case (v, f) =>
+      (0 until frameLen).map(j => (d, (f * frameLen + j).toLong, v.toLong))
+    }
+
+  test("segments are maximal runs of consecutive active frames") {
+    // frameLen 4, threshold 40: value 118 -> |118-128|*4 = 40 (active),
+    // value 126 -> 8 (silent). Pattern: A A s A A A s A -> runs of
+    // lengths 2, 3, 1; minFrames 2 keeps the first two.
+    val df = panel(1L, 4, Seq(118, 118, 126, 118, 118, 118, 126, 118))
+      .toDF("doc_id", "n", "x")
+    val segs = Multimodal.audioSegments(df, frameLen = 4,
+      energyThreshold = 40L, minFrames = 2)
+      .orderBy("start_frame").collect()
+    assert(segs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 1L, 2L, 80L), (3L, 5L, 3L, 120L)))
+  }
+
+  test("a trailing partial frame never counts, active or not") {
+    // 10 samples at frameLen 4: frames 0,1 full, samples 8-9 partial
+    val df = ((0 until 10).map(n => (1L, n.toLong, 108L))).toDF("doc_id", "n", "x")
+    val segs = Multimodal.audioSegments(df, frameLen = 4,
+      energyThreshold = 1L, minFrames = 1).collect()
+    assert(segs.length == 1)
+    assert(segs.head.getLong(2) == 1L) // end_frame 1, partial frame 2 absent
+  }
+
+  test("minFrames drops isolated clicks; docs segment independently") {
+    val df = (panel(1L, 4, Seq(118, 126, 118, 126)) ++
+      panel(2L, 4, Seq(118, 118, 118, 118)))
+      .toDF("doc_id", "n", "x")
+    val segs = Multimodal.audioSegments(df, frameLen = 4,
+      energyThreshold = 40L, minFrames = 2)
+      .collect()
+    // doc 1's two isolated actives die; doc 2 is one 4-frame segment
+    assert(segs.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(segs.head.getLong(3) == 4L)
+  }
+
+  test("energy is the exact sum of absolute midpoint deviations") {
+    // mixed samples inside one frame: |100-128|+|128-128|+|200-128|+|96-128|
+    val df = Seq((1L, 0L, 100L), (1L, 1L, 128L), (1L, 2L, 200L), (1L, 3L, 96L))
+      .toDF("doc_id", "n", "x")
+    val segs = Multimodal.audioSegments(df, frameLen = 4,
+      energyThreshold = 1L, minFrames = 1).collect()
+    assert(segs.head.getLong(4) == 28L + 0L + 72L + 32L)
+  }
+
+  test("hostile parameters fail loud") {
+    val df = Seq((1L, 0L, 1L)).toDF("doc_id", "n", "x")
+    intercept[IllegalArgumentException](
+      Multimodal.audioSegments(df, frameLen = 0))
+    intercept[IllegalArgumentException](
+      Multimodal.audioSegments(df, minFrames = 0))
+  }
+}
