@@ -244,6 +244,75 @@ object Pipeline {
     * would leak, so the pipeline can PROVE the stable split is needed
     * rather than assert it. Work = the near-dup pair frame (LSH-bounded)
     * plus two broadcast-sized split joins. */
+  /** Benchmark decontamination, exact-overlap flavor (Brown et al. '20
+    * appendix C — the 13-gram rule; PaLM and Llama run the same shape):
+    * flag every training document sharing ANY exact word n-gram with an
+    * evaluation set. Complements [[splitLeakage]], which catches
+    * NEAR-duplicate seepage via LSH — eval contamination needs the
+    * exact-substring notion because a single verbatim benchmark answer
+    * inside an otherwise-novel page is what poisons the measurement.
+    *
+    * Eval sets are benchmark-sized, so their distinct-gram table is the
+    * BROADCAST side; the corpus never shuffles at gram grain — each doc
+    * builds its distinct gram array map-side (`array_distinct` local to
+    * the row), the broadcast hash join filters in the scan, and only
+    * matched grams reach the per-doc count aggregate. Grams travel as
+    * xxhash64 longs (the dedup_containment key-width discipline; the
+    * S²/2⁶⁵ collision bound is documented there — a collision can only
+    * merge two grams). An eval set too large to broadcast flips to a
+    * shuffle join with no semantic change.
+    *
+    * Returns CONTAMINATED docs only: (doc_id, n_grams, n_matched,
+    * contam_ppm) with contam_ppm = ⌊10⁶·matched/total⌋ over the doc's
+    * distinct grams. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // distinct word n-grams per doc, built row-locally: guard size >= n
+    // BEFORE sequence() (Spark's sequence(1, k) is DESCENDING for k < 1,
+    // which would fabricate grams from slices past the array)
+    def grams(df: DataFrame) =
+      df.select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("grams"))
+    val evalGrams = grams(evalDocs)
+      .select(explode(col("grams")).as("gram"))
+      .select(xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val corpus = grams(docs)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("n_grams"), xxhash64(col("gram")).as("gh"))
+    corpus.join(broadcast(evalGrams), "gh")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        expr("(n_matched * 1000000) div n_grams").as("contam_ppm"))
+  }
+
+  /** The gate: corpus minus docs whose contamination exceeds `maxPpm`
+    * (0 = any shared gram removes). Left-anti join on the report —
+    * clean docs pass untouched. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      maxPpm: Long = 0L): DataFrame =
+    docs.join(
+      contaminationReport(docs, evalDocs, n)
+        .filter(col("contam_ppm") > maxPpm)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Contamination of the corpus against the deterministic doc_id%37
+    * pseudo-benchmark (which is itself part of the corpus, the realistic
+    * worst case — its members score 10⁶ ppm). */
+  def qDecontam(spark: SparkSession, dir: String): DataFrame =
+    contaminationReport(Tables.documents(spark, dir),
+      Tables.documents(spark, dir).filter(col("doc_id") % 37 === 0))
+      .orderBy("doc_id", "n_grams", "n_matched", "contam_ppm")
+
   def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
       trainPct: Int = 90, maxBucketSize: Option[Int] = None): DataFrame = {
     val pairs = Dedup.nearDupPairs(docs, minJaccard, maxBucketSize = maxBucketSize)

@@ -69,6 +69,7 @@ object ExtQueries {
     "pipeline_prepare"      -> Pipeline.qPrepare _,
     "pipeline_funnel"       -> Pipeline.qFunnelReport _,
     "pipeline_split_leakage" -> Pipeline.qSplitLeakage _,
+    "pipeline_decontam"     -> Pipeline.qDecontam _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -919,6 +920,23 @@ object ExtQueries {
 
     // Mirrors Pipeline.splitLeakage: the verified near-dup pairs whose
     // members hash to opposite sides of the naive id-hash split.
+    // Mirrors Pipeline.qDecontam: exact word-5-gram overlap against the
+    // doc_id%37 pseudo-benchmark; per-doc distinct grams, ppm floored.
+    "pipeline_decontam" ->
+      """WITH tt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+        |      FROM tt WHERE len(ts) >= 5),
+        |gr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram FROM g),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+        |ev AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 37 = 0)
+        |SELECT gr.doc_id AS doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST((count(*) * 1000000) // ng.n_grams AS BIGINT) AS contam_ppm
+        |FROM gr JOIN ev USING (gram) JOIN ng ON ng.doc_id = gr.doc_id
+        |GROUP BY gr.doc_id, ng.n_grams
+        |ORDER BY doc_id, n_grams, n_matched, contam_ppm""".stripMargin,
+
     "pipeline_split_leakage" -> {
       val hx = (1 to 4).map { p =>
         val mult = 1L << (4 * (4 - p))

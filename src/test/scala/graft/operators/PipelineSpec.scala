@@ -100,4 +100,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaks == Set(crossPair),
       s"only the crossing pair leaks (same-side dup must not): $leaks")
   }
+
+  test("decontamination: exact n-gram overlap flags and gates, short docs immune") {
+    def doc(i: Long, t: String) = (i, t, "en", "s", t.length.toLong)
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      doc(1L, benchText),                                     // verbatim copy
+      doc(2L, "intro words then the quick brown fox jumps over something else entirely"),
+      doc(3L, "no overlap with anything here at all whatsoever truly"),
+      doc(4L, "quick brown fox jumps"))                       // < n tokens: no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq(doc(100L, benchText))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val report = Pipeline.contaminationReport(docs, eval, n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // doc 1: all 6 distinct 5-grams match -> 1e6 ppm; doc 2 shares
+    // exactly the grams inside "the quick brown fox jumps over": 2 of
+    // its 8 grams; docs 3 and 4 absent
+    assert(report.keySet == Set(1L, 2L))
+    assert(report(1L) == (6L, 1000000L))
+    assert(report(2L)._1 == 2L && report(2L)._2 == 2000000L / 8L)
+    val kept = Pipeline.decontaminate(docs, eval, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    // a looser gate keeps the partially-contaminated doc
+    val loose = Pipeline.decontaminate(docs, eval, n = 5, maxPpm = 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loose == Set(2L, 3L, 4L))
+  }
 }
