@@ -45,18 +45,33 @@ object Pipeline {
       // at the source grain than to out-filter doc by doc. Off by
       // default: the oracle-checked funnel stays byte-stable.
       domainMaxDupPpm: Option[Long] = None,
-      domainMinMeanQuality: Double = 0.0)
+      domainMinMeanQuality: Double = 0.0,
+      // Benchmark-decontamination gate parameters (used when curate is
+      // given an eval frame): word-gram order and the contamination ppm
+      // above which a doc is dropped (0 = any shared gram removes).
+      decontamN: Int = 5,
+      decontamMaxPpm: Long = 0L)
 
   /** docs → (doc_id, lang, source, quality, split) for the retained,
-    * deduplicated corpus. */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    // 0. optional per-source gate (see Config.domainMaxDupPpm)
+    * deduplicated corpus. Pass `decontamEval` to drop benchmark-
+    * contaminated docs ([[decontaminate]]) before any per-doc stage —
+    * eval overlap must go first, since a contaminated doc that survives
+    * dedup as its cluster's representative poisons every member's
+    * absence. */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      decontamEval: Option[DataFrame] = None): DataFrame = {
+    // 0a. optional benchmark-decontamination gate
+    val cleansed = decontamEval match {
+      case Some(ev) => decontaminate(docs, ev, cfg.decontamN, cfg.decontamMaxPpm)
+      case None => docs
+    }
+    // 0b. optional per-source gate (see Config.domainMaxDupPpm)
     val input = cfg.domainMaxDupPpm match {
       case Some(cap) =>
-        val rep = domainReport(docs, col("text"), cfg.minJaccard,
+        val rep = domainReport(cleansed, col("text"), cfg.minJaccard,
           cfg.maxBucketSize)
-        domainGate(docs, rep, cap, cfg.domainMinMeanQuality)
-      case None => docs
+        domainGate(cleansed, rep, cap, cfg.domainMinMeanQuality)
+      case None => cleansed
     }
     // 1. quality gate
     val scored = TextAnalysis.qualityScore(input)
@@ -268,17 +283,23 @@ object Pipeline {
   def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
       n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // distinct word n-grams per doc, built row-locally: guard size >= n
-    // BEFORE sequence() (Spark's sequence(1, k) is DESCENDING for k < 1,
-    // which would fabricate grams from slices past the array)
+    // distinct word n-grams per doc, built row-locally. The transform is
+    // guarded ROW-LOCALLY with when(), not just by the preceding filter:
+    // Spark's sequence(1, k) is DESCENDING for k < 1 (yielding slice
+    // starts of 0 and below), and optimizer rules like
+    // ConvertToLocalRelation may evaluate a projection over rows the
+    // logical filter has not yet removed — the expression itself must be
+    // total over sub-n-token docs.
     def grams(df: DataFrame) =
       df.select(col("doc_id"),
           filter(split(col("text"), " "), t => t =!= "").as("ts"))
         .filter(size(col("ts")) >= n)
         .select(col("doc_id"),
-          array_distinct(transform(
-            sequence(lit(1), size(col("ts")) - (n - 1)),
-            i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("grams"))
+          array_distinct(when(size(col("ts")) >= n,
+            transform(
+              sequence(lit(1), size(col("ts")) - (n - 1)),
+              i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("grams"))
     val evalGrams = grams(evalDocs)
       .select(explode(col("grams")).as("gram"))
       .select(xxhash64(col("gram")).as("gh"))

@@ -127,5 +127,16 @@ class PipelineSpec extends AnyFunSuite {
     val loose = Pipeline.decontaminate(docs, eval, n = 5, maxPpm = 500000L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(loose == Set(2L, 3L, 4L))
+    // composed into curate: the gate runs before every per-doc stage
+    val longDoc = (5L, ("solid unique sentence with plenty of ordinary " +
+      "filler words repeated across this long enough body to pass " +
+      "quality easily and then some more of them"), "en", "s", 140L)
+    val curated = Pipeline.curate(
+      docs.unionByName(Seq(longDoc).toDF("doc_id", "text", "lang", "source", "n_chars")),
+      Pipeline.Config(minQuality = 0.0, maxBucketSize = None),
+      decontamEval = Some(eval))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!curated.contains(1L) && !curated.contains(2L))
+    assert(curated.contains(5L))
   }
 }
