@@ -280,31 +280,44 @@ object Pipeline {
     * Returns CONTAMINATED docs only: (doc_id, n_grams, n_matched,
     * contam_ppm) with contam_ppm = ⌊10⁶·matched/total⌋ over the doc's
     * distinct grams. */
-  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
-      n: Int = 5): DataFrame = {
+  // distinct word n-grams per doc, built row-locally. The transform is
+  // guarded ROW-LOCALLY with when(), not just by the preceding filter:
+  // Spark's sequence(1, k) is DESCENDING for k < 1 (yielding slice
+  // starts of 0 and below), and optimizer rules like
+  // ConvertToLocalRelation may evaluate a projection over rows the
+  // logical filter has not yet removed — the expression itself must be
+  // total over sub-n-token docs.
+  private def wordGrams(df: DataFrame, n: Int) =
+    df.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        array_distinct(when(size(col("ts")) >= n,
+          transform(
+            sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("grams"))
+
+  /** The eval set's distinct gram table, (gh: xxhash64 long) — compute
+    * it ONCE (and persist) when gating repeatedly, e.g. every streaming
+    * micro-batch; the benchmark does not change per batch. */
+  def evalGramTable(evalDocs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // distinct word n-grams per doc, built row-locally. The transform is
-    // guarded ROW-LOCALLY with when(), not just by the preceding filter:
-    // Spark's sequence(1, k) is DESCENDING for k < 1 (yielding slice
-    // starts of 0 and below), and optimizer rules like
-    // ConvertToLocalRelation may evaluate a projection over rows the
-    // logical filter has not yet removed — the expression itself must be
-    // total over sub-n-token docs.
-    def grams(df: DataFrame) =
-      df.select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("ts"))
-        .filter(size(col("ts")) >= n)
-        .select(col("doc_id"),
-          array_distinct(when(size(col("ts")) >= n,
-            transform(
-              sequence(lit(1), size(col("ts")) - (n - 1)),
-              i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
-            .otherwise(array().cast("array<string>"))).as("grams"))
-    val evalGrams = grams(evalDocs)
+    wordGrams(evalDocs, n)
       .select(explode(col("grams")).as("gram"))
       .select(xxhash64(col("gram")).as("gh"))
       .distinct()
-    val corpus = grams(docs)
+  }
+
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 5): DataFrame =
+    contaminationReportAgainst(docs, evalGramTable(evalDocs, n), n)
+
+  /** [[contaminationReport]] against a PRECOMPUTED [[evalGramTable]]. */
+  def contaminationReportAgainst(docs: DataFrame, evalGrams: DataFrame,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val corpus = wordGrams(docs, n)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("n_grams"), xxhash64(col("gram")).as("gh"))
@@ -320,8 +333,13 @@ object Pipeline {
     * clean docs pass untouched. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
       maxPpm: Long = 0L): DataFrame =
+    decontaminateAgainst(docs, evalGramTable(evalDocs, n), n, maxPpm)
+
+  /** [[decontaminate]] against a PRECOMPUTED [[evalGramTable]]. */
+  def decontaminateAgainst(docs: DataFrame, evalGrams: DataFrame,
+      n: Int = 5, maxPpm: Long = 0L): DataFrame =
     docs.join(
-      contaminationReport(docs, evalDocs, n)
+      contaminationReportAgainst(docs, evalGrams, n)
         .filter(col("contam_ppm") > maxPpm)
         .select("doc_id"),
       Seq("doc_id"), "left_anti")

@@ -63,17 +63,27 @@ object DocStream {
       numBuckets: Int = 16, numHashes: Int = 16, bands: Int = 4,
       shingleK: Int = 3, minEstJaccard: Double = 0.25,
       gramIndexTable: Option[String] = None,
-      modelWeights: Option[Seq[Long]] = None): StreamingQuery =
+      modelWeights: Option[Seq[Long]] = None,
+      decontamGrams: Option[DataFrame] = None,
+      decontamN: Int = 5): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
         val scrubbed = batch
           .withColumn("text",
             Scrub.redactPii(Scrub.normalize(Scrub.repairEncoding(col("text")))))
           .withColumn("n_chars", length(col("text")).cast("long"))
-        val keep = TextAnalysis.qualityScore(scrubbed)
+        // optional benchmark-decontamination gate: a PRECOMPUTED (and
+        // ideally persisted) Pipeline.evalGramTable rides every batch as
+        // a broadcast — the benchmark never changes per micro-batch, so
+        // rebuilding its gram table per batch would be pure waste. Gates
+        // on scrubbed text: build the table from eval docs scrubbed the
+        // same way, or verbatim matches can miss.
+        val cleansed = decontamGrams.fold(scrubbed)(g =>
+          graft.operators.Pipeline.decontaminateAgainst(scrubbed, g, decontamN))
+        val keep = TextAnalysis.qualityScore(cleansed)
           .filter(col("quality") >= minQuality)
           .select("doc_id")
-        val gated = scrubbed.join(keep, "doc_id")
+        val gated = cleansed.join(keep, "doc_id")
         // optional TRAINED gate: a perceptron/fastText-shape weight
         // vector (e.g. from TextAnalysis.trainPerceptron) scores each
         // scrubbed doc; only keep ≥ 0. The weights ride the closure as

@@ -309,6 +309,35 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateIngest gates benchmark-contaminated docs with a precomputed gram table") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-decontamstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS decontam_idx")
+
+    val benchText = "what is the capital of france the answer is paris obviously"
+    val evalGrams = graft.operators.Pipeline.evalGramTable(
+      Seq((100L, benchText)).toDF("doc_id", "text"), n = 5).persist()
+    val clean = "gardens grow best with regular watering and plenty of morning sun"
+    // contains a verbatim benchmark span (> n tokens) inside novel text
+    val leaky = "students often ask what is the capital of france the answer" +
+      " is paris obviously which tests recall not reasoning"
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "decontam_idx", out, ckpt, minQuality = 0.0, numBuckets = 4,
+      decontamGrams = Some(evalGrams))
+    try {
+      input.addData((1L, clean), (2L, leaky), (3L, benchText))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L),
+        s"verbatim (3) and span-contaminated (2) docs must be gated: $got")
+    } finally { q.stop(); evalGrams.unpersist() }
+  }
+
   test("curateIngest with a gram index cuts cross-batch boilerplate spans") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-spanstream")
