@@ -306,6 +306,71 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Winnowing fingerprint SELECTION (Schleimer, Wilkerson, Aiken '03 —
+    * the MOSS algorithm): from the k-gram rolling-hash stream, select
+    * the minimum hash of every window of `window` consecutive hashes,
+    * rightmost on ties, recording each (pos, hash) once. Unlike
+    * [[rollingFingerprint]]'s single per-doc representative, the
+    * selected SET carries the winnowing guarantee: any substring match
+    * of length ≥ window + k − 1 between two documents shares at least
+    * one selected fingerprint, while density stays ≤ 2/(window+1) —
+    * the local-similarity index a plagiarism/near-copy detector builds.
+    *
+    * Same polynomial hash as [[rollingFingerprint]] (B=257 mod 1e9+7),
+    * computed with the true O(chars) roll; selection adds an O(n·window)
+    * scan with window a small constant. Narrow typed pass, no shuffle;
+    * the fingerprint table is (doc_id, pos, fp) postings, hash-
+    * partitionable on fp for the downstream match join. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8,
+      window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k and window must be >= 1: $k, $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+    val B = 257L
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = text.length
+        if (n < k) Iterator.empty
+        else {
+          val m = n - k + 1
+          val hs = new Array[Long](m)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * B + text.charAt(i)) % P; i += 1 }
+          hs(0) = h
+          var pow = 1L
+          var t = 0
+          while (t < k - 1) { pow = pow * B % P; t += 1 }
+          i = k
+          while (i < n) {
+            h = (h - text.charAt(i - k) * pow % P + P * P) % P
+            h = (h * B + text.charAt(i)) % P
+            hs(i - k + 1) = h
+            i += 1
+          }
+          val we = math.min(window, m)
+          val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+          var j = 0
+          while (j + we <= m) {
+            var best = j
+            var p = j
+            while (p < j + we) { if (hs(p) <= hs(best)) best = p; p += 1 }
+            sel += ((best, hs(best)))
+            j += 1
+          }
+          sel.iterator.map { case (p, fp) => (id, p.toLong, fp) }
+        }
+      }
+      .toDF("doc_id", "pos", "fp")
+  }
+
+  /** Winnowing fingerprints of docs < 400 — positions AND hashes locked
+    * against the oracle's per-window argmin re-derivation. */
+  def qWinnowFp(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(spark, dir).filter(col("doc_id") < 400))
+      .orderBy("doc_id", "pos", "fp")
+
   /** Within-document repetition: the duplicate word-bigram fraction
     * `1 - distinct/total` — the Gopher/RefinedWeb-style repetition filter
     * signal (templated or looping text scores high). One narrow n-gram

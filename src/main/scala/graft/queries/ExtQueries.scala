@@ -53,6 +53,7 @@ object ExtQueries {
     "text_fingerprint"      -> TextAnalysis.qFingerprints _,
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
+    "text_winnow_fp"        -> TextAnalysis.qWinnowFp _,
     "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
     "text_hll_sketch"       -> TextAnalysis.qHllSketch _,
     "text_repetition"       -> TextAnalysis.qRepetition _,
@@ -2021,6 +2022,29 @@ object ExtQueries {
          |  SELECT p.doc_id, p.h FROM pre p JOIN documents d USING (doc_id)
          |  WHERE p.pos = length(d.text) AND length(d.text) < 32)
          |ORDER BY doc_id, fingerprint""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.qWinnowFp: winnowing selection over the
+    // 8-gram polynomial-hash stream (B=257 mod 1e9+7, Horner 8-step),
+    // window 4, rightmost-min per window via the packed argmin key
+    // hash*1024 + (1023 - offset), selections deduped.
+    "text_winnow_fp" -> {
+      val horner = (1 to 7).foldLeft("CAST(ord(substr(text, p + 1, 1)) AS BIGINT)") {
+        (acc, j) => s"(($acc) * 257 + ord(substr(text, p + $j + 1, 1))) % 1000000007"
+      }
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE doc_id < 400 AND length(text) >= 8),
+         |h AS (SELECT doc_id, n - 7 AS m, p, $horner AS hash
+         |  FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 8)) AS p FROM d)),
+         |w AS (SELECT DISTINCT doc_id, m, least(4, m) AS we FROM h),
+         |j AS (SELECT doc_id, we, unnest(generate_series(0, m - we)) AS j FROM w),
+         |k AS (SELECT j.doc_id, j.j,
+         |    min(h.hash * 1024 + (1023 - (h.p - j.j))) AS key
+         |  FROM j JOIN h ON h.doc_id = j.doc_id AND h.p BETWEEN j.j AND j.j + j.we - 1
+         |  GROUP BY 1, 2)
+         |SELECT DISTINCT doc_id, CAST(j + 1023 - key % 1024 AS BIGINT) AS pos,
+         |  CAST(key // 1024 AS BIGINT) AS fp
+         |FROM k ORDER BY doc_id, pos, fp""".stripMargin
     },
 
     "events_quantiles" ->

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Winnowing selection semantics: the Schleimer '03 match guarantee,
+  * the rightmost tie-break, density, dedup of repeated selections, and
+  * short-text edges. */
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 8
+  private val W = 4
+
+  private def fps(texts: (Long, String)*): Map[Long, Seq[(Long, Long)]] =
+    TextAnalysis.winnowFingerprints(texts.toDF("doc_id", "text"), K, W)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+
+  test("guarantee: docs sharing a >= w+k-1 char substring share a fingerprint") {
+    // shared block of length 16 >= 4+8-1, embedded at different offsets
+    // in otherwise-unrelated text
+    val shared = "XYZQWERTYUIOPLKJ"
+    val all = fps(
+      (1L, "aaaabbbbcccc" + shared + "ddddeeee"),
+      (2L, "zzzzyyyy" + shared + "xxxxwwwwvvvv"))
+    val f1 = all(1L).map(_._2).toSet
+    val f2 = all(2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty,
+      s"winnowing guarantee violated: no shared fingerprint\n$f1\n$f2")
+  }
+
+  test("uniform text selects the rightmost of each window, deduped") {
+    // all k-gram hashes equal -> every window's min is its RIGHTMOST
+    // position; selections are consecutive positions w-1 .. m-1
+    val n = 20
+    val m = n - K + 1 // 13 hash positions
+    val got = fps((1L, "a" * n))(1L)
+    assert(got.map(_._1) == (W - 1L until m.toLong).toSeq, got)
+    assert(got.map(_._2).distinct.size == 1)
+  }
+
+  test("density: every window of w consecutive hash positions holds a selection") {
+    val text = "the quick brown fox jumps over the lazy dog and then naps"
+    val sel = fps((1L, text))(1L).map(_._1).toSet
+    val m = text.length - K + 1
+    for (j <- 0 to m - W)
+      assert((j until j + W).exists(p => sel.contains(p.toLong)),
+        s"window at $j has no selected fingerprint")
+  }
+
+  test("texts shorter than k yield nothing; length k..k+w-1 yields the global min") {
+    assert(fps((1L, "short")).isEmpty)
+    // length k+1 -> 2 hash positions, window effective 2 -> one selection
+    val got = fps((1L, "abcdefghi"))(1L)
+    assert(got.size == 1)
+  }
+}
