@@ -56,6 +56,16 @@ object StressDocs {
     s"funnel_c$cap" -> ((s: SparkSession, d: String) =>
       Pipeline.funnelReport(Tables.documents(s, d),
         Pipeline.Config(maxBucketSize = Some(cap)))),
+    // fixed-benchmark decontamination arm: eval = the ORIGINAL id block
+    // (identical 135-doc benchmark at sf0.1 and at any scalegen replica,
+    // whose block 0 keeps source ids) while the corpus grows — the
+    // realistic contamination-scaling shape, vs the registered
+    // pipeline_decontam whose %37 eval grows WITH the corpus and
+    // degenerates to eval ≈ corpus on the near-dup replica
+    "decontam_fixed_eval" -> ((s: SparkSession, d: String) =>
+      Pipeline.contaminationReport(Tables.documents(s, d),
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 37 === 0 && col("doc_id") < 5000))),
     s"clusters_incr_c$cap" -> ((s: SparkSession, d: String) => {
       val pairs = Dedup.minHashLshPairs(Tables.documents(s, d),
         maxBucketSize = Some(cap)).localCheckpoint()
@@ -69,11 +79,13 @@ object StressDocs {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 2
     val cap = if (args.length > 2) args(2).toInt else 32
-    // optional 4th arg: comma-separated REGISTERED query names — stress
-    // an ad-hoc list (e.g. a session's new operators) instead of the
-    // curated pair-mass family below
+    // optional 4th arg: comma-separated query names (registered, or one
+    // of this harness's own entries) — stress an ad-hoc list (e.g. a
+    // session's new operators) instead of the curated pair-mass family
+    val harness = entries(cap).toMap
     val only = args.drop(3).headOption
-      .map(_.split(',').toSeq.map(n => n -> SparkEntry.queries(n)))
+      .map(_.split(',').toSeq.map(n =>
+        n -> harness.getOrElse(n, SparkEntry.queries(n))))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

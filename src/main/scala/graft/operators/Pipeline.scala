@@ -280,32 +280,27 @@ object Pipeline {
     * Returns CONTAMINATED docs only: (doc_id, n_grams, n_matched,
     * contam_ppm) with contam_ppm = ⌊10⁶·matched/total⌋ over the doc's
     * distinct grams. */
-  // distinct word n-grams per doc, built row-locally. The transform is
-  // guarded ROW-LOCALLY with when(), not just by the preceding filter:
-  // Spark's sequence(1, k) is DESCENDING for k < 1 (yielding slice
-  // starts of 0 and below), and optimizer rules like
-  // ConvertToLocalRelation may evaluate a projection over rows the
-  // logical filter has not yet removed — the expression itself must be
-  // total over sub-n-token docs.
+  // distinct word n-gram hash keys per doc, built row-locally by the
+  // NATIVE WordGramHashes expression — 8-byte keys with zero per-gram
+  // string materialization and no interpreted higher-order functions
+  // in the scan (the measured arc, including two rejected shapes, is
+  // recorded in BASELINE.md round 9 and the expression's scaladoc).
+  // Total over sub-n-token docs (empty array), so no evaluation-order
+  // guard is needed.
   private def wordGrams(df: DataFrame, n: Int) =
     df.select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"),
-        array_distinct(when(size(col("ts")) >= n,
-          transform(
-            sequence(lit(1), size(col("ts")) - (n - 1)),
-            i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("grams"))
+        array_distinct(
+          graft.functions.TextExpressions.wordGramHashes(col("text"), n))
+          .as("grams"))
+      .filter(size(col("grams")) > 0)
 
-  /** The eval set's distinct gram table, (gh: xxhash64 long) — compute
-    * it ONCE (and persist) when gating repeatedly, e.g. every streaming
+  /** The eval set's distinct gram-hash table, (gh: long) — compute it
+    * ONCE (and persist) when gating repeatedly, e.g. every streaming
     * micro-batch; the benchmark does not change per batch. */
   def evalGramTable(evalDocs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     wordGrams(evalDocs, n)
-      .select(explode(col("grams")).as("gram"))
-      .select(xxhash64(col("gram")).as("gh"))
+      .select(explode(col("grams")).as("gh"))
       .distinct()
   }
 
@@ -319,8 +314,7 @@ object Pipeline {
     require(n >= 1, s"n must be >= 1, got $n")
     val corpus = wordGrams(docs, n)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("gram"))
-      .select(col("doc_id"), col("n_grams"), xxhash64(col("gram")).as("gh"))
+        explode(col("grams")).as("gh"))
     corpus.join(broadcast(evalGrams), "gh")
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_matched"))

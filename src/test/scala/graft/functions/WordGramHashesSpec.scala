@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** WordGramHashes semantics: value parity with Spark's own xxhash64
+  * over the equivalent gram strings, whitespace canonicalization, and
+  * the total-over-short-docs contract. */
+class WordGramHashesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hashes(text: String, n: Int): Seq[Long] =
+    Seq(text).toDF("text")
+      .select(TextExpressions.wordGramHashes(col("text"), n).as("h"))
+      .head.getSeq[Long](0)
+
+  test("each gram hash equals xxhash64 of the canonical gram string") {
+    val text = "alpha beta gamma delta epsilon"
+    val got = hashes(text, 3)
+    val toks = text.split(" ")
+    val want = (0 to toks.length - 3).map { i =>
+      Seq(toks.slice(i, i + 3).mkString(" ")).toDF("g")
+        .select(xxhash64(col("g"))).head.getLong(0)
+    }
+    assert(got == want)
+  }
+
+  test("runs of spaces collapse to the single-space canonical form") {
+    val a = hashes("one  two   three", 3)
+    val b = hashes("one two three", 3)
+    assert(a == b && a.size == 1)
+  }
+
+  test("fewer than n tokens yields an empty array, never null or error") {
+    assert(hashes("", 2).isEmpty)
+    assert(hashes("solo", 2).isEmpty)
+    assert(hashes("   ", 2).isEmpty)
+    assert(hashes("a b", 2).size == 1)
+  }
+
+  test("order sensitivity: reversed grams hash differently") {
+    assert(hashes("a b", 2) != hashes("b a", 2))
+  }
+}
