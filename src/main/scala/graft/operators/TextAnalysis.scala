@@ -371,6 +371,45 @@ object TextAnalysis {
     winnowFingerprints(Tables.documents(spark, dir).filter(col("doc_id") < 400))
       .orderBy("doc_id", "pos", "fp")
 
+  /** The MOSS match step over [[winnowFingerprints]]: doc pairs sharing
+    * ≥ `minShared` distinct selected fingerprints — local-similarity
+    * candidates (shared passages), where MinHash-Jaccard sees only
+    * whole-document resemblance. Postings-shaped: distinct (doc, fp),
+    * self-join per fingerprint, pair-count aggregate. `maxPostings`
+    * (production path) drops fingerprints selected by more than that
+    * many docs before the join — shared-boilerplate fps are where the
+    * pair mass goes quadratic, the same degenerate-bucket discipline as
+    * the LSH cap; callers monitor the drop via the df frame. */
+  def winnowMatchPairs(docs: DataFrame, k: Int = 8, window: Int = 4,
+      minShared: Int = 2, maxPostings: Option[Int] = None): DataFrame = {
+    val fp = winnowFingerprints(docs, k, window)
+      .select("doc_id", "fp").distinct()
+    val posting = maxPostings match {
+      case Some(cap) =>
+        fp.join(
+          fp.groupBy("fp").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("fp"),
+          "fp")
+      case None => fp
+    }
+    posting.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Shared-passage candidate pairs among docs < 400, with the
+    * production df cap ENGAGED and mirrored in the oracle (measured at
+    * sf0.01: uncapped minShared=2 yields 72,605 pairs — 91% of the
+    * complete graph, common-phrase fingerprints connect everything;
+    * df ≤ 20 + minShared = 8 keeps 294 genuinely-overlapping pairs). */
+  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowMatchPairs(Tables.documents(spark, dir).filter(col("doc_id") < 400),
+      minShared = 8, maxPostings = Some(20))
+      .orderBy("doc_a", "doc_b", "n_shared")
+
   /** Within-document repetition: the duplicate word-bigram fraction
     * `1 - distinct/total` — the Gopher/RefinedWeb-style repetition filter
     * signal (templated or looping text scores high). One narrow n-gram

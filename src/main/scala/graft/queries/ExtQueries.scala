@@ -54,6 +54,7 @@ object ExtQueries {
     "text_hash_split"       -> TextAnalysis.qHashSplit _,
     "text_rolling_fp"       -> TextAnalysis.qRollingFingerprint _,
     "text_winnow_fp"        -> TextAnalysis.qWinnowFp _,
+    "text_winnow_pairs"     -> TextAnalysis.qWinnowPairs _,
     "text_vocab_sketch"     -> TextAnalysis.qVocabSketch _,
     "text_hll_sketch"       -> TextAnalysis.qHllSketch _,
     "text_repetition"       -> TextAnalysis.qRepetition _,
@@ -2045,6 +2046,35 @@ object ExtQueries {
          |SELECT DISTINCT doc_id, CAST(j + 1023 - key % 1024 AS BIGINT) AS pos,
          |  CAST(key // 1024 AS BIGINT) AS fp
          |FROM k ORDER BY doc_id, pos, fp""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.qWinnowPairs: pairs sharing >= 8 distinct
+    // winnowing fingerprints of document frequency <= 20 (the production
+    // df cap, mirrored here so the capped path itself is oracle-checked),
+    // from the same selection as text_winnow_fp.
+    "text_winnow_pairs" -> {
+      val horner = (1 to 7).foldLeft("CAST(ord(substr(text, p + 1, 1)) AS BIGINT)") {
+        (acc, j) => s"(($acc) * 257 + ord(substr(text, p + $j + 1, 1))) % 1000000007"
+      }
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE doc_id < 400 AND length(text) >= 8),
+         |h AS (SELECT doc_id, n - 7 AS m, p, $horner AS hash
+         |  FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 8)) AS p FROM d)),
+         |w AS (SELECT DISTINCT doc_id, m, least(4, m) AS we FROM h),
+         |j AS (SELECT doc_id, we, unnest(generate_series(0, m - we)) AS j FROM w),
+         |k AS (SELECT j.doc_id, j.j,
+         |    min(h.hash * 1024 + (1023 - (h.p - j.j))) AS key
+         |  FROM j JOIN h ON h.doc_id = j.doc_id AND h.p BETWEEN j.j AND j.j + j.we - 1
+         |  GROUP BY 1, 2),
+         |spf AS (SELECT DISTINCT doc_id, key // 1024 AS fp FROM k),
+         |keep AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM spf GROUP BY fp)
+         |         WHERE df <= 20),
+         |spk AS (SELECT spf.doc_id, spf.fp FROM spf JOIN keep USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM spk a JOIN spk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 8
+         |ORDER BY doc_a, doc_b, n_shared""".stripMargin
     },
 
     "events_quantiles" ->

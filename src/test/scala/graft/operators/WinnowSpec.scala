@@ -58,4 +58,26 @@ class WinnowSpec extends AnyFunSuite {
     val got = fps((1L, "abcdefghi"))(1L)
     assert(got.size == 1)
   }
+
+  test("match pairs: shared-passage docs pair up; the df cap kills boilerplate fps") {
+    val passage = "GHJKQWRTYPZXCVBNMLFDSA" // 22 chars of shared passage
+    val docs = Seq(
+      (1L, "aaaa1111" + passage + "bbbb2222"),
+      (2L, "cccc3333" + passage + "dddd4444"),
+      (3L, "unrelated content entirely here truly")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowMatchPairs(docs, K, W, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the passage-sharing pair: $pairs")
+    // identical boilerplate docs select identical fingerprint sets, so
+    // every fp has df = 3 > cap = 2 and cannot vote: zero pairs (while
+    // the uncapped run pairs everything)
+    val boiler = Seq((1L, passage), (2L, passage), (3L, passage))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowMatchPairs(boiler, K, W,
+      minShared = 1, maxPostings = Some(2)).collect()
+    assert(capped.isEmpty, "df-capped fingerprints must not generate pairs")
+    val uncapped = TextAnalysis.winnowMatchPairs(boiler, K, W, minShared = 1)
+      .collect()
+    assert(uncapped.length == 3)
+  }
 }
