@@ -2562,6 +2562,38 @@ object Multimodal {
         (col("diff") >= threshold).cast("int").as("is_cut"))
   }
 
+  /** Keyframe extraction: one representative frame per SCENE — the
+    * frame-selection step a video-embedding pipeline runs so downstream
+    * feature extraction pays per scene, not per frame. Scene ids are
+    * the running count of cuts (a per-video cumulative sum over the
+    * [[videoSceneCuts]] flags); each scene's keyframe is its first
+    * sampled frame, and the first sampled frame of the video (dropped
+    * by the cut differencing, which needs a predecessor) is scene 0's
+    * keyframe by construction. Output: (doc_id, scene_id, frame_idx,
+    * n_frames) at scene grain. */
+  def videoKeyframes(frames: DataFrame, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val cuts = videoSceneCuts(frames, threshold)
+      .select(col("doc_id"), col("frame_idx"), col("is_cut"))
+    // re-attach the first sampled frame (is_cut 0 by definition)
+    frames.select(col("doc_id"), col("frame_idx"))
+      .join(cuts, Seq("doc_id", "frame_idx"), "left")
+      .withColumn("scene_id",
+        sum(coalesce(col("is_cut"), lit(0))).over(w).cast("long"))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("frame_idx"),
+        count(lit(1)).as("n_frames"))
+  }
+
+  /** Scene keyframes at every-2nd-frame sampling: cut flags 0,1,1,0
+    * over sampled frames 2..8 (plus frame 0 opening scene 0) yield
+    * three scenes per video with keyframes 0, 4, 6. */
+  def qVideoKeyframes(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframes(
+      videoSampleFrames(mjpegTable(Tables.documents(spark, dir)), step = 2),
+      threshold = 1L)
+      .orderBy("doc_id", "scene_id", "frame_idx", "n_frames")
+
   /** Per-sampled-frame pixel checksums over REAL entropy-decoded MJPEG
     * frames — locks the offset-index slicing and per-frame decode: a
     * one-frame slip, wrong shot rotation, or raster slip hash-mismatches

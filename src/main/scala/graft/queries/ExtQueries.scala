@@ -169,6 +169,7 @@ object ExtQueries {
     "mm_video_frames"       -> Multimodal.qVideoFrames _,
     "mm_video_scenes"       -> Multimodal.qVideoScenes _,
     "mm_audio_segments"     -> Multimodal.qAudioSegments _,
+    "mm_video_keyframes"    -> Multimodal.qVideoKeyframes _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
@@ -3694,6 +3695,28 @@ object ExtQueries {
         |      WHERE doc_id % 3 = 1 AND length(text) >= 24),
         |     (SELECT unnest(generate_series(0, 23)) AS i)
         |GROUP BY doc_id, fi ORDER BY doc_id, frame_idx, diff, is_cut""".stripMargin,
+
+    // Mirrors Multimodal.qVideoKeyframes: scene id = running cut count
+    // (cuts as in mm_video_scenes; the first sampled frame opens scene
+    // 0), keyframe = each scene's first sampled frame.
+    "mm_video_keyframes" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 1 AND length(text) >= 24),
+        |c AS (SELECT doc_id, fi, CAST(sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS cut
+        |  FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi FROM v),
+        |       (SELECT unnest(generate_series(0, 23)) AS i)
+        |  GROUP BY doc_id, fi
+        |  UNION ALL SELECT doc_id, 0 AS fi, 0 AS cut FROM v),
+        |s AS (SELECT doc_id, fi,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY fi) AS scene_id
+        |  FROM c)
+        |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+        |  CAST(min(fi) AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM s GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id, frame_idx, n_frames""".stripMargin,
 
     // Mirrors Multimodal.qAudioSegments: frame energy = sum |byte-128|
     // over 16-sample frames of the audio docs' char panel (full frames

@@ -63,6 +63,17 @@ class VideoSpec extends AnyFunSuite {
     assert(cuts(0).getLong(2) == 0L && cuts(3).getLong(2) == 0L)
   }
 
+  test("keyframes: one per scene, first sampled frame, scene 0 opens at frame 0") {
+    val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
+    val kf = Multimodal.videoKeyframes(
+      Multimodal.videoSampleFrames(mediaDf((1L, "video", payload, offsets)), step = 2),
+      threshold = 1L)
+      .orderBy("scene_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sampled 0,2,4,6,8 with cut flags 0,0,1,1,0 -> scenes {0,2},{4},{6,8}
+    assert(kf.toSeq == Seq((0L, 0L, 2L), (1L, 4L, 1L), (2L, 6L, 2L)))
+  }
+
   test("corrupt offset indexes fail loud before any decode") {
     val (payload, offsets) = Multimodal.MjpegWriter.videoFromText(text)
     def run(offs: Array[Int]): Unit =
