@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, RepairDoubleUtf8, WordNGrams}
+import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, RepairDoubleUtf8, WordGramHashes, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -52,6 +52,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_word_ngrams(text, n) takes exactly 2 arguments")
         WordNGrams(args.head, constInt(args(1), "graft_word_ngrams n"))
+      }),
+    (new FunctionIdentifier("graft_word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "graft_word_gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_word_gram_hashes(text, n) takes exactly 2 arguments")
+        WordGramHashes(args.head, constInt(args(1), "graft_word_gram_hashes n"))
       }),
     (new FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropyMicro].getName, "graft_char_entropy"),

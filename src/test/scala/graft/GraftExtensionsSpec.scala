@@ -26,7 +26,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
-        "graft_char_entropy", "graft_md5_windows", "graft_repair_utf8"))
+        "graft_word_gram_hashes", "graft_char_entropy", "graft_md5_windows",
+        "graft_repair_utf8"))
+  }
+
+  test("graft_word_gram_hashes matches xxhash64 of the gram strings in SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_word_gram_hashes('alpha beta gamma delta', 2) AS h,
+        |  array(xxhash64('alpha beta'), xxhash64('beta gamma'),
+        |        xxhash64('gamma delta')) AS want""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
   test("graft_char_entropy runs the native expression in plain SQL") {
