@@ -26,6 +26,8 @@ object TimeOne {
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
       fn(spark, sfDir).count() // warm
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

@@ -2545,19 +2545,21 @@ object Multimodal {
   }
 
   /** Scene-cut detection over sampled frames: per video, the pixelwise
-    * L1 distance between each sampled frame and its predecessor
-    * (`zip_with` + `aggregate` — codegen'd array ops, no UDF), flagged
-    * against `threshold`. The window partitions by video and holds
-    * O(1) rows of state — grain is sampled frames per video, never
-    * corpus-wide. First sampled frame of each video has no predecessor
-    * and is dropped (a cut needs two frames). */
+    * L1 distance between each sampled frame and its predecessor (the
+    * native codegen'd [[graft.functions.ArrayL1Distance]] kernel — the
+    * zip_with/aggregate HOF formulation interpreted two lambdas per
+    * pixel and dominated the query), flagged against `threshold`. The
+    * window partitions by video and holds O(1) rows of state — grain is
+    * sampled frames per video, never corpus-wide. First sampled frame
+    * of each video has no predecessor and is dropped (a cut needs two
+    * frames). */
   def videoSceneCuts(frames: DataFrame, threshold: Long): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     frames
       .withColumn("prev", lag(col("px"), 1).over(w))
       .filter(col("prev").isNotNull)
-      .withColumn("diff", expr(
-        "aggregate(zip_with(px, prev, (x, y) -> CAST(abs(x - y) AS BIGINT)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("diff",
+        graft.functions.VectorExpressions.arrayL1(col("px"), col("prev")))
       .select(col("doc_id"), col("frame_idx"), col("diff"),
         (col("diff") >= threshold).cast("int").as("is_cut"))
   }
@@ -2572,14 +2574,23 @@ object Multimodal {
     * keyframe by construction. Output: (doc_id, scene_id, frame_idx,
     * n_frames) at scene grain. */
   def videoKeyframes(frames: DataFrame, threshold: Long): DataFrame = {
+    // ONE pass over the decoded frames: the lag-diff cut flag and the
+    // running cut count share the same per-video window, so the frame
+    // decode is never referenced twice (the first cut of this operator
+    // joined frames against videoSceneCuts(frames) — that plan decoded
+    // every frame TWICE and shuffled a corpus-grain self-join: 4.17 s
+    // vs this shape's 0.99 s at sf0.1)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val cuts = videoSceneCuts(frames, threshold)
+    frames
+      .withColumn("prev", lag(col("px"), 1).over(w))
+      .withColumn("is_cut", when(col("prev").isNull, lit(0)).otherwise(
+        (graft.functions.VectorExpressions.arrayL1(col("px"), col("prev"))
+          >= threshold).cast("int")))
+      // prune the pixel arrays BEFORE the running-sum window — both
+      // windows share one sort, but without this projection the cumsum
+      // pass would carry every frame's px + prev arrays through it
       .select(col("doc_id"), col("frame_idx"), col("is_cut"))
-    // re-attach the first sampled frame (is_cut 0 by definition)
-    frames.select(col("doc_id"), col("frame_idx"))
-      .join(cuts, Seq("doc_id", "frame_idx"), "left")
-      .withColumn("scene_id",
-        sum(coalesce(col("is_cut"), lit(0))).over(w).cast("long"))
+      .withColumn("scene_id", sum(col("is_cut")).over(w).cast("long"))
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(min(col("frame_idx")).as("frame_idx"),
         count(lit(1)).as("n_frames"))
