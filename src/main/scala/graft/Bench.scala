@@ -57,14 +57,19 @@ object Bench {
     // their isolated cost and a judge had to re-measure by hand. So any
     // query whose in-suite min exceeds 1.5× its recorded anchor is
     // RE-TIMED in this same run: full GC, brief settle, two isolated
-    // back-to-back runs, min kept. Queries without an anchor (new this
-    // round) become their own anchors and are not re-timed. Both numbers
-    // are published to BENCH_QUERIES.json (`{"in_suite":…,"retimed":…}`);
+    // back-to-back runs, min kept. Queries WITHOUT an anchor (newly
+    // registered) are re-timed too — their first anchor must be the
+    // isolated cost, not suite-interference luck — and are APPENDED to
+    // the anchors file below so every query is guarded from its first
+    // round (round 9 shipped seven registered-but-unanchored queries the
+    // adjudicator could not gate). Both numbers are published to
+    // BENCH_QUERIES.json (`{"in_suite":…,"retimed":…}`);
     // the stdout/BENCH_r{N} contract keeps plain seconds = the min.
-    val anchors = loadAnchors(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "BENCH_ANCHORS.json"))
+    val anchorsPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "BENCH_ANCHORS.json")
+    val anchors = loadAnchors(anchorsPath)
     val suspects = inSuite.filter { case (k, v) =>
-      anchors.get(k).exists(a => v > 1.5 * a) }.keys.toSeq.sorted
+      anchors.get(k).forall(a => v > 1.5 * a) }.keys.toSeq.sorted
     val retimed: Map[String, Double] = suspects.map { name =>
       System.gc(); Thread.sleep(500L)
       val fn = SparkEntry.queries(name)
@@ -104,6 +109,20 @@ object Bench {
     java.nio.file.Files.write(outPath,
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[bench] per-query timings written to $outPath")
+    // First-run anchor auto-append: names with no anchor entry get their
+    // isolated (retimed) min recorded so the NEXT run can gate them.
+    // Existing anchors are never modified here — refreshes stay a
+    // deliberate, adjudicated act.
+    val newAnchors = results.filter { case (k, _) => !anchors.contains(k) }
+    if (newAnchors.nonEmpty && anchors.nonEmpty) {
+      val merged = (anchors ++ newAnchors).toSeq.sortBy(_._1)
+        .map { case (k, v) => f""" "$k": ${v}%.3f""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(anchorsPath),
+        merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println("[bench] first-run anchors appended: " +
+        newAnchors.keys.toSeq.sorted.mkString(", "))
+    }
     spark.stop()
   }
 }

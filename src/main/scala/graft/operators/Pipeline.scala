@@ -50,7 +50,13 @@ object Pipeline {
       // given an eval frame): word-gram order and the contamination ppm
       // above which a doc is dropped (0 = any shared gram removes).
       decontamN: Int = 5,
-      decontamMaxPpm: Long = 0L)
+      decontamMaxPpm: Long = 0L,
+      // HTML/markup stripping (Scrub.stripMarkup ∘ normalize) applied to
+      // the text column BEFORE every other stage — the C4/RefinedWeb
+      // first step on raw crawl data. Off by default: the oracle-checked
+      // funnel runs on pre-cleaned text, and stripping is a per-row
+      // rewrite the clean path shouldn't pay twice.
+      stripMarkup: Boolean = false)
 
   /** docs → (doc_id, lang, source, quality, split) for the retained,
     * deduplicated corpus. Pass `decontamEval` to drop benchmark-
@@ -60,10 +66,20 @@ object Pipeline {
     * absence. */
   def curate(docs: DataFrame, cfg: Config = Config(),
       decontamEval: Option[DataFrame] = None): DataFrame = {
+    // 0. optional markup strip — FIRST, so shingles, grams, quality
+    // ratios and the decontam gate all see prose, not tag soup (an eval
+    // answer wrapped in different markup must still match).
+    val stripped =
+      if (cfg.stripMarkup)
+        docs.withColumn("text",
+            Scrub.normalize(Scrub.stripMarkup(col("text"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      else docs
     // 0a. optional benchmark-decontamination gate
     val cleansed = decontamEval match {
-      case Some(ev) => decontaminate(docs, ev, cfg.decontamN, cfg.decontamMaxPpm)
-      case None => docs
+      case Some(ev) =>
+        decontaminate(stripped, ev, cfg.decontamN, cfg.decontamMaxPpm)
+      case None => stripped
     }
     // 0b. optional per-source gate (see Config.domainMaxDupPpm)
     val input = cfg.domainMaxDupPpm match {
@@ -329,14 +345,24 @@ object Pipeline {
       maxPpm: Long = 0L): DataFrame =
     decontaminateAgainst(docs, evalGramTable(evalDocs, n), n, maxPpm)
 
-  /** [[decontaminate]] against a PRECOMPUTED [[evalGramTable]]. */
+  /** [[decontaminate]] against a PRECOMPUTED [[evalGramTable]].
+    *
+    * contam_ppm is ⌊10⁶·matched/total⌋, which floors to 0 for any doc
+    * with more than 10⁶ distinct grams (book-length) even when grams
+    * ARE shared — exactly the docs most likely to embed a verbatim
+    * benchmark answer. So at maxPpm == 0 the gate is the raw match
+    * count (every report row has n_matched ≥ 1 by construction), never
+    * the floored ratio. */
   def decontaminateAgainst(docs: DataFrame, evalGrams: DataFrame,
-      n: Int = 5, maxPpm: Long = 0L): DataFrame =
+      n: Int = 5, maxPpm: Long = 0L): DataFrame = {
+    val gate =
+      if (maxPpm == 0L) col("n_matched") > 0L else col("contam_ppm") > maxPpm
     docs.join(
       contaminationReportAgainst(docs, evalGrams, n)
-        .filter(col("contam_ppm") > maxPpm)
+        .filter(gate)
         .select("doc_id"),
       Seq("doc_id"), "left_anti")
+  }
 
   /** Contamination of the corpus against the deterministic doc_id%37
     * pseudo-benchmark (which is itself part of the corpus, the realistic

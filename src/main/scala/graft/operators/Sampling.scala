@@ -232,8 +232,15 @@ object Sampling {
     *
     * with cw/ca the lagged cumulative weight/avail over the sorted
     * order — an INTEGER cross-multiplication, so both engines agree
-    * bit-for-bit (the sort key avail·10⁶ div weight is likewise an
-    * integer quotient). Uncapped quotas floor-divide the leftover
+    * bit-for-bit. The sort key is the exact ratio as a two-part
+    * integer pair (avail div w, (avail mod w)·10¹² div w): the naive
+    * avail·10⁶ div w overflows Long for any stratum above ~9.2·10¹²
+    * tokens (a 100 TB corpus is ~2.5·10¹³), while the pair is
+    * overflow-free for ANY Long token mass and order-exact whenever
+    * w ≤ 10⁶ (distinct rationals r₁/w₁ ≠ r₂/w₂ with wᵢ ≤ 10⁶ differ
+    * by ≥ 10⁻¹², the fractional key's granularity) — the bound is
+    * enforced loudly in the plan, not assumed. Uncapped quotas
+    * floor-divide the leftover
     * budget; the rounding slack (< #strata tokens) stays unallocated
     * and is visible as B − Σ quota — never silently spread.
     *
@@ -247,10 +254,17 @@ object Sampling {
     require(budgetNum >= 0 && budgetDen > 0)
     val all = Window.partitionBy()
     val byRatio = Window.partitionBy()
-      .orderBy(col("ratio_key"), col("stratum"))
+      .orderBy(col("ratio_q"), col("ratio_r"), col("stratum"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     strata
-      .withColumn("ratio_key", expr("(tokens_avail * 1000000) div weight"))
+      .withColumn("ratio_q", expr("tokens_avail div weight"))
+      // the weight-bound guard lives INSIDE the key expression so column
+      // pruning can never optimize the check away
+      .withColumn("ratio_r", expr(
+        "CASE WHEN weight >= 1 AND weight <= 1000000 " +
+          "THEN ((tokens_avail % weight) * 1000000000000) div weight " +
+          "ELSE raise_error('budgetWaterfill: weight must be in [1, 1000000] " +
+          "for an exact capped-prefix ordering') END"))
       .withColumn("b_total", expr(s"(sum(tokens_avail) OVER () * $budgetNum) div $budgetDen"))
       .withColumn("w_total", sum(col("weight")).over(all))
       .withColumn("cw", sum(col("weight")).over(byRatio) - col("weight"))

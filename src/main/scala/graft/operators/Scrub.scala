@@ -88,6 +88,98 @@ object Scrub {
       .orderBy("doc_id", "n_email", "n_ip", "n_phone", "redacted_md5")
   }
 
+  // markup stripping (the C4/RefinedWeb first step) -------------------
+
+  /** Entity table for [[stripMarkup]] — decoded AFTER tag removal (so
+    * `&lt;b&gt;` yields the literal text `<b>`, never a live tag) and
+    * with the ampersand forms LAST, giving single-pass unescape
+    * semantics: `&amp;lt;` decodes to the literal `&lt;`, not `<`.
+    * A fixed named + numeric subset (the high-frequency web entities)
+    * rather than full HTML5: every entry is a plain string replace, so
+    * the oracle engine reproduces the transform exactly; rare entities
+    * pass through as visible text, which a quality gate then sees. */
+  private val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&#60;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ",
+    "&#47;" -> "/", "&#x2f;" -> "/",
+    "&mdash;" -> "—", "&ndash;" -> "–", "&hellip;" -> "…",
+    "&ldquo;" -> "“", "&rdquo;" -> "”",
+    "&lsquo;" -> "‘", "&rsquo;" -> "’",
+    "&copy;" -> "©", "&reg;" -> "®", "&trade;" -> "™",
+    "&eacute;" -> "é", "&egrave;" -> "è", "&agrave;" -> "à",
+    "&auml;" -> "ä", "&ouml;" -> "ö", "&uuml;" -> "ü",
+    "&ccedil;" -> "ç", "&euro;" -> "€", "&pound;" -> "£",
+    "&deg;" -> "°", "&middot;" -> "·",
+    "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+
+  /** HTML/markup stripping — the literal first step of the C4/RefinedWeb
+    * recipe on crawl data, ahead of [[normalize]]:
+    *
+    *   1. comments `<!-- … -->` dropped (content and all);
+    *   2. `<script>`/`<style>` blocks dropped INCLUDING their content
+    *      (code and CSS are not prose — leaving them visible is how
+    *      "function(){var" ends up in a training corpus);
+    *   3. doctype / processing-instruction declarations dropped;
+    *   4. remaining tags `<name …>` / `</name>` become a single space
+    *      (so `<p>a</p><p>b</p>` reads "a b", never "ab") — a tag must
+    *      start with a LETTER after `<`/`</`, so prose or code like
+    *      `a < b && c > d` passes through untouched;
+    *   5. the [[Entities]] subset decodes, ampersands last.
+    *
+    * Order matters and is load-bearing: blocks before tags (a stripped
+    * `<script>` tag with surviving body would leak code as text), tags
+    * before entities (`&lt;tag&gt;` must surface as text, not re-parse
+    * as markup). Pure codegen'd column transforms in the Java∩RE2
+    * syntax subset (see the object scaladoc) — zero shuffle, scan
+    * speed at 100 TB. Compose `normalize(stripMarkup(x))`: stripping
+    * leaves deliberate spaces where structure was. */
+  def stripMarkup(text: Column): Column = {
+    val noComment = regexp_replace(text, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noDecl = regexp_replace(noStyle, "(?i)<!doctype[^>]*>|<\\?[^>]*>", " ")
+    val noTags = regexp_replace(noDecl, "</?[A-Za-z][^>]*>", " ")
+    Entities.foldLeft(noTags) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch)) }
+  }
+
+  /** Markup twin for the oracle check (the [[messy]] pattern): by
+    * doc_id, four deterministic flavors — a full HTML page (doctype,
+    * head, script + style blocks, comment, nested tags), entity-laden
+    * text (including the `&amp;amp;` single-pass case and an entity-
+    * encoded tag that must surface as text), angle-bracket code that
+    * must pass through UNTOUCHED, and plain text. The oracle constructs
+    * the known clean form directly — it never re-implements the
+    * stripper (the [[encodingTwin]] discipline). */
+  private[operators] def markupTwin: Column = {
+    val t = col("text")
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<!DOCTYPE html><html><head><title>t</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 0;</script>" +
+          "<style>p { color: red; }</style></head><body><p class=\"a\">"),
+        t, lit("</p><!-- hidden --><br/></body></html>")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("&lt;tag&gt; &quot;q&quot; &amp;amp; caf&eacute; &hellip; "),
+          t, lit(" A &amp; B &#39;s&#39; &euro;5")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("if (a < b && c > d) return a&b; "), t))
+      .otherwise(t)
+  }
+
+  def qHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val clean = normalize(stripMarkup(markupTwin))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(clean).cast("long").as("len_clean"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id", "len_clean", "clean_md5")
+  }
+
   // encoding repair (mojibake) ----------------------------------------
 
   /** Repair double-encoded UTF-8 via the strict whole-string round-trip

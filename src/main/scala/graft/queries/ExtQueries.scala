@@ -105,6 +105,7 @@ object ExtQueries {
     "text_normalize"        -> graft.operators.Scrub.qNormalize _,
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
     "text_encoding_fix"     -> graft.operators.Scrub.qEncodingFix _,
+    "text_html_strip"       -> graft.operators.Scrub.qHtmlStrip _,
     "text_domain_report"    -> graft.operators.Pipeline.qDomainReport _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
@@ -2886,6 +2887,24 @@ object ExtQueries {
         |  md5(fixed) AS fixed_md5
         |FROM t ORDER BY doc_id, source, was_repaired, fixed_md5""".stripMargin,
 
+    // Mirrors Scrub.qHtmlStrip. The encodingTwin discipline: the oracle
+    // never re-implements the stripper — it constructs the KNOWN clean
+    // form of each deterministic markup twin directly (full HTML page
+    // reduces to 't ' plus the body text; entities decode with
+    // single-pass &amp;amp; → literal &amp;; angle-bracket code passes
+    // through byte-identical; base text is normalize-stable, verified
+    // at all SFs).
+    "text_html_strip" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 't ' || text
+        |       WHEN doc_id % 4 = 1 THEN '<tag> "q" &amp; café … ' || text || ' A & B ''s'' €5'
+        |       WHEN doc_id % 4 = 2 THEN 'if (a < b && c > d) return a&b; ' || text
+        |       ELSE text END AS clean
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS len_clean,
+        |  md5(clean) AS clean_md5
+        |FROM t ORDER BY doc_id, len_clean, clean_md5""".stripMargin,
+
     // Mirrors Pipeline.qDomainReport: per-source doc count, verified
     // near-dup pair involvement (cross-source pairs count for both
     // sources, same-source once), encoding-repair ground truth
@@ -3759,12 +3778,13 @@ object ExtQueries {
         |    sum(q4) AS q4 FROM qd GROUP BY 1),
         |w AS (SELECT stratum, n_docs, tokens_avail,
         |    (q4 * 2 + n_docs) // (2 * n_docs) + 1 AS weight FROM s),
-        |base AS (SELECT *, (tokens_avail * 1000000) // weight AS rk,
+        |base AS (SELECT *, tokens_avail // weight AS rq,
+        |    ((tokens_avail % weight) * 1000000000000) // weight AS rr,
         |    (SELECT (sum(tokens_avail) * 2) // 5 FROM w) AS b_total,
         |    (SELECT sum(weight) FROM w) AS w_total FROM w),
         |c AS (SELECT *,
-        |    sum(weight) OVER (ORDER BY rk, stratum ROWS UNBOUNDED PRECEDING) - weight AS cw,
-        |    sum(tokens_avail) OVER (ORDER BY rk, stratum ROWS UNBOUNDED PRECEDING) - tokens_avail AS ca
+        |    sum(weight) OVER (ORDER BY rq, rr, stratum ROWS UNBOUNDED PRECEDING) - weight AS cw,
+        |    sum(tokens_avail) OVER (ORDER BY rq, rr, stratum ROWS UNBOUNDED PRECEDING) - tokens_avail AS ca
         |  FROM base),
         |f AS (SELECT *, CASE WHEN tokens_avail * (w_total - cw) <= (b_total - ca) * weight
         |    THEN 1 ELSE 0 END AS capped FROM c),

@@ -45,6 +45,14 @@ import graft.sources.Tables
   * stranded tmp back into place before reading. A crash can therefore
   * never destroy the ledger, and replays always see either the old or
   * the new stats table, both complete.
+  *
+  * Concurrency contract: ONE writer at a time (the streaming sink's
+  * natural discipline — run [[compactZoneMapped]] with appends
+  * quiesced). Readers need NOT be quiesced: a reader entry point racing
+  * a live publish can at worst run [[recoverStats]] inside the
+  * delete→rename window and rename the writer's finished tmp into place
+  * itself — [[publishStats]] treats that lost rename (destination
+  * present) as success, so both sides see the complete new table.
   */
 object ZoneMap {
 
@@ -81,7 +89,17 @@ object ZoneMap {
     if (fs.exists(tmpP)) fs.delete(tmpP, true) // stale tmp from a dead attempt
     stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     if (fs.exists(statsP)) fs.delete(statsP, true)
-    require(fs.rename(tmpP, statsP), s"rename $tmp -> $statsPath failed")
+    if (!fs.rename(tmpP, statsP)) {
+      // Tolerate the one benign race: a concurrent reader's
+      // recoverStats can observe the mid-swap state (stats gone,
+      // finished tmp present) — indistinguishable from a crash — and
+      // rename OUR tmp into place first. The published table is then
+      // exactly this attempt's frame, so a lost rename with the
+      // destination present IS success; only a rename that leaves no
+      // stats table at all is a real failure.
+      require(fs.exists(statsP),
+        s"rename $tmp -> $statsPath failed with no stats table present")
+    }
   }
 
   /** Crash recovery for the delete→rename window: a missing stats table

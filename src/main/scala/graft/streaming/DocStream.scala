@@ -65,12 +65,19 @@ object DocStream {
       gramIndexTable: Option[String] = None,
       modelWeights: Option[Seq[Long]] = None,
       decontamGrams: Option[DataFrame] = None,
-      decontamN: Int = 5): StreamingQuery =
+      decontamN: Int = 5,
+      stripMarkup: Boolean = false): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
+        // repair → (optional) markup strip → normalize → redact: strip
+        // needs repaired bytes (mojibake garbles entity/tag spellings)
+        // and normalize cleans the spaces stripping leaves behind.
+        val repaired = Scrub.repairEncoding(col("text"))
+        val structural =
+          if (stripMarkup) Scrub.stripMarkup(repaired) else repaired
         val scrubbed = batch
           .withColumn("text",
-            Scrub.redactPii(Scrub.normalize(Scrub.repairEncoding(col("text")))))
+            Scrub.redactPii(Scrub.normalize(structural)))
           .withColumn("n_chars", length(col("text")).cast("long"))
         // optional benchmark-decontamination gate: a PRECOMPUTED (and
         // ideally persisted) Pipeline.evalGramTable rides every batch as

@@ -133,6 +133,42 @@ class ScrubSpec extends AnyFunSuite {
     assert(rep("srcA") == (2L, 1L) && rep("srcB") == (2L, 0L))
   }
 
+  test("stripMarkup: tags, blocks, comments gone; entities decode") {
+    val page = "<!DOCTYPE html><html><head><title>T</title>" +
+      "<script type=\"text/javascript\">var hidden = 1 < 2;</script>" +
+      "<style>p { color: red; }</style></head>" +
+      "<body><h1>Head</h1><p class=\"x\">one <b>two</b></p>" +
+      "<!-- secret --><br/>three</body></html>"
+    val clean = scrub1(page, t => Scrub.normalize(Scrub.stripMarkup(t)))
+    assert(clean == "T Head one two three", clean)
+    assert(!clean.contains("hidden") && !clean.contains("color") &&
+      !clean.contains("secret"), "script/style/comment content must drop")
+  }
+
+  test("stripMarkup: entity decoding is single-pass, ampersand last") {
+    assert(scrub1("&lt;b&gt; is text", Scrub.stripMarkup) == "<b> is text",
+      "entity-encoded tags surface as text, never re-parse as markup")
+    assert(scrub1("&amp;lt; stays", Scrub.stripMarkup) == "&lt; stays")
+    assert(scrub1("A &amp;amp; B", Scrub.stripMarkup) == "A &amp; B")
+    assert(scrub1("caf&eacute; &hellip; &euro;5 &#39;s&#39;", Scrub.stripMarkup)
+      == "café … €5 's'")
+  }
+
+  test("stripMarkup: angle-bracket code in markup-free text untouched") {
+    val code = "if (a < b && c > d) return a&b; else x = y<<2;"
+    assert(scrub1(code, Scrub.stripMarkup) == code)
+    val math = "for all x < y and y > z the set {v : v < 3}"
+    assert(scrub1(math, Scrub.stripMarkup) == math)
+  }
+
+  test("stripMarkup is identity on markup-free, entity-free prose") {
+    // NOT idempotent in general — entity decode is deliberately
+    // single-pass (&amp;amp; → the literal text "&amp;", which a second
+    // application would decode again), matching html-unescape semantics.
+    val prose = "plain words, digits 42, punctuation! and (parens)"
+    assert(scrub1(prose, Scrub.stripMarkup) == prose)
+  }
+
   test("piiReport counts per class and hashes the redacted text") {
     val df = Seq((1L, "x a@b.co 1.2.3.4 9.9.9.9")).toDF("doc_id", "text")
     val r = Scrub.piiReport(df, col("text")).head

@@ -193,8 +193,24 @@ class ZoneMapSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq
     assert(after == before, "compaction must not change scan results")
     assert(!after.contains(90000L), "orphan rows stay invisible")
-    // zones disjoint again: a narrow band touches exactly one file
-    assert(ZoneMap.prunedFiles(spark, path, lit(2500L), lit(2600L)).length == 1)
+    // zones disjoint again — proven from the stats table itself, not
+    // from where repartitionByRange's SAMPLED boundaries happened to
+    // fall (a boundary inside a probe band legitimately splits it
+    // across two adjacent disjoint files; asserting band-touches-one-
+    // file was flaky under full-suite layout differences). Sorted by
+    // zone_lo, each file's hi may at most SHARE its successor's lo.
+    val zones = spark.read.parquet(path + "_zonemap")
+      .select("zone_lo", "zone_hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(zones.length == 8)
+    zones.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping zones after compaction: $zones")
+      case _ =>
+    }
+    // a single NON-boundary key touches exactly one file
+    val edges = zones.flatMap(z => Seq(z._1, z._2)).toSet
+    val probeKey = (2500L until 3000L).find(!edges.contains(_)).get
+    assert(ZoneMap.prunedFiles(spark, path, lit(probeKey), lit(probeKey)).length == 1)
     // the orphan files are physically gone
     val conf = spark.sparkContext.hadoopConfiguration
     val pp = new org.apache.hadoop.fs.Path(path)
