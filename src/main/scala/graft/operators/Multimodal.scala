@@ -2624,4 +2624,127 @@ object Multimodal {
       videoSampleFrames(mjpegTable(Tables.documents(spark, dir)), step = 2),
       threshold = 1L)
       .orderBy("doc_id", "frame_idx", "diff", "is_cut")
+
+  // ---- Video near-dup: keyframe-hash signatures --------------------------
+
+  /** Per-video near-dup SIGNATURE: the sequence of per-keyframe average
+    * hashes, one `bits`-bit word per scene — the video-level fingerprint
+    * the text/image/audio dedup families already have. One pass over the
+    * sampled-frame decode (the [[videoKeyframes]] fused shape — hash,
+    * lag-diff cut flag, and running scene count share the same per-video
+    * window, so no frame decodes twice): each sampled frame gets a
+    * CONTIGUOUS-region aHash (region = p div ceil(n/bits), the 8×8-DCT-
+    * grid analog — the interleaved p mod bits scheme of [[imageAHash]]
+    * averages away exactly the block structure frame content lives in),
+    * each bit decided by the same integer cross-multiplication
+    * (sum_b·n ≥ total·cnt_b, exact), packed little-endian into a
+    * non-negative Long (bits ≤ 63, so no sign games in either engine).
+    * Scene segmentation and keyframe choice are [[videoKeyframes]]'
+    * semantics; the keyframe's hash represents its scene.
+    *
+    * Returns (doc_id, scene_id, frame_idx, ahash) at scene grain —
+    * O(scenes) rows per video, payloads never shuffle. */
+  def videoSignatures(media: DataFrame, step: Int = 2,
+      cutThreshold: Long = 1L, bits: Int = 24): DataFrame = {
+    require(bits >= 4 && bits <= 63, s"bits must be in [4, 63], got $bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = videoSampleFrames(media, step)
+      .as[(Long, Long, Array[Int])]
+      .map { case (id, f, px) =>
+        val n = px.length / 3
+        val chunk = math.max(1, (n + bits - 1) / bits)
+        val sums = new Array[Long](bits)
+        val cnts = new Array[Long](bits)
+        var total = 0L
+        var p = 0
+        while (p < n) {
+          val l = (px(3 * p) + px(3 * p + 1) + px(3 * p + 2)).toLong
+          val b = math.min(bits - 1, p / chunk)
+          sums(b) += l; cnts(b) += 1; total += l
+          p += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < bits) {
+          if (cnts(b) > 0 && sums(b) * n >= total * cnts(b)) h |= 1L << b
+          b += 1
+        }
+        (id, f, h, px)
+      }
+      .toDF("doc_id", "frame_idx", "ahash", "px")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    hashed
+      .withColumn("prev", lag(col("px"), 1).over(w))
+      .withColumn("is_cut", when(col("prev").isNull, lit(0)).otherwise(
+        (graft.functions.VectorExpressions.arrayL1(col("px"), col("prev"))
+          >= cutThreshold).cast("int")))
+      // prune px/prev BEFORE the cumsum window (the videoKeyframes
+      // projection discipline): only (id, idx, hash, flag) ride the sort
+      .select(col("doc_id"), col("frame_idx"), col("ahash"), col("is_cut"))
+      .withColumn("scene_id", sum(col("is_cut")).over(w).cast("long"))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(struct(col("frame_idx"), col("ahash"))).as("kf"))
+      .select(col("doc_id"), col("scene_id"),
+        col("kf.frame_idx").as("frame_idx"), col("kf.ahash").as("ahash"))
+  }
+
+  /** Cross-video near-dup pairs — closes the one modality without a
+    * dedup story. Candidate generation is the posting-list discipline:
+    * two videos are candidates iff they share an EXACT keyframe hash at
+    * the SAME scene ordinal (per-scene grain supplies the tolerance —
+    * a near-dup video matches on its unchanged scenes even when an
+    * edited scene's hash differs; sub-hash banding at 100× corpus
+    * collapses into few-valued buckets, the 16-bit-aHash quadratic
+    * lesson). `maxBucketSize` caps any degenerate (scene, hash) bucket
+    * out of candidate generation — per-bucket pair mass stays ≤ cap² at
+    * any corpus size, and the cap is mirrored in the oracle. Verify
+    * moves ONE O(scenes) signature array per doc per candidate pair
+    * (the packed-hamming pattern): aligned per-scene
+    * `bit_count(xor)` summed, a missing scene on either side charged
+    * the full `bits` — so `hamming ≤ maxHamming` only admits pairs
+    * with near-identical scene structure AND content. */
+  def videoNearDupPairs(media: DataFrame, step: Int = 2,
+      cutThreshold: Long = 1L, bits: Int = 24, maxHamming: Long = 6L,
+      maxBucketSize: Option[Int] = Some(512)): DataFrame = {
+    val kf = videoSignatures(media, step, cutThreshold, bits)
+    val sigs = kf.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("scene_id"), col("ahash"))))
+        .as("sa"))
+      .select(col("doc_id"), expr("transform(sa, x -> x.ahash)").as("sig"))
+    val posts = kf.select("doc_id", "scene_id", "ahash")
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val ok = posts.groupBy("scene_id", "ahash")
+          .agg(count(lit(1)).as("graft_bn"))
+          .filter(col("graft_bn") <= cap)
+          .select("scene_id", "ahash")
+        posts.join(ok, Seq("scene_id", "ahash"))
+      case None => posts
+    }
+    val cand = kept.select(col("scene_id"), col("ahash"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("scene_id"), col("ahash"), col("doc_id").as("doc_b")),
+        Seq("scene_id", "ahash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("hamming", expr(
+        s"""aggregate(zip_with(sig_a, sig_b, (x, y) ->
+           |CASE WHEN x IS NULL OR y IS NULL THEN CAST($bits AS BIGINT)
+           |ELSE CAST(bit_count(x ^ y) AS BIGINT) END),
+           |0L, (acc, v) -> acc + v)""".stripMargin.replace('\n', ' ')))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Video near-dup pairs over the MJPEG corpus at every-2nd-frame
+    * sampling: 24-region keyframe hashes (region = JPEG block), scene-
+    * aligned exact-hash candidates (bucket cap 512, oracle-mirrored),
+    * aligned hamming ≤ 6 verify. */
+  def qVideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupPairs(mjpegTable(Tables.documents(spark, dir)))
+      .orderBy("doc_a", "doc_b", "hamming")
 }

@@ -171,6 +171,7 @@ object ExtQueries {
     "mm_video_scenes"       -> Multimodal.qVideoScenes _,
     "mm_audio_segments"     -> Multimodal.qAudioSegments _,
     "mm_video_keyframes"    -> Multimodal.qVideoKeyframes _,
+    "mm_video_neardup"      -> Multimodal.qVideoNearDup _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
@@ -3736,6 +3737,47 @@ object ExtQueries {
         |  CAST(count(*) AS BIGINT) AS n_frames
         |FROM s GROUP BY doc_id, scene_id
         |ORDER BY doc_id, scene_id, frame_idx, n_frames""".stripMargin,
+
+    // Mirrors Multimodal.qVideoNearDup: keyframe hash bit j = block j's
+    // byte * 24 >= window total (the 24-region contiguous aHash over
+    // block-constant pixels — luminance scale cancels in the cross-
+    // multiplication); scene structure as mm_video_keyframes; candidates
+    // share (scene_id, exact hash) with the 512 bucket cap mirrored;
+    // verify = aligned per-scene bit_count(xor), missing scenes charged
+    // the full 24 bits, total <= 6.
+    "mm_video_neardup" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 1 AND length(text) >= 24),
+        |tot AS (SELECT doc_id, sum(ord(substr(text, i, 1))) AS total
+        |  FROM v, (SELECT unnest(generate_series(1, 24)) AS i) GROUP BY doc_id),
+        |c AS (SELECT doc_id, fi, CAST(sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS cut
+        |  FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi FROM v),
+        |       (SELECT unnest(generate_series(0, 23)) AS i)
+        |  GROUP BY doc_id, fi
+        |  UNION ALL SELECT doc_id, 0 AS fi, 0 AS cut FROM v),
+        |s AS (SELECT doc_id, fi,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY fi) AS scene_id FROM c),
+        |kf AS (SELECT doc_id, scene_id, min(fi) AS fi FROM s GROUP BY 1, 2),
+        |h AS (SELECT k.doc_id, k.scene_id,
+        |    CAST(sum(CASE WHEN ord(substr(v.text, ((j + 5 * (k.fi // 3)) % 24) + 1, 1)) * 24
+        |             >= t.total THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM kf k JOIN v USING (doc_id) JOIN tot t USING (doc_id),
+        |       (SELECT unnest(generate_series(0, 23)) AS j)
+        |  GROUP BY k.doc_id, k.scene_id),
+        |kept AS (SELECT scene_id, ahash FROM h GROUP BY 1, 2 HAVING count(*) <= 512),
+        |hk AS (SELECT h.doc_id, h.scene_id, h.ahash FROM h JOIN kept USING (scene_id, ahash)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM hk a JOIN hk b USING (scene_id, ahash) WHERE a.doc_id < b.doc_id),
+        |sig AS (SELECT doc_id, list(ahash ORDER BY scene_id) AS g FROM h GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, greatest(len(sa.g), len(sb.g))),
+        |      i -> CASE WHEN i > len(sa.g) OR i > len(sb.g) THEN 24
+        |           ELSE bit_count(xor(sa.g[i], sb.g[i])) END)) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b, hamming""".stripMargin,
 
     // Mirrors Multimodal.qAudioSegments: frame energy = sum |byte-128|
     // over 16-sample frames of the audio docs' char panel (full frames

@@ -101,4 +101,78 @@ class VideoSpec extends AnyFunSuite {
       Multimodal.videoSampleFrames(mediaDf(), step = 0)
     }
   }
+
+  // ---- video near-dup ------------------------------------------------
+
+  /** Video from explicit per-frame block values (24 blocks/frame). */
+  private def customVideo(framesBlocks: Seq[Array[Int]]): (Array[Byte], Array[Int]) = {
+    val frames = framesBlocks.map(b =>
+      Multimodal.JpegWriter.gray(b.map(Multimodal.JpegWriter.dcOnly)))
+    val offsets = frames.scanLeft(0)(_ + _.length).toArray
+    val payload = new Array[Byte](offsets.last)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      System.arraycopy(fr, 0, payload, offsets(f), fr.length) }
+    (payload, offsets)
+  }
+
+  // F0: block 0 bright (hash = bit 0); F1: upper half bright (bits
+  // 12..23); F2 = F1 with block 12 dimmed below the mean (bits 13..23 —
+  // exactly one bit from F1)
+  private val F0 = Array.tabulate(24)(i => if (i == 0) 200 else 100)
+  private val F1 = Array.tabulate(24)(i => if (i >= 12) 150 else 50)
+  private val F2 = F1.updated(12, 90)
+
+  test("videoSignatures: contiguous-region hash, one row per scene") {
+    val (p, o) = customVideo(Seq(F0, F0, F1, F1))
+    val sig = Multimodal.videoSignatures(mediaDf((1L, "video", p, o)),
+        step = 1, cutThreshold = 1L, bits = 24)
+      .orderBy("scene_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sig.toSeq == Seq((0L, 0L, 1L), (1L, 2L, 0xfff000L)),
+      sig.toSeq.toString)
+  }
+
+  test("videoNearDupPairs: one-bit scene edit caught, hamming exact") {
+    val (pa, oa) = customVideo(Seq(F0, F0, F1, F1))
+    val (pb, ob) = customVideo(Seq(F0, F0, F2, F2))
+    val pairs = Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (2L, "video", pb, ob)), step = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)), pairs.toSeq.toString)
+  }
+
+  test("videoNearDupPairs: missing scene charged the full hash width") {
+    // C = only A's first scene: candidate via scene 0, but the length
+    // penalty (24 bits for the absent scene) pushes it past maxHamming
+    val (pa, oa) = customVideo(Seq(F0, F0, F1, F1))
+    val (pc, oc) = customVideo(Seq(F0, F0))
+    assert(Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (3L, "video", pc, oc)), step = 1)
+      .count() == 0L)
+    // ...and admitted once maxHamming allows the penalty
+    val loose = Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (3L, "video", pc, oc)), step = 1,
+      maxHamming = 24L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq == Seq((1L, 3L, 24L)))
+  }
+
+  test("videoNearDupPairs: candidates are scene-ALIGNED (a permutation is not a match)") {
+    val (pa, oa) = customVideo(Seq(F0, F0, F1, F1))
+    val (pd, od) = customVideo(Seq(F1, F1, F0, F0)) // same scenes, swapped
+    assert(Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (4L, "video", pd, od)), step = 1)
+      .count() == 0L)
+  }
+
+  test("videoNearDupPairs: bucket cap removes degenerate buckets from candidates") {
+    val (pa, oa) = customVideo(Seq(F0, F0, F1, F1))
+    val (pb, ob) = customVideo(Seq(F0, F0, F1, F1))
+    assert(Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (2L, "video", pb, ob)), step = 1,
+      maxBucketSize = Some(1)).count() == 0L)
+    assert(Multimodal.videoNearDupPairs(
+      mediaDf((1L, "video", pa, oa), (2L, "video", pb, ob)), step = 1,
+      maxBucketSize = None).collect().map(_.getLong(2)).toSeq == Seq(0L))
+  }
 }
