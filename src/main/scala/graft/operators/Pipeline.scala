@@ -364,6 +364,107 @@ object Pipeline {
       Seq("doc_id"), "left_anti")
   }
 
+  // fuzzy (winnowing) decontamination ---------------------------------
+
+  /** FUZZY benchmark-decontamination report — catches paraphrase-level
+    * leakage the exact Brown-'20 n-gram gate is blind to (a doc with
+    * every 5th token rewritten shares ZERO word 5-grams with its source,
+    * measured at sf0.01, yet is still a leaked benchmark answer).
+    *
+    * Mechanism: winnowing fingerprints (Schleimer '03, the repo's
+    * [[TextAnalysis.winnowFingerprints]]) — any surviving verbatim char
+    * span of length ≥ window+k−1 between a corpus doc and an eval doc
+    * shares at least one selected fingerprint, so paraphrase edits must
+    * break EVERY such span to evade the gate. Eval-side fingerprints
+    * whose CORPUS document frequency exceeds `maxDf` are dropped from
+    * matching (common-phrase fps connect everything — the winnowMatch
+    * df-cap lesson; eval fps absent from the corpus keep df 0 and stay
+    * in the DENOMINATOR, so containment is honest about unfound eval
+    * content). A (doc, eval) pair is reported when it shares
+    * ≥ `minShared` rare fps AND its containment of the eval doc's rare
+    * fp set reaches `minPpm`. Threshold provenance: measured at sf0.01
+    * against every-5th-token paraphrased eval twins — see BASELINE.md
+    * round 10 (cont. min 234234 ppm, clean p99 38461 at k=16/w=4/df≤20;
+    * the defaults sit between with margin on both sides).
+    *
+    * Scale shape: corpus postings are O(chars·2/(window+1)) rows, hash-
+    * partitioned by fp; everything eval-sided (fps, df table, sizes) is
+    * benchmark-small and BROADCAST — the corpus never shuffles at pair
+    * grain, and df is aggregated only over postings matching eval fps.
+    * `maxDf` is an absolute count and should scale with corpus size
+    * (same contract as [[TextAnalysis.winnowMatchPairs]]).
+    *
+    * Returns (doc_id, eval_id, n_shared, n_eval_fp, fuzzy_ppm). */
+  def fuzzyContaminationReport(docs: DataFrame, evalDocs: DataFrame,
+      k: Int = 16, window: Int = 4, maxDf: Long = 20L,
+      minShared: Long = 3L, minPpm: Long = 200000L): DataFrame = {
+    val corpusFps = TextAnalysis.winnowFingerprints(docs, k, window)
+      .select("doc_id", "fp").distinct()
+    val evalFps = TextAnalysis.winnowFingerprints(evalDocs, k, window)
+      .select(col("doc_id").as("eval_id"), col("fp")).distinct()
+    val dfTab = corpusFps
+      .join(broadcast(evalFps.select("fp").distinct()), "fp")
+      .groupBy("fp").agg(count(lit(1)).as("graft_df"))
+    val rare = evalFps
+      .join(broadcast(dfTab), Seq("fp"), "left")
+      .filter(coalesce(col("graft_df"), lit(0L)) <= maxDf)
+      .select("eval_id", "fp")
+    val sizes = rare.groupBy("eval_id").agg(count(lit(1)).as("n_eval_fp"))
+    corpusFps.join(broadcast(rare), "fp")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), "eval_id")
+      .withColumn("fuzzy_ppm", expr("(n_shared * 1000000) div n_eval_fp"))
+      .filter(col("n_shared") >= minShared && col("fuzzy_ppm") >= minPpm)
+      .select("doc_id", "eval_id", "n_shared", "n_eval_fp", "fuzzy_ppm")
+  }
+
+  /** The fuzzy gate: corpus minus docs flagged by
+    * [[fuzzyContaminationReport]]. Compose with [[decontaminate]] for
+    * the two-layer production gate (exact any-overlap first, fuzzy
+    * paraphrase sweep second). */
+  def decontaminateFuzzy(docs: DataFrame, evalDocs: DataFrame,
+      k: Int = 16, window: Int = 4, maxDf: Long = 20L,
+      minShared: Long = 3L, minPpm: Long = 200000L): DataFrame =
+    docs.join(
+      fuzzyContaminationReport(docs, evalDocs, k, window, maxDf,
+        minShared, minPpm).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Fuzzy decontam against a HALF-PARAPHRASED pseudo-benchmark: the
+    * doc_id%37 members, odd ids with every 5th token rewritten to "zzz"
+    * (zero surviving word 5-grams — the exact gate's blind spot), even
+    * ids verbatim. `hit_type` separates what each layer sees: verbatim
+    * sources flag as "both", paraphrased ones as "fuzzy" — measured at
+    * sf0.01: 14/14 contaminated sources flagged (7 both + 7 fuzzy) plus
+    * one clean doc genuinely containing a ≥ w+k−1-char eval passage. */
+  def qDecontamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalDocs = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 1,
+          array_join(transform(split(col("text"), " "),
+            (t, i) => when(i % 5 === 4, lit("zzz")).otherwise(t)), " "))
+          .otherwise(col("text")).as("text"))
+    val rep = fuzzyContaminationReport(docs, evalDocs)
+    val docG = wordGrams(docs, 5)
+      .select(col("doc_id"), explode(col("grams")).as("gh"))
+    val evalG = wordGrams(evalDocs, 5)
+      .select(col("doc_id").as("eval_id"), explode(col("grams")).as("gh"))
+      .distinct()
+    val exact = docG.join(broadcast(evalG), "gh")
+      .select("doc_id", "eval_id").distinct()
+      .withColumn("exact_hit", lit(1L))
+    rep.join(exact, Seq("doc_id", "eval_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
+      .withColumn("hit_type",
+        when(col("exact_hit") === 1L, lit("both")).otherwise(lit("fuzzy")))
+      .select("doc_id", "eval_id", "n_shared", "n_eval_fp", "fuzzy_ppm",
+        "exact_hit", "hit_type")
+      .orderBy("doc_id", "eval_id", "n_shared", "n_eval_fp", "fuzzy_ppm",
+        "exact_hit", "hit_type")
+  }
+
   /** Contamination of the corpus against the deterministic doc_id%37
     * pseudo-benchmark (which is itself part of the corpus, the realistic
     * worst case — its members score 10⁶ ppm). */

@@ -72,6 +72,7 @@ object ExtQueries {
     "pipeline_funnel"       -> Pipeline.qFunnelReport _,
     "pipeline_split_leakage" -> Pipeline.qSplitLeakage _,
     "pipeline_decontam"     -> Pipeline.qDecontam _,
+    "pipeline_decontam_fuzzy" -> Pipeline.qDecontamFuzzy _,
     "mm_media_meta"         -> Multimodal.qMediaMeta _,
     "mm_frames"             -> Multimodal.qFrames _,
     "mm_decode_checksum"    -> Multimodal.qDecodeChecksum _,
@@ -942,6 +943,69 @@ object ExtQueries {
         |FROM gr JOIN ev USING (gram) JOIN ng ON ng.doc_id = gr.doc_id
         |GROUP BY gr.doc_id, ng.n_grams
         |ORDER BY doc_id, n_grams, n_matched, contam_ppm""".stripMargin,
+
+    // Mirrors Pipeline.qDecontamFuzzy: winnowing fingerprints (k=16,
+    // window=4, the text_winnow_fp selection restated for k=16),
+    // half-paraphrased eval twins (odd %37 ids: every 5th token ->
+    // 'zzz'), corpus-df cap 20 on eval fps (absent fps keep df 0 and
+    // stay in the denominator), pair gate n_shared >= 3 and containment
+    // >= 200000 ppm, word-5-gram exact annotation.
+    "pipeline_decontam_fuzzy" -> {
+      val horner16 = (1 to 15).foldLeft("CAST(ord(substr(text, p + 1, 1)) AS BIGINT)") {
+        (acc, j) => s"(($acc) * 257 + ord(substr(text, p + $j + 1, 1))) % 1000000007"
+      }
+      s"""WITH evtok AS (SELECT doc_id, i,
+         |    CASE WHEN doc_id % 2 = 1 AND (i - 1) % 5 = 4 THEN 'zzz' ELSE t[i] END AS tok
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |              WHERE doc_id % 37 = 0))),
+         |ev AS (SELECT doc_id AS eval_id, string_agg(tok, ' ' ORDER BY i) AS text
+         |       FROM evtok GROUP BY doc_id),
+         |cd AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 16),
+         |ch AS (SELECT doc_id, n - 15 AS m, p, $horner16 AS hash
+         |  FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 16)) AS p FROM cd)),
+         |cw AS (SELECT DISTINCT doc_id, m, least(4, m) AS we FROM ch),
+         |cj AS (SELECT doc_id, we, unnest(generate_series(0, m - we)) AS j FROM cw),
+         |ck AS (SELECT cj.doc_id, cj.j, min(ch.hash * 1024 + (1023 - (ch.p - cj.j))) AS key
+         |  FROM cj JOIN ch ON ch.doc_id = cj.doc_id AND ch.p BETWEEN cj.j AND cj.j + cj.we - 1
+         |  GROUP BY 1, 2),
+         |cfp AS (SELECT DISTINCT doc_id, key // 1024 AS fp FROM ck),
+         |ed AS (SELECT eval_id, text, length(text) AS n FROM ev WHERE length(text) >= 16),
+         |eh AS (SELECT eval_id, n - 15 AS m, p, $horner16 AS hash
+         |  FROM (SELECT eval_id, text, n, unnest(generate_series(0, n - 16)) AS p FROM ed)),
+         |ew AS (SELECT DISTINCT eval_id, m, least(4, m) AS we FROM eh),
+         |ej AS (SELECT eval_id, we, unnest(generate_series(0, m - we)) AS j FROM ew),
+         |ek AS (SELECT ej.eval_id, ej.j, min(eh.hash * 1024 + (1023 - (eh.p - ej.j))) AS key
+         |  FROM ej JOIN eh ON eh.eval_id = ej.eval_id AND eh.p BETWEEN ej.j AND ej.j + ej.we - 1
+         |  GROUP BY 1, 2),
+         |efp AS (SELECT DISTINCT eval_id, key // 1024 AS fp FROM ek),
+         |dfc AS (SELECT fp, count(*) AS df FROM cfp GROUP BY 1),
+         |rare AS (SELECT e.eval_id, e.fp FROM efp e LEFT JOIN dfc USING (fp)
+         |         WHERE coalesce(df, 0) <= 20),
+         |sizes AS (SELECT eval_id, count(*) AS n_eval_fp FROM rare GROUP BY 1),
+         |hits AS (SELECT c.doc_id, r.eval_id, count(*) AS n_shared
+         |  FROM cfp c JOIN rare r USING (fp) GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, h.eval_id, n_shared, n_eval_fp,
+         |    n_shared * 1000000 // n_eval_fp AS fuzzy_ppm
+         |  FROM hits h JOIN sizes s ON s.eval_id = h.eval_id
+         |  WHERE n_shared >= 3 AND n_shared * 1000000 // n_eval_fp >= 200000),
+         |dtt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+         |dgr AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+         |        FROM dtt WHERE len(ts) >= 5)),
+         |ett AS (SELECT eval_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM ev),
+         |egr AS (SELECT DISTINCT eval_id, array_to_string(ts[i:i+4], ' ') AS gram
+         |  FROM (SELECT eval_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+         |        FROM ett WHERE len(ts) >= 5)),
+         |exact AS (SELECT DISTINCT d.doc_id, e.eval_id FROM dgr d JOIN egr e USING (gram))
+         |SELECT rep.doc_id AS doc_id, rep.eval_id AS eval_id,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(n_eval_fp AS BIGINT) AS n_eval_fp, CAST(fuzzy_ppm AS BIGINT) AS fuzzy_ppm,
+         |  CAST(CASE WHEN exact.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit,
+         |  CASE WHEN exact.doc_id IS NOT NULL THEN 'both' ELSE 'fuzzy' END AS hit_type
+         |FROM rep LEFT JOIN exact ON exact.doc_id = rep.doc_id AND exact.eval_id = rep.eval_id
+         |ORDER BY rep.doc_id, rep.eval_id, n_shared, n_eval_fp, fuzzy_ppm, exact_hit, hit_type""".stripMargin
+    },
 
     "pipeline_split_leakage" -> {
       val hx = (1 to 4).map { p =>

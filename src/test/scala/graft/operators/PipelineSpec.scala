@@ -139,4 +139,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!curated.contains(1L) && !curated.contains(2L))
     assert(curated.contains(5L))
   }
+
+  test("fuzzy decontamination catches paraphrase the exact gate misses") {
+    def doc(i: Long, t: String) = (i, t, "en", "s", t.length.toLong)
+    val bench = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    // paraphrase: every 5th word rewritten -> zero shared word 5-grams
+    val para = bench.split(' ').zipWithIndex
+      .map { case (t, i) => if (i % 5 == 4) "zzz" else t }.mkString(" ")
+    val docs = Seq(
+      doc(1L, para),  // paraphrased benchmark copy
+      doc(2L, "unrelated material speaking of other things entirely with " +
+        "no common passages to be found anywhere in this body of text"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq(doc(100L, bench))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // exact 5-gram gate: blind to the paraphrase
+    assert(Pipeline.contaminationReport(docs, eval, n = 5).count() == 0L)
+    assert(Pipeline.decontaminate(docs, eval).count() == 2L)
+    // fuzzy gate: the surviving >= window+k-1-char spans between edits
+    // share winnowing fingerprints
+    val rep = Pipeline.fuzzyContaminationReport(docs, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rep.length == 1 && rep.head._1 == 1L && rep.head._2 == 100L,
+      rep.toSeq.toString)
+    assert(rep.head._3 >= 200000L)
+    val kept = Pipeline.decontaminateFuzzy(docs, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("fuzzy decontamination: corpus-common fingerprints are dropped, absent eval fps stay in the denominator") {
+    def doc(i: Long, t: String) = (i, t, "en", "s", t.length.toLong)
+    val common = "shared boilerplate phrase appearing everywhere in the corpus body"
+    // the common phrase rides every doc -> its fps exceed maxDf 3 and
+    // cannot make any doc a hit on their own
+    val docs = (1L to 6L).map(i =>
+        doc(i, s"$common plus unique words ${"x" * i.toInt} tail $i"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq(doc(100L, common + " and a completely novel benchmark answer " +
+      "phrase not present in any corpus document at all"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = Pipeline.fuzzyContaminationReport(docs, eval, maxDf = 3L,
+      minShared = 1L, minPpm = 0L).collect()
+    // no doc contains the novel tail; the common phrase is df-capped out
+    // of matching -> no pair reaches even minShared 1
+    assert(rep.isEmpty, rep.toSeq.toString)
+  }
 }
