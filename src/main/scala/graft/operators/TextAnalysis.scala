@@ -1485,6 +1485,162 @@ object TextAnalysis {
       .orderBy("lang", "n_words", "n_bpe_tokens", "tokens_per_word_ppm")
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece's second family) --------------
+
+  /** ⌊10⁶·log₂(x) + ½⌋ — the NDCG-table discipline applied to unigram
+    * piece scores: a SMALL set of log values (one per vocab piece per
+    * EM round, O(vocab) total) is computed in doubles and frozen to
+    * scaled integers, after which every comparison downstream is exact
+    * integer arithmetic. Rounding-boundary safety is data-checked: over
+    * every count/total this corpus produces at sf0.001/0.01/0.1, the
+    * nearest fractional distance to .5 is ≥ 10⁻⁶ (measured round 10),
+    * eight orders above double-log disagreement between engines. */
+  private def log2Micro(x: Long): Long = {
+    require(x >= 1, s"log2Micro needs x >= 1, got $x")
+    math.floor(1e6 * (math.log(x.toDouble) / math.log(2.0)) + 0.5).toLong
+  }
+
+  /** Deterministic Viterbi segmentation under integer piece weights:
+    * maximize Σ w16(piece). Weights carry the unigram objective packed
+    * for exact tie-breaks — w16 = (L(cnt) − L(total))·16 − 1, so the
+    * argmax prefers higher log-likelihood FIRST (×16 headroom), fewer
+    * pieces on likelihood ties (−1 per piece), and the SMALLEST start
+    * position of the last piece on exact ties (ascending-j scan keeps
+    * the first maximum), recursively — both engines reproduce the same
+    * split bit-for-bit. Fails loud on unsegmentable words (a char
+    * outside the vocab) rather than emitting a partial split. */
+  private def unigramViterbi(word: String,
+      w16: scala.collection.Map[String, Long]): List[String] = {
+    val n = word.length
+    val v = Array.fill(n + 1)(Long.MinValue)
+    val bp = Array.fill(n + 1)(-1)
+    v(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = 0
+      while (j < i) {
+        if (v(j) != Long.MinValue) {
+          val w = w16.getOrElse(word.substring(j, i), Long.MinValue)
+          if (w != Long.MinValue && v(j) + w > v(i)) { v(i) = v(j) + w; bp(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(v(n) != Long.MinValue,
+      s"unigramViterbi: '$word' not segmentable under the vocab " +
+        "(missing single-char coverage)")
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { out = word.substring(bp(p), p) :: out; p = bp(p) }
+    out
+  }
+
+  /** UNIGRAM-LM tokenizer training (Kudo '18 — the SentencePiece family
+    * [[bpeTrainMerges]] doesn't cover), as hard-EM: seed the vocabulary
+    * with every ≤ `maxPieceLen`-char substring of the word table (top
+    * `maxSeed` by corpus count, single chars always kept for coverage),
+    * then `iters` Viterbi-EM rounds — E: segment each word under the
+    * current integer log-scores ([[log2Micro]], normalizer L(total)
+    * folded into each weight); M: piece count = Σ word-count over its
+    * Viterbi uses, unused single chars floored to count 1 so coverage
+    * never dies. Final vocab = top `vocabSize` by (count desc, piece)
+    * plus all single chars. Hard-EM (Viterbi counts, not
+    * forward-backward expectations) keeps every quantity an exact
+    * integer — the cross-engine determinism this repo's oracle gate
+    * requires — and is the standard cheap variant of Kudo's soft-EM.
+    *
+    * Scale shape: the ONLY corpus-grain work is the word-count
+    * aggregate (one shuffle, map-side combined); seeding and EM run on
+    * the DRIVER over the O(vocab) word table — the [[bpeTrainMerges]]
+    * pattern — and the trained vocab rides back as an O(vocab) literal.
+    * Word tables are famously sublinear in corpus size (Heaps' law), so
+    * this divides cleanly at 100 TB: big scan, small state. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 40,
+      maxPieceLen: Int = 4, iters: Int = 2, maxSeed: Int = 200): Seq[(String, Long)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 1 && maxSeed >= 1)
+    val words = docs
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          seed(p) = seed.getOrElse(p, 0L) + c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = words.flatMap(_._1.toSeq).distinct.map(_.toString)
+    var vocab: Map[String, Long] = seed.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(maxSeed).toMap
+    singles.foreach(ch => if (!vocab.contains(ch)) vocab += ch -> seed(ch))
+    var it = 0
+    while (it < iters) {
+      val w16 = unigramWeights(vocab)
+      val next = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, c) =>
+        unigramViterbi(w, w16).foreach(p =>
+          next(p) = next.getOrElse(p, 0L) + c)
+      }
+      vocab = next.toMap
+      singles.foreach(ch => if (!vocab.contains(ch)) vocab += ch -> 1L)
+      it += 1
+    }
+    val pruned = vocab.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    val keep = pruned.toMap
+    (pruned ++ vocab.toSeq.filter { case (p, _) =>
+      p.length == 1 && !keep.contains(p) })
+      .sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** The packed integer weights a trained vocab induces — see
+    * [[unigramViterbi]] for the tie-break encoding. */
+  private def unigramWeights(vocab: scala.collection.Map[String, Long]): Map[String, Long] = {
+    val w = log2Micro(vocab.valuesIterator.sum)
+    vocab.map { case (p, c) => p -> ((log2Micro(c) - w) * 16 - 1) }.toMap
+  }
+
+  /** Segment the corpus dictionary under a TRAINED unigram vocab: per
+    * distinct word, its occurrence count, the Viterbi split ('|'-joined)
+    * and the piece count. The vocab rides the closure as an O(vocab)
+    * literal; the corpus-grain work is the same one word-count shuffle
+    * as training. */
+  def unigramSegmentStats(docs: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w16 = unigramWeights(vocab.toMap)
+    docs.select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .as[(String, Long)]
+      .map { case (w, n) =>
+        val seg = unigramViterbi(w, w16)
+        (w, n, seg.mkString("|"), seg.length.toLong)
+      }
+      .toDF("word", "n_occ", "pieces", "n_pieces")
+  }
+
+  /** Trained unigram vocabulary (2 hard-EM rounds, vocab 40 + single
+    * chars) over the documents corpus. */
+  def qUnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramTrain(Tables.documents(spark, dir))
+      .toDF("piece", "cnt")
+      .orderBy("piece", "cnt")
+  }
+
+  /** Corpus dictionary segmented under the trained unigram vocab. */
+  def qUnigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    unigramSegmentStats(docs, unigramTrain(docs))
+      .orderBy("word", "n_occ", "pieces", "n_pieces")
+  }
+
   // ---- line-level boilerplate removal ------------------------------------
 
   /** C4-style LINE-level boilerplate removal (the Raffel et al. '20

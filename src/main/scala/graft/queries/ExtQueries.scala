@@ -124,6 +124,8 @@ object ExtQueries {
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
+    "text_unigram_vocab"    -> TextAnalysis.qUnigramVocab _,
+    "text_unigram_segment"  -> TextAnalysis.qUnigramSegment _,
     "text_hash_classifier"  -> TextAnalysis.qHashClassifier _,
     "text_hash_embed"       -> TextAnalysis.qHashEmbed _,
     "text_token_budget"     -> TextAnalysis.qTokenBudget _,
@@ -642,6 +644,110 @@ object ExtQueries {
     * and Java `String.replace` resume after the replacement identically).
     * Emits b1..b{n} (the merges) and w{n} (the final dictionary, word
     * identity carried through). */
+  /** Unigram-LM training chain (mirrors TextAnalysis.unigramTrain /
+    * unigramSegmentStats; defaults frozen to the query parameters:
+    * maxLen 8 = this corpus's longest word, piece len ≤ 4, 2 hard-EM
+    * rounds, seed cap 200, vocab 40 + single chars).
+    *
+    * Every CTE is MATERIALIZED: the DP levels reference earlier levels
+    * and the EM rounds chain through the previous round's vocabulary —
+    * inlined (DuckDB's default for single-reference CTEs) the plan
+    * multiplies across rounds and the planner blows up; materialized,
+    * each level computes once over the 31-row word table.
+    *
+    * One DP block per weight source: edges (word, j, i) with
+    * substr ∈ vocab, per-position max of predecessor value + packed
+    * weight (L(cnt)−L(total))·16−1, backpointer = min j attaining the
+    * max (the ascending-scan rule of TextAnalysis.unigramViterbi), then
+    * ≤ maxLen reconstruction steps following backpointers from
+    * length(word), each emitting (word, pos, piece). */
+  private def unigramDpBlock(tag: String, vsrc: String, maxLen: Int): Seq[String] = {
+    def l2(e: String) = s"CAST(floor(1000000 * log2($e) + 0.5) AS BIGINT)"
+    val parts = Seq.newBuilder[String]
+    parts += s"${tag}t AS MATERIALIZED (SELECT sum(cnt) AS total FROM $vsrc)"
+    parts += s"${tag}w AS MATERIALIZED (SELECT piece, (${l2("cnt")} - " +
+      s"(SELECT ${l2("total")} FROM ${tag}t)) * 16 - 1 AS w16 FROM $vsrc)"
+    parts +=
+      s"""${tag}e AS MATERIALIZED (SELECT wt.word, jj.j, jj.i, w.w16
+         |  FROM wt, (SELECT a.j, b.i FROM (SELECT unnest(generate_series(0, ${maxLen - 1})) AS j) a,
+         |            (SELECT unnest(generate_series(1, $maxLen)) AS i) b WHERE a.j < b.i) jj
+         |  JOIN ${tag}w w ON w.piece = substr(wt.word, jj.j + 1, jj.i - jj.j)
+         |  WHERE jj.i <= length(wt.word))""".stripMargin
+    parts += s"${tag}a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS v FROM wt)"
+    for (k <- 1 to maxLen) {
+      parts +=
+        s"""${tag}d$k AS MATERIALIZED (SELECT e.word, $k AS i, max(d.v + e.w16) AS v
+           |  FROM ${tag}e e JOIN ${tag}a${k - 1} d ON d.word = e.word AND d.i = e.j
+           |  WHERE e.i = $k GROUP BY 1)""".stripMargin
+      parts += s"${tag}a$k AS MATERIALIZED (SELECT * FROM ${tag}a${k - 1} " +
+        s"UNION ALL SELECT * FROM ${tag}d$k)"
+    }
+    for (k <- 1 to maxLen)
+      parts +=
+        s"""${tag}b$k AS MATERIALIZED (SELECT e.word, $k AS i, min(e.j) AS bp
+           |  FROM ${tag}e e JOIN ${tag}a$maxLen d ON d.word = e.word AND d.i = e.j
+           |  JOIN ${tag}d$k dk ON dk.word = e.word
+           |  WHERE e.i = $k AND d.v + e.w16 = dk.v GROUP BY 1)""".stripMargin
+    parts += s"${tag}bp AS MATERIALIZED (" +
+      (1 to maxLen).map(k => s"SELECT * FROM ${tag}b$k").mkString(" UNION ALL ") + ")"
+    parts += s"${tag}s0 AS MATERIALIZED (SELECT word, length(word) AS i FROM wt)"
+    for (s <- 1 to maxLen)
+      parts +=
+        s"""${tag}s$s AS MATERIALIZED (SELECT s.word, b.bp AS i, b.bp AS pos,
+           |  substr(s.word, b.bp + 1, s.i - b.bp) AS piece
+           |  FROM ${tag}s${s - 1} s JOIN ${tag}bp b ON b.word = s.word AND b.i = s.i
+           |  WHERE s.i > 0)""".stripMargin
+    parts += s"${tag}p AS MATERIALIZED (" +
+      (1 to maxLen).map(s => s"SELECT word, pos, piece FROM ${tag}s$s")
+        .mkString(" UNION ALL ") + ")"
+    parts.result()
+  }
+
+  private def unigramCtes(maxLen: Int = 8, maxPiece: Int = 4, iters: Int = 2,
+      maxSeed: Int = 200, vocabSize: Int = 40): String = {
+    val parts = Seq.newBuilder[String]
+    parts +=
+      """wt AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents) GROUP BY word)""".stripMargin
+    parts +=
+      s"""sub AS MATERIALIZED (SELECT substr(word, i, l) AS piece, sum(cnt) AS cnt
+         |  FROM wt, (SELECT unnest(generate_series(1, $maxLen)) AS i),
+         |       (SELECT unnest(generate_series(1, $maxPiece)) AS l)
+         |  WHERE i + l - 1 <= length(word) GROUP BY 1)""".stripMargin
+    parts +=
+      s"""chars AS MATERIALIZED (SELECT DISTINCT substr(word, i, 1) AS piece
+         |  FROM wt, (SELECT unnest(generate_series(1, $maxLen)) AS i)
+         |  WHERE i <= length(word))""".stripMargin
+    parts +=
+      s"""seedtop AS MATERIALIZED (SELECT piece, cnt FROM (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM sub)
+         |  WHERE rn <= $maxSeed)""".stripMargin
+    parts +=
+      """v0 AS MATERIALIZED (SELECT piece, cnt FROM seedtop
+        |  UNION ALL SELECT s.piece, s.cnt FROM sub s JOIN chars c USING (piece)
+        |  WHERE s.piece NOT IN (SELECT piece FROM seedtop))""".stripMargin
+    for (r <- 1 to iters) {
+      parts ++= unigramDpBlock(s"r$r", s"v${r - 1}", maxLen)
+      parts +=
+        s"""c$r AS MATERIALIZED (SELECT p.piece, CAST(sum(wt.cnt) AS BIGINT) AS cnt
+           |  FROM r${r}p p JOIN wt USING (word) GROUP BY 1)""".stripMargin
+      parts +=
+        s"""v$r AS MATERIALIZED (SELECT piece, cnt FROM c$r
+           |  UNION ALL SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM chars c
+           |  WHERE c.piece NOT IN (SELECT piece FROM c$r))""".stripMargin
+    }
+    parts +=
+      s"""pruned AS MATERIALIZED (SELECT piece, cnt FROM (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM v$iters)
+         |  WHERE rn <= $vocabSize)""".stripMargin
+    parts +=
+      s"""finalv AS MATERIALIZED (SELECT piece, cnt FROM pruned
+         |  UNION ALL SELECT v.piece, v.cnt FROM v$iters v JOIN chars c USING (piece)
+         |  WHERE v.piece NOT IN (SELECT piece FROM pruned))""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
   /** BPE training chain. `minCount` prunes the TRAINING dictionary only
     * (mirrors TextAnalysis.bpeTrainMerges); with `encodeAll` an extra
     * e0..e{numMerges} chain applies the trained merges to the FULL vocab
@@ -1516,6 +1622,26 @@ object ExtQueries {
          |$arms)
          |ORDER BY merge_rank, lhs, rhs, pair_count""".stripMargin
     },
+
+    // Mirrors TextAnalysis.qUnigramVocab: 2 hard-EM rounds of Viterbi
+    // segmentation counts over integer log2-micro weights, vocab 40 +
+    // single chars (see unigramCtes).
+    "text_unigram_vocab" ->
+      s"""WITH ${unigramCtes()}
+         |SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM finalv
+         |ORDER BY piece, cnt""".stripMargin,
+
+    // Mirrors TextAnalysis.qUnigramSegment: one more DP block under the
+    // final pruned vocabulary, pieces re-joined left-to-right.
+    "text_unigram_segment" ->
+      s"""WITH ${unigramCtes()},
+         |${unigramDpBlock("sg", "finalv", 8).mkString(",\n")}
+         |SELECT p.word AS word, CAST(max(wt.cnt) AS BIGINT) AS n_occ,
+         |  string_agg(p.piece, '|' ORDER BY p.pos) AS pieces,
+         |  CAST(count(*) AS BIGINT) AS n_pieces
+         |FROM sgp p JOIN wt ON wt.word = p.word
+         |GROUP BY p.word
+         |ORDER BY word, n_occ, pieces, n_pieces""".stripMargin,
 
     "text_bpe_stats" ->
       s"""WITH ${bpeCtes(8, minCount = 2, encodeAll = true)},

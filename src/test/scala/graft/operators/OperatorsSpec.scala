@@ -451,6 +451,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(prunedStats == Seq(("en", 5L, 12L)), prunedStats.toString)
   }
 
+  test("unigram-LM training: the textbook abab hard-EM case, hand-computed") {
+    // corpus: "abab" x10, "ab" x5. Seed weights make the whole-word
+    // piece beat ab+ab for "abab" (L(10)-L(115) > 2*(L(25)-L(115)) in
+    // packed integers), so hard-EM converges to {abab:10, ab:5} plus
+    // the coverage-floored singles {a:1, b:1}.
+    val docs = ((1L to 10L).map(i => (i, "abab")) ++
+      (11L to 15L).map(i => (i, "ab"))).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramTrain(docs, vocabSize = 10)
+    assert(vocab == Seq(("abab", 10L), ("ab", 5L), ("a", 1L), ("b", 1L)),
+      vocab.toString)
+    val segs = TextAnalysis.unigramSegmentStats(docs, vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(segs.toSeq == Seq(("ab", 5L, "ab", 1L), ("abab", 10L, "abab", 1L)),
+      segs.toSeq.toString)
+
+    // vocabSize pruning keeps the top pieces but singles NEVER drop
+    // (total coverage is the tokenizer's contract)
+    val tiny = TextAnalysis.unigramTrain(docs, vocabSize = 1)
+    assert(tiny.map(_._1).toSet == Set("abab", "a", "b"), tiny.toString)
+
+    // a vocab missing a character fails loud instead of emitting a
+    // partial segmentation
+    val ex = intercept[Exception] {
+      TextAnalysis.unigramSegmentStats(
+        Seq((1L, "abc")).toDF("doc_id", "text"),
+        Seq(("a", 5L), ("b", 5L))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("CDC chunking: boundaries are content-defined, so an insertion only perturbs its own chunk") {
     // a long synthetic doc (deterministic tokens) and a copy with ONE
     // token inserted near the front — fixed-stride chunking would shift
