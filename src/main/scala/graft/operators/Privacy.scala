@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Privacy-risk profiling — the re-identification audit a curation
+  * pipeline runs before releasing a structured table (or the metadata
+  * sidecar of a document corpus): k-anonymity (Sweeney '02 — every row
+  * must be indistinguishable from ≥ k−1 others on its quasi-identifier
+  * tuple) and l-diversity (Machanavajjhala '06 — each indistinguishable
+  * class must carry ≥ l distinct sensitive values, else class
+  * membership alone leaks the sensitive attribute even at high k).
+  *
+  * The unit of work is the EQUIVALENCE CLASS: the group of rows sharing
+  * one quasi-identifier tuple. One hash aggregate builds the classes
+  * (map-side combinable — class size and the class's distinct sensitive
+  * count are both algebraic under Spark's partial aggregation), then an
+  * O(classes) second aggregate rolls classes up to the audit row. At
+  * 100 TB the only full-data pass is the first groupBy; everything
+  * after is class-grain, and class count is bounded by the generalized
+  * QI domain, not the corpus.
+  *
+  * Generalization is first-class: the audit runs a LADDER of
+  * coarsenings of the numeric QI (bucket widths), because the question
+  * a release decision needs answered is not "is this k-anonymous" but
+  * "HOW MUCH must we coarsen before it is". The ladder shares one scan:
+  * widths explode per row (|widths|× the aggregate's input, same single
+  * shuffle) rather than re-scanning the table per level.
+  *
+  * Integer discipline (the repo-wide oracle contract): the numeric QI
+  * quantizes to exact integer cents BEFORE bucketing, and is SHIFTED
+  * non-negative before the integer division — Spark's `div` truncates
+  * toward zero while DuckDB's `//` floors, so negative balances would
+  * otherwise straddle two different buckets at the engines' seam. All
+  * ppm rates are half-up integer divisions.
+  */
+object Privacy {
+
+  /** k-anonymity × l-diversity ladder over one numeric QI generalized at
+    * each of `bucketWidths` (whole currency units), with categorical QI
+    * columns `qiCols` fixed and `sensitiveCol` as the protected value.
+    *
+    * Per level: class count, the table's realized k (min class size),
+    * singleton classes, the row mass in classes below `k` (half-up ppm),
+    * the realized l (min distinct sensitive per class), and the row mass
+    * in HOMOGENEOUS classes (l = 1 — the homogeneity attack: QI
+    * membership reveals the sensitive value exactly) in half-up ppm.
+    *
+    * `numericQi` must hold values with ≤ 2 decimals (cents grain);
+    * `shiftCents` must make every shifted value non-negative and is
+    * asserted in-plan (raise_error on violation, never a wrong bucket).
+    */
+  def anonymityLadder(df: DataFrame, qiCols: Seq[String], numericQi: String,
+      sensitiveCol: String, bucketWidths: Seq[Int], k: Int = 5,
+      shiftCents: Long = 1000000L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one categorical QI column")
+    require(bucketWidths.nonEmpty && bucketWidths.forall(_ > 0))
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val cents = expr(s"CAST(round($numericQi * 100) AS BIGINT) + $shiftCents")
+    val leveled = df
+      .withColumn("graft_cents",
+        when(cents >= 0L, cents).otherwise(raise_error(
+          concat(lit(s"anonymityLadder: $numericQi below shift floor: "),
+            col(numericQi).cast("string")))))
+      .select(col(sensitiveCol).as("graft_sens") +: col("graft_cents") +:
+        qiCols.map(col): _*)
+      .withColumn("bucket_width",
+        explode(array(bucketWidths.map(w => lit(w.toLong)): _*)))
+      .withColumn("graft_bucket",
+        expr("graft_cents div (bucket_width * 100)"))
+    val classes = leveled
+      .groupBy(col("bucket_width") +: col("graft_bucket") +:
+        qiCols.map(col): _*)
+      .agg(count(lit(1)).as("graft_k"),
+        countDistinct(col("graft_sens")).as("graft_l"))
+    classes.groupBy("bucket_width")
+      .agg(
+        sum(col("graft_k")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("graft_k")).as("min_k"),
+        sum(when(col("graft_k") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("graft_k") < k, col("graft_k")).otherwise(0L))
+          .as("rows_below_k"),
+        min(col("graft_l")).as("min_l"),
+        sum(when(col("graft_l") === 1L, col("graft_k")).otherwise(0L))
+          .as("rows_homogeneous"))
+      .select(col("bucket_width"), col("n_rows"), col("n_classes"),
+        col("min_k"), col("n_singletons"), col("rows_below_k"),
+        expr("(rows_below_k * 2000000 + n_rows) div (n_rows * 2)")
+          .as("below_k_ppm"),
+        col("min_l"), col("rows_homogeneous"),
+        expr("(rows_homogeneous * 2000000 + n_rows) div (n_rows * 2)")
+          .as("homogeneous_ppm"))
+  }
+
+  /** Class-size spectrum at ONE generalization level — the histogram a
+    * privacy auditor reads to pick k (how much row mass sits at each
+    * anonymity level, cumulative from the riskiest class up). Output is
+    * O(distinct class sizes) rows. */
+  def anonymityHistogram(df: DataFrame, qiCols: Seq[String],
+      numericQi: String, bucketWidth: Int,
+      shiftCents: Long = 1000000L): DataFrame = {
+    require(qiCols.nonEmpty && bucketWidth > 0)
+    val cents = expr(s"CAST(round($numericQi * 100) AS BIGINT) + $shiftCents")
+    val classes = df
+      .withColumn("graft_cents",
+        when(cents >= 0L, cents).otherwise(raise_error(
+          concat(lit(s"anonymityHistogram: $numericQi below shift floor: "),
+            col(numericQi).cast("string")))))
+      .withColumn("graft_bucket",
+        expr(s"graft_cents div (${bucketWidth}L * 100)"))
+      .groupBy(col("graft_bucket") +: qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size").agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("class_size"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // running row mass from the riskiest (smallest) class size up — the
+    // curve whose knee picks the release threshold; O(sizes) rows total,
+    // so the single-partition window is driver-free and trivially small
+    classes.withColumn("cum_rows", sum(col("n_rows")).over(w))
+  }
+
+  /** Audit over the customer dimension: QI = (c_nationkey, generalized
+    * c_acctbal), sensitive = c_mktsegment, ladder widths 100/1000/10000
+    * currency units, k = 5. Balances reach −994.28, so the cents shift
+    * (+10⁶) keeps every bucket index non-negative for both engines'
+    * integer division. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    anonymityLadder(Tables.customer(spark, dir), Seq("c_nationkey"),
+      "c_acctbal", "c_mktsegment", Seq(100, 1000, 10000), k = 5)
+      .orderBy("bucket_width")
+
+  /** Class-size spectrum at the 1000-unit level of [[qKAnonymity]]. */
+  def qKHistogram(spark: SparkSession, dir: String): DataFrame =
+    anonymityHistogram(Tables.customer(spark, dir), Seq("c_nationkey"),
+      "c_acctbal", 1000)
+      .orderBy("class_size")
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Privacy audit semantics on hand-computable tables: k/l values of a
+  * textbook equivalence-class layout, ladder monotonicity, negative-QI
+  * shift guard, histogram mass conservation. */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (nation, balance, segment): at width 100 the cents shift +1e6 puts
+  // 0.00..99.99 in one bucket, 100.00..199.99 in the next.
+  // nation 1 / bucket 0: rows (a,b,c) segments X,X,Y -> k=3, l=2
+  // nation 1 / bucket 1: row  (d)     segment  X     -> k=1, l=1
+  // nation 2 / bucket 0: rows (e,f)   segments Y,Y   -> k=2, l=1
+  private def toy = Seq(
+    (1, 10.00, "X"), (1, 50.25, "X"), (1, 99.99, "Y"),
+    (1, 150.00, "X"),
+    (2, 0.00, "Y"), (2, 42.00, "Y"))
+    .toDF("nation", "bal", "segment")
+
+  test("anonymityLadder reports textbook k, l, and ppm masses") {
+    val r = Privacy.anonymityLadder(toy, Seq("nation"), "bal", "segment",
+      bucketWidths = Seq(100), k = 2).head
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_k") == 1L)
+    assert(r.getAs[Long]("n_singletons") == 1L)
+    assert(r.getAs[Long]("rows_below_k") == 1L) // only the singleton (k<2)
+    assert(r.getAs[Long]("below_k_ppm") == 166667L) // 1/6 half-up
+    assert(r.getAs[Long]("min_l") == 1L)
+    // homogeneous classes: (1,b1) k=1 and (2,b0) k=2 -> 3 rows
+    assert(r.getAs[Long]("rows_homogeneous") == 3L)
+    assert(r.getAs[Long]("homogeneous_ppm") == 500000L)
+  }
+
+  test("coarsening the ladder never increases class count and never lowers min_k") {
+    val rows = Privacy.anonymityLadder(toy, Seq("nation"), "bal", "segment",
+        bucketWidths = Seq(100, 10000), k = 2)
+      .orderBy("bucket_width").collect()
+    assert(rows(0).getAs[Long]("n_classes") >= rows(1).getAs[Long]("n_classes"))
+    assert(rows(0).getAs[Long]("min_k") <= rows(1).getAs[Long]("min_k"))
+    // at width 10000 everything per nation is one class: k=(4,2), l=(2,1)
+    assert(rows(1).getAs[Long]("n_classes") == 2L)
+    assert(rows(1).getAs[Long]("min_k") == 2L)
+    assert(rows(1).getAs[Long]("rows_homogeneous") == 2L)
+  }
+
+  test("negative QI below the shift floor fails loud, not a wrong bucket") {
+    val bad = Seq((1, -10000.01, "X")).toDF("nation", "bal", "segment")
+    val e = intercept[Exception] {
+      Privacy.anonymityLadder(bad, Seq("nation"), "bal", "segment",
+        bucketWidths = Seq(100), shiftCents = 1000000L).collect()
+    }
+    assert(e.getMessage.contains("below shift floor"))
+  }
+
+  test("histogram conserves row mass and accumulates riskiest-first") {
+    val h = Privacy.anonymityHistogram(toy, Seq("nation"), "bal", 100)
+      .orderBy("class_size").collect()
+    // classes sized 1, 2, 3 -> one of each
+    assert(h.map(r => (r.getAs[Long]("class_size"), r.getAs[Long]("n_classes")))
+      .toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(h.last.getAs[Long]("cum_rows") == 6L)
+    assert(h.map(_.getAs[Long]("cum_rows")).toSeq == Seq(1L, 3L, 6L))
+  }
+
+  test("sf0.001 customer audit: ladder rows exist and rates are in range") {
+    val r = Privacy.qKAnonymity(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_rows") > 0)
+      val ppm = row.getAs[Long]("below_k_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+  }
+}
