@@ -137,6 +137,59 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** DOC-GRAIN corpus snapshot diff — the crawl-ops churn report
+    * ([[profileDiff]] is column-grain; this answers "which documents
+    * appeared, vanished, or changed between two corpus snapshots, and
+    * which sources churn"). Identity is `idCol`; change detection is
+    * xxhash64 over `contentCol` computed INSIDE each side's scan, so the
+    * join moves (id, source, 8-byte hash) — never document text. The
+    * full-outer join hash-partitions on the id both sides (co-located
+    * if both snapshots are bucketed by id, the [[graft.sources.Sinks]]
+    * discipline), and the rollup is one O(sources) aggregate:
+    * added/removed/changed/unchanged counts + churn ppm (half-up), where
+    * churn = everything but unchanged. A changed doc reports the AFTER
+    * side's source (it owns the row going forward); a removed doc its
+    * BEFORE source. */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("graft_id"),
+      col(sourceCol).as(s"graft_src_$tag"),
+      xxhash64(col(contentCol)).as(s"graft_h_$tag"))
+    val joined = side(before, "a")
+      .join(side(after, "b"), Seq("graft_id"), "full_outer")
+      .select(
+        coalesce(col("graft_src_b"), col("graft_src_a")).as("source"),
+        when(col("graft_h_a").isNull, "added")
+          .when(col("graft_h_b").isNull, "removed")
+          .when(col("graft_h_a") === col("graft_h_b"), "unchanged")
+          .otherwise("changed").as("graft_st"))
+    joined.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("graft_st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("graft_st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("graft_st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("graft_st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .withColumn("churn_ppm", expr(
+        "((n_added + n_removed + n_changed) * 2000000 + n_docs) div (n_docs * 2)"))
+  }
+
+  /** Snapshot diff between the documents table and a deterministic
+    * "next crawl" stand-in: doc_id%7==3 vanish, doc_id%5==2 get a
+    * changed body, and a doc_id%11==0 slice re-arrives as new ids
+    * (+10⁶) — the three churn classes plus the unchanged mass. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = Tables.documents(spark, dir)
+    val next = before.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" [revised]"))).otherwise(col("text")))
+    val arrivals = before.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    corpusDiff(before, next.unionByName(arrivals))
+      .orderBy("source")
+  }
+
   /** PER-DIMENSION embedding profile — the feature-health report for an
     * embedding column (the [[columnProfile]] idea at vector-component
     * grain): per dim, count, milli-quantized min/max, sign-safe half-up

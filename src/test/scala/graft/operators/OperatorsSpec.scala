@@ -884,6 +884,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.getLong(4) == 1 && s.getLong(5) == 0) // null row dropped
   }
 
+  test("corpus diff: added/removed/changed/unchanged per source, churn ppm half-up") {
+    val before = Seq(
+      (1L, "alpha", "s1"), (2L, "beta", "s1"),
+      (3L, "gamma", "s2"), (4L, "delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    // 2 removed; 3 changed (and moves to s3 — AFTER side owns it);
+    // 5 added to s1; 1 and 4 unchanged
+    val after = Seq(
+      (1L, "alpha", "s1"), (3L, "gamma prime", "s3"),
+      (4L, "delta", "s2"), (5L, "epsilon", "s1"))
+      .toDF("doc_id", "text", "source")
+    val d = Profile.corpusDiff(before, after)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = d("s1") // docs 1 (unchanged), 2 (removed), 5 (added)
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 1 && s1.getLong(3) == 1)
+    assert(s1.getLong(4) == 0 && s1.getLong(5) == 1)
+    assert(s1.getLong(6) == 666667L, "2/3 churn half-up ppm")
+    val s3 = d("s3") // doc 3 changed, reported under its NEW source
+    assert(s3.getLong(1) == 1 && s3.getLong(4) == 1 && s3.getLong(6) == 1000000L)
+    val s2 = d("s2") // only doc 4 left: unchanged
+    assert(s2.getLong(1) == 1 && s2.getLong(5) == 1 && s2.getLong(6) == 0L)
+  }
+
   test("indexed grep: postings intersection finds exactly the contains() set") {
     val d = docs
     val ix = TextAnalysis.gramIndex(d, q = 4)
