@@ -854,6 +854,93 @@ object Multimodal {
       .select("doc_a", "doc_b", "n_shared", "shared_ppm")
   }
 
+  /** Incremental audio near-dup: a batch of new clips probes an
+    * EXISTING corpus landmark set without re-fingerprinting the corpus —
+    * the [[graft.operators.Dedup.incrementalPairs]] shape one modality
+    * over. The df cap applies to CORPUS landmarks only (the persisted
+    * index's df is what is knowable at probe time; a batch's own
+    * additions to df land when the batch is folded into the index —
+    * same contract as the gram-index span dedup). Candidate mass is
+    * bounded by cap × |batch landmarks|; corpus-side work after the
+    * probe join touches only CANDIDATE clips (the n_lm denominator
+    * count semi-joins to candidates first), so per-batch cost is
+    * O(batch + matches), never corpus-grain.
+    *
+    * `corpusLm`/`batchLm` are [[audioLandmarks]] frames (read the
+    * persisted [[writeAudioLandmarkIndex]] table for the corpus side).
+    * Returns (batch_id, corpus_id, n_shared, shared_ppm ≥ gate) with
+    * shared_ppm over FULL landmark counts of both sides. */
+  def audioIncrementalPairs(corpusLm: DataFrame, batchLm: DataFrame,
+      maxDf: Option[Int] = Some(20),
+      minSharedPpm: Long = 500000L): DataFrame = {
+    val keptCorpus = maxDf match {
+      case Some(cap) =>
+        val rare = corpusLm.groupBy("s1", "s2", "dw")
+          .agg(count(lit(1)).as("graft_df"))
+          .filter(col("graft_df") <= cap)
+          .select("s1", "s2", "dw")
+        corpusLm.join(rare, Seq("s1", "s2", "dw"))
+      case None => corpusLm
+    }
+    val shared = batchLm
+      .select(col("s1"), col("s2"), col("dw"), col("doc_id").as("batch_id"))
+      .join(keptCorpus.select(col("s1"), col("s2"), col("dw"),
+        col("doc_id").as("corpus_id")), Seq("s1", "s2", "dw"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint()
+    val nBatch = batchLm.groupBy("doc_id").agg(count(lit(1)).as("nl_b"))
+    val nCorpus = corpusLm
+      .join(shared.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nl_c"))
+    shared
+      .join(nBatch.select(col("doc_id").as("batch_id"), col("nl_b")), "batch_id")
+      .join(nCorpus.select(col("doc_id").as("corpus_id"), col("nl_c")), "corpus_id")
+      .withColumn("shared_ppm",
+        expr("(n_shared * 1000000) div least(nl_b, nl_c)"))
+      .filter(col("shared_ppm") >= minSharedPpm)
+      .select("batch_id", "corpus_id", "n_shared", "shared_ppm")
+  }
+
+  /** Persist an [[audioLandmarks]] table bucketed by the landmark triple
+    * so batch probes co-locate without exchanging the corpus side. */
+  def writeAudioLandmarkIndex(samples: DataFrame, tableName: String,
+      numBuckets: Int, windowLen: Int = 16, hop: Int = 8,
+      nCoeffs: Int = 16, fanout: Int = 3): Unit =
+    graft.sources.Sinks.writeBucketed(
+      audioLandmarks(samples, windowLen, hop, nCoeffs, fanout), tableName,
+      bucketCols = Seq("s1", "s2", "dw"), numBuckets = numBuckets,
+      sortCols = Seq("s1", "s2", "dw"))
+
+  /** Probe a persisted [[writeAudioLandmarkIndex]] table with a batch of
+    * new clips' sample panels. */
+  def audioDedupBatchAgainstIndex(spark: SparkSession, batchSamples: DataFrame,
+      tableName: String, maxDf: Option[Int] = Some(20),
+      minSharedPpm: Long = 500000L): DataFrame =
+    audioIncrementalPairs(spark.table(tableName),
+      audioLandmarks(batchSamples), maxDf, minSharedPpm)
+
+  /** Incremental-arrival twin scenario: the corpus is the audio docs,
+    * the BATCH is their near-dup twins (doc_id%5==1 → +10⁶, appended
+    * tail) arriving later — the probe must find each twin's original
+    * through the landmark index without touching non-candidate corpus
+    * clips. */
+  def qAudioNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val audio = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+    def clips(df: DataFrame) = audioSamples(
+      df.select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload")))
+    val twins = audio.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail marker words")).as("text"))
+    audioIncrementalPairs(audioLandmarks(clips(audio)),
+      audioLandmarks(clips(twins)))
+      .orderBy("batch_id", "corpus_id", "n_shared", "shared_ppm")
+  }
+
   /** Audio near-dup over the audio docs PLUS synthesized near-dup twins
     * (every doc_id%5==1 clip re-appears as doc_id+10⁶ with a short
     * appended tail — the [[Scrub]] twin discipline: the corpus has no
@@ -2846,4 +2933,93 @@ object Multimodal {
   def qVideoNearDup(spark: SparkSession, dir: String): DataFrame =
     videoNearDupPairs(mjpegTable(Tables.documents(spark, dir)))
       .orderBy("doc_a", "doc_b", "hamming")
+
+  /** Incremental video near-dup: new videos probe an EXISTING corpus of
+    * keyframe signatures without re-decoding or re-hashing the corpus —
+    * the modality-complete close of the incremental-index family (text
+    * signatures, grams, PQ codes, audio landmarks, now video scenes).
+    * The (scene ordinal, keyframe hash) bucket cap applies to CORPUS
+    * postings only (what the persisted index knows at probe time);
+    * corpus signature arrays are assembled ONLY for candidate videos
+    * (semi-join before the grouped collect), so per-batch work is
+    * O(batch scenes + candidate scenes) at any corpus size.
+    *
+    * `corpusKf`/`batchKf` are [[videoSignatures]] frames (read the
+    * persisted [[writeVideoSignatureIndex]] table for the corpus side).
+    * Verify is [[videoNearDupPairs]]' aligned packed hamming with
+    * missing scenes charged `bits`. Returns
+    * (batch_id, corpus_id, hamming ≤ maxHamming). */
+  def videoIncrementalPairs(corpusKf: DataFrame, batchKf: DataFrame,
+      bits: Int = 24, maxHamming: Long = 6L,
+      maxBucketSize: Option[Int] = Some(512)): DataFrame = {
+    def sigsOf(kf: DataFrame) = kf.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("scene_id"), col("ahash"))))
+        .as("sa"))
+      .select(col("doc_id"), expr("transform(sa, x -> x.ahash)").as("sig"))
+    val keptCorpus = maxBucketSize match {
+      case Some(cap) =>
+        val ok = corpusKf.groupBy("scene_id", "ahash")
+          .agg(count(lit(1)).as("graft_bn"))
+          .filter(col("graft_bn") <= cap)
+          .select("scene_id", "ahash")
+        corpusKf.join(ok, Seq("scene_id", "ahash"))
+      case None => corpusKf
+    }
+    val cand = batchKf
+      .select(col("scene_id"), col("ahash"), col("doc_id").as("batch_id"))
+      .join(keptCorpus.select(col("scene_id"), col("ahash"),
+        col("doc_id").as("corpus_id")), Seq("scene_id", "ahash"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+      .localCheckpoint()
+    val corpusSigs = sigsOf(corpusKf
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+    cand
+      .join(sigsOf(batchKf).select(col("doc_id").as("batch_id"),
+        col("sig").as("sig_a")), "batch_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"),
+        col("sig").as("sig_b")), "corpus_id")
+      .withColumn("hamming", expr(
+        s"""aggregate(zip_with(sig_a, sig_b, (x, y) ->
+           |CASE WHEN x IS NULL OR y IS NULL THEN CAST($bits AS BIGINT)
+           |ELSE CAST(bit_count(x ^ y) AS BIGINT) END),
+           |0L, (acc, v) -> acc + v)""".stripMargin.replace('\n', ' ')))
+      .filter(col("hamming") <= maxHamming)
+      .select("batch_id", "corpus_id", "hamming")
+  }
+
+  /** Persist a [[videoSignatures]] table bucketed by (scene ordinal,
+    * keyframe hash) so batch probes co-locate without exchanging the
+    * corpus side. */
+  def writeVideoSignatureIndex(media: DataFrame, tableName: String,
+      numBuckets: Int, step: Int = 2, cutThreshold: Long = 1L,
+      bits: Int = 24): Unit =
+    graft.sources.Sinks.writeBucketed(
+      videoSignatures(media, step, cutThreshold, bits), tableName,
+      bucketCols = Seq("scene_id", "ahash"), numBuckets = numBuckets,
+      sortCols = Seq("scene_id", "ahash"))
+
+  /** Probe a persisted [[writeVideoSignatureIndex]] table with a batch
+    * of new videos. */
+  def videoDedupBatchAgainstIndex(spark: SparkSession, batchMedia: DataFrame,
+      tableName: String, step: Int = 2, cutThreshold: Long = 1L,
+      bits: Int = 24, maxHamming: Long = 6L,
+      maxBucketSize: Option[Int] = Some(512)): DataFrame =
+    videoIncrementalPairs(spark.table(tableName),
+      videoSignatures(batchMedia, step, cutThreshold, bits),
+      bits, maxHamming, maxBucketSize)
+
+  /** Incremental-refresh simulation on the MJPEG corpus: videos with
+    * doc_id % 5 == 0 arrive as the new batch, the rest are the indexed
+    * corpus (the [[graft.operators.Dedup.qIncrementalDedup]] split; both
+    * signature sets compute in-flight for statelessness — production
+    * reads the bucketed index). */
+  def qVideoNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val kf = videoSignatures(mjpegTable(Tables.documents(spark, dir)))
+      .localCheckpoint()
+    videoIncrementalPairs(kf.filter(col("doc_id") % 5 =!= 0),
+      kf.filter(col("doc_id") % 5 === 0))
+      .orderBy("batch_id", "corpus_id", "hamming")
+  }
 }

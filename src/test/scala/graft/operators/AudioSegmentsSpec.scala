@@ -121,4 +121,40 @@ class AudioSegmentsSpec extends AnyFunSuite {
     assert(Multimodal.audioNearDupPairs(clipPanel(five: _*),
       maxDf = None).count() == 10L)
   }
+
+  test("audioIncrementalPairs: a batch twin finds its corpus original; corpus pairs never emit") {
+    // corpus: original + an unrelated clip + two identical corpus clips
+    // (a corpus-corpus dup the PROBE must not report); batch: the twin
+    val other = "completely different material with nothing shared at all here ok"
+    val corpus = Multimodal.audioLandmarks(clipPanel(
+      (1L, clip), (3L, other), (4L, other)))
+    val batch = Multimodal.audioLandmarks(clipPanel((1000001L, clip + " extra tail")))
+    val pairs = Multimodal.audioIncrementalPairs(corpus, batch).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000001L, 1L)))
+    assert(pairs.head.getLong(3) >= 500000L)
+  }
+
+  test("audioIncrementalPairs: the df cap reads CORPUS df, not corpus+batch") {
+    // corpus has 3 identical clips (df 3 <= cap 3); the batch twin would
+    // push df to 4 but must still match, because the index's df is what
+    // is knowable at probe time
+    val corpus = Multimodal.audioLandmarks(clipPanel(
+      (1L, clip), (2L, clip), (3L, clip)))
+    val batch = Multimodal.audioLandmarks(clipPanel((9L, clip)))
+    assert(Multimodal.audioIncrementalPairs(corpus, batch,
+      maxDf = Some(3)).count() == 3L)
+    assert(Multimodal.audioIncrementalPairs(corpus, batch,
+      maxDf = Some(2)).count() == 0L)
+  }
+
+  test("incremental twin scenario matches the batch query's twin separation at sf0.001") {
+    val incr = Multimodal.qAudioNearDupIncremental(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(incr.nonEmpty)
+    // every batch clip is a twin and must pair with exactly its original
+    assert(incr.forall(r => r.getLong(0) - 1000000L == r.getLong(1)))
+    val twinCount = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 1).count()
+    assert(incr.length == twinCount.toInt)
+  }
 }

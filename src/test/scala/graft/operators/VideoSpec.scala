@@ -175,4 +175,21 @@ class VideoSpec extends AnyFunSuite {
       mediaDf((1L, "video", pa, oa), (2L, "video", pb, ob)), step = 1,
       maxBucketSize = None).collect().map(_.getLong(2)).toSeq == Seq(0L))
   }
+
+  test("videoIncrementalPairs agrees with the batch query on cross-split pairs") {
+    // sf0.001 corpus, %5 split: the incremental probe must find exactly
+    // the batch query's pairs that cross the split (caps don't bind at
+    // this scale, so the corpus-only cap can't diverge), with hamming
+    // bit-identical; batch-batch and corpus-corpus pairs never appear.
+    val dir = "/root/testdata/sf0.001"
+    val batchCross = Multimodal.qVideoNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, h) => if (a % 5 == 0) (a, b, h) else (b, a, h) }
+      .toSet
+    val incr = Multimodal.qVideoNearDupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == batchCross)
+    assert(incr.forall { case (b, c, _) => b % 5 == 0 && c % 5 != 0 })
+  }
 }
