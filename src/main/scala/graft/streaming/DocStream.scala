@@ -102,6 +102,138 @@ object DocStream {
       },
       numBuckets, numHashes, bands, shingleK, minEstJaccard, gramIndexTable)
 
+  /** Streaming AUDIO near-dup ingest — the [[dedupIngest]] discipline on
+    * the landmark index ([[graft.operators.Multimodal.audioLandmarks]]):
+    * per micro-batch, fingerprint the batch's clips, drop in-batch
+    * near-dups (self-probe, min-id survivor), probe the PERSISTED
+    * landmark index for cross-batch dups (zero-exchange bucketed join;
+    * the corpus is never re-fingerprinted), then append survivors to the
+    * sink and their landmarks to the index. Same at-least-once armor as
+    * the text ingest: the sink partitions by batch id with dynamic
+    * overwrite (replay rewrites its own partition), the cross-batch
+    * probe filters self-pairs (a replayed batch finds its own pre-crash
+    * landmarks at 10⁶ ppm), and the index append anti-joins on
+    * (s1, s2, dw, doc_id) so replays never double-insert. Clips too
+    * short for one landmark (sub-window) pass through undeduped — the
+    * fingerprint has nothing to say about them, and silently dropping
+    * them would lose data; gate length upstream if that matters.
+    *
+    * `clips` is a stream of (doc_id, media_type, payload). */
+  def audioDedupIngest(clips: DataFrame, spark: SparkSession,
+      indexTable: String, outPath: String, checkpoint: String,
+      numBuckets: Int = 16, maxDf: Option[Int] = Some(20),
+      minSharedPpm: Long = 500000L): StreamingQuery = {
+    import graft.operators.Multimodal
+    clips.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val corpusIdx =
+          if (spark.catalog.tableExists(indexTable)) {
+            spark.catalog.refreshTable(indexTable)
+            Some(spark.table(indexTable))
+          } else None
+        val media = batch.localCheckpoint()
+        val lm = Multimodal.audioLandmarks(Multimodal.audioSamples(media))
+          .localCheckpoint()
+        val inBatchDups = Multimodal
+          .audioIncrementalPairs(lm, lm, maxDf, minSharedPpm)
+          .filter(col("batch_id") > col("corpus_id"))
+          .select(col("batch_id").as("doc_id")).distinct()
+        val corpusDups = corpusIdx match {
+          case Some(ix) => Multimodal
+            .audioIncrementalPairs(ix, lm, maxDf, minSharedPpm)
+            .filter(col("batch_id") =!= col("corpus_id")) // replay guard
+            .select(col("batch_id").as("doc_id")).distinct()
+          case None => spark.range(0).select(col("id").as("doc_id"))
+        }
+        val survivors = media.join(
+          inBatchDups.union(corpusDups).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        survivors.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        val toAppend = lm.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        val freshRows = corpusIdx match {
+          case Some(ix) => toAppend.join(
+            ix.select(col("s1"), col("s2"), col("dw"), col("doc_id")),
+            Seq("s1", "s2", "dw", "doc_id"), "left_anti")
+          case None => toAppend
+        }
+        freshRows
+          .write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, indexTable).getOrElse(numBuckets),
+            "s1", "s2", "dw")
+          .sortBy("s1", "s2", "dw")
+          .saveAsTable(indexTable)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming VIDEO near-dup ingest — [[audioDedupIngest]] one modality
+    * over, on the scene-keyframe signature index
+    * ([[graft.operators.Multimodal.videoSignatures]]): probe key is
+    * (scene ordinal, keyframe hash), verify is the aligned packed
+    * hamming, survivors append to the sink and their scene rows to the
+    * index (anti-join on (scene_id, ahash, doc_id) for replay
+    * idempotence). `videos` is a stream of
+    * (doc_id, media_type, payload, frame_offsets). */
+  def videoDedupIngest(videos: DataFrame, spark: SparkSession,
+      indexTable: String, outPath: String, checkpoint: String,
+      numBuckets: Int = 16, maxHamming: Long = 6L,
+      maxBucketSize: Option[Int] = Some(512)): StreamingQuery = {
+    import graft.operators.Multimodal
+    videos.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val corpusIdx =
+          if (spark.catalog.tableExists(indexTable)) {
+            spark.catalog.refreshTable(indexTable)
+            Some(spark.table(indexTable))
+          } else None
+        val media = batch.localCheckpoint()
+        val kf = Multimodal.videoSignatures(media).localCheckpoint()
+        val inBatchDups = Multimodal
+          .videoIncrementalPairs(kf, kf, maxHamming = maxHamming,
+            maxBucketSize = maxBucketSize)
+          .filter(col("batch_id") > col("corpus_id"))
+          .select(col("batch_id").as("doc_id")).distinct()
+        val corpusDups = corpusIdx match {
+          case Some(ix) => Multimodal
+            .videoIncrementalPairs(ix, kf, maxHamming = maxHamming,
+              maxBucketSize = maxBucketSize)
+            .filter(col("batch_id") =!= col("corpus_id")) // replay guard
+            .select(col("batch_id").as("doc_id")).distinct()
+          case None => spark.range(0).select(col("id").as("doc_id"))
+        }
+        val survivors = media.join(
+          inBatchDups.union(corpusDups).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        survivors.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        val toAppend = kf.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        val freshRows = corpusIdx match {
+          case Some(ix) => toAppend.join(
+            ix.select(col("scene_id"), col("ahash"), col("doc_id")),
+            Seq("scene_id", "ahash", "doc_id"), "left_anti")
+          case None => toAppend
+        }
+        freshRows
+          .write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, indexTable).getOrElse(numBuckets),
+            "scene_id", "ahash")
+          .sortBy("scene_id", "ahash")
+          .saveAsTable(indexTable)
+        ()
+      }
+      .start()
+  }
+
   /** Compact a cluster-maintenance pairs journal: the journal grows with
     * every batch's pairs forever, but the CURRENT mapping's star edges
     * (cluster_id → node) regenerate exactly the same components — so the

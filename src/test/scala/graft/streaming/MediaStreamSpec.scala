@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Multimodal
+
+/** Streaming modality-fingerprint dedup: audio landmark and video
+  * scene-signature ingests drop in-batch and cross-batch near-dups,
+  * keep replay-idempotent sinks, and grow their indexes with survivors
+  * only. */
+class MediaStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val clipA = "a steady carrier tone with modulated words over it, long " +
+    "enough for several analysis windows to fire in sequence"
+  private val clipB = "completely different spectral material: percussive, " +
+    "broadband, nothing like the first clip at all in any window"
+  private val clipC = "a third source, again unlike the others, with its own " +
+    "distinct window symbols and landmark constellation pattern"
+
+  test("audioDedupIngest drops in-batch and cross-batch twins; index holds survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mediastream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS audio_lm_idx")
+
+    val input = MemoryStream[(Long, String)]
+    val clips = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val q = DocStream.audioDedupIngest(clips, spark, "audio_lm_idx",
+      out, ckpt, numBuckets = 4)
+    try {
+      // batch 1: A, an exact copy of A (landmark-identical, 1e6 ppm),
+      // a tail twin of A, and unrelated B — min-id survivor keeps 1
+      input.addData((1L, clipA), (3L, clipA), (6L, clipA + " extra tail"),
+        (2L, clipB))
+      q.processAllAvailable()
+      // batch 2: a late twin of A (cross-batch, must probe the index)
+      // and genuinely new C
+      input.addData((4L, clipA + " other tail"), (5L, clipC))
+      q.processAllAvailable()
+
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 5L), survivors.toString)
+      // replay-idempotent layout: each survivor in its own batch partition
+      val byBatch = spark.read.parquet(out)
+        .selectExpr("doc_id", "CAST(ingest_batch AS BIGINT)")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byBatch == Map(1L -> 0L, 2L -> 0L, 5L -> 1L), byBatch.toString)
+      // index holds exactly the survivors' landmarks
+      spark.catalog.refreshTable("audio_lm_idx")
+      val idxDocs = spark.table("audio_lm_idx")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxDocs == Set(1L, 2L, 5L), idxDocs.toString)
+    } finally q.stop()
+  }
+
+  test("videoDedupIngest drops copies across batches; sub-threshold videos survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mediastream-v")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS video_sig_idx")
+
+    val textV = "abcdefghijklmnopqrstuvwx" // 24 ASCII bytes
+    val textW = "zyxwvutsrqponmlkjihgfedc"
+    // containers built DRIVER-side (deterministic builder) and streamed
+    // as finished media rows — the ingest never re-encodes
+    def row(id: Long, t: String): (Long, String, Array[Byte], Array[Int]) = {
+      val (p, o) = Multimodal.MjpegWriter.videoFromText(t)
+      (id, "video", p, o)
+    }
+
+    val input = MemoryStream[(Long, String, Array[Byte], Array[Int])]
+    val built = input.toDF()
+      .toDF("doc_id", "media_type", "payload", "frame_offsets")
+    val q = DocStream.videoDedupIngest(built, spark, "video_sig_idx",
+      out, ckpt, numBuckets = 4)
+    try {
+      // batch 1: V and an exact copy (hamming 0) — min-id keeps 1
+      input.addData(row(1L, textV), row(3L, textV))
+      q.processAllAvailable()
+      // batch 2: a late copy of V (cross-batch) and a new video W
+      input.addData(row(4L, textV), row(5L, textW))
+      q.processAllAvailable()
+
+      val survivors = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 5L), survivors.toString)
+      spark.catalog.refreshTable("video_sig_idx")
+      val idxDocs = spark.table("video_sig_idx")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxDocs == Set(1L, 5L), idxDocs.toString)
+    } finally q.stop()
+  }
+}
