@@ -115,6 +115,9 @@ object ExtQueries {
     "pack_report"           -> graft.operators.Sampling.qPackReport _,
     "sample_waterfill"      -> graft.operators.Sampling.qWaterfill _,
     "profile_embeddings"    -> graft.operators.Profile.qEmbProfile _,
+    "profile_k_anonymity"   -> graft.operators.Privacy.qKAnonymity _,
+    "profile_k_histogram"   -> graft.operators.Privacy.qKHistogram _,
+    "profile_corpus_diff"   -> graft.operators.Profile.qCorpusDiff _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
@@ -174,6 +177,8 @@ object ExtQueries {
     "mm_video_scenes"       -> Multimodal.qVideoScenes _,
     "mm_audio_segments"     -> Multimodal.qAudioSegments _,
     "mm_audio_neardup"      -> Multimodal.qAudioNearDup _,
+    "mm_audio_neardup_incr" -> Multimodal.qAudioNearDupIncremental _,
+    "mm_video_neardup_incr" -> Multimodal.qVideoNearDupIncremental _,
     "mm_video_keyframes"    -> Multimodal.qVideoKeyframes _,
     "mm_video_neardup"      -> Multimodal.qVideoNearDup _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
@@ -4037,6 +4042,97 @@ object ExtQueries {
         |WHERE n_shared * 1000000 // least(na.n_lm, nb.n_lm) >= 500000
         |ORDER BY doc_a, doc_b, n_shared, shared_ppm""".stripMargin,
 
+    // Mirrors Multimodal.qAudioNearDupIncremental: corpus = audio docs,
+    // batch = twins (doc_id%5=1 -> +1e6, appended tail); landmark chain
+    // as in mm_audio_neardup; df cap 20 on CORPUS landmarks only;
+    // shared_ppm over FULL landmark counts of both sides, gate 500000.
+    "mm_audio_neardup_incr" ->
+      """WITH a0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |a AS (SELECT doc_id, text, 0 AS is_batch FROM a0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, text || ' tail marker words' AS text,
+        |             1 AS is_batch
+        |      FROM a0 WHERE doc_id % 5 = 1),
+        |smp AS (SELECT doc_id, is_batch, i - 1 AS n, ord(t[i]) AS x
+        |  FROM (SELECT doc_id, is_batch, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM (SELECT doc_id, is_batch, string_split(text, '') AS t FROM a))),
+        |ln AS (SELECT doc_id, is_batch, max(n) + 1 AS len FROM smp GROUP BY 1, 2),
+        |wins AS (SELECT doc_id, is_batch, s AS start, s // 8 AS w
+        |  FROM (SELECT doc_id, is_batch, unnest(generate_series(0, len - 16, 8)) AS s
+        |        FROM ln WHERE len >= 16)),
+        |pos AS (SELECT doc_id, is_batch, w, start + m AS n, m
+        |  FROM wins, (SELECT unnest(generate_series(0, 15)) AS m)),
+        |j AS (SELECT p.doc_id, p.is_batch, p.w, p.m, s.x
+        |      FROM pos p JOIN smp s USING (doc_id, n)),
+        |ks AS (SELECT unnest(generate_series(1, 15)) AS k),
+        |spec AS (SELECT doc_id, is_batch, w, ks.k,
+        |    CAST(sum(x * CASE WHEN bit_count(m & ks.k) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS amp
+        |  FROM j, ks GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT doc_id, is_batch, w, k,
+        |    row_number() OVER (PARTITION BY doc_id, w ORDER BY abs(amp) DESC, k) AS rk
+        |  FROM spec),
+        |sym AS (SELECT doc_id, is_batch, w,
+        |    max(CASE WHEN rk = 1 THEN k END) * 16 + max(CASE WHEN rk = 2 THEN k END) AS s
+        |  FROM r WHERE rk <= 2 GROUP BY 1, 2, 3),
+        |lm AS (SELECT DISTINCT x.doc_id, x.is_batch, x.s AS s1, y.s AS s2, y.w - x.w AS dw
+        |  FROM sym x JOIN sym y ON x.doc_id = y.doc_id AND y.w - x.w BETWEEN 1 AND 3),
+        |nlm AS (SELECT doc_id, count(*) AS n_lm FROM lm GROUP BY 1),
+        |dfc AS (SELECT s1, s2, dw FROM lm WHERE is_batch = 0
+        |        GROUP BY 1, 2, 3 HAVING count(*) <= 20),
+        |lmc AS (SELECT lm.doc_id, lm.s1, lm.s2, lm.dw FROM lm
+        |        JOIN dfc USING (s1, s2, dw) WHERE is_batch = 0),
+        |lmb AS (SELECT doc_id, s1, s2, dw FROM lm WHERE is_batch = 1),
+        |shared AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    count(*) AS n_shared
+        |  FROM lmb b JOIN lmc c USING (s1, s2, dw) GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared * 1000000 // least(nb.n_lm, nc.n_lm) AS BIGINT) AS shared_ppm
+        |FROM shared JOIN nlm nb ON nb.doc_id = batch_id
+        |            JOIN nlm nc ON nc.doc_id = corpus_id
+        |WHERE n_shared * 1000000 // least(nb.n_lm, nc.n_lm) >= 500000
+        |ORDER BY batch_id, corpus_id, n_shared, shared_ppm""".stripMargin,
+
+    // Mirrors Multimodal.qVideoNearDupIncremental: batch = doc_id%5=0
+    // videos probing the rest; signature chain as in mm_video_neardup;
+    // bucket cap 512 on CORPUS postings only; aligned hamming <= 6 with
+    // missing scenes charged 24 bits.
+    "mm_video_neardup_incr" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 1 AND length(text) >= 24),
+        |tot AS (SELECT doc_id, sum(ord(substr(text, i, 1))) AS total
+        |  FROM v, (SELECT unnest(generate_series(1, 24)) AS i) GROUP BY doc_id),
+        |c AS (SELECT doc_id, fi, CAST(sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS cut
+        |  FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi FROM v),
+        |       (SELECT unnest(generate_series(0, 23)) AS i)
+        |  GROUP BY doc_id, fi
+        |  UNION ALL SELECT doc_id, 0 AS fi, 0 AS cut FROM v),
+        |s AS (SELECT doc_id, fi,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY fi) AS scene_id FROM c),
+        |kf AS (SELECT doc_id, scene_id, min(fi) AS fi FROM s GROUP BY 1, 2),
+        |h AS (SELECT k.doc_id, k.scene_id,
+        |    CAST(sum(CASE WHEN ord(substr(v.text, ((j + 5 * (k.fi // 3)) % 24) + 1, 1)) * 24
+        |             >= t.total THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM kf k JOIN v USING (doc_id) JOIN tot t USING (doc_id),
+        |       (SELECT unnest(generate_series(0, 23)) AS j)
+        |  GROUP BY k.doc_id, k.scene_id),
+        |kept AS (SELECT scene_id, ahash FROM h WHERE doc_id % 5 <> 0
+        |         GROUP BY 1, 2 HAVING count(*) <= 512),
+        |hc AS (SELECT h.doc_id, h.scene_id, h.ahash FROM h
+        |       JOIN kept USING (scene_id, ahash) WHERE h.doc_id % 5 <> 0),
+        |hb AS (SELECT doc_id, scene_id, ahash FROM h WHERE doc_id % 5 = 0),
+        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM hb b JOIN hc c USING (scene_id, ahash)),
+        |sig AS (SELECT doc_id, list(ahash ORDER BY scene_id) AS g FROM h GROUP BY doc_id)
+        |SELECT batch_id, corpus_id, hamming FROM (
+        |  SELECT batch_id, corpus_id,
+        |    CAST(list_sum(list_transform(generate_series(1, greatest(len(sa.g), len(sb.g))),
+        |      i -> CASE WHEN i > len(sa.g) OR i > len(sb.g) THEN 24
+        |           ELSE bit_count(xor(sa.g[i], sb.g[i])) END)) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON sa.doc_id = batch_id JOIN sig sb ON sb.doc_id = corpus_id)
+        |WHERE hamming <= 6 ORDER BY batch_id, corpus_id, hamming""".stripMargin,
+
     // Mirrors Sampling.qWaterfill: water-filling allocation of 2/5 of
     // the corpus token mass across sources, weight = half-up mean
     // quality + 1. The capped set is a prefix of strata sorted by
@@ -4093,6 +4189,91 @@ object ExtQueries {
         |  CAST(CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_vecs) // (2 * n_vecs)) AS BIGINT) AS mean_milli,
         |  CAST((z * 1000000 * 2 + n_vecs) // (2 * n_vecs) AS BIGINT) AS dead_ppm
         |FROM g ORDER BY dim, n_vecs, min_milli, max_milli, mean_milli, dead_ppm""".stripMargin,
+
+    // Mirrors Profile.qCorpusDiff: doc-grain snapshot churn per source.
+    // The engine compares xxhash64(text); equal strings hash equal, so
+    // the oracle compares text directly. Changed docs report the AFTER
+    // source, removed docs the BEFORE source; churn ppm half-up.
+    "profile_corpus_diff" ->
+      """WITH nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 2 THEN text || ' [revised]' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT coalesce(b.source, a.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text = b.text THEN 'unchanged'
+        |         ELSE 'changed' END AS st
+        |  FROM documents a FULL OUTER JOIN nxt b ON a.doc_id = b.doc_id),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS n_added,
+        |    sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+        |    sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+        |    sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+        |  FROM j GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_added AS BIGINT) AS n_added,
+        |  CAST(n_removed AS BIGINT) AS n_removed,
+        |  CAST(n_changed AS BIGINT) AS n_changed,
+        |  CAST(n_unchanged AS BIGINT) AS n_unchanged,
+        |  CAST(((n_added + n_removed + n_changed) * 2000000 + n_docs)
+        |    // (n_docs * 2) AS BIGINT) AS churn_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Mirrors Privacy.qKAnonymity: equivalence classes on
+    // (c_nationkey, shifted-cents acctbal bucket) per ladder width,
+    // sensitive = c_mktsegment, k = 5; half-up ppm rates. The +1e6
+    // cents shift keeps bucket indexes non-negative so DuckDB's floor
+    // division and Spark's truncating div agree.
+    "profile_k_anonymity" ->
+      """WITH lv AS (SELECT unnest([100, 1000, 10000]) AS bucket_width),
+        |r AS (SELECT lv.bucket_width, c.c_nationkey, c.c_mktsegment,
+        |    (CAST(round(c.c_acctbal * 100) AS BIGINT) + 1000000)
+        |      // (lv.bucket_width * 100) AS b
+        |  FROM customer c, lv),
+        |cl AS (SELECT bucket_width, c_nationkey, b, count(*) AS k,
+        |    count(DISTINCT c_mktsegment) AS l
+        |  FROM r GROUP BY 1, 2, 3),
+        |g AS (SELECT bucket_width, sum(k) AS n_rows, count(*) AS n_classes,
+        |    min(k) AS min_k,
+        |    sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_singletons,
+        |    sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS rows_below_k,
+        |    min(l) AS min_l,
+        |    sum(CASE WHEN l = 1 THEN k ELSE 0 END) AS rows_homogeneous
+        |  FROM cl GROUP BY 1)
+        |SELECT CAST(bucket_width AS BIGINT) AS bucket_width,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST(min_k AS BIGINT) AS min_k,
+        |  CAST(n_singletons AS BIGINT) AS n_singletons,
+        |  CAST(rows_below_k AS BIGINT) AS rows_below_k,
+        |  CAST((rows_below_k * 2000000 + n_rows) // (n_rows * 2) AS BIGINT) AS below_k_ppm,
+        |  CAST(min_l AS BIGINT) AS min_l,
+        |  CAST(rows_homogeneous AS BIGINT) AS rows_homogeneous,
+        |  CAST((rows_homogeneous * 2000000 + n_rows) // (n_rows * 2) AS BIGINT) AS homogeneous_ppm
+        |FROM g ORDER BY bucket_width""".stripMargin,
+
+    // Mirrors Privacy.qKHistogram: class-size spectrum at the
+    // 1000-unit generalization level, cumulative row mass from the
+    // riskiest (smallest) class size up.
+    "profile_k_histogram" ->
+      """WITH r AS (SELECT c_nationkey,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS b
+        |  FROM customer),
+        |cl AS (SELECT c_nationkey, b, count(*) AS class_size
+        |       FROM r GROUP BY 1, 2),
+        |h AS (SELECT class_size, count(*) AS n_classes,
+        |    class_size * count(*) AS n_rows
+        |  FROM cl GROUP BY 1)
+        |SELECT CAST(class_size AS BIGINT) AS class_size,
+        |  CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum(n_rows) OVER (ORDER BY class_size
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows
+        |FROM h ORDER BY class_size""".stripMargin,
 
     // Mirrors Anomaly.embeddingBatchDrift: milli-quantized components,
     // half-up means on |s| (positive-only division so floor == trunc),
