@@ -73,7 +73,119 @@ object StressDocs {
       val second = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 1)
       Clusters.incrementalComponents(Clusters.connectedComponents(first), second)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    }))
+    })) ++ round10Entries
+
+  /** Round-10 arms: the new modality dedups and the fuzzy decontam.
+    * Posting-df caps come in a sf0.1-calibrated (20) and replica-scaled
+    * (20 × REPS for the REPS∈{10,100} replicas) variants: an ABSOLUTE
+    * df cap under N× near-dup replication drops every fingerprint (each
+    * original fp reappears in all N replicas, df ≥ N), so selectivity
+    * goes to zero — the cap-scales-with-corpus contract both operators
+    * document. Comparing sf0.1@df20 vs N×@df(20N) holds relative
+    * selectivity fixed; N×@df20 is printed too as the zero-selectivity
+    * control. Posting pair mass under the scaled cap is Σ_fp C(df,2) ∝
+    * REPS² — quadratic in dup MULTIPLICITY (the [[entries]] scaladoc's
+    * irreducible-output argument, at posting grain), so the
+    * selectivity-fixed law is measured at 10× (df200) and the 100×
+    * replica runs only the production-bounded df20 control: 100×@df2000
+    * is ~100× the 10×@df200 posting mass by the law, and one measured
+    * attempt (winnow, 48 GiB heap) was killed still shuffling at 12 min
+    * — that wall IS the recorded result for cap-follows-corpus at 100×
+    * dup multiplicity.
+    * The winnow arm drops the registered query's doc_id<400 dev filter
+    * so the corpus-grain cost is what scales. Fuzzy decontam keeps the
+    * FIXED original eval block (ids < 5000) while the corpus grows —
+    * the decontam_fixed_eval shape. */
+  private def round10Entries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def fuzzyEval(s: SparkSession, d: String) =
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 5 === 4, lit("zzz")).otherwise(t)), " "))
+            .otherwise(col("text")).as("text"))
+    Seq(
+      "video_neardup" -> SparkEntry.queries("mm_video_neardup"),
+      "video_keyframes" -> SparkEntry.queries("mm_video_keyframes")) ++
+      Seq(10L, 20L, 100L, 200L, 2000L).flatMap { df =>
+        Seq(
+          s"winnow_pairs_df$df" -> ((s: SparkSession, d: String) =>
+            graft.operators.TextAnalysis.winnowMatchPairs(
+              Tables.documents(s, d), minShared = 8,
+              maxPostings = Some(df.toInt))),
+          s"audio_neardup_df$df" -> ((s: SparkSession, d: String) =>
+            graft.operators.Multimodal.audioNearDupPairs(
+              graft.operators.Multimodal.audioSamples(
+                graft.operators.Multimodal.mediaTable(Tables.documents(s, d))),
+              maxDf = Some(df.toInt))),
+          s"decontam_fuzzy_df$df" -> ((s: SparkSession, d: String) =>
+            Pipeline.fuzzyContaminationReport(Tables.documents(s, d),
+              fuzzyEval(s, d), maxDf = df)))
+      }
+  }
+
+  /** Posting-mass ledgers for the round-10 fingerprint families — the
+    * no-silent-caps numbers behind the df-cap arms: per family, the
+    * UNCAPPED candidate-pair mass Σ_posting C(df, 2), the mass kept at
+    * each cap (pairs from postings with df ≤ cap — these operators drop
+    * the whole posting above the cap rather than truncating it), how
+    * many postings each cap drops, and the max df. Computed from the
+    * fingerprint/posting frames directly (one aggregate per family, no
+    * pair join runs). The fuzzy-decontam ledger is probe mass instead:
+    * eval-side fingerprints are the only join probes, so its work is
+    * Σ_{eval fp} corpus_df — linear in corpus df, never df². */
+  private def printR10Ledgers(spark: SparkSession, sfDir: String,
+      caps: Seq[Long], withAudio: Boolean): Unit = {
+    def ledger(name: String, posts: DataFrame, keyCols: Seq[String]): Unit = {
+      val sizes = posts.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+      val tailAggs = Seq(count(lit(1)).as("postings"),
+        max(col("n")).as("max_df")) ++
+        caps.flatMap(c => Seq(
+          sum(when(col("n") <= c, expr("n * (n - 1) div 2"))
+            .otherwise(0L)).as(s"kept_df$c"),
+          count(when(col("n") > c, lit(1))).as(s"dropped_df$c")))
+      val aggs = sizes.agg(
+        sum(expr("n * (n - 1) div 2")).as("uncapped"), tailAggs: _*)
+        .collect()(0)
+      val perCap = caps.map(c =>
+        s"df$c: kept_pairs=${aggs.getAs[Long](s"kept_df$c")} " +
+          s"dropped_postings=${aggs.getAs[Long](s"dropped_df$c")}").mkString(" | ")
+      println(s"[ledger] $name $sfDir postings=${aggs.getAs[Long]("postings")} " +
+        s"uncapped_pairs=${aggs.getAs[Long]("uncapped")} " +
+        s"max_df=${aggs.getAs[Long]("max_df")} | $perCap")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    ledger("winnow_fp",
+      graft.operators.TextAnalysis.winnowFingerprints(docs)
+        .select("doc_id", "fp").distinct(), Seq("fp"))
+    ledger("video_scene_hash",
+      graft.operators.Multimodal.videoSignatures(
+        graft.operators.Multimodal.mjpegTable(docs)), Seq("scene_id", "ahash"))
+    if (withAudio)
+      ledger("audio_landmark",
+        graft.operators.Multimodal.audioLandmarks(
+          graft.operators.Multimodal.audioSamples(
+            graft.operators.Multimodal.mediaTable(docs))), Seq("s1", "s2", "dw"))
+    // fuzzy decontam: probe mass = Σ over eval fps of corpus df
+    val corpusFp = graft.operators.TextAnalysis.winnowFingerprints(docs)
+      .select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+    val evalFp = graft.operators.TextAnalysis.winnowFingerprints(
+        docs.filter(col("doc_id") % 37 === 0 && col("doc_id") < 5000))
+      .select("fp").distinct()
+    val probe = corpusFp.join(evalFp, "fp")
+    val probeTail = Seq(count(lit(1)).as("eval_fps_hit")) ++
+      caps.map(c => sum(when(col("n") <= c, col("n")).otherwise(0L))
+        .as(s"kept_df$c"))
+    val r = probe.agg(sum(col("n")).as("probe_mass"), probeTail: _*)
+      .collect()(0)
+    val perCap = caps.map(c =>
+      s"df$c: probe_mass_kept=${r.getAs[Long](s"kept_df$c")}").mkString(" | ")
+    println(s"[ledger] decontam_fuzzy $sfDir eval_fps_hit=${r.getAs[Long]("eval_fps_hit")} " +
+      s"uncapped_probe_mass=${r.getAs[Long]("probe_mass")} | $perCap")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -81,9 +193,12 @@ object StressDocs {
     val cap = if (args.length > 2) args(2).toInt else 32
     // optional 4th arg: comma-separated query names (registered, or one
     // of this harness's own entries) — stress an ad-hoc list (e.g. a
-    // session's new operators) instead of the curated pair-mass family
+    // session's new operators) instead of the curated pair-mass family;
+    // "ledger-r10[-audio]" prints the round-10 posting-mass ledgers
+    // instead of timing anything
     val harness = entries(cap).toMap
-    val only = args.drop(3).headOption
+    val ledgerMode = args.drop(3).headOption.filter(_.startsWith("ledger-r10"))
+    val only = args.drop(3).headOption.filterNot(_.startsWith("ledger-r10"))
       .map(_.split(',').toSeq.map(n =>
         n -> harness.getOrElse(n, SparkEntry.queries(n))))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,6 +212,13 @@ object StressDocs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    ledgerMode.foreach { m =>
+      printR10Ledgers(spark, sfDir, Seq(20L, 200L, 2000L),
+        withAudio = m.endsWith("-audio"))
+      spark.stop()
+      return
+    }
 
     // pair-mass ledger: what the cap is up against, and what it drops
     // (skipped for ad-hoc lists — it belongs to the pair-mass family)
