@@ -684,7 +684,21 @@ object Multimodal {
       s"windowLen must be a power of two, got $windowLen")
     require(hop >= 1 && hop <= windowLen, "need 1 <= hop <= windowLen")
     require(nCoeffs >= 1 && nCoeffs <= windowLen, "need 1 <= nCoeffs <= windowLen")
-    val wins = samples.groupBy("doc_id").agg((max(col("n")) + 1).as("len"))
+    windowedSamples(samples, windowLen, hop)
+      .select(col("doc_id"), col("w"), col("m"), col("x"),
+        explode(sequence(lit(0L), lit(nCoeffs - 1L))).as("k"))
+      .groupBy("doc_id", "w", "k")
+      .agg(sum(col("x") *
+        when(expr("bit_count(m & k) % 2") === 0, 1L).otherwise(-1L)).as("amp"))
+  }
+
+  /** Window expansion shared by [[sequencySpectrum]] and
+    * [[windowSymbols]]: one row per (doc, window, in-window position m)
+    * joined back to the sample panel — the [[audioWindows]] fully-inside
+    * rule. */
+  private def windowedSamples(samples: DataFrame, windowLen: Int,
+      hop: Int): DataFrame =
+    samples.groupBy("doc_id").agg((max(col("n")) + 1).as("len"))
       .filter(col("len") >= windowLen)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("len") - windowLen, lit(hop.toLong)))
@@ -693,12 +707,40 @@ object Multimodal {
       .select(col("doc_id"), col("w"), col("start"),
         explode(sequence(lit(0L), lit(windowLen - 1L))).as("m"))
       .select(col("doc_id"), col("w"), (col("start") + col("m")).as("n"), col("m"))
-    wins.join(samples, Seq("doc_id", "n"))
-      .select(col("doc_id"), col("w"), col("m"), col("x"),
-        explode(sequence(lit(0L), lit(nCoeffs - 1L))).as("k"))
-      .groupBy("doc_id", "w", "k")
-      .agg(sum(col("x") *
-        when(expr("bit_count(m & k) % 2") === 0, 1L).otherwise(-1L)).as("amp"))
+      .join(samples, Seq("doc_id", "n"))
+
+  /** Per-window top-2 peak SYMBOL s = k₁·nCoeffs + k₂ (peaks ordered
+    * |amp| desc with ties to the smaller k) — [[audioLandmarks]]' front
+    * end, FUSED: all nCoeffs−1 amplitudes accumulate in ONE
+    * (doc, window) hash aggregate as literal-k conditional sums (no
+    * ×nCoeffs row explosion — the aggregate's input is windows ×
+    * windowLen rows, not ×nCoeffs more), and the top-2 pick is an
+    * `array_sort` over the nCoeffs−1 results in a plain projection —
+    * no row_number sort-window, one shuffle fewer. Measured against
+    * the spectrum+window shape it replaced: see BASELINE.md round 10.
+    * Values are bit-identical to that shape (the DuckDB oracles for
+    * mm_audio_neardup[_incr] still pass unchanged): struct
+    * lexicographic sort on (−|amp|, k) IS (|amp| desc, k asc). */
+  private[operators] def windowSymbols(samples: DataFrame, windowLen: Int,
+      hop: Int, nCoeffs: Int): DataFrame = {
+    require((windowLen & (windowLen - 1)) == 0 && windowLen >= 2,
+      s"windowLen must be a power of two, got $windowLen")
+    require(hop >= 1 && hop <= windowLen, "need 1 <= hop <= windowLen")
+    require(nCoeffs >= 3 && nCoeffs <= windowLen,
+      s"need 3 <= nCoeffs <= windowLen for a top-2 peak, got $nCoeffs")
+    val sums = (1 until nCoeffs).map(k =>
+      sum(col("x") * when(expr(s"bit_count(m & $k) % 2") === 0, 1L)
+        .otherwise(-1L)).as(s"graft_a$k"))
+    val structs = (1 until nCoeffs)
+      .map(k => s"struct(-abs(graft_a$k) AS na, CAST($k AS BIGINT) AS k)")
+      .mkString(",")
+    windowedSamples(samples, windowLen, hop)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("graft_top",
+        expr(s"slice(array_sort(array($structs)), 1, 2)"))
+      .select(col("doc_id"), col("w"),
+        (col("graft_top")(0)("k") * nCoeffs + col("graft_top")(1)("k")).as("s"))
   }
 
   // ---- query-shaped entry points -----------------------------------------
@@ -780,9 +822,10 @@ object Multimodal {
     * (Wang '03) restated in exact integers over the [[sequencySpectrum]]:
     * each window's spectral "peak" is its top-2 sequency coefficients by
     * |amp| (DC excluded — on all-positive PCM it is the unconditional
-    * max and carries no shape; ties break to the smaller k, the
-    * row_number key `|amp| desc, k` both engines order identically),
-    * combined into one symbol s = k₁·nCoeffs + k₂; a landmark is the
+    * max and carries no shape; ties break to the smaller k, an ordering
+    * both engines share — the oracle's row_number key `|amp| desc, k` ≡
+    * [[windowSymbols]]' (−|amp|, k) struct sort), combined into one
+    * symbol s = k₁·nCoeffs + k₂; a landmark is the
     * (s_anchor, s_target, Δw) triple for every target window within
     * `fanout` hops of its anchor. Two windows' peaks survive re-encoding
     * and level shifts far better than raw amplitudes, and the Δw pins
@@ -797,15 +840,13 @@ object Multimodal {
       nCoeffs: Int = 16, fanout: Int = 3): DataFrame = {
     require(fanout >= 1, s"fanout must be >= 1, got $fanout")
     require(nCoeffs >= 3, s"need >= 3 coefficients for a top-2 peak, got $nCoeffs")
-    val spec = sequencySpectrum(samples, windowLen, hop, nCoeffs)
-      .filter(col("k") >= 1)
-    val byAmp = Window.partitionBy(col("doc_id"), col("w"))
-      .orderBy(abs(col("amp")).desc, col("k"))
-    val sym = spec.withColumn("rk", row_number().over(byAmp))
-      .filter(col("rk") <= 2)
-      .groupBy("doc_id", "w")
-      .agg((max(when(col("rk") === 1, col("k"))) * nCoeffs +
-        max(when(col("rk") === 2, col("k")))).as("s"))
+    val sym = windowSymbols(samples, windowLen, hop, nCoeffs)
+    landmarksFromSymbols(sym, fanout)
+  }
+
+  /** Target-zone pairing over a (doc_id, w, s) symbol table: the
+    * Δ-explode + equi-join tail of [[audioLandmarks]]. */
+  private def landmarksFromSymbols(sym: DataFrame, fanout: Int): DataFrame = {
     val anchors = sym.select(col("doc_id"), col("w"), col("s").as("s1"),
         explode(sequence(lit(1L), lit(fanout.toLong))).as("dw"))
       .withColumn("wb", col("w") + col("dw"))
@@ -827,8 +868,13 @@ object Multimodal {
     * Returns (doc_a, doc_b, n_shared, shared_ppm) above `minSharedPpm`. */
   def audioNearDupPairs(samples: DataFrame, windowLen: Int = 16,
       hop: Int = 8, nCoeffs: Int = 16, fanout: Int = 3,
-      maxDf: Option[Int] = Some(20), minSharedPpm: Long = 500000L): DataFrame = {
-    val lm = audioLandmarks(samples, windowLen, hop, nCoeffs, fanout)
+      maxDf: Option[Int] = Some(20), minSharedPpm: Long = 500000L): DataFrame =
+    audioNearDupFromLandmarks(
+      audioLandmarks(samples, windowLen, hop, nCoeffs, fanout),
+      maxDf, minSharedPpm)
+
+  private def audioNearDupFromLandmarks(lm: DataFrame, maxDf: Option[Int],
+      minSharedPpm: Long): DataFrame = {
     val nlm = lm.groupBy("doc_id").agg(count(lit(1)).as("n_lm"))
     val kept = maxDf match {
       case Some(cap) =>

@@ -54,9 +54,16 @@ class PlanSweepSpec extends AnyFunSuite {
     *     Scd scaladoc) is the plan we'd want.
     *   - storage_scd2_asof: rebuilds the same history (the SAME forced
     *     full-outer merge as storage_scd2) before the as-of read; the
-    *     fact⋈history join itself IS broadcast (hinted in qScd2AsOf). */
+    *     fact⋈history join itself IS broadcast (hinted in qScd2AsOf).
+    *   - profile_corpus_diff: the snapshot diff's FULL OUTER join of
+    *     before-vs-after (id, source, content-hash) projections on the
+    *     doc id — full-outer cannot broadcast, both sides are
+    *     corpus-cardinality by definition, and the partitioned merge
+    *     join is the 100 TB plan (zero-exchange when both snapshots are
+    *     bucketed by the id, per the corpusDiff scaladoc). */
   private val allowSortMerge: Set[String] =
-    Set("events_drift", "storage_scd2", "storage_scd2_asof")
+    Set("events_drift", "storage_scd2", "storage_scd2_asof",
+      "profile_corpus_diff")
 
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]
