@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Dev utility: incremental-probe scale stress for the modality
+  * fingerprint indexes. The claim under test is the incremental
+  * family's contract — probe cost is O(batch + matches), NOT corpus
+  * grain — so the harness builds the corpus index ONCE (timed
+  * separately; that build is the linear offline cost the incremental
+  * path exists to avoid repeating) and then times repeated probes of a
+  * FIXED batch while the corpus behind the index grows 1× → 10× →
+  * 100×. The batch is pinned to original-id docs (doc_id < 5000 —
+  * scalegen's replica block 0 keeps source ids), so it is byte-
+  * identical at every scale; only the index grows. Expected shape:
+  * probe wall grows with MATCHES (each batch clip near-dups every
+  * replica of its original — ×REPS output), never with corpus mass.
+  *
+  * Usage: sbt "runMain graft.StressIncr <sfDir> <audio|video> [probes]"
+  */
+object StressIncr {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 1) args(1) else "video"
+    val probes = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-incr-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = Tables.documents(spark, sfDir)
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[incr] $mode $sfDir $what ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    mode match {
+      case "audio" =>
+        val clips = docs.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), lit("audio").as("media_type"),
+            col("text").cast("binary").as("payload"))
+        timed("index_build")(Multimodal.writeAudioLandmarkIndex(
+          Multimodal.audioSamples(clips), "incr_audio_idx", numBuckets = 32))
+        // fixed batch: twins of original-id clips — identical at any scale
+        val batch = docs
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 1 &&
+            col("doc_id") < 5000)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("audio").as("media_type"),
+            concat(col("text"), lit(" tail marker words"))
+              .cast("binary").as("payload"))
+        val batchLm = Multimodal.audioLandmarks(Multimodal.audioSamples(batch))
+          .localCheckpoint()
+        println(s"[incr] batch_clips=${batch.count()} batch_landmarks=${batchLm.count()}")
+        (1 to probes).foreach { i =>
+          timed(s"probe_$i") {
+            val n = Multimodal.audioIncrementalPairs(
+              spark.table("incr_audio_idx"), batchLm,
+              corpusDf = Multimodal.indexDfStats(spark, "incr_audio_idx",
+                Seq("s1", "s2", "dw"), "graft_df")).count()
+            print(s"[incr] matches=$n ")
+          }
+        }
+      case "video" =>
+        val media = Multimodal.mjpegTable(docs)
+        timed("index_build")(Multimodal.writeVideoSignatureIndex(
+          media, "incr_video_idx", numBuckets = 32))
+        val batch = Multimodal.videoSignatures(
+            Multimodal.mjpegTable(docs.filter(col("doc_id") < 5000))
+              .filter(col("doc_id") % 5 === 0))
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .localCheckpoint()
+        println(s"[incr] batch_scene_rows=${batch.count()}")
+        (1 to probes).foreach { i =>
+          timed(s"probe_$i") {
+            val n = Multimodal.videoIncrementalPairs(
+              spark.table("incr_video_idx"), batch,
+              corpusDf = Multimodal.indexDfStats(spark, "incr_video_idx",
+                Seq("scene_id", "ahash"), "graft_bn")).count()
+            print(s"[incr] matches=$n ")
+          }
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

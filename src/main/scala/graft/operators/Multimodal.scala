@@ -917,20 +917,30 @@ object Multimodal {
     * Returns (batch_id, corpus_id, n_shared, shared_ppm ≥ gate) with
     * shared_ppm over FULL landmark counts of both sides. */
   def audioIncrementalPairs(corpusLm: DataFrame, batchLm: DataFrame,
-      maxDf: Option[Int] = Some(20),
-      minSharedPpm: Long = 500000L): DataFrame = {
-    val keptCorpus = maxDf match {
+      maxDf: Option[Int] = Some(20), minSharedPpm: Long = 500000L,
+      corpusDf: Option[DataFrame] = None): DataFrame = {
+    // The cap filters the BATCH postings against the keeper-key set
+    // (keys whose corpus df ≤ cap) — join-key equality makes that
+    // equivalent to dropping the corpus postings themselves, and the
+    // batch side is the small one. With `corpusDf` (a maintained
+    // (s1, s2, dw, graft_df) stats table — see
+    // [[writeAudioLandmarkIndex]]) the keeper set costs an O(postings)
+    // stats read; without it, a corpus-index groupBy runs per probe —
+    // corpus-grain work the stats table exists to avoid (measured in
+    // BASELINE round 10).
+    val probeLm = maxDf match {
       case Some(cap) =>
-        val rare = corpusLm.groupBy("s1", "s2", "dw")
-          .agg(count(lit(1)).as("graft_df"))
+        val rare = corpusDf
+          .getOrElse(corpusLm.groupBy("s1", "s2", "dw")
+            .agg(count(lit(1)).as("graft_df")))
           .filter(col("graft_df") <= cap)
           .select("s1", "s2", "dw")
-        corpusLm.join(rare, Seq("s1", "s2", "dw"))
-      case None => corpusLm
+        batchLm.join(rare, Seq("s1", "s2", "dw"), "left_semi")
+      case None => batchLm
     }
-    val shared = batchLm
+    val shared = probeLm
       .select(col("s1"), col("s2"), col("dw"), col("doc_id").as("batch_id"))
-      .join(keptCorpus.select(col("s1"), col("s2"), col("dw"),
+      .join(corpusLm.select(col("s1"), col("s2"), col("dw"),
         col("doc_id").as("corpus_id")), Seq("s1", "s2", "dw"))
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -953,19 +963,46 @@ object Multimodal {
     * so batch probes co-locate without exchanging the corpus side. */
   def writeAudioLandmarkIndex(samples: DataFrame, tableName: String,
       numBuckets: Int, windowLen: Int = 16, hop: Int = 8,
-      nCoeffs: Int = 16, fanout: Int = 3): Unit =
+      nCoeffs: Int = 16, fanout: Int = 3): Unit = {
     graft.sources.Sinks.writeBucketed(
       audioLandmarks(samples, windowLen, hop, nCoeffs, fanout), tableName,
       bucketCols = Seq("s1", "s2", "dw"), numBuckets = numBuckets,
       sortCols = Seq("s1", "s2", "dw"))
+    val spark = samples.sparkSession
+    spark.table(tableName).groupBy("s1", "s2", "dw")
+      .agg(count(lit(1)).as("graft_cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(statsTable(tableName))
+  }
+
+  /** Name of the additive df-stats JOURNAL kept next to a fingerprint
+    * index: cells of (key…, graft_cnt), appended per batch, summed on
+    * read ([[indexDfStats]]) — the ZoneMap stats-table discipline, so a
+    * probe's keeper-key set costs an O(postings) stats read instead of
+    * a per-probe corpus-index groupBy. */
+  def statsTable(indexTable: String): String = indexTable + "_df"
+
+  /** The journal rolled up to current per-key df counts, aliased to the
+    * column name the probe's cap filter expects. */
+  def indexDfStats(spark: SparkSession, indexTable: String,
+      keyCols: Seq[String], dfCol: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(statsTable(indexTable))) None
+    else {
+      spark.catalog.refreshTable(statsTable(indexTable))
+      Some(spark.table(statsTable(indexTable))
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("graft_cnt")).as(dfCol)))
+    }
 
   /** Probe a persisted [[writeAudioLandmarkIndex]] table with a batch of
-    * new clips' sample panels. */
+    * new clips' sample panels (df cap read from the stats journal). */
   def audioDedupBatchAgainstIndex(spark: SparkSession, batchSamples: DataFrame,
       tableName: String, maxDf: Option[Int] = Some(20),
       minSharedPpm: Long = 500000L): DataFrame =
     audioIncrementalPairs(spark.table(tableName),
-      audioLandmarks(batchSamples), maxDf, minSharedPpm)
+      audioLandmarks(batchSamples), maxDf, minSharedPpm,
+      corpusDf = indexDfStats(spark, tableName,
+        Seq("s1", "s2", "dw"), "graft_df"))
 
   /** Incremental-arrival twin scenario: the corpus is the audio docs,
     * the BATCH is their near-dup twins (doc_id%5==1 → +10⁶, appended
@@ -2997,23 +3034,31 @@ object Multimodal {
     * (batch_id, corpus_id, hamming ≤ maxHamming). */
   def videoIncrementalPairs(corpusKf: DataFrame, batchKf: DataFrame,
       bits: Int = 24, maxHamming: Long = 6L,
-      maxBucketSize: Option[Int] = Some(512)): DataFrame = {
+      maxBucketSize: Option[Int] = Some(512),
+      corpusDf: Option[DataFrame] = None): DataFrame = {
     def sigsOf(kf: DataFrame) = kf.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("scene_id"), col("ahash"))))
         .as("sa"))
       .select(col("doc_id"), expr("transform(sa, x -> x.ahash)").as("sig"))
-    val keptCorpus = maxBucketSize match {
+    // cap applied to the BATCH postings against the keeper-key set —
+    // equivalent through join-key equality, and the batch side is the
+    // small one; `corpusDf` (the (scene_id, ahash, graft_bn) stats
+    // table [[writeVideoSignatureIndex]] maintains) makes the keeper
+    // set an O(postings) stats read instead of a per-probe corpus-index
+    // groupBy (measured in BASELINE round 10)
+    val probeKf = maxBucketSize match {
       case Some(cap) =>
-        val ok = corpusKf.groupBy("scene_id", "ahash")
-          .agg(count(lit(1)).as("graft_bn"))
+        val ok = corpusDf
+          .getOrElse(corpusKf.groupBy("scene_id", "ahash")
+            .agg(count(lit(1)).as("graft_bn")))
           .filter(col("graft_bn") <= cap)
           .select("scene_id", "ahash")
-        corpusKf.join(ok, Seq("scene_id", "ahash"))
-      case None => corpusKf
+        batchKf.join(ok, Seq("scene_id", "ahash"), "left_semi")
+      case None => batchKf
     }
-    val cand = batchKf
+    val cand = probeKf
       .select(col("scene_id"), col("ahash"), col("doc_id").as("batch_id"))
-      .join(keptCorpus.select(col("scene_id"), col("ahash"),
+      .join(corpusKf.select(col("scene_id"), col("ahash"),
         col("doc_id").as("corpus_id")), Seq("scene_id", "ahash"))
       .select("batch_id", "corpus_id")
       .distinct()
@@ -3040,21 +3085,29 @@ object Multimodal {
     * corpus side. */
   def writeVideoSignatureIndex(media: DataFrame, tableName: String,
       numBuckets: Int, step: Int = 2, cutThreshold: Long = 1L,
-      bits: Int = 24): Unit =
+      bits: Int = 24): Unit = {
     graft.sources.Sinks.writeBucketed(
       videoSignatures(media, step, cutThreshold, bits), tableName,
       bucketCols = Seq("scene_id", "ahash"), numBuckets = numBuckets,
       sortCols = Seq("scene_id", "ahash"))
+    val spark = media.sparkSession
+    spark.table(tableName).groupBy("scene_id", "ahash")
+      .agg(count(lit(1)).as("graft_cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(statsTable(tableName))
+  }
 
   /** Probe a persisted [[writeVideoSignatureIndex]] table with a batch
-    * of new videos. */
+    * of new videos (bucket cap read from the stats journal). */
   def videoDedupBatchAgainstIndex(spark: SparkSession, batchMedia: DataFrame,
       tableName: String, step: Int = 2, cutThreshold: Long = 1L,
       bits: Int = 24, maxHamming: Long = 6L,
       maxBucketSize: Option[Int] = Some(512)): DataFrame =
     videoIncrementalPairs(spark.table(tableName),
       videoSignatures(batchMedia, step, cutThreshold, bits),
-      bits, maxHamming, maxBucketSize)
+      bits, maxHamming, maxBucketSize,
+      corpusDf = indexDfStats(spark, tableName,
+        Seq("scene_id", "ahash"), "graft_bn"))
 
   /** Incremental-refresh simulation on the MJPEG corpus: videos with
     * doc_id % 5 == 0 arrive as the new batch, the rest are the indexed

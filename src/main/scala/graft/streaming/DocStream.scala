@@ -141,7 +141,9 @@ object DocStream {
           .select(col("batch_id").as("doc_id")).distinct()
         val corpusDups = corpusIdx match {
           case Some(ix) => Multimodal
-            .audioIncrementalPairs(ix, lm, maxDf, minSharedPpm)
+            .audioIncrementalPairs(ix, lm, maxDf, minSharedPpm,
+              corpusDf = Multimodal.indexDfStats(spark, indexTable,
+                Seq("s1", "s2", "dw"), "graft_df"))
             .filter(col("batch_id") =!= col("corpus_id")) // replay guard
             .select(col("batch_id").as("doc_id")).distinct()
           case None => spark.range(0).select(col("id").as("doc_id"))
@@ -167,6 +169,14 @@ object DocStream {
             "s1", "s2", "dw")
           .sortBy("s1", "s2", "dw")
           .saveAsTable(indexTable)
+        // additive df-stats journal: cells derive from freshRows (the
+        // rows that ACTUALLY landed), so a replayed batch — whose
+        // anti-join yields zero fresh rows — appends zero cells and the
+        // journal stays exact
+        freshRows.groupBy("s1", "s2", "dw")
+          .agg(count(lit(1)).as("graft_cnt"))
+          .write.mode(SaveMode.Append)
+          .saveAsTable(Multimodal.statsTable(indexTable))
         ()
       }
       .start()
@@ -203,7 +213,9 @@ object DocStream {
         val corpusDups = corpusIdx match {
           case Some(ix) => Multimodal
             .videoIncrementalPairs(ix, kf, maxHamming = maxHamming,
-              maxBucketSize = maxBucketSize)
+              maxBucketSize = maxBucketSize,
+              corpusDf = Multimodal.indexDfStats(spark, indexTable,
+                Seq("scene_id", "ahash"), "graft_bn"))
             .filter(col("batch_id") =!= col("corpus_id")) // replay guard
             .select(col("batch_id").as("doc_id")).distinct()
           case None => spark.range(0).select(col("id").as("doc_id"))
@@ -229,6 +241,12 @@ object DocStream {
             "scene_id", "ahash")
           .sortBy("scene_id", "ahash")
           .saveAsTable(indexTable)
+        // additive df-stats journal (replay-exact: derives from the
+        // anti-joined freshRows — see audioDedupIngest)
+        freshRows.groupBy("scene_id", "ahash")
+          .agg(count(lit(1)).as("graft_cnt"))
+          .write.mode(SaveMode.Append)
+          .saveAsTable(Multimodal.statsTable(indexTable))
         ()
       }
       .start()

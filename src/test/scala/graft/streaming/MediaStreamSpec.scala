@@ -61,6 +61,17 @@ class MediaStreamSpec extends AnyFunSuite {
       val idxDocs = spark.table("audio_lm_idx")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(idxDocs == Set(1L, 2L, 5L), idxDocs.toString)
+      // the additive df-stats journal rolls up to EXACTLY the index's
+      // own per-key counts (the probe's keeper set reads this instead
+      // of re-grouping the index)
+      val rolled = Multimodal.indexDfStats(spark, "audio_lm_idx",
+          Seq("s1", "s2", "dw"), "graft_df").get
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val direct = spark.table("audio_lm_idx").groupBy("s1", "s2", "dw")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(rolled == direct)
     } finally q.stop()
   }
 
