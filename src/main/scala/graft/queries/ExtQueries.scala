@@ -142,6 +142,7 @@ object ExtQueries {
     "dedup_spans_incremental" -> Dedup.qDedupSpansIncremental _,
     "dedup_self_spans"      -> Dedup.qDedupSelfSpans _,
     "text_lm_score"         -> TextAnalysis.qLmScore _,
+    "text_ccnet_buckets"    -> TextAnalysis.qPerplexityBuckets _,
     "text_kn_score"         -> TextAnalysis.qKnScore _,
     "text_line_boilerplate" -> TextAnalysis.qLineBoilerplate _,
     "text_classifier_auc"   -> TextAnalysis.qClassifierAuc _,
@@ -3376,6 +3377,37 @@ object ExtQueries {
         |  coalesce(lm_score, 0) AS lm_score
         |FROM toks t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id, n_bigrams, lm_score""".stripMargin,
+
+    // Mirrors TextAnalysis.qPerplexityBuckets: CCNet head/middle/tail
+    // by SCORE CUTS over (lang, lm_score) histogram cells — bucket =
+    // (docs strictly more fluent)·3 // lang total + 1; ties share a
+    // bucket, head-first.
+    "text_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |s AS (SELECT doc_id, (1000000 * c2.c2) // c1.c1 AS s
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, CAST((sum(s) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS lm_score
+        |        FROM s GROUP BY doc_id),
+        |sc AS (SELECT d.lang, coalesce(a.lm_score, 0) AS lm_score
+        |       FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |h AS (SELECT lang, lm_score, count(*) AS cnt FROM sc GROUP BY 1, 2),
+        |c AS (SELECT lang, lm_score, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY lm_score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST((cum - cnt) * 3 // n + 1 AS BIGINT) AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(max(lm_score) AS BIGINT) AS score_hi,
+        |  CAST(min(lm_score) AS BIGINT) AS score_lo
+        |FROM c GROUP BY lang, (cum - cnt) * 3 // n + 1
+        |ORDER BY lang, bucket""".stripMargin,
 
     // Mirrors TextAnalysis.knScore digit-for-digit: interpolated
     // Kneser–Ney with D = 3/4 as one integer division per bigram —

@@ -884,6 +884,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.getLong(4) == 1 && s.getLong(5) == 0) // null row dropped
   }
 
+  test("ccnet buckets: score-cut terciles — ties share a bucket, cuts match hand arithmetic") {
+    val corpus = Seq(
+      (0L, "a b a b a b", "en"), (1L, "a b a b a b", "en"),
+      (2L, "a b a b a b", "en"), // three-way tie at the top score
+      (3L, "a b c d e f", "en"),
+      (4L, "x y x z x q", "en"),
+      (5L, "", "en")) // no bigrams -> score 0
+      .toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.lmScore(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent reimplementation of the cut: bucket of a score =
+    // (#docs strictly above) * 3 div n + 1
+    val n = scores.size
+    def bucket(s: Long) = scores.values.count(_ > s) * 3 / n + 1
+    val expected = scores.values.toSeq.distinct.map(s =>
+      (s, bucket(s))).toMap
+    val cells = TextAnalysis.perplexityBucketCells(corpus)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(cells == expected, s"cells=$cells expected=$expected")
+    // the three-way tie all lands in bucket 1 (cut semantics, not NTILE)
+    val top = scores(0L)
+    assert(cells(top) == 1L)
+  }
+
+  test("ccnet buckets report: per-lang mass conserved, ranges ordered, buckets in [1,3]") {
+    val r = TextAnalysis.qPerplexityBuckets(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val b = row.getLong(1)
+      assert(b >= 1 && b <= 3)
+      assert(row.getLong(3) >= row.getLong(4)) // score_hi >= score_lo
+    }
+    val byLang = r.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      // buckets within a language span disjoint descending score ranges
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) >= b.getLong(3),
+          s"${a.mkString(",")} vs ${b.mkString(",")}")
+        case _ =>
+      }
+    }
+    val langTotals = byLang.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val docTotals = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .groupBy("lang").count()
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(langTotals == docTotals)
+  }
+
   test("corpus diff: added/removed/changed/unchanged per source, churn ppm half-up") {
     val before = Seq(
       (1L, "alpha", "s1"), (2L, "beta", "s1"),
