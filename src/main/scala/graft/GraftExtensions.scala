@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, RepairDoubleUtf8, WordGramHashes, WordNGrams}
+import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, PhraseMatchCount, RepairDoubleUtf8, WordGramHashes, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -78,6 +78,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_repair_utf8(text) takes exactly 1 argument")
         RepairDoubleUtf8(args.head)
+      }),
+    (new FunctionIdentifier("graft_phrase_hits"),
+      new ExpressionInfo(classOf[PhraseMatchCount].getName, "graft_phrase_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_phrase_hits(text, 'phrase|phrase|…') takes exactly 2 arguments")
+        PhraseMatchCount(args.head,
+          constString(args(1), "graft_phrase_hits phrases").split('|').toSeq)
       }))
 
   /** The n-gram width is part of the expression (it sizes codegen

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native multi-phrase matcher: how many DISTINCT phrases from a fixed
+  * list occur in the input, with `\b` word boundaries on both ends —
+  * the C4 badwords gate (Raffel et al. '20 filter pages containing any
+  * of a ~400-entry blocklist).
+  *
+  * The composed formulation is one `rlike("\bp\b")` PER PHRASE — P
+  * regex automata, P passes over every document. This expression builds
+  * ONE Aho–Corasick automaton (Aho & Corasick '75) over the whole list
+  * at plan construction and streams each document through it once:
+  * O(len + matches) per document regardless of list size, inside
+  * whole-stage codegen. At a 400-phrase production blocklist over
+  * 100 TB that is the difference between 1 scan and 400.
+  *
+  * Boundary semantics mirror regex `\b` for ASCII word chars
+  * ([A-Za-z0-9_]) — exactly what the oracle's RE2 evaluates on the
+  * ASCII corpus. Matching is byte-wise over UTF-8, so multi-byte
+  * codepoints (never word chars here) can't straddle a false boundary.
+  */
+case class PhraseMatchCount(child: Expression, phrases: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(phrases.nonEmpty, "phrase list must be non-empty")
+  require(phrases.forall(_.nonEmpty), "phrases must be non-empty strings")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"phrase_hits requires a string input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val automaton = new AhoCorasick(phrases)
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.distinctHits(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$ac.distinctHits($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseMatchCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_phrase_hits"
+}
+
+object PhraseMatch {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API: distinct-blocklist-phrase count per row. */
+  def phraseHits(text: Column, phrases: Seq[String]): Column =
+    ColumnBridge.column(PhraseMatchCount(ColumnBridge.expression(text), phrases))
+}
+
+/** Byte-level Aho–Corasick with word-boundary post-check. Built once per
+  * plan (driver), shipped inside the serialized expression; the arrays
+  * are read-only after construction so concurrent task threads share
+  * them safely. */
+final class AhoCorasick(phrases: Seq[String]) extends Serializable {
+
+  // trie over bytes 0..127 (phrases are validated ASCII); flat arrays
+  private val patterns: Array[Array[Byte]] =
+    phrases.map { p =>
+      require(p.nonEmpty, "phrases must be non-empty strings")
+      val b = p.getBytes("UTF-8")
+      require(b.forall(x => x >= 0), s"phrase '$p' must be ASCII")
+      // \b-equivalence of the boundary post-check needs word-char ends
+      def word(x: Byte) = (x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z') ||
+        (x >= '0' && x <= '9') || x == '_'
+      require(word(b.head) && word(b.last),
+        s"phrase '$p' must start and end with a word character")
+      b
+    }.toArray
+
+  // nodes grow by max total pattern bytes + 1
+  private val maxNodes = patterns.map(_.length).sum + 1
+  private val next = Array.fill(maxNodes * 128)(-1)
+  private val failLink = new Array[Int](maxNodes)
+  /** per-node matched pattern ids (phrase ends here), -1 terminated */
+  private val out = Array.fill(maxNodes)(List.empty[Int])
+  private var nNodes = 1
+
+  locally {
+    var pid = 0
+    while (pid < patterns.length) {
+      var s = 0
+      val p = patterns(pid)
+      var i = 0
+      while (i < p.length) {
+        val c = p(i).toInt
+        if (next(s * 128 + c) < 0) { next(s * 128 + c) = nNodes; nNodes += 1 }
+        s = next(s * 128 + c)
+        i += 1
+      }
+      out(s) = pid :: out(s)
+      pid += 1
+    }
+    // BFS failure links; goto of root for missing edges = root
+    val queue = new java.util.ArrayDeque[Int]()
+    var c = 0
+    while (c < 128) {
+      val v = next(c)
+      if (v < 0) next(c) = 0
+      else { failLink(v) = 0; queue.add(v) }
+      c += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      out(u) = out(u) ::: out(failLink(u))
+      var ch = 0
+      while (ch < 128) {
+        val v = next(u * 128 + ch)
+        if (v < 0) next(u * 128 + ch) = next(failLink(u) * 128 + ch)
+        else { failLink(v) = next(failLink(u) * 128 + ch); queue.add(v) }
+        ch += 1
+      }
+    }
+  }
+
+  /** Pattern lengths for the boundary check. */
+  private val patLen: Array[Int] = patterns.map(_.length)
+
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** Count of distinct phrases occurring with \b boundaries. Called
+    * from both interpreted eval and generated code. */
+  def distinctHits(s: UTF8String): Long = {
+    val n = s.numBytes()
+    val seen = new Array[Boolean](patterns.length)
+    var found = 0L
+    var state = 0
+    var i = 0
+    while (i < n && found < patterns.length) {
+      val b = s.getByte(i)
+      // non-ASCII bytes (b < 0) reset to root: no phrase crosses them
+      state = if (b < 0) 0 else next(state * 128 + b)
+      var hits = out(state)
+      while (hits.nonEmpty) {
+        val pid = hits.head
+        if (!seen(pid)) {
+          val start = i + 1 - patLen(pid)
+          val okL = start == 0 || !isWordByte(s.getByte(start - 1))
+          val okR = i == n - 1 || !isWordByte(s.getByte(i + 1))
+          if (okL && okR) { seen(pid) = true; found += 1 }
+        }
+        hits = hits.tail
+      }
+      i += 1
+    }
+    found
+  }
+}

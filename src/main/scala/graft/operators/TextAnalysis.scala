@@ -1137,6 +1137,30 @@ object TextAnalysis {
       .orderBy("doc_id", "word_count", "mean_word_len_ppm", "symbol_ppm",
         "stop_hits", "passes")
 
+  /** Fixed blocklist for the C4-badwords-style gate below (two phrases
+    * that occur in the corpus, one multi-word that does, one that never
+    * will — so both branches of the gate carry mass). */
+  val BlocklistPhrases: Seq[String] =
+    Seq("slow merge", "hash value", "stream filter", "forbidden fruit")
+
+  /** C4-style blocklist gate (Raffel '20 §2.2: drop any page containing
+    * a blocklisted word/phrase), per-source rollup. The per-doc scan is
+    * ONE Aho–Corasick pass regardless of list size
+    * ([[graft.functions.PhraseMatchCount]]) — a 400-phrase production
+    * list costs the same scan as this 4-phrase one; the rlike
+    * formulation would cost one regex automaton per phrase per doc. */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val hits = graft.functions.PhraseMatch.phraseHits(col("text"), BlocklistPhrases)
+    Tables.documents(spark, dir)
+      .select(col("source"), hits.as("hits"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("hits") > 0).cast("long")).as("n_flagged"),
+        sum(col("hits")).as("n_hits"))
+      .orderBy("source")
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb "too
     * repetitive / too random" tell): per document, the DEFLATE length
     * over the raw UTF-8 length in exact ppm. Highly repetitive docs

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** URL parsing, canonicalization and domain-level filtering — the first
+  * stage of every web-corpus curation recipe (C4 / RefinedWeb both open
+  * with URL filtering before any text is touched).
+  *
+  * Everything here is a pure scalar column transform plus, for the
+  * domain rollups, one narrow aggregation keyed by registered domain —
+  * codegen'd, zero data movement for the scalar part, and the rollup's
+  * group count is O(domains), orders of magnitude below doc count. At
+  * 100 TB these run at scan speed; the domain gate broadcasts an
+  * O(domains) verdict table back over the corpus (the
+  * [[Pipeline.domainGate]] pattern).
+  *
+  * Pattern portability: same Java∩RE2 regex discipline as [[Scrub]] —
+  * no backrefs, no lookaround — so the DuckDB oracle evaluates every
+  * expression identically.
+  *
+  * Reference scope note: the reference engine (go-web-mapreduce) has no
+  * URL handling at all — its records are opaque string KV pairs
+  * (`protocol/input.go:6-14`); this module is part of the LLM-pipeline
+  * extension surface.
+  */
+object Web {
+
+  /** Tracking parameters stripped during canonicalization: the utm_*
+    * family plus the common click/session identifiers. Matching is on
+    * the key (text before '='). */
+  private def isTrackingParam(p: Column): Column = {
+    val key = substring_index(p, "=", 1)
+    key.startsWith("utm_") || key.isin("gclid", "fbclid", "sessionid")
+  }
+
+  /** Query string (text between '?' and '#'/end), without the '?'.
+    * Empty string when the URL has no query. */
+  def urlQuery(url: Column): Column = regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Hostname (text between "://" and the first of ':' '/' '?' '#'),
+    * lowercased, leading "www." stripped. */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "://([^:/?#]*)", 1)), "^www\\.", "")
+
+  /** Explicit port (with the ':'), or '' if none. */
+  def urlPort(url: Column): Column = regexp_extract(url, "://[^:/?#]*(:[0-9]+)", 1)
+
+  /** Path component ('' when absent — canonicalization restores '/'). */
+  def urlPath(url: Column): Column = regexp_extract(url, "://[^/?#]*(/[^?#]*)", 1)
+
+  def urlScheme(url: Column): Column = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+
+  /** True when the URL carries any tracking parameter. */
+  def hasTrackingParam(url: Column): Column =
+    exists(split(urlQuery(url), "&"), p => p =!= "" && isTrackingParam(p))
+
+  /** Canonical form: lowercase scheme+host, "www." stripped, default
+    * port dropped (80 for http, 443 for https; others kept), tracking
+    * params removed and the survivors sorted, fragment dropped, empty
+    * path restored to "/". Canonicalization BEFORE dedup/stats is what
+    * makes URL-keyed dedup effective: the same page arrives from a
+    * crawl under dozens of tracking-param variants. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host   = urlHost(url)
+    val port0  = urlPort(url)
+    val port = when((scheme === "http" && port0 === ":80") ||
+                    (scheme === "https" && port0 === ":443"), "").otherwise(port0)
+    val path = when(urlPath(url) === "", "/").otherwise(urlPath(url))
+    val keep = array_sort(filter(split(urlQuery(url), "&"),
+      p => p =!= "" && !isTrackingParam(p)))
+    val query = when(size(keep) === 0, "").otherwise(concat(lit("?"), array_join(keep, "&")))
+    concat(scheme, lit("://"), host, port, path, query)
+  }
+
+  /** Two-label public suffixes recognized by the eTLD+1 heuristic. The
+    * real public-suffix list is ~9k rules shipped as data; this subset
+    * keeps the oracle exact while exercising the 3-label branch. */
+  val TwoLabelSuffixes: Seq[String] = Seq("co.uk", "ac.uk", "com.au", "co.jp")
+
+  /** Registered domain (eTLD+1): last two host labels, or last three
+    * when the last two are a listed public suffix ("a.data.co.uk" →
+    * "data.co.uk"). This is THE grouping key for crawl curation —
+    * per-domain quality gates, per-domain caps, robots opt-outs all key
+    * on it, never on raw host. */
+  def registeredDomain(url: Column): Column = {
+    val labels = split(urlHost(url), "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, n - 1), element_at(labels, n))
+    when(last2.isin(TwoLabelSuffixes: _*) && n >= 3,
+      concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
+  }
+
+  // query-shaped entry points (SparkEntry contract) --------------------
+  //
+  // The synthetic corpus has no URL column, so the queries derive a
+  // deterministic messy URL per doc (id-dependent scheme case, www
+  // prefix, ports, tracking params, fragments — every branch of the
+  // canonicalizer is exercised) and the oracle builds the identical
+  // string: the compare checks the parse, not the synth.
+
+  /** Deterministic messy URL from (doc_id, source, lang). */
+  def synthUrl(id: Column, source: Column, lang: Column): Column = {
+    val scheme = when(id % 4 === 0, "HTTPS").otherwise("http")
+    val www    = when(id % 5 === 0, "WWW.").otherwise("")
+    val base   = when(id % 3 === 0, "example.com")
+      .when(id % 3 === 1, "data.co.uk").otherwise("site.org")
+    val port = when(id % 7 === 0, ":443").when(id % 7 === 1, ":8080").otherwise("")
+    val path = concat(lit("/"), lang, lit("/page/"), (id % 50).cast("string"))
+    val query = when(id % 6 === 0, concat(lit("?utm_source=feed&id="), (id % 97).cast("string")))
+      .when(id % 6 === 1, concat(lit("?id="), (id % 97).cast("string"), lit("&utm_campaign=x")))
+      .when(id % 6 === 2, "?b=2&a=1")
+      .when(id % 6 === 3, "?gclid=abc123")
+      .when(id % 6 === 4, concat(lit("?sessionid="), (id % 13).cast("string"), lit("&q=train")))
+      .otherwise("")
+    val frag = when(id % 9 === 0, "#sec-2").otherwise("")
+    concat(scheme, lit("://"), www, source, lit("."), base, port, path, query, frag)
+  }
+
+  private def withUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        synthUrl(col("doc_id"), col("source"), col("lang")).as("url"))
+
+  /** Per-doc parse + canonical form. */
+  def qUrlCanon(spark: SparkSession, dir: String): DataFrame =
+    withUrl(spark, dir).select(
+      col("doc_id"), col("url"),
+      canonicalUrl(col("url")).as("canon_url"),
+      urlHost(col("url")).as("host"),
+      registeredDomain(col("url")).as("reg_domain"))
+      .orderBy("doc_id")
+
+  /** Per-registered-domain crawl statistics: doc mass, distinct hosts,
+    * tracking-param prevalence — the table a curation run reads before
+    * deciding caps and gates. O(domains) output. */
+  def qDomainStats(spark: SparkSession, dir: String): DataFrame =
+    withUrl(spark, dir)
+      .groupBy(registeredDomain(col("url")).as("reg_domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(urlHost(col("url"))).as("n_hosts"),
+        sum(hasTrackingParam(col("url")).cast("long")).as("n_tracked"),
+        sum((urlQuery(col("url")).rlike("(^|&)sessionid=")).cast("long")).as("n_session"))
+      .orderBy("reg_domain")
+
+  /** URL gate: drop docs from blocklisted registered domains or with a
+    * session identifier in the query string (the classic
+    * cache-buster/login-state signal). Per-source kept/dropped counts —
+    * the shape a curation report consumes. */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("site.org")
+    val drop = registeredDomain(col("url")).isin(blocked: _*) ||
+      urlQuery(col("url")).rlike("(^|&)sessionid=")
+    withUrl(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum((!drop).cast("long")).as("n_kept"),
+        sum(drop.cast("long")).as("n_dropped"))
+      .orderBy("source")
+  }
+}

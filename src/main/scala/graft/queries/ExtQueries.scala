@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, Web}
 
 /** North-star extension operators (dedup / similarity / text / multimodal)
   * exposed in the driver's queries/oracle contract, with the DuckDB oracle
@@ -151,6 +151,11 @@ object ExtQueries {
     "text_vocab_coverage"   -> TextAnalysis.qVocabCoverage _,
     "text_adaptive_gate"    -> TextAnalysis.qAdaptiveGate _,
     "text_bm25"             -> TextAnalysis.qBm25 _,
+    "web_url_canon"         -> Web.qUrlCanon _,
+    "web_domain_stats"      -> Web.qDomainStats _,
+    "web_url_filter"        -> Web.qUrlFilter _,
+    "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
+    "text_blocklist"        -> TextAnalysis.qBlocklist _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_decay_score"    -> graft.operators.Retention.qDecayedActivity _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
@@ -3377,6 +3382,165 @@ object ExtQueries {
         |  coalesce(lm_score, 0) AS lm_score
         |FROM toks t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id, n_bigrams, lm_score""".stripMargin,
+
+    // Web.qUrlCanon: the oracle re-derives the synthetic URL and then
+    // INDEPENDENTLY parses + canonicalizes it with DuckDB's RE2 regex
+    // and list lambdas — the compare certifies the whole canonicalizer
+    // (case, www-strip, default-port drop, tracking-param removal +
+    // sort, fragment drop) in two engines.
+    "web_url_canon" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '://[^:/?#]*(:[0-9]+)', 1) AS port0,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (SELECT doc_id, source, url, scheme, host, q,
+        |    CASE WHEN (scheme = 'http' AND port0 = ':80') OR (scheme = 'https' AND port0 = ':443')
+        |         THEN '' ELSE port0 END AS port,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |      AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |               OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) AS keep,
+        |    string_split(host, '.') AS labels
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || port || path ||
+        |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS canon_url,
+        |  host,
+        |  CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+        |            AND len(labels) >= 3
+        |       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |       ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Web.qDomainStats: per-registered-domain crawl stats.
+    "web_domain_stats" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (SELECT doc_id, host, q, string_split(host, '.') AS labels FROM p),
+        |r AS (SELECT doc_id, host, q,
+        |    CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+        |              AND len(labels) >= 3
+        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |         ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
+        |  FROM c)
+        |SELECT reg_domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(sum(CASE WHEN len(list_filter(string_split(q, '&'), x -> x <> ''
+        |      AND (starts_with(split_part(x, '=', 1), 'utm_')
+        |           OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
+        |  CAST(sum(CASE WHEN regexp_matches(q, '(^|&)sessionid=') THEN 1 ELSE 0 END) AS BIGINT) AS n_session
+        |FROM r GROUP BY 1 ORDER BY reg_domain""".stripMargin,
+
+    // Web.qUrlFilter: blocklisted-domain + session-id gate, per source.
+    "web_url_filter" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |r AS (SELECT doc_id, source, q, string_split(host, '.') AS labels FROM p),
+        |g AS (SELECT source,
+        |    (CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+        |               AND len(labels) >= 3
+        |          THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |          ELSE labels[-2] || '.' || labels[-1] END = 'site.org'
+        |     OR regexp_matches(q, '(^|&)sessionid=')) AS dropped
+        |  FROM r)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // Warc.qWarcRoundtrip: the Spark side encodes docs into gzip-member
+    // WARC files, inflates and parses them back; the oracle recomputes
+    // uri/length/byte-sum straight from `documents` (texts are ASCII so
+    // ord(char) == payload byte, the mm_decode_checksum equivalence) —
+    // equality certifies the container round trip end to end.
+    "warc_roundtrip" ->
+      """WITH b AS (SELECT doc_id, CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  (CASE WHEN d.doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |  || '://' || (CASE WHEN d.doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |  || d.source || '.'
+        |  || (CASE d.doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |  || (CASE d.doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |  || '/' || d.lang || '/page/' || CAST(d.doc_id % 50 AS VARCHAR)
+        |  || (CASE d.doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(d.doc_id % 97 AS VARCHAR)
+        |      WHEN 1 THEN '?id=' || CAST(d.doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |      WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |      WHEN 4 THEN '?sessionid=' || CAST(d.doc_id % 13 AS VARCHAR) || '&q=train'
+        |      ELSE '' END)
+        |  || (CASE WHEN d.doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS uri,
+        |  CAST(length(d.text) AS BIGINT) AS content_length,
+        |  coalesce(b.byte_sum, 0) AS byte_sum
+        |FROM documents d LEFT JOIN b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // TextAnalysis.qBlocklist: the oracle runs one RE2 \b-regex per
+    // phrase (the formulation the Aho–Corasick expression replaces) —
+    // equality certifies automaton + boundary semantics against an
+    // independent engine.
+    "text_blocklist" ->
+      """WITH h AS (SELECT source,
+        |    (CASE WHEN regexp_matches(text, '\bslow merge\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '\bhash value\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '\bstream filter\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '\bforbidden fruit\b') THEN 1 ELSE 0 END) AS hits
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(hits) AS BIGINT) AS n_hits
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors TextAnalysis.qPerplexityBuckets: CCNet head/middle/tail
     // by SCORE CUTS over (lang, lm_score) histogram cells — bucket =

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Web
+
+/** WARC (ISO 28500 / WARC/1.0) record encoding and parsing — the
+  * container format web crawls actually arrive in (Common Crawl ships
+  * ~100 TB/month of `.warc.gz`). A curation engine that starts from
+  * parquet has skipped the real first step; this module supplies it.
+  *
+  * Structure of the parser (the part that must survive 100 TB): WARC
+  * record boundaries are LENGTH-DRIVEN — `Content-Length` tells the
+  * parser where the body ends; splitting on the `WARC/1.0` magic would
+  * corrupt any record whose BODY contains that string (a crawled page
+  * quoting a WARC example — guaranteed to exist at crawl scale; spec-
+  * locked below). Parsing is strictly sequential per blob and
+  * allocation-light, so at scale it runs as a narrow `mapPartitions`
+  * over whole `.warc.gz` files (one file per task, no shuffle), exactly
+  * the [[graft.operators.Multimodal]] codec discipline. Gzip framing
+  * follows Common Crawl: each record is its own gzip MEMBER and a file
+  * is the raw concatenation of members, which is what lets a reader
+  * fan individual records out of a 1 GB file without a global inflate
+  * dictionary.
+  *
+  * Hostile input fails loud with byte offsets (bad magic, missing
+  * Content-Length, truncated body, missing record terminator) — a
+  * silent skip at 100 TB is data loss nobody notices.
+  *
+  * Reference scope: the reference engine ingests only JSON KV bodies
+  * (`server/views.go:83-160`); WARC is part of the LLM-pipeline
+  * extension surface.
+  */
+object Warc {
+
+  final case class WarcRecord(headers: Map[String, String], body: Array[Byte], offset: Long) {
+    def header(name: String): String =
+      headers.getOrElse(name,
+        throw new IllegalArgumentException(s"warc: record at offset $offset missing $name"))
+  }
+
+  private val Magic = "WARC/1.0\r\n".getBytes(US_ASCII)
+  private val Crlf  = "\r\n".getBytes(US_ASCII)
+
+  /** Encode one response record. Header order is fixed so encoding is
+    * byte-deterministic. */
+  def writeRecord(recordId: String, targetUri: String, body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: response\r\n"
+    h ++= s"WARC-Record-ID: $recordId\r\n"
+    h ++= s"WARC-Target-URI: $targetUri\r\n"
+    h ++= s"Content-Length: ${body.length}\r\n"
+    h ++= "\r\n"
+    val out = new ByteArrayOutputStream(h.length + body.length + 4)
+    out.write(h.toString.getBytes(US_ASCII))
+    out.write(body)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** One gzip member per record (the Common Crawl framing). */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    bos.toByteArray
+  }
+
+  /** Inflate a concatenation of gzip members back to one plain blob.
+    * `GZIPInputStream` consumes multi-member streams natively. */
+  def gunzipAll(blob: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(blob), 64 * 1024)
+    val out = new ByteArrayOutputStream(blob.length * 3 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def fail(off: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(s"warc: $msg at offset $off")
+
+  /** Parse every record of a plain (already inflated) WARC blob.
+    * Strict: the blob must be exactly a sequence of well-formed
+    * records. Body extent comes from Content-Length alone. */
+  def parseAll(blob: Array[Byte]): Seq[WarcRecord] = {
+    val recs = ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    while (p < blob.length) {
+      val start = p
+      if (p + Magic.length > blob.length ||
+          !java.util.Arrays.equals(blob, p, p + Magic.length, Magic, 0, Magic.length))
+        fail(start, "bad magic (expected WARC/1.0)")
+      p += Magic.length
+      // header lines until the empty CRLF line
+      var headers = Map.empty[String, String]
+      var inHeaders = true
+      while (inHeaders) {
+        val eol = indexOfCrlf(blob, p)
+        if (eol < 0) fail(start, "unterminated header block")
+        if (eol == p) { inHeaders = false } // empty line
+        else {
+          val line = new String(blob, p, eol - p, US_ASCII)
+          val sep = line.indexOf(": ")
+          if (sep <= 0) fail(start, s"malformed header line '$line'")
+          headers += line.substring(0, sep) -> line.substring(sep + 2)
+        }
+        p = eol + 2
+      }
+      val lenStr = headers.getOrElse("Content-Length", fail(start, "missing Content-Length"))
+      val len =
+        try lenStr.toInt
+        catch { case _: NumberFormatException => fail(start, s"bad Content-Length '$lenStr'") }
+      if (len < 0 || p.toLong + len + 4 > blob.length) fail(start, "truncated body")
+      val body = java.util.Arrays.copyOfRange(blob, p, p + len)
+      p += len
+      if (!(blob(p) == '\r' && blob(p + 1) == '\n' && blob(p + 2) == '\r' && blob(p + 3) == '\n'))
+        fail(start, "missing record terminator CRLFCRLF")
+      p += 4
+      recs += WarcRecord(headers, body, start.toLong)
+    }
+    recs.toSeq
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  // query-shaped entry point (SparkEntry contract) ---------------------
+
+  /** Encode → gzip-member-concat → inflate → parse round trip over the
+    * corpus: docs are grouped into 8 synthetic `.warc.gz` "files"
+    * (group = doc_id % 8, records in doc_id order), each file is built
+    * and parsed INSIDE one task, and the parsed records are emitted at
+    * record grain. The oracle recomputes uri/length/byte-sum directly
+    * from `documents` — equality certifies the entire container round
+    * trip, not the synth. */
+  def qWarcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        Web.synthUrl(col("doc_id"), col("source"), col("lang")).as("uri"))
+    val grouped = docs
+      .groupBy((col("doc_id") % 8).as("gid"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("uri").as("_2"), col("text").as("_3")))).as("recs"))
+      .select(col("recs")).as[Seq[(Long, String, String)]]
+    grouped.flatMap { recs =>
+      val file = new ByteArrayOutputStream()
+      recs.foreach { case (id, uri, text) =>
+        file.write(gzipMember(writeRecord(s"<urn:graft:$id>", uri, text.getBytes(US_ASCII))))
+      }
+      parseAll(gunzipAll(file.toByteArray)).map { r =>
+        val id = r.header("WARC-Record-ID").stripPrefix("<urn:graft:").stripSuffix(">").toLong
+        var s = 0L; r.body.foreach(b => s += (b & 0xff))
+        (id, r.header("WARC-Target-URI"), r.header("Content-Length").toLong, s)
+      }
+    }.toDF("doc_id", "uri", "content_length", "byte_sum")
+      .orderBy("doc_id")
+  }
+}

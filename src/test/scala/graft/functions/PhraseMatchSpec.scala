@@ -1,0 +1,71 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PhraseMatchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val phrases = Seq("slow merge", "hash value", "stream filter", "zz9")
+
+  /** The formulation the automaton replaces: one \b-regex per phrase. */
+  private def naive(text: String, ps: Seq[String]): Long =
+    ps.count(p => s"\\b\\Q$p\\E\\b".r.findFirstIn(text).isDefined).toLong
+
+  private def ac(text: String, ps: Seq[String] = phrases): Long =
+    new AhoCorasick(ps).distinctHits(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+
+  test("landmarks: boundaries, overlap, containment, edges") {
+    assert(ac("a slow merge here") == 1L)
+    assert(ac("slow merge") == 1L, "phrase spanning the whole string")
+    assert(ac("slowly merge") == 0L, "left word continues: no \\b")
+    assert(ac("slow merger") == 0L, "right word continues: no \\b")
+    assert(ac("aslow merge") == 0L, "prefixed word breaks the left boundary")
+    assert(ac("slow merge hash value stream filter") == 3L)
+    assert(ac("slow merge slow merge") == 1L, "distinct phrases, not occurrences")
+    assert(ac("") == 0L)
+    // overlapping patterns: "value" alone and "hash value"
+    assert(ac("hash value", Seq("value", "hash value")) == 2L)
+    // a match immediately after a non-ASCII byte still has a boundary
+    assert(ac("é zz9", Seq("zz9")) == 1L)
+  }
+
+  test("differential fuzz vs java.util.regex over random word soup") {
+    val vocab = Array("slow", "merge", "hash", "value", "stream",
+      "filter", "slowly", "merger", "zz9", "x")
+    val rnd = new Random(42)
+    (1 to 300).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      assert(ac(text) == naive(text, phrases), s"mismatch on '$text'")
+    }
+  }
+
+  test("expression matches naive count end-to-end on a DataFrame") {
+    val df = Seq("the slow merge path", "slowly merge", "hash value x zz9", "")
+      .toDF("text")
+    val got = df.select(PhraseMatch.phraseHits(col("text"), phrases).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 0L, 2L, 0L))
+  }
+
+  test("SQL surface: graft_phrase_hits with a literal pipe-joined list") {
+    graft.GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT graft_phrase_hits('a hash value and a slow merge', 'slow merge|hash value|zz9') AS h")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+  }
+
+  test("hostile phrase lists are rejected at construction") {
+    intercept[IllegalArgumentException](new AhoCorasick(Seq("")))
+    intercept[IllegalArgumentException](new AhoCorasick(Seq(" padded ")))
+    intercept[IllegalArgumentException](new AhoCorasick(Seq("café")))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Landmark cases for URL parsing/canonicalization — each canonicalizer
+  * branch pinned on a hand-written URL, independent of the synth used by
+  * the oracle queries. */
+class WebSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canonOf(url: String): String =
+    Seq(url).toDF("url").select(Web.canonicalUrl(col("url")).as("c"))
+      .collect().head.getString(0)
+
+  private def regOf(url: String): String =
+    Seq(url).toDF("url").select(Web.registeredDomain(col("url")).as("r"))
+      .collect().head.getString(0)
+
+  test("canonicalization: case, www, default port, fragment") {
+    assert(canonOf("HTTPS://WWW.Example.COM:443/A/b#frag") ==
+      "https://example.com/A/b")        // path case preserved, port+frag dropped
+    assert(canonOf("http://example.com:80/") == "http://example.com/")
+    assert(canonOf("http://example.com:8080/x") == "http://example.com:8080/x")
+    assert(canonOf("https://example.com:80/x") == "https://example.com:80/x",
+      ":80 is NOT the https default and must survive")
+    assert(canonOf("http://example.com") == "http://example.com/",
+      "empty path restored to /")
+  }
+
+  test("canonicalization: tracking params removed, survivors sorted") {
+    assert(canonOf("http://a.com/p?utm_source=x&b=2&a=1&gclid=z") ==
+      "http://a.com/p?a=1&b=2")
+    assert(canonOf("http://a.com/p?utm_campaign=only") == "http://a.com/p",
+      "all-tracking query collapses to none")
+    assert(canonOf("http://a.com/p?sessionid=9&q=t") == "http://a.com/p?q=t")
+    // a key merely CONTAINING utm_ mid-string is not tracking
+    assert(canonOf("http://a.com/p?xutm_k=1") == "http://a.com/p?xutm_k=1")
+  }
+
+  test("registered domain: eTLD+1 with two-label public suffixes") {
+    assert(regOf("http://a.b.example.com/") == "example.com")
+    assert(regOf("http://deep.host.data.co.uk/") == "data.co.uk")
+    assert(regOf("http://co.uk/") == "co.uk",
+      "bare public suffix has no +1 label; heuristic returns the suffix")
+    assert(regOf("http://www.site.org/") == "site.org")
+  }
+
+  test("domain gate drops blocklisted domains and session URLs only") {
+    val df = Seq(
+      (1L, "http://x.site.org/a"),                  // blocklisted domain
+      (2L, "http://x.example.com/a?sessionid=1"),   // session id
+      (3L, "http://x.example.com/a?id=1"),          // kept
+      (4L, "http://x.example.com/a?q=sessionid=1")  // value, not key: kept
+    ).toDF("doc_id", "url")
+    val drop = Web.registeredDomain(col("url")) === "site.org" ||
+      Web.urlQuery(col("url")).rlike("(^|&)sessionid=")
+    val kept = df.filter(!drop).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+}

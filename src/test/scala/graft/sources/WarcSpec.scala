@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc._
+
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(id: Long, uri: String, body: String): Array[Byte] =
+    writeRecord(s"<urn:graft:$id>", uri, body.getBytes(US_ASCII))
+
+  test("round trip: multi-record blob, offsets and headers exact") {
+    val blob = rec(1, "http://a/1", "hello") ++ rec(2, "http://a/2", "")
+    val rs = parseAll(blob)
+    assert(rs.map(_.header("WARC-Record-ID")) == Seq("<urn:graft:1>", "<urn:graft:2>"))
+    assert(rs.map(_.header("WARC-Target-URI")) == Seq("http://a/1", "http://a/2"))
+    assert(new String(rs(0).body, US_ASCII) == "hello")
+    assert(rs(1).body.isEmpty)
+    assert(rs(0).offset == 0 && rs(1).offset == rec(1, "http://a/1", "hello").length)
+  }
+
+  test("body containing the WARC magic parses length-driven, not magic-split") {
+    val hostile = "see the spec:\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n trailing"
+    val rs = parseAll(rec(7, "http://a/7", hostile) ++ rec(8, "http://a/8", "x"))
+    assert(rs.length == 2, "magic inside a body must not start a new record")
+    assert(new String(rs(0).body, US_ASCII) == hostile)
+  }
+
+  test("hostile containers fail loud with an offset") {
+    val good = rec(1, "http://a/1", "abcdef")
+    // truncated body
+    val trunc = good.dropRight(5)
+    val e1 = intercept[IllegalArgumentException](parseAll(trunc))
+    assert(e1.getMessage.contains("offset 0"))
+    // corrupted terminator
+    val bad = good.clone(); bad(bad.length - 1) = 'X'
+    intercept[IllegalArgumentException](parseAll(bad))
+    // bad magic
+    val nm = good.clone(); nm(0) = 'X'
+    assert(intercept[IllegalArgumentException](parseAll(nm)).getMessage.contains("magic"))
+    // missing Content-Length: hand-built header block
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n".getBytes(US_ASCII)
+    assert(intercept[IllegalArgumentException](parseAll(noLen))
+      .getMessage.contains("Content-Length"))
+  }
+
+  test("gzip member concatenation inflates to the plain blob") {
+    val r1 = rec(1, "http://a/1", "alpha beta")
+    val r2 = rec(2, "http://a/2", "gamma")
+    val gz = gzipMember(r1) ++ gzipMember(r2)
+    assert(java.util.Arrays.equals(gunzipAll(gz), r1 ++ r2))
+    assert(parseAll(gunzipAll(gz)).length == 2)
+  }
+}
