@@ -56,7 +56,14 @@ object Pipeline {
       // first step on raw crawl data. Off by default: the oracle-checked
       // funnel runs on pre-cleaned text, and stripping is a per-row
       // rewrite the clean path shouldn't pay twice.
-      stripMarkup: Boolean = false)
+      stripMarkup: Boolean = false,
+      // Credential scrubbing (Scrub.redactSecrets) applied in stage 0,
+      // after markup stripping: a leaked key must never reach ANY
+      // downstream artifact (shingles, indexes, the corpus itself), and
+      // redacting BEFORE dedup makes two docs that differ only in their
+      // embedded credentials collapse into one cluster. Off by default
+      // for the byte-stable oracle funnel.
+      redactSecrets: Boolean = false)
 
   /** docs → (doc_id, lang, source, quality, split) for the retained,
     * deduplicated corpus. Pass `decontamEval` to drop benchmark-
@@ -69,12 +76,20 @@ object Pipeline {
     // 0. optional markup strip — FIRST, so shingles, grams, quality
     // ratios and the decontam gate all see prose, not tag soup (an eval
     // answer wrapped in different markup must still match).
-    val stripped =
+    val destripped =
       if (cfg.stripMarkup)
         docs.withColumn("text",
             Scrub.normalize(Scrub.stripMarkup(col("text"))))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else docs
+    // 0'. optional credential scrub — after markup strip (a key hidden
+    // inside an attribute must first become visible text), before every
+    // content hash so no index or survivor ever carries a live secret.
+    val stripped =
+      if (cfg.redactSecrets)
+        destripped.withColumn("text", Scrub.redactSecrets(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      else destripped
     // 0a. optional benchmark-decontamination gate
     val cleansed = decontamEval match {
       case Some(ev) =>

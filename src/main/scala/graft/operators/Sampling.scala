@@ -471,4 +471,53 @@ object Sampling {
       .orderBy("stratum", "n_docs", "tokens_avail", "weight", "budget",
         "capped", "quota_tokens")
   }
+
+  /** Similarity-ordered corpus position for context packing — the
+    * In-Context Pretraining idea (Shi et al. '23): consecutive training
+    * documents should be RELATED, so the model learns to use its context
+    * window across document boundaries, instead of the unordered stream
+    * a hash shuffle produces.
+    *
+    * Deterministic distributed formulation: portable Lloyd k-means over
+    * the embedding column ([[Similarity.kmeansAssign]] — literal-centroid
+    * assignment, zero shuffle), then within each cluster order by
+    * similarity to the centroid (descending, vec_id tie-break) and
+    * concatenate clusters. Adjacent positions then share a cluster, and
+    * the walk through each cluster moves from its core to its fringe —
+    * the paper's greedy nearest-neighbor path replaced by a
+    * centroid-anchored one so the order is reproducible in ANY engine
+    * (a greedy path is inherently sequential; this is its parallel,
+    * oracle-checkable stand-in).
+    *
+    * Scale: assignment is a scan-speed projection; the per-cluster
+    * window partitions by centroid_id, and production k grows with the
+    * corpus (k ≈ N/4096) so cluster windows stay bounded; the global
+    * position adds per-cluster offsets from an O(k) metadata frame
+    * joined back broadcast — the [[graft.sources.Sinks.shardAssign]]
+    * two-level rank pattern with k natural partitions. */
+  def similarOrder(emb: DataFrame, numCentroids: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val asg = Similarity.kmeansAssign(emb, numCentroids, iters)
+      .select(col("vec_id"), col("centroid_id"), col("cell_sim"))
+    val byCell = Window.partitionBy("centroid_id")
+      .orderBy(col("cell_sim").desc, col("vec_id"))
+    val cum = Window.orderBy("centroid_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = asg.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(cum), lit(0L)))
+      .select("centroid_id", "off")
+    asg.withColumn("pos", row_number().over(byCell).cast("long") - 1)
+      .join(broadcast(offsets), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("pos"),
+        (col("off") + col("pos")).as("global_pos"))
+  }
+
+  /** ICLM packing order over the embeddings table: 8 portable-k-means
+    * cells, core-to-fringe within each, cluster-concatenated global
+    * positions. global_pos is a permutation of 0..N−1 (the spec locks
+    * this); the oracle recomputes the identical order through the SQL
+    * Lloyd CTEs. */
+  def qSimilarOrder(spark: SparkSession, dir: String): DataFrame =
+    similarOrder(Tables.embeddings(spark, dir))
+      .orderBy("vec_id")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -94,6 +95,122 @@ object Web {
       concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
   }
 
+  // robots.txt (RFC 9309) ----------------------------------------------
+
+  /** Canonical path+query match target for robots rules: RFC 9309 §2.2.2
+    * matches rules against the path AND query of the URI. Uses the same
+    * canonical form as [[canonicalUrl]] (tracking params dropped,
+    * survivors sorted, fragment gone) because gating runs AFTER
+    * canonicalization in the pipeline. */
+  def canonicalPathQuery(url: Column): Column = {
+    val path = when(urlPath(url) === "", "/").otherwise(urlPath(url))
+    val keep = array_sort(filter(split(urlQuery(url), "&"),
+      p => p =!= "" && !isTrackingParam(p)))
+    concat(path, when(size(keep) === 0, "")
+      .otherwise(concat(lit("?"), array_join(keep, "&"))))
+  }
+
+  /** Parse robots.txt bodies into the wildcard-agent rule table.
+    *
+    * Input `(reg_domain, robots_txt)`; output
+    * `(reg_domain, allow, prefix, rule_len)`. Implements the RFC 9309
+    * prefix subset (no `*` / `$` wildcards inside rule paths —
+    * documented; wildcard rules would need a regex compile step, which
+    * none of the fixture policies use):
+    *
+    *   - comments (`#` to end of line) stripped, keys case-insensitive;
+    *   - consecutive `User-agent` lines form ONE group (§2.2.1): a
+    *     group-start is a UA line whose predecessor is not a UA line,
+    *     and rules attach to the nearest preceding group;
+    *   - only groups containing `User-agent: *` contribute rules here
+    *     (per-product tokens are a crawler-identity concern, not a
+    *     corpus one);
+    *   - an empty `Disallow:` matches nothing (§2.2.2) → dropped, as is
+    *     any rule value not starting with `/`.
+    *
+    * Scale: one window pass partitioned by domain over O(robots lines)
+    * — a metadata table millions of times smaller than the corpus. */
+  def parseRobots(robots: DataFrame): DataFrame = {
+    val lines = robots.select(col("reg_domain"),
+        posexplode(split(col("robots_txt"), "\n")).as(Seq("pos", "raw")))
+      .select(col("reg_domain"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
+    val byPos = Window.partitionBy("reg_domain").orderBy("pos")
+    val tagged = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("gid", sum((col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false))).cast("int"))
+        .over(byPos))
+    val starGroups = tagged
+      .filter(col("is_ua") && col("value") === "*")
+      .select(col("reg_domain"), col("gid")).distinct()
+    tagged
+      .filter(col("key").isin("allow", "disallow") && col("value").startsWith("/"))
+      .join(starGroups, Seq("reg_domain", "gid"))
+      .select(col("reg_domain"), (col("key") === "allow").as("allow"),
+        col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"))
+  }
+
+  /** Apply a parsed rule table to a URL frame carrying `doc_id`,
+    * `reg_domain` and a `pathq` match target: per RFC 9309 §2.2.2 the
+    * most specific (longest) matching rule wins, an allow/disallow tie
+    * at equal length resolves to allow, and a URL with no matching rule
+    * is allowed. Returns the input plus `(rule, allowed)`.
+    *
+    * Scale: the rule table is O(domains · rules) — broadcast — so the
+    * corpus never shuffles; the per-URL argmax window partitions by
+    * doc_id over only that URL's matched candidates (bounded by rules
+    * per domain, single digits in practice). */
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("rule_len").desc, col("allow").desc, col("prefix"))
+    val verdict = urls.select("doc_id", "reg_domain", "pathq")
+      .join(broadcast(rules), Seq("reg_domain"))
+      .filter(col("pathq").startsWith(col("prefix")))
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("prefix").as("rule"), col("allow"))
+    urls.join(verdict, Seq("doc_id"), "left")
+      .withColumn("rule", coalesce(col("rule"), lit("")))
+      .withColumn("allowed", coalesce(col("allow"), lit(true)))
+      .drop("allow")
+  }
+
+  /** Fixture robots.txt per registered domain — deterministic policies
+    * exercising every parser branch: comments, blank lines, mixed-case
+    * keys, non-star groups that must be ignored, consecutive-UA group
+    * formation, the empty-Disallow drop, longest-match overrides and a
+    * query-string rule. Shared verbatim with the unit spec; the DuckDB
+    * oracle carries the HAND-DERIVED rule table instead of re-running
+    * this parse, so a parser bug cannot hide in a mirrored oracle. */
+  val RobotsFixture: Seq[(String, String)] = Seq(
+    "example.com" ->
+      ("# crawl policy\n" +
+        "User-agent: gptbot\n" +
+        "Disallow: /\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "User-Agent: archiver\n" +
+        "Disallow: /en/page/1\n" +
+        "Allow: /en/page/12\n" +
+        "Disallow: /de/\n" +
+        "Disallow:\n"),
+    "data.co.uk" ->
+      ("User-agent: seobot\n" +
+        "Allow: /\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "Disallow: /es/page/2?id=\n" +
+        "Disallow: /zh/page/3\n" +
+        "Allow: /zh/page/33\n"),
+    "site.org" ->
+      ("User-agent: *\n" +
+        "Disallow: /\n" +
+        "Allow: /en/\n" +
+        "Allow: /fr/page/7\n"))
+
   // query-shaped entry points (SparkEntry contract) --------------------
   //
   // The synthetic corpus has no URL column, so the queries derive a
@@ -161,5 +278,23 @@ object Web {
         sum((!drop).cast("long")).as("n_kept"),
         sum(drop.cast("long")).as("n_dropped"))
       .orderBy("source")
+  }
+
+  /** Robots gate over the synth URL corpus: parse the fixture policies,
+    * evaluate longest-match semantics per URL. Output per doc: the
+    * matched rule and the verdict, so the hash compare checks parse +
+    * match + tie-break end to end against a hand-derived oracle. */
+  def qRobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = parseRobots(
+      RobotsFixture.toDF("reg_domain", "robots_txt"))
+    val urls = withUrl(spark, dir).select(
+      col("doc_id"),
+      registeredDomain(col("url")).as("reg_domain"),
+      canonicalPathQuery(col("url")).as("pathq"))
+    robotsGate(urls, rules)
+      .select(col("doc_id"), col("reg_domain"), col("pathq"),
+        col("rule"), col("allowed"))
+      .orderBy("doc_id")
   }
 }

@@ -147,4 +147,86 @@ object Sinks {
     val out = coalesceTo.map(results.coalesce).getOrElse(results)
     out.write.mode(SaveMode.Overwrite).json(path)
   }
+
+  /** Deterministic token-balanced shard assignment + manifest — the
+    * export step of a training run: a 100 TB curated corpus leaves the
+    * engine as N shards whose TOKEN mass (not doc count — doc sizes are
+    * heavy-tailed) is balanced so no data-loader rank starves, plus a
+    * per-shard checksum ledger the loader verifies before a run.
+    *
+    * Assignment is round-robin over the size-descending order (sort by
+    * tokens desc, shard = (rank−1) mod N): each of the N largest docs
+    * lands alone, and every subsequent round adds one doc per shard in
+    * near-equal size tiers, so shard masses differ by at most one doc
+    * per tier — the classic greedy-LPT guarantee shape, but expressed
+    * with rank arithmetic instead of a sequential heap. Deterministic
+    * for any input order (ties break on doc_id).
+    *
+    * Scale: ONE global sort of O(docs) metadata rows (doc_id, tokens,
+    * checksum — never the text) and an O(N) aggregate. At 100 TB the
+    * metadata frame is ~10⁹ rows × 24 bytes — a range-partitioned sort
+    * Spark does routinely; the docs themselves are then written
+    * shard-partitioned with no second shuffle (partitionBy on the
+    * assigned shard column).
+    *
+    * The checksum is the XOR of a per-doc 32-bit content hash —
+    * order-independent (shard file order is a writer concern), exactly
+    * mergeable, and zero-extensible: XOR of re-hashed shard contents
+    * must reproduce the manifest or the shard is corrupt/incomplete.
+    *
+    * Returns (input + shard) and the manifest (shard, n_docs, tokens,
+    * checksum) — callers write both; the manifest IS the ledger. */
+  def shardAssign(docs: DataFrame, tokensCol: String, nShards: Int,
+      rangePartitions: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Global size rank WITHOUT a single-partition window (which would
+    // funnel the whole metadata frame through one task): range-partition
+    // on the total order (tokens desc, doc_id — a strict order, so the
+    // rank is invariant to where sampled range boundaries fall), rank
+    // within each partition in parallel, and add per-partition row
+    // offsets. The offset frame is O(rangePartitions) rows — its own
+    // cumulative window is metadata-sized — and joins back broadcast.
+    val sorted = docs
+      .repartitionByRange(rangePartitions, col(tokensCol).desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val cum = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(cum), lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid")
+      .orderBy(col(tokensCol).desc, col("doc_id"))
+    sorted.withColumn("lr", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("shard", (col("off") + col("lr") - 1) % nShards)
+      .drop("pid", "lr", "off")
+  }
+
+  def shardManifest(assigned: DataFrame, tokensCol: String,
+      checksumCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("tokens"),
+        expr(s"bit_xor($checksumCol)").as("checksum"))
+  }
+
+  /** Query-shaped entry (SparkEntry contract): assign the documents
+    * table to 8 token-balanced shards and emit the manifest ledger. The
+    * per-doc 32-bit content hash is the repo's hexVal8-of-md5 idiom so
+    * the oracle reproduces the XOR exactly; the 8-row output's checksum
+    * column pins the full assignment of every doc. */
+  def qShardManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("tokens"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long").as("chk"))
+    shardManifest(shardAssign(docs, "tokens", nShards = 8), "tokens", "chk")
+      .orderBy("shard")
+  }
 }

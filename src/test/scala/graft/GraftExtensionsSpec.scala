@@ -27,7 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
         "graft_word_gram_hashes", "graft_char_entropy", "graft_md5_windows",
-        "graft_repair_utf8"))
+        "graft_repair_utf8", "graft_phrase_hits"))
   }
 
   test("graft_word_gram_hashes matches xxhash64 of the gram strings in SQL") {

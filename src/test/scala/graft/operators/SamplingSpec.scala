@@ -243,4 +243,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(rep.getLong(4) == chunks.count(_ > 100L).toLong)
     assert(rep.getLong(5) == chunks.max)
   }
+
+  test("similarOrder: global_pos is a cluster-contiguous permutation") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Sampling.similarOrder(emb, numCentroids = 4, iters = 1)
+      .select("vec_id", "centroid_id", "pos", "global_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = emb.count()
+    // a permutation of 0..N-1
+    assert(out.map(_._4).sorted.toSeq == (0L until n).toSeq)
+    // cluster-contiguous: each cluster occupies one global interval,
+    // walked in within-cluster pos order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (0L until rows.length).toSeq)
+      val g = sorted.map(_._4)
+      assert(g.last - g.head == rows.length - 1 && g.toSeq == (g.head to g.last))
+    }
+  }
 }

@@ -60,4 +60,56 @@ class WebSpec extends AnyFunSuite {
     val kept = df.filter(!drop).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(3L, 4L))
   }
+
+  // robots.txt (RFC 9309) ------------------------------------------------
+
+  test("robots parse: groups, comments, case, empty-Disallow drop") {
+    val txt =
+      "# policy\n" +
+        "User-agent: gptbot\n" +     // non-star group: its rules must vanish
+        "Disallow: /\n" +
+        "\n" +
+        "User-agent: *\n" +          // consecutive UA lines = ONE group
+        "User-Agent: archiver\n" +   // mixed-case key
+        "Disallow: /a # trailing comment\n" +
+        "Allow: /a/b\n" +
+        "Disallow:\n" +              // empty rule: matches nothing, dropped
+        "Disallow: no-slash\n" +     // malformed value, dropped
+        "\n" +
+        "User-agent: other\n" +      // later non-star group: ignored
+        "Disallow: /x\n"
+    val rules = Web.parseRobots(Seq(("d.com", txt)).toDF("reg_domain", "robots_txt"))
+      .select("allow", "prefix").as[(Boolean, String)].collect().toSet
+    assert(rules == Set((false, "/a"), (true, "/a/b")))
+  }
+
+  test("robots gate: longest match wins, allow breaks ties, no match allows") {
+    val rules = Seq(
+      ("d.com", false, "/a", 2L),
+      ("d.com", true, "/a/b", 4L),
+      ("d.com", true, "/c", 2L),    // equal-length pair: allow must win
+      ("d.com", false, "/c", 2L)
+    ).toDF("reg_domain", "allow", "prefix", "rule_len")
+    val urls = Seq(
+      (1L, "d.com", "/a/x"),   // only /a matches -> blocked
+      (2L, "d.com", "/a/b/x"), // /a/b longer -> allowed
+      (3L, "d.com", "/c/x"),   // tie at len 2 -> allow wins
+      (4L, "d.com", "/z")      // no rule -> default allowed
+    ).toDF("doc_id", "reg_domain", "pathq")
+    val got = Web.robotsGate(urls, rules)
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
+  test("robots gate matches path AND query through the canonical form") {
+    val pathq = Seq("http://d.com/p?utm_source=x&id=9")
+      .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))
+      .collect().head.getString(0)
+    assert(pathq == "/p?id=9", "tracking dropped before rule matching")
+    val rules = Seq(("d.com", false, "/p?id=", 6L))
+      .toDF("reg_domain", "allow", "prefix", "rule_len")
+    val urls = Seq((1L, "d.com", pathq)).toDF("doc_id", "reg_domain", "pathq")
+    assert(!Web.robotsGate(urls, rules).select("allowed")
+      .collect().head.getBoolean(0))
+  }
 }

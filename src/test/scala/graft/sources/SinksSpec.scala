@@ -239,4 +239,49 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
+
+  // shard manifest --------------------------------------------------------
+
+  test("shardAssign is the round-robin over the global size-desc order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sizes engineered with ties (40,40) so the doc_id tiebreak is pinned
+    val docs = Seq((1L, 40L), (2L, 10L), (3L, 40L), (4L, 30L), (5L, 20L),
+      (6L, 5L)).toDF("doc_id", "tokens")
+    val got = Sinks.shardAssign(docs, "tokens", nShards = 3, rangePartitions = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // size order: (40,id1) (40,id3) (30,id4) (20,id5) (10,id2) (5,id6)
+    assert(got == Map(1L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L, 2L -> 1L, 6L -> 2L))
+  }
+
+  test("shard assignment is invariant to input partitioning and order") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, (i * 37 % 97) + 1)).toDF("doc_id", "tokens")
+    val a = Sinks.shardAssign(docs, "tokens", 8, rangePartitions = 16)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val b = Sinks.shardAssign(docs.orderBy(org.apache.spark.sql.functions
+        .col("doc_id").desc).repartition(7), "tokens", 8, rangePartitions = 3)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(a == b, "global size rank must not depend on layout")
+    // token-balance: every shard's mass within one max-doc of the mean
+    val masses = Sinks.shardAssign(docs, "tokens", 8, rangePartitions = 16)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("tokens").as("m"))
+      .select("m").as[Long].collect()
+    assert(masses.length == 8)
+    assert(masses.max - masses.min <= 97L,
+      s"round-robin-decreasing must bound skew by one tier: ${masses.toSeq}")
+  }
+
+  test("manifest checksum is the XOR ledger of per-doc hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, 3L, 0x0f0fL), (2L, 2L, 0x00ffL), (3L, 1L, 0x0101L))
+      .toDF("doc_id", "tokens", "chk")
+    val m = Sinks.shardManifest(
+        Sinks.shardAssign(docs, "tokens", nShards = 1), "tokens", "chk")
+      .select("n_docs", "tokens", "checksum").head
+    assert(m.getLong(0) == 3L)
+    assert(m.getLong(1) == 6L)
+    assert(m.getLong(2) == (0x0f0fL ^ 0x00ffL ^ 0x0101L))
+  }
 }
