@@ -1137,6 +1137,63 @@ object TextAnalysis {
       .orderBy("doc_id", "word_count", "mean_word_len_ppm", "symbol_ppm",
         "stop_hits", "passes")
 
+  /** Code-file quality signals — the source-code sibling of
+    * [[gopherRules]] (The Stack / StarCoder recipe, Kocetkov et al.
+    * '22): line-shape and character-class heuristics that separate
+    * human-written code from minified bundles, generated stubs and
+    * binary-ish blobs. Per doc: line count, longest line, mean line
+    * length (exact ppm), alphanumeric fraction (ppm), an
+    * auto-generated-header flag, and the composed keep verdict
+    * (max line ≤ `maxLineLen`, mean ≤ `maxAvgLine`, alnum ≥
+    * `minAlnumPpm`, not autogenerated — the published thresholds).
+    *
+    * Shape: one explode over lines feeding a per-doc aggregate (both
+    * codegen'd; the doc-grain regexp counts ride the same scan) — no
+    * higher-order functions in the hot path, linear at any corpus
+    * size. */
+  def codeQuality(docs: DataFrame, text: Column, maxLineLen: Long = 1000L,
+      maxAvgLine: Long = 100L, minAlnumPpm: Long = 250000L): DataFrame = {
+    val autogenRe = "(?i)auto-generated|do not edit|generated by"
+    docs.select(col("doc_id"),
+        greatest(length(text).cast("long"), lit(1L)).as("graft_chars"),
+        regexp_count(text, lit("[A-Za-z0-9]")).cast("long").as("graft_alnum"),
+        (regexp_count(text, lit(autogenRe)) > 0).as("autogen"),
+        explode(split(text, "\n")).as("graft_line"))
+      .groupBy("doc_id", "graft_chars", "graft_alnum", "autogen")
+      .agg(count(lit(1)).as("n_lines"),
+        max(length(col("graft_line"))).cast("long").as("max_line_len"),
+        sum(length(col("graft_line"))).cast("long").as("graft_linesum"))
+      .select(col("doc_id"), col("n_lines"), col("max_line_len"),
+        expr("(graft_linesum * 1000000) div n_lines").as("avg_line_ppm"),
+        expr("(graft_alnum * 1000000) div graft_chars").as("alnum_ppm"),
+        col("autogen"))
+      .withColumn("keep",
+        col("max_line_len") <= maxLineLen &&
+          col("avg_line_ppm") <= maxAvgLine * 1000000L &&
+          col("alnum_ppm") >= minAlnumPpm && !col("autogen"))
+  }
+
+  /** Deterministic code-file twin of the prose corpus (the withPii
+    * discipline): newline structure carved at every " table "
+    * occurrence, a fifth of docs get a 1200-char minified tail line
+    * (must trip the long-line rule), a seventh an auto-generated header
+    * (must trip the autogen rule; ≡0 mod 35 docs exercise the CASE
+    * order: long-line wins). */
+  private def fileTwin: Column = {
+    val base = expr(
+      "replace(text, ' table ', concat(char(10), 'table', char(10)))")
+    when(col("doc_id") % 5 === 0,
+      concat(base, lit("\n"), repeat(lit("x=1;"), 300)))
+      .when(col("doc_id") % 7 === 0,
+        concat(lit("// Auto-generated by protoc. DO NOT EDIT\n"), base))
+      .otherwise(base)
+  }
+
+  def qCodeQuality(spark: SparkSession, dir: String): DataFrame =
+    codeQuality(Tables.documents(spark, dir), fileTwin)
+      .orderBy("doc_id", "n_lines", "max_line_len", "avg_line_ppm",
+        "alnum_ppm", "autogen", "keep")
+
   /** Fixed blocklist for the C4-badwords-style gate below (two phrases
     * that occur in the corpus, one multi-word that does, one that never
     * will — so both branches of the gate carry mass). */

@@ -160,6 +160,7 @@ object ExtQueries {
     "text_secrets_redact"   -> graft.operators.Scrub.qSecretsRedact _,
     "storage_shard_manifest" -> graft.sources.Sinks.qShardManifest _,
     "text_blocklist"        -> TextAnalysis.qBlocklist _,
+    "text_code_quality"     -> TextAnalysis.qCodeQuality _,
     "events_retention"      -> graft.operators.Retention.qRetention _,
     "events_decay_score"    -> graft.operators.Retention.qDecayedActivity _,
     "events_attribution"    -> graft.streaming.EventStream.qAttribution _,
@@ -1778,6 +1779,39 @@ object ExtQueries {
          |${ivfCtes()}
          |SELECT centroid_id, count(*) AS n_vecs FROM asg2
          |GROUP BY centroid_id ORDER BY centroid_id, n_vecs""".stripMargin,
+
+    // TextAnalysis.qCodeQuality: The-Stack-style code-file filters over
+    // the deterministic file twin (newline carving + minified tail +
+    // autogen header); integer-ppm means, boolean verdict.
+    "text_code_quality" ->
+      """WITH tw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    replace(text, ' table ', chr(10) || 'table' || chr(10))
+        |      || chr(10) || repeat('x=1;', 300)
+        |  WHEN doc_id % 7 = 0 THEN
+        |    '// Auto-generated by protoc. DO NOT EDIT' || chr(10)
+        |      || replace(text, ' table ', chr(10) || 'table' || chr(10))
+        |  ELSE replace(text, ' table ', chr(10) || 'table' || chr(10)) END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM tw),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(max(length(line)) AS BIGINT) AS max_line_len,
+        |    CAST(sum(length(line)) AS BIGINT) AS s
+        |  FROM l GROUP BY doc_id),
+        |m AS (SELECT doc_id,
+        |    greatest(CAST(length(t) AS BIGINT), 1) AS nc,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9]')) AS BIGINT) AS na,
+        |    regexp_matches(t, '(?i)auto-generated|do not edit|generated by') AS autogen
+        |  FROM tw)
+        |SELECT a.doc_id, n_lines, max_line_len,
+        |  CAST((s * 1000000) // n_lines AS BIGINT) AS avg_line_ppm,
+        |  CAST((na * 1000000) // nc AS BIGINT) AS alnum_ppm,
+        |  autogen,
+        |  (max_line_len <= 1000 AND (s * 1000000) // n_lines <= 100000000
+        |   AND (na * 1000000) // nc >= 250000 AND NOT autogen) AS keep
+        |FROM a JOIN m USING (doc_id)
+        |ORDER BY doc_id, n_lines, max_line_len, avg_line_ppm, alnum_ppm,
+        |  autogen, keep""".stripMargin,
 
     // Sampling.qSimilarOrder: the same Lloyd CTEs, then core-to-fringe
     // order within each cell plus cluster-concatenated offsets — the

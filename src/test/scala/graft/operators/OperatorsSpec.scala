@@ -802,6 +802,31 @@ class OperatorsSpec extends AnyFunSuite {
       "no stopwords and 15-char mean word length must trip")
   }
 
+  test("code quality: each rule trips on its own pathology") {
+    val clean = (1 to 20).map(i => s"val x$i = f(x${i - 1})").mkString("\n")
+    val rows = Seq(
+      (0L, clean),                                    // passes everything
+      (1L, clean + "\n" + ("m()+" * 300)),            // 1200-char minified line
+      (2L, "// auto-generated by gen\n" + clean),     // autogen header (case-insensitive)
+      (3L, ((".. " * 30).trim + "\n") * 10))          // low alnum fraction
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeQuality(rows, org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getBoolean(6), s"clean code passes: ${got(0L)}")
+    assert(!got(1L).getBoolean(6) && got(1L).getLong(2) == 1200L,
+      "longest line must trip the max-line rule")
+    assert(!got(2L).getBoolean(6) && got(2L).getBoolean(5),
+      "autogen header must be flagged")
+    assert(!got(3L).getBoolean(6) && got(3L).getLong(4) < 250000L,
+      s"dot-soup must fail the alnum floor: ${got(3L)}")
+    // exact accounting on a tiny handmade file: 2 lines, 3+5 chars
+    val tiny = Seq((9L, "abc\nde fg")).toDF("doc_id", "text")
+    val t = TextAnalysis.codeQuality(tiny, org.apache.spark.sql.functions.col("text")).head
+    assert(t.getLong(1) == 2L && t.getLong(2) == 5L)
+    assert(t.getLong(3) == (8L * 1000000L) / 2L)   // mean over line chars only
+    assert(t.getLong(4) == (7L * 1000000L) / 9L)   // alnum over ALL chars
+  }
+
   test("compression quality: repetitive text compresses far below varied text") {
     val rep = (1 to 200).map(_ => "spam").mkString(" ")
     val varied = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
