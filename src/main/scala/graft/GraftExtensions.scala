@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, Md5Windows, PhraseMatchCount, RepairDoubleUtf8, WordGramHashes, WordNGrams}
+import graft.functions.{CharEntropyMicro, CharNGrams, DotProduct, HammingDistance, LineStats, Md5Windows, PhraseMatchCount, RepairDoubleUtf8, WordGramHashes, WordNGrams}
 
 /** SQL surface for graft's native expressions.
   *
@@ -86,6 +86,12 @@ object GraftExtensions {
           "graft_phrase_hits(text, 'phrase|phrase|…') takes exactly 2 arguments")
         PhraseMatchCount(args.head,
           constString(args(1), "graft_phrase_hits phrases").split('|').toSeq)
+      }),
+    (new FunctionIdentifier("graft_line_stats"),
+      new ExpressionInfo(classOf[LineStats].getName, "graft_line_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_line_stats(text) takes exactly 1 argument")
+        LineStats(args.head)
       }))
 
   /** The n-gram width is part of the expression (it sizes codegen

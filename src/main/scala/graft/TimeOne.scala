@@ -28,10 +28,18 @@ object TimeOne {
       val fn = SparkEntry.queries(name)
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
-      fn(spark, sfDir).count() // warm
+      // count() is the driver-bench contract, but Catalyst prunes unused
+      // columns under it — a PROJECTION-ONLY query (scrub/report shapes)
+      // then measures the scan, not the work. SPARK_GRAFT_FORCE=1
+      // evaluates every output row instead; use it when stress-timing
+      // scalar transforms.
+      val act: org.apache.spark.sql.DataFrame => Unit =
+        if (sys.env.contains("SPARK_GRAFT_FORCE")) df => df.foreach(_ => ())
+        else df => { df.count(); () }
+      act(fn(spark, sfDir)) // warm
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        act(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[timeone] $name min=${times.min}%.3f passes=${times.map(t => f"$t%.3f").mkString(",")}")

@@ -27,7 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("graft_dot", "graft_hamming", "graft_char_ngrams", "graft_word_ngrams",
         "graft_word_gram_hashes", "graft_char_entropy", "graft_md5_windows",
-        "graft_repair_utf8", "graft_phrase_hits"))
+        "graft_repair_utf8", "graft_phrase_hits", "graft_line_stats"))
   }
 
   test("graft_word_gram_hashes matches xxhash64 of the gram strings in SQL") {
@@ -57,6 +57,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "graft_repair_utf8('r\u00e9sum\u00e9') AS b").collect().head
     assert(rows.getString(0) == "caf\u00e9", "mojibake repaired")
     assert(rows.getString(1) == "r\u00e9sum\u00e9", "genuine accents untouched")
+  }
+
+  test("graft_line_stats equals the split-based formulation, incl. multibyte") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq("", "abc", "a\nbc\n", "é\nßß\n\ncafé naïve", "\n\n",
+      "x" * 50 + "\n" + "日本語", "no newline at all 日本").toDF("t")
+    rows.createOrReplaceTempView("graft_ls_probe")
+    val got = spark.sql(
+      """SELECT t, graft_line_stats(t) AS ls,
+        |  array(size(split(t, '\n')),
+        |        array_max(transform(split(t, '\n'), l -> length(l))),
+        |        aggregate(transform(split(t, '\n'), l -> length(l)),
+        |                  0L, (a, x) -> a + x),
+        |        length(regexp_replace(t, '[^A-Za-z0-9]', ''))) AS want
+        |FROM graft_ls_probe""".stripMargin).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1).map(_.toString) == r.getSeq[Any](2).map(_.toString),
+        s"line stats mismatch on ${r.getString(0).replace("\n", "\\n")}")
+    }
   }
 
   test("charNGrams matches substring semantics, including multibyte chars") {
