@@ -345,6 +345,66 @@ object Sampling {
     chunkDocuments(Tables.documents(spark, dir))
       .orderBy("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
 
+  /** Sentence-BOUNDED chunking: segment at the C4 terminal-punctuation
+    * rule ('.', '!' or '?' followed by a space), then pack WHOLE
+    * sentences into token-budget chunks — the RAG/embedding variant of
+    * [[chunkDocuments]], whose fixed stride happily cuts mid-sentence.
+    * A retrieval chunk that opens mid-thought embeds noise; sentence
+    * bounds cost only the slack of the last sentence per chunk.
+    *
+    * Segmentation is three LITERAL marker replaces (`". " → ".\n"` …):
+    * no regex backreferences, because REPLACEMENT syntax diverges
+    * between engines (`$1` vs `\1`) while literal echo is identical —
+    * the [[graft.operators.Scrub]] portability discipline applied to
+    * replacements. A sentence joins chunk ⌊cum_before ∕ budget⌋ (the
+    * [[packSequences]] running-sum rule at sentence grain): chunks hold
+    * ≈budget tokens, no sentence ever splits, and the assignment is one
+    * window pass partitioned by doc — no sequential state, linear at
+    * any corpus size.
+    *
+    * Returns (doc_id, chunk_idx, n_sentences, n_tokens, first_sent,
+    * last_sent) — the span columns pin the exact assignment. */
+  def sentenceChunks(docs: DataFrame, text: Column,
+      budget: Long = 24L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val marked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\\. ", ".\n"),
+        "! ", "!\n"),
+      "\\? ", "?\n")
+    val sents = docs
+      .select(col("doc_id"), posexplode(split(marked, "\n")).as(Seq("pos", "sent")))
+      .filter(col("sent") =!= "") // pos stays 0-based (oracle: subscripts − 1)
+      .withColumn("st",
+        size(filter(split(col("sent"), " "), t => t =!= "")).cast("long"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    sents
+      .withColumn("cum", sum(col("st")).over(byDoc))
+      .withColumn("chunk_idx", expr(s"(cum - st) div $budget"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("st")).as("n_tokens"),
+        min(col("pos")).cast("long").as("first_sent"),
+        max(col("pos")).cast("long").as("last_sent"))
+  }
+
+  /** Deterministic punctuation twin of the prose corpus (the withPii
+    * discipline): three word-anchored sentence breaks spliced in with
+    * the SAME literal replaces both engines run, plus a terminal stop. */
+  private def punctTwin: Column =
+    concat(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), " value ", " value. "),
+          " data ", " data! "),
+        " row ", " row? "),
+      lit("."))
+
+  def qSentenceChunks(spark: SparkSession, dir: String): DataFrame =
+    sentenceChunks(Tables.documents(spark, dir), punctTwin)
+      .orderBy("doc_id", "chunk_idx", "n_sentences", "n_tokens",
+        "first_sent", "last_sent")
+
   /** EXACTLY-n-per-stratum deterministic sample (vs [[bernoulli]]'s
     * in-expectation rate): keep each stratum's n rows with the smallest
     * hash16 draw (ties by id). The distributed reservoir — same draw ⇒

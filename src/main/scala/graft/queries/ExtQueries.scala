@@ -121,6 +121,7 @@ object ExtQueries {
     "profile_corpus_diff"   -> graft.operators.Profile.qCorpusDiff _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
     "text_chunks"           -> graft.operators.Sampling.qChunkDocuments _,
+    "text_sentence_chunks"  -> graft.operators.Sampling.qSentenceChunks _,
     "sample_temperature"    -> graft.operators.Sampling.qSampleTemperature _,
     "sample_epoch_order"    -> graft.operators.Sampling.qEpochOrder _,
     "sample_importance"     -> graft.operators.Sampling.qImportanceWeights _,
@@ -3318,6 +3319,38 @@ object ExtQueries {
     },
 
     // maxLen=64, stride=48 → redundancy guard start + (64-48) <= len(t)
+    // Sampling.qSentenceChunks: punctuation twin → literal marker
+    // replaces → sentence token counts → running-sum chunk assignment.
+    // DuckDB's generate_subscripts is 1-based where posexplode is
+    // 0-based, hence the pos - 1.
+    "text_sentence_chunks" ->
+      """WITH tw AS (SELECT doc_id,
+        |    replace(replace(replace(text, ' value ', ' value. '),
+        |      ' data ', ' data! '), ' row ', ' row? ') || '.' AS t
+        |  FROM documents),
+        |mk AS (SELECT doc_id,
+        |    replace(replace(replace(t, '. ', '.' || chr(10)),
+        |      '! ', '!' || chr(10)), '? ', '?' || chr(10)) AS m
+        |  FROM tw),
+        |s AS (SELECT doc_id,
+        |    unnest(string_split(m, chr(10))) AS sent,
+        |    generate_subscripts(string_split(m, chr(10)), 1) - 1 AS pos
+        |  FROM mk),
+        |t2 AS (SELECT doc_id, pos,
+        |    CAST(len(list_filter(string_split(sent, ' '), x -> x <> '')) AS BIGINT) AS st
+        |  FROM s WHERE sent <> ''),
+        |c AS (SELECT doc_id, pos, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+        |  FROM t2)
+        |SELECT doc_id, CAST((cum - st) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(st) AS BIGINT) AS n_tokens,
+        |  CAST(min(pos) AS BIGINT) AS first_sent,
+        |  CAST(max(pos) AS BIGINT) AS last_sent
+        |FROM c GROUP BY doc_id, (cum - st) // 24
+        |ORDER BY doc_id, chunk_idx, n_sentences, n_tokens, first_sent,
+        |  last_sent""".stripMargin,
+
     "text_chunks" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |              FROM documents),

@@ -66,7 +66,8 @@ object DocStream {
       modelWeights: Option[Seq[Long]] = None,
       decontamGrams: Option[DataFrame] = None,
       decontamN: Int = 5,
-      stripMarkup: Boolean = false): StreamingQuery =
+      stripMarkup: Boolean = false,
+      redactSecrets: Boolean = false): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
       prepare = { batch =>
         // repair → (optional) markup strip → normalize → redact: strip
@@ -75,9 +76,14 @@ object DocStream {
         val repaired = Scrub.repairEncoding(col("text"))
         val structural =
           if (stripMarkup) Scrub.stripMarkup(repaired) else repaired
+        val piiClean = Scrub.redactPii(Scrub.normalize(structural))
+        // optional credential scrub, same position as the batch curate
+        // (Pipeline.Config.redactSecrets): before signatures, so no index
+        // cell or survivor ever carries a live key, and key-only variants
+        // collapse to exact dups.
         val scrubbed = batch
           .withColumn("text",
-            Scrub.redactPii(Scrub.normalize(structural)))
+            if (redactSecrets) Scrub.redactSecrets(piiClean) else piiClean)
           .withColumn("n_chars", length(col("text")).cast("long"))
         // optional benchmark-decontamination gate: a PRECOMPUTED (and
         // ideally persisted) Pipeline.evalGramTable rides every batch as

@@ -244,6 +244,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(rep.getLong(5) == chunks.max)
   }
 
+  test("sentenceChunks: whole sentences pack by the running-sum budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sentences: "a b c."(3) "d e f g!"(4) "h i?"(2) "j k l m n"(5)
+    // cum: 3,7,9,14 -> chunk (cum-st)//5: 0,0,1,1
+    val docs = Seq((1L, "a b c. d e f g! h i? j k l m n")).toDF("doc_id", "text")
+    val got = Sampling.sentenceChunks(docs, col("text"), budget = 5L)
+      .select("chunk_idx", "n_sentences", "n_tokens", "first_sent", "last_sent")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 7L, 0L, 1L), (1L, 2L, 7L, 2L, 3L)))
+    // a sentence longer than the budget still lands whole in ONE chunk
+    val long = Seq((2L, "one two three four five six seven. tail."))
+      .toDF("doc_id", "text")
+    val g2 = Sampling.sentenceChunks(long, col("text"), budget = 3L)
+      .select("chunk_idx", "n_sentences", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g2 == Set((0L, 1L, 7L), (2L, 1L, 1L)),
+      s"7-token sentence fills chunks 0-1; tail starts at cum_before 7 // 3 = 2: $g2")
+  }
+
   test("similarOrder: global_pos is a cluster-contiguous permutation") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
