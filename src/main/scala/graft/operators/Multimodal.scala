@@ -427,7 +427,8 @@ object Multimodal {
     * exercises every PNG filter (None, Sub, Up, Average, Paeth) against
     * real data, and the whole raster round-trips through a genuine
     * zlib DEFLATE stream. */
-  private[graft] def pngFromText(text: String): Array[Byte] = {
+  private[graft] def pngFromText(text: String,
+      textChunks: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val w = 5
     val h = bytes.length / 3 / w
@@ -481,9 +482,71 @@ object Multimodal {
     }
     chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
       Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, deflate, adaptive, no interlace
+    textChunks.foreach { case (ctype, data) => chunk(ctype, data) }
     chunk("IDAT", cbuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Extract PNG text-metadata chunks (tEXt and iTXt, PNG spec §11.3.4)
+    * with per-chunk CRC verification — the metadata side of image
+    * curation: provenance (Author/Source), captions (Comment/
+    * Description) and licensing often ride INSIDE the container, and a
+    * pipeline that drops them at decode loses exactly the fields later
+    * stages gate on.
+    *
+    * Returns (keyword, value, crc_ok) per text chunk, in container
+    * order. STRUCTURAL damage (bad signature, truncated chunk) fails
+    * loud — the hostile-container discipline of every codec here — while
+    * a bad CRC on an otherwise well-formed text chunk is DATA, flagged
+    * per row, because a single bit-flipped caption should not kill the
+    * batch. iTXt is parsed uncompressed-form only (compression flag 0;
+    * a compressed iTXt fails loud rather than silently skipping). */
+  private[graft] def pngTextChunks(png: Array[Byte]): Seq[(String, String, Boolean)] = {
+    def bad(m: String) = throw new IllegalArgumentException(s"pngTextChunks: $m")
+    if (png.length < 8 || !png.take(8).sameElements(PngCodec.Signature))
+      bad("missing PNG signature")
+    def be32(off: Int): Long =
+      ((png(off) & 0xffL) << 24) | ((png(off + 1) & 0xffL) << 16) |
+        ((png(off + 2) & 0xffL) << 8) | (png(off + 3) & 0xffL)
+    val out = Seq.newBuilder[(String, String, Boolean)]
+    var off = 8
+    var done = false
+    while (!done) {
+      if (off + 8 > png.length) bad(s"truncated chunk header at $off")
+      val len = be32(off).toInt
+      if (len < 0 || off + 12 + len > png.length) bad(s"truncated chunk at $off")
+      val ctype = new String(png, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, off + 4, 4 + len)
+      val crcOk = crc.getValue == be32(off + 8 + len)
+      def z(from: Int, limit: Int): Int = {
+        var i = from
+        while (i < limit && png(i) != 0) i += 1
+        if (i >= limit) bad(s"$ctype chunk missing NUL separator")
+        i
+      }
+      val d0 = off + 8
+      ctype match {
+        case "tEXt" =>
+          val kEnd = z(d0, d0 + len)
+          out += ((new String(png, d0, kEnd - d0, java.nio.charset.StandardCharsets.US_ASCII),
+            new String(png, kEnd + 1, d0 + len - kEnd - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1), crcOk))
+        case "iTXt" =>
+          val kEnd = z(d0, d0 + len)
+          if (png(kEnd + 1) != 0) bad("compressed iTXt not supported")
+          val langEnd = z(kEnd + 3, d0 + len)
+          val transEnd = z(langEnd + 1, d0 + len)
+          out += ((new String(png, d0, kEnd - d0, java.nio.charset.StandardCharsets.US_ASCII),
+            new String(png, transEnd + 1, d0 + len - (transEnd + 1),
+              java.nio.charset.StandardCharsets.UTF_8), crcOk))
+        case "IEND" => done = true
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    out.result()
   }
 
   /** Image-typed media rows with REAL (built) PNG payloads — the
@@ -497,6 +560,47 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, "image", pngFromText(t)) })
       .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** [[pngTable]] with deterministic tEXt/iTXt metadata spliced into
+    * each container (Title/Author/Comment as tEXt, Description as an
+    * en-tagged iTXt) — the fixture for [[pngTextChunks]]. Values derive
+    * from doc_id/text so the oracle states ground truth without
+    * parsing. */
+  def pngMetaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    docs.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val meta = Seq(
+          "tEXt" -> (ascii("Title") ++ Array[Byte](0) ++ ascii(s"doc $id")),
+          "tEXt" -> (ascii("Author") ++ Array[Byte](0) ++ ascii("src" + (id % 20))),
+          "tEXt" -> (ascii("Comment") ++ Array[Byte](0) ++ ascii(t.take(12))),
+          "iTXt" -> (ascii("Description") ++ Array[Byte](0, 0, 0) ++
+            ascii("en") ++ Array[Byte](0) ++ Array.emptyByteArray ++
+            Array[Byte](0) ++ s"desc ${id % 7}".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+        (id, "image", pngFromText(t, meta))
+      })
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  /** Query entry: metadata extraction over the meta-bearing containers —
+    * every (doc, key, value) with its CRC verdict. The oracle carries
+    * the GROUND TRUTH values straight from doc_id/text (never a mirror
+    * of the parse), so chunk-walk, NUL-field splits, iTXt header
+    * handling and the CRC all have to be right for the hash to match. */
+  def qPngMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngMetaTable(graft.sources.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, png) =>
+        pngTextChunks(png).map { case (k, v, ok) => (id, k, v, ok) } }
+      .toDF("doc_id", "key", "value", "crc_ok")
+      .orderBy("doc_id", "key", "value", "crc_ok")
   }
 
   /** Deterministic 24-bit BMP built from text: width 5 px, 3 consecutive

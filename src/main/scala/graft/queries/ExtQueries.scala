@@ -87,6 +87,7 @@ object ExtQueries {
     "mm_image_neardup"      -> Multimodal.qImageNearDup _,
     "mm_png_checksum"       -> Multimodal.qPngChecksum _,
     "mm_png_knn"            -> Multimodal.qPngKnn _,
+    "mm_png_meta"           -> Multimodal.qPngMeta _,
     "mm_png_pool"           -> Multimodal.qPngPool _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
@@ -2644,6 +2645,23 @@ object ExtQueries {
     "mm_png_checksum" -> imageChecksumSql,
     "mm_png_pool" -> imagePoolSql,
     "mm_png_knn" -> imageKnnSql,
+
+    // Multimodal.qPngMeta: ground truth stated straight from doc_id /
+    // text (the mm checksum discipline) — the Spark side must walk real
+    // chunks, split NUL fields, parse the iTXt header and verify CRCs
+    // to reproduce it.
+    "mm_png_meta" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 3 = 0 AND length(text) >= 15)
+        |SELECT doc_id, key, value, TRUE AS crc_ok FROM (
+        |  SELECT doc_id, 'Title' AS key, 'doc ' || CAST(doc_id AS VARCHAR) AS value FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'Author', 'src' || CAST(doc_id % 20 AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'Comment', substr(text, 1, 12) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 'Description', 'desc ' || CAST(doc_id % 7 AS VARCHAR) FROM d)
+        |ORDER BY doc_id, key, value, crc_ok""".stripMargin,
 
     // Mirrors Multimodal.qImagePool: the built BMP is width-5 raster of
     // text byte triples, so pooled window (ry,cx) covers pixels

@@ -1280,6 +1280,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h3 == 4000 && px3.toSeq == lb.take(20000).map(_ * 3).toSeq)
   }
 
+  test("multimodal: PNG text chunks round-trip; bad CRC flagged; damage loud") {
+    val text = "a" * 30
+    val meta = Seq(
+      "tEXt" -> ("K1".getBytes ++ Array[Byte](0) ++ "hello".getBytes),
+      "iTXt" -> ("K2".getBytes ++ Array[Byte](0, 0, 0) ++
+        "en".getBytes ++ Array[Byte](0) ++ Array[Byte](0) ++
+        "café".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val png = Multimodal.pngFromText(text, meta)
+    assert(Multimodal.pngTextChunks(png) ==
+      Seq(("K1", "hello", true), ("K2", "café", true)))
+    // flip one byte inside the tEXt value: CRC flags, parse continues
+    val damaged = png.clone()
+    val idx = {
+      // locate "hello" bytes
+      val s = png.indexOfSlice("hello".getBytes)
+      assert(s > 0); s
+    }
+    damaged(idx) = 'x'.toByte
+    assert(Multimodal.pngTextChunks(damaged) ==
+      Seq(("K1", "xello", false), ("K2", "café", true)))
+    // structural damage fails loud
+    intercept[IllegalArgumentException] {
+      Multimodal.pngTextChunks(png.take(20)) // truncated mid-chunk
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.pngTextChunks("not a png at all".getBytes)
+    }
+    // compressed iTXt (flag 1) is rejected, not silently skipped
+    val comp = Seq("iTXt" -> ("K3".getBytes ++ Array[Byte](0, 1, 0) ++
+      Array[Byte](0) ++ Array[Byte](0) ++ "zz".getBytes))
+    intercept[IllegalArgumentException] {
+      Multimodal.pngTextChunks(Multimodal.pngFromText(text, comp))
+    }
+  }
+
   test("multimodal: GifCodec rejects malformed containers") {
     def mkGif(w: Int, h: Int, code: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
