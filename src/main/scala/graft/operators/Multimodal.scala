@@ -764,6 +764,40 @@ object Multimodal {
       .select(col("doc_id"), col("n").cast("long").as("n"),
         ascii(col("c")).cast("long").as("x"))
 
+  /** Audio QUALITY gate — the clip-level filter a speech/audio corpus
+    * runs before any training use: clipping ratio (samples at the top
+    * of the amplitude range — a clipped recording distorts every
+    * downstream feature), silence ratio (dead air), and dynamic range
+    * (max − min; a constant-tone or DC clip carries no signal). Exact
+    * integer ppm ratios over the sample panel; one hash aggregate per
+    * clip, linear in sample mass, no state.
+    *
+    * Thresholds are calibrated to the text-byte fixture domain
+    * (samples = ASCII codes): `clipAt` 119 catches the 'w'–'z' top of
+    * the range, `silenceAt` 32 the spaces. On real 16-bit audio the
+    * same shape runs with 32760/100. */
+  def audioQuality(samples: DataFrame, clipAt: Long = 119L,
+      silenceAt: Long = 32L, maxClipPpm: Long = 60000L,
+      maxSilencePpm: Long = 200000L, minDyn: Long = 8L): DataFrame =
+    samples.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum((col("x") >= clipAt).cast("long")).as("graft_clip"),
+        sum((col("x") <= silenceAt).cast("long")).as("graft_sil"),
+        (max(col("x")) - min(col("x"))).as("dyn_range"))
+      .select(col("doc_id"), col("n_samples"),
+        expr("(graft_clip * 1000000) div n_samples").as("clip_ppm"),
+        expr("(graft_sil * 1000000) div n_samples").as("silence_ppm"),
+        col("dyn_range"))
+      .withColumn("keep",
+        col("clip_ppm") <= maxClipPpm && col("silence_ppm") <= maxSilencePpm &&
+          col("dyn_range") >= minDyn)
+
+  def qAudioQuality(spark: SparkSession, dir: String): DataFrame =
+    audioQuality(audioSamples(mediaTable(
+        graft.sources.Tables.documents(spark, dir))))
+      .orderBy("doc_id", "n_samples", "clip_ppm", "silence_ppm",
+        "dyn_range", "keep")
+
   /** Walsh–Hadamard "sequency" spectrum over audio sample windows — the
     * spectral-feature front end (tone/noise/band-energy descriptors per
     * frame) restated in EXACT integer arithmetic: coefficient k of a

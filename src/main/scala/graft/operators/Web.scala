@@ -280,6 +280,19 @@ object Web {
       .orderBy("source")
   }
 
+  /** URL-keyed re-fetch dedup: the same page arrives from a crawl many
+    * times (re-fetches, tracking-param variants, scheme/www spelling) —
+    * canonicalize FIRST, then keep the newest fetch per canonical URL
+    * (here: max doc_id as the recency stand-in). The step every crawl
+    * pipeline runs before content-level dedup ever sees the corpus:
+    * an O(urls) hash aggregate vs shingling byte-identical re-fetches.
+    * Output per canonical URL: fetch count and the kept doc. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    withUrl(spark, dir)
+      .groupBy(canonicalUrl(col("url")).as("canon_url"))
+      .agg(count(lit(1)).as("n_fetches"), max(col("doc_id")).as("kept_doc"))
+      .orderBy("canon_url")
+
   /** Robots gate over the synth URL corpus: parse the fixture policies,
     * evaluate longest-match semantics per URL. Output per doc: the
     * matched rule and the verdict, so the hash compare checks parse +

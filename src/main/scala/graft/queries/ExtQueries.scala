@@ -158,6 +158,8 @@ object ExtQueries {
     "web_domain_stats"      -> Web.qDomainStats _,
     "web_url_filter"        -> Web.qUrlFilter _,
     "web_robots_gate"       -> Web.qRobotsGate _,
+    "web_url_dedup"         -> Web.qUrlDedup _,
+    "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
     "text_secrets_redact"   -> graft.operators.Scrub.qSecretsRedact _,
     "storage_shard_manifest" -> graft.sources.Sinks.qShardManifest _,
@@ -3695,6 +3697,67 @@ object ExtQueries {
         |FROM t LEFT JOIN (SELECT doc_id, prefix, allow FROM cand WHERE rk = 1) b
         |  USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Web.qUrlDedup: canonicalize (the full web_url_canon chain), then
+    // newest-fetch-per-canonical-URL.
+    "web_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '://[^:/?#]*(:[0-9]+)', 1) AS port0,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN (scheme = 'http' AND port0 = ':80') OR (scheme = 'https' AND port0 = ':443')
+        |          THEN '' ELSE port0 END) ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS canon_url
+        |  FROM (SELECT doc_id, scheme, host, port0, path0,
+        |      list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |        AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |                 OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) AS keep
+        |    FROM p))
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(max(doc_id) AS BIGINT) AS kept_doc
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    // Multimodal.qAudioQuality: exact-integer gate over the sample panel
+    // (samples = ord of each payload byte, the warc_roundtrip
+    // equivalence).
+    "mm_audio_quality" ->
+      """WITH s AS (SELECT doc_id, ord(substr(text, i, 1)) AS x
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents WHERE doc_id % 3 = 1)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN x >= 119 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x <= 32 THEN 1 ELSE 0 END) AS BIGINT) AS sl,
+        |    CAST(max(x) - min(x) AS BIGINT) AS dyn_range
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_samples,
+        |  CAST((c * 1000000) // n_samples AS BIGINT) AS clip_ppm,
+        |  CAST((sl * 1000000) // n_samples AS BIGINT) AS silence_ppm,
+        |  dyn_range,
+        |  ((c * 1000000) // n_samples <= 60000
+        |   AND (sl * 1000000) // n_samples <= 200000
+        |   AND dyn_range >= 8) AS keep
+        |FROM a
+        |ORDER BY doc_id, n_samples, clip_ppm, silence_ppm, dyn_range, keep""".stripMargin,
 
     // Scrub.qSecretsRedact: the withPii discipline — credentials are
     // spliced in deterministically per doc_id class, the oracle builds
