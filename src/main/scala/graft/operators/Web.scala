@@ -113,10 +113,15 @@ object Web {
   /** Parse robots.txt bodies into the wildcard-agent rule table.
     *
     * Input `(reg_domain, robots_txt)`; output
-    * `(reg_domain, allow, prefix, rule_len)`. Implements the RFC 9309
-    * prefix subset (no `*` / `$` wildcards inside rule paths —
-    * documented; wildcard rules would need a regex compile step, which
-    * none of the fixture policies use):
+    * `(reg_domain, allow, prefix, rule_len, rx)` — `rx` the anchored
+    * regex the rule compiles to, because RFC 9309 §2.2.3 REQUIRES
+    * crawlers to support `*` (any char run) and `$` (end anchor) in
+    * rule paths: regex metachars are escaped, `*` becomes `.*`, a
+    * TRAILING `$` becomes the end anchor (mid-rule `$` is a literal),
+    * and the whole pattern is start-anchored. A wildcard-free rule's
+    * regex is exactly its escaped prefix, so plain rules behave as
+    * pure prefix matches. `rule_len` stays the ORIGINAL rule text's
+    * length — the specificity key §2.2.2's longest-match uses.
     *
     *   - comments (`#` to end of line) stripped, keys case-insensitive;
     *   - consecutive `User-agent` lines form ONE group (§2.2.1): a
@@ -146,11 +151,22 @@ object Web {
     val starGroups = tagged
       .filter(col("is_ua") && col("value") === "*")
       .select(col("reg_domain"), col("gid")).distinct()
+    val withEnd = col("value").endsWith("$")
+    // body = the rule without its trailing end-anchor (if any); escape
+    // regex metachars (not '*'), then '*' -> '.*'. The $0 group ref is
+    // Spark replacement syntax — fine here, the oracle never re-runs
+    // this translation (it carries hand-derived rules).
+    val body = when(withEnd, expr("substring(value, 1, length(value) - 1)"))
+      .otherwise(col("value"))
+    val escaped = regexp_replace(body, "[.\\[\\]{}()+?^$|\\\\]", "\\\\$0")
+    val rx = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(withEnd, "$").otherwise(""))
     tagged
       .filter(col("key").isin("allow", "disallow") && col("value").startsWith("/"))
       .join(starGroups, Seq("reg_domain", "gid"))
       .select(col("reg_domain"), (col("key") === "allow").as("allow"),
-        col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"))
+        col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"),
+        rx.as("rx"))
   }
 
   /** Apply a parsed rule table to a URL frame carrying `doc_id`,
@@ -168,7 +184,7 @@ object Web {
       .orderBy(col("rule_len").desc, col("allow").desc, col("prefix"))
     val verdict = urls.select("doc_id", "reg_domain", "pathq")
       .join(broadcast(rules), Seq("reg_domain"))
-      .filter(col("pathq").startsWith(col("prefix")))
+      .filter(expr("pathq RLIKE rx"))
       .withColumn("rk", row_number().over(best))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("prefix").as("rule"), col("allow"))
@@ -196,6 +212,7 @@ object Web {
         "Disallow: /en/page/1\n" +
         "Allow: /en/page/12\n" +
         "Disallow: /de/\n" +
+        "Disallow: /*/page/4$\n" +   // RFC wildcards: any lang, page 4 EXACTLY
         "Disallow:\n"),
     "data.co.uk" ->
       ("User-agent: seobot\n" +
@@ -209,7 +226,8 @@ object Web {
       ("User-agent: *\n" +
         "Disallow: /\n" +
         "Allow: /en/\n" +
-        "Allow: /fr/page/7\n"))
+        "Allow: /fr/page/7\n" +
+        "Allow: /zh/page/1*\n"))     // RFC wildcard: zh pages 1, 10-19
 
   // query-shaped entry points (SparkEntry contract) --------------------
   //

@@ -3640,11 +3640,13 @@ object ExtQueries {
     // Web.qRobotsGate. The oracle does NOT re-run the robots.txt parse —
     // it carries the HAND-DERIVED rule table for the fixture policies
     // (Web.RobotsFixture): the gptbot/seobot groups are absent, the
-    // empty `Disallow:` is absent, and the surviving 9 rules are listed
-    // with their lengths. A parser bug (group attribution, comment
-    // handling, case, empty-rule drop) lands different rules → different
-    // verdicts → hash mismatch; the matching SQL then independently
-    // re-implements RFC 9309 longest-match with allow-wins ties.
+    // empty `Disallow:` is absent, and the surviving 11 rules are listed
+    // with their lengths and HAND-COMPILED regexes (the `*`/`$`
+    // wildcard translation RFC 9309 §2.2.3 mandates). A parser or
+    // compiler bug (group attribution, comment handling, case,
+    // empty-rule drop, escaping, anchor placement) lands different
+    // rules → different verdicts → hash mismatch; the matching SQL then
+    // independently re-implements longest-match with allow-wins ties.
     "web_robots_gate" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
@@ -3676,21 +3678,23 @@ object ExtQueries {
         |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS pathq
         |  FROM p),
         |rules AS (SELECT * FROM (VALUES
-        |    ('example.com', FALSE, '/en/page/1', 10),
-        |    ('example.com', TRUE,  '/en/page/12', 11),
-        |    ('example.com', FALSE, '/de/', 4),
-        |    ('data.co.uk',  FALSE, '/es/page/2?id=', 14),
-        |    ('data.co.uk',  FALSE, '/zh/page/3', 10),
-        |    ('data.co.uk',  TRUE,  '/zh/page/33', 11),
-        |    ('site.org',    FALSE, '/', 1),
-        |    ('site.org',    TRUE,  '/en/', 4),
-        |    ('site.org',    TRUE,  '/fr/page/7', 10))
-        |  v(reg_domain, allow, prefix, rule_len)),
+        |    ('example.com', FALSE, '/en/page/1', 10, '^/en/page/1'),
+        |    ('example.com', TRUE,  '/en/page/12', 11, '^/en/page/12'),
+        |    ('example.com', FALSE, '/de/', 4, '^/de/'),
+        |    ('example.com', FALSE, '/*/page/4$', 10, '^/.*/page/4$'),
+        |    ('data.co.uk',  FALSE, '/es/page/2?id=', 14, '^/es/page/2\?id='),
+        |    ('data.co.uk',  FALSE, '/zh/page/3', 10, '^/zh/page/3'),
+        |    ('data.co.uk',  TRUE,  '/zh/page/33', 11, '^/zh/page/33'),
+        |    ('site.org',    FALSE, '/', 1, '^/'),
+        |    ('site.org',    TRUE,  '/en/', 4, '^/en/'),
+        |    ('site.org',    TRUE,  '/fr/page/7', 10, '^/fr/page/7'),
+        |    ('site.org',    TRUE,  '/zh/page/1*', 11, '^/zh/page/1.*'))
+        |  v(reg_domain, allow, prefix, rule_len, rx)),
         |cand AS (SELECT t.doc_id, r.prefix, r.allow,
         |    row_number() OVER (PARTITION BY t.doc_id
         |      ORDER BY r.rule_len DESC, r.allow DESC, r.prefix) AS rk
         |  FROM t JOIN rules r USING (reg_domain)
-        |  WHERE starts_with(t.pathq, r.prefix))
+        |  WHERE regexp_matches(t.pathq, r.rx))
         |SELECT t.doc_id, t.reg_domain, t.pathq,
         |  coalesce(b.prefix, '') AS rule,
         |  coalesce(b.allow, TRUE) AS allowed

@@ -83,13 +83,37 @@ class WebSpec extends AnyFunSuite {
     assert(rules == Set((false, "/a"), (true, "/a/b")))
   }
 
+  test("robots rule compile: RFC 9309 wildcards and metachar escaping") {
+    val txt = "User-agent: *\n" +
+      "Disallow: /a/*x$\n" +        // * and trailing end-anchor
+      "Disallow: /p?q=1\n" +        // '?' is a path literal, not regex
+      "Disallow: /mid$dollar\n"     // mid-rule '$' is a literal (RFC)
+    val rules = Web.parseRobots(Seq(("d.com", txt)).toDF("reg_domain", "robots_txt"))
+      .select("prefix", "rx", "rule_len").as[(String, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rules("/a/*x$") == (("^/a/.*x$", 6L)))
+    assert(rules("/p?q=1") == (("^/p\\?q=1", 6L)))
+    assert(rules("/mid$dollar") == (("^/mid\\$dollar", 11L)))
+    // matching semantics through the gate
+    val urls = Seq(
+      (1L, "d.com", "/a/deep/x"),      // matches /a/*x$ -> blocked
+      (2L, "d.com", "/a/deep/x?q=2"),  // $ anchor: query tail escapes it
+      (3L, "d.com", "/p?q=1"),         // literal '?' must match itself
+      (4L, "d.com", "/pXq=1")          // would match if '?' leaked as regex
+    ).toDF("doc_id", "reg_domain", "pathq")
+    val got = Web.robotsGate(urls,
+        Web.parseRobots(Seq(("d.com", txt)).toDF("reg_domain", "robots_txt")))
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("robots gate: longest match wins, allow breaks ties, no match allows") {
     val rules = Seq(
-      ("d.com", false, "/a", 2L),
-      ("d.com", true, "/a/b", 4L),
-      ("d.com", true, "/c", 2L),    // equal-length pair: allow must win
-      ("d.com", false, "/c", 2L)
-    ).toDF("reg_domain", "allow", "prefix", "rule_len")
+      ("d.com", false, "/a", 2L, "^/a"),
+      ("d.com", true, "/a/b", 4L, "^/a/b"),
+      ("d.com", true, "/c", 2L, "^/c"),    // equal-length pair: allow must win
+      ("d.com", false, "/c", 2L, "^/c")
+    ).toDF("reg_domain", "allow", "prefix", "rule_len", "rx")
     val urls = Seq(
       (1L, "d.com", "/a/x"),   // only /a matches -> blocked
       (2L, "d.com", "/a/b/x"), // /a/b longer -> allowed
@@ -106,8 +130,8 @@ class WebSpec extends AnyFunSuite {
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))
       .collect().head.getString(0)
     assert(pathq == "/p?id=9", "tracking dropped before rule matching")
-    val rules = Seq(("d.com", false, "/p?id=", 6L))
-      .toDF("reg_domain", "allow", "prefix", "rule_len")
+    val rules = Seq(("d.com", false, "/p?id=", 6L, "^/p\\?id="))
+      .toDF("reg_domain", "allow", "prefix", "rule_len", "rx")
     val urls = Seq((1L, "d.com", pathq)).toDF("doc_id", "reg_domain", "pathq")
     assert(!Web.robotsGate(urls, rules).select("allowed")
       .collect().head.getBoolean(0))
