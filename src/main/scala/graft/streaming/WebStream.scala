@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Web
+
+/** Streaming CRAWL ingest — the web-stage twin of
+  * [[DocStream.curateIngest]]: pages arrive continuously from a fetcher,
+  * and the corpus must only ever accumulate robots-permitted, URL-unique
+  * documents. Per micro-batch:
+  *
+  *   1. canonicalize ([[Web.canonicalUrl]]) and evaluate the robots
+  *      verdict ([[Web.robotsGate]]) against a STATIC parsed rule table
+  *      (policies change at crawl-config cadence, not per batch; the
+  *      caller re-parses and restarts when they do);
+  *   2. in-batch URL dedup — FIRST fetch (min doc_id) per canonical URL
+  *      wins, the crawl-frontier convention (the batch snapshot query
+  *      [[Web.qUrlDedup]] keeps the NEWEST over a full corpus instead —
+  *      a re-crawl refresh is a batch job, not an ingest decision);
+  *   3. cross-batch URL dedup via a PERSISTED url-hash index, bucketed
+  *      by hash so the probe join is exchange-free on the index side;
+  *   4. survivors land in the corpus sink partitioned by batch id with
+  *      dynamic overwrite — the replay-idempotent sink contract every
+  *      ingest here follows: an at-least-once foreachBatch re-run
+  *      rewrites ITS OWN partition instead of double-appending.
+  *
+  * Replay guard (the [[DocStream]] self-pair discipline): the index
+  * probe drops a batch row only when the indexed holder is a DIFFERENT
+  * doc_id — after a crash between the index append and the checkpoint
+  * commit, the replayed batch finds its own URLs in the index and must
+  * not erase itself from the sink. The index append is itself
+  * replay-idempotent via an anti-join on (url_hash, doc_id).
+  *
+  * Scale: the rule table is O(domains · rules) broadcast; URL keys are
+  * 8-byte hashes (collision can only over-drop one page per ~2⁶⁴); the
+  * probe moves one batch through a bucket-pruned join, never the
+  * corpus. */
+object WebStream {
+
+  private def tableBuckets(spark: SparkSession, table: String): Option[Int] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
+  /** Start the crawl-ingest query. `docs` must carry (doc_id, url) plus
+    * any payload columns; `robotsRules` is a parsed [[Web.parseRobots]]
+    * frame. Survivors keep every input column plus canon_url. */
+  def crawlIngest(docs: DataFrame, spark: SparkSession, urlIndexTable: String,
+      robotsRules: DataFrame, outPath: String, checkpoint: String,
+      numBuckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val canon = batch
+          .withColumn("canon_url", Web.canonicalUrl(col("url")))
+          .withColumn("reg_domain", Web.registeredDomain(col("url")))
+          .withColumn("pathq", Web.canonicalPathQuery(col("url")))
+        val allowed = Web.robotsGate(canon, robotsRules)
+          .filter(col("allowed"))
+          .drop("rule", "allowed", "pathq", "reg_domain")
+          .withColumn("url_hash", xxhash64(col("canon_url")))
+        // 2. first fetch per canonical URL within the batch
+        val byUrl = Window.partitionBy("url_hash")
+        val firsts = allowed
+          .withColumn("graft_keeper", min(col("doc_id")).over(byUrl))
+          .filter(col("doc_id") === col("graft_keeper"))
+          .drop("graft_keeper")
+          .localCheckpoint()
+        // 3. cross-batch probe (bootstrap: no index table yet)
+        val idx =
+          if (spark.catalog.tableExists(urlIndexTable)) {
+            spark.catalog.refreshTable(urlIndexTable)
+            Some(spark.table(urlIndexTable))
+          } else None
+        val dups = idx match {
+          case Some(ix) => firsts.select("url_hash", "doc_id")
+            .join(ix.withColumnRenamed("doc_id", "graft_idx_doc"), Seq("url_hash"))
+            .filter(col("graft_idx_doc") =!= col("doc_id")) // replay guard
+            .select("doc_id").distinct()
+          case None => spark.range(0).select(col("id").as("doc_id"))
+        }
+        val survivors = firsts.join(dups, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // 4. replay-idempotent sink + index append
+        survivors.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        val keys = survivors.select("url_hash", "doc_id")
+        val fresh = idx match {
+          case Some(ix) =>
+            keys.join(ix.select("url_hash", "doc_id"),
+              Seq("url_hash", "doc_id"), "left_anti")
+          case None => keys
+        }
+        fresh.write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, urlIndexTable).getOrElse(numBuckets),
+            "url_hash")
+          .sortBy("url_hash")
+          .saveAsTable(urlIndexTable)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Web
+
+class WebStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("crawl ingest: robots gate, in-batch first fetch, cross-batch URL dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_urls")
+
+    val rules = Web.parseRobots(Seq(
+      ("d.com", "User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+
+    val input = MemoryStream[(Long, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url"),
+      spark, "webstream_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      // batch 1: a keeper, a robots-blocked path, a wildcard-blocked pdf,
+      // and an in-batch re-fetch of the keeper under tracking params
+      input.addData(
+        (1L, "http://d.com/a?id=7"),
+        (2L, "http://d.com/private/x"),
+        (3L, "http://d.com/docs/file.pdf"),
+        (4L, "HTTP://WWW.d.com/a?utm_source=f&id=7"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch re-fetch of the keeper and a new page
+      input.addData(
+        (5L, "http://d.com/a?id=7&gclid=z"),
+        (6L, "http://d.com/b"))
+      q.processAllAvailable()
+
+      val rows = spark.read.parquet(out)
+        .select("doc_id", "canon_url").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 6L),
+        s"robots-blocked 2,3 gone; re-fetches 4,5 deduped: ${rows.keySet}")
+      assert(rows(1L) == "http://d.com/a?id=7",
+        "sink carries the canonical form")
+      // the URL index holds exactly the two survivors' keys
+      spark.catalog.refreshTable("webstream_urls")
+      val idx = spark.table("webstream_urls")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 6L))
+    } finally q.stop()
+  }
+}
