@@ -535,6 +535,12 @@ object Multimodal {
               java.nio.charset.StandardCharsets.ISO_8859_1), crcOk))
         case "iTXt" =>
           val kEnd = z(d0, d0 + len)
+          // the compression flag/method bytes and the language-tag start
+          // must all lie INSIDE the chunk data: a malformed iTXt whose
+          // keyword fills the data field would otherwise read the CRC
+          // bytes as flag/method and mis-parse instead of failing loud
+          if (kEnd + 3 > d0 + len)
+            bad("iTXt truncated: no room for compression flag/method after keyword")
           if (png(kEnd + 1) != 0) bad("compressed iTXt not supported")
           val langEnd = z(kEnd + 3, d0 + len)
           val transEnd = z(langEnd + 1, d0 + len)
@@ -601,6 +607,89 @@ object Multimodal {
         pngTextChunks(png).map { case (k, v, ok) => (id, k, v, ok) } }
       .toDF("doc_id", "key", "value", "crc_ok")
       .orderBy("doc_id", "key", "value", "crc_ok")
+  }
+
+  // caption ↔ image consistency ------------------------------------------
+  //
+  // Paired multimodal training data (LAION/caption-curation shape) fails
+  // in two directions a per-modality pipeline can't see: the SAME image
+  // content carrying CONFLICTING captions (an alt-text farm, a CDN path
+  // reused for different crops), and the SAME caption pasted onto many
+  // DIFFERENT images (template alt text — "product image" — that teaches
+  // a captioner nothing). Both are duplicate-GROUP properties, so the
+  // gate is two rollups over content keys, not a pairwise compare.
+
+  /** Flag caption/image disagreements within duplicate groups. `images`
+    * carries (doc_id, payload); `captions` carries (doc_id, caption).
+    * The image key is a digest of the DECODED raster (dims + pixel
+    * values), so two containers with different ancillary chunks, CRCs or
+    * chunk layout — a re-encoded copy — still land in one group, which
+    * byte-level hashing would miss. Output grain is (image group ×
+    * caption): `img_rep` (the group's min doc_id — a deterministic
+    * representative both engines can state), the caption, its doc
+    * count, and the two flags:
+    *
+    *   - `caption_conflict` — this image content carries > 1 distinct
+    *     caption somewhere in the corpus;
+    *   - `image_conflict` — this caption text appears on > 1 distinct
+    *     image content.
+    *
+    * Scale shape: one narrow decode pass (mapPartitions, the codec
+    * rule), then hash aggregates keyed by content digest / caption; the
+    * two rollups re-join on their own grouping keys, co-partitioned
+    * with the pair frame — no pairwise join anywhere, group mass
+    * bounded by the rollup grain. */
+  def captionConsistency(images: DataFrame, captions: DataFrame,
+      pixels: Array[Byte] => (Int, Int, Array[Int]) =
+        PngCodec.rasterPixels): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val keyed = images.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val (w, h, px) = pixels(png)
+        (id, s"$w x $h : " + px.mkString(","))
+      })
+      .toDF("doc_id", "raster")
+      .select(col("doc_id"), md5(col("raster")).as("img_key"))
+    val pairs = keyed.join(captions.select("doc_id", "caption"), "doc_id")
+    val imgGroups = pairs.groupBy("img_key").agg(
+      min(col("doc_id")).as("img_rep"),
+      count_distinct(col("caption")).as("n_caps"))
+    val capGroups = pairs.groupBy("caption").agg(
+      count_distinct(col("img_key")).as("n_imgs"))
+    pairs.groupBy("img_key", "caption")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(imgGroups, "img_key")
+      .join(capGroups, "caption")
+      .select(col("img_rep"), col("caption"), col("n_docs"),
+        (col("n_caps") > 1).as("caption_conflict"),
+        (col("n_imgs") > 1).as("image_conflict"))
+  }
+
+  /** Planted caption/image fixture: image content is determined by
+    * doc_id % 7 (seven distinct rasters, each a duplicate group), the
+    * caption normally names its image group, and docs ≡ 0 (mod 11)
+    * carry the NEXT group's caption — so some image groups gain a
+    * conflicting caption AND those captions span two image contents,
+    * exercising both flags plus the unflagged consistent groups. The
+    * oracle derives everything from the id arithmetic; the Spark side
+    * must reach the same groups through the real PNG decode. */
+  def qCaptionConsistency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 15)
+    val images = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, pngFromText(s"img pattern ${id % 7} block pixels")) })
+      .toDF("doc_id", "payload")
+    val captions = docs.select(col("doc_id"),
+      concat(lit("caption "),
+        when(col("doc_id") % 11 === 0, (col("doc_id") % 7 + 1) % 7)
+          .otherwise(col("doc_id") % 7)).as("caption"))
+    captionConsistency(images, captions)
+      .orderBy("img_rep", "caption", "n_docs", "caption_conflict",
+        "image_conflict")
   }
 
   /** Deterministic 24-bit BMP built from text: width 5 px, 3 consecutive

@@ -57,6 +57,14 @@ object Pipeline {
       // funnel runs on pre-cleaned text, and stripping is a per-row
       // rewrite the clean path shouldn't pay twice.
       stripMarkup: Boolean = false,
+      // Main-content extraction (Scrub.mainContent): the boilerplate
+      // split between tag soup and quality scoring — nav bars, footers
+      // and link units are dropped BLOCK-wise (link density needs the
+      // anchor tags, so this must see RAW markup) and the surviving
+      // content runs re-join as the text. SUBSUMES stripMarkup's tag
+      // handling; entity decode + normalize still run on the result.
+      // Off by default for the byte-stable oracle funnel.
+      extractMainContent: Boolean = false,
       // Credential scrubbing (Scrub.redactSecrets) applied in stage 0,
       // after markup stripping: a leaked key must never reach ANY
       // downstream artifact (shingles, indexes, the corpus itself), and
@@ -73,11 +81,22 @@ object Pipeline {
     * absence. */
   def curate(docs: DataFrame, cfg: Config = Config(),
       decontamEval: Option[DataFrame] = None): DataFrame = {
-    // 0. optional markup strip — FIRST, so shingles, grams, quality
-    // ratios and the decontam gate all see prose, not tag soup (an eval
-    // answer wrapped in different markup must still match).
+    // 0. optional main-content extraction, else optional markup strip —
+    // FIRST either way, so shingles, grams, quality ratios and the
+    // decontam gate all see prose, not tag soup (an eval answer wrapped
+    // in different markup must still match). Extraction runs on RAW
+    // markup (link density needs the anchor tags) and subsumes the tag
+    // strip; entity decode + normalize finish both paths identically.
     val destripped =
-      if (cfg.stripMarkup)
+      if (cfg.extractMainContent) {
+        val main = Scrub.mainContent(docs, col("text"))
+          .select(col("doc_id"), col("main_text"))
+        docs.drop("text").join(main, "doc_id")
+          .withColumn("text",
+            Scrub.normalize(Scrub.decodeEntities(col("main_text"))))
+          .drop("main_text")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      } else if (cfg.stripMarkup)
         docs.withColumn("text",
             Scrub.normalize(Scrub.stripMarkup(col("text"))))
           .withColumn("n_chars", length(col("text")).cast("long"))

@@ -352,11 +352,17 @@ object Sampling {
     * A retrieval chunk that opens mid-thought embeds noise; sentence
     * bounds cost only the slack of the last sentence per chunk.
     *
-    * Segmentation is three LITERAL marker replaces (`". " → ".\n"` …):
-    * no regex backreferences, because REPLACEMENT syntax diverges
-    * between engines (`$1` vs `\1`) while literal echo is identical —
-    * the [[graft.operators.Scrub]] portability discipline applied to
-    * replacements. A sentence joins chunk ⌊cum_before ∕ budget⌋ (the
+    * Newlines are whitespace, not markers: the text is first normalized
+    * (`[\r\n]+ → " "`) so a pre-existing newline never silently becomes
+    * a sentence boundary, and a `.`/`!`/`?` immediately before a newline
+    * (or CRLF) IS a boundary — the primary shape of real multi-line
+    * prose and code. The in-band marker is then `\\u0000` (out of band
+    * for text), not `\n`. Segmentation is three LITERAL marker replaces
+    * (`". " → ".\\u0000"` …): no regex backreferences, because
+    * REPLACEMENT syntax diverges between engines (`$1` vs `\1`) while
+    * literal echo is identical — the [[graft.operators.Scrub]]
+    * portability discipline applied to replacements. A sentence joins
+    * chunk ⌊cum_before ∕ budget⌋ (the
     * [[packSequences]] running-sum rule at sentence grain): chunks hold
     * ≈budget tokens, no sentence ever splits, and the assignment is one
     * window pass partitioned by doc — no sequential state, linear at
@@ -367,13 +373,17 @@ object Sampling {
   def sentenceChunks(docs: DataFrame, text: Column,
       budget: Long = 24L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // newline runs become single spaces FIRST: ".\n" turns into ". "
+    // and hits the terminal-punctuation rule, while a bare mid-sentence
+    // newline is just token whitespace — never a silent boundary
+    val ws = regexp_replace(text, "[\\r\\n]+", " ")
     val marked = regexp_replace(
       regexp_replace(
-        regexp_replace(text, "\\. ", ".\n"),
-        "! ", "!\n"),
-      "\\? ", "?\n")
+        regexp_replace(ws, "\\. ", ".\u0000"),
+        "! ", "!\u0000"),
+      "\\? ", "?\u0000")
     val sents = docs
-      .select(col("doc_id"), posexplode(split(marked, "\n")).as(Seq("pos", "sent")))
+      .select(col("doc_id"), posexplode(split(marked, "\u0000")).as(Seq("pos", "sent")))
       .filter(col("sent") =!= "") // pos stays 0-based (oracle: subscripts − 1)
       .withColumn("st",
         size(filter(split(col("sent"), " "), t => t =!= "")).cast("long"))
@@ -390,7 +400,10 @@ object Sampling {
 
   /** Deterministic punctuation twin of the prose corpus (the withPii
     * discipline): three word-anchored sentence breaks spliced in with
-    * the SAME literal replaces both engines run, plus a terminal stop. */
+    * the SAME literal replaces both engines run, plus a terminal stop
+    * and a NEWLINE-separated trailing line — so the oracle exercises
+    * both newline rules (".\n" is a boundary; the bare-newline line is
+    * whitespace-joined, not silently split). */
   private def punctTwin: Column =
     concat(
       regexp_replace(
@@ -398,7 +411,7 @@ object Sampling {
           regexp_replace(col("text"), " value ", " value. "),
           " data ", " data! "),
         " row ", " row? "),
-      lit("."))
+      lit(".\nappendix line end"))
 
   def qSentenceChunks(spark: SparkSession, dir: String): DataFrame =
     sentenceChunks(Tables.documents(spark, dir), punctTwin)

@@ -992,8 +992,12 @@ object TextAnalysis {
     * threshold — bins strictly above it are kept whole, bins below are
     * dropped whole, and only the single BOUNDARY bin is rank-ordered
     * (deterministic hash16 draw, ties by id) to fill the remaining
-    * budget exactly. The only sort over documents is within that one
-    * bin; everything else is hash aggregates and an O(bins) window.
+    * budget exactly. That boundary running sum is DISTRIBUTED (the
+    * shardAssign two-level rank: range partition + local prefix sums +
+    * O(partitions) offsets), so even a pathological score distribution
+    * that parks most of the corpus in one bin never funnels through a
+    * single task; everything else is hash aggregates and an O(bins)
+    * window.
     *
     * Returns every doc as (doc_id, qi, n_tokens, kept ∈ {0,1}) with
     * Σ_kept n_tokens ≤ budgetTokens, maximal under greedy-by-quality. */
@@ -1017,13 +1021,31 @@ object TextAnalysis {
       coalesce(max(when(col("cum") <= budgetTokens, col("cum"))), lit(0L))
         .as("used"))
     val z = d.crossJoin(broadcast(thr))
-    val wEdge = Window.orderBy(
-        graft.operators.Sampling.hash16("budget", col("doc_id")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val edgeKept = z
+    // Boundary-bin running sum WITHOUT a single-partition window: bins
+    // are 4-decimal score values, so a lumpy distribution (a default-
+    // scored shard, a model emitting 0.5000) can park a corpus-scale
+    // fraction in this one bin — the [[graft.sources.Sinks.shardAssign]]
+    // two-level rank (range-partition on the strict draw order, local
+    // running sums in parallel, O(partitions) token offsets broadcast
+    // back) keeps it distributed and bit-identical: the global prefix
+    // sum is invariant to where the sampled range boundaries fall.
+    val edge = z
       .filter(col("qi") === coalesce(col("q_edge"), lit(Long.MinValue)))
-      .withColumn("run", sum(col("n_tokens")).over(wEdge))
-      .filter(col("run") <= lit(budgetTokens) - col("used"))
+      .withColumn("draw",
+        graft.operators.Sampling.hash16("budget", col("doc_id")))
+      .repartitionByRange(32, col("draw"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val cumOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = edge.groupBy("pid").agg(sum(col("n_tokens")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(cumOff), lit(0L)))
+      .select("pid", "off")
+    val wLocal = Window.partitionBy("pid").orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edgeKept = edge
+      .withColumn("lrun", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("pid"))
+      .filter(col("off") + col("lrun") <= lit(budgetTokens) - col("used"))
       .select(col("doc_id"), lit(1L).as("edge_kept"))
     z.join(edgeKept, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("qi"), col("n_tokens"),
@@ -1683,17 +1705,43 @@ object TextAnalysis {
     *
     * Scale shape: the ONLY corpus-grain work is the word-count
     * aggregate (one shuffle, map-side combined); seeding and EM run on
-    * the DRIVER over the O(vocab) word table — the [[bpeTrainMerges]]
-    * pattern — and the trained vocab rides back as an O(vocab) literal.
-    * Word tables are famously sublinear in corpus size (Heaps' law), so
-    * this divides cleanly at 100 TB: big scan, small state. */
+    * the DRIVER over the word table — the [[bpeTrainMerges]] pattern —
+    * and the trained vocab rides back as an O(vocab) literal. Heaps'
+    * law makes the word table sublinear in corpus size, but a raw
+    * web-scale table is STILL billions of rows of URL/typo singletons:
+    * `minCount` prunes the tail BEFORE the collect (default 2 — a
+    * count-1 word can neither win a seed-cut slot against frequent
+    * substrings nor shift EM counts materially) and the dropped mass is
+    * counted in the same job via `Observation` and printed, so the
+    * driver bound is O(pruned vocab), never a silent cap. Character
+    * COVERAGE is exempt from pruning: the alphabet is collected from
+    * the full corpus as its own O(alphabet) distinct aggregate, so a
+    * char appearing only in pruned words still gets a floor-1 vocab
+    * entry and segmentation of any corpus word stays total. */
   def unigramTrain(docs: DataFrame, vocabSize: Int = 40,
-      maxPieceLen: Int = 4, iters: Int = 2, maxSeed: Int = 200): Seq[(String, Long)] = {
-    require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 1 && maxSeed >= 1)
+      maxPieceLen: Int = 4, iters: Int = 2, maxSeed: Int = 200,
+      minCount: Long = 2): Seq[(String, Long)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 1 && maxSeed >= 1
+      && minCount >= 1)
+    val obs = org.apache.spark.sql.Observation()
     val words = docs
       .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .observe(obs, count(when(col("cnt") < minCount, 1)).as("dropped"),
+        count(lit(1)).as("raw_vocab"))
+      .filter(col("cnt") >= minCount)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (minCount > 1) {
+      val m = obs.get
+      System.err.println(s"[graft] unigramTrain: minCount=$minCount pruned " +
+        s"${m("dropped")} of ${m("raw_vocab")} raw word-table rows before the driver collect")
+    }
+    // full-corpus alphabet (chars of ALL words, pruned or not): the
+    // coverage floor below never depends on what minCount dropped
+    val alphabet = docs
+      .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
     val seed = scala.collection.mutable.Map.empty[String, Long]
     words.foreach { case (w, c) =>
       var i = 0
@@ -1707,10 +1755,11 @@ object TextAnalysis {
         i += 1
       }
     }
-    val singles = words.flatMap(_._1.toSeq).distinct.map(_.toString)
+    val singles = alphabet
     var vocab: Map[String, Long] = seed.toSeq
       .sortBy { case (p, c) => (-c, p) }.take(maxSeed).toMap
-    singles.foreach(ch => if (!vocab.contains(ch)) vocab += ch -> seed(ch))
+    singles.foreach(ch =>
+      if (!vocab.contains(ch)) vocab += ch -> seed.getOrElse(ch, 1L))
     var it = 0
     while (it < iters) {
       val w16 = unigramWeights(vocab)

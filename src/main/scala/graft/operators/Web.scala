@@ -123,21 +123,27 @@ object Web {
     * pure prefix matches. `rule_len` stays the ORIGINAL rule text's
     * length — the specificity key §2.2.2's longest-match uses.
     *
+    *   - lines split on `\r\n`, `\r` or `\n` — real-world robots.txt is
+    *     very commonly CRLF, and a kept trailing `\r` would unmatch
+    *     every UA value and fail the whole file OPEN;
     *   - comments (`#` to end of line) stripped, keys case-insensitive;
     *   - consecutive `User-agent` lines form ONE group (§2.2.1): a
     *     group-start is a UA line whose predecessor is not a UA line,
     *     and rules attach to the nearest preceding group;
-    *   - only groups containing `User-agent: *` contribute rules here
-    *     (per-product tokens are a crawler-identity concern, not a
-    *     corpus one);
+    *   - RFC 9309 §2.2.1 group SELECTION: groups naming `agent` (the
+    *     crawler's product token, compared case-insensitively) take the
+    *     rules if any exist for the domain — combined, as the RFC
+    *     requires for multiple matching groups — and the `*` groups
+    *     apply only as the fallback. The default `agent = "*"` keeps
+    *     the corpus-curation behavior: star groups only;
     *   - an empty `Disallow:` matches nothing (§2.2.2) → dropped, as is
     *     any rule value not starting with `/`.
     *
     * Scale: one window pass partitioned by domain over O(robots lines)
     * — a metadata table millions of times smaller than the corpus. */
-  def parseRobots(robots: DataFrame): DataFrame = {
+  def parseRobots(robots: DataFrame, agent: String = "*"): DataFrame = {
     val lines = robots.select(col("reg_domain"),
-        posexplode(split(col("robots_txt"), "\n")).as(Seq("pos", "raw")))
+        posexplode(split(col("robots_txt"), "\r\n|\r|\n")).as(Seq("pos", "raw")))
       .select(col("reg_domain"), col("pos"),
         trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
       .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
@@ -148,9 +154,21 @@ object Web {
       .withColumn("gid", sum((col("is_ua") &&
         !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false))).cast("int"))
         .over(byPos))
+    // group level: 2 = names the product token, 1 = star, 0 = other
+    // crawlers' groups. Per domain the highest level present wins and
+    // ALL its groups contribute (§2.2.1 combine rule); with agent "*"
+    // the token IS the star so only level-1 groups exist to select.
+    val uaLvl =
+      when(col("is_ua") && col("value") === "*", 1)
+        .when(col("is_ua") && lower(col("value")) === agent.toLowerCase, 2)
+        .otherwise(0)
+    val byDomain = Window.partitionBy("reg_domain")
     val starGroups = tagged
-      .filter(col("is_ua") && col("value") === "*")
-      .select(col("reg_domain"), col("gid")).distinct()
+      .groupBy("reg_domain", "gid").agg(max(uaLvl).as("lvl"))
+      .filter(col("lvl") > 0)
+      .withColumn("best", max(col("lvl")).over(byDomain))
+      .filter(col("lvl") === col("best"))
+      .select("reg_domain", "gid")
     val withEnd = col("value").endsWith("$")
     // body = the rule without its trailing end-anchor (if any); escape
     // regex metachars (not '*'), then '*' -> '.*'. The $0 group ref is
@@ -207,6 +225,13 @@ object Web {
         "User-agent: gptbot\n" +
         "Disallow: /\n" +
         "\n" +
+        // mixed-case product token: the UA-token gate must match it
+        // case-insensitively, and the star parse must ignore the group
+        "User-agent: GraftBot\n" +
+        "Disallow: /es/\n" +
+        "Allow: /es/page/3*\n" +
+        "Disallow: /*/page/7$\n" +
+        "\n" +
         "User-agent: *\n" +
         "User-Agent: archiver\n" +
         "Disallow: /en/page/1\n" +
@@ -214,14 +239,14 @@ object Web {
         "Disallow: /de/\n" +
         "Disallow: /*/page/4$\n" +   // RFC wildcards: any lang, page 4 EXACTLY
         "Disallow:\n"),
-    "data.co.uk" ->
-      ("User-agent: seobot\n" +
-        "Allow: /\n" +
-        "\n" +
-        "User-agent: *\n" +
-        "Disallow: /es/page/2?id=\n" +
-        "Disallow: /zh/page/3\n" +
-        "Allow: /zh/page/33\n"),
+    "data.co.uk" ->                  // CRLF line endings — the common
+      ("User-agent: seobot\r\n" +    // real-world robots.txt framing the
+        "Allow: /\r\n" +             // parser must not fail OPEN on
+        "\r\n" +
+        "User-agent: *\r\n" +
+        "Disallow: /es/page/2?id=\r\n" +
+        "Disallow: /zh/page/3\r\n" +
+        "Allow: /zh/page/33\r\n"),
     "site.org" ->
       ("User-agent: *\n" +
         "Disallow: /\n" +
@@ -319,6 +344,28 @@ object Web {
     import spark.implicits._
     val rules = parseRobots(
       RobotsFixture.toDF("reg_domain", "robots_txt"))
+    val urls = withUrl(spark, dir).select(
+      col("doc_id"),
+      registeredDomain(col("url")).as("reg_domain"),
+      canonicalPathQuery(col("url")).as("pathq"))
+    robotsGate(urls, rules)
+      .select(col("doc_id"), col("reg_domain"), col("pathq"),
+        col("rule"), col("allowed"))
+      .orderBy("doc_id")
+  }
+
+  /** The same gate AS A NAMED CRAWLER: parse with the `graftbot`
+    * product token so example.com's `GraftBot` group (matched
+    * case-insensitively) REPLACES its `*` group per RFC 9309 §2.2.1,
+    * while the other two domains — which have no graftbot group — fall
+    * back to their star groups. Verdict differences against
+    * [[qRobotsGate]] on example.com URLs (/de/ now allowed, /es/
+    * blocked except /es/page/3x, page 7 blocked everywhere) prove the
+    * selection is override, not union. */
+  def qRobotsUa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = parseRobots(
+      RobotsFixture.toDF("reg_domain", "robots_txt"), agent = "graftbot")
     val urls = withUrl(spark, dir).select(
       col("doc_id"),
       registeredDomain(col("url")).as("reg_domain"),

@@ -88,6 +88,7 @@ object ExtQueries {
     "mm_png_checksum"       -> Multimodal.qPngChecksum _,
     "mm_png_knn"            -> Multimodal.qPngKnn _,
     "mm_png_meta"           -> Multimodal.qPngMeta _,
+    "mm_caption_consistency" -> Multimodal.qCaptionConsistency _,
     "mm_png_pool"           -> Multimodal.qPngPool _,
     "events_funnel"         -> graft.operators.Funnel.qFunnel _,
     "text_countmin"         -> TextAnalysis.qCountMin _,
@@ -108,6 +109,7 @@ object ExtQueries {
     "text_pii_redact"       -> graft.operators.Scrub.qPiiRedact _,
     "text_encoding_fix"     -> graft.operators.Scrub.qEncodingFix _,
     "text_html_strip"       -> graft.operators.Scrub.qHtmlStrip _,
+    "text_main_content"     -> graft.operators.Scrub.qMainContent _,
     "text_domain_report"    -> graft.operators.Pipeline.qDomainReport _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
@@ -158,6 +160,7 @@ object ExtQueries {
     "web_domain_stats"      -> Web.qDomainStats _,
     "web_url_filter"        -> Web.qUrlFilter _,
     "web_robots_gate"       -> Web.qRobotsGate _,
+    "web_robots_ua"         -> Web.qRobotsUa _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -681,7 +684,8 @@ object ExtQueries {
     * max (the ascending-scan rule of TextAnalysis.unigramViterbi), then
     * ≤ maxLen reconstruction steps following backpointers from
     * length(word), each emitting (word, pos, piece). */
-  private def unigramDpBlock(tag: String, vsrc: String, maxLen: Int): Seq[String] = {
+  private def unigramDpBlock(tag: String, vsrc: String, maxLen: Int,
+      wsrc: String = "wt"): Seq[String] = {
     def l2(e: String) = s"CAST(floor(1000000 * log2($e) + 0.5) AS BIGINT)"
     val parts = Seq.newBuilder[String]
     parts += s"${tag}t AS MATERIALIZED (SELECT sum(cnt) AS total FROM $vsrc)"
@@ -689,11 +693,11 @@ object ExtQueries {
       s"(SELECT ${l2("total")} FROM ${tag}t)) * 16 - 1 AS w16 FROM $vsrc)"
     parts +=
       s"""${tag}e AS MATERIALIZED (SELECT wt.word, jj.j, jj.i, w.w16
-         |  FROM wt, (SELECT a.j, b.i FROM (SELECT unnest(generate_series(0, ${maxLen - 1})) AS j) a,
+         |  FROM $wsrc wt, (SELECT a.j, b.i FROM (SELECT unnest(generate_series(0, ${maxLen - 1})) AS j) a,
          |            (SELECT unnest(generate_series(1, $maxLen)) AS i) b WHERE a.j < b.i) jj
          |  JOIN ${tag}w w ON w.piece = substr(wt.word, jj.j + 1, jj.i - jj.j)
          |  WHERE jj.i <= length(wt.word))""".stripMargin
-    parts += s"${tag}a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS v FROM wt)"
+    parts += s"${tag}a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS v FROM $wsrc)"
     for (k <- 1 to maxLen) {
       parts +=
         s"""${tag}d$k AS MATERIALIZED (SELECT e.word, $k AS i, max(d.v + e.w16) AS v
@@ -710,7 +714,7 @@ object ExtQueries {
            |  WHERE e.i = $k AND d.v + e.w16 = dk.v GROUP BY 1)""".stripMargin
     parts += s"${tag}bp AS MATERIALIZED (" +
       (1 to maxLen).map(k => s"SELECT * FROM ${tag}b$k").mkString(" UNION ALL ") + ")"
-    parts += s"${tag}s0 AS MATERIALIZED (SELECT word, length(word) AS i FROM wt)"
+    parts += s"${tag}s0 AS MATERIALIZED (SELECT word, length(word) AS i FROM $wsrc)"
     for (s <- 1 to maxLen)
       parts +=
         s"""${tag}s$s AS MATERIALIZED (SELECT s.word, b.bp AS i, b.bp AS pos,
@@ -724,15 +728,18 @@ object ExtQueries {
   }
 
   private def unigramCtes(maxLen: Int = 8, maxPiece: Int = 4, iters: Int = 2,
-      maxSeed: Int = 200, vocabSize: Int = 40): String = {
+      maxSeed: Int = 200, vocabSize: Int = 40, minCount: Long = 2): String = {
     val parts = Seq.newBuilder[String]
     parts +=
       """wt AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
         |  FROM documents) GROUP BY word)""".stripMargin
+    // training dictionary: the minCount prune (mirrors unigramTrain);
+    // segmentation and the alphabet keep the UNPRUNED wt
+    parts += s"trw AS MATERIALIZED (SELECT word, cnt FROM wt WHERE cnt >= $minCount)"
     parts +=
       s"""sub AS MATERIALIZED (SELECT substr(word, i, l) AS piece, sum(cnt) AS cnt
-         |  FROM wt, (SELECT unnest(generate_series(1, $maxLen)) AS i),
+         |  FROM trw, (SELECT unnest(generate_series(1, $maxLen)) AS i),
          |       (SELECT unnest(generate_series(1, $maxPiece)) AS l)
          |  WHERE i + l - 1 <= length(word) GROUP BY 1)""".stripMargin
     parts +=
@@ -745,13 +752,14 @@ object ExtQueries {
          |  WHERE rn <= $maxSeed)""".stripMargin
     parts +=
       """v0 AS MATERIALIZED (SELECT piece, cnt FROM seedtop
-        |  UNION ALL SELECT s.piece, s.cnt FROM sub s JOIN chars c USING (piece)
-        |  WHERE s.piece NOT IN (SELECT piece FROM seedtop))""".stripMargin
+        |  UNION ALL SELECT c.piece, CAST(coalesce(s.cnt, 1) AS HUGEINT) AS cnt
+        |  FROM chars c LEFT JOIN sub s USING (piece)
+        |  WHERE c.piece NOT IN (SELECT piece FROM seedtop))""".stripMargin
     for (r <- 1 to iters) {
-      parts ++= unigramDpBlock(s"r$r", s"v${r - 1}", maxLen)
+      parts ++= unigramDpBlock(s"r$r", s"v${r - 1}", maxLen, wsrc = "trw")
       parts +=
         s"""c$r AS MATERIALIZED (SELECT p.piece, CAST(sum(wt.cnt) AS BIGINT) AS cnt
-           |  FROM r${r}p p JOIN wt USING (word) GROUP BY 1)""".stripMargin
+           |  FROM r${r}p p JOIN trw wt USING (word) GROUP BY 1)""".stripMargin
       parts +=
         s"""v$r AS MATERIALIZED (SELECT piece, cnt FROM c$r
            |  UNION ALL SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM chars c
@@ -2665,6 +2673,27 @@ object ExtQueries {
         |  SELECT doc_id, 'Description', 'desc ' || CAST(doc_id % 7 AS VARCHAR) FROM d)
         |ORDER BY doc_id, key, value, crc_ok""".stripMargin,
 
+    // Multimodal.qCaptionConsistency: the oracle derives the duplicate
+    // groups from the id arithmetic alone (image content ≡ doc_id % 7,
+    // caption ≡ the planted rule) — the Spark side must reach the SAME
+    // groups through the real PNG decode + raster digest, so a codec or
+    // digest bug that splits or merges a content group changes img_rep /
+    // counts / flags and the hash mismatches.
+    "mm_caption_consistency" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS g,
+        |    'caption ' || CAST(CASE WHEN doc_id % 11 = 0
+        |        THEN (doc_id % 7 + 1) % 7 ELSE doc_id % 7 END AS VARCHAR) AS caption
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 15),
+        |rep AS (SELECT g, min(doc_id) AS img_rep FROM d GROUP BY g),
+        |gcap AS (SELECT g, count(DISTINCT caption) AS n_caps FROM d GROUP BY g),
+        |cimg AS (SELECT caption, count(DISTINCT g) AS n_imgs FROM d GROUP BY caption)
+        |SELECT r.img_rep, p.caption, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |  (gc.n_caps > 1) AS caption_conflict,
+        |  (ci.n_imgs > 1) AS image_conflict
+        |FROM (SELECT g, caption, count(*) AS n_docs FROM d GROUP BY 1, 2) p
+        |JOIN rep r USING (g) JOIN gcap gc USING (g) JOIN cimg ci USING (caption)
+        |ORDER BY img_rep, caption, n_docs, caption_conflict, image_conflict""".stripMargin,
+
     // Mirrors Multimodal.qImagePool: the built BMP is width-5 raster of
     // text byte triples, so pooled window (ry,cx) covers pixels
     // p0=(2ry)·5+2cx, p0+1, p0+5, p0+6 and channel c of pixel p is text
@@ -3187,6 +3216,25 @@ object ExtQueries {
         |  md5(clean) AS clean_md5
         |FROM t ORDER BY doc_id, len_clean, clean_md5""".stripMargin,
 
+    // Scrub.qMainContent over the landmark pageTwin: the oracle does NOT
+    // re-run the block parse — it constructs the expected survivor set
+    // from the twin's branch structure (the markupTwin discipline). The
+    // page always carries 5 non-empty blocks (title cruft, nav link bar,
+    // the article = the doc's text, a symbol separator, the footer) plus
+    // an id%3 promo unit and an id%2 short byline; exactly the article
+    // survives, plus the byline RESCUED by adjacency when present. Any
+    // classifier drift — a nav bar leaking through, the separator
+    // getting rescued, the byline dropping — changes n_kept or the md5.
+    "text_main_content" ->
+      """SELECT doc_id,
+        |  CAST(5 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |  CAST(1 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(text || CASE WHEN doc_id % 2 = 0
+        |      THEN chr(10) || 'Updated daily by the editors.' ELSE '' END) AS main_md5
+        |FROM documents
+        |ORDER BY doc_id, n_blocks, n_kept, main_md5""".stripMargin,
+
     // Mirrors Pipeline.qDomainReport: per-source doc count, verified
     // near-dup pair involvement (cross-source pairs count for both
     // sources, same-source once), encoding-repair ground truth
@@ -3346,12 +3394,15 @@ object ExtQueries {
     "text_sentence_chunks" ->
       """WITH tw AS (SELECT doc_id,
         |    replace(replace(replace(text, ' value ', ' value. '),
-        |      ' data ', ' data! '), ' row ', ' row? ') || '.' AS t
+        |      ' data ', ' data! '), ' row ', ' row? ')
+        |      || '.' || chr(10) || 'appendix line end' AS t
         |  FROM documents),
+        |nw AS (SELECT doc_id, regexp_replace(t, '[\r\n]+', ' ', 'g') AS t
+        |  FROM tw),
         |mk AS (SELECT doc_id,
         |    replace(replace(replace(t, '. ', '.' || chr(10)),
         |      '! ', '!' || chr(10)), '? ', '?' || chr(10)) AS m
-        |  FROM tw),
+        |  FROM nw),
         |s AS (SELECT doc_id,
         |    unnest(string_split(m, chr(10))) AS sent,
         |    generate_subscripts(string_split(m, chr(10)), 1) - 1 AS pos
@@ -3702,6 +3753,68 @@ object ExtQueries {
         |  USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // Web.qRobotsUa: identical URL derivation, but the HAND-DERIVED rule
+    // table is the one RFC 9309 §2.2.1 group selection yields for the
+    // product token `graftbot`: example.com's GraftBot group REPLACES its
+    // star group (so the star rules are absent for that domain), while
+    // data.co.uk and site.org, which have no graftbot group, keep their
+    // star rules. A union-instead-of-override bug, a case-sensitive token
+    // compare, or a CRLF parse failure (data.co.uk is CRLF-framed) each
+    // produce different verdicts → hash mismatch.
+    "web_robots_ua" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', ''), '.') AS labels,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |           OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) AS keep
+        |  FROM u),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+        |              AND len(labels) >= 3
+        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |         ELSE labels[-2] || '.' || labels[-1] END AS reg_domain,
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS pathq
+        |  FROM p),
+        |rules AS (SELECT * FROM (VALUES
+        |    ('example.com', FALSE, '/es/', 4, '^/es/'),
+        |    ('example.com', TRUE,  '/es/page/3*', 11, '^/es/page/3.*'),
+        |    ('example.com', FALSE, '/*/page/7$', 10, '^/.*/page/7$'),
+        |    ('data.co.uk',  FALSE, '/es/page/2?id=', 14, '^/es/page/2\?id='),
+        |    ('data.co.uk',  FALSE, '/zh/page/3', 10, '^/zh/page/3'),
+        |    ('data.co.uk',  TRUE,  '/zh/page/33', 11, '^/zh/page/33'),
+        |    ('site.org',    FALSE, '/', 1, '^/'),
+        |    ('site.org',    TRUE,  '/en/', 4, '^/en/'),
+        |    ('site.org',    TRUE,  '/fr/page/7', 10, '^/fr/page/7'),
+        |    ('site.org',    TRUE,  '/zh/page/1*', 11, '^/zh/page/1.*'))
+        |  v(reg_domain, allow, prefix, rule_len, rx)),
+        |cand AS (SELECT t.doc_id, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY r.rule_len DESC, r.allow DESC, r.prefix) AS rk
+        |  FROM t JOIN rules r USING (reg_domain)
+        |  WHERE regexp_matches(t.pathq, r.rx))
+        |SELECT t.doc_id, t.reg_domain, t.pathq,
+        |  coalesce(b.prefix, '') AS rule,
+        |  coalesce(b.allow, TRUE) AS allowed
+        |FROM t LEFT JOIN (SELECT doc_id, prefix, allow FROM cand WHERE rk = 1) b
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Web.qUrlDedup: canonicalize (the full web_url_canon chain), then
     // newest-fetch-per-canonical-URL.
     "web_url_dedup" ->
@@ -3778,8 +3891,10 @@ object ExtQueries {
         |    || chr(10) || '-----END RSA PRIVATE KEY-----' || chr(10)
         |  WHEN doc_id % 4 = 1 THEN
         |    text || ' aws AKIA' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
-        |    || 'EXAMPLEK' || ' sig ' || md5(CAST(doc_id AS VARCHAR))
-        |    || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    || 'EXAMPLEK' || ' sig '
+        |    || (CASE WHEN doc_id % 8 = 1
+        |        THEN upper(md5(CAST(doc_id AS VARCHAR)) || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ELSE md5(CAST(doc_id AS VARCHAR)) || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) END)
         |    || ' checksum ' || md5('ok' || CAST(doc_id AS VARCHAR))
         |  WHEN doc_id % 4 = 2 THEN
         |    text || ' token ghp_' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
@@ -3795,13 +3910,13 @@ object ExtQueries {
         |  CAST(len(regexp_extract_all(t, '-----BEGIN (RSA |EC |OPENSSH )?PRIVATE KEY-----[A-Za-z0-9+/=\n ]+-----END (RSA |EC |OPENSSH )?PRIVATE KEY-----')) AS BIGINT) AS n_pem,
         |  CAST(len(regexp_extract_all(t, '\bAKIA[0-9A-Z]{16}\b')) AS BIGINT) AS n_aws,
         |  CAST(len(regexp_extract_all(t, '\bghp_[A-Za-z0-9]{36}\b')) AS BIGINT) AS n_token,
-        |  CAST(len(regexp_extract_all(t, '\b[0-9a-f]{40}\b')) AS BIGINT) AS n_hex,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9a-fA-F]{40}\b')) AS BIGINT) AS n_hex,
         |  CAST(len(regexp_extract_all(t, '://[A-Za-z0-9._%+-]+:[A-Za-z0-9._%+-]+@')) AS BIGINT) AS n_urlcred,
         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |      '-----BEGIN (RSA |EC |OPENSSH )?PRIVATE KEY-----[A-Za-z0-9+/=\n ]+-----END (RSA |EC |OPENSSH )?PRIVATE KEY-----', '<PRIVATE_KEY>', 'g'),
         |      '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
         |      '\bghp_[A-Za-z0-9]{36}\b', '<API_TOKEN>', 'g'),
-        |      '\b[0-9a-f]{40}\b', '<HEX_SECRET>', 'g'),
+        |      '\b[0-9a-fA-F]{40}\b', '<HEX_SECRET>', 'g'),
         |      '://[A-Za-z0-9._%+-]+:[A-Za-z0-9._%+-]+@', '://<URL_CRED>@', 'g')) AS redacted_md5
         |FROM s
         |ORDER BY doc_id, n_pem, n_aws, n_token, n_hex, n_urlcred, redacted_md5""".stripMargin,

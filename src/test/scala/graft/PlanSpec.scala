@@ -168,6 +168,25 @@ class PlanSpec extends AnyFunSuite {
     assert(r.scanColumns.toSet == Set("doc_id", "text"), r.scans)
   }
 
+  test("token-budget edge bin: running sum is range-partitioned, never one task") {
+    // bins are 4-decimal scores — a lumpy distribution can park a
+    // corpus-scale fraction in the ONE boundary bin, so its running sum
+    // must use the shardAssign two-level rank, not a global window
+    val df = graft.operators.TextAnalysis.tokenBudgetSelect(
+      Tables.documents(spark, sf), budgetTokens = 10000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(draw"),
+      "edge bin must range-partition on the draw order")
+    // every window over the doc-grain token column is partitioned (by
+    // pid); unpartitioned windows may only aggregate the O(bins)/
+    // O(partitions) metadata frames (bt/pt)
+    val badWindow = plan.linesIterator.exists(l =>
+      l.contains("Window [sum(n_tokens") && !l.contains("windowspecdefinition(pid"))
+    assert(!badWindow, "doc-grain window must be pid-partitioned:\n" +
+      plan.linesIterator.filter(_.contains("Window [")).mkString("\n"))
+  }
+
   test("temperature mixture broadcasts the stratum table; corpus side never sorts") {
     val r = PlanAudit.audit(graft.operators.Sampling.temperatureMixture(
       Tables.documents(spark, sf), "lang", "doc_id"))

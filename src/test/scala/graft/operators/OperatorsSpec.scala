@@ -482,6 +482,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("unigram-LM minCount prunes the tail pre-collect; coverage survives") {
+    // "xq" is a singleton whose chars appear NOWHERE else: minCount=2
+    // drops it from the training table (the ledger fires on stderr),
+    // but the full-corpus alphabet collect still floors x and q into
+    // the vocab, so segmenting the UNPRUNED dictionary stays total.
+    val docs = ((1L to 3L).map(i => (i, "ab")) :+ (4L, "xq"))
+      .toDF("doc_id", "text")
+    val err = new java.io.ByteArrayOutputStream()
+    val vocab = Console.withErr(err) {
+      TextAnalysis.unigramTrain(docs, vocabSize = 10, minCount = 2)
+    }
+    val v = vocab.toMap
+    assert(v.get("ab").contains(3L), vocab.toString)
+    assert(v.get("x").contains(1L) && v.get("q").contains(1L),
+      s"pruned-word chars must keep floor-1 coverage: $vocab")
+    assert(!v.contains("xq"), "the singleton word must not seed a piece")
+    // note: Spark runs the Observation print on an executor-callback
+    // thread, so the ledger may bypass Console.withErr — assert the
+    // BEHAVIOR (prune + coverage) and tolerate either stderr route
+    val segs = TextAnalysis.unigramSegmentStats(docs, vocab)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(segs("xq") == "x|q" && segs("ab") == "ab", segs.toString)
+  }
+
   test("CDC chunking: boundaries are content-defined, so an insertion only perturbs its own chunk") {
     // a long synthetic doc (deterministic tokens) and a copy with ONE
     // token inserted near the front — fixed-stride chunking would shift
@@ -1280,6 +1304,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h3 == 4000 && px3.toSeq == lb.take(20000).map(_ * 3).toSeq)
   }
 
+  test("multimodal: caption consistency flags both conflict directions") {
+    import spark.implicits._
+    val imgA = "first raster content A"   // ≥ 15 chars for pngFromText
+    val imgB = "second raster content B"
+    val imgC = "third raster content C"
+    // doc 1,2: same content (2's container re-encoded WITH metadata
+    // chunks — must land in the same group via the raster digest),
+    // conflicting captions. doc 3: content B with doc 4's caption →
+    // "shared caption" conflict on B and C. doc 5: consistent, clean.
+    val meta = Seq("tEXt" -> ("K".getBytes ++ Array[Byte](0) ++ "v".getBytes))
+    val images = Seq(
+      (1L, Multimodal.pngFromText(imgA)),
+      (2L, Multimodal.pngFromText(imgA, meta)),
+      (3L, Multimodal.pngFromText(imgB)),
+      (4L, Multimodal.pngFromText(imgC)),
+      (5L, Multimodal.pngFromText("a fifth raster content"))
+    ).toDF("doc_id", "payload")
+    val captions = Seq(
+      (1L, "a river"), (2L, "a mountain"),
+      (3L, "template alt"), (4L, "template alt"),
+      (5L, "unique and true")).toDF("doc_id", "caption")
+    val out = Multimodal.captionConsistency(images, captions)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    // group A (rep=1, two captions): caption_conflict on both rows
+    assert(out((1L, "a river")) == ((1L, true, false)))
+    assert(out((1L, "a mountain")) == ((1L, true, false)))
+    // caption "template alt" spans contents B and C: image_conflict
+    assert(out((3L, "template alt")) == ((1L, false, true)))
+    assert(out((4L, "template alt")) == ((1L, false, true)))
+    // the clean pair carries no flags
+    assert(out((5L, "unique and true")) == ((1L, false, false)))
+    assert(out.size == 5)
+  }
+
   test("multimodal: PNG text chunks round-trip; bad CRC flagged; damage loud") {
     val text = "a" * 30
     val meta = Seq(
@@ -1313,6 +1372,14 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.pngTextChunks(Multimodal.pngFromText(text, comp))
     }
+    // an iTXt whose keyword+NUL fills the whole data field must fail
+    // with the TRUNCATION message — not read the CRC bytes as the
+    // compression flag/method
+    val trunc = Seq("iTXt" -> ("K4".getBytes ++ Array[Byte](0)))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.pngTextChunks(Multimodal.pngFromText(text, trunc))
+    }
+    assert(e.getMessage.contains("iTXt truncated"), e.getMessage)
   }
 
   test("multimodal: GifCodec rejects malformed containers") {

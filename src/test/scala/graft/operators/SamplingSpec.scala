@@ -264,6 +264,22 @@ class SamplingSpec extends AnyFunSuite {
       s"7-token sentence fills chunks 0-1; tail starts at cum_before 7 // 3 = 2: $g2")
   }
 
+  test("sentenceChunks: newlines are whitespace, '.\\n' is a boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a bare newline mid-sentence must NOT split (5 tokens, one sentence);
+    // '.' before a newline (and CRLF) must END the sentence
+    val docs = Seq(
+      (1L, "a b\nc d e"),            // one 5-token sentence
+      (2L, "a b.\nc d! e f"),        // ".\n" boundary -> "a b."|"c d!"|"e f"
+      (3L, "x.\r\ny z")              // CRLF after '.' -> boundary too
+    ).toDF("doc_id", "text")
+    val got = Sampling.sentenceChunks(docs, col("text"), budget = 100L)
+      .select("doc_id", "chunk_idx", "n_sentences", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 1L, 5L), (2L, 0L, 3L, 6L), (3L, 0L, 2L, 3L)))
+  }
+
   test("similarOrder: global_pos is a cluster-contiguous permutation") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -125,6 +125,42 @@ class WebSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("robots parse: CRLF and bare-CR framing must not fail open") {
+    // Spark's trim() strips spaces only — a kept trailing \r would
+    // unmatch 'User-agent: *' and drop every rule (allow-all)
+    val crlf = "User-agent: *\r\nDisallow: /a\r\nAllow: /a/b\r\n"
+    val cr = "User-agent: *\rDisallow: /x\r"
+    val rules = Web.parseRobots(Seq(("d.com", crlf), ("e.com", cr))
+        .toDF("reg_domain", "robots_txt"))
+      .select("reg_domain", "allow", "prefix").as[(String, Boolean, String)]
+      .collect().toSet
+    assert(rules == Set(("d.com", false, "/a"), ("d.com", true, "/a/b"),
+      ("e.com", false, "/x")))
+  }
+
+  test("robots UA-token group selection: override, combine, fallback, case") {
+    val txt =
+      "User-agent: GraftBot\n" +    // token group (mixed case in the file)
+        "Disallow: /t\n" +
+        "User-agent: *\n" +
+        "Disallow: /s\n" +
+        "\n" +
+        "User-agent: graftbot\n" +  // SECOND token group: rules combine
+        "Disallow: /t2\n"
+    val noTok = "User-agent: *\nDisallow: /f\n"
+    val df = Seq(("d.com", txt), ("e.com", noTok))
+      .toDF("reg_domain", "robots_txt")
+    // named crawler: token groups REPLACE the star group on d.com
+    // (both token groups combine), star fallback on e.com
+    val ua = Web.parseRobots(df, agent = "GRAFTBOT")
+      .select("reg_domain", "prefix").as[(String, String)].collect().toSet
+    assert(ua == Set(("d.com", "/t"), ("d.com", "/t2"), ("e.com", "/f")))
+    // default star parse: token groups invisible
+    val star = Web.parseRobots(df)
+      .select("reg_domain", "prefix").as[(String, String)].collect().toSet
+    assert(star == Set(("d.com", "/s"), ("e.com", "/f")))
+  }
+
   test("robots gate matches path AND query through the canonical form") {
     val pathq = Seq("http://d.com/p?utm_source=x&id=9")
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))

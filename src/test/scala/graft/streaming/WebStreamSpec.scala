@@ -55,4 +55,107 @@ class WebStreamSpec extends AnyFunSuite {
       assert(idx == Set(1L, 6L))
     } finally q.stop()
   }
+
+  test("restart from checkpoint: no re-emits, no duplicate index appends, bootstrap") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webrestart")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // NO pre-seeded index: batch 1 must bootstrap the bucketed table
+    spark.sql("DROP TABLE IF EXISTS webrestart_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\nDisallow: /private/\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+
+    val input = MemoryStream[(Long, String)]
+    val q1 = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url"),
+      spark, "webrestart_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      input.addData((1L, "http://d.com/a"), (2L, "http://d.com/b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart from the same checkpoint with a DIFFERENT numBuckets on
+    // purpose: index appends must follow the existing table's spec (4)
+    val q2 = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url"),
+      spark, "webrestart_urls", rules, out, ckpt, numBuckets = 8)
+    try {
+      // doc 3 re-fetches batch-1's /a (tracking-param spelling): the
+      // restarted query must still see batch 1's index entries
+      input.addData((3L, "HTTP://WWW.d.com/a?utm_source=x"), (4L, "http://d.com/c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val docs = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(docs == Seq(1L, 2L, 4L),
+      s"batch-1 docs must not re-emit and re-fetch 3 must drop: $docs")
+    spark.catalog.refreshTable("webrestart_urls")
+    val idx = spark.table("webrestart_urls").select("doc_id")
+      .as[Long].collect().toSeq
+    assert(idx.sorted == Seq(1L, 2L, 4L),
+      s"exactly one index row per survivor — no duplicate appends: $idx")
+    // the table's bucket spec survived the mismatched restart setting
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("webrestart_urls"))
+      .bucketSpec.exists(_.numBuckets == 4))
+  }
+
+  test("WARC bytes → crawl ingest → curate ingest, end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warc
+    val base = Files.createTempDirectory("graft-webchain")
+    val crawlOut = base.resolve("crawl").toString
+    val corpusOut = base.resolve("corpus").toString
+    val ckpt1 = base.resolve("ckpt1").toString
+    val ckpt2 = base.resolve("ckpt2").toString
+    spark.sql("DROP TABLE IF EXISTS webchain_urls")
+    spark.sql("DROP TABLE IF EXISTS webchain_sigs")
+
+    // three fetches as REAL WARC records: an article page, a tracking-
+    // param re-fetch of it, and a robots-blocked page
+    val article = "<html><body><p>rivers and stones and gardens make " +
+      "fine prose for a curation pipeline to keep</p></body></html>"
+    val blob = Seq(
+      ("<urn:uuid:1>", "http://d.com/story", article),
+      ("<urn:uuid:2>", "http://d.com/story?utm_source=feed", article),
+      ("<urn:uuid:3>", "http://d.com/private/x",
+        "<html><body><p>hidden admin page text</p></body></html>"))
+      .map { case (id, uri, body) =>
+        Warc.writeRecord(id, uri, body.getBytes("UTF-8")) }
+      .reduce(_ ++ _)
+    val fetched = Warc.parseAll(blob).zipWithIndex.map { case (r, i) =>
+      (i.toLong + 1L, r.header("WARC-Target-URI"), new String(r.body, "UTF-8"))
+    }
+    assert(fetched.size == 3)
+
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\nDisallow: /private/\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q1 = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webchain_urls", rules, crawlOut, ckpt1, numBuckets = 4)
+    try {
+      input.addData(fetched: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crawl stage: robots drops 3, URL dedup drops the re-fetch 2
+    assert(spark.read.parquet(crawlOut).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+
+    // chain: crawl survivors stream INTO curation (markup strip on)
+    val sch = spark.read.parquet(crawlOut).schema
+    val stream2 = spark.readStream.schema(sch).parquet(crawlOut)
+      .select("doc_id", "text")
+    val q2 = DocStream.curateIngest(stream2, spark, "webchain_sigs",
+      corpusOut, ckpt2, minQuality = 0.0, numBuckets = 4,
+      stripMarkup = true)
+    try q2.processAllAvailable() finally q2.stop()
+    val corpus = spark.read.parquet(corpusOut)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet == Set(1L))
+    assert(corpus(1L) == "rivers and stones and gardens make fine prose " +
+      "for a curation pipeline to keep",
+      s"markup must be stripped on the curated text: ${corpus(1L)}")
+  }
 }
