@@ -94,6 +94,43 @@ object StressIncr {
             print(s"[incr] matches=$n ")
           }
         }
+      case "url" =>
+        // the WebStream crawl-probe contract: a fixed fetch batch joins
+        // the persisted bucketed url-hash index (WebStream.crawlIngest
+        // step 3) — probe wall must track batch + matches, not the
+        // index's row count, as the crawled corpus behind it grows
+        import graft.operators.Web
+        val keys = docs.select(
+            xxhash64(Web.canonicalUrl(
+              Web.synthUrl(col("doc_id"), col("source"), col("lang"))))
+              .as("url_hash"),
+            col("doc_id"))
+        timed("index_build") {
+          keys.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .format("parquet").bucketBy(32, "url_hash").sortBy("url_hash")
+            .saveAsTable("incr_url_idx")
+        }
+        // fixed batch: re-fetches of original-id pages (identical at
+        // every scale; each matches exactly its original's index row)
+        val batch = docs
+          .filter(col("doc_id") < 5000 && col("doc_id") % 5 === 0)
+          .select(
+            xxhash64(Web.canonicalUrl(
+              Web.synthUrl(col("doc_id"), col("source"), col("lang"))))
+              .as("url_hash"),
+            (col("doc_id") + 1000000L).as("doc_id"))
+          .localCheckpoint()
+        println(s"[incr] batch_urls=${batch.count()}")
+        (1 to probes).foreach { i =>
+          timed(s"probe_$i") {
+            val n = batch
+              .join(spark.table("incr_url_idx")
+                .withColumnRenamed("doc_id", "graft_idx_doc"), Seq("url_hash"))
+              .filter(col("graft_idx_doc") =!= col("doc_id"))
+              .select("doc_id").distinct().count()
+            print(s"[incr] matches=$n ")
+          }
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

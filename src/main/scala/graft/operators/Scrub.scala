@@ -158,7 +158,7 @@ object Scrub {
   /** Step 5 of [[stripMarkup]]: the [[Entities]] subset, ampersands
     * last. Public to the pipeline so main-content extraction (which
     * strips tags itself, block-wise) can finish with the same decode. */
-  private[operators] def decodeEntities(text: Column): Column =
+  private[graft] def decodeEntities(text: Column): Column =
     Entities.foldLeft(text) { case (c, (ent, ch)) =>
       replace(c, lit(ent), lit(ch)) }
 

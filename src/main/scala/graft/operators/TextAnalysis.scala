@@ -1159,6 +1159,135 @@ object TextAnalysis {
       .orderBy("doc_id", "word_count", "mean_word_len_ppm", "symbol_ppm",
         "stop_hits", "passes")
 
+  /** The REPETITION half of the Gopher rules (Rae et al. '21 §A1.1,
+    * Table A1) — [[gopherRules]] covers the word/symbol/stopword
+    * family; this covers the within-doc repetition family that kills
+    * template spam, scraped calendars and SEO keyword walls. Per doc,
+    * three exact-ppm signals plus the composed verdict:
+    *
+    *   - `dup_line_ppm` — chars in lines whose trimmed text occurs ≥ 2
+    *     times in the SAME doc (every occurrence counted, the
+    *     Gopher-reproduction convention), over total line chars;
+    *   - `top2_ppm` — chars covered by the doc's most frequent word
+    *     2-gram (occurrences × gram length incl. its inner space) over
+    *     the whitespace-normalized doc length (token chars + single
+    *     separators). Ties break to the lexicographically smallest
+    *     gram, so the measure is deterministic;
+    *   - `dup10_ppm` — token chars covered by word 10-grams occurring
+    *     ≥ 2 times, with occurrence spans UNIONED (position-distinct)
+    *     so overlapping duplicate grams never double-count, over total
+    *     token chars. Span union is what makes the measure a true
+    *     coverage fraction — the naive Σ count·len overshoots past 1.0
+    *     exactly on the pathological docs the rule exists to catch.
+    *
+    * Thresholds default to the Gopher paper's: duplicate-line ≤ 30%,
+    * top-2-gram ≤ 20%, duplicate-10-gram ≤ 10%.
+    *
+    * Scale shape: line and gram tables are explodes of the corpus (n×
+    * row mass, the shingle discipline); every aggregate is hash-keyed
+    * by (doc, line/gram) then by doc, windows partition by doc — no
+    * global sort, no driver state, the whole thing shuffles at doc/gram
+    * grain exactly like the dedup shinglers. */
+  def repetitionStats(docs: DataFrame, text: Column,
+      maxDupLinePpm: Long = 300000L, maxTop2Ppm: Long = 200000L,
+      maxDup10Ppm: Long = 100000L, dupN: Int = 10): DataFrame = {
+    require(dupN >= 2, s"dupN must be >= 2, got $dupN")
+    val base = docs.select(col("doc_id"), text.as("graft_t"))
+
+    // duplicate-line mass: per (doc, trimmed line) counts
+    val lines = base.select(col("doc_id"),
+        explode(split(col("graft_t"), "\n")).as("line"))
+      .select(col("doc_id"), trim(col("line")).as("lkey"))
+      .filter(col("lkey") =!= "")
+      .groupBy("doc_id", "lkey").agg(count(lit(1)).as("ln"))
+    val lineAgg = lines.groupBy("doc_id").agg(
+      sum(col("ln") * length(col("lkey"))).as("line_chars"),
+      sum(when(col("ln") >= 2, col("ln") * length(col("lkey")))
+        .otherwise(0L)).as("dup_line_chars"))
+
+    // token table (newlines are whitespace at token grain)
+    val toks = base.select(col("doc_id"),
+        posexplode(filter(split(col("graft_t"), "[ \n]"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val denom = toks.groupBy("doc_id").agg(
+      (sum(length(col("tok"))) + count(lit(1)) - 1).as("norm_len"),
+      sum(length(col("tok"))).cast("long").as("tok_chars"))
+
+    // top 2-gram coverage
+    val g2 = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat(col("tok"), lit(" "), col("nxt")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("gn"))
+    val topRank = Window.partitionBy("doc_id")
+      .orderBy(col("gn").desc, col("gram"))
+    val top2 = g2.withColumn("rk", row_number().over(topRank))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"),
+        (col("gn") * length(col("gram"))).as("top2_chars"))
+
+    // duplicate dupN-gram coverage with span UNION: occurrences of
+    // duplicated grams expand to their token index ranges, distinct
+    // covered indexes join back to token lengths
+    val gramN = toks
+      .withColumn("gkey", concat_ws(" ",
+        (0 until dupN).map(j => lead(col("tok"), j).over(byDoc)): _*))
+      .withColumn("gend", lead(col("tok"), dupN - 1).over(byDoc))
+      .filter(col("gend").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gkey"))
+    val dupOcc = gramN
+      .withColumn("gcnt",
+        count(lit(1)).over(Window.partitionBy("doc_id", "gkey")))
+      .filter(col("gcnt") >= 2)
+    val covered = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (dupN - 1))).as("pos"))
+      .distinct()
+      .join(toks, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(sum(length(col("tok"))).cast("long").as("dup10_chars"))
+
+    docs.select("doc_id")
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(denom, Seq("doc_id"), "left")
+      .join(top2, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("dup_line_chars * 1000000 div line_chars"), lit(0L))
+          .as("dup_line_ppm"),
+        coalesce(expr("top2_chars * 1000000 div norm_len"), lit(0L))
+          .as("top2_ppm"),
+        coalesce(expr("dup10_chars * 1000000 div tok_chars"), lit(0L))
+          .as("dup10_ppm"))
+      .withColumn("passes",
+        col("dup_line_ppm") <= maxDupLinePpm &&
+          col("top2_ppm") <= maxTop2Ppm &&
+          col("dup10_ppm") <= maxDup10Ppm)
+  }
+
+  /** Repetition twin (the withPii discipline): by doc_id, a planted
+    * duplicate-line pair, a top-2-gram spike, a repeated 10-gram run
+    * (whose two copies OVERLAP a third partial copy, exercising the
+    * span union), or untouched prose. All literal splices — the oracle
+    * re-derives every measure from the same construction. */
+  private def repetitionTwin: Column = {
+    val id = col("doc_id")
+    val tenGram = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    when(id % 4 === 0,
+      concat(col("text"), lit("\nrepeated boiler line\nrepeated boiler line")))
+      .when(id % 4 === 1,
+        concat(col("text"), lit(" click here click here click here")))
+      .when(id % 4 === 2,
+        concat(col("text"), lit(" " + tenGram + " " + tenGram + " " +
+          "alpha beta gamma delta epsilon")))
+      .otherwise(col("text"))
+  }
+
+  def qGopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir), repetitionTwin)
+      .orderBy("doc_id", "dup_line_ppm", "top2_ppm", "dup10_ppm", "passes")
+
   /** Code-file quality signals — the source-code sibling of
     * [[gopherRules]] (The Stack / StarCoder recipe, Kocetkov et al.
     * '22): line-shape and character-class heuristics that separate

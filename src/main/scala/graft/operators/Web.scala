@@ -142,6 +142,31 @@ object Web {
     * Scale: one window pass partitioned by domain over O(robots lines)
     * — a metadata table millions of times smaller than the corpus. */
   def parseRobots(robots: DataFrame, agent: String = "*"): DataFrame = {
+    val (tagged, starGroups) = robotsGroups(robots, agent)
+    val withEnd = col("value").endsWith("$")
+    // body = the rule without its trailing end-anchor (if any); escape
+    // regex metachars (not '*'), then '*' -> '.*'. The $0 group ref is
+    // Spark replacement syntax — fine here, the oracle never re-runs
+    // this translation (it carries hand-derived rules).
+    val body = when(withEnd, expr("substring(value, 1, length(value) - 1)"))
+      .otherwise(col("value"))
+    val escaped = regexp_replace(body, "[.\\[\\]{}()+?^$|\\\\]", "\\\\$0")
+    val rx = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(withEnd, "$").otherwise(""))
+    tagged
+      .filter(col("key").isin("allow", "disallow") && col("value").startsWith("/"))
+      .join(starGroups, Seq("reg_domain", "gid"))
+      .select(col("reg_domain"), (col("key") === "allow").as("allow"),
+        col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"),
+        rx.as("rx"))
+  }
+
+  /** Shared robots.txt line/group machinery: the tagged line table
+    * (pos, key, value, gid) and the SELECTED group ids per RFC 9309
+    * §2.2.1 — groups naming `agent` (level 2) beat `*` groups (level 1)
+    * domain-wise; all groups at the winning level combine. */
+  private def robotsGroups(robots: DataFrame,
+      agent: String): (DataFrame, DataFrame) = {
     val lines = robots.select(col("reg_domain"),
         posexplode(split(col("robots_txt"), "\r\n|\r|\n")).as(Seq("pos", "raw")))
       .select(col("reg_domain"), col("pos"),
@@ -163,28 +188,31 @@ object Web {
         .when(col("is_ua") && lower(col("value")) === agent.toLowerCase, 2)
         .otherwise(0)
     val byDomain = Window.partitionBy("reg_domain")
-    val starGroups = tagged
+    val selected = tagged
       .groupBy("reg_domain", "gid").agg(max(uaLvl).as("lvl"))
       .filter(col("lvl") > 0)
       .withColumn("best", max(col("lvl")).over(byDomain))
       .filter(col("lvl") === col("best"))
       .select("reg_domain", "gid")
-    val withEnd = col("value").endsWith("$")
-    // body = the rule without its trailing end-anchor (if any); escape
-    // regex metachars (not '*'), then '*' -> '.*'. The $0 group ref is
-    // Spark replacement syntax — fine here, the oracle never re-runs
-    // this translation (it carries hand-derived rules).
-    val body = when(withEnd, expr("substring(value, 1, length(value) - 1)"))
-      .otherwise(col("value"))
-    val escaped = regexp_replace(body, "[.\\[\\]{}()+?^$|\\\\]", "\\\\$0")
-    val rx = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
-      when(withEnd, "$").otherwise(""))
+    (tagged, selected)
+  }
+
+  /** Per-domain `Crawl-delay` of the SELECTED group (same §2.2.1
+    * token-over-star selection as [[parseRobots]]) — the de-facto
+    * politeness directive (not in RFC 9309, honored by most engines).
+    * Non-numeric values are ignored; several delays in the selected
+    * groups resolve to the MAX (the conservative read — when a file
+    * says both, waiting longer violates neither). Output
+    * `(reg_domain, crawl_delay_sec)`, domains with no directive absent
+    * — the caller applies its own default cadence. O(domains) out. */
+  def crawlDelays(robots: DataFrame, agent: String = "*"): DataFrame = {
+    val (tagged, selected) = robotsGroups(robots, agent)
     tagged
-      .filter(col("key").isin("allow", "disallow") && col("value").startsWith("/"))
-      .join(starGroups, Seq("reg_domain", "gid"))
-      .select(col("reg_domain"), (col("key") === "allow").as("allow"),
-        col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"),
-        rx.as("rx"))
+      .filter(col("key") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+$"))
+      .join(selected, Seq("reg_domain", "gid"))
+      .groupBy("reg_domain")
+      .agg(max(col("value").cast("long")).as("crawl_delay_sec"))
   }
 
   /** Apply a parsed rule table to a URL frame carrying `doc_id`,
@@ -224,6 +252,7 @@ object Web {
       ("# crawl policy\n" +
         "User-agent: gptbot\n" +
         "Disallow: /\n" +
+        "Crawl-delay: 10\n" +        // other crawler's delay: never selected
         "\n" +
         // mixed-case product token: the UA-token gate must match it
         // case-insensitively, and the star parse must ignore the group
@@ -231,6 +260,7 @@ object Web {
         "Disallow: /es/\n" +
         "Allow: /es/page/3*\n" +
         "Disallow: /*/page/7$\n" +
+        "Crawl-delay: 5\n" +         // token delay overrides star's 2
         "\n" +
         "User-agent: *\n" +
         "User-Agent: archiver\n" +
@@ -238,6 +268,7 @@ object Web {
         "Allow: /en/page/12\n" +
         "Disallow: /de/\n" +
         "Disallow: /*/page/4$\n" +   // RFC wildcards: any lang, page 4 EXACTLY
+        "Crawl-delay: 2\n" +
         "Disallow:\n"),
     "data.co.uk" ->                  // CRLF line endings — the common
       ("User-agent: seobot\r\n" +    // real-world robots.txt framing the
@@ -246,13 +277,15 @@ object Web {
         "User-agent: *\r\n" +
         "Disallow: /es/page/2?id=\r\n" +
         "Disallow: /zh/page/3\r\n" +
-        "Allow: /zh/page/33\r\n"),
+        "Allow: /zh/page/33\r\n" +
+        "Crawl-delay: 1\r\n"),
     "site.org" ->
       ("User-agent: *\n" +
         "Disallow: /\n" +
         "Allow: /en/\n" +
         "Allow: /fr/page/7\n" +
-        "Allow: /zh/page/1*\n"))     // RFC wildcard: zh pages 1, 10-19
+        "Allow: /zh/page/1*\n" +     // RFC wildcard: zh pages 1, 10-19
+        "Crawl-delay: fast\n"))      // malformed: ignored, domain absent
 
   // query-shaped entry points (SparkEntry contract) --------------------
   //
@@ -352,6 +385,21 @@ object Web {
       .select(col("doc_id"), col("reg_domain"), col("pathq"),
         col("rule"), col("allowed"))
       .orderBy("doc_id")
+  }
+
+  /** Crawl-delay table for the anonymous crawler AND the named one in
+    * one frame: star selection sees example.com 2 / data.co.uk 1
+    * (site.org's malformed value drops), while `graftbot` gets its
+    * token group's 5 on example.com and falls back to star's 1 on
+    * data.co.uk — the §2.2.1 selection applied to politeness. */
+  def qCrawlDelay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = RobotsFixture.toDF("reg_domain", "robots_txt")
+    crawlDelays(robots).withColumn("agent", lit("*"))
+      .unionByName(crawlDelays(robots, agent = "graftbot")
+        .withColumn("agent", lit("graftbot")))
+      .select("agent", "reg_domain", "crawl_delay_sec")
+      .orderBy("agent", "reg_domain", "crawl_delay_sec")
   }
 
   /** The same gate AS A NAMED CRAWLER: parse with the `graftbot`

@@ -95,6 +95,7 @@ object ExtQueries {
     "text_heavy_hitters"    -> TextAnalysis.qHeavyHitters _,
     "text_collocations"     -> TextAnalysis.qCollocations _,
     "text_gopher_rules"     -> TextAnalysis.qGopherRules _,
+    "text_gopher_repetition" -> TextAnalysis.qGopherRepetition _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
@@ -161,9 +162,11 @@ object ExtQueries {
     "web_url_filter"        -> Web.qUrlFilter _,
     "web_robots_gate"       -> Web.qRobotsGate _,
     "web_robots_ua"         -> Web.qRobotsUa _,
+    "web_crawl_delay"       -> Web.qCrawlDelay _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
+    "web_http_gate"         -> graft.sources.Warc.qHttpGate _,
     "text_secrets_redact"   -> graft.operators.Scrub.qSecretsRedact _,
     "storage_shard_manifest" -> graft.sources.Sinks.qShardManifest _,
     "text_blocklist"        -> TextAnalysis.qBlocklist _,
@@ -3029,6 +3032,61 @@ object ExtQueries {
 
     // Mirrors TextAnalysis.gopherRules: each Gopher filter rule as its
     // own integer/ppm column, conjunction in `passes`.
+    // TextAnalysis.qRepetition over the repetitionTwin: the Gopher
+    // repetition family re-derived in SQL from the same literal splices —
+    // duplicate-line char mass, top word-2-gram coverage over the
+    // whitespace-normalized length (ties to the lexicographically
+    // smallest gram), and duplicate-10-gram TOKEN-char coverage with
+    // occurrence spans unioned (DISTINCT covered positions), so an
+    // overlap-double-counting bug on the Spark side cannot hash-match.
+    "text_gopher_repetition" ->
+      """WITH tw AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0
+        |        THEN chr(10) || 'repeated boiler line' || chr(10) || 'repeated boiler line'
+        |      WHEN doc_id % 4 = 1 THEN ' click here click here click here'
+        |      WHEN doc_id % 4 = 2 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa alpha beta gamma delta epsilon zeta eta theta iota kappa alpha beta gamma delta epsilon'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |ln AS (SELECT doc_id, trim(l) AS lkey FROM (
+        |    SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM tw)
+        |  WHERE trim(l) <> ''),
+        |lc AS (SELECT doc_id, lkey, count(*) AS n FROM ln GROUP BY 1, 2),
+        |la AS (SELECT doc_id, sum(n * length(lkey)) AS line_chars,
+        |    sum(CASE WHEN n >= 2 THEN n * length(lkey) ELSE 0 END) AS dup_line_chars
+        |  FROM lc GROUP BY 1),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(replace(t, chr(10), ' '), ' '), x -> x <> '') AS toks
+        |  FROM tw),
+        |tp AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tk),
+        |den AS (SELECT doc_id, sum(length(toks[i])) + count(*) - 1 AS norm_len,
+        |    sum(length(toks[i])) AS tok_chars FROM tp GROUP BY 1),
+        |g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, count(*) AS gn
+        |  FROM tp WHERE i + 1 <= len(toks) GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, gn * length(gram) AS top2_chars FROM (
+        |    SELECT doc_id, gram, gn,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY gn DESC, gram) AS rk
+        |    FROM g2) WHERE rk = 1),
+        |gn AS (SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] || ' ' || toks[i+9] AS gkey
+        |  FROM tp WHERE i + 9 <= len(toks)),
+        |dup AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id, gkey) AS c FROM gn)
+        |  WHERE c >= 2),
+        |cov AS (SELECT DISTINCT dup.doc_id, u.j
+        |  FROM dup, unnest(generate_series(dup.i, dup.i + 9)) AS u(j)),
+        |cc AS (SELECT cov.doc_id, sum(length(tk.toks[cov.j])) AS dup10_chars
+        |  FROM cov JOIN tk USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(la.dup_line_chars * 1000000 // la.line_chars, 0) AS BIGINT) AS dup_line_ppm,
+        |  CAST(coalesce(t2.top2_chars * 1000000 // den.norm_len, 0) AS BIGINT) AS top2_ppm,
+        |  CAST(coalesce(cc.dup10_chars * 1000000 // den.tok_chars, 0) AS BIGINT) AS dup10_ppm,
+        |  (coalesce(la.dup_line_chars * 1000000 // la.line_chars, 0) <= 300000
+        |   AND coalesce(t2.top2_chars * 1000000 // den.norm_len, 0) <= 200000
+        |   AND coalesce(cc.dup10_chars * 1000000 // den.tok_chars, 0) <= 100000) AS passes
+        |FROM documents d
+        |LEFT JOIN la USING (doc_id) LEFT JOIN den USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN cc USING (doc_id)
+        |ORDER BY doc_id, dup_line_ppm, top2_ppm, dup10_ppm, passes""".stripMargin,
+
     "text_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -3666,6 +3724,25 @@ object ExtQueries {
     // uri/length/byte-sum straight from `documents` (texts are ASCII so
     // ord(char) == payload byte, the mm_decode_checksum equivalence) —
     // equality certifies the container round trip end to end.
+    // Warc.qHttpGate: the oracle derives status/mime/charset/payload_len/
+    // kept from the id branches alone — the Spark side must get there
+    // through writeHttpResponse → WARC encode → parseAll → 
+    // parseHttpResponse → contentType, so both byte-level parser layers
+    // (status-line split, case-insensitive header names, charset
+    // unquoting, payload extent) are certified by the hash.
+    "web_http_gate" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 1 THEN 404 WHEN 3 THEN 301 ELSE 200 END AS BIGINT) AS status,
+        |  CASE doc_id % 5 WHEN 2 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+        |  CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+        |       WHEN 4 THEN 'iso-8859-1' ELSE '' END AS charset,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN length(text) WHEN 1 THEN 9
+        |       WHEN 2 THEN 9 + length(substr(text, 1, 10)) WHEN 3 THEN 0
+        |       ELSE length(text) END AS BIGINT) AS payload_len,
+        |  (doc_id % 5 IN (0, 4)) AS kept
+        |FROM documents
+        |ORDER BY doc_id, status, mime, charset, payload_len, kept""".stripMargin,
+
     "warc_roundtrip" ->
       """WITH b AS (SELECT doc_id, CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum
         |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
@@ -3814,6 +3891,20 @@ object ExtQueries {
         |FROM t LEFT JOIN (SELECT doc_id, prefix, allow FROM cand WHERE rk = 1) b
         |  USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Web.qCrawlDelay: hand-derived politeness table — the star
+    // selection must pick example.com's star-group delay (2) over the
+    // gptbot/GraftBot groups' 10/5, data.co.uk's CRLF-framed 1, and
+    // drop site.org's malformed "fast"; the graftbot selection must
+    // take the token group's 5 and fall back to star elsewhere.
+    "web_crawl_delay" ->
+      """SELECT * FROM (VALUES
+        |    ('*', 'data.co.uk', CAST(1 AS BIGINT)),
+        |    ('*', 'example.com', CAST(2 AS BIGINT)),
+        |    ('graftbot', 'data.co.uk', CAST(1 AS BIGINT)),
+        |    ('graftbot', 'example.com', CAST(5 AS BIGINT)))
+        |  v(agent, reg_domain, crawl_delay_sec)
+        |ORDER BY agent, reg_domain, crawl_delay_sec""".stripMargin,
 
     // Web.qUrlDedup: canonicalize (the full web_url_canon chain), then
     // newest-fetch-per-canonical-URL.

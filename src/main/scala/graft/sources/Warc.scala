@@ -171,4 +171,130 @@ object Warc {
     }.toDF("doc_id", "uri", "content_length", "byte_sum")
       .orderBy("doc_id")
   }
+
+  // HTTP response layer ---------------------------------------------------
+  //
+  // A crawl WARC's `response` record body is not the page — it is the
+  // whole HTTP response message (status line, headers, payload). The
+  // first gate every fetch pipeline applies reads THAT layer: drop
+  // non-200s, drop non-HTML mimes, carry the charset forward to the
+  // decoder. Parsing it here keeps the byte-level discipline of the
+  // record parser: strict, loud, offset-free (the record already
+  // carries the offset).
+
+  /** Parsed HTTP response message: status code, LOWERCASED header-name
+    * map (HTTP names are case-insensitive; values keep their spelling,
+    * trimmed), payload bytes verbatim. */
+  final case class HttpResponse(status: Int, headers: Map[String, String],
+      payload: Array[Byte])
+
+  /** Encode an HTTP/1.1 response — the fixture-side twin of
+    * [[parseHttpResponse]], header order preserved so encoding is
+    * byte-deterministic. */
+  def writeHttpResponse(status: Int, reason: String,
+      headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= s"HTTP/1.1 $status $reason\r\n"
+    headers.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
+    h ++= "\r\n"
+    val out = new ByteArrayOutputStream(h.length + payload.length)
+    out.write(h.toString.getBytes(US_ASCII))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Parse an HTTP response message: status line (`HTTP/<v> SP code
+    * [SP reason]`), header lines to the empty CRLF line, payload = the
+    * remaining bytes verbatim. Hostile/non-HTTP bodies fail loud with
+    * a specific message — a silently mis-gated fetch is data loss. */
+  def parseHttpResponse(body: Array[Byte]): HttpResponse = {
+    def failh(msg: String): Nothing =
+      throw new IllegalArgumentException(s"http: $msg")
+    val eol0 = indexOfCrlf(body, 0)
+    if (eol0 < 0) failh("no status line")
+    val statusLine = new String(body, 0, eol0, US_ASCII)
+    if (!statusLine.startsWith("HTTP/")) failh(s"not an HTTP response: '$statusLine'")
+    val parts = statusLine.split(" ", 3)
+    if (parts.length < 2) failh(s"malformed status line '$statusLine'")
+    val status =
+      try parts(1).toInt
+      catch { case _: NumberFormatException => failh(s"bad status code '${parts(1)}'") }
+    var p = eol0 + 2
+    var headers = Map.empty[String, String]
+    var inHeaders = true
+    while (inHeaders) {
+      val eol = indexOfCrlf(body, p)
+      if (eol < 0) failh("unterminated header block")
+      if (eol == p) inHeaders = false
+      else {
+        val line = new String(body, p, eol - p, US_ASCII)
+        val sep = line.indexOf(':')
+        if (sep <= 0) failh(s"malformed header line '$line'")
+        headers += line.substring(0, sep).toLowerCase ->
+          line.substring(sep + 1).trim
+      }
+      p = eol + 2
+    }
+    HttpResponse(status, headers,
+      java.util.Arrays.copyOfRange(body, p, body.length))
+  }
+
+  /** `(mime, charset)` from the content-type header, both lowercased,
+    * charset unquoted; empty strings when absent — `TEXT/HTML;
+    * Charset="ISO-8859-1"` and `text/html; charset=utf-8` gate the
+    * same way. */
+  def contentType(headers: Map[String, String]): (String, String) =
+    headers.get("content-type") match {
+      case None => ("", "")
+      case Some(v) =>
+        val segs = v.split(";").map(_.trim)
+        val cs = segs.tail.flatMap { s =>
+          val i = s.indexOf('=')
+          if (i > 0 && s.substring(0, i).trim.equalsIgnoreCase("charset"))
+            Some(s.substring(i + 1).trim
+              .stripPrefix("\"").stripSuffix("\"").toLowerCase)
+          else None
+        }.headOption.getOrElse("")
+        (segs.head.toLowerCase, cs)
+    }
+
+  /** Fetch gate over HTTP-in-WARC fixtures: per doc, a full WARC record
+    * whose body is a REAL HTTP response (status / mime / charset vary
+    * by id — 200 html, 404, a PDF, a 301 redirect with Location, and
+    * upper-case `CONTENT-TYPE: TEXT/HTML; Charset="ISO-8859-1"`
+    * spellings), round-tripped encode → WARC parse → HTTP parse.
+    * `kept` = status 200 AND mime text/html — the gate a fetch
+    * pipeline applies before any text stage sees the bytes. The oracle
+    * derives every column from the branch structure alone, so both
+    * parser layers must be right for the hash to match. */
+  def qHttpGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (status, reason, hdrs, payload) = ((id % 5).toInt: @unchecked) match {
+          case 0 => (200, "OK",
+            Seq("Content-Type" -> "text/html; charset=utf-8"), text)
+          case 1 => (404, "Not Found",
+            Seq("Content-Type" -> "text/html; charset=utf-8"), "not found")
+          case 2 => (200, "OK",
+            Seq("Content-Type" -> "application/pdf"), "%PDF-1.4 " + text.take(10))
+          case 3 => (301, "Moved Permanently",
+            Seq("Location" -> s"https://example.com/p/${id % 50}",
+              "Content-Type" -> "text/html"), "")
+          case 4 => (200, "OK",
+            Seq("CONTENT-TYPE" -> "TEXT/HTML; Charset=\"ISO-8859-1\""), text)
+        }
+        val http = writeHttpResponse(status, reason, hdrs,
+          payload.getBytes(US_ASCII))
+        val rec = parseAll(writeRecord(s"<urn:graft:$id>",
+          s"http://fetch.example/$id", http)).head
+        val resp = parseHttpResponse(rec.body)
+        val (mime, charset) = contentType(resp.headers)
+        (id, resp.status.toLong, mime, charset, resp.payload.length.toLong,
+          resp.status == 200 && mime == "text/html")
+      })
+      .toDF("doc_id", "status", "mime", "charset", "payload_len", "kept")
+      .orderBy("doc_id", "status", "mime", "charset", "payload_len", "kept")
+  }
 }

@@ -67,15 +67,30 @@ object DocStream {
       decontamGrams: Option[DataFrame] = None,
       decontamN: Int = 5,
       stripMarkup: Boolean = false,
+      extractMainContent: Boolean = false,
       redactSecrets: Boolean = false): StreamingQuery =
     ingest(docs, spark, indexTable, outPath, checkpoint,
-      prepare = { batch =>
-        // repair → (optional) markup strip → normalize → redact: strip
-        // needs repaired bytes (mojibake garbles entity/tag spellings)
-        // and normalize cleans the spaces stripping leaves behind.
-        val repaired = Scrub.repairEncoding(col("text"))
+      prepare = { batch0 =>
+        // repair → (optional) main-content extraction OR markup strip →
+        // normalize → redact: repair first (mojibake garbles entity/tag
+        // spellings), extraction on the repaired RAW markup (link
+        // density needs the anchor tags — the batch-curate order,
+        // Pipeline.Config.extractMainContent), and normalize cleans the
+        // spaces structure removal leaves behind.
+        val repaired = batch0
+          .withColumn("text", Scrub.repairEncoding(col("text")))
+        val batch =
+          if (extractMainContent) {
+            val main = Scrub.mainContent(repaired, col("text"))
+              .select(col("doc_id"), col("main_text"))
+            repaired.drop("text").join(main, "doc_id")
+              .withColumn("text", Scrub.decodeEntities(col("main_text")))
+              .drop("main_text")
+          } else repaired
         val structural =
-          if (stripMarkup) Scrub.stripMarkup(repaired) else repaired
+          if (stripMarkup && !extractMainContent)
+            Scrub.stripMarkup(col("text"))
+          else col("text")
         val piiClean = Scrub.redactPii(Scrub.normalize(structural))
         // optional credential scrub, same position as the batch curate
         // (Pipeline.Config.redactSecrets): before signatures, so no index

@@ -482,6 +482,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("repetition rules: hand-computed ppm, span union never double-counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // top-2-gram: "x y" ×3, len 3; norm_len = 7 + 6 = 13 → 9e6/13
+      (1L, "x y x y x y z"),
+      // duplicate lines: l1 ×2 (4 chars) of 6 total → 666666 ppm
+      (2L, "l1\nl2\nl1"),
+      // OVERLAPPING duplicate 10-grams: "a b … j" at pos 0/10 and
+      // "b c … a" at pos 1/11 cover ALL 21 tokens exactly once under
+      // the span union (naive count·len would claim 40 of 21)
+      (3L, "a b c d e f g h i j a b c d e f g h i j a"),
+      (4L, "plain unique words with no repetition at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0L, 9000000L / 13L, 0L, false)), got(1L).toString)
+    assert(got(2L)._1 == 666666L && !got(2L)._4, got(2L).toString)
+    assert(got(3L)._3 == 1000000L, s"union must cover all tokens: ${got(3L)}")
+    // all 2-grams tie at count 1 → lexicographically smallest wins:
+    // "at all" (6 chars) over norm_len 37 + 7 = 44
+    assert(got(4L) == ((0L, 6000000L / 44L, 0L, true)), got(4L).toString)
+  }
+
   test("unigram-LM minCount prunes the tail pre-collect; coverage survives") {
     // "xq" is a singleton whose chars appear NOWHERE else: minCount=2
     // drops it from the training table (the ledger fires on stderr),

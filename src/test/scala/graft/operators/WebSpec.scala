@@ -161,6 +161,23 @@ class WebSpec extends AnyFunSuite {
     assert(star == Set(("d.com", "/s"), ("e.com", "/f")))
   }
 
+  test("crawl-delay: group selection, conservative max, malformed dropped") {
+    val txt =
+      "User-agent: bot\nCrawl-delay: 9\n" +  // other crawler: never selected
+        "\nUser-agent: GraftBot\nCrawl-delay: 5\n" +
+        "\nUser-agent: *\nCrawl-delay: 2\n" +
+        "\nUser-agent: *\nCrawl-delay: 3\n"  // two star groups → max wins
+    val bad = "User-agent: *\nCrawl-delay: fast\n"
+    val df = Seq(("d.com", txt), ("e.com", bad))
+      .toDF("reg_domain", "robots_txt")
+    val star = Web.crawlDelays(df)
+      .as[(String, Long)].collect().toMap
+    assert(star == Map("d.com" -> 3L), s"max of star groups, bad dropped: $star")
+    val ua = Web.crawlDelays(df, agent = "graftbot")
+      .as[(String, Long)].collect().toMap
+    assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
+  }
+
   test("robots gate matches path AND query through the canonical form") {
     val pathq = Seq("http://d.com/p?utm_source=x&id=9")
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))

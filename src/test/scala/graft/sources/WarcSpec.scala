@@ -53,4 +53,38 @@ class WarcSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(gunzipAll(gz), r1 ++ r2))
     assert(parseAll(gunzipAll(gz)).length == 2)
   }
+
+  test("http layer: response round trip, case-insensitive headers, charset") {
+    val payload = "body bytes \u0000 binary ok"
+    val http = writeHttpResponse(200, "OK", Seq(
+      "CONTENT-TYPE" -> "TEXT/HTML; Charset=\"ISO-8859-1\"",
+      "X-Custom" -> "  padded value  "), payload.getBytes(US_ASCII))
+    val r = parseHttpResponse(http)
+    assert(r.status == 200)
+    assert(r.headers("content-type") == "TEXT/HTML; Charset=\"ISO-8859-1\"")
+    assert(r.headers("x-custom") == "padded value", "values trim, keep case")
+    assert(new String(r.payload, US_ASCII) == payload, "payload verbatim")
+    assert(contentType(r.headers) == (("text/html", "iso-8859-1")))
+    // charset absent / header absent
+    assert(contentType(Map("content-type" -> "application/pdf")) ==
+      (("application/pdf", "")))
+    assert(contentType(Map.empty) == (("", "")))
+    // reason-free status line is legal
+    val terse = "HTTP/1.1 204\r\n\r\n".getBytes(US_ASCII)
+    assert(parseHttpResponse(terse).status == 204)
+  }
+
+  test("http layer: hostile bodies fail loud") {
+    def boom(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { parseHttpResponse(b) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    boom("not http at all\r\n\r\n".getBytes(US_ASCII), "not an HTTP response")
+    boom("HTTP/1.1 abc Bad\r\n\r\n".getBytes(US_ASCII), "bad status code")
+    boom("HTTP/1.1 200 OK\r\nheader-without-colon\r\n".getBytes(US_ASCII),
+      "malformed header line")
+    boom("HTTP/1.1 200 OK\r\nA: 1\r\n".getBytes(US_ASCII),
+      "unterminated header block")
+    boom("no crlf anywhere".getBytes(US_ASCII), "no status line")
+  }
 }

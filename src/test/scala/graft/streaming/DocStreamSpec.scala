@@ -492,4 +492,35 @@ class DocStreamSpec extends AnyFunSuite {
       hh(graft.functions.Sketches.heavyHitters(all, "token", 0.1, 4, 64)))
     assert(hh(fromStream).map(_._1) == Set("hot", "warm"))
   }
+
+  test("curate ingest: main-content extraction on a streaming crawl batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mainstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS mainstream_sigs")
+
+    val article = "rivers and stones and gardens make fine prose for " +
+      "a streaming curation funnel to keep and score"
+    val page = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav><p>" + article + "</p>" +
+      "<footer>(c) 2026 <a href=\"/t\">Terms</a></footer>"
+    val boilerOnly = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a> <a href=\"/d\">Deals</a></nav>"
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.curateIngest(input.toDF().toDF("doc_id", "text"),
+      spark, "mainstream_sigs", out, ckpt, minQuality = 0.0, numBuckets = 4,
+      extractMainContent = true)
+    try {
+      input.addData((1L, page), (2L, boilerOnly))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L),
+      s"boilerplate-only page must drop (empty text, zero tokens): ${rows.keySet}")
+    assert(rows(1L) == article,
+      s"nav/footer must not reach the corpus: ${rows(1L)}")
+  }
 }
