@@ -304,6 +304,73 @@ object Scrub {
         coalesce(col("main_text"), lit("")).as("main_text"))
   }
 
+  // line-wise corrections (RefinedWeb §3.2.3) ------------------------------
+
+  /** UI-stub lines dropped by [[lineCorrections]] — compared lowercased
+    * against the whole trimmed line, so prose that merely CONTAINS
+    * "share" survives. */
+  val UiStubLines: Seq[String] = Seq(
+    "sign in", "log in", "sign up", "accept cookies", "cookie policy",
+    "share", "menu", "skip to content", "read more", "advertisement")
+
+  /** Pattern-based line-wise corrections — the RefinedWeb step between
+    * structural extraction and document-level scoring: even inside the
+    * main content run, crawls carry per-line residue that frequency-
+    * based removal ([[TextAnalysis.removeBoilerplateLines]]) only
+    * catches when it repeats ACROSS docs and the block splitter
+    * ([[mainContentBlocks]]) keeps when it rides a content block. Three
+    * per-line rules, each a codegen'd predicate:
+    *
+    *   - social counters: `1,204 likes` / `3k shares` — a count plus a
+    *     reaction word, the whole line;
+    *   - UI stubs: the [[UiStubLines]] set, whole-line lowercased;
+    *   - symbol soup: lines with NO letters at all (separators, bare
+    *     numbers, dingbat rows).
+    *
+    * Returns (doc_id, n_lines, n_removed, clean_text) with survivors
+    * re-joined by newline. Empty lines pass through untouched (they are
+    * structure, not residue). One explode + one doc-grain aggregate —
+    * the removeBoilerplateLines scale shape without its cross-doc
+    * frequency table. */
+  def lineCorrections(docs: DataFrame, text: Column): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("l", trim(col("line")))
+    val social = col("l").rlike(
+      "(?i)^[0-9][0-9,.]*[km]? (likes|shares|comments|views|upvotes|retweets)$")
+    val stub = lower(col("l")).isin(UiStubLines: _*)
+    val soup = col("l") =!= "" && col("l").rlike("^[^A-Za-z]*$")
+    val flagged = lines.withColumn("rm", social || stub || soup)
+    docs.select(col("doc_id")).join(
+      flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("rm").cast("long")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("rm"),
+            struct(col("pos"), col("line").as("ln"))))),
+          x => x.getField("ln")), "\n").as("clean_text")),
+      Seq("doc_id"))
+  }
+
+  /** Line-residue twin: planted social counters, UI stubs and symbol
+    * soup AROUND the prose — every branch's clean form is exactly the
+    * original text, so the oracle states ground truth with no rule
+    * mirroring, and a rule that over-fires (eating a prose line) or
+    * under-fires (keeping residue) breaks the md5. */
+  private def residueTwin: Column = {
+    val id = col("doc_id")
+    when(id % 4 === 0, concat(col("text"), lit("\n1,204 likes\nShare")))
+      .when(id % 4 === 1, concat(lit("Menu\nSkip to content\n"), col("text")))
+      .when(id % 4 === 2, concat(col("text"), lit("\n*** --- ***\n2026\n3k views")))
+      .otherwise(col("text"))
+  }
+
+  def qLineCorrections(spark: SparkSession, dir: String): DataFrame =
+    lineCorrections(Tables.documents(spark, dir), residueTwin)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id", "n_lines", "n_removed", "clean_md5")
+
   /** The landmark-page twin for the oracle (the [[markupTwin]]
     * discipline): a full page around the corpus text — title cruft, a
     * nav link bar, an id-dependent promo unit (link-dense), the ARTICLE

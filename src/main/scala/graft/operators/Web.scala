@@ -250,6 +250,7 @@ object Web {
   val RobotsFixture: Seq[(String, String)] = Seq(
     "example.com" ->
       ("# crawl policy\n" +
+        "Sitemap: https://example.com/sitemap.xml\n" +   // file-wide directive
         "User-agent: gptbot\n" +
         "Disallow: /\n" +
         "Crawl-delay: 10\n" +        // other crawler's delay: never selected
@@ -278,7 +279,10 @@ object Web {
         "Disallow: /es/page/2?id=\r\n" +
         "Disallow: /zh/page/3\r\n" +
         "Allow: /zh/page/33\r\n" +
-        "Crawl-delay: 1\r\n"),
+        "Crawl-delay: 1\r\n" +
+        // mid-file, inside a group, CRLF: still file-wide per the
+        // sitemaps.org protocol — group selection must not hide it
+        "Sitemap: https://www.data.co.uk/sm/index.xml\r\n"),
     "site.org" ->
       ("User-agent: *\n" +
         "Disallow: /\n" +
@@ -385,6 +389,142 @@ object Web {
       .select(col("doc_id"), col("reg_domain"), col("pathq"),
         col("rule"), col("allowed"))
       .orderBy("doc_id")
+  }
+
+  // sitemaps + crawl frontier --------------------------------------------
+  //
+  // The discovery half of the crawl loop: robots.txt names the sitemap
+  // files, the sitemaps list what the site WANTS crawled (with
+  // freshness stamps), and the frontier is whatever a polite crawler
+  // hasn't fetched yet — scheduled under the domain's crawl-delay.
+  // Everything stays at metadata grain: sitemap tables are millions of
+  // times smaller than the page corpus, and the one corpus-side touch
+  // (the known-URL set) is the same canonical-url key the crawl ingest
+  // already indexes.
+
+  /** `Sitemap:` directives from robots.txt. The directive is FILE-wide
+    * (sitemaps.org protocol; RFC 9309 leaves it to extensions), so no
+    * §2.2.1 group selection applies — every declared sitemap is
+    * reported, raw value preserved. Output (reg_domain, sitemap_url). */
+  def sitemapUrls(robots: DataFrame): DataFrame = {
+    val (tagged, _) = robotsGroups(robots, "*")
+    tagged.filter(col("key") === "sitemap" && col("value") =!= "")
+      .select(col("reg_domain"), col("value").as("sitemap_url"))
+  }
+
+  /** Parse `<urlset>` sitemap bodies into (reg_domain, loc, lastmod)
+    * rows: `<url>` blocks via a non-greedy block regex, `<loc>`
+    * required (entries without one are dropped), `<lastmod>` optional
+    * (empty string when absent). Deliberately regex-level, not a strict
+    * XML parser — real sitemaps are machine-generated but messy, and
+    * the loc/lastmod fields are the only ones a frontier needs; the
+    * Java∩RE2 subset keeps the oracle exact. */
+  def sitemapEntries(sitemaps: DataFrame): DataFrame =
+    sitemaps.select(col("reg_domain"),
+        explode(regexp_extract_all(col("sitemap_xml"),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("u"))
+      .select(col("reg_domain"),
+        regexp_extract(col("u"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        regexp_extract(col("u"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
+      .filter(col("loc") =!= "")
+
+  /** Frontier diff: canonicalize sitemap locs and mark which already
+    * exist in the crawled corpus (`corpusUrls` carries a `url` column —
+    * at scale, the url index the streaming crawl ingest maintains, so
+    * the corpus itself is never re-scanned). Returns every entry with
+    * `canon_loc` and `known`. */
+  def frontier(entries: DataFrame, corpusUrls: DataFrame): DataFrame = {
+    val known = corpusUrls
+      .select(canonicalUrl(col("url")).as("canon_loc")).distinct()
+      .withColumn("graft_known", lit(true))
+    entries.withColumn("canon_loc", canonicalUrl(col("loc")))
+      .join(known, Seq("canon_loc"), "left")
+      .withColumn("known", coalesce(col("graft_known"), lit(false)))
+      .drop("graft_known")
+  }
+
+  /** Politeness-bounded fetch schedule over the UNKNOWN frontier: per
+    * domain, freshest first (`lastmod` desc, ties by canon_loc), slot k
+    * fetches at `k · crawl_delay_sec` (domains with no declared delay
+    * get `defaultDelaySec`). The per-domain window is bounded by that
+    * domain's frontier — the polite-crawl shape where one slow domain
+    * never stalls another. Output (reg_domain, canon_loc, lastmod,
+    * slot, fetch_offset_sec). */
+  def fetchSchedule(frontierDf: DataFrame, delays: DataFrame,
+      defaultDelaySec: Long = 1L): DataFrame = {
+    val w = Window.partitionBy("reg_domain")
+      .orderBy(col("lastmod").desc, col("canon_loc"))
+    frontierDf.filter(!col("known"))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(delays), Seq("reg_domain"), "left")
+      .withColumn("graft_delay",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+      .select(col("reg_domain"), col("canon_loc"), col("lastmod"),
+        col("slot"), (col("slot") * col("graft_delay")).as("fetch_offset_sec"))
+  }
+
+  /** Sitemap fixture built FROM the corpus: docs ≡ 0 (mod 7) are
+    * "listed" with a lastmod derived from their id, plus three per-
+    * domain fresh URLs the corpus has never fetched (one of them
+    * lastmod-free, exercising the optional field). The XML is assembled
+    * then re-parsed, so the query certifies the block regex, the
+    * optional-lastmod branch, canonicalization equality between the
+    * sitemap spelling and the corpus spelling, and the known/unknown
+    * split — all against a branch-derived oracle. */
+  private def sitemapFixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val listed = withUrl(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(registeredDomain(col("url")).as("reg_domain"),
+        col("url").as("loc"),
+        concat(lit("2026-01-"),
+          lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")).as("lastmod"))
+    val fresh = Seq("example.com", "data.co.uk", "site.org").toDF("reg_domain")
+      .select(col("reg_domain"), explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("reg_domain"),
+        concat(lit("https://www."), col("reg_domain"),
+          lit("/new/page/"), col("j")).as("loc"),
+        when(col("j") === 3, lit(""))
+          .otherwise(concat(lit("2026-02-0"), col("j"))).as("lastmod"))
+    listed.unionByName(fresh)
+      .groupBy("reg_domain")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("loc"), col("lastmod")))),
+        e => concat(lit("<url><loc>"), e.getField("loc"), lit("</loc>"),
+          when(e.getField("lastmod") === "", lit(""))
+            .otherwise(concat(lit("<lastmod>"), e.getField("lastmod"),
+              lit("</lastmod>"))),
+          lit("</url>")))).as("body"))
+      .select(col("reg_domain"),
+        concat(lit("<?xml version=\"1.0\"?><urlset>"), col("body"),
+          lit("</urlset>")).as("sitemap_xml"))
+  }
+
+  def qSitemapFrontier(spark: SparkSession, dir: String): DataFrame =
+    frontier(sitemapEntries(sitemapFixture(spark, dir)),
+      withUrl(spark, dir).select("url"))
+      .select("reg_domain", "canon_loc", "lastmod", "known")
+      .orderBy("reg_domain", "canon_loc", "lastmod", "known")
+
+  /** Schedule over the fixture frontier's unknown URLs, under the
+    * RobotsFixture delays (example.com 2 s, data.co.uk 1 s, site.org
+    * defaulted — its declared value is malformed). */
+  def qFetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delays = crawlDelays(RobotsFixture.toDF("reg_domain", "robots_txt"))
+    fetchSchedule(
+      frontier(sitemapEntries(sitemapFixture(spark, dir)),
+        withUrl(spark, dir).select("url")),
+      delays)
+      .orderBy("reg_domain", "canon_loc", "lastmod", "slot", "fetch_offset_sec")
+  }
+
+  /** The fixture robots' declared sitemaps — top-of-file, mid-group and
+    * CRLF spellings, site.org declaring none. */
+  def qSitemapUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sitemapUrls(RobotsFixture.toDF("reg_domain", "robots_txt"))
+      .orderBy("reg_domain", "sitemap_url")
   }
 
   /** Crawl-delay table for the anonymous crawler AND the named one in

@@ -111,6 +111,7 @@ object ExtQueries {
     "text_encoding_fix"     -> graft.operators.Scrub.qEncodingFix _,
     "text_html_strip"       -> graft.operators.Scrub.qHtmlStrip _,
     "text_main_content"     -> graft.operators.Scrub.qMainContent _,
+    "text_line_corrections" -> graft.operators.Scrub.qLineCorrections _,
     "text_domain_report"    -> graft.operators.Pipeline.qDomainReport _,
     "sample_stratified"     -> graft.operators.Sampling.qSampleStratified _,
     "sample_balanced"       -> graft.operators.Sampling.qSampleBalanced _,
@@ -163,6 +164,9 @@ object ExtQueries {
     "web_robots_gate"       -> Web.qRobotsGate _,
     "web_robots_ua"         -> Web.qRobotsUa _,
     "web_crawl_delay"       -> Web.qCrawlDelay _,
+    "web_sitemap_urls"      -> Web.qSitemapUrls _,
+    "web_sitemap_frontier"  -> Web.qSitemapFrontier _,
+    "web_fetch_schedule"    -> Web.qFetchSchedule _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -3274,6 +3278,20 @@ object ExtQueries {
         |  md5(clean) AS clean_md5
         |FROM t ORDER BY doc_id, len_clean, clean_md5""".stripMargin,
 
+    // Scrub.qLineCorrections over the residueTwin: every branch's clean
+    // form is exactly the original text, so the oracle derives counts
+    // and md5 from the branch structure alone — a rule that over-fires
+    // (eating prose) or under-fires (keeping residue) breaks the hash.
+    "text_line_corrections" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 4
+        |       ELSE 1 END AS BIGINT) AS n_lines,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |       ELSE 0 END AS BIGINT) AS n_removed,
+        |  md5(text) AS clean_md5
+        |FROM documents
+        |ORDER BY doc_id, n_lines, n_removed, clean_md5""".stripMargin,
+
     // Scrub.qMainContent over the landmark pageTwin: the oracle does NOT
     // re-run the block parse — it constructs the expected survivor set
     // from the twin's branch structure (the markupTwin discipline). The
@@ -3905,6 +3923,87 @@ object ExtQueries {
         |    ('graftbot', 'example.com', CAST(5 AS BIGINT)))
         |  v(agent, reg_domain, crawl_delay_sec)
         |ORDER BY agent, reg_domain, crawl_delay_sec""".stripMargin,
+
+    // Web.qSitemapUrls: hand table — the Sitemap: directive is file-wide
+    // (top-of-file, mid-group and CRLF spellings must all surface;
+    // site.org declares none).
+    "web_sitemap_urls" ->
+      """SELECT * FROM (VALUES
+        |    ('data.co.uk', 'https://www.data.co.uk/sm/index.xml'),
+        |    ('example.com', 'https://example.com/sitemap.xml'))
+        |  v(reg_domain, sitemap_url)
+        |ORDER BY reg_domain, sitemap_url""".stripMargin,
+
+    // Web.qSitemapFrontier: listed entries are docs ≡ 0 (mod 7) — the
+    // oracle re-derives their CANONICAL urls through the same
+    // canonicalization CTE as web_url_canon (so the sitemap parse, the
+    // optional-lastmod branch and canonical equality are all certified) —
+    // plus three per-domain fresh URLs that must come back unknown.
+    "web_sitemap_frontier" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END) AS reg_domain,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url,
+        |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |p AS (SELECT doc_id, reg_domain, lastmod,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '://[^:/?#]*(:[0-9]+)', 1) AS port0,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (SELECT reg_domain, lastmod,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN (scheme = 'http' AND port0 = ':80') OR (scheme = 'https' AND port0 = ':443')
+        |          THEN '' ELSE port0 END) ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(list_filter(string_split(q, '&'), x -> x <> ''
+        |        AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |                 OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) = 0
+        |      THEN ''
+        |      ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |        AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |                 OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))), '&') END) AS canon_loc
+        |  FROM p),
+        |fresh AS (SELECT d.reg_domain,
+        |    'https://' || d.reg_domain || '/new/page/' || CAST(j AS VARCHAR) AS canon_loc,
+        |    CASE WHEN j = 3 THEN '' ELSE '2026-02-0' || CAST(j AS VARCHAR) END AS lastmod
+        |  FROM (VALUES ('example.com'), ('data.co.uk'), ('site.org')) d(reg_domain),
+        |       (VALUES (1), (2), (3)) jj(j))
+        |SELECT reg_domain, canon_loc, lastmod, TRUE AS known FROM c
+        |UNION ALL
+        |SELECT reg_domain, canon_loc, lastmod, FALSE AS known FROM fresh
+        |ORDER BY reg_domain, canon_loc, lastmod, known""".stripMargin,
+
+    // Web.qFetchSchedule: hand table — per domain the three unknown
+    // frontier URLs, freshest first (the lastmod-free entry last),
+    // slot k fetching at k·delay with example.com's declared 2 s,
+    // data.co.uk's CRLF-framed 1 s, site.org defaulted to 1 s because
+    // its declared value is malformed.
+    "web_fetch_schedule" ->
+      """SELECT * FROM (VALUES
+        |    ('data.co.uk', 'https://data.co.uk/new/page/2', '2026-02-02', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |    ('data.co.uk', 'https://data.co.uk/new/page/1', '2026-02-01', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |    ('data.co.uk', 'https://data.co.uk/new/page/3', '', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        |    ('example.com', 'https://example.com/new/page/2', '2026-02-02', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |    ('example.com', 'https://example.com/new/page/1', '2026-02-01', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |    ('example.com', 'https://example.com/new/page/3', '', CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+        |    ('site.org', 'https://site.org/new/page/2', '2026-02-02', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |    ('site.org', 'https://site.org/new/page/1', '2026-02-01', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |    ('site.org', 'https://site.org/new/page/3', '', CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        |  v(reg_domain, canon_loc, lastmod, slot, fetch_offset_sec)
+        |ORDER BY reg_domain, canon_loc, lastmod, slot, fetch_offset_sec""".stripMargin,
 
     // Web.qUrlDedup: canonicalize (the full web_url_canon chain), then
     // newest-fetch-per-canonical-URL.

@@ -295,6 +295,22 @@ class ScrubSpec extends AnyFunSuite {
     assert(k == 2L && t == longText + "\ntail")
   }
 
+  test("lineCorrections: each rule one pathology; prose never collateral") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "real prose line stays here\n1,204 likes\n3k shares\nShare\n" +
+        "MENU\n*** ---\n2026\nwe share our results openly\n" +
+        "42 likes of this kind survive inside prose too")
+    ).toDF("doc_id", "text")
+    val r = Scrub.lineCorrections(docs, col("text")).collect().head
+    assert(r.getAs[Long]("n_lines") == 9L)
+    assert(r.getAs[Long]("n_removed") == 6L,
+      "counters, stubs (case-insensitive), soup lines — and ONLY those")
+    assert(r.getAs[String]("clean_text") ==
+      "real prose line stays here\nwe share our results openly\n" +
+        "42 likes of this kind survive inside prose too")
+  }
+
   test("mainContent: the curate composition drops boilerplate-only docs") {
     val article = "spark table join filter scan value data row column " +
       "sort merge window group order batch stream the a big small fast"

@@ -178,6 +178,53 @@ class WebSpec extends AnyFunSuite {
     assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
   }
 
+  test("sitemaps: directive is file-wide; entries parse with optional lastmod") {
+    val txt = "Sitemap: https://d.com/a.xml\n" +
+      "User-agent: *\nDisallow: /x\nSitemap: https://d.com/b.xml\r\n" +
+      "Sitemap:\n"                      // empty value: dropped
+    val urls = Web.sitemapUrls(Seq(("d.com", txt))
+        .toDF("reg_domain", "robots_txt"))
+      .as[(String, String)].collect().toSet
+    assert(urls == Set(("d.com", "https://d.com/a.xml"),
+      ("d.com", "https://d.com/b.xml")))
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>http://d.com/p1</loc><lastmod>2026-01-02</lastmod></url>" +
+      "<url>\n  <loc>http://d.com/p2</loc>\n</url>" +   // no lastmod, whitespace
+      "<url><lastmod>2026-01-03</lastmod></url>" +      // no loc: dropped
+      "</urlset>"
+    val entries = Web.sitemapEntries(Seq(("d.com", xml))
+        .toDF("reg_domain", "sitemap_xml"))
+      .as[(String, String, String)].collect().toSet
+    assert(entries == Set(("d.com", "http://d.com/p1", "2026-01-02"),
+      ("d.com", "http://d.com/p2", "")))
+  }
+
+  test("frontier + schedule: canonical matching, freshest-first, delay defaulting") {
+    val entries = Seq(
+      ("d.com", "HTTPS://WWW.d.com/a?utm_source=x", "2026-01-05"),
+      ("d.com", "https://d.com/new1", "2026-01-09"),
+      ("d.com", "https://d.com/new2", ""),
+      ("e.com", "http://e.com/fresh", "2026-01-01")
+    ).toDF("reg_domain", "loc", "lastmod")
+    // corpus fetched /a under a DIFFERENT spelling: canonical must match
+    val corpus = Seq("https://d.com/a").toDF("url")
+    val fr = Web.frontier(entries, corpus)
+    val known = fr.select("canon_loc", "known")
+      .as[(String, Boolean)].collect().toMap
+    assert(known == Map("https://d.com/a" -> true,
+      "https://d.com/new1" -> false, "https://d.com/new2" -> false,
+      "http://e.com/fresh" -> false))
+    // schedule: d.com declares 3 s; e.com has no delay row → default 1
+    val delays = Seq(("d.com", 3L)).toDF("reg_domain", "crawl_delay_sec")
+    val sched = Web.fetchSchedule(fr, delays)
+      .select("canon_loc", "slot", "fetch_offset_sec")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sched == Set(
+      ("https://d.com/new1", 0L, 0L),   // freshest first
+      ("https://d.com/new2", 1L, 3L),   // lastmod-free sorts last
+      ("http://e.com/fresh", 0L, 0L)))
+  }
+
   test("robots gate matches path AND query through the canonical form") {
     val pathq = Seq("http://d.com/p?utm_source=x&id=9")
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))
