@@ -65,6 +65,12 @@ object Pipeline {
       // handling; entity decode + normalize still run on the result.
       // Off by default for the byte-stable oracle funnel.
       extractMainContent: Boolean = false,
+      // Line-wise residue removal (Scrub.lineCorrections) applied to the
+      // extracted main content BEFORE normalization collapses the line
+      // structure — social counters, UI stubs, symbol rows that ride
+      // inside a content run. Only meaningful with extractMainContent
+      // (pre-cleaned single-line corpora have no line structure).
+      lineCorrections: Boolean = false,
       // Credential scrubbing (Scrub.redactSecrets) applied in stage 0,
       // after markup stripping: a leaked key must never reach ANY
       // downstream artifact (shingles, indexes, the corpus itself), and
@@ -91,7 +97,15 @@ object Pipeline {
       if (cfg.extractMainContent) {
         val main = Scrub.mainContent(docs, col("text"))
           .select(col("doc_id"), col("main_text"))
-        docs.drop("text").join(main, "doc_id")
+        val extracted = docs.drop("text").join(main, "doc_id")
+        val lineClean =
+          if (cfg.lineCorrections)
+            extracted.join(
+              Scrub.lineCorrections(extracted, col("main_text"))
+                .select(col("doc_id"), col("clean_text")), "doc_id")
+              .drop("main_text").withColumnRenamed("clean_text", "main_text")
+          else extracted
+        lineClean
           .withColumn("text",
             Scrub.normalize(Scrub.decodeEntities(col("main_text"))))
           .drop("main_text")
@@ -524,4 +538,64 @@ object Pipeline {
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.documents(spark, dir))
       .orderBy("doc_a", "doc_b", "jaccard")
+
+  /** End-to-end BATCH crawl preparation — the full web stage composed
+    * into one call, the batch twin of the streaming chain
+    * (`WebStream.crawlIngest` → `DocStream.curateIngest`) for backfills
+    * and reprocessing runs:
+    *
+    *   1. WARC fan-out: each row of `warcBlobs` is one gzipped
+    *      multi-record `.warc.gz` file, parsed inside its task
+    *      ([[graft.sources.Warc.parseAll]]);
+    *   2. HTTP fetch gate: the record body is the HTTP response
+    *      message — keep status 200 AND mime text/html;
+    *   3. URL stage: canonicalize, robots-gate against the parsed rule
+    *      table (broadcast), first-fetch-wins per canonical URL;
+    *   4. the [[curate]] funnel with main-content extraction + line
+    *      corrections on by default — quality gate, exact + near dedup,
+    *      cluster-stable split.
+    *
+    * doc_id = xxhash64 of the WARC record id (stable across re-runs and
+    * re-partitioning); source = registered domain; lang = "und" — this
+    * library scores language mixes but does not invent labels.
+    *
+    * Scale: blobs decode once per file-task (narrow), the rule table
+    * broadcasts, URL dedup is one hash-keyed window, and everything
+    * downstream is the audited curate plan. */
+  def crawlPrepare(warcBlobs: DataFrame, robotsRules: DataFrame,
+      cfg: Config = Config(extractMainContent = true,
+        lineCorrections = true)): DataFrame = {
+    val spark = warcBlobs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.Warc
+    val pages = warcBlobs.select(col("blob")).as[Array[Byte]]
+      .flatMap { blob =>
+        Warc.parseAll(Warc.gunzipAll(blob)).flatMap { r =>
+          val resp = Warc.parseHttpResponse(r.body)
+          val (mime, _) = Warc.contentType(resp.headers)
+          if (resp.status == 200 && mime == "text/html")
+            Some((r.header("WARC-Record-ID"), r.header("WARC-Target-URI"),
+              new String(resp.payload,
+                java.nio.charset.StandardCharsets.UTF_8)))
+          else None
+        }
+      }
+      .toDF("rec_id", "url", "text")
+      .withColumn("doc_id", xxhash64(col("rec_id")))
+    val canon = pages
+      .withColumn("canon_url", Web.canonicalUrl(col("url")))
+      .withColumn("reg_domain", Web.registeredDomain(col("url")))
+      .withColumn("pathq", Web.canonicalPathQuery(col("url")))
+    val allowed = Web.robotsGate(canon, robotsRules)
+      .filter(col("allowed")).drop("rule", "allowed", "pathq")
+    val byUrl = Window.partitionBy("canon_url")
+    val unique = allowed
+      .withColumn("graft_keeper", min(col("doc_id")).over(byUrl))
+      .filter(col("doc_id") === col("graft_keeper"))
+    val docs = unique.select(col("doc_id"), lit("und").as("lang"),
+      col("reg_domain").as("source"), col("text"),
+      length(col("text")).cast("long").as("n_chars"))
+    curate(docs, cfg)
+  }
 }

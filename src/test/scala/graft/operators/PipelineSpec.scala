@@ -202,4 +202,56 @@ class PipelineSpec extends AnyFunSuite {
     // of matching -> no pair reaches even minShared 1
     assert(rep.isEmpty, rep.toSeq.toString)
   }
+
+  test("crawlPrepare: WARC bytes to a curated corpus, every gate firing") {
+    import graft.sources.Warc
+    val article1 = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav><p>rivers and stones and gardens " +
+      "make fine prose for a batch crawl funnel to keep and then to score" +
+      "</p><footer>(c) 2026 <a href=\"/t\">Terms</a></footer>"
+    val article2 = "<p>mountains and valleys and forests carry wholly " +
+      "different prose so the near dedup stage must keep both articles</p>" +
+      "<p>3k views</p>"                       // line residue inside content
+    val boilerOnly = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a> <a href=\"/d\">Deals</a></nav>"
+    def httpOk(body: String) = Warc.writeHttpResponse(200, "OK",
+      Seq("Content-Type" -> "text/html; charset=utf-8"), body.getBytes("UTF-8"))
+    val recs = Seq(
+      // keeper 1 + a tracking-param re-fetch that URL-dedup must drop
+      ("<urn:g:1>", "http://d.com/story", httpOk(article1)),
+      ("<urn:g:2>", "HTTP://WWW.d.com/story?utm_source=f", httpOk(article1)),
+      // keeper 2 — different content, residue line inside the article
+      ("<urn:g:3>", "http://d.com/other", httpOk(article2)),
+      // robots-blocked path
+      ("<urn:g:4>", "http://d.com/private/x", httpOk(article2)),
+      // 404 and a PDF: the HTTP gate drops both
+      ("<urn:g:5>", "http://d.com/gone", Warc.writeHttpResponse(404,
+        "Not Found", Seq("Content-Type" -> "text/html"), "nope".getBytes("UTF-8"))),
+      ("<urn:g:6>", "http://d.com/doc.pdf", Warc.writeHttpResponse(200, "OK",
+        Seq("Content-Type" -> "application/pdf"), "%PDF".getBytes("UTF-8"))),
+      // boilerplate-only page: extraction empties it, quality gate drops
+      ("<urn:g:7>", "http://d.com/navsoup", httpOk(boilerOnly)))
+    val blob = recs.map { case (id, uri, body) =>
+      Warc.gzipMember(Warc.writeRecord(id, uri, body)) }.reduce(_ ++ _)
+    val blobs = Seq(Tuple1(blob)).toDF("blob")
+    val rules = Web.parseRobots(Seq(
+      ("d.com", "User-agent: *\nDisallow: /private/\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+
+    val out = Pipeline.crawlPrepare(blobs, rules,
+      Pipeline.Config(extractMainContent = true, lineCorrections = true,
+        minQuality = 0.1))
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    def h(r: String): Long = Seq(Tuple1(r)).toDF("x")
+      .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+      .collect().head.getLong(0)
+    // the /story re-fetch pair keeps its MIN-doc_id representative
+    // (deterministic, not arrival order — ids are record-id hashes)
+    val expect = Set(math.min(h("<urn:g:1>"), h("<urn:g:2>")), h("<urn:g:3>"))
+    assert(ids == expect,
+      s"exactly the two articles survive every gate: $ids vs $expect")
+    assert(rows.map(_.getAs[String]("source")).toSet == Set("d.com"))
+    assert(rows.map(_.getAs[String]("split")).forall(Set("train", "test")))
+  }
 }
