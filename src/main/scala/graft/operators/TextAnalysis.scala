@@ -1159,6 +1159,59 @@ object TextAnalysis {
       .orderBy("doc_id", "word_count", "mean_word_len_ppm", "symbol_ppm",
         "stop_hits", "passes")
 
+  /** Unicode SCRIPT mix — the gate that runs BEFORE any language id in
+    * a real crawl pipeline: trigram lang-id ([[langIdConfusion]]) only
+    * separates languages within a script, while a mis-decoded feed, a
+    * CJK page in an "English" crawl, or mixed-script spam is visible
+    * from raw code-point classes alone. Per doc: letter counts for the
+    * major script blocks (Latin, CJK unified, Cyrillic, Arabic, Greek,
+    * Hangul), the Latin share of all classified letters in exact ppm,
+    * and the dominant script (argmax, ties in the column order listed).
+    *
+    * Class patterns use the `\x{…}` code-point syntax both engines'
+    * regex dialects accept (Java ≥ 7 and RE2), so the oracle evaluates
+    * the identical classes. One narrow projection of `regexp_count`
+    * scalars — zero shuffle, scan speed at 100 TB. */
+  def scriptMix(docs: DataFrame, text: Column): DataFrame = {
+    def cnt(pat: String) = regexp_count(text, lit(pat)).cast("long")
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "arabic" -> "[\\x{0600}-\\x{06FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+    val counted = docs.select(Seq(col("doc_id")) ++
+      classes.map { case (n, p) => cnt(p).as(s"n_$n") }: _*)
+    val total = classes.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    val dominant = classes.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col(s"n_$n") === greatest(classes.map(c => col(s"n_${c._1}")): _*) &&
+        col(s"n_$n") > 0, n).otherwise(acc)
+    }
+    counted
+      .withColumn("latin_ppm",
+        when(total === 0, 0L).otherwise(expr("n_latin * 1000000 div " +
+          "(n_latin + n_cjk + n_cyrillic + n_arabic + n_greek + n_hangul)")))
+      .withColumn("dominant", dominant)
+  }
+
+  /** Script twin: non-Latin suffixes planted by id class (the
+    * encodingTwin discipline) — Cyrillic, CJK, Arabic, Greek, and an
+    * untouched branch; every class count is branch-derivable. */
+  private def scriptTwin: Column = {
+    val id = col("doc_id")
+    when(id % 5 === 0, concat(col("text"), lit(" Привет мир")))
+      .when(id % 5 === 1, concat(col("text"), lit(" 你好世界")))
+      .when(id % 5 === 2, concat(col("text"), lit(" مرحبا")))
+      .when(id % 5 === 3, concat(col("text"), lit(" γειά σου")))
+      .otherwise(col("text"))
+  }
+
+  def qScriptMix(spark: SparkSession, dir: String): DataFrame =
+    scriptMix(Tables.documents(spark, dir), scriptTwin)
+      .orderBy("doc_id", "n_latin", "n_cjk", "n_cyrillic", "n_arabic",
+        "n_greek", "n_hangul", "latin_ppm", "dominant")
+
   /** The REPETITION half of the Gopher rules (Rae et al. '21 §A1.1,
     * Table A1) — [[gopherRules]] covers the word/symbol/stopword
     * family; this covers the within-doc repetition family that kills

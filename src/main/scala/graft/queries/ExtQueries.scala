@@ -96,6 +96,7 @@ object ExtQueries {
     "text_collocations"     -> TextAnalysis.qCollocations _,
     "text_gopher_rules"     -> TextAnalysis.qGopherRules _,
     "text_gopher_repetition" -> TextAnalysis.qGopherRepetition _,
+    "text_script_mix"       -> TextAnalysis.qScriptMix _,
     "text_grep_indexed"     -> TextAnalysis.qGrepIndexed _,
     "profile_orders"        -> graft.operators.Profile.qProfileOrders _,
     "profile_diff"          -> graft.operators.Profile.qProfileDiff _,
@@ -3036,6 +3037,26 @@ object ExtQueries {
 
     // Mirrors TextAnalysis.gopherRules: each Gopher filter rule as its
     // own integer/ppm column, conjunction in `passes`.
+    // TextAnalysis.qScriptMix over the scriptTwin: non-Latin counts are
+    // branch constants (Cyrillic 9, CJK 4, Arabic 5, Greek 7); the Latin
+    // count is the only mirrored regexp. Both engines evaluate the SAME
+    // \x{...} code-point classes, so a class-boundary bug diverges.
+    "text_script_mix" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(CASE WHEN doc_id % 5 = 1 THEN 4 ELSE 0 END AS BIGINT) AS n_cjk,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 9 ELSE 0 END AS BIGINT) AS n_cyrillic,
+        |    CAST(CASE WHEN doc_id % 5 = 2 THEN 5 ELSE 0 END AS BIGINT) AS n_arabic,
+        |    CAST(CASE WHEN doc_id % 5 = 3 THEN 7 ELSE 0 END AS BIGINT) AS n_greek,
+        |    CAST(0 AS BIGINT) AS n_hangul
+        |  FROM documents)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_greek, n_hangul,
+        |  n_latin * 1000000 // (n_latin + n_cjk + n_cyrillic + n_arabic + n_greek + n_hangul) AS latin_ppm,
+        |  'latin' AS dominant
+        |FROM b
+        |ORDER BY doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_greek,
+        |  n_hangul, latin_ppm, dominant""".stripMargin,
+
     // TextAnalysis.qRepetition over the repetitionTwin: the Gopher
     // repetition family re-derived in SQL from the same literal splices —
     // duplicate-line char mass, top word-2-gram coverage over the

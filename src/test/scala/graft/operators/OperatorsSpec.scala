@@ -482,6 +482,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("scriptMix: dominant flips per script, ties break latin-first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "mostly english text"),
+      (2L, "只有中文字符在这里很多很多"),        // CJK-dominant
+      (3L, "ab 中文"),                            // tie 2-2: latin wins
+      (4L, "Привет это кириллица ok"),            // Cyrillic-dominant
+      (5L, "한국어 텍스트가 대부분입니다 ok"),     // Hangul-dominant
+      (6L, "12345 --- !!!")                       // no letters at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(docs, col("text"))
+      .select("doc_id", "dominant", "latin_ppm")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("latin", 1000000L)))
+    assert(got(2L)._1 == "cjk" && got(2L)._2 == 0L)
+    assert(got(3L) == (("latin", 500000L)), "2-2 tie goes latin-first")
+    assert(got(4L)._1 == "cyrillic")
+    assert(got(5L)._1 == "hangul")
+    assert(got(6L) == (("none", 0L)))
+  }
+
   test("repetition rules: hand-computed ppm, span union never double-counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
