@@ -252,9 +252,11 @@ object Scrub {
     * the downstream groupBy reuses that partitioning. */
   def mainContentBlocks(docs: DataFrame, html: Column,
       minLen: Int = 30, maxLinkPct: Int = 33,
-      minAlnumPct: Int = 50): DataFrame = {
+      minAlnumPct: Int = 50, minStopPpm: Int = 0,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with", "a", "in")): DataFrame = {
     require(minLen >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100 &&
-      minAlnumPct >= 0 && minAlnumPct <= 100)
+      minAlnumPct >= 0 && minAlnumPct <= 100 && minStopPpm >= 0)
     val blocked = regexp_replace(stripHidden(html), BlockTagRe, "\n")
     val rows = docs
       .select(col("doc_id"), posexplode(split(blocked, "\n")).as(Seq("pos", "block")))
@@ -271,10 +273,23 @@ object Scrub {
       .filter(col("vis") =!= "")
     val clean = col("anchor_len") * 100 <= col("vis_len") * maxLinkPct &&
       col("n_alnum") * 100 >= col("vis_len") * minAlnumPct
+    // optional jusText stopword-density rule (off at 0): PROSE carries
+    // function words at a steady rate, while link-less boilerplate
+    // ("Copyright 2026 All Rights Reserved") sails past the length,
+    // link and alnum rules with zero stopwords. Occurrence density in
+    // exact ppm over the block's tokens; gates `good` only — a
+    // stopword-free caption can still ride the adjacency rescue.
+    val stopOk =
+      if (minStopPpm == 0) lit(true)
+      else {
+        val toks = filter(split(lower(col("vis")), " "), t => t =!= "")
+        val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+        hits.cast("long") * 1000000L >= size(toks).cast("long") * minStopPpm
+      }
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     stats
       .withColumn("clean", clean)
-      .withColumn("good", clean && col("vis_len") >= minLen)
+      .withColumn("good", clean && col("vis_len") >= minLen && stopOk)
       .withColumn("keep", col("good") ||
         (col("clean") &&
           (coalesce(lag(col("good"), 1).over(byDoc), lit(false)) ||
@@ -288,8 +303,9 @@ object Scrub {
     * downstream quality gate then drops for cause. */
   def mainContent(docs: DataFrame, html: Column,
       minLen: Int = 30, maxLinkPct: Int = 33,
-      minAlnumPct: Int = 50): DataFrame = {
-    val blocks = mainContentBlocks(docs, html, minLen, maxLinkPct, minAlnumPct)
+      minAlnumPct: Int = 50, minStopPpm: Int = 0): DataFrame = {
+    val blocks = mainContentBlocks(docs, html, minLen, maxLinkPct,
+      minAlnumPct, minStopPpm)
     val rebuilt = blocks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("keep").cast("long")).as("n_kept"),

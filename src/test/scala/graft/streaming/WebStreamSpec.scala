@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -157,5 +158,62 @@ class WebStreamSpec extends AnyFunSuite {
     assert(corpus(1L) == "rivers and stones and gardens make fine prose " +
       "for a curation pipeline to keep",
       s"markup must be stripped on the curated text: ${corpus(1L)}")
+  }
+
+  test("frontier ingest: crawled/scheduled probes, per-batch schedule, ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-frontier")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS frontier_led")
+    spark.sql("DROP TABLE IF EXISTS frontier_crawled")
+    // the crawled-url index (as crawlIngest would maintain): /a is fetched
+    Seq(("http://d.com/a", 1L))
+      .toDF("u", "doc_id")
+      .select(org.apache.spark.sql.functions.xxhash64(
+        Web.canonicalUrl(col("u"))).as("url_hash"), col("doc_id"))
+      .write.format("parquet").bucketBy(4, "url_hash").sortBy("url_hash")
+      .saveAsTable("frontier_crawled")
+    val delays = Seq(("d.com", 2L)).toDF("reg_domain", "crawl_delay_sec")
+      .localCheckpoint()
+
+    val input = MemoryStream[(String, String)]
+    val q = WebStream.frontierIngest(input.toDF().toDF("loc", "lastmod"),
+      spark, "frontier_crawled", "frontier_led", delays, out, ckpt,
+      numBuckets = 4)
+    try {
+      // batch 0: a crawled url (dropped), a fresh pair where the OLDER
+      // spelling of /b must lose in-batch, and another fresh url
+      input.addData(
+        ("http://d.com/a", "2026-02-09"),              // already crawled
+        ("HTTP://WWW.d.com/b?utm_source=x", "2026-01-01"), // older dup of /b
+        ("http://d.com/b", "2026-02-05"),
+        ("http://d.com/c", "2026-02-01"))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(out)
+        .select("canon_loc", "slot", "fetch_offset_sec")
+        .as[(String, Long, Long)].collect().toSet
+      assert(b0 == Set(("http://d.com/b", 0L, 0L),    // freshest first
+        ("http://d.com/c", 1L, 2L)), b0.toString)      // 1 × 2 s delay
+
+      // batch 1: /b re-discovered (already scheduled → dropped), /d new,
+      // and an e.org url exercising the delay DEFAULT (no delays row)
+      input.addData(
+        ("http://d.com/b", "2026-02-07"),
+        ("http://d.com/d", "2026-02-06"),
+        ("http://e.org/x", "2026-02-06"))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+        .select("canon_loc", "slot", "fetch_offset_sec", "ingest_batch")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(all == Set(
+        ("http://d.com/b", 0L, 0L, 0L),
+        ("http://d.com/c", 1L, 2L, 0L),
+        ("http://d.com/d", 0L, 0L, 1L),   // batch-local politeness window
+        ("http://e.org/x", 0L, 0L, 1L)), all.toString)
+      spark.catalog.refreshTable("frontier_led")
+      val led = spark.table("frontier_led").count()
+      assert(led == 4L, s"one ledger row per scheduled url: $led")
+    } finally q.stop()
   }
 }
