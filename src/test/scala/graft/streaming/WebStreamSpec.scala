@@ -216,4 +216,51 @@ class WebStreamSpec extends AnyFunSuite {
       assert(led == 4L, s"one ledger row per scheduled url: $led")
     } finally q.stop()
   }
+
+  test("frontier ingest: restart from checkpoint keeps the ledger authoritative") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-frontier-restart")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS frestart_led")
+    spark.sql("DROP TABLE IF EXISTS frestart_crawled")
+    val delays = Seq(("d.com", 1L)).toDF("reg_domain", "crawl_delay_sec")
+      .localCheckpoint()
+
+    val input = MemoryStream[(String, String)]
+    // bootstrap: neither the crawled index nor the ledger exists yet
+    val q1 = WebStream.frontierIngest(input.toDF().toDF("loc", "lastmod"),
+      spark, "frestart_crawled", "frestart_led", delays, out, ckpt,
+      numBuckets = 4)
+    try {
+      input.addData(("http://d.com/a", "2026-02-01"),
+        ("http://d.com/b", "2026-02-02"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart with a different numBuckets: appends follow the table's spec
+    val q2 = WebStream.frontierIngest(input.toDF().toDF("loc", "lastmod"),
+      spark, "frestart_crawled", "frestart_led", delays, out, ckpt,
+      numBuckets = 8)
+    try {
+      // /a re-discovered under another spelling (same scheme — the
+      // canonicalizer is scheme-preserving by design): the restarted
+      // query must still see batch 0's ledger; /c is genuinely new
+      input.addData(("HTTP://WWW.d.com/a?utm_source=x", "2026-02-09"),
+        ("http://d.com/c", "2026-02-03"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val locs = spark.read.parquet(out).select("canon_loc")
+      .as[String].collect().toSeq.sorted
+    assert(locs == Seq("http://d.com/a", "http://d.com/b", "http://d.com/c"),
+      s"no re-emits, re-discovery of /a dropped: $locs")
+    spark.catalog.refreshTable("frestart_led")
+    assert(spark.table("frestart_led").count() == 3L,
+      "one ledger row per scheduled url across the restart")
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("frestart_led"))
+      .bucketSpec.exists(_.numBuckets == 4))
+  }
 }
