@@ -3185,6 +3185,48 @@ object Multimodal {
         col("kf.frame_idx").as("frame_idx"), col("kf.ahash").as("ahash"))
   }
 
+  /** Static-content video gate — the screen-recording / still-slide
+    * detector: a "video" whose sampled frames never change carries one
+    * image's worth of training signal at a video's storage cost, and
+    * multimodal curation drops or re-types it. Per video: sampled frame
+    * count, scene-cut count (the [[videoSignatures]] L1 rule), and
+    * `static_ppm` = the fraction of consecutive sampled-frame pairs
+    * WITHOUT a cut, in exact ppm; `keep` = static_ppm ≤ maxStaticPpm.
+    * Videos with a single sampled frame are excluded (nothing to say).
+    *
+    * Scale: the decode is the [[videoSampleFrames]] narrow pass; one
+    * doc-partitioned lag + one hash aggregate — no signature join, no
+    * pair work. */
+  def videoStaticReport(media: DataFrame, step: Int = 2,
+      cutThreshold: Long = 1L, maxStaticPpm: Long = 750000L): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoSampleFrames(media, step)
+      .withColumn("prev", lag(col("px"), 1).over(w))
+      .withColumn("is_cut", when(col("prev").isNull, lit(0)).otherwise(
+        (graft.functions.VectorExpressions.arrayL1(col("px"), col("prev"))
+          >= cutThreshold).cast("int")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut")).cast("long").as("n_cuts"))
+      .filter(col("n_frames") >= 2)
+      .withColumn("static_ppm",
+        expr("(n_frames - 1 - n_cuts) * 1000000 div (n_frames - 1)"))
+      .withColumn("keep", col("static_ppm") <= maxStaticPpm)
+  }
+
+  /** Static gate over the mjpeg fixture with PLANTED still videos: ids
+    * ≡ 0 (mod 5) build their frames from a constant-character text, so
+    * every sampled frame is pixel-identical → static_ppm 10⁶ → dropped;
+    * the rest keep the corpus text whose shifted frame windows cut at
+    * every step. */
+  def qVideoStatic(spark: SparkSession, dir: String): DataFrame = {
+    val twin = graft.sources.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, lit("m" * 24)).otherwise(col("text")))
+    videoStaticReport(mjpegTable(twin))
+      .orderBy("doc_id", "n_frames", "n_cuts", "static_ppm", "keep")
+  }
+
   /** Cross-video near-dup pairs — closes the one modality without a
     * dedup story. Candidate generation is the posting-list discipline:
     * two videos are candidates iff they share an EXACT keyframe hash at

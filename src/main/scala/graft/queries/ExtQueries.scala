@@ -206,6 +206,7 @@ object ExtQueries {
     "mm_audio_neardup_incr" -> Multimodal.qAudioNearDupIncremental _,
     "mm_video_neardup_incr" -> Multimodal.qVideoNearDupIncremental _,
     "mm_video_keyframes"    -> Multimodal.qVideoKeyframes _,
+    "mm_video_static"       -> Multimodal.qVideoStatic _,
     "mm_video_neardup"      -> Multimodal.qVideoNearDup _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
@@ -4740,6 +4741,28 @@ object ExtQueries {
     // Mirrors Multimodal.qVideoKeyframes: scene id = running cut count
     // (cuts as in mm_video_scenes; the first sampled frame opens scene
     // 0), keyframe = each scene's first sampled frame.
+    // Multimodal.qVideoStatic: same cut-structure CTE as
+    // mm_video_keyframes over the PLANTED twin (ids ≡ 0 mod 5 build
+    // frames from a constant text → zero cuts → static_ppm 10⁶ →
+    // dropped); 5 sampled frames per video, 4 consecutive pairs.
+    "mm_video_static" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN repeat('m', 24) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 1
+        |    AND length(CASE WHEN doc_id % 5 = 0 THEN repeat('m', 24) ELSE text END) >= 24),
+        |c AS (SELECT doc_id, fi, CAST(sum(abs(
+        |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS cut
+        |  FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi FROM v),
+        |       (SELECT unnest(generate_series(0, 23)) AS i)
+        |  GROUP BY doc_id, fi),
+        |a AS (SELECT doc_id, CAST(sum(cut) AS BIGINT) AS n_cuts FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(5 AS BIGINT) AS n_frames, n_cuts,
+        |  (4 - n_cuts) * 1000000 // 4 AS static_ppm,
+        |  ((4 - n_cuts) * 1000000 // 4) <= 750000 AS keep
+        |FROM a
+        |ORDER BY doc_id, n_frames, n_cuts, static_ppm, keep""".stripMargin,
+
     "mm_video_keyframes" ->
       """WITH v AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 3 = 1 AND length(text) >= 24),

@@ -192,4 +192,21 @@ class VideoSpec extends AnyFunSuite {
     assert(incr == batchCross)
     assert(incr.forall { case (b, c, _) => b % 5 == 0 && c % 5 != 0 })
   }
+
+  test("videoStaticReport: still-slide videos flagged, real cuts keep") {
+    // constant text → every sampled frame identical → static_ppm 10⁶;
+    // the varied doc's shifted frame windows differ at every step
+    val docs = Seq(
+      (1L, "m" * 24),
+      (4L, "abcdefghijklmnopqrstuvwx"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.videoStaticReport(Multimodal.mjpegTable(docs))
+      .select("doc_id", "n_cuts", "static_ppm", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0L, 1000000L, false)), got(1L).toString)
+    // sampled-frame shifts are {0,0,5,10,10}: frames 0/2 and 6/8 are
+    // byte-identical by construction → exactly 2 of 4 pairs cut
+    assert(got(4L) == ((2L, 500000L, true)), got(4L).toString)
+  }
 }
