@@ -373,6 +373,31 @@ object Web {
       .agg(count(lit(1)).as("n_fetches"), max(col("doc_id")).as("kept_doc"))
       .orderBy("canon_url")
 
+  /** Crawl-REFRESH report: per canonical URL, how many fetches the
+    * corpus holds and how many DISTINCT content versions — the signal a
+    * re-crawl scheduler feeds on (a URL whose content changes between
+    * fetches deserves a shorter revisit interval; byte-identical
+    * re-fetches deserve a longer one). `changed` = more than one
+    * content digest. One hash aggregate at url grain, content compared
+    * by md5 — the corpus text never moves, only 16-byte digests do. */
+  def urlRefreshReport(docs: DataFrame, url: Column, text: Column): DataFrame =
+    docs.groupBy(canonicalUrl(url).as("canon_url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        count_distinct(md5(text)).as("n_versions"))
+      .withColumn("changed", col("n_versions") > 1)
+
+  /** Refresh report over the synth corpus: canonical collisions (ids
+    * sharing domain/path/query residues) carry DIFFERENT texts, so the
+    * colliding URLs come back changed=true — the oracle re-derives the
+    * same groups through the canonicalization CTE. */
+  def qUrlRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        synthUrl(col("doc_id"), col("source"), col("lang")).as("url"))
+    urlRefreshReport(d, col("url"), col("text"))
+      .orderBy("canon_url", "n_fetches", "n_versions", "changed")
+  }
+
   /** Robots gate over the synth URL corpus: parse the fixture policies,
     * evaluate longest-match semantics per URL. Output per doc: the
     * matched rule and the verdict, so the hash compare checks parse +

@@ -168,6 +168,7 @@ object ExtQueries {
     "web_sitemap_urls"      -> Web.qSitemapUrls _,
     "web_sitemap_frontier"  -> Web.qSitemapFrontier _,
     "web_fetch_schedule"    -> Web.qFetchSchedule _,
+    "web_url_refresh"       -> Web.qUrlRefresh _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -3945,6 +3946,50 @@ object ExtQueries {
         |    ('graftbot', 'example.com', CAST(5 AS BIGINT)))
         |  v(agent, reg_domain, crawl_delay_sec)
         |ORDER BY agent, reg_domain, crawl_delay_sec""".stripMargin,
+
+    // Web.qUrlRefresh: canonical groups re-derived through the full
+    // canonicalization CTE; colliding ids carry different corpus texts,
+    // so n_versions and `changed` certify the content-digest rollup.
+    "web_url_refresh" ->
+      """WITH u AS (SELECT doc_id, text,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '://[^:/?#]*(:[0-9]+)', 1) AS port0,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |c AS (SELECT doc_id, text,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN (scheme = 'http' AND port0 = ':80') OR (scheme = 'https' AND port0 = ':443')
+        |          THEN '' ELSE port0 END) ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(list_filter(string_split(q, '&'), x -> x <> ''
+        |        AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |                 OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) = 0
+        |      THEN ''
+        |      ELSE '?' || array_to_string(list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+        |        AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |                 OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))), '&') END) AS canon_url
+        |  FROM p)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_versions,
+        |  (count(DISTINCT md5(text)) > 1) AS changed
+        |FROM c GROUP BY canon_url
+        |ORDER BY canon_url, n_fetches, n_versions, changed""".stripMargin,
 
     // Web.qSitemapUrls: hand table — the Sitemap: directive is file-wide
     // (top-of-file, mid-group and CRLF spellings must all surface;

@@ -178,6 +178,22 @@ class WebSpec extends AnyFunSuite {
     assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
   }
 
+  test("urlRefreshReport: spelling variants group; content change flags") {
+    val docs = Seq(
+      (1L, "http://d.com/a?id=1", "version one"),
+      (2L, "HTTP://WWW.d.com/a?id=1&utm_source=x", "version two"), // changed
+      (3L, "http://d.com/b", "same"),
+      (4L, "http://d.com/b?gclid=z", "same"),                      // re-fetch
+      (5L, "http://d.com/c", "single")
+    ).toDF("doc_id", "url", "text")
+    val got = Web.urlRefreshReport(docs, col("url"), col("text"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("http://d.com/a?id=1") == ((2L, 2L, true)))
+    assert(got("http://d.com/b") == ((2L, 1L, false)))
+    assert(got("http://d.com/c") == ((1L, 1L, false)))
+  }
+
   test("sitemaps: directive is file-wide; entries parse with optional lastmod") {
     val txt = "Sitemap: https://d.com/a.xml\n" +
       "User-agent: *\nDisallow: /x\nSitemap: https://d.com/b.xml\r\n" +
