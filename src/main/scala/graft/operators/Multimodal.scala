@@ -3189,22 +3189,36 @@ object Multimodal {
     * detector: a "video" whose sampled frames never change carries one
     * image's worth of training signal at a video's storage cost, and
     * multimodal curation drops or re-types it. Per video: sampled frame
-    * count, scene-cut count (the [[videoSignatures]] L1 rule), and
-    * `static_ppm` = the fraction of consecutive sampled-frame pairs
-    * WITHOUT a cut, in exact ppm; `keep` = static_ppm ≤ maxStaticPpm.
-    * Videos with a single sampled frame are excluded (nothing to say).
+    * count, scene-cut count, and `static_ppm` = the fraction of
+    * consecutive sampled-frame pairs WITHOUT a cut, in exact ppm;
+    * `keep` = static_ppm ≤ maxStaticPpm. Videos with a single sampled
+    * frame are excluded (nothing to say).
+    *
+    * The cut rule here is a PER-PIXEL-MEAN threshold, not the exact-L1
+    * rule the fixture-grain operators ([[videoSceneCuts]],
+    * [[videoSignatures]]) use: on real camera/transcode footage every
+    * re-encoded frame pair shows nonzero pixel diffs (sensor noise,
+    * quantization jitter), so an absolute threshold would read every
+    * noisy still-slide video as all-cuts and wave it through. A pair
+    * cuts iff `L1(px, prev) · 1000 ≥ cutMeanMilli · |px|` — mean
+    * absolute channel-value change in exact milli-units by integer
+    * cross-multiplication (no float division). The default 2000 (mean
+    * |Δ| ≥ 2.0) sits above the ±1-per-value jitter floor (mean ≤ 1.0)
+    * and far below genuine content change (tens per value).
     *
     * Scale: the decode is the [[videoSampleFrames]] narrow pass; one
     * doc-partitioned lag + one hash aggregate — no signature join, no
     * pair work. */
   def videoStaticReport(media: DataFrame, step: Int = 2,
-      cutThreshold: Long = 1L, maxStaticPpm: Long = 750000L): DataFrame = {
+      cutMeanMilli: Long = 2000L, maxStaticPpm: Long = 750000L): DataFrame = {
+    require(cutMeanMilli >= 1, s"cutMeanMilli must be >= 1, got $cutMeanMilli")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     videoSampleFrames(media, step)
       .withColumn("prev", lag(col("px"), 1).over(w))
       .withColumn("is_cut", when(col("prev").isNull, lit(0)).otherwise(
         (graft.functions.VectorExpressions.arrayL1(col("px"), col("prev"))
-          >= cutThreshold).cast("int")))
+          * 1000L >= lit(cutMeanMilli) * size(col("px")).cast("long"))
+          .cast("int")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(col("is_cut")).cast("long").as("n_cuts"))
@@ -3218,7 +3232,9 @@ object Multimodal {
     * ≡ 0 (mod 5) build their frames from a constant-character text, so
     * every sampled frame is pixel-identical → static_ppm 10⁶ → dropped;
     * the rest keep the corpus text whose shifted frame windows cut at
-    * every step. */
+    * every step. The oracle mirrors the per-pixel-mean rule as byte
+    * arithmetic: each text byte fills 64 pixels × 3 channels, so
+    * mean |Δ| ≥ 2.0/value ⟺ Σ per-block byte diffs ≥ 48. */
   def qVideoStatic(spark: SparkSession, dir: String): DataFrame = {
     val twin = graft.sources.Tables.documents(spark, dir)
       .withColumn("text",

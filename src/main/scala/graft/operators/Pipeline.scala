@@ -548,9 +548,17 @@ object Pipeline {
     *      multi-record `.warc.gz` file, parsed inside its task
     *      ([[graft.sources.Warc.parseAll]]);
     *   2. HTTP fetch gate: the record body is the HTTP response
-    *      message — keep status 200 AND mime text/html;
+    *      message — keep status 200 AND mime text/html; the payload
+    *      decodes with the charset the response DECLARES (the gate
+    *      admits ISO-8859-1 pages — decoding those as UTF-8 is
+    *      self-inflicted mojibake), falling back to UTF-8 when the
+    *      charset is absent or unknown to the JVM;
     *   3. URL stage: canonicalize, robots-gate against the parsed rule
-    *      table (broadcast), first-fetch-wins per canonical URL;
+    *      table (broadcast), first-fetch-wins per canonical URL —
+    *      "first" is temporal: earliest `WARC-Date` (ISO 8601 is
+    *      fixed-width UTC, so STRING order is time order; no date
+    *      parse), doc_id as the deterministic tiebreaker; undated
+    *      records (absent header) sort before dated ones;
     *   4. the [[curate]] funnel with main-content extraction + line
     *      corrections on by default — quality gate, exact + near dedup,
     *      cluster-stable split.
@@ -562,27 +570,38 @@ object Pipeline {
     * Scale: blobs decode once per file-task (narrow), the rule table
     * broadcasts, URL dedup is one hash-keyed window, and everything
     * downstream is the audited curate plan. */
-  def crawlPrepare(warcBlobs: DataFrame, robotsRules: DataFrame,
-      cfg: Config = Config(extractMainContent = true,
-        lineCorrections = true)): DataFrame = {
+  /** Stages 1–2 of [[crawlPrepare]]: WARC fan-out + HTTP fetch gate +
+    * declared-charset decode. Exposed so the decode contract is
+    * testable on its own — returns one row per KEPT fetch:
+    * `(rec_id, url, warc_date, text, doc_id)`. */
+  def crawlPages(warcBlobs: DataFrame): DataFrame = {
     val spark = warcBlobs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.sources.Warc
-    val pages = warcBlobs.select(col("blob")).as[Array[Byte]]
+    warcBlobs.select(col("blob")).as[Array[Byte]]
       .flatMap { blob =>
         Warc.parseAll(Warc.gunzipAll(blob)).flatMap { r =>
           val resp = Warc.parseHttpResponse(r.body)
-          val (mime, _) = Warc.contentType(resp.headers)
-          if (resp.status == 200 && mime == "text/html")
+          val (mime, charset) = Warc.contentType(resp.headers)
+          if (resp.status == 200 && mime == "text/html") {
+            val cs = scala.util.Try(java.nio.charset.Charset.forName(charset))
+              .filter(_ => charset.nonEmpty)
+              .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
             Some((r.header("WARC-Record-ID"), r.header("WARC-Target-URI"),
-              new String(resp.payload,
-                java.nio.charset.StandardCharsets.UTF_8)))
-          else None
+              r.headers.getOrElse("WARC-Date", ""),
+              new String(resp.payload, cs)))
+          } else None
         }
       }
-      .toDF("rec_id", "url", "text")
+      .toDF("rec_id", "url", "warc_date", "text")
       .withColumn("doc_id", xxhash64(col("rec_id")))
+  }
+
+  def crawlPrepare(warcBlobs: DataFrame, robotsRules: DataFrame,
+      cfg: Config = Config(extractMainContent = true,
+        lineCorrections = true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = crawlPages(warcBlobs)
     val canon = pages
       .withColumn("canon_url", Web.canonicalUrl(col("url")))
       .withColumn("reg_domain", Web.registeredDomain(col("url")))
@@ -590,9 +609,10 @@ object Pipeline {
     val allowed = Web.robotsGate(canon, robotsRules)
       .filter(col("allowed")).drop("rule", "allowed", "pathq")
     val byUrl = Window.partitionBy("canon_url")
+      .orderBy(col("warc_date"), col("doc_id"))
     val unique = allowed
-      .withColumn("graft_keeper", min(col("doc_id")).over(byUrl))
-      .filter(col("doc_id") === col("graft_keeper"))
+      .withColumn("graft_rk", row_number().over(byUrl))
+      .filter(col("graft_rk") === 1)
     val docs = unique.select(col("doc_id"), lit("und").as("lang"),
       col("reg_domain").as("source"), col("text"),
       length(col("text")).cast("long").as("n_chars"))

@@ -237,10 +237,14 @@ object Scrub {
     *              n_alnum·100 ≥ minAlnumPct·vis_len (kills separator
     *     art and symbol rows);
     *   - good  := clean AND vis_len ≥ minLen — a content block;
-    *   - keep  := good OR (clean AND a NEIGHBORING block is good) — the
-    *     short-block rescue that keeps captions and bylines attached to
-    *     the article run while an isolated short block (a lone footer
-    *     line) still drops.
+    *   - keep  := good OR (clean AND vis_len < minLen AND a NEIGHBORING
+    *     block is good) — the SHORT-block rescue that keeps captions and
+    *     bylines attached to the article run while an isolated short
+    *     block (a lone footer line) still drops. Length-qualified
+    *     blocks never ride adjacency: a block long enough to stand on
+    *     its own must pass every `good` rule (including the optional
+    *     stopword-density rule below), so a long stopword-free
+    *     boilerplate wall next to the article cannot bypass the gate.
     *
     * All thresholds are integer percentages compared cross-multiplied —
     * no float division, bit-identical on every engine.
@@ -257,9 +261,19 @@ object Scrub {
         "have", "with", "a", "in")): DataFrame = {
     require(minLen >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100 &&
       minAlnumPct >= 0 && minAlnumPct <= 100 && minStopPpm >= 0)
-    val blocked = regexp_replace(stripHidden(html), BlockTagRe, "\n")
+    // Raw newlines in crawled HTML are FORMATTING, not structure:
+    // pretty-printed pages hard-wrap inside blocks (an <a>…</a> split
+    // across source lines must keep its link mass in one block) and
+    // CRLF input would leave \r in block text (trim() strips spaces
+    // only). So newline runs normalize to one space BEFORE block
+    // segmentation, and the block marker is the out-of-band \\u0000
+    // (the sentenceChunks discipline) — never a character the page's
+    // own text layout produces.
+    val blocked = regexp_replace(
+      regexp_replace(stripHidden(html), "[\\r\\n]+", " "),
+      BlockTagRe, "\u0000")
     val rows = docs
-      .select(col("doc_id"), posexplode(split(blocked, "\n")).as(Seq("pos", "block")))
+      .select(col("doc_id"), posexplode(split(blocked, "\u0000")).as(Seq("pos", "block")))
     val vis = visibleText(col("block"))
     val anchorVis = transform(
       regexp_extract_all(col("block"), lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
@@ -291,7 +305,7 @@ object Scrub {
       .withColumn("clean", clean)
       .withColumn("good", clean && col("vis_len") >= minLen && stopOk)
       .withColumn("keep", col("good") ||
-        (col("clean") &&
+        (col("clean") && col("vis_len") < minLen &&
           (coalesce(lag(col("good"), 1).over(byDoc), lit(false)) ||
             coalesce(lead(col("good"), 1).over(byDoc), lit(false)))))
       .drop("clean")

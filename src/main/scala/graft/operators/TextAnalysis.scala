@@ -1029,11 +1029,19 @@ object TextAnalysis {
     // running sums in parallel, O(partitions) token offsets broadcast
     // back) keeps it distributed and bit-identical: the global prefix
     // sum is invariant to where the sampled range boundaries fall.
+    // width follows the cluster (defaultParallelism, the Clusters
+    // PageRank precedent) — at 100 TB a lumpy score distribution can
+    // park a corpus-scale fraction in this bin, and a pinned constant
+    // would cap the rank's parallelism no matter the executor count;
+    // the result is partition-count-invariant (the offsets compose),
+    // so the width is pure physics, never semantics
+    val edgeParts = math.max(1,
+      docs.sparkSession.sparkContext.defaultParallelism)
     val edge = z
       .filter(col("qi") === coalesce(col("q_edge"), lit(Long.MinValue)))
       .withColumn("draw",
         graft.operators.Sampling.hash16("budget", col("doc_id")))
-      .repartitionByRange(32, col("draw"), col("doc_id"))
+      .repartitionByRange(edgeParts, col("draw"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val cumOff = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -200,19 +200,28 @@ object Web {
   /** Per-domain `Crawl-delay` of the SELECTED group (same §2.2.1
     * token-over-star selection as [[parseRobots]]) — the de-facto
     * politeness directive (not in RFC 9309, honored by most engines).
-    * Non-numeric values are ignored; several delays in the selected
-    * groups resolve to the MAX (the conservative read — when a file
-    * says both, waiting longer violates neither). Output
+    * Fractional values (`Crawl-delay: 0.5` is common in the wild) are
+    * accepted and CEILED to a whole second — dropping them would fall
+    * back to the caller default, which can be a SHORTER cadence than
+    * the site asked for, while waiting the ceiling violates nothing.
+    * The ceiling is string-derived (integer part + 1 when any nonzero
+    * fractional digit exists), never float math, so the oracle twin is
+    * exact. Non-numeric values are ignored; several delays in the
+    * selected groups resolve to the MAX (the conservative read — when
+    * a file says both, waiting longer violates neither). Output
     * `(reg_domain, crawl_delay_sec)`, domains with no directive absent
     * — the caller applies its own default cadence. O(domains) out. */
   def crawlDelays(robots: DataFrame, agent: String = "*"): DataFrame = {
     val (tagged, selected) = robotsGroups(robots, agent)
+    val ceilSecs =
+      regexp_extract(col("value"), "^([0-9]+)", 1).cast("long") +
+        when(col("value").rlike("\\.[0-9]*[1-9]"), 1L).otherwise(0L)
     tagged
       .filter(col("key") === "crawl-delay" &&
-        col("value").rlike("^[0-9]+$"))
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(selected, Seq("reg_domain", "gid"))
       .groupBy("reg_domain")
-      .agg(max(col("value").cast("long")).as("crawl_delay_sec"))
+      .agg(max(ceilSecs).as("crawl_delay_sec"))
   }
 
   /** Apply a parsed rule table to a URL frame carrying `doc_id`,
@@ -279,7 +288,8 @@ object Web {
         "Disallow: /es/page/2?id=\r\n" +
         "Disallow: /zh/page/3\r\n" +
         "Allow: /zh/page/33\r\n" +
-        "Crawl-delay: 1\r\n" +
+        "Crawl-delay: 0.5\r\n" +     // fractional: ceiled to 1 whole sec
+
         // mid-file, inside a group, CRLF: still file-wide per the
         // sitemaps.org protocol — group selection must not hide it
         "Sitemap: https://www.data.co.uk/sm/index.xml\r\n"),

@@ -4786,10 +4786,14 @@ object ExtQueries {
     // Mirrors Multimodal.qVideoKeyframes: scene id = running cut count
     // (cuts as in mm_video_scenes; the first sampled frame opens scene
     // 0), keyframe = each scene's first sampled frame.
-    // Multimodal.qVideoStatic: same cut-structure CTE as
-    // mm_video_keyframes over the PLANTED twin (ids ≡ 0 mod 5 build
-    // frames from a constant text → zero cuts → static_ppm 10⁶ →
-    // dropped); 5 sampled frames per video, 4 consecutive pairs.
+    // Multimodal.qVideoStatic: cut-structure CTE as mm_video_keyframes
+    // over the PLANTED twin (ids ≡ 0 mod 5 build frames from a constant
+    // text → zero cuts → static_ppm 10⁶ → dropped); 5 sampled frames
+    // per video, 4 consecutive pairs. The cut rule is the PER-PIXEL-
+    // MEAN threshold (noise-tolerant, cutMeanMilli = 2000): each text
+    // byte fills 64 px × 3 channels, so L1·1000 ≥ 2000·4608 ⟺ the
+    // per-block byte-diff sum ≥ 48 — NOT the exact ≥1 rule the scene/
+    // keyframe operators use.
     "mm_video_static" ->
       """WITH v AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0 THEN repeat('m', 24) ELSE text END AS text
@@ -4797,7 +4801,7 @@ object ExtQueries {
         |    AND length(CASE WHEN doc_id % 5 = 0 THEN repeat('m', 24) ELSE text END) >= 24),
         |c AS (SELECT doc_id, fi, CAST(sum(abs(
         |    ord(substr(text, ((i + 5 * (fi // 3)) % 24) + 1, 1)) -
-        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 1 AS INT) AS cut
+        |    ord(substr(text, ((i + 5 * ((fi - 2) // 3)) % 24) + 1, 1)))) >= 48 AS INT) AS cut
         |  FROM (SELECT doc_id, text, unnest([2, 4, 6, 8]) AS fi FROM v),
         |       (SELECT unnest(generate_series(0, 23)) AS i)
         |  GROUP BY doc_id, fi),

@@ -50,13 +50,17 @@ object Warc {
   private val Crlf  = "\r\n".getBytes(US_ASCII)
 
   /** Encode one response record. Header order is fixed so encoding is
-    * byte-deterministic. */
-  def writeRecord(recordId: String, targetUri: String, body: Array[Byte]): Array[Byte] = {
+    * byte-deterministic. `date` is the fetch instant (`WARC-Date`,
+    * ISO 8601 — mandatory in real WARC files; optional here so legacy
+    * fixtures stay byte-identical, emitted only when non-empty). */
+  def writeRecord(recordId: String, targetUri: String, body: Array[Byte],
+      date: String = ""): Array[Byte] = {
     val h = new StringBuilder
     h ++= "WARC/1.0\r\n"
     h ++= s"WARC-Type: response\r\n"
     h ++= s"WARC-Record-ID: $recordId\r\n"
     h ++= s"WARC-Target-URI: $targetUri\r\n"
+    if (date.nonEmpty) h ++= s"WARC-Date: $date\r\n"
     h ++= s"Content-Length: ${body.length}\r\n"
     h ++= "\r\n"
     val out = new ByteArrayOutputStream(h.length + body.length + 4)

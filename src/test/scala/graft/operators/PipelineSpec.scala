@@ -214,8 +214,22 @@ class PipelineSpec extends AnyFunSuite {
       "<p>3k views</p>"                       // line residue inside content
     val boilerOnly = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
       "<a href=\"/c\">Contact</a> <a href=\"/d\">Deals</a></nav>"
+    val article3 = "<p>café tables by the river carry fine prose " +
+      "about décor and menus so the declared latin-1 charset must " +
+      "decode before any text stage reads it</p>"
     def httpOk(body: String) = Warc.writeHttpResponse(200, "OK",
       Seq("Content-Type" -> "text/html; charset=utf-8"), body.getBytes("UTF-8"))
+    def h(r: String): Long = Seq(Tuple1(r)).toDF("x")
+      .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+      .collect().head.getLong(0)
+    // first-fetch-wins is TEMPORAL: give the larger-hash record of the
+    // /story pair the EARLIER WARC-Date, so keeping it proves date
+    // order beats the old min-doc_id rule no matter how the ids hash
+    val (earlyId, lateId) =
+      if (h("<urn:g:1>") > h("<urn:g:2>")) ("<urn:g:1>", "<urn:g:2>")
+      else ("<urn:g:2>", "<urn:g:1>")
+    val dates = Map(
+      earlyId -> "2026-01-02T08:00:00Z", lateId -> "2026-01-05T08:00:00Z")
     val recs = Seq(
       // keeper 1 + a tracking-param re-fetch that URL-dedup must drop
       ("<urn:g:1>", "http://d.com/story", httpOk(article1)),
@@ -230,9 +244,14 @@ class PipelineSpec extends AnyFunSuite {
       ("<urn:g:6>", "http://d.com/doc.pdf", Warc.writeHttpResponse(200, "OK",
         Seq("Content-Type" -> "application/pdf"), "%PDF".getBytes("UTF-8"))),
       // boilerplate-only page: extraction empties it, quality gate drops
-      ("<urn:g:7>", "http://d.com/navsoup", httpOk(boilerOnly)))
+      ("<urn:g:7>", "http://d.com/navsoup", httpOk(boilerOnly)),
+      // declared ISO-8859-1 page: bytes are latin-1, NOT valid UTF-8
+      ("<urn:g:8>", "http://d.com/latin", Warc.writeHttpResponse(200, "OK",
+        Seq("Content-Type" -> "text/html; charset=ISO-8859-1"),
+        article3.getBytes("ISO-8859-1"))))
     val blob = recs.map { case (id, uri, body) =>
-      Warc.gzipMember(Warc.writeRecord(id, uri, body)) }.reduce(_ ++ _)
+      Warc.gzipMember(Warc.writeRecord(id, uri, body,
+        dates.getOrElse(id, ""))) }.reduce(_ ++ _)
     val blobs = Seq(Tuple1(blob)).toDF("blob")
     val rules = Web.parseRobots(Seq(
       ("d.com", "User-agent: *\nDisallow: /private/\n"))
@@ -243,15 +262,26 @@ class PipelineSpec extends AnyFunSuite {
         minQuality = 0.1))
     val rows = out.collect()
     val ids = rows.map(_.getAs[Long]("doc_id")).toSet
-    def h(r: String): Long = Seq(Tuple1(r)).toDF("x")
-      .select(org.apache.spark.sql.functions.xxhash64(col("x")))
-      .collect().head.getLong(0)
-    // the /story re-fetch pair keeps its MIN-doc_id representative
-    // (deterministic, not arrival order — ids are record-id hashes)
-    val expect = Set(math.min(h("<urn:g:1>"), h("<urn:g:2>")), h("<urn:g:3>"))
+    // the /story re-fetch pair keeps its EARLIEST-WARC-Date fetch —
+    // by construction the one whose doc_id the old arbitrary
+    // min(doc_id) rule would have dropped
+    val expect = Set(h(earlyId), h("<urn:g:3>"), h("<urn:g:8>"))
     assert(ids == expect,
-      s"exactly the two articles survive every gate: $ids vs $expect")
+      s"the three articles survive, /story keeps the first fetch: $ids vs $expect")
     assert(rows.map(_.getAs[String]("source")).toSet == Set("d.com"))
     assert(rows.map(_.getAs[String]("split")).forall(Set("train", "test")))
+    // the latin-1 payload decoded via its DECLARED charset: accented
+    // prose intact, no mojibake (asserted at the decode stage — curate
+    // output carries no text column)
+    val pages = Pipeline.crawlPages(blobs).collect()
+    val ltext = pages.find(_.getAs[Long]("doc_id") == h("<urn:g:8>"))
+      .get.getAs[String]("text")
+    assert(ltext.contains("café") && ltext.contains("décor"),
+      s"declared-charset decode: $ltext")
+    assert(!ltext.contains("�") && !ltext.contains("cafÃ"),
+      s"no replacement chars or double-decode: $ltext")
+    // and the WARC-Date header rides through the decode stage
+    assert(pages.find(_.getAs[Long]("doc_id") == h(earlyId))
+      .get.getAs[String]("warc_date") == "2026-01-02T08:00:00Z")
   }
 }

@@ -294,19 +294,46 @@ class ScrubSpec extends AnyFunSuite {
     val off = Scrub.mainContent(df, col("text")).collect().head
     assert(off.getAs[Long]("n_kept") == 2L)
     // jusText mode: prose clears 100000 ppm easily, the legal wall
-    // carries zero function words → dropped (and NOT rescued: rescue
-    // needs `clean`, which it is — but rescue only fires for SHORT…
-    // it fires here too, adjacency keeps captions; so assert via a
-    // page where the legal wall stands alone)
+    // carries zero function words → dropped EVEN adjacent to the
+    // content block — the rescue is restricted to sub-minLen blocks,
+    // so a length-qualified wall cannot ride adjacency past the
+    // stopword gate
+    val proseOn = Scrub.mainContent(df, col("text"), minStopPpm = 100000)
+      .collect().head
+    assert(proseOn.getAs[Long]("n_kept") == 1L,
+      "adjacent stopword-free wall must not ride the short-block rescue")
+    assert(proseOn.getAs[String]("main_text") == prose,
+      "prose survives the stopword rule; the wall drops")
+    // and standing alone it drops just the same
     val alone = Seq((2L, "<p>" + legal + "</p>")).toDF("doc_id", "text")
     val on = Scrub.mainContent(alone, col("text"), minStopPpm = 100000)
       .collect().head
     assert(on.getAs[Long]("n_kept") == 0L,
       "stopword-free boilerplate must not be a content block")
-    val proseOn = Scrub.mainContent(df, col("text"), minStopPpm = 100000)
-      .collect().head
-    assert(proseOn.getAs[String]("main_text").startsWith(prose),
-      "prose survives the stopword rule")
+  }
+
+  test("mainContent: pretty-printed and CRLF HTML — newlines are " +
+    "formatting, not block structure") {
+    val article = "This paragraph is long enough to be a genuine " +
+      "content block of prose for the extractor."
+    // hard-wrapped page: the nav's <a>…</a> spans source lines, so an
+    // in-band-newline split would fragment it and lose the link mass
+    // (each fragment a short clean line riding the rescue); with
+    // newline normalization the nav stays ONE block and drops on link
+    // density, and the wrapped article re-joins into one block
+    val wrapped =
+      "<nav>\n  <a href=\"/\">Home</a>\n  <a\n    href=\"/a\">About</a>\n" +
+        "  <a href=\"/c\">Contact</a>\n</nav>\n<p>\n  " +
+        article.replace("genuine ", "genuine\n  ") + "\n</p>"
+    val (_, kW, tW) = mainOf(wrapped)
+    assert(kW == 1L, s"nav must drop, article must survive whole: $tW")
+    assert(tW == article, "wrapped prose re-joins with single spaces")
+    // CRLF page: no \r may survive into block text (trim strips spaces
+    // only), and the block parse is unchanged vs the LF form
+    val crlf = ("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav>\r\n<p>" + article + "</p>\r\n")
+    val (_, kC, tC) = mainOf(crlf)
+    assert(kC == 1L && tC == article && !tC.contains("\r"))
   }
 
   test("mainContent: anchors crossing block boundaries count zero, " +

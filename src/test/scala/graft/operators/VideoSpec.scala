@@ -209,4 +209,44 @@ class VideoSpec extends AnyFunSuite {
     // byte-identical by construction → exactly 2 of 4 pairs cut
     assert(got(4L) == ((2L, 500000L, true)), got(4L).toString)
   }
+
+  test("videoStaticReport: ±1 re-encode jitter never reads as a cut; " +
+    "a genuine content change still fires through the noise") {
+    def frame(vals: Array[Int]): Array[Byte] =
+      Multimodal.JpegWriter.gray(vals.map(Multimodal.JpegWriter.dcOnly))
+    def pack(frames: Array[Array[Byte]]): (Array[Byte], Array[Int]) = {
+      val offsets = frames.scanLeft(0)(_ + _.length)
+      val payload = new Array[Byte](offsets.last)
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        System.arraycopy(fr, 0, payload, offsets(f), fr.length) }
+      (payload, offsets)
+    }
+    val base = Array.tabulate(24)(i => 100 + (i % 20))
+    // worst-case sensor/transcode noise: consecutive SAMPLED frames
+    // (step 2 → f/2 alternates parity) differ by exactly 1 on EVERY
+    // pixel — mean |Δ| = 1.0/value, under the 2.0 default, no cut;
+    // the old absolute any-nonzero rule read every pair as a cut
+    def jitter(f: Int, i: Int): Int = (f / 2 + i) % 2
+    val still = Array.tabulate(10)(f =>
+      frame(base.zipWithIndex.map { case (v, i) => v + jitter(f, i) }))
+    // same noise, but frames 6+ swap to inverted content: the real
+    // cut (mean |Δ| ≈ 36/value) must fire through the jitter floor
+    val cutAt6 = Array.tabulate(10) { f =>
+      val b = if (f < 6) base else base.map(v => 255 - v)
+      frame(b.zipWithIndex.map { case (v, i) => v + jitter(f, i) })
+    }
+    val (p1, o1) = pack(still)
+    val (p2, o2) = pack(cutAt6)
+    val media = Seq((1L, "video", p1, o1), (2L, "video", p2, o2))
+      .toDF("doc_id", "media_type", "payload", "frame_offsets")
+    val got = Multimodal.videoStaticReport(media)
+      .select("doc_id", "n_cuts", "static_ppm", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0L, 1000000L, false)),
+      s"noisy still video flagged static: ${got(1L)}")
+    // sampled frames 0,2,4,6,8 — only the 4→6 pair crosses the swap
+    assert(got(2L) == ((1L, 750000L, true)),
+      s"one genuine cut through the noise: ${got(2L)}")
+  }
 }

@@ -178,6 +178,20 @@ class WebSpec extends AnyFunSuite {
     assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
   }
 
+  test("crawl-delay: fractional values ceil to whole seconds, never drop") {
+    val df = Seq(
+      ("half.com",  "User-agent: *\nCrawl-delay: 0.5\n"),  // common in the wild
+      ("exact.com", "User-agent: *\nCrawl-delay: 2.0\n"),  // zero frac: no bump
+      ("mix.com",   "User-agent: *\nCrawl-delay: 1.25\n" + // ceil(1.25)=2 loses
+        "User-agent: *\nCrawl-delay: 3\n"),                // to the integer 3
+      ("tiny.com",  "User-agent: *\nCrawl-delay: 0.001\n") // still waits 1s
+    ).toDF("reg_domain", "robots_txt")
+    val got = Web.crawlDelays(df).as[(String, Long)].collect().toMap
+    assert(got == Map("half.com" -> 1L, "exact.com" -> 2L,
+      "mix.com" -> 3L, "tiny.com" -> 1L),
+      s"fractional delays ceiled, max still conservative: $got")
+  }
+
   test("urlRefreshReport: spelling variants group; content change flags") {
     val docs = Seq(
       (1L, "http://d.com/a?id=1", "version one"),
