@@ -598,6 +598,14 @@ object Dedup {
     * the boilerplate index a batch refresh probes. Like
     * [[writeSignatureIndex]], the corpus is never re-scanned or
     * re-shuffled on refresh (zero-exchange corpus side, SinksSpec). */
+  /** The distinct word-k-gram hash set of `docs` — the unit the gram
+    * index stores. Exposed for the retraction path
+    * ([[graft.sources.Sinks.retractDocs]]), which must compute the
+    * retracted docs' gram set before their text is deleted and the
+    * surviving corpus' intersection after. */
+  private[graft] def distinctGrams(docs: DataFrame, k: Int = 8): DataFrame =
+    gramTable(tokenArrays(docs), k).select("g").distinct()
+
   def writeGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
       k: Int = 8): Unit =
     graft.sources.Sinks.writeBucketed(

@@ -598,4 +598,27 @@ object Web {
         col("rule"), col("allowed"))
       .orderBy("doc_id")
   }
+
+  // ---- domain retraction ---------------------------------------------
+
+  /** Retract every document of `domains` from the corpus sink and all
+    * persisted index families — the crawl-side trigger of the delete
+    * path: a robots policy flips to Disallow, a site owner files a
+    * takedown, a domain gate closes. Resolves the doc ids by the
+    * corpus' source column (= registered domain in the crawl layouts,
+    * `Pipeline.crawlPrepare` / `WebStream.crawlIngest`), then delegates
+    * to [[graft.sources.Sinks.retractDocs]] — one id-resolution scan of
+    * the corpus, everything downstream is the audited per-artifact
+    * delete. Returns the per-artifact audit report. */
+  def retractDomains(spark: SparkSession, domains: Seq[String],
+      targets: graft.sources.Sinks.RetractionTargets,
+      domainCol: String = "source"): DataFrame = {
+    require(domains.nonEmpty, "retractDomains: empty domain list")
+    val cp = targets.corpusPath.getOrElse(sys.error(
+      "retractDomains needs targets.corpusPath to resolve doc ids"))
+    val ids = spark.read.parquet(cp)
+      .filter(col(domainCol).isin(domains: _*))
+      .select("doc_id").distinct()
+    graft.sources.Sinks.retractDocs(spark, ids, targets)
+  }
 }

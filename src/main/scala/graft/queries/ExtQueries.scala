@@ -193,6 +193,7 @@ object ExtQueries {
     "events_seasonality"    -> graft.operators.Journeys.qSeasonality _,
     "er_golden"             -> graft.operators.Linkage.qErGolden _,
     "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
+    "storage_retract"       -> graft.sources.Sinks.qRetract _,
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
@@ -4622,6 +4623,24 @@ object ExtQueries {
         |FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
         |ORDER BY o_orderkey, o_custkey, price_cents""".stripMargin,
+
+    // Mirrors Sinks.qRetract: the takedown retracts every doc_id%7==3
+    // row (the planted retract.example domain) from the corpus sink, a
+    // 4-band MinHash signature index and a url-hash index. The oracle
+    // derives removed/remaining per artifact from the branch structure
+    // alone — corpus = 1 row/doc, signature index = 4 band rows/doc,
+    // url index = 1 row/doc — so equality means the physical delete
+    // left exactly the from-scratch-rebuild row mass in every artifact.
+    "storage_retract" ->
+      """WITH n AS (SELECT count(*) AS total,
+        |    sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS gone
+        |  FROM documents)
+        |SELECT artifact,
+        |  CAST(gone * mult AS BIGINT) AS n_removed,
+        |  CAST((total - gone) * mult AS BIGINT) AS n_after
+        |FROM n, (VALUES ('corpus', 1), ('index_sig', 4), ('index_url', 1))
+        |  v(artifact, mult)
+        |ORDER BY artifact, n_removed, n_after""".stripMargin,
 
     // Mirrors TextAnalysis.charEntropy: per-character micro-nat terms
     // rounded before the exact integer sum.

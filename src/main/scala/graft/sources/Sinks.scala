@@ -229,4 +229,361 @@ object Sinks {
     shardManifest(shardAssign(docs, "tokens", nShards = 8), "tokens", "chk")
       .orderBy("shard")
   }
+
+  /** Query-shaped retraction scenario (SparkEntry contract): a corpus
+    * sink + a real MinHash signature index + a url-hash-shaped index
+    * built from the documents table with a PLANTED domain (doc_id%7==3
+    * rows re-sourced to `retract.example`), then
+    * [[graft.operators.Web.retractDomains]] executes the takedown.
+    * Output: one row per artifact with the rows REMOVED and the rows
+    * REMAINING, both counted off the post-retraction artifacts — the
+    * oracle derives the same numbers from the branch structure alone
+    * (corpus = docs, signature index = 4 band rows/doc, url index =
+    * 1 row/doc), so the counts match iff the physical delete equals a
+    * from-scratch rebuild over the surviving docs. */
+  def qRetract(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = sys.props("java.io.tmpdir") + s"/graft-retract-$tag"
+    val corpus = base + "/corpus"
+    val sigT = s"q_retract_sig_$tag"
+    val urlT = s"q_retract_url_$tag"
+    // fresh scenario per run (the query re-runs under Verify AND bench)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Seq(sigT, urlT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("source", when(col("doc_id") % 7 === 3,
+        lit("retract.example")).otherwise(col("source")))
+    docs.withColumn("ingest_batch", col("doc_id") % 4)
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .parquet(corpus)
+    graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8)
+    writeBucketed(docs.select(
+        xxhash64(concat(lit("u"), col("doc_id"))).as("url_hash"),
+        col("doc_id")),
+      urlT, bucketCols = Seq("url_hash"), numBuckets = 8,
+      sortCols = Seq("url_hash"))
+    val report = graft.operators.Web.retractDomains(spark,
+      Seq("retract.example"),
+      RetractionTargets(corpusPath = Some(corpus),
+        indexTables = Seq(sigT -> "doc_id", urlT -> "doc_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // audit: removed counts from the EXECUTED report, remaining counts
+    // recounted off the post-retraction artifacts themselves
+    val afterCorpus = spark.read.parquet(corpus).count()
+    spark.catalog.refreshTable(sigT)
+    spark.catalog.refreshTable(urlT)
+    val afterSig = spark.table(sigT).count()
+    val afterUrl = spark.table(urlT).count()
+    Seq(
+      ("corpus", report(corpus), afterCorpus),
+      ("index_sig", report(sigT), afterSig),
+      ("index_url", report(urlT), afterUrl))
+      .toDF("artifact", "n_removed", "n_after")
+      .orderBy("artifact", "n_removed", "n_after")
+  }
+
+  // ---- corpus retraction --------------------------------------------------
+  //
+  // The DELETE path of the pipeline. Robots policies flip, takedown and
+  // GDPR requests arrive, a domain gate closes — and the corpus must
+  // FORGET those documents, not merely stop emitting new copies: the
+  // sink still serves their text, and seven persisted index families
+  // (url-hash, MinHash signature, gram, PQ-code, audio landmark, video
+  // signature, cluster mapping) still carry content-derived rows that
+  // (a) leak what the content was and (b) keep influencing every future
+  // batch's dedup/span decisions. `retractDocs` executes the physical
+  // delete against every artifact and reconciles the additive df-stats
+  // journals; [[graft.operators.Web.retractDomains]] resolves a domain
+  // list to doc ids first, and
+  // [[graft.operators.Clusters.removableDocs]]' merged-cluster output
+  // feeds the same entry point.
+  //
+  // Journal reconciliation is REWRITE-FROM-INDEX, not tombstone cells:
+  // the journals are additive (cells summed on read), so a tombstone
+  // design would append negative cells — correct sums, but the journal
+  // then grows forever, every reader must handle negatives, and a
+  // replayed tombstone double-subtracts (the append path's batch-id
+  // idempotence trick doesn't apply to a maintenance op with no batch
+  // id). Rewriting the journal from the surviving index is one
+  // O(postings) aggregate — the same cost the index build already paid
+  // — and lands a single consolidated cell set that is exactly the
+  // journal a from-scratch build would have written (proven in
+  // SinksSpec/MediaStreamSpec by probe parity against rebuilt indexes).
+
+  /** Which persisted artifacts a retraction touches. `indexTables` maps
+    * table name → its doc-id column (signature/landmark/video/url-hash
+    * indexes carry `doc_id`, a PQ-code index carries `vec_id`). The
+    * gram index is listed separately because its rows are doc-
+    * UNattributed distinct grams — see [[retractDocs]] step 4. */
+  final case class RetractionTargets(
+      corpusPath: Option[String] = None,
+      partitionCol: String = "ingest_batch",
+      indexTables: Seq[(String, String)] = Nil,
+      gramIndexTable: Option[String] = None,
+      gramK: Int = 8,
+      clusterTable: Option[String] = None)
+
+  private def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+
+  /** Publish `df` as catalog table `table` preserving `spec` (bucket +
+    * sort columns): staging write first, then DROP + RENAME — the
+    * DocStream cluster-table discipline, so no crash point leaves a
+    * half-written table catalog-visible. A crash between DROP and
+    * RENAME leaves the table absent with the complete staging table
+    * beside it; re-running the retraction republishes. */
+  private def publishTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame,
+      spec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]): Unit = {
+    val staging = table + "_retract_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    val wb = spec match {
+      case Some(bs) =>
+        val b = w.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        if (bs.sortColumnNames.nonEmpty)
+          b.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else b
+      case None => w
+    }
+    wb.saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Delete from catalog table `table` every row whose `idCol` is in
+    * `ids` (any frame carrying that column). Surviving rows rewrite
+    * through a staging table that re-applies the original bucket/sort
+    * spec — the zero-exchange probe property survives the delete
+    * (spec-locked) — and publish by catalog rename. Returns rows
+    * removed; a missing table is a no-op 0.
+    *
+    * Scale: `ids` is retraction-sized (a takedown list is thousands of
+    * ids, not corpus-scale) and broadcasts into the anti-join, so the
+    * cost is one index scan + rewrite — the floor for physical deletion
+    * from immutable columnar storage. */
+  def retractFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.tableExists(table)) return 0L
+    spark.catalog.refreshTable(table)
+    val spec = bucketSpecOf(spark, table)
+    val before = spark.table(table).count()
+    val keep = spark.table(table)
+      .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+    publishTable(spark, table, keep, spec)
+    spark.catalog.refreshTable(table)
+    before - spark.table(table).count()
+  }
+
+  /** Rewrite the additive df-stats journal `<indexTable>_df` FROM the
+    * surviving index rows: one consolidated cell set (key cols →
+    * count) replacing every per-batch cell — exactly the journal a
+    * from-scratch [[graft.operators.Multimodal.writeAudioLandmarkIndex]]
+    * build writes. Key columns are the journal's own schema minus
+    * `graft_cnt`. No-op false when no journal exists. */
+  def rebuildDfJournal(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    val jt = indexTable + "_df"
+    if (!spark.catalog.tableExists(jt)) return false
+    spark.catalog.refreshTable(jt)
+    spark.catalog.refreshTable(indexTable)
+    val keys = spark.table(jt).schema.fieldNames.filterNot(_ == "graft_cnt").toSeq
+    val cells = spark.table(indexTable)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("graft_cnt"))
+    publishTable(spark, jt, cells, bucketSpecOf(spark, jt))
+    true
+  }
+
+  /** Complete a [[retractFromParquet]] partition swap: every `bak`
+    * child not already present in `tmp` is an unaffected partition (or
+    * the _SUCCESS marker) and moves over by rename — metadata-only on
+    * HDFS-family filesystems, O(partitions) operations, zero data
+    * copied; then `tmp` renames to `live` and `bak` deletes. Idempotent:
+    * a crash at ANY point re-enters here on the next call and finishes
+    * (the adoption branch), because each partition lives in exactly one
+    * of the two trees until the final rename. */
+  private def finishRetractSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tmp)) fs.mkdirs(tmp)
+    fs.listStatus(bak).foreach { c =>
+      val dest = new org.apache.hadoop.fs.Path(tmp, c.getPath.getName)
+      if (!fs.exists(dest) && !fs.rename(c.getPath, dest))
+        sys.error(s"retract: cannot carry partition ${c.getPath} to $dest")
+    }
+    if (!fs.rename(tmp, live)) sys.error(s"retract: cannot swap $tmp into $live")
+    fs.delete(bak, true)
+  }
+
+  /** Delete retracted rows from a batch-partitioned parquet corpus sink
+    * (the DocStream/WebStream layout): only partitions that actually
+    * hold retracted rows REWRITE; unaffected partitions move by rename.
+    * A partition whose every row is retracted disappears entirely.
+    * Returns rows removed.
+    *
+    * Crash contract (the compactParquet rename discipline at partition
+    * grain): the staging tree is complete before the live tree moves
+    * aside, so no crash point loses a surviving row — a crash mid-swap
+    * leaves the live path absent with `.retract-old` + `.retract-tmp`
+    * jointly holding every partition exactly once, and the NEXT call
+    * adopts and finishes the swap before doing its own work. */
+  def retractFromParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String,
+      partitionCol: String = "ingest_batch"): Long =
+    retractFromParquetHooked(spark, path, ids, idCol, partitionCol, () => ())
+
+  /** [[retractFromParquet]] with a test seam: `beforeSwap` runs after
+    * the live tree moves aside and before the carry-forward — the spec
+    * kills there to prove crash adoption. */
+  private[graft] def retractFromParquetHooked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String, partitionCol: String,
+      beforeSwap: () => Unit): Long = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".retract-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".retract-old")
+    if (!fs.exists(live) && fs.exists(bak)) {
+      // a predecessor died mid-swap: finish its remaining steps first
+      finishRetractSwap(fs, live, tmp, bak)
+    } else {
+      // pre-swap crash leftovers are dead weight: the live tree is
+      // authoritative, so stale staging/backup trees just delete
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+    val idf = broadcast(ids.select(col(idCol)).distinct())
+    val cur = spark.read.parquet(path)
+    // affected partition values: O(affected batches) driver metadata
+    val hitParts = cur.join(idf, Seq(idCol), "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0)).toIndexedSeq
+    if (hitParts.isEmpty) return 0L
+    val affected = cur.filter(col(partitionCol).isin(hitParts: _*))
+    val before = affected.count()
+    // 1. staging tree: ONLY the affected partitions, rewritten without
+    // the retracted rows (fully-emptied partitions write no dir)
+    affected.join(idf, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString)
+      .filter(col(partitionCol).isNotNull).count()
+    // 2. swap: live aside, carry unaffected partitions over, publish
+    if (!fs.rename(live, bak)) sys.error(s"retract: cannot move $live aside")
+    beforeSwap()
+    finishRetractSwap(fs, live, tmp, bak)
+    before - after
+  }
+
+  /** Retract docs from a cluster mapping and its append-only pairs
+    * journal: every journal pair touching a retracted doc drops, then
+    * the mapping REBUILDS from the surviving journal (the DocStream
+    * crash-recovery path). A full rebuild — not an incremental relabel
+    * — because removing a BRIDGE doc can split a component, which
+    * min-label composition can never express; the journal is dup-mass-
+    * sized, not corpus-sized, so the rebuild is the cheap direction.
+    * Returns journal pairs removed. */
+  def retractFromClusterTable(spark: org.apache.spark.sql.SparkSession,
+      clusterTable: String, docIds: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val journal = clusterTable + "_pairs"
+    if (!spark.catalog.tableExists(journal))
+      // mapping without a journal (offline build): node-grain delete is
+      // all that exists — labels may be stale-coarse until a rebuild
+      return retractFromTable(spark, clusterTable,
+        docIds.select(col("doc_id").as("node")), "node")
+    spark.catalog.refreshTable(journal)
+    val idl = docIds.select(col("doc_id")).distinct()
+    val before = spark.table(journal).count()
+    val keep = spark.table(journal)
+      .join(broadcast(idl.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(idl.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+    publishTable(spark, journal, keep, bucketSpecOf(spark, journal))
+    spark.catalog.refreshTable(journal)
+    val survivors = spark.table(journal)
+    val rebuilt =
+      if (survivors.isEmpty)
+        survivors.select(col("doc_a").as("node"), col("doc_b").as("cluster_id"))
+      else graft.operators.Clusters.connectedComponentsStars(survivors)
+    publishTable(spark, clusterTable, rebuilt,
+      if (spark.catalog.tableExists(clusterTable)) bucketSpecOf(spark, clusterTable)
+      else None)
+    before - spark.table(journal).count()
+  }
+
+  /** Execute a retraction across every artifact in `targets`. Steps:
+    *
+    *   1. PIN the retracted docs' gram set from the corpus sink (their
+    *      text is still readable — after the corpus delete it isn't);
+    *   2. corpus sink: partition-grain delete ([[retractFromParquet]]);
+    *   3. every id-attributed index table: anti-join rewrite preserving
+    *      bucket specs ([[retractFromTable]]), then the `<t>_df`
+    *      journal rebuilds from the surviving index ([[rebuildDfJournal]]);
+    *   4. gram index: its rows are doc-UNattributed distinct grams, so
+    *      the deletable set is the retracted docs' grams MINUS the
+    *      grams any surviving doc still produces — one gram pass over
+    *      the surviving corpus restricted (semi-join) to the pinned
+    *      candidate set. Leaving them would keep cut-causing content
+    *      fingerprints of retracted (possibly takedown) docs alive;
+    *   5. cluster mapping: journal filter + full rebuild
+    *      ([[retractFromClusterTable]]).
+    *
+    * Returns a report frame (artifact, kind, n_removed) — the audit
+    * row a compliance run files. Every artifact equals its from-scratch
+    * rebuild over the surviving docs (SinksSpec parity proofs). */
+  def retractDocs(spark: org.apache.spark.sql.SparkSession,
+      docIds: DataFrame, targets: RetractionTargets): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // 1. pin retracted grams while the text still exists
+    val retractedGrams = for {
+      gt <- targets.gramIndexTable
+      cp <- targets.corpusPath
+    } yield graft.operators.Dedup.distinctGrams(
+      spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi"),
+      targets.gramK).localCheckpoint()
+    // 2. corpus sink
+    targets.corpusPath.foreach { cp =>
+      val n = retractFromParquet(spark, cp, ids, "doc_id", targets.partitionCol)
+      report += ((cp, "corpus", n))
+    }
+    // 3. id-attributed indexes + their df journals
+    targets.indexTables.foreach { case (t, idCol) =>
+      val n = retractFromTable(spark, t, ids.withColumnRenamed("doc_id", idCol), idCol)
+      val j = rebuildDfJournal(spark, t)
+      report += ((t, "index", n))
+      if (j) report += ((t + "_df", "journal", 0L))
+    }
+    // 4. gram index
+    (targets.gramIndexTable zip retractedGrams).foreach { case (gt, rg) =>
+      val stillLive = targets.corpusPath.map { cp =>
+        graft.operators.Dedup.distinctGrams(
+          spark.read.parquet(cp), targets.gramK)
+          .join(rg, Seq("g"), "left_semi")
+      }.getOrElse(rg.limit(0))
+      val deletable = rg.join(stillLive, Seq("g"), "left_anti")
+      val n = retractFromTable(spark, gt, deletable, "g")
+      report += ((gt, "gram-index", n))
+    }
+    // 5. cluster mapping + pairs journal
+    targets.clusterTable.foreach { ct =>
+      val n = retractFromClusterTable(spark, ct, ids)
+      report += ((ct, "cluster", n))
+    }
+    report.toSeq.toDF("artifact", "kind", "n_removed")
+  }
 }

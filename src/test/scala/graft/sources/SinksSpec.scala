@@ -284,4 +284,118 @@ class SinksSpec extends AnyFunSuite {
     assert(m.getLong(1) == 6L)
     assert(m.getLong(2) == (0x0f0fL ^ 0x00ffL ^ 0x0101L))
   }
+
+  // ---- corpus retraction -------------------------------------------------
+
+  private def retrDocs = {
+    import spark.implicits._
+    // doc 2 SHARES its text with surviving doc 6 (their grams and
+    // signatures coincide — the shared grams must survive the gram
+    // delete); doc 5's passage is unique (its grams must go)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val unique5 = "a solo passage that only document five carries with " +
+      "tokens no other fixture document repeats anywhere at all here"
+    def prose(i: Int) = s"ordinary corpus prose number $i with enough " +
+      s"distinct running words to shingle and to gram cleanly $i times over"
+    Seq((1L, prose(1)), (2L, shared), (3L, prose(3)),
+      (5L, unique5), (6L, shared), (7L, prose(7)))
+      .toDF("doc_id", "text")
+  }
+
+  test("retractDocs: corpus, signature index, gram index and cluster " +
+    "mapping all equal a from-scratch rebuild over the survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-retract").toString
+    val corpus = base + "/corpus"
+    Seq("t_retr_sig", "t_retr_gram", "t_retr_cl", "t_retr_cl_pairs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    graft.operators.Dedup.writeSignatureIndex(docs, "t_retr_sig", numBuckets = 4)
+    graft.operators.Dedup.writeGramIndex(docs, "t_retr_gram", numBuckets = 4)
+    // cluster state: 2 BRIDGES 1 and 3; (6,7) is an unrelated pair
+    Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
+      .write.saveAsTable("t_retr_cl_pairs")
+    graft.operators.Clusters
+      .connectedComponentsStars(spark.table("t_retr_cl_pairs"))
+      .write.saveAsTable("t_retr_cl")
+    assert(spark.table("t_retr_cl").count() == 5L, "1,2,3 + 6,7 clustered")
+
+    val report = Sinks.retractDocs(spark, Seq(2L, 5L).toDF("doc_id"),
+      Sinks.RetractionTargets(
+        corpusPath = Some(corpus),
+        indexTables = Seq("t_retr_sig" -> "doc_id"),
+        gramIndexTable = Some("t_retr_gram"),
+        clusterTable = Some("t_retr_cl")))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+
+    val survivors = docs.filter(!col("doc_id").isin(2L, 5L))
+    // corpus: exactly the survivors, partition layout intact
+    val corpusIds = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == Set(1L, 3L, 6L, 7L))
+    assert(report(corpus) == 2L)
+    // signature index: row-set identical to a from-scratch build over
+    // the survivors (signatures are deterministic)
+    val sigGot = spark.table("t_retr_sig")
+      .select("doc_id", "band", "bucket").collect().toSet
+    val sigWant = graft.operators.Dedup.signatureIndex(survivors)
+      .select("doc_id", "band", "bucket").collect().toSet
+    assert(sigGot == sigWant)
+    // ...and the bucket spec survived the rewrite, so probes stay
+    // exchange-free on the corpus side
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_retr_sig"))
+      .bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("band", "bucket")), spec.toString)
+    // gram index: exactly the survivors' gram set — doc 2's grams live
+    // on through doc 6, doc 5's unique grams are gone
+    val gramGot = spark.table("t_retr_gram").select("g").as[String].collect().toSet
+    val gramWant = graft.operators.Dedup.distinctGrams(survivors)
+      .as[String].collect().toSet
+    assert(gramGot == gramWant)
+    assert(report("t_retr_gram") > 0L, "doc 5's unique grams were deleted")
+    // cluster mapping: the bridge doc's removal SPLITS {1,2,3} — 1 and
+    // 3 become singletons and leave the mapping; (6,7) is untouched
+    val cl = spark.table("t_retr_cl")
+      .select("node", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(cl == Set((6L, 6L), (7L, 6L)), cl.toString)
+    val pairs = spark.table("t_retr_cl_pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((6L, 7L)))
+  }
+
+  test("retractFromParquet: a crash mid-swap loses no surviving row; " +
+    "the next call adopts and finishes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-retract-crash").toString
+    val corpus = base + "/corpus"
+    val docs = retrDocs
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    val ids = Seq(2L, 5L).toDF("doc_id")
+    // die after the live tree moved aside, before the carry-forward
+    val boom = intercept[RuntimeException] {
+      Sinks.retractFromParquetHooked(spark, corpus, ids, "doc_id",
+        "ingest_batch", () => sys.error("killed mid-swap"))
+    }
+    assert(boom.getMessage == "killed mid-swap")
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(corpus)),
+      "crash window: live tree is mid-swap")
+    // next call adopts the half-finished swap, completes it, and finds
+    // nothing left to retract
+    val n = Sinks.retractFromParquet(spark, corpus, ids, "doc_id")
+    assert(n == 0L, "the adopted swap already held the retracted state")
+    val back = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(back == Set(1L, 3L, 6L, 7L), s"no surviving row lost: $back")
+  }
 }

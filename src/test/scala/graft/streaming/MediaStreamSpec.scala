@@ -113,4 +113,53 @@ class MediaStreamSpec extends AnyFunSuite {
       assert(idxDocs == Set(1L, 5L), idxDocs.toString)
     } finally q.stop()
   }
+
+  test("retraction: landmark index + df journal reconcile — probes equal " +
+    "a from-scratch rebuild over the surviving clips") {
+    def clips(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    Seq("audio_retr_idx", "audio_retr_rebuilt")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Multimodal.writeAudioLandmarkIndex(
+      Multimodal.audioSamples(clips(Seq((1L, clipA), (2L, clipB), (3L, clipC)))),
+      "audio_retr_idx", numBuckets = 4)
+    // a twin of the soon-to-be-retracted clip B matches it BEFORE
+    val twin = Multimodal.audioSamples(clips(Seq((10L, clipB + " extra"))))
+    val preHits = Multimodal
+      .audioDedupBatchAgainstIndex(spark, twin, "audio_retr_idx")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(preHits == Set(2L), s"twin finds B pre-retraction: $preHits")
+
+    graft.sources.Sinks.retractDocs(spark, Seq(2L).toDF("doc_id"),
+      graft.sources.Sinks.RetractionTargets(
+        indexTables = Seq("audio_retr_idx" -> "doc_id")))
+
+    // (a) the df journal equals a recount of the surviving index — the
+    // rewrite-from-index reconciliation, no stale additive cells
+    spark.catalog.refreshTable("audio_retr_idx_df")
+    val cellsGot = spark.table("audio_retr_idx_df")
+      .select("s1", "s2", "dw", "graft_cnt").collect().toSet
+    val cellsWant = spark.table("audio_retr_idx")
+      .groupBy("s1", "s2", "dw").agg(count(lit(1)).as("graft_cnt"))
+      .collect().toSet
+    assert(cellsGot == cellsWant)
+    // (b) probe parity: the retracted index answers every probe exactly
+    // like an index rebuilt from scratch over the survivors
+    Multimodal.writeAudioLandmarkIndex(
+      Multimodal.audioSamples(clips(Seq((1L, clipA), (3L, clipC)))),
+      "audio_retr_rebuilt", numBuckets = 4)
+    val batch = Multimodal.audioSamples(clips(Seq(
+      (10L, clipB + " extra"), (11L, clipA + " extra"))))
+    def probe(t: String) = Multimodal
+      .audioDedupBatchAgainstIndex(spark, batch, t)
+      .select("batch_id", "corpus_id", "n_shared", "shared_ppm")
+      .collect().toSet
+    val got = probe("audio_retr_idx")
+    assert(got == probe("audio_retr_rebuilt"), got.toString)
+    assert(got.forall(_.getLong(1) != 2L),
+      "the retracted clip must be unfindable")
+    assert(got.exists(r => r.getLong(0) == 11L && r.getLong(1) == 1L),
+      s"surviving clips still probe normally: $got")
+  }
 }
