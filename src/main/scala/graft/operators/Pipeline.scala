@@ -548,7 +548,11 @@ object Pipeline {
     *      multi-record `.warc.gz` file, parsed inside its task
     *      ([[graft.sources.Warc.parseAll]]);
     *   2. HTTP fetch gate: the record body is the HTTP response
-    *      message — keep status 200 AND mime text/html; the payload
+    *      message — keep status 200 AND mime text/html AND no robots
+    *      exclusion from either layer (`X-Robots-Tag: noindex` header,
+    *      `<meta name="robots" content="noindex">` tag — robots.txt
+    *      governs fetching, these govern indexing, and a corpus is an
+    *      index); the payload
     *      decodes with the charset the response DECLARES (the gate
     *      admits ISO-8859-1 pages — decoding those as UTF-8 is
     *      self-inflicted mojibake), falling back to UTF-8 when the
@@ -573,7 +577,11 @@ object Pipeline {
   /** Stages 1–2 of [[crawlPrepare]]: WARC fan-out + HTTP fetch gate +
     * declared-charset decode. Exposed so the decode contract is
     * testable on its own — returns one row per KEPT fetch:
-    * `(rec_id, url, warc_date, text, doc_id)`. */
+    * `(rec_id, url, warc_date, hdr_noindex, text, doc_id)`, where
+    * `hdr_noindex` carries the `X-Robots-Tag: noindex` verdict
+    * ([[graft.sources.Warc.xRobotsNoindex]]) for the compliance gate
+    * downstream (the meta-tag half needs the decoded text and gates
+    * column-side in [[crawlPrepare]]). */
   def crawlPages(warcBlobs: DataFrame): DataFrame = {
     val spark = warcBlobs.sparkSession
     import spark.implicits._
@@ -589,11 +597,12 @@ object Pipeline {
               .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
             Some((r.header("WARC-Record-ID"), r.header("WARC-Target-URI"),
               r.headers.getOrElse("WARC-Date", ""),
+              Warc.xRobotsNoindex(resp.headers),
               new String(resp.payload, cs)))
           } else None
         }
       }
-      .toDF("rec_id", "url", "warc_date", "text")
+      .toDF("rec_id", "url", "warc_date", "hdr_noindex", "text")
       .withColumn("doc_id", xxhash64(col("rec_id")))
   }
 
@@ -601,7 +610,13 @@ object Pipeline {
       cfg: Config = Config(extractMainContent = true,
         lineCorrections = true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // noindex compliance gate, BOTH layers: the X-Robots-Tag header
+    // (parsed at the fetch layer) and the robots meta tag — a page the
+    // owner excluded from indexing must not enter the corpus even when
+    // robots.txt allowed fetching it
     val pages = crawlPages(warcBlobs)
+      .filter(!col("hdr_noindex") && !Web.metaNoindex(col("text")))
+      .drop("hdr_noindex")
     val canon = pages
       .withColumn("canon_url", Web.canonicalUrl(col("url")))
       .withColumn("reg_domain", Web.registeredDomain(col("url")))

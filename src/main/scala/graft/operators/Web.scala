@@ -224,6 +224,27 @@ object Web {
       .agg(max(ceilSecs).as("crawl_delay_sec"))
   }
 
+  /** Page-level robots exclusion: true when the HTML declares
+    * `<meta name="robots" content="… noindex …">` — the compliance
+    * gate a crawl must honor ALONGSIDE robots.txt (RFC 9309 governs
+    * fetching; the Robots Exclusion meta/header convention governs
+    * indexing, and a corpus is an index). Both attribute orders match
+    * (name-first and content-first — real pages emit both), names and
+    * values case-insensitive, quoted or bare. Only the generic
+    * `robots` name gates; a bot-specific `<meta name="somebot">` is
+    * another crawler's instruction, and `noindex` inside an unrelated
+    * attribute (a description SAYING "noindex") cannot match because
+    * the pattern anchors on the name/content attribute pair. Java∩RE2
+    * subset (no backrefs/lookaround), codegen'd, zero shuffle. The
+    * header-side twin is [[graft.sources.Warc.xRobotsNoindex]]. */
+  def metaNoindex(html: Column): Column = {
+    val nameFirst = "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots\\b[\"']?[^>]*" +
+      "content\\s*=\\s*[\"']?[^\"'>]*noindex"
+    val contentFirst = "(?is)<meta[^>]*content\\s*=\\s*[\"']?[^\"'>]*noindex" +
+      "[^>]*name\\s*=\\s*[\"']?robots\\b"
+    html.rlike(nameFirst) || html.rlike(contentFirst)
+  }
+
   /** Apply a parsed rule table to a URL frame carrying `doc_id`,
     * `reg_domain` and a `pathq` match target: per RFC 9309 §2.2.2 the
     * most specific (longest) matching rule wins, an allow/disallow tie

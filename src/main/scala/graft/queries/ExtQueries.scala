@@ -173,6 +173,7 @@ object ExtQueries {
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
     "web_http_gate"         -> graft.sources.Warc.qHttpGate _,
+    "web_noindex_gate"      -> graft.sources.Warc.qNoindexGate _,
     "text_secrets_redact"   -> graft.operators.Scrub.qSecretsRedact _,
     "storage_shard_manifest" -> graft.sources.Sinks.qShardManifest _,
     "text_blocklist"        -> TextAnalysis.qBlocklist _,
@@ -3784,6 +3785,20 @@ object ExtQueries {
         |  (doc_id % 5 IN (0, 4)) AS kept
         |FROM documents
         |ORDER BY doc_id, status, mime, charset, payload_len, kept""".stripMargin,
+
+    // Mirrors Warc.qNoindexGate: id%5==0 carries the X-Robots-Tag
+    // header, 1/2 the two meta-tag attribute orders, 3 the decoy that
+    // must NOT fire (description mentioning "noindex" + explicit
+    // index,follow robots meta), 4 an unavailable_after header whose
+    // letters must not token-match. The oracle states the branch truth;
+    // both parser layers and the meta regex must agree to hash-match.
+    "web_noindex_gate" ->
+      """SELECT doc_id,
+        |  (doc_id % 5 = 0) AS hdr_noindex,
+        |  (doc_id % 5 IN (1, 2)) AS meta_noindex,
+        |  (doc_id % 5 IN (3, 4)) AS kept
+        |FROM documents
+        |ORDER BY doc_id, hdr_noindex, meta_noindex, kept""".stripMargin,
 
     "warc_roundtrip" ->
       """WITH b AS (SELECT doc_id, CAST(sum(ord(substr(text, i, 1))) AS BIGINT) AS byte_sum

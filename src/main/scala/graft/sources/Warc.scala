@@ -301,4 +301,63 @@ object Warc {
       .toDF("doc_id", "status", "mime", "charset", "payload_len", "kept")
       .orderBy("doc_id", "status", "mime", "charset", "payload_len", "kept")
   }
+
+  /** Header-level robots exclusion: true when `X-Robots-Tag` carries a
+    * `noindex` directive — the HTTP twin of the
+    * [[graft.operators.Web.metaNoindex]] meta tag, and the only form
+    * non-HTML payloads (PDFs, images) can express. Token-grain match
+    * over comma/whitespace-separated directives, case-insensitive, so
+    * `noindex, nofollow` and the bot-scoped `somebot: noindex` both
+    * gate (conservative: a directive scoped to ANY bot still signals
+    * the owner's intent) while `unavailable_after: …` values that
+    * merely CONTAIN the letters cannot match. */
+  def xRobotsNoindex(headers: Map[String, String]): Boolean =
+    headers.get("x-robots-tag").exists(
+      _.toLowerCase.split("[,:\\s]+").contains("noindex"))
+
+  /** Noindex gate over HTTP-in-WARC fixtures (the [[qHttpGate]] twin
+    * one layer up): per doc, a 200 text/html response whose exclusion
+    * signal varies by id — header `X-Robots-Tag`, both meta-tag
+    * attribute orders, a DECOY that must not fire (a description
+    * mentioning "noindex" plus an explicit `index,follow` robots meta),
+    * and clean pages. `kept` = the full fetch gate: 200 AND text/html
+    * AND no exclusion from either layer. Oracle derives every flag
+    * from the branch structure. */
+  def qNoindexGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Web
+    val raw = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (hdrs, body) = ((id % 5).toInt: @unchecked) match {
+          case 0 => (Seq("Content-Type" -> "text/html",
+            "X-Robots-Tag" -> "noindex, nofollow"), text)
+          case 1 => (Seq("Content-Type" -> "text/html"),
+            "<html><head><meta name=\"robots\" content=\"NOINDEX\">" +
+              "</head><body>" + text + "</body></html>")
+          case 2 => (Seq("Content-Type" -> "text/html"),
+            "<html><head><meta content='noindex,nofollow' name='ROBOTS'>" +
+              "</head><body>" + text + "</body></html>")
+          case 3 => (Seq("Content-Type" -> "text/html"),
+            "<html><head><meta name=\"description\" content=\"how to " +
+              "noindex pages\"><meta name=\"robots\" content=\"index," +
+              "follow\"></head><body>" + text + "</body></html>")
+          case 4 => (Seq("Content-Type" -> "text/html",
+            "X-Robots-Tag" -> "unavailable_after: 2026-12-31"), text)
+        }
+        val http = writeHttpResponse(200, "OK", hdrs, body.getBytes(US_ASCII))
+        val resp = parseHttpResponse(
+          parseAll(writeRecord(s"<urn:graft:$id>",
+            s"http://fetch.example/$id", http)).head.body)
+        val (mime, _) = contentType(resp.headers)
+        (id, xRobotsNoindex(resp.headers), mime,
+          new String(resp.payload, US_ASCII))
+      })
+      .toDF("doc_id", "hdr_noindex", "mime", "body")
+    raw.select(col("doc_id"), col("hdr_noindex"),
+        Web.metaNoindex(col("body")).as("meta_noindex"),
+        (col("mime") === "text/html" && !col("hdr_noindex") &&
+          !Web.metaNoindex(col("body"))).as("kept"))
+      .orderBy("doc_id", "hdr_noindex", "meta_noindex", "kept")
+  }
 }

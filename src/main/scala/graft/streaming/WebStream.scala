@@ -48,14 +48,23 @@ object WebStream {
 
   /** Start the crawl-ingest query. `docs` must carry (doc_id, url) plus
     * any payload columns; `robotsRules` is a parsed [[Web.parseRobots]]
-    * frame. Survivors keep every input column plus canon_url. */
+    * frame. Survivors keep every input column plus canon_url. When the
+    * batch carries a `text` column, pages declaring
+    * `<meta name="robots" content="noindex">` drop at the gate
+    * ([[Web.metaNoindex]] — the indexing-consent twin of the robots.txt
+    * fetch consent; the header-side check belongs to the fetch layer
+    * upstream, which never hands such a page to this ingest). */
   def crawlIngest(docs: DataFrame, spark: SparkSession, urlIndexTable: String,
       robotsRules: DataFrame, outPath: String, checkpoint: String,
       numBuckets: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val canon = batch
+        val indexable =
+          if (batch.columns.contains("text"))
+            batch.filter(!Web.metaNoindex(col("text")))
+          else batch
+        val canon = indexable
           .withColumn("canon_url", Web.canonicalUrl(col("url")))
           .withColumn("reg_domain", Web.registeredDomain(col("url")))
           .withColumn("pathq", Web.canonicalPathQuery(col("url")))

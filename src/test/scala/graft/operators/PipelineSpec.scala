@@ -248,7 +248,17 @@ class PipelineSpec extends AnyFunSuite {
       // declared ISO-8859-1 page: bytes are latin-1, NOT valid UTF-8
       ("<urn:g:8>", "http://d.com/latin", Warc.writeHttpResponse(200, "OK",
         Seq("Content-Type" -> "text/html; charset=ISO-8859-1"),
-        article3.getBytes("ISO-8859-1"))))
+        article3.getBytes("ISO-8859-1"))),
+      // noindex pages every OTHER gate would pass: a meta-robots
+      // article and a header-excluded article — indexing consent is
+      // its own gate, robots.txt allowed both fetches
+      ("<urn:g:9>", "http://d.com/meta-noindex", httpOk(
+        "<head><meta name=\"robots\" content=\"noindex, follow\"></head>" +
+          article2.replace("mountains", "meadows"))),
+      ("<urn:g:10>", "http://d.com/hdr-noindex", Warc.writeHttpResponse(
+        200, "OK", Seq("Content-Type" -> "text/html; charset=utf-8",
+          "X-Robots-Tag" -> "noindex"),
+        article2.replace("mountains", "prairies").getBytes("UTF-8"))))
     val blob = recs.map { case (id, uri, body) =>
       Warc.gzipMember(Warc.writeRecord(id, uri, body,
         dates.getOrElse(id, ""))) }.reduce(_ ++ _)
@@ -267,7 +277,8 @@ class PipelineSpec extends AnyFunSuite {
     // min(doc_id) rule would have dropped
     val expect = Set(h(earlyId), h("<urn:g:3>"), h("<urn:g:8>"))
     assert(ids == expect,
-      s"the three articles survive, /story keeps the first fetch: $ids vs $expect")
+      s"the three articles survive, /story keeps the first fetch — and " +
+        s"neither noindex page (meta or header) is among them: $ids vs $expect")
     assert(rows.map(_.getAs[String]("source")).toSet == Set("d.com"))
     assert(rows.map(_.getAs[String]("split")).forall(Set("train", "test")))
     // the latin-1 payload decoded via its DECLARED charset: accented

@@ -178,6 +178,26 @@ class WebSpec extends AnyFunSuite {
     assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
   }
 
+  test("metaNoindex: both attribute orders, any case/quoting; decoys never fire") {
+    val pages = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex\">", true),
+      (2L, "<meta content='noindex,nofollow' name='ROBOTS'>", true),
+      (3L, "<META NAME=ROBOTS CONTENT=NOINDEX>", true),
+      (4L, "<meta name=\"robots\" content=\"index, follow\">", false),
+      (5L, "<meta name=\"description\" content=\"how to noindex\">", false),
+      (6L, "<meta name=\"robotsxyz\" content=\"noindex\">", false),
+      (7L, "prose about noindex and robots with no tags at all", false),
+      // a bot-SPECIFIC exclusion is another crawler's instruction, not
+      // the generic gate
+      (8L, "<meta name=\"googlebot\" content=\"noindex\">", false))
+    val got = pages.map(p => (p._1, p._2)).toDF("doc_id", "text")
+      .select(col("doc_id"), Web.metaNoindex(col("text")).as("ni"))
+      .as[(Long, Boolean)].collect().toMap
+    pages.foreach { case (id, html, want) =>
+      assert(got(id) == want, s"doc $id: $html")
+    }
+  }
+
   test("crawl-delay: fractional values ceil to whole seconds, never drop") {
     val df = Seq(
       ("half.com",  "User-agent: *\nCrawl-delay: 0.5\n"),  // common in the wild

@@ -57,6 +57,35 @@ class WebStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crawl ingest: meta-robots noindex pages drop when text is present") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-ni")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_ni_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_ni_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      input.addData(
+        (1L, "http://d.com/a", "<p>plain consenting page</p>"),
+        (2L, "http://d.com/b", "<head><meta name=\"robots\" " +
+          "content=\"noindex\"></head><p>owner excluded this page</p>"),
+        (3L, "http://d.com/c", "<meta name=\"description\" " +
+          "content=\"noindex research\"><p>decoy page stays</p>"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"meta-noindex page 2 gated: $kept")
+      spark.catalog.refreshTable("webstream_ni_urls")
+      val idx = spark.table("webstream_ni_urls")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 3L), "the URL index never learns excluded pages")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint: no re-emits, no duplicate index appends, bootstrap") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-webrestart")
