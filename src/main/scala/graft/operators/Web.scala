@@ -484,6 +484,90 @@ object Web {
         regexp_extract(col("u"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
       .filter(col("loc") =!= "")
 
+  // RSS/Atom feeds: the OTHER standard discovery channel next to
+  // sitemaps — blogs and news sites advertise a feed in the page head,
+  // and the feed lists fresh entry URLs with publish stamps. Both
+  // steps land in the exact shapes the sitemap chain already uses, so
+  // feed entries flow through [[frontier]]/[[fetchSchedule]] unchanged.
+
+  /** Feed discovery from HTML heads: every
+    * `<link rel="alternate" type="application/rss+xml|atom+xml"
+    * href="…">` tag, either attribute order, any case/quoting (href
+    * must be quoted — an unquoted URL in a link tag is vanishingly
+    * rare and ambiguous to delimit). Stylesheet/icon links and plain
+    * anchors to a feed path do NOT match — rel=alternate + a feed MIME
+    * type is the convention. Output one row per discovered feed:
+    * `(doc_id, feed_type ∈ {rss, atom}, feed_url)`. Codegen'd regex in
+    * the Java∩RE2 subset, zero shuffle beyond the tag explode. */
+  def feedUrls(pages: DataFrame, html: Column): DataFrame = {
+    val tags = pages.select(col("doc_id"),
+      explode(regexp_extract_all(html,
+        lit("(?is)<link\\b[^>]*>"), lit(0))).as("tag"))
+    val isAlt = col("tag").rlike("(?i)rel\\s*=\\s*[\"']?alternate\\b")
+    val typ = lower(regexp_extract(col("tag"),
+      "(?i)type\\s*=\\s*[\"']?application/(rss|atom)\\+xml", 1))
+    val href = regexp_extract(col("tag"),
+      "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    tags.filter(isAlt)
+      .select(col("doc_id"), typ.as("feed_type"), href.as("feed_url"))
+      .filter(col("feed_type") =!= "" && col("feed_url") =!= "")
+  }
+
+  /** Parse feed bodies into the [[sitemapEntries]] frontier shape
+    * `(reg_domain, loc, lastmod)`: RSS `<item>` blocks (`<link>` text
+    * element + optional `<pubDate>`) and Atom `<entry>` blocks
+    * (`<link href="…">` attribute + optional `<updated>`), both via
+    * the same non-greedy block regexes as the sitemap parse —
+    * deliberately regex-level, real feeds are messy machine output and
+    * loc/stamp are all a frontier needs. `lastmod` passes through
+    * VERBATIM (the sitemap contract): Atom stamps are ISO 8601 and
+    * sort lexicographically; RFC-822 RSS pubDates do not, so a caller
+    * mixing feeds normalizes stamps before relying on cross-entry
+    * freshness order. Entries without a loc drop. */
+  def feedEntries(feeds: DataFrame): DataFrame = {
+    val rss = feeds.select(col("reg_domain"),
+        explode(regexp_extract_all(col("feed_xml"),
+          lit("(?s)<item>(.*?)</item>"), lit(1))).as("e"))
+      .select(col("reg_domain"),
+        regexp_extract(col("e"), "<link>([^<]*)</link>", 1).as("loc"),
+        regexp_extract(col("e"), "<pubDate>([^<]*)</pubDate>", 1).as("lastmod"))
+    val atom = feeds.select(col("reg_domain"),
+        explode(regexp_extract_all(col("feed_xml"),
+          lit("(?s)<entry\\b[^>]*>(.*?)</entry>"), lit(1))).as("e"))
+      .select(col("reg_domain"),
+        regexp_extract(col("e"),
+          "(?i)<link[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']", 1).as("loc"),
+        regexp_extract(col("e"), "<updated>([^<]*)</updated>", 1).as("lastmod"))
+    rss.unionByName(atom).filter(col("loc") =!= "")
+  }
+
+  /** Feed discovery over corpus-derived pages (branch-derived oracle):
+    * per id%4 the page head carries an RSS link (name-first attrs), an
+    * Atom link (href-first attrs), only DECOYS (a stylesheet link and
+    * a plain anchor to /feed.xml — neither is a feed advertisement),
+    * or an uppercase-single-quote RSS variant. One row per discovered
+    * feed; the decoy branch contributes none. */
+  def qFeedUrls(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(lit("<html><head>"),
+      when(id % 4 === 0, concat(
+        lit("<link rel=\"alternate\" type=\"application/rss+xml\" " +
+          "href=\"https://"), col("source"), lit("/feed.xml\">")))
+        .when(id % 4 === 1, concat(
+          lit("<link href=\"https://"), col("source"),
+          lit("/atom.xml\" type=\"application/atom+xml\" rel=\"alternate\">")))
+        .when(id % 4 === 2,
+          lit("<link rel=\"stylesheet\" href=\"/style.css\">" +
+            "<a href=\"/feed.xml\">subscribe</a>"))
+        .otherwise(concat(
+          lit("<LINK REL='ALTERNATE' TYPE='APPLICATION/RSS+XML' HREF='https://"),
+          col("source"), lit("/rss'>"))),
+      lit("</head><body>x</body></html>"))
+    feedUrls(Tables.documents(spark, dir).select(col("doc_id"),
+        col("source"), page.as("html")), col("html"))
+      .orderBy("doc_id", "feed_type", "feed_url")
+  }
+
   /** Frontier diff: canonicalize sitemap locs and mark which already
     * exist in the crawled corpus (`corpusUrls` carries a `url` column —
     * at scale, the url index the streaming crawl ingest maintains, so
@@ -517,6 +601,126 @@ object Web {
         coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
       .select(col("reg_domain"), col("canon_loc"), col("lastmod"),
         col("slot"), (col("slot") * col("graft_delay")).as("fetch_offset_sec"))
+  }
+
+  /** Per-URL revisit statistics from a fetch log `(url, text,
+    * fetched_at)` — the composable form of [[urlRefreshReport]] the
+    * adaptive scheduler feeds on. Per canonical URL: fetch count,
+    * distinct content versions, the observed CHANGE RATE in exact ppm
+    * — `(n_versions − 1) · 10⁶ div (n_fetches − 1)`, the fraction of
+    * re-fetches that found new content — and the LATEST fetch's stamp
+    * + content digest for conditional-fetch hints. `change_ppm` is
+    * NULL for single-fetch URLs: one fetch carries no re-visit
+    * evidence either way, and the scheduler applies its cold-start
+    * prior uniformly to "never compared" (the no-history and the
+    * fetched-once URL are the same epistemic state).
+    *
+    * Scale: one url-grain hash aggregate; only 16-byte digests and
+    * date stamps move, the text never shuffles. The latest-fetch pick
+    * is `max(struct(fetched_at, digest))` — deterministic under any
+    * partitioning, digest breaking same-stamp ties. */
+  def revisitStats(docs: DataFrame, url: Column, text: Column,
+      fetchedAt: Column): DataFrame =
+    docs.groupBy(canonicalUrl(url).as("canon_url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        count_distinct(md5(text)).as("n_versions"),
+        max(struct(fetchedAt.as("fa"), md5(text).as("dg"))).as("graft_last"))
+      .select(col("canon_url"), col("n_fetches"), col("n_versions"),
+        when(col("n_fetches") > 1,
+          expr("(n_versions - 1) * 1000000 div (n_fetches - 1)"))
+          .as("change_ppm"),
+        col("graft_last.fa").as("last_fetch"),
+        col("graft_last.dg").as("last_digest"))
+
+  /** ADAPTIVE fetch schedule — [[fetchSchedule]] composed with the
+    * [[revisitStats]] history, closing the loop the plain scheduler
+    * leaves open: without it the frontier re-crawls a never-changing
+    * page as eagerly as a news page. Per domain, politeness slots
+    * (k · crawl_delay) are spent in priority order:
+    *
+    *   1. sitemap `lastmod` DESC — a freshness stamp the site declares
+    *      is the strongest signal and stays primary;
+    *   2. `score_ppm` DESC — the observed change rate; URLs with no
+    *      re-fetch evidence (never fetched, or fetched once) take
+    *      `coldStartPpm` (default 500000: between a hot page at 10⁶
+    *      and a stone at 0, so discovery is neither starved nor
+    *      allowed to crowd out known-hot refreshes);
+    *   3. `canon_loc` — the deterministic tie-break.
+    *
+    * So among lastmod-free entries — the common case for re-visit
+    * candidates, which come from the crawl index, not a sitemap — a
+    * hot URL outranks a stale one at equal politeness cost.
+    *
+    * Each scheduled row also carries the conditional-fetch hints:
+    * `if_modified_since` (the stored last-fetch stamp) and
+    * `stored_digest` (the last content digest), empty for cold URLs —
+    * the fetcher turns these into an If-Modified-Since request and a
+    * post-fetch digest compare, so re-visiting a stale page costs a
+    * 304 instead of a re-process.
+    *
+    * Unlike [[fetchSchedule]] this does NOT filter `known` — re-visits
+    * are the point; callers pass the frontier slice they want
+    * (discovery: `!known`; refresh: `known`; mixed: both).
+    *
+    * Scale: the history join is url-grain on the same canonical key
+    * the crawl's url index carries; delays broadcast; the window is
+    * per-domain. */
+  def fetchScheduleAdaptive(frontierDf: DataFrame, delays: DataFrame,
+      history: DataFrame, defaultDelaySec: Long = 1L,
+      coldStartPpm: Long = 500000L): DataFrame = {
+    val h = history.select(col("canon_url").as("canon_loc"),
+      col("change_ppm"), col("last_fetch"), col("last_digest"))
+    val w = Window.partitionBy("reg_domain")
+      .orderBy(col("lastmod").desc, col("score_ppm").desc, col("canon_loc"))
+    frontierDf
+      .join(h, Seq("canon_loc"), "left")
+      .withColumn("score_ppm", coalesce(col("change_ppm"), lit(coldStartPpm)))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(delays), Seq("reg_domain"), "left")
+      .withColumn("graft_delay",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+      .select(col("reg_domain"), col("canon_loc"), col("lastmod"),
+        col("score_ppm"), col("slot"),
+        (col("slot") * col("graft_delay")).as("fetch_offset_sec"),
+        coalesce(col("last_fetch"), lit("")).as("if_modified_since"),
+        coalesce(col("last_digest"), lit("")).as("stored_digest"))
+  }
+
+  /** Adaptive-schedule scenario over the corpus (branch-derived, the
+    * RobotsFixture discipline): docs ≡ 0 (mod 11) are one domain's
+    * re-visit frontier, all lastmod-free so the change history alone
+    * orders them. Per id%3 the fetch LOG holds: 0 → three fetches,
+    * three versions (hot, 10⁶ ppm); 1 → three byte-identical fetches
+    * (stale, 0 ppm); 2 → nothing (cold start, the 500000 prior). The
+    * schedule must interleave hot < cold < stale per slot order, and
+    * the hints must carry the LATEST fetch's stamp/digest (hot: the
+    * ` v3` variant; stale: the unmodified text; cold: empty). */
+  def qFetchAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"),
+        concat(lit("http://ad.example/p/"), col("doc_id")).as("loc"))
+      .localCheckpoint()
+    // fetch log: ids %3==0 change every fetch, %3==1 never, %3==2 absent
+    val fetches = docs.filter(col("doc_id") % 3 < 2)
+      .select(col("doc_id"), col("loc"), col("text"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("loc").as("url"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" v"), col("j"))).otherwise(col("text")).as("text"),
+        concat(lit("2026-01-0"), col("j")).as("fetched_at"))
+    val history = revisitStats(fetches, col("url"), col("text"),
+      col("fetched_at"))
+    val front = docs
+      .select(lit("ad.example").as("reg_domain"),
+        canonicalUrl(col("loc")).as("canon_loc"), lit("").as("lastmod"),
+        lit(true).as("known"))
+    val delays = docs.sparkSession.range(0)
+      .select(lit("").as("reg_domain"), lit(0L).as("crawl_delay_sec"))
+    fetchScheduleAdaptive(front, delays, history, defaultDelaySec = 2L)
+      .orderBy("canon_loc", "score_ppm", "slot", "fetch_offset_sec",
+        "if_modified_since", "stored_digest")
+      .drop("reg_domain", "lastmod")
   }
 
   /** Sitemap fixture built FROM the corpus: docs ≡ 0 (mod 7) are

@@ -169,6 +169,8 @@ object ExtQueries {
     "web_sitemap_frontier"  -> Web.qSitemapFrontier _,
     "web_fetch_schedule"    -> Web.qFetchSchedule _,
     "web_url_refresh"       -> Web.qUrlRefresh _,
+    "web_fetch_adaptive"    -> Web.qFetchAdaptive _,
+    "web_feed_urls"         -> Web.qFeedUrls _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -3954,6 +3956,47 @@ object ExtQueries {
     // gptbot/GraftBot groups' 10/5, data.co.uk's CRLF-framed 1, and
     // drop site.org's malformed "fast"; the graftbot selection must
     // take the token group's 5 and fall back to star elsewhere.
+    // Mirrors Web.qFeedUrls: per id%4 the head carries an RSS link,
+    // an href-first Atom link, decoys only (stylesheet + anchor — no
+    // row), or an uppercase single-quoted RSS variant (type lowercases
+    // on extraction).
+    "web_feed_urls" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 3) THEN 'rss' ELSE 'atom' END AS feed_type,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://' || source || '/feed.xml'
+        |    WHEN 1 THEN 'https://' || source || '/atom.xml'
+        |    ELSE 'https://' || source || '/rss' END AS feed_url
+        |FROM documents WHERE doc_id % 4 <> 2
+        |ORDER BY doc_id, feed_type, feed_url""".stripMargin,
+
+    // Mirrors Web.qFetchAdaptive: one lastmod-free domain frontier
+    // ordered purely by observed change heat — hot (3 fetches, 3
+    // versions → 10⁶ ppm) before cold-start (no history → the 500000
+    // prior) before stale (3 identical fetches → 0 ppm); slots from
+    // the rank, offsets at the 2 s default delay; conditional hints
+    // carry the LATEST fetch's stamp and digest (hot: the ' v3'
+    // variant; stale: the unmodified text; cold: empty).
+    "web_fetch_adaptive" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    'http://ad.example/p/' || CAST(doc_id AS VARCHAR) AS canon_loc,
+        |    CASE doc_id % 3 WHEN 0 THEN 1000000 WHEN 1 THEN 0
+        |         ELSE 500000 END AS score_ppm,
+        |    CASE doc_id % 3 WHEN 0 THEN md5(text || ' v3')
+        |         WHEN 1 THEN md5(text) ELSE '' END AS dg,
+        |    CASE WHEN doc_id % 3 < 2 THEN '2026-01-03' ELSE '' END AS ims
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY score_ppm DESC, canon_loc) - 1 AS slot
+        |  FROM f)
+        |SELECT canon_loc, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CAST(slot AS BIGINT) AS slot,
+        |  CAST(slot * 2 AS BIGINT) AS fetch_offset_sec,
+        |  ims AS if_modified_since, dg AS stored_digest
+        |FROM r
+        |ORDER BY canon_loc, score_ppm, slot, fetch_offset_sec,
+        |  if_modified_since, stored_digest""".stripMargin,
+
     "web_crawl_delay" ->
       """SELECT * FROM (VALUES
         |    ('*', 'data.co.uk', CAST(1 AS BIGINT)),

@@ -178,6 +178,103 @@ class WebSpec extends AnyFunSuite {
     assert(ua == Map("d.com" -> 5L), s"token delay overrides star: $ua")
   }
 
+  test("feed discovery: RSS and Atom entries parse into the sitemap " +
+    "frontier shape and flow through frontier + fetchSchedule unchanged") {
+    val rss =
+      "<?xml version=\"1.0\"?><rss><channel><title>Blog</title>" +
+        "<item><title>A</title><link>http://d.com/posts/a</link>" +
+        "<pubDate>2026-02-03</pubDate></item>" +
+        "<item><link>HTTP://WWW.d.com/posts/b?utm_source=feed</link></item>" + // no date; messy spelling
+        "<item><title>no loc, drops</title></item>" +
+        "</channel></rss>"
+    val atom =
+      "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+        "<entry><link rel=\"alternate\" href=\"http://d.com/posts/c\"/>" +
+        "<updated>2026-02-09</updated></entry>" +
+        "<entry id=\"x\"><link href='http://d.com/posts/a'/>" + // dup of the RSS entry, canonically
+        "<updated>2026-01-01</updated></entry>" +
+        "</feed>"
+    val feeds = Seq(("d.com", rss), ("d.com", atom))
+      .toDF("reg_domain", "feed_xml")
+    val entries = Web.feedEntries(feeds)
+    val parsed = entries.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(parsed == Set(
+      ("http://d.com/posts/a", "2026-02-03"),
+      ("HTTP://WWW.d.com/posts/b?utm_source=feed", ""),
+      ("http://d.com/posts/c", "2026-02-09"),
+      ("http://d.com/posts/a", "2026-01-01")), parsed.toString)
+    // composition: the corpus already holds /posts/b (under its clean
+    // spelling) — the frontier diff catches it through canonicalization
+    val corpus = Seq(Tuple1("http://d.com/posts/b")).toDF("url")
+    val sched = Web.fetchSchedule(
+      Web.frontier(entries, corpus),
+      Seq(("d.com", 2L)).toDF("reg_domain", "crawl_delay_sec"))
+      .select("canon_loc", "slot", "fetch_offset_sec")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the dup /posts/a appears twice in the frontier (two stamps) —
+    // freshest first; /posts/b is known and absent; /posts/c freshest
+    assert(!sched.contains("http://d.com/posts/b"))
+    assert(sched("http://d.com/posts/c") == ((0L, 0L)),
+      "2026-02-09 is the freshest unknown entry")
+    assert(sched.size == 2 && sched.contains("http://d.com/posts/a"))
+  }
+
+  test("adaptive schedule: lastmod stays primary; change heat orders the " +
+    "rest; cold start takes the prior; hints carry the latest fetch") {
+    // fetch log: /hot changed on every re-fetch, /stale never did,
+    // /once was fetched a single time (no re-visit evidence), /new was
+    // never fetched at all
+    val log = Seq(
+      ("http://d.com/hot", "content one", "2026-01-01"),
+      ("http://d.com/hot", "content two", "2026-01-02"),
+      ("http://d.com/hot", "content three", "2026-01-03"),
+      ("http://d.com/stale", "same bytes", "2026-01-01"),
+      ("http://d.com/stale", "same bytes", "2026-01-02"),
+      ("http://d.com/once", "seen once", "2026-01-05")
+    ).toDF("url", "text", "fetched_at")
+    val history = Web.revisitStats(log, col("url"), col("text"),
+      col("fetched_at"))
+    val stats = history.collect()
+      .map(r => r.getAs[String]("canon_url") ->
+        Option(r.getAs[Any]("change_ppm"))).toMap
+    assert(stats("http://d.com/hot").contains(1000000L))
+    assert(stats("http://d.com/stale").contains(0L))
+    assert(stats("http://d.com/once").isEmpty,
+      "one fetch is no re-visit evidence either way")
+    val front = Seq(
+      ("d.com", "http://d.com/hot", "", true),
+      ("d.com", "http://d.com/stale", "", true),
+      ("d.com", "http://d.com/once", "", true),
+      ("d.com", "http://d.com/new", "", false),
+      // a sitemap-stamped entry outranks ALL lastmod-free ones: the
+      // declared freshness signal stays primary over observed heat
+      ("d.com", "http://d.com/stamped", "2026-02-01", false)
+    ).toDF("reg_domain", "canon_loc", "lastmod", "known")
+    val delays = Seq(("d.com", 3L)).toDF("reg_domain", "crawl_delay_sec")
+    val got = Web.fetchScheduleAdaptive(front, delays, history)
+      .select("canon_loc", "slot", "fetch_offset_sec", "if_modified_since",
+        "stored_digest")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // order: stamped (lastmod) → hot (1e6) → new/once (500000 prior,
+    // canon_loc ties) → stale (0); offsets at 3 s politeness steps
+    assert(got("http://d.com/stamped")._1 == 0L)
+    assert(got("http://d.com/hot")._1 == 1L)
+    assert(got("http://d.com/new")._1 == 2L, "cold start: the 500000 prior")
+    assert(got("http://d.com/once")._1 == 3L,
+      "fetched-once is the same epistemic state as never-fetched")
+    assert(got("http://d.com/stale")._1 == 4L,
+      "a hot URL outranks a stale one; the stone waits longest")
+    assert(got("http://d.com/stale")._2 == 12L, "slot·crawl_delay offsets")
+    // conditional hints: latest stamp + digest; cold rows carry none
+    assert(got("http://d.com/hot")._3 == "2026-01-03")
+    assert(got("http://d.com/stale")._3 == "2026-01-02")
+    assert(got("http://d.com/new")._3 == "" && got("http://d.com/new")._4 == "")
+    assert(got("http://d.com/hot")._4.nonEmpty)
+  }
+
   test("metaNoindex: both attribute orders, any case/quoting; decoys never fire") {
     val pages = Seq(
       (1L, "<meta name=\"robots\" content=\"noindex\">", true),
