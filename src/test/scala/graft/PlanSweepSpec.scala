@@ -65,6 +65,29 @@ class PlanSweepSpec extends AnyFunSuite {
     Set("events_drift", "storage_scd2", "storage_scd2_asof",
       "profile_corpus_diff")
 
+  /** Shuffle-exchange budgets for the TEN most expensive bench queries
+    * (round-11 BENCH_QUERIES.json order), LOCKED to their measured
+    * final-adaptive-plan counts at sf0.001 — twice-measured, identical.
+    * An edit that adds an avoidable exchange to one of these fails the
+    * suite structurally instead of waiting for a 2× anchor breach in a
+    * later bench run; an edit that REMOVES one fails the equality too,
+    * on purpose — re-lock the smaller number and keep the ratchet.
+    * Counts are ShuffleExchange nodes in the plan that RUNS (broadcast
+    * exchanges excluded — they move no partitioned data); composite
+    * queries with localCheckpoint boundaries count only the final
+    * job's plan, which is exactly the shape these locks guard. */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "mm_audio_neardup_incr" -> 17,
+    "mm_audio_neardup" -> 26,
+    "pipeline_prepare" -> 6,
+    "ann_res_recall" -> 17,
+    "dedup_containment" -> 3,
+    "ann_ivfpq_res" -> 2,
+    "pipeline_funnel" -> 8,
+    "pipeline_curate" -> 9,
+    "mm_video_neardup" -> 11,
+    "ann_recall" -> 21)
+
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -89,6 +112,12 @@ class PlanSweepSpec extends AnyFunSuite {
           violations += s"$name: allowlisted for CartesianProduct but plan has none"
         if (!smj && allowSortMerge(name))
           violations += s"$name: allowlisted for SortMergeJoin but plan has none"
+        exchangeBudget.get(name).foreach { budget =>
+          if (r.shuffles != budget)
+            violations += s"$name: ${r.shuffles} shuffle exchanges, " +
+              s"locked at $budget — if the change is deliberate, re-lock " +
+              "the new count in exchangeBudget"
+        }
       } catch {
         case e: Exception => violations += s"$name: failed to plan: ${e.getMessage}"
       }
