@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Web
+import graft.sources.Tables
+import graft.streaming.{DocStream, WebStream}
+
+/** Dev utility: CHAIN-grain streaming soak — the composed crawl loop
+  * (frontierIngest → crawlIngest → curateIngest) driven for many
+  * micro-batches over a scalegen replica corpus, with one kill/restart
+  * of all three queries mid-run. Each ingest's probe is already proven
+  * flat at 100× individually (StressIncr); the claim THIS harness
+  * tests is the composition: per-batch wall for each stage stays flat
+  * while every persisted artifact the chain maintains (frontier
+  * ledger, crawl url-hash index, signature index, three checkpointed
+  * sinks) grows batch over batch, and the restart loses nothing.
+  *
+  * Per batch: `perBatch` fresh docs become sitemap entries + fetched
+  * pages, PLUS a constant block of batch-0 re-entries and re-fetches —
+  * the dup probe mass that exercises the ledger/index joins at every
+  * size. The replica corpus's own near-dup structure (scalegen's
+  * ` repN` tails) pushes the curate stage's signature probes.
+  *
+  * Prints one line per batch:
+  * `[chain] batch=<b> frontier=<s> crawl=<s> curate=<s>
+  *   ledger=<rows> urls=<rows> sigs=<rows> corpus=<rows>` and a final
+  * integrity block (no dup, no loss, restart transparent).
+  *
+  * Usage: sbt "runMain graft.StressChain <sfDir> [nBatches] [perBatch]"
+  */
+object StressChain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/repo/.scratch/docs100"
+    val nBatches = if (args.length > 1) args(1).toInt else 16
+    val perBatch = if (args.length > 2) args(2).toInt else 5000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-chain-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val base = java.nio.file.Files.createTempDirectory("graft-chain")
+    def p(n: String) = base.resolve(n).toString
+    Seq("chain_urls", "chain_led", "chain_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    def url(id: Long) = s"http://s${id % 40}.example/p/$id"
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .limit(nBatches * perBatch)
+      .as[(Long, String)].collect()
+    require(all.length == nBatches * perBatch,
+      s"corpus too small: ${all.length} < ${nBatches * perBatch}")
+    // constant dup-probe block: batch 0's first 250 urls re-enter the
+    // frontier and re-fetch into the crawl at EVERY batch
+    val dupBlock = all.take(250)
+
+    val rules = Web.parseRobots(
+      (0 until 40).map(i => (s"s$i.example", "User-agent: *\n"))
+        .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val delays = (0 until 40).map(i => (s"s$i.example", 1L))
+      .toDF("reg_domain", "crawl_delay_sec").localCheckpoint()
+
+    val entries = MemoryStream[(String, String)]
+    val pages = MemoryStream[(Long, String, String)]
+    def startFrontier() = WebStream.frontierIngest(
+      entries.toDF().toDF("loc", "lastmod"), spark, "chain_urls",
+      "chain_led", delays, p("schedule"), p("ckpt_frontier"), numBuckets = 16)
+    def startCrawl() = WebStream.crawlIngest(
+      pages.toDF().toDF("doc_id", "url", "text"), spark, "chain_urls",
+      rules, p("crawl"), p("ckpt_crawl"), numBuckets = 16)
+    var qFrontier = startFrontier()
+    var qCrawl = startCrawl()
+    var qCurate: org.apache.spark.sql.streaming.StreamingQuery = null
+    def startCurate() = DocStream.curateIngest(
+      spark.readStream.schema(spark.read.parquet(p("crawl")).schema)
+        .parquet(p("crawl")).select("doc_id", "text"),
+      spark, "chain_sigs", p("corpus"), p("ckpt_curate"),
+      minQuality = 0.0, numBuckets = 16)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def tableRows(t: String): Long =
+      if (!spark.catalog.tableExists(t)) 0L
+      else { spark.catalog.refreshTable(t); spark.table(t).count() }
+
+    val killAt = nBatches / 2
+    for (b <- 0 until nBatches) {
+      val slice = all.slice(b * perBatch, (b + 1) * perBatch)
+      // the dup block only rides batches AFTER its own urls landed, and
+      // each re-fetch carries a FRESH fetch id (real re-fetches are new
+      // WARC records): the ingests' replay guards deliberately read a
+      // same-id re-arrival as an at-least-once replay, not a dup — the
+      // first run of this harness reused ids and proved exactly that
+      val dups: Seq[(Long, String, String)] =
+        if (b == 0) Seq.empty
+        else dupBlock.toSeq.map { case (id, t) =>
+          (id + 1000000L * b, url(id), t) }
+      val wF = timed {
+        entries.addData(slice.toSeq.map { case (id, _) =>
+          (url(id), f"2026-01-${(id % 28) + 1}%02d") } ++
+          dups.map { case (_, u, _) => (u, "2026-02-01") })
+        qFrontier.processAllAvailable()
+      }
+      val wC = timed {
+        pages.addData(slice.toSeq.map { case (id, t) =>
+          (id, url(id), t) } ++ dups)
+        qCrawl.processAllAvailable()
+      }
+      if (qCurate == null) qCurate = startCurate()
+      val wQ = timed(qCurate.processAllAvailable())
+      println(f"[chain] batch=$b%2d frontier=$wF%6.2f crawl=$wC%6.2f " +
+        f"curate=$wQ%6.2f ledger=${tableRows("chain_led")}%7d " +
+        f"urls=${tableRows("chain_urls")}%7d sigs=${tableRows("chain_sigs")}%7d " +
+        f"corpus=${spark.read.parquet(p("corpus")).count()}%7d")
+      if (b == killAt) {
+        println(s"[chain] === kill/restart all three queries after batch $b ===")
+        qFrontier.stop(); qCrawl.stop(); qCurate.stop()
+        qFrontier = startFrontier(); qCrawl = startCrawl()
+        qCurate = startCurate()
+      }
+    }
+    qFrontier.stop(); qCrawl.stop(); qCurate.stop()
+
+    // integrity: no dup, no loss, restart transparent
+    val crawlRows = spark.read.parquet(p("crawl")).select("doc_id")
+    val nCrawl = crawlRows.count()
+    val nCrawlD = crawlRows.distinct().count()
+    val corpusRows = spark.read.parquet(p("corpus")).select("doc_id")
+    val nCorpus = corpusRows.count()
+    val nCorpusD = corpusRows.distinct().count()
+    val nUrls = tableRows("chain_urls")
+    val nLed = tableRows("chain_led")
+    println(s"[chain] integrity crawl=$nCrawl distinct=$nCrawlD " +
+      s"(expect ${nBatches * perBatch}: every unique page once, every " +
+      "re-fetch dropped)")
+    println(s"[chain] integrity corpus=$nCorpus distinct=$nCorpusD " +
+      "(near-dup replicas deduped; no doc twice)")
+    println(s"[chain] integrity urls=$nUrls ledger=$nLed")
+    require(nCrawl == nBatches.toLong * perBatch && nCrawl == nCrawlD,
+      "crawl stage lost or duplicated pages across the restart")
+    require(nCorpus == nCorpusD, "corpus carries duplicate docs")
+    require(nUrls == nCrawl, "url index out of step with the crawl sink")
+    spark.stop()
+  }
+}

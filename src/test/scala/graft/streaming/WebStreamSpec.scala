@@ -189,6 +189,100 @@ class WebStreamSpec extends AnyFunSuite {
       s"markup must be stripped on the curated text: ${corpus(1L)}")
   }
 
+  test("chained frontier → crawl → curate: a mid-chain kill/restart of " +
+    "all three queries loses nothing and duplicates nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-chainrestart")
+    val schedOut = base.resolve("sched").toString
+    val crawlOut = base.resolve("crawl").toString
+    val corpusOut = base.resolve("corpus").toString
+    Seq("chainr_urls", "chainr_led", "chainr_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val delays = Seq(("d.com", 1L)).toDF("reg_domain", "crawl_delay_sec")
+      .localCheckpoint()
+    val textA = "rivers and stones and gardens make fine prose for a " +
+      "curation pipeline to keep and score across restarts"
+    val textC = "mountains and valleys and forests carry wholly different " +
+      "prose so the near dedup stage keeps this page too"
+
+    val entries = MemoryStream[(String, String)]
+    val pages = MemoryStream[(Long, String, String)]
+    def startFrontier() = WebStream.frontierIngest(
+      entries.toDF().toDF("loc", "lastmod"), spark, "chainr_urls",
+      "chainr_led", delays, schedOut,
+      base.resolve("ck1").toString, numBuckets = 4)
+    def startCrawl() = WebStream.crawlIngest(
+      pages.toDF().toDF("doc_id", "url", "text"), spark, "chainr_urls",
+      rules, crawlOut, base.resolve("ck2").toString, numBuckets = 4)
+    def startCurate() = DocStream.curateIngest(
+      spark.readStream.schema(spark.read.parquet(crawlOut).schema)
+        .parquet(crawlOut).select("doc_id", "text"),
+      spark, "chainr_sigs", corpusOut,
+      base.resolve("ck3").toString, minQuality = 0.0, numBuckets = 4)
+
+    // ---- batch 1 through the whole chain
+    var qF = startFrontier(); var qC = startCrawl()
+    entries.addData(("http://d.com/a", "2026-02-01"),
+      ("http://d.com/b", "2026-02-02"))
+    qF.processAllAvailable()
+    pages.addData((1L, "http://d.com/a", textA),
+      (2L, "http://d.com/b", textA + " with a small boilerplate tail"))
+    qC.processAllAvailable()
+    var qQ = startCurate()
+    qQ.processAllAvailable()
+    // /b near-dups /a in-batch: corpus keeps min-id survivor 1 only
+    assert(spark.read.parquet(corpusOut).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+
+    // ---- kill the WHOLE chain between batches
+    qF.stop(); qC.stop(); qQ.stop()
+    qF = startFrontier(); qC = startCrawl(); qQ = startCurate()
+
+    // ---- batch 2 on the restarted chain: every cross-batch memory
+    // must have survived the restart
+    entries.addData(
+      ("http://d.com/a", "2026-02-09"),  // already CRAWLED → url-index probe
+      ("HTTP://WWW.d.com/b?utm_source=x", "2026-02-10"), // crawled, messy spelling
+      ("http://d.com/c", "2026-02-05"),  // genuinely new
+      ("http://d.com/d", "2026-02-06"))  // new url, near-dup content
+    qF.processAllAvailable()
+    val sched2 = spark.read.parquet(schedOut)
+      .filter(col("ingest_batch") > 0).select("canon_loc")
+      .as[String].collect().toSet
+    assert(sched2 == Set("http://d.com/c", "http://d.com/d"),
+      s"restarted frontier still drops crawled urls: $sched2")
+    pages.addData(
+      (3L, "http://d.com/c", textC),
+      (4L, "http://d.com/d", textA + " with another tail"), // near-dups batch-1's 1
+      (5L, "http://d.com/a?gclid=z", textA))                // re-fetch: url index
+    qC.processAllAvailable()
+    qQ.processAllAvailable()
+
+    // crawl stage: the re-fetch dropped, c and d kept
+    val crawl = spark.read.parquet(crawlOut).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(crawl == Seq(1L, 2L, 3L, 4L),
+      s"no re-emit of batch 1, re-fetch 5 dropped: $crawl")
+    // curate stage: d's content near-dups the batch-1 SURVIVOR through
+    // the restarted signature index; c is new — corpus = {1, 3}
+    val corpus = spark.read.parquet(corpusOut).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(corpus == Seq(1L, 3L),
+      s"cross-batch near-dup memory survived the restart: $corpus")
+    // ledgers/indexes: exactly one row per unique url — no duplicate
+    // appends anywhere across the restart
+    spark.catalog.refreshTable("chainr_urls")
+    spark.catalog.refreshTable("chainr_led")
+    assert(spark.table("chainr_urls").select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    val led = spark.table("chainr_led").select("url_hash").as[Long].collect()
+    assert(led.length == led.distinct.length && led.length == 4,
+      s"frontier ledger: a, b, c, d exactly once: ${led.length}")
+    qF.stop(); qC.stop(); qQ.stop()
+  }
+
   test("frontier ingest: crawled/scheduled probes, per-batch schedule, ledger") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-frontier")
