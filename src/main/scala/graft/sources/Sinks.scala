@@ -250,11 +250,27 @@ object Sinks {
     val corpus = base + "/corpus"
     val sigT = s"q_retract_sig_$tag"
     val urlT = s"q_retract_url_$tag"
-    // fresh scenario per run (the query re-runs under Verify AND bench)
+    // fresh scenario per run (the query re-runs under Verify AND
+    // bench, each a NEW session over the same persistent warehouse
+    // dir): drop catalog entries AND physically delete the managed
+    // locations — a dir left by a previous session is invisible to
+    // this session's catalog, and saveAsTable refuses to create over
+    // it (LOCATION_ALREADY_EXISTS)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    Seq(sigT, urlT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def dropHard(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_retract_staging")
+      Seq(t, t + "_retract_staging").foreach { n =>
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(n)))
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+    }
+    Seq(sigT, urlT).foreach(dropHard)
     val docs = Tables.documents(spark, dir)
       .withColumn("source", when(col("doc_id") % 7 === 3,
         lit("retract.example")).otherwise(col("source")))
@@ -279,6 +295,11 @@ object Sinks {
     spark.catalog.refreshTable(urlT)
     val afterSig = spark.table(sigT).count()
     val afterUrl = spark.table(urlT).count()
+    // stateless-query discipline: every count above is already a
+    // collected Long, so the scenario's tables (and their warehouse
+    // dirs) clean up before the result frame is returned
+    Seq(sigT, urlT).foreach(dropHard)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
     Seq(
       ("corpus", report(corpus), afterCorpus),
       ("index_sig", report(sigT), afterSig),
