@@ -824,6 +824,35 @@ object Web {
       .orderBy("doc_id")
   }
 
+  /** Compliance SWEEP — the policy-flip trigger of the delete path:
+    * documents the corpus ALREADY holds whose URLs the CURRENT robots
+    * policy disallows. Robots files change at the site owner's whim; a
+    * fetch that was legal in January is a standing violation in March,
+    * and RFC 9309 consent is ongoing, not grandfathered. One pass of
+    * the corpus URL table through [[robotsGate]] (rules broadcast, the
+    * corpus never shuffles) filtered to the disallowed verdicts;
+    * output rows feed [[graft.sources.Sinks.retractDocs]] directly
+    * (takedown lists and [[retractDomains]] are the other two
+    * triggers). Output (doc_id, reg_domain, pathq, rule). */
+  def policyViolations(urls: DataFrame, rules: DataFrame): DataFrame =
+    robotsGate(urls, rules).filter(!col("allowed"))
+      .select("doc_id", "reg_domain", "pathq", "rule")
+
+  /** The sweep over the synth-URL corpus under the fixture policies —
+    * exactly the disallowed slice of [[qRobotsGate]]'s verdict table,
+    * so the oracle is the same hand-derived rule CTE filtered to
+    * `allowed = false` (never a mirrored re-parse). */
+  def qPolicySweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = parseRobots(RobotsFixture.toDF("reg_domain", "robots_txt"))
+    val urls = withUrl(spark, dir).select(
+      col("doc_id"),
+      registeredDomain(col("url")).as("reg_domain"),
+      canonicalPathQuery(col("url")).as("pathq"))
+    policyViolations(urls, rules)
+      .orderBy("doc_id", "reg_domain", "pathq", "rule")
+  }
+
   // ---- domain retraction ---------------------------------------------
 
   /** Retract every document of `domains` from the corpus sink and all

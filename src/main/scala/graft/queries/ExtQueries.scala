@@ -171,6 +171,7 @@ object ExtQueries {
     "web_url_refresh"       -> Web.qUrlRefresh _,
     "web_fetch_adaptive"    -> Web.qFetchAdaptive _,
     "web_feed_urls"         -> Web.qFeedUrls _,
+    "web_policy_sweep"      -> Web.qPolicySweep _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -240,6 +241,64 @@ object ExtQueries {
       Seq("o_orderstatus", "o_orderpriority").map(str))
       .mkString("\nUNION ALL\n")
   }
+
+  /** Shared hand-derived robots VERDICT table (url synth +
+    * canonicalization + the fixture rule table + longest-match pick) —
+    * the gate query orders it whole; the policy sweep filters it to
+    * the disallowed slice. One derivation, two oracles. */
+  private val robotsVerdictSql: String =
+    """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
+        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', ''), '.') AS labels,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
+        |           OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) AS keep
+        |  FROM u),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
+        |              AND len(labels) >= 3
+        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |         ELSE labels[-2] || '.' || labels[-1] END AS reg_domain,
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS pathq
+        |  FROM p),
+        |rules AS (SELECT * FROM (VALUES
+        |    ('example.com', FALSE, '/en/page/1', 10, '^/en/page/1'),
+        |    ('example.com', TRUE,  '/en/page/12', 11, '^/en/page/12'),
+        |    ('example.com', FALSE, '/de/', 4, '^/de/'),
+        |    ('example.com', FALSE, '/*/page/4$', 10, '^/.*/page/4$'),
+        |    ('data.co.uk',  FALSE, '/es/page/2?id=', 14, '^/es/page/2\?id='),
+        |    ('data.co.uk',  FALSE, '/zh/page/3', 10, '^/zh/page/3'),
+        |    ('data.co.uk',  TRUE,  '/zh/page/33', 11, '^/zh/page/33'),
+        |    ('site.org',    FALSE, '/', 1, '^/'),
+        |    ('site.org',    TRUE,  '/en/', 4, '^/en/'),
+        |    ('site.org',    TRUE,  '/fr/page/7', 10, '^/fr/page/7'),
+        |    ('site.org',    TRUE,  '/zh/page/1*', 11, '^/zh/page/1.*'))
+        |  v(reg_domain, allow, prefix, rule_len, rx)),
+        |cand AS (SELECT t.doc_id, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY r.rule_len DESC, r.allow DESC, r.prefix) AS rk
+        |  FROM t JOIN rules r USING (reg_domain)
+        |  WHERE regexp_matches(t.pathq, r.rx))
+        |SELECT t.doc_id, t.reg_domain, t.pathq,
+        |  coalesce(b.prefix, '') AS rule,
+        |  coalesce(b.allow, TRUE) AS allowed
+        |FROM t LEFT JOIN (SELECT doc_id, prefix, allow FROM cand WHERE rk = 1) b
+        |  USING (doc_id)""".stripMargin
 
   /** DuckDB mirror of Sampling.hash16: uniform 16-bit value from the
     * first 4 hex digits of md5(salt || ':' || doc_id). */
@@ -3834,60 +3893,18 @@ object ExtQueries {
     // empty-rule drop, escaping, anchor placement) lands different
     // rules → different verdicts → hash mismatch; the matching SQL then
     // independently re-implements longest-match with allow-wins ties.
+    // NOTE: robotsVerdictSql is already margin-stripped — concatenate,
+    // never re-stripMargin (its `||` concat operators read as margins).
     "web_robots_gate" ->
-      """WITH u AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END)
-        |    || '://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
-        |    || source || '.'
-        |    || (CASE doc_id % 3 WHEN 0 THEN 'example.com' WHEN 1 THEN 'data.co.uk' ELSE 'site.org' END)
-        |    || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
-        |    || '/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
-        |    || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
-        |        WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=x'
-        |        WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc123'
-        |        WHEN 4 THEN '?sessionid=' || CAST(doc_id % 13 AS VARCHAR) || '&q=train'
-        |        ELSE '' END)
-        |    || (CASE WHEN doc_id % 9 = 0 THEN '#sec-2' ELSE '' END) AS url
-        |  FROM documents),
-        |p AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(regexp_extract(url, '://([^:/?#]*)', 1)), '^www\.', ''), '.') AS labels,
-        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path0,
-        |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-        |      x -> x <> '' AND NOT (starts_with(split_part(x, '=', 1), 'utm_')
-        |           OR split_part(x, '=', 1) IN ('gclid', 'fbclid', 'sessionid')))) AS keep
-        |  FROM u),
-        |t AS (SELECT doc_id,
-        |    CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk', 'com.au', 'co.jp')
-        |              AND len(labels) >= 3
-        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-        |         ELSE labels[-2] || '.' || labels[-1] END AS reg_domain,
-        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
-        |    (CASE WHEN len(keep) = 0 THEN '' ELSE '?' || array_to_string(keep, '&') END) AS pathq
-        |  FROM p),
-        |rules AS (SELECT * FROM (VALUES
-        |    ('example.com', FALSE, '/en/page/1', 10, '^/en/page/1'),
-        |    ('example.com', TRUE,  '/en/page/12', 11, '^/en/page/12'),
-        |    ('example.com', FALSE, '/de/', 4, '^/de/'),
-        |    ('example.com', FALSE, '/*/page/4$', 10, '^/.*/page/4$'),
-        |    ('data.co.uk',  FALSE, '/es/page/2?id=', 14, '^/es/page/2\?id='),
-        |    ('data.co.uk',  FALSE, '/zh/page/3', 10, '^/zh/page/3'),
-        |    ('data.co.uk',  TRUE,  '/zh/page/33', 11, '^/zh/page/33'),
-        |    ('site.org',    FALSE, '/', 1, '^/'),
-        |    ('site.org',    TRUE,  '/en/', 4, '^/en/'),
-        |    ('site.org',    TRUE,  '/fr/page/7', 10, '^/fr/page/7'),
-        |    ('site.org',    TRUE,  '/zh/page/1*', 11, '^/zh/page/1.*'))
-        |  v(reg_domain, allow, prefix, rule_len, rx)),
-        |cand AS (SELECT t.doc_id, r.prefix, r.allow,
-        |    row_number() OVER (PARTITION BY t.doc_id
-        |      ORDER BY r.rule_len DESC, r.allow DESC, r.prefix) AS rk
-        |  FROM t JOIN rules r USING (reg_domain)
-        |  WHERE regexp_matches(t.pathq, r.rx))
-        |SELECT t.doc_id, t.reg_domain, t.pathq,
-        |  coalesce(b.prefix, '') AS rule,
-        |  coalesce(b.allow, TRUE) AS allowed
-        |FROM t LEFT JOIN (SELECT doc_id, prefix, allow FROM cand WHERE rk = 1) b
-        |  USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      (robotsVerdictSql + "\nORDER BY doc_id"),
+
+    // Web.qPolicySweep: the disallowed slice of the same verdict table
+    // — the compliance sweep a robots policy flip triggers; rows feed
+    // Sinks.retractDocs.
+    "web_policy_sweep" ->
+      ("SELECT doc_id, reg_domain, pathq, rule FROM (\n" +
+        robotsVerdictSql + ") g WHERE NOT allowed\n" +
+        "ORDER BY doc_id, reg_domain, pathq, rule"),
 
     // Web.qRobotsUa: identical URL derivation, but the HAND-DERIVED rule
     // table is the one RFC 9309 §2.2.1 group selection yields for the

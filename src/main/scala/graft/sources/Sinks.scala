@@ -381,6 +381,63 @@ object Sinks {
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 
+  /** Compact a BUCKETED catalog table the streaming ingests append to:
+    * every per-batch `mode(Append).bucketBy(...)` lands one file per
+    * bucket per batch, so after B batches each bucket holds B small
+    * files and every probe opens B × buckets files — the small-files
+    * problem inside a bucketed table, which path-level
+    * [[compactParquet]] cannot touch (rewriting bucket files without
+    * the bucket spec would silently BREAK the zero-exchange probe
+    * property). This rewrites the table through the staging + catalog-
+    * rename publish ([[retractFromTable]]'s machinery) with the
+    * original bucket/sort spec re-applied, collapsing each bucket to
+    * one file while keeping row content and probe plans identical
+    * (spec-locked: row parity, file count, bucket spec, zero-exchange
+    * join after compaction).
+    *
+    * File-count bound: the bucketBy writer emits one file per (task,
+    * bucket-present-in-task), so the rewrite lands ≤ writeTasks ×
+    * numBuckets files — BATCH-COUNT-INDEPENDENT, vs the append era's
+    * B × buckets growing without bound. `writeTasks = 1` gives exactly
+    * one file per bucket at single-task write throughput (fine for
+    * metadata-sized indexes); the default (= numBuckets tasks) keeps
+    * the rewrite parallel at a buckets² worst-case file count.
+    * (Task-to-bucket hash alignment is deliberately NOT assumed — the
+    * shuffle partitioner and the bucket-id function are separate
+    * contracts, measured non-identical here.)
+    *
+    * Quiesce contract: run between micro-batches (the maintenance
+    * window every ingest here naturally has — foreachBatch bodies are
+    * serial); an append racing the rewrite would be lost with the old
+    * table. Returns (files_before, files_after); a missing table is a
+    * no-op (0, 0). */
+  def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, writeTasks: Int = 0): (Int, Int) = {
+    if (!spark.catalog.tableExists(table)) return (0, 0)
+    spark.catalog.refreshTable(table)
+    def files(): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    }
+    val before = files()
+    val spec = bucketSpecOf(spark, table)
+    import org.apache.spark.sql.functions.col
+    val aligned = spec match {
+      case Some(bs) =>
+        val n = if (writeTasks > 0) writeTasks else bs.numBuckets
+        spark.table(table).repartition(n, bs.bucketColumnNames.map(col): _*)
+      case None => spark.table(table)
+        .coalesce(math.max(1, writeTasks))
+    }
+    publishTable(spark, table, aligned, spec)
+    spark.catalog.refreshTable(table)
+    (before, files())
+  }
+
   /** Delete from catalog table `table` every row whose `idCol` is in
     * `ids` (any frame carrying that column). Surviving rows rewrite
     * through a staging table that re-applies the original bucket/sort

@@ -370,6 +370,96 @@ class SinksSpec extends AnyFunSuite {
     assert(pairs == Set((6L, 7L)))
   }
 
+  test("policy sweep → retraction: a robots flip removes exactly the " +
+    "now-disallowed docs from corpus and index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-sweep").toString
+    val corpus = base + "/corpus"
+    spark.sql("DROP TABLE IF EXISTS t_sweep_url")
+    val docs = Seq(
+      (1L, "http://d.com/news/a", "breaking news article one"),
+      (2L, "http://d.com/news/b", "breaking news article two"),
+      (3L, "http://d.com/blog/c", "a blog post that stays"),
+      (4L, "http://d.com/about", "the about page stays too"))
+      .toDF("doc_id", "url", "text")
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    Sinks.writeBucketed(
+      docs.select(xxhash64(col("url")).as("url_hash"), col("doc_id")),
+      "t_sweep_url", Seq("url_hash"), numBuckets = 4, Seq("url_hash"))
+    // the owner flips /news/ to Disallow AFTER both articles were
+    // legally fetched
+    val flipped = graft.operators.Web.parseRobots(Seq(
+      ("d.com", "User-agent: *\nDisallow: /news/\n"))
+      .toDF("reg_domain", "robots_txt"))
+    val urls = docs.select(col("doc_id"),
+      graft.operators.Web.registeredDomain(col("url")).as("reg_domain"),
+      graft.operators.Web.canonicalPathQuery(col("url")).as("pathq"))
+    val violations = graft.operators.Web.policyViolations(urls, flipped)
+    assert(violations.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    Sinks.retractDocs(spark, violations,
+      Sinks.RetractionTargets(corpusPath = Some(corpus),
+        indexTables = Seq("t_sweep_url" -> "doc_id")))
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(3L, 4L))
+    spark.catalog.refreshTable("t_sweep_url")
+    assert(spark.table("t_sweep_url").select("doc_id")
+      .as[Long].collect().toSet == Set(3L, 4L),
+      "the compliance loop closes: flip → sweep → physical delete")
+  }
+
+  test("compactIndexTable: per-batch append files collapse; rows, bucket " +
+    "spec and the zero-exchange probe all survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS t_compact_idx")
+    // simulate 6 streaming batch appends into a 4-bucket index: the
+    // writer lands one file per (bucket, batch) — 20+ small files
+    (0 until 6).foreach { b =>
+      (0 until 50).map(i => (b * 100L + i, s"h${i % 17}"))
+        .toDF("doc_id", "bucket_key")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .bucketBy(4, "bucket_key").sortBy("bucket_key")
+        .saveAsTable("t_compact_idx")
+    }
+    spark.catalog.refreshTable("t_compact_idx")
+    val rowsBefore = spark.table("t_compact_idx").collect().toSet
+    // writeTasks = 1: exactly one file per bucket, the tightest bound
+    val (before, after) = Sinks.compactIndexTable(spark, "t_compact_idx",
+      writeTasks = 1)
+    assert(before >= 20, s"append-era file count: $before")
+    assert(after <= 4, s"at most one file per bucket after: $after")
+    // idempotent: a second (parallel, default-tasks) pass stays within
+    // the batch-independent buckets x tasks bound and changes no rows
+    val (_, after2) = Sinks.compactIndexTable(spark, "t_compact_idx")
+    assert(after2 <= 16, s"bound <= buckets x tasks: $after2")
+    // content identical
+    assert(spark.table("t_compact_idx").collect().toSet == rowsBefore)
+    // bucket spec preserved…
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_compact_idx"))
+      .bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("bucket_key")), spec.toString)
+    // …and a co-bucketed probe still joins with ZERO exchange
+    spark.sql("DROP TABLE IF EXISTS t_compact_probe")
+    Seq((1L, "h3"), (2L, "h9")).toDF("probe_id", "bucket_key")
+      .write.format("parquet").bucketBy(4, "bucket_key")
+      .sortBy("bucket_key").saveAsTable("t_compact_probe")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_compact_idx")
+        .join(spark.table("t_compact_probe"), Seq("bucket_key"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"compacted bucketed join must not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("retractFromParquet: a crash mid-swap loses no surviving row; " +
     "the next call adopts and finishes") {
     import spark.implicits._
