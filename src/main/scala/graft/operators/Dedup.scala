@@ -178,11 +178,13 @@ object Dedup {
   }
 
   /** Probe a persisted [[writeSignatureIndex]] table with an incoming
-    * batch of documents. */
+    * batch of documents. Reads through [[graft.sources.Sinks.liveRows]]
+    * so tombstoned (pending-vacuum) docs never match; with no tombstone
+    * journal the plan is the plain table. */
   def dedupBatchAgainstIndex(spark: SparkSession, batch: DataFrame,
       tableName: String, numHashes: Int = 16, bands: Int = 4,
       shingleK: Int = 3, minEstJaccard: Double = 0.25): DataFrame =
-    incrementalPairs(spark.table(tableName),
+    incrementalPairs(graft.sources.Sinks.liveRows(spark, tableName),
       signatureIndex(batch, numHashes, bands, shingleK), numHashes, minEstJaccard)
 
   // ---- SimHash ----------------------------------------------------------

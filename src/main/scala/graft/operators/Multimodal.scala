@@ -1222,11 +1222,13 @@ object Multimodal {
     }
 
   /** Probe a persisted [[writeAudioLandmarkIndex]] table with a batch of
-    * new clips' sample panels (df cap read from the stats journal). */
+    * new clips' sample panels (df cap read from the stats journal).
+    * Reads through [[graft.sources.Sinks.liveRows]]: tombstoned docs
+    * never match; journal-free plan unchanged. */
   def audioDedupBatchAgainstIndex(spark: SparkSession, batchSamples: DataFrame,
       tableName: String, maxDf: Option[Int] = Some(20),
       minSharedPpm: Long = 500000L): DataFrame =
-    audioIncrementalPairs(spark.table(tableName),
+    audioIncrementalPairs(graft.sources.Sinks.liveRows(spark, tableName),
       audioLandmarks(batchSamples), maxDf, minSharedPpm,
       corpusDf = indexDfStats(spark, tableName,
         Seq("s1", "s2", "dw"), "graft_df"))
@@ -3383,12 +3385,14 @@ object Multimodal {
   }
 
   /** Probe a persisted [[writeVideoSignatureIndex]] table with a batch
-    * of new videos (bucket cap read from the stats journal). */
+    * of new videos (bucket cap read from the stats journal). Reads
+    * through [[graft.sources.Sinks.liveRows]]: tombstoned docs never
+    * match; journal-free plan unchanged. */
   def videoDedupBatchAgainstIndex(spark: SparkSession, batchMedia: DataFrame,
       tableName: String, step: Int = 2, cutThreshold: Long = 1L,
       bits: Int = 24, maxHamming: Long = 6L,
       maxBucketSize: Option[Int] = Some(512)): DataFrame =
-    videoIncrementalPairs(spark.table(tableName),
+    videoIncrementalPairs(graft.sources.Sinks.liveRows(spark, tableName),
       videoSignatures(batchMedia, step, cutThreshold, bits),
       bits, maxHamming, maxBucketSize,
       corpusDf = indexDfStats(spark, tableName,

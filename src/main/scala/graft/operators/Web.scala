@@ -662,17 +662,36 @@ object Web {
     * are the point; callers pass the frontier slice they want
     * (discovery: `!known`; refresh: `known`; mixed: both).
     *
+    * `linkPrior` (optional): a [[linkStats]] table. Change history can
+    * only rank URLs the crawl has SEEN; among discovery URLs — all cold,
+    * all at `coldStartPpm` — the in-link evidence is the only signal
+    * there is, so when present, `n_ref_domains` DESC breaks the
+    * cold-tie before the lexicographic fallback (the spam-resistant
+    * count: a link farm on one domain moves it by 1). Absent, the order
+    * is exactly the two-signal form.
+    *
     * Scale: the history join is url-grain on the same canonical key
-    * the crawl's url index carries; delays broadcast; the window is
-    * per-domain. */
+    * the crawl's url index carries; the link prior joins on the same
+    * key; delays broadcast; the window is per-domain. */
   def fetchScheduleAdaptive(frontierDf: DataFrame, delays: DataFrame,
       history: DataFrame, defaultDelaySec: Long = 1L,
-      coldStartPpm: Long = 500000L): DataFrame = {
+      coldStartPpm: Long = 500000L,
+      linkPrior: Option[DataFrame] = None): DataFrame = {
     val h = history.select(col("canon_url").as("canon_loc"),
       col("change_ppm"), col("last_fetch"), col("last_digest"))
     val w = Window.partitionBy("reg_domain")
-      .orderBy(col("lastmod").desc, col("score_ppm").desc, col("canon_loc"))
-    frontierDf
+      .orderBy(col("lastmod").desc, col("score_ppm").desc,
+        col("graft_ref").desc, col("canon_loc"))
+    val withLinks = linkPrior match {
+      case Some(ls) => frontierDf.join(
+          ls.select(col("dst_url").as("canon_loc"),
+            col("n_ref_domains").as("graft_ref0")),
+          Seq("canon_loc"), "left")
+        .withColumn("graft_ref", coalesce(col("graft_ref0"), lit(0L)))
+        .drop("graft_ref0")
+      case None => frontierDf.withColumn("graft_ref", lit(0L))
+    }
+    withLinks
       .join(h, Seq("canon_loc"), "left")
       .withColumn("score_ppm", coalesce(col("change_ppm"), lit(coldStartPpm)))
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
@@ -852,6 +871,253 @@ object Web {
     policyViolations(urls, rules)
       .orderBy("doc_id", "reg_domain", "pathq", "rule")
   }
+
+  // ---- link graph ------------------------------------------------------
+  //
+  // The hyperlink structure of the crawled pages — the signal every
+  // production crawler uses to decide WHAT to fetch next (in-link count
+  // from distinct referring domains is the classic spam-resistant
+  // priority; PageRank is its fixpoint form) and the provenance signal
+  // quality pipelines use (anchor text is a human-written summary of the
+  // target). Extraction is codegen'd regex at scan speed; the stats are
+  // one url-grain hash aggregate; PageRank is the Pregel shape — one
+  // edge-grain shuffle join per iteration, lineage cut between rounds.
+
+  /** Extract `<a href>` hyperlinks from page HTML: one row per anchor
+    * tag, `(doc_id, src_url, dst_url, anchor)` with `src_url` the
+    * canonicalized page URL, `dst_url` the canonicalized RESOLVED
+    * target and `anchor` the tag-stripped, whitespace-collapsed anchor
+    * text. Resolution covers the four shapes that account for real
+    * page links: absolute (`scheme://…` kept), protocol-relative
+    * (`//host/…` takes the page scheme), root-relative (`/path` takes
+    * the page authority) and sibling-relative (resolved against the
+    * page URL's directory). Dot-segment normalization (`../`) is
+    * deliberately NOT applied — rare in href attributes, and skipping
+    * it keeps every step in the Java∩RE2 oracle subset. Non-navigational
+    * hrefs drop: empty, `javascript:`/`mailto:`/`tel:` pseudo-schemes,
+    * and fragment-only links (a fragment is stripped first, so
+    * `page#sec` resolves to `page` and `#sec` alone drops).
+    *
+    * Scale: pure per-row regex work plus one explode — zero shuffle;
+    * the corpus text never moves. */
+  def extractLinks(pages: DataFrame, pageUrl: Column, html: Column): DataFrame = {
+    val tags = pages.select(col("doc_id"),
+      canonicalUrl(pageUrl).as("src_url"),
+      urlScheme(pageUrl).as("graft_scheme"),
+      regexp_extract(pageUrl, "^[A-Za-z]+://([^/?#]*)", 1).as("graft_auth"),
+      regexp_replace(when(urlPath(pageUrl) === "", "/")
+        .otherwise(urlPath(pageUrl)), "[^/]*$", "").as("graft_dir"),
+      explode(regexp_extract_all(html,
+        lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))).as("tag"))
+    val href0 = regexp_extract(col("tag"),
+      "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val href = regexp_replace(href0, "#.*$", "")
+    val resolved =
+      when(href.rlike("^[A-Za-z]+://"), href)
+        .when(href.startsWith("//"),
+          concat(col("graft_scheme"), lit(":"), href))
+        .when(href.startsWith("/"),
+          concat(col("graft_scheme"), lit("://"), col("graft_auth"), href))
+        .otherwise(concat(col("graft_scheme"), lit("://"), col("graft_auth"),
+          col("graft_dir"), href))
+    val anchor = trim(regexp_replace(regexp_replace(
+      regexp_extract(col("tag"), "(?is)<a\\b[^>]*>(.*)</a>", 1),
+      "<[^>]*>", ""), "\\s+", " "))
+    tags
+      .filter(href =!= "" && !href.rlike("(?i)^(javascript|mailto|tel):"))
+      .select(col("doc_id"), col("src_url"),
+        canonicalUrl(resolved).as("dst_url"), anchor.as("anchor"))
+  }
+
+  /** In-link statistics per target URL over an [[extractLinks]] edge
+    * table: total in-links, distinct referring REGISTERED domains (the
+    * spam-resistant count — a link farm on one domain contributes 1),
+    * and external in-links (referrer's eTLD+1 ≠ target's). These are
+    * the crawl-priority and quality-prior inputs; compose into
+    * [[fetchScheduleAdaptive]] as the cold-start discriminator.
+    * One url-grain hash aggregate; only URLs move. */
+  def linkStats(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst_url"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        count_distinct(registeredDomain(col("src_url"))).as("n_ref_domains"),
+        sum((registeredDomain(col("src_url")) =!=
+          registeredDomain(col("dst_url"))).cast("long")).as("n_external"))
+
+  /** Top-k anchor texts per target URL — the human-written summaries of
+    * a page that OTHER pages wrote, the classic retrieval/labeling
+    * signal a link graph yields (anchor text describes the target
+    * better than the target's own boilerplate). Per `dst_url`: the k
+    * most frequent non-empty anchors, count-desc with the
+    * lexicographic tie-break. One (url, anchor)-grain aggregate plus a
+    * url-partitioned window over the aggregated counts — the window's
+    * partitions are target-grain, never corpus-grain. */
+  def anchorTexts(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "anchorTexts: k >= 1")
+    val w = Window.partitionBy("dst_url")
+      .orderBy(col("n").desc, col("anchor"))
+    edges.filter(col("anchor") =!= "")
+      .groupBy("dst_url", "anchor").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** PageRank in exact integer ppm arithmetic (so the oracle replays it
+    * bit-for-bit): ranks start at 10⁶ per node; each iteration every
+    * node emits `rank div outdeg` along each DISTINCT out-edge and
+    * collects `(1 − d) · 10⁶ + (d_ppm · Σ contrib) div 10⁶`. Dangling
+    * nodes (no out-links) leak their mass — the standard simplification;
+    * ranks then order, they don't sum to N·10⁶. Duplicate edges count
+    * once (a page linking its neighbor five times is one endorsement).
+    *
+    * Scale: the Pregel shape — per iteration one shuffle join of the
+    * edge table against the node-grain rank frame plus one dst-grain
+    * aggregate; `localCheckpoint` cuts lineage between rounds so the
+    * plan stays iteration-count-independent. Edges dominate; ranks are
+    * node-grain. Fixed small `iters` (crawl priority needs ordering
+    * stability, not convergence). */
+  def pageRankPpm(edges: DataFrame, iters: Int = 3,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
+      "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
+    val e = edges.select(col("src_url").as("graft_src"),
+      col("dst_url").as("graft_dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("graft_src").as("url"))
+      .union(e.select(col("graft_dst").as("url"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy("graft_src")
+      .agg(count(lit(1)).as("graft_out")).localCheckpoint()
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("url", "graft_src"), Seq("graft_src"))
+        .join(outdeg, Seq("graft_src"))
+        .select(col("graft_dst").as("url"),
+          expr("rank_ppm div graft_out").as("graft_c"))
+        .groupBy("url").agg(sum("graft_c").as("graft_in"))
+      ranks = nodes.join(contrib, Seq("url"), "left")
+        .select(col("url"),
+          (lit(1000000L - dampPpm) + expr(
+            s"($dampPpm * coalesce(graft_in, 0L)) div 1000000"))
+            .cast("long").as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Link extraction over corpus-derived pages (branch-derived oracle).
+    * Page URL `http://{source}.example/dir/page.html`; per id%5 the body
+    * carries: 0 → an ABSOLUTE link with canonicalization work left in it
+    * (uppercase scheme/host, explicit :80, a utm param to strip); 1 → a
+    * ROOT-relative link whose anchor holds an inner tag + doubled space
+    * (tag-strip and whitespace-collapse both visible); 2 → a
+    * PROTOCOL-relative link (page scheme adopted, host lowercased);
+    * 3 → a SIBLING-relative link (directory resolution); 4 → decoys
+    * only (javascript: and fragment-only → zero rows). */
+  def qLinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val body = when(id % 5 === 0, concat(
+        lit("<a href=\"HTTP://Ext.Example:80/p/"), id % 50,
+        lit("?utm_source=x&q=1\">ext "), id % 50, lit("</a>")))
+      .when(id % 5 === 1, concat(
+        lit("<a href='/docs/d"), id % 10,
+        lit("'>Read  <b>more</b> now</a>")))
+      .when(id % 5 === 2, lit("<a href=\"//CDN.Example/lib\">cdn</a>"))
+      .when(id % 5 === 3, concat(
+        lit("<a href=\"n"), id % 10, lit(".html\">next</a>")))
+      .otherwise(lit("<a href=\"javascript:void(0)\">x</a>" +
+        "<a href=\"#top\">top</a>"))
+    val page = concat(lit("<html><body>"), body, lit("</body></html>"))
+    extractLinks(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/dir/page.html"))
+          .as("url"), page.as("html")),
+      col("url"), col("html"))
+      .orderBy("doc_id", "src_url", "dst_url", "anchor")
+  }
+
+  /** In-link stats over the [[qLinkGraph]] edge table: the absolute
+    * branch concentrates ~n/250 referrers per `ext.example` URL from 20
+    * distinct source domains, the root/sibling branches stay
+    * intra-domain (n_external = 0 there, ref domains = 1) — so the
+    * aggregate certifies total/distinct-domain/external splits at once. */
+  def qLinkStats(spark: SparkSession, dir: String): DataFrame =
+    linkStats(qLinkGraph(spark, dir))
+      .orderBy("dst_url", "n_inlinks", "n_ref_domains", "n_external")
+
+  /** Anchor-text rollup over a branch-derived edge table: five target
+    * URLs (`doc_id % 5`), three anchor variants (`doc_id % 3`), so each
+    * target sees all three anchors at CRT-derived counts; k=2 keeps the
+    * top two per target with the count-then-lexicographic order the
+    * oracle replays. */
+  def qAnchorTexts(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val edges = Tables.documents(spark, dir).select(
+      concat(lit("http://t.example/p/"), (id % 5).cast("string")).as("dst_url"),
+      when(id % 3 === 0, "guide").when(id % 3 === 1, "tutorial")
+        .otherwise("docs").as("anchor"))
+    anchorTexts(edges, k = 2).orderBy("dst_url", "rank", "anchor", "n")
+  }
+
+  /** PageRank over a branch-derived 20-node graph: nodes `doc_id % 20`,
+    * edges `v → (3v+1) % 20`, `v → (7v+3) % 20`, plus `v → (v+10) % 20`
+    * for `v ≡ 0 (mod 4)` (no self-loops, no duplicate edges by
+    * construction). Three exact-ppm iterations; the oracle unrolls the
+    * same three rounds in SQL, so one wrong div or a float anywhere
+    * hash-mismatches. */
+  def qLinkRank(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    pageRankPpm(edges, iters = 3).orderBy("url", "rank_ppm")
+  }
+
+  // ---- domain quality prior --------------------------------------------
+
+  /** Smoothed per-domain quality prior — the CCNet/RefinedWeb-style
+    * domain reputation signal: documents from a domain whose corpus
+    * history is overwhelmingly high-quality deserve the benefit of the
+    * doubt on borderline calls, and a content-farm domain loses it.
+    * Per domain over a boolean per-doc `pass` signal:
+    * `prior_ppm = (n_pass·10⁶ + α·μ) div (n + α)` — Laplace-style
+    * shrinkage toward the GLOBAL pass rate `μ` (ppm), so a domain with
+    * 3 documents sits near μ while a domain with 10⁴ speaks for itself;
+    * `alpha` is the evidence weight of the prior (docs worth of μ).
+    * Exact integer ppm throughout — oracle-replayable.
+    *
+    * Scale: one domain-grain hash aggregate (O(domains) output) plus a
+    * broadcast 1×1 cross join for μ — the corpus rows never shuffle,
+    * and the resulting prior table is itself broadcast-sized for the
+    * gate join back over the corpus ([[Pipeline.domainGate]] pattern). */
+  def domainQualityPrior(docs: DataFrame, domain: Column, pass: Column,
+      alpha: Long = 20L): DataFrame = {
+    require(alpha >= 0, "domainQualityPrior: alpha >= 0")
+    val flagged = docs.select(domain.as("domain"),
+      pass.cast("long").as("graft_p"))
+    val global = flagged.agg(
+      expr("sum(graft_p) * 1000000 div count(1)").as("graft_mu"))
+    flagged.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("graft_p").as("n_pass"))
+      .crossJoin(broadcast(global))
+      .select(col("domain"), col("n_docs"), col("n_pass"),
+        expr(s"(n_pass * 1000000 + $alpha * graft_mu) div (n_docs + $alpha)")
+          .as("prior_ppm"))
+  }
+
+  /** Domain prior over the corpus with a length-gate pass signal
+    * (`n_chars ≥ 250` — the Gopher-style minimum-length rule in its
+    * oracle-exact form): per source domain, doc and pass counts plus
+    * the α=20 shrunk prior. Branch-derived: the oracle re-derives μ and
+    * every per-domain cell from the same predicate. */
+  def qDomainPrior(spark: SparkSession, dir: String): DataFrame =
+    domainQualityPrior(Tables.documents(spark, dir),
+      col("source"), col("n_chars") >= 250)
+      .orderBy("domain", "n_docs", "n_pass", "prior_ppm")
 
   // ---- domain retraction ---------------------------------------------
 

@@ -172,6 +172,11 @@ object ExtQueries {
     "web_fetch_adaptive"    -> Web.qFetchAdaptive _,
     "web_feed_urls"         -> Web.qFeedUrls _,
     "web_policy_sweep"      -> Web.qPolicySweep _,
+    "web_link_graph"        -> Web.qLinkGraph _,
+    "web_link_stats"        -> Web.qLinkStats _,
+    "web_link_rank"         -> Web.qLinkRank _,
+    "web_domain_prior"      -> Web.qDomainPrior _,
+    "web_anchor_texts"      -> Web.qAnchorTexts _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -198,6 +203,7 @@ object ExtQueries {
     "er_golden"             -> graft.operators.Linkage.qErGolden _,
     "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
     "storage_retract"       -> graft.sources.Sinks.qRetract _,
+    "storage_tombstone"     -> graft.sources.Sinks.qTombstone _,
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
     "mm_gif_checksum"       -> Multimodal.qGifChecksum _,
@@ -3906,6 +3912,89 @@ object ExtQueries {
         robotsVerdictSql + ") g WHERE NOT allowed\n" +
         "ORDER BY doc_id, reg_domain, pathq, rule"),
 
+    // Web.qLinkGraph: each branch's resolved+canonicalized target and
+    // tag-stripped anchor, hand-derived — the absolute branch loses its
+    // :80 and utm param, the protocol-relative branch adopts the page
+    // scheme and lowercases, the root/sibling branches resolve against
+    // authority/directory, and the decoy branch (%5=4) contributes
+    // nothing.
+    "web_link_graph" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example/dir/page.html' AS src_url,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://ext.example/p/' || CAST(doc_id % 50 AS VARCHAR) || '?q=1'
+        |    WHEN 1 THEN 'http://' || source || '.example/docs/d' || CAST(doc_id % 10 AS VARCHAR)
+        |    WHEN 2 THEN 'http://cdn.example/lib'
+        |    ELSE 'http://' || source || '.example/dir/n' || CAST(doc_id % 10 AS VARCHAR) || '.html' END AS dst_url,
+        |  CASE doc_id % 5 WHEN 0 THEN 'ext ' || CAST(doc_id % 50 AS VARCHAR)
+        |    WHEN 1 THEN 'Read more now' WHEN 2 THEN 'cdn'
+        |    ELSE 'next' END AS anchor
+        |FROM documents WHERE doc_id % 5 <> 4
+        |ORDER BY doc_id, src_url, dst_url, anchor""".stripMargin,
+
+    // Web.qLinkStats: the same hand-derived edge table aggregated per
+    // target — total in-links, distinct referrer eTLD+1 count (every
+    // page host `{source}.example` IS its own registered domain), and
+    // the external split (ext/cdn targets: all external; docs/sibling
+    // targets: all internal).
+    "web_link_stats" ->
+      """WITH e AS (SELECT doc_id, source || '.example' AS src_dom,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'http://ext.example/p/' || CAST(doc_id % 50 AS VARCHAR) || '?q=1'
+        |      WHEN 1 THEN 'http://' || source || '.example/docs/d' || CAST(doc_id % 10 AS VARCHAR)
+        |      WHEN 2 THEN 'http://cdn.example/lib'
+        |      ELSE 'http://' || source || '.example/dir/n' || CAST(doc_id % 10 AS VARCHAR) || '.html' END AS dst_url,
+        |    CASE doc_id % 5 WHEN 0 THEN 'ext.example' WHEN 2 THEN 'cdn.example'
+        |      ELSE source || '.example' END AS dst_dom
+        |  FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+        |  CAST(COUNT(DISTINCT src_dom) AS BIGINT) AS n_ref_domains,
+        |  CAST(SUM(CASE WHEN src_dom <> dst_dom THEN 1 ELSE 0 END) AS BIGINT) AS n_external
+        |FROM e GROUP BY dst_url
+        |ORDER BY dst_url, n_inlinks, n_ref_domains, n_external""".stripMargin,
+
+    // Web.qLinkRank: the same 20-node graph with the three ppm
+    // iterations UNROLLED — every contrib is `rank // outdeg`, every
+    // refresh is `150000 + (850000 · Σ) // 10⁶`, all BIGINT, so a
+    // single float or a different div rounding anywhere mismatches.
+    "web_link_rank" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS v, SUM(r0.r // od.dg) AS sm
+        |  FROM e JOIN r0 ON r0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.v, 150000 + (850000 * COALESCE(c1.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.d AS v, SUM(r1.r // od.dg) AS sm
+        |  FROM e JOIN r1 ON r1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.v, 150000 + (850000 * COALESCE(c2.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.d AS v, SUM(r2.r // od.dg) AS sm
+        |  FROM e JOIN r2 ON r2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.v, 150000 + (850000 * COALESCE(c3.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  CAST(r AS BIGINT) AS rank_ppm
+        |FROM r3 ORDER BY url, rank_ppm""".stripMargin,
+
+    // Web.qDomainPrior: μ (global pass ppm) and every per-domain cell
+    // re-derived from the same n_chars >= 250 predicate; the α=20
+    // shrinkage is pure BIGINT arithmetic, so a float sneaking into
+    // either side mismatches.
+    "web_domain_prior" ->
+      """WITH d AS (SELECT source AS domain,
+        |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS p FROM documents),
+        |g AS (SELECT CAST(SUM(p) AS BIGINT) * 1000000 // COUNT(*) AS mu FROM d),
+        |a AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM d GROUP BY domain)
+        |SELECT domain, n AS n_docs, np AS n_pass,
+        |  CAST((np * 1000000 + 20 * g.mu) // (n + 20) AS BIGINT) AS prior_ppm
+        |FROM a, g
+        |ORDER BY domain, n_docs, n_pass, prior_ppm""".stripMargin,
+
     // Web.qRobotsUa: identical URL derivation, but the HAND-DERIVED rule
     // table is the one RFC 9309 §2.2.1 group selection yields for the
     // product token `graftbot`: example.com's GraftBot group REPLACES its
@@ -4716,6 +4805,42 @@ object ExtQueries {
         |FROM n, (VALUES ('corpus', 1), ('index_sig', 4), ('index_url', 1))
         |  v(artifact, mult)
         |ORDER BY artifact, n_removed, n_after""".stripMargin,
+
+    // Mirrors Web.qAnchorTexts: the (target, anchor) counts re-derived
+    // from the two mod branches, ranked count-desc / anchor-asc, top 2
+    // kept — a wrong tie-break or an off-by-one in the rank filter
+    // changes the surviving rows.
+    "web_anchor_texts" ->
+      """WITH e AS (SELECT
+        |    'http://t.example/p/' || CAST(doc_id % 5 AS VARCHAR) AS dst_url,
+        |    CASE doc_id % 3 WHEN 0 THEN 'guide' WHEN 1 THEN 'tutorial'
+        |      ELSE 'docs' END AS anchor
+        |  FROM documents),
+        |c AS (SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY dst_url, anchor),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_url
+        |    ORDER BY n DESC, anchor) AS rank FROM c)
+        |SELECT dst_url, anchor, n, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 2
+        |ORDER BY dst_url, rank, anchor, n""".stripMargin,
+
+    // Mirrors Sinks.qTombstone — the two-phase delete: after phase-1
+    // markers the LIVE probe view must already exclude the planted
+    // doc_id%7==3 rows while the RAW tables still hold every row; after
+    // phase-2 vacuum the physical counts converge to the live ones.
+    // All six cells derive from branch structure (4 band rows/doc for
+    // the signature index, 1 row/doc for the url index).
+    "storage_tombstone" ->
+      """WITH n AS (SELECT count(*) AS total,
+        |    sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS gone
+        |  FROM documents)
+        |SELECT artifact, stage,
+        |  CAST(CASE WHEN stage = 'raw_after_tombstone' THEN total * mult
+        |       ELSE (total - gone) * mult END AS BIGINT) AS n_rows
+        |FROM n, (VALUES ('index_sig', 4), ('index_url', 1)) v(artifact, mult),
+        |  (VALUES ('after_vacuum'), ('live_after_tombstone'),
+        |          ('raw_after_tombstone')) s(stage)
+        |ORDER BY artifact, stage, n_rows""".stripMargin,
 
     // Mirrors TextAnalysis.charEntropy: per-character micro-nat terms
     // rounded before the exact integer sum.

@@ -308,6 +308,69 @@ object Sinks {
       .orderBy("artifact", "n_removed", "n_after")
   }
 
+  /** Query-shaped TWO-PHASE delete scenario (SparkEntry contract),
+    * [[qRetract]]'s tombstone twin: the same planted-domain signature +
+    * url-hash indexes, but the takedown lands as phase-1 [[tombstone]]
+    * markers first — the probe view ([[liveRows]]) must already exclude
+    * the planted rows while the RAW tables still hold them (the O(ids)
+    * fast path) — then phase-2 [[vacuumTombstones]] makes the delete
+    * physical and the raw counts converge. The oracle derives all six
+    * cells from branch structure (4 band rows/doc, 1 url row/doc), so
+    * they match iff the live view equals a from-scratch filter AND the
+    * vacuum equals the physical retraction. */
+  def qTombstone(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val sigT = s"q_tomb_sig_$tag"
+    val urlT = s"q_tomb_url_$tag"
+    def dropHard(t: String): Unit = {
+      Seq(t, t + "_retract_staging", t + "_tombs", t + "_df").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(n)))
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+    }
+    Seq(sigT, urlT).foreach(dropHard)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("source", when(col("doc_id") % 7 === 3,
+        lit("takedown.example")).otherwise(col("source")))
+    graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8)
+    writeBucketed(docs.select(
+        xxhash64(concat(lit("u"), col("doc_id"))).as("url_hash"),
+        col("doc_id")),
+      urlT, bucketCols = Seq("url_hash"), numBuckets = 8,
+      sortCols = Seq("url_hash"))
+    val ids = docs.filter(col("source") === "takedown.example")
+      .select("doc_id").distinct()
+    // phase 1: markers only — live view filters, raw tables untouched
+    tombstone(spark, sigT, ids, "doc_id")
+    tombstone(spark, urlT, ids, "doc_id")
+    val liveSig = liveRows(spark, sigT).count()
+    val liveUrl = liveRows(spark, urlT).count()
+    val rawSig = spark.table(sigT).count()
+    val rawUrl = spark.table(urlT).count()
+    // phase 2: vacuum — physical delete, markers gone, live ≡ raw
+    vacuumTombstones(spark, sigT)
+    vacuumTombstones(spark, urlT)
+    val afterSig = spark.table(sigT).count()
+    val afterUrl = spark.table(urlT).count()
+    Seq(sigT, urlT).foreach(dropHard)
+    Seq(
+      ("index_sig", "after_vacuum", afterSig),
+      ("index_sig", "live_after_tombstone", liveSig),
+      ("index_sig", "raw_after_tombstone", rawSig),
+      ("index_url", "after_vacuum", afterUrl),
+      ("index_url", "live_after_tombstone", liveUrl),
+      ("index_url", "raw_after_tombstone", rawUrl))
+      .toDF("artifact", "stage", "n_rows")
+      .orderBy("artifact", "stage", "n_rows")
+  }
+
   // ---- corpus retraction --------------------------------------------------
   //
   // The DELETE path of the pipeline. Robots policies flip, takedown and
@@ -481,6 +544,90 @@ object Sinks {
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("graft_cnt"))
     publishTable(spark, jt, cells, bucketSpecOf(spark, jt))
     true
+  }
+
+  // ---- tombstone deletes: the two-phase retraction scale path ------------
+  //
+  // [[retractDocs]] is the FORGET operation — physical rewrite of every
+  // index family, the right grain for a batched maintenance window but
+  // O(index) per call. A takedown's legal clock, though, starts at
+  // receipt: the content must stop being SERVED now, not at the next
+  // window. Tombstones split the delete into the production two-phase
+  // shape (the LSM delete-marker pattern): phase 1 `tombstone` appends
+  // the ids to a marker journal in O(ids) — no index touched — and every
+  // probe reads through [[liveRows]], which anti-joins the broadcast
+  // marker set, so tombstoned rows stop matching immediately; phase 2
+  // `vacuumTombstones` runs in the maintenance window (the same quiesce
+  // slot [[compactIndexTable]] uses), physically retracting the rows,
+  // rebuilding the df-stats journal, and dropping the markers.
+  //
+  // Between the phases the ADDITIVE df-stats journals still count the
+  // tombstoned rows — deliberately left stale: df feeds candidate CAPS,
+  // and an over-counted df only makes a cap MORE likely to drop a bucket
+  // — conservative for recall, never admitting a deleted row as a match.
+  // (Negative journal cells were rejected for the same reasons as in the
+  // retraction notes above.) The corpus SINK keeps its physical-only
+  // path: it is partition-grain rename-optimized already, and serving
+  // reads go through the curated downstream tables, not the raw sink.
+
+  /** Phase 1 of the two-phase delete: append `ids` (distinct on `idCol`)
+    * to `table`'s tombstone journal `<table>_tombs`. O(ids) — the index
+    * itself is not touched; [[liveRows]] makes the markers effective on
+    * every probe immediately. Idempotent in effect: re-tombstoning an id
+    * adds a duplicate marker row, which the anti-join ignores and the
+    * vacuum clears. Returns the marker rows appended. */
+  def tombstone(spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame, idCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val tt = table + "_tombs"
+    val d = ids.select(col(idCol)).distinct().localCheckpoint()
+    val mode = if (spark.catalog.tableExists(tt)) SaveMode.Append
+               else SaveMode.Overwrite
+    d.write.mode(mode).format("parquet").saveAsTable(tt)
+    spark.catalog.refreshTable(tt)
+    d.count()
+  }
+
+  /** The live view of an index table: its rows minus any tombstoned ids
+    * — THE probe entry point for every persisted index family. With no
+    * tombstone journal present this returns the plain table, so the
+    * probe plan (and its zero-exchange bucketed-join property) is
+    * byte-identical to the pre-tombstone era; with markers present it
+    * adds one broadcast anti-join of the O(tombstones) marker set —
+    * takedown lists are thousands of ids, not index-scale. */
+  def liveRows(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tt = table + "_tombs"
+    if (!spark.catalog.tableExists(tt)) return spark.table(table)
+    spark.catalog.refreshTable(tt)
+    spark.table(table).join(
+      broadcast(spark.table(tt).select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Phase 2 of the two-phase delete, for the maintenance window:
+    * physically retract every tombstoned id from `table` (the
+    * [[retractFromTable]] staging + rename publish, bucket spec
+    * preserved), rebuild the df-stats journal from the survivors (so
+    * the caps' conservative staleness window closes), and drop the
+    * marker journal. After vacuum, [[liveRows]] is the plain table
+    * again. Returns (rows physically removed, marker ids cleared);
+    * no-op (0, 0) without a journal. Crash contract: a crash before the
+    * journal drop leaves markers pointing at already-deleted rows —
+    * the anti-join then filters nothing and the next vacuum finishes. */
+  def vacuumTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String = "doc_id"): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val tt = table + "_tombs"
+    if (!spark.catalog.tableExists(tt)) return (0L, 0L)
+    spark.catalog.refreshTable(tt)
+    val ids = spark.table(tt).select(col(idCol)).distinct().localCheckpoint()
+    val cleared = ids.count()
+    val removed = retractFromTable(spark, table, ids, idCol)
+    rebuildDfJournal(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $tt")
+    (removed, cleared)
   }
 
   /** Complete a [[retractFromParquet]] partition swap: every `bak`

@@ -151,7 +151,8 @@ object DocStream {
         val corpusIdx =
           if (spark.catalog.tableExists(indexTable)) {
             spark.catalog.refreshTable(indexTable)
-            Some(spark.table(indexTable))
+            // liveRows: tombstoned (pending-vacuum) docs never match
+            Some(graft.sources.Sinks.liveRows(spark, indexTable))
           } else None
         val media = batch.localCheckpoint()
         val lm = Multimodal.audioLandmarks(Multimodal.audioSamples(media))
@@ -222,7 +223,8 @@ object DocStream {
         val corpusIdx =
           if (spark.catalog.tableExists(indexTable)) {
             spark.catalog.refreshTable(indexTable)
-            Some(spark.table(indexTable))
+            // liveRows: tombstoned (pending-vacuum) docs never match
+            Some(graft.sources.Sinks.liveRows(spark, indexTable))
           } else None
         val media = batch.localCheckpoint()
         val kf = Multimodal.videoSignatures(media).localCheckpoint()
@@ -411,7 +413,8 @@ object DocStream {
         val corpusIdx =
           if (spark.catalog.tableExists(indexTable)) {
             spark.catalog.refreshTable(indexTable)
-            Some(spark.table(indexTable))
+            // liveRows: tombstoned (pending-vacuum) docs never match
+            Some(graft.sources.Sinks.liveRows(spark, indexTable))
           } else None
         // 1. scrub/filter (curate mode), then collapse exact dups inside
         // the batch (content digest). The prepared frame feeds both the

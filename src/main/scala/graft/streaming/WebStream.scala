@@ -83,7 +83,8 @@ object WebStream {
         val idx =
           if (spark.catalog.tableExists(urlIndexTable)) {
             spark.catalog.refreshTable(urlIndexTable)
-            Some(spark.table(urlIndexTable))
+            // liveRows: tombstoned (pending-vacuum) docs never match
+            Some(graft.sources.Sinks.liveRows(spark, urlIndexTable))
           } else None
         val dups = idx match {
           case Some(ix) => firsts.select("url_hash", "doc_id")
@@ -199,4 +200,83 @@ object WebStream {
         ()
       }
       .start()
+
+  /** Streaming LINK-GRAPH ingest — the third side of the crawl loop
+    * ([[crawlIngest]] fetches, [[frontierIngest]] discovers, this one
+    * LEARNS the graph the fetched pages carry, which is what the
+    * discovery side prioritizes by). Pages `(doc_id, url, html)` arrive
+    * continuously; per micro-batch:
+    *
+    *   1. [[Web.extractLinks]] — scan-speed regex, zero shuffle;
+    *   2. collapse to DISTINCT (src, dst) edges, one deterministic
+    *      anchor kept per edge (min — first sighting semantics would
+    *      need order state; min is replay-stable). Distinct-edge grain
+    *      IS the stats semantics downstream: one page endorsing another
+    *      five times is one endorsement;
+    *   3. append to the bucketed edge table anti-joined on
+    *      (dst_hash, src_hash) — cross-batch duplicate edges AND crashed
+    *      replays both land zero rows (the url-index append discipline);
+    *      bucketed by dst_hash because every read path is target-keyed.
+    *
+    * No separate stats journal: in-link counts are DERIVED from the edge
+    * table at probe time ([[linkPriorFor]]) — a distinct-count (ref
+    * domains) is not additively mergeable, and the probe only ever
+    * aggregates the batch-sized slice the bucket join returns, never
+    * the full table. */
+  def linkIngest(pages: DataFrame, spark: SparkSession, linkTable: String,
+      checkpoint: String, numBuckets: Int = 16): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val edges = Web.extractLinks(batch, col("url"), col("html"))
+          .groupBy("src_url", "dst_url")
+          .agg(min(col("anchor")).as("anchor"))
+          .select(xxhash64(col("dst_url")).as("dst_hash"),
+            xxhash64(col("src_url")).as("src_hash"),
+            col("dst_url"),
+            Web.registeredDomain(col("src_url")).as("src_domain"),
+            Web.registeredDomain(col("dst_url")).as("dst_domain"),
+            col("anchor"))
+          .localCheckpoint()
+        val fresh =
+          if (spark.catalog.tableExists(linkTable)) {
+            spark.catalog.refreshTable(linkTable)
+            edges.join(spark.table(linkTable).select("dst_hash", "src_hash"),
+              Seq("dst_hash", "src_hash"), "left_anti")
+          } else edges
+        fresh.write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, linkTable).getOrElse(numBuckets),
+            "dst_hash")
+          .sortBy("dst_hash")
+          .saveAsTable(linkTable)
+        ()
+      }
+      .start()
+
+  /** Link-prior probe for a frontier slice: join the candidates'
+    * canonical URLs (hashed to the table's bucket key — zero exchange on
+    * the index side, only the O(batch) candidate set moves) against the
+    * [[linkIngest]] edge table and aggregate the [[Web.linkStats]] shape
+    * per candidate, ready to pass as
+    * [[Web.fetchScheduleAdaptive]]'s `linkPrior`. Candidates with no
+    * in-links simply have no row — the scheduler's left join defaults
+    * them to zero evidence. Absent table → empty frame (cold start). */
+  def linkPriorFor(spark: SparkSession, linkTable: String,
+      candidates: DataFrame): DataFrame = {
+    val c = candidates.select(col("canon_loc")).distinct()
+      .withColumn("dst_hash", xxhash64(col("canon_loc")))
+    if (!spark.catalog.tableExists(linkTable))
+      return c.limit(0).select(col("canon_loc").as("dst_url"),
+        lit(0L).as("n_inlinks"), lit(0L).as("n_ref_domains"),
+        lit(0L).as("n_external"))
+    spark.catalog.refreshTable(linkTable)
+    spark.table(linkTable)
+      .join(c, Seq("dst_hash"))
+      .groupBy("canon_loc")
+      .agg(count(lit(1)).as("n_inlinks"),
+        count_distinct(col("src_domain")).as("n_ref_domains"),
+        sum((col("src_domain") =!= col("dst_domain")).cast("long"))
+          .as("n_external"))
+      .withColumnRenamed("canon_loc", "dst_url")
+  }
 }

@@ -372,6 +372,115 @@ class WebSpec extends AnyFunSuite {
       ("http://e.com/fresh", 0L, 0L)))
   }
 
+  // link graph -----------------------------------------------------------
+
+  test("extractLinks: four resolution shapes, anchor strip, decoy drop") {
+    val html = "<html><body>" +
+      "<a href=\"HTTP://Other.Example:80/x?utm_source=f&k=1\">Abs  <b>link</b></a>" +
+      "<a href='//Cdn.Example/lib'>proto</a>" +
+      "<a href=\"/root/doc\">rooted</a>" +
+      "<a href=\"sib.html#sec\">sib</a>" +          // fragment stripped, then resolved
+      "<a href=\"javascript:void(0)\">js</a>" +     // dropped
+      "<a href=\"MAILTO:a@b.c\">mail</a>" +         // dropped (case-insensitive)
+      "<a href=\"tel:+123\">call</a>" +             // dropped
+      "<a href=\"#top\">frag only</a>" +            // dropped after frag strip
+      "</body></html>"
+    val pages = Seq((7L, "https://WWW.Host.Example/dir/sub/page.html", html))
+      .toDF("doc_id", "url", "html")
+    val rows = Web.extractLinks(pages, col("url"), col("html"))
+      .select("src_url", "dst_url", "anchor")
+      .as[(String, String, String)].collect().toSet
+    val src = "https://host.example/dir/sub/page.html"
+    assert(rows == Set(
+      (src, "http://other.example/x?k=1", "Abs link"),  // abs: canon + tag strip + ws collapse
+      (src, "https://cdn.example/lib", "proto"),        // page scheme adopted
+      (src, "https://host.example/root/doc", "rooted"), // authority (pre-canon spelling) + path
+      (src, "https://host.example/dir/sub/sib.html", "sib")))
+  }
+
+  test("extractLinks: root-relative resolves against the RAW authority " +
+      "then canonicalizes (www/port normalize once, not twice)") {
+    val pages = Seq((1L, "http://www.h.example:80/a", "<a href=\"/p\">x</a>"))
+      .toDF("doc_id", "url", "html")
+    val row = Web.extractLinks(pages, col("url"), col("html"))
+      .select("src_url", "dst_url").as[(String, String)].collect().head
+    assert(row == ("http://h.example/a", "http://h.example/p"))
+  }
+
+  test("linkStats: totals, distinct referrer domains, external split") {
+    val edges = Seq(
+      ("http://a.one.example/1", "http://t.example/x"),
+      ("http://b.one.example/2", "http://t.example/x"),  // same eTLD+1 as above
+      ("http://two.example/3",   "http://t.example/x"),
+      ("http://t.example/self",  "http://t.example/x"),  // internal
+      ("http://one.example/4",   "http://one.example/y") // all-internal target
+    ).toDF("src_url", "dst_url")
+    val got = Web.linkStats(edges)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("http://t.example/x", 4L, 3L, 3L),   // one.example counted once
+      ("http://one.example/y", 1L, 1L, 0L)))
+  }
+
+  test("pageRankPpm: exact ppm arithmetic, dangling leak, duplicate " +
+      "edges count once") {
+    // A -> B only; B dangling. iter1: A=150000, B=1000000;
+    // iter2: A=150000, B=150000+(850000*150000) div 1e6 = 277500.
+    val e1 = Seq(("A", "B"), ("A", "B")).toDF("src_url", "dst_url")
+    val r2 = Web.pageRankPpm(e1, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("A" -> 150000L, "B" -> 277500L),
+      "duplicate edge must not double B's inflow")
+    // 2-cycle is the fixpoint: each node keeps exactly 1e6 every round
+    val cyc = Seq(("A", "B"), ("B", "A")).toDF("src_url", "dst_url")
+    val rc = Web.pageRankPpm(cyc, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(rc == Map("A" -> 1000000L, "B" -> 1000000L))
+    // hub with outdeg 2 splits its mass: one iteration gives each
+    // target 150000 + 850000*(1e6 div 2) div 1e6 = 575000
+    val hub = Seq(("H", "X"), ("H", "Y")).toDF("src_url", "dst_url")
+    val rh = Web.pageRankPpm(hub, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(rh == Map("H" -> 150000L, "X" -> 575000L, "Y" -> 575000L))
+  }
+
+  test("adaptive schedule: link evidence breaks the cold-start tie") {
+    val front = Seq(
+      ("d.example", "http://d.example/zz-popular", "", false),
+      ("d.example", "http://d.example/aa-obscure", "", false)
+    ).toDF("reg_domain", "canon_loc", "lastmod", "known")
+    val delays = Seq.empty[(String, Long)]
+      .toDF("reg_domain", "crawl_delay_sec")
+    val history = Seq.empty[(String, Long, String, String)]
+      .toDF("canon_url", "change_ppm", "last_fetch", "last_digest")
+    def slots(prior: Option[org.apache.spark.sql.DataFrame]) =
+      Web.fetchScheduleAdaptive(front, delays, history, linkPrior = prior)
+        .select("canon_loc", "slot").as[(String, Long)].collect().toMap
+    // no link evidence: both cold at 500000 ppm → lexicographic
+    assert(slots(None) == Map("http://d.example/aa-obscure" -> 0L,
+      "http://d.example/zz-popular" -> 1L))
+    // 5 referring domains outrank the no-evidence URL at equal heat
+    val ls = Seq(("http://d.example/zz-popular", 9L, 5L, 4L))
+      .toDF("dst_url", "n_inlinks", "n_ref_domains", "n_external")
+    assert(slots(Some(ls)) == Map("http://d.example/zz-popular" -> 0L,
+      "http://d.example/aa-obscure" -> 1L))
+  }
+
+  test("domainQualityPrior: exact shrinkage toward the global rate") {
+    // μ = 3 pass / 5 docs = 600000 ppm; α = 2
+    val docs = Seq(
+      ("a.example", true), ("a.example", true),   // 2/2
+      ("b.example", false), ("b.example", false), // 0/2
+      ("c.example", true)                         // 1/1
+    ).toDF("domain", "pass")
+    val got = Web.domainQualityPrior(docs, col("domain"), col("pass"), alpha = 2L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a.example", 2L, 2L, (2000000L + 1200000L) / 4),   // 800000
+      ("b.example", 2L, 0L, 1200000L / 4),                // 300000
+      ("c.example", 1L, 1L, (1000000L + 1200000L) / 3)))  // 733333
+  }
+
   test("robots gate matches path AND query through the canonical form") {
     val pathq = Seq("http://d.com/p?utm_source=x&id=9")
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))

@@ -488,4 +488,53 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(back == Set(1L, 3L, 6L, 7L), s"no surviving row lost: $back")
   }
+
+  test("two-phase delete: tombstones stop probe matches instantly; " +
+    "vacuum converges to the physical retraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = "t_tomb_sig"
+    Seq(T, T + "_tombs", T + "_retract_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    graft.operators.Dedup.writeSignatureIndex(docs, T, numBuckets = 4)
+    val shared = docs.filter(col("doc_id") === 2L)
+      .select("text").as[String].collect().head
+    val batch = Seq((99L, shared)).toDF("doc_id", "text")
+    def probe(): Set[Long] = graft.operators.Dedup
+      .dedupBatchAgainstIndex(spark, batch, T)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(probe() == Set(2L, 6L), "both shared-text docs match pre-delete")
+    // no journal: the live view IS the plain table — probe plans stay
+    // byte-identical until a tombstone actually lands
+    assert(Sinks.liveRows(spark, T).queryExecution.analyzed
+      .sameResult(spark.table(T).queryExecution.analyzed))
+    // phase 1: O(ids) markers — matches stop NOW, raw rows untouched
+    assert(Sinks.tombstone(spark, T, Seq(2L, 5L).toDF("doc_id"), "doc_id") == 2L)
+    assert(probe() == Set(6L), "tombstoned doc must not match pre-vacuum")
+    assert(spark.table(T).count() == 24L, "raw index untouched in phase 1 " +
+      "(6 docs x 4 bands)")
+    // phase 2: physical delete equals a from-scratch build over survivors
+    val (removed, cleared) = Sinks.vacuumTombstones(spark, T)
+    assert((removed, cleared) == (8L, 2L), s"2 docs x 4 bands: $removed, $cleared")
+    assert(!spark.catalog.tableExists(T + "_tombs"), "markers cleared")
+    val want = graft.operators.Dedup
+      .signatureIndex(docs.filter(!col("doc_id").isin(2L, 5L)))
+      .select("doc_id", "band", "bucket").collect().toSet
+    assert(spark.table(T).select("doc_id", "band", "bucket")
+      .collect().toSet == want)
+    assert(probe() == Set(6L), "probe result stable across the vacuum")
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(T)).bucketSpec
+    assert(spec.exists(_.numBuckets == 4), "bucket spec survived the vacuum")
+    // idempotence: vacuum without markers no-ops; duplicate/overlapping
+    // re-tombstones are harmless (anti-join semantics, vacuum distincts)
+    assert(Sinks.vacuumTombstones(spark, T) == (0L, 0L))
+    Sinks.tombstone(spark, T, Seq(6L, 6L).toDF("doc_id"), "doc_id")
+    Sinks.tombstone(spark, T, Seq(6L).toDF("doc_id"), "doc_id")
+    assert(probe() == Set.empty[Long], "re-tombstone still filters")
+    val (rm2, cl2) = Sinks.vacuumTombstones(spark, T)
+    assert((rm2, cl2) == (4L, 1L), "duplicate markers vacuum once")
+    spark.sql(s"DROP TABLE IF EXISTS $T")
+  }
 }

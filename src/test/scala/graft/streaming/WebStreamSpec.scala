@@ -386,4 +386,69 @@ class WebStreamSpec extends AnyFunSuite {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("frestart_led"))
       .bucketSpec.exists(_.numBuckets == 4))
   }
+
+  test("link ingest: distinct-edge table across batches; the probe " +
+    "prior flips the scheduler's cold-start order") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-linkstream")
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS linkstream_edges")
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.linkIngest(input.toDF().toDF("doc_id", "url", "html"),
+      spark, "linkstream_edges", ckpt, numBuckets = 4)
+    try {
+      // batch 1: two referrer domains for /hot; one page links it twice
+      // (one endorsement — distinct-edge grain)
+      input.addData(
+        (1L, "http://a.example/p1",
+          "<a href=\"http://t.example/hot\">hot</a>" +
+            "<a href=\"http://t.example/hot\">again</a>"),
+        (2L, "http://b.example/p2", "<a href=\"http://t.example/hot\">hot</a>"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("linkstream_edges")
+      assert(spark.table("linkstream_edges").count() == 2L,
+        "in-batch duplicate link collapsed")
+      // batch 2: the same a.example edge again (cross-batch dup → zero
+      // rows) plus an internal referrer, root-relative
+      input.addData(
+        (3L, "http://a.example/p1", "<a href=\"http://t.example/hot\">hot</a>"),
+        (4L, "http://t.example/nav", "<a href=\"/hot\">hot</a>"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("linkstream_edges")
+      assert(spark.table("linkstream_edges").count() == 3L,
+        "cross-batch duplicate landed zero rows; internal edge appended")
+    } finally q.stop()
+    // probe: three in-links (a, b, t domains), two external
+    val cands = Seq("http://t.example/hot", "http://t.example/cold")
+      .toDF("canon_loc")
+    val prior = WebStream.linkPriorFor(spark, "linkstream_edges", cands)
+    val got = prior.as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got == Map("http://t.example/hot" -> ((3L, 3L, 2L))),
+      s"no-evidence URL has no row: $got")
+    // plan: the edge TABLE side must never shuffle — bucketed scan into
+    // a broadcast join (candidates build side). The exchanges that do
+    // appear carry only batch-sized frames: the candidates' distinct and
+    // the two-phase distinct-count aggregate over the matched slice.
+    prior.collect()
+    val r = graft.plans.PlanAudit.audit(prior)
+    assert(r.sortMergeJoins == 0 && r.broadcastJoins >= 1 &&
+      r.shuffles <= 3, r.planString)
+    assert(r.planString.contains("Bucketed: true"),
+      "probe must read the edge table through its bucket layout")
+    // composed: link evidence flips the cold-start tie in the scheduler
+    val front = Seq(
+      ("t.example", "http://t.example/hot", "", false),
+      ("t.example", "http://t.example/cold", "", false)
+    ).toDF("reg_domain", "canon_loc", "lastmod", "known")
+    val delays = Seq.empty[(String, Long)].toDF("reg_domain", "crawl_delay_sec")
+    val hist = Seq.empty[(String, Long, String, String)]
+      .toDF("canon_url", "change_ppm", "last_fetch", "last_digest")
+    val slots = Web.fetchScheduleAdaptive(front, delays, hist,
+        linkPrior = Some(prior))
+      .select("canon_loc", "slot").as[(String, Long)].collect().toMap
+    assert(slots == Map("http://t.example/hot" -> 0L,
+      "http://t.example/cold" -> 1L))
+    spark.sql("DROP TABLE IF EXISTS linkstream_edges")
+  }
 }
