@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Web
+import graft.streaming.WebStream
+
+/** Dev utility: link-graph scale evidence. Two claims measured:
+  *
+  *   1. `pageRankPpm` wall grows ~linearly in edge count (the Pregel
+  *      shape: per iteration one edge⋈rank shuffle join + one dst
+  *      aggregate, nothing quadratic) — synthetic web-shaped graphs at
+  *      10× steps, avg out-degree 10, hash-mixed endpoints.
+  *   2. `linkPriorFor` probe wall is ~flat in INDEX size for a fixed
+  *      candidate batch (bucketed scan + broadcast candidates: the
+  *      matched slice, not the table, pays the aggregate).
+  *
+  * Prints one line per cell. Usage:
+  * `sbt "runMain graft.StressGraph [maxEdges]"` (default 10M).
+  */
+object StressGraph {
+  def main(args: Array[String]): Unit = {
+    val maxEdges = if (args.length > 0) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-graph-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // web-shaped synthetic edges: avg out-degree 10, hash-mixed targets
+    def edgeUrls(e: Long) = {
+      val n = math.max(e / 10, 1L)
+      spark.range(e).select(
+        concat(lit("http://g"), (col("id") % n).cast("string"),
+          lit(".example/")).as("src_url"),
+        concat(lit("http://g"),
+          pmod(col("id") * 2654435761L + 7L, lit(n)).cast("string"),
+          lit(".example/")).as("dst_url"))
+    }
+
+    // 1. PageRank scaling (3 iterations, the fixed crawl-priority depth)
+    var e = maxEdges / 100
+    while (e <= maxEdges) {
+      val edges = edgeUrls(e).localCheckpoint()
+      val w1 = timed(Web.pageRankPpm(edges, iters = 3).count())
+      val w2 = timed(Web.pageRankPpm(edges, iters = 3).count())
+      println(f"[graph] pagerank edges=$e%9d nodes=${e / 10}%8d " +
+        f"wall=${math.min(w1, w2)}%6.2f s")
+      e *= 10
+    }
+
+    // 2. probe flatness: fixed 1000-candidate batch vs growing index
+    for ((tag, sz) <- Seq(("1x", maxEdges / 100), ("10x", maxEdges / 10),
+        ("100x", maxEdges))) {
+      val t = s"sg_edges_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val n = sz / 10
+      edgeUrls(sz)
+        .withColumn("src_domain",
+          concat(lit("d"), pmod(xxhash64(col("src_url")), lit(997L))))
+        .withColumn("dst_domain",
+          concat(lit("d"), pmod(xxhash64(col("dst_url")), lit(997L))))
+        .select(xxhash64(col("dst_url")).as("dst_hash"),
+          xxhash64(col("src_url")).as("src_hash"),
+          col("dst_url"), col("src_domain"), col("dst_domain"),
+          lit("").as("anchor"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .bucketBy(16, "dst_hash").sortBy("dst_hash").saveAsTable(t)
+      val cands = spark.range(1000).select(
+        concat(lit("http://g"), (col("id") % n).cast("string"),
+          lit(".example/")).as("canon_loc")).localCheckpoint()
+      val w1 = timed(WebStream.linkPriorFor(spark, t, cands).count())
+      val w2 = timed(WebStream.linkPriorFor(spark, t, cands).count())
+      println(f"[graph] probe index=$sz%9d edges batch=1000 " +
+        f"wall=${math.min(w1, w2)}%6.2f s")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    spark.stop()
+  }
+}

@@ -140,11 +140,23 @@ object WebStream {
     *      anti-joins on url_hash so replays insert zero rows.
     *
     * `delays` is a parsed [[graft.operators.Web.crawlDelays]] frame
-    * (crawl-config cadence, like the rule table). */
+    * (crawl-config cadence, like the rule table).
+    *
+    * `linkTable` (optional): a [[linkIngest]] edge table. Discovery
+    * URLs are cold by definition — no change history exists for a page
+    * never fetched — so when the crawl maintains a link graph, its
+    * in-link evidence is the ONLY priority signal available here: the
+    * batch's novel URLs probe the edge table ([[linkPriorFor]],
+    * O(batch) moved) and the politeness slots order by
+    * [[Web.fetchScheduleAdaptive]] with that prior (well-linked pages
+    * first within each domain window). The scheduled rows then also
+    * carry the adaptive schema (score_ppm + empty conditional-fetch
+    * hints). Absent, the plain freshest-first [[Web.fetchSchedule]]. */
   def frontierIngest(entries: DataFrame, spark: SparkSession,
       urlIndexTable: String, frontierTable: String, delays: DataFrame,
       outPath: String, checkpoint: String, numBuckets: Int = 16,
-      defaultDelaySec: Long = 1L): StreamingQuery =
+      defaultDelaySec: Long = 1L,
+      linkTable: Option[String] = None): StreamingQuery =
     entries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -178,7 +190,21 @@ object WebStream {
           .join(crawled, Seq("url_hash"), "left_anti")
           .join(scheduled, Seq("url_hash"), "left_anti")
           .withColumn("known", lit(false))
-        val out = Web.fetchSchedule(novel, delays, defaultDelaySec)
+        val sched = linkTable match {
+          case Some(lt) =>
+            // discovery is all cold starts: no history frame exists, the
+            // link prior is the whole signal
+            val noHistory = spark.range(0).select(
+              col("id").cast("string").as("canon_url"),
+              col("id").as("change_ppm"),
+              col("id").cast("string").as("last_fetch"),
+              col("id").cast("string").as("last_digest"))
+            Web.fetchScheduleAdaptive(novel, delays, noHistory,
+              defaultDelaySec,
+              linkPrior = Some(linkPriorFor(spark, lt, novel)))
+          case None => Web.fetchSchedule(novel, delays, defaultDelaySec)
+        }
+        val out = sched
           .join(novel.select("canon_loc", "url_hash"), "canon_loc")
           .localCheckpoint()
         out.withColumn("ingest_batch", lit(batchId))
@@ -222,7 +248,14 @@ object WebStream {
     * table at probe time ([[linkPriorFor]]) — a distinct-count (ref
     * domains) is not additively mergeable, and the probe only ever
     * aggregates the batch-sized slice the bucket join returns, never
-    * the full table. */
+    * the full table.
+    *
+    * Retraction: edges are content-derived (a page's outgoing links ARE
+    * its content), so a domain takedown must also remove its endorsement
+    * evidence — `Sinks.retractFromTable(spark, linkTable, domains,
+    * "src_domain")` deletes the retracted domain's outgoing edges with
+    * the bucket spec preserved, and the very next [[linkPriorFor]] probe
+    * reflects it (spec-locked). */
   def linkIngest(pages: DataFrame, spark: SparkSession, linkTable: String,
       checkpoint: String, numBuckets: Int = 16): StreamingQuery =
     pages.writeStream

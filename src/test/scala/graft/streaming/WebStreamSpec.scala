@@ -449,6 +449,55 @@ class WebStreamSpec extends AnyFunSuite {
       .select("canon_loc", "slot").as[(String, Long)].collect().toMap
     assert(slots == Map("http://t.example/hot" -> 0L,
       "http://t.example/cold" -> 1L))
+    // retraction: a.example's takedown removes its endorsement edge and
+    // the next probe sees it (content-derived evidence must not outlive
+    // the content)
+    val removed = graft.sources.Sinks.retractFromTable(spark,
+      "linkstream_edges", Seq("a.example").toDF("src_domain"), "src_domain")
+    assert(removed == 1L)
+    val after = WebStream.linkPriorFor(spark, "linkstream_edges", cands)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(after == Map("http://t.example/hot" -> ((2L, 2L, 1L))))
     spark.sql("DROP TABLE IF EXISTS linkstream_edges")
+  }
+
+  test("frontier ingest with a link table: well-linked novel URLs " +
+    "take the early politeness slots") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-flink")
+    Seq("flink_edges", "flink_urls", "flink_led")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed the graph: two referrer domains endorse /popular
+    val pages = MemoryStream[(Long, String, String)]
+    val ql = WebStream.linkIngest(pages.toDF().toDF("doc_id", "url", "html"),
+      spark, "flink_edges", base.resolve("ckptL").toString, numBuckets = 4)
+    try {
+      pages.addData(
+        (1L, "http://a.example/p", "<a href=\"http://d.example/popular\">x</a>"),
+        (2L, "http://b.example/p", "<a href=\"http://d.example/popular\">x</a>"))
+      ql.processAllAvailable()
+    } finally ql.stop()
+    val delays = Seq.empty[(String, Long)].toDF("reg_domain", "crawl_delay_sec")
+    val entries = MemoryStream[(String, String)]
+    val qf = WebStream.frontierIngest(entries.toDF().toDF("loc", "lastmod"),
+      spark, "flink_urls", "flink_led", delays,
+      base.resolve("out").toString, base.resolve("ckptF").toString,
+      numBuckets = 4, defaultDelaySec = 2L, linkTable = Some("flink_edges"))
+    try {
+      // both novel, both lastmod-free: without the prior the
+      // lexicographic order would put aaa-fresh first
+      entries.addData(("http://d.example/aaa-fresh", ""),
+        ("http://d.example/popular", ""))
+      qf.processAllAvailable()
+    } finally qf.stop()
+    val sched = spark.read.parquet(base.resolve("out").toString)
+      .select("canon_loc", "slot", "fetch_offset_sec")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sched == Set(("http://d.example/popular", 0L, 0L),
+      ("http://d.example/aaa-fresh", 1L, 2L)),
+      s"link evidence must outrank lexicographic order: $sched")
+    Seq("flink_edges", "flink_urls", "flink_led")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
