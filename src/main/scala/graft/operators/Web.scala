@@ -887,30 +887,50 @@ object Web {
     * tag, `(doc_id, src_url, dst_url, anchor)` with `src_url` the
     * canonicalized page URL, `dst_url` the canonicalized RESOLVED
     * target and `anchor` the tag-stripped, whitespace-collapsed anchor
-    * text. Resolution covers the four shapes that account for real
-    * page links: absolute (`scheme://…` kept), protocol-relative
-    * (`//host/…` takes the page scheme), root-relative (`/path` takes
-    * the page authority) and sibling-relative (resolved against the
-    * page URL's directory). Dot-segment normalization (`../`) is
-    * deliberately NOT applied — rare in href attributes, and skipping
-    * it keeps every step in the Java∩RE2 oracle subset. Non-navigational
-    * hrefs drop: empty, `javascript:`/`mailto:`/`tel:` pseudo-schemes,
-    * and fragment-only links (a fragment is stripped first, so
-    * `page#sec` resolves to `page` and `#sec` alone drops).
+    * text. href values may be quoted or bare (unquoted attributes are
+    * common in old/hand-written HTML — a bare value runs to the next
+    * whitespace or `>`). Resolution covers the four shapes that account
+    * for real page links: absolute (`scheme://…` kept),
+    * protocol-relative (`//host/…` takes the page scheme),
+    * root-relative (`/path` takes the page authority) and
+    * sibling-relative (resolved against the page URL's directory). A
+    * `<base href="…">` tag with an ABSOLUTE URL replaces the page URL
+    * as the resolution base, per the HTML spec (relative base hrefs —
+    * themselves rare and self-referential — are ignored). Dot-segment
+    * normalization (`../`) is deliberately NOT applied — rare in href
+    * attributes, and skipping it keeps every step in the Java∩RE2
+    * oracle subset. Non-navigational hrefs drop: empty,
+    * `javascript:`/`mailto:`/`tel:` pseudo-schemes, and fragment-only
+    * links (a fragment is stripped first, so `page#sec` resolves to
+    * `page` and `#sec` alone drops).
     *
     * Scale: pure per-row regex work plus one explode — zero shuffle;
     * the corpus text never moves. */
   def extractLinks(pages: DataFrame, pageUrl: Column, html: Column): DataFrame = {
+    // attribute value: quoted ("…" / '…') or bare (to whitespace or >).
+    // The name must follow whitespace so `data-href=` never matches, and
+    // the source is always an OPEN tag (no anchor text to false-match in).
+    def attr(src: Column, name: String): Column = {
+      val quoted = regexp_extract(src,
+        s"(?i)\\s$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      val bare = regexp_extract(src,
+        s"""(?i)\\s$name\\s*=\\s*([^\\s>"']+)""", 1)
+      when(quoted =!= "", quoted).otherwise(bare)
+    }
+    // <base href>: absolute values replace the page URL as the base
+    val baseTag = regexp_extract(html, "(?is)<base\\b[^>]*>", 0)
+    val baseHref = attr(baseTag, "href")
+    val base = when(baseHref.rlike("^[A-Za-z]+://"), baseHref)
+      .otherwise(pageUrl)
     val tags = pages.select(col("doc_id"),
       canonicalUrl(pageUrl).as("src_url"),
-      urlScheme(pageUrl).as("graft_scheme"),
-      regexp_extract(pageUrl, "^[A-Za-z]+://([^/?#]*)", 1).as("graft_auth"),
-      regexp_replace(when(urlPath(pageUrl) === "", "/")
-        .otherwise(urlPath(pageUrl)), "[^/]*$", "").as("graft_dir"),
+      urlScheme(base).as("graft_scheme"),
+      regexp_extract(base, "^[A-Za-z]+://([^/?#]*)", 1).as("graft_auth"),
+      regexp_replace(when(urlPath(base) === "", "/")
+        .otherwise(urlPath(base)), "[^/]*$", "").as("graft_dir"),
       explode(regexp_extract_all(html,
         lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))).as("tag"))
-    val href0 = regexp_extract(col("tag"),
-      "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val href0 = attr(regexp_extract(col("tag"), "(?is)^<a\\b[^>]*>", 0), "href")
     val href = regexp_replace(href0, "#.*$", "")
     val resolved =
       when(href.rlike("^[A-Za-z]+://"), href)

@@ -407,6 +407,33 @@ class WebSpec extends AnyFunSuite {
     assert(row == ("http://h.example/a", "http://h.example/p"))
   }
 
+  test("extractLinks: bare href values, data-href decoy, base-href " +
+      "resolution") {
+    val html = "<html><head><base href=\"http://base.example/sub/dir/\">" +
+      "</head><body>" +
+      "<a href=rel.html>bare relative</a>" +          // unquoted attribute
+      "<a href=/rooted>bare rooted</a>" +
+      "<a data-href=\"/decoy\">no real href</a>" +    // must not extract
+      "<a href=\"x.html\">text with href=trap inside</a>" +
+      "</body></html>"
+    val pages = Seq((1L, "http://page.example/a/b.html", html))
+      .toDF("doc_id", "url", "html")
+    val got = Web.extractLinks(pages, col("url"), col("html"))
+      .select("dst_url", "anchor").as[(String, String)].collect().toSet
+    assert(got == Set(
+      // base href replaces the page URL for BOTH relative shapes
+      ("http://base.example/sub/dir/rel.html", "bare relative"),
+      ("http://base.example/rooted", "bare rooted"),
+      ("http://base.example/sub/dir/x.html", "text with href=trap inside")))
+    // a RELATIVE base href is ignored — the page URL stays the base
+    val rel = Seq((2L, "http://page.example/a/b.html",
+      "<base href=\"/other/\"><a href=\"x\">y</a>"))
+      .toDF("doc_id", "url", "html")
+    val r = Web.extractLinks(rel, col("url"), col("html"))
+      .select("dst_url").as[String].collect().toSet
+    assert(r == Set("http://page.example/a/x"))
+  }
+
   test("linkStats: totals, distinct referrer domains, external split") {
     val edges = Seq(
       ("http://a.one.example/1", "http://t.example/x"),
