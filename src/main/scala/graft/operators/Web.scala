@@ -468,6 +468,22 @@ object Web {
       .select(col("reg_domain"), col("value").as("sitemap_url"))
   }
 
+  /** Resolve a URL reference against a base URL — the RFC 3986 subset
+    * shared by href extraction and redirect following: absolute kept,
+    * protocol-relative takes the base scheme, root-relative takes the
+    * base authority, anything else resolves against the base directory.
+    * Dot segments deliberately not normalized (see [[extractLinks]]). */
+  private[operators] def resolveRef(base: Column, ref: Column): Column = {
+    val scheme = urlScheme(base)
+    val auth = regexp_extract(base, "^[A-Za-z]+://([^/?#]*)", 1)
+    val dir = regexp_replace(when(urlPath(base) === "", "/")
+      .otherwise(urlPath(base)), "[^/]*$", "")
+    when(ref.rlike("^[A-Za-z]+://"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(scheme, lit("://"), auth, ref))
+      .otherwise(concat(scheme, lit("://"), auth, dir, ref))
+  }
+
   /** Parse `<urlset>` sitemap bodies into (reg_domain, loc, lastmod)
     * rows: `<url>` blocks via a non-greedy block regex, `<loc>`
     * required (entries without one are dropped), `<lastmod>` optional
@@ -483,6 +499,47 @@ object Web {
         regexp_extract(col("u"), "<loc>([^<]*)</loc>", 1).as("loc"),
         regexp_extract(col("u"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
       .filter(col("loc") =!= "")
+
+  /** Parse `<sitemapindex>` bodies into `(reg_domain, child_loc,
+    * lastmod)` — large sites publish an INDEX of child sitemaps, not a
+    * flat `<urlset>`, so discovery is a two-level fetch: robots
+    * `Sitemap:` directive → index parse HERE → fetch each child →
+    * [[sitemapEntries]]. Same non-greedy block regex discipline;
+    * `<sitemap>` blocks only, so a `<urlset>` body yields zero rows
+    * here and an index body yields zero rows in [[sitemapEntries]] —
+    * the two parses compose over a mixed fetch batch without a format
+    * sniff. `lastmod` optional (empty when absent): a child whose
+    * stamp predates the last crawl can skip re-fetching entirely. */
+  def sitemapIndexEntries(sitemaps: DataFrame): DataFrame =
+    sitemaps.select(col("reg_domain"),
+        explode(regexp_extract_all(col("sitemap_xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("s"))
+      .select(col("reg_domain"),
+        regexp_extract(col("s"), "<loc>([^<]*)</loc>", 1).as("child_loc"),
+        regexp_extract(col("s"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"))
+      .filter(col("child_loc") =!= "")
+
+  /** Sitemap-index parse over corpus-derived XML (branch-derived
+    * oracle): every doc carries one `<sitemap>` block (lastmod present
+    * for even ids), and ids ≡ 0 (mod 7) append a DECOY `<url>` block
+    * that must parse as a urlset entry, never as a child sitemap. */
+  def qSitemapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val xml = concat(lit("<sitemapindex><sitemap><loc>http://"),
+      col("source"), lit(".example/sm-"), id % 4, lit(".xml</loc>"),
+      when(id % 2 === 0,
+        concat(lit("<lastmod>2026-0"), (id % 6) + 1, lit("-01</lastmod>")))
+        .otherwise(lit("")),
+      lit("</sitemap>"),
+      when(id % 7 === 0,
+        lit("<url><loc>http://decoy.example/u</loc></url>"))
+        .otherwise(lit("")),
+      lit("</sitemapindex>"))
+    sitemapIndexEntries(Tables.documents(spark, dir).select(
+        concat(col("source"), lit(".example")).as("reg_domain"),
+        xml.as("sitemap_xml")))
+      .orderBy("reg_domain", "child_loc", "lastmod")
+  }
 
   // RSS/Atom feeds: the OTHER standard discovery channel next to
   // sitemaps — blogs and news sites advertise a feed in the page head,
@@ -1095,6 +1152,99 @@ object Web {
         .select(col("v"), (col("v") + 10) % 20))
       .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
     pageRankPpm(edges, iters = 3).orderBy("url", "rank_ppm")
+  }
+
+  // ---- redirect resolution ---------------------------------------------
+
+  /** Resolve HTTP redirect chains over a fetch log `(url, status,
+    * location)` — a crawl's URL identity is the redirect TARGET: dedup
+    * keyed on the fetched spelling treats `/old` and `/new` as distinct
+    * pages, and every 3xx hop a frontier re-schedules is a wasted
+    * politeness slot. Per distinct fetched URL: follow `Location` hops
+    * (resolved against the redirecting URL by the same RFC 3986 subset
+    * links use — absolute, protocol-relative, root-relative, relative)
+    * up to `maxHops`, then classify:
+    *
+    *   - `resolved`  — the chain ends at a fetched non-redirect;
+    *   - `dangling`  — the chain leaves the fetch log (target never
+    *     fetched); the frontier should schedule `final_url`;
+    *   - `exceeded`  — still redirecting after `maxHops` (covers loops:
+    *     a cycle never terminates, so it exhausts the budget — the
+    *     browser-style bounded walk, no path state kept).
+    *
+    * Output `(url, final_url, n_hops, resolution)`, all URLs canonical.
+    * Duplicate fetch records of one URL collapse deterministically
+    * (min (status, location)). Scale: the redirect map is 3xx-only —
+    * orders of magnitude below the log — and each hop is one keyed
+    * join of the url-grain state against it, lineage cut between hops;
+    * `maxHops` is a small constant (browsers cap around 20). */
+  def resolveRedirects(fetches: DataFrame, url: Column, status: Column,
+      location: Column, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "resolveRedirects: maxHops >= 1")
+    val f = fetches
+      .groupBy(canonicalUrl(url).as("u"))
+      .agg(min(struct(status.as("st"), location.as("loc"))).as("g"))
+      .select(col("u"), col("g.st").as("st"), col("g.loc").as("loc"))
+      .localCheckpoint()
+    val isRedirect = col("st") >= 300 && col("st") <= 399 && col("loc") =!= ""
+    val redirects = f.filter(isRedirect)
+      .select(col("u").as("graft_cur"),
+        canonicalUrl(resolveRef(col("u"), col("loc"))).as("graft_t"))
+      .localCheckpoint()
+    var state = f.select(col("u").as("url"), col("u").as("graft_cur"),
+      lit(0L).as("n_hops"))
+    for (_ <- 1 to maxHops) {
+      state = state.join(redirects, Seq("graft_cur"), "left")
+        .select(col("url"),
+          coalesce(col("graft_t"), col("graft_cur")).as("graft_cur"),
+          (col("n_hops") + when(col("graft_t").isNotNull, 1L).otherwise(0L))
+            .as("n_hops"))
+        .localCheckpoint()
+    }
+    state
+      .join(f.select(col("u").as("graft_cur"), col("st"), col("loc")),
+        Seq("graft_cur"), "left")
+      .select(col("url"), col("graft_cur").as("final_url"), col("n_hops"),
+        when(col("st").isNull, "dangling")
+          .when(isRedirect, "exceeded")
+          .otherwise("resolved").as("resolution"))
+  }
+
+  /** Redirect-chain scenario over a branch-derived fetch log (urls are
+    * pre-canonical, so the oracle replays spelling-for-spelling). Per
+    * id%5 the page `/p/<id>` is: 0 → a direct 200; 1 → 301 to a fetched
+    * 200 target (1 hop); 2 → 301 to a root-relative 302 to a fetched
+    * 200 (2 hops); 3 → a 301↔301 LOOP with `/q/<id>` (budget exhausts
+    * at maxHops=3, final lands on the odd side); 4 → 301 off the log
+    * (dangling). Target/loop partner rows join the log too, each its
+    * own start. */
+  def qRedirects(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val id = col("doc_id")
+    def u(p: String): Column =
+      concat(lit(s"http://r.example/$p/"), id.cast("string"))
+    val starts = docs.select(u("p").as("url"),
+      when(id % 5 === 0, 200).otherwise(301).as("status"),
+      when(id % 5 === 1, u("t"))
+        .when(id % 5 === 2, concat(lit("/hop/"), id.cast("string")))
+        .when(id % 5 === 3, u("q"))
+        .when(id % 5 === 4, concat(lit("http://gone.example/"),
+          id.cast("string")))
+        .otherwise(lit("")).as("location"))
+    val targets = docs.filter(id % 5 === 1)
+      .select(u("t").as("url"), lit(200).as("status"), lit("").as("location"))
+    val hops = docs.filter(id % 5 === 2)
+      .select(u("hop").as("url"), lit(302).as("status"),
+        u("t2").cast("string").as("location"))
+    val hopTargets = docs.filter(id % 5 === 2)
+      .select(u("t2").as("url"), lit(200).as("status"), lit("").as("location"))
+    val loops = docs.filter(id % 5 === 3)
+      .select(u("q").as("url"), lit(301).as("status"),
+        u("p").cast("string").as("location"))
+    val log = starts.union(targets).union(hops).union(hopTargets).union(loops)
+    resolveRedirects(log, col("url"), col("status"), col("location"),
+      maxHops = 3)
+      .orderBy("url", "final_url", "n_hops", "resolution")
   }
 
   // ---- domain quality prior --------------------------------------------

@@ -177,6 +177,8 @@ object ExtQueries {
     "web_link_rank"         -> Web.qLinkRank _,
     "web_domain_prior"      -> Web.qDomainPrior _,
     "web_anchor_texts"      -> Web.qAnchorTexts _,
+    "web_sitemap_index"     -> Web.qSitemapIndex _,
+    "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
     "warc_roundtrip"        -> graft.sources.Warc.qWarcRoundtrip _,
@@ -4823,6 +4825,65 @@ object ExtQueries {
         |SELECT dst_url, anchor, n, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 2
         |ORDER BY dst_url, rank, anchor, n""".stripMargin,
+
+    // Mirrors Web.qSitemapIndex: one child-sitemap row per doc (lastmod
+    // on even ids), the decoy <url> block never parses as a child.
+    "web_sitemap_index" ->
+      """SELECT source || '.example' AS reg_domain,
+        |  'http://' || source || '.example/sm-' || CAST(doc_id % 4 AS VARCHAR)
+        |    || '.xml' AS child_loc,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN '2026-0' || CAST((doc_id % 6) + 1 AS VARCHAR) || '-01'
+        |    ELSE '' END AS lastmod
+        |FROM documents
+        |ORDER BY reg_domain, child_loc, lastmod""".stripMargin,
+
+    // Mirrors Web.qRedirects: the fetch log re-derived from the five
+    // branches, the 3xx map with the hand-resolved root-relative hop,
+    // and THREE unrolled walk rounds — the loop branch must exhaust the
+    // budget (exceeded), the off-log branch must dangle, and hop counts
+    // must match exactly.
+    "web_redirects" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |f AS (
+        |  SELECT 'http://r.example/p/' || CAST(doc_id AS VARCHAR) AS u,
+        |    CASE WHEN doc_id % 5 = 0 THEN 200 ELSE 301 END AS st,
+        |    CASE doc_id % 5
+        |      WHEN 1 THEN 'http://r.example/t/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/hop/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN 'http://r.example/q/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 4 THEN 'http://gone.example/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END AS loc
+        |  FROM d
+        |  UNION ALL SELECT 'http://r.example/t/' || CAST(doc_id AS VARCHAR),
+        |    200, '' FROM d WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT 'http://r.example/hop/' || CAST(doc_id AS VARCHAR),
+        |    302, 'http://r.example/t2/' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT 'http://r.example/t2/' || CAST(doc_id AS VARCHAR),
+        |    200, '' FROM d WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT 'http://r.example/q/' || CAST(doc_id AS VARCHAR),
+        |    301, 'http://r.example/p/' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 5 = 3),
+        |r AS (SELECT u, CASE WHEN starts_with(loc, '/')
+        |    THEN 'http://r.example' || loc ELSE loc END AS t
+        |  FROM f WHERE st BETWEEN 300 AND 399 AND loc <> ''),
+        |s0 AS (SELECT u AS url, u AS cur, 0 AS h FROM f),
+        |s1 AS (SELECT s0.url, COALESCE(r.t, s0.cur) AS cur,
+        |    s0.h + (CASE WHEN r.t IS NULL THEN 0 ELSE 1 END) AS h
+        |  FROM s0 LEFT JOIN r ON r.u = s0.cur),
+        |s2 AS (SELECT s1.url, COALESCE(r.t, s1.cur) AS cur,
+        |    s1.h + (CASE WHEN r.t IS NULL THEN 0 ELSE 1 END) AS h
+        |  FROM s1 LEFT JOIN r ON r.u = s1.cur),
+        |s3 AS (SELECT s2.url, COALESCE(r.t, s2.cur) AS cur,
+        |    s2.h + (CASE WHEN r.t IS NULL THEN 0 ELSE 1 END) AS h
+        |  FROM s2 LEFT JOIN r ON r.u = s2.cur)
+        |SELECT s3.url, s3.cur AS final_url, CAST(s3.h AS BIGINT) AS n_hops,
+        |  CASE WHEN g.u IS NULL THEN 'dangling'
+        |       WHEN g.st BETWEEN 300 AND 399 AND g.loc <> '' THEN 'exceeded'
+        |       ELSE 'resolved' END AS resolution
+        |FROM s3 LEFT JOIN f g ON g.u = s3.cur
+        |ORDER BY url, final_url, n_hops, resolution""".stripMargin,
 
     // Mirrors Sinks.qTombstone — the two-phase delete: after phase-1
     // markers the LIVE probe view must already exclude the planted

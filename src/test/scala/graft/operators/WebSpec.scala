@@ -372,6 +372,51 @@ class WebSpec extends AnyFunSuite {
       ("http://e.com/fresh", 0L, 0L)))
   }
 
+  test("sitemap index: two-level discovery parses without a format sniff") {
+    val bodies = Seq(
+      ("d.com", "<sitemapindex><sitemap><loc>http://d.com/sm1.xml</loc>" +
+        "<lastmod>2026-01-02</lastmod></sitemap>" +
+        "<sitemap><loc>http://d.com/sm2.xml</loc></sitemap></sitemapindex>"),
+      ("e.com", "<urlset><url><loc>http://e.com/p1</loc></url></urlset>")
+    ).toDF("reg_domain", "sitemap_xml")
+    val idx = Web.sitemapIndexEntries(bodies)
+      .as[(String, String, String)].collect().toSet
+    assert(idx == Set(("d.com", "http://d.com/sm1.xml", "2026-01-02"),
+      ("d.com", "http://d.com/sm2.xml", "")),
+      "urlset body yields zero index rows")
+    val urls = Web.sitemapEntries(bodies)
+      .as[(String, String, String)].collect().toSet
+    assert(urls == Set(("e.com", "http://e.com/p1", "")),
+      "index body yields zero urlset rows")
+  }
+
+  test("resolveRedirects: relative Location, canonical chain join, " +
+      "hop budget") {
+    val log = Seq(
+      ("http://d.com/a/old.html", 301, "new.html"),  // sibling-relative hop
+      // target canonicalizes onto the fetched spelling (tracking param)
+      ("http://d.com/a/new.html", 302, "/fresh?utm_source=x&id=1"),
+      ("http://d.com/fresh?id=1", 200, ""),
+      ("http://d.com/l1", 301, "http://d.com/l2"),
+      ("http://d.com/l2", 301, "http://d.com/l3"),
+      ("http://d.com/l3", 301, "http://d.com/l4"),
+      ("http://d.com/l4", 200, "")
+    ).toDF("url", "status", "location")
+    def run(h: Int) = Web.resolveRedirects(log, col("url"), col("status"),
+        col("location"), maxHops = h)
+      .as[(String, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val g3 = run(3)
+    assert(g3("http://d.com/a/old.html") ==
+      (("http://d.com/fresh?id=1", 2L, "resolved")),
+      "relative Location + canonical join must chain")
+    assert(g3("http://d.com/l1") == (("http://d.com/l4", 3L, "resolved")),
+      "a chain of exactly maxHops resolves")
+    // one hop less: the same chain exhausts the budget mid-flight
+    val g2 = run(2)
+    assert(g2("http://d.com/l1") == (("http://d.com/l3", 2L, "exceeded")))
+  }
+
   // link graph -----------------------------------------------------------
 
   test("extractLinks: four resolution shapes, anchor strip, decoy drop") {
