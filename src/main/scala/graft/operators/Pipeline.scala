@@ -558,11 +558,13 @@ object Pipeline {
     *      self-inflicted mojibake), falling back to UTF-8 when the
     *      charset is absent or unknown to the JVM;
     *   3. URL stage: canonicalize, robots-gate against the parsed rule
-    *      table (broadcast), first-fetch-wins per canonical URL —
-    *      "first" is temporal: earliest `WARC-Date` (ISO 8601 is
-    *      fixed-width UTC, so STRING order is time order; no date
-    *      parse), doc_id as the deterministic tiebreaker; undated
-    *      records (absent header) sort before dated ones;
+    *      table (broadcast), first-fetch-wins per URL IDENTITY — the
+    *      page-declared `rel=canonical` target when present
+    *      ([[Web.relCanonical]], `honorRelCanonical`), else the
+    *      canonical spelling; "first" is temporal: earliest `WARC-Date`
+    *      (ISO 8601 is fixed-width UTC, so STRING order is time order;
+    *      no date parse), doc_id as the deterministic tiebreaker;
+    *      undated records (absent header) sort before dated ones;
     *   4. the [[curate]] funnel with main-content extraction + line
     *      corrections on by default — quality gate, exact + near dedup,
     *      cluster-stable split.
@@ -608,7 +610,8 @@ object Pipeline {
 
   def crawlPrepare(warcBlobs: DataFrame, robotsRules: DataFrame,
       cfg: Config = Config(extractMainContent = true,
-        lineCorrections = true)): DataFrame = {
+        lineCorrections = true),
+      honorRelCanonical: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // noindex compliance gate, BOTH layers: the X-Robots-Tag header
     // (parsed at the fetch layer) and the robots meta tag — a page the
@@ -623,9 +626,18 @@ object Pipeline {
       .withColumn("pathq", Web.canonicalPathQuery(col("url")))
     val allowed = Web.robotsGate(canon, robotsRules)
       .filter(col("allowed")).drop("rule", "allowed", "pathq")
-    val byUrl = Window.partitionBy("canon_url")
+    // URL identity: the page-DECLARED canonical when present (print
+    // views / mobile spellings / pagination params collapse onto the
+    // page the site says they duplicate), else the canonical spelling
+    val keyed =
+      if (honorRelCanonical) allowed.withColumn("graft_url_key",
+        when(Web.relCanonical(col("url"), col("text")) =!= "",
+          Web.relCanonical(col("url"), col("text")))
+          .otherwise(col("canon_url")))
+      else allowed.withColumn("graft_url_key", col("canon_url"))
+    val byUrl = Window.partitionBy("graft_url_key")
       .orderBy(col("warc_date"), col("doc_id"))
-    val unique = allowed
+    val unique = keyed
       .withColumn("graft_rk", row_number().over(byUrl))
       .filter(col("graft_rk") === 1)
     val docs = unique.select(col("doc_id"), lit("und").as("lang"),

@@ -963,17 +963,21 @@ object Web {
     *
     * Scale: pure per-row regex work plus one explode — zero shuffle;
     * the corpus text never moves. */
+  /** HTML attribute value out of an OPEN tag: quoted ("…" / '…') or
+    * bare (to whitespace or `>`) — unquoted attributes are common in
+    * old/hand-written HTML. The name must follow whitespace so
+    * `data-href=` never matches `href`; callers pass open tags only (no
+    * element text to false-match in). */
+  private def attrVal(src: Column, name: String): Column = {
+    val quoted = regexp_extract(src,
+      s"(?i)\\s$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val bare = regexp_extract(src,
+      s"""(?i)\\s$name\\s*=\\s*([^\\s>"']+)""", 1)
+    when(quoted =!= "", quoted).otherwise(bare)
+  }
+
   def extractLinks(pages: DataFrame, pageUrl: Column, html: Column): DataFrame = {
-    // attribute value: quoted ("…" / '…') or bare (to whitespace or >).
-    // The name must follow whitespace so `data-href=` never matches, and
-    // the source is always an OPEN tag (no anchor text to false-match in).
-    def attr(src: Column, name: String): Column = {
-      val quoted = regexp_extract(src,
-        s"(?i)\\s$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-      val bare = regexp_extract(src,
-        s"""(?i)\\s$name\\s*=\\s*([^\\s>"']+)""", 1)
-      when(quoted =!= "", quoted).otherwise(bare)
-    }
+    def attr(src: Column, name: String): Column = attrVal(src, name)
     // <base href>: absolute values replace the page URL as the base
     val baseTag = regexp_extract(html, "(?is)<base\\b[^>]*>", 0)
     val baseHref = attr(baseTag, "href")
@@ -1154,6 +1158,54 @@ object Web {
     pageRankPpm(edges, iters = 3).orderBy("url", "rank_ppm")
   }
 
+  /** The page-DECLARED canonical URL (`<link rel="canonical" href=…>`)
+    * — the site's own statement that this page is a duplicate spelling
+    * of another: print views, mobile subdomains, pagination params the
+    * tracking-param strip can't know about. Returns the resolved,
+    * canonicalized declaration, or '' when the page declares none (or
+    * the href is empty/unparseable). Either attribute order, any
+    * case/quoting, bare values; `rel="canonical-x"` and `data-rel`
+    * never match; multi-valued rel lists (rare) are not recognized.
+    * First declaration wins when duplicated. URL dedup keyed on
+    * `coalesce(declared, canonical-spelling)` collapses what
+    * spelling-level canonicalization cannot — see [[Pipeline
+    * .crawlPrepare]]'s `honorRelCanonical`. Codegen'd regex, zero
+    * shuffle. */
+  def relCanonical(pageUrl: Column, html: Column): Column = {
+    val tag = regexp_extract(html,
+      "(?is)<link\\b[^>]*\\srel\\s*=\\s*[\"']?canonical[\"'\\s>][^>]*>", 0)
+    val href = attrVal(tag, "href")
+    when(href === "", lit(""))
+      .otherwise(canonicalUrl(resolveRef(pageUrl, href)))
+  }
+
+  /** rel=canonical extraction over corpus-derived pages (branch-derived
+    * oracle): per id%4 the head declares an ABSOLUTE canonical with a
+    * tracking param left to strip, a ROOT-relative one (href-first
+    * attribute order), only DECOYS (`rel="canonical-x"`, a stylesheet
+    * link, `data-rel=canonical`), or nothing. */
+  def qRelCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val head = when(id % 4 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"HTTP://"), col("source"),
+        lit(".example:80/page/"), id % 50, lit("?utm_source=a&v=1\">")))
+      .when(id % 4 === 1, concat(
+        lit("<link href='/canon/"), id % 10, lit("' rel=canonical>")))
+      .when(id % 4 === 2,
+        lit("<link rel=\"canonical-x\" href=\"/no\">" +
+          "<link rel=\"stylesheet\" href=\"/s.css\">" +
+          "<link data-rel=\"canonical\" href=\"/no2\">"))
+      .otherwise(lit(""))
+    val pages = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example/a/b.html"))
+        .as("url"),
+      concat(lit("<html><head>"), head, lit("</head><body>x</body></html>"))
+        .as("html"))
+    pages.select(col("doc_id"),
+        relCanonical(col("url"), col("html")).as("canonical_url"))
+      .orderBy("doc_id", "canonical_url")
+  }
+
   // ---- redirect resolution ---------------------------------------------
 
   /** Resolve HTTP redirect chains over a fetch log `(url, status,
@@ -1209,6 +1261,18 @@ object Web {
           .when(isRedirect, "exceeded")
           .otherwise("resolved").as("resolution"))
   }
+
+  /** The discovery side of redirect resolution: every DANGLING chain
+    * end is a URL the crawl was told about but never fetched — exactly
+    * a frontier entry. Emits the [[sitemapEntries]] shape
+    * `(reg_domain, loc, lastmod)` (lastmod empty — a redirect carries
+    * no freshness stamp), deduplicated on the target, ready for
+    * [[frontier]]/[[fetchSchedule]] unchanged. */
+  def redirectFrontier(resolved: DataFrame): DataFrame =
+    resolved.filter(col("resolution") === "dangling")
+      .select(registeredDomain(col("final_url")).as("reg_domain"),
+        col("final_url").as("loc"), lit("").as("lastmod"))
+      .distinct()
 
   /** Redirect-chain scenario over a branch-derived fetch log (urls are
     * pre-canonical, so the oracle replays spelling-for-spelling). Per

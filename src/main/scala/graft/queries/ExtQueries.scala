@@ -178,6 +178,7 @@ object ExtQueries {
     "web_domain_prior"      -> Web.qDomainPrior _,
     "web_anchor_texts"      -> Web.qAnchorTexts _,
     "web_sitemap_index"     -> Web.qSitemapIndex _,
+    "web_rel_canonical"     -> Web.qRelCanonical _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
@@ -4837,6 +4838,21 @@ object ExtQueries {
         |    ELSE '' END AS lastmod
         |FROM documents
         |ORDER BY reg_domain, child_loc, lastmod""".stripMargin,
+
+    // Mirrors Web.qRelCanonical: the declared canonical re-derived per
+    // branch — the absolute declaration loses :80 and its utm param, the
+    // root-relative one resolves against the page authority, decoys and
+    // declaration-free pages yield ''.
+    "web_rel_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://' || source || '.example/page/'
+        |      || CAST(doc_id % 50 AS VARCHAR) || '?v=1'
+        |    WHEN 1 THEN 'http://' || source || '.example/canon/'
+        |      || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE '' END AS canonical_url
+        |FROM documents
+        |ORDER BY doc_id, canonical_url""".stripMargin,
 
     // Mirrors Web.qRedirects: the fetch log re-derived from the five
     // branches, the 3xx map with the hand-resolved root-relative hop,

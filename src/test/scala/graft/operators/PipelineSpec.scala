@@ -295,4 +295,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(pages.find(_.getAs[Long]("doc_id") == h(earlyId))
       .get.getAs[String]("warc_date") == "2026-01-02T08:00:00Z")
   }
+
+  test("crawlPrepare: rel=canonical collapses spellings the URL " +
+    "canonicalizer cannot; honorRelCanonical=false restores spelling keys") {
+    import graft.sources.Warc
+    // two DIFFERENT canonical spellings (print view + AMP-style path)
+    // both declare the same canonical target — one survivor, earliest
+    // fetch, even though their EXTRACTED text differs (print chrome):
+    // the site's declaration, not content similarity, is the identity.
+    // A third page declares nothing and stays its own identity.
+    val printView = "<p>rivers and stones and gardens make fine prose " +
+      "for a batch crawl funnel to keep and then to score in print</p>"
+    val ampView = "<p>mountains and valleys and forests carry wholly " +
+      "different prose under the very same declared canonical page</p>"
+    val standalone = "<p>planets and comets and orbits tell another " +
+      "story entirely so this page must keep its own url identity</p>"
+    def page(canonical: String, body: String) = Warc.writeHttpResponse(
+      200, "OK", Seq("Content-Type" -> "text/html; charset=utf-8"),
+      (s"<head><link rel=\"canonical\" href=\"$canonical\"></head>" + body)
+        .getBytes("UTF-8"))
+    def h(r: String): Long = Seq(Tuple1(r)).toDF("x")
+      .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+      .collect().head.getLong(0)
+    val recs = Seq(
+      ("<urn:c:1>", "http://d.com/article/print", page("/article", printView),
+        "2026-01-03T00:00:00Z"),
+      ("<urn:c:2>", "http://d.com/amp/article",
+        page("http://d.com/article", ampView),
+        "2026-01-01T00:00:00Z"),   // earliest → the keeper
+      ("<urn:c:3>", "http://d.com/standalone", Warc.writeHttpResponse(
+        200, "OK", Seq("Content-Type" -> "text/html; charset=utf-8"),
+        standalone.getBytes("UTF-8")),
+        "2026-01-02T00:00:00Z"))
+    val blob = recs.map { case (id, uri, body, date) =>
+      Warc.gzipMember(Warc.writeRecord(id, uri, body, date)) }.reduce(_ ++ _)
+    val blobs = Seq(Tuple1(blob)).toDF("blob")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val cfg = Pipeline.Config(extractMainContent = true,
+      lineCorrections = true, minQuality = 0.1)
+    val ids = Pipeline.crawlPrepare(blobs, rules, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(h("<urn:c:2>"), h("<urn:c:3>")),
+      s"declared-canonical pair collapses to its earliest fetch: $ids")
+    // spelling keys only: all three pages are distinct URL identities
+    // and their texts are unrelated, so all three survive
+    val spellings = Pipeline.crawlPrepare(blobs, rules, cfg,
+      honorRelCanonical = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(spellings == Set(h("<urn:c:1>"), h("<urn:c:2>"), h("<urn:c:3>")),
+      s"spelling-keyed run keeps all three: $spellings")
+  }
 }

@@ -417,6 +417,25 @@ class WebSpec extends AnyFunSuite {
     assert(g2("http://d.com/l1") == (("http://d.com/l3", 2L, "exceeded")))
   }
 
+  test("redirectFrontier: dangling chain ends become frontier entries") {
+    val log = Seq(
+      ("http://d.com/moved", 301, "http://new.example/here"),
+      ("http://d.com/also-moved", 301, "http://new.example/here"), // same target
+      ("http://d.com/ok", 200, "")
+    ).toDF("url", "status", "location")
+    val resolved = Web.resolveRedirects(log, col("url"), col("status"),
+      col("location"))
+    val entries = Web.redirectFrontier(resolved)
+      .as[(String, String, String)].collect().toSet
+    assert(entries == Set(("new.example", "http://new.example/here", "")),
+      "one deduplicated entry in the sitemap shape")
+    // and it flows through the frontier diff unchanged
+    val fr = Web.frontier(Web.redirectFrontier(resolved),
+        Seq("http://seen.example/x").toDF("url"))
+      .select("canon_loc", "known").as[(String, Boolean)].collect().toSet
+    assert(fr == Set(("http://new.example/here", false)))
+  }
+
   // link graph -----------------------------------------------------------
 
   test("extractLinks: four resolution shapes, anchor strip, decoy drop") {
