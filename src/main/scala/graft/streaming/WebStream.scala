@@ -16,8 +16,11 @@ import graft.operators.Web
   *      verdict ([[Web.robotsGate]]) against a STATIC parsed rule table
   *      (policies change at crawl-config cadence, not per batch; the
   *      caller re-parses and restarts when they do);
-  *   2. in-batch URL dedup — FIRST fetch (min doc_id) per canonical URL
-  *      wins, the crawl-frontier convention (the batch snapshot query
+  *   2. in-batch URL dedup — FIRST fetch (min doc_id) per URL IDENTITY
+  *      wins: the page-declared `rel=canonical` target when the batch
+  *      carries text and the page declares one ([[Web.relCanonical]],
+  *      the [[graft.operators.Pipeline.crawlPrepare]] twin's rule),
+  *      else the canonical spelling (the batch snapshot query
   *      [[Web.qUrlDedup]] keeps the NEWEST over a full corpus instead —
   *      a re-crawl refresh is a batch job, not an ingest decision);
   *   3. cross-batch URL dedup via a PERSISTED url-hash index, bucketed
@@ -68,10 +71,21 @@ object WebStream {
           .withColumn("canon_url", Web.canonicalUrl(col("url")))
           .withColumn("reg_domain", Web.registeredDomain(col("url")))
           .withColumn("pathq", Web.canonicalPathQuery(col("url")))
-        val allowed = Web.robotsGate(canon, robotsRules)
+        val allowed0 = Web.robotsGate(canon, robotsRules)
           .filter(col("allowed"))
           .drop("rule", "allowed", "pathq", "reg_domain")
-          .withColumn("url_hash", xxhash64(col("canon_url")))
+        // URL identity (the crawlPrepare twin's rule): the page-declared
+        // rel=canonical when the batch carries text and the page declares
+        // one, else the canonical spelling — so a print view and its
+        // canonical page dedup across batches too
+        val allowed = (if (allowed0.columns.contains("text"))
+            allowed0.withColumn("graft_url_key",
+              when(Web.relCanonical(col("url"), col("text")) =!= "",
+                Web.relCanonical(col("url"), col("text")))
+                .otherwise(col("canon_url")))
+          else allowed0.withColumn("graft_url_key", col("canon_url")))
+          .withColumn("url_hash", xxhash64(col("graft_url_key")))
+          .drop("graft_url_key")
         // 2. first fetch per canonical URL within the batch
         val byUrl = Window.partitionBy("url_hash")
         val firsts = allowed

@@ -86,6 +86,38 @@ class WebStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crawl ingest: rel=canonical spellings dedup cross-batch " +
+    "(the crawlPrepare twin's identity rule)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-rc")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_rc_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_rc_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      input.addData((1L, "http://d.com/article", "<p>the page itself</p>"))
+      q.processAllAvailable()
+      // batch 2: a print view DECLARING /article (cross-batch dup on the
+      // declared identity even though its spelling is new), plus an
+      // undeclared genuinely-new page
+      input.addData(
+        (2L, "http://d.com/article/print",
+          "<head><link rel=\"canonical\" href=\"/article\"></head>" +
+            "<p>print chrome</p>"),
+        (3L, "http://d.com/fresh", "<p>new page</p>"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L),
+        s"declared-canonical print view deduped cross-batch: $kept")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_rc_urls")
+  }
+
   test("restart from checkpoint: no re-emits, no duplicate index appends, bootstrap") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-webrestart")
