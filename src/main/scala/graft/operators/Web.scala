@@ -1024,6 +1024,15 @@ object Web {
         sum((registeredDomain(col("src_url")) =!=
           registeredDomain(col("dst_url"))).cast("long")).as("n_external"))
 
+  /** In-degree histogram over an [[extractLinks]] edge table — the
+    * link-graph health profile (web in-degrees are heavy-tailed; a
+    * crawl whose histogram ISN'T is over-sampling someone's link farm).
+    * `(in_degree, n_urls)`: how many target URLs have exactly k
+    * in-links. Two url-grain aggregates; output is O(distinct degrees). */
+  def linkDegreeHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy("dst_url").agg(count(lit(1)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_urls"))
+
   /** Top-k anchor texts per target URL — the human-written summaries of
     * a page that OTHER pages wrote, the classic retrieval/labeling
     * signal a link graph yields (anchor text describes the target
@@ -1050,6 +1059,14 @@ object Web {
     * ranks then order, they don't sum to N·10⁶. Duplicate edges count
     * once (a page linking its neighbor five times is one endorsement).
     *
+    * `redistributeDangling = true` adds the textbook correction: each
+    * round the dangling nodes' summed rank spreads uniformly — in exact
+    * integer ppm, `(d_ppm · (Σ_dangling div N)) div 10⁶` added to every
+    * node — so total mass is conserved (the 2-node A→B case lands
+    * exactly on 2·10⁶) and a crawl with many dead ends doesn't deflate
+    * everyone's score. Costs one anti-join + 1-row aggregate +
+    * broadcast per round; `N` is a driver constant computed once.
+    *
     * Scale: the Pregel shape — per iteration one shuffle join of the
     * edge table against the node-grain rank frame plus one dst-grain
     * aggregate; `localCheckpoint` cuts lineage between rounds so the
@@ -1057,7 +1074,8 @@ object Web {
     * node-grain. Fixed small `iters` (crawl priority needs ordering
     * stability, not convergence). */
   def pageRankPpm(edges: DataFrame, iters: Int = 3,
-      dampPpm: Long = 850000L): DataFrame = {
+      dampPpm: Long = 850000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
       "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
     val e = edges.select(col("src_url").as("graft_src"),
@@ -1067,6 +1085,7 @@ object Web {
       .localCheckpoint()
     val outdeg = e.groupBy("graft_src")
       .agg(count(lit(1)).as("graft_out")).localCheckpoint()
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = e
@@ -1075,10 +1094,22 @@ object Web {
         .select(col("graft_dst").as("url"),
           expr("rank_ppm div graft_out").as("graft_c"))
         .groupBy("url").agg(sum("graft_c").as("graft_in"))
-      ranks = nodes.join(contrib, Seq("url"), "left")
+      val joined = nodes.join(contrib, Seq("url"), "left")
+      val withExtra =
+        if (redistributeDangling) {
+          val dm = ranks
+            .join(outdeg.select(col("graft_src").as("url")), Seq("url"),
+              "left_anti")
+            .agg(coalesce(sum("rank_ppm"), lit(0L)).as("graft_dm"))
+          joined.crossJoin(broadcast(dm))
+            .withColumn("graft_extra",
+              expr(s"($dampPpm * (graft_dm div $nNodes)) div 1000000"))
+        } else joined.withColumn("graft_extra", lit(0L))
+      ranks = withExtra
         .select(col("url"),
           (lit(1000000L - dampPpm) + expr(
-            s"($dampPpm * coalesce(graft_in, 0L)) div 1000000"))
+            s"($dampPpm * coalesce(graft_in, 0L)) div 1000000")
+            + col("graft_extra"))
             .cast("long").as("rank_ppm"))
         .localCheckpoint()
     }
@@ -1138,6 +1169,14 @@ object Web {
         .otherwise("docs").as("anchor"))
     anchorTexts(edges, k = 2).orderBy("dst_url", "rank", "anchor", "n")
   }
+
+  /** In-degree histogram over the [[qLinkGraph]] edge table — the
+    * degree structure (shared ext/cdn targets vs per-page relative
+    * targets) re-derived by the oracle through the same double
+    * aggregate. */
+  def qLinkDegrees(spark: SparkSession, dir: String): DataFrame =
+    linkDegreeHistogram(qLinkGraph(spark, dir))
+      .orderBy("in_degree", "n_urls")
 
   /** PageRank over a branch-derived 20-node graph: nodes `doc_id % 20`,
     * edges `v → (3v+1) % 20`, `v → (7v+3) % 20`, plus `v → (v+10) % 20`
@@ -1309,6 +1348,28 @@ object Web {
     resolveRedirects(log, col("url"), col("status"), col("location"),
       maxHops = 3)
       .orderBy("url", "final_url", "n_hops", "resolution")
+  }
+
+  /** The dangling-redistribution variant of [[qLinkRank]]: the same
+    * 20-node graph with nodes ≡ 1 (mod 4) stripped of ALL out-edges —
+    * five dead ends that still receive links — and
+    * `redistributeDangling = true`, so each round their summed mass
+    * spreads uniformly in exact ppm. The oracle unrolls the three
+    * rounds WITH the per-round dangling term; mass conservation makes
+    * any drop or double-count visible in every node's value. */
+  def qLinkRankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val src = n.filter(col("v") % 4 =!= 1)
+    val edges = src.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(src.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    pageRankPpm(edges, iters = 3, redistributeDangling = true)
+      .orderBy("url", "rank_ppm")
   }
 
   // ---- domain quality prior --------------------------------------------

@@ -179,6 +179,8 @@ object ExtQueries {
     "web_anchor_texts"      -> Web.qAnchorTexts _,
     "web_sitemap_index"     -> Web.qSitemapIndex _,
     "web_rel_canonical"     -> Web.qRelCanonical _,
+    "web_link_degrees"      -> Web.qLinkDegrees _,
+    "web_link_rank_dangling" -> Web.qLinkRankDangling _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
@@ -3979,6 +3981,60 @@ object ExtQueries {
         |  FROM e JOIN r2 ON r2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
         |r3 AS (SELECT n.v, 150000 + (850000 * COALESCE(c3.sm, 0)) // 1000000 AS r
         |  FROM n LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  CAST(r AS BIGINT) AS rank_ppm
+        |FROM r3 ORDER BY url, rank_ppm""".stripMargin,
+
+    // Mirrors Web.qLinkDegrees: the same hand-derived edge table taken
+    // through BOTH aggregates — per-target in-degree, then the degree
+    // histogram.
+    "web_link_degrees" ->
+      """WITH e AS (SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'http://ext.example/p/' || CAST(doc_id % 50 AS VARCHAR) || '?q=1'
+        |      WHEN 1 THEN 'http://' || source || '.example/docs/d' || CAST(doc_id % 10 AS VARCHAR)
+        |      WHEN 2 THEN 'http://cdn.example/lib'
+        |      ELSE 'http://' || source || '.example/dir/n' || CAST(doc_id % 10 AS VARCHAR) || '.html' END AS dst_url
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |deg AS (SELECT dst_url, CAST(COUNT(*) AS BIGINT) AS in_degree
+        |  FROM e GROUP BY dst_url)
+        |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM deg GROUP BY in_degree
+        |ORDER BY in_degree, n_urls""".stripMargin,
+
+    // Mirrors Web.qLinkRankDangling: the v%4==1 nodes lose every
+    // out-edge, and each unrolled round adds the uniform dangling term
+    // (850000 * (Σ_dangling // 20)) // 10⁶ — mass conservation puts the
+    // term in every node's value, so a dropped or double-counted round
+    // mismatches globally.
+    "web_link_rank_dangling" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n WHERE v % 4 <> 1
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n WHERE v % 4 <> 1
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+        |d0 AS (SELECT COALESCE(SUM(r), 0) AS m FROM r0
+        |  WHERE v NOT IN (SELECT s FROM e)),
+        |c1 AS (SELECT e.d AS v, SUM(r0.r // od.dg) AS sm
+        |  FROM e JOIN r0 ON r0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.v, 150000 + (850000 * COALESCE(c1.sm, 0)) // 1000000
+        |    + (850000 * (d0.m // 20)) // 1000000 AS r
+        |  FROM n LEFT JOIN c1 ON c1.v = n.v, d0),
+        |d1 AS (SELECT COALESCE(SUM(r), 0) AS m FROM r1
+        |  WHERE v NOT IN (SELECT s FROM e)),
+        |c2 AS (SELECT e.d AS v, SUM(r1.r // od.dg) AS sm
+        |  FROM e JOIN r1 ON r1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.v, 150000 + (850000 * COALESCE(c2.sm, 0)) // 1000000
+        |    + (850000 * (d1.m // 20)) // 1000000 AS r
+        |  FROM n LEFT JOIN c2 ON c2.v = n.v, d1),
+        |d2 AS (SELECT COALESCE(SUM(r), 0) AS m FROM r2
+        |  WHERE v NOT IN (SELECT s FROM e)),
+        |c3 AS (SELECT e.d AS v, SUM(r2.r // od.dg) AS sm
+        |  FROM e JOIN r2 ON r2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.v, 150000 + (850000 * COALESCE(c3.sm, 0)) // 1000000
+        |    + (850000 * (d2.m // 20)) // 1000000 AS r
+        |  FROM n LEFT JOIN c3 ON c3.v = n.v, d2)
         |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
         |  CAST(r AS BIGINT) AS rank_ppm
         |FROM r3 ORDER BY url, rank_ppm""".stripMargin,

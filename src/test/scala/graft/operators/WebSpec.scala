@@ -535,6 +535,24 @@ class WebSpec extends AnyFunSuite {
     assert(rh == Map("H" -> 150000L, "X" -> 575000L, "Y" -> 575000L))
   }
 
+  test("pageRankPpm: dangling redistribution conserves total mass") {
+    // A -> B, B dangling, N=2. Round 1: dm = 1e6 (B's start),
+    // extra = (850000 * (1e6 div 2)) div 1e6 = 425000;
+    // A = 150000 + 425000 = 575000, B = 150000 + 850000 + 425000 =
+    // 1425000 — total exactly 2e6, the leak closed.
+    val e = Seq(("A", "B")).toDF("src_url", "dst_url")
+    val got = Web.pageRankPpm(e, iters = 1, redistributeDangling = true)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 575000L, "B" -> 1425000L))
+    assert(got.values.sum == 2000000L, "mass conserved")
+    // and the degree histogram over a known shape
+    val edges = Seq(("s1", "t1"), ("s2", "t1"), ("s3", "t1"),
+      ("s1", "t2"), ("s2", "t3")).toDF("src_url", "dst_url")
+    val hist = Web.linkDegreeHistogram(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("adaptive schedule: link evidence breaks the cold-start tie") {
     val front = Seq(
       ("d.example", "http://d.example/zz-popular", "", false),
