@@ -55,8 +55,10 @@ object StressGraph {
       val edges = edgeUrls(e).localCheckpoint()
       val w1 = timed(Web.pageRankPpm(edges, iters = 3).count())
       val w2 = timed(Web.pageRankPpm(edges, iters = 3).count())
+      val wr = timed(Web.pageRankPpm(edges, iters = 3,
+        redistributeDangling = true).count())
       println(f"[graph] pagerank edges=$e%9d nodes=${e / 10}%8d " +
-        f"wall=${math.min(w1, w2)}%6.2f s")
+        f"wall=${math.min(w1, w2)}%6.2f s redistribute=$wr%6.2f s")
       e *= 10
     }
 

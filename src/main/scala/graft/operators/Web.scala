@@ -1245,6 +1245,56 @@ object Web {
       .orderBy("doc_id", "canonical_url")
   }
 
+  /** Mirror-domain report — the site-level dedup signal: the same
+    * content served from MULTIPLE registered domains (mirrors, scraper
+    * farms, parked duplicates). Per unordered domain pair, the number
+    * of distinct content digests both serve. Digest grain: one row per
+    * (domain, md5(text)), so per-domain re-posts don't inflate the
+    * count; digests served by more than `maxDomainsPerDigest` domains
+    * drop entirely — that's boilerplate (an empty page, a soft-404
+    * template), not mirroring, and the cap bounds the pair explode at
+    * cap² per digest. Downstream, a high-`n_shared` pair feeds the
+    * domain gate or [[graft.sources.Sinks.retractDocs]].
+    *
+    * Scale: one digest-grain aggregate (16-byte digests move, text
+    * never does), the bounded in-set pair explode, one pair-grain
+    * count. */
+  def mirrorDomains(docs: DataFrame, domain: Column, text: Column,
+      maxDomainsPerDigest: Int = 16): DataFrame = {
+    require(maxDomainsPerDigest >= 2, "mirrorDomains: cap >= 2")
+    val sets = docs.select(domain.as("graft_dom"), md5(text).as("graft_dg"))
+      .distinct()
+      .groupBy("graft_dg")
+      .agg(sort_array(collect_set(col("graft_dom"))).as("graft_doms"))
+      .filter(size(col("graft_doms")).between(2, maxDomainsPerDigest))
+    sets
+      .select(col("graft_dg"),
+        posexplode(col("graft_doms")).as(Seq("graft_i", "dom_a")),
+        col("graft_doms"))
+      .select(col("graft_dg"), col("graft_i"), col("dom_a"),
+        posexplode(col("graft_doms")).as(Seq("graft_j", "dom_b")))
+      .filter(col("graft_j") > col("graft_i"))
+      .groupBy("dom_a", "dom_b")
+      .agg(count_distinct(col("graft_dg")).as("n_shared"))
+  }
+
+  /** Mirror report over a planted corpus: docs ≡ 0 (mod 10) get a
+    * doc-unique text (`text || doc_id`) and a full copy under
+    * `mirror.example` — so every planted digest is served by exactly
+    * {source domain, mirror}, and the pair counts are the per-source
+    * planted-doc counts; unplanted docs are single-domain digests and
+    * never pair. */
+  def qMirrorDomains(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(
+      concat(col("source"), lit(".example")).as("dom"),
+      concat(col("text"), lit(" #"), col("doc_id")).as("t"),
+      col("doc_id"))
+    val mirrored = base.filter(col("doc_id") % 10 === 0)
+      .select(lit("mirror.example").as("dom"), col("t"), col("doc_id"))
+    mirrorDomains(base.union(mirrored), col("dom"), col("t"))
+      .orderBy("dom_a", "dom_b", "n_shared")
+  }
+
   // ---- redirect resolution ---------------------------------------------
 
   /** Resolve HTTP redirect chains over a fetch log `(url, status,

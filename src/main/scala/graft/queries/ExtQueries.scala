@@ -180,6 +180,7 @@ object ExtQueries {
     "web_sitemap_index"     -> Web.qSitemapIndex _,
     "web_rel_canonical"     -> Web.qRelCanonical _,
     "web_link_degrees"      -> Web.qLinkDegrees _,
+    "web_mirror_domains"    -> Web.qMirrorDomains _,
     "web_link_rank_dangling" -> Web.qLinkRankDangling _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
@@ -4001,6 +4002,17 @@ object ExtQueries {
         |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM deg GROUP BY in_degree
         |ORDER BY in_degree, n_urls""".stripMargin,
+
+    // Mirrors Web.qMirrorDomains: every planted digest is served by
+    // exactly {mirror.example, source.example} ('m' < 's' fixes the
+    // pair order), so the counts are the per-source planted-doc counts;
+    // single-domain digests never pair.
+    "web_mirror_domains" ->
+      """SELECT 'mirror.example' AS dom_a, source || '.example' AS dom_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM documents WHERE doc_id % 10 = 0
+        |GROUP BY source
+        |ORDER BY dom_a, dom_b, n_shared""".stripMargin,
 
     // Mirrors Web.qLinkRankDangling: the v%4==1 nodes lose every
     // out-edge, and each unrolled round adds the uniform dangling term

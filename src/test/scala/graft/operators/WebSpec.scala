@@ -553,6 +553,32 @@ class WebSpec extends AnyFunSuite {
     assert(hist == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("mirrorDomains: pair counts at digest grain; boilerplate cap; " +
+      "per-domain re-posts don't inflate") {
+    val docs = Seq(
+      // mirrored article on two domains, re-posted TWICE on a.example
+      ("a.example", "article one"), ("a.example", "article one"),
+      ("b.example", "article one"),
+      // second shared digest for the same pair
+      ("a.example", "article two"), ("b.example", "article two"),
+      // boilerplate digest on 3 domains with cap=2 → dropped entirely
+      ("a.example", "404 page"), ("b.example", "404 page"),
+      ("c.example", "404 page"),
+      // single-domain content never pairs
+      ("c.example", "unique prose")
+    ).toDF("dom", "t")
+    val got = Web.mirrorDomains(docs, col("dom"), col("t"),
+        maxDomainsPerDigest = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a.example", "b.example", 2L)))
+    // raised cap: the 3-domain digest now contributes all three pairs
+    val wide = Web.mirrorDomains(docs, col("dom"), col("t"),
+        maxDomainsPerDigest = 16)
+      .as[(String, String, Long)].collect().toSet
+    assert(wide == Set(("a.example", "b.example", 3L),
+      ("a.example", "c.example", 1L), ("b.example", "c.example", 1L)))
+  }
+
   test("adaptive schedule: link evidence breaks the cold-start tie") {
     val front = Seq(
       ("d.example", "http://d.example/zz-popular", "", false),
