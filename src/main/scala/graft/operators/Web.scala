@@ -1256,17 +1256,24 @@ object Web {
     * cap² per digest. Downstream, a high-`n_shared` pair feeds the
     * domain gate or [[graft.sources.Sinks.retractDocs]].
     *
-    * Scale: one digest-grain aggregate (16-byte digests move, text
+    * Scale: digest-grain aggregates only (16-byte digests move, text
     * never does), the bounded in-set pair explode, one pair-grain
-    * count. */
+    * count. The cap is enforced by a COUNT before any set is
+    * collected — a boilerplate digest served by 10⁵ domains is
+    * filtered as a number, never buffered as an array (all three
+    * digest-keyed steps reuse one exchange). */
   def mirrorDomains(docs: DataFrame, domain: Column, text: Column,
       maxDomainsPerDigest: Int = 16): DataFrame = {
     require(maxDomainsPerDigest >= 2, "mirrorDomains: cap >= 2")
-    val sets = docs.select(domain.as("graft_dom"), md5(text).as("graft_dg"))
+    val pairs = docs.select(domain.as("graft_dom"), md5(text).as("graft_dg"))
       .distinct()
+    val eligible = pairs.groupBy("graft_dg")
+      .agg(count(lit(1)).as("graft_n"))
+      .filter(col("graft_n").between(2, maxDomainsPerDigest))
+      .select("graft_dg")
+    val sets = pairs.join(eligible, Seq("graft_dg"))
       .groupBy("graft_dg")
       .agg(sort_array(collect_set(col("graft_dom"))).as("graft_doms"))
-      .filter(size(col("graft_doms")).between(2, maxDomainsPerDigest))
     sets
       .select(col("graft_dg"),
         posexplode(col("graft_doms")).as(Seq("graft_i", "dom_a")),
