@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Sinks
+
+/** Dev utility: tombstone-probe scale evidence. The two-phase delete's
+  * whole point is that phase 1 is cheap at SERVE time — [[Sinks
+  * .liveRows]] adds one broadcast anti-join of the marker set to every
+  * probe. This measures a fixed 1000-doc signature probe against a
+  * persisted index as the marker set grows 0 → 1k → 100k: the wall
+  * should stay near the unfiltered probe (markers broadcast; the index
+  * side never re-shuffles), and the takedown append itself is O(ids).
+  *
+  * Usage: `sbt "runMain graft.StressTomb [nDocs]"` (default 200k). */
+object StressTomb {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-tomb-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 25).map(j =>
+        concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(5000L)))): _*)
+        .as("text"))
+
+    val T = "st_tomb_sig"
+    Seq(T, T + "_tombs", T + "_retract_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeSignatureIndex(synth(nDocs), T, numBuckets = 16)
+    val batch = synth(1000L).localCheckpoint()
+    def probe(): Double = {
+      val w1 = timed(Dedup.dedupBatchAgainstIndex(spark, batch, T).count())
+      val w2 = timed(Dedup.dedupBatchAgainstIndex(spark, batch, T).count())
+      math.min(w1, w2)
+    }
+    println(f"[tomb] index=${nDocs * 4}%8d rows markers=      0 " +
+      f"probe=${probe()}%6.2f s")
+    for (k <- Seq(1000L, 100000L)) {
+      spark.sql(s"DROP TABLE IF EXISTS ${T}_tombs")
+      val wT = timed(Sinks.tombstone(spark, T,
+        spark.range(k).select((col("id") * 2).as("doc_id")), "doc_id"))
+      println(f"[tomb] index=${nDocs * 4}%8d rows markers=$k%7d " +
+        f"probe=${probe()}%6.2f s (tombstone append $wT%5.2f s)")
+    }
+    val (rm, cl) = Sinks.vacuumTombstones(spark, T)
+    println(s"[tomb] vacuum removed=$rm cleared=$cl")
+    Seq(T, T + "_tombs", T + "_retract_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}
