@@ -86,6 +86,15 @@ object StressGraph {
       val w2 = timed(WebStream.linkPriorFor(spark, t, cands).count())
       println(f"[graph] probe index=$sz%9d edges batch=1000 " +
         f"wall=${math.min(w1, w2)}%6.2f s")
+      // 3. rank-refresh publish cost over the same edge table: the
+      // maintenance-cadence op behind fetchScheduleAdaptive's rankPrior
+      // — should track edge count like the raw pagerank walk
+      val rt = s"sg_ranks_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $rt")
+      val wp = timed(WebStream.publishRankRefresh(spark, t, rt))
+      println(f"[graph] rank-refresh index=$sz%9d edges " +
+        f"wall=$wp%6.2f s")
+      spark.sql(s"DROP TABLE IF EXISTS $rt")
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
     spark.stop()

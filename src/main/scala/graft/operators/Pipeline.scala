@@ -608,10 +608,18 @@ object Pipeline {
       .withColumn("doc_id", xxhash64(col("rec_id")))
   }
 
+  /** `crossDomainCanonical`: rel=canonical declarations are honored
+    * SAME-SITE only by default ([[Web.relCanonicalSameSite]] — a
+    * declaration is attacker-controlled page content, and a hostile
+    * page declaring a victim domain's URL as its canonical would
+    * otherwise take over that URL's identity and evict the genuine
+    * page under first-fetch-wins). Set true only for trusted input
+    * where cross-domain collapses (domain migrations) are wanted. */
   def crawlPrepare(warcBlobs: DataFrame, robotsRules: DataFrame,
       cfg: Config = Config(extractMainContent = true,
         lineCorrections = true),
-      honorRelCanonical: Boolean = true): DataFrame = {
+      honorRelCanonical: Boolean = true,
+      crossDomainCanonical: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // noindex compliance gate, BOTH layers: the X-Robots-Tag header
     // (parsed at the fetch layer) and the robots meta tag — a page the
@@ -629,10 +637,14 @@ object Pipeline {
     // URL identity: the page-DECLARED canonical when present (print
     // views / mobile spellings / pagination params collapse onto the
     // page the site says they duplicate), else the canonical spelling
+    def declared(u: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (crossDomainCanonical) Web.relCanonical(u, t)
+      else Web.relCanonicalSameSite(u, t)
     val keyed =
       if (honorRelCanonical) allowed.withColumn("graft_url_key",
-        when(Web.relCanonical(col("url"), col("text")) =!= "",
-          Web.relCanonical(col("url"), col("text")))
+        when(declared(col("url"), col("text")) =!= "",
+          declared(col("url"), col("text")))
           .otherwise(col("canon_url")))
       else allowed.withColumn("graft_url_key", col("canon_url"))
     val byUrl = Window.partitionBy("graft_url_key")

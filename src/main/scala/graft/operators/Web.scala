@@ -90,9 +90,17 @@ object Web {
   def registeredDomain(url: Column): Column = {
     val labels = split(urlHost(url), "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, n - 1), element_at(labels, n))
+    // every element_at index is clamped >= 1 STRUCTURALLY: a conditional
+    // guard alone is not enough, because codegen's common-subexpression
+    // elimination can hoist a shared element_at out of its `when` branch
+    // and evaluate it unconditionally — on a single-label (or empty)
+    // host, an unclamped n-1 is the illegal index 0 and throws. A bare
+    // host ("localhost") is its own registered domain.
+    val last2 = concat_ws(".",
+      element_at(labels, greatest(n - 1, lit(1))), element_at(labels, n))
     when(last2.isin(TwoLabelSuffixes: _*) && n >= 3,
-      concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
+      concat_ws(".", element_at(labels, greatest(n - 2, lit(1))), last2))
+      .otherwise(when(n >= 2, last2).otherwise(element_at(labels, n)))
   }
 
   // robots.txt (RFC 9309) ----------------------------------------------
@@ -727,18 +735,28 @@ object Web {
     * count: a link farm on one domain moves it by 1). Absent, the order
     * is exactly the two-signal form.
     *
+    * `rankPrior` (optional): a [[pageRankPpm]] table `(url, rank_ppm)`
+    * — GLOBAL endorsement, refreshed periodically over the whole edge
+    * table (`WebStream.publishRankRefresh`), where the link prior is
+    * the local in-link count of the candidate slice. Rank breaks ties
+    * AFTER the observed change rate (history beats reputation: a hot
+    * low-rank page still refreshes before a stone-cold famous one) and
+    * BEFORE the in-link count (rank subsumes raw in-links and resists
+    * single-domain farms by construction). Unranked URLs take 0.
+    *
     * Scale: the history join is url-grain on the same canonical key
-    * the crawl's url index carries; the link prior joins on the same
-    * key; delays broadcast; the window is per-domain. */
+    * the crawl's url index carries; the link/rank priors join on the
+    * same key; delays broadcast; the window is per-domain. */
   def fetchScheduleAdaptive(frontierDf: DataFrame, delays: DataFrame,
       history: DataFrame, defaultDelaySec: Long = 1L,
       coldStartPpm: Long = 500000L,
-      linkPrior: Option[DataFrame] = None): DataFrame = {
+      linkPrior: Option[DataFrame] = None,
+      rankPrior: Option[DataFrame] = None): DataFrame = {
     val h = history.select(col("canon_url").as("canon_loc"),
       col("change_ppm"), col("last_fetch"), col("last_digest"))
     val w = Window.partitionBy("reg_domain")
       .orderBy(col("lastmod").desc, col("score_ppm").desc,
-        col("graft_ref").desc, col("canon_loc"))
+        col("graft_rank").desc, col("graft_ref").desc, col("canon_loc"))
     val withLinks = linkPrior match {
       case Some(ls) => frontierDf.join(
           ls.select(col("dst_url").as("canon_loc"),
@@ -748,7 +766,16 @@ object Web {
         .drop("graft_ref0")
       case None => frontierDf.withColumn("graft_ref", lit(0L))
     }
-    withLinks
+    val withRank = rankPrior match {
+      case Some(rp) => withLinks.join(
+          rp.select(col("url").as("canon_loc"),
+            col("rank_ppm").as("graft_rank0")),
+          Seq("canon_loc"), "left")
+        .withColumn("graft_rank", coalesce(col("graft_rank0"), lit(0L)))
+        .drop("graft_rank0")
+      case None => withLinks.withColumn("graft_rank", lit(0L))
+    }
+    withRank
       .join(h, Seq("canon_loc"), "left")
       .withColumn("score_ppm", coalesce(col("change_ppm"), lit(coldStartPpm)))
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
@@ -1209,13 +1236,36 @@ object Web {
     * `coalesce(declared, canonical-spelling)` collapses what
     * spelling-level canonicalization cannot — see [[Pipeline
     * .crawlPrepare]]'s `honorRelCanonical`. Codegen'd regex, zero
-    * shuffle. */
+    * shuffle. The rel-value delimiter is a LOOKAHEAD so a bare value
+    * immediately followed by the tag's own `>` (`<link rel=canonical>`)
+    * cannot consume that `>` and run into the NEXT tag — otherwise the
+    * href of an unrelated following tag (a stylesheet link) would be
+    * lifted as the declared canonical. */
   def relCanonical(pageUrl: Column, html: Column): Column = {
     val tag = regexp_extract(html,
-      "(?is)<link\\b[^>]*\\srel\\s*=\\s*[\"']?canonical[\"'\\s>][^>]*>", 0)
+      "(?is)<link\\b[^>]*\\srel\\s*=\\s*[\"']?canonical(?=[\"'\\s>])[^>]*>", 0)
     val href = attrVal(tag, "href")
     when(href === "", lit(""))
       .otherwise(canonicalUrl(resolveRef(pageUrl, href)))
+  }
+
+  /** [[relCanonical]] restricted to SAME-SITE declarations: the declared
+    * canonical counts only when its registered domain equals the PAGE's
+    * registered domain; a cross-domain declaration returns ''. This is
+    * the safe default identity key for crawl ingest: rel=canonical is
+    * attacker-controlled page content, and honoring a cross-domain
+    * declaration lets a hostile page declare
+    * `<link rel=canonical href="http://victim.com/page">`, take over the
+    * victim URL's identity hash, and (under first-fetch-wins) evict the
+    * genuine page from the corpus as a "duplicate". Legitimate
+    * cross-domain moves (domain migrations) are a deliberate opt-in —
+    * [[Pipeline.crawlPrepare]]'s / `WebStream.crawlIngest`'s
+    * `crossDomainCanonical` flag — for crawls whose input is trusted. */
+  def relCanonicalSameSite(pageUrl: Column, html: Column): Column = {
+    val declared = relCanonical(pageUrl, html)
+    when(declared =!= "" &&
+      registeredDomain(declared) === registeredDomain(pageUrl), declared)
+      .otherwise(lit(""))
   }
 
   /** rel=canonical extraction over corpus-derived pages (branch-derived
@@ -1405,6 +1455,39 @@ object Web {
     resolveRedirects(log, col("url"), col("status"), col("location"),
       maxHops = 3)
       .orderBy("url", "final_url", "n_hops", "resolution")
+  }
+
+  /** Rank-informed adaptive schedule — the closed crawl loop's priority
+    * composition ([[pageRankPpm]] feeding [[fetchScheduleAdaptive]]'s
+    * `rankPrior` slot): the [[qLinkRank]] 20-node graph's URLs form one
+    * domain's cold re-visit frontier (no lastmod, no change history),
+    * so the published global rank alone orders the politeness slots.
+    * The oracle unrolls the same three exact-ppm rounds and re-derives
+    * the slot order (rank desc, url) — one wrong div in the rank OR a
+    * mis-ordered window key mismatches. */
+  def qRankSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    val ranks = pageRankPpm(edges, iters = 3)
+    val front = n.select(lit("rank.example").as("reg_domain"),
+      u(col("v")).as("canon_loc"), lit("").as("lastmod"),
+      lit(true).as("known"))
+    val delays = spark.range(0)
+      .select(lit("").as("reg_domain"), lit(0L).as("crawl_delay_sec"))
+    val history = spark.range(0).select(lit("").as("canon_url"),
+      lit(0L).as("change_ppm"), lit("").as("last_fetch"),
+      lit("").as("last_digest"))
+    fetchScheduleAdaptive(front, delays, history, defaultDelaySec = 1L,
+      rankPrior = Some(ranks))
+      .select("canon_loc", "score_ppm", "slot", "fetch_offset_sec")
+      .orderBy("canon_loc", "score_ppm", "slot", "fetch_offset_sec")
   }
 
   /** The dangling-redistribution variant of [[qLinkRank]]: the same

@@ -182,6 +182,7 @@ object ExtQueries {
     "web_link_degrees"      -> Web.qLinkDegrees _,
     "web_mirror_domains"    -> Web.qMirrorDomains _,
     "web_link_rank_dangling" -> Web.qLinkRankDangling _,
+    "web_rank_sched"        -> Web.qRankSchedule _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
     "mm_audio_quality"      -> Multimodal.qAudioQuality _,
@@ -3985,6 +3986,37 @@ object ExtQueries {
         |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
         |  CAST(r AS BIGINT) AS rank_ppm
         |FROM r3 ORDER BY url, rank_ppm""".stripMargin,
+
+    // Mirrors Web.qRankSchedule: the SAME unrolled three-round ppm rank
+    // as web_link_rank, then the scheduler's window re-derived — every
+    // URL cold (score 500000), slots by rank DESC then url, offset =
+    // slot × default delay 1.
+    "web_rank_sched" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS v, SUM(r0.r // od.dg) AS sm
+        |  FROM e JOIN r0 ON r0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.v, 150000 + (850000 * COALESCE(c1.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.d AS v, SUM(r1.r // od.dg) AS sm
+        |  FROM e JOIN r1 ON r1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.v, 150000 + (850000 * COALESCE(c2.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.d AS v, SUM(r2.r // od.dg) AS sm
+        |  FROM e JOIN r2 ON r2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.v, 150000 + (850000 * COALESCE(c3.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c3 ON c3.v = n.v),
+        |ranked AS (SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  CAST(r AS BIGINT) AS r FROM r3)
+        |SELECT url AS canon_loc, CAST(500000 AS BIGINT) AS score_ppm,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY r DESC, url) - 1 AS BIGINT) AS slot,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY r DESC, url) - 1 AS BIGINT) AS fetch_offset_sec
+        |FROM ranked
+        |ORDER BY canon_loc, score_ppm, slot, fetch_offset_sec""".stripMargin,
 
     // Mirrors Web.qLinkDegrees: the same hand-derived edge table taken
     // through BOTH aggregates — per-target in-degree, then the degree

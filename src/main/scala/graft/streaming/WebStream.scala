@@ -56,10 +56,35 @@ object WebStream {
     * `<meta name="robots" content="noindex">` drop at the gate
     * ([[Web.metaNoindex]] — the indexing-consent twin of the robots.txt
     * fetch consent; the header-side check belongs to the fetch layer
-    * upstream, which never hands such a page to this ingest). */
+    * upstream, which never hands such a page to this ingest).
+    *
+    * `crossDomainCanonical`: rel=canonical is honored SAME-SITE only by
+    * default ([[Web.relCanonicalSameSite]]) — a declaration is
+    * attacker-controlled page content, and combined with
+    * first-fetch-wins a hostile cross-domain declaration would take
+    * over the victim URL's identity hash and evict the genuine page as
+    * a "duplicate". Opt-in for trusted input only (the
+    * [[graft.operators.Pipeline.crawlPrepare]] twin rule).
+    *
+    * `redirects` (optional): a [[Web.resolveRedirects]] frame
+    * `(url, final_url, resolution)`. Real crawls see 3xx chains
+    * continuously: a page fetched via `/old → /new` arrives here under
+    * the `/old` spelling with `/new`'s content, and without the map it
+    * would dedup against a direct `/new` fetch only in the batch
+    * [[graft.operators.Pipeline.crawlPrepare]]. With it, URL identity
+    * resolves through the map FIRST (resolved chains only — a dangling
+    * target was never fetched, an exceeded chain is a loop), then the
+    * page's own rel=canonical declaration wins over the redirect
+    * target as usual (the twin rule: declaration > redirect target >
+    * canonical spelling). The frame refreshes at the caller's cadence
+    * (re-resolve + restart, like `robotsRules`); it is 3xx-grain —
+    * orders of magnitude below the fetch log — and joins keyed on the
+    * canonical spelling, so only the batch moves. */
   def crawlIngest(docs: DataFrame, spark: SparkSession, urlIndexTable: String,
       robotsRules: DataFrame, outPath: String, checkpoint: String,
-      numBuckets: Int = 16): StreamingQuery =
+      numBuckets: Int = 16,
+      crossDomainCanonical: Boolean = false,
+      redirects: Option[DataFrame] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -71,21 +96,41 @@ object WebStream {
           .withColumn("canon_url", Web.canonicalUrl(col("url")))
           .withColumn("reg_domain", Web.registeredDomain(col("url")))
           .withColumn("pathq", Web.canonicalPathQuery(col("url")))
-        val allowed0 = Web.robotsGate(canon, robotsRules)
+        val allowed1 = Web.robotsGate(canon, robotsRules)
           .filter(col("allowed"))
           .drop("rule", "allowed", "pathq", "reg_domain")
+        // redirect resolution first: the fetched spelling maps to the
+        // chain's final URL, so /old and /new are one identity even
+        // when the page declares no canonical
+        val allowed0 = redirects match {
+          case Some(rm) => allowed1
+            .join(rm.filter(col("resolution") === "resolved")
+              .select(col("url").as("canon_url"),
+                col("final_url").as("graft_rt")),
+              Seq("canon_url"), "left")
+            .withColumn("graft_base",
+              coalesce(col("graft_rt"), col("canon_url")))
+            .drop("graft_rt")
+          case None => allowed1.withColumn("graft_base", col("canon_url"))
+        }
         // URL identity (the crawlPrepare twin's rule): the page-declared
         // rel=canonical when the batch carries text and the page declares
-        // one, else the canonical spelling — so a print view and its
-        // canonical page dedup across batches too
+        // one (same-site unless crossDomainCanonical — a cross-domain
+        // declaration is a corpus-poisoning vector), else the canonical
+        // spelling — so a print view and its canonical page dedup across
+        // batches too
+        def declared(u: org.apache.spark.sql.Column,
+            t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          if (crossDomainCanonical) Web.relCanonical(u, t)
+          else Web.relCanonicalSameSite(u, t)
         val allowed = (if (allowed0.columns.contains("text"))
             allowed0.withColumn("graft_url_key",
-              when(Web.relCanonical(col("url"), col("text")) =!= "",
-                Web.relCanonical(col("url"), col("text")))
-                .otherwise(col("canon_url")))
-          else allowed0.withColumn("graft_url_key", col("canon_url")))
+              when(declared(col("url"), col("text")) =!= "",
+                declared(col("url"), col("text")))
+                .otherwise(col("graft_base")))
+          else allowed0.withColumn("graft_url_key", col("graft_base")))
           .withColumn("url_hash", xxhash64(col("graft_url_key")))
-          .drop("graft_url_key")
+          .drop("graft_url_key", "graft_base")
         // 2. first fetch per canonical URL within the batch
         val byUrl = Window.partitionBy("url_hash")
         val firsts = allowed
@@ -115,7 +160,17 @@ object WebStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .parquet(outPath)
-        val keys = survivors.select("url_hash", "doc_id")
+        // index keys: the IDENTITY hash plus — when it differs — the
+        // fetched SPELLING's hash. A page keyed by its declared
+        // canonical is otherwise invisible under its own spelling, so
+        // the frontier (which only knows spellings) would re-schedule
+        // already-fetched duplicate spellings for wasted fetches, and a
+        // later text-free fetch of the same spelling would not dedup.
+        val keys = survivors.select(col("url_hash"), col("doc_id"))
+          .union(survivors
+            .filter(xxhash64(col("canon_url")) =!= col("url_hash"))
+            .select(xxhash64(col("canon_url")).as("url_hash"),
+              col("doc_id")))
         val fresh = idx match {
           case Some(ix) =>
             keys.join(ix.select("url_hash", "doc_id"),
@@ -140,7 +195,10 @@ object WebStream {
     *   1. canonicalize; freshest-entry-wins per canonical URL in-batch
     *      (max lastmod, deterministic);
     *   2. drop URLs the CRAWLED corpus already holds — a probe of the
-    *      same bucketed url-hash index [[crawlIngest]] maintains;
+    *      same bucketed url-hash index [[crawlIngest]] maintains (read
+    *      through `Sinks.liveRows`, the crawl side's own tombstone
+    *      view, and matching on the SPELLING hash the index now also
+    *      records for declared-canonical pages);
     *   3. drop URLs already SCHEDULED — a probe of the frontier's own
     *      bucketed ledger, with the replay guard: a ledger row from
     *      THIS batch id is the crashed run's own append, not a dup;
@@ -163,14 +221,22 @@ object WebStream {
     * batch's novel URLs probe the edge table ([[linkPriorFor]],
     * O(batch) moved) and the politeness slots order by
     * [[Web.fetchScheduleAdaptive]] with that prior (well-linked pages
-    * first within each domain window). The scheduled rows then also
-    * carry the adaptive schema (score_ppm + empty conditional-fetch
-    * hints). Absent, the plain freshest-first [[Web.fetchSchedule]]. */
+    * first within each domain window). With or without it the output
+    * schema is ONE shape — the adaptive one (score_ppm + conditional-
+    * fetch hint columns, empty for cold URLs) — so toggling the option
+    * on a live deployment never mixes schemas in one dir.
+    *
+    * `rankTable` (optional): a [[publishRankRefresh]] snapshot. When
+    * present, the batch's novel URLs also probe it ([[rankPriorFor]])
+    * and global rank breaks the cold-start tie between the change
+    * score and the local in-link count — see
+    * [[Web.fetchScheduleAdaptive]]'s signal order. */
   def frontierIngest(entries: DataFrame, spark: SparkSession,
       urlIndexTable: String, frontierTable: String, delays: DataFrame,
       outPath: String, checkpoint: String, numBuckets: Int = 16,
       defaultDelaySec: Long = 1L,
-      linkTable: Option[String] = None): StreamingQuery =
+      linkTable: Option[String] = None,
+      rankTable: Option[String] = None): StreamingQuery =
     entries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -191,9 +257,15 @@ object WebStream {
             spark.catalog.refreshTable(name)
             Some(spark.table(name))
           } else None
-        val crawled = table(urlIndexTable).fold(
-          spark.range(0).select(col("id").as("url_hash")))(
-          _.select("url_hash")).distinct()
+        // liveRows: the crawled probe shares the crawl side's tombstone
+        // view — a pending-vacuum takedown must not suppress
+        // re-scheduling, or frontier and crawl disagree about which
+        // URLs exist until the maintenance window
+        val crawled = (if (spark.catalog.tableExists(urlIndexTable)) {
+            spark.catalog.refreshTable(urlIndexTable)
+            graft.sources.Sinks.liveRows(spark, urlIndexTable)
+              .select("url_hash")
+          } else spark.range(0).select(col("id").as("url_hash"))).distinct()
         val scheduled = table(frontierTable) match {
           case Some(led) => led
             .filter(col("ingest_batch") =!= batchId) // replay guard
@@ -204,20 +276,21 @@ object WebStream {
           .join(crawled, Seq("url_hash"), "left_anti")
           .join(scheduled, Seq("url_hash"), "left_anti")
           .withColumn("known", lit(false))
-        val sched = linkTable match {
-          case Some(lt) =>
-            // discovery is all cold starts: no history frame exists, the
-            // link prior is the whole signal
-            val noHistory = spark.range(0).select(
-              col("id").cast("string").as("canon_url"),
-              col("id").as("change_ppm"),
-              col("id").cast("string").as("last_fetch"),
-              col("id").cast("string").as("last_digest"))
-            Web.fetchScheduleAdaptive(novel, delays, noHistory,
-              defaultDelaySec,
-              linkPrior = Some(linkPriorFor(spark, lt, novel)))
-          case None => Web.fetchSchedule(novel, delays, defaultDelaySec)
-        }
+        // ONE schema from both paths (the adaptive one): discovery is
+        // all cold starts, so the history frame is empty either way and
+        // the link-free path just schedules every URL at the cold-start
+        // score with empty conditional-fetch hints. Toggling linkTable
+        // on a live deployment must not leave mixed-schema parquet
+        // partitions under one output dir.
+        val noHistory = spark.range(0).select(
+          col("id").cast("string").as("canon_url"),
+          col("id").as("change_ppm"),
+          col("id").cast("string").as("last_fetch"),
+          col("id").cast("string").as("last_digest"))
+        val sched = Web.fetchScheduleAdaptive(novel, delays, noHistory,
+          defaultDelaySec,
+          linkPrior = linkTable.map(lt => linkPriorFor(spark, lt, novel)),
+          rankPrior = rankTable.map(rt => rankPriorFor(spark, rt, novel)))
         val out = sched
           .join(novel.select("canon_loc", "url_hash"), "canon_loc")
           .localCheckpoint()
@@ -308,6 +381,64 @@ object WebStream {
     * [[Web.fetchScheduleAdaptive]]'s `linkPrior`. Candidates with no
     * in-links simply have no row — the scheduler's left join defaults
     * them to zero evidence. Absent table → empty frame (cold start). */
+  /** Publish a periodic PageRank refresh over the [[linkIngest]] edge
+    * table into `rankTable` `(url_hash, rank_ppm)` — the GLOBAL
+    * endorsement signal [[Web.fetchScheduleAdaptive]]'s `rankPrior`
+    * slot consumes beside the local in-link prior. Runs at maintenance
+    * cadence (rank moves at graph speed, not batch speed), off the
+    * streaming hot path: [[graft.operators.Web.pageRankPpm]] over the
+    * 8-byte hash node ids (the rank needs node IDENTITY, not spellings
+    * — hashes keep the iteration state narrow at 10⁹ nodes), then the
+    * staging + catalog-rename publish (the DimStream discipline: a
+    * crash mid-write leaves the previous rank table authoritative; a
+    * crash between DROP and RENAME leaves a complete staging the next
+    * refresh adopts). Probes between refreshes read the previous
+    * snapshot — rank staleness is bounded by the refresh cadence, the
+    * standard crawl trade. Returns ranked-node count (0 = no edge
+    * table yet). */
+  def publishRankRefresh(spark: SparkSession, linkTable: String,
+      rankTable: String, iters: Int = 3,
+      redistributeDangling: Boolean = true): Long = {
+    if (!spark.catalog.tableExists(linkTable)) return 0L
+    spark.catalog.refreshTable(linkTable)
+    val staging = rankTable + "_staging"
+    if (!spark.catalog.tableExists(rankTable) &&
+        spark.catalog.tableExists(staging))
+      // interrupted publish: staging is complete, adopt it
+      spark.sql(s"ALTER TABLE $staging RENAME TO $rankTable")
+    val edges = spark.table(linkTable).select(
+      col("src_hash").cast("string").as("src_url"),
+      col("dst_hash").cast("string").as("dst_url"))
+    val ranks = Web.pageRankPpm(edges, iters,
+        redistributeDangling = redistributeDangling)
+      .select(col("url").cast("long").as("url_hash"), col("rank_ppm"))
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    ranks.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $rankTable")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $rankTable")
+    spark.catalog.refreshTable(rankTable)
+    spark.table(rankTable).count()
+  }
+
+  /** Rank-prior probe for a frontier slice: hash the candidates'
+    * canonical URLs to the [[publishRankRefresh]] table's key and
+    * return the [[Web.fetchScheduleAdaptive]] `rankPrior` shape
+    * `(url, rank_ppm)`. Only the O(batch) candidate set moves; absent
+    * table → empty frame (cold start, every candidate at rank 0). */
+  def rankPriorFor(spark: SparkSession, rankTable: String,
+      candidates: DataFrame): DataFrame = {
+    val c = candidates.select(col("canon_loc")).distinct()
+      .withColumn("url_hash", xxhash64(col("canon_loc")))
+    if (!spark.catalog.tableExists(rankTable))
+      return c.limit(0).select(col("canon_loc").as("url"),
+        lit(0L).as("rank_ppm"))
+    spark.catalog.refreshTable(rankTable)
+    spark.table(rankTable)
+      .join(c, Seq("url_hash"))
+      .select(col("canon_loc").as("url"), col("rank_ppm"))
+  }
+
   def linkPriorFor(spark: SparkSession, linkTable: String,
       candidates: DataFrame): DataFrame = {
     val c = candidates.select(col("canon_loc")).distinct()

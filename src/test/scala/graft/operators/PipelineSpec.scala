@@ -346,4 +346,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(spellings == Set(h("<urn:c:1>"), h("<urn:c:2>"), h("<urn:c:3>")),
       s"spelling-keyed run keeps all three: $spellings")
   }
+
+  test("crawlPrepare: a hostile cross-domain rel=canonical cannot evict " +
+    "the genuine page (same-site default; cross-domain is opt-in)") {
+    import graft.sources.Warc
+    // the ADVICE attack: a page on e.com declares victim d.com/page as
+    // its canonical and is fetched FIRST — under unconditional honoring
+    // + earliest-fetch-wins it would take over d.com/page's identity
+    // and the genuine page would drop as a "duplicate"
+    val hostile = "<p>attacker prose that wants to replace the victim " +
+      "page inside the corpus by declaring its url as canonical</p>"
+    val victim = "<p>genuine article prose on the victim domain that " +
+      "must survive a hostile canonical declaration elsewhere</p>"
+    def page(head: String, body: String) = Warc.writeHttpResponse(
+      200, "OK", Seq("Content-Type" -> "text/html; charset=utf-8"),
+      (s"<head>$head</head>$body").getBytes("UTF-8"))
+    def h(r: String): Long = Seq(Tuple1(r)).toDF("x")
+      .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+      .collect().head.getLong(0)
+    val recs = Seq(
+      ("<urn:x:1>", "http://e.com/attack",
+        page("<link rel=\"canonical\" href=\"http://d.com/page\">", hostile),
+        "2026-01-01T00:00:00Z"),   // fetched first
+      ("<urn:x:2>", "http://d.com/page", page("", victim),
+        "2026-01-02T00:00:00Z"))
+    val blob = recs.map { case (id, uri, body, date) =>
+      Warc.gzipMember(Warc.writeRecord(id, uri, body, date)) }.reduce(_ ++ _)
+    val blobs = Seq(Tuple1(blob)).toDF("blob")
+    val rules = Web.parseRobots(Seq(
+      ("d.com", "User-agent: *\n"), ("e.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val cfg = Pipeline.Config(extractMainContent = true,
+      lineCorrections = true, minQuality = 0.1)
+    val ids = Pipeline.crawlPrepare(blobs, rules, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(h("<urn:x:1>"), h("<urn:x:2>")),
+      s"cross-domain declaration ignored — both pages keep their own " +
+        s"identity: $ids")
+    // the opt-in restores the old collapse for trusted input: the
+    // earliest fetch (the declarer) wins the shared identity
+    val optIn = Pipeline.crawlPrepare(blobs, rules, cfg,
+      crossDomainCanonical = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(optIn == Set(h("<urn:x:1>")),
+      s"crossDomainCanonical=true collapses onto the earliest fetch: $optIn")
+  }
 }

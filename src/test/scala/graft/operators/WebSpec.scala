@@ -579,6 +579,79 @@ class WebSpec extends AnyFunSuite {
       ("a.example", "c.example", 1L), ("b.example", "c.example", 1L)))
   }
 
+  test("mirrorDomains: an oversized digest never buffers — the cap is " +
+      "a COUNT filter below the collect_set aggregate") {
+    // one boilerplate digest served by 40 domains (over the default cap
+    // 16) plus one genuine 2-domain mirror: the boilerplate contributes
+    // ZERO pairs and the mirror pair survives
+    val boiler = (1 to 40).map(i => (f"d$i%02d.example", "soft 404 body"))
+    val docs = (boiler ++ Seq(("a.example", "real article"),
+      ("b.example", "real article"))).toDF("dom", "t")
+    val out = Web.mirrorDomains(docs, col("dom"), col("t"))
+    assert(out.as[(String, String, Long)].collect().toSet ==
+      Set(("a.example", "b.example", 1L)))
+    // plan lock (the f5d4af1 shape): no aggregate may compute a
+    // collect_set alongside the cap count — the count aggregate must
+    // sit BELOW the collect_set aggregate, so an oversized digest is
+    // filtered as a number before any set buffers its domains
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    def aggFns(a: Aggregate): Seq[String] =
+      a.aggregateExpressions.flatMap(_.collect {
+        case e: AggregateExpression => e.aggregateFunction.prettyName })
+    val aggs = out.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    val collectAggs = aggs.filter(a => aggFns(a).contains("collect_set"))
+    assert(collectAggs.nonEmpty, "capped plan still collects eligible sets")
+    assert(collectAggs.forall(a => !aggFns(a).contains("count")),
+      "a collect_set fused with the cap count would buffer every domain " +
+        "of an uncapped digest before filtering")
+    assert(collectAggs.forall(ca => ca.children.exists(_.collect {
+        case a: Aggregate if aggFns(a).contains("count") => a }.nonEmpty)),
+      "the cap's count aggregate must run below the collect_set")
+  }
+
+  test("relCanonical: a bare rel value closed by the tag's own '>' " +
+      "cannot lift the next tag's href") {
+    // the ADVICE trap: <link rel=canonical> with no href, immediately
+    // followed by a stylesheet link — the old trailing class consumed
+    // the closing '>' and extracted '/s.css' as the declared canonical
+    val rows = Seq(
+      (1L, "http://d.com/a",
+        "<head><link rel=canonical>" +
+          "<link rel=\"stylesheet\" href=\"/s.css\"></head>"),
+      // bare value + href BEFORE rel, same tag: still honored
+      (2L, "http://d.com/b",
+        "<head><link href=/canon/x rel=canonical></head>"),
+      // bare value, href after, whitespace before '>': honored
+      (3L, "http://d.com/c",
+        "<head><link rel=canonical href=/canon/y ></head>"))
+      .toDF("doc_id", "url", "html")
+    val got = rows.select(col("doc_id"),
+        Web.relCanonical(col("url"), col("html")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "", 2L -> "http://d.com/canon/x",
+      3L -> "http://d.com/canon/y"), got.toString)
+  }
+
+  test("relCanonicalSameSite: cross-domain declarations are ignored") {
+    val rows = Seq(
+      // hostile: e.com page declares a victim domain's URL
+      (1L, "http://e.com/attack",
+        "<link rel=\"canonical\" href=\"http://victim.com/page\">"),
+      // same registered domain, different host: honored
+      (2L, "http://www.d.com/amp/x",
+        "<link rel=\"canonical\" href=\"http://d.com/x\">"),
+      // same-site relative declaration: honored
+      (3L, "http://d.com/print",
+        "<link rel=\"canonical\" href=\"/article\">"))
+      .toDF("doc_id", "url", "html")
+    val got = rows.select(col("doc_id"),
+        Web.relCanonicalSameSite(col("url"), col("html")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "", 2L -> "http://d.com/x",
+      3L -> "http://d.com/article"), got.toString)
+  }
+
   test("adaptive schedule: link evidence breaks the cold-start tie") {
     val front = Seq(
       ("d.example", "http://d.example/zz-popular", "", false),

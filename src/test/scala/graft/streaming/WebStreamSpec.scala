@@ -118,6 +118,149 @@ class WebStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS webstream_rc_urls")
   }
 
+  test("crawl ingest: a hostile cross-domain rel=canonical cannot take " +
+    "over the victim URL's identity") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-xd")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_xd_urls")
+    val rules = Web.parseRobots(Seq(
+      ("d.com", "User-agent: *\n"), ("e.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_xd_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      // batch 1: the attacker, fetched FIRST, declaring the victim URL
+      input.addData((1L, "http://e.com/attack",
+        "<head><link rel=\"canonical\" href=\"http://d.com/a\"></head>" +
+          "<p>attacker prose</p>"))
+      q.processAllAvailable()
+      // batch 2: the genuine victim page — under unconditional honoring
+      // it would read as a cross-batch duplicate of the attacker
+      input.addData((2L, "http://d.com/a", "<p>genuine article</p>"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L),
+        s"cross-domain declaration ignored; both pages keep their own " +
+          s"identity: $kept")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_xd_urls")
+  }
+
+  test("crawl ingest with a redirect map: a page reached via a 3xx " +
+    "chain dedups against its direct fetch cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-rd")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_rd_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    // the fetch log's resolved chain: /old 301→ /new (fetched, 200)
+    val redirects = Web.resolveRedirects(Seq(
+        ("http://d.com/old", 301, "/new"),
+        ("http://d.com/new", 200, "")).toDF("url", "status", "location"),
+      col("url"), col("status"), col("location")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_rd_urls", rules, out, ckpt, numBuckets = 4,
+      redirects = Some(redirects))
+    try {
+      // batch 1: the direct fetch of the target
+      input.addData((1L, "http://d.com/new", "<p>the moved article</p>"))
+      q.processAllAvailable()
+      // batch 2: the same page reached via the redirect chain (the
+      // fetcher recorded the REQUESTED spelling /old) + a genuinely new
+      // page — identity resolves through the map, so /old is a
+      // cross-batch duplicate of /new
+      input.addData(
+        (2L, "http://d.com/old", "<p>the moved article</p>"),
+        (3L, "http://d.com/fresh", "<p>new page</p>"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L),
+        s"redirected fetch deduped against the direct fetch: $kept")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_rd_urls")
+  }
+
+  test("crawl ingest records the SPELLING hash beside a declared " +
+    "identity; the frontier then skips fetched spellings") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-sp")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_sp_urls")
+    spark.sql("DROP TABLE IF EXISTS webstream_sp_led")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_sp_urls", rules, out, ckpt, numBuckets = 4)
+    try {
+      // the print view is the FIRST (only) fetch: it survives keyed under
+      // its declared identity /article — and its own spelling must land
+      // in the index too, or the frontier re-schedules it forever
+      input.addData((1L, "http://d.com/article/print",
+        "<head><link rel=\"canonical\" href=\"/article\"></head>" +
+          "<p>print chrome body</p>"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("webstream_sp_urls")
+      val hashes = spark.table("webstream_sp_urls")
+        .select("url_hash").as[Long].collect().toSet
+      def h(u: String): Long = Seq(Tuple1(u)).toDF("x")
+        .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+        .collect().head.getLong(0)
+      assert(hashes == Set(h("http://d.com/article"),
+        h("http://d.com/article/print")),
+        s"identity AND spelling hash recorded for the one survivor: $hashes")
+      // a later text-free fetch of the same spelling dedups against the
+      // spelling row (identity cannot be derived without the text)
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = WebStream.crawlIngest(input2.toDF().toDF("doc_id", "url"),
+        spark, "webstream_sp_urls", rules, out,
+        base.resolve("ckpt2").toString, numBuckets = 4)
+      try {
+        input2.addData((2L, "http://d.com/article/print"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet == Set(1L),
+        "text-free re-fetch of the fetched spelling dropped")
+      // the frontier probe sees BOTH spellings as crawled; the novel URL
+      // schedules — and the plain (link-table-free) path emits the
+      // UNIFORM adaptive schema, so toggling linkTable later never mixes
+      // schemas under one output dir
+      val delays = Seq(("d.com", 1L)).toDF("reg_domain", "crawl_delay_sec")
+        .localCheckpoint()
+      val entries = MemoryStream[(String, String)]
+      val schedOut = base.resolve("sched").toString
+      val qf = WebStream.frontierIngest(entries.toDF().toDF("loc", "lastmod"),
+        spark, "webstream_sp_urls", "webstream_sp_led", delays, schedOut,
+        base.resolve("ckptF").toString, numBuckets = 4)
+      try {
+        entries.addData(
+          ("http://d.com/article/print", "2026-02-01"),
+          ("http://d.com/article", "2026-02-02"),
+          ("http://d.com/new", "2026-02-03"))
+        qf.processAllAvailable()
+      } finally qf.stop()
+      val sched = spark.read.parquet(schedOut)
+      assert(sched.select("canon_loc").as[String].collect().toSeq ==
+        Seq("http://d.com/new"),
+        "both fetched spellings skipped; only the novel URL scheduled")
+      val cols = sched.columns.toSet
+      assert(Set("score_ppm", "if_modified_since", "stored_digest")
+        .subsetOf(cols), s"uniform adaptive schema from the plain path: $cols")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_sp_urls")
+    spark.sql("DROP TABLE IF EXISTS webstream_sp_led")
+  }
+
   test("restart from checkpoint: no re-emits, no duplicate index appends, bootstrap") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft-webrestart")
@@ -492,6 +635,57 @@ class WebStreamSpec extends AnyFunSuite {
       .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
     assert(after == Map("http://t.example/hot" -> ((2L, 2L, 1L))))
     spark.sql("DROP TABLE IF EXISTS linkstream_edges")
+  }
+
+  test("rank refresh publish + frontier rank prior: globally-endorsed " +
+    "novel URLs take the early politeness slots") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-rank")
+    Seq("rk_edges", "rk_ranks", "rk_ranks_staging", "rk_urls", "rk_led")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // graph: two referrers endorse /hub, one of them also links /leaf —
+    // after the ppm walk rank(/hub) > rank(/leaf) > unranked
+    val pages = MemoryStream[(Long, String, String)]
+    val ql = WebStream.linkIngest(pages.toDF().toDF("doc_id", "url", "html"),
+      spark, "rk_edges", base.resolve("ckptL").toString, numBuckets = 4)
+    try {
+      pages.addData(
+        (1L, "http://a.example/p",
+          "<a href=\"http://d.example/hub\">h</a>" +
+            "<a href=\"http://d.example/leaf\">l</a>"),
+        (2L, "http://b.example/p", "<a href=\"http://d.example/hub\">h</a>"))
+      ql.processAllAvailable()
+    } finally ql.stop()
+    // publish, then publish AGAIN: the refresh replaces the snapshot
+    // through staging + rename, it never appends
+    val n1 = WebStream.publishRankRefresh(spark, "rk_edges", "rk_ranks")
+    val n2 = WebStream.publishRankRefresh(spark, "rk_edges", "rk_ranks")
+    assert(n1 == n2 && n1 > 0L, s"stable snapshot row count: $n1 vs $n2")
+    val hub = Seq("http://d.example/hub", "http://d.example/leaf")
+      .toDF("canon_loc")
+    val prior = WebStream.rankPriorFor(spark, "rk_ranks", hub)
+      .as[(String, Long)].collect().toMap
+    assert(prior("http://d.example/hub") > prior("http://d.example/leaf"),
+      s"two endorsements outrank one: $prior")
+    // composed: the frontier's cold-start order follows the rank
+    val delays = Seq.empty[(String, Long)].toDF("reg_domain", "crawl_delay_sec")
+    val entries = MemoryStream[(String, String)]
+    val qf = WebStream.frontierIngest(entries.toDF().toDF("loc", "lastmod"),
+      spark, "rk_urls", "rk_led", delays,
+      base.resolve("out").toString, base.resolve("ckptF").toString,
+      numBuckets = 4, defaultDelaySec = 2L, rankTable = Some("rk_ranks"))
+    try {
+      entries.addData(("http://d.example/aaa-fresh", ""),
+        ("http://d.example/leaf", ""), ("http://d.example/hub", ""))
+      qf.processAllAvailable()
+    } finally qf.stop()
+    val sched = spark.read.parquet(base.resolve("out").toString)
+      .select("canon_loc", "slot").as[(String, Long)].collect().toMap
+    assert(sched == Map("http://d.example/hub" -> 0L,
+      "http://d.example/leaf" -> 1L, "http://d.example/aaa-fresh" -> 2L),
+      s"rank order beats lexicographic: $sched")
+    Seq("rk_edges", "rk_ranks", "rk_urls", "rk_led")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("frontier ingest with a link table: well-linked novel URLs " +
