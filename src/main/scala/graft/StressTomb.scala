@@ -62,6 +62,50 @@ object StressTomb {
     println(s"[tomb] vacuum removed=$rm cleared=$cl")
     Seq(T, T + "_tombs", T + "_retract_staging")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- retraction WRITE path (round-12 verdict ask #4): a FIXED
+    // 500-doc takedown (all inside ingest batch 0) against corpora 10×
+    // apart. Expected shape: the corpus delete is partition-grain (one
+    // 1000-doc partition rewrites at every scale), the gram step is
+    // journal-bounded (deletable = retracted-mass probe, NO corpus text
+    // re-scan), and the id-attributed index rewrite is the O(index)
+    // physical floor — so total wall should grow like the index
+    // rewrite, not like a corpus gram pass.
+    import graft.sources.Sinks.RetractionTargets
+    for ((tag, n) <- Seq(("1x", nDocs / 100), ("10x", nDocs / 10),
+        ("100x", nDocs))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-tombw-$tag")
+      val corpus = dir.resolve("corpus").toString
+      val sigT = s"st_ret_sig_$tag"
+      val gramT = s"st_ret_gram_$tag"
+      Seq(sigT, gramT).flatMap(t => Seq(t, t + "_df", t + "_tombs",
+        t + "_retract_staging", t + "_df_retract_staging"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      synth(n).withColumn("ingest_batch", expr("doc_id div 1000"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ingest_batch").parquet(corpus)
+      Dedup.writeSignatureIndex(synth(n), sigT, numBuckets = 16)
+      Dedup.writeGramIndex(synth(n), gramT, numBuckets = 16)
+      val ids = spark.range(500).select(col("id").as("doc_id"))
+        .localCheckpoint()
+      val wR = timed(Sinks.retractDocs(spark, ids,
+        RetractionTargets(corpusPath = Some(corpus),
+          indexTables = Seq(sigT -> "doc_id"),
+          gramIndexTable = Some(gramT))).collect())
+      // vacuum write path at the same scale: 500 markers → physical
+      // delete + df rebuild + marker drop
+      Sinks.tombstone(spark, sigT,
+        spark.range(500, 1000).select(col("id").as("doc_id")), "doc_id")
+      val wV = timed(Sinks.vacuumTombstones(spark, sigT))
+      println(f"[tomb] retractDocs corpus=$n%8d docs retract=500 " +
+        f"wall=$wR%6.2f s vacuum=$wV%6.2f s")
+      Seq(sigT, gramT).flatMap(t => Seq(t, t + "_df", t + "_tombs",
+        t + "_retract_staging", t + "_df_retract_staging"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val fs = new org.apache.hadoop.fs.Path(corpus)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    }
     spark.stop()
   }
 }

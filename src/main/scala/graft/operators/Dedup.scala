@@ -608,13 +608,34 @@ object Dedup {
   private[graft] def distinctGrams(docs: DataFrame, k: Int = 8): DataFrame =
     gramTable(tokenArrays(docs), k).select("g").distinct()
 
+  /** Per-gram DISTINCT-DOC counts of `docs` — the unit the gram index's
+    * df journal stores, and what the retraction path pins for a
+    * takedown batch ([[graft.sources.Sinks.retractDocs]] step 4): a
+    * gram is deletable exactly when the retracted docs account for its
+    * WHOLE journal df. */
+  private[graft] def gramDocCounts(docs: DataFrame, k: Int = 8): DataFrame =
+    gramTable(tokenArrays(docs), k)
+      .groupBy("g").agg(countDistinct(col("doc_id")).as("graft_cnt"))
+
+  /** The gram index's additive df-stats journal `<t>_df`: cells of
+    * (g, graft_cnt) — distinct DOCS producing the gram, per batch —
+    * summed on read. Docs live in exactly one ingest batch, so the sum
+    * is the corpus-wide doc count per gram, which is what bounds
+    * retraction ([[graft.sources.Sinks.retractDocs]]) to the retracted
+    * docs' own gram mass instead of a full corpus re-scan. */
+  def gramStatsTable(indexTable: String): String = indexTable + "_df"
+
   def writeGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
-      k: Int = 8): Unit =
+      k: Int = 8): Unit = {
     graft.sources.Sinks.writeBucketed(
       gramTable(tokenArrays(docs), k).select("g").distinct()
         .withColumn("ingest_batch", lit(-1L)),
       tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
       sortCols = Seq("g"))
+    gramDocCounts(docs, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(gramStatsTable(tableName))
+  }
 
   /** WITHIN-document repeated-span removal — the de-repetition half of
     * exact-substring dedup ([[removeDuplicateSpans]] handles the
@@ -647,12 +668,34 @@ object Dedup {
     * Replay re-appends are tolerated (at-least-once): duplicates are
     * invisible to their own batch and [[rebuildWithoutSpans]] dedups
     * hit positions for everyone else. */
+  /** Index rows AND journal cells both derive from the FRESH set — the
+    * batch's (g, batchId) pairs not already in the index — so a crashed
+    * replay (same batch id, same deterministic gram set) appends zero
+    * rows and zero cells: the journal stays exact under at-least-once
+    * re-runs (the DocStream freshRows discipline). A gram this batch
+    * shares with an EARLIER batch still appends its own batch-stamped
+    * row (the probe's own-batch-exclusion contract needs it) and its
+    * own doc-count cell (cells sum to the corpus-wide doc count because
+    * a doc lives in exactly one batch). */
   def appendGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
-      k: Int = 8, batchId: Long = -1L): Unit =
-    gramTable(tokenArrays(docs), k).select("g").distinct()
+      k: Int = 8, batchId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    val counts = gramDocCounts(docs, k)
       .withColumn("ingest_batch", lit(batchId))
+    val fresh = (
+      if (spark.catalog.tableExists(tableName)) {
+        spark.catalog.refreshTable(tableName)
+        counts.join(spark.table(tableName)
+            .filter(col("ingest_batch") === batchId).select("g"),
+          Seq("g"), "left_anti")
+      } else counts).localCheckpoint()
+    fresh.select(col("g"), col("ingest_batch"))
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "g").sortBy("g").saveAsTable(tableName)
+    fresh.select(col("g"), col("graft_cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .saveAsTable(gramStatsTable(tableName))
+  }
 
   /** Incremental span removal: clean an incoming batch against the
     * persisted corpus gram index ([[writeGramIndex]]) — spans the corpus

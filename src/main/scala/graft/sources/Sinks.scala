@@ -750,18 +750,25 @@ object Sinks {
 
   /** Execute a retraction across every artifact in `targets`. Steps:
     *
-    *   1. PIN the retracted docs' gram set from the corpus sink (their
-    *      text is still readable — after the corpus delete it isn't);
+    *   1. PIN the retracted docs' per-gram doc counts from the corpus
+    *      sink (their text is still readable — after the corpus delete
+    *      it isn't) — O(retracted docs);
     *   2. corpus sink: partition-grain delete ([[retractFromParquet]]);
     *   3. every id-attributed index table: anti-join rewrite preserving
     *      bucket specs ([[retractFromTable]]), then the `<t>_df`
     *      journal rebuilds from the surviving index ([[rebuildDfJournal]]);
     *   4. gram index: its rows are doc-UNattributed distinct grams, so
-    *      the deletable set is the retracted docs' grams MINUS the
-    *      grams any surviving doc still produces — one gram pass over
-    *      the surviving corpus restricted (semi-join) to the pinned
-    *      candidate set. Leaving them would keep cut-causing content
-    *      fingerprints of retracted (possibly takedown) docs alive;
+    *      deletability needs doc counts — the `<gt>_df` journal
+    *      ([[graft.operators.Dedup.gramStatsTable]]) supplies them: a
+    *      gram deletes exactly when the retracted docs account for its
+    *      whole journal df, an O(retracted grams) probe with no corpus
+    *      re-scan, and the journal rewrites by subtraction (≡ the
+    *      from-scratch journal over survivors — counts are additive
+    *      over docs). A journal-free legacy index falls back to one
+    *      gram pass over the surviving corpus restricted (semi-join)
+    *      to the pinned candidate set. Leaving deletable grams would
+    *      keep cut-causing content fingerprints of retracted (possibly
+    *      takedown) docs alive;
     *   5. cluster mapping: journal filter + full rebuild
     *      ([[retractFromClusterTable]]).
     *
@@ -774,13 +781,16 @@ object Sinks {
     import spark.implicits._
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
     val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    // 1. pin retracted grams while the text still exists
+    // 1. pin the retracted docs' per-gram DOC COUNTS while the text
+    // still exists (after the corpus delete it doesn't) — O(retracted
+    // docs), never corpus-grain
     val retractedGrams = for {
       gt <- targets.gramIndexTable
       cp <- targets.corpusPath
-    } yield graft.operators.Dedup.distinctGrams(
+    } yield graft.operators.Dedup.gramDocCounts(
       spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi"),
-      targets.gramK).localCheckpoint()
+      targets.gramK)
+      .withColumnRenamed("graft_cnt", "graft_rm").localCheckpoint()
     // 2. corpus sink
     targets.corpusPath.foreach { cp =>
       val n = retractFromParquet(spark, cp, ids, "doc_id", targets.partitionCol)
@@ -793,16 +803,48 @@ object Sinks {
       report += ((t, "index", n))
       if (j) report += ((t + "_df", "journal", 0L))
     }
-    // 4. gram index
+    // 4. gram index. With a df journal (`<gt>_df`, written by
+    // writeGramIndex/appendGramIndex): a gram is deletable exactly when
+    // the retracted docs account for its WHOLE journal df — O(retracted
+    // grams) probe + one journal-grain subtract-rewrite, NO corpus
+    // re-scan (the round-12 retraction's full-corpus gram pass was the
+    // one corpus-grain step in this path). Journal-free legacy indexes
+    // keep the corpus-scan fallback.
     (targets.gramIndexTable zip retractedGrams).foreach { case (gt, rg) =>
-      val stillLive = targets.corpusPath.map { cp =>
-        graft.operators.Dedup.distinctGrams(
-          spark.read.parquet(cp), targets.gramK)
-          .join(rg, Seq("g"), "left_semi")
-      }.getOrElse(rg.limit(0))
-      val deletable = rg.join(stillLive, Seq("g"), "left_anti")
+      val jt = graft.operators.Dedup.gramStatsTable(gt)
+      val deletable =
+        if (spark.catalog.tableExists(jt)) {
+          spark.catalog.refreshTable(jt)
+          spark.table(jt)
+            .join(rg.select("g"), Seq("g"), "left_semi")
+            .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot"))
+            .join(rg, Seq("g"))
+            .filter(col("graft_rm") >= col("graft_tot"))
+            .select("g")
+        } else {
+          val stillLive = targets.corpusPath.map { cp =>
+            graft.operators.Dedup.distinctGrams(
+              spark.read.parquet(cp), targets.gramK)
+              .join(rg.select("g"), Seq("g"), "left_semi")
+          }.getOrElse(rg.select("g").limit(0))
+          rg.select("g").join(stillLive, Seq("g"), "left_anti")
+        }
       val n = retractFromTable(spark, gt, deletable, "g")
       report += ((gt, "gram-index", n))
+      // journal reconciliation: subtract the retracted doc counts and
+      // drop exhausted cells — equals the from-scratch journal over the
+      // surviving docs because counts are additive over docs
+      if (spark.catalog.tableExists(jt)) {
+        val newCells = spark.table(jt)
+          .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot"))
+          .join(rg, Seq("g"), "left")
+          .select(col("g"),
+            (col("graft_tot") - coalesce(col("graft_rm"), lit(0L)))
+              .as("graft_cnt"))
+          .filter(col("graft_cnt") > 0)
+        publishTable(spark, jt, newCells, bucketSpecOf(spark, jt))
+        report += ((jt, "journal", 0L))
+      }
     }
     // 5. cluster mapping + pairs journal
     targets.clusterTable.foreach { ct =>

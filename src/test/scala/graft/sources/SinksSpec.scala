@@ -309,7 +309,8 @@ class SinksSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-retract").toString
     val corpus = base + "/corpus"
-    Seq("t_retr_sig", "t_retr_gram", "t_retr_cl", "t_retr_cl_pairs")
+    Seq("t_retr_sig", "t_retr_gram", "t_retr_gram_df", "t_retr_cl",
+      "t_retr_cl_pairs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val docs = retrDocs
     docs.withColumn("ingest_batch", col("doc_id") % 2)
@@ -360,6 +361,17 @@ class SinksSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(gramGot == gramWant)
     assert(report("t_retr_gram") > 0L, "doc 5's unique grams were deleted")
+    // the df journal reconciled by SUBTRACTION equals the from-scratch
+    // journal over the survivors (doc counts are additive over docs) —
+    // this is what bounds the delete to the retracted docs' gram mass
+    // instead of a corpus re-scan
+    assert(report.contains("t_retr_gram_df"), "journal path taken")
+    val jGot = spark.table("t_retr_gram_df")
+      .groupBy("g").agg(sum(col("graft_cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    val jWant = graft.operators.Dedup.gramDocCounts(survivors)
+      .as[(String, Long)].collect().toMap
+    assert(jGot == jWant, s"journal ≡ from-scratch: ${jGot.size} vs ${jWant.size}")
     // cluster mapping: the bridge doc's removal SPLITS {1,2,3} — 1 and
     // 3 become singletons and leave the mapping; (6,7) is untouched
     val cl = spark.table("t_retr_cl")
@@ -368,6 +380,70 @@ class SinksSpec extends AnyFunSuite {
     val pairs = spark.table("t_retr_cl_pairs")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((6L, 7L)))
+  }
+
+  test("appendGramIndex: replayed batches append zero rows and zero " +
+    "journal cells; journal sums equal per-gram doc counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("t_gj", "t_gj_df").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = retrDocs
+    val b1 = all.filter(col("doc_id") <= 3)
+    val b2 = all.filter(col("doc_id") > 3)
+    graft.operators.Dedup.appendGramIndex(b1, "t_gj", numBuckets = 4,
+      batchId = 0L)
+    graft.operators.Dedup.appendGramIndex(b2, "t_gj", numBuckets = 4,
+      batchId = 1L)
+    spark.catalog.refreshTable("t_gj")
+    val rowsBefore = spark.table("t_gj").count()
+    val cellsBefore = spark.table("t_gj_df").count()
+    // crashed replay of batch 1: identical input, same batch id
+    graft.operators.Dedup.appendGramIndex(b2, "t_gj", numBuckets = 4,
+      batchId = 1L)
+    spark.catalog.refreshTable("t_gj")
+    spark.catalog.refreshTable("t_gj_df")
+    assert(spark.table("t_gj").count() == rowsBefore,
+      "replay appended zero index rows")
+    assert(spark.table("t_gj_df").count() == cellsBefore,
+      "replay appended zero journal cells")
+    // summed cells = distinct-doc counts over the whole ingested corpus
+    // (docs live in exactly one batch, so per-batch cells are additive)
+    val got = spark.table("t_gj_df")
+      .groupBy("g").agg(sum(col("graft_cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    val want = graft.operators.Dedup.gramDocCounts(all)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"${got.size} vs ${want.size}")
+    Seq("t_gj", "t_gj_df").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("retractDocs: a journal-free legacy gram index falls back to the " +
+    "corpus-scan path and still equals the from-scratch rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-retract-legacy").toString
+    val corpus = base + "/corpus"
+    Seq("t_retrl_gram", "t_retrl_gram_df")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    graft.operators.Dedup.writeGramIndex(docs, "t_retrl_gram", numBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS t_retrl_gram_df") // legacy: no journal
+    val report = Sinks.retractDocs(spark, Seq(2L, 5L).toDF("doc_id"),
+      Sinks.RetractionTargets(
+        corpusPath = Some(corpus),
+        gramIndexTable = Some("t_retrl_gram")))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(!report.contains("t_retrl_gram_df"), "no journal row on legacy")
+    val survivors = docs.filter(!col("doc_id").isin(2L, 5L))
+    val gramGot = spark.table("t_retrl_gram").select("g")
+      .as[String].collect().toSet
+    val gramWant = graft.operators.Dedup.distinctGrams(survivors)
+      .as[String].collect().toSet
+    assert(gramGot == gramWant)
+    Seq("t_retrl_gram").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("policy sweep → retraction: a robots flip removes exactly the " +
