@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: execute one SparkEntry query and print the FINAL
+  * adaptive physical plan (the plan that ran — the same view
+  * `PlanSweepSpec`/`PlanAudit` audit, unlike `explain` which shows the
+  * pre-execution shape). Usage:
+  *   sbt "runMain graft.PlanOne <name> [sfDir]"
+  */
+object PlanOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(args(0))(spark,
+      if (args.length > 1) args(1) else "/root/testdata/sf0.001")
+    df.queryExecution.toRdd.count()
+    println(graft.plans.PlanAudit.audit(df).planString)
+    spark.stop()
+  }
+}

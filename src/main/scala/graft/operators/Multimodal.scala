@@ -1067,7 +1067,12 @@ object Multimodal {
       nCoeffs: Int = 16, fanout: Int = 3): DataFrame = {
     require(fanout >= 1, s"fanout must be >= 1, got $fanout")
     require(nCoeffs >= 3, s"need >= 3 coefficients for a top-2 peak, got $nCoeffs")
-    val sym = windowSymbols(samples, windowLen, hop, nCoeffs)
+    // the symbol frame feeds BOTH sides of the target-zone pairing
+    // (anchor and target) — materialize it once or the whole
+    // spectrum/peak aggregate (the expensive ×windowLen expansion over
+    // the sample panel) executes twice per call. One (doc, window)-grain
+    // frame, linear in windows — cheap to hold, expensive to recompute.
+    val sym = windowSymbols(samples, windowLen, hop, nCoeffs).localCheckpoint()
     landmarksFromSymbols(sym, fanout)
   }
 
@@ -1100,8 +1105,12 @@ object Multimodal {
       audioLandmarks(samples, windowLen, hop, nCoeffs, fanout),
       maxDf, minSharedPpm)
 
-  private def audioNearDupFromLandmarks(lm: DataFrame, maxDf: Option[Int],
+  private def audioNearDupFromLandmarks(lm0: DataFrame, maxDf: Option[Int],
       minSharedPpm: Long): DataFrame = {
+    // the landmark frame feeds FOUR readers (per-doc counts, the df cap,
+    // both sides of the candidate self-join) — materialize it once; the
+    // frame is the distinct (doc, s1, s2, dw) set, linear in windows
+    val lm = lm0.localCheckpoint()
     val nlm = lm.groupBy("doc_id").agg(count(lit(1)).as("n_lm"))
     val kept = maxDf match {
       case Some(cap) =>
@@ -1228,8 +1237,11 @@ object Multimodal {
   def audioDedupBatchAgainstIndex(spark: SparkSession, batchSamples: DataFrame,
       tableName: String, maxDf: Option[Int] = Some(20),
       minSharedPpm: Long = 500000L): DataFrame =
+    // batch landmarks materialize once (multiple probe readers); the
+    // CORPUS side stays the raw bucketed-table read — checkpointing it
+    // would destroy the zero-exchange bucket-join property
     audioIncrementalPairs(graft.sources.Sinks.liveRows(spark, tableName),
-      audioLandmarks(batchSamples), maxDf, minSharedPpm,
+      audioLandmarks(batchSamples).localCheckpoint(), maxDf, minSharedPpm,
       corpusDf = indexDfStats(spark, tableName,
         Seq("s1", "s2", "dw"), "graft_df"))
 
@@ -1248,8 +1260,11 @@ object Multimodal {
     val twins = audio.filter(col("doc_id") % 5 === 1)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail marker words")).as("text"))
-    audioIncrementalPairs(audioLandmarks(clips(audio)),
-      audioLandmarks(clips(twins)))
+    // both landmark frames feed multiple probe readers (df cap, shared
+    // join, denominator counts): materialize each once — the DocStream
+    // ingest does the same for its per-batch frame
+    audioIncrementalPairs(audioLandmarks(clips(audio)).localCheckpoint(),
+      audioLandmarks(clips(twins)).localCheckpoint())
       .orderBy("batch_id", "corpus_id", "n_shared", "shared_ppm")
   }
 
