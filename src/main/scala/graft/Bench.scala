@@ -34,6 +34,51 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // CONTENTION GUARD (round-12 verdict): a pass run on a contended
+    // machine inflates every in-suite number 2×+ and a judge has to
+    // re-adjudicate by hand (36 re-times in round 12; a 226.6 s pass was
+    // hand-discarded). So BEFORE the timed passes, a small calibration
+    // set — the five alphabetically-first anchored queries in the
+    // 0.2–1.5 s band, cheap and historically stable — measures against
+    // its anchors. Ratio > 1.3× → settle (GC + 5 s) and retry, twice;
+    // still over → the pass is marked `contended` in BOTH outputs so
+    // the driver/judge refuses it up front instead of recording it.
+    val anchorsPath0 =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "BENCH_ANCHORS.json")
+    val anchors0 = loadAnchors(anchorsPath0)
+    val calib = anchors0.toSeq
+      .filter { case (n, a) => a >= 0.2 && a <= 1.5 &&
+        SparkEntry.queries.contains(n) }
+      .sortBy(_._1).take(5)
+    def calibRatio(): Double =
+      if (calib.isEmpty) 1.0
+      else {
+        val m = calib.map { case (n, a) =>
+          val fn = SparkEntry.queries(n)
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          math.min((System.nanoTime() - t0) / 1e9, {
+            val t1 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            (System.nanoTime() - t1) / 1e9
+          }) / a
+        }
+        m.sum / m.size
+      }
+    var contended = false
+    var ratio = calibRatio()
+    var settles = 0
+    while (ratio > 1.3 && settles < 2) {
+      println(f"[bench] calibration ratio $ratio%.2f > 1.3 — settling")
+      System.gc(); Thread.sleep(5000L)
+      settles += 1
+      ratio = calibRatio()
+    }
+    if (ratio > 1.3) {
+      contended = true
+      println(f"[bench] PASS CONTENDED: calibration ratio $ratio%.2f " +
+        "after 2 settles — numbers below are inflated, do not anchor them")
+    } else println(f"[bench] calibration ratio $ratio%.2f — pass accepted")
     // Two timed passes, per-query minimum: local-mode timings swing ±40%
     // with GC/background load; the min is the stable steady-state number.
     // A query that THROWS is recorded as failed (never as a normal time):
@@ -65,9 +110,8 @@ object Bench {
     // adjudicator could not gate). Both numbers are published to
     // BENCH_QUERIES.json (`{"in_suite":…,"retimed":…}`);
     // the stdout/BENCH_r{N} contract keeps plain seconds = the min.
-    val anchorsPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS", "BENCH_ANCHORS.json")
-    val anchors = loadAnchors(anchorsPath)
+    val anchorsPath = anchorsPath0
+    val anchors = anchors0
     val suspects = inSuite.filter { case (k, v) =>
       anchors.get(k).forall(a => v > 1.5 * a) }.keys.toSeq.sorted
     val retimed: Map[String, Double] = suspects.map { name =>
@@ -86,7 +130,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     if (retimed.nonEmpty)
       println("[bench] re-timed (in_suite -> retimed): " + retimed.toSeq.sorted
@@ -102,7 +146,7 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"failed":$failedJson,"contended":$contended,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
       .toAbsolutePath
@@ -113,7 +157,11 @@ object Bench {
     // isolated (retimed) min recorded so the NEXT run can gate them.
     // Existing anchors are never modified here — refreshes stay a
     // deliberate, adjudicated act.
-    val newAnchors = results.filter { case (k, _) => !anchors.contains(k) }
+    // never mint first anchors from a contended pass — they'd bake the
+    // inflation in as the permanent gate
+    val newAnchors =
+      if (contended) Map.empty[String, Double]
+      else results.filter { case (k, _) => !anchors.contains(k) }
     if (newAnchors.nonEmpty && anchors.nonEmpty) {
       val merged = (anchors ++ newAnchors).toSeq.sortBy(_._1)
         .map { case (k, v) => f""" "$k": ${v}%.3f""" }
