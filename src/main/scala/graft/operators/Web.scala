@@ -1295,6 +1295,34 @@ object Web {
       .orderBy("doc_id", "canonical_url")
   }
 
+  /** The same-site canonical gate over corpus-derived pages
+    * (branch-derived oracle): per id%3 the head declares a SAME-SITE
+    * canonical under a www + tracking-param spelling (honored by both
+    * forms), a CROSS-DOMAIN one pointing at a foreign host (extracted
+    * by [[relCanonical]], refused by [[relCanonicalSameSite]] — the
+    * corpus-poisoning gate), or nothing. Emitting BOTH columns
+    * certifies the gate refuses exactly the cross-domain declarations
+    * and nothing else. */
+  def qCanonicalSameSite(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val head = when(id % 3 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"http://www."), col("source"),
+        lit(".example/canon/"), id % 10, lit("?utm_source=x\">")))
+      .when(id % 3 === 1, concat(
+        lit("<link rel=\"canonical\" href=\"http://evil.example/steal/"),
+        id % 10, lit("\">")))
+      .otherwise(lit(""))
+    val pages = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example/p/"), id)
+        .as("url"),
+      concat(lit("<html><head>"), head, lit("</head><body>x</body></html>"))
+        .as("html"))
+    pages.select(col("doc_id"),
+        relCanonical(col("url"), col("html")).as("declared_url"),
+        relCanonicalSameSite(col("url"), col("html")).as("samesite_url"))
+      .orderBy("doc_id", "declared_url", "samesite_url")
+  }
+
   /** Mirror-domain report — the site-level dedup signal: the same
     * content served from MULTIPLE registered domains (mirrors, scraper
     * farms, parked duplicates). Per unordered domain pair, the number

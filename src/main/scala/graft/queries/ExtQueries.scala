@@ -179,6 +179,7 @@ object ExtQueries {
     "web_anchor_texts"      -> Web.qAnchorTexts _,
     "web_sitemap_index"     -> Web.qSitemapIndex _,
     "web_rel_canonical"     -> Web.qRelCanonical _,
+    "web_canonical_samesite" -> Web.qCanonicalSameSite _,
     "web_link_degrees"      -> Web.qLinkDegrees _,
     "web_mirror_domains"    -> Web.qMirrorDomains _,
     "web_link_rank_dangling" -> Web.qLinkRankDangling _,
@@ -4953,6 +4954,25 @@ object ExtQueries {
         |    ELSE '' END AS canonical_url
         |FROM documents
         |ORDER BY doc_id, canonical_url""".stripMargin,
+
+    // Mirrors Web.qCanonicalSameSite: declared = the canonicalized
+    // declaration (www stripped, utm dropped) for both branches; the
+    // same-site column keeps only the id%3==0 branch — the gate refuses
+    // exactly the cross-domain declarations.
+    "web_canonical_samesite" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://' || source || '.example/canon/'
+        |      || CAST(doc_id % 10 AS VARCHAR)
+        |    WHEN 1 THEN 'http://evil.example/steal/'
+        |      || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE '' END AS declared_url,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://' || source || '.example/canon/'
+        |      || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE '' END AS samesite_url
+        |FROM documents
+        |ORDER BY doc_id, declared_url, samesite_url""".stripMargin,
 
     // Mirrors Web.qRedirects: the fetch log re-derived from the five
     // branches, the 3xx map with the hand-resolved root-relative hop,
