@@ -481,7 +481,7 @@ object Web {
     * protocol-relative takes the base scheme, root-relative takes the
     * base authority, anything else resolves against the base directory.
     * Dot segments deliberately not normalized (see [[extractLinks]]). */
-  private[operators] def resolveRef(base: Column, ref: Column): Column = {
+  private[graft] def resolveRef(base: Column, ref: Column): Column = {
     val scheme = urlScheme(base)
     val auth = regexp_extract(base, "^[A-Za-z]+://([^/?#]*)", 1)
     val dir = regexp_replace(when(urlPath(base) === "", "/")

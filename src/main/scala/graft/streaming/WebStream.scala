@@ -72,8 +72,10 @@ object WebStream {
     * the `/old` spelling with `/new`'s content, and without the map it
     * would dedup against a direct `/new` fetch only in the batch
     * [[graft.operators.Pipeline.crawlPrepare]]. With it, URL identity
-    * resolves through the map FIRST (resolved chains only — a dangling
-    * target was never fetched, an exceeded chain is a loop), then the
+    * resolves through the map FIRST (resolved and dangling chains —
+    * a dangling target is merely not fetched yet, and either spelling's
+    * first fetch must land on one identity; exceeded chains are loops
+    * whose final_url is an arbitrary mid-loop node, excluded), then the
     * page's own rel=canonical declaration wins over the redirect
     * target as usual (the twin rule: declaration > redirect target >
     * canonical spelling). The frame refreshes at the caller's cadence
@@ -104,7 +106,12 @@ object WebStream {
         // when the page declares no canonical
         val allowed0 = redirects match {
           case Some(rm) => allowed1
-            .join(rm.filter(col("resolution") === "resolved")
+            // resolved AND dangling chains both map: a dangling end just
+            // means the target is not fetched YET, and the first fetch of
+            // either spelling must land on the same identity; only
+            // exceeded (loop) chains are excluded — their final_url is an
+            // arbitrary mid-loop node
+            .join(rm.filter(col("resolution") =!= "exceeded")
               .select(col("url").as("canon_url"),
                 col("final_url").as("graft_rt")),
               Seq("canon_url"), "left")
@@ -381,6 +388,94 @@ object WebStream {
     * [[Web.fetchScheduleAdaptive]]'s `linkPrior`. Candidates with no
     * in-links simply have no row — the scheduler's left join defaults
     * them to zero evidence. Absent table → empty frame (cold start). */
+  /** Streaming REDIRECT ledger — the fetch layer's 3xx observations
+    * accumulated continuously, so [[crawlIngest]]'s redirect-identity
+    * map can refresh from a live table instead of a one-shot batch
+    * resolve. Per micro-batch of fetch-log rows `(url, status,
+    * location)`:
+    *
+    *   1. keep 3xx rows with a Location; canonicalize the spelling and
+    *      resolve the Location against it (one HOP per row — chains
+    *      resolve at READ time over the accumulated ledger, so a chain
+    *      whose hops arrive in different batches still joins up);
+    *   2. one deterministic hop per spelling in-batch (min target);
+    *   3. anti-join append on the spelling hash — cross-batch duplicate
+    *      observations and crashed replays both land zero rows (the url
+    *      index discipline). First observation wins: a re-pointed
+    *      redirect is a content change, refreshed by vacuuming the
+    *      ledger row at maintenance cadence, not by per-batch rewrites.
+    *
+    * [[redirectMapFor]] is the read side. */
+  def redirectIngest(fetchLog: DataFrame, spark: SparkSession,
+      redirectTable: String, checkpoint: String,
+      numBuckets: Int = 16): StreamingQuery =
+    fetchLog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hops = batch
+          .filter(col("status").between(300, 399) && col("location") =!= "")
+          .withColumn("canon_url", Web.canonicalUrl(col("url")))
+          .withColumn("target",
+            Web.canonicalUrl(Web.resolveRef(col("canon_url"), col("location"))))
+          .groupBy("canon_url").agg(min(col("target")).as("target"))
+          .select(xxhash64(col("canon_url")).as("url_hash"),
+            col("canon_url"), col("target"))
+          .localCheckpoint()
+        val fresh =
+          if (spark.catalog.tableExists(redirectTable)) {
+            spark.catalog.refreshTable(redirectTable)
+            hops.join(spark.table(redirectTable).select("url_hash"),
+              Seq("url_hash"), "left_anti")
+          } else hops
+        fresh.write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(tableBuckets(spark, redirectTable).getOrElse(numBuckets),
+            "url_hash")
+          .sortBy("url_hash")
+          .saveAsTable(redirectTable)
+        ()
+      }
+      .start()
+
+  /** Resolve the [[redirectIngest]] ledger into the
+    * [[graft.operators.Web.resolveRedirects]] shape
+    * `(url, final_url, n_hops, resolution)` [[crawlIngest]]'s
+    * `redirects` option consumes: the bounded browser-style walk over
+    * the ledger's single-hop rows. The ledger carries no fetch-success
+    * evidence, so terminal chain ends read `resolved` (identity-wise a
+    * not-yet-fetched target is still the right key); chains still
+    * pointing into the ledger after `maxHops` read `exceeded` (loops)
+    * and are excluded by the identity join. O(3xx URLs) state, one
+    * keyed join per hop, lineage cut between hops. */
+  def redirectMapFor(spark: SparkSession, redirectTable: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "redirectMapFor: maxHops >= 1")
+    if (!spark.catalog.tableExists(redirectTable)) {
+      import spark.implicits._
+      return Seq.empty[(String, String, Long, String)]
+        .toDF("url", "final_url", "n_hops", "resolution")
+    }
+    spark.catalog.refreshTable(redirectTable)
+    val hops = spark.table(redirectTable)
+      .select(col("canon_url").as("graft_cur"), col("target").as("graft_t"))
+      .localCheckpoint()
+    var state = hops.select(col("graft_cur").as("url"),
+      col("graft_cur"), lit(0L).as("n_hops"))
+    for (_ <- 1 to maxHops) {
+      state = state.join(hops, Seq("graft_cur"), "left")
+        .select(col("url"),
+          coalesce(col("graft_t"), col("graft_cur")).as("graft_cur"),
+          (col("n_hops") + when(col("graft_t").isNotNull, 1L).otherwise(0L))
+            .as("n_hops"))
+        .localCheckpoint()
+    }
+    state
+      .join(hops.select(col("graft_cur")).distinct()
+        .withColumn("graft_more", lit(true)), Seq("graft_cur"), "left")
+      .select(col("url"), col("graft_cur").as("final_url"), col("n_hops"),
+        when(col("graft_more"), "exceeded").otherwise("resolved")
+          .as("resolution"))
+  }
+
   /** Publish a periodic PageRank refresh over the [[linkIngest]] edge
     * table into `rankTable` `(url_hash, rank_ppm)` — the GLOBAL
     * endorsement signal [[Web.fetchScheduleAdaptive]]'s `rankPrior`

@@ -188,6 +188,42 @@ class WebStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS webstream_rd_urls")
   }
 
+  test("redirect ledger: cross-batch chains join at read time, replays " +
+    "append zero rows, loops read exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-redledger")
+    spark.sql("DROP TABLE IF EXISTS redled")
+    val log = MemoryStream[(String, Int, String)]
+    val q = WebStream.redirectIngest(
+      log.toDF().toDF("url", "status", "location"),
+      spark, "redled", base.resolve("ckpt").toString, numBuckets = 4)
+    try {
+      // batch 1: the chain's FIRST hop, a 200 (ignored), and a loop half
+      log.addData(("http://d.com/a", 301, "/b"),
+        ("http://d.com/ok", 200, ""),
+        ("http://d.com/x", 301, "/y"))
+      q.processAllAvailable()
+      // batch 2: the chain's SECOND hop arrives later + the loop's other
+      // half + a duplicate observation of /a (cross-batch → zero rows)
+      log.addData(("http://d.com/b", 302, "/c"),
+        ("http://d.com/y", 301, "/x"),
+        ("http://d.com/a", 301, "/b"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("redled")
+      assert(spark.table("redled").count() == 4L,
+        "a, x, b, y — the 200 row and the duplicate observation never land")
+      val map = WebStream.redirectMapFor(spark, "redled", maxHops = 3)
+        .as[(String, String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(map("http://d.com/a") == (("http://d.com/c", 2L, "resolved")),
+        s"cross-batch chain joined at read time: ${map("http://d.com/a")}")
+      assert(map("http://d.com/b") == (("http://d.com/c", 1L, "resolved")))
+      assert(map("http://d.com/x")._3 == "exceeded", "loop exhausts budget")
+      assert(map("http://d.com/y")._3 == "exceeded")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS redled")
+  }
+
   test("crawl ingest records the SPELLING hash beside a declared " +
     "identity; the frontier then skips fetched spellings") {
     implicit val sqlCtx = spark.sqlContext
