@@ -641,11 +641,16 @@ object Pipeline {
         t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (crossDomainCanonical) Web.relCanonical(u, t)
       else Web.relCanonicalSameSite(u, t)
+    // the declaration materializes as its own column so the html-wide
+    // extraction runs once per row (CollapseProject won't re-inline a
+    // non-cheap expression into both the when condition and its branch)
     val keyed =
-      if (honorRelCanonical) allowed.withColumn("graft_url_key",
-        when(declared(col("url"), col("text")) =!= "",
-          declared(col("url"), col("text")))
-          .otherwise(col("canon_url")))
+      if (honorRelCanonical) allowed
+        .withColumn("graft_declared", declared(col("url"), col("text")))
+        .withColumn("graft_url_key",
+          when(col("graft_declared") =!= "", col("graft_declared"))
+            .otherwise(col("canon_url")))
+        .drop("graft_declared")
       else allowed.withColumn("graft_url_key", col("canon_url"))
     val byUrl = Window.partitionBy("graft_url_key")
       .orderBy(col("warc_date"), col("doc_id"))

@@ -1240,13 +1240,23 @@ object Web {
     * immediately followed by the tag's own `>` (`<link rel=canonical>`)
     * cannot consume that `>` and run into the NEXT tag — otherwise the
     * href of an unrelated following tag (a stylesheet link) would be
-    * lifted as the declared canonical. */
+    * lifted as the declared canonical.
+    *
+    * Shape note: the html-wide tag regex is the dominant per-row cost,
+    * and a naive `when(href === "", …)` form evaluates it in BOTH the
+    * condition and the value branch — CaseWhen branches are excluded
+    * from Spark's subexpression elimination, and CollapseProject
+    * re-inlines non-cheap expressions, so the duplication is real at
+    * ingest rates. The single-element array→filter→transform pipeline
+    * binds each stage to a lambda variable instead, so the tag extract
+    * and the href parse run exactly ONCE per row. */
   def relCanonical(pageUrl: Column, html: Column): Column = {
     val tag = regexp_extract(html,
       "(?is)<link\\b[^>]*\\srel\\s*=\\s*[\"']?canonical(?=[\"'\\s>])[^>]*>", 0)
-    val href = attrVal(tag, "href")
-    when(href === "", lit(""))
-      .otherwise(canonicalUrl(resolveRef(pageUrl, href)))
+    val resolved = transform(
+      filter(transform(array(tag), t => attrVal(t, "href")), h => h =!= ""),
+      h => canonicalUrl(resolveRef(pageUrl, h)))
+    coalesce(get(resolved, lit(0)), lit(""))
   }
 
   /** [[relCanonical]] restricted to SAME-SITE declarations: the declared
@@ -1262,10 +1272,12 @@ object Web {
     * [[Pipeline.crawlPrepare]]'s / `WebStream.crawlIngest`'s
     * `crossDomainCanonical` flag — for crawls whose input is trusted. */
   def relCanonicalSameSite(pageUrl: Column, html: Column): Column = {
-    val declared = relCanonical(pageUrl, html)
-    when(declared =!= "" &&
-      registeredDomain(declared) === registeredDomain(pageUrl), declared)
-      .otherwise(lit(""))
+    // same single-evaluation discipline as relCanonical: the declaration
+    // binds to a lambda variable, so the whole extraction runs once per
+    // row whether the gate passes or not
+    val gated = filter(array(relCanonical(pageUrl, html)),
+      d => d =!= "" && registeredDomain(d) === registeredDomain(pageUrl))
+    coalesce(get(gated, lit(0)), lit(""))
   }
 
   /** rel=canonical extraction over corpus-derived pages (branch-derived

@@ -130,11 +130,16 @@ object WebStream {
             t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           if (crossDomainCanonical) Web.relCanonical(u, t)
           else Web.relCanonicalSameSite(u, t)
+        // the declaration materializes as its own column so the
+        // html-wide extraction runs once per row (the crawlPrepare twin
+        // shape)
         val allowed = (if (allowed0.columns.contains("text"))
-            allowed0.withColumn("graft_url_key",
-              when(declared(col("url"), col("text")) =!= "",
-                declared(col("url"), col("text")))
-                .otherwise(col("graft_base")))
+            allowed0
+              .withColumn("graft_declared", declared(col("url"), col("text")))
+              .withColumn("graft_url_key",
+                when(col("graft_declared") =!= "", col("graft_declared"))
+                  .otherwise(col("graft_base")))
+              .drop("graft_declared")
           else allowed0.withColumn("graft_url_key", col("graft_base")))
           .withColumn("url_hash", xxhash64(col("graft_url_key")))
           .drop("graft_url_key", "graft_base")
