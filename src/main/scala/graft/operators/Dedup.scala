@@ -633,6 +633,7 @@ object Dedup {
       tableName, bucketCols = Seq("g"), numBuckets = numBuckets,
       sortCols = Seq("g"))
     gramDocCounts(docs, k)
+      .withColumn("ingest_batch", lit(-1L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(gramStatsTable(tableName))
   }
@@ -668,33 +669,65 @@ object Dedup {
     * Replay re-appends are tolerated (at-least-once): duplicates are
     * invisible to their own batch and [[rebuildWithoutSpans]] dedups
     * hit positions for everyone else. */
-  /** Index rows AND journal cells both derive from the FRESH set — the
-    * batch's (g, batchId) pairs not already in the index — so a crashed
+  /** Index rows and journal cells EACH derive their own fresh set — the
+    * batch's (g, batchId) pairs not already in THAT table — so a crashed
     * replay (same batch id, same deterministic gram set) appends zero
-    * rows and zero cells: the journal stays exact under at-least-once
-    * re-runs (the DocStream freshRows discipline). A gram this batch
-    * shares with an EARLIER batch still appends its own batch-stamped
-    * row (the probe's own-batch-exclusion contract needs it) and its
-    * own doc-count cell (cells sum to the corpus-wide doc count because
-    * a doc lives in exactly one batch). */
+    * rows and zero cells to whichever table already committed, and
+    * EXACTLY the lost cells to the one that didn't: a crash in the
+    * window between the index append and the journal append no longer
+    * loses that batch's journal cells forever (an index-derived fresh
+    * set would read the replayed batch as already-present and skip the
+    * journal entirely). A gram this batch shares with an EARLIER batch
+    * still appends its own batch-stamped row (the probe's own-batch-
+    * exclusion contract needs it) and its own doc-count cell (cells sum
+    * to the corpus-wide doc count because a doc lives in exactly one
+    * batch).
+    *
+    * Journal coverage contract: the journal is only ever appended to
+    * when it either already exists ([[writeGramIndex]] is the creator)
+    * or this call is creating the index itself (fresh index → both
+    * tables start with complete coverage). Appending to a LEGACY
+    * journal-free index must NOT auto-create a journal — it would hold
+    * only post-upgrade batches, and [[graft.sources.Sinks.retractDocs]]
+    * would trust its undercounted totals (deleting grams pre-journal
+    * surviving docs still produce, keeping retracted docs' pre-journal
+    * grams alive). Legacy indexes stay journal-free and keep the
+    * corpus-scan retraction fallback. A legacy journal WITHOUT the
+    * `ingest_batch` stamp (pre-round-14 layout) falls back to the
+    * index-derived fresh set for its cells. */
   def appendGramIndex(docs: DataFrame, tableName: String, numBuckets: Int,
       k: Int = 8, batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
+    val jt = gramStatsTable(tableName)
+    val indexExists = spark.catalog.tableExists(tableName)
+    val journalExists = spark.catalog.tableExists(jt)
     val counts = gramDocCounts(docs, k)
       .withColumn("ingest_batch", lit(batchId))
-    val fresh = (
-      if (spark.catalog.tableExists(tableName)) {
-        spark.catalog.refreshTable(tableName)
-        counts.join(spark.table(tableName)
-            .filter(col("ingest_batch") === batchId).select("g"),
-          Seq("g"), "left_anti")
-      } else counts).localCheckpoint()
-    fresh.select(col("g"), col("ingest_batch"))
+      .localCheckpoint()
+    def freshVs(table: String): DataFrame = {
+      spark.catalog.refreshTable(table)
+      counts.join(spark.table(table)
+          .filter(col("ingest_batch") === batchId).select("g"),
+        Seq("g"), "left_anti")
+    }
+    val freshIdx = if (indexExists) freshVs(tableName) else counts
+    freshIdx.select(col("g"), col("ingest_batch"))
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "g").sortBy("g").saveAsTable(tableName)
-    fresh.select(col("g"), col("graft_cnt"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-      .saveAsTable(gramStatsTable(tableName))
+    if (journalExists || !indexExists) {
+      val stamped = !journalExists ||
+        spark.table(jt).columns.contains("ingest_batch")
+      val freshJournal =
+        if (!journalExists) counts
+        else if (stamped) freshVs(jt)
+        else freshIdx // pre-stamp legacy journal: index-derived (old rule)
+      val cells =
+        if (stamped)
+          freshJournal.select(col("g"), col("graft_cnt"), col("ingest_batch"))
+        else freshJournal.select(col("g"), col("graft_cnt"))
+      cells.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .saveAsTable(jt)
+    }
   }
 
   /** Incremental span removal: clean an incoming batch against the

@@ -211,6 +211,7 @@ object ExtQueries {
     "er_golden"             -> graft.operators.Linkage.qErGolden _,
     "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
     "storage_retract"       -> graft.sources.Sinks.qRetract _,
+    "storage_retract_web"   -> graft.sources.Sinks.qRetractWeb _,
     "storage_tombstone"     -> graft.sources.Sinks.qTombstone _,
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
@@ -4908,6 +4909,46 @@ object ExtQueries {
         |  CAST((total - gone) * mult AS BIGINT) AS n_after
         |FROM n, (VALUES ('corpus', 1), ('index_sig', 4), ('index_url', 1))
         |  v(artifact, mult)
+        |ORDER BY artifact, n_removed, n_after""".stripMargin,
+
+    // Mirrors Sinks.qRetractWeb: the takedown reaches the WEB-GRAPH
+    // side. Edges run between consecutive doc ids, so an edge dies iff
+    // either endpoint is planted (s%7==3 or s+1%7==3); ledger kind-A
+    // rows (one per doc, old→doc URL) die on the TARGET side, kind-B
+    // rows (doc%3==0, doc URL→external) on the SPELLING side; the rank
+    // snapshot after the refresh holds exactly the distinct endpoints
+    // of the surviving edges — so equality proves edge deletion keys
+    // on src OR dst, ledger deletion on spelling OR target, and the
+    // refresh equals a from-scratch rank over the survivors.
+    "storage_retract_web" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (SELECT a.doc_id AS s, b.doc_id AS t
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        |n AS (SELECT count(*) AS total,
+        |    sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS gone FROM d),
+        |eg AS (SELECT count(*) AS etotal,
+        |    sum(CASE WHEN s % 7 = 3 OR t % 7 = 3 THEN 1 ELSE 0 END) AS egone
+        |  FROM e),
+        |lg AS (SELECT
+        |    (SELECT count(*) FROM d)
+        |      + (SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS ltotal,
+        |    (SELECT count(*) FROM d WHERE doc_id % 7 = 3)
+        |      + (SELECT count(*) FROM d
+        |         WHERE doc_id % 3 = 0 AND doc_id % 7 = 3) AS lgone),
+        |rn AS (SELECT
+        |    (SELECT count(DISTINCT u) FROM
+        |      (SELECT s AS u FROM e UNION SELECT t FROM e)) AS rtotal,
+        |    (SELECT count(DISTINCT u) FROM
+        |      (SELECT s AS u FROM e WHERE s % 7 <> 3 AND t % 7 <> 3
+        |       UNION SELECT t FROM e WHERE s % 7 <> 3 AND t % 7 <> 3))
+        |      AS rafter)
+        |SELECT artifact, CAST(n_removed AS BIGINT) AS n_removed,
+        |  CAST(n_after AS BIGINT) AS n_after FROM (
+        |  SELECT 'corpus' AS artifact, gone AS n_removed,
+        |    total - gone AS n_after FROM n
+        |  UNION ALL SELECT 'link_edges', egone, etotal - egone FROM eg
+        |  UNION ALL SELECT 'redirect_ledger', lgone, ltotal - lgone FROM lg
+        |  UNION ALL SELECT 'rank', rtotal - rafter, rafter FROM rn)
         |ORDER BY artifact, n_removed, n_after""".stripMargin,
 
     // Mirrors Web.qAnchorTexts: the (target, anchor) counts re-derived

@@ -371,6 +371,111 @@ object Sinks {
       .orderBy("artifact", "stage", "n_rows")
   }
 
+  /** Query-shaped WEB-GRAPH retraction scenario (SparkEntry contract),
+    * [[retractDocs]] step 6's oracle: a corpus with deterministic
+    * per-doc URLs and a planted `retractweb.example` domain
+    * (doc_id%7==3), a link-edge table between consecutive doc URLs
+    * (so retracted pages appear as BOTH src and dst), a redirect
+    * ledger with a target-side family (one row per doc,
+    * `old.example/r/<id>` → the doc's URL) and a spelling-side family
+    * (doc_id%3==0 rows, the doc's URL → an external target), and a
+    * PageRank snapshot — then [[graft.operators.Web.retractDomains]]
+    * executes the takedown across corpus + all three web tables.
+    * Output: (artifact, n_removed, n_after), n_after recounted off
+    * the post-retraction artifacts. The oracle derives every count
+    * from the branch structure alone (edges removed iff either
+    * endpoint doc ≡ 3 mod 7; ledger rows iff the spelling's or
+    * target's doc is planted; rank rows = distinct endpoints of
+    * surviving edges), so equality means edge deletion keys on src OR
+    * dst, ledger deletion on spelling OR target, and the rank refresh
+    * equals a from-scratch rank over the surviving graph. */
+  def qRetractWeb(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = sys.props("java.io.tmpdir") + s"/graft-retractweb-$tag"
+    val corpus = base + "/corpus"
+    val edgesT = s"q_rw_edges_$tag"
+    val redT = s"q_rw_red_$tag"
+    val rankT = s"q_rw_rank_$tag"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def dropHard(t: String): Unit = {
+      Seq(t, t + "_retract_staging", t + "_staging").foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(n)))
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+    }
+    Seq(edgesT, redT, rankT).foreach(dropHard)
+    val srcName = when(col("doc_id") % 7 === 3, lit("retractweb"))
+      .otherwise(concat(lit("ok"), (col("doc_id") % 5).cast("string")))
+    // the scenario frames are metadata-sized (one row per doc) and the
+    // downstream is a dozen tiny jobs — coalesce so each is one task,
+    // not 32 scheduling stubs
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+        concat(lit("http://"), srcName, lit(".example/p/"),
+          col("doc_id").cast("string")).as("canon_url"),
+        concat(srcName, lit(".example")).as("source"))
+      .coalesce(2).localCheckpoint()
+    docs.withColumn("ingest_batch", col("doc_id") % 4)
+      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+      .parquet(corpus)
+    // edges between consecutive EXISTING docs: s → s+1
+    val e = docs.select(col("doc_id").as("sid"),
+        col("canon_url").as("src_url"), col("source").as("src_domain"))
+      .join(docs.select((col("doc_id") - 1).as("sid"),
+        col("canon_url").as("dst_url"), col("source").as("dst_domain")),
+        Seq("sid"))
+    writeBucketed(e.select(xxhash64(col("dst_url")).as("dst_hash"),
+        xxhash64(col("src_url")).as("src_hash"), col("dst_url"),
+        col("src_domain"), col("dst_domain"),
+        concat(lit("anchor "), col("sid").cast("string")).as("anchor")),
+      edgesT, bucketCols = Seq("dst_hash"), numBuckets = 4,
+      sortCols = Seq("dst_hash"))
+    val ledA = docs.select(
+      concat(lit("http://old.example/r/"), col("doc_id").cast("string"))
+        .as("cu"), col("canon_url").as("target"))
+    val ledB = docs.filter(col("doc_id") % 3 === 0).select(
+      col("canon_url").as("cu"),
+      concat(lit("http://ext.example/e/"), col("doc_id").cast("string"))
+        .as("target"))
+    writeBucketed(ledA.union(ledB).select(xxhash64(col("cu")).as("url_hash"),
+        col("cu").as("canon_url"), col("target")),
+      redT, bucketCols = Seq("url_hash"), numBuckets = 4,
+      sortCols = Seq("url_hash"))
+    // the oracle checks rank ROW COUNTS, not values — one iteration
+    // seeds the pre-retraction snapshot; the refresh under test (inside
+    // retractDocs) runs the full default
+    graft.streaming.WebStream.publishRankRefresh(spark, edgesT, rankT,
+      iters = 1)
+    val report = graft.operators.Web.retractDomains(spark,
+      Seq("retractweb.example"),
+      RetractionTargets(corpusPath = Some(corpus),
+        linkEdgeTable = Some(edgesT), redirectTable = Some(redT),
+        rankTable = Some(rankT)))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val afterCorpus = spark.read.parquet(corpus).count()
+    Seq(edgesT, redT, rankT).foreach(spark.catalog.refreshTable)
+    val afterEdges = spark.table(edgesT).count()
+    val afterRed = spark.table(redT).count()
+    val afterRank = spark.table(rankT).count()
+    Seq(edgesT, redT, rankT).foreach(dropHard)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Seq(
+      ("corpus", report(corpus), afterCorpus),
+      ("link_edges", report(edgesT), afterEdges),
+      ("rank", report(rankT), afterRank),
+      ("redirect_ledger", report(redT), afterRed))
+      .toDF("artifact", "n_removed", "n_after")
+      .orderBy("artifact", "n_removed", "n_after")
+  }
+
   // ---- corpus retraction --------------------------------------------------
   //
   // The DELETE path of the pipeline. Robots policies flip, takedown and
@@ -403,16 +508,39 @@ object Sinks {
     * table name → its doc-id column (signature/landmark/video/url-hash
     * indexes carry `doc_id`, a PQ-code index carries `vec_id`). The
     * gram index is listed separately because its rows are doc-
-    * UNattributed distinct grams — see [[retractDocs]] step 4. */
+    * UNattributed distinct grams — see [[retractDocs]] step 4.
+    *
+    * The three WEB-GRAPH tables are URL-keyed, not doc-id-keyed, so
+    * [[retractDocs]] pins the retracted docs' URL hashes from the
+    * corpus first (step 1, alongside the gram pin — after the corpus
+    * delete the spellings are gone): `urlCols` names the corpus
+    * columns carrying URL SPELLINGS (hashed with xxhash64; columns the
+    * corpus lacks are skipped), `urlHashCols` columns already carrying
+    * 64-bit hashes. `linkEdgeTable` is a
+    * [[graft.streaming.WebStream.linkIngest]] edge table — its rows
+    * hold the retracted pages' outgoing ANCHOR TEXT (their content)
+    * and their URLs as link targets, so edges delete on src OR dst;
+    * `redirectTable` a [[graft.streaming.WebStream.redirectIngest]]
+    * ledger — rows delete when the retracted URL is the spelling or
+    * the target; `rankTable` a
+    * [[graft.streaming.WebStream.publishRankRefresh]] snapshot —
+    * recomputed from the surviving edges when `linkEdgeTable` is also
+    * given (so retracted pages both lose their rank rows AND stop
+    * crediting endorsements), else row-deleted by hash. */
   final case class RetractionTargets(
       corpusPath: Option[String] = None,
       partitionCol: String = "ingest_batch",
       indexTables: Seq[(String, String)] = Nil,
       gramIndexTable: Option[String] = None,
       gramK: Int = 8,
-      clusterTable: Option[String] = None)
+      clusterTable: Option[String] = None,
+      linkEdgeTable: Option[String] = None,
+      redirectTable: Option[String] = None,
+      rankTable: Option[String] = None,
+      urlCols: Seq[String] = Seq("url", "canon_url"),
+      urlHashCols: Seq[String] = Seq("url_hash"))
 
-  private def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -424,7 +552,7 @@ object Sinks {
     * half-written table catalog-visible. A crash between DROP and
     * RENAME leaves the table absent with the complete staging table
     * beside it; re-running the retraction republishes. */
-  private def publishTable(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def publishTable(spark: org.apache.spark.sql.SparkSession,
       table: String, df: DataFrame,
       spec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]): Unit = {
     val staging = table + "_retract_staging"
@@ -521,6 +649,30 @@ object Sinks {
     val before = spark.table(table).count()
     val keep = spark.table(table)
       .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+    publishTable(spark, table, keep, spec)
+    spark.catalog.refreshTable(table)
+    before - spark.table(table).count()
+  }
+
+  /** [[retractFromTable]] for multi-key-column tables: delete every row
+    * whose value in ANY of `cols` is in `ids` (column `idCol`) — the
+    * link-edge shape, where a retracted URL must disappear both as a
+    * source (its outgoing anchor text is its content) and as a target
+    * (its URL string is what a takedown removes). One sequential
+    * broadcast anti-join per key column over a single scan + rewrite;
+    * bucket/sort spec preserved. Returns rows removed. */
+  def retractFromTableAnyOf(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String,
+      cols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    if (!spark.catalog.tableExists(table)) return 0L
+    spark.catalog.refreshTable(table)
+    val spec = bucketSpecOf(spark, table)
+    val before = spark.table(table).count()
+    val keep = cols.foldLeft(spark.table(table)) { (df, c) =>
+      df.join(broadcast(ids.select(col(idCol).as(c)).distinct()),
+        Seq(c), "left_anti")
+    }
     publishTable(spark, table, keep, spec)
     spark.catalog.refreshTable(table)
     before - spark.table(table).count()
@@ -703,8 +855,29 @@ object Sinks {
     affected.join(idf, Seq(idCol), "left_anti")
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(tmp.toString)
-    val after = spark.read.parquet(tmp.toString)
-      .filter(col(partitionCol).isNotNull).count()
+    // every affected partition fully emptied → the staging tree holds
+    // only _SUCCESS and a schema-inferring read would fail
+    val stagingHasData = fs.listStatus(tmp)
+      .exists(!_.getPath.getName.startsWith("_"))
+    val after = if (!stagingHasData) 0L
+      else spark.read.parquet(tmp.toString)
+        .filter(col(partitionCol).isNotNull).count()
+    // a FULLY-emptied partition writes no staging dir, and the swap's
+    // carry-forward step would then read it as "unaffected" and carry
+    // the old partition — retracted rows included — straight back into
+    // the live tree. Mark each such partition with an empty dir (no
+    // files = no rows to any reader), so the carry skips it and crash
+    // adoption keeps its "each partition lives in exactly one tree"
+    // invariant without knowing the affected set.
+    hitParts.foreach { v =>
+      val name = partitionCol + "=" + (if (v == null)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString))
+      val d = new org.apache.hadoop.fs.Path(tmp, name)
+      if (!fs.exists(d)) fs.mkdirs(d)
+    }
     // 2. swap: live aside, carry unaffected partitions over, publish
     if (!fs.rename(live, bak)) sys.error(s"retract: cannot move $live aside")
     beforeSwap()
@@ -770,7 +943,15 @@ object Sinks {
     *      keep cut-causing content fingerprints of retracted (possibly
     *      takedown) docs alive;
     *   5. cluster mapping: journal filter + full rebuild
-    *      ([[retractFromClusterTable]]).
+    *      ([[retractFromClusterTable]]);
+    *   6. web-graph tables (URL-keyed — the hashes were pinned in
+    *      step 1 beside the grams): link edges delete on src OR dst
+    *      hash (outgoing anchor text is the page's content; the URL
+    *      string itself is what a takedown removes), redirect-ledger
+    *      rows delete when the retracted URL is the spelling or the
+    *      target, and the rank snapshot REBUILDS from the surviving
+    *      edges — deleting rank rows alone would keep the retracted
+    *      pages' endorsements credited to everyone they linked.
     *
     * Returns a report frame (artifact, kind, n_removed) — the audit
     * row a compliance run files. Every artifact equals its from-scratch
@@ -791,6 +972,26 @@ object Sinks {
       spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi"),
       targets.gramK)
       .withColumnRenamed("graft_cnt", "graft_rm").localCheckpoint()
+    // 1b. pin the retracted docs' URL HASHES (web-graph tables are
+    // URL-keyed; after the corpus delete the spellings are gone) —
+    // O(retracted docs). Spelling columns hash through xxhash64, hash
+    // columns pin as-is; columns the corpus lacks are skipped.
+    val wantsWebGraph = targets.linkEdgeTable.nonEmpty ||
+      targets.redirectTable.nonEmpty || targets.rankTable.nonEmpty
+    val retractedUrlHashes = if (!wantsWebGraph) None
+      else targets.corpusPath.map { cp =>
+        val c = spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi")
+        val cols = c.columns.toSet
+        val frames =
+          targets.urlCols.filter(cols).map(u =>
+            c.select(xxhash64(col(u)).as("graft_uh"))) ++
+          targets.urlHashCols.filter(cols).map(u =>
+            c.select(col(u).cast("long").as("graft_uh")))
+        require(frames.nonEmpty, "retractDocs: web-graph targets given " +
+          s"but the corpus has none of ${targets.urlCols} / " +
+          s"${targets.urlHashCols} — no URL identity to retract by")
+        frames.reduce(_ union _).distinct().localCheckpoint()
+      }
     // 2. corpus sink
     targets.corpusPath.foreach { cp =>
       val n = retractFromParquet(spark, cp, ids, "doc_id", targets.partitionCol)
@@ -812,36 +1013,62 @@ object Sinks {
     // keep the corpus-scan fallback.
     (targets.gramIndexTable zip retractedGrams).foreach { case (gt, rg) =>
       val jt = graft.operators.Dedup.gramStatsTable(gt)
+      // a candidate gram deletes iff NO surviving doc still produces it
+      // (the corpus delete in step 2 already ran, so the sink IS the
+      // surviving corpus here) — the ground-truth check both the legacy
+      // journal-free path and the journal-loss fallback use
+      def liveGramScan(cands: DataFrame): DataFrame = {
+        val stillLive = targets.corpusPath.map { cp =>
+          graft.operators.Dedup.distinctGrams(
+            spark.read.parquet(cp), targets.gramK)
+            .join(cands, Seq("g"), "left_semi")
+        }.getOrElse(cands.limit(0))
+        cands.join(stillLive, Seq("g"), "left_anti")
+      }
+      val journaled = spark.catalog.tableExists(jt)
       val deletable =
-        if (spark.catalog.tableExists(jt)) {
+        if (journaled) {
           spark.catalog.refreshTable(jt)
-          spark.table(jt)
-            .join(rg.select("g"), Seq("g"), "left_semi")
-            .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot"))
-            .join(rg, Seq("g"))
-            .filter(col("graft_rm") >= col("graft_tot"))
-            .select("g")
-        } else {
-          val stillLive = targets.corpusPath.map { cp =>
-            graft.operators.Dedup.distinctGrams(
-              spark.read.parquet(cp), targets.gramK)
+          val probed = rg.join(
+            spark.table(jt)
               .join(rg.select("g"), Seq("g"), "left_semi")
-          }.getOrElse(rg.select("g").limit(0))
-          rg.select("g").join(stillLive, Seq("g"), "left_anti")
-        }
+              .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot")),
+            Seq("g"), "left").localCheckpoint()
+          // journal-LOSS tolerance: `graft_rm` is exact (pinned from the
+          // corpus in step 1), so a retracted gram the journal never saw
+          // (tot null) or undercounts (rm > tot) is positive evidence of
+          // lost cells — trusting those totals would over-delete grams
+          // that surviving docs still produce. A healthy journal covers
+          // every retracted gram with tot >= rm, so this set is EMPTY
+          // and no corpus scan runs; under loss, only the affected grams
+          // re-verify against the surviving corpus.
+          val suspicious = probed.filter(col("graft_tot").isNull ||
+            col("graft_rm") > col("graft_tot")).select("g")
+          val sound = probed.filter(col("graft_tot").isNotNull &&
+            col("graft_rm") === col("graft_tot")).select("g")
+          if (suspicious.isEmpty) sound
+          else sound.union(liveGramScan(suspicious))
+        } else liveGramScan(rg.select("g"))
       val n = retractFromTable(spark, gt, deletable, "g")
       report += ((gt, "gram-index", n))
       // journal reconciliation: subtract the retracted doc counts and
       // drop exhausted cells — equals the from-scratch journal over the
-      // surviving docs because counts are additive over docs
-      if (spark.catalog.tableExists(jt)) {
-        val newCells = spark.table(jt)
+      // surviving docs because counts are additive over docs. The
+      // consolidated cells re-stamp as the batch-independent seed (-1):
+      // retraction runs in the quiesce window between micro-batches
+      // (the [[compactIndexTable]] contract), so no in-flight batch's
+      // replay can race the consolidation.
+      if (journaled) {
+        val stamped = spark.table(jt).columns.contains("ingest_batch")
+        val newCells0 = spark.table(jt)
           .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot"))
           .join(rg, Seq("g"), "left")
           .select(col("g"),
             (col("graft_tot") - coalesce(col("graft_rm"), lit(0L)))
               .as("graft_cnt"))
           .filter(col("graft_cnt") > 0)
+        val newCells = if (stamped)
+          newCells0.withColumn("ingest_batch", lit(-1L)) else newCells0
         publishTable(spark, jt, newCells, bucketSpecOf(spark, jt))
         report += ((jt, "journal", 0L))
       }
@@ -850,6 +1077,51 @@ object Sinks {
     targets.clusterTable.foreach { ct =>
       val n = retractFromClusterTable(spark, ct, ids)
       report += ((ct, "cluster", n))
+    }
+    // 6. web-graph tables, keyed by the pinned URL hashes
+    retractedUrlHashes.foreach { uh =>
+      targets.linkEdgeTable.foreach { lt =>
+        val n = retractFromTableAnyOf(spark, lt, uh, "graft_uh",
+          Seq("src_hash", "dst_hash"))
+        report += ((lt, "link-edges", n))
+      }
+      targets.redirectTable.foreach { rt =>
+        if (spark.catalog.tableExists(rt)) {
+          spark.catalog.refreshTable(rt)
+          val before = spark.table(rt).count()
+          val keep = spark.table(rt)
+            .join(broadcast(uh.select(col("graft_uh").as("url_hash"))),
+              Seq("url_hash"), "left_anti")
+            .withColumn("graft_th", xxhash64(col("target")))
+            .join(broadcast(uh.select(col("graft_uh").as("graft_th"))),
+              Seq("graft_th"), "left_anti")
+            .drop("graft_th")
+          publishTable(spark, rt, keep, bucketSpecOf(spark, rt))
+          spark.catalog.refreshTable(rt)
+          report += ((rt, "redirect-ledger",
+            before - spark.table(rt).count()))
+        }
+      }
+      targets.rankTable.foreach { rkt =>
+        targets.linkEdgeTable match {
+          case Some(lt) if spark.catalog.tableExists(lt) =>
+            // recompute over the surviving edges (published through the
+            // staging + rename discipline): retracted pages both lose
+            // their rank rows and stop crediting endorsements. Uses
+            // publishRankRefresh's defaults; deployments ranking with
+            // custom iteration counts re-publish at their own cadence.
+            val before = if (spark.catalog.tableExists(rkt)) {
+              spark.catalog.refreshTable(rkt); spark.table(rkt).count()
+            } else 0L
+            val after = graft.streaming.WebStream
+              .publishRankRefresh(spark, lt, rkt)
+            report += ((rkt, "rank-refresh", before - after))
+          case _ =>
+            val n = retractFromTable(spark, rkt,
+              uh.withColumnRenamed("graft_uh", "url_hash"), "url_hash")
+            report += ((rkt, "rank", n))
+        }
+      }
     }
     report.toSeq.toDF("artifact", "kind", "n_removed")
   }

@@ -565,6 +565,136 @@ class SinksSpec extends AnyFunSuite {
     assert(back == Set(1L, 3L, 6L, 7L), s"no surviving row lost: $back")
   }
 
+  test("retractDocs: web-graph tables — link edges (src OR dst), " +
+    "redirect ledger (spelling OR target) and the rank snapshot all " +
+    "equal a from-scratch rebuild over the survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-retract-web").toString
+    val corpus = base + "/corpus"
+    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def u(i: Long) = s"http://s$i.example/p"
+    val docs = (1L to 8L).map(i => (i, u(i),
+      if (i == 2L || i == 5L) "retract.example" else s"s$i.example"))
+      .toDF("doc_id", "canon_url", "source")
+    docs.withColumn("url_hash", xxhash64(col("canon_url")))
+      .withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    // link edges in the linkIngest shape: 2 and 5 appear as src (their
+    // anchor text is their content) and as dst (their URLs are what
+    // the takedown removes)
+    val rawEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (6L, 2L),
+      (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("s", "d")
+      .select(
+        xxhash64(concat(lit("http://s"), col("d"), lit(".example/p")))
+          .as("dst_hash"),
+        xxhash64(concat(lit("http://s"), col("s"), lit(".example/p")))
+          .as("src_hash"),
+        concat(lit("http://s"), col("d"), lit(".example/p")).as("dst_url"),
+        concat(lit("s"), col("s"), lit(".example")).as("src_domain"),
+        concat(lit("s"), col("d"), lit(".example")).as("dst_domain"),
+        concat(lit("anchor from "), col("s")).as("anchor"),
+        col("s"), col("d"))
+    Sinks.writeBucketed(rawEdges.drop("s", "d"), "t_rw_edges",
+      Seq("dst_hash"), numBuckets = 4, Seq("dst_hash"))
+    // redirect ledger: a row TARGETING doc 2's URL, a row whose
+    // SPELLING is doc 5's URL, and an untouched row
+    val ledger = Seq(
+      ("http://old2.example/x", u(2L)),
+      (u(5L), "http://elsewhere.example/y"),
+      ("http://old7.example/x", u(7L)))
+      .toDF("canon_url", "target")
+      .select(xxhash64(col("canon_url")).as("url_hash"),
+        col("canon_url"), col("target"))
+    Sinks.writeBucketed(ledger, "t_rw_red", Seq("url_hash"),
+      numBuckets = 4, Seq("url_hash"))
+    // rank snapshot over the pre-retraction graph
+    graft.streaming.WebStream.publishRankRefresh(spark, "t_rw_edges",
+      "t_rw_rank")
+    val retractedHashes = Seq(u(2L), u(5L)).toDF("x")
+      .select(xxhash64(col("x"))).as[Long].collect().toSet
+    assert(spark.table("t_rw_rank").select("url_hash").as[Long]
+      .collect().toSet.intersect(retractedHashes) == retractedHashes,
+      "pre-retraction rank credits the soon-retracted pages")
+
+    val report = graft.operators.Web.retractDomains(spark,
+      Seq("retract.example"),
+      Sinks.RetractionTargets(corpusPath = Some(corpus),
+        linkEdgeTable = Some("t_rw_edges"),
+        redirectTable = Some("t_rw_red"),
+        rankTable = Some("t_rw_rank")))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+
+    // edges: exactly those touching neither 2 nor 5 — and none of the
+    // retracted pages' anchor text or URL strings remain queryable
+    spark.catalog.refreshTable("t_rw_edges")
+    val keptEdges = spark.table("t_rw_edges")
+      .select("src_domain", "dst_domain")
+      .as[(String, String)].collect().toSet
+    assert(keptEdges == Set(("s3.example", "s4.example"),
+      ("s4.example", "s1.example"), ("s6.example", "s7.example"),
+      ("s7.example", "s8.example")), keptEdges.toString)
+    assert(report("t_rw_edges") == 4L)
+    assert(spark.table("t_rw_edges")
+      .filter(col("dst_url").contains("s2.example") ||
+        col("anchor").isin("anchor from 2", "anchor from 5")).count() == 0L,
+      "retracted pages' URLs and anchor text are gone")
+    // ...and the bucket spec survived, so the linkPriorFor probe plan
+    // is unchanged
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_rw_edges")).bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("dst_hash")), spec.toString)
+    // ledger: the target-side and spelling-side rows both gone
+    spark.catalog.refreshTable("t_rw_red")
+    assert(spark.table("t_rw_red").select("canon_url").as[String]
+      .collect().toSet == Set("http://old7.example/x"))
+    assert(report("t_rw_red") == 2L)
+    // rank: equals a fresh publish over the surviving edge table, and
+    // the retracted hashes are no longer ranked (nor crediting anyone)
+    spark.catalog.refreshTable("t_rw_rank")
+    graft.streaming.WebStream.publishRankRefresh(spark, "t_rw_edges",
+      "t_rw_rank_want")
+    val rankGot = spark.table("t_rw_rank")
+      .select("url_hash", "rank_ppm").as[(Long, Long)].collect().toSet
+    val rankWant = spark.table("t_rw_rank_want")
+      .select("url_hash", "rank_ppm").as[(Long, Long)].collect().toSet
+    assert(rankGot == rankWant, "rank ≡ refresh over surviving edges")
+    assert(rankGot.map(_._1).intersect(retractedHashes).isEmpty,
+      "retracted pages unranked")
+    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("retractFromParquet: a FULLY-emptied partition stays gone — the " +
+    "swap must not carry the old partition back as 'unaffected'") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-retract-empty").toString
+    val corpus = base + "/corpus"
+    val docs = retrDocs
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    // batch 0 = {2, 6} exactly: retracting both empties the partition,
+    // so the staging tree writes no dir for it — pre-fix, the carry
+    // step then read batch 0 as unaffected and carried the retracted
+    // rows straight back into the live tree
+    val n = Sinks.retractFromParquet(spark, corpus, Seq(2L, 6L).toDF("doc_id"),
+      "doc_id")
+    assert(n == 2L)
+    val back = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(back == Set(1L, 3L, 5L, 7L), s"emptied partition resurrected: $back")
+    // idempotent: a second pass finds nothing and changes nothing
+    assert(Sinks.retractFromParquet(spark, corpus, Seq(2L, 6L).toDF("doc_id"),
+      "doc_id") == 0L)
+    assert(spark.read.parquet(corpus).count() == 4L)
+  }
+
   test("two-phase delete: tombstones stop probe matches instantly; " +
     "vacuum converges to the physical retraction") {
     import spark.implicits._
@@ -612,5 +742,128 @@ class SinksSpec extends AnyFunSuite {
     val (rm2, cl2) = Sinks.vacuumTombstones(spark, T)
     assert((rm2, cl2) == (4L, 1L), "duplicate markers vacuum once")
     spark.sql(s"DROP TABLE IF EXISTS $T")
+  }
+
+  test("appendGramIndex: a legacy journal-free index never grows a " +
+    "partial-coverage journal, and retraction stays corpus-scan exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-gram-legacy").toString
+    val corpus = base + "/corpus"
+    Seq("t_glc_gram", "t_glc_gram_df")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    val b1 = docs.filter(col("doc_id") <= 3)
+    val b2 = docs.filter(col("doc_id") > 3)
+    // legacy state: an index built before the journal era
+    graft.operators.Dedup.writeGramIndex(b1, "t_glc_gram", numBuckets = 4)
+    spark.sql("DROP TABLE IF EXISTS t_glc_gram_df")
+    // post-upgrade appends must NOT auto-create a journal — it would
+    // hold only batch-2 cells, and retractDocs would trust the
+    // undercounted totals (deleting grams batch-1 survivors still
+    // produce, keeping batch-1 grams of retracted docs alive)
+    graft.operators.Dedup.appendGramIndex(b2, "t_glc_gram", numBuckets = 4,
+      batchId = 1L)
+    assert(!spark.catalog.tableExists("t_glc_gram_df"),
+      "no partial journal on a legacy index")
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    Sinks.retractDocs(spark, Seq(2L, 5L).toDF("doc_id"),
+      Sinks.RetractionTargets(corpusPath = Some(corpus),
+        gramIndexTable = Some("t_glc_gram")))
+    val survivors = docs.filter(!col("doc_id").isin(2L, 5L))
+    spark.catalog.refreshTable("t_glc_gram")
+    assert(spark.table("t_glc_gram").select("g").as[String].collect().toSet ==
+      graft.operators.Dedup.distinctGrams(survivors)
+        .as[String].collect().toSet,
+      "legacy fallback equals the from-scratch rebuild")
+    spark.sql("DROP TABLE IF EXISTS t_glc_gram")
+  }
+
+  test("appendGramIndex: a crash between the index append and the " +
+    "journal append is healed by the replay (journal-derived freshness)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq("t_gcw", "t_gcw_df").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    val b1 = docs.filter(col("doc_id") <= 3)
+    val b2 = docs.filter(col("doc_id") > 3)
+    graft.operators.Dedup.appendGramIndex(b1, "t_gcw", numBuckets = 4,
+      batchId = 0L)
+    graft.operators.Dedup.appendGramIndex(b2, "t_gcw", numBuckets = 4,
+      batchId = 1L)
+    // simulate the crash window: batch 1's INDEX rows committed but its
+    // journal cells were lost (pre-round-14, the replay derived journal
+    // freshness from the index, saw the batch present, and never
+    // re-wrote the cells — the loss was permanent)
+    val kept = spark.table("t_gcw_df").filter(col("ingest_batch") === 0L)
+      .collect().toSeq
+    val schema = spark.table("t_gcw_df").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept), schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable("t_gcw_df_rewrite")
+    spark.sql("DROP TABLE IF EXISTS t_gcw_df")
+    spark.sql("ALTER TABLE t_gcw_df_rewrite RENAME TO t_gcw_df")
+    // replay of batch 1: index append is a no-op (rows present), but the
+    // journal anti-join — against the JOURNAL — re-appends exactly the
+    // lost cells
+    val idxRows = spark.table("t_gcw").count()
+    graft.operators.Dedup.appendGramIndex(b2, "t_gcw", numBuckets = 4,
+      batchId = 1L)
+    spark.catalog.refreshTable("t_gcw")
+    spark.catalog.refreshTable("t_gcw_df")
+    assert(spark.table("t_gcw").count() == idxRows,
+      "replay appended zero index rows")
+    val got = spark.table("t_gcw_df")
+      .groupBy("g").agg(sum(col("graft_cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    val want = graft.operators.Dedup.gramDocCounts(docs)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, "journal exact again after the healing replay")
+    Seq("t_gcw", "t_gcw_df").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("retractDocs: an undercounting journal (lost cells) is detected " +
+    "and the affected grams re-verify against the surviving corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-gram-loss").toString
+    val corpus = base + "/corpus"
+    Seq("t_gll_gram", "t_gll_gram_df")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val docs = retrDocs
+    docs.withColumn("ingest_batch", col("doc_id") % 2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest_batch").parquet(corpus)
+    val b1 = docs.filter(col("doc_id") <= 3)
+    val b2 = docs.filter(col("doc_id") > 3)
+    graft.operators.Dedup.appendGramIndex(b1, "t_gll_gram", numBuckets = 4,
+      batchId = 0L)
+    graft.operators.Dedup.appendGramIndex(b2, "t_gll_gram", numBuckets = 4,
+      batchId = 1L)
+    // damage the journal: batch 1's cells are lost. Retracting docs 2
+    // and 6 (the shared-text pair, one per batch) then probes shared
+    // grams at rm=2 > tot=1 (undercount evidence) and batch-1-only
+    // grams at tot=null (absence evidence) — both must re-verify
+    // against the surviving corpus instead of trusting the journal.
+    val damaged = spark.table("t_gll_gram_df")
+      .filter(col("ingest_batch") === 0L).localCheckpoint()
+    damaged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable("t_gll_gram_df_rewrite")
+    spark.sql("DROP TABLE IF EXISTS t_gll_gram_df")
+    spark.sql("ALTER TABLE t_gll_gram_df_rewrite RENAME TO t_gll_gram_df")
+    Sinks.retractDocs(spark, Seq(2L, 6L).toDF("doc_id"),
+      Sinks.RetractionTargets(corpusPath = Some(corpus),
+        gramIndexTable = Some("t_gll_gram")))
+    val survivors = docs.filter(!col("doc_id").isin(2L, 6L))
+    spark.catalog.refreshTable("t_gll_gram")
+    assert(spark.table("t_gll_gram").select("g").as[String].collect().toSet ==
+      graft.operators.Dedup.distinctGrams(survivors)
+        .as[String].collect().toSet,
+      "loss-tolerant path equals the from-scratch rebuild")
+    Seq("t_gll_gram", "t_gll_gram_df")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
