@@ -81,12 +81,22 @@ object WebStream {
     * canonical spelling). The frame refreshes at the caller's cadence
     * (re-resolve + restart, like `robotsRules`); it is 3xx-grain —
     * orders of magnitude below the fetch log — and joins keyed on the
-    * canonical spelling, so only the batch moves. */
+    * canonical spelling, so only the batch moves.
+    *
+    * `fetchTsCol` (optional): the batch column carrying each row's
+    * fetch timestamp (a real fetch log always has one). When set and
+    * present, the in-batch keeper per URL identity is the EARLIEST
+    * fetch with doc_id tiebreak — the same rule the batch twin
+    * [[graft.operators.Pipeline.crawlPrepare]] applies to `WARC-Date`,
+    * so the two paths agree about which spelling survives an in-batch
+    * collision; without it, min doc_id is the only deterministic
+    * order available. */
   def crawlIngest(docs: DataFrame, spark: SparkSession, urlIndexTable: String,
       robotsRules: DataFrame, outPath: String, checkpoint: String,
       numBuckets: Int = 16,
       crossDomainCanonical: Boolean = false,
-      redirects: Option[DataFrame] = None): StreamingQuery =
+      redirects: Option[DataFrame] = None,
+      fetchTsCol: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -142,13 +152,22 @@ object WebStream {
               .drop("graft_declared")
           else allowed0.withColumn("graft_url_key", col("graft_base")))
           .withColumn("url_hash", xxhash64(col("graft_url_key")))
-          .drop("graft_url_key", "graft_base")
-        // 2. first fetch per canonical URL within the batch
+          .drop("graft_url_key")
+        // 2. first fetch per canonical URL within the batch. "First" is
+        // TEMPORAL when the stream carries fetch timestamps
+        // (`fetchTsCol`, the [[graft.operators.Pipeline.crawlPrepare]]
+        // twin's earliest-WARC-Date rule, doc_id tiebreak); without
+        // them, min doc_id is the only deterministic order available.
         val byUrl = Window.partitionBy("url_hash")
+        val keeper = fetchTsCol.filter(allowed.columns.contains) match {
+          case Some(ts) => min(struct(col(ts), col("doc_id"))).over(byUrl) ===
+            struct(col(ts), col("doc_id"))
+          case None => min(col("doc_id")).over(byUrl) === col("doc_id")
+        }
         val firsts = allowed
-          .withColumn("graft_keeper", min(col("doc_id")).over(byUrl))
-          .filter(col("doc_id") === col("graft_keeper"))
-          .drop("graft_keeper")
+          .withColumn("graft_keep", keeper)
+          .filter(col("graft_keep"))
+          .drop("graft_keep")
           .localCheckpoint()
         // 3. cross-batch probe (bootstrap: no index table yet)
         val idx =
@@ -166,22 +185,36 @@ object WebStream {
         }
         val survivors = firsts.join(dups, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        // 4. replay-idempotent sink + index append
-        survivors.withColumn("ingest_batch", lit(batchId))
+        // 4. replay-idempotent sink + index append (graft_base is
+        // batch-internal plumbing — the redirect-resolved base spelling
+        // — and stays out of the corpus)
+        survivors.drop("graft_base")
+          .withColumn("ingest_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .parquet(outPath)
-        // index keys: the IDENTITY hash plus — when it differs — the
-        // fetched SPELLING's hash. A page keyed by its declared
-        // canonical is otherwise invisible under its own spelling, so
-        // the frontier (which only knows spellings) would re-schedule
-        // already-fetched duplicate spellings for wasted fetches, and a
-        // later text-free fetch of the same spelling would not dedup.
+        // index keys: the IDENTITY hash plus — when they differ — the
+        // fetched SPELLING's hash and the redirect-resolved BASE's hash.
+        // A page keyed by its declared canonical is otherwise invisible
+        // under its own spelling, so the frontier (which only knows
+        // spellings) would re-schedule already-fetched duplicate
+        // spellings for wasted fetches, and a later text-free fetch of
+        // the same spelling would not dedup. The base key covers the
+        // remaining gap: a redirect-mapped page that ALSO declares a
+        // rel=canonical is keyed by the declaration, and without the
+        // base key a later text-free fetch of the redirect TARGET
+        // (whose identity resolves to graft_base, not the declaration)
+        // would miss the index and re-ingest.
         val keys = survivors.select(col("url_hash"), col("doc_id"))
           .union(survivors
             .filter(xxhash64(col("canon_url")) =!= col("url_hash"))
             .select(xxhash64(col("canon_url")).as("url_hash"),
+              col("doc_id")))
+          .union(survivors
+            .filter(xxhash64(col("graft_base")) =!= col("url_hash") &&
+              col("graft_base") =!= col("canon_url"))
+            .select(xxhash64(col("graft_base")).as("url_hash"),
               col("doc_id")))
         val fresh = idx match {
           case Some(ix) =>
@@ -407,8 +440,9 @@ object WebStream {
     *   3. anti-join append on the spelling hash — cross-batch duplicate
     *      observations and crashed replays both land zero rows (the url
     *      index discipline). First observation wins: a re-pointed
-    *      redirect is a content change, refreshed by vacuuming the
-    *      ledger row at maintenance cadence, not by per-batch rewrites.
+    *      redirect is a content change, refreshed by
+    *      [[vacuumRedirectRows]] at maintenance cadence, not by
+    *      per-batch rewrites.
     *
     * [[redirectMapFor]] is the read side. */
   def redirectIngest(fetchLog: DataFrame, spark: SparkSession,
@@ -479,6 +513,76 @@ object WebStream {
       .select(col("url"), col("graft_cur").as("final_url"), col("n_hops"),
         when(col("graft_more"), "exceeded").otherwise("resolved")
           .as("resolution"))
+  }
+
+  /** Maintenance-cadence refresh of the [[redirectIngest]] ledger — the
+    * re-point path first-observation-wins deliberately defers. The
+    * ledger keeps a URL's FIRST observed hop forever (per-batch
+    * rewrites would defeat the O(batch) append discipline), so a 301
+    * that later points elsewhere, or starts answering 200, maps that
+    * URL's identity to a stale target until this runs. `observations`
+    * is a recent fetch-log window `(url, status, location[, ts])` —
+    * typically the same feed [[redirectIngest]] reads, re-read at
+    * maintenance cadence; per spelling its NEWEST observation
+    * adjudicates:
+    *
+    *   - newest is a 3xx with a Location resolving to a different
+    *     target → the ledger row re-points (REPLACE);
+    *   - newest is a non-3xx (the redirect is gone; the URL answers
+    *     content again) → the ledger row DROPS;
+    *   - newest agrees with the ledger, or the spelling is unobserved
+    *     in the window → untouched.
+    *
+    * "Newest" orders by `tsCol` when given (desc, status/location
+    * tiebreak — pass it whenever the log has timestamps); without one,
+    * in-window conflicts resolve deterministically toward KEEPING a
+    * redirect (status desc) — conservative: identity mappings persist
+    * until timestamped evidence retires them. 3xx rows without a
+    * Location carry no usable evidence and are excluded (matching
+    * [[redirectIngest]]'s filter). Rewrites publish through the
+    * staging + catalog-rename discipline with the bucket spec
+    * preserved, so [[redirectMapFor]]'s read plan is unchanged; a
+    * no-op window (nothing to replace or drop) skips the rewrite
+    * entirely. Idempotent: re-running the same window replaces and
+    * drops nothing the first pass didn't. Returns (replaced, dropped).
+    *
+    * Quiesce contract: run between micro-batches (the
+    * [[graft.sources.Sinks.compactIndexTable]] window) — an append
+    * racing the rewrite would be lost with the old table. */
+  def vacuumRedirectRows(spark: SparkSession, redirectTable: String,
+      observations: DataFrame, tsCol: Option[String] = None): (Long, Long) = {
+    if (!spark.catalog.tableExists(redirectTable)) return (0L, 0L)
+    spark.catalog.refreshTable(redirectTable)
+    val usable = observations.filter(
+      !(col("status").between(300, 399) && col("location") === ""))
+    val ord = tsCol.toSeq.map(c => col(c).desc) ++
+      Seq(col("status").desc, col("location").desc)
+    val w = Window.partitionBy("graft_cu").orderBy(ord: _*)
+    val obs = usable
+      .withColumn("graft_cu", Web.canonicalUrl(col("url")))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .withColumn("graft_is3xx", col("status").between(300, 399))
+      .select(xxhash64(col("graft_cu")).as("url_hash"),
+        col("graft_is3xx"),
+        when(col("graft_is3xx"),
+          Web.canonicalUrl(Web.resolveRef(col("graft_cu"), col("location"))))
+          .as("graft_newt"))
+    val joined = spark.table(redirectTable)
+      .join(obs, Seq("url_hash"), "left").localCheckpoint()
+    val dropped = joined.filter(col("graft_is3xx") === false).count()
+    val replaced = joined.filter(col("graft_is3xx") === true &&
+      col("graft_newt") =!= col("target")).count()
+    if (replaced + dropped == 0L) return (0L, 0L)
+    val next = joined.filter(col("graft_is3xx").isNull || col("graft_is3xx"))
+      .withColumn("target",
+        when(col("graft_is3xx") === true, col("graft_newt"))
+          .otherwise(col("target")))
+      .select("url_hash", "canon_url", "target")
+    graft.sources.Sinks.publishTable(spark, redirectTable, next,
+      graft.sources.Sinks.bucketSpecOf(spark, redirectTable))
+    spark.catalog.refreshTable(redirectTable)
+    (replaced, dropped)
   }
 
   /** Publish a periodic PageRank refresh over the [[linkIngest]] edge

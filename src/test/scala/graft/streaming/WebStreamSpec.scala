@@ -224,6 +224,145 @@ class WebStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS redled")
   }
 
+  test("crawl ingest: a redirect-mapped page declaring rel=canonical " +
+    "records the redirect TARGET's hash too; its text-free fetch dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-b3")
+    val out = base.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_b3_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val redirects = Web.resolveRedirects(Seq(
+        ("http://d.com/old", 301, "/new"),
+        ("http://d.com/new", 200, "")).toDF("url", "status", "location"),
+      col("url"), col("status"), col("location")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(input.toDF().toDF("doc_id", "url", "text"),
+      spark, "webstream_b3_urls", rules, out,
+      base.resolve("ckpt").toString, numBuckets = 4,
+      redirects = Some(redirects))
+    try {
+      // fetched via the chain under /old, and the page ALSO declares a
+      // same-site canonical: identity = the declaration, spelling =
+      // /old — and the redirect target /new must be keyed too, or a
+      // later text-free fetch of /new (whose identity resolves to /new,
+      // not the declaration it cannot read) misses the index
+      input.addData((1L, "http://d.com/old",
+        "<head><link rel=\"canonical\" href=\"/canon\"></head><p>body</p>"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("webstream_b3_urls")
+      def h(u: String): Long = Seq(Tuple1(u)).toDF("x")
+        .select(org.apache.spark.sql.functions.xxhash64(col("x")))
+        .collect().head.getLong(0)
+      val hashes = spark.table("webstream_b3_urls")
+        .select("url_hash").as[Long].collect().toSet
+      assert(hashes == Set(h("http://d.com/canon"), h("http://d.com/old"),
+        h("http://d.com/new")),
+        s"identity + spelling + redirect-target keys all recorded: $hashes")
+      // graft_base is batch plumbing, not corpus content
+      assert(!spark.read.parquet(out).columns.contains("graft_base"))
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = WebStream.crawlIngest(input2.toDF().toDF("doc_id", "url"),
+        spark, "webstream_b3_urls", rules, out,
+        base.resolve("ckpt2").toString, numBuckets = 4,
+        redirects = Some(redirects))
+      try {
+        input2.addData((2L, "http://d.com/new"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet == Set(1L),
+        "text-free fetch of the redirect target deduped")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_b3_urls")
+  }
+
+  test("crawl ingest with fetch timestamps: the EARLIEST fetch wins an " +
+    "in-batch collision (doc_id tiebreak), matching crawlPrepare") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-webstream-ts")
+    val out = base.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS webstream_ts_urls")
+    val rules = Web.parseRobots(Seq(("d.com", "User-agent: *\n"))
+      .toDF("reg_domain", "robots_txt")).localCheckpoint()
+    val input = MemoryStream[(Long, String, String)]
+    val q = WebStream.crawlIngest(
+      input.toDF().toDF("doc_id", "url", "fetched_at"),
+      spark, "webstream_ts_urls", rules, out,
+      base.resolve("ckpt").toString, numBuckets = 4,
+      fetchTsCol = Some("fetched_at"))
+    try {
+      // doc 9 has the LATER id but the EARLIER fetch — temporal
+      // first-fetch-wins keeps it (min-doc_id would keep doc 2); the
+      // tiebreak keeps the lower id on equal timestamps
+      input.addData(
+        (2L, "http://d.com/a", "2026-03-01T12:00:00Z"),
+        (9L, "http://d.com/a", "2026-03-01T09:00:00Z"),
+        (5L, "http://d.com/b", "2026-03-01T10:00:00Z"),
+        (4L, "http://d.com/b", "2026-03-01T10:00:00Z"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(9L, 4L),
+        s"earliest fetch wins, doc_id breaks the tie: $kept")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS webstream_ts_urls")
+  }
+
+  test("vacuumRedirectRows: a re-pointed redirect follows its new " +
+    "target; a 200 retires the row; unobserved rows and replays no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-redvac")
+    spark.sql("DROP TABLE IF EXISTS redvac")
+    val log = MemoryStream[(String, Int, String)]
+    val q = WebStream.redirectIngest(
+      log.toDF().toDF("url", "status", "location"),
+      spark, "redvac", base.resolve("ckpt").toString, numBuckets = 4)
+    try {
+      log.addData(("http://d.com/a", 301, "/b"),
+        ("http://d.com/p", 301, "/q"),
+        ("http://d.com/r", 301, "/s"))
+      q.processAllAvailable()
+      // first-observation-wins holds: a later in-stream re-point of /a
+      // appends nothing (the ledger still maps /a -> /b)
+      log.addData(("http://d.com/a", 301, "/c"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("redvac")
+      assert(spark.table("redvac").count() == 3L)
+    } finally q.stop()
+    val mapBefore = WebStream.redirectMapFor(spark, "redvac")
+      .filter(col("url") === "http://d.com/a")
+      .select("final_url").as[String].collect().head
+    assert(mapBefore == "http://d.com/b", "stale mapping pre-vacuum")
+    // maintenance window: /a re-pointed to /c (newest), /p answers 200
+    // now, /r unobserved; the Location-free 3xx carries no evidence
+    val window = Seq(
+      ("http://d.com/a", 301, "/b", "2026-03-01T08:00:00Z"),
+      ("http://d.com/a", 301, "/c", "2026-03-02T08:00:00Z"),
+      ("http://d.com/p", 200, "", "2026-03-02T09:00:00Z"),
+      ("http://d.com/r", 302, "", "2026-03-02T10:00:00Z"))
+      .toDF("url", "status", "location", "ts")
+    val (replaced, dropped) = WebStream.vacuumRedirectRows(spark, "redvac",
+      window, tsCol = Some("ts"))
+    assert((replaced, dropped) == ((1L, 1L)), s"($replaced, $dropped)")
+    val after = WebStream.redirectMapFor(spark, "redvac")
+      .select("url", "final_url").as[(String, String)].collect().toMap
+    assert(after("http://d.com/a") == "http://d.com/c",
+      "identity follows the re-pointed target")
+    assert(!after.contains("http://d.com/p"), "retired row gone")
+    assert(after("http://d.com/r") == "http://d.com/s",
+      "unobserved row untouched")
+    // idempotent: the same window replaces and drops nothing more, and
+    // the bucket spec survived the rewrite
+    assert(WebStream.vacuumRedirectRows(spark, "redvac", window,
+      tsCol = Some("ts")) == ((0L, 0L)))
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("redvac")).bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("url_hash")), spec.toString)
+    spark.sql("DROP TABLE IF EXISTS redvac")
+  }
+
   test("crawl ingest records the SPELLING hash beside a declared " +
     "identity; the frontier then skips fetched spellings") {
     implicit val sqlCtx = spark.sqlContext
