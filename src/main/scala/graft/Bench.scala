@@ -50,35 +50,58 @@ object Bench {
       .filter { case (n, a) => a >= 0.2 && a <= 1.5 &&
         SparkEntry.queries.contains(n) }
       .sortBy(_._1).take(5)
+    // a calibration query that THROWS is excluded from the mean (its
+    // near-zero wall time would deflate the ratio and let a contended
+    // pass through the guard unmarked); if every sample fails the
+    // ratio is unusable and the failed list downstream carries the news
     def calibRatio(): Double =
       if (calib.isEmpty) 1.0
       else {
-        val m = calib.map { case (n, a) =>
+        def one(n: String): Option[Double] = {
           val fn = SparkEntry.queries(n)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          math.min((System.nanoTime() - t0) / 1e9, {
-            val t1 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
-            (System.nanoTime() - t1) / 1e9
-          }) / a
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
-        m.sum / m.size
+        val m = calib.flatMap { case (n, a) =>
+          (one(n), one(n)) match {
+            case (Some(x), Some(y)) => Some(math.min(x, y) / a)
+            case (Some(x), None)    => Some(x / a)
+            case (None, Some(y))    => Some(y / a)
+            case (None, None) =>
+              println(s"[bench] calibration query $n FAILED — excluded")
+              None
+          }
+        }
+        if (m.isEmpty) { println("[bench] ALL calibration queries failed " +
+          "— ratio unusable, pass accepted on failure evidence alone"); 1.0 }
+        else m.sum / m.size
       }
-    var contended = false
-    var ratio = calibRatio()
-    var settles = 0
-    while (ratio > 1.3 && settles < 2) {
-      println(f"[bench] calibration ratio $ratio%.2f > 1.3 — settling")
-      System.gc(); Thread.sleep(5000L)
-      settles += 1
-      ratio = calibRatio()
+    // the guard runs at BOTH ends of the suite (and the tail check
+    // re-runs after the timed passes below): round 13's recorded pass
+    // calibrated clean up front, went contended during the ~25-minute
+    // alphabetical tail, and shipped 13 queries >1.5x their anchors
+    // under `contended:false` — precisely what this guard exists to
+    // prevent. A settle+retry distinguishes self-inflicted GC pressure
+    // (clears) from external contention (persists).
+    def settledRatio(tag: String): Double = {
+      var ratio = calibRatio()
+      var settles = 0
+      while (ratio > 1.3 && settles < 2) {
+        println(f"[bench] $tag calibration ratio $ratio%.2f > 1.3 — settling")
+        System.gc(); Thread.sleep(5000L)
+        settles += 1
+        ratio = calibRatio()
+      }
+      ratio
     }
+    var contended = false
+    val ratio = settledRatio("head")
     if (ratio > 1.3) {
       contended = true
       println(f"[bench] PASS CONTENDED: calibration ratio $ratio%.2f " +
         "after 2 settles — numbers below are inflated, do not anchor them")
-    } else println(f"[bench] calibration ratio $ratio%.2f — pass accepted")
+    } else println(f"[bench] head calibration ratio $ratio%.2f — pass accepted")
     // Two timed passes, per-query minimum: local-mode timings swing ±40%
     // with GC/background load; the min is the stable steady-state number.
     // A query that THROWS is recorded as failed (never as a normal time):
@@ -95,6 +118,17 @@ object Bench {
     val failed = (p1.collect { case (k, (_, false)) => k } ++
       p2.collect { case (k, (_, false)) => k }).toSeq.distinct.sorted
     val inSuite = p1.collect { case (k, (v, true)) if p2(k)._2 => k -> math.min(v, p2(k)._1) }
+    // TAIL contention check: queries run alphabetically, so external
+    // load arriving mid-pass lands hardest on the late families — the
+    // head check alone is blind to it. Either end >1.3x => contended.
+    val tailRatio = settledRatio("tail")
+    if (tailRatio > 1.3 && !contended) {
+      contended = true
+      println(f"[bench] PASS CONTENDED: tail calibration ratio " +
+        f"$tailRatio%.2f after 2 settles — the pass picked up load " +
+        "mid-run; numbers above the breach are inflated, do not anchor")
+    } else if (!contended)
+      println(f"[bench] tail calibration ratio $tailRatio%.2f — pass accepted")
 
     // SELF-ADJUDICATION: the suite's heavy tail picks up GC/codegen-cache
     // interference from the 170+ queries that ran before it — two rounds
