@@ -1079,7 +1079,11 @@ object Similarity {
     * top-nprobe cell choice, same slices + norm) plus ⟨q, c⟩ for each
     * probed cell — the decomposition ⟨q, c + r̂⟩ = ⟨q,c⟩ + Σₛ⟨q_s, cbₛ⟩
     * needs the coarse term per (query, cell), and it's one literal-map
-    * dot on the tiny query side. */
+    * dot on the tiny query side. `cell_rank` (0 = the query's best
+    * cell) lets one nprobe=2 probe frame serve narrower arms too: the
+    * rows with cell_rank < p are EXACTLY the nprobe=p frame, which is
+    * what lets [[ivfPqResidualRecall]] score the corpus once for all
+    * its arms. */
   private def residualProbeQueries(vectors: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)],
       queryPred: org.apache.spark.sql.Column, m: Int, ds: Int,
@@ -1097,7 +1101,8 @@ object Similarity {
       .select(
         (col("query_id") +: col("v") +:
           (0 until m).map(s => slice(col("v"), s * ds + 1, ds).as(s"q$s"))) ++
-          Seq(col("nrm").as("qn"), explode(col("cells")).as("cell")): _*)
+          Seq(col("nrm").as("qn"),
+            posexplode(col("cells")).as(Seq("cell_rank", "cell"))): _*)
       .withColumn("centroid_id", (-col("cell.negc")).cast("long"))
       .withColumn("qdotc", dot(col("v"), element_at(cellVecs, col("centroid_id"))))
       .drop("cell", "v")
@@ -1199,18 +1204,31 @@ object Similarity {
         .na.fill(0L, Seq("n_hit"))
         .select(lit(method).as("method"), col("query_id"), col("n_hit"),
           (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
-    // one trained index for both probe widths
+    // ONE trained index and ONE ADC pass for every arm: the nprobe=2
+    // probe frame's cell_rank<1 rows ARE the nprobe=1 frame, and a
+    // bounded-heap top-k under a total order is prefix-stable (top-5 of
+    // the scored set ≡ top-5 of its top-50), so the scored frame
+    // materializes once (queries × nprobe × N/cells rows — small) and
+    // all three arms + the rerank shortlist are heap passes over it,
+    // where the naive shape re-scored the corpus per arm (3×).
     val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks, iters)
     val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
-    def arm(nprobe: Int, kk: Int = k): DataFrame =
-      ivfPqResidualSearch(ix,
-        residualProbeQueries(emb, ix.cents, queryPred, m, ds, nprobe), kk)
+    val probes2 = residualProbeQueries(emb, ix.cents, queryPred, m, ds,
+      nprobe = 2)
+    val scored2 = ix.codes.join(broadcast(probes2), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", residualAdcSim(ix.padded))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell_rank"), col("sim"))
+      .localCheckpoint()
+    val arm1 = topKPerQuery(scored2.filter(col("cell_rank") === 0), k)
+    val arm2 = topKPerQuery(scored2, k)
     // IVFADC+R arm: nprobe-2 ADC shortlist of 50, re-ranked exactly —
     // the recall@k this pipeline ships with (rerank recovers any true
     // neighbor the shortlist caught)
-    val rr = rerankExact(emb, arm(nprobe = 2, kk = 50), queryPred, k)
-    hits("ivfpq_res", arm(nprobe = 1))
-      .union(hits("ivfpq_res_p2", arm(nprobe = 2)))
+    val rr = rerankExact(emb, topKPerQuery(scored2, 50), queryPred, k)
+    hits("ivfpq_res", arm1)
+      .union(hits("ivfpq_res_p2", arm2))
       .union(hits("ivfpq_res_rr", rr))
   }
 

@@ -94,7 +94,13 @@ class PlanSweepSpec extends AnyFunSuite {
     "mm_audio_neardup_incr" -> 5,
     "mm_audio_neardup" -> 9,
     "pipeline_prepare" -> 6,
-    "ann_res_recall" -> 17,
+    // round-14 re-lock: the recall arms all read ONE materialized ADC
+    // frame (scored2 localCheckpoint — prefix-stable bounded-heap top-k
+    // over the nprobe=2 scoring serves nprobe=1/2/shortlist), so the
+    // corpus is ADC-scanned once instead of three times; the audited
+    // final job drops to 16 (the heap passes + hit joins over
+    // ExistingRDD scans)
+    "ann_res_recall" -> 16,
     "dedup_containment" -> 3,
     "ann_ivfpq_res" -> 2,
     "pipeline_funnel" -> 8,
@@ -109,7 +115,11 @@ class PlanSweepSpec extends AnyFunSuite {
     // ten in r12.
     "storage_retract" -> 1,
     "storage_tombstone" -> 1,
-    "dedup_clusters_incr" -> 6)
+    "dedup_clusters_incr" -> 6,
+    // round 14: the web-graph retraction scenario — like the other
+    // storage_* scenarios, the audited final job is the tiny report
+    // orderBy (the scenario cost is guarded by SinksSpec parity)
+    "storage_retract_web" -> 1)
 
   test("no query plans an unkeyed or sort-merge join outside the allowlist") {
     val violations = Seq.newBuilder[String]
