@@ -1604,7 +1604,9 @@ object Web {
     * `Pipeline.crawlPrepare` / `WebStream.crawlIngest`), then delegates
     * to [[graft.sources.Sinks.retractDocs]] — one id-resolution scan of
     * the corpus, everything downstream is the audited per-artifact
-    * delete. Returns the per-artifact audit report. */
+    * delete, including (round 14) the URL-keyed web-graph side when
+    * the targets name a link-edge table, redirect ledger or rank
+    * snapshot. Returns the per-artifact audit report. */
   def retractDomains(spark: SparkSession, domains: Seq[String],
       targets: graft.sources.Sinks.RetractionTargets,
       domainCol: String = "source"): DataFrame = {
