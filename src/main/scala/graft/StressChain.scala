@@ -9,25 +9,38 @@ import graft.sources.Tables
 import graft.streaming.{DocStream, WebStream}
 
 /** Dev utility: CHAIN-grain streaming soak — the composed crawl loop
-  * (frontierIngest → crawlIngest → curateIngest) driven for many
-  * micro-batches over a scalegen replica corpus, with one kill/restart
-  * of all three queries mid-run. Each ingest's probe is already proven
-  * flat at 100× individually (StressIncr); the claim THIS harness
-  * tests is the composition: per-batch wall for each stage stays flat
-  * while every persisted artifact the chain maintains (frontier
-  * ledger, crawl url-hash index, signature index, three checkpointed
-  * sinks) grows batch over batch, and the restart loses nothing.
+  * (frontierIngest → crawlIngest → curateIngest, plus the round-13/14
+  * sides: linkIngest feeding publishRankRefresh at cadence into the
+  * frontier's rankPrior, and redirectIngest feeding crawlIngest's URL
+  * identity) driven for many micro-batches over a scalegen replica
+  * corpus, with one kill/restart of ALL queries mid-run. Each ingest's
+  * probe is already proven flat at 100× individually (StressIncr /
+  * StressGraph); the claim THIS harness tests is the composition:
+  * per-batch wall for each stage stays flat while every persisted
+  * artifact the chain maintains (frontier ledger, crawl url-hash
+  * index, signature index, link-edge table, redirect ledger, rank
+  * snapshot, three checkpointed sinks) grows batch over batch, and the
+  * restart loses nothing.
   *
   * Per batch: `perBatch` fresh docs become sitemap entries + fetched
-  * pages, PLUS a constant block of batch-0 re-entries and re-fetches —
-  * the dup probe mass that exercises the ledger/index joins at every
-  * size. The replica corpus's own near-dup structure (scalegen's
-  * ` repN` tails) pushes the curate stage's signature probes.
+  * pages + link-bearing html + (for the dup block) 3xx fetch-log
+  * observations. A constant block of batch-0 re-entries and re-fetches
+  * — the dup probe mass — rides every batch; AFTER the restart the
+  * re-fetches arrive under their REDIRECT ALIAS spelling, so they only
+  * dedup if the refreshed redirect map resolves the alias back to the
+  * fetched page's identity (the crawlIngest redirects-cadence
+  * contract, exercised end to end).
+  *
+  * Rank cadence: every `rankEvery` batches, publishRankRefresh rebuilds
+  * the global rank snapshot from the accumulated edge table and the
+  * NEXT frontier batches schedule with that prior.
   *
   * Prints one line per batch:
-  * `[chain] batch=<b> frontier=<s> crawl=<s> curate=<s>
-  *   ledger=<rows> urls=<rows> sigs=<rows> corpus=<rows>` and a final
-  * integrity block (no dup, no loss, restart transparent).
+  * `[chain] batch=<b> frontier=<s> crawl=<s> curate=<s> links=<s>
+  *   red=<s> ledger=<rows> urls=<rows> sigs=<rows> corpus=<rows>
+  *   edges=<rows> redrows=<rows> rank=<rows>` plus `[chain] rank
+  * refresh ...` lines at cadence and a final integrity block (no dup,
+  * no loss, restart transparent, ledgers exactly-once).
   *
   * Usage: sbt "runMain graft.StressChain <sfDir> [nBatches] [perBatch]"
   */
@@ -54,10 +67,17 @@ object StressChain {
 
     val base = java.nio.file.Files.createTempDirectory("graft-chain")
     def p(n: String) = base.resolve(n).toString
-    Seq("chain_urls", "chain_led", "chain_sigs")
+    Seq("chain_urls", "chain_led", "chain_sigs", "chain_links",
+      "chain_red", "chain_rank")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
+    val maxId = nBatches.toLong * perBatch
     def url(id: Long) = s"http://s${id % 40}.example/p/$id"
+    def alias(id: Long) = s"http://s${id % 40}.example/r/$id"
+    // two outgoing links per page — the graph the rank cadence ranks
+    def html(id: Long) =
+      s"""<a href="${url((id + 7) % maxId)}">n1</a>""" +
+        s"""<a href="${url((id * 3 + 1) % maxId)}">n2</a>"""
     val all = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .limit(nBatches * perBatch)
@@ -76,14 +96,30 @@ object StressChain {
 
     val entries = MemoryStream[(String, String)]
     val pages = MemoryStream[(Long, String, String)]
+    val linkPages = MemoryStream[(Long, String, String)]
+    val fetchLog = MemoryStream[(String, Int, String)]
     def startFrontier() = WebStream.frontierIngest(
       entries.toDF().toDF("loc", "lastmod"), spark, "chain_urls",
-      "chain_led", delays, p("schedule"), p("ckpt_frontier"), numBuckets = 16)
+      "chain_led", delays, p("schedule"), p("ckpt_frontier"),
+      numBuckets = 16, linkTable = Some("chain_links"),
+      rankTable = Some("chain_rank"))
+    // the redirect map refreshes at restart cadence (the crawlIngest
+    // contract): each (re)start re-resolves the accumulated ledger
     def startCrawl() = WebStream.crawlIngest(
       pages.toDF().toDF("doc_id", "url", "text"), spark, "chain_urls",
-      rules, p("crawl"), p("ckpt_crawl"), numBuckets = 16)
+      rules, p("crawl"), p("ckpt_crawl"), numBuckets = 16,
+      redirects = Some(WebStream.redirectMapFor(spark, "chain_red")
+        .localCheckpoint()))
+    def startLinks() = WebStream.linkIngest(
+      linkPages.toDF().toDF("doc_id", "url", "html"), spark,
+      "chain_links", p("ckpt_links"), numBuckets = 16)
+    def startRedirects() = WebStream.redirectIngest(
+      fetchLog.toDF().toDF("url", "status", "location"), spark,
+      "chain_red", p("ckpt_red"), numBuckets = 16)
     var qFrontier = startFrontier()
     var qCrawl = startCrawl()
+    var qLinks = startLinks()
+    var qRed = startRedirects()
     var qCurate: org.apache.spark.sql.streaming.StreamingQuery = null
     def startCurate() = DocStream.curateIngest(
       spark.readStream.schema(spark.read.parquet(p("crawl")).schema)
@@ -99,17 +135,32 @@ object StressChain {
       else { spark.catalog.refreshTable(t); spark.table(t).count() }
 
     val killAt = nBatches / 2
+    val rankEvery = 4
     for (b <- 0 until nBatches) {
       val slice = all.slice(b * perBatch, (b + 1) * perBatch)
       // the dup block only rides batches AFTER its own urls landed, and
       // each re-fetch carries a FRESH fetch id (real re-fetches are new
-      // WARC records): the ingests' replay guards deliberately read a
-      // same-id re-arrival as an at-least-once replay, not a dup — the
-      // first run of this harness reused ids and proved exactly that
+      // WARC records). Before the restart, re-fetches arrive under the
+      // direct spelling; AFTER it, under the 3xx ALIAS the redirect
+      // ledger has been accumulating — deduping then requires the
+      // refreshed redirect map to resolve alias → identity.
       val dups: Seq[(Long, String, String)] =
         if (b == 0) Seq.empty
         else dupBlock.toSeq.map { case (id, t) =>
-          (id + 1000000L * b, url(id), t) }
+          (id + 1000000L * b, if (b > killAt) alias(id) else url(id), t) }
+      // the 3xx observations land from batch 1 on, so the ledger is
+      // populated well before the restart resolves it into the map
+      val wR = timed {
+        if (b >= 1 && b <= killAt)
+          fetchLog.addData(dupBlock.toSeq.map { case (id, _) =>
+            (alias(id), 301, url(id)) })
+        qRed.processAllAvailable()
+      }
+      val wL = timed {
+        linkPages.addData(slice.toSeq.map { case (id, _) =>
+          (id, url(id), html(id)) })
+        qLinks.processAllAvailable()
+      }
       val wF = timed {
         entries.addData(slice.toSeq.map { case (id, _) =>
           (url(id), f"2026-01-${(id % 28) + 1}%02d") } ++
@@ -124,19 +175,33 @@ object StressChain {
       if (qCurate == null) qCurate = startCurate()
       val wQ = timed(qCurate.processAllAvailable())
       println(f"[chain] batch=$b%2d frontier=$wF%6.2f crawl=$wC%6.2f " +
-        f"curate=$wQ%6.2f ledger=${tableRows("chain_led")}%7d " +
+        f"curate=$wQ%6.2f links=$wL%5.2f red=$wR%5.2f " +
+        f"ledger=${tableRows("chain_led")}%7d " +
         f"urls=${tableRows("chain_urls")}%7d sigs=${tableRows("chain_sigs")}%7d " +
-        f"corpus=${spark.read.parquet(p("corpus")).count()}%7d")
+        f"corpus=${spark.read.parquet(p("corpus")).count()}%7d " +
+        f"edges=${tableRows("chain_links")}%7d " +
+        f"redrows=${tableRows("chain_red")}%4d rank=${tableRows("chain_rank")}%7d")
+      if ((b + 1) % rankEvery == 0) {
+        val wRank = timed {
+          WebStream.publishRankRefresh(spark, "chain_links", "chain_rank")
+        }
+        println(f"[chain] rank refresh after batch $b: $wRank%.2f s over " +
+          f"${tableRows("chain_links")} edges -> ${tableRows("chain_rank")} ranked")
+      }
       if (b == killAt) {
-        println(s"[chain] === kill/restart all three queries after batch $b ===")
+        println(s"[chain] === kill/restart ALL queries after batch $b " +
+          "(crawl restarts with the refreshed redirect map) ===")
         qFrontier.stop(); qCrawl.stop(); qCurate.stop()
+        qLinks.stop(); qRed.stop()
         qFrontier = startFrontier(); qCrawl = startCrawl()
+        qLinks = startLinks(); qRed = startRedirects()
         qCurate = startCurate()
       }
     }
     qFrontier.stop(); qCrawl.stop(); qCurate.stop()
+    qLinks.stop(); qRed.stop()
 
-    // integrity: no dup, no loss, restart transparent
+    // integrity: no dup, no loss, restart transparent, ledgers exact
     val crawlRows = spark.read.parquet(p("crawl")).select("doc_id")
     val nCrawl = crawlRows.count()
     val nCrawlD = crawlRows.distinct().count()
@@ -145,16 +210,30 @@ object StressChain {
     val nCorpusD = corpusRows.distinct().count()
     val nUrls = tableRows("chain_urls")
     val nLed = tableRows("chain_led")
+    val nEdges = tableRows("chain_links")
+    val nEdgesD = spark.table("chain_links")
+      .select("src_hash", "dst_hash").distinct().count()
+    val nRed = tableRows("chain_red")
+    val nRank = tableRows("chain_rank")
+    val nNodes = spark.table("chain_links").select(col("src_hash").as("h"))
+      .union(spark.table("chain_links").select(col("dst_hash").as("h")))
+      .distinct().count()
     println(s"[chain] integrity crawl=$nCrawl distinct=$nCrawlD " +
       s"(expect ${nBatches * perBatch}: every unique page once, every " +
-      "re-fetch dropped)")
+      "re-fetch — direct OR via redirect alias — dropped)")
     println(s"[chain] integrity corpus=$nCorpus distinct=$nCorpusD " +
       "(near-dup replicas deduped; no doc twice)")
-    println(s"[chain] integrity urls=$nUrls ledger=$nLed")
+    println(s"[chain] integrity urls=$nUrls ledger=$nLed " +
+      s"edges=$nEdges distinctEdges=$nEdgesD red=$nRed rank=$nRank " +
+      s"rankNodes=$nNodes")
     require(nCrawl == nBatches.toLong * perBatch && nCrawl == nCrawlD,
       "crawl stage lost or duplicated pages across the restart")
     require(nCorpus == nCorpusD, "corpus carries duplicate docs")
     require(nUrls == nCrawl, "url index out of step with the crawl sink")
+    require(nEdges == nEdgesD,
+      "link-edge table carries duplicate edges across replay/restart")
+    require(nRed == 250L,
+      s"redirect ledger must hold exactly the 250 aliases once: $nRed")
     spark.stop()
   }
 }

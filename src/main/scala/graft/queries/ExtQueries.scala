@@ -212,6 +212,7 @@ object ExtQueries {
     "storage_zonemap"       -> graft.sources.ZoneMap.qZoneMapScan _,
     "storage_retract"       -> graft.sources.Sinks.qRetract _,
     "storage_retract_web"   -> graft.sources.Sinks.qRetractWeb _,
+    "web_redirect_vacuum"   -> graft.streaming.WebStream.qRedirectVacuum _,
     "storage_tombstone"     -> graft.sources.Sinks.qTombstone _,
     "text_char_entropy"     -> TextAnalysis.qCharEntropy _,
     "text_naive_bayes"      -> TextAnalysis.qNaiveBayes _,
@@ -4950,6 +4951,21 @@ object ExtQueries {
         |  UNION ALL SELECT 'redirect_ledger', lgone, ltotal - lgone FROM lg
         |  UNION ALL SELECT 'rank', rtotal - rafter, rafter FROM rn)
         |ORDER BY artifact, n_removed, n_after""".stripMargin,
+
+    // Mirrors WebStream.qRedirectVacuum: the post-vacuum ledger rows
+    // re-derived per branch — doc%4==0 re-points to /t2 (the newer
+    // observation beats the planted older /t3 conflict), doc%4==1 is
+    // retired by its 200, the rest keep /t — so a wrong newest-pick, a
+    // missed drop, or a relative-Location resolution bug all mismatch.
+    "web_redirect_vacuum" ->
+      """SELECT 'http://v.example/s/' || CAST(doc_id AS VARCHAR)
+        |    AS canon_url,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN 'http://v.example/t2/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://v.example/t/' || CAST(doc_id AS VARCHAR)
+        |  END AS target
+        |FROM documents WHERE doc_id % 4 <> 1
+        |ORDER BY canon_url, target""".stripMargin,
 
     // Mirrors Web.qAnchorTexts: the (target, anchor) counts re-derived
     // from the two mod branches, ranked count-desc / anchor-asc, top 2

@@ -585,6 +585,54 @@ object WebStream {
     (replaced, dropped)
   }
 
+  /** Query-shaped [[vacuumRedirectRows]] scenario (SparkEntry
+    * contract): a ledger with one row per doc (`/s/<id>` → `/t/<id>`)
+    * and an observation window exercising every adjudication branch —
+    * doc%4==0 re-points (with an OLDER conflicting observation the
+    * timestamp order must lose), doc%4==1 answers 200 (retired),
+    * doc%4==2 re-observes its current target (untouched), doc%4==3 is
+    * unobserved (untouched). Output: the post-vacuum ledger rows
+    * themselves, so the oracle's branch replay certifies the rewrite
+    * row-for-row — a wrong newest-pick, a missed drop, or a
+    * relative-Location resolution bug all hash-mismatch. */
+  def qRedirectVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val table = s"q_rvac_$tag"
+    Seq(table, table + "_retract_staging").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(n)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+    val id = col("doc_id").cast("string")
+    val s = concat(lit("http://v.example/s/"), id)
+    graft.sources.Sinks.writeBucketed(
+      docs.select(xxhash64(s).as("url_hash"), s.as("canon_url"),
+        concat(lit("http://v.example/t/"), id).as("target")),
+      table, bucketCols = Seq("url_hash"), numBuckets = 4,
+      sortCols = Seq("url_hash"))
+    val m = col("doc_id") % 4
+    val obs = docs.filter(m === 0).select(s.as("url"),
+        lit(301).as("status"), concat(lit("/t2/"), id).as("location"),
+        lit("2026-02-02").as("ts"))
+      .union(docs.filter(m === 0).select(s, lit(301),
+        concat(lit("/t3/"), id), lit("2026-01-01")))
+      .union(docs.filter(m === 1).select(s, lit(200), lit(""),
+        lit("2026-02-02")))
+      .union(docs.filter(m === 2).select(s, lit(301),
+        concat(lit("/t/"), id), lit("2026-02-02")))
+    vacuumRedirectRows(spark, table, obs, tsCol = Some("ts"))
+    spark.catalog.refreshTable(table)
+    val out = spark.table(table).select("canon_url", "target")
+      .localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    out.orderBy("canon_url", "target")
+  }
+
   /** Publish a periodic PageRank refresh over the [[linkIngest]] edge
     * table into `rankTable` `(url_hash, rank_ppm)` — the GLOBAL
     * endorsement signal [[Web.fetchScheduleAdaptive]]'s `rankPrior`
