@@ -78,6 +78,130 @@ object Linkage {
       Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
       .orderBy("id_a", "id_b", "dist")
 
+  /** SORTED-NEIGHBORHOOD candidate generation (Hernández–Stolfo): sort
+    * all records by a composite key and compare each record only with
+    * its `w` successors in the global order — the classic complement to
+    * equality blocking ([[blockedFuzzyPairs]]): equality blocks miss
+    * matches that disagree on every block key, while a well-chosen sort
+    * key puts near-matches adjacent regardless of any exact field
+    * agreement. Pair space is N·w by construction.
+    *
+    * Scale shape — the global rank WITHOUT a one-partition window
+    * funnel: range-repartition on the sort key, rank within each
+    * partition, then add per-partition offsets (an O(partitions)
+    * driver-side table, broadcast back — the
+    * [[graft.sources.Sinks.shardAssign]] discipline). Ranks are a pure
+    * function of the (key, id) total order, so the result is
+    * deterministic under ANY partitioning. Neighbor pairs generate by
+    * BANDING, not a window: records land in rank-blocks of width `w`,
+    * the left side duplicates into its own block and the next, and the
+    * equi-join + `1 <= rank_b - rank_a <= w` filter yields each
+    * neighbor pair exactly once — a hash join AQE can split, never a
+    * sorted funnel. The optional `maxDist` filter runs banded
+    * `levenshtein` inside the join stage. Returns
+    * (id_a, id_b, dist) with id_a the lower-RANKED record. */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+      nameCol: String, sortKey: org.apache.spark.sql.Column, w: Int,
+      maxDist: Int = 2): DataFrame = {
+    require(w >= 1 && maxDist >= 0)
+    import org.apache.spark.sql.expressions.Window
+    import records.sparkSession.implicits._
+    val keyed = records.select(col(idCol).as("graft_id"),
+        col(nameCol).as("graft_nm"), sortKey.as("graft_k"))
+      .repartitionByRange(col("graft_k"), col("graft_id"))
+      .sortWithinPartitions(col("graft_k"), col("graft_id"))
+      .withColumn("graft_pid", spark_partition_id())
+    val local = Window.partitionBy("graft_pid")
+      .orderBy(col("graft_k"), col("graft_id"))
+    val ranked0 = keyed.withColumn("graft_lr",
+      row_number().over(local).cast("long")).localCheckpoint()
+    // O(partitions) driver metadata: cumulative rank offsets
+    val sizes = ranked0.groupBy("graft_pid")
+      .agg(max(col("graft_lr")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sizes.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n) }.init.zip(sizes).map { case ((_, off), (pid, _)) =>
+      (pid, off) }.toSeq
+    val offDf = broadcast(offsets.toDF("graft_pid", "graft_off"))
+    val ranked = ranked0.join(offDf, "graft_pid")
+      .withColumn("graft_rk", col("graft_off") + col("graft_lr"))
+      .select("graft_id", "graft_nm", "graft_rk")
+    val left = ranked.select(col("graft_id").as("id_a"),
+        col("graft_nm").as("graft_na"), col("graft_rk").as("graft_ra"))
+      .withColumn("graft_blk", explode(array(
+        expr(s"graft_ra div $w"), expr(s"graft_ra div $w") + 1)))
+    val right = ranked.select(col("graft_id").as("id_b"),
+        col("graft_nm").as("graft_nb"), col("graft_rk").as("graft_rb"))
+      .withColumn("graft_blk", expr(s"graft_rb div $w"))
+    left.join(right, "graft_blk")
+      .filter((col("graft_rb") - col("graft_ra")).between(1L, w.toLong))
+      .withColumn("dist",
+        levenshtein(col("graft_na"), col("graft_nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Sorted-neighborhood linkage over customers: sort key = exact
+    * account-balance cents (near-equal balances are the neighborhood),
+    * window 3, name edit distance ≤ 2 — candidates equality blocking
+    * on (nation, segment) can never see when the near-match crosses a
+    * segment. */
+  def qErSortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.customer(spark, dir), "c_custkey",
+      "c_name",
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)"), w = 3, maxDist = 2)
+      .orderBy("id_a", "id_b", "dist")
+
+  /** FELLEGI–SUNTER pair scoring — the probabilistic-linkage decision
+    * layer over any candidate generator ([[blockedFuzzyPairs]],
+    * [[sortedNeighborhoodPairs]]): each compared field contributes its
+    * agreement weight when it agrees and its (negative) disagreement
+    * weight when it doesn't, the pair's score is the sum, and two
+    * thresholds cut match / possible-match / non-match. Weights are
+    * log₂(m/u) ratios TRAINED OFFLINE (EM over labeled pairs — model
+    * fitting is not this engine's job) and passed as integer ppm plan
+    * literals, so scoring is exact integer arithmetic inside the join
+    * stage's codegen — engine-portable, oracle-replayable, no floats.
+    * `fields` maps an agreement PREDICATE column → (agreePpm,
+    * disagreePpm). Returns the pairs frame + score_ppm + verdict. */
+  def fellegiSunterScore(pairs: DataFrame,
+      fields: Seq[(org.apache.spark.sql.Column, Long, Long)],
+      upperPpm: Long, lowerPpm: Long): DataFrame = {
+    require(fields.nonEmpty && upperPpm >= lowerPpm)
+    val score = fields.map { case (agree, wa, wd) =>
+      when(agree, lit(wa)).otherwise(lit(wd)) }.reduce(_ + _)
+    pairs.withColumn("score_ppm", score)
+      .withColumn("verdict",
+        when(col("score_ppm") >= upperPpm, "match")
+          .when(col("score_ppm") >= lowerPpm, "possible")
+          .otherwise("non_match"))
+  }
+
+  /** Fellegi–Sunter scoring over the (nation, segment) blocked
+    * customer candidates — three comparator levels: close name
+    * (distance ≤ 1, +1.8M/−0.9M ppm), balance within 50.00
+    * (+0.6M/−0.3M), EXACT name (+0.4M/−0.2M — the multi-level
+    * comparator shape: exact agreement earns more than close
+    * agreement); match ≥ 1.5M, possible ≥ 0. */
+  def qErFsScore(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pairs = blockedFuzzyPairs(cust, "c_custkey", "c_name",
+      Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
+    def side(suffix: String, idAs: String) = cust.select(
+      col("c_custkey").as(idAs),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as(s"bal_$suffix"))
+    val cand = pairs
+      .join(side("a", "id_a"), "id_a")
+      .join(side("b", "id_b"), "id_b")
+    fellegiSunterScore(cand, Seq(
+        (col("dist") <= 1L, 1800000L, -900000L),
+        (abs(col("bal_a") - col("bal_b")) <= 5000L, 600000L, -300000L),
+        (col("dist") === 0L, 400000L, -200000L)),
+      upperPpm = 1500000L, lowerPpm = 0L)
+      .select("id_a", "id_b", "dist", "score_ppm", "verdict")
+      .orderBy("id_a", "id_b", "dist", "score_ppm", "verdict")
+  }
+
   /** GOLDEN RECORDS — field-level survivorship merge over matched
     * clusters (the step after candidate matching: linkage/dedup found
     * who is the same entity; this decides what the merged master record

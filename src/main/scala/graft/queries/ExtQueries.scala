@@ -104,6 +104,8 @@ object ExtQueries {
     "storage_scd2"          -> graft.operators.Scd.qScd2Customer _,
     "storage_scd2_asof"     -> graft.operators.Scd.qScd2AsOf _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
+    "er_sorted_neighborhood" -> graft.operators.Linkage.qErSortedNeighborhood _,
+    "er_fs_score"           -> graft.operators.Linkage.qErFsScore _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
@@ -3003,6 +3005,51 @@ object ExtQueries {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b, dist""".stripMargin,
+
+    // Mirrors Linkage.qErSortedNeighborhood: the global (key, id) rank
+    // re-derived with a plain window, neighbor pairs = rank difference
+    // in [1, w] — so the distributed rank (range partitions + offsets)
+    // must equal the single-window rank exactly, and the banded join
+    // must yield each neighbor pair exactly once.
+    "er_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS k FROM customer),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY k, id) AS rn FROM r)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b, dist""".stripMargin,
+
+    // Mirrors Linkage.qErFsScore: the same blocked candidates as
+    // er_blocked_pairs, each field's agreement weight an integer ppm
+    // literal, score = exact sum, thresholds cut the verdict — a wrong
+    // agreement predicate, weight, or threshold all hash-mismatch.
+    "er_fs_score" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |bl AS (SELECT c_nationkey, c_mktsegment FROM c
+        |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cb AS (SELECT c.* FROM c JOIN bl USING (c_nationkey, c_mktsegment)),
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |    a.bal AS bal_a, b.bal AS bal_b
+        |  FROM cb a JOIN cb b USING (c_nationkey, c_mktsegment)
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 2),
+        |s AS (SELECT id_a, id_b, dist,
+        |    (CASE WHEN dist <= 1 THEN 1800000 ELSE -900000 END
+        |     + CASE WHEN abs(bal_a - bal_b) <= 5000 THEN 600000
+        |            ELSE -300000 END
+        |     + CASE WHEN dist = 0 THEN 400000 ELSE -200000 END)
+        |      AS score_ppm
+        |  FROM p)
+        |SELECT id_a, id_b, dist, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CASE WHEN score_ppm >= 1500000 THEN 'match'
+        |       WHEN score_ppm >= 0 THEN 'possible'
+        |       ELSE 'non_match' END AS verdict
+        |FROM s
+        |ORDER BY id_a, id_b, dist, score_ppm, verdict""".stripMargin,
 
     // Mirrors Scd.qScd2Customer: the four merge branches written out as
     // set algebra — unchanged carries, changed keys close (valid_to=1)

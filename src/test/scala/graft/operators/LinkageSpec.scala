@@ -37,6 +37,51 @@ class LinkageSpec extends AnyFunSuite {
     assert(over.toSeq == Seq(("HOT", 20L)), "dropped block is first-class output")
   }
 
+  test("sorted-neighborhood pairs: the distributed rank (range " +
+    "partitions + offsets) equals the single-window rank exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 records over a skewed key so repartitionByRange yields uneven
+    // partitions; names differ by one trailing char per id so the
+    // distance filter keeps only same-stem neighbors
+    val recs = (0L until 200L)
+      .map(i => (i, s"rec${i / 4}x${i % 4}", (i * i) % 97))
+      .toDF("id", "name", "k")
+    val got = Linkage.sortedNeighborhoodPairs(recs, "id", "name",
+        col("k"), w = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: one global window (fine at fixture scale)
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy("k", "id")
+    val rk = recs.withColumn("rn", row_number().over(w0))
+    val want = rk.as("a").join(rk.as("b"),
+        col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= 3)
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+    assert(got.nonEmpty, "fixture must produce neighbor pairs")
+  }
+
+  test("Fellegi-Sunter scoring: weights sum exactly and thresholds cut " +
+    "the three verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cand = Seq(
+      (1L, 2L, true, true),   // 100k + 50k = 150k -> match
+      (3L, 4L, true, false),  // 100k - 25k = 75k  -> possible
+      (5L, 6L, false, false)) // -60k - 25k = -85k -> non_match
+      .toDF("id_a", "id_b", "f1", "f2")
+    val got = Linkage.fellegiSunterScore(cand, Seq(
+        (col("f1"), 100000L, -60000L),
+        (col("f2"), 50000L, -25000L)),
+      upperPpm = 150000L, lowerPpm = 0L)
+      .select("id_a", "score_ppm", "verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 150000L, "match"), (3L, 75000L, "possible"),
+      (5L, -85000L, "non_match")), got.toString)
+  }
+
   test("NULL block keys never match and are reported, not silently lost") {
     val withNulls = recs.unionByName(Seq(
       (6L, "jon smith", null.asInstanceOf[String]),
