@@ -689,6 +689,46 @@ class WebSpec extends AnyFunSuite {
       ("c.example", 1L, 1L, (1000000L + 1200000L) / 3)))  // 733333
   }
 
+  test("single-evaluation guard: the html-wide canonical extraction " +
+    "appears exactly once in the optimized plan of the ingest key shape") {
+    // the round-13 regression class: a when(declared =!= "", declared)
+    // shape whose condition AND branch both carry the extraction —
+    // CaseWhen branches are excluded from subexpression elimination and
+    // CollapseProject re-inlines non-cheap expressions, so the html-wide
+    // tag regex (the dominant per-row cost at ingest rates) silently
+    // doubles. The crawlPrepare/crawlIngest fix materializes the
+    // declaration as its own column first; this lock pins that shape by
+    // counting the tag-regex literal in the optimized plan.
+    // parquet-backed (a LocalRelation constant-folds the whole project)
+    val pages = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        concat(lit("http://d.com/p/"), col("doc_id")).as("url"),
+        col("text"))
+    val keyed = pages
+      .withColumn("graft_declared",
+        Web.relCanonicalSameSite(col("url"), col("text")))
+      .withColumn("url_key",
+        when(col("graft_declared") =!= "", col("graft_declared"))
+          .otherwise(col("url")))
+      .drop("graft_declared")
+      .select("doc_id", "url_key")
+    def extractions(df: org.apache.spark.sql.DataFrame): Int =
+      "canonical\\(\\?=".r
+        .findAllMatchIn(df.queryExecution.optimizedPlan.toString).size
+    val n = extractions(keyed)
+    assert(n == 1, s"html-wide extraction must run ONCE per row, found $n")
+    // the guard must be able to FAIL: the naive CaseWhen shape carries
+    // the extraction in both the condition and the branch
+    val naive = pages.withColumn("url_key",
+        when(Web.relCanonicalSameSite(col("url"), col("text")) =!= "",
+          Web.relCanonicalSameSite(col("url"), col("text")))
+          .otherwise(col("url")))
+      .select("doc_id", "url_key")
+    assert(extractions(naive) >= 2,
+      "guard self-check: the naive shape must count as a violation")
+  }
+
   test("robots gate matches path AND query through the canonical form") {
     val pathq = Seq("http://d.com/p?utm_source=x&id=9")
       .toDF("url").select(Web.canonicalPathQuery(col("url")).as("pq"))
