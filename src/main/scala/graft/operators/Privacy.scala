@@ -125,6 +125,79 @@ object Privacy {
     classes.withColumn("cum_rows", sum(col("n_rows")).over(w))
   }
 
+  /** t-CLOSENESS audit (Li et al. '07 — the step after l-diversity:
+    * even a diverse class leaks when its sensitive-value DISTRIBUTION
+    * skews far from the table's, e.g. a class that is 90% one segment
+    * in a 25%-each table). Per equivalence class, the total-variation
+    * distance between the class's sensitive distribution and the GLOBAL
+    * one, in EXACT integer ppm: with class-value count c_v, global
+    * value count g_v, class size n_c and table size N,
+    *
+    *   TVD = Σ_v |c_v·N − g_v·n_c| / (2·n_c·N)
+    *
+    * — the common-denominator form keeps everything integral until one
+    * final half-up division. Values ABSENT from the class contribute
+    * g_v·n_c without being enumerated: their sum is n_c·(N − G_c) with
+    * G_c = Σ_{v present} g_v. Exact in a long while n_c·N < 9·10¹² (a
+    * 10⁹-row table with 10⁴-row classes); beyond that quantize the
+    * probabilities to ppm first.
+    *
+    * Scale shape: one full-data aggregate to (class, value) grain, one
+    * broadcast of the O(values) global distribution and the O(1) total,
+    * then class-grain arithmetic — the anonymityLadder discipline.
+    * Output: one audit row — class count, worst class TVD, classes and
+    * row mass above `tPpm` (half-up ppm). */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], numericQi: String,
+      bucketWidth: Int, sensitiveCol: String, tPpm: Long,
+      shiftCents: Long = 1000000L): DataFrame = {
+    require(qiCols.nonEmpty && bucketWidth > 0 && tPpm >= 0)
+    val cents = expr(s"CAST(round($numericQi * 100) AS BIGINT) + $shiftCents")
+    val base = df
+      .withColumn("graft_cents",
+        when(cents >= 0L, cents).otherwise(raise_error(
+          concat(lit(s"tClosenessAudit: $numericQi below shift floor: "),
+            col(numericQi).cast("string")))))
+      .withColumn("graft_bucket",
+        expr(s"graft_cents div (${bucketWidth}L * 100)"))
+      .select(col(sensitiveCol).as("graft_sens") +: col("graft_bucket") +:
+        qiCols.map(col): _*)
+    val classNames = "graft_bucket" +: qiCols
+    val classCols = classNames.map(col)
+    val cv = base.groupBy(classCols :+ col("graft_sens"): _*)
+      .agg(count(lit(1)).as("graft_cv"))
+    val globalVals = cv.groupBy("graft_sens")
+      .agg(sum(col("graft_cv")).as("graft_gv"))
+    val tot = globalVals.agg(sum(col("graft_gv")).as("graft_n"))
+    val nc = cv.groupBy(classCols: _*).agg(sum(col("graft_cv")).as("graft_nc"))
+    val perClass = cv
+      .join(broadcast(globalVals), "graft_sens")
+      .join(nc, classNames)
+      .crossJoin(broadcast(tot))
+      .groupBy(classCols: _*)
+      .agg(first(col("graft_nc")).as("graft_nc"),
+        first(col("graft_n")).as("graft_n"),
+        sum(abs(col("graft_cv") * col("graft_n") -
+          col("graft_gv") * col("graft_nc"))).as("graft_sp"),
+        sum(col("graft_gv")).as("graft_gc"))
+      // absent values contribute g_v·n_c without being enumerated
+      .withColumn("graft_s", col("graft_sp") +
+        col("graft_nc") * (col("graft_n") - col("graft_gc")))
+      .withColumn("tvd_ppm", expr(
+        "(graft_s * 2000000 + 2 * graft_nc * graft_n) " +
+          "div (4 * graft_nc * graft_n)"))
+    perClass.agg(
+        max(col("graft_n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        max(col("tvd_ppm")).as("max_tvd_ppm"),
+        sum(when(col("tvd_ppm") > tPpm, 1L).otherwise(0L)).as("n_above_t"),
+        sum(when(col("tvd_ppm") > tPpm, col("graft_nc")).otherwise(0L))
+          .as("rows_above_t"))
+      .select(col("n_rows"), col("n_classes"), col("max_tvd_ppm"),
+        col("n_above_t"), col("rows_above_t"),
+        expr("(rows_above_t * 2000000 + n_rows) div (n_rows * 2)")
+          .as("above_t_ppm"))
+  }
+
   /** Audit over the customer dimension: QI = (c_nationkey, generalized
     * c_acctbal), sensitive = c_mktsegment, ladder widths 100/1000/10000
     * currency units, k = 5. Balances reach −994.28, so the cents shift
@@ -140,4 +213,14 @@ object Privacy {
     anonymityHistogram(Tables.customer(spark, dir), Seq("c_nationkey"),
       "c_acctbal", 1000)
       .orderBy("class_size")
+
+  /** t-closeness over the [[qKAnonymity]] release shape at the
+    * 1000-unit level, sensitive = c_mktsegment, t = 0.3 (300000 ppm) —
+    * segments are near-uniform globally, so the classes above t are
+    * exactly the small skewed ones the audit exists to catch. */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessAudit(Tables.customer(spark, dir), Seq("c_nationkey"),
+      "c_acctbal", 1000, "c_mktsegment", tPpm = 300000L)
+      .orderBy("n_rows", "n_classes", "max_tvd_ppm", "n_above_t",
+        "rows_above_t", "above_t_ppm")
 }

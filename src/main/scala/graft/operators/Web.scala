@@ -1224,6 +1224,79 @@ object Web {
     pageRankPpm(edges, iters = 3).orderBy("url", "rank_ppm")
   }
 
+  /** HITS (Kleinberg hubs & authorities) in exact integer ppm — the
+    * PageRank sibling the crawl-quality toolbox wants beside
+    * [[pageRankPpm]]: PageRank measures global endorsement flow, HITS
+    * separates pages that ARE good sources (authorities) from pages
+    * that POINT at good sources (hubs — directory/index pages a crawler
+    * should re-visit for discovery even though their own content is
+    * thin). Mutual recursion per iteration: auth'(v) = Σ_{u→v} hub(u),
+    * then hub'(v) = Σ_{v→w} auth'(w), each half-step max-normalized to
+    * the [0, 10⁶] ppm scale by integer division (max-normalization is
+    * the exact-arithmetic analog of the usual L2 step — same fixpoint
+    * direction, no floats, engine-portable, oracle-replayable).
+    *
+    * Scale shape: identical to [[pageRankPpm]] — per iteration two
+    * keyed join+aggregate rounds over the distinct-edge frame plus one
+    * O(1) max broadcast to every partition; state is one (node, auth,
+    * hub) row per node, lineage cut per iteration. Normalized scores
+    * are ≤ 10⁶, so the pre-normalization sums stay under 10⁶ × nodes —
+    * exact in a long until ~9·10⁹ nodes. */
+  def hitsPpm(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hitsPpm: iters >= 1")
+    val e = edges.select(col("src_url").as("graft_s"),
+      col("dst_url").as("graft_d")).distinct().localCheckpoint()
+    val nodes = e.select(col("graft_s").as("url"))
+      .union(e.select(col("graft_d").as("url"))).distinct()
+      .localCheckpoint()
+    var scores = nodes.withColumn("auth_ppm", lit(1000000L))
+      .withColumn("hub_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(scores.select(col("url").as("graft_s"),
+          col("hub_ppm")), Seq("graft_s"))
+        .groupBy("graft_d").agg(sum("hub_ppm").as("graft_ar"))
+        .withColumnRenamed("graft_d", "url")
+      val aJoined = nodes.join(aRaw, Seq("url"), "left")
+        .select(col("url"), coalesce(col("graft_ar"), lit(0L)).as("graft_ar"))
+      val auth = aJoined
+        .crossJoin(broadcast(aJoined.agg(max("graft_ar").as("graft_ma"))))
+        .select(col("url"), when(col("graft_ma") > 0,
+            expr("(graft_ar * 1000000) div graft_ma")).otherwise(0L)
+          .as("auth_ppm"))
+      val hRaw = e.join(auth.select(col("url").as("graft_d"),
+          col("auth_ppm")), Seq("graft_d"))
+        .groupBy("graft_s").agg(sum("auth_ppm").as("graft_hr"))
+        .withColumnRenamed("graft_s", "url")
+      val hJoined = nodes.join(hRaw, Seq("url"), "left")
+        .select(col("url"), coalesce(col("graft_hr"), lit(0L)).as("graft_hr"))
+      val hub = hJoined
+        .crossJoin(broadcast(hJoined.agg(max("graft_hr").as("graft_mh"))))
+        .select(col("url"), when(col("graft_mh") > 0,
+            expr("(graft_hr * 1000000) div graft_mh")).otherwise(0L)
+          .as("hub_ppm"))
+      scores = auth.join(hub, Seq("url")).localCheckpoint()
+    }
+    scores.select("url", "auth_ppm", "hub_ppm")
+  }
+
+  /** HITS over the [[qLinkRank]] 20-node branch-derived graph, two
+    * exact-ppm iterations — the oracle unrolls both half-steps of both
+    * rounds (including the max-normalization divisions) in SQL, so a
+    * wrong join side, a missed normalization, or any float anywhere
+    * hash-mismatches. */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    hitsPpm(edges, iters = 2).orderBy("url", "auth_ppm", "hub_ppm")
+  }
+
   /** The page-DECLARED canonical URL (`<link rel="canonical" href=…>`)
     * — the site's own statement that this page is a duplicate spelling
     * of another: print views, mobile subdomains, pagination params the

@@ -125,6 +125,7 @@ object ExtQueries {
     "sample_similar_order"  -> graft.operators.Sampling.qSimilarOrder _,
     "profile_embeddings"    -> graft.operators.Profile.qEmbProfile _,
     "profile_k_anonymity"   -> graft.operators.Privacy.qKAnonymity _,
+    "profile_t_closeness"   -> graft.operators.Privacy.qTCloseness _,
     "profile_k_histogram"   -> graft.operators.Privacy.qKHistogram _,
     "profile_corpus_diff"   -> graft.operators.Profile.qCorpusDiff _,
     "sample_per_group"      -> graft.operators.Sampling.qSamplePerGroup _,
@@ -177,6 +178,7 @@ object ExtQueries {
     "web_link_graph"        -> Web.qLinkGraph _,
     "web_link_stats"        -> Web.qLinkStats _,
     "web_link_rank"         -> Web.qLinkRank _,
+    "web_hits"              -> Web.qHits _,
     "web_domain_prior"      -> Web.qDomainPrior _,
     "web_anchor_texts"      -> Web.qAnchorTexts _,
     "web_sitemap_index"     -> Web.qSitemapIndex _,
@@ -4014,6 +4016,49 @@ object ExtQueries {
     // iterations UNROLLED — every contrib is `rank // outdeg`, every
     // refresh is `150000 + (850000 · Σ) // 10⁶`, all BIGINT, so a
     // single float or a different div rounding anywhere mismatches.
+    // Mirrors Web.qHits: both half-steps of both HITS iterations
+    // unrolled — hub0 = 1e6 so round-1 auth mass is 1e6 x in-degree,
+    // each half-step max-normalized by integer division; a wrong join
+    // side (hub sums over IN-edges, auth over OUT-edges), a missed
+    // normalization, or any float hash-mismatches.
+    "web_hits" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |a1g AS (SELECT d AS v, CAST(SUM(1000000) AS BIGINT) AS ar
+        |  FROM e GROUP BY d),
+        |a1r AS (SELECT n.v, COALESCE(a1g.ar, 0) AS ar
+        |  FROM n LEFT JOIN a1g ON a1g.v = n.v),
+        |a1 AS (SELECT v, CASE WHEN (SELECT MAX(ar) FROM a1r) > 0
+        |  THEN (ar * 1000000) // (SELECT MAX(ar) FROM a1r)
+        |  ELSE 0 END AS a FROM a1r),
+        |h1g AS (SELECT e.s AS v, SUM(a1.a) AS hr
+        |  FROM e JOIN a1 ON a1.v = e.d GROUP BY e.s),
+        |h1r AS (SELECT n.v, COALESCE(h1g.hr, 0) AS hr
+        |  FROM n LEFT JOIN h1g ON h1g.v = n.v),
+        |h1 AS (SELECT v, CASE WHEN (SELECT MAX(hr) FROM h1r) > 0
+        |  THEN (hr * 1000000) // (SELECT MAX(hr) FROM h1r)
+        |  ELSE 0 END AS h FROM h1r),
+        |a2g AS (SELECT e.d AS v, SUM(h1.h) AS ar
+        |  FROM e JOIN h1 ON h1.v = e.s GROUP BY e.d),
+        |a2r AS (SELECT n.v, COALESCE(a2g.ar, 0) AS ar
+        |  FROM n LEFT JOIN a2g ON a2g.v = n.v),
+        |a2 AS (SELECT v, CASE WHEN (SELECT MAX(ar) FROM a2r) > 0
+        |  THEN (ar * 1000000) // (SELECT MAX(ar) FROM a2r)
+        |  ELSE 0 END AS a FROM a2r),
+        |h2g AS (SELECT e.s AS v, SUM(a2.a) AS hr
+        |  FROM e JOIN a2 ON a2.v = e.d GROUP BY e.s),
+        |h2r AS (SELECT n.v, COALESCE(h2g.hr, 0) AS hr
+        |  FROM n LEFT JOIN h2g ON h2g.v = n.v),
+        |h2 AS (SELECT v, CASE WHEN (SELECT MAX(hr) FROM h2r) > 0
+        |  THEN (hr * 1000000) // (SELECT MAX(hr) FROM h2r)
+        |  ELSE 0 END AS h FROM h2r)
+        |SELECT 'http://g' || CAST(n.v AS VARCHAR) || '.example/' AS url,
+        |  CAST(a2.a AS BIGINT) AS auth_ppm, CAST(h2.h AS BIGINT) AS hub_ppm
+        |FROM n JOIN a2 ON a2.v = n.v JOIN h2 ON h2.v = n.v
+        |ORDER BY url, auth_ppm, hub_ppm""".stripMargin,
+
     "web_link_rank" ->
       """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
         |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
@@ -5646,6 +5691,44 @@ object ExtQueries {
     // sensitive = c_mktsegment, k = 5; half-up ppm rates. The +1e6
     // cents shift keeps bucket indexes non-negative so DuckDB's floor
     // division and Spark's truncating div agree.
+    // Mirrors Privacy.qTCloseness: per equivalence class the total-
+    // variation distance to the global sensitive distribution in the
+    // common-denominator integer form Σ|cv·N − gv·nc| (+ nc·(N−Gc) for
+    // the values absent from the class), one half-up division at the
+    // end — a wrong absent-value term, denominator, or threshold all
+    // hash-mismatch.
+    "profile_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey AS qi,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000
+        |      AS bkt,
+        |    c_mktsegment AS sv FROM customer),
+        |cv AS (SELECT qi, bkt, sv, CAST(count(*) AS BIGINT) AS cv
+        |  FROM b GROUP BY 1, 2, 3),
+        |gv AS (SELECT sv, CAST(SUM(cv) AS BIGINT) AS gv FROM cv GROUP BY sv),
+        |nn AS (SELECT CAST(SUM(gv) AS BIGINT) AS n FROM gv),
+        |nc AS (SELECT qi, bkt, CAST(SUM(cv) AS BIGINT) AS nc
+        |  FROM cv GROUP BY 1, 2),
+        |pc AS (SELECT cv.qi, cv.bkt, MAX(nc.nc) AS nc, MAX(nn.n) AS n,
+        |    SUM(abs(cv.cv * nn.n - gv.gv * nc.nc)) AS sp, SUM(gv.gv) AS gc
+        |  FROM cv JOIN gv USING (sv)
+        |    JOIN nc ON nc.qi = cv.qi AND nc.bkt = cv.bkt
+        |    CROSS JOIN nn
+        |  GROUP BY cv.qi, cv.bkt),
+        |tv AS (SELECT nc, n,
+        |    ((sp + nc * (n - gc)) * 2000000 + 2 * nc * n) // (4 * nc * n)
+        |      AS tvd
+        |  FROM pc)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(MAX(tvd) AS BIGINT) AS max_tvd_ppm,
+        |  CAST(SUM(CASE WHEN tvd > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above_t,
+        |  CAST(SUM(CASE WHEN tvd > 300000 THEN nc ELSE 0 END) AS BIGINT)
+        |    AS rows_above_t,
+        |  CAST((SUM(CASE WHEN tvd > 300000 THEN nc ELSE 0 END) * 2000000
+        |    + MAX(n)) // (MAX(n) * 2) AS BIGINT) AS above_t_ppm
+        |FROM tv""".stripMargin,
+
     "profile_k_anonymity" ->
       """WITH lv AS (SELECT unnest([100, 1000, 10000]) AS bucket_width),
         |r AS (SELECT lv.bucket_width, c.c_nationkey, c.c_mktsegment,
