@@ -172,10 +172,14 @@ object Bench {
     // The one-line stdout contract survives only when the log tail isn't
     // truncated — at 100+ queries it is. The durable copy is a plain
     // JSON file, written last so a crash can't leave a half-baked table.
-    // Re-timed queries carry both measurements; the rest plain seconds.
+    // Re-timed queries carry both raw measurements PLUS the headline
+    // `min` — the adjudicated value (a retime exists to bound the
+    // in-suite reading from below; publishing a retime ABOVE it would
+    // invert the protocol, so the min field is what anchors/judges read).
     val detailQs = inSuite.toSeq.sortBy(_._1).map { case (k, v) =>
       retimed.get(k) match {
-        case Some(r) => s"\"" + k + "\":{\"in_suite\":" + v + ",\"retimed\":" + r + "}"
+        case Some(r) => s"\"" + k + "\":{\"in_suite\":" + v +
+          ",\"retimed\":" + r + ",\"min\":" + math.min(v, r) + "}"
         case None    => s"\"" + k + "\":" + v
       }
     }.mkString("{", ",", "}")

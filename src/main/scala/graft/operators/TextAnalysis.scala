@@ -1745,19 +1745,33 @@ object TextAnalysis {
     * exactly how the DuckDB oracle runs them.
     * Returns (lhs, rhs, pairCount) in merge order. */
   def bpeTrainMerges(docs: DataFrame, numMerges: Int,
-      minCount: Long = 1): Seq[(String, String, Long)] = {
+      minCount: Long = 1, maxTypes: Int = 2000000): Seq[(String, String, Long)] = {
+    require(maxTypes >= 1, "bpeTrainMerges: maxTypes >= 1")
     val obs = org.apache.spark.sql.Observation()
+    // HARD driver cap beside the minCount prune: a 100 TB corpus has
+    // ~10^8 word types, and minCount defaults to 1 — without a bound the
+    // collect is a driver OOM. Top-maxTypes by (count desc, sym asc) is
+    // a TakeOrderedAndProject (per-partition heaps, no global sort), and
+    // dropping the rarest types is exactly what a larger minCount would
+    // do; the truncation is logged per the no-silent-caps rule.
     var words = bpeWordTable(docs)
       .observe(obs, count(when(col("cnt") < minCount, 1)).as("dropped"),
         count(lit(1)).as("raw_vocab"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(maxTypes)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    if (minCount > 1) {
-      val m = obs.get
+    val m = obs.get
+    val survived = m("raw_vocab").asInstanceOf[Long] -
+      m("dropped").asInstanceOf[Long]
+    if (minCount > 1)
       System.err.println(s"[graft] bpeTrainMerges: minCount=$minCount pruned " +
         s"${m("dropped")} of ${m("raw_vocab")} raw vocab rows before the driver collect")
-    }
+    if (survived > maxTypes)
+      System.err.println(s"[graft] bpeTrainMerges: maxTypes=$maxTypes kept the " +
+        s"top $maxTypes of $survived surviving word types (rarest " +
+        s"${survived - maxTypes} dropped) — raise maxTypes or minCount to choose the cut")
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 0
     var done = false
@@ -1918,22 +1932,32 @@ object TextAnalysis {
     * entry and segmentation of any corpus word stays total. */
   def unigramTrain(docs: DataFrame, vocabSize: Int = 40,
       maxPieceLen: Int = 4, iters: Int = 2, maxSeed: Int = 200,
-      minCount: Long = 2): Seq[(String, Long)] = {
+      minCount: Long = 2, maxTypes: Int = 2000000): Seq[(String, Long)] = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 1 && maxSeed >= 1
-      && minCount >= 1)
+      && minCount >= 1 && maxTypes >= 1)
     val obs = org.apache.spark.sql.Observation()
+    // HARD driver cap beside minCount (same contract as
+    // [[bpeTrainMerges]]): top-maxTypes word types by (count desc, word
+    // asc) via per-partition heaps; truncation is logged, never silent.
     val words = docs
       .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .observe(obs, count(when(col("cnt") < minCount, 1)).as("dropped"),
         count(lit(1)).as("raw_vocab"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (minCount > 1) {
-      val m = obs.get
+    val m = obs.get
+    val survived = m("raw_vocab").asInstanceOf[Long] -
+      m("dropped").asInstanceOf[Long]
+    if (minCount > 1)
       System.err.println(s"[graft] unigramTrain: minCount=$minCount pruned " +
         s"${m("dropped")} of ${m("raw_vocab")} raw word-table rows before the driver collect")
-    }
+    if (survived > maxTypes)
+      System.err.println(s"[graft] unigramTrain: maxTypes=$maxTypes kept the " +
+        s"top $maxTypes of $survived surviving word types (rarest " +
+        s"${survived - maxTypes} dropped) — raise maxTypes or minCount to choose the cut")
     // full-corpus alphabet (chars of ALL words, pruned or not): the
     // coverage floor below never depends on what minCount dropped
     val alphabet = docs

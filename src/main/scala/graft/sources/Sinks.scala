@@ -978,6 +978,14 @@ object Sinks {
     // columns pin as-is; columns the corpus lacks are skipped.
     val wantsWebGraph = targets.linkEdgeTable.nonEmpty ||
       targets.redirectTable.nonEmpty || targets.rankTable.nonEmpty
+    // A takedown that names web-graph tables but no corpus has no URL
+    // identities to retract BY (they pin from the corpus rows) — fail
+    // loudly rather than silently skipping step 6 on a compliance path
+    // (the same contract as the no-URL-columns require below).
+    require(!wantsWebGraph || targets.corpusPath.nonEmpty,
+      "retractDocs: web-graph targets (link edges / redirect ledger / " +
+        "rank) given but corpusPath is empty — retracted URL identities " +
+        "pin from the corpus rows, so the web-graph sweep cannot run")
     val retractedUrlHashes = if (!wantsWebGraph) None
       else targets.corpusPath.map { cp =>
         val c = spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi")

@@ -159,9 +159,17 @@ object WebStream {
         // twin's earliest-WARC-Date rule, doc_id tiebreak); without
         // them, min doc_id is the only deterministic order available.
         val byUrl = Window.partitionBy("url_hash")
-        val keeper = fetchTsCol.filter(allowed.columns.contains) match {
-          case Some(ts) => min(struct(col(ts), col("doc_id"))).over(byUrl) ===
-            struct(col(ts), col("doc_id"))
+        val keeper = fetchTsCol match {
+          case Some(ts) =>
+            // fail loudly on a typo'd column name: a silent fallback to
+            // min-doc_id would diverge from crawlPrepare's earliest-
+            // fetch-wins rule with no signal
+            require(allowed.columns.contains(ts),
+              s"crawlIngest: fetchTsCol=$ts is not a batch column " +
+                s"(${allowed.columns.mkString(", ")}) — fix the column " +
+                "name or pass fetchTsCol=None for min-doc_id order")
+            min(struct(col(ts), col("doc_id"))).over(byUrl) ===
+              struct(col(ts), col("doc_id"))
           case None => min(col("doc_id")).over(byUrl) === col("doc_id")
         }
         val firsts = allowed
@@ -536,8 +544,9 @@ object WebStream {
     * "Newest" orders by `tsCol` when given (desc, status/location
     * tiebreak — pass it whenever the log has timestamps); without one,
     * in-window conflicts resolve deterministically toward KEEPING a
-    * redirect (status desc) — conservative: identity mappings persist
-    * until timestamped evidence retires them. 3xx rows without a
+    * redirect (is-3xx first, then status/location desc — so a 404/500
+    * in the same window cannot retire a 301) — conservative: identity
+    * mappings persist until timestamped evidence retires them. 3xx rows without a
     * Location carry no usable evidence and are excluded (matching
     * [[redirectIngest]]'s filter). Rewrites publish through the
     * staging + catalog-rename discipline with the bucket spec
@@ -555,8 +564,13 @@ object WebStream {
     spark.catalog.refreshTable(redirectTable)
     val usable = observations.filter(
       !(col("status").between(300, 399) && col("location") === ""))
+    // no-timestamp tiebreak: 3xx-NESS first (a redirect observation
+    // outranks ANY non-3xx, including 4xx/5xx — plain `status desc`
+    // would let a 404 retire a 301), then status/location for
+    // determinism within the class
     val ord = tsCol.toSeq.map(c => col(c).desc) ++
-      Seq(col("status").desc, col("location").desc)
+      Seq(col("status").between(300, 399).desc,
+        col("status").desc, col("location").desc)
     val w = Window.partitionBy("graft_cu").orderBy(ord: _*)
     val obs = usable
       .withColumn("graft_cu", Web.canonicalUrl(col("url")))

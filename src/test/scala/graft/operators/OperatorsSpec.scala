@@ -553,6 +553,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(segs("xq") == "x|q" && segs("ab") == "ab", segs.toString)
   }
 
+  test("tokenizer trainers: maxTypes hard-caps the driver collect on a " +
+    "hostile wide vocab; the kept types are the most frequent") {
+    // hostile shape: one frequent word + a wide tail of singletons (the
+    // 100 TB failure mode in miniature — unbounded distinct word types)
+    val wide = ((1L to 30L).map(i => (i, s"junk$i")) :+ (100L, "low low low"))
+      .toDF("doc_id", "text")
+    // cap 1: only the top type (low, cnt 3) survives to the merge loop,
+    // so training sees exactly the {low: 3} dictionary
+    val merges = TextAnalysis.bpeTrainMerges(wide, numMerges = 5,
+      minCount = 1, maxTypes = 1)
+    assert(merges == Seq(
+      ("l", "o", 3L), ("lo", "w", 3L), ("low", "</w>", 3L)),
+      merges.toString)
+    // unigram: cap 1 keeps {low}, but the full-corpus alphabet floor
+    // still covers every junk character (coverage is not capped)
+    val vocab = TextAnalysis.unigramTrain(wide, vocabSize = 10,
+      minCount = 1, maxTypes = 1)
+    val v = vocab.toMap
+    assert(v.contains("low"), vocab.toString)
+    assert(!vocab.exists(_._1.startsWith("junk")),
+      s"capped-out tail types must not seed pieces: $vocab")
+    assert(Seq("j", "u", "n", "k", "1", "0").forall(v.contains),
+      s"alphabet floor must survive the cap: $vocab")
+    // note: the truncation ledger prints via System.err on the driver;
+    // behavior (cap + coverage) is the asserted contract, matching the
+    // minCount spec above
+  }
+
   test("CDC chunking: boundaries are content-defined, so an insertion only perturbs its own chunk") {
     // a long synthetic doc (deterministic tokens) and a copy with ONE
     // token inserted near the front — fixed-stride chunking would shift

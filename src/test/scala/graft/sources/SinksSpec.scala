@@ -866,4 +866,14 @@ class SinksSpec extends AnyFunSuite {
     Seq("t_gll_gram", "t_gll_gram_df")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("retractDocs: web-graph targets WITHOUT a corpus path fail loud — " +
+    "a takedown must never silently skip the web-graph sweep") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.retractDocs(spark, Seq(1L).toDF("doc_id"),
+        Sinks.RetractionTargets(linkEdgeTable = Some("t_whatever")))
+    }
+    assert(ex.getMessage.contains("corpusPath"), ex.getMessage)
+  }
 }

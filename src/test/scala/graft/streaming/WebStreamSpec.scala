@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -361,6 +361,30 @@ class WebStreamSpec extends AnyFunSuite {
     assert(spec.exists(b => b.numBuckets == 4 &&
       b.bucketColumnNames == Seq("url_hash")), spec.toString)
     spark.sql("DROP TABLE IF EXISTS redvac")
+  }
+
+  test("vacuumRedirectRows without timestamps: a 3xx in the window " +
+    "outranks a 404/500 (only content or timestamped evidence retires " +
+    "a redirect)") {
+    spark.sql("DROP TABLE IF EXISTS redvac_nots")
+    graft.sources.Sinks.writeBucketed(
+      Seq(("http://d.com/a", "http://d.com/b")).toDF("canon_url", "target")
+        .select(xxhash64(col("canon_url")).as("url_hash"),
+          col("canon_url"), col("target")),
+      "redvac_nots", bucketCols = Seq("url_hash"), numBuckets = 2,
+      sortCols = Seq("url_hash"))
+    // no ts column: under plain status-desc the 404 would win the
+    // newest-pick and DROP the row; the is-3xx-first order keeps the
+    // redirect and re-points it
+    val window = Seq(("http://d.com/a", 404, ""),
+      ("http://d.com/a", 301, "/c")).toDF("url", "status", "location")
+    val (replaced, dropped) =
+      WebStream.vacuumRedirectRows(spark, "redvac_nots", window)
+    assert((replaced, dropped) == ((1L, 0L)), s"($replaced, $dropped)")
+    val t = spark.table("redvac_nots").select("target")
+      .as[String].collect().toSeq
+    assert(t == Seq("http://d.com/c"), t.toString)
+    spark.sql("DROP TABLE IF EXISTS redvac_nots")
   }
 
   test("crawl ingest records the SPELLING hash beside a declared " +
