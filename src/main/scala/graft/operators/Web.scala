@@ -1091,8 +1091,12 @@ object Web {
     * integer ppm, `(d_ppm · (Σ_dangling div N)) div 10⁶` added to every
     * node — so total mass is conserved (the 2-node A→B case lands
     * exactly on 2·10⁶) and a crawl with many dead ends doesn't deflate
-    * everyone's score. Costs one anti-join + 1-row aggregate +
-    * broadcast per round; `N` is a driver constant computed once.
+    * everyone's score. The dangling SET is static (nodes with no
+    * out-edges — edges don't change between rounds), so it computes
+    * ONCE as a boolean flag on the node frame; each round's dangling
+    * mass is then a filter + 1-row aggregate over the node-grain rank
+    * frame and a 1-row broadcast — no per-round anti-join. `N` is a
+    * driver constant computed once.
     *
     * Scale: the Pregel shape — per iteration one shuffle join of the
     * edge table against the node-grain rank frame plus one dst-grain
@@ -1107,16 +1111,27 @@ object Web {
       "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
     val e = edges.select(col("src_url").as("graft_src"),
       col("dst_url").as("graft_dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("graft_src").as("url"))
+    val nodes0 = e.select(col("graft_src").as("url"))
       .union(e.select(col("graft_dst").as("url"))).distinct()
-      .localCheckpoint()
     val outdeg = e.groupBy("graft_src")
       .agg(count(lit(1)).as("graft_out")).localCheckpoint()
+    // dangling flag computed ONCE (the set is static — it's a property
+    // of the edge table, not of the evolving ranks); the rank frame
+    // carries it so each round's dangling mass is a filtered 1-row
+    // aggregate, never a join
+    val nodes = (if (redistributeDangling)
+        nodes0.join(outdeg.select(col("graft_src").as("url"),
+            lit(false).as("graft_dang")), Seq("url"), "left")
+          .select(col("url"), coalesce(col("graft_dang"), lit(true))
+            .as("graft_dang"))
+      else nodes0.withColumn("graft_dang", lit(false)))
+      .localCheckpoint()
     val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(ranks.withColumnRenamed("url", "graft_src"), Seq("graft_src"))
+        .join(ranks.select(col("url").as("graft_src"), col("rank_ppm")),
+          Seq("graft_src"))
         .join(outdeg, Seq("graft_src"))
         .select(col("graft_dst").as("url"),
           expr("rank_ppm div graft_out").as("graft_c"))
@@ -1124,23 +1139,21 @@ object Web {
       val joined = nodes.join(contrib, Seq("url"), "left")
       val withExtra =
         if (redistributeDangling) {
-          val dm = ranks
-            .join(outdeg.select(col("graft_src").as("url")), Seq("url"),
-              "left_anti")
+          val dm = ranks.filter(col("graft_dang"))
             .agg(coalesce(sum("rank_ppm"), lit(0L)).as("graft_dm"))
           joined.crossJoin(broadcast(dm))
             .withColumn("graft_extra",
               expr(s"($dampPpm * (graft_dm div $nNodes)) div 1000000"))
         } else joined.withColumn("graft_extra", lit(0L))
       ranks = withExtra
-        .select(col("url"),
+        .select(col("url"), col("graft_dang"),
           (lit(1000000L - dampPpm) + expr(
             s"($dampPpm * coalesce(graft_in, 0L)) div 1000000")
             + col("graft_extra"))
             .cast("long").as("rank_ppm"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select("url", "rank_ppm")
   }
 
   /** Link extraction over corpus-derived pages (branch-derived oracle).
