@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Pluggable lineage-cut strategy for the batch iterative operators
+  * (PageRank/HITS, connected components, Lloyd trainers, the retraction
+  * swap). Every iteration must cut lineage so plan size stays
+  * iteration-count-independent — but WHERE the cut materializes decides
+  * what a lost executor costs:
+  *
+  *   - `local` (default): `localCheckpoint()` — blocks pinned to
+  *     executor memory/disk, zero external IO. Fastest, and exactly
+  *     right for local[32]; on a multi-executor cluster losing ONE
+  *     executor that holds a cut block kills the job (lineage is
+  *     truncated, so nothing can recompute it).
+  *   - `reliable`: `checkpoint()` against the configured checkpoint
+  *     directory (HDFS/object store on a real cluster) — blocks
+  *     survive any number of executor losses; costs one write+read of
+  *     the cut frame per iteration. The 1000-executor setting, where
+  *     an executor loss mid-iteration is the COMMON case.
+  *   - `disk2`: `persist(DISK_ONLY_2)` + materialize — 2×-replicated
+  *     executor-disk blocks survive one executor loss without external
+  *     IO, and lineage is NOT truncated, so even a double loss can
+  *     recompute. The trade: plan size grows with iteration count
+  *     (each round's plan embeds the whole history), so this fits
+  *     SMALL fixed iteration counts (the rank/HITS defaults), not
+  *     long convergence loops.
+  *
+  * Selection is session-scoped runtime conf — no operator signatures
+  * change, and a deployment flips the whole engine with one setting:
+  *
+  * {{{
+  *   spark.conf.set("spark.graft.cutpoint.mode", "reliable")
+  *   spark.sparkContext.setCheckpointDir("hdfs:///graft/ckpt")
+  *   // or: spark.conf.set("spark.graft.cutpoint.dir", "hdfs:///graft/ckpt")
+  * }}}
+  *
+  * All three modes are result-identical (CutPointSpec asserts equal
+  * collected results on sampled iterative queries) — the strategy
+  * moves WHERE blocks live, never what they contain.
+  */
+object CutPoint {
+  val ModeKey = "spark.graft.cutpoint.mode"
+  val DirKey = "spark.graft.cutpoint.dir"
+
+  /** Cut `df`'s lineage under the session-configured strategy and
+    * return the materialized frame. Eager in every mode (the iterative
+    * operators rely on the cut frame being a leaf scan). */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "local" => df.localCheckpoint()
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.get(DirKey, "")
+          require(dir.nonEmpty,
+            "CutPoint mode=reliable needs a checkpoint directory: call " +
+              s"SparkContext.setCheckpointDir or set $DirKey")
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint()
+      case "disk2" =>
+        val p = df.persist(StorageLevel.DISK_ONLY_2)
+        p.count() // materialize now — same eager contract as the others
+        p
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey=$other — expected local | reliable | disk2")
+    }
+  }
+
+  /** `df.cutLineage()` postfix syntax so operator code reads like the
+    * `localCheckpoint()` it replaces. */
+  implicit class CutOps(private val df: DataFrame) extends AnyVal {
+    def cutLineage(): DataFrame = CutPoint.cut(df)
+  }
+}

@@ -23,6 +23,13 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CUTPOINT=local|reliable|disk2 measures the lineage-cut
+    // strategies' overhead (reliable writes through a temp checkpoint dir)
+    sys.env.get("SPARK_GRAFT_CUTPOINT").foreach { m =>
+      spark.conf.set(CutPoint.ModeKey, m)
+      if (m == "reliable") spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-timeone-ckpt").toString)
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CutPoint.CutOps
 import graft.sources.Tables
 
 /** Connected components over near-duplicate pairs — the step that turns
@@ -38,7 +39,7 @@ object Clusters {
     // it once per union branch and (b) register giant plans in the SQL
     // cache registry, whose subtree-matching cost then taxes every later
     // query in the session. Checkpointed frames are leaf scans.
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val p = pairs.select(col("doc_a"), col("doc_b")).cutLineage()
     val edgeCount = p.count() * 2
     // Size the iteration partitioning from the MEASURED edge count
     // (~1M edges per task): the dedup graph is orders of magnitude
@@ -52,7 +53,7 @@ object Clusters {
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .repartition(parts, col("dst"))
-      .localCheckpoint()
+      .cutLineage()
 
     // seed with the closed-neighborhood minimum — identical to running
     // one propagation round over identity labels, but it's a single
@@ -62,7 +63,7 @@ object Clusters {
       .groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mind"))
       .select(col("node"), least(col("node"), col("mind")).as("label"))
-      .localCheckpoint()
+      .cutLineage()
     // candidate label per node: min over (own label, neighbors' labels);
     // the convergence flag rides in the same projection, and each round
     // is checkpointed so plan size stays constant across iterations
@@ -73,7 +74,7 @@ object Clusters {
       .join(labels, "node")
       .select(col("node"), least(col("label"), col("nlabel")).as("label"),
         (col("nlabel") < col("label")).as("chg"))
-      .localCheckpoint()
+      .cutLineage()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -127,7 +128,7 @@ object Clusters {
       .filter(col("a") =!= col("b"))
     var edges = p0
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -147,7 +148,7 @@ object Clusters {
       val small = joined.filter(col("b") =!= col("mn"))
         .select(col("b").as("a"), col("mn").as("b"))
         .union(joined.select(col("a"), col("mn").as("b")))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       // one driver action per round: the edge sets (both distinct) are
       // equal iff their symmetric difference is empty
       converged = small.except(edges).union(edges.except(small)).isEmpty
@@ -201,7 +202,7 @@ object Clusters {
     * every node of `newPairs`. */
   def incrementalComponents(mapping: DataFrame, newPairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val m = mapping.select(col("node"), col("cluster_id")).localCheckpoint()
+    val m = mapping.select(col("node"), col("cluster_id")).cutLineage()
     // project the batch's endpoints onto current roots (unseen → self)
     val ra = m.select(col("node").as("doc_a"), col("cluster_id").as("ra"))
     val rb = m.select(col("node").as("doc_b"), col("cluster_id").as("rb"))
@@ -213,7 +214,7 @@ object Clusters {
       .filter(col("doc_a") =!= col("doc_b"))
     // cluster the root graph — batch-sized, not corpus-sized
     val rootMap = connectedComponentsStars(rootPairs, maxIter)
-      .localCheckpoint()
+      .cutLineage()
     // relabel old members whose root moved; keep the rest; add new nodes
     val moved = rootMap.select(col("node").as("cluster_id"),
       col("cluster_id").as("new_root"))
@@ -291,7 +292,7 @@ object Clusters {
     * outer-join row-recovery is needed. */
   def pageRankCentrality(pairs: DataFrame, iters: Int = 5): DataFrame = {
     val Scale = 1000000000000L // 10^12
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val p = pairs.select(col("doc_a"), col("doc_b")).cutLineage()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -299,7 +300,7 @@ object Clusters {
     val spark = pairs.sparkSession
     val edgesD = edges.join(deg, "src")
       .repartition(math.max(1, spark.sparkContext.defaultParallelism / 4), col("src"))
-      .localCheckpoint()
+      .cutLineage()
     val n = edgesD.select(countDistinct(col("src"))).collect()(0).getLong(0)
     if (n == 0) return spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).withColumn("rank_e12", lit(0L)).limit(0)
@@ -345,7 +346,7 @@ object Clusters {
     // closure probes it and the degree table derives from it.
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().cutLineage()
     val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // Orient by (deg, id): src is the smaller endpoint under that order.
@@ -357,7 +358,7 @@ object Clusters {
           .otherwise(col("b")).as("src"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
           .otherwise(col("a")).as("dst"))
-      .localCheckpoint()
+      .cutLineage()
     // Wedges at each apex: unordered out-neighbor pairs (v < w by id),
     // closed iff the canonical edge (v, w) exists.
     val o1 = oriented.select(col("src"), col("dst").as("v"))
@@ -395,7 +396,7 @@ object Clusters {
     * one full clustering, so this shares dedup_clusters' oracle. */
   def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minHashLshPairs(Tables.documents(spark, dir))
-      .localCheckpoint()
+      .cutLineage()
     val first = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
     val second = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 1)
     incrementalComponents(connectedComponents(first), second)
@@ -458,7 +459,7 @@ object Clusters {
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().cutLineage()
     var n = edges.count()
     var round = 0
     var converged = n == 0
@@ -466,11 +467,11 @@ object Clusters {
       val deg = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("node").localCheckpoint()
+      val keep = deg.filter(col("d") >= k).select("node").cutLineage()
       val pruned = edges
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").cutLineage()
       val n2 = pruned.count()
       converged = n2 == n
       edges = pruned

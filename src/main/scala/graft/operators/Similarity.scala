@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CutPoint.CutOps
 import graft.sources.Tables
 import graft.functions.{Scored, TopKAggregator}
 import graft.functions.VectorFunctions._
@@ -686,7 +687,7 @@ object Similarity {
     val short = topKPerQuery(scored, shortlist)
       .withColumnRenamed("neighbor_id", "cid").withColumnRenamed("cos_sim", "rel")
       .join(c, "cid")
-      .localCheckpoint()
+      .cutLineage()
     def argmaxBy(df: DataFrame, scoreCol: org.apache.spark.sql.Column): DataFrame = df
       .groupBy("query_id")
       .agg(max(struct(scoreCol.as("s"), (-col("cid")).as("negid"))).as("b"))
@@ -695,7 +696,7 @@ object Similarity {
     var selected = argmaxBy(short, col("rel"))
       .select(col("query_id"), col("cid"), (lit(0.5) * col("score")).as("score"),
         lit(1).as("sel_rank"))
-      .localCheckpoint()
+      .cutLineage()
     for (r <- 2 to k) {
       val selV = selected.select(col("query_id"), col("cid").as("sid"))
         .join(short.select(col("query_id"), col("cid").as("sid"),
@@ -710,7 +711,7 @@ object Similarity {
           .withColumn("mmr", lit(0.5) * col("rel") - lit(0.5) * col("maxsim")),
         col("mmr"))
         .select(col("query_id"), col("cid"), col("score"), lit(r).as("sel_rank"))
-      selected = selected.union(next).localCheckpoint()
+      selected = selected.union(next).cutLineage()
     }
     selected.select(col("query_id"), col("sel_rank"), col("cid").as("neighbor_id"),
       round(col("score"), 4).as("mmr_score"))
@@ -1212,7 +1213,7 @@ object Similarity {
     // all three arms + the rerank shortlist are heap passes over it,
     // where the naive shape re-scored the corpus per arm (3×).
     val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks, iters)
-    val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
+    val ix = ix0.copy(codes = ix0.codes.cutLineage())
     val probes2 = residualProbeQueries(emb, ix.cents, queryPred, m, ds,
       nprobe = 2)
     val scored2 = ix.codes.join(broadcast(probes2), Seq("centroid_id"))
@@ -1311,7 +1312,7 @@ object Similarity {
     // code frame materializes once (localCheckpoint), the coarse Lloyd
     // runs once — per-method retraining would triple identical work
     val ix0 = pqIndex(emb, m, ds, ks, iters)
-    val ix = ix0.copy(codes = ix0.codes.localCheckpoint())
+    val ix = ix0.copy(codes = ix0.codes.cutLineage())
     val cents = kmeansCollected(emb, numCentroids, kmeansIters)
     // deliberately NOT checkpointed: the assignment carries the full
     // vectors, and materializing it cost more than the second scan

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CutPoint.CutOps
 import graft.sources.Tables
 
 /** URL parsing, canonicalization and domain-level filtering — the first
@@ -1110,11 +1111,11 @@ object Web {
     require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
       "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
     val e = edges.select(col("src_url").as("graft_src"),
-      col("dst_url").as("graft_dst")).distinct().localCheckpoint()
+      col("dst_url").as("graft_dst")).distinct().cutLineage()
     val nodes0 = e.select(col("graft_src").as("url"))
       .union(e.select(col("graft_dst").as("url"))).distinct()
     val outdeg = e.groupBy("graft_src")
-      .agg(count(lit(1)).as("graft_out")).localCheckpoint()
+      .agg(count(lit(1)).as("graft_out")).cutLineage()
     // dangling flag computed ONCE (the set is static — it's a property
     // of the edge table, not of the evolving ranks); the rank frame
     // carries it so each round's dangling mass is a filtered 1-row
@@ -1125,7 +1126,7 @@ object Web {
           .select(col("url"), coalesce(col("graft_dang"), lit(true))
             .as("graft_dang"))
       else nodes0.withColumn("graft_dang", lit(false)))
-      .localCheckpoint()
+      .cutLineage()
     val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -1151,7 +1152,7 @@ object Web {
             s"($dampPpm * coalesce(graft_in, 0L)) div 1000000")
             + col("graft_extra"))
             .cast("long").as("rank_ppm"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks.select("url", "rank_ppm")
   }
@@ -1258,10 +1259,10 @@ object Web {
   def hitsPpm(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "hitsPpm: iters >= 1")
     val e = edges.select(col("src_url").as("graft_s"),
-      col("dst_url").as("graft_d")).distinct().localCheckpoint()
+      col("dst_url").as("graft_d")).distinct().cutLineage()
     val nodes = e.select(col("graft_s").as("url"))
       .union(e.select(col("graft_d").as("url"))).distinct()
-      .localCheckpoint()
+      .cutLineage()
     var scores = nodes.withColumn("auth_ppm", lit(1000000L))
       .withColumn("hub_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -1287,7 +1288,7 @@ object Web {
         .select(col("url"), when(col("graft_mh") > 0,
             expr("(graft_hr * 1000000) div graft_mh")).otherwise(0L)
           .as("hub_ppm"))
-      scores = auth.join(hub, Seq("url")).localCheckpoint()
+      scores = auth.join(hub, Seq("url")).cutLineage()
     }
     scores.select("url", "auth_ppm", "hub_ppm")
   }

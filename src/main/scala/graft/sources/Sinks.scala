@@ -960,7 +960,8 @@ object Sinks {
       docIds: DataFrame, targets: RetractionTargets): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val ids = docIds.select(col("doc_id")).distinct()
+      .transform(graft.CutPoint.cut)
     val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     // 1. pin the retracted docs' per-gram DOC COUNTS while the text
     // still exists (after the corpus delete it doesn't) — O(retracted
@@ -971,7 +972,8 @@ object Sinks {
     } yield graft.operators.Dedup.gramDocCounts(
       spark.read.parquet(cp).join(ids, Seq("doc_id"), "left_semi"),
       targets.gramK)
-      .withColumnRenamed("graft_cnt", "graft_rm").localCheckpoint()
+      .withColumnRenamed("graft_cnt", "graft_rm")
+      .transform(graft.CutPoint.cut)
     // 1b. pin the retracted docs' URL HASHES (web-graph tables are
     // URL-keyed; after the corpus delete the spellings are gone) —
     // O(retracted docs). Spelling columns hash through xxhash64, hash
@@ -998,7 +1000,7 @@ object Sinks {
         require(frames.nonEmpty, "retractDocs: web-graph targets given " +
           s"but the corpus has none of ${targets.urlCols} / " +
           s"${targets.urlHashCols} — no URL identity to retract by")
-        frames.reduce(_ union _).distinct().localCheckpoint()
+        frames.reduce(_ union _).distinct().transform(graft.CutPoint.cut)
       }
     // 2. corpus sink
     targets.corpusPath.foreach { cp =>
@@ -1041,7 +1043,7 @@ object Sinks {
             spark.table(jt)
               .join(rg.select("g"), Seq("g"), "left_semi")
               .groupBy("g").agg(sum(col("graft_cnt")).as("graft_tot")),
-            Seq("g"), "left").localCheckpoint()
+            Seq("g"), "left").transform(graft.CutPoint.cut)
           // journal-LOSS tolerance: `graft_rm` is exact (pinned from the
           // corpus in step 1), so a retracted gram the journal never saw
           // (tot null) or undercounts (rm > tot) is positive evidence of

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.CutPoint
+
+/** The pluggable lineage-cut contract: every mode yields bit-identical
+  * results on the iterative operators (the strategy moves WHERE cut
+  * blocks live — executor memory, the reliable checkpoint dir, or
+  * replicated executor disk — never what they contain), and
+  * misconfiguration fails loud. */
+class CutPointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(CutPoint.ModeKey, mode)
+    try body finally spark.conf.set(CutPoint.ModeKey, "local")
+  }
+
+  test("misconfiguration fails loud: unknown mode; reliable without a " +
+    "checkpoint dir") {
+    val df = Seq(1L).toDF("x")
+    withMode("bogus") {
+      val ex = intercept[IllegalArgumentException](CutPoint.cut(df))
+      assert(ex.getMessage.contains("bogus"), ex.getMessage)
+    }
+    // reliable with NEITHER the conf dir nor SparkContext dir: only
+    // assertable while the shared session has no checkpoint dir yet
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.unset(CutPoint.DirKey)
+      withMode("reliable") {
+        val ex = intercept[IllegalArgumentException](CutPoint.cut(df))
+        assert(ex.getMessage.contains(CutPoint.DirKey), ex.getMessage)
+      }
+    }
+  }
+  test("local / reliable / disk2 modes are result-identical on the " +
+    "iterative operators (CC labels, exact-ppm PageRank)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cutpoint")
+    spark.conf.set(CutPoint.DirKey, ckpt.toString)
+    // a chain (multi-round propagation) + a separate near-clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val edges = Seq(
+      ("http://a/", "http://b/"), ("http://b/", "http://c/"),
+      ("http://c/", "http://a/"), ("http://a/", "http://d/"))
+      .toDF("src_url", "dst_url")
+    def ccRun() = graft.operators.Clusters.connectedComponents(pairs)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def prRun() = graft.operators.Web.pageRankPpm(edges, iters = 3,
+        redistributeDangling = true)
+      .orderBy("url").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expectedCc = withMode("local")(ccRun())
+    val expectedPr = withMode("local")(prRun())
+    assert(expectedCc.map(_._2).distinct.size == 2, expectedCc.toString)
+    for (mode <- Seq("reliable", "disk2")) {
+      assert(withMode(mode)(ccRun()) == expectedCc, s"CC under $mode")
+      assert(withMode(mode)(prRun()) == expectedPr, s"PageRank under $mode")
+    }
+  }
+
+}
