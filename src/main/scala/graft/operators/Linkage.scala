@@ -152,6 +152,41 @@ object Linkage {
       expr("CAST(round(c_acctbal * 100) AS BIGINT)"), w = 3, maxDist = 2)
       .orderBy("id_a", "id_b", "dist")
 
+  /** MULTI-PASS sorted neighborhood — Hernández–Stolfo's actual recipe:
+    * several passes with DIFFERENT sort keys, pair sets unioned. One
+    * key's neighborhood misses matches the key itself garbles (a typo
+    * in the sort field teleports the record across the order), so the
+    * standard practice is 2–3 cheap independent keys whose failure
+    * modes don't overlap; a pair is a candidate if ANY pass sees it.
+    * Pairs canonicalize to id_a < id_b before the union-dedup (each
+    * pass orders by ITS rank, so the same pair can arrive in either
+    * orientation); `dist` is orientation-independent (Levenshtein is
+    * symmetric), so distinct() is exact. Pair space is ≤ N·w·passes by
+    * construction. */
+  def sortedNeighborhoodPairsMulti(records: DataFrame, idCol: String,
+      nameCol: String, sortKeys: Seq[org.apache.spark.sql.Column], w: Int,
+      maxDist: Int = 2): DataFrame = {
+    require(sortKeys.nonEmpty, "sortedNeighborhoodPairsMulti: >= 1 sort key")
+    sortKeys.map { k =>
+      sortedNeighborhoodPairs(records, idCol, nameCol, k, w, maxDist)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Two-pass sorted neighborhood over customers: pass A's key is the
+    * exact balance cents (near-equal balances adjacent), pass B's the
+    * name itself (lexicographic — shared prefixes adjacent). A
+    * same-name pair with distant balances is invisible to pass A and
+    * caught by pass B, and vice versa; the union is the candidate
+    * set. */
+  def qErSnMultipass(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairsMulti(Tables.customer(spark, dir), "c_custkey",
+      "c_name", Seq(
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+        col("c_name")), w = 3, maxDist = 2)
+      .orderBy("id_a", "id_b", "dist")
+
   /** FELLEGI–SUNTER pair scoring — the probabilistic-linkage decision
     * layer over any candidate generator ([[blockedFuzzyPairs]],
     * [[sortedNeighborhoodPairs]]): each compared field contributes its
@@ -183,8 +218,9 @@ object Linkage {
     * (+0.6M/−0.3M), EXACT name (+0.4M/−0.2M — the multi-level
     * comparator shape: exact agreement earns more than close
     * agreement); match ≥ 1.5M, possible ≥ 0. */
-  def qErFsScore(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
+  /** The FS-scored (nation, segment)-blocked customer pair frame the
+    * scoring query and the entity consolidation both read. */
+  private def fsScoredCustomerPairs(cust: DataFrame): DataFrame = {
     val pairs = blockedFuzzyPairs(cust, "c_custkey", "c_name",
       Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
     def side(suffix: String, idAs: String) = cust.select(
@@ -198,8 +234,48 @@ object Linkage {
         (abs(col("bal_a") - col("bal_b")) <= 5000L, 600000L, -300000L),
         (col("dist") === 0L, 400000L, -200000L)),
       upperPpm = 1500000L, lowerPpm = 0L)
+  }
+
+  def qErFsScore(spark: SparkSession, dir: String): DataFrame =
+    fsScoredCustomerPairs(Tables.customer(spark, dir))
       .select("id_a", "id_b", "dist", "score_ppm", "verdict")
       .orderBy("id_a", "id_b", "dist", "score_ppm", "verdict")
+
+  /** ENTITY CONSOLIDATION — the step after pair scoring: only pairs the
+    * decision layer called `match` become edges, connected components
+    * collapse transitive match chains into one entity id (A≈B and B≈C
+    * force {A,B,C} into one entity even though (A,C) was never
+    * compared — exactly the dedup-family composition), and field-level
+    * survivorship ([[goldenRecords]]) synthesizes the master record per
+    * multi-member entity. `possible` pairs deliberately do NOT merge —
+    * they are the clerical-review queue, and letting them chain would
+    * glue entities together on sub-threshold evidence.
+    *
+    * Scale shape: the match-edge frame is a filter over the (blocking-
+    * bounded) scored pairs; CC iterates on that graph (dup-mass-sized,
+    * never corpus-sized); the survivorship is one aggregate + one
+    * window per modal field at the cluster grain. */
+  def entities(records: DataFrame, idCol: String, scoredPairs: DataFrame,
+      modalCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame =
+    goldenRecords(records,
+      scoredPairs.filter(col("verdict") === "match")
+        .select(col("id_a"), col("id_b")),
+      idCol, modalCols, maxCols, minCols)
+
+  /** Customer entities from the FS match verdicts: per multi-member
+    * entity, its id (min member key), member count, modal market
+    * segment, max balance (exact cents) and min customer key — the
+    * golden record a downstream MDM catalog shows for the merged
+    * entity. */
+  def qErEntities(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    entities(cust, "c_custkey", fsScoredCustomerPairs(cust),
+      modalCols = Seq("c_mktsegment"), maxCols = Seq("bal_cents"),
+      minCols = Seq("c_custkey"))
+      .orderBy("cluster_id", "n_members", "max_bal_cents", "min_c_custkey",
+        "modal_c_mktsegment")
   }
 
   /** GOLDEN RECORDS — field-level survivorship merge over matched

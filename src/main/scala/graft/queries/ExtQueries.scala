@@ -105,7 +105,9 @@ object ExtQueries {
     "storage_scd2_asof"     -> graft.operators.Scd.qScd2AsOf _,
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "er_sorted_neighborhood" -> graft.operators.Linkage.qErSortedNeighborhood _,
+    "er_sn_multipass"       -> graft.operators.Linkage.qErSnMultipass _,
     "er_fs_score"           -> graft.operators.Linkage.qErFsScore _,
+    "er_entities"           -> graft.operators.Linkage.qErEntities _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
@@ -3022,6 +3024,76 @@ object ExtQueries {
         |FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
         |WHERE levenshtein(a.nm, b.nm) <= 2
         |ORDER BY id_a, id_b, dist""".stripMargin,
+
+    // Mirrors Linkage.qErSnMultipass: two independent rank orders
+    // (balance cents; the name itself), each banded to rank-difference
+    // in [1, w], pairs canonicalized to id_a < id_b and union-deduped —
+    // a pair present under either key must appear exactly once.
+    "er_sn_multipass" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS k FROM customer),
+        |rka AS (SELECT *, ROW_NUMBER() OVER (ORDER BY k, id) AS rn FROM r),
+        |rkb AS (SELECT *, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM r),
+        |u AS (
+        |  SELECT a.id AS ia, b.id AS ib, a.nm AS na, b.nm AS nb
+        |  FROM rka a JOIN rka b ON b.rn - a.rn BETWEEN 1 AND 3
+        |  UNION ALL
+        |  SELECT a.id, b.id, a.nm, b.nm
+        |  FROM rkb a JOIN rkb b ON b.rn - a.rn BETWEEN 1 AND 3)
+        |SELECT DISTINCT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |FROM u WHERE levenshtein(na, nb) <= 2
+        |ORDER BY id_a, id_b, dist""".stripMargin,
+
+    // Mirrors Linkage.qErEntities: the er_fs_score chain filtered to
+    // match verdicts, transitive closure by recursive CTE (the er_golden
+    // CC replay), then the per-entity golden record — member count,
+    // modal segment (count desc, value asc tie-break), exact max cents,
+    // min key. A possible-verdict pair merging, a missed transitive
+    // collapse, or a wrong modal tie-break all hash-mismatch.
+    "er_entities" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |bl AS (SELECT c_nationkey, c_mktsegment FROM c
+        |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cb AS (SELECT c.* FROM c JOIN bl USING (c_nationkey, c_mktsegment)),
+        |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |    a.bal AS bal_a, b.bal AS bal_b
+        |  FROM cb a JOIN cb b USING (c_nationkey, c_mktsegment)
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 2),
+        |m AS (SELECT id_a, id_b FROM p
+        |  WHERE (CASE WHEN dist <= 1 THEN 1800000 ELSE -900000 END
+        |     + CASE WHEN abs(bal_a - bal_b) <= 5000 THEN 600000
+        |            ELSE -300000 END
+        |     + CASE WHEN dist = 0 THEN 400000 ELSE -200000 END) >= 1500000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM m
+        |          UNION SELECT id_b, id_a FROM m),
+        |reach AS (
+        |  WITH RECURSIVE rr(node, reach) AS (
+        |    SELECT src, src FROM edges
+        |    UNION
+        |    SELECT rr.node, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+        |  SELECT node, min(reach) AS cluster_id FROM rr GROUP BY node),
+        |lab AS (SELECT cu.c_custkey, cu.c_mktsegment,
+        |    CAST(round(cu.c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    reach.cluster_id
+        |  FROM customer cu JOIN reach ON reach.node = cu.c_custkey),
+        |agg AS (SELECT cluster_id, count(*) AS n_members,
+        |    max(bal_cents) AS max_bal_cents,
+        |    min(c_custkey) AS min_c_custkey
+        |  FROM lab GROUP BY 1 HAVING count(*) >= 2),
+        |ms AS (SELECT cluster_id, c_mktsegment AS modal_c_mktsegment FROM (
+        |    SELECT cluster_id, c_mktsegment,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+        |    FROM lab GROUP BY cluster_id, c_mktsegment) WHERE rn = 1)
+        |SELECT cluster_id, n_members, max_bal_cents, min_c_custkey,
+        |  modal_c_mktsegment
+        |FROM agg JOIN ms USING (cluster_id)
+        |ORDER BY cluster_id, n_members, max_bal_cents, min_c_custkey,
+        |  modal_c_mktsegment""".stripMargin,
 
     // Mirrors Linkage.qErFsScore: the same blocked candidates as
     // er_blocked_pairs, each field's agreement weight an integer ppm

@@ -97,4 +97,56 @@ class LinkageSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(nulls == Set(6L, 7L), "NULL-key records are first-class output")
   }
+
+  test("entities: two match pairs sharing a middle record collapse to " +
+    "ONE entity; possible verdicts never merge") {
+    import org.apache.spark.sql.functions._
+    val records = Seq(
+      (1L, "SEG_A", 100L), (2L, "SEG_B", 300L), (3L, "SEG_B", 200L),
+      (4L, "SEG_C", 50L), (5L, "SEG_C", 60L))
+      .toDF("id", "seg", "cents")
+    // A-B and B-C are matches (transitive chain), C-D only possible
+    val scored = Seq(
+      (1L, 2L, "match"), (2L, 3L, "match"), (3L, 4L, "possible"))
+      .toDF("id_a", "id_b", "verdict")
+    val got = Linkage.entities(records, "id", scored,
+        modalCols = Seq("seg"), maxCols = Seq("cents"), minCols = Seq("id"))
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("max_cents"),
+        r.getAs[Long]("min_id"), r.getAs[String]("modal_seg"))).toSeq
+    // one entity {1,2,3}: modal seg = SEG_B (2 of 3), max cents 300,
+    // min id 1; records 4/5 never merged (no match edge touches them)
+    assert(got == Seq((1L, 3L, 300L, 1L, "SEG_B")), got.toString)
+  }
+
+  test("multi-pass sorted neighborhood: a pair invisible to key A is " +
+    "caught by key B; shared pairs dedup to one row") {
+    import org.apache.spark.sql.functions._
+    // names: h1/h2 match within dist 1 but their balances are FAR apart
+    // (key A = balance puts 40 strangers between them); k1/k2 have
+    // adjacent balances (caught by key A) but names 3+ apart from
+    // everything except each other... keep them dist-1 too
+    val far = (10L until 50L).map(i => (i, s"zz${i}zz", i * 1000L))
+    val records = (Seq(
+      (1L, "harper one", 5000L), (2L, "harper one!", 99000L),
+      (3L, "kettle a", 7000L), (4L, "kettle b", 7001L)) ++ far)
+      .toDF("id", "name", "bal")
+    val keyA = col("bal")
+    val keyB = col("name")
+    val gotA = Linkage.sortedNeighborhoodPairs(records, "id", "name",
+        keyA, w = 3, maxDist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gotA.contains((1L, 2L)),
+      s"balance key must NOT see the harper pair: $gotA")
+    val multi = Linkage.sortedNeighborhoodPairsMulti(records, "id", "name",
+        Seq(keyA, keyB), w = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.contains((1L, 2L)), s"name key must catch harper: $multi")
+    assert(multi.contains((3L, 4L)), s"balance key must catch kettle: $multi")
+    // dedup: the kettle pair is visible under BOTH keys yet appears once
+    val kettleRows = Linkage.sortedNeighborhoodPairsMulti(records, "id",
+        "name", Seq(keyA, keyB), w = 3, maxDist = 2)
+      .filter(col("id_a") === 3L && col("id_b") === 4L).count()
+    assert(kettleRows == 1L, s"union-dedup must collapse to one row: $kettleRows")
+  }
 }
