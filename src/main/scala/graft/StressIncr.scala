@@ -131,6 +131,43 @@ object StressIncr {
             print(s"[incr] matches=$n ")
           }
         }
+      case "er" =>
+        // the incremental-ER contract: probe cost is O(batch's blocks),
+        // never index-grain. The corpus replicates in-mode 1x/10x/100x
+        // with replicas scattered into FRESH blocks (segment suffixed
+        // per replica) — the realistic growth shape, since a block that
+        // itself grew 100x is what maxBlock caps and re-blocking fixes.
+        // The fixed probe batch touches only the original blocks, so
+        // its wall must stay flat while the index grows 100x; the
+        // index_build rows are the linear offline cost the incremental
+        // path exists to avoid repeating.
+        import graft.operators.Linkage
+        val cust = Tables.customer(spark, sfDir).localCheckpoint()
+        val blockCols = Seq("c_nationkey", "c_mktsegment")
+        val batch = cust.filter(col("c_custkey") % 97 === 0)
+          .localCheckpoint()
+        println(s"[incr] batch_records=${batch.count()}")
+        Seq(1, 10, 100).foreach { reps =>
+          val corpus = (0 until reps).map { r =>
+            cust.select(
+              (col("c_custkey") + lit(r.toLong * 10000000L)).as("c_custkey"),
+              col("c_name"), col("c_nationkey"),
+              (if (r == 0) col("c_mktsegment")
+               else concat(col("c_mktsegment"), lit(s"#$r")))
+                .as("c_mktsegment"))
+          }.reduce(_ unionAll _)
+          spark.sql("DROP TABLE IF EXISTS incr_er_idx")
+          timed(s"index_build_x$reps")(Linkage.writeBlockIndex(corpus,
+            "incr_er_idx", "c_custkey", "c_name", blockCols, numBuckets = 32))
+          (1 to probes).foreach { i =>
+            timed(s"probe_x${reps}_$i") {
+              val n = Linkage.erBatchAgainstIndex(spark, batch,
+                "incr_er_idx", "c_custkey", "c_name", blockCols,
+                maxDist = 2).count()
+              print(s"[incr] candidates=$n ")
+            }
+          }
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

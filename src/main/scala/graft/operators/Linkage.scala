@@ -278,6 +278,161 @@ object Linkage {
         "modal_c_mktsegment")
   }
 
+  // ---- incremental ER (batch-vs-corpus candidate generation) ------------
+
+  /** The equality-block ER index frame: one row per record carrying its
+    * block key columns plus the id and compare field — everything a
+    * later batch needs to generate candidates against this record
+    * WITHOUT re-reading or re-blocking the corpus (the
+    * [[graft.operators.Dedup.signatureIndex]] contract on relational
+    * keys instead of content hashes). */
+  def blockIndex(records: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String]): DataFrame =
+    records.select(blockCols.map(col) :+ col(idCol).as("er_id") :+
+      col(nameCol).as("er_nm"): _*)
+
+  /** Persist the block index hash-bucketed on the block key, so every
+    * later batch probes it with zero exchange on the corpus side — the
+    * [[graft.operators.Dedup.writeSignatureIndex]] discipline. */
+  def writeBlockIndex(records: DataFrame, tableName: String,
+      idCol: String, nameCol: String, blockCols: Seq[String],
+      numBuckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      blockIndex(records, idCol, nameCol, blockCols)
+        .withColumn("ingest_batch", lit(-1L)),
+      tableName, bucketCols = blockCols, numBuckets = numBuckets,
+      sortCols = blockCols)
+
+  /** Append a new batch to a persisted block index, replay-idempotent:
+    * rows already carrying this `batchId` are anti-joined away first
+    * (the [[graft.operators.Dedup.appendGramIndex]] crash/replay
+    * contract), the bucket spec is preserved by the bucketed Append. */
+  def appendBlockIndex(batch: DataFrame, tableName: String, idCol: String,
+      nameCol: String, blockCols: Seq[String], numBuckets: Int,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = blockIndex(batch, idCol, nameCol, blockCols)
+      .withColumn("ingest_batch", lit(batchId))
+    val fresh =
+      if (spark.catalog.tableExists(tableName)) {
+        spark.catalog.refreshTable(tableName)
+        rows.join(spark.table(tableName)
+            .filter(col("ingest_batch") === batchId)
+            .select(col("er_id")),
+          Seq("er_id"), "left_anti")
+      } else rows
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, blockCols.head, blockCols.tail: _*)
+      .sortBy(blockCols.head, blockCols.tail: _*)
+      .saveAsTable(tableName)
+  }
+
+  /** Candidate pairs of a NEW batch against an existing block index —
+    * new×old plus new×new, block-key equality, banded edit distance —
+    * without re-blocking the corpus: only the batch shuffles (the index
+    * side is bucket-co-located on the block key). Admissibility
+    * (`maxBlock`) evaluates on the UNION grain — index counts plus
+    * batch counts — so a block that CROSSES the cap this batch stops
+    * producing pairs now (its earlier pairs stand: the append-only
+    * candidate contract the whole incremental dedup family keeps) and
+    * surfaces via [[oversizedBlocks]] monitoring on the union frame.
+    * Pairs canonicalize to id_a < id_b across the old/new boundary.
+    * The union of index-build pairs and every batch's probe pairs
+    * equals one full [[blockedFuzzyPairs]] run whenever no block
+    * crossed the cap between batches (er_blocked_incremental replays
+    * exactly this equality against the full-run oracle). */
+  def probeBlockIndex(index: DataFrame, batch: DataFrame, idCol: String,
+      nameCol: String, blockCols: Seq[String], maxDist: Int = 2,
+      maxBlock: Long = 1000L, maxPruneKeys: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty && maxDist >= 0 && maxBlock >= 2)
+    val bc = blockCols.map(col)
+    val b = blockIndex(batch, idCol, nameCol, blockCols)
+    // DYNAMIC BLOCK PRUNING — the step that keeps the probe flat while
+    // the index grows: the batch's distinct per-column key values
+    // (O(batch) driver metadata, the shardAssign discipline) push into
+    // the index scan as literal IN filters, and the sorted-bucketed
+    // index then skips untouched row groups at IO time. The per-column
+    // form is a SUPERSET of the touched blocks (sound: the equi-joins
+    // below stay exact); without it every probe re-scanned the whole
+    // index for the size aggregate — corpus-grain, the exact cost the
+    // incremental path exists to avoid. A batch with more than
+    // `maxPruneKeys` distinct values in some key column skips that
+    // column's filter (logged — a giant IN literal bloats the plan past
+    // what it saves).
+    val pruned = blockCols.foldLeft(index) { (acc, c) =>
+      val vs = b.select(col(c)).filter(col(c).isNotNull).distinct()
+        .limit(maxPruneKeys + 1).collect().map(_.get(0)).toSeq
+      if (vs.size > maxPruneKeys) {
+        System.err.println(s"[graft] probeBlockIndex: batch has more " +
+          s"than $maxPruneKeys distinct '$c' values — scan pruning " +
+          "skipped for that column (probe stays exact, IO grows)")
+        acc
+      } else acc.filter(col(c).isInCollection(vs))
+    }.transform(graft.CutPoint.cut) // one scan feeds sizes AND the pair join
+    val sizes = pruned.groupBy(bc: _*).agg(count(lit(1)).as("graft_n1"))
+      .join(b.groupBy(bc: _*).agg(count(lit(1)).as("graft_n2")),
+        blockCols, "full")
+      .select(bc :+ (coalesce(col("graft_n1"), lit(0L)) +
+        coalesce(col("graft_n2"), lit(0L))).as("graft_bn"): _*)
+    val admissible = sizes.filter(col("graft_bn") <= maxBlock)
+      .select(bc: _*)
+    val newSide = b.join(admissible, blockCols)
+    val oldSide = pruned.join(admissible, blockCols)
+    val vsOld = newSide
+      .select(bc :+ col("er_id").as("graft_bi") :+ col("er_nm").as("graft_bn2"): _*)
+      .join(oldSide
+        .select(bc :+ col("er_id").as("graft_ci") :+ col("er_nm").as("graft_cn2"): _*),
+        blockCols)
+      .select(least(col("graft_bi"), col("graft_ci")).as("id_a"),
+        greatest(col("graft_bi"), col("graft_ci")).as("id_b"),
+        when(col("graft_bi") < col("graft_ci"), col("graft_bn2"))
+          .otherwise(col("graft_cn2")).as("graft_na"),
+        when(col("graft_bi") < col("graft_ci"), col("graft_cn2"))
+          .otherwise(col("graft_bn2")).as("graft_nb"))
+    val inBatch = newSide
+      .select(bc :+ col("er_id").as("id_a") :+ col("er_nm").as("graft_na"): _*)
+      .join(newSide
+        .select(bc :+ col("er_id").as("id_b") :+ col("er_nm").as("graft_nb"): _*),
+        blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "graft_na", "graft_nb")
+    vsOld.unionAll(inBatch)
+      .withColumn("dist",
+        levenshtein(col("graft_na"), col("graft_nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Probe a PERSISTED [[writeBlockIndex]] table with an incoming
+    * batch. Reads through [[graft.sources.Sinks.liveRows]] so
+    * tombstoned (pending-vacuum) records never generate candidates. */
+  def erBatchAgainstIndex(spark: SparkSession, batch: DataFrame,
+      tableName: String, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int = 2,
+      maxBlock: Long = 1000L): DataFrame =
+    probeBlockIndex(
+      graft.sources.Sinks.liveRows(spark, tableName, idCol = "er_id"),
+      batch, idCol, nameCol, blockCols, maxDist, maxBlock)
+
+  /** Incremental blocked linkage replayed as one query: customers
+    * arrive as two batches (keys ≢ 0 mod 5 are the indexed corpus, keys
+    * ≡ 0 the new batch); the corpus half's own pairs plus the batch's
+    * index probe must equal ONE full blocked run — this query shares
+    * er_blocked_pairs' oracle, so a missed cross-boundary candidate, a
+    * double-counted in-batch pair, or a wrong canonical orientation all
+    * hash-mismatch. */
+  def qErBlockedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val blockCols = Seq("c_nationkey", "c_mktsegment")
+    val old = cust.filter(col("c_custkey") % 5 =!= 0)
+    val batch = cust.filter(col("c_custkey") % 5 === 0)
+    blockedFuzzyPairs(old, "c_custkey", "c_name", blockCols, maxDist = 2)
+      .unionAll(probeBlockIndex(
+        blockIndex(old, "c_custkey", "c_name", blockCols), batch,
+        "c_custkey", "c_name", blockCols, maxDist = 2))
+      .orderBy("id_a", "id_b", "dist")
+  }
+
   /** GOLDEN RECORDS — field-level survivorship merge over matched
     * clusters (the step after candidate matching: linkage/dedup found
     * who is the same entity; this decides what the merged master record

@@ -106,6 +106,7 @@ object ExtQueries {
     "er_blocked_pairs"      -> graft.operators.Linkage.qErBlockedPairs _,
     "er_sorted_neighborhood" -> graft.operators.Linkage.qErSortedNeighborhood _,
     "er_sn_multipass"       -> graft.operators.Linkage.qErSnMultipass _,
+    "er_blocked_incremental" -> graft.operators.Linkage.qErBlockedIncremental _,
     "er_fs_score"           -> graft.operators.Linkage.qErFsScore _,
     "er_entities"           -> graft.operators.Linkage.qErEntities _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
@@ -3023,6 +3024,22 @@ object ExtQueries {
         |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
         |FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
         |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b, dist""".stripMargin,
+
+    // Mirrors Linkage.qErBlockedIncremental: the incremental path —
+    // corpus-half pairs + the batch's zero-exchange index probe — must
+    // union to exactly ONE full blocked run, so it shares
+    // er_blocked_pairs' oracle SQL verbatim.
+    "er_blocked_incremental" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+        |bl AS (SELECT c_nationkey, c_mktsegment FROM c
+        |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cb AS (SELECT c.* FROM c JOIN bl USING (c_nationkey, c_mktsegment))
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM cb a JOIN cb b USING (c_nationkey, c_mktsegment)
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b, dist""".stripMargin,
 
     // Mirrors Linkage.qErSnMultipass: two independent rank orders

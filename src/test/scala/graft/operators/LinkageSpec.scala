@@ -149,4 +149,66 @@ class LinkageSpec extends AnyFunSuite {
       .filter(col("id_a") === 3L && col("id_b") === 4L).count()
     assert(kettleRows == 1L, s"union-dedup must collapse to one row: $kettleRows")
   }
+
+  test("incremental ER: the persisted block index probes with zero " +
+    "exchange, the union equals one full blocked run, appends are " +
+    "replay-idempotent, and a cap-crossing block stops producing") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+    val blockCols = Seq("c_nationkey", "c_mktsegment")
+    val old = cust.filter(col("c_custkey") % 5 =!= 0)
+    val batch = cust.filter(col("c_custkey") % 5 === 0)
+    Seq("er_blk_corpus", "er_blk_batch")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Linkage.writeBlockIndex(old, "er_blk_corpus", "c_custkey", "c_name",
+      blockCols, numBuckets = 4)
+    Linkage.writeBlockIndex(batch, "er_blk_batch", "c_custkey", "c_name",
+      blockCols, numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // raw bucket-equality probe: both sides pre-co-located, no shuffle
+      val raw = spark.table("er_blk_batch").select(col("c_nationkey"),
+          col("c_mktsegment"), col("er_id").as("bid"))
+        .join(spark.table("er_blk_corpus"), blockCols)
+      val plan = raw.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"block probe must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // union equality: old-internal pairs + persisted-table probe = full run
+    val full = Linkage.blockedFuzzyPairs(cust, "c_custkey", "c_name",
+        blockCols, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Linkage.blockedFuzzyPairs(old, "c_custkey", "c_name",
+        blockCols, maxDist = 2).select("id_a", "id_b")
+      .unionAll(Linkage.erBatchAgainstIndex(spark, batch, "er_blk_corpus",
+        "c_custkey", "c_name", blockCols, maxDist = 2).select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full, s"${incr.size} vs ${full.size}")
+    assert(full.nonEmpty, "fixture must produce pairs")
+    // replay-idempotent append: the same batchId lands once
+    Linkage.appendBlockIndex(batch, "er_blk_corpus", "c_custkey", "c_name",
+      blockCols, numBuckets = 4, batchId = 7L)
+    spark.catalog.refreshTable("er_blk_corpus")
+    val afterOnce = spark.table("er_blk_corpus").count()
+    Linkage.appendBlockIndex(batch, "er_blk_corpus", "c_custkey", "c_name",
+      blockCols, numBuckets = 4, batchId = 7L)
+    spark.catalog.refreshTable("er_blk_corpus")
+    assert(spark.table("er_blk_corpus").count() == afterOnce,
+      "replaying batch 7 must append nothing")
+    // cap semantics: a block whose UNION size crosses maxBlock produces
+    // no probe pairs (earlier pairs stand — append-only contract)
+    val idx = Linkage.blockIndex(
+      (0L until 8L).map(i => (i, s"nm$i", "HOT")).toDF("id", "nm", "city"),
+      "id", "nm", Seq("city"))
+    val hotBatch = (100L until 105L).map(i => (i, s"nm$i", "HOT"))
+      .toDF("id", "nm", "city")
+    val capped = Linkage.probeBlockIndex(idx, hotBatch, "id", "nm",
+      Seq("city"), maxDist = 2, maxBlock = 10)
+    assert(capped.count() == 0L, "8 + 5 > 10: the block must stop producing")
+    val uncapped = Linkage.probeBlockIndex(idx, hotBatch, "id", "nm",
+      Seq("city"), maxDist = 2, maxBlock = 13)
+    assert(uncapped.count() > 0L, "13 >= 13: same block admissible again")
+    Seq("er_blk_corpus", "er_blk_batch")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
