@@ -55,6 +55,16 @@ object Web {
 
   def urlScheme(url: Column): Column = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
 
+  /** The robots/politeness HOST — the full authority, lowercased, port
+    * dropped, www KEPT (RFC 9309 scope is the exact host serving
+    * /robots.txt; www.example.com and example.com are distinct
+    * authorities even when they serve the same site). This is the key
+    * a production crawl fetches robots files under and schedules
+    * politeness windows on ([[crawlDelays]]/[[fetchSchedule]]
+    * `keyCol`/`grainCol`). */
+  def robotsHost(url: Column): Column =
+    lower(regexp_extract(url, "://([^:/?#]*)", 1))
+
   /** True when the URL carries any tracking parameter. */
   def hasTrackingParam(url: Column): Column =
     exists(split(urlQuery(url), "&"), p => p =!= "" && isTrackingParam(p))
@@ -150,8 +160,9 @@ object Web {
     *
     * Scale: one window pass partitioned by domain over O(robots lines)
     * — a metadata table millions of times smaller than the corpus. */
-  def parseRobots(robots: DataFrame, agent: String = "*"): DataFrame = {
-    val (tagged, starGroups) = robotsGroups(robots, agent)
+  def parseRobots(robots: DataFrame, agent: String = "*",
+      keyCol: String = "reg_domain"): DataFrame = {
+    val (tagged, starGroups) = robotsGroups(robots, agent, keyCol)
     val withEnd = col("value").endsWith("$")
     // body = the rule without its trailing end-anchor (if any); escape
     // regex metachars (not '*'), then '*' -> '.*'. The $0 group ref is
@@ -164,8 +175,8 @@ object Web {
       when(withEnd, "$").otherwise(""))
     tagged
       .filter(col("key").isin("allow", "disallow") && col("value").startsWith("/"))
-      .join(starGroups, Seq("reg_domain", "gid"))
-      .select(col("reg_domain"), (col("key") === "allow").as("allow"),
+      .join(starGroups, Seq(keyCol, "gid"))
+      .select(col(keyCol), (col("key") === "allow").as("allow"),
         col("value").as("prefix"), length(col("value")).cast("long").as("rule_len"),
         rx.as("rx"))
   }
@@ -175,14 +186,14 @@ object Web {
     * §2.2.1 — groups naming `agent` (level 2) beat `*` groups (level 1)
     * domain-wise; all groups at the winning level combine. */
   private def robotsGroups(robots: DataFrame,
-      agent: String): (DataFrame, DataFrame) = {
-    val lines = robots.select(col("reg_domain"),
+      agent: String, keyCol: String = "reg_domain"): (DataFrame, DataFrame) = {
+    val lines = robots.select(col(keyCol),
         posexplode(split(col("robots_txt"), "\r\n|\r|\n")).as(Seq("pos", "raw")))
-      .select(col("reg_domain"), col("pos"),
+      .select(col(keyCol), col("pos"),
         trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
       .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
       .withColumn("value", trim(regexp_extract(col("line"), "^[^:]*:(.*)$", 1)))
-    val byPos = Window.partitionBy("reg_domain").orderBy("pos")
+    val byPos = Window.partitionBy(keyCol).orderBy("pos")
     val tagged = lines
       .withColumn("is_ua", col("key") === "user-agent")
       .withColumn("gid", sum((col("is_ua") &&
@@ -196,19 +207,25 @@ object Web {
       when(col("is_ua") && col("value") === "*", 1)
         .when(col("is_ua") && lower(col("value")) === agent.toLowerCase, 2)
         .otherwise(0)
-    val byDomain = Window.partitionBy("reg_domain")
+    val byDomain = Window.partitionBy(keyCol)
     val selected = tagged
-      .groupBy("reg_domain", "gid").agg(max(uaLvl).as("lvl"))
+      .groupBy(keyCol, "gid").agg(max(uaLvl).as("lvl"))
       .filter(col("lvl") > 0)
       .withColumn("best", max(col("lvl")).over(byDomain))
       .filter(col("lvl") === col("best"))
-      .select("reg_domain", "gid")
+      .select(keyCol, "gid")
     (tagged, selected)
   }
 
-  /** Per-domain `Crawl-delay` of the SELECTED group (same §2.2.1
+  /** Per-key `Crawl-delay` of the SELECTED group (same §2.2.1
     * token-over-star selection as [[parseRobots]]) — the de-facto
     * politeness directive (not in RFC 9309, honored by most engines).
+    * `keyCol` is the grain the robots frame was FETCHED at: RFC 9309
+    * scope is per HOST (robots.txt lives at each authority's root —
+    * `blog.example.com` and `shop.example.com` carry distinct files
+    * with independent delays), so a production crawl keys the frame by
+    * [[robotsHost]] and schedules at that grain; `reg_domain` remains
+    * the default for eTLD+1-keyed fixtures and rollups.
     * Fractional values (`Crawl-delay: 0.5` is common in the wild) are
     * accepted and CEILED to a whole second — dropping them would fall
     * back to the caller default, which can be a SHORTER cadence than
@@ -220,16 +237,17 @@ object Web {
     * a file says both, waiting longer violates neither). Output
     * `(reg_domain, crawl_delay_sec)`, domains with no directive absent
     * — the caller applies its own default cadence. O(domains) out. */
-  def crawlDelays(robots: DataFrame, agent: String = "*"): DataFrame = {
-    val (tagged, selected) = robotsGroups(robots, agent)
+  def crawlDelays(robots: DataFrame, agent: String = "*",
+      keyCol: String = "reg_domain"): DataFrame = {
+    val (tagged, selected) = robotsGroups(robots, agent, keyCol)
     val ceilSecs =
       regexp_extract(col("value"), "^([0-9]+)", 1).cast("long") +
         when(col("value").rlike("\\.[0-9]*[1-9]"), 1L).otherwise(0L)
     tagged
       .filter(col("key") === "crawl-delay" &&
         col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
-      .join(selected, Seq("reg_domain", "gid"))
-      .groupBy("reg_domain")
+      .join(selected, Seq(keyCol, "gid"))
+      .groupBy(keyCol)
       .agg(max(ceilSecs).as("crawl_delay_sec"))
   }
 
@@ -650,22 +668,28 @@ object Web {
   }
 
   /** Politeness-bounded fetch schedule over the UNKNOWN frontier: per
-    * domain, freshest first (`lastmod` desc, ties by canon_loc), slot k
-    * fetches at `k · crawl_delay_sec` (domains with no declared delay
-    * get `defaultDelaySec`). The per-domain window is bounded by that
-    * domain's frontier — the polite-crawl shape where one slow domain
-    * never stalls another. Output (reg_domain, canon_loc, lastmod,
-    * slot, fetch_offset_sec). */
+    * politeness grain, freshest first (`lastmod` desc, ties by
+    * canon_loc), slot k fetches at `k · crawl_delay_sec` (grains with
+    * no declared delay get `defaultDelaySec`). The per-grain window is
+    * bounded by that grain's frontier — the polite-crawl shape where
+    * one slow site never stalls another. `grainCol` names the
+    * politeness key the frontier and delay frames share: the robots
+    * HOST in production (RFC 9309 robots scope is per host, so two
+    * hosts of one eTLD+1 carry independent delays and schedule
+    * independently — [[robotsHost]]); `reg_domain` stays the default
+    * for eTLD+1-keyed fixtures/rollups. Output (grainCol, canon_loc,
+    * lastmod, slot, fetch_offset_sec). */
   def fetchSchedule(frontierDf: DataFrame, delays: DataFrame,
-      defaultDelaySec: Long = 1L): DataFrame = {
-    val w = Window.partitionBy("reg_domain")
+      defaultDelaySec: Long = 1L,
+      grainCol: String = "reg_domain"): DataFrame = {
+    val w = Window.partitionBy(grainCol)
       .orderBy(col("lastmod").desc, col("canon_loc"))
     frontierDf.filter(!col("known"))
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
-      .join(broadcast(delays), Seq("reg_domain"), "left")
+      .join(broadcast(delays), Seq(grainCol), "left")
       .withColumn("graft_delay",
         coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
-      .select(col("reg_domain"), col("canon_loc"), col("lastmod"),
+      .select(col(grainCol), col("canon_loc"), col("lastmod"),
         col("slot"), (col("slot") * col("graft_delay")).as("fetch_offset_sec"))
   }
 
@@ -745,19 +769,33 @@ object Web {
     * BEFORE the in-link count (rank subsumes raw in-links and resists
     * single-domain farms by construction). Unranked URLs take 0.
     *
+    * `hubPrior` (optional): a [[hitsPpm]] table `(url, hub_ppm)` —
+    * published beside the rank snapshot by
+    * `WebStream.publishHitsRefresh`. A high-hub page POINTS at good
+    * sources (directory/index pages), so re-visiting it feeds frontier
+    * DISCOVERY even when its own content is thin — exactly the signal
+    * the cold-start tie needs. Hubs break ties after rank (own
+    * reputation first) and before the local in-link count.
+    *
+    * `grainCol`: the politeness key (see [[fetchSchedule]]) — the
+    * robots HOST in production, `reg_domain` default.
+    *
     * Scale: the history join is url-grain on the same canonical key
-    * the crawl's url index carries; the link/rank priors join on the
-    * same key; delays broadcast; the window is per-domain. */
+    * the crawl's url index carries; the link/rank/hub priors join on
+    * the same key; delays broadcast; the window is per-grain. */
   def fetchScheduleAdaptive(frontierDf: DataFrame, delays: DataFrame,
       history: DataFrame, defaultDelaySec: Long = 1L,
       coldStartPpm: Long = 500000L,
       linkPrior: Option[DataFrame] = None,
-      rankPrior: Option[DataFrame] = None): DataFrame = {
+      rankPrior: Option[DataFrame] = None,
+      hubPrior: Option[DataFrame] = None,
+      grainCol: String = "reg_domain"): DataFrame = {
     val h = history.select(col("canon_url").as("canon_loc"),
       col("change_ppm"), col("last_fetch"), col("last_digest"))
-    val w = Window.partitionBy("reg_domain")
+    val w = Window.partitionBy(grainCol)
       .orderBy(col("lastmod").desc, col("score_ppm").desc,
-        col("graft_rank").desc, col("graft_ref").desc, col("canon_loc"))
+        col("graft_rank").desc, col("graft_hub").desc,
+        col("graft_ref").desc, col("canon_loc"))
     val withLinks = linkPrior match {
       case Some(ls) => frontierDf.join(
           ls.select(col("dst_url").as("canon_loc"),
@@ -776,14 +814,23 @@ object Web {
         .drop("graft_rank0")
       case None => withLinks.withColumn("graft_rank", lit(0L))
     }
-    withRank
+    val withHub = hubPrior match {
+      case Some(hp) => withRank.join(
+          hp.select(col("url").as("canon_loc"),
+            col("hub_ppm").as("graft_hub0")),
+          Seq("canon_loc"), "left")
+        .withColumn("graft_hub", coalesce(col("graft_hub0"), lit(0L)))
+        .drop("graft_hub0")
+      case None => withRank.withColumn("graft_hub", lit(0L))
+    }
+    withHub
       .join(h, Seq("canon_loc"), "left")
       .withColumn("score_ppm", coalesce(col("change_ppm"), lit(coldStartPpm)))
       .withColumn("slot", (row_number().over(w) - 1).cast("long"))
-      .join(broadcast(delays), Seq("reg_domain"), "left")
+      .join(broadcast(delays), Seq(grainCol), "left")
       .withColumn("graft_delay",
         coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
-      .select(col("reg_domain"), col("canon_loc"), col("lastmod"),
+      .select(col(grainCol), col("canon_loc"), col("lastmod"),
         col("score_ppm"), col("slot"),
         (col("slot") * col("graft_delay")).as("fetch_offset_sec"),
         coalesce(col("last_fetch"), lit("")).as("if_modified_since"),
@@ -904,6 +951,37 @@ object Web {
         .withColumn("agent", lit("graftbot")))
       .select("agent", "reg_domain", "crawl_delay_sec")
       .orderBy("agent", "reg_domain", "crawl_delay_sec")
+  }
+
+  /** HOST-GRAIN politeness end-to-end: three hosts under ONE eTLD+1
+    * (h.example) carry three distinct robots files — blog declares
+    * Crawl-delay 5, shop 2, docs none (default 1) — and the schedule
+    * keys on [[robotsHost]], so each host's slots count independently
+    * and its own delay prices them (eTLD+1 keying would max-collapse
+    * the delays and serialize all three hosts into one window). Blog
+    * URLs are planted with an uppercase host + explicit port, so the
+    * derived grain also certifies the [[robotsHost]] normalization
+    * (lowercase, port dropped). */
+  def qFetchHostGrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("blog.h.example", "User-agent: *\nDisallow: /private/\nCrawl-delay: 5\n"),
+      ("shop.h.example", "User-agent: *\nCrawl-delay: 2\n"),
+      ("docs.h.example", "User-agent: *\nDisallow: /tmp/\n"))
+      .toDF("host", "robots_txt")
+    val delays = crawlDelays(robots, keyCol = "host")
+    val id = col("doc_id")
+    val spelled = when(id % 3 === 0, "BLOG.H.Example:8080")
+      .when(id % 3 === 1, "shop.h.example")
+      .otherwise("docs.h.example")
+    val url = concat(lit("http://"), spelled, lit("/p/"), id.cast("string"))
+    val front = Tables.documents(spark, dir).select(
+      robotsHost(url).as("host"),
+      concat(lit("http://"), robotsHost(url), lit("/p/"), id.cast("string"))
+        .as("canon_loc"),
+      lit("").as("lastmod"), lit(false).as("known"))
+    fetchSchedule(front, delays, defaultDelaySec = 1L, grainCol = "host")
+      .orderBy("host", "canon_loc", "slot", "fetch_offset_sec")
   }
 
   /** The same gate AS A NAMED CRAWLER: parse with the `graftbot`

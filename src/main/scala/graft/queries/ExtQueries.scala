@@ -174,6 +174,7 @@ object ExtQueries {
     "web_sitemap_urls"      -> Web.qSitemapUrls _,
     "web_sitemap_frontier"  -> Web.qSitemapFrontier _,
     "web_fetch_schedule"    -> Web.qFetchSchedule _,
+    "web_fetch_host_grain"  -> Web.qFetchHostGrain _,
     "web_url_refresh"       -> Web.qUrlRefresh _,
     "web_fetch_adaptive"    -> Web.qFetchAdaptive _,
     "web_feed_urls"         -> Web.qFeedUrls _,
@@ -4523,6 +4524,32 @@ object ExtQueries {
         |    ('site.org', 'https://site.org/new/page/3', '', CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         |  v(reg_domain, canon_loc, lastmod, slot, fetch_offset_sec)
         |ORDER BY reg_domain, canon_loc, lastmod, slot, fetch_offset_sec""".stripMargin,
+
+    // Web.qFetchHostGrain: three hosts of ONE eTLD+1, each under its
+    // own robots delay (blog 5 / shop 2 / docs default 1), slots
+    // counted per HOST — an eTLD+1-keyed scheduler would merge the
+    // slot sequences and max-collapse the delays, mismatching every
+    // row. The blog branch re-derives the robotsHost normalization
+    // (uppercase + :8080 spelling → lowercase, port dropped).
+    "web_fetch_host_grain" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'blog.h.example'
+        |      WHEN 1 THEN 'shop.h.example'
+        |      ELSE 'docs.h.example' END AS host
+        |  FROM documents),
+        |f AS (SELECT host,
+        |    'http://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS canon_loc
+        |  FROM u),
+        |s AS (SELECT host, canon_loc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY canon_loc)
+        |      - 1 AS BIGINT) AS slot
+        |  FROM f)
+        |SELECT host, canon_loc, '' AS lastmod, slot,
+        |  CAST(slot * (CASE host WHEN 'blog.h.example' THEN 5
+        |    WHEN 'shop.h.example' THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS fetch_offset_sec
+        |FROM s
+        |ORDER BY host, canon_loc, slot, fetch_offset_sec""".stripMargin,
 
     // Web.qUrlDedup: canonicalize (the full web_url_canon chain), then
     // newest-fetch-per-canonical-URL.

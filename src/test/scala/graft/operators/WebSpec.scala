@@ -740,4 +740,41 @@ class WebSpec extends AnyFunSuite {
     assert(!Web.robotsGate(urls, rules).select("allowed")
       .collect().head.getBoolean(0))
   }
+
+  test("host-grain politeness: two hosts of one eTLD+1 carry different " +
+    "delays and schedule independently (RFC 9309 robots scope is per host)") {
+    import org.apache.spark.sql.functions._
+    // robotsHost normalization: lowercase, port dropped, www KEPT
+    val hosts = Seq("http://BLOG.H.Example:8080/p/1",
+        "https://www.h.example/x", "http://shop.h.example/y")
+      .toDF("url").select(Web.robotsHost(col("url"))).as[String].collect().toSeq
+    assert(hosts == Seq("blog.h.example", "www.h.example", "shop.h.example"),
+      hosts.toString)
+    val robots = Seq(
+      ("blog.h.example", "User-agent: *\nCrawl-delay: 5\n"),
+      ("shop.h.example", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val delays = Web.crawlDelays(robots, keyCol = "host")
+    assert(delays.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("blog.h.example" -> 5L, "shop.h.example" -> 2L))
+    // one eTLD+1, two hosts: slots restart per host and each host's own
+    // delay prices them — a reg_domain-keyed window would interleave
+    // the six URLs into one slot sequence under max(5, 2)
+    val front = Seq("a", "b", "c").flatMap(p => Seq(
+        ("blog.h.example", s"http://blog.h.example/$p"),
+        ("shop.h.example", s"http://shop.h.example/$p")))
+      .toDF("host", "canon_loc")
+      .withColumn("lastmod", lit("")).withColumn("known", lit(false))
+    val got = Web.fetchSchedule(front, delays, defaultDelaySec = 1L,
+        grainCol = "host")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("blog.h.example", "http://blog.h.example/a", 0L, 0L),
+      ("blog.h.example", "http://blog.h.example/b", 1L, 5L),
+      ("blog.h.example", "http://blog.h.example/c", 2L, 10L),
+      ("shop.h.example", "http://shop.h.example/a", 0L, 0L),
+      ("shop.h.example", "http://shop.h.example/b", 1L, 2L),
+      ("shop.h.example", "http://shop.h.example/c", 2L, 4L)), got.toString)
+  }
 }
