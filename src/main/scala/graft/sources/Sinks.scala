@@ -537,6 +537,7 @@ object Sinks {
       linkEdgeTable: Option[String] = None,
       redirectTable: Option[String] = None,
       rankTable: Option[String] = None,
+      hitsTable: Option[String] = None,
       urlCols: Seq[String] = Seq("url", "canon_url"),
       urlHashCols: Seq[String] = Seq("url_hash"))
 
@@ -949,9 +950,10 @@ object Sinks {
     *      hash (outgoing anchor text is the page's content; the URL
     *      string itself is what a takedown removes), redirect-ledger
     *      rows delete when the retracted URL is the spelling or the
-    *      target, and the rank snapshot REBUILDS from the surviving
-    *      edges — deleting rank rows alone would keep the retracted
-    *      pages' endorsements credited to everyone they linked.
+    *      target, and the rank + HITS snapshots REBUILD from the
+    *      surviving edges — deleting score rows alone would keep the
+    *      retracted pages' endorsements (and hub/authority conferrals)
+    *      credited to everyone they linked.
     *
     * Returns a report frame (artifact, kind, n_removed) — the audit
     * row a compliance run files. Every artifact equals its from-scratch
@@ -979,7 +981,8 @@ object Sinks {
     // O(retracted docs). Spelling columns hash through xxhash64, hash
     // columns pin as-is; columns the corpus lacks are skipped.
     val wantsWebGraph = targets.linkEdgeTable.nonEmpty ||
-      targets.redirectTable.nonEmpty || targets.rankTable.nonEmpty
+      targets.redirectTable.nonEmpty || targets.rankTable.nonEmpty ||
+      targets.hitsTable.nonEmpty
     // A takedown that names web-graph tables but no corpus has no URL
     // identities to retract BY (they pin from the corpus rows) — fail
     // loudly rather than silently skipping step 6 on a compliance path
@@ -1130,6 +1133,25 @@ object Sinks {
             val n = retractFromTable(spark, rkt,
               uh.withColumnRenamed("graft_uh", "url_hash"), "url_hash")
             report += ((rkt, "rank", n))
+        }
+      }
+      // HITS snapshot: same contract as the rank snapshot — rebuild
+      // from the surviving edges when they exist (retracted pages both
+      // lose their scores and stop conferring hub/authority), plain
+      // row retraction otherwise.
+      targets.hitsTable.foreach { ht =>
+        targets.linkEdgeTable match {
+          case Some(lt) if spark.catalog.tableExists(lt) =>
+            val before = if (spark.catalog.tableExists(ht)) {
+              spark.catalog.refreshTable(ht); spark.table(ht).count()
+            } else 0L
+            val after = graft.streaming.WebStream
+              .publishHitsRefresh(spark, lt, ht)
+            report += ((ht, "hits-refresh", before - after))
+          case _ =>
+            val n = retractFromTable(spark, ht,
+              uh.withColumnRenamed("graft_uh", "url_hash"), "url_hash")
+            report += ((ht, "hits", n))
         }
       }
     }

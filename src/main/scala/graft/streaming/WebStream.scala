@@ -687,6 +687,58 @@ object WebStream {
     spark.table(rankTable).count()
   }
 
+  /** Publish a periodic HITS refresh over the [[linkIngest]] edge table
+    * into `hitsTable` `(url_hash, auth_ppm, hub_ppm)` — the
+    * [[publishRankRefresh]] twin for Kleinberg's two scores:
+    * AUTHORITIES keep feeding fetch priority beside PageRank, and HUBS
+    * are the frontier-DISCOVERY signal ([[Web.fetchScheduleAdaptive]]'s
+    * `hubPrior` slot): a directory page that points at good sources
+    * should be re-visited for its out-links even when its own content
+    * is thin — exactly what the cold-start tie-break cannot see from
+    * change history or in-links of the candidate itself. Same cadence,
+    * node-id, and staging + catalog-rename crash contract as the rank
+    * refresh. Returns scored-node count (0 = no edge table yet). */
+  def publishHitsRefresh(spark: SparkSession, linkTable: String,
+      hitsTable: String, iters: Int = 2): Long = {
+    if (!spark.catalog.tableExists(linkTable)) return 0L
+    spark.catalog.refreshTable(linkTable)
+    val staging = hitsTable + "_staging"
+    if (!spark.catalog.tableExists(hitsTable) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $hitsTable")
+    val edges = spark.table(linkTable).select(
+      col("src_hash").cast("string").as("src_url"),
+      col("dst_hash").cast("string").as("dst_url"))
+    val scores = Web.hitsPpm(edges, iters)
+      .select(col("url").cast("long").as("url_hash"),
+        col("auth_ppm"), col("hub_ppm"))
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    scores.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $hitsTable")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $hitsTable")
+    spark.catalog.refreshTable(hitsTable)
+    spark.table(hitsTable).count()
+  }
+
+  /** Hub/auth-prior probe for a frontier slice — the
+    * [[rankPriorFor]] twin over a [[publishHitsRefresh]] table:
+    * returns `(url, auth_ppm, hub_ppm)` for the candidates (pass
+    * directly as [[Web.fetchScheduleAdaptive]]'s `hubPrior`). Only the
+    * O(batch) candidate set moves; absent table → empty frame. */
+  def hitsPriorFor(spark: SparkSession, hitsTable: String,
+      candidates: DataFrame): DataFrame = {
+    val c = candidates.select(col("canon_loc")).distinct()
+      .withColumn("url_hash", xxhash64(col("canon_loc")))
+    if (!spark.catalog.tableExists(hitsTable))
+      return c.limit(0).select(col("canon_loc").as("url"),
+        lit(0L).as("auth_ppm"), lit(0L).as("hub_ppm"))
+    spark.catalog.refreshTable(hitsTable)
+    spark.table(hitsTable)
+      .join(c, Seq("url_hash"))
+      .select(col("canon_loc").as("url"), col("auth_ppm"), col("hub_ppm"))
+  }
+
   /** Rank-prior probe for a frontier slice: hash the candidates'
     * canonical URLs to the [[publishRankRefresh]] table's key and
     * return the [[Web.fetchScheduleAdaptive]] `rankPrior` shape

@@ -572,7 +572,8 @@ class SinksSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-retract-web").toString
     val corpus = base + "/corpus"
-    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want")
+    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want",
+      "t_rw_hits", "t_rw_hits_want")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     def u(i: Long) = s"http://s$i.example/p"
     val docs = (1L to 8L).map(i => (i, u(i),
@@ -611,9 +612,11 @@ class SinksSpec extends AnyFunSuite {
         col("canon_url"), col("target"))
     Sinks.writeBucketed(ledger, "t_rw_red", Seq("url_hash"),
       numBuckets = 4, Seq("url_hash"))
-    // rank snapshot over the pre-retraction graph
+    // rank + HITS snapshots over the pre-retraction graph
     graft.streaming.WebStream.publishRankRefresh(spark, "t_rw_edges",
       "t_rw_rank")
+    graft.streaming.WebStream.publishHitsRefresh(spark, "t_rw_edges",
+      "t_rw_hits")
     val retractedHashes = Seq(u(2L), u(5L)).toDF("x")
       .select(xxhash64(col("x"))).as[Long].collect().toSet
     assert(spark.table("t_rw_rank").select("url_hash").as[Long]
@@ -625,7 +628,8 @@ class SinksSpec extends AnyFunSuite {
       Sinks.RetractionTargets(corpusPath = Some(corpus),
         linkEdgeTable = Some("t_rw_edges"),
         redirectTable = Some("t_rw_red"),
-        rankTable = Some("t_rw_rank")))
+        rankTable = Some("t_rw_rank"),
+        hitsTable = Some("t_rw_hits")))
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
 
     // edges: exactly those touching neither 2 nor 5 — and none of the
@@ -665,7 +669,21 @@ class SinksSpec extends AnyFunSuite {
     assert(rankGot == rankWant, "rank ≡ refresh over surviving edges")
     assert(rankGot.map(_._1).intersect(retractedHashes).isEmpty,
       "retracted pages unranked")
-    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want")
+    // HITS: same rebuild contract as rank
+    spark.catalog.refreshTable("t_rw_hits")
+    graft.streaming.WebStream.publishHitsRefresh(spark, "t_rw_edges",
+      "t_rw_hits_want")
+    val hitsGot = spark.table("t_rw_hits")
+      .select("url_hash", "auth_ppm", "hub_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val hitsWant = spark.table("t_rw_hits_want")
+      .select("url_hash", "auth_ppm", "hub_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hitsGot == hitsWant, "hits ≡ refresh over surviving edges")
+    assert(hitsGot.map(_._1).intersect(retractedHashes).isEmpty,
+      "retracted pages carry no hub/authority")
+    Seq("t_rw_edges", "t_rw_red", "t_rw_rank", "t_rw_rank_want",
+      "t_rw_hits", "t_rw_hits_want")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

@@ -387,6 +387,45 @@ class WebStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS redvac_nots")
   }
 
+  test("hub prior end-to-end: publishHitsRefresh + hitsPriorFor flip a " +
+    "hub-heavy directory page ahead of the lexicographic cold-start order") {
+    import org.apache.spark.sql.functions.lit
+    Seq("hits_links", "hits_scores", "hits_scores_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // /zdir is a directory page (3 out-links), /apage links nothing:
+    // lexicographic order fetches /apage first, the hub signal must win
+    val edges = Seq("http://e.com/t1", "http://e.com/t2", "http://e.com/t3")
+      .map(d => ("http://d.com/zdir", d)).toDF("src", "dst")
+      .select(xxhash64(col("src")).as("src_hash"),
+        xxhash64(col("dst")).as("dst_hash"))
+    edges.write.saveAsTable("hits_links")
+    val n = WebStream.publishHitsRefresh(spark, "hits_links", "hits_scores")
+    assert(n == 4L, s"4 graph nodes scored: $n")
+    val cands = Seq("http://d.com/apage", "http://d.com/zdir")
+      .toDF("canon_loc")
+    val prior = WebStream.hitsPriorFor(spark, "hits_scores", cands)
+    assert(prior.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ==
+      Map("http://d.com/zdir" -> 1000000L), "only the hub page is scored")
+    val front = cands.select(lit("d.com").as("reg_domain"), col("canon_loc"),
+      lit("").as("lastmod"), lit(false).as("known"))
+    val hist = spark.range(0).select(lit("").as("canon_url"),
+      lit(0L).as("change_ppm"), lit("").as("last_fetch"),
+      lit("").as("last_digest"))
+    val delays = spark.range(0).select(lit("").as("reg_domain"),
+      lit(0L).as("crawl_delay_sec"))
+    def slots(hub: Option[org.apache.spark.sql.DataFrame]) =
+      graft.operators.Web.fetchScheduleAdaptive(front, delays, hist,
+          hubPrior = hub)
+        .select("canon_loc", "slot").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(slots(None)("http://d.com/apage") == 0L,
+      "without the hub prior, lexicographic order fetches /apage first")
+    assert(slots(Some(prior))("http://d.com/zdir") == 0L,
+      "the hub prior must pull the directory page to slot 0")
+    Seq("hits_links", "hits_scores")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("crawl ingest records the SPELLING hash beside a declared " +
     "identity; the frontier then skips fetched spellings") {
     implicit val sqlCtx = spark.sqlContext
