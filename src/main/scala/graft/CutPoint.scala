@@ -39,6 +39,15 @@ import org.apache.spark.storage.StorageLevel
   * All three modes are result-identical (CutPointSpec asserts equal
   * collected results on sampled iterative queries) — the strategy
   * moves WHERE blocks live, never what they contain.
+  *
+  * Coverage: EVERY production lineage cut routes through here — the
+  * iterative operators (rank/HITS/CC/Lloyd), the one-shot
+  * materializations in operators/sources, and the per-micro-batch cuts
+  * inside the streaming foreachBatch bodies (under `reliable` those
+  * batch frames land in the checkpoint store too, which is exactly the
+  * durability a production stream wants). Only the local[32] stress/
+  * soak HARNESSES (StressAnn/StressIncr/…) keep raw `localCheckpoint`
+  * — they measure the engine on one box by design.
   */
 object CutPoint {
   val ModeKey = "spark.graft.cutpoint.mode"

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
+import graft.CutPoint.CutOps
 
 /** Deduplication operators for a training-data pipeline, each with a
   * different cost/recall point:
@@ -255,13 +256,13 @@ object Dedup {
     // recomputing the LSH pipeline per consumer branch; at cluster scale
     // the same boundary would be a parquet checkpoint.
     val cands = minHashLshPairs(docs, numHashes, bands, shingleK, maxBucketSize)
-      .localCheckpoint()
+      .cutLineage()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.join(candDocs, "doc_id")
       .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -313,7 +314,7 @@ object Dedup {
       .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("shingle")
@@ -322,7 +323,7 @@ object Dedup {
       .join(rsh.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .localCheckpoint()
+      .cutLineage()
     // Verify: each doc's distinct-shingle hash set is packed into ONE
     // array row, and the intersection is computed per candidate pair
     // with array_intersect inside the task — the pair grain is already
@@ -475,7 +476,7 @@ object Dedup {
     val truth = ngramJaccardPairs(docs, shingleK, docLimit)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
-      .localCheckpoint()
+      .cutLineage()
     val cands = minHashLshPairs(docs.filter(col("doc_id") < docLimit),
         numHashes, bands, shingleK)
       .select("doc_a", "doc_b").distinct()
@@ -703,7 +704,7 @@ object Dedup {
     val journalExists = spark.catalog.tableExists(jt)
     val counts = gramDocCounts(docs, k)
       .withColumn("ingest_batch", lit(batchId))
-      .localCheckpoint()
+      .cutLineage()
     def freshVs(table: String): DataFrame = {
       spark.catalog.refreshTable(table)
       counts.join(spark.table(table)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CutPoint.CutOps
 
 /** Ordered-funnel analysis: for a sequence of step event types, how many
   * users completed step i AFTER completing steps 1..i-1 (strict time
@@ -33,14 +34,14 @@ object Funnel {
     // the whole chain (O(k²) scans). Driver state is k scalar counts.
     var frontier = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("ts")).as("t"))
-      .localCheckpoint()
+      .cutLineage()
     var counts = Vector((steps.head, 1L, frontier.count()))
     for ((s, i) <- steps.tail.zipWithIndex) {
       frontier = events.filter(col("event_type") === s)
         .join(frontier, "user_id")
         .filter(col("ts") > col("t"))
         .groupBy("user_id").agg(min(col("ts")).as("t"))
-        .localCheckpoint()
+        .cutLineage()
       counts :+= ((s, i + 2L, frontier.count()))
     }
     counts.toDF("step", "step_idx", "n_users")

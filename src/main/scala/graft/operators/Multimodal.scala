@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CutPoint.CutOps
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, plus decode / feature-extract /
@@ -1072,7 +1073,7 @@ object Multimodal {
     // spectrum/peak aggregate (the expensive ×windowLen expansion over
     // the sample panel) executes twice per call. One (doc, window)-grain
     // frame, linear in windows — cheap to hold, expensive to recompute.
-    val sym = windowSymbols(samples, windowLen, hop, nCoeffs).localCheckpoint()
+    val sym = windowSymbols(samples, windowLen, hop, nCoeffs).cutLineage()
     landmarksFromSymbols(sym, fanout)
   }
 
@@ -1110,7 +1111,7 @@ object Multimodal {
     // the landmark frame feeds FOUR readers (per-doc counts, the df cap,
     // both sides of the candidate self-join) — materialize it once; the
     // frame is the distinct (doc, s1, s2, dw) set, linear in windows
-    val lm = lm0.localCheckpoint()
+    val lm = lm0.cutLineage()
     val nlm = lm.groupBy("doc_id").agg(count(lit(1)).as("n_lm"))
     val kept = maxDf match {
       case Some(cap) =>
@@ -1180,7 +1181,7 @@ object Multimodal {
         col("doc_id").as("corpus_id")), Seq("s1", "s2", "dw"))
       .groupBy("batch_id", "corpus_id")
       .agg(count(lit(1)).as("n_shared"))
-      .localCheckpoint()
+      .cutLineage()
     val nBatch = batchLm.groupBy("doc_id").agg(count(lit(1)).as("nl_b"))
     val nCorpus = corpusLm
       .join(shared.select(col("corpus_id").as("doc_id")).distinct(),
@@ -1241,7 +1242,7 @@ object Multimodal {
     // CORPUS side stays the raw bucketed-table read — checkpointing it
     // would destroy the zero-exchange bucket-join property
     audioIncrementalPairs(graft.sources.Sinks.liveRows(spark, tableName),
-      audioLandmarks(batchSamples).localCheckpoint(), maxDf, minSharedPpm,
+      audioLandmarks(batchSamples).cutLineage(), maxDf, minSharedPpm,
       corpusDf = indexDfStats(spark, tableName,
         Seq("s1", "s2", "dw"), "graft_df"))
 
@@ -1263,8 +1264,8 @@ object Multimodal {
     // both landmark frames feed multiple probe readers (df cap, shared
     // join, denominator counts): materialize each once — the DocStream
     // ingest does the same for its per-batch frame
-    audioIncrementalPairs(audioLandmarks(clips(audio)).localCheckpoint(),
-      audioLandmarks(clips(twins)).localCheckpoint())
+    audioIncrementalPairs(audioLandmarks(clips(audio)).cutLineage(),
+      audioLandmarks(clips(twins)).cutLineage())
       .orderBy("batch_id", "corpus_id", "n_shared", "shared_ppm")
   }
 
@@ -3364,7 +3365,7 @@ object Multimodal {
         col("doc_id").as("corpus_id")), Seq("scene_id", "ahash"))
       .select("batch_id", "corpus_id")
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val corpusSigs = sigsOf(corpusKf
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"))
@@ -3420,7 +3421,7 @@ object Multimodal {
     * reads the bucketed index). */
   def qVideoNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val kf = videoSignatures(mjpegTable(Tables.documents(spark, dir)))
-      .localCheckpoint()
+      .cutLineage()
     videoIncrementalPairs(kf.filter(col("doc_id") % 5 =!= 0),
       kf.filter(col("doc_id") % 5 === 0))
       .orderBy("batch_id", "corpus_id", "hamming")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CutPoint.CutOps
 
 /** The end-to-end training-data curation pipeline, composed from the
   * library's operators — the workload this engine exists for:
@@ -146,7 +147,7 @@ object Pipeline {
     // a stage boundary every consumer would recompute the scan + quality
     // join + digest window. This is the local analog of the parquet
     // checkpoint between phases at 100 TB.
-    val exact = Dedup.exactSurvivors(kept).localCheckpoint()
+    val exact = Dedup.exactSurvivors(kept).cutLineage()
 
     // 3. near-dup: LSH candidates, Jaccard-verified pairs, clusters
     val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard,
@@ -173,11 +174,11 @@ object Pipeline {
   def funnelReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)
     val kept = docs.join(scored.filter(col("quality") >= cfg.minQuality), "doc_id")
-    val exact = Dedup.exactSurvivors(kept).localCheckpoint()
+    val exact = Dedup.exactSurvivors(kept).cutLineage()
     val pairs = Dedup.nearDupPairs(exact, cfg.minJaccard,
       maxBucketSize = cfg.maxBucketSize)
     val resolved = Clusters.dedupSurvivors(exact, pairs)
-      .filter(col("survivor")).localCheckpoint()
+      .filter(col("survivor")).cutLineage()
     val split = TextAnalysis.hashSplit(resolved, idCol = "cluster_id",
       trainPct = cfg.trainPct)
     // ONE action for all six stage counts: a union of global aggregates
@@ -214,7 +215,7 @@ object Pipeline {
     // the CC resolution) is computed twice, once per consumer
     val corpus = docs.select(col("doc_id"), col("text"))
       .join(curated.select(col("doc_id"), col("lang"), col("split")), "doc_id")
-      .localCheckpoint()
+      .cutLineage()
     val cleaned = Dedup.removeDuplicateSpans(corpus, k = 8)
     val chunks = Sampling.chunkDocuments(
       cleaned.select(col("doc_id"), col("clean_text").as("text")),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 
 import graft.mr.KV
 
+import graft.CutPoint.CutOps
+
 /** Result sinks — the Spark-native form of the reference's result
   * accumulation (reference `algorithm/algorithm.go:321-343` appends reduce
   * outputs to a master-RAM slice read via `Results()`): results stay a
@@ -422,7 +424,7 @@ object Sinks {
         concat(lit("http://"), srcName, lit(".example/p/"),
           col("doc_id").cast("string")).as("canon_url"),
         concat(srcName, lit(".example")).as("source"))
-      .coalesce(2).localCheckpoint()
+      .coalesce(2).cutLineage()
     docs.withColumn("ingest_batch", col("doc_id") % 4)
       .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
       .parquet(corpus)
@@ -733,7 +735,7 @@ object Sinks {
       ids: DataFrame, idCol: String): Long = {
     import org.apache.spark.sql.functions.col
     val tt = table + "_tombs"
-    val d = ids.select(col(idCol)).distinct().localCheckpoint()
+    val d = ids.select(col(idCol)).distinct().cutLineage()
     val mode = if (spark.catalog.tableExists(tt)) SaveMode.Append
                else SaveMode.Overwrite
     d.write.mode(mode).format("parquet").saveAsTable(tt)
@@ -775,7 +777,7 @@ object Sinks {
     val tt = table + "_tombs"
     if (!spark.catalog.tableExists(tt)) return (0L, 0L)
     spark.catalog.refreshTable(tt)
-    val ids = spark.table(tt).select(col(idCol)).distinct().localCheckpoint()
+    val ids = spark.table(tt).select(col(idCol)).distinct().cutLineage()
     val cleared = ids.count()
     val removed = retractFromTable(spark, table, ids, idCol)
     rebuildDfJournal(spark, table)

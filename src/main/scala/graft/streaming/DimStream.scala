@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Scd
+import graft.CutPoint.CutOps
 
 /** Streaming SCD2 dimension maintenance — [[graft.operators.Scd]] run
   * continuously: each micro-batch of observed records folds into a
@@ -64,7 +65,7 @@ object DimStream {
             spark.table(dimTable)
           }
         val merged = Scd.scd2Merge(dim, obs, key, tracked, batchId + 1)
-        merged.localCheckpoint()
+        merged.cutLineage()
           .write.mode(SaveMode.Overwrite).saveAsTable(staging)
         spark.sql(s"DROP TABLE IF EXISTS $dimTable")
         spark.sql(s"ALTER TABLE $staging RENAME TO $dimTable")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Clusters, Dedup, Scrub, TextAnalysis}
+import graft.CutPoint.CutOps
 
 /** Streaming corpus ingestion with incremental near-dup dedup — the
   * composition a continuously-refreshed 100 TB training corpus runs:
@@ -154,9 +155,9 @@ object DocStream {
             // liveRows: tombstoned (pending-vacuum) docs never match
             Some(graft.sources.Sinks.liveRows(spark, indexTable))
           } else None
-        val media = batch.localCheckpoint()
+        val media = batch.cutLineage()
         val lm = Multimodal.audioLandmarks(Multimodal.audioSamples(media))
-          .localCheckpoint()
+          .cutLineage()
         val inBatchDups = Multimodal
           .audioIncrementalPairs(lm, lm, maxDf, minSharedPpm)
           .filter(col("batch_id") > col("corpus_id"))
@@ -172,7 +173,7 @@ object DocStream {
         }
         val survivors = media.join(
           inBatchDups.union(corpusDups).distinct(),
-          Seq("doc_id"), "left_anti").localCheckpoint()
+          Seq("doc_id"), "left_anti").cutLineage()
         survivors.withColumn("ingest_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -226,8 +227,8 @@ object DocStream {
             // liveRows: tombstoned (pending-vacuum) docs never match
             Some(graft.sources.Sinks.liveRows(spark, indexTable))
           } else None
-        val media = batch.localCheckpoint()
-        val kf = Multimodal.videoSignatures(media).localCheckpoint()
+        val media = batch.cutLineage()
+        val kf = Multimodal.videoSignatures(media).cutLineage()
         val inBatchDups = Multimodal
           .videoIncrementalPairs(kf, kf, maxHamming = maxHamming,
             maxBucketSize = maxBucketSize)
@@ -245,7 +246,7 @@ object DocStream {
         }
         val survivors = media.join(
           inBatchDups.union(corpusDups).distinct(),
-          Seq("doc_id"), "left_anti").localCheckpoint()
+          Seq("doc_id"), "left_anti").cutLineage()
         survivors.withColumn("ingest_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -291,7 +292,7 @@ object DocStream {
     val edges = spark.table(clusterTable)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("cluster_id").as("doc_a"), col("node").as("doc_b"))
-      .localCheckpoint()
+      .cutLineage()
     edges.write.mode(SaveMode.Overwrite).saveAsTable(clusterTable + "_pairs")
   }
 
@@ -419,11 +420,11 @@ object DocStream {
         // 1. scrub/filter (curate mode), then collapse exact dups inside
         // the batch (content digest). The prepared frame feeds both the
         // survivor filter and (cluster mode) the exact-dup pair list.
-        val prepared = prepare(batch).localCheckpoint()
+        val prepared = prepare(batch).cutLineage()
         val batchUnique = Dedup.exactSurvivors(prepared)
         val batchIdx = Dedup
           .signatureIndex(batchUnique, numHashes, bands, shingleK)
-          .localCheckpoint() // reused for both probes AND the index append
+          .cutLineage() // reused for both probes AND the index append
         // 2a. WITHIN-batch near-dups: probe the batch index against
         // itself, keep the min doc_id of each matching pair (the same
         // survivor rule as exact dedup) — without this, two
@@ -480,7 +481,7 @@ object DocStream {
             .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
           val pairs = (inBatchPairs.union(corpusPairs)
             .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
-            .union(exactPairs)).localCheckpoint()
+            .union(exactPairs)).cutLineage()
           val journal = ct + "_pairs"
           pairs.write.mode(SaveMode.Append).saveAsTable(journal)
           val updated =
@@ -501,7 +502,7 @@ object DocStream {
           // could instead leave a partial table that existence checks
           // would silently trust.
           val staging = ct + "_staging"
-          updated.localCheckpoint()
+          updated.cutLineage()
             .write.mode(SaveMode.Overwrite).saveAsTable(staging)
           spark.sql(s"DROP TABLE IF EXISTS $ct")
           spark.sql(s"ALTER TABLE $staging RENAME TO $ct")
