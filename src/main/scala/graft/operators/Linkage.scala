@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CutPoint.CutOps
 
 /** Record linkage / entity resolution over STRUCTURED records — fuzzy
   * match on a name-like field, made tractable by BLOCKING (Fellegi–
@@ -114,7 +115,7 @@ object Linkage {
     val local = Window.partitionBy("graft_pid")
       .orderBy(col("graft_k"), col("graft_id"))
     val ranked0 = keyed.withColumn("graft_lr",
-      row_number().over(local).cast("long")).localCheckpoint()
+      row_number().over(local).cast("long")).cutLineage()
     // O(partitions) driver metadata: cumulative rank offsets
     val sizes = ranked0.groupBy("graft_pid")
       .agg(max(col("graft_lr")).as("n"))
@@ -269,7 +270,21 @@ object Linkage {
     * golden record a downstream MDM catalog shows for the merged
     * entity. */
   def qErEntities(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
+    // Plant guaranteed matches: every 25th customer re-registers under
+    // a new key with a one-character name variant and identical
+    // balance/block fields (dist 1 → +1.8M, balance equal → +0.6M,
+    // inexact → −0.2M = 2.2M ≥ the 1.5M match bar). The natural TPC-H
+    // near-pairs (digit-substitution names, unequal balances) top out
+    // at 1.3M, so the planted twins are exactly the match set at every
+    // SF — sf0.001 has zero natural matches, and a query whose result
+    // hinges on corpus accidents would go empty there.
+    val base = Tables.customer(spark, dir).select("c_custkey", "c_name",
+      "c_nationkey", "c_mktsegment", "c_acctbal")
+    val twins = base.filter(col("c_custkey") % 25 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("x")).as("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    val cust = base.unionByName(twins)
       .withColumn("bal_cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
     entities(cust, "c_custkey", fsScoredCustomerPairs(cust),
       modalCols = Seq("c_mktsegment"), maxCols = Seq("bal_cents"),
@@ -369,11 +384,13 @@ object Linkage {
         acc
       } else acc.filter(col(c).isInCollection(vs))
     }.transform(graft.CutPoint.cut) // one scan feeds sizes AND the pair join
-    val sizes = pruned.groupBy(bc: _*).agg(count(lit(1)).as("graft_n1"))
-      .join(b.groupBy(bc: _*).agg(count(lit(1)).as("graft_n2")),
-        blockCols, "full")
-      .select(bc :+ (coalesce(col("graft_n1"), lit(0L)) +
-        coalesce(col("graft_n2"), lit(0L))).as("graft_bn"): _*)
+    // union-grain block sizes as ONE aggregate over the concatenated
+    // key projections — a full-outer join of two per-side aggregates
+    // computes the same sums but full outer cannot broadcast (it is a
+    // structural SortMergeJoin even when both sides are tiny, which is
+    // exactly the shape PlanSweepSpec bans)
+    val sizes = pruned.select(bc: _*).unionAll(b.select(bc: _*))
+      .groupBy(bc: _*).agg(count(lit(1)).as("graft_bn"))
     val admissible = sizes.filter(col("graft_bn") <= maxBlock)
       .select(bc: _*)
     val newSide = b.join(admissible, blockCols)

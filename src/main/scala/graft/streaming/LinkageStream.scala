@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Clusters, Linkage}
+import graft.CutPoint.CutOps
+
+/** Streaming entity resolution — the stream twin of the incremental ER
+  * batch contract ([[graft.operators.Linkage.probeBlockIndex]] /
+  * [[graft.operators.Linkage.appendBlockIndex]]), completing the family
+  * parity every other pairing index has (signature, gram, PQ-code,
+  * audio, video, URL): customer/entity records arrive continuously, and
+  * each micro-batch
+  *
+  *   1. probes the PERSISTED block index for candidate pairs — new×old
+  *      plus new×new, block-key equality, banded edit distance; the
+  *      index side is bucket-co-located on the block key and the probe
+  *      prunes to the batch's own key values, so probe cost tracks the
+  *      BATCH, not the corpus;
+  *   2. appends the scored pairs to an append-only pairs LEDGER
+  *      (row-grain replay-idempotent — see below);
+  *   3. appends the batch's rows to the block index
+  *      ([[graft.operators.Linkage.appendBlockIndex]]'s own
+  *      anti-join-per-batch contract);
+  *   4. optionally folds the batch's MATCH pairs (dist ≤ `matchDist`)
+  *      into a persisted (node, cluster_id) entity table with
+  *      batch-sized incremental connected components — labels stay
+  *      identical to re-clustering every pair ever seen, but the
+  *      corpus is never re-clustered (the DocStream cluster-table
+  *      discipline: the ledger IS the journal, the entity table is a
+  *      cache published via staging + atomic rename, and a crash in
+  *      the publish window rebuilds from the ledger).
+  *
+  * Replay safety (`foreachBatch` is at-least-once): a replayed batch
+  * may find its OWN rows already in the block index (a crash landed
+  * between the index append and the checkpoint commit). The probe
+  * filters the index to `ingest_batch =!= batchId` first, so a replay
+  * sees exactly the pre-crash index state and recomputes exactly the
+  * original candidate set; the ledger append then anti-joins away any
+  * pair rows the crashed attempt already wrote. Both guards are
+  * row-grain, so partially-written appends heal instead of duplicating
+  * or dropping.
+  *
+  * Scale shape: identical to the batch probe — the corpus-sized index
+  * never re-shuffles (bucketed on the block key, scan-pruned to the
+  * batch's keys), pair admissibility is capped at `maxBlock` on the
+  * union grain, and the entity fold is pair-graph-sized. Reference
+  * scope: the reference engine has no linkage surface at all; this is
+  * LLM-pipeline extension surface (MDM-style identity for user/author
+  * tables riding beside a training corpus).
+  */
+object LinkageStream {
+
+  /** Start the ER ingest. `indexTable`/`pairsTable`/`entityTable` are
+    * bootstrapped by the first batch when absent. */
+  def erIngest(records: DataFrame, spark: SparkSession, indexTable: String,
+      pairsTable: String, checkpoint: String, idCol: String,
+      nameCol: String, blockCols: Seq[String], maxDist: Int = 2,
+      maxBlock: Long = 1000L, numBuckets: Int = 8, matchDist: Long = 1L,
+      entityTable: Option[String] = None): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.cutLineage()
+        // 1. candidates: probe the index as it stood BEFORE this batch
+        // (replayed own-batch rows filtered out — see scaladoc)
+        val ix =
+          if (spark.catalog.tableExists(indexTable)) {
+            spark.catalog.refreshTable(indexTable)
+            graft.sources.Sinks.liveRows(spark, indexTable, idCol = "er_id")
+              .filter(col("ingest_batch") =!= batchId)
+          } else
+            Linkage.blockIndex(batch.limit(0), idCol, nameCol, blockCols)
+              .withColumn("ingest_batch", lit(-1L))
+        val pairs = Linkage.probeBlockIndex(ix, batch, idCol, nameCol,
+            blockCols, maxDist, maxBlock)
+          .withColumn("ingest_batch", lit(batchId))
+          .cutLineage()
+        // 2. ledger append, row-grain idempotent
+        val fresh =
+          if (spark.catalog.tableExists(pairsTable)) {
+            spark.catalog.refreshTable(pairsTable)
+            pairs.join(spark.table(pairsTable)
+                .filter(col("ingest_batch") === batchId)
+                .select("id_a", "id_b"),
+              Seq("id_a", "id_b"), "left_anti")
+          } else pairs
+        fresh.write.mode(SaveMode.Append).format("parquet")
+          .saveAsTable(pairsTable)
+        // 3. index append (its own per-batch anti-join contract)
+        Linkage.appendBlockIndex(batch, indexTable, idCol, nameCol,
+          blockCols, numBuckets, batchId)
+        // 4. optional entity-cluster maintenance off the MATCH pairs
+        entityTable.foreach { et =>
+          val matches = pairs.filter(col("dist") <= matchDist)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          val updated =
+            if (spark.catalog.tableExists(et)) {
+              spark.catalog.refreshTable(et)
+              Clusters.incrementalComponents(spark.table(et), matches)
+            } else {
+              // bootstrap OR crash recovery: the ledger (which already
+              // holds this batch's pairs) is the source of truth
+              spark.catalog.refreshTable(pairsTable)
+              Clusters.connectedComponentsStars(spark.table(pairsTable)
+                .filter(col("dist") <= matchDist)
+                .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+            }
+          val staging = et + "_staging"
+          updated.cutLineage()
+            .write.mode(SaveMode.Overwrite).saveAsTable(staging)
+          spark.sql(s"DROP TABLE IF EXISTS $et")
+          spark.sql(s"ALTER TABLE $staging RENAME TO $et")
+        }
+        ()
+      }
+      .start()
+}

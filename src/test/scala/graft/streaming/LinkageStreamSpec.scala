@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Linkage
+
+class LinkageStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming ER: index bootstrap, cross-batch probe, entity fold, " +
+      "restart continuity, and a simulated replayed index append") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-linkstream")
+    val ckpt = base.resolve("ckpt").toString
+    Seq("linkstream_idx", "linkstream_pairs", "linkstream_ents",
+      "linkstream_ents_staging").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    val input = MemoryStream[(Long, String, Int, String)]
+    def start() = LinkageStream.erIngest(
+      input.toDF().toDF("id", "name", "nat", "seg"), spark,
+      "linkstream_idx", "linkstream_pairs", ckpt, idCol = "id",
+      nameCol = "name", blockCols = Seq("nat", "seg"), maxDist = 2,
+      numBuckets = 4, matchDist = 1L,
+      entityTable = Some("linkstream_ents"))
+
+    val q1 = start()
+    try {
+      // batch 0 bootstraps index + ledger: in-batch pair (1,2) dist 1
+      input.addData((1L, "jon smith", 1, "A"), (2L, "john smith", 1, "A"),
+        (3L, "mary jones", 2, "B"))
+      q1.processAllAvailable()
+      // batch 1 probes the index: 4 pairs with 1 (dist 2) and 2 (dist 1);
+      // 5 shares 3's block but is beyond the distance band
+      input.addData((4L, "john smyth", 1, "A"), (5L, "bob brown", 2, "B"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    def ledger() = {
+      spark.catalog.refreshTable("linkstream_pairs")
+      spark.table("linkstream_pairs")
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(ledger().toSet ==
+      Set((1L, 2L, 1L), (1L, 4L, 2L), (2L, 4L, 1L)), ledger().toSeq.toString)
+    // matchDist=1 folds (1,2) and (2,4): one entity rooted at 1
+    spark.catalog.refreshTable("linkstream_ents")
+    val ents1 = spark.table("linkstream_ents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents1 == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), ents1.toString)
+
+    // ---- restart from the same checkpoint, with a SIMULATED crash:
+    // batch 2's index rows were already appended (the crash window
+    // between index append and checkpoint commit). The replayed batch
+    // must not pair records against their own replayed rows.
+    val batch3 = Seq((6L, "mary janes", 2, "B")).toDF("id", "name", "nat", "seg")
+    Linkage.appendBlockIndex(batch3, "linkstream_idx", "id", "name",
+      Seq("nat", "seg"), numBuckets = 4, batchId = 2L)
+    val q2 = start()
+    try {
+      input.addData((6L, "mary janes", 2, "B"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val after = ledger()
+    assert(after.length == after.toSet.size, "no duplicate ledger rows")
+    assert(after.forall(p => p._1 != p._2), "no self-pairs from replay")
+    assert(after.toSet == Set((1L, 2L, 1L), (1L, 4L, 2L), (2L, 4L, 1L),
+      (3L, 6L, 1L)), after.toSeq.toString)
+    // the ledger equals one full blocked run over everything ever seen
+    val all = Seq((1L, "jon smith", 1, "A"), (2L, "john smith", 1, "A"),
+      (3L, "mary jones", 2, "B"), (4L, "john smyth", 1, "A"),
+      (5L, "bob brown", 2, "B"), (6L, "mary janes", 2, "B"))
+      .toDF("id", "name", "nat", "seg")
+    val full = Linkage.blockedFuzzyPairs(all, "id", "name", Seq("nat", "seg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after.toSet == full, s"ledger=$after full=$full")
+    // index holds each record exactly once despite the replayed append
+    spark.catalog.refreshTable("linkstream_idx")
+    val idxIds = spark.table("linkstream_idx").select("er_id")
+      .as[Long].collect().sorted
+    assert(idxIds.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L), idxIds.toSeq.toString)
+    // entity table grew the (3,6) cluster without disturbing the first
+    spark.catalog.refreshTable("linkstream_ents")
+    val ents2 = spark.table("linkstream_ents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents2 == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 6L -> 3L),
+      ents2.toString)
+  }
+}
