@@ -50,6 +50,10 @@ object StressGraph {
     }
 
     // 1. PageRank scaling (3 iterations, the fixed crawl-priority depth)
+    //    + the round-15 graph family: warm-start refresh (1 round from
+    //    the previous fixpoint — the refresh-cadence shape), seed-gated
+    //    TrustRank, and 2-round label propagation. All must track edge
+    //    count linearly; warm must sit near 1/3 of cold.
     var e = maxEdges / 100
     while (e <= maxEdges) {
       val edges = edgeUrls(e).localCheckpoint()
@@ -59,6 +63,15 @@ object StressGraph {
         redistributeDangling = true).count())
       println(f"[graph] pagerank edges=$e%9d nodes=${e / 10}%8d " +
         f"wall=${math.min(w1, w2)}%6.2f s redistribute=$wr%6.2f s")
+      val prior = Web.pageRankPpm(edges, iters = 3).localCheckpoint()
+      val ww = timed(Web.pageRankPpmFrom(edges, prior, iters = 1).count())
+      val seeds = edges.select(col("src_url").as("url"))
+        .filter(pmod(xxhash64(col("url")), lit(100L)) === 0).distinct()
+        .localCheckpoint()
+      val wt = timed(Web.trustRankPpm(edges, seeds, iters = 3).count())
+      val wl = timed(Web.labelPropagation(edges, iters = 2).count())
+      println(f"[graph] rankfam  edges=$e%9d warm1=$ww%6.2f s " +
+        f"trust=$wt%6.2f s lpa2=$wl%6.2f s")
       e *= 10
     }
 
@@ -92,8 +105,12 @@ object StressGraph {
       val rt = s"sg_ranks_$tag"
       spark.sql(s"DROP TABLE IF EXISTS $rt")
       val wp = timed(WebStream.publishRankRefresh(spark, t, rt))
+      // warm refresh from the snapshot just published: one round
+      // instead of three — the steady-state maintenance bill
+      val wpw = timed(WebStream.publishRankRefresh(spark, t, rt,
+        warmIters = Some(1)))
       println(f"[graph] rank-refresh index=$sz%9d edges " +
-        f"wall=$wp%6.2f s")
+        f"wall=$wp%6.2f s warm=$wpw%6.2f s")
       spark.sql(s"DROP TABLE IF EXISTS $rt")
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CutPoint.CutOps
@@ -342,7 +343,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -354,7 +355,7 @@ object Similarity {
     // lsh and lsh_mp probe the SAME bucket frame — compute it once with
     // truncated lineage instead of re-running the 8-plane projection and
     // norm pass per searcher
-    val b8 = normedBuckets(emb, numPlanes = 8, dim = 64).localCheckpoint()
+    val b8 = normedBuckets(emb, numPlanes = 8, dim = 64).cutLineage()
     hits("ivf", ivfTopK(emb, numCentroids, queryPred, k))
       .union(hits("lsh", lshTopKFrom(b8, queryPred, k)))
       .union(hits("lsh_mp", lshMultiProbeTopKFrom(b8, queryPred, k, numPlanes = 8)))
@@ -383,7 +384,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), 1)
       .select(col("query_id"), col("neighbor_id").as("true_id"))
-      .localCheckpoint() // feeds every arm's metric join
+      .cutLineage() // feeds every arm's metric join
     def armMrr(method: String, ranked: DataFrame): DataFrame = {
       val found = ranked.join(truth, Seq("query_id"))
         .filter(col("neighbor_id") === col("true_id"))
@@ -429,7 +430,7 @@ object Similarity {
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"),
         (lit(k + 1L) - col("rk")).as("rel"), col("rk").as("erk"))
-      .localCheckpoint() // feeds idcg + both arms' dcg joins
+      .cutLineage() // feeds idcg + both arms' dcg joins
     val idcg = truth
       .select(col("query_id"), (col("rel") * element_at(wLit, col("erk").cast("int"))).as("g"))
       .groupBy("query_id").agg(sum(col("g")).as("idcg"))
@@ -562,7 +563,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     sq8TopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -636,7 +637,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def arm(method: String, approx: DataFrame) = approx
       .select(col("query_id"), col("neighbor_id"))
@@ -1195,7 +1196,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -1221,7 +1222,7 @@ object Similarity {
       .withColumn("sim", residualAdcSim(ix.padded))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cell_rank"), col("sim"))
-      .localCheckpoint()
+      .cutLineage()
     val arm1 = topKPerQuery(scored2.filter(col("cell_rank") === 0), k)
     val arm2 = topKPerQuery(scored2, k)
     // IVFADC+R arm: nprobe-2 ADC shortlist of 50, re-ranked exactly —
@@ -1298,7 +1299,7 @@ object Similarity {
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -1577,4 +1578,137 @@ object Similarity {
   def qEmbOutliers(spark: SparkSession, dir: String): DataFrame =
     embeddingOutliers(Tables.embeddings(spark, dir))
       .orderBy("centroid_id", "vec_id", "cos_sim")
+
+  // ---- bitext mining (margin-scored cross-corpus pairing) ---------------
+
+  /** Margin-scored candidate frame shared by the bitext arms: input is
+    * (x_id, y_id, sim) candidate rows; output adds the ratio margin and
+    * keeps each side's mutual best. Sims quantize to basis points FIRST
+    * (`sim_bp = round(sim·10⁴)`, the engine-portable display grain every
+    * ANN arm uses), so the k-NN averages and the margin are EXACT
+    * integer arithmetic — no float sum-order surface anywhere:
+    *
+    *   margin_ppm = sim_bp · 2 · nx · ny · 10⁶
+    *                div (fwd_sum · ny + bwd_sum · nx)
+    *
+    * with fwd_sum/nx the sum/count of x's top-k candidate sims (sim_bp
+    * desc, y asc) and bwd_sum/ny y's — the ratio form of Artetxe &
+    * Schwenk's margin (sim divided by the mean of both sides' k-NN
+    * averages). Non-positive sims drop first: they can't be
+    * translations and would poison the denominators. */
+  private def marginScore(cand: DataFrame, k: Int,
+      minMarginPpm: Long): DataFrame = {
+    val bp = cand
+      .withColumn("sim_bp", round(col("sim") * 10000).cast("long"))
+      .filter(col("sim_bp") > 0)
+    val wf = Window.partitionBy("x_id")
+      .orderBy(col("sim_bp").desc, col("y_id").asc)
+    val wb = Window.partitionBy("y_id")
+      .orderBy(col("sim_bp").desc, col("x_id").asc)
+    val ranked = bp
+      .withColumn("graft_rf", row_number().over(wf))
+      .withColumn("graft_rb", row_number().over(wb))
+    val fwd = ranked.filter(col("graft_rf") <= k).groupBy("x_id")
+      .agg(sum("sim_bp").as("graft_fs"), count(lit(1)).as("graft_fn"))
+    val bwd = ranked.filter(col("graft_rb") <= k).groupBy("y_id")
+      .agg(sum("sim_bp").as("graft_bs"), count(lit(1)).as("graft_bn"))
+    val m = bp.join(fwd, Seq("x_id")).join(bwd, Seq("y_id"))
+      .withColumn("margin_ppm", expr(
+        "(sim_bp * 2 * graft_fn * graft_bn * 1000000) div " +
+          "(graft_fs * graft_bn + graft_bs * graft_fn)"))
+    val bx = Window.partitionBy("x_id")
+      .orderBy(col("margin_ppm").desc, col("y_id").asc)
+    val by = Window.partitionBy("y_id")
+      .orderBy(col("margin_ppm").desc, col("x_id").asc)
+    m.withColumn("graft_bx", row_number().over(bx))
+      .withColumn("graft_by", row_number().over(by))
+      .filter(col("graft_bx") === 1 && col("graft_by") === 1 &&
+        col("margin_ppm") >= minMarginPpm)
+      .select(col("x_id"), col("y_id"), col("sim_bp"), col("margin_ppm"))
+  }
+
+  /** Bitext mining, exact arm (Artetxe & Schwenk '19 margin scoring —
+    * the LASER/CCMatrix recipe for mining translation pairs from two
+    * monolingual corpora embedded in one space): score every (x, y)
+    * candidate by cosine divided by the mean of both sides' k-NN
+    * averages (raw cosine retrieves "hub" sentences that are close to
+    * EVERYTHING; the margin denominator cancels hubness), then keep
+    * mutual-best pairs over the margin with `margin ≥ minMarginPpm`
+    * (10⁶ = "better than your average neighbor", the standard
+    * threshold's integer form).
+    *
+    * This arm scores the FULL bipartite product with the x side
+    * broadcast — the recall oracle / eval shape (bounded x side), same
+    * role as [[bruteForceTopK]]; production mining at corpus scale is
+    * [[bitextMarginPairsBucketed]]. */
+  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, k: Int = 4,
+      minMarginPpm: Long = 1000000L): DataFrame = {
+    require(k >= 1, "bitextMarginPairs: k >= 1")
+    val x = xs.select(col("id").as("x_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val y = ys.select(col("id").as("y_id"), col("embedding").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val cand = y.join(broadcast(x), col("x_id") =!= col("y_id"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+      .select("x_id", "y_id", "sim")
+    marginScore(cand, k, minMarginPpm)
+  }
+
+  /** Bitext mining, production arm: candidates are pairs sharing a
+    * sign-LSH bucket (the SAME md5-derived hyperplanes both sides —
+    * bucket equality is the join key), so the pair frame is
+    * Σ|x-bucket|·|y-bucket|, never |X|·|Y|, and the bucket join
+    * hash-partitions across the cluster. The k-NN margin denominators
+    * are computed WITHIN the candidate set — the standard approximation
+    * (FAISS-mined CCMatrix does exactly this): a neighbor the LSH
+    * missed can only LOWER a denominator, so margins are conservative
+    * upper bounds and the mutual-best filter still cancels hubs.
+    * `numPlanes` is the recall/cost knob (fewer planes → bigger
+    * buckets → more candidates). */
+  def bitextMarginPairsBucketed(xs: DataFrame, ys: DataFrame, k: Int = 4,
+      minMarginPpm: Long = 1000000L, numPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val xb = signLshBuckets(
+        xs.select(col("id").as("vec_id"), col("embedding")), numPlanes, dim)
+      .select(col("vec_id").as("x_id"), col("embedding").as("qv"),
+        col("bucket"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val yb = signLshBuckets(
+        ys.select(col("id").as("vec_id"), col("embedding")), numPlanes, dim)
+      .select(col("vec_id").as("y_id"), col("embedding").as("cv"),
+        col("bucket"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val cand = yb.join(xb, Seq("bucket"))
+      .withColumn("sim",
+        cosineWithNorms(dot(col("cv"), col("qv")), col("cn"), col("qn")))
+      .select("x_id", "y_id", "sim")
+    marginScore(cand, k, minMarginPpm)
+  }
+
+  /** Exact-arm bitext over the embeddings table split by vec_id parity
+    * (even ids play the x corpus, odd the y): full 250×250 bipartite
+    * margin scoring, mutual-best, margin ≥ 1.0 — the oracle replays
+    * every stage in integer basis points. */
+  def qBitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    bitextMarginPairs(
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding")))
+      .orderBy("x_id", "y_id", "sim_bp", "margin_ppm")
+  }
+
+  /** Production-arm bitext over the same parity split: 4-plane sign-LSH
+    * buckets gate the candidates, margins within candidates. */
+  def qBitextMarginBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    bitextMarginPairsBucketed(
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding")))
+      .orderBy("x_id", "y_id", "sim_bp", "margin_ppm")
+  }
 }

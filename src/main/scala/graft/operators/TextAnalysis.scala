@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.CutPoint.CutOps
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * language identification, quality scoring, token counting, and document
@@ -1645,7 +1646,7 @@ object TextAnalysis {
   def trainPerceptron(docs: DataFrame, label: Column, dim: Int = 32,
       iters: Int = 4): (Array[Long], Array[Long]) = {
     require(dim >= 1 && iters >= 1, "need dim >= 1 and iters >= 1")
-    val feat = hashedFeatures(docs, label, dim).localCheckpoint()
+    val feat = hashedFeatures(docs, label, dim).cutLineage()
     val w = Array.fill(dim)(0L)
     val errs = Array.fill(iters)(0L)
     val byDoc = Window.partitionBy("doc_id")
@@ -2271,7 +2272,7 @@ object TextAnalysis {
     val test = toks.filter(col("doc_id") % 5 === 0)
 
     val counts = train.groupBy(col("lang").as("cls"), col("token"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c")).cutLineage()
     val classTotals = counts.groupBy("cls").agg(sum(col("c")).as("t"))
     val vocab = counts.select("token").distinct().agg(count(lit(1)).as("v"))
     val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
@@ -2327,7 +2328,7 @@ object TextAnalysis {
     val tok = docs.select(col("source"),
       explode(Shingles.tokens(col("text"))).as("token"))
     val cst = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .cutLineage()
     val ts = cst.groupBy("source").agg(sum(col("c")).as("ts"))
     val ct = cst.groupBy("token").agg(sum(col("c")).as("ct"))
     val tt = ct.agg(sum(col("ct")).as("tt"))
@@ -2351,6 +2352,121 @@ object TextAnalysis {
   def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =
     sourceDivergence(Tables.documents(spark, dir))
       .orderBy("source", "n_tokens_present", "js_pico")
+
+  // ---- per-source template (boilerplate) detection -----------------------
+
+  /** Per-source TEMPLATE n-grams — the word-gram analog of C4/CCNet
+    * boilerplate-line removal for corpora whose documents carry no line
+    * structure: a gram that appears in at least `minDfPpm` ppm of a
+    * source's documents is site furniture (nav text, subscribe banners,
+    * cookie notices, footers), not content, and every occurrence of it
+    * teaches a model nothing but the site's chrome. Document frequency
+    * is per-source and DISTINCT per document, so one doc repeating its
+    * own header doesn't inflate df; sources with fewer than `minDocs`
+    * documents emit nothing (df over a tiny sample is noise).
+    * Returns (source, gram, df, n_docs, df_ppm), exact integer ppm.
+    *
+    * Scale shape: one (source, doc, gram)-distinct projection feeding
+    * one (source, gram) count aggregate — map-side combinable, never a
+    * pair join; the per-source doc counts are an O(sources) broadcast.
+    * Output is bounded by construction: a source of D docs with T
+    * tokens/doc has at most D·T grams, and only grams clearing the df
+    * floor survive — at 50%+ thresholds that is the (small) shared
+    * chrome, exactly the broadcast-sized table [[templateStrip]]
+    * wants. */
+  def templateGrams(docs: DataFrame, n: Int = 3, minDfPpm: Long = 600000L,
+      minDocs: Long = 5L): DataFrame = {
+    require(n >= 1 && minDfPpm >= 0 && minDfPpm <= 1000000L && minDocs >= 1,
+      "templateGrams: n >= 1, minDfPpm in [0, 1e6], minDocs >= 1")
+    val g = docs.select(col("source"), col("doc_id"),
+        explode(Shingles.fromText(col("text"), n)).as("gram"))
+      .distinct()
+    val nd = docs.groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    g.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), Seq("source"))
+      .filter(col("n_docs") >= minDocs &&
+        col("df") * 1000000L >= lit(minDfPpm) * col("n_docs"))
+      .select(col("source"), col("gram"), col("df"), col("n_docs"),
+        expr("(df * 1000000) div n_docs").as("df_ppm"))
+  }
+
+  /** Strip [[templateGrams]] occurrences from every document: a token
+    * position covered by ANY template-gram instance of the doc's own
+    * source is furniture and drops; what remains (original order,
+    * single-space joined) is the content. Returns per doc
+    * (doc_id, n_tokens, n_template_tokens, retained_ppm, cleaned) —
+    * the counts make the removal auditable (a source whose docs retain
+    * 40% is chrome-dominated and belongs in the review queue), exact
+    * integer ppm. Documents with no tokens produce no row (nothing to
+    * strip), matching the oracle's unnest semantics.
+    *
+    * Scale shape: the template table is broadcast (bounded by the df
+    * floor — see [[templateGrams]]); the corpus side is one posexplode
+    * + broadcast join + per-doc aggregate, all keyed on doc_id, no
+    * shuffle beyond the final group-by. The cleaned text rebuilds from
+    * a per-doc sorted collect — O(doc length) state per group, the
+    * same bound any per-doc transform carries. */
+  def templateStrip(docs: DataFrame, n: Int = 3, minDfPpm: Long = 600000L,
+      minDocs: Long = 5L): DataFrame = {
+    val tmpl = templateGrams(docs, n, minDfPpm, minDocs)
+      .select(col("source"), col("gram"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      Shingles.tokens(col("text")).as("graft_t"))
+    val covered = toks
+      .select(col("doc_id"), col("source"),
+        posexplode(Shingles.fromTokens(col("graft_t"), n)))
+      .withColumnRenamed("col", "gram")
+      .join(broadcast(tmpl), Seq("source", "gram"))
+      .select(col("doc_id").as("graft_cdoc"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("graft_cpos"))
+      .distinct()
+    toks.select(col("doc_id"), posexplode(col("graft_t")))
+      .withColumnRenamed("col", "tok")
+      .join(covered, col("doc_id") === col("graft_cdoc") &&
+        col("pos") === col("graft_cpos"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        col("graft_cpos").isNotNull.as("graft_cov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("graft_cov"), 1L).otherwise(0L)).as("n_template_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("graft_cov"),
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_tokens"), col("n_template_tokens"),
+        expr("((n_tokens - n_template_tokens) * 1000000) div n_tokens")
+          .as("retained_ppm"),
+        col("cleaned"))
+  }
+
+  /** Template detection over a branch-derived corpus: every document
+    * gets the 5-word header `subscribe to {source} newsletter today`
+    * prepended, so per source the three pure header trigrams hit
+    * df_ppm = 10⁶ while the header→content bridge grams (last two
+    * header words + the doc's own first words) stay far under the 60%
+    * floor — the oracle re-derives df from the same construction. */
+  def qTemplateGrams(spark: SparkSession, dir: String): DataFrame =
+    templateGrams(
+      Tables.documents(spark, dir).withColumn("text",
+        concat(lit("subscribe to "), col("source"),
+          lit(" newsletter today "), col("text"))),
+      n = 3, minDfPpm = 600000L, minDocs = 5L)
+      .orderBy("source", "gram", "df", "n_docs", "df_ppm")
+
+  /** Strip over the same planted-header corpus: coverage is exactly the
+    * five header positions, so `cleaned` must round-trip to the
+    * ORIGINAL document text and retained_ppm to n_orig·10⁶ div
+    * (n_orig+5) — any off-by-one in gram positions or coverage
+    * expansion breaks the round-trip corpus-wide. */
+  def qTemplateStrip(spark: SparkSession, dir: String): DataFrame =
+    templateStrip(
+      Tables.documents(spark, dir).withColumn("text",
+        concat(lit("subscribe to "), col("source"),
+          lit(" newsletter today "), col("text"))),
+      n = 3, minDfPpm = 600000L, minDocs = 5L)
+      .orderBy("doc_id", "n_tokens", "n_template_tokens", "retained_ppm",
+        "cleaned")
 }
 
 /** Shared shingling helpers (used by TextAnalysis and Dedup).

@@ -851,7 +851,7 @@ object Web {
       .filter(col("doc_id") % 11 === 0)
       .select(col("doc_id"), col("text"),
         concat(lit("http://ad.example/p/"), col("doc_id")).as("loc"))
-      .localCheckpoint()
+      .cutLineage()
     // fetch log: ids %3==0 change every fetch, %3==1 never, %3==2 absent
     val fetches = docs.filter(col("doc_id") % 3 < 2)
       .select(col("doc_id"), col("loc"), col("text"),
@@ -1185,7 +1185,30 @@ object Web {
     * stability, not convergence). */
   def pageRankPpm(edges: DataFrame, iters: Int = 3,
       dampPpm: Long = 850000L,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false): DataFrame =
+    pageRankPpmImpl(edges, None, iters, dampPpm, redistributeDangling)
+
+  /** WARM-START PageRank: identical iteration to [[pageRankPpm]], but
+    * round 0 starts from `init(url, rank_ppm)` — the previous refresh's
+    * snapshot — instead of the uniform 10⁶. Nodes absent from `init`
+    * (URLs discovered since the snapshot) start at the uniform 10⁶;
+    * snapshot rows for nodes no longer in the edge table drop with the
+    * node set. The point is refresh-cadence COST at cluster scale: a
+    * crawl graph changes incrementally between refreshes, so the
+    * previous fixpoint is already near the new one and 1 warm round
+    * replaces the full cold `iters` — the per-refresh bill drops by
+    * that factor on a 10⁹-node graph while ranks track the same
+    * fixpoint ([[graft.streaming.WebStream.publishRankRefresh]]'s
+    * `warmIters` knob). Exact integers: warm(uniform init) ≡ cold,
+    * locked by spec. */
+  def pageRankPpmFrom(edges: DataFrame, init: DataFrame, iters: Int = 1,
+      dampPpm: Long = 850000L,
+      redistributeDangling: Boolean = false): DataFrame =
+    pageRankPpmImpl(edges, Some(init), iters, dampPpm, redistributeDangling)
+
+  private def pageRankPpmImpl(edges: DataFrame, init: Option[DataFrame],
+      iters: Int, dampPpm: Long,
+      redistributeDangling: Boolean): DataFrame = {
     require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
       "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
     val e = edges.select(col("src_url").as("graft_src"),
@@ -1206,7 +1229,15 @@ object Web {
       else nodes0.withColumn("graft_dang", lit(false)))
       .cutLineage()
     val nNodes = if (redistributeDangling) nodes.count() else 0L
-    var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    var ranks = init match {
+      case None => nodes.withColumn("rank_ppm", lit(1000000L))
+      case Some(prior) => nodes
+        .join(prior.select(col("url"), col("rank_ppm").as("graft_r0")),
+          Seq("url"), "left")
+        .select(col("url"), col("graft_dang"),
+          coalesce(col("graft_r0"), lit(1000000L)).as("rank_ppm"))
+        .cutLineage()
+    }
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.select(col("url").as("graft_src"), col("rank_ppm")),
@@ -1588,12 +1619,12 @@ object Web {
       .groupBy(canonicalUrl(url).as("u"))
       .agg(min(struct(status.as("st"), location.as("loc"))).as("g"))
       .select(col("u"), col("g.st").as("st"), col("g.loc").as("loc"))
-      .localCheckpoint()
+      .cutLineage()
     val isRedirect = col("st") >= 300 && col("st") <= 399 && col("loc") =!= ""
     val redirects = f.filter(isRedirect)
       .select(col("u").as("graft_cur"),
         canonicalUrl(resolveRef(col("u"), col("loc"))).as("graft_t"))
-      .localCheckpoint()
+      .cutLineage()
     var state = f.select(col("u").as("url"), col("u").as("graft_cur"),
       lit(0L).as("n_hops"))
     for (_ <- 1 to maxHops) {
@@ -1602,7 +1633,7 @@ object Web {
           coalesce(col("graft_t"), col("graft_cur")).as("graft_cur"),
           (col("n_hops") + when(col("graft_t").isNotNull, 1L).otherwise(0L))
             .as("n_hops"))
-        .localCheckpoint()
+        .cutLineage()
     }
     state
       .join(f.select(col("u").as("graft_cur"), col("st"), col("loc")),
@@ -1715,6 +1746,212 @@ object Web {
       .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
     pageRankPpm(edges, iters = 3, redistributeDangling = true)
       .orderBy("url", "rank_ppm")
+  }
+
+  // ---- seed-personalized trust & communities ---------------------------
+
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB '04) in exact
+    * integer ppm — PageRank with the teleport restricted to a SEED set
+    * of hand-vetted good pages, so trust flows outward along links and
+    * link-spam farms (which real pages rarely link TO) starve: the
+    * crawl-quality complement of [[pageRankPpm]] (global endorsement)
+    * and [[hitsPpm]] (hub/authority split). Same per-node ppm scale as
+    * [[pageRankPpm]] (each SEED node gets the full `10⁶ − dampPpm`
+    * teleport grant rather than a 1/|S| share — the per-node scale this
+    * engine's rank family uses throughout; ordering and mass flow are
+    * unchanged, and the oracle replays the exact integers):
+    *
+    *   t⁰(v)  = v ∈ S ? 10⁶ : 0
+    *   tⁱ(v)  = (v ∈ S ? 10⁶ − dampPpm : 0)
+    *            + (dampPpm · Σ_{u→v} tⁱ⁻¹(u) div out(u)) div 10⁶
+    *
+    * Scale shape: identical to [[pageRankPpm]] — the seed flag joins
+    * into the node frame ONCE (seed lists are curated, i.e. broadcast
+    * sized), then each iteration is one keyed join+aggregate over the
+    * distinct-edge frame with a lineage cut; state is one (url, trust,
+    * seed) row per node. */
+  def trustRankPpm(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
+      "trustRankPpm: iters >= 1, dampPpm in [0, 1e6]")
+    val e = edges.select(col("src_url").as("graft_src"),
+      col("dst_url").as("graft_dst")).distinct().cutLineage()
+    val s = seeds.select(col("url")).distinct()
+      .withColumn("graft_seed", lit(true))
+    val nodes = e.select(col("graft_src").as("url"))
+      .union(e.select(col("graft_dst").as("url"))).distinct()
+      .join(broadcast(s), Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("graft_seed"), lit(false)).as("graft_seed"))
+      .cutLineage()
+    val outdeg = e.groupBy("graft_src")
+      .agg(count(lit(1)).as("graft_out")).cutLineage()
+    var trust = nodes.withColumn("trust_ppm",
+      when(col("graft_seed"), lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(trust.select(col("url").as("graft_src"), col("trust_ppm")),
+          Seq("graft_src"))
+        .join(outdeg, Seq("graft_src"))
+        .select(col("graft_dst").as("url"),
+          expr("trust_ppm div graft_out").as("graft_c"))
+        .groupBy("url").agg(sum("graft_c").as("graft_in"))
+      trust = nodes.join(contrib, Seq("url"), "left")
+        .select(col("url"), col("graft_seed"),
+          (when(col("graft_seed"), lit(1000000L - dampPpm)).otherwise(lit(0L))
+            + expr(s"($dampPpm * coalesce(graft_in, 0L)) div 1000000"))
+            .cast("long").as("trust_ppm"))
+        .cutLineage()
+    }
+    trust.select("url", "trust_ppm")
+  }
+
+  /** Spam mass (Gyöngyi et al., "Link spam detection based on mass
+    * estimation", VLDB '06): the fraction of a page's PageRank that did
+    * NOT arrive through trusted paths —
+    * `spam_mass_ppm = max(0, rank − trust) · 10⁶ div rank` (0 when the
+    * page has no rank). Pages whose rank is mostly untrusted mass are
+    * the demotion/review set: a link farm can inflate `rank_ppm` but
+    * cannot reach high trust without a seed linking toward it. Exact
+    * integer ppm; both ranks run over the SAME distinct-edge frame.
+    *
+    * Scale shape: two rank fixpoints ([[pageRankPpm]] + [[trustRankPpm]],
+    * each O(iters) keyed join+aggregate rounds) plus one node-grain
+    * equi-join — no new shuffle class beyond the rank family itself. */
+  def spamMassPpm(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      dampPpm: Long = 850000L): DataFrame = {
+    val pr = pageRankPpm(edges, iters, dampPpm)
+    val tr = trustRankPpm(edges, seeds, iters, dampPpm)
+    pr.join(tr, Seq("url"))
+      .select(col("url"), col("rank_ppm"), col("trust_ppm"),
+        when(col("rank_ppm") <= 0L, lit(0L))
+          .otherwise(expr(
+            "(greatest(rank_ppm - trust_ppm, 0L) * 1000000) div rank_ppm"))
+          .cast("long").as("spam_mass_ppm"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. '07) over the
+    * UNDIRECTED view of the link graph — the site/community detector
+    * the crawl toolbox wants beside the rank family: mirror clusters,
+    * link rings and topic pockets surface as label plateaus without any
+    * geometry or embedding. Every node starts as its own label (its
+    * url); each round every node adopts the most frequent label among
+    * its neighbors, ties broken by label ascending (binary string
+    * order — deterministic, engine-portable), isolated nodes keep their
+    * own label. Synchronous update (all nodes step on the previous
+    * round's labels), so the result is exactly replayable — unlike the
+    * paper's asynchronous sweep, which is visit-order-dependent.
+    *
+    * Scale shape: per round one join of the undirected edge frame to
+    * the O(nodes) label frame, one (node, label) count aggregate, one
+    * argmax window partitioned by node — all keyed on node, AQE-safe,
+    * lineage cut per round. State is one (url, label) row per node. */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters >= 1")
+    val dir0 = edges.select(col("src_url").as("graft_a"),
+      col("dst_url").as("graft_b"))
+    val und = dir0.union(dir0.select(col("graft_b"), col("graft_a")))
+      .filter(col("graft_a") =!= col("graft_b")).distinct().cutLineage()
+    val nodes = und.select(col("graft_a").as("url")).distinct().cutLineage()
+    var labels = nodes.withColumn("community", col("url"))
+    for (_ <- 1 to iters) {
+      val neigh = und
+        .join(labels.select(col("url").as("graft_b"),
+          col("community").as("graft_l")), Seq("graft_b"))
+        .groupBy(col("graft_a").as("url"), col("graft_l"))
+        .agg(count(lit(1)).as("graft_n"))
+      val w = Window.partitionBy("url")
+        .orderBy(col("graft_n").desc, col("graft_l").asc)
+      val best = neigh.withColumn("graft_rk", row_number().over(w))
+        .filter(col("graft_rk") === 1)
+        .select(col("url"), col("graft_l"))
+      labels = labels.join(best, Seq("url"), "left")
+        .select(col("url"),
+          coalesce(col("graft_l"), col("community")).as("community"))
+        .cutLineage()
+    }
+    labels.select("url", "community")
+  }
+
+  /** TrustRank over the branch-derived 20-node rank graph (same edges
+    * as [[qLinkRank]]) with seeds `v % 5 = 0` ({0, 5, 10, 15}): three
+    * exact-ppm rounds where only the four seed nodes hold the teleport
+    * grant. The oracle unrolls the same three rounds; any wrong seed
+    * gate, div, or float hash-mismatches. */
+  def qTrustRank(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    val seeds = n.filter(col("v") % 5 === 0).select(u(col("v")).as("url"))
+    trustRankPpm(edges, seeds, iters = 3).orderBy("url", "trust_ppm")
+  }
+
+  /** Spam mass over the same graph and seeds as [[qTrustRank]]: both
+    * fixpoints unrolled by the oracle, then the exact integer mass
+    * ratio per node — nodes far from the seed set in link distance
+    * carry visibly higher mass. */
+  def qSpamMass(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    val seeds = n.filter(col("v") % 5 === 0).select(u(col("v")).as("url"))
+    spamMassPpm(edges, seeds, iters = 3)
+      .orderBy("url", "rank_ppm", "trust_ppm", "spam_mass_ppm")
+  }
+
+  /** Label propagation over a branch-derived TWO-BLOCK graph: nodes
+    * `doc_id % 20` split into blocks `{0..9}` and `{10..19}`, each
+    * block internally wired as a ring plus a +3 chord
+    * (`v → block·10 + (w+1)%10`, `v → block·10 + (w+3)%10`,
+    * `w = v % 10`) with NO cross-block edge — two synchronous rounds
+    * propagate the lexicographic-minimum labels through each block
+    * while the blocks stay label-disjoint. The oracle replays both
+    * rounds (count-desc, label-asc argmax per node via QUALIFY). */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val blk = (col("v") / 10).cast("int") * 10
+    val w = col("v") % 10
+    val edges = n.select(col("v").as("s"), (blk + (w + 1) % 10).as("d"))
+      .union(n.select(col("v"), blk + (w + 3) % 10))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    labelPropagation(edges, iters = 2).orderBy("url", "community")
+  }
+
+  /** Warm-start rank over the [[qLinkRank]] graph: init is the
+    * branch-derived snapshot `(v+1)·10⁵` EXCEPT nodes `v ≡ 3 (mod 7)`,
+    * which are absent from the snapshot and must take the uniform 10⁶
+    * default; two warm rounds. The oracle unrolls the same two rounds
+    * from the same mixed init — a wrong default, a dropped init row, or
+    * an extra cold round all hash-mismatch. */
+  def qLinkRankWarm(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("v")).distinct()
+    def u(c: Column): Column =
+      concat(lit("http://g"), c.cast("string"), lit(".example/"))
+    val edges = n.select(col("v").as("s"), ((col("v") * 3 + 1) % 20).as("d"))
+      .union(n.select(col("v"), (col("v") * 7 + 3) % 20))
+      .union(n.filter(col("v") % 4 === 0)
+        .select(col("v"), (col("v") + 10) % 20))
+      .select(u(col("s")).as("src_url"), u(col("d")).as("dst_url"))
+    val init = n.filter(col("v") % 7 =!= 3)
+      .select(u(col("v")).as("url"),
+        ((col("v") + 1) * 100000).cast("long").as("rank_ppm"))
+    pageRankPpmFrom(edges, init, iters = 2).orderBy("url", "rank_ppm")
   }
 
   // ---- domain quality prior --------------------------------------------

@@ -43,6 +43,8 @@ object ExtQueries {
     "ann_mmr_diverse"       -> Similarity.qMmrDiverse _,
     "ann_label_centroids"   -> Similarity.qLabelCentroids _,
     "ann_res_recall"        -> Similarity.qIvfPqResRecall _,
+    "bitext_margin"         -> Similarity.qBitextMargin _,
+    "bitext_margin_bucketed" -> Similarity.qBitextMarginBucketed _,
     "ann_mrr"               -> Similarity.qAnnMrr _,
     "ann_ndcg"              -> Similarity.qAnnNdcg _,
     "ann_rrf"               -> Similarity.qAnnRrf _,
@@ -191,6 +193,10 @@ object ExtQueries {
     "web_link_degrees"      -> Web.qLinkDegrees _,
     "web_mirror_domains"    -> Web.qMirrorDomains _,
     "web_link_rank_dangling" -> Web.qLinkRankDangling _,
+    "web_link_rank_warm"    -> Web.qLinkRankWarm _,
+    "web_trustrank"         -> Web.qTrustRank _,
+    "web_spam_mass"         -> Web.qSpamMass _,
+    "web_communities"       -> Web.qCommunities _,
     "web_rank_sched"        -> Web.qRankSchedule _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
@@ -240,6 +246,8 @@ object ExtQueries {
     "mm_video_neardup"      -> Multimodal.qVideoNearDup _,
     "emb_drift"             -> graft.operators.Anomaly.qEmbDrift _,
     "text_source_divergence" -> TextAnalysis.qSourceDivergence _,
+    "text_template_grams"   -> TextAnalysis.qTemplateGrams _,
+    "text_template_strip"   -> TextAnalysis.qTemplateStrip _,
     "events_user_entropy"   -> graft.operators.Journeys.qUserEntropy _,
   )
 
@@ -476,6 +484,63 @@ object ExtQueries {
        |mbk AS (SELECT vec_id, j // 8 AS tbl, string_agg(bit, '' ORDER BY j) AS bucket
        |        FROM mbits GROUP BY vec_id, j // 8),
        |mvb AS (SELECT v.vec_id, v.vec, mbk.tbl, mbk.bucket FROM v JOIN mbk USING (vec_id))""".stripMargin
+  }
+
+  /** Bitext margin pipeline over a `cand(x_id, y_id, sim_bp)` CTE —
+    * mirrors Similarity.marginScore exactly: positive-sim gate, top-4
+    * per-side basis-point sums, the exact-integer ratio margin, then
+    * the mutual-best filter at margin ≥ 10⁶. The candidate CTE is the
+    * only difference between the exact and bucketed arms. */
+  private def bitextSql(candCtes: String): String =
+    s"""WITH $vecCte,
+       |x AS (SELECT vec_id AS x_id, vec AS xv FROM v WHERE vec_id % 2 = 0),
+       |y AS (SELECT vec_id AS y_id, vec AS yv FROM v WHERE vec_id % 2 = 1),
+       |$candCtes,
+       |pos AS (SELECT x_id, y_id, sim_bp FROM cand WHERE sim_bp > 0),
+       |rnk AS (SELECT x_id, y_id, sim_bp,
+       |    row_number() OVER (PARTITION BY x_id
+       |      ORDER BY sim_bp DESC, y_id) AS rf,
+       |    row_number() OVER (PARTITION BY y_id
+       |      ORDER BY sim_bp DESC, x_id) AS rb
+       |  FROM pos),
+       |f AS (SELECT x_id, SUM(sim_bp) AS fs, COUNT(*) AS fn FROM rnk
+       |      WHERE rf <= 4 GROUP BY x_id),
+       |b AS (SELECT y_id, SUM(sim_bp) AS bs, COUNT(*) AS bn FROM rnk
+       |      WHERE rb <= 4 GROUP BY y_id),
+       |m AS (SELECT p.x_id, p.y_id, p.sim_bp,
+       |    (p.sim_bp * 2 * fn * bn * 1000000) // (fs * bn + bs * fn)
+       |      AS margin_ppm
+       |  FROM pos p JOIN f ON f.x_id = p.x_id JOIN b ON b.y_id = p.y_id),
+       |best AS (SELECT m.*,
+       |    row_number() OVER (PARTITION BY x_id
+       |      ORDER BY margin_ppm DESC, y_id) AS bx,
+       |    row_number() OVER (PARTITION BY y_id
+       |      ORDER BY margin_ppm DESC, x_id) AS by2
+       |  FROM m)
+       |SELECT x_id, y_id, CAST(sim_bp AS BIGINT) AS sim_bp,
+       |  CAST(margin_ppm AS BIGINT) AS margin_ppm
+       |FROM best WHERE bx = 1 AND by2 = 1 AND margin_ppm >= 1000000
+       |ORDER BY x_id, y_id, sim_bp, margin_ppm""".stripMargin
+
+  /** 4-plane sign-LSH buckets for the bucketed bitext arm (planes 0..3,
+    * same md5 component derivation as signLshCtes; emits
+    * `bbk(vec_id, bucket)` — needs `v`). */
+  private val bitextBucketCtes: String = {
+    val hexVal = (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    val dotTerms = (1 to 64).map(k => s"vec[$k] * p[$k]").mkString(" + ")
+    s"""bpc AS (SELECT j, d, ($hexVal) / 2147483648.0 - 1.0 AS c
+       |  FROM (SELECT j, d, md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+       |        FROM (SELECT unnest(generate_series(0, 3)) AS j),
+       |             (SELECT unnest(generate_series(0, 63)) AS d))),
+       |bpl AS (SELECT j, list(c ORDER BY d) AS p FROM bpc GROUP BY j),
+       |bbits AS (SELECT vec_id, j,
+       |    CASE WHEN $dotTerms >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM v, bpl),
+       |bbk AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+       |        FROM bbits GROUP BY vec_id)""".stripMargin
   }
 
   /** Rank-retaining (rk ≤ 10) IVF and multi-probe-LSH candidate lists
@@ -1326,6 +1391,27 @@ object ExtQueries {
          |GROUP BY 1, 2 ORDER BY source_a, source_b, dup_pairs""".stripMargin,
 
     "ann_lsh" -> signLshSql,
+
+    // Similarity.qBitextMargin: full bipartite product over the parity
+    // split, sims quantized to basis points, then the exact-integer
+    // margin pipeline (see bitextSql).
+    "bitext_margin" -> bitextSql(
+      """cand AS (SELECT x_id, y_id,
+        |    CAST(round(list_cosine_similarity(yv, xv) * 10000) AS BIGINT)
+        |      AS sim_bp
+        |  FROM x, y)""".stripMargin),
+
+    // Similarity.qBitextMarginBucketed: candidates gated to 4-plane
+    // sign-LSH bucket collisions; the margin pipeline runs WITHIN the
+    // candidate set, exactly as the Spark arm does.
+    "bitext_margin_bucketed" -> bitextSql(
+      s"""$bitextBucketCtes,
+         |cand AS (SELECT x_id, y_id,
+         |    CAST(round(list_cosine_similarity(yv, xv) * 10000) AS BIGINT)
+         |      AS sim_bp
+         |  FROM x JOIN bbk kx ON kx.vec_id = x_id
+         |       JOIN bbk ky ON ky.bucket = kx.bucket
+         |       JOIN y ON y_id = ky.vec_id)""".stripMargin),
 
     "ann_sq8" ->
       s"""WITH $vecCte,
@@ -3070,8 +3156,15 @@ object ExtQueries {
     // min key. A possible-verdict pair merging, a missed transitive
     // collapse, or a wrong modal tie-break all hash-mismatch.
     "er_entities" ->
-      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+      """WITH c0 AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    c_acctbal FROM customer),
+        |cu AS (SELECT * FROM c0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey,
+        |    c_mktsegment, c_acctbal
+        |  FROM c0 WHERE c_custkey % 25 = 0),
+        |c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM cu),
         |bl AS (SELECT c_nationkey, c_mktsegment FROM c
         |       GROUP BY 1, 2 HAVING count(*) <= 1000),
         |cb AS (SELECT c.* FROM c JOIN bl USING (c_nationkey, c_mktsegment)),
@@ -3097,7 +3190,7 @@ object ExtQueries {
         |lab AS (SELECT cu.c_custkey, cu.c_mktsegment,
         |    CAST(round(cu.c_acctbal * 100) AS BIGINT) AS bal_cents,
         |    reach.cluster_id
-        |  FROM customer cu JOIN reach ON reach.node = cu.c_custkey),
+        |  FROM cu JOIN reach ON reach.node = cu.c_custkey),
         |agg AS (SELECT cluster_id, count(*) AS n_members,
         |    max(bal_cents) AS max_bal_cents,
         |    min(c_custkey) AS min_c_custkey
@@ -4267,6 +4360,134 @@ object ExtQueries {
         |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
         |  CAST(r AS BIGINT) AS rank_ppm
         |FROM r3 ORDER BY url, rank_ppm""".stripMargin,
+
+    // Web.qLinkRankWarm: two rank rounds from the mixed warm init —
+    // snapshot (v+1)·10⁵ where present, the uniform 10⁶ default for
+    // the v ≡ 3 (mod 7) nodes the snapshot lacks.
+    "web_link_rank_warm" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, CAST(CASE WHEN v % 7 = 3 THEN 1000000
+        |  ELSE (v + 1) * 100000 END AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS v, SUM(r0.r // od.dg) AS sm
+        |  FROM e JOIN r0 ON r0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.v, 150000 + (850000 * COALESCE(c1.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.d AS v, SUM(r1.r // od.dg) AS sm
+        |  FROM e JOIN r1 ON r1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.v, 150000 + (850000 * COALESCE(c2.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN c2 ON c2.v = n.v)
+        |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  CAST(r AS BIGINT) AS rank_ppm
+        |FROM r2 ORDER BY url, rank_ppm""".stripMargin,
+
+    // Web.qTrustRank: the same 20-node rank graph with the teleport
+    // grant gated to the v%5=0 seeds — three unrolled exact-ppm rounds;
+    // a missing seed gate or a float anywhere mismatches.
+    "web_trustrank" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |t0 AS (SELECT v, CAST(CASE WHEN v % 5 = 0 THEN 1000000 ELSE 0 END
+        |  AS BIGINT) AS t FROM n),
+        |c1 AS (SELECT e.d AS v, SUM(t0.t // od.dg) AS sm
+        |  FROM e JOIN t0 ON t0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t1 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(c1.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.d AS v, SUM(t1.t // od.dg) AS sm
+        |  FROM e JOIN t1 ON t1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t2 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(c2.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.d AS v, SUM(t2.t // od.dg) AS sm
+        |  FROM e JOIN t2 ON t2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t3 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(c3.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  CAST(t AS BIGINT) AS trust_ppm
+        |FROM t3 ORDER BY url, trust_ppm""".stripMargin,
+
+    // Web.qSpamMass: BOTH fixpoints (uniform-teleport rank, seed-gated
+    // trust) unrolled over the same edge table, then the exact integer
+    // mass ratio — max(0, rank − trust)·10⁶ // rank — per node.
+    "web_spam_mass" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e AS (SELECT v AS s, (v * 3 + 1) % 20 AS d FROM n
+        |  UNION ALL SELECT v, (v * 7 + 3) % 20 FROM n
+        |  UNION ALL SELECT v, (v + 10) % 20 FROM n WHERE v % 4 = 0),
+        |od AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+        |rc1 AS (SELECT e.d AS v, SUM(r0.r // od.dg) AS sm
+        |  FROM e JOIN r0 ON r0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.v, 150000 + (850000 * COALESCE(rc1.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN rc1 ON rc1.v = n.v),
+        |rc2 AS (SELECT e.d AS v, SUM(r1.r // od.dg) AS sm
+        |  FROM e JOIN r1 ON r1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.v, 150000 + (850000 * COALESCE(rc2.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN rc2 ON rc2.v = n.v),
+        |rc3 AS (SELECT e.d AS v, SUM(r2.r // od.dg) AS sm
+        |  FROM e JOIN r2 ON r2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.v, 150000 + (850000 * COALESCE(rc3.sm, 0)) // 1000000 AS r
+        |  FROM n LEFT JOIN rc3 ON rc3.v = n.v),
+        |t0 AS (SELECT v, CAST(CASE WHEN v % 5 = 0 THEN 1000000 ELSE 0 END
+        |  AS BIGINT) AS t FROM n),
+        |tc1 AS (SELECT e.d AS v, SUM(t0.t // od.dg) AS sm
+        |  FROM e JOIN t0 ON t0.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t1 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(tc1.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN tc1 ON tc1.v = n.v),
+        |tc2 AS (SELECT e.d AS v, SUM(t1.t // od.dg) AS sm
+        |  FROM e JOIN t1 ON t1.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t2 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(tc2.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN tc2 ON tc2.v = n.v),
+        |tc3 AS (SELECT e.d AS v, SUM(t2.t // od.dg) AS sm
+        |  FROM e JOIN t2 ON t2.v = e.s JOIN od ON od.s = e.s GROUP BY e.d),
+        |t3 AS (SELECT n.v, (CASE WHEN n.v % 5 = 0 THEN 150000 ELSE 0 END)
+        |    + (850000 * COALESCE(tc3.sm, 0)) // 1000000 AS t
+        |  FROM n LEFT JOIN tc3 ON tc3.v = n.v)
+        |SELECT 'http://g' || CAST(r3.v AS VARCHAR) || '.example/' AS url,
+        |  CAST(r3.r AS BIGINT) AS rank_ppm, CAST(t3.t AS BIGINT) AS trust_ppm,
+        |  CAST(CASE WHEN r3.r <= 0 THEN 0
+        |    ELSE (GREATEST(r3.r - t3.t, 0) * 1000000) // r3.r END
+        |    AS BIGINT) AS spam_mass_ppm
+        |FROM r3 JOIN t3 ON t3.v = r3.v
+        |ORDER BY url, rank_ppm, trust_ppm, spam_mass_ppm""".stripMargin,
+
+    // Web.qCommunities: the two-block ring+chord graph taken through
+    // two SYNCHRONOUS label-propagation rounds — per round a neighbor
+    // label count and the count-desc/label-asc argmax via QUALIFY,
+    // exactly the window the Spark operator runs.
+    "web_communities" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS v FROM documents),
+        |e0 AS (SELECT v AS a, (v // 10) * 10 + ((v % 10) + 1) % 10 AS b FROM n
+        |  UNION ALL SELECT v, (v // 10) * 10 + ((v % 10) + 3) % 10 FROM n),
+        |und AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) WHERE a <> b),
+        |l0 AS (SELECT v,
+        |  'http://g' || CAST(v AS VARCHAR) || '.example/' AS l FROM n),
+        |n1 AS (SELECT und.a AS v, l0.l AS l, COUNT(*) AS c
+        |  FROM und JOIN l0 ON l0.v = und.b GROUP BY 1, 2),
+        |b1 AS (SELECT v, l FROM n1 QUALIFY
+        |  ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, l) = 1),
+        |l1 AS (SELECT l0.v, COALESCE(b1.l, l0.l) AS l
+        |  FROM l0 LEFT JOIN b1 ON b1.v = l0.v),
+        |n2 AS (SELECT und.a AS v, l1.l AS l, COUNT(*) AS c
+        |  FROM und JOIN l1 ON l1.v = und.b GROUP BY 1, 2),
+        |b2 AS (SELECT v, l FROM n2 QUALIFY
+        |  ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, l) = 1),
+        |l2 AS (SELECT l1.v, COALESCE(b2.l, l1.l) AS l
+        |  FROM l1 LEFT JOIN b2 ON b2.v = l1.v)
+        |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
+        |  l AS community
+        |FROM l2 ORDER BY url, community""".stripMargin,
 
     // Web.qDomainPrior: μ (global pass ppm) and every per-domain cell
     // re-derived from the same n_chars >= 250 predicate; the α=20
@@ -5940,6 +6161,76 @@ object ExtQueries {
         |    AS js_pico
         |FROM terms GROUP BY source
         |ORDER BY source, n_tokens_present, js_pico""".stripMargin,
+
+    // TextAnalysis.qTemplateGrams: the planted 5-word header re-derived
+    // — per-source DISTINCT doc frequency of every word trigram, the
+    // 60% ppm floor, exact integer df_ppm. The three pure header grams
+    // must land at exactly 10⁶ per source; one bridge gram sneaking
+    // past the floor (or a header gram dropped) mismatches.
+    "text_template_grams" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    'subscribe to ' || source || ' newsletter today ' || text AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM d),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM d GROUP BY source),
+        |f AS (SELECT source, gram, COUNT(*) AS dfn FROM g GROUP BY 1, 2)
+        |SELECT f.source AS source, gram, CAST(dfn AS BIGINT) AS df,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((dfn * 1000000) // n_docs AS BIGINT) AS df_ppm
+        |FROM f JOIN nd ON nd.source = f.source
+        |WHERE n_docs >= 5 AND dfn * 1000000 >= 600000 * n_docs
+        |ORDER BY f.source, gram, df, n_docs, df_ppm""".stripMargin,
+
+    // TextAnalysis.qTemplateStrip: same header plant, then the full
+    // strip replayed — template set, per-instance coverage expansion
+    // (gram position i covers i..i+2), per-doc counts and the
+    // order-preserving rebuild. Coverage is exactly the five header
+    // positions, so `cleaned` round-trips to the original text.
+    "text_template_strip" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    'subscribe to ' || source || ' newsletter today ' || text AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM d),
+        |g AS (SELECT doc_id, source, i,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM d GROUP BY source),
+        |tm AS (SELECT gd.source, gd.gram
+        |  FROM (SELECT DISTINCT doc_id, source, gram FROM g) gd
+        |  JOIN nd ON nd.source = gd.source
+        |  GROUP BY gd.source, gd.gram, n_docs
+        |  HAVING n_docs >= 5 AND COUNT(*) * 1000000 >= 600000 * n_docs),
+        |cov AS (SELECT DISTINCT g.doc_id, g.i + js.j AS cpos
+        |  FROM g JOIN tm ON tm.source = g.source AND tm.gram = g.gram
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) js),
+        |tp AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM toks)),
+        |fl AS (SELECT tp.doc_id, tp.pos, tp.tok,
+        |    cov.cpos IS NOT NULL AS cv
+        |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id
+        |    AND cov.cpos = tp.pos)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_template_tokens,
+        |  CAST(((COUNT(*) - SUM(CASE WHEN cv THEN 1 ELSE 0 END)) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS retained_ppm,
+        |  COALESCE(string_agg(CASE WHEN NOT cv THEN tok END, ' '
+        |    ORDER BY pos), '') AS cleaned
+        |FROM fl GROUP BY doc_id
+        |ORDER BY doc_id, n_tokens, n_template_tokens, retained_ppm,
+        |  cleaned""".stripMargin,
 
     // Mirrors Journeys.userEntropyRate: conditional entropy rate of each
     // user's in-session transitions. ln evaluated ONLY at integer

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Web
+import graft.CutPoint.CutOps
 
 /** Streaming CRAWL ingest — the web-stage twin of
   * [[DocStream.curateIngest]]: pages arrive continuously from a fetcher,
@@ -176,7 +177,7 @@ object WebStream {
           .withColumn("graft_keep", keeper)
           .filter(col("graft_keep"))
           .drop("graft_keep")
-          .localCheckpoint()
+          .cutLineage()
         // 3. cross-batch probe (bootstrap: no index table yet)
         val idx =
           if (spark.catalog.tableExists(urlIndexTable)) {
@@ -192,7 +193,7 @@ object WebStream {
           case None => spark.range(0).select(col("id").as("doc_id"))
         }
         val survivors = firsts.join(dups, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .cutLineage()
         // 4. replay-idempotent sink + index append (graft_base is
         // batch-internal plumbing — the redirect-resolved base spelling
         // — and stays out of the corpus)
@@ -304,7 +305,7 @@ object WebStream {
           .filter(struct(col("lastmod"), col("canon_loc")) === col("graft_best"))
           .drop("graft_best")
           .dropDuplicates("url_hash")
-          .localCheckpoint()
+          .cutLineage()
         def table(name: String): Option[DataFrame] =
           if (spark.catalog.tableExists(name)) {
             spark.catalog.refreshTable(name)
@@ -346,7 +347,7 @@ object WebStream {
           rankPrior = rankTable.map(rt => rankPriorFor(spark, rt, novel)))
         val out = sched
           .join(novel.select("canon_loc", "url_hash"), "canon_loc")
-          .localCheckpoint()
+          .cutLineage()
         out.withColumn("ingest_batch", lit(batchId))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -410,7 +411,7 @@ object WebStream {
             Web.registeredDomain(col("src_url")).as("src_domain"),
             Web.registeredDomain(col("dst_url")).as("dst_domain"),
             col("anchor"))
-          .localCheckpoint()
+          .cutLineage()
         val fresh =
           if (spark.catalog.tableExists(linkTable)) {
             spark.catalog.refreshTable(linkTable)
@@ -467,7 +468,7 @@ object WebStream {
           .groupBy("canon_url").agg(min(col("target")).as("target"))
           .select(xxhash64(col("canon_url")).as("url_hash"),
             col("canon_url"), col("target"))
-          .localCheckpoint()
+          .cutLineage()
         val fresh =
           if (spark.catalog.tableExists(redirectTable)) {
             spark.catalog.refreshTable(redirectTable)
@@ -504,7 +505,7 @@ object WebStream {
     spark.catalog.refreshTable(redirectTable)
     val hops = spark.table(redirectTable)
       .select(col("canon_url").as("graft_cur"), col("target").as("graft_t"))
-      .localCheckpoint()
+      .cutLineage()
     var state = hops.select(col("graft_cur").as("url"),
       col("graft_cur"), lit(0L).as("n_hops"))
     for (_ <- 1 to maxHops) {
@@ -513,7 +514,7 @@ object WebStream {
           coalesce(col("graft_t"), col("graft_cur")).as("graft_cur"),
           (col("n_hops") + when(col("graft_t").isNotNull, 1L).otherwise(0L))
             .as("n_hops"))
-        .localCheckpoint()
+        .cutLineage()
     }
     state
       .join(hops.select(col("graft_cur")).distinct()
@@ -583,7 +584,7 @@ object WebStream {
           Web.canonicalUrl(Web.resolveRef(col("graft_cu"), col("location"))))
           .as("graft_newt"))
     val joined = spark.table(redirectTable)
-      .join(obs, Seq("url_hash"), "left").localCheckpoint()
+      .join(obs, Seq("url_hash"), "left").cutLineage()
     val dropped = joined.filter(col("graft_is3xx") === false).count()
     val replaced = joined.filter(col("graft_is3xx") === true &&
       col("graft_newt") =!= col("target")).count()
@@ -642,7 +643,7 @@ object WebStream {
     vacuumRedirectRows(spark, table, obs, tsCol = Some("ts"))
     spark.catalog.refreshTable(table)
     val out = spark.table(table).select("canon_url", "target")
-      .localCheckpoint()
+      .cutLineage()
     spark.sql(s"DROP TABLE IF EXISTS $table")
     out.orderBy("canon_url", "target")
   }
@@ -664,7 +665,8 @@ object WebStream {
     * table yet). */
   def publishRankRefresh(spark: SparkSession, linkTable: String,
       rankTable: String, iters: Int = 3,
-      redistributeDangling: Boolean = true): Long = {
+      redistributeDangling: Boolean = true,
+      warmIters: Option[Int] = None): Long = {
     if (!spark.catalog.tableExists(linkTable)) return 0L
     spark.catalog.refreshTable(linkTable)
     val staging = rankTable + "_staging"
@@ -675,9 +677,23 @@ object WebStream {
     val edges = spark.table(linkTable).select(
       col("src_hash").cast("string").as("src_url"),
       col("dst_hash").cast("string").as("dst_url"))
-    val ranks = Web.pageRankPpm(edges, iters,
+    // warmIters: start from the previous snapshot and run that many
+    // rounds instead of the cold `iters` — the graph moved
+    // incrementally since the last refresh, so the old fixpoint is the
+    // right init and the refresh bill drops by iters/warmIters
+    // (Web.pageRankPpmFrom). Cold path when no snapshot exists yet.
+    val prior =
+      if (warmIters.isDefined && spark.catalog.tableExists(rankTable)) {
+        spark.catalog.refreshTable(rankTable)
+        Some(spark.table(rankTable).select(
+          col("url_hash").cast("string").as("url"), col("rank_ppm")))
+      } else None
+    val ranks = (prior match {
+      case Some(p) => Web.pageRankPpmFrom(edges, p, warmIters.get,
         redistributeDangling = redistributeDangling)
-      .select(col("url").cast("long").as("url_hash"), col("rank_ppm"))
+      case None => Web.pageRankPpm(edges, iters,
+        redistributeDangling = redistributeDangling)
+    }).select(col("url").cast("long").as("url_hash"), col("rank_ppm"))
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     ranks.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(staging)

@@ -1509,4 +1509,101 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.GifCodec.decode(interlaced, dim = 4))
     assert(e.getMessage.contains("interlaced"))
   }
+
+  test("bitextMarginPairs: exact integer margins, hub cancellation, " +
+      "mutual-best filter, non-positive sims dropped") {
+    // x0=(1,0) x2=(0,1); y1=(1,0) y3=(0.6,0.8):
+    //   sim_bp: (x0,y1)=10000 (x0,y3)=6000 (x2,y1)=0 (drop) (x2,y3)=8000
+    //   fwd: x0 sum 16000 n2, x2 sum 8000 n1
+    //   bwd: y1 sum 10000 n1, y3 sum 14000 n2
+    //   margins: (x0,y1) 4e10//36000=1111111, (x0,y3) 800000,
+    //            (x2,y3) 3.2e10//30000=1066666
+    // mutual best: (x0,y1) and (x2,y3), both over the 1e6 floor.
+    val xs = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    val ys = Seq((1L, Seq(1.0, 0.0)), (3L, Seq(0.6, 0.8)))
+      .toDF("id", "embedding")
+    val got = Similarity.bitextMarginPairs(xs, ys, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((0L, 1L, 10000L, 1111111L),
+      (2L, 3L, 8000L, 1066666L)), got.toString)
+    // raising the floor above the top margin empties the result
+    assert(Similarity.bitextMarginPairs(xs, ys, k = 4,
+      minMarginPpm = 1200000L).count() == 0L)
+  }
+
+  test("bitextMarginPairsBucketed agrees with the exact arm when every " +
+      "pair shares a bucket") {
+    // 64-dim vectors along two nearly-parallel directions: with ONE
+    // plane (2 buckets) all four land in the same half-space bucket,
+    // so the candidate set equals the full product and the bucketed
+    // margins must replay the exact arm's bit-for-bit.
+    def vec(a: Double, b: Double): Seq[Double] =
+      Seq(a, b) ++ Seq.fill(62)(0.0)
+    val base = Similarity.planeComponent(0, 0) // orient along plane sign
+    val s = if (base >= 0) 1.0 else -1.0
+    val xs = Seq((0L, vec(s * 1.0, 0.1)), (2L, vec(s * 0.9, 0.2)))
+      .toDF("id", "embedding")
+    val ys = Seq((1L, vec(s * 1.0, 0.12)), (3L, vec(s * 0.85, 0.3)))
+      .toDF("id", "embedding")
+    val exact = Similarity.bitextMarginPairs(xs, ys, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val bucketed = Similarity.bitextMarginPairsBucketed(xs, ys, k = 4,
+        numPlanes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(exact.nonEmpty && bucketed == exact,
+      s"exact=$exact bucketed=$bucketed")
+  }
+
+  test("templateGrams: per-source distinct df, ppm floor, minDocs gate") {
+    val d = (Seq(
+      // sA: shared 4-word header; d0 carries it TWICE (distinct df)
+      (0L, "join our club now alpha beta join our club now"),
+      (1L, "join our club now gamma delta"),
+      (2L, "join our club now epsilon zeta"),
+      (3L, "join our club now eta theta"),
+      (4L, "join our club now iota kappa"),
+      (5L, "join our club now lambda mu")).map { case (i, t) =>
+        (i, t, "en", "sA", t.length.toLong) } ++
+      // sB: same header but only 3 docs — under the minDocs gate
+      Seq(6L, 7L, 8L).map(i =>
+        (i, s"join our club now x$i y$i", "en", "sB", 20L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.templateGrams(d, n = 3, minDfPpm = 600000L,
+        minDocs = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("sA", "join our club", 6L, 6L, 1000000L),
+      ("sA", "our club now", 6L, 6L, 1000000L)), got.toString)
+  }
+
+  test("templateStrip: coverage expands per instance, order-preserving " +
+      "rebuild, untemplated sources pass through whole") {
+    val d = (Seq(
+      (0L, "join our club now alpha beta join our club now"),
+      (1L, "join our club now gamma delta"),
+      (2L, "join our club now epsilon zeta"),
+      (3L, "join our club now eta theta"),
+      (4L, "join our club now iota kappa"),
+      (5L, "join our club now lambda mu")).map { case (i, t) =>
+        (i, t, "en", "sA", t.length.toLong) } ++
+      Seq(6L, 7L, 8L).map(i =>
+        (i, s"join our club now x$i y$i", "en", "sB", 20L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.templateStrip(d, n = 3, minDfPpm = 600000L,
+        minDocs = 5L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    // d0: instances at 0,1,6,7 cover {0..3, 6..9} -> "alpha beta" stays
+    assert(got(0L) == ((10L, 8L, 200000L, "alpha beta")), got(0L).toString)
+    assert(got(1L) == ((6L, 4L, 333333L, "gamma delta")), got(1L).toString)
+    // sB is under the minDocs gate: nothing stripped
+    assert(got(6L) == ((6L, 0L, 1000000L, "join our club now x6 y6")),
+      got(6L).toString)
+    assert(got.size == 9)
+  }
 }

@@ -777,4 +777,81 @@ class WebSpec extends AnyFunSuite {
       ("shop.h.example", "http://shop.h.example/b", 1L, 2L),
       ("shop.h.example", "http://shop.h.example/c", 2L, 4L)), got.toString)
   }
+
+  test("pageRankPpmFrom: uniform init replays cold; converged state is " +
+      "a fixpoint; missing init rows take the uniform default") {
+    val cyc = Seq(("A", "B"), ("B", "A")).toDF("src_url", "dst_url")
+    // warm from the 2-cycle's own fixpoint: one round changes nothing
+    val fix = Seq(("A", 1000000L), ("B", 1000000L)).toDF("url", "rank_ppm")
+    val warm = Web.pageRankPpmFrom(cyc, fix, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(warm == Map("A" -> 1000000L, "B" -> 1000000L))
+    // warm with uniform init == cold, per iteration count
+    val e = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "C"))
+      .toDF("src_url", "dst_url")
+    val uni = Seq("A", "B", "C").map((_, 1000000L)).toDF("url", "rank_ppm")
+    val cold = Web.pageRankPpm(e, iters = 2).as[(String, Long)].collect().toMap
+    val w2 = Web.pageRankPpmFrom(e, uni, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(w2 == cold, s"warm(uniform)=$w2 cold=$cold")
+    // node C missing from the snapshot starts at the uniform 1e6:
+    // one round on A->B,B->C,C->A,A->C from A=200000,B=400000:
+    //   A gets C's 1e6 -> 150000+850000=1000000
+    //   B gets A/2=100000 -> 150000+85000=235000
+    //   C gets A/2+B=500000 -> 150000+425000=575000
+    val part = Seq(("A", 200000L), ("B", 400000L)).toDF("url", "rank_ppm")
+    val w1 = Web.pageRankPpmFrom(e, part, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(w1 == Map("A" -> 1000000L, "B" -> 235000L, "C" -> 575000L),
+      w1.toString)
+  }
+
+  test("trustRankPpm: trust flows only from seeds; duplicate edges " +
+      "count once; unreachable nodes stay at zero") {
+    // chain S -> A -> B with seed {S}; C -> D is seed-unreachable.
+    // iter1: S=150000, A=(850000*1e6)div 1e6=850000, B=0
+    // iter2: S=150000, A=(850000*150000)div 1e6=127500,
+    //        B=(850000*850000)div 1e6=722500
+    val e = Seq(("S", "A"), ("S", "A"), ("A", "B"), ("C", "D"))
+      .toDF("src_url", "dst_url")
+    val seeds = Seq("S").toDF("url")
+    val got = Web.trustRankPpm(e, seeds, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("S" -> 150000L, "A" -> 127500L, "B" -> 722500L,
+      "C" -> 0L, "D" -> 0L), got.toString)
+  }
+
+  test("spamMassPpm: seed-starved rank is pure mass; seeds carry none") {
+    // chain S -> A -> B, seed {S}, one round.
+    // rank:  S=150000, A=1000000, B=1000000
+    // trust: S=150000, A=850000,  B=0
+    // mass:  S=0, A=150000·1e6 div 1e6=150000, B=1e6 (all untrusted)
+    val e = Seq(("S", "A"), ("A", "B")).toDF("src_url", "dst_url")
+    val got = Web.spamMassPpm(e, Seq("S").toDF("url"), iters = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "S" -> ((150000L, 150000L, 0L)),
+      "A" -> ((1000000L, 850000L, 150000L)),
+      "B" -> ((1000000L, 0L, 1000000L))), got.toString)
+  }
+
+  test("labelPropagation: synchronous rounds, min-label tie-break, " +
+      "self-loops ignored, disjoint blocks never merge") {
+    // triangle A-B-C (+ a self-loop decoy): round 1 sends every node
+    // the minimum OTHER label (A -> 'B', B/C -> 'A'); round 2's count
+    // argmax settles all three on 'A'.
+    val tri = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "A"))
+      .toDF("src_url", "dst_url")
+    val got2 = Web.labelPropagation(tri, iters = 2)
+      .as[(String, String)].collect().toMap
+    assert(got2 == Map("A" -> "A", "B" -> "A", "C" -> "A"), got2.toString)
+    // two disjoint 2-cycles: one synchronous round swaps each pair's
+    // labels and the blocks stay label-disjoint
+    val pairs = Seq(("A", "B"), ("C", "D")).toDF("src_url", "dst_url")
+    val got1 = Web.labelPropagation(pairs, iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(got1 == Map("A" -> "B", "B" -> "A", "C" -> "D", "D" -> "C"),
+      got1.toString)
+  }
 }

@@ -899,6 +899,24 @@ class WebStreamSpec extends AnyFunSuite {
     val n1 = WebStream.publishRankRefresh(spark, "rk_edges", "rk_ranks")
     val n2 = WebStream.publishRankRefresh(spark, "rk_edges", "rk_ranks")
     assert(n1 == n2 && n1 > 0L, s"stable snapshot row count: $n1 vs $n2")
+    // warm refresh: one round from the published snapshot must equal
+    // pageRankPpmFrom over the same edges and init — and with no
+    // snapshot present warmIters must fall back to the cold path
+    val snap = spark.table("rk_ranks")
+      .select(col("url_hash").cast("string").as("url"), col("rank_ppm"))
+      .localCheckpoint()
+    val edges = spark.table("rk_edges").select(
+      col("src_hash").cast("string").as("src_url"),
+      col("dst_hash").cast("string").as("dst_url"))
+    val expect = Web.pageRankPpmFrom(edges, snap, iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+    WebStream.publishRankRefresh(spark, "rk_edges", "rk_ranks",
+      warmIters = Some(1))
+    spark.catalog.refreshTable("rk_ranks")
+    val warmGot = spark.table("rk_ranks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmGot == expect, s"warm=$warmGot expect=$expect")
     val hub = Seq("http://d.example/hub", "http://d.example/leaf")
       .toDF("canon_loc")
     val prior = WebStream.rankPriorFor(spark, "rk_ranks", hub)
