@@ -593,4 +593,91 @@ object Sampling {
   def qSimilarOrder(spark: SparkSession, dir: String): DataFrame =
     similarOrder(Tables.embeddings(spark, dir))
       .orderBy("vec_id")
+
+  // ---- dedup-aware splits & weights --------------------------------------
+
+  /** Per-doc duplicate-cluster assignment from a PAIR frame (exact-dup
+    * pairs, verified near-dup pairs — whatever the dedup family
+    * produced): connected components collapse transitive chains,
+    * singletons keep their own id. The shared first stage of
+    * [[leakageSafeSplit]] and [[dupNormalizedWeights]].
+    *
+    * Scale shape: CC runs on the pair graph (dup-mass-sized, never the
+    * corpus); the corpus pays one keyed left join against the
+    * (dup-mass-sized) mapping. */
+  def clusterAssign(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val m = Clusters.connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** LEAKAGE-SAFE train/test split: hash the duplicate-CLUSTER id, not
+    * the document id — the standard fix for benchmark leakage through
+    * near-duplicates (a doc in train and its near-copy in test measures
+    * memorization, not generalization; Lee et al. '22 measure exactly
+    * this failure in C4-trained models). Same portable md5-first-4-hex
+    * recipe as [[TextAnalysis.hashSplit]], so per-cluster assignment is
+    * deterministic, rerun-stable, and growth-stable — and every member
+    * of a cluster lands on the SAME side by construction. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100,
+      "leakageSafeSplit: trainPct in [0, 100]")
+    clusterAssign(docs, pairs, idCol).withColumn("split",
+      when(conv(substring(md5(col("cluster_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100 < trainPct, "train").otherwise("test"))
+  }
+
+  /** Duplication-normalized sampling weights: every doc in a duplicate
+    * cluster of size n weighs 10⁶ div n ppm, so a page mirrored 400
+    * times contributes ONE document's worth of gradient, not 400 — the
+    * keep-but-downweight alternative to dropping duplicates outright
+    * (useful when near-dup members differ in the tails the pipeline
+    * wants to keep). Exact integers; Σ weight per cluster ≤ 10⁶ with
+    * equality exactly when n divides 10⁶.
+    *
+    * Scale shape: [[clusterAssign]] + one O(clusters) size aggregate
+    * joined back at the corpus grain. */
+  def dupNormalizedWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val a = clusterAssign(docs, pairs, idCol)
+    val sz = a.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    a.join(sz, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
+  /** Exact-duplicate pairs of the corpus — (digest keeper, member) at
+    * the content-digest grain, the cheapest real pair frame the
+    * split/weight queries can replay in SQL (CC over keeper→member
+    * stars is exactly min-per-digest). */
+  private def exactDupPairs(docs: DataFrame): DataFrame = {
+    val byDigest = Window.partitionBy(md5(col("text")))
+    docs.select(col("doc_id"),
+        min(col("doc_id")).over(byDigest).as("graft_keeper"))
+      .filter(col("doc_id") =!= col("graft_keeper"))
+      .select(col("graft_keeper").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** Cluster-hashed split over the documents table with exact-dup
+    * pairs: every digest group lands whole on one side; the oracle
+    * replays the digest clustering (min doc_id per md5(text)) and the
+    * 4-hex-digit hash gate per cluster. */
+  def qLeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    leakageSafeSplit(docs, exactDupPairs(docs))
+      .orderBy("doc_id", "cluster_id", "split")
+  }
+
+  /** Duplication weights over the same exact-dup clusters: weight_ppm
+    * = 10⁶ div cluster_size, singletons at exactly 10⁶. */
+  def qDupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dupNormalizedWeights(docs, exactDupPairs(docs))
+      .orderBy("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+  }
 }

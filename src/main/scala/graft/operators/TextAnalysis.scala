@@ -2408,9 +2408,20 @@ object TextAnalysis {
     * a per-doc sorted collect — O(doc length) state per group, the
     * same bound any per-doc transform carries. */
   def templateStrip(docs: DataFrame, n: Int = 3, minDfPpm: Long = 600000L,
-      minDocs: Long = 5L): DataFrame = {
-    val tmpl = templateGrams(docs, n, minDfPpm, minDocs)
-      .select(col("source"), col("gram"))
+      minDocs: Long = 5L): DataFrame =
+    templateStripWith(docs,
+      templateGrams(docs, n, minDfPpm, minDocs), n)
+
+  /** [[templateStrip]] against an EXTERNAL template table
+    * `(source, gram)` — the arm the incremental/streaming maintenance
+    * path uses: templates learned from the corpus so far strip each
+    * NEW batch ([[graft.streaming.DocStream.templateIngest]]), so
+    * batch text never re-derives the df statistics it is being
+    * cleaned with. Same coverage/rebuild semantics as the one-shot
+    * form (which delegates here). */
+  def templateStripWith(docs: DataFrame, templates: DataFrame,
+      n: Int = 3): DataFrame = {
+    val tmpl = templates.select(col("source"), col("gram"))
     val toks = docs.select(col("doc_id"), col("source"),
       Shingles.tokens(col("text")).as("graft_t"))
     val covered = toks
@@ -2438,6 +2449,82 @@ object TextAnalysis {
         expr("((n_tokens - n_template_tokens) * 1000000) div n_tokens")
           .as("retained_ppm"),
         col("cleaned"))
+  }
+
+  /** Append one batch's template statistics to the persisted df
+    * JOURNAL — the incremental arm of [[templateGrams]], on the same
+    * journal discipline as the dedup gram indexes: the main table
+    * holds per-batch (source, gram, df) deltas (df = DISTINCT docs of
+    * the batch containing the gram), the `_docs` side table holds
+    * per-batch (source, n_docs) deltas, and the CURRENT statistics are
+    * the summed journals ([[currentTemplates]]). Row-grain
+    * replay-idempotent: rows already present for this `batchId`
+    * anti-join away, so a crashed append heals. Bucketed on source —
+    * the strip-side probe joins broadcast-sized template sets, and the
+    * journal compacts by source locality. */
+  def appendTemplateJournal(batch: DataFrame, journalTable: String, n: Int,
+      batchId: Long, numBuckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val g = batch.select(col("source"), col("doc_id"),
+        explode(Shingles.fromText(col("text"), n)).as("gram"))
+      .distinct()
+      .groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      .withColumn("ingest_batch", lit(batchId))
+    val gFresh =
+      if (spark.catalog.tableExists(journalTable)) {
+        spark.catalog.refreshTable(journalTable)
+        g.join(spark.table(journalTable)
+            .filter(col("ingest_batch") === batchId)
+            .select("source", "gram"),
+          Seq("source", "gram"), "left_anti")
+      } else g
+    gFresh.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "source").sortBy("source", "gram")
+      .saveAsTable(journalTable)
+    val dt = journalTable + "_docs"
+    val d = batch.groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .withColumn("ingest_batch", lit(batchId))
+    val dFresh =
+      if (spark.catalog.tableExists(dt)) {
+        spark.catalog.refreshTable(dt)
+        d.join(spark.table(dt).filter(col("ingest_batch") === batchId)
+            .select("source"),
+          Seq("source"), "left_anti")
+      } else d
+    dFresh.write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "source").sortBy("source")
+      .saveAsTable(dt)
+  }
+
+  /** The CURRENT template set from the summed journals — same floor
+    * semantics as [[templateGrams]] over everything journaled so far.
+    * `excludeBatch` is the streaming replay guard: a replayed batch
+    * must see the journal as it stood BEFORE its own (possibly
+    * partially crashed) append. Empty frame when no journal exists
+    * yet (bootstrap). */
+  def currentTemplates(spark: SparkSession, journalTable: String,
+      minDfPpm: Long = 600000L, minDocs: Long = 5L,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val dt = journalTable + "_docs"
+    if (!spark.catalog.tableExists(journalTable) ||
+        !spark.catalog.tableExists(dt))
+      return spark.range(0).select(
+        lit("").as("source"), lit("").as("gram"), lit(0L).as("df"),
+        lit(0L).as("n_docs"), lit(0L).as("df_ppm"))
+    spark.catalog.refreshTable(journalTable)
+    spark.catalog.refreshTable(dt)
+    def noReplay(df: DataFrame): DataFrame =
+      excludeBatch.fold(df)(b => df.filter(col("ingest_batch") =!= b))
+    val dfSum = noReplay(spark.table(journalTable))
+      .groupBy("source", "gram").agg(sum("df").as("df"))
+    val nd = noReplay(spark.table(dt))
+      .groupBy("source").agg(sum("n_docs").as("n_docs"))
+    dfSum.join(broadcast(nd), Seq("source"))
+      .filter(col("n_docs") >= minDocs &&
+        col("df") * 1000000L >= lit(minDfPpm) * col("n_docs"))
+      .select(col("source"), col("gram"), col("df"), col("n_docs"),
+        expr("(df * 1000000) div n_docs").as("df_ppm"))
   }
 
   /** Template detection over a branch-derived corpus: every document

@@ -1954,6 +1954,84 @@ object Web {
     pageRankPpmFrom(edges, init, iters = 2).orderBy("url", "rank_ppm")
   }
 
+  // ---- per-cycle crawl budget ------------------------------------------
+
+  /** Per-cycle fetch budget across hosts — the allocation layer above
+    * [[fetchSchedule]]'s slot ordering: when the fleet can execute only
+    * `budgetNum/budgetDen` of the politeness-feasible fetches this
+    * cycle, give rank-heavy hosts their fill FIRST and spread what
+    * remains. Per host: `n_pages` frontier pages, a feasibility cap
+    * `min(n_pages, cycleSec div delay)` (RFC 9309 crawl-delay makes
+    * fetch capacity per host a hard ceiling no budget can buy past),
+    * and a weight = the host's share of frontier rank mass in ppm
+    * (floored at 1 so rank-less hosts still drain). The allocation is
+    * [[graft.operators.Sampling.budgetWaterfill]] — exact integer
+    * water-filling, hosts cheaper than the waterline capped at their
+    * own feasibility, the remainder split by weight.
+    *
+    * Scale shape: one frontier-grain join against the rank snapshot
+    * (both keyed on canonical URL), one O(hosts) aggregate, then the
+    * waterfill's O(hosts) window walk — the corpus-scale work is the
+    * one keyed join, and hosts (≤ 10⁷ even at full-web scale) stay a
+    * single-partition window frame the same way every politeness
+    * window in this module does. */
+  def crawlBudget(frontier: DataFrame, ranks: DataFrame, delays: DataFrame,
+      cycleSec: Long, budgetNum: Long, budgetDen: Long,
+      defaultDelaySec: Long = 1L): DataFrame = {
+    require(cycleSec >= 1 && defaultDelaySec >= 1 &&
+      budgetNum >= 0 && budgetDen > 0,
+      "crawlBudget: cycleSec/defaultDelaySec >= 1, budget a valid fraction")
+    val pageRank = frontier.select(col("host"), col("canon_loc"))
+      .join(ranks.select(col("url").as("canon_loc"), col("rank_ppm")),
+        Seq("canon_loc"), "left")
+      .select(col("host"), coalesce(col("rank_ppm"), lit(0L)).as("graft_r"))
+    val hosts = pageRank.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("graft_r").as("graft_mass"))
+    val withDelay = hosts
+      .join(broadcast(delays.select(col("host"), col("crawl_delay_sec"))),
+        Seq("host"), "left")
+      .withColumn("graft_d",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+    val all = Window.partitionBy()
+    val strata = withDelay
+      .withColumn("graft_total", sum(col("graft_mass")).over(all))
+      .select(col("host").as("stratum"), col("n_docs"),
+        least(col("n_docs"), expr(s"$cycleSec div graft_d"))
+          .as("tokens_avail"),
+        greatest(lit(1L), when(col("graft_total") > 0L,
+            expr("(graft_mass * 1000000) div graft_total"))
+          .otherwise(lit(0L))).as("weight"))
+    graft.operators.Sampling.budgetWaterfill(strata, budgetNum, budgetDen)
+      .select(col("stratum").as("host"), col("n_docs").as("n_pages"),
+        col("tokens_avail").as("cap_fetches"), col("weight"),
+        col("budget"), col("capped"),
+        col("quota_tokens").as("quota_fetches"))
+  }
+
+  /** Crawl budget over a branch-derived frontier: hosts `doc_id % 10`,
+    * one page per doc, page rank `((doc_id % 7) + 1)·10⁵`, per-host
+    * delays `(i % 3) + 1` s, a 40 s cycle, budget 1/2 of feasible.
+    * The oracle replays the mass rollup, the ppm weights, and the
+    * exact waterfill walk. */
+  def qCrawlBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val frontier = d.select(
+      concat(lit("h"), (col("doc_id") % 10).cast("string")).as("host"),
+      concat(lit("http://h"), (col("doc_id") % 10).cast("string"),
+        lit(".example/p"), col("doc_id").cast("string")).as("canon_loc"))
+    val ranks = d.select(
+      concat(lit("http://h"), (col("doc_id") % 10).cast("string"),
+        lit(".example/p"), col("doc_id").cast("string")).as("url"),
+      (((col("doc_id") % 7) + 1) * 100000).cast("long").as("rank_ppm"))
+    val delays = d.select((col("doc_id") % 10).as("i")).distinct()
+      .select(concat(lit("h"), col("i").cast("string")).as("host"),
+        ((col("i") % 3) + 1).cast("long").as("crawl_delay_sec"))
+    crawlBudget(frontier, ranks, delays, cycleSec = 40L,
+        budgetNum = 1L, budgetDen = 2L)
+      .orderBy("host", "n_pages", "cap_fetches", "weight", "budget",
+        "capped", "quota_fetches")
+  }
+
   // ---- domain quality prior --------------------------------------------
 
   /** Smoothed per-domain quality prior — the CCNet/RefinedWeb-style

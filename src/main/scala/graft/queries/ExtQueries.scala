@@ -140,6 +140,8 @@ object ExtQueries {
     "sample_epoch_order"    -> graft.operators.Sampling.qEpochOrder _,
     "sample_importance"     -> graft.operators.Sampling.qImportanceWeights _,
     "sample_importance_incr" -> graft.operators.Sampling.qImportanceIncremental _,
+    "sample_split_safe"     -> graft.operators.Sampling.qLeakageSafeSplit _,
+    "sample_dup_weights"    -> graft.operators.Sampling.qDupWeights _,
     "text_dup_ngrams"       -> TextAnalysis.qDupNgrams _,
     "dedup_cdc"             -> Dedup.qCdcDedup _,
     "text_bpe_merges"       -> TextAnalysis.qBpeMerges _,
@@ -197,6 +199,7 @@ object ExtQueries {
     "web_trustrank"         -> Web.qTrustRank _,
     "web_spam_mass"         -> Web.qSpamMass _,
     "web_communities"       -> Web.qCommunities _,
+    "web_crawl_budget"      -> Web.qCrawlBudget _,
     "web_rank_sched"        -> Web.qRankSchedule _,
     "web_redirects"         -> Web.qRedirects _,
     "web_url_dedup"         -> Web.qUrlDedup _,
@@ -1632,6 +1635,36 @@ object ExtQueries {
          |GROUP BY doc_id
          |ORDER BY doc_id, score_ppm, keep""".stripMargin
     },
+
+    // Sampling.qLeakageSafeSplit: exact-dup clusters (min doc_id per
+    // content digest — CC over the keeper→member stars collapses to
+    // exactly this), then the portable 4-hex-digit hash gate on the
+    // CLUSTER id, so a digest group can never straddle the split.
+    "sample_split_safe" ->
+      """WITH cl AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+        |  FROM documents)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (
+        |    (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)
+        |  ) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id, cluster_id, split""".stripMargin,
+
+    // Sampling.qDupWeights: same digest clusters, weight 10⁶ div n —
+    // singletons at exactly 10⁶, a mirrored page split across its n
+    // copies.
+    "sample_dup_weights" ->
+      """WITH cl AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+        |  FROM documents)
+        |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+        |FROM cl
+        |ORDER BY doc_id, cluster_id, cluster_size, weight_ppm""".stripMargin,
 
     "sample_importance" -> {
       def h8(m: String) = (1 to 8).map { p =>
@@ -4488,6 +4521,51 @@ object ExtQueries {
         |SELECT 'http://g' || CAST(v AS VARCHAR) || '.example/' AS url,
         |  l AS community
         |FROM l2 ORDER BY url, community""".stripMargin,
+
+    // Web.qCrawlBudget: the rank-mass rollup, ppm weights (floored at
+    // 1), politeness caps min(pages, 40 // delay), then the exact
+    // integer waterfill walk at budget 1/2 — the same CTE shape as
+    // sample_waterfill with the crawl-derived strata.
+    "web_crawl_budget" ->
+      """WITH fr AS (SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+        |    ((doc_id % 7) + 1) * 100000 AS r FROM documents),
+        |h AS (SELECT host, count(*) AS n_docs, sum(r) AS mass
+        |      FROM fr GROUP BY host),
+        |dl AS (SELECT 'h' || CAST(i AS VARCHAR) AS host, (i % 3) + 1 AS d
+        |  FROM (SELECT DISTINCT doc_id % 10 AS i FROM documents)),
+        |w AS (SELECT h.host AS stratum, n_docs,
+        |    least(n_docs, 40 // d) AS tokens_avail,
+        |    greatest(1, CASE WHEN t.total > 0
+        |      THEN (mass * 1000000) // t.total ELSE 0 END) AS weight
+        |  FROM h JOIN dl ON dl.host = h.host,
+        |       (SELECT sum(mass) AS total FROM h) t),
+        |base AS (SELECT *, tokens_avail // weight AS rq,
+        |    ((tokens_avail % weight) * 1000000000000) // weight AS rr,
+        |    (SELECT (sum(tokens_avail) * 1) // 2 FROM w) AS b_total,
+        |    (SELECT sum(weight) FROM w) AS w_total FROM w),
+        |c AS (SELECT *,
+        |    sum(weight) OVER (ORDER BY rq, rr, stratum
+        |      ROWS UNBOUNDED PRECEDING) - weight AS cw,
+        |    sum(tokens_avail) OVER (ORDER BY rq, rr, stratum
+        |      ROWS UNBOUNDED PRECEDING) - tokens_avail AS ca
+        |  FROM base),
+        |f AS (SELECT *, CASE WHEN tokens_avail * (w_total - cw)
+        |      <= (b_total - ca) * weight THEN 1 ELSE 0 END AS capped
+        |  FROM c),
+        |g AS (SELECT *,
+        |    (SELECT sum(CASE WHEN capped = 1 THEN tokens_avail ELSE 0 END)
+        |     FROM f) AS ca_cap,
+        |    (SELECT sum(CASE WHEN capped = 0 THEN weight ELSE 0 END)
+        |     FROM f) AS w_free FROM f)
+        |SELECT stratum AS host, CAST(n_docs AS BIGINT) AS n_pages,
+        |  CAST(tokens_avail AS BIGINT) AS cap_fetches,
+        |  CAST(weight AS BIGINT) AS weight, CAST(b_total AS BIGINT) AS budget,
+        |  CAST(capped AS BIGINT) AS capped,
+        |  CAST(CASE WHEN capped = 1 THEN tokens_avail
+        |       ELSE ((b_total - ca_cap) * weight) // w_free END AS BIGINT)
+        |    AS quota_fetches
+        |FROM g ORDER BY host, n_pages, cap_fetches, weight, budget,
+        |  capped, quota_fetches""".stripMargin,
 
     // Web.qDomainPrior: μ (global pass ppm) and every per-domain cell
     // re-derived from the same n_chars >= 250 predicate; the α=20

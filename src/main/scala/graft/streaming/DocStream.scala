@@ -360,6 +360,44 @@ object DocStream {
       }
       .start()
 
+  /** Streaming boilerplate maintenance — the stream twin of
+    * [[graft.operators.TextAnalysis.templateGrams]]/[[graft.operators
+    * .TextAnalysis.templateStrip]]: each micro-batch is STRIPPED
+    * against the template set learned from all EARLIER batches (the
+    * journal-summed df statistics — a batch cannot be cleaned with
+    * statistics it has not contributed yet, so the cut is causal and
+    * replay-exact), the cleaned rows land in a batch-partitioned sink
+    * with dynamic overwrite, and the batch's own df deltas append to
+    * the journal for every later batch. A site that starts shipping a
+    * new footer mid-crawl starts losing it as soon as the df mass
+    * crosses the floor — without ever re-scanning the corpus.
+    *
+    * Replay: the journal read excludes this batchId (a crashed append
+    * may have landed rows), the journal append anti-joins per batch,
+    * and the sink overwrite is partition-scoped — all three at-least-
+    * once guards this family already uses. */
+  def templateIngest(docs: DataFrame, spark: SparkSession,
+      journalTable: String, outPath: String, checkpoint: String,
+      n: Int = 3, minDfPpm: Long = 600000L, minDocs: Long = 5L,
+      numBuckets: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.cutLineage()
+        val tmpl = TextAnalysis.currentTemplates(spark, journalTable,
+          minDfPpm, minDocs, excludeBatch = Some(batchId)).cutLineage()
+        TextAnalysis.templateStripWith(batch, tmpl, n)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outPath)
+        TextAnalysis.appendTemplateJournal(batch, journalTable, n, batchId,
+          tableBuckets(spark, journalTable).getOrElse(numBuckets))
+        ()
+      }
+      .start()
+
   /** One batch's additive per-source cells (shared by the stream and
     * the spec's one-shot twin): docs, repairs, whitespace-token count,
     * and the exact 4-decimal quality mass. */

@@ -298,4 +298,37 @@ class SamplingSpec extends AnyFunSuite {
       assert(g.last - g.head == rows.length - 1 && g.toSeq == (g.head to g.last))
     }
   }
+  test("leakageSafeSplit: dup clusters land whole on one side; chains " +
+      "follow their transitive cluster; percent bounds degenerate cleanly") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (3L, 5L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val got = Sampling.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // transitive chain 1-3-5 collapses to cluster 1; 2-4 to cluster 2
+    assert(got.view.mapValues(_._1).toMap ==
+      Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L), got.toString)
+    assert(Set(got(1L)._2, got(3L)._2, got(5L)._2).size == 1,
+      "chained cluster straddles the split")
+    assert(got(2L)._2 == got(4L)._2, "pair cluster straddles the split")
+    val all0 = Sampling.leakageSafeSplit(docs, pairs, trainPct = 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all0 == Seq("test"))
+    val all100 = Sampling.leakageSafeSplit(docs, pairs, trainPct = 100)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all100 == Seq("train"))
+  }
+
+  test("dupNormalizedWeights: 1e6 div cluster size, singletons whole") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (3L, 5L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val got = Sampling.dupNormalizedWeights(docs, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, 333333L)), 3L -> ((1L, 3L, 333333L)),
+      5L -> ((1L, 3L, 333333L)),
+      2L -> ((2L, 2L, 500000L)), 4L -> ((2L, 2L, 500000L)),
+      6L -> ((6L, 1L, 1000000L))), got.toString)
+  }
 }

@@ -778,6 +778,29 @@ class WebSpec extends AnyFunSuite {
       ("shop.h.example", "http://shop.h.example/c", 2L, 4L)), got.toString)
   }
 
+  test("crawlBudget: politeness caps feasibility, rank mass splits the " +
+      "remainder, unranked hosts still drain at weight 1") {
+    // A: 5 pages, delay 1, rank 1e5/page; B: 5 pages, delay 5,
+    // rank 3e5/page; C: 1 page, no delay row (default 1), no rank row.
+    // cycle 10 s -> caps A=5, B=2, C=1; budget 1/2 of 8 = 4.
+    // Waterfill: B capped at 2, A quota 1, C quota 0 (hand-derived).
+    val frontier = ((1 to 5).map(i => ("A", s"http://a/$i")) ++
+      (1 to 5).map(i => ("B", s"http://b/$i")) ++
+      Seq(("C", "http://c/1"))).toDF("host", "canon_loc")
+    val ranks = ((1 to 5).map(i => (s"http://a/$i", 100000L)) ++
+      (1 to 5).map(i => (s"http://b/$i", 300000L)))
+      .toDF("url", "rank_ppm")
+    val delays = Seq(("A", 1L), ("B", 5L)).toDF("host", "crawl_delay_sec")
+    val got = Web.crawlBudget(frontier, ranks, delays, cycleSec = 10L,
+        budgetNum = 1L, budgetDen = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      "A" -> ((5L, 5L, 250000L, 4L, 0L, 1L)),
+      "B" -> ((5L, 2L, 750000L, 4L, 1L, 2L)),
+      "C" -> ((1L, 1L, 1L, 4L, 0L, 0L))), got.toString)
+  }
+
   test("pageRankPpmFrom: uniform init replays cold; converged state is " +
       "a fixpoint; missing init rows take the uniform default") {
     val cyc = Seq(("A", "B"), ("B", "A")).toDF("src_url", "dst_url")

@@ -523,4 +523,81 @@ class DocStreamSpec extends AnyFunSuite {
     assert(rows(1L) == article,
       s"nav/footer must not reach the corpus: ${rows(1L)}")
   }
+  test("templateIngest: causal boilerplate cut — batch N strips with " +
+      "batches < N's statistics; journal parity; replayed append heals") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-tstream")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    Seq("tstream_j", "tstream_j_docs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    val input = MemoryStream[(Long, String, String)]
+    def start() = DocStream.templateIngest(
+      input.toDF().toDF("doc_id", "source", "text"), spark,
+      "tstream_j", out, ckpt, n = 3, minDfPpm = 600000L, minDocs = 5L,
+      numBuckets = 2)
+    val b0 = Seq(
+      (0L, "sA", "join our club now alpha beta"),
+      (1L, "sA", "join our club now gamma delta"),
+      (2L, "sA", "join our club now epsilon zeta"),
+      (3L, "sA", "join our club now eta theta"),
+      (4L, "sA", "join our club now iota kappa"),
+      (5L, "sA", "join our club now lambda mu"))
+    val b1 = Seq(
+      (6L, "sA", "join our club now nu xi"),
+      (7L, "sA", "join our club now omicron pi"),
+      (8L, "sB", "join our club now rho sigma"))
+    val q1 = start()
+    try {
+      input.addData(b0: _*); q1.processAllAvailable()
+      input.addData(b1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "n_template_tokens", "cleaned").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // batch 0 streamed into an empty journal: untouched
+    assert(rows(0L) == ((0L, "join our club now alpha beta")), rows(0L).toString)
+    assert((0L to 5L).forall(rows(_)._1 == 0L), "batch 0 must be causal-clean")
+    // batch 1's sA docs strip with batch 0's df=6/6 header templates
+    assert(rows(6L) == ((4L, "nu xi")), rows(6L).toString)
+    assert(rows(7L) == ((4L, "omicron pi")), rows(7L).toString)
+    // sB never crossed minDocs: untouched
+    assert(rows(8L) == ((0L, "join our club now rho sigma")), rows(8L).toString)
+
+    // journal parity with the one-shot batch operator over all rows
+    val all = (b0 ++ b1).toDF("doc_id", "source", "text")
+    val oneShot = graft.operators.TextAnalysis.templateGrams(
+        all, n = 3, minDfPpm = 600000L, minDocs = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val journaled = graft.operators.TextAnalysis.currentTemplates(
+        spark, "tstream_j")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(journaled == oneShot, s"journal=$journaled oneShot=$oneShot")
+
+    // simulated crash: batch 2's journal rows landed but the commit did
+    // not — the restarted stream must strip batch 2 with the PRE-crash
+    // statistics and must not double-journal
+    val b2 = Seq((9L, "sA", "join our club now tau upsilon"))
+    graft.operators.TextAnalysis.appendTemplateJournal(
+      b2.toDF("doc_id", "source", "text"), "tstream_j", 3, batchId = 2L,
+      numBuckets = 2)
+    val q2 = start()
+    try { input.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val after = spark.read.parquet(out)
+      .select("doc_id", "cleaned").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(9L) == "tau upsilon", after(9L))
+    spark.catalog.refreshTable("tstream_j")
+    val jRows = spark.table("tstream_j")
+      .filter(org.apache.spark.sql.functions.col("ingest_batch") === 2L)
+    assert(jRows.groupBy("source", "gram").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0L,
+      "replayed journal rows must not duplicate")
+    Seq("tstream_j", "tstream_j_docs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
