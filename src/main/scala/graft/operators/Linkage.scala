@@ -57,6 +57,56 @@ object Linkage {
       .select("id_a", "id_b", "dist")
   }
 
+  /** One-row BLOCKING-QUALITY report — the monitoring rollup an ER
+    * deployment watches before trusting any match output: how many
+    * records entered, how many are unmatchable (null block key), how
+    * many blocks exist, how many blew the admissibility cap (their
+    * pairs were never generated), the candidate-pair count the blocking
+    * actually produces, and the reduction ratio in ppm
+    * (`10⁶ − pairs·10⁶ div (N·(N−1)/2)` — Christen's standard metric:
+    * how much of the all-pairs bill the blocking eliminated). A
+    * reduction ratio drifting DOWN round over round means a block key
+    * is degenerating (one giant segment) long before the probe cost
+    * shows it.
+    *
+    * Scale shape: one block-grain aggregate + two single-row
+    * aggregates joined by a broadcast 1×1 cross — no pairs are
+    * materialized; the pair count is Σ n·(n−1)/2 over admissible block
+    * sizes. Exact longs throughout (N up to ~3·10⁹ before N² leaves
+    * the long range at ppm scale). */
+  def blockingReport(records: DataFrame, blockCols: Seq[String],
+      maxBlock: Long = 1000L): DataFrame = {
+    require(blockCols.nonEmpty && maxBlock >= 2)
+    val bc = blockCols.map(col)
+    val isNull = blockCols.map(col(_).isNull).reduce(_ || _)
+    val totals = records.agg(count(lit(1)).as("n_records"),
+      sum(isNull.cast("long")).as("n_null_key"))
+    val blocks = records.filter(!isNull)
+      .groupBy(bc: _*).agg(count(lit(1)).as("graft_n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("graft_n") > maxBlock, 1L).otherwise(0L))
+          .as("n_oversized"),
+        sum(when(col("graft_n") <= maxBlock,
+          expr("graft_n * (graft_n - 1) div 2")).otherwise(0L))
+          .as("n_candidate_pairs"))
+    totals.crossJoin(broadcast(blocks))
+      .select(col("n_records"), col("n_null_key"), col("n_blocks"),
+        col("n_oversized"), col("n_candidate_pairs"),
+        when(col("n_records") < 2L, lit(1000000L))
+          .otherwise(expr("1000000 - (n_candidate_pairs * 1000000) div " +
+            "((n_records * (n_records - 1)) div 2)"))
+          .cast("long").as("reduction_ppm"))
+  }
+
+  /** Blocking report over the (nation, segment) customer blocks — the
+    * same key the whole er_ family uses; the oracle re-derives every
+    * cell including the exact ppm reduction ratio. */
+  def qErBlockingReport(spark: SparkSession, dir: String): DataFrame =
+    blockingReport(Tables.customer(spark, dir),
+      Seq("c_nationkey", "c_mktsegment"))
+      .orderBy("n_records", "n_null_key", "n_blocks", "n_oversized",
+        "n_candidate_pairs", "reduction_ppm")
+
   /** Records whose block key contains a NULL — unmatchable under
     * equi-join blocking, reported rather than silently dropped; route
     * these to re-blocking on another key. Together with

@@ -2497,15 +2497,86 @@ object TextAnalysis {
       .saveAsTable(dt)
   }
 
+  /** Compact the template journal: the per-batch delta rows sum to ONE
+    * batch (`ingest_batch = -1`) per (source, gram) / source, published
+    * through staging + atomic catalog rename — journal size returns to
+    * O(sources · template-vocab) no matter how many batches streamed,
+    * and [[currentTemplates]] reads the same sums before and after
+    * (spec-locked). A crash between DROP and RENAME leaves a complete
+    * staging table that the next [[currentTemplates]] or compact call
+    * ADOPTS, so the maintenance pass can die anywhere without losing
+    * the statistics.
+    *
+    * The LATEST batch id present keeps its per-batch identity: only
+    * checkpoint-committed batches can never replay, and the one batch
+    * `foreachBatch` may replay after a crash is the latest — folding
+    * it into the `-1` sum would break [[currentTemplates]]'
+    * `excludeBatch` guard (the replay would then strip with statistics
+    * including itself and re-append its deltas as a double count). */
+  def compactTemplateJournal(spark: SparkSession, journalTable: String): Unit = {
+    adoptStaging(spark, journalTable)
+    adoptStaging(spark, journalTable + "_docs")
+    require(spark.catalog.tableExists(journalTable) &&
+      spark.catalog.tableExists(journalTable + "_docs"),
+      s"compactTemplateJournal: $journalTable(_docs) must exist")
+    def republish(t: String, compacted: DataFrame, bucketCols: Seq[String]): Unit = {
+      val buckets = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val staging = t + "_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      compacted.write.format("parquet")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(staging)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $t")
+      spark.catalog.refreshTable(t)
+    }
+    def keepLatest(t: String): (DataFrame, DataFrame) = {
+      spark.catalog.refreshTable(t)
+      val rows = spark.table(t)
+      val maxB = rows.agg(coalesce(max("ingest_batch"),
+        lit(Long.MinValue))).head.getLong(0)
+      (rows.filter(col("ingest_batch") =!= maxB),
+        rows.filter(col("ingest_batch") === maxB))
+    }
+    val (jOld, jLatest) = keepLatest(journalTable)
+    republish(journalTable,
+      jOld.groupBy("source", "gram")
+        .agg(sum("df").as("df")).withColumn("ingest_batch", lit(-1L))
+        .unionByName(jLatest)
+        .cutLineage(),
+      Seq("source"))
+    val dt = journalTable + "_docs"
+    val (dOld, dLatest) = keepLatest(dt)
+    republish(dt,
+      dOld.groupBy("source")
+        .agg(sum("n_docs").as("n_docs")).withColumn("ingest_batch", lit(-1L))
+        .unionByName(dLatest)
+        .cutLineage(),
+      Seq("source"))
+  }
+
+  /** Adopt a complete staging table left by a compact that crashed
+    * between DROP and RENAME (the publishRankRefresh recovery rule). */
+  private def adoptStaging(spark: SparkSession, t: String): Unit =
+    if (!spark.catalog.tableExists(t) &&
+        spark.catalog.tableExists(t + "_staging"))
+      spark.sql(s"ALTER TABLE ${t}_staging RENAME TO $t")
+
   /** The CURRENT template set from the summed journals — same floor
     * semantics as [[templateGrams]] over everything journaled so far.
     * `excludeBatch` is the streaming replay guard: a replayed batch
     * must see the journal as it stood BEFORE its own (possibly
     * partially crashed) append. Empty frame when no journal exists
-    * yet (bootstrap). */
+    * yet (bootstrap); a staging table orphaned by a crashed
+    * [[compactTemplateJournal]] publish is adopted first. */
   def currentTemplates(spark: SparkSession, journalTable: String,
       minDfPpm: Long = 600000L, minDocs: Long = 5L,
       excludeBatch: Option[Long] = None): DataFrame = {
+    adoptStaging(spark, journalTable)
+    adoptStaging(spark, journalTable + "_docs")
     val dt = journalTable + "_docs"
     if (!spark.catalog.tableExists(journalTable) ||
         !spark.catalog.tableExists(dt))

@@ -111,6 +111,7 @@ object ExtQueries {
     "er_blocked_incremental" -> graft.operators.Linkage.qErBlockedIncremental _,
     "er_fs_score"           -> graft.operators.Linkage.qErFsScore _,
     "er_entities"           -> graft.operators.Linkage.qErEntities _,
+    "er_blocking_report"    -> graft.operators.Linkage.qErBlockingReport _,
     "text_isotonic_calib"   -> graft.operators.Calibration.qIsotonicCalib _,
     "text_contamination_bloom" -> TextAnalysis.qContaminationBloom _,
     "text_tfidf"            -> TextAnalysis.qTfidf _,
@@ -3188,6 +3189,34 @@ object ExtQueries {
     // modal segment (count desc, value asc tie-break), exact max cents,
     // min key. A possible-verdict pair merging, a missed transitive
     // collapse, or a wrong modal tie-break all hash-mismatch.
+    // Linkage.qErBlockingReport: the (nation, segment) block-size
+    // rollup, the maxBlock-capped pair sum, and the exact ppm
+    // reduction ratio vs N·(N−1)/2.
+    "er_blocking_report" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(sum(CASE WHEN c_nationkey IS NULL
+        |      OR c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_key
+        |  FROM customer),
+        |s AS (SELECT count(*) AS n FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |  GROUP BY c_nationkey, c_mktsegment),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN n > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oversized,
+        |    CAST(sum(CASE WHEN n <= 1000 THEN (n * (n - 1)) // 2
+        |      ELSE 0 END) AS BIGINT) AS n_candidate_pairs
+        |  FROM s)
+        |SELECT n_records, n_null_key, n_blocks, n_oversized,
+        |  n_candidate_pairs,
+        |  CAST(CASE WHEN n_records < 2 THEN 1000000
+        |    ELSE 1000000 - (n_candidate_pairs * 1000000) //
+        |      ((n_records * (n_records - 1)) // 2) END AS BIGINT)
+        |    AS reduction_ppm
+        |FROM t, b
+        |ORDER BY n_records, n_null_key, n_blocks, n_oversized,
+        |  n_candidate_pairs, reduction_ppm""".stripMargin,
+
     "er_entities" ->
       """WITH c0 AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
         |    c_acctbal FROM customer),

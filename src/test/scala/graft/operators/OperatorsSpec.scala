@@ -1510,6 +1510,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("interlaced"))
   }
 
+  test("blockingReport: null keys, oversize cap, exact ppm reduction") {
+    // (1,A)x3 -> 3 pairs; (2,B)x2 -> 1 pair; (3,C)x5 oversized at
+    // maxBlock=4 -> 0 pairs; one null-key record. N=11 -> total 55,
+    // reduction = 1e6 - 4e6 div 55 = 927273.
+    val recs = (Seq.tabulate(3)(i => (i.toLong, s"n$i", Some(1), "A")) ++
+      Seq.tabulate(2)(i => (10L + i, s"m$i", Some(2), "B")) ++
+      Seq.tabulate(5)(i => (20L + i, s"o$i", Some(3), "C")) ++
+      Seq((30L, "nk", Option.empty[Int], "A")))
+      .toDF("id", "name", "nat", "seg")
+    val got = Linkage.blockingReport(recs, Seq("nat", "seg"), maxBlock = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((11L, 1L, 3L, 1L, 4L, 927273L)), got.toString)
+  }
+
+  test("template journal compaction: sums preserved, latest batch keeps " +
+      "replay identity, orphaned staging adopted") {
+    Seq("tj_compact", "tj_compact_docs", "tj_compact_staging",
+      "tj_compact_docs_staging").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.map { case (i, s, t) => (i, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select("doc_id", "source", "text")
+    val b0 = mk((0L to 5L).map(i => (i, "sA", s"join our club now w$i x$i")))
+    val b1 = mk(Seq((6L, "sA", "join our club now y z"),
+      (7L, "sB", "join our club now q r")))
+    TextAnalysis.appendTemplateJournal(b0, "tj_compact", 3, 0L, 2)
+    TextAnalysis.appendTemplateJournal(b1, "tj_compact", 3, 1L, 2)
+    def cur() = TextAnalysis.currentTemplates(spark, "tj_compact")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val before = cur()
+    assert(before.nonEmpty)
+    TextAnalysis.compactTemplateJournal(spark, "tj_compact")
+    assert(cur() == before, "compaction changed the statistics")
+    // only the LATEST batch keeps its id — it is the one foreachBatch
+    // could replay, and excludeBatch must still be able to subtract it
+    spark.catalog.refreshTable("tj_compact")
+    val batches = spark.table("tj_compact").select("ingest_batch")
+      .distinct().as[Long].collect().toSet
+    assert(batches == Set(-1L, 1L), batches.toString)
+    val minusLatest = TextAnalysis.currentTemplates(spark, "tj_compact",
+        excludeBatch = Some(1L))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val b0Only = TextAnalysis.templateGrams(
+        b0.withColumn("lang", lit("en")).withColumn("n_chars", lit(0L)),
+        n = 3, minDfPpm = 600000L, minDocs = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(minusLatest == b0Only, s"$minusLatest vs $b0Only")
+    // crash between DROP and RENAME: a complete staging table left
+    // behind is adopted on the next read
+    spark.sql("ALTER TABLE tj_compact RENAME TO tj_compact_staging")
+    assert(cur() == before, "orphaned staging not adopted")
+    Seq("tj_compact", "tj_compact_docs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bitextMarginPairs: exact integer margins, hub cancellation, " +
       "mutual-best filter, non-positive sims dropped") {
     // x0=(1,0) x2=(0,1); y1=(1,0) y3=(0.6,0.8):
