@@ -65,15 +65,25 @@ object Clusters {
       .select(col("node"), least(col("node"), col("mind")).as("label"))
       .cutLineage()
     // candidate label per node: min over (own label, neighbors' labels);
-    // the convergence flag rides in the same projection, and each round
-    // is checkpointed so plan size stays constant across iterations
+    // the convergence flag rides in the same aggregate, and each round
+    // is checkpointed so plan size stays constant across iterations.
+    // ONE join + ONE aggregate per round: the node's own label arrives
+    // as a tagged union row instead of a second join — min(own ∪
+    // neighbor candidates) is the new label, and the flag compares the
+    // per-tag minima, so the round drops a whole node-grain shuffle
+    // (the old shape joined the aggregate back against `labels`).
     def step(): DataFrame = edges
       .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dlabel"), "dst")
-      .groupBy(col("src").as("node"))
-      .agg(min(col("dlabel")).as("nlabel"))
-      .join(labels, "node")
-      .select(col("node"), least(col("label"), col("nlabel")).as("label"),
-        (col("nlabel") < col("label")).as("chg"))
+      .select(col("src").as("node"), col("dlabel").as("cand"),
+        lit(false).as("graft_self"))
+      .unionAll(labels.select(col("node"), col("label").as("cand"),
+        lit(true).as("graft_self")))
+      .groupBy("node")
+      .agg(min(col("cand")).as("label"),
+        min(when(col("graft_self"), col("cand"))).as("graft_old"),
+        min(when(!col("graft_self"), col("cand"))).as("graft_nl"))
+      .select(col("node"), col("label"),
+        (col("graft_nl") < col("graft_old")).as("chg"))
       .cutLineage()
     var changed = 1L
     var iter = 0

@@ -249,8 +249,8 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    // The candidate pair list and the candidate-doc shingle set each feed
-    // three consumers below (symmetric unions / both join sides). Both
+    // The candidate pair list and the candidate-doc shingle sets each feed
+    // multiple consumers below (symmetric union / both join sides). Both
     // are small relative to the corpus — candidates only — so materialize
     // them once with truncated lineage (localCheckpoint) instead of
     // recomputing the LSH pipeline per consumer branch; at cluster scale
@@ -259,18 +259,28 @@ object Dedup {
       .cutLineage()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = docs.join(candDocs, "doc_id")
+    // Verify with PACKED per-doc shingle sets (the containmentPairs
+    // shape): one collect_set aggregate replaces the (doc, shingle)-grain
+    // row distinct AND the size aggregate, and the intersection computes
+    // per candidate pair with array_intersect inside the task — the pair
+    // grain is LSH-bounded, so the join moves each array once per pair
+    // membership, where the row-explode shape shuffled Σ|pair|·|doc|
+    // shingle rows through two joins and a count aggregate.
+    val sets = docs.join(candDocs, "doc_id")
       .select(col("doc_id"), explode(Shingles.fromText(col("text"), shingleK)).as("shingle"))
-      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("set"))
       .cutLineage()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).cast("long").as("sz_a"),
+        size(col("set_b")).cast("long").as("sz_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"))
+      // pairs sharing no shingle never appeared in the row-explode shape's
+      // inner-join output — keep that row set exactly (only reachable at
+      // minJaccard == 0)
+      .filter(col("inter") > 0L)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -922,20 +922,33 @@ object Multimodal {
 
   /** Window expansion shared by [[sequencySpectrum]] and
     * [[windowSymbols]]: one row per (doc, window, in-window position m)
-    * joined back to the sample panel — the [[audioWindows]] fully-inside
-    * rule. */
+    * with the sample value — the [[audioWindows]] fully-inside rule.
+    *
+    * Membership is derived per SAMPLE ROW: a sample at position n sits
+    * in at most ⌈windowLen/hop⌉ hop-aligned windows, so a bounded
+    * explode + filter over the panel itself replaces the old
+    * windows×windowLen expansion frame and its sample-grain shuffle
+    * join back to the panel (two sample-grain exchanges gone; the
+    * fully-inside rule needs only the per-doc length, a doc-grain
+    * join). Row set is identical: (start ≡ 0 mod hop,
+    * 0 ≤ start ≤ len − windowLen, m = n − start ∈ [0, windowLen)). */
   private def windowedSamples(samples: DataFrame, windowLen: Int,
-      hop: Int): DataFrame =
-    samples.groupBy("doc_id").agg((max(col("n")) + 1).as("len"))
-      .filter(col("len") >= windowLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("len") - windowLen, lit(hop.toLong)))
-          .as("start"))
-      .select(col("doc_id"), expr(s"start div $hop").as("w"), col("start"))
-      .select(col("doc_id"), col("w"), col("start"),
-        explode(sequence(lit(0L), lit(windowLen - 1L))).as("m"))
-      .select(col("doc_id"), col("w"), (col("start") + col("m")).as("n"), col("m"))
-      .join(samples, Seq("doc_id", "n"))
+      hop: Int): DataFrame = {
+    val nw = (windowLen + hop - 1) / hop
+    val lens = samples.groupBy("doc_id")
+      .agg((max(col("n")) + 1).as("graft_len"))
+      .filter(col("graft_len") >= windowLen)
+    samples.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("x"), col("graft_len"),
+        explode(sequence(lit(0L), lit(nw - 1L))).as("graft_j"))
+      .withColumn("graft_start",
+        (expr(s"n div $hop") - col("graft_j")) * hop)
+      .filter(col("graft_start") >= 0L &&
+        col("graft_start") <= col("graft_len") - windowLen &&
+        col("n") - col("graft_start") < windowLen)
+      .select(col("doc_id"), expr(s"graft_start div $hop").as("w"),
+        col("n"), (col("n") - col("graft_start")).as("m"), col("x"))
+  }
 
   /** Per-window top-2 peak SYMBOL s = k₁·nCoeffs + k₂ (peaks ordered
     * |amp| desc with ties to the smaller k) — [[audioLandmarks]]' front
@@ -3279,11 +3292,18 @@ object Multimodal {
   def videoNearDupPairs(media: DataFrame, step: Int = 2,
       cutThreshold: Long = 1L, bits: Int = 24, maxHamming: Long = 6L,
       maxBucketSize: Option[Int] = Some(512)): DataFrame = {
-    val kf = videoSignatures(media, step, cutThreshold, bits)
+    // the keyframe frame feeds FIVE consumers (the signature pack, the
+    // bucket-cap aggregate, the cap join, both candidate join sides) —
+    // materialize it once or the frame decode + scene segmentation (the
+    // expensive stage) executes once per branch (the
+    // qVideoNearDupIncremental discipline); the packed signature frame
+    // feeds both verify join sides, so it materializes too
+    val kf = videoSignatures(media, step, cutThreshold, bits).cutLineage()
     val sigs = kf.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("scene_id"), col("ahash"))))
         .as("sa"))
       .select(col("doc_id"), expr("transform(sa, x -> x.ahash)").as("sig"))
+      .cutLineage()
     val posts = kf.select("doc_id", "scene_id", "ahash")
     val kept = maxBucketSize match {
       case Some(cap) =>

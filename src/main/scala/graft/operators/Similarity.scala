@@ -1598,9 +1598,15 @@ object Similarity {
     * translations and would poison the denominators. */
   private def marginScore(cand: DataFrame, k: Int,
       minMarginPpm: Long): DataFrame = {
+    // the quantized candidate frame feeds THREE consumers (both k-NN
+    // window branches and the margin join's probe side) — materialize it
+    // once or the candidate-generation join (the bipartite/bucketed
+    // cosine product, the expensive stage) executes once per branch
     val bp = cand
       .withColumn("sim_bp", round(col("sim") * 10000).cast("long"))
       .filter(col("sim_bp") > 0)
+      .select(col("x_id"), col("y_id"), col("sim_bp"))
+      .cutLineage()
     val wf = Window.partitionBy("x_id")
       .orderBy(col("sim_bp").desc, col("y_id").asc)
     val wb = Window.partitionBy("y_id")

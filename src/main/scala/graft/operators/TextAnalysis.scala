@@ -1267,18 +1267,29 @@ object TextAnalysis {
       sum(when(col("ln") >= 2, col("ln") * length(col("lkey")))
         .otherwise(0L)).as("dup_line_chars"))
 
-    // token table (newlines are whitespace at token grain)
+    // token table (newlines are whitespace at token grain). ONE window
+    // pass over ONE materialized token frame serves all four token-side
+    // consumers (denominators, the 2-gram rank, the dupN-gram table and
+    // the covered-position join): the 2-gram's lead(1) and the dupN
+    // gram's lead(0..dupN−1)/lead(dupN−1) share the same (doc, pos)
+    // window spec, so they fuse into a single WindowExec behind one
+    // exchange+sort — the old shape re-scanned and re-exploded the
+    // corpus per consumer and paid that sort twice.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val toks = base.select(col("doc_id"),
         posexplode(filter(split(col("graft_t"), "[ \n]"), t => t =!= ""))
           .as(Seq("pos", "tok")))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .withColumn("gkey", xxhash64(concat_ws(" ",
+        (0 until dupN).map(j => lead(col("tok"), j).over(byDoc)): _*)))
+      .withColumn("gend", lead(col("tok"), dupN - 1).over(byDoc))
+      .cutLineage()
     val denom = toks.groupBy("doc_id").agg(
       (sum(length(col("tok"))) + count(lit(1)) - 1).as("norm_len"),
       sum(length(col("tok"))).cast("long").as("tok_chars"))
 
     // top 2-gram coverage
     val g2 = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"),
         concat(col("tok"), lit(" "), col("nxt")).as("gram"))
@@ -1302,9 +1313,6 @@ object TextAnalysis {
     // cluster's skewed partitions, and the 2⁻⁶⁴ in-doc collision wager
     // is the same one every fingerprint in this repo takes.
     val gramN = toks
-      .withColumn("gkey", xxhash64(concat_ws(" ",
-        (0 until dupN).map(j => lead(col("tok"), j).over(byDoc)): _*)))
-      .withColumn("gend", lead(col("tok"), dupN - 1).over(byDoc))
       .filter(col("gend").isNotNull)
       .select(col("doc_id"), col("pos"), col("gkey"))
     val dupOcc = gramN
@@ -1315,7 +1323,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (dupN - 1))).as("pos"))
       .distinct()
-      .join(toks, Seq("doc_id", "pos"))
+      .join(toks.select("doc_id", "pos", "tok"), Seq("doc_id", "pos"))
       .groupBy("doc_id").agg(sum(length(col("tok"))).cast("long").as("dup10_chars"))
 
     docs.select("doc_id")

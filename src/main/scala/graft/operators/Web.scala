@@ -1211,19 +1211,27 @@ object Web {
       redistributeDangling: Boolean): DataFrame = {
     require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
       "pageRankPpm: iters >= 1, dampPpm in [0, 1e6]")
-    val e = edges.select(col("src_url").as("graft_src"),
-      col("dst_url").as("graft_dst")).distinct().cutLineage()
-    val nodes0 = e.select(col("graft_src").as("url"))
-      .union(e.select(col("graft_dst").as("url"))).distinct()
-    val outdeg = e.groupBy("graft_src")
-      .agg(count(lit(1)).as("graft_out")).cutLineage()
+    // The out-degree rides ON the edge frame (one setup join, ONE cut):
+    // each iteration's contribution pass is then a single join of the
+    // edge frame against the node-grain rank frame — the old shape paid
+    // a second per-iteration join against a separate outdeg frame, and
+    // a second setup checkpoint for it. The shared distinct-exchange
+    // under both branches of the setup join is reused (ReuseExchange).
+    val e2 = {
+      val e = edges.select(col("src_url").as("graft_src"),
+        col("dst_url").as("graft_dst")).distinct()
+      e.join(e.groupBy("graft_src").agg(count(lit(1)).as("graft_out")),
+        Seq("graft_src"))
+    }.cutLineage()
+    val nodes0 = e2.select(col("graft_src").as("url"))
+      .union(e2.select(col("graft_dst").as("url"))).distinct()
     // dangling flag computed ONCE (the set is static — it's a property
     // of the edge table, not of the evolving ranks); the rank frame
     // carries it so each round's dangling mass is a filtered 1-row
     // aggregate, never a join
     val nodes = (if (redistributeDangling)
-        nodes0.join(outdeg.select(col("graft_src").as("url"),
-            lit(false).as("graft_dang")), Seq("url"), "left")
+        nodes0.join(e2.select(col("graft_src").as("url")).distinct()
+            .withColumn("graft_dang", lit(false)), Seq("url"), "left")
           .select(col("url"), coalesce(col("graft_dang"), lit(true))
             .as("graft_dang"))
       else nodes0.withColumn("graft_dang", lit(false)))
@@ -1239,21 +1247,27 @@ object Web {
         .cutLineage()
     }
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = e2
         .join(ranks.select(col("url").as("graft_src"), col("rank_ppm")),
           Seq("graft_src"))
-        .join(outdeg, Seq("graft_src"))
         .select(col("graft_dst").as("url"),
           expr("rank_ppm div graft_out").as("graft_c"))
         .groupBy("url").agg(sum("graft_c").as("graft_in"))
       val joined = nodes.join(contrib, Seq("url"), "left")
       val withExtra =
         if (redistributeDangling) {
-          val dm = ranks.filter(col("graft_dang"))
-            .agg(coalesce(sum("rank_ppm"), lit(0L)).as("graft_dm"))
-          joined.crossJoin(broadcast(dm))
-            .withColumn("graft_extra",
-              expr(s"($dampPpm * (graft_dm div $nNodes)) div 1000000"))
+          // the round's dangling mass is ONE aggregate over the already-
+          // materialized rank frame, collected to a scalar and embedded
+          // as a plan literal — exact Long arithmetic (all terms
+          // non-negative, so Scala / ≡ SQL div), and the per-round
+          // broadcast-exchange build + nested-loop cross join disappear
+          // from the iteration plan
+          val dmv = ranks.filter(col("graft_dang"))
+            .agg(coalesce(sum("rank_ppm"), lit(0L)))
+            .collect()(0).getLong(0)
+          val extra = if (nNodes == 0L) 0L
+            else dampPpm * (dmv / nNodes) / 1000000L
+          joined.withColumn("graft_extra", lit(extra))
         } else joined.withColumn("graft_extra", lit(0L))
       ranks = withExtra
         .select(col("url"), col("graft_dang"),
@@ -1374,30 +1388,36 @@ object Web {
       .cutLineage()
     var scores = nodes.withColumn("auth_ppm", lit(1000000L))
       .withColumn("hub_ppm", lit(1000000L))
+    // Each half-step's raw-sum frame materializes EXACTLY once (cut),
+    // its max collects to a driver scalar off that leaf, and the
+    // normalized frame is a plain projection over the leaf — the old
+    // shape left the raw frames lazy, so the broadcast-max build, the
+    // cross join's probe side, the opposite half-step and the final
+    // scores join each re-computed them (the auth frame executed ~4×
+    // per iteration). No cross joins, no broadcast exchanges; the final
+    // per-iteration scores frame is a join of two leaf projections, so
+    // plan depth stays iteration-independent without its own cut.
+    def halfStep(raw: DataFrame, sumCol: String, outCol: String): DataFrame = {
+      val joined = nodes.join(raw, Seq("url"), "left")
+        .select(col("url"), coalesce(col(sumCol), lit(0L)).as(sumCol))
+        .cutLineage()
+      val mx = joined.agg(coalesce(max(sumCol), lit(0L)))
+        .collect()(0).getLong(0)
+      joined.select(col("url"), (if (mx > 0L)
+          expr(s"($sumCol * 1000000) div $mx") else lit(0L)).as(outCol))
+    }
     for (_ <- 1 to iters) {
       val aRaw = e.join(scores.select(col("url").as("graft_s"),
           col("hub_ppm")), Seq("graft_s"))
         .groupBy("graft_d").agg(sum("hub_ppm").as("graft_ar"))
         .withColumnRenamed("graft_d", "url")
-      val aJoined = nodes.join(aRaw, Seq("url"), "left")
-        .select(col("url"), coalesce(col("graft_ar"), lit(0L)).as("graft_ar"))
-      val auth = aJoined
-        .crossJoin(broadcast(aJoined.agg(max("graft_ar").as("graft_ma"))))
-        .select(col("url"), when(col("graft_ma") > 0,
-            expr("(graft_ar * 1000000) div graft_ma")).otherwise(0L)
-          .as("auth_ppm"))
+      val auth = halfStep(aRaw, "graft_ar", "auth_ppm")
       val hRaw = e.join(auth.select(col("url").as("graft_d"),
           col("auth_ppm")), Seq("graft_d"))
         .groupBy("graft_s").agg(sum("auth_ppm").as("graft_hr"))
         .withColumnRenamed("graft_s", "url")
-      val hJoined = nodes.join(hRaw, Seq("url"), "left")
-        .select(col("url"), coalesce(col("graft_hr"), lit(0L)).as("graft_hr"))
-      val hub = hJoined
-        .crossJoin(broadcast(hJoined.agg(max("graft_hr").as("graft_mh"))))
-        .select(col("url"), when(col("graft_mh") > 0,
-            expr("(graft_hr * 1000000) div graft_mh")).otherwise(0L)
-          .as("hub_ppm"))
-      scores = auth.join(hub, Seq("url")).cutLineage()
+      val hub = halfStep(hRaw, "graft_hr", "hub_ppm")
+      scores = auth.join(hub, Seq("url"))
     }
     scores.select("url", "auth_ppm", "hub_ppm")
   }
@@ -1774,25 +1794,29 @@ object Web {
       dampPpm: Long = 850000L): DataFrame = {
     require(iters >= 1 && dampPpm >= 0 && dampPpm <= 1000000L,
       "trustRankPpm: iters >= 1, dampPpm in [0, 1e6]")
-    val e = edges.select(col("src_url").as("graft_src"),
-      col("dst_url").as("graft_dst")).distinct().cutLineage()
+    // out-degree rides ON the edge frame (one setup join, one cut) so
+    // each round's contribution pass is a single join — the same shape
+    // as pageRankPpmImpl
+    val e2 = {
+      val e = edges.select(col("src_url").as("graft_src"),
+        col("dst_url").as("graft_dst")).distinct()
+      e.join(e.groupBy("graft_src").agg(count(lit(1)).as("graft_out")),
+        Seq("graft_src"))
+    }.cutLineage()
     val s = seeds.select(col("url")).distinct()
       .withColumn("graft_seed", lit(true))
-    val nodes = e.select(col("graft_src").as("url"))
-      .union(e.select(col("graft_dst").as("url"))).distinct()
+    val nodes = e2.select(col("graft_src").as("url"))
+      .union(e2.select(col("graft_dst").as("url"))).distinct()
       .join(broadcast(s), Seq("url"), "left")
       .select(col("url"),
         coalesce(col("graft_seed"), lit(false)).as("graft_seed"))
       .cutLineage()
-    val outdeg = e.groupBy("graft_src")
-      .agg(count(lit(1)).as("graft_out")).cutLineage()
     var trust = nodes.withColumn("trust_ppm",
       when(col("graft_seed"), lit(1000000L)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = e2
         .join(trust.select(col("url").as("graft_src"), col("trust_ppm")),
           Seq("graft_src"))
-        .join(outdeg, Seq("graft_src"))
         .select(col("graft_dst").as("url"),
           expr("trust_ppm div graft_out").as("graft_c"))
         .groupBy("url").agg(sum("graft_c").as("graft_in"))

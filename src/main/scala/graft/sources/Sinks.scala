@@ -291,12 +291,15 @@ object Sinks {
         indexTables = Seq(sigT -> "doc_id", urlT -> "doc_id")))
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     // audit: removed counts from the EXECUTED report, remaining counts
-    // recounted off the post-retraction artifacts themselves
-    val afterCorpus = spark.read.parquet(corpus).count()
+    // recounted off the post-retraction artifacts themselves — ONE
+    // union-of-aggregates job for all three recounts instead of three
+    // separate count() job launches (the funnelReport discipline)
     spark.catalog.refreshTable(sigT)
     spark.catalog.refreshTable(urlT)
-    val afterSig = spark.table(sigT).count()
-    val afterUrl = spark.table(urlT).count()
+    val Seq(afterCorpus, afterSig, afterUrl) =
+      Seq(spark.read.parquet(corpus), spark.table(sigT), spark.table(urlT))
+        .map(_.agg(count(lit(1))))
+        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
     // stateless-query discipline: every count above is already a
     // collected Long, so the scenario's tables (and their warehouse
     // dirs) clean up before the result frame is returned
@@ -349,18 +352,23 @@ object Sinks {
       sortCols = Seq("url_hash"))
     val ids = docs.filter(col("source") === "takedown.example")
       .select("doc_id").distinct()
-    // phase 1: markers only — live view filters, raw tables untouched
+    // phase 1: markers only — live view filters, raw tables untouched.
+    // All four phase-1 recounts land in ONE union-of-aggregates job
+    // (the funnelReport discipline) instead of four count() launches.
     tombstone(spark, sigT, ids, "doc_id")
     tombstone(spark, urlT, ids, "doc_id")
-    val liveSig = liveRows(spark, sigT).count()
-    val liveUrl = liveRows(spark, urlT).count()
-    val rawSig = spark.table(sigT).count()
-    val rawUrl = spark.table(urlT).count()
+    val Seq(liveSig, liveUrl, rawSig, rawUrl) =
+      Seq(liveRows(spark, sigT), liveRows(spark, urlT),
+          spark.table(sigT), spark.table(urlT))
+        .map(_.agg(count(lit(1))))
+        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
     // phase 2: vacuum — physical delete, markers gone, live ≡ raw
     vacuumTombstones(spark, sigT)
     vacuumTombstones(spark, urlT)
-    val afterSig = spark.table(sigT).count()
-    val afterUrl = spark.table(urlT).count()
+    val Seq(afterSig, afterUrl) =
+      Seq(spark.table(sigT), spark.table(urlT))
+        .map(_.agg(count(lit(1))))
+        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
     Seq(sigT, urlT).foreach(dropHard)
     Seq(
       ("index_sig", "after_vacuum", afterSig),
@@ -462,11 +470,13 @@ object Sinks {
         linkEdgeTable = Some(edgesT), redirectTable = Some(redT),
         rankTable = Some(rankT)))
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    val afterCorpus = spark.read.parquet(corpus).count()
+    // ONE union-of-aggregates job for all four post-retraction recounts
     Seq(edgesT, redT, rankT).foreach(spark.catalog.refreshTable)
-    val afterEdges = spark.table(edgesT).count()
-    val afterRed = spark.table(redT).count()
-    val afterRank = spark.table(rankT).count()
+    val Seq(afterCorpus, afterEdges, afterRed, afterRank) =
+      Seq(spark.read.parquet(corpus), spark.table(edgesT),
+          spark.table(redT), spark.table(rankT))
+        .map(_.agg(count(lit(1))))
+        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
     Seq(edgesT, redT, rankT).foreach(dropHard)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     Seq(
