@@ -160,8 +160,13 @@ object Clusters {
         .union(joined.select(col("a"), col("mn").as("b")))
         .distinct().cutLineage()
       // one driver action per round: the edge sets (both distinct) are
-      // equal iff their symmetric difference is empty
-      converged = small.except(edges).union(edges.except(small)).isEmpty
+      // equal iff every (a, b) key appears exactly twice in their
+      // concatenation — ONE aggregate exchange, where the
+      // except-both-ways symmetric difference paid two set-difference
+      // shuffles plus a union per round
+      converged = small.unionAll(edges).groupBy("a", "b")
+        .agg(count(lit(1)).as("graft_n"))
+        .filter(col("graft_n") =!= 2L).isEmpty
       edges = small
       iter += 1
     }

@@ -340,7 +340,14 @@ object Dedup {
     // df-capped, so the join moves each array once per pair membership
     // (bounded), where the row-explode + groupBy(count) alternative
     // shuffled Σ|pair| · |doc| shingle rows through an aggregate.
-    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("set"))
+    // The pack aggregates CANDIDATE docs only (semi-join first): the
+    // downstream inner joins discard non-candidate sets anyway, and at
+    // corpus scale candidates ≪ docs — the old corpus-wide collect_list
+    // aggregated (and shuffled) every doc's array to throw most away.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("set"))
     val inter = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))

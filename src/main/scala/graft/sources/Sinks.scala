@@ -659,12 +659,17 @@ object Sinks {
     if (!spark.catalog.tableExists(table)) return 0L
     spark.catalog.refreshTable(table)
     val spec = bucketSpecOf(spark, table)
-    val before = spark.table(table).count()
-    val keep = spark.table(table)
+    // the before/after row counts ride the rewrite job itself as
+    // observed metrics — the old shape paid a full-table count scan
+    // before the rewrite and another after it, per table per retraction
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKeep = org.apache.spark.sql.Observation()
+    val keep = spark.table(table).observe(obsAll, count(lit(1)).as("n"))
       .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+      .observe(obsKeep, count(lit(1)).as("n"))
     publishTable(spark, table, keep, spec)
     spark.catalog.refreshTable(table)
-    before - spark.table(table).count()
+    obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
   }
 
   /** [[retractFromTable]] for multi-key-column tables: delete every row
@@ -681,14 +686,18 @@ object Sinks {
     if (!spark.catalog.tableExists(table)) return 0L
     spark.catalog.refreshTable(table)
     val spec = bucketSpecOf(spark, table)
-    val before = spark.table(table).count()
-    val keep = cols.foldLeft(spark.table(table)) { (df, c) =>
+    // before/after counts observed on the rewrite job (see
+    // [[retractFromTable]]) — no separate count scans
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKeep = org.apache.spark.sql.Observation()
+    val keep = cols.foldLeft(
+        spark.table(table).observe(obsAll, count(lit(1)).as("n"))) { (df, c) =>
       df.join(broadcast(ids.select(col(idCol).as(c)).distinct()),
         Seq(c), "left_anti")
-    }
+    }.observe(obsKeep, count(lit(1)).as("n"))
     publishTable(spark, table, keep, spec)
     spark.catalog.refreshTable(table)
-    before - spark.table(table).count()
+    obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
   }
 
   /** Rewrite the additive df-stats journal `<indexTable>_df` FROM the
@@ -917,10 +926,14 @@ object Sinks {
         docIds.select(col("doc_id").as("node")), "node")
     spark.catalog.refreshTable(journal)
     val idl = docIds.select(col("doc_id")).distinct()
-    val before = spark.table(journal).count()
-    val keep = spark.table(journal)
+    // before/after counts observed on the rewrite job (see
+    // [[retractFromTable]]) — no separate count scans
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKeep = org.apache.spark.sql.Observation()
+    val keep = spark.table(journal).observe(obsAll, count(lit(1)).as("n"))
       .join(broadcast(idl.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
       .join(broadcast(idl.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .observe(obsKeep, count(lit(1)).as("n"))
     publishTable(spark, journal, keep, bucketSpecOf(spark, journal))
     spark.catalog.refreshTable(journal)
     val survivors = spark.table(journal)
@@ -931,7 +944,7 @@ object Sinks {
     publishTable(spark, clusterTable, rebuilt,
       if (spark.catalog.tableExists(clusterTable)) bucketSpecOf(spark, clusterTable)
       else None)
-    before - spark.table(journal).count()
+    obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
   }
 
   /** Execute a retraction across every artifact in `targets`. Steps:
