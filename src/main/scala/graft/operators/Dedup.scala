@@ -344,9 +344,13 @@ object Dedup {
     // downstream inner joins discard non-candidate sets anyway, and at
     // corpus scale candidates ≪ docs — the old corpus-wide collect_list
     // aggregated (and shuffled) every doc's array to throw most away.
+    // broadcast semi-join: candidate ids are pair-bounded metadata, and
+    // a semi-join right side needs no distinct (the semi dedups
+    // implicitly) — the restriction costs zero shuffle exchanges
+    // (plan-locked)
     val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .union(cands.select(col("doc_b").as("doc_id")))
+    val sets = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("set"))
     val inter = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))

@@ -1090,15 +1090,26 @@ object Multimodal {
     landmarksFromSymbols(sym, fanout)
   }
 
-  /** Target-zone pairing over a (doc_id, w, s) symbol table: the
-    * Δ-explode + equi-join tail of [[audioLandmarks]]. */
+  /** Target-zone pairing over a (doc_id, w, s) symbol table — the tail
+    * of [[audioLandmarks]]. Window indexes are CONSECUTIVE integers per
+    * doc ([[windowedSamples]] emits every hop-aligned fully-inside
+    * window), so the symbol at w+Δ is `lead(s, Δ)` over the (doc, w)
+    * order: one doc-partitioned window pass replaces the old Δ-explode +
+    * window-grain shuffle equi-join back to the symbol table. */
   private def landmarksFromSymbols(sym: DataFrame, fanout: Int): DataFrame = {
-    val anchors = sym.select(col("doc_id"), col("w"), col("s").as("s1"),
-        explode(sequence(lit(1L), lit(fanout.toLong))).as("dw"))
-      .withColumn("wb", col("w") + col("dw"))
-    anchors.join(sym.select(col("doc_id"), col("w").as("wb"), col("s").as("s2")),
-        Seq("doc_id", "wb"))
-      .select("doc_id", "s1", "s2", "dw")
+    val byDoc = Window.partitionBy("doc_id").orderBy("w")
+    // leads land as plain columns first — a generator (explode) cannot
+    // contain window expressions
+    val withLeads = sym.select(col("doc_id") +: col("s").as("s1") +:
+      (1 to fanout).map(dw =>
+        lead(col("s"), dw).over(byDoc).as(s"graft_l$dw")): _*)
+    withLeads.select(col("doc_id"), col("s1"),
+        explode(array((1 to fanout).map(dw => struct(
+          lit(dw.toLong).as("dw"), col(s"graft_l$dw").as("s2"))): _*))
+          .as("graft_t"))
+      .filter(col("graft_t.s2").isNotNull)
+      .select(col("doc_id"), col("s1"), col("graft_t.s2").as("s2"),
+        col("graft_t.dw").as("dw"))
       .distinct()
   }
 

@@ -91,8 +91,12 @@ class PlanSweepSpec extends AnyFunSuite {
     // round-13 re-locks: the audio near-dup family now materializes its
     // landmark/symbol frames once (localCheckpoint), so the audited
     // final-job plan is the verify tail — far fewer exchanges
-    "mm_audio_neardup_incr" -> 5,
-    "mm_audio_neardup" -> 9,
+    // round-15 re-locks: windowedSamples derives window membership per
+    // sample row (no expansion join) and the landmark target-zone
+    // pairing is a lead() window instead of a shuffle join — one fewer
+    // exchange in each audited tail
+    "mm_audio_neardup_incr" -> 4,
+    "mm_audio_neardup" -> 8,
     "pipeline_prepare" -> 6,
     // round-14 re-lock: the recall arms all read ONE materialized ADC
     // frame (scored2 localCheckpoint — prefix-stable bounded-heap top-k
@@ -105,7 +109,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "ann_ivfpq_res" -> 2,
     "pipeline_funnel" -> 8,
     "pipeline_curate" -> 9,
-    "mm_video_neardup" -> 11,
+    // round-15 re-lock: videoNearDupPairs materializes the keyframe and
+    // packed-signature frames once, so the audited final job is the
+    // candidate join + verify tail over leaf scans
+    "mm_video_neardup" -> 5,
     "ann_recall" -> 21,
     // round-12 verdict ask #8: the r12 expensive set's new entries.
     // storage_retract/storage_tombstone return driver-collected report
