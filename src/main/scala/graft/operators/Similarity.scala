@@ -1598,27 +1598,38 @@ object Similarity {
     * translations and would poison the denominators. */
   private def marginScore(cand: DataFrame, k: Int,
       minMarginPpm: Long): DataFrame = {
-    // the quantized candidate frame feeds THREE consumers (both k-NN
-    // window branches and the margin join's probe side) — materialize it
-    // once or the candidate-generation join (the bipartite/bucketed
-    // cosine product, the expensive stage) executes once per branch
+    // ONE pass, ZERO joins, ZERO materialization: the k-NN denominator
+    // sums ride the SAME window partitions that rank the candidates —
+    // sum(when(rank <= k, sim)) over the full x (resp. y) partition is
+    // exactly the old "filter rank <= k, groupBy, sum/count, join back"
+    // (every x_id/y_id group is non-empty — its own rank-1 row
+    // qualifies at k >= 1 — so the inner join attached a value to every
+    // row). The candidate-generation join executes once and streams
+    // through four exchanges; the r15 cutLineage() (materialize-for-3-
+    // consumers) measured 1.5x the recompute at sf0.1 and is gone —
+    // there is nothing left to recompute twice. (Guide §2.4: share the
+    // exchange, remove the shuffles outright.)
     val bp = cand
       .withColumn("sim_bp", round(col("sim") * 10000).cast("long"))
       .filter(col("sim_bp") > 0)
       .select(col("x_id"), col("y_id"), col("sim_bp"))
-      .cutLineage()
     val wf = Window.partitionBy("x_id")
       .orderBy(col("sim_bp").desc, col("y_id").asc)
     val wb = Window.partitionBy("y_id")
       .orderBy(col("sim_bp").desc, col("x_id").asc)
-    val ranked = bp
-      .withColumn("graft_rf", row_number().over(wf))
-      .withColumn("graft_rb", row_number().over(wb))
-    val fwd = ranked.filter(col("graft_rf") <= k).groupBy("x_id")
-      .agg(sum("sim_bp").as("graft_fs"), count(lit(1)).as("graft_fn"))
-    val bwd = ranked.filter(col("graft_rb") <= k).groupBy("y_id")
-      .agg(sum("sim_bp").as("graft_bs"), count(lit(1)).as("graft_bn"))
-    val m = bp.join(fwd, Seq("x_id")).join(bwd, Seq("y_id"))
+    // unordered = whole-partition frame; same partition key as the rank
+    // window, so each pair shares one exchange (and the sort)
+    val wx = Window.partitionBy("x_id")
+    val wy = Window.partitionBy("y_id")
+    val m = bp
+      .select(col("*"), row_number().over(wf).as("graft_rf"))
+      .select(col("*"),
+        sum(when(col("graft_rf") <= k, col("sim_bp"))).over(wx).as("graft_fs"),
+        sum(when(col("graft_rf") <= k, lit(1L))).over(wx).as("graft_fn"))
+      .select(col("*"), row_number().over(wb).as("graft_rb"))
+      .select(col("*"),
+        sum(when(col("graft_rb") <= k, col("sim_bp"))).over(wy).as("graft_bs"),
+        sum(when(col("graft_rb") <= k, lit(1L))).over(wy).as("graft_bn"))
       .withColumn("margin_ppm", expr(
         "(sim_bp * 2 * graft_fn * graft_bn * 1000000) div " +
           "(graft_fs * graft_bn + graft_bs * graft_fn)"))

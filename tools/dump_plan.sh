@@ -1,0 +1,14 @@
+#!/bin/bash
+# Dev tooling: dump explain('formatted') for each named query to
+# plans/$2/<q>_$3.txt (args: comma-list, round dir, suffix, [sfdir]).
+set -e
+QS="$1"; RDIR="$2"; SUF="$3"; SF="${4:-/root/testdata/sf0.1}"
+for q in ${QS//,/ }; do
+  SPARK_GRAFT_EXPLAIN=1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.TimeOne $q $SF 1" 2>/dev/null \
+    | sed -n 's/^\[info\] //p' \
+    | awk '/^== Physical Plan ==/{f=1} f{print} /^\[timeone\]/{exit}' \
+    | grep -v '^\[timeone\]' > "plans/$RDIR/${q}_${SUF}.txt.tmp"
+  { echo "# $q — explain('formatted') ${SUF^^} round-16 optimization"; cat "plans/$RDIR/${q}_${SUF}.txt.tmp"; } > "plans/$RDIR/${q}_${SUF}.txt"
+  rm -f "plans/$RDIR/${q}_${SUF}.txt.tmp"
+  echo "dumped $q -> plans/$RDIR/${q}_${SUF}.txt ($(grep -c Exchange plans/$RDIR/${q}_${SUF}.txt) Exchange lines)"
+done
