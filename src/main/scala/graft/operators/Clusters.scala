@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CutPoint.CutOps
@@ -478,14 +479,21 @@ object Clusters {
     var n = edges.count()
     var round = 0
     var converged = n == 0
+    // Per-round fused peel (guide §2.4): explode each edge to its two
+    // (edge, endpoint) rows, attach the endpoint degree with ONE window
+    // aggregate, and regroup to the edge grain keeping edges whose MIN
+    // endpoint degree is >= k — identical survivors to the old
+    // degree-aggregate + two semi-joins (an edge survives iff BOTH
+    // endpoints keep degree >= k over the current edge set), but one
+    // cut and two exchanges per round instead of two cuts and five.
     while (!converged && round < maxRounds) {
-      val deg = edges.select(col("a").as("node"))
-        .unionAll(edges.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("node").cutLineage()
+      val wd = Window.partitionBy("node")
       val pruned = edges
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"),
+          explode(array(col("a"), col("b"))).as("node"))
+        .withColumn("d", count(lit(1)).over(wd))
+        .groupBy("a", "b").agg(min(col("d")).as("graft_md"))
+        .filter(col("graft_md") >= k)
         .select("a", "b").cutLineage()
       val n2 = pruned.count()
       converged = n2 == n

@@ -344,13 +344,21 @@ object Dedup {
     // downstream inner joins discard non-candidate sets anyway, and at
     // corpus scale candidates ≪ docs — the old corpus-wide collect_list
     // aggregated (and shuffled) every doc's array to throw most away.
-    // broadcast semi-join: candidate ids are pair-bounded metadata, and
-    // a semi-join right side needs no distinct (the semi dedups
-    // implicitly) — the restriction costs zero shuffle exchanges
-    // (plan-locked)
+    // broadcast semi-join: a semi-join right side needs no distinct (the
+    // semi dedups implicitly) — the restriction costs zero shuffle
+    // exchanges (plan-locked). The broadcast hint is GUARDED: pair mass
+    // grows as Σ df(s)² over rare shingles, so candidate ids are NOT
+    // bounded metadata at every corpus — an unconditional hint would
+    // eventually exceed the 8 GB / 512M-row broadcast cap (guide §3.1).
+    // The pair frame is already materialized (cutLineage above), so the
+    // count is one cheap leaf-scan job; past the bound the hint drops
+    // and the planner keeps the semi shape as a shuffle join.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
-    val sets = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val candIdRows = 2L * cands.count()
+    val candSide =
+      if (candIdRows <= 50000000L) broadcast(candDocs) else candDocs
+    val sets = sh.join(candSide, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("set"))
     val inter = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
