@@ -1247,14 +1247,22 @@ object Web {
         .cutLineage()
     }
     for (_ <- 1 to iters) {
+      // tagged-union round (the connectedComponents discipline): the
+      // contribution rows UNION one zero-contribution stub per node
+      // (carrying the dangling flag), then ONE node-grain aggregate —
+      // the old shape paid the contribution aggregate plus a second
+      // node-grain left join per round. Every node has exactly one
+      // stub, so sum(graft_c) is never null (≡ the old coalesce) and
+      // max(graft_tag) picks the stub's flag (contrib rows carry null).
       val contrib = e2
         .join(ranks.select(col("url").as("graft_src"), col("rank_ppm")),
           Seq("graft_src"))
         .select(col("graft_dst").as("url"),
-          expr("rank_ppm div graft_out").as("graft_c"))
-        .groupBy("url").agg(sum("graft_c").as("graft_in"))
-      val joined = nodes.join(contrib, Seq("url"), "left")
-      val withExtra =
+          expr("rank_ppm div graft_out").as("graft_c"),
+          lit(null).cast("boolean").as("graft_tag"))
+      val stubs = ranks.select(col("url"), lit(0L).as("graft_c"),
+        col("graft_dang").as("graft_tag"))
+      val extra =
         if (redistributeDangling) {
           // the round's dangling mass is ONE aggregate over the already-
           // materialized rank frame, collected to a scalar and embedded
@@ -1265,15 +1273,15 @@ object Web {
           val dmv = ranks.filter(col("graft_dang"))
             .agg(coalesce(sum("rank_ppm"), lit(0L)))
             .collect()(0).getLong(0)
-          val extra = if (nNodes == 0L) 0L
-            else dampPpm * (dmv / nNodes) / 1000000L
-          joined.withColumn("graft_extra", lit(extra))
-        } else joined.withColumn("graft_extra", lit(0L))
-      ranks = withExtra
+          if (nNodes == 0L) 0L else dampPpm * (dmv / nNodes) / 1000000L
+        } else 0L
+      ranks = contrib.unionAll(stubs)
+        .groupBy("url")
+        .agg(sum("graft_c").as("graft_in"), max("graft_tag").as("graft_dang"))
         .select(col("url"), col("graft_dang"),
           (lit(1000000L - dampPpm) + expr(
-            s"($dampPpm * coalesce(graft_in, 0L)) div 1000000")
-            + col("graft_extra"))
+            s"($dampPpm * graft_in) div 1000000")
+            + lit(extra))
             .cast("long").as("rank_ppm"))
         .cutLineage()
     }
@@ -1814,16 +1822,23 @@ object Web {
     var trust = nodes.withColumn("trust_ppm",
       when(col("graft_seed"), lit(1000000L)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
+      // tagged-union round — see pageRankPpmImpl: contribution rows +
+      // one stub per node (carrying the seed flag), ONE aggregate, no
+      // node-grain join
       val contrib = e2
         .join(trust.select(col("url").as("graft_src"), col("trust_ppm")),
           Seq("graft_src"))
         .select(col("graft_dst").as("url"),
-          expr("trust_ppm div graft_out").as("graft_c"))
-        .groupBy("url").agg(sum("graft_c").as("graft_in"))
-      trust = nodes.join(contrib, Seq("url"), "left")
+          expr("trust_ppm div graft_out").as("graft_c"),
+          lit(null).cast("boolean").as("graft_tag"))
+      val stubs = trust.select(col("url"), lit(0L).as("graft_c"),
+        col("graft_seed").as("graft_tag"))
+      trust = contrib.unionAll(stubs)
+        .groupBy("url")
+        .agg(sum("graft_c").as("graft_in"), max("graft_tag").as("graft_seed"))
         .select(col("url"), col("graft_seed"),
           (when(col("graft_seed"), lit(1000000L - dampPpm)).otherwise(lit(0L))
-            + expr(s"($dampPpm * coalesce(graft_in, 0L)) div 1000000"))
+            + expr(s"($dampPpm * graft_in) div 1000000"))
             .cast("long").as("trust_ppm"))
         .cutLineage()
     }
@@ -1879,19 +1894,25 @@ object Web {
     val nodes = und.select(col("graft_a").as("url")).distinct().cutLineage()
     var labels = nodes.withColumn("community", col("url"))
     for (_ <- 1 to iters) {
+      // tagged-union round: one zero-count stub per node (its own
+      // label) rides into the argmax window beside the neighbor-label
+      // counts — a stub (count 0) loses to ANY neighbor label (count
+      // >= 1) and wins only for isolated nodes, which is exactly the
+      // old coalesce-after-left-join, without the second node-grain
+      // join per round
       val neigh = und
         .join(labels.select(col("url").as("graft_b"),
           col("community").as("graft_l")), Seq("graft_b"))
         .groupBy(col("graft_a").as("url"), col("graft_l"))
         .agg(count(lit(1)).as("graft_n"))
+      val stubs = labels.select(col("url"),
+        col("community").as("graft_l"), lit(0L).as("graft_n"))
       val w = Window.partitionBy("url")
         .orderBy(col("graft_n").desc, col("graft_l").asc)
-      val best = neigh.withColumn("graft_rk", row_number().over(w))
+      labels = neigh.unionAll(stubs)
+        .withColumn("graft_rk", row_number().over(w))
         .filter(col("graft_rk") === 1)
-        .select(col("url"), col("graft_l"))
-      labels = labels.join(best, Seq("url"), "left")
-        .select(col("url"),
-          coalesce(col("graft_l"), col("community")).as("community"))
+        .select(col("url"), col("graft_l").as("community"))
         .cutLineage()
     }
     labels.select("url", "community")

@@ -23,6 +23,19 @@ import graft.CutPoint.CutOps
   */
 object Sinks {
 
+  /** Dev-only phase timing for the scenario queries: set
+    * SPARK_GRAFT_PHASE=1 and each wrapped phase prints its wall seconds
+    * to stderr. Zero-cost when unset (the common case). */
+  private[graft] def phaseT[A](tag: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_PHASE")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[phase] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   def writeParquet(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil, coalesceTo: Option[Int] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
@@ -272,24 +285,25 @@ object Sinks {
           .delete(loc, true)
       }
     }
-    Seq(sigT, urlT).foreach(dropHard)
+    phaseT("r.drop0")(Seq(sigT, urlT).foreach(dropHard))
     val docs = Tables.documents(spark, dir)
       .withColumn("source", when(col("doc_id") % 7 === 3,
         lit("retract.example")).otherwise(col("source")))
-    docs.withColumn("ingest_batch", col("doc_id") % 4)
+    phaseT("r.corpus_write")(docs.withColumn("ingest_batch", col("doc_id") % 4)
       .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .parquet(corpus)
-    graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8)
-    writeBucketed(docs.select(
+      .parquet(corpus))
+    phaseT("r.sig_write")(
+      graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8))
+    phaseT("r.url_write")(writeBucketed(docs.select(
         xxhash64(concat(lit("u"), col("doc_id"))).as("url_hash"),
         col("doc_id")),
       urlT, bucketCols = Seq("url_hash"), numBuckets = 8,
-      sortCols = Seq("url_hash"))
-    val report = graft.operators.Web.retractDomains(spark,
+      sortCols = Seq("url_hash")))
+    val report = phaseT("r.retract")(graft.operators.Web.retractDomains(spark,
       Seq("retract.example"),
       RetractionTargets(corpusPath = Some(corpus),
         indexTables = Seq(sigT -> "doc_id", urlT -> "doc_id")))
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap)
     // audit: removed counts from the EXECUTED report, remaining counts
     // recounted off the post-retraction artifacts themselves — ONE
     // union-of-aggregates job for all three recounts instead of three
@@ -297,9 +311,10 @@ object Sinks {
     spark.catalog.refreshTable(sigT)
     spark.catalog.refreshTable(urlT)
     val Seq(afterCorpus, afterSig, afterUrl) =
-      Seq(spark.read.parquet(corpus), spark.table(sigT), spark.table(urlT))
-        .map(_.agg(count(lit(1))))
-        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
+      phaseT("r.recount")(
+        Seq(spark.read.parquet(corpus), spark.table(sigT), spark.table(urlT))
+          .map(_.agg(count(lit(1))))
+          .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq)
     // stateless-query discipline: every count above is already a
     // collected Long, so the scenario's tables (and their warehouse
     // dirs) clean up before the result frame is returned
@@ -340,11 +355,12 @@ object Sinks {
           .delete(loc, true)
       }
     }
-    Seq(sigT, urlT).foreach(dropHard)
+    phaseT("t.drop0")(Seq(sigT, urlT).foreach(dropHard))
     val docs = Tables.documents(spark, dir)
       .withColumn("source", when(col("doc_id") % 7 === 3,
         lit("takedown.example")).otherwise(col("source")))
-    graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8)
+    phaseT("t.sig_write")(
+      graft.operators.Dedup.writeSignatureIndex(docs, sigT, numBuckets = 8))
     writeBucketed(docs.select(
         xxhash64(concat(lit("u"), col("doc_id"))).as("url_hash"),
         col("doc_id")),
@@ -355,21 +371,27 @@ object Sinks {
     // phase 1: markers only — live view filters, raw tables untouched.
     // All four phase-1 recounts land in ONE union-of-aggregates job
     // (the funnelReport discipline) instead of four count() launches.
-    tombstone(spark, sigT, ids, "doc_id")
-    tombstone(spark, urlT, ids, "doc_id")
+    phaseT("t.tombstones") {
+      tombstone(spark, sigT, ids, "doc_id")
+      tombstone(spark, urlT, ids, "doc_id")
+    }
     val Seq(liveSig, liveUrl, rawSig, rawUrl) =
-      Seq(liveRows(spark, sigT), liveRows(spark, urlT),
-          spark.table(sigT), spark.table(urlT))
-        .map(_.agg(count(lit(1))))
-        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
+      phaseT("t.live_counts")(
+        Seq(liveRows(spark, sigT), liveRows(spark, urlT),
+            spark.table(sigT), spark.table(urlT))
+          .map(_.agg(count(lit(1))))
+          .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq)
     // phase 2: vacuum — physical delete, markers gone, live ≡ raw
-    vacuumTombstones(spark, sigT)
-    vacuumTombstones(spark, urlT)
+    phaseT("t.vacuum") {
+      vacuumTombstones(spark, sigT)
+      vacuumTombstones(spark, urlT)
+    }
     val Seq(afterSig, afterUrl) =
-      Seq(spark.table(sigT), spark.table(urlT))
-        .map(_.agg(count(lit(1))))
-        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
-    Seq(sigT, urlT).foreach(dropHard)
+      phaseT("t.after_counts")(
+        Seq(spark.table(sigT), spark.table(urlT))
+          .map(_.agg(count(lit(1))))
+          .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq)
+    phaseT("t.drop1")(Seq(sigT, urlT).foreach(dropHard))
     Seq(
       ("index_sig", "after_vacuum", afterSig),
       ("index_sig", "live_after_tombstone", liveSig),
@@ -422,7 +444,7 @@ object Sinks {
           .delete(loc, true)
       }
     }
-    Seq(edgesT, redT, rankT).foreach(dropHard)
+    phaseT("rw.drop0")(Seq(edgesT, redT, rankT).foreach(dropHard))
     val srcName = when(col("doc_id") % 7 === 3, lit("retractweb"))
       .otherwise(concat(lit("ok"), (col("doc_id") % 5).cast("string")))
     // the scenario frames are metadata-sized (one row per doc) and the
@@ -433,21 +455,23 @@ object Sinks {
           col("doc_id").cast("string")).as("canon_url"),
         concat(srcName, lit(".example")).as("source"))
       .coalesce(2).cutLineage()
-    docs.withColumn("ingest_batch", col("doc_id") % 4)
-      .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
-      .parquet(corpus)
+    phaseT("rw.corpus_write")(
+      docs.withColumn("ingest_batch", col("doc_id") % 4)
+        .write.mode(SaveMode.Overwrite).partitionBy("ingest_batch")
+        .parquet(corpus))
     // edges between consecutive EXISTING docs: s → s+1
     val e = docs.select(col("doc_id").as("sid"),
         col("canon_url").as("src_url"), col("source").as("src_domain"))
       .join(docs.select((col("doc_id") - 1).as("sid"),
         col("canon_url").as("dst_url"), col("source").as("dst_domain")),
         Seq("sid"))
-    writeBucketed(e.select(xxhash64(col("dst_url")).as("dst_hash"),
-        xxhash64(col("src_url")).as("src_hash"), col("dst_url"),
-        col("src_domain"), col("dst_domain"),
-        concat(lit("anchor "), col("sid").cast("string")).as("anchor")),
-      edgesT, bucketCols = Seq("dst_hash"), numBuckets = 4,
-      sortCols = Seq("dst_hash"))
+    phaseT("rw.edges_write")(
+      writeBucketed(e.select(xxhash64(col("dst_url")).as("dst_hash"),
+          xxhash64(col("src_url")).as("src_hash"), col("dst_url"),
+          col("src_domain"), col("dst_domain"),
+          concat(lit("anchor "), col("sid").cast("string")).as("anchor")),
+        edgesT, bucketCols = Seq("dst_hash"), numBuckets = 4,
+        sortCols = Seq("dst_hash")))
     val ledA = docs.select(
       concat(lit("http://old.example/r/"), col("doc_id").cast("string"))
         .as("cu"), col("canon_url").as("target"))
@@ -455,30 +479,35 @@ object Sinks {
       col("canon_url").as("cu"),
       concat(lit("http://ext.example/e/"), col("doc_id").cast("string"))
         .as("target"))
-    writeBucketed(ledA.union(ledB).select(xxhash64(col("cu")).as("url_hash"),
-        col("cu").as("canon_url"), col("target")),
-      redT, bucketCols = Seq("url_hash"), numBuckets = 4,
-      sortCols = Seq("url_hash"))
+    phaseT("rw.ledger_write")(
+      writeBucketed(ledA.union(ledB).select(xxhash64(col("cu")).as("url_hash"),
+          col("cu").as("canon_url"), col("target")),
+        redT, bucketCols = Seq("url_hash"), numBuckets = 4,
+        sortCols = Seq("url_hash")))
     // the oracle checks rank ROW COUNTS, not values — one iteration
     // seeds the pre-retraction snapshot; the refresh under test (inside
     // retractDocs) runs the full default
-    graft.streaming.WebStream.publishRankRefresh(spark, edgesT, rankT,
-      iters = 1)
-    val report = graft.operators.Web.retractDomains(spark,
+    phaseT("rw.rank_seed")(
+      graft.streaming.WebStream.publishRankRefresh(spark, edgesT, rankT,
+        iters = 1))
+    val report = phaseT("rw.retract")(graft.operators.Web.retractDomains(spark,
       Seq("retractweb.example"),
       RetractionTargets(corpusPath = Some(corpus),
         linkEdgeTable = Some(edgesT), redirectTable = Some(redT),
         rankTable = Some(rankT)))
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap)
     // ONE union-of-aggregates job for all four post-retraction recounts
     Seq(edgesT, redT, rankT).foreach(spark.catalog.refreshTable)
     val Seq(afterCorpus, afterEdges, afterRed, afterRank) =
-      Seq(spark.read.parquet(corpus), spark.table(edgesT),
-          spark.table(redT), spark.table(rankT))
-        .map(_.agg(count(lit(1))))
-        .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
-    Seq(edgesT, redT, rankT).foreach(dropHard)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      phaseT("rw.recount")(
+        Seq(spark.read.parquet(corpus), spark.table(edgesT),
+            spark.table(redT), spark.table(rankT))
+          .map(_.agg(count(lit(1))))
+          .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq)
+    phaseT("rw.drop1") {
+      Seq(edgesT, redT, rankT).foreach(dropHard)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    }
     Seq(
       ("corpus", report(corpus), afterCorpus),
       ("link_edges", report(edgesT), afterEdges),
@@ -565,6 +594,14 @@ object Sinks {
     * half-written table catalog-visible. A crash between DROP and
     * RENAME leaves the table absent with the complete staging table
     * beside it; re-running the retraction republishes. */
+  /** INVARIANT (audit-count exactness): several callers ride their
+    * before/after audit counts on `df` as `observe` metrics. Observed
+    * metrics can double-count under task retries only when an exchange
+    * sits ABOVE the observe (the map side re-runs); today the bucketBy
+    * writer adds NO exchange — the observes sit in the write's single
+    * result stage, where a retried task's commit is exclusive — so the
+    * counts are exact. Do not add a repartition/exchange above the
+    * incoming `df` here without moving those audits back to count(). */
   private[graft] def publishTable(spark: org.apache.spark.sql.SparkSession,
       table: String, df: DataFrame,
       spec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]): Unit = {
@@ -752,14 +789,19 @@ object Sinks {
     * vacuum clears. Returns the marker rows appended. */
   def tombstone(spark: org.apache.spark.sql.SparkSession, table: String,
       ids: DataFrame, idCol: String): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     val tt = table + "_tombs"
-    val d = ids.select(col(idCol)).distinct().cutLineage()
+    // the appended-marker count rides the append job itself as an
+    // observed metric — the old shape materialized the distinct set
+    // (one job) and counted it (another) around the write
+    val obs = org.apache.spark.sql.Observation()
+    val d = ids.select(col(idCol)).distinct()
+      .observe(obs, count(lit(1)).as("n"))
     val mode = if (spark.catalog.tableExists(tt)) SaveMode.Append
                else SaveMode.Overwrite
     d.write.mode(mode).format("parquet").saveAsTable(tt)
     spark.catalog.refreshTable(tt)
-    d.count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The live view of an index table: its rows minus any tombstoned ids
@@ -796,7 +838,10 @@ object Sinks {
     val tt = table + "_tombs"
     if (!spark.catalog.tableExists(tt)) return (0L, 0L)
     spark.catalog.refreshTable(tt)
-    val ids = spark.table(tt).select(col(idCol)).distinct().cutLineage()
+    // marker sets are O(takedown) — the distinct is cheap enough to
+    // compute twice (count here, broadcast build inside the retraction)
+    // that materializing it cost more than it saved (one extra job)
+    val ids = spark.table(tt).select(col(idCol)).distinct()
     val cleared = ids.count()
     val removed = retractFromTable(spark, table, ids, idCol)
     rebuildDfJournal(spark, table)
@@ -871,19 +916,22 @@ object Sinks {
       .select(col(partitionCol)).distinct().collect().map(_.get(0)).toIndexedSeq
     if (hitParts.isEmpty) return 0L
     val affected = cur.filter(col(partitionCol).isin(hitParts: _*))
-    val before = affected.count()
     // 1. staging tree: ONLY the affected partitions, rewritten without
-    // the retracted rows (fully-emptied partitions write no dir)
-    affected.join(idf, Seq(idCol), "left_anti")
+    // the retracted rows (fully-emptied partitions write no dir). The
+    // before/after counts ride the rewrite job as observed metrics —
+    // the old shape paid a count scan before the write and a read-back
+    // count after it (2 extra jobs per retraction). `affected` can hold
+    // no null partition values (isin(null) never matches), so the kept
+    // count equals the old non-null read-back count exactly.
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKeep = org.apache.spark.sql.Observation()
+    affected.observe(obsAll, count(lit(1)).as("n"))
+      .join(idf, Seq(idCol), "left_anti")
+      .observe(obsKeep, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(tmp.toString)
-    // every affected partition fully emptied → the staging tree holds
-    // only _SUCCESS and a schema-inferring read would fail
-    val stagingHasData = fs.listStatus(tmp)
-      .exists(!_.getPath.getName.startsWith("_"))
-    val after = if (!stagingHasData) 0L
-      else spark.read.parquet(tmp.toString)
-        .filter(col(partitionCol).isNotNull).count()
+    val before = obsAll.get("n").asInstanceOf[Long]
+    val after = obsKeep.get("n").asInstanceOf[Long]
     // a FULLY-emptied partition writes no staging dir, and the swap's
     // carry-forward step would then read it as "unaffected" and carry
     // the old partition — retracted rows included — straight back into
@@ -987,8 +1035,8 @@ object Sinks {
       docIds: DataFrame, targets: RetractionTargets): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val ids = docIds.select(col("doc_id")).distinct()
-      .transform(graft.CutPoint.cut)
+    val ids = phaseT("rd.ids")(docIds.select(col("doc_id")).distinct()
+      .transform(graft.CutPoint.cut))
     val report = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     // 1. pin the retracted docs' per-gram DOC COUNTS while the text
     // still exists (after the corpus delete it doesn't) — O(retracted
@@ -1028,17 +1076,20 @@ object Sinks {
         require(frames.nonEmpty, "retractDocs: web-graph targets given " +
           s"but the corpus has none of ${targets.urlCols} / " +
           s"${targets.urlHashCols} — no URL identity to retract by")
-        frames.reduce(_ union _).distinct().transform(graft.CutPoint.cut)
+        phaseT("rd.urlpin")(
+          frames.reduce(_ union _).distinct().transform(graft.CutPoint.cut))
       }
     // 2. corpus sink
     targets.corpusPath.foreach { cp =>
-      val n = retractFromParquet(spark, cp, ids, "doc_id", targets.partitionCol)
+      val n = phaseT("rd.corpus")(
+        retractFromParquet(spark, cp, ids, "doc_id", targets.partitionCol))
       report += ((cp, "corpus", n))
     }
     // 3. id-attributed indexes + their df journals
     targets.indexTables.foreach { case (t, idCol) =>
-      val n = retractFromTable(spark, t, ids.withColumnRenamed("doc_id", idCol), idCol)
-      val j = rebuildDfJournal(spark, t)
+      val n = phaseT(s"rd.index.$t")(
+        retractFromTable(spark, t, ids.withColumnRenamed("doc_id", idCol), idCol))
+      val j = phaseT(s"rd.journal.$t")(rebuildDfJournal(spark, t))
       report += ((t, "index", n))
       if (j) report += ((t + "_df", "journal", 0L))
     }
@@ -1119,25 +1170,31 @@ object Sinks {
     // 6. web-graph tables, keyed by the pinned URL hashes
     retractedUrlHashes.foreach { uh =>
       targets.linkEdgeTable.foreach { lt =>
-        val n = retractFromTableAnyOf(spark, lt, uh, "graft_uh",
-          Seq("src_hash", "dst_hash"))
+        val n = phaseT("rd.linkedges")(retractFromTableAnyOf(spark, lt, uh,
+          "graft_uh", Seq("src_hash", "dst_hash")))
         report += ((lt, "link-edges", n))
       }
       targets.redirectTable.foreach { rt =>
-        if (spark.catalog.tableExists(rt)) {
+        if (spark.catalog.tableExists(rt)) phaseT("rd.redirect") {
           spark.catalog.refreshTable(rt)
-          val before = spark.table(rt).count()
+          // before/after counts observed on the rewrite job (see
+          // retractFromTable) — no separate count scans
+          val obsAll = org.apache.spark.sql.Observation()
+          val obsKeep = org.apache.spark.sql.Observation()
           val keep = spark.table(rt)
+            .observe(obsAll, count(lit(1)).as("n"))
             .join(broadcast(uh.select(col("graft_uh").as("url_hash"))),
               Seq("url_hash"), "left_anti")
             .withColumn("graft_th", xxhash64(col("target")))
             .join(broadcast(uh.select(col("graft_uh").as("graft_th"))),
               Seq("graft_th"), "left_anti")
             .drop("graft_th")
+            .observe(obsKeep, count(lit(1)).as("n"))
           publishTable(spark, rt, keep, bucketSpecOf(spark, rt))
           spark.catalog.refreshTable(rt)
           report += ((rt, "redirect-ledger",
-            before - spark.table(rt).count()))
+            obsAll.get("n").asInstanceOf[Long] -
+              obsKeep.get("n").asInstanceOf[Long]))
         }
       }
       targets.rankTable.foreach { rkt =>
@@ -1151,8 +1208,8 @@ object Sinks {
             val before = if (spark.catalog.tableExists(rkt)) {
               spark.catalog.refreshTable(rkt); spark.table(rkt).count()
             } else 0L
-            val after = graft.streaming.WebStream
-              .publishRankRefresh(spark, lt, rkt)
+            val after = phaseT("rd.rankrefresh")(graft.streaming.WebStream
+              .publishRankRefresh(spark, lt, rkt))
             report += ((rkt, "rank-refresh", before - after))
           case _ =>
             val n = retractFromTable(spark, rkt,

@@ -695,12 +695,16 @@ object WebStream {
         redistributeDangling = redistributeDangling)
     }).select(col("url").cast("long").as("url_hash"), col("rank_ppm"))
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    ranks.write.mode(SaveMode.Overwrite).format("parquet")
+    // the ranked-node count rides the staging write as an observed
+    // metric instead of a separate count job over the published table
+    val obs = org.apache.spark.sql.Observation()
+    ranks.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $rankTable")
     spark.sql(s"ALTER TABLE $staging RENAME TO $rankTable")
     spark.catalog.refreshTable(rankTable)
-    spark.table(rankTable).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Publish a periodic HITS refresh over the [[linkIngest]] edge table
@@ -729,12 +733,14 @@ object WebStream {
       .select(col("url").cast("long").as("url_hash"),
         col("auth_ppm"), col("hub_ppm"))
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    scores.write.mode(SaveMode.Overwrite).format("parquet")
+    val obs = org.apache.spark.sql.Observation()
+    scores.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $hitsTable")
     spark.sql(s"ALTER TABLE $staging RENAME TO $hitsTable")
     spark.catalog.refreshTable(hitsTable)
-    spark.table(hitsTable).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Hub/auth-prior probe for a frontier slice — the
