@@ -70,8 +70,13 @@ object Sketches {
     val hashed = df.select(col(groupCol).cast("string").as("g"),
       uniformHash(col(valueCol)).as("h")).distinct()
     val byH = Window.partitionBy(col("g")).orderBy(col("h"))
+    // the truncated sketch frame is O(groups·k) rows and feeds THREE
+    // consumers across TWO actions (the group-list collect below is its
+    // own job, where exchange reuse cannot help) — materialize it once
+    // or the corpus-grain hash+distinct runs per action
     val kept = hashed.withColumn("rk", row_number().over(byH))
       .filter(col("rk") <= k).select("g", "h")
+      .transform(graft.CutPoint.cut)
     val spark = df.sparkSession
     import spark.implicits._
     val gs = kept.select("g").distinct()

@@ -804,18 +804,22 @@ object Dedup {
     val pos = toks.select(col("doc_id"), col("t"),
       explode(sequence(lit(1), size(col("t")))).as("i"))
     // boundary AFTER token i: hash of tokens (i-w+1 .. i), only once a
-    // full window exists
-    val windowed = pos.withColumn("boundary",
+    // full window exists. The boundary flag AND the token both derive
+    // from `t` HERE, before the doc-grain window exchange — carrying the
+    // whole token array per position row would shuffle O(tokens²) bytes
+    // per doc where O(tokens) suffices (guide §2.3: project before the
+    // exchange).
+    val windowed = pos.select(col("doc_id"), col("i"),
+      element_at(col("t"), col("i")).as("token"),
       when(col("i") >= w,
         (hexVal8(concat_ws(" ", slice(col("t"), col("i") - (w - 1), lit(w)))) % m) === 0)
-        .otherwise(lit(false)))
+        .otherwise(lit(false)).as("boundary"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val chunked = windowed.withColumn("chunk_idx",
       coalesce(sum(when(col("boundary"), 1L).otherwise(0L)).over(win), lit(0L)))
-      .select(col("doc_id"), col("chunk_idx"), col("i"),
-        element_at(col("t"), col("i")).as("token"))
+      .select(col("doc_id"), col("chunk_idx"), col("i"), col("token"))
     chunked.groupBy("doc_id", "chunk_idx")
       .agg(count(lit(1)).as("n_chunk_tokens"),
         md5(concat_ws(" ",

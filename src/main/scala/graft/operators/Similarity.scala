@@ -319,6 +319,24 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Run two INDEPENDENT eager materialization chains concurrently
+    * (guide §2.6 — Spark's scheduler happily runs several jobs at once;
+    * actions are only sequential because driver code calls them
+    * sequentially): `fa` runs on a pool thread while `fb` runs on the
+    * calling thread, and the pair returns when both are done. Used by
+    * the recall queries, whose exact brute-force baseline is fully
+    * independent of the index-training chain — at any scale the
+    * baseline's tasks back-fill executors the training collects leave
+    * idle. Exceptions from either chain propagate to the caller. */
+  private def inParallel[A, B](fa: => A)(fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f = Future(fa)
+    val b = fb
+    (Await.result(f, Duration.Inf), b)
+  }
+
   /** Recall@k of the approximate searchers measured against the exact
     * brute force — turns "approximate" from a claim into a number a
     * regression gate can hold. One row per (method, query): how many of
@@ -338,12 +356,19 @@ object Similarity {
   def annRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int = 5,
       numCentroids: Int = 8): DataFrame = {
     // the exact reference feeds three consumers (two hit-joins + the
-    // per-query denominator) — checkpoint the diamond
-    val exact = bruteForceTopK(
-        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
-        emb.select(col("vec_id").as("id"), col("embedding")), k)
-      .select(col("query_id"), col("neighbor_id"))
-      .cutLineage()
+    // per-query denominator) — checkpoint the diamond. It materializes
+    // CONCURRENTLY with the shared bucket frame (independent chains).
+    val (exact, b8) = inParallel(
+      bruteForceTopK(
+          emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+          emb.select(col("vec_id").as("id"), col("embedding")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .cutLineage()) {
+      // lsh and lsh_mp probe the SAME bucket frame — compute it once with
+      // truncated lineage instead of re-running the 8-plane projection and
+      // norm pass per searcher
+      normedBuckets(emb, numPlanes = 8, dim = 64).cutLineage()
+    }
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -352,10 +377,6 @@ object Similarity {
         .join(nExact, Seq("query_id"), "right")
         .na.fill(0L, Seq("n_hit"))
         .select(lit(method).as("method"), col("query_id"), col("n_hit"), col("n_exact"))
-    // lsh and lsh_mp probe the SAME bucket frame — compute it once with
-    // truncated lineage instead of re-running the 8-plane projection and
-    // norm pass per searcher
-    val b8 = normedBuckets(emb, numPlanes = 8, dim = 64).cutLineage()
     hits("ivf", ivfTopK(emb, numCentroids, queryPred, k))
       .union(hits("lsh", lshTopKFrom(b8, queryPred, k)))
       .union(hits("lsh_mp", lshMultiProbeTopKFrom(b8, queryPred, k, numPlanes = 8)))
@@ -559,11 +580,12 @@ object Similarity {
     * gate, same contract as [[annRecall]]. */
   def sq8Recall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int = 5): DataFrame = {
-    val exact = bruteForceTopK(
+    import graft.sources.Sinks.phaseT
+    val exact = phaseT("arr.exact")(bruteForceTopK(
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .cutLineage()
+      .cutLineage())
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     sq8TopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -633,11 +655,12 @@ object Similarity {
     * ship). Same contract as [[sq8Recall]]/[[annRecall]]. */
   def rpRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       outDim: Int = 32, shortlist: Int = 100, k: Int = 5): DataFrame = {
-    val exact = bruteForceTopK(
+    import graft.sources.Sinks.phaseT
+    val exact = phaseT("arr.exact")(bruteForceTopK(
         emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
         emb.select(col("vec_id").as("id"), col("embedding")), k)
       .select(col("query_id"), col("neighbor_id"))
-      .cutLineage()
+      .cutLineage())
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def arm(method: String, approx: DataFrame) = approx
       .select(col("query_id"), col("neighbor_id"))
@@ -1192,11 +1215,18 @@ object Similarity {
   def ivfPqResidualRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
       numCentroids: Int = 8, kmeansIters: Int = 2): DataFrame = {
-    val exact = bruteForceTopK(
-        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
-        emb.select(col("vec_id").as("id"), col("embedding")), k)
-      .select(col("query_id"), col("neighbor_id"))
-      .cutLineage()
+    // exact baseline ∥ (coarse Lloyd + residual codebooks + code-frame
+    // materialization) — fully independent chains (guide §2.6)
+    val (exact, ix) = inParallel(
+      bruteForceTopK(
+          emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+          emb.select(col("vec_id").as("id"), col("embedding")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .cutLineage()) {
+      val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks,
+        iters)
+      ix0.copy(codes = ix0.codes.cutLineage())
+    }
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -1213,8 +1243,6 @@ object Similarity {
     // materializes once (queries × nprobe × N/cells rows — small) and
     // all three arms + the rerank shortlist are heap passes over it,
     // where the naive shape re-scored the corpus per arm (3×).
-    val ix0 = ivfPqResidualIndex(emb, numCentroids, kmeansIters, m, ds, ks, iters)
-    val ix = ix0.copy(codes = ix0.codes.cutLineage())
     val probes2 = residualProbeQueries(emb, ix.cents, queryPred, m, ds,
       nprobe = 2)
     val scored2 = ix.codes.join(broadcast(probes2), Seq("centroid_id"))
@@ -1295,11 +1323,18 @@ object Similarity {
   def pqRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
       k: Int = 5, m: Int = 8, ds: Int = 8, ks: Int = 8, iters: Int = 1,
       numCentroids: Int = 8, kmeansIters: Int = 2): DataFrame = {
-    val exact = bruteForceTopK(
-        emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
-        emb.select(col("vec_id").as("id"), col("embedding")), k)
-      .select(col("query_id"), col("neighbor_id"))
-      .cutLineage()
+    // exact baseline ∥ (PQ train+encode + coarse Lloyd) — independent
+    // chains (guide §2.6); one trained index still feeds every searcher
+    val (exact, (ix, cents)) = inParallel(
+      bruteForceTopK(
+          emb.filter(queryPred).select(col("vec_id").as("id"), col("embedding")),
+          emb.select(col("vec_id").as("id"), col("embedding")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .cutLineage()) {
+      val ix0 = pqIndex(emb, m, ds, ks, iters)
+      (ix0.copy(codes = ix0.codes.cutLineage()),
+        kmeansCollected(emb, numCentroids, kmeansIters))
+    }
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     def hits(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -1311,10 +1346,8 @@ object Similarity {
           (expr("(n_hit * 20000 + n_exact) div (n_exact * 2)") / 10000.0).as("recall"))
     // one trained index feeds EVERY searcher: codebooks collect once, the
     // code frame materializes once (localCheckpoint), the coarse Lloyd
-    // runs once — per-method retraining would triple identical work
-    val ix0 = pqIndex(emb, m, ds, ks, iters)
-    val ix = ix0.copy(codes = ix0.codes.cutLineage())
-    val cents = kmeansCollected(emb, numCentroids, kmeansIters)
+    // runs once (built above, overlapped with the exact baseline) —
+    // per-method retraining would triple identical work
     // deliberately NOT checkpointed: the assignment carries the full
     // vectors, and materializing it cost more than the second scan
     // (TimeOne sf0.1: 2.89 s plain vs 3.46 s checkpointed) — the arms'
